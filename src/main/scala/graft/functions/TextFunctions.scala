@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text helpers as pure Column expressions (codegen'd built-ins only —
+  * no UDFs in this file). These reproduce the expression-level computations
+  * inventoried in SURVEY.md §2.9 from the reference
+  * (`yamlpipe/components/sources.py`, `state_manager.py`).
+  */
+object TextFunctions {
+
+  /** Strip HTML tags and decode the common entities — the reference's
+    * BeautifulSoup `get_text()` step (`sources.py:134-135`) re-expressed as a
+    * regexp_replace chain.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1>", "")
+    val noTags = regexp_replace(noScript, "<[^>]*>", "")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    entities.foldLeft(noTags) { case (col, (e, r)) =>
+      regexp_replace(col, e, java.util.regex.Matcher.quoteReplacement(r))
+    }
+  }
+
+  /** Per-line strip, drop blank lines, re-join with "\n" — the reference's
+    * web-source normalization (`sources.py:136-137`).
+    */
+  def normalizeLines(c: Column): Column =
+    array_join(
+      filter(
+        transform(split(c, "\n"), l => trim(l)),
+        l => length(l) > 0),
+      "\n")
+
+  /** Non-empty, non-whitespace content test (`sources.py:94`,
+    * `chunkers.py:70,113`).
+    */
+  def nonBlank(c: Column): Column = length(trim(c)) > 0
+
+  /** Content fingerprint for change detection — the reference hashes file
+    * bytes with sha256 (`state_manager.py:141-147`); over a string column
+    * this is `sha2(col, 256)`.
+    */
+  def fingerprint(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** ETag-style quote stripping (`sources.py:187,209`). */
+  def stripQuotes(c: Column): Column = regexp_replace(c, "[\"']", "")
+
+  /** The adaptive chunker's markdown-ness heuristic as a Column
+    * (`chunkers.py:161-171`): >= 2 occurrences of any of "\n# ", "\n## ",
+    * "\n### ".
+    */
+  def isMarkdownish(c: Column): Column = {
+    def occ(sub: String): Column = size(split(c, java.util.regex.Pattern.quote(sub), -1)) - 1
+    (occ("\n# ") >= 2) || (occ("\n## ") >= 2) || (occ("\n### ") >= 2)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => length(t) > 0))
+}

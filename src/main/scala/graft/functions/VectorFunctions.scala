@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance/similarity kernels as pure Column expressions.
+  *
+  * These compose `zip_with` + `aggregate` from
+  * `org.apache.spark.sql.functions` so they stay inside whole-stage codegen —
+  * no UDF serialization, no Python boundary, columnar all the way. This is
+  * the kernel behind the reference's vector top-k search
+  * (`yamlpipe/core/evaluation.py:55-64`, delegated there to LanceDB/Chroma;
+  * here it is a Catalyst expression the optimizer can see through).
+  *
+  * All arithmetic is performed in double precision (inputs are
+  * `array<float>`): left-to-right summation, so results are deterministic
+  * and reproducible across runs and engines.
+  */
+object VectorFunctions {
+
+  /** Dot product of two float/double array columns, computed in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 (Euclidean) norm. */
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in [-1, 1]; null-safe on zero-norm vectors (returns
+    * null rather than NaN so downstream filters behave).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** Cosine distance = 1 - cosine similarity. */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** Squared Euclidean distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean distance (the reference sink's default metric — LanceDB
+    * defaults to L2).
+    */
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+
+  /** L2-normalize an array<float>/array<double> column (unit vector);
+    * zero vectors pass through unchanged.
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, a.cast("array<double>"))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+}

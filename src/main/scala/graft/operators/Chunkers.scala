@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextSplitters
+import graft.functions.TextSplitters.MdChunk
+
+/** DataFrame-level chunking operators: 1->N flatMap transforms expressed as
+  * (UDF returning array) + `posexplode`, so chunking runs partition-parallel
+  * inside a single narrow stage — no shuffle, no driver materialization
+  * (unlike the reference, which gathers every document on the driver and fans
+  * out to a local process pool, `yamlpipe/core/pipeline.py:53-79`).
+  *
+  * Contract preserved from the reference (`yamlpipe/components/chunkers.py`):
+  *  - empty/whitespace docs produce no chunks (`chunkers.py:70-74,113-117`)
+  *  - `chunk_index` is 1-based and dense per document (`chunkers.py:82`)
+  *  - markdown chunks carry "Header 1/2/3" path metadata
+  *    (`chunkers.py:122-128`)
+  *  - adaptive dispatch heuristic: >=2 of "\n# "/"\n## "/"\n### "
+  *    (`chunkers.py:161-171`)
+  */
+object Chunkers {
+
+  private val recursiveUdf =
+    udf((text: String, size: Int, overlap: Int) =>
+      TextSplitters.recursiveSplit(text, size, overlap))
+
+  private val markdownUdf =
+    udf((text: String) =>
+      TextSplitters.markdownSplit(text).map(c => (c.content, c.headers)))
+
+  private val adaptiveUdf =
+    udf((text: String, size: Int, overlap: Int) =>
+      TextSplitters.adaptiveSplit(text, size, overlap).map(c => (c.content, c.headers)))
+
+  /** Recursive-character chunking. Input: a DataFrame with `textCol`.
+    * Output: one row per chunk with `chunk` (text) and `chunk_index`
+    * (1-based); all other columns carried through.
+    */
+  def recursive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame =
+    df.select(
+        col("*"),
+        posexplode(recursiveUdf(col(textCol), lit(chunkSize), lit(chunkOverlap)))
+          .as(Seq("pos", "chunk")))
+      .withColumn("chunk_index", col("pos") + 1)
+      .drop("pos")
+
+  /** Markdown-header chunking. Adds `chunk`, `chunk_index`, and a `headers`
+    * map column ("Header 1" -> ...).
+    */
+  def markdown(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        col("*"),
+        posexplode(markdownUdf(col(textCol))).as(Seq("pos", "c")))
+      .withColumn("chunk", col("c._1"))
+      .withColumn("headers", col("c._2"))
+      .withColumn("chunk_index", col("pos") + 1)
+      .drop("pos", "c")
+
+  /** Adaptive chunking: per-row dispatch between markdown and recursive based
+    * on the reference heuristic; single pass, no branching plans.
+    */
+  def adaptive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame =
+    df.select(
+        col("*"),
+        posexplode(adaptiveUdf(col(textCol), lit(chunkSize), lit(chunkOverlap)))
+          .as(Seq("pos", "c")))
+      .withColumn("chunk", col("c._1"))
+      .withColumn("headers", col("c._2"))
+      .withColumn("chunk_index", col("pos") + 1)
+      .drop("pos", "c")
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** The read path: vector top-k search and retrieval-evaluation aggregates —
+  * the reference's `search(query, k)` / hit-rate eval
+  * (`yamlpipe/core/evaluation.py:44-109`, `app.py:53-61`).
+  *
+  * Exact top-k is `ORDER BY distance LIMIT k`, which Catalyst plans as
+  * `TakeOrderedAndProject` — a per-partition top-k + a k-row merge on the
+  * driver, NOT a full sort: the right plan at any corpus size. Ties broken by
+  * a caller-supplied id column so results are deterministic.
+  */
+object Search {
+
+  /** Exact brute-force top-k by cosine similarity against a literal query
+    * vector. `vecCol` is array<float>. Adds a `score` column (cosine, higher
+    * is better).
+    */
+  def topKCosine(corpus: DataFrame, queryVec: Array[Float], k: Int,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = lit(queryVec.map(_.toDouble))
+    corpus
+      .withColumn("score", cosineSimilarity(col(vecCol), q))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k by L2 distance (the reference sink's default metric). */
+  def topKL2(corpus: DataFrame, queryVec: Array[Float], k: Int,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = lit(queryVec.map(_.toDouble))
+    corpus
+      .withColumn("dist", l2Distance(col(vecCol), q))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Set-oriented batch retrieval: top-k per query row via a join + window
+    * rank — one distributed plan for the whole eval set (the reference loops
+    * queries on the driver, `evaluation.py:83-95`).
+    *
+    * `queries` must carry (`qidCol`, `qvecCol`); `corpus` carries
+    * (`idCol`, `vecCol`). For large corpora pair this with a blocking
+    * key (e.g. LSH bucket) instead of the cross join.
+    */
+  def topKPerQuery(queries: DataFrame, corpus: DataFrame, k: Int,
+                   qidCol: String = "qid", qvecCol: String = "qvec",
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = queries.crossJoin(corpus)
+    val scored0 = joined.withColumn("score", cosineSimilarity(col(vecCol), col(qvecCol)))
+    val scored = if (excludeSelf) scored0.filter(col(qidCol) =!= col(idCol)) else scored0
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hit@k + hit-rate aggregate (`evaluation.py:83-109`): a query is a hit if
+    * ANY of its top-k results matches the expected source. Returns a 1-row
+    * frame `(hit_rate double, total_questions bigint, hits bigint)`;
+    * empty input -> 0.0 (same guard as `evaluation.py:97-100`).
+    */
+  def hitRate(topk: DataFrame, qidCol: String, resultSourceCol: String,
+              expectedSourceCol: String): DataFrame = {
+    val perQuery = topk
+      .groupBy(col(qidCol))
+      .agg(max(when(col(resultSourceCol) === col(expectedSourceCol), 1).otherwise(0)).as("hit"))
+    perQuery.agg(
+      coalesce(round(sum("hit") * lit(100.0) / count(lit(1)), 6), lit(0.0)).as("hit_rate"),
+      count(lit(1)).as("total_questions"),
+      coalesce(sum("hit"), lit(0)).cast("long").as("hits"))
+  }
+}

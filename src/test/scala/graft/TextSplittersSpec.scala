@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextSplitters
+
+/** Goldens pinned to the reference's chunker tests
+  * (`tests/components/test_chunkers.py:19-47`) plus structural properties.
+  */
+class TextSplittersSpec extends AnyFunSuite {
+
+  test("recursive splitter golden boundaries (chunk_size=30, overlap=5)") {
+    val text = "This is a test sentence for our amazing chunker. It is a long sentence."
+    val chunks = TextSplitters.recursiveSplit(text, 30, 5)
+    assert(chunks.length > 1)
+    assert(chunks.head == "This is a test sentence for")
+    assert(chunks(1) == "for our amazing chunker. It")
+  }
+
+  test("recursive splitter: empty and whitespace input produce no chunks") {
+    assert(TextSplitters.recursiveSplit("", 30, 5).isEmpty)
+    assert(TextSplitters.recursiveSplit("   \n  ", 30, 5).isEmpty)
+    assert(TextSplitters.recursiveSplit(null, 30, 5).isEmpty)
+  }
+
+  test("recursive splitter: short text is a single chunk") {
+    assert(TextSplitters.recursiveSplit("short", 30, 5) == Seq("short"))
+  }
+
+  test("recursive splitter: paragraphs split before lines before words") {
+    val text = "para one\n\npara two\n\npara three"
+    val chunks = TextSplitters.recursiveSplit(text, 12, 0)
+    assert(chunks == Seq("para one", "para two", "para three"))
+  }
+
+  test("recursive splitter: every chunk fits chunk_size when fragments are small") {
+    val text = ("word " * 200).trim
+    val chunks = TextSplitters.recursiveSplit(text, 30, 5)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 30), chunks.filter(_.length > 30).toString)
+    // chunks cover the text in order
+    assert(chunks.forall(text.contains))
+  }
+
+  test("recursive splitter: oversize unbreakable token is emitted whole") {
+    val text = "a " + ("x" * 50) + " b"
+    val chunks = TextSplitters.recursiveSplit(text, 10, 2)
+    assert(chunks.contains("x" * 50) || chunks.exists(_.contains("x" * 10)))
+  }
+
+  test("markdown splitter golden (headers kept in content)") {
+    val text = "# Header 1\n\nThis is a paragraph.\n\n## Header 2\n\n- List item 1\n- List item 2"
+    val chunks = TextSplitters.markdownSplit(text)
+    assert(chunks.length > 1)
+    assert(chunks.head.content.startsWith("# Header 1"))
+    assert(chunks(1).content.startsWith("## Header 2"))
+    assert(chunks.head.headers == Map("Header 1" -> "Header 1"))
+    assert(chunks(1).headers == Map("Header 1" -> "Header 1", "Header 2" -> "Header 2"))
+  }
+
+  test("markdown splitter: deeper headers cleared when a shallower one opens") {
+    val text = "# A\nx\n## B\ny\n### C\nz\n# D\nw"
+    val chunks = TextSplitters.markdownSplit(text)
+    val last = chunks.last
+    assert(last.headers == Map("Header 1" -> "D"))
+  }
+
+  test("markdown splitter: headers inside code fences ignored") {
+    val text = "# A\n```\n# not a header\n```\nmore"
+    val chunks = TextSplitters.markdownSplit(text)
+    assert(chunks.length == 1)
+    assert(chunks.head.content.contains("# not a header"))
+  }
+
+  test("adaptive dispatch heuristic matches reference") {
+    val md = "intro\n# A\nx\n# B\ny\n# C\nz" // three "\n# " occurrences
+    val plain = "This is a test sentence for our amazing chunker. It is a long sentence."
+    assert(TextSplitters.isMarkdownish(md))
+    assert(!TextSplitters.isMarkdownish(plain))
+    // adaptive on plain == recursive on plain
+    val viaAdaptive = TextSplitters.adaptiveSplit(plain, 30, 5).map(_.content)
+    assert(viaAdaptive == TextSplitters.recursiveSplit(plain, 30, 5))
+  }
+
+  test("chunk reassembly property: concatenation preserves all non-space chars in order") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog. " * 10,
+      "line one\nline two\nline three\n" * 8,
+      "p1 word word\n\np2 word word\n\np3 word word " * 5)
+    for (t <- texts; size <- Seq(20, 50, 100); ov <- Seq(0, 5, 10)) {
+      val chunks = TextSplitters.recursiveSplit(t, size, ov)
+      // Every chunk must be a substring of the original (no invented text)
+      assert(chunks.forall(t.contains), s"size=$size ov=$ov")
+      // Coverage: last char of original text appears in the last chunk
+      assert(chunks.isEmpty || t.strip().endsWith(chunks.last.takeRight(1)))
+    }
+  }
+}
