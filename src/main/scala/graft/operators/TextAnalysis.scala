@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything here is composed from codegen'd built-in expressions (no UDFs)
+  * so the hot path stays inside whole-stage codegen AND the exact same
+  * arithmetic is expressible in the DuckDB oracle for the correctness gate.
+  * All operators are embarrassingly parallel per-row transforms: no shuffle,
+  * no state, safe at any scale.
+  */
+object TextAnalysis {
+
+  /** Space tokenizer shared by all operators (corpus text is space-joined;
+    * a literal-space split keeps Spark and the SQL oracle bit-identical).
+    */
+  def toks(c: Column): Column = filter(split(lower(c), " "), t => length(t) > 0)
+
+  // -------------------------------------------------------------------------
+  // Language identification (marker-word heuristic)
+  // -------------------------------------------------------------------------
+
+  /** Marker words per language. Deliberately tiny and deterministic: the
+    * point is the operator shape (per-row scoring + argmax), not linguistic
+    * accuracy. Alphabetical language order defines tie-breaking.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "that", "for", "a"),
+    "es" -> Seq("el", "los", "que", "y", "un", "es", "por", "con", "una", "para"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour", "qui", "sur"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有",
+      "和", "就", "不", "人"))
+
+  /** Hits of `markers` among the tokens of `c` (repeats counted). */
+  def markerHits(c: Column, markers: Seq[String]): Column =
+    size(filter(toks(c), t => t.isin(markers.map(lit): _*)))
+
+  /** Predicted language: argmax of marker hits, ties to the alphabetically
+    * first language, zero hits everywhere -> "unknown".
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(c, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight + overwrite-on-match means the FIRST (alphabetical) max wins:
+    // each earlier lang's `when` shadows later ones.
+    pick
+  }
+
+  /** Per-document language-ID frame: doc id, predicted language, per-lang
+    * hit counts.
+    */
+  def langIdFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__t"))
+    val withScores = LangMarkers.foldLeft(base) { case (d, (lang, ms)) =>
+      d.withColumn(s"hits_$lang", markerHits(col("__t"), ms))
+    }
+    withScores
+      .withColumn("predicted_lang", langId(col("__t")))
+      .drop("__t")
+  }
+
+  // -------------------------------------------------------------------------
+  // Quality scoring
+  // -------------------------------------------------------------------------
+
+  /** English stopwords used for the stopword-ratio quality signal. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Heuristic quality signals + a combined score in [0,1]:
+    *  - length signal: saturating n_chars / 500
+    *  - token-length signal: mean token length in a sane [3,12] band
+    *  - punctuation ratio penalty
+    *  - stopword ratio (natural text has some function words)
+    * The formula is arbitrary but fixed; the operator contract is
+    * "deterministic per-row quality in [0,1]".
+    */
+  def qualityFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val tk = toks(t)
+    val nChars = length(t).cast("double")
+    val nToks = size(tk).cast("double")
+    val tokChars = aggregate(transform(tk, x => length(x)), lit(0),
+      (acc, v) => acc + v).cast("double")
+    val meanTokLen = when(nToks > 0, tokChars / nToks).otherwise(lit(0.0))
+    val punct = size(split(t, "[^A-Za-z0-9\\s]", -1)).cast("double") - 1.0
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val stopHits = size(filter(tk, x => x.isin(QualityStopwords.map(lit): _*))).cast("double")
+    val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
+    val lengthSignal = least(nChars / 500.0, lit(1.0))
+    val tokLenSignal = when(meanTokLen >= 3.0 && meanTokLen <= 12.0, lit(1.0))
+      .otherwise(lit(0.0))
+    val score = round(
+      lengthSignal * 0.4 + tokLenSignal * 0.3 +
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.1, 6)
+    df.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      score.as("quality"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Token counting
+  // -------------------------------------------------------------------------
+
+  /** Whitespace tokens + a BPE-ish regex token estimate (words greedily cut
+    * into <=4-char pieces, digits runs, single punctuation marks — the
+    * classic "~4 chars per token" approximation as a deterministic regex).
+    */
+  def tokenCountFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(filter(split(t, " "), x => length(x) > 0)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Document fingerprinting (rolling hash)
+  // -------------------------------------------------------------------------
+
+  /** Polynomial rolling hash over the characters of `c`, mod 1e9+7 —
+    * left-fold `(acc * 31 + code(ch)) % p`, bit-identical to the oracle's
+    * list_reduce formulation. A content fingerprint that is cheap, order-
+    * sensitive, and stable across engines.
+    */
+  def rollingHash(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L), (acc, v) => (acc * 31 + v) % 1000000007L)
+  }
+
+  def fingerprintFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), rollingHash(col(textCol)).as("rolling_hash"))
+}
