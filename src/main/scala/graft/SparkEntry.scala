@@ -145,8 +145,13 @@ object SparkEntry {
     "watermark_filter" -> ((s, dir) => {
       // S4/T3: incremental watermark predicate (sources.py:266-272) — only
       // rows newer than the cursor; pushed into the scan by Catalyst.
+      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
+      // refuses to read as a timestamp; read it as raw long nanos instead
+      // (the oracle reads timestamp[ns] natively — same row set either way).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = t(s, dir, "events")
-      val wm = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("wm"))
+      val sevenDaysNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+      val wm = ev.agg((max(col("ts")) - lit(sevenDaysNs)).as("wm"))
       ev.crossJoin(broadcast(wm))
         .filter(col("ts") > col("wm"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -166,12 +171,16 @@ object SparkEntry {
     }),
 
     "sink_projection" -> ((s, dir) => {
-      // K1: fixed text+vector sink schema (dynamic_schemas.py:44-51)
+      // K1: fixed text+vector sink schema (dynamic_schemas.py:44-51). The
+      // compared output carries scalar digests of the vector (dim + L2 norm)
+      // instead of the raw array — the driver's pandas compare can't sort
+      // list columns; the full vector schema is pinned by SinkSpec instead.
       val d = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       d.join(e, d("doc_id") === e("vec_id"))
-        .select(col("text"), col("embedding").as("vector"),
-          col("source"), col("lang"), col("doc_id"))
+        .select(col("text"), col("source"), col("lang"), col("doc_id"),
+          size(col("embedding")).cast("long").as("vector_dim"),
+          round(VectorFunctions.l2Norm(col("embedding")), 6).as("vector_norm"))
     }),
 
     // -----------------------------------------------------------------------
@@ -298,10 +307,18 @@ object SparkEntry {
 
     "chunk_markdown" -> ((s, dir) => {
       // Corpus text has no headers; wrap it in a deterministic md skeleton.
+      // The headers map is projected to scalar header1..3 columns (the
+      // driver's pandas compare can't sort map columns) — which also makes
+      // the whole result oracle-expressible: every doc yields exactly the
+      // chunks (# Doc N + intro), (## Body + text), (### Notes + tail).
       val md = concat(lit("# Doc "), col("doc_id"), lit("\n\nintro\n\n## Body\n\n"),
         col("text"), lit("\n\n### Notes\n\ntail"))
       Chunkers.markdown(t(s, dir, "documents").withColumn("text", md), "text")
-        .select(col("doc_id"), col("chunk_index"), col("chunk"), col("headers"))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk"),
+          element_at(col("headers"), "Header 1").as("header1"),
+          element_at(col("headers"), "Header 2").as("header2"),
+          element_at(col("headers"), "Header 3").as("header3"))
     }),
 
     "chunk_adaptive" -> ((s, dir) => {
@@ -309,24 +326,41 @@ object SparkEntry {
       val mixed = t(s, dir, "documents")
         .withColumn("text", when(col("doc_id") % 5 === 0, md).otherwise(col("text")))
       Chunkers.adaptive(mixed, "text", chunkSize = 150, chunkOverlap = 30)
-        .select(col("doc_id"), col("chunk_index"), col("chunk"), col("headers"))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk"),
+          element_at(col("headers"), "Header 1").as("header1"),
+          element_at(col("headers"), "Header 2").as("header2"),
+          element_at(col("headers"), "Header 3").as("header3"))
     }),
 
     "embed_hashing" -> ((s, dir) =>
+      // Compared output is a scalar digest (dim + nonzero-ness — both
+      // oracle-expressible); the vector VALUES are pinned by EmbedSpec
+      // goldens (the hashing projection itself is not ANSI-SQL).
       Embed.hashing(t(s, dir, "documents"), "text", dim = 64)
-        .select(col("doc_id"), col("embedding"))),
+        .select(col("doc_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          (VectorFunctions.normSq(col("embedding")) > 0).as("has_embedding"))),
 
     // -----------------------------------------------------------------------
     // Multimodal extensions (decode is a documented stub; plumbing is real)
     // -----------------------------------------------------------------------
     "multimodal_features" -> ((s, dir) =>
+      // Compared output: scalar digests of the feature vector (dim +
+      // nonzero-ness); vector values pinned by MultimodalSpec.
       Multimodal.extractFeatures(
-        Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"), dim = 16)),
+          Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"), dim = 16)
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          size(col("features")).cast("long").as("feat_dim"),
+          (VectorFunctions.normSq(col("features")) > 0).as("feat_nonzero"))),
 
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"),
-        nFrames = 4, dim = 8))
+          Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"),
+          nFrames = 4, dim = 8)
+        .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+          size(col("frame_features")).cast("long").as("frame_dim"),
+          (VectorFunctions.normSq(col("frame_features")) > 0).as("frame_nonzero")))
   )
 
   // ---------------------------------------------------------------------------
@@ -425,7 +459,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "sink_projection" ->
-      """SELECT d.text AS text, e.embedding AS vector, d.source, d.lang, d.doc_id
+      """SELECT d.text AS text, d.source, d.lang, d.doc_id,
+        | CAST(len(e.embedding) AS BIGINT) AS vector_dim,
+        | round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS vector_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
 
     "topk_search" ->
@@ -537,6 +573,51 @@ object SparkEntry {
         | list_reduce(list_prepend(CAST(0 AS BIGINT),
         |   list_transform(range(1, len(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Scalar-digest oracles for the vector-valued operators: dims and
+    // nonzero-ness are exactly SQL-expressible; the vector values themselves
+    // are pinned by ScalaTest goldens (EmbedSpec/MultimodalSpec/SinkSpec).
+    "embed_hashing" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+        | regexp_matches(text, '[\p{L}\p{N}]') AS has_embedding
+        |FROM documents""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(16 AS BIGINT) AS feat_dim,
+        | strlen(text) > 0 AS feat_nonzero
+        |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS media_id, strlen(text) AS nb
+        | FROM documents WHERE strlen(text) > 0),
+        |f AS (SELECT media_id, nb, unnest(range(4)) AS frame_index FROM d)
+        |SELECT media_id, CAST(frame_index AS BIGINT) AS frame_index,
+        | CAST(8 AS BIGINT) AS frame_dim,
+        | least(frame_index * greatest(1, nb // 4), nb)
+        |   < least((frame_index + 1) * greatest(1, nb // 4), nb) AS frame_nonzero
+        |FROM f""".stripMargin,
+
+    "chunk_markdown" ->
+      """WITH n AS (
+        | SELECT doc_id, trim(text) AS body FROM documents)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS chunk_index,
+        | '# Doc ' || doc_id || chr(10) || 'intro' AS chunk,
+        | 'Doc ' || doc_id AS header1, CAST(NULL AS VARCHAR) AS header2,
+        | CAST(NULL AS VARCHAR) AS header3
+        |FROM n
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS BIGINT) AS chunk_index,
+        | '## Body' || CASE WHEN len(body) = 0 THEN '' ELSE chr(10) || body END AS chunk,
+        | 'Doc ' || doc_id AS header1, 'Body' AS header2, CAST(NULL AS VARCHAR) AS header3
+        |FROM n
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS BIGINT) AS chunk_index,
+        | '### Notes' || chr(10) || 'tail' AS chunk,
+        | 'Doc ' || doc_id AS header1, 'Body' AS header2, 'Notes' AS header3
+        |FROM n""".stripMargin
   )
 }

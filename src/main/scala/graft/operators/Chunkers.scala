@@ -34,40 +34,55 @@ object Chunkers {
     udf((text: String, size: Int, overlap: Int) =>
       TextSplitters.adaptiveSplit(text, size, overlap).map(c => (c.content, c.headers)))
 
+  /** Output columns every chunker adds; inputs must not already carry them. */
+  private val reservedOut = Seq("chunk", "chunk_index", "headers")
+
+  private def requireNoCollision(df: DataFrame, produced: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(produced.toSet)
+    require(clash.isEmpty,
+      s"chunker output column(s) ${clash.mkString(", ")} already exist in the input; rename them first")
+  }
+
   /** Recursive-character chunking. Input: a DataFrame with `textCol`.
     * Output: one row per chunk with `chunk` (text) and `chunk_index`
     * (1-based); all other columns carried through.
     */
-  def recursive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame =
+  def recursive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame = {
+    requireNoCollision(df, Seq("chunk", "chunk_index"))
     df.select(
         col("*"),
         posexplode(recursiveUdf(col(textCol), lit(chunkSize), lit(chunkOverlap)))
-          .as(Seq("pos", "chunk")))
-      .withColumn("chunk_index", col("pos") + 1)
-      .drop("pos")
+          .as(Seq("__graft_pos", "chunk")))
+      .withColumn("chunk_index", col("__graft_pos") + 1)
+      .drop("__graft_pos")
+  }
 
   /** Markdown-header chunking. Adds `chunk`, `chunk_index`, and a `headers`
     * map column ("Header 1" -> ...).
     */
-  def markdown(df: DataFrame, textCol: String): DataFrame =
+  def markdown(df: DataFrame, textCol: String): DataFrame = {
+    requireNoCollision(df, reservedOut)
     df.select(
         col("*"),
-        posexplode(markdownUdf(col(textCol))).as(Seq("pos", "c")))
-      .withColumn("chunk", col("c._1"))
-      .withColumn("headers", col("c._2"))
-      .withColumn("chunk_index", col("pos") + 1)
-      .drop("pos", "c")
+        posexplode(markdownUdf(col(textCol))).as(Seq("__graft_pos", "__graft_c")))
+      .withColumn("chunk", col("__graft_c._1"))
+      .withColumn("headers", col("__graft_c._2"))
+      .withColumn("chunk_index", col("__graft_pos") + 1)
+      .drop("__graft_pos", "__graft_c")
+  }
 
   /** Adaptive chunking: per-row dispatch between markdown and recursive based
     * on the reference heuristic; single pass, no branching plans.
     */
-  def adaptive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame =
+  def adaptive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame = {
+    requireNoCollision(df, reservedOut)
     df.select(
         col("*"),
         posexplode(adaptiveUdf(col(textCol), lit(chunkSize), lit(chunkOverlap)))
-          .as(Seq("pos", "c")))
-      .withColumn("chunk", col("c._1"))
-      .withColumn("headers", col("c._2"))
-      .withColumn("chunk_index", col("pos") + 1)
-      .drop("pos", "c")
+          .as(Seq("__graft_pos", "__graft_c")))
+      .withColumn("chunk", col("__graft_c._1"))
+      .withColumn("headers", col("__graft_c._2"))
+      .withColumn("chunk_index", col("__graft_pos") + 1)
+      .drop("__graft_pos", "__graft_c")
+  }
 }
