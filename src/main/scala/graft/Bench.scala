@@ -8,10 +8,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Small-input/heavy-compute queries: don't let AQE coalesce shuffle
+      // partitions below cluster parallelism (tiny bytes != tiny work).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (codegen, shuffle machinery, parquet reader) so
+    // the first timed query doesn't absorb ~3s of JVM/Spark startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Isolate queries from each other: drop leftover cached tables /
+      // broadcasts and collect garbage outside the timed window.
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

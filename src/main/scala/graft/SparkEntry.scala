@@ -26,10 +26,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Cosine in double with the exact shape mirrored in the oracle SQL. */
+  /** Cosine in double with the exact arithmetic mirrored in the oracle SQL
+    * (dot/(sqrt*sqrt), left-to-right accumulation) — the single-pass UDF is
+    * bit-identical to the HOF expression form but far cheaper per pair.
+    */
   private def cos(a: Column, b: Column): Column =
-    VectorFunctions.dotProduct(a, b) /
-      (sqrt(VectorFunctions.dotProduct(a, a)) * sqrt(VectorFunctions.dotProduct(b, b)))
+    VectorFunctions.cosineSimilarityFast(a, b)
 
   private val dec = "decimal(18,2)"
 

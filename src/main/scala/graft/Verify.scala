@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Small-input/heavy-compute queries: don't let AQE coalesce shuffle
+      // partitions below cluster parallelism (tiny bytes != tiny work).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -48,6 +48,30 @@ object VectorFunctions {
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
+  /** Single-pass cosine similarity as a UDF — bit-identical to
+    * [[cosineSimilarity]] (double accumulation, left-to-right, same
+    * dot/(sqrt*sqrt) shape, null on zero norms) but one primitive array walk
+    * instead of three higher-order-function array traversals. Use in hot
+    * pairwise joins (near-dup verification), where the HOF expression's
+    * per-row array allocations dominate; keep the expression form where a
+    * DuckDB oracle must see the same SQL shape.
+    */
+  val cosineSimilarityFast = udf((a: Seq[Float], b: Seq[Float]) => {
+    if (a == null || b == null) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    }
+  })
+
   /** Squared Euclidean distance. */
   def l2DistanceSq(a: Column, b: Column): Column =
     aggregate(

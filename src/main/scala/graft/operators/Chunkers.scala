@@ -49,7 +49,7 @@ object Chunkers {
     */
   def recursive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame = {
     requireNoCollision(df, Seq("chunk", "chunk_index"))
-    df.select(
+    Partitioning.ensureParallelism(df).select(
         col("*"),
         posexplode(recursiveUdf(col(textCol), lit(chunkSize), lit(chunkOverlap)))
           .as(Seq("__graft_pos", "chunk")))
@@ -62,7 +62,7 @@ object Chunkers {
     */
   def markdown(df: DataFrame, textCol: String): DataFrame = {
     requireNoCollision(df, reservedOut)
-    df.select(
+    Partitioning.ensureParallelism(df).select(
         col("*"),
         posexplode(markdownUdf(col(textCol))).as(Seq("__graft_pos", "__graft_c")))
       .withColumn("chunk", col("__graft_c._1"))
@@ -76,7 +76,7 @@ object Chunkers {
     */
   def adaptive(df: DataFrame, textCol: String, chunkSize: Int = 100, chunkOverlap: Int = 20): DataFrame = {
     requireNoCollision(df, reservedOut)
-    df.select(
+    Partitioning.ensureParallelism(df).select(
         col("*"),
         posexplode(adaptiveUdf(col(textCol), lit(chunkSize), lit(chunkOverlap)))
           .as(Seq("__graft_pos", "__graft_c")))

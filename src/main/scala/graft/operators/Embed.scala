@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashingEmbedder
+import graft.operators.Partitioning
 
 /** Embedding operator: DataFrame -> DataFrame + `embedding: array<float>`
   * column, row-aligned by construction (the reference zips a separate batch
@@ -26,7 +27,8 @@ object Embed {
   /** Attach an `embedding` column computed from `textCol`. */
   def hashing(df: DataFrame, textCol: String, dim: Int = HashingEmbedder.DefaultDim,
               seed: Int = HashingEmbedder.DefaultSeed, outCol: String = "embedding"): DataFrame =
-    df.withColumn(outCol, hashingUdf(col(textCol), lit(dim), lit(seed)))
+    Partitioning.ensureParallelism(df)
+      .withColumn(outCol, hashingUdf(col(textCol), lit(dim), lit(seed)))
 
   /** Embed a single query string on the driver (the reference's
     * `embedder.embed([query])[0]`, `core/evaluation.py:53`).

@@ -92,7 +92,8 @@ object Multimodal {
       StructField("n_bytes", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    media.select("media_id", "mime", "n_bytes", "payload")
+    Partitioning.ensureParallelism(
+        media.select("media_id", "mime", "n_bytes", "payload"))
       .mapPartitions { rows =>
         // One decoder "session" per partition; rows stream through in order.
         rows.map { r =>
@@ -119,7 +120,7 @@ object Multimodal {
         }
       }
     })
-    media
+    Partitioning.ensureParallelism(media)
       .withColumn("frames", frameUdf(col("payload")))
       .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_index", "frame_features")))
   }

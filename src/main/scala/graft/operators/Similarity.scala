@@ -56,10 +56,13 @@ object Similarity {
     * prune at scan time.
     */
   def ivfIndex(corpus: DataFrame, vecCol: String = "embedding",
-               nCells: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+               nCells: Int = 16, seed: Long = 42L,
+               maxIter: Int = 5): (DataFrame, Array[Array[Double]]) = {
     val withMl = corpus.withColumn("__ml_vec", toMl(col(vecCol)))
+    // Few iterations suffice: IVF only needs a reasonable partition of the
+    // space, not converged centroids — each extra iteration is a full pass.
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__ml_vec")
-      .setPredictionCol("cell").setMaxIter(20)
+      .setPredictionCol("cell").setMaxIter(maxIter)
     val model = km.fit(withMl)
     val indexed = model.transform(withMl).drop("__ml_vec")
     (indexed, model.clusterCenters.map(_.toArray))

@@ -132,17 +132,29 @@ object TextAnalysis {
   // Document fingerprinting (rolling hash)
   // -------------------------------------------------------------------------
 
-  /** Polynomial rolling hash over the characters of `c`, mod 1e9+7 —
-    * left-fold `(acc * 31 + code(ch)) % p`, bit-identical to the oracle's
-    * list_reduce formulation. A content fingerprint that is cheap, order-
-    * sensitive, and stable across engines.
+  private val rollingHashUdf = udf((s: String) => {
+    if (s == null) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      java.lang.Long.valueOf(acc)
+    }
+  })
+
+  /** Polynomial rolling hash over the code points of `c`, mod 1e9+7 —
+    * left-fold `(acc * 31 + code(ch)) % p`, value-identical to the oracle's
+    * list_reduce/ascii formulation. Single-pass UDF: the equivalent
+    * transform(sequence, substr(i,1)) expression is O(n^2) per document
+    * (substr re-scans the string for every index).
     */
-  def rollingHash(c: Column): Column = {
-    val codes = transform(sequence(lit(1), length(c)),
-      i => ascii(c.substr(i, lit(1))).cast("long"))
-    aggregate(codes, lit(0L), (acc, v) => (acc * 31 + v) % 1000000007L)
-  }
+  def rollingHash(c: Column): Column = rollingHashUdf(c)
 
   def fingerprintFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), rollingHash(col(textCol)).as("rolling_hash"))
+    Partitioning.ensureParallelism(df)
+      .select(col(idCol), rollingHash(col(textCol)).as("rolling_hash"))
 }
