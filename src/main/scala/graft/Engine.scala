@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.PipelineConfig
+import graft.operators.Search
+
+/** The read path (SURVEY §2.6/§2.7; reference `yamlpipe/core/evaluation.py`
+  * and `app.py:29-61`): vector top-k search and retrieval evaluation over a
+  * sink table. The (embedder config, sink config) pair is the session
+  * handle, exactly as in the reference UI.
+  */
+object Engine {
+
+  /** Q3 — Searcher: embed the query on the driver, exact top-k over the
+    * corpus (TakeOrderedAndProject — per-partition top-k + k-row merge,
+    * no full sort at any corpus size). Returns (source, text, score).
+    */
+  final case class Searcher(config: PipelineConfig) {
+    private val embedder = Factory.embedder(config.embedder)
+    private val sink = Factory.sink(config.sink)
+
+    def search(spark: SparkSession, query: String, k: Int = 3): DataFrame = {
+      val qv = embedder.embedQuery(query)
+      Search.topKCosine(sink.read(spark), qv, k, vecCol = "vector", idCol = "id")
+        .select(col("source"), col("text"), col("score"))
+    }
+  }
+
+  /** A1–A3 — Evaluator: hit@k per question -> hit-rate aggregate, as ONE
+    * set-oriented plan (the reference loops questions on the driver,
+    * `evaluation.py:83-95`). Dataset: JSONL of
+    * `{question, expected_source}` (`eval_dataset.jsonl` shape).
+    */
+  final case class Evaluator(config: PipelineConfig) {
+    private val embedder = Factory.embedder(config.embedder)
+    private val sink = Factory.sink(config.sink)
+
+    /** Returns a 1-row frame (hit_rate, total_questions, hits). */
+    def evaluate(spark: SparkSession, datasetPath: String, k: Int = 5): DataFrame = {
+      val questions = spark.read.json(datasetPath)
+        .select(col("question"), col("expected_source"))
+        .withColumn("qid", monotonically_increasing_id())
+      val embedded = embedder.embed(questions, "question")
+        .select(col("qid"), col("expected_source"), col("embedding").as("qvec"))
+      val corpus = sink.read(spark)
+        .select(col("id"), col("source"), col("vector").as("embedding"))
+      val topk = Search.topKPerQuery(embedded, corpus, k,
+        qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding")
+      Search.hitRate(topk, "qid", "source", "expected_source")
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.config.{ComponentConfig, GraftConfigException}
+import graft.functions.HashingEmbedder
+import graft.operators.{Chunkers, Embed}
+import graft.sinks.{CollectionSink, GraftSink, VectorTableSink}
+import graft.sources.{GraftSource, JdbcSource, LocalFileSource, ObjectStoreSource, WebSource}
+import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
+
+/** Component registries + factory (SURVEY §2.8; reference
+  * `yamlpipe/core/factory.py:29-90`). Type strings match the reference's
+  * registries exactly (`local_files/web/s3/postgres`,
+  * `recursive_character/markdown/adaptive`, `sentence_transformer/openai`,
+  * `lancedb/chromadb`, `json/redis`), with engine-native additions
+  * (`object_store`, `table`, `memory`). Unknown or missing types raise the
+  * reference's error shape (`factory.py:56-90`).
+  */
+object Factory {
+
+  // ---------------------------------------------------------------------
+  // Component contracts
+  // ---------------------------------------------------------------------
+
+  /** Chunker: document frame -> chunk frame (adds chunk, chunk_index). */
+  trait GraftChunker {
+    def chunk(df: DataFrame, textCol: String = "content"): DataFrame
+  }
+
+  /** Embedder: frame -> frame + embedding column; plus driver-side query
+    * embedding (reference `embedder.embed([query])[0]`,
+    * `core/evaluation.py:53`).
+    */
+  trait GraftEmbedder {
+    def dim: Int
+    def embed(df: DataFrame, textCol: String): DataFrame
+    def embedQuery(query: String): Array[Float]
+  }
+
+  // ---------------------------------------------------------------------
+  // Implementations
+  // ---------------------------------------------------------------------
+
+  private final case class RecursiveChunker(size: Int, overlap: Int) extends GraftChunker {
+    def chunk(df: DataFrame, textCol: String): DataFrame =
+      Chunkers.recursive(df, textCol, size, overlap)
+  }
+  private final case object MarkdownChunker extends GraftChunker {
+    def chunk(df: DataFrame, textCol: String): DataFrame = Chunkers.markdown(df, textCol)
+  }
+  private final case class AdaptiveChunker(size: Int, overlap: Int) extends GraftChunker {
+    def chunk(df: DataFrame, textCol: String): DataFrame =
+      Chunkers.adaptive(df, textCol, size, overlap)
+  }
+
+  /** Deterministic offline embedder (the engine's default binding for both
+    * reference embedder types — no local model or network exists here; the
+    * contract and config surface are preserved, see
+    * [[graft.functions.HashingEmbedder]]).
+    */
+  private final case class HashingEmbedderComponent(dim: Int, seed: Int) extends GraftEmbedder {
+    def embed(df: DataFrame, textCol: String): DataFrame =
+      Embed.hashing(df, textCol, dim, seed)
+    def embedQuery(query: String): Array[Float] = HashingEmbedder.embed(query, dim, seed)
+  }
+
+  // ---------------------------------------------------------------------
+  // Registries (F1)
+  // ---------------------------------------------------------------------
+
+  val sources: Map[String, ComponentConfig => GraftSource] = Map(
+    "local_files" -> (c => LocalFileSource(c.require("directory"), c.strOr("glob", "*"))),
+    "web" -> (c => WebSource(c.require("url"))),
+    // "s3" keeps the reference type string; the engine reads any Hadoop
+    // filesystem uri (s3a://bucket/prefix, file:///..., hdfs://...).
+    "s3" -> (c => ObjectStoreSource(
+      c.str("uri").getOrElse(s"s3a://${c.require("bucket")}/${c.strOr("prefix", "")}"),
+      c.strOr("glob", "*"))),
+    "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
+    "postgres" -> (c => JdbcSource(
+      c.str("jdbc_url").getOrElse(
+        s"jdbc:postgresql://${c.strOr("host", "localhost")}:${c.strOr("port", "5432")}/${c.require("dbname")}"),
+      c.require("query"),
+      c.str("timestamp_column"),
+      None,
+      Seq("user", "password").flatMap(k => c.str(k).map(k -> _)).toMap)),
+    "jdbc" -> (c => JdbcSource(
+      c.require("jdbc_url"), c.require("query"), c.str("timestamp_column"), None,
+      Seq("user", "password", "driver").flatMap(k => c.str(k).map(k -> _)).toMap)))
+
+  val chunkers: Map[String, ComponentConfig => GraftChunker] = Map(
+    "recursive_character" -> (c =>
+      RecursiveChunker(c.int("chunk_size", 100), c.int("chunk_overlap", 20))),
+    "markdown" -> (_ => MarkdownChunker),
+    "adaptive" -> (c =>
+      AdaptiveChunker(c.int("chunk_size", 100), c.int("chunk_overlap", 20))))
+
+  val embedders: Map[String, ComponentConfig => GraftEmbedder] = Map(
+    // Reference default model all-MiniLM-L6-v2 is 384-dim
+    // (`embedders.py:32`); dim is configurable.
+    "sentence_transformer" -> (c =>
+      HashingEmbedderComponent(c.int("dim", 384), c.int("seed", HashingEmbedder.DefaultSeed))),
+    // The reference requires an api key (arg or env) and errors without one
+    // (`embedders.py:71-73`) — config error path preserved.
+    "openai" -> { c =>
+      val key = c.str("api_key").orElse(sys.env.get("OPENAI_API_KEY"))
+      if (key.isEmpty)
+        throw new GraftConfigException("OpenAI API key not set (api_key or OPENAI_API_KEY)")
+      HashingEmbedderComponent(c.int("dim", 1536), c.int("seed", HashingEmbedder.DefaultSeed))
+    },
+    "hashing" -> (c =>
+      HashingEmbedderComponent(c.int("dim", HashingEmbedder.DefaultDim),
+        c.int("seed", HashingEmbedder.DefaultSeed))))
+
+  val sinks: Map[String, ComponentConfig => GraftSink] = Map(
+    "lancedb" -> (c => VectorTableSink(c.require("uri"))),
+    "chromadb" -> (c => CollectionSink(
+      c.str("path").getOrElse(c.require("uri")))),
+    "table" -> (c => VectorTableSink(c.require("uri"))))
+
+  val stateManagers: Map[String, ComponentConfig => StateManager] = Map(
+    "json" -> (c => JsonStateManager(c.strOr("path", ".graft_state.json"))),
+    "table" -> (c => TableStateManager(c.require("path"))),
+    "memory" -> (_ => new MemoryStateManager),
+    "redis" -> (c => RedisStateManager(
+      c.strOr("host", "localhost"), c.int("port", 6379),
+      c.strOr("key", "graft:pipeline_state"))))
+
+  // ---------------------------------------------------------------------
+  // build_component (F2)
+  // ---------------------------------------------------------------------
+
+  private def build[T](registry: Map[String, ComponentConfig => T],
+                       kind: String, cfg: ComponentConfig): T =
+    registry.get(cfg.componentType) match {
+      case Some(ctor) => ctor(cfg)
+      case None => throw new GraftConfigException(
+        s"unknown $kind type: '${cfg.componentType}' (available: ${registry.keys.toSeq.sorted.mkString(", ")})")
+    }
+
+  def source(cfg: ComponentConfig): GraftSource = build(sources, "source", cfg)
+  def chunker(cfg: ComponentConfig): GraftChunker = build(chunkers, "chunker", cfg)
+  def embedder(cfg: ComponentConfig): GraftEmbedder = build(embedders, "embedder", cfg)
+  def sink(cfg: ComponentConfig): GraftSink = build(sinks, "sink", cfg)
+  def stateManager(cfg: ComponentConfig): StateManager = build(stateManagers, "state_manager", cfg)
+
+  /** Registry listing for the CLI (`cli.py:125-138`). */
+  def listComponents: Map[String, Seq[String]] = Map(
+    "sources" -> sources.keys.toSeq.sorted,
+    "chunkers" -> chunkers.keys.toSeq.sorted,
+    "embedders" -> embedders.keys.toSeq.sorted,
+    "sinks" -> sinks.keys.toSeq.sorted,
+    "state_managers" -> stateManagers.keys.toSeq.sorted)
+}

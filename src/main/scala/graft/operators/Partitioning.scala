@@ -19,6 +19,9 @@ object Partitioning {
     * current plan yields fewer partitions; never coalesces.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
+    // Streaming frames can't be inspected via .rdd (and micro-batch
+    // parallelism is governed by the source anyway) — pass through.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

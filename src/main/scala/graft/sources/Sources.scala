@@ -1,0 +1,222 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document sources (SURVEY §2.1, reference `yamlpipe/components/sources.py`).
+  *
+  * Every source produces the canonical document frame:
+  * {{{
+  *   content     string            -- extracted text
+  *   source      string            -- path / url / uri / dsn (consulted by
+  *                                    name everywhere downstream: sinks
+  *                                    delete-by-source, eval expected_source)
+  *   fingerprint string (nullable) -- change-detection hash (sha256 of
+  *                                    content; null = not change-tracked)
+  *   metadata    map<string,string>-- open-ended promoted metadata
+  * }}}
+  *
+  * Scale stance: file/object sources read through Spark's distributed
+  * binaryFile/text readers (one task per file split — never a driver loop);
+  * the web source is inherently a driver-side fetch of ONE url (the
+  * reference's semantics, `sources.py:118-159`); the JDBC source reads
+  * through Spark's JDBC partitioned reader with the incremental watermark
+  * composed into the pushed-down query.
+  */
+trait GraftSource {
+  /** Load all (or, with `sinceState`, changed) documents. */
+  def load(spark: SparkSession): DataFrame
+
+  /** Cheap health probe; throws on failure (reference `test_connection`,
+    * `sources.py:109-115,152-159,224-234,302-308`).
+    */
+  def testConnection(spark: SparkSession): Unit
+}
+
+object GraftSource {
+  /** Empty metadata column of the canonical type. */
+  private[sources] def emptyMeta =
+    map().cast("map<string,string>")
+
+  /** Canonicalize: content/source/fingerprint/metadata, empty docs dropped
+    * (reference skips whitespace-only documents, `sources.py:94-96`).
+    */
+  private[sources] def canonical(df: DataFrame): DataFrame =
+    df.filter(TextFunctions.nonBlank(col("content")))
+      .select(col("content"), col("source"), col("fingerprint"), col("metadata"))
+}
+
+/** S1 — local directory scan (`sources.py:52-115`): glob files, extract
+  * text per extension, one document per file, `source` = absolute path,
+  * fingerprint = sha256 of the content. Unlike the reference (driver-side
+  * `unstructured.partition` per file), extraction runs inside the
+  * distributed binaryFile scan.
+  *
+  * Extension dispatch (the reference delegates to `unstructured`, which
+  * is format-sniffing; we support the text formats natively and treat
+  * unknown binaries as opaque — multimodal columns handle those):
+  * html/htm -> tag-strip + line-normalize; everything else -> UTF-8 decode.
+  */
+final case class LocalFileSource(directory: String, glob: String = "*") extends GraftSource {
+
+  override def load(spark: SparkSession): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(directory)
+    val text = decode(col("content"), "UTF-8")
+    val isHtml = lower(col("path")).endsWith(".html") || lower(col("path")).endsWith(".htm")
+    val extracted = when(isHtml,
+      TextFunctions.normalizeLines(TextFunctions.stripHtml(text))).otherwise(text)
+    GraftSource.canonical(raw.select(
+      extracted.as("content"),
+      col("path").as("source"),
+      sha2(text, 256).as("fingerprint"),
+      GraftSource.emptyMeta.as("metadata")))
+  }
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(directory)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory)
+      throw new IllegalStateException(s"directory does not exist: $directory")
+  }
+}
+
+/** S2 — single-URL web source (`sources.py:118-159`): driver-side HTTP GET
+  * with a desktop UA and 10s timeout, HTML tag strip, per-line normalize.
+  * Stateless — no change detection (`sources.py:149-150`), so fingerprint
+  * is null.
+  */
+final case class WebSource(url: String,
+                           timeoutSeconds: Int = 10,
+                           headTimeoutSeconds: Int = 5) extends GraftSource {
+
+  private val UserAgent =
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Safari/537.36"
+
+  private def request(method: String, timeoutS: Int): java.net.http.HttpResponse[String] = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutS))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(timeoutS))
+      .header("User-Agent", UserAgent)
+      .method(method, java.net.http.HttpRequest.BodyPublishers.noBody())
+      .build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
+  override def load(spark: SparkSession): DataFrame = {
+    val resp = request("GET", timeoutSeconds)
+    if (resp.statusCode() >= 400)
+      throw new IllegalStateException(s"GET $url -> HTTP ${resp.statusCode()}")
+    import spark.implicits._
+    val raw = Seq((resp.body(), url)).toDF("html", "source")
+    GraftSource.canonical(raw.select(
+      TextFunctions.normalizeLines(TextFunctions.stripHtml(col("html"))).as("content"),
+      col("source"),
+      lit(null).cast("string").as("fingerprint"),
+      GraftSource.emptyMeta.as("metadata")))
+  }
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val resp = request("HEAD", headTimeoutSeconds)
+    if (resp.statusCode() >= 400)
+      throw new IllegalStateException(s"HEAD $url -> HTTP ${resp.statusCode()}")
+  }
+}
+
+/** S3 — object-store scan (`sources.py:162-234`): list objects under a
+  * prefix, read changed ones, `source` = the full object uri. Expressed
+  * over the Hadoop FileSystem API, so the same code serves s3a://, file://,
+  * hdfs://, abfs:// — the scheme picks the connector. The reference's ETag
+  * change detection becomes a fingerprint of (length, modification time) —
+  * the same cheap no-read-needed semantics an ETag gives — exposed in
+  * `metadata("etag")` too.
+  */
+final case class ObjectStoreSource(uriPrefix: String, glob: String = "*") extends GraftSource {
+
+  override def load(spark: SparkSession): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(uriPrefix)
+    GraftSource.canonical(raw.select(
+      decode(col("content"), "UTF-8").as("content"),
+      col("path").as("source"),
+      // ETag-equivalent: identity of (size, mtime) — no content read needed
+      // to test for change, mirroring `sources.py:184-188`.
+      sha2(concat_ws(":", col("length"), col("modificationTime").cast("long")), 256)
+        .as("fingerprint"),
+      map(lit("etag"),
+        concat_ws(":", col("length"), col("modificationTime").cast("long")))
+        .cast("map<string,string>").as("metadata")))
+  }
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(uriPrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(s"object-store prefix does not exist: $uriPrefix")
+  }
+}
+
+/** S4 — JDBC query source (`sources.py:237-308`). Contract preserved:
+  *  - a configured SQL query is executed server-side;
+  *  - incremental watermark: when `watermark` is set and `timestampColumn`
+  *    configured, `<tsCol> > <watermark>` is composed INTO the pushed-down
+  *    query (the reference string-concats it, `sources.py:266-272`; we
+  *    compose a parenthesized subquery — same predicate, injection-safe);
+  *  - FIRST column of the result = content, remaining columns promoted to
+  *    metadata (`sources.py:284-288`);
+  *  - `source` is overwritten with a dsn-style identifier
+  *    (`sources.py:289-291`).
+  */
+final case class JdbcSource(jdbcUrl: String,
+                            query: String,
+                            timestampColumn: Option[String] = None,
+                            watermark: Option[java.sql.Timestamp] = None,
+                            properties: Map[String, String] = Map.empty) extends GraftSource {
+
+  private def dsn: String = {
+    // jdbc:derby:memory:db;... -> keep scheme+path, drop credentials
+    jdbcUrl.split(';').head
+  }
+
+  private[graft] def effectiveQuery: String = (timestampColumn, watermark) match {
+    case (Some(tsCol), Some(wm)) =>
+      s"SELECT * FROM ($query) graft_q WHERE $tsCol > '${wm.toString}'"
+    case _ => query
+  }
+
+  override def load(spark: SparkSession): DataFrame = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val df = spark.read.jdbc(jdbcUrl, s"(${effectiveQuery}) graft_src", props)
+    val cols = df.columns
+    require(cols.nonEmpty, "JDBC query returned no columns")
+    val contentCol = cols.head
+    val metaCols = cols.tail
+    // Lowercase metadata keys: JDBC engines disagree on identifier case
+    // (Derby uppercases, Postgres lowercases); the reference sees Postgres'
+    // lowercase names.
+    val metaEntries = metaCols.flatMap(c =>
+      Seq(lit(c.toLowerCase(java.util.Locale.ROOT)), col(c).cast("string")))
+    val meta = if (metaEntries.isEmpty) GraftSource.emptyMeta
+               else map(metaEntries.toIndexedSeq: _*).cast("map<string,string>")
+    GraftSource.canonical(df.select(
+      col(contentCol).cast("string").as("content"),
+      lit(dsn).as("source"),
+      sha2(col(contentCol).cast("string"), 256).as("fingerprint"),
+      meta.as("metadata")))
+  }
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl,
+      properties.getOrElse("user", ""), properties.getOrElse("password", ""))
+    try { val st = conn.createStatement(); try st.execute("SELECT 1 FROM (VALUES (1)) t(x)") finally st.close() }
+    finally conn.close()
+  }
+}

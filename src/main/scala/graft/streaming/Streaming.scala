@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.Factory.{GraftChunker, GraftEmbedder}
+import graft.operators.Sink
+
+/** Structured Streaming surface. The reference is batch/incremental-batch
+  * (its "watermark" is an ingest cursor, not event time) — its incremental
+  * model maps naturally onto `Trigger.AvailableNow`: each invocation
+  * processes exactly the files that arrived since the last checkpoint, then
+  * stops. That subsumes the reference's sha256-diff change detection for
+  * append-only sources, with exactly-once bookkeeping from the checkpoint
+  * instead of a hand-rolled state file.
+  *
+  * Also provides the event-time operators a streaming deployment of the
+  * engine needs: watermarked windowed aggregation and
+  * mapGroupsWithState-based streaming dedup.
+  *
+  * Local-mode note: Spark 4.1's checkpoint file-checksum manager
+  * (`spark.sql.streaming.checkpoint.fileChecksum.enabled`) runs checksum IO
+  * on a background pool that can starve against a small local[N] task pool
+  * (all task slots parked in ChecksumCheckpointFileManager.awaitResult);
+  * disable it for local runs.
+  */
+object Streaming {
+
+  /** Incremental chunk+embed ingest: new files under `inputDir` flow
+    * through the chunker/embedder into an append-only parquet sink.
+    * `Trigger.AvailableNow` = one incremental batch per call (the
+    * reference's `run` semantics); pass `continuous = true` for an
+    * always-on stream.
+    */
+  def ingest(spark: SparkSession, inputDir: String, sinkDir: String,
+             checkpointDir: String, chunker: GraftChunker, embedder: GraftEmbedder,
+             continuous: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(inputDir)
+      .select(col("value").as("content"),
+        input_file_name().as("source"),
+        sha2(col("value"), 256).as("fingerprint"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(trim(col("content"))) > 0)
+    val chunked = chunker.chunk(raw, "content")
+    val embedded = embedder.embed(chunked, "chunk")
+    val projected = Sink.project(embedded, textCol = "chunk", vecCol = "embedding")
+      .drop("content")
+    val writer = projected.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (continuous) writer else writer.trigger(Trigger.AvailableNow())).start()
+  }
+
+  /** Watermarked sliding/tumbling-window aggregation over an event stream
+    * (`events` table shape: ts, event_type, value). Late events beyond
+    * `watermarkDelay` are dropped; state is bounded.
+    */
+  def windowedEventCounts(events: DataFrame,
+                          tsCol: String = "ts",
+                          keyCol: String = "event_type",
+                          windowDuration: String = "1 hour",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Streaming first-seen dedup via mapGroupsWithState: one state entry per
+    * fingerprint; each (fingerprint, first source) is emitted once, repeats
+    * emit nothing. State grows with distinct fingerprints — a production
+    * deployment bounds it with ProcessingTimeTimeout-based TTL (which makes
+    * the query re-trigger continuously to fire timeouts; avoid in
+    * one-shot/AvailableNow runs).
+    */
+  def streamingDedup(docs: Dataset[(String, String)]): Dataset[(String, String)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1)
+      .mapGroupsWithState[Boolean, Option[(String, String)]](
+        GroupStateTimeout.NoTimeout()) {
+        case (fp, rows, state: GroupState[Boolean]) =>
+          if (state.exists) None // already seen -> duplicate
+          else {
+            state.update(true)
+            rows.toSeq.headOption.map { case (_, source) => (fp, source) }
+          }
+      }
+      .filter(_.isDefined)
+      .map(_.get)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.Configs
+
+/** End-to-end write path + read path (SURVEY §3.1/§3.2): YAML config ->
+  * pipeline run -> sink table -> search + eval, plus rerun idempotence
+  * (change detection makes the second run a no-op).
+  */
+class PipelineEngineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def setup() = {
+    val root = tempDir("graft-e2e")
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.writeString(data.resolve("spark.txt"),
+      "Apache Spark is a distributed analytics engine for large scale data processing. " +
+        "Spark uses resilient distributed datasets and a catalyst optimizer.")
+    Files.writeString(data.resolve("cooking.txt"),
+      "A good tomato sauce needs garlic, olive oil, basil and patience. " +
+        "Simmer the tomatoes slowly and season the sauce with salt.")
+    val yaml =
+      s"""source:
+         |  type: local_files
+         |  config:
+         |    directory: ${data.toString}
+         |    glob: "*.txt"
+         |chunker:
+         |  type: recursive_character
+         |  config:
+         |    chunk_size: 80
+         |    chunk_overlap: 10
+         |embedder:
+         |  type: hashing
+         |  config:
+         |    dim: 64
+         |sink:
+         |  type: lancedb
+         |  config:
+         |    uri: ${root.resolve("sink").toString}
+         |state_manager:
+         |  type: json
+         |  config:
+         |    path: ${root.resolve("state.json").toString}
+         |""".stripMargin
+    val cfgPath = root.resolve("pipeline.yaml")
+    Files.writeString(cfgPath, yaml)
+    (root, data, Configs.load(cfgPath.toString))
+  }
+
+  test("run -> sink populated -> rerun skips unchanged -> search finds the right doc") {
+    val (root, data, cfg) = setup()
+
+    val r1 = Pipeline.run(spark, cfg)
+    assert(r1.documentsLoaded == 2 && r1.documentsChanged == 2)
+    assert(r1.chunksWritten > 2 && r1.sourcesProcessed == 2)
+
+    val sink = Factory.sink(cfg.sink)
+    val table = sink.read(spark)
+    assert(table.columns.contains("text") && table.columns.contains("vector")
+      && table.columns.contains("source") && table.columns.contains("id"))
+    assert(table.count() == r1.chunksWritten)
+
+    // Rerun with nothing changed: change detection skips everything.
+    val r2 = Pipeline.run(spark, cfg)
+    assert(r2.documentsLoaded == 2 && r2.documentsChanged == 0 && r2.chunksWritten == 0)
+    assert(sink.read(spark).count() == r1.chunksWritten)
+
+    // Modify one file -> only that source re-ingested.
+    Files.writeString(data.resolve("cooking.txt"),
+      "Fresh pasta with tomato sauce, garlic and basil. Salt to taste.")
+    val r3 = Pipeline.run(spark, cfg)
+    assert(r3.documentsChanged == 1 && r3.sourcesProcessed == 1)
+    val sources = sink.read(spark).select("source").distinct().collect().map(_.getString(0))
+    assert(sources.length == 2)
+
+    // Search: token-overlap embedding puts the spark doc on top for a
+    // sparky query, the cooking doc for a cooking query.
+    val s = Engine.Searcher(cfg)
+    val sparkHit = s.search(spark, "distributed analytics engine spark", 1).collect()(0)
+    assert(sparkHit.getAs[String]("source").endsWith("spark.txt"))
+    val cookHit = s.search(spark, "tomato sauce garlic basil", 1).collect()(0)
+    assert(cookHit.getAs[String]("source").endsWith("cooking.txt"))
+  }
+
+  test("evaluator computes hit-rate over a JSONL dataset (evaluation.py:66-109)") {
+    val (root, data, cfg) = setup()
+    Pipeline.run(spark, cfg)
+    val ds = root.resolve("eval.jsonl")
+    val sparkSrc = "file:" + data.resolve("spark.txt").toString
+    val cookSrc = "file:" + data.resolve("cooking.txt").toString
+    Files.writeString(ds,
+      s"""{"question": "distributed analytics engine spark", "expected_source": "$sparkSrc"}
+         |{"question": "tomato sauce garlic basil", "expected_source": "$cookSrc"}
+         |{"question": "quantum chromodynamics lattice", "expected_source": "file:/nowhere.txt"}
+         |""".stripMargin)
+    val row = Engine.Evaluator(cfg).evaluate(spark, ds.toString, k = 3).collect()(0)
+    assert(row.getAs[Long]("total_questions") == 3)
+    assert(row.getAs[Long]("hits") == 2)
+    assert(math.abs(row.getAs[Double]("hit_rate") - 200.0 / 3).abs < 0.01)
+  }
+
+  test("adaptive chunker + markdown docs flow through the pipeline") {
+    val root = tempDir("graft-md")
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.writeString(data.resolve("doc.md"),
+      "intro text\n# Section One\ncontent one\n# Section Two\ncontent two\n# Three\nmore")
+    val yaml =
+      s"""source:
+         |  type: local_files
+         |  config: {directory: ${data.toString}}
+         |chunker:
+         |  type: adaptive
+         |  config: {chunk_size: 100, chunk_overlap: 10}
+         |embedder:
+         |  type: hashing
+         |  config: {dim: 32}
+         |sink:
+         |  type: chromadb
+         |  config: {uri: ${root.resolve("sink").toString}}
+         |state_manager:
+         |  type: memory
+         |""".stripMargin
+    val cfg = Configs.parse(yaml)
+    val r = Pipeline.run(spark, cfg)
+    assert(r.chunksWritten >= 3) // markdown path: one chunk per section
+    val texts = Factory.sink(cfg.sink).read(spark)
+      .select("text").collect().map(_.getString(0))
+    assert(texts.exists(_.contains("# Section One")))
+  }
+}

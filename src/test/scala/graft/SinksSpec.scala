@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{CollectionSink, VectorTableSink}
+
+/** Sink semantics K1–K3 (reference `yamlpipe/components/sinks.py`):
+  * delete-by-source upsert, uuid ids, schema validation + migration.
+  */
+class SinksSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def frame(rows: Seq[(String, Seq[Float], String)]) =
+    rows.toDF("text", "vector", "source")
+
+  test("upsert replaces only the incoming sources (sinks.py:66-93)") {
+    val dir = tempDir("graft-sink").resolve("t1").toString
+    val sink = VectorTableSink(dir)
+    sink.write(frame(Seq(
+      ("a1", Seq(1f, 0f), "src_a"), ("b1", Seq(0f, 1f), "src_b"))))
+    // re-ingest src_a with new content; src_b untouched
+    sink.write(frame(Seq(("a2", Seq(0.5f, 0.5f), "src_a"))))
+    val out = sink.read(spark).select("text", "source").as[(String, String)].collect().toSet
+    assert(out == Set(("a2", "src_a"), ("b1", "src_b")))
+  }
+
+  test("upsert is idempotent on re-ingest of identical batch") {
+    val dir = tempDir("graft-sink").resolve("t2").toString
+    val sink = VectorTableSink(dir)
+    val batch = frame(Seq(("x", Seq(1f, 2f), "s1"), ("y", Seq(3f, 4f), "s2")))
+    sink.write(batch); sink.write(batch)
+    assert(sink.read(spark).count() == 2)
+  }
+
+  test("collection sink adds uuid ids (sinks.py:143)") {
+    val dir = tempDir("graft-sink").resolve("t3").toString
+    val sink = CollectionSink(dir)
+    sink.write(frame(Seq(("x", Seq(1f), "s1"), ("y", Seq(2f), "s1"))))
+    val ids = sink.read(spark).select("id").as[String].collect()
+    assert(ids.length == 2 && ids.distinct.length == 2)
+    assert(ids.forall(_.matches("[0-9a-f-]{36}")))
+  }
+
+  test("schema validation: text+vector required, exotic types rejected") {
+    val dir = tempDir("graft-sink").resolve("t4").toString
+    val sink = VectorTableSink(dir)
+    assertThrows[IllegalArgumentException](
+      sink.write(Seq(("a", "b")).toDF("text", "not_vector")))
+    val bad = frame(Seq(("a", Seq(1f), "s")))
+      .withColumn("weird", struct(lit(1).as("x"))) // nested struct unsupported
+    assertThrows[IllegalArgumentException](sink.write(bad))
+  }
+
+  test("schema mismatch migrates the table, preserving old rows (sinks.py:40-48)") {
+    val dir = tempDir("graft-sink").resolve("t5").toString
+    val sink = VectorTableSink(dir)
+    sink.write(frame(Seq(("old", Seq(1f, 1f), "src_old"))))
+    // new batch has an extra metadata column -> migration path
+    val wider = Seq(("new", Seq(2f, 2f), "src_new", "en"))
+      .toDF("text", "vector", "source", "lang")
+    sink.write(wider)
+    val out = sink.read(spark)
+    assert(out.columns.toSet == Set("text", "vector", "source", "lang"))
+    val rows = out.select("text", "lang").as[(String, String)].collect().toMap
+    assert(rows == Map("old" -> null, "new" -> "en"))
+  }
+}

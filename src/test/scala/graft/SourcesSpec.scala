@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{JdbcSource, LocalFileSource, ObjectStoreSource, WebSource}
+
+/** Sources S1–S5 against real local infrastructure: temp directories,
+  * file:// object-store uris, an in-memory Derby database, and a JDK
+  * HttpServer (reference behaviors from `yamlpipe/components/sources.py`).
+  */
+class SourcesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("S1 local_files: one doc per file, empty files skipped, html stripped") {
+    val dir = tempDir("graft-local")
+    Files.writeString(dir.resolve("a.txt"), "hello world")
+    Files.writeString(dir.resolve("b.html"), "<html><p>first</p>\n<p>second</p></html>")
+    Files.writeString(dir.resolve("empty.txt"), "   ")
+    val out = LocalFileSource(dir.toString).load(spark).collect()
+    assert(out.length == 2)
+    val byName = out.map(r => (r.getAs[String]("source"), r.getAs[String]("content"))).toMap
+    assert(byName.keys.exists(_.endsWith("a.txt")))
+    assert(byName.find(_._1.endsWith("a.txt")).get._2 == "hello world")
+    assert(byName.find(_._1.endsWith("b.html")).get._2 == "first\nsecond")
+    assert(out.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("S1 glob filter restricts files") {
+    val dir = tempDir("graft-glob")
+    Files.writeString(dir.resolve("a.txt"), "keep")
+    Files.writeString(dir.resolve("b.md"), "skip")
+    val out = LocalFileSource(dir.toString, glob = "*.txt").load(spark).collect()
+    assert(out.length == 1 && out(0).getAs[String]("content") == "keep")
+  }
+
+  test("S1 test_connection raises on a missing directory") {
+    assertThrows[IllegalStateException](
+      LocalFileSource("/nonexistent-graft-dir").testConnection(spark))
+    val dir = tempDir("graft-ok")
+    LocalFileSource(dir.toString).testConnection(spark) // no throw
+  }
+
+  test("S3 object_store: uri source + etag-style fingerprint without content read") {
+    val dir = tempDir("graft-obj")
+    Files.writeString(dir.resolve("k1.txt"), "object one")
+    val uri = "file://" + dir.toString
+    val out = ObjectStoreSource(uri).load(spark).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("source").startsWith("file:"))
+    assert(out(0).getAs[Map[String, String]]("metadata").contains("etag"))
+    // same (size, mtime) -> same fingerprint; changed content -> changed size -> new fp
+    val fp1 = out(0).getAs[String]("fingerprint")
+    Files.writeString(dir.resolve("k1.txt"), "object one CHANGED")
+    val fp2 = ObjectStoreSource(uri).load(spark).collect()(0).getAs[String]("fingerprint")
+    assert(fp1 != fp2)
+  }
+
+  test("S4 jdbc: first column = content, rest promoted to metadata, source = dsn") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE articles (body VARCHAR(200), author VARCHAR(50), ts TIMESTAMP)")
+    st.execute("INSERT INTO articles VALUES ('first article', 'ann', TIMESTAMP('2024-01-01 00:00:00'))")
+    st.execute("INSERT INTO articles VALUES ('second article', 'bob', TIMESTAMP('2024-06-01 00:00:00'))")
+    st.close(); conn.close()
+
+    val src = JdbcSource(url, "SELECT body, author, ts FROM articles")
+    val out = src.load(spark).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("content")).toSet == Set("first article", "second article"))
+    val meta = out.find(_.getAs[String]("content") == "first article").get
+      .getAs[Map[String, String]]("metadata")
+    assert(meta("author") == "ann")
+    assert(out.forall(_.getAs[String]("source") == "jdbc:derby:memory:graftdb"))
+  }
+
+  test("S4 jdbc watermark: predicate composed into the pushed-down query") {
+    val url = "jdbc:derby:memory:graftdb"
+    val wm = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val src = JdbcSource(url, "SELECT body, author, ts FROM articles",
+      timestampColumn = Some("ts"), watermark = Some(wm))
+    assert(src.effectiveQuery.contains("ts > '2024-03-01"))
+    val out = src.load(spark).collect()
+    assert(out.length == 1 && out(0).getAs[String]("content") == "second article")
+  }
+
+  test("S2 web: fetch + tag strip + line normalize; stateless fingerprint") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val html = "<html><body>\n <h1>Title</h1>\n\n <script>junk()</script>\n <p>body &amp; soul</p>\n</body></html>"
+    server.createContext("/page", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = html.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, if (ex.getRequestMethod == "HEAD") -1 else bytes.length)
+      if (ex.getRequestMethod != "HEAD") ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/page"
+      val src = WebSource(url)
+      src.testConnection(spark) // HEAD probe
+      val out = src.load(spark).collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("content") == "Title\nbody & soul")
+      assert(out(0).getAs[String]("source") == url)
+      assert(out(0).getAs[String]("fingerprint") == null)
+    } finally server.stop(0)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StateStore
+import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, TableStateManager}
+
+/** State backends T1–T5 (reference `yamlpipe/utils/state_manager.py`). */
+class StateManagersSpec extends AnyFunSuite with SparkTestBase {
+
+  private def sampleState() = {
+    import spark.implicits._
+    val items = Seq(("doc1", "fp1"), ("doc2", "fp2"))
+      .map { case (i, f) => (i, f, null.asInstanceOf[java.sql.Timestamp]) }
+    val wm = Seq((StateStore.WatermarkKey, null.asInstanceOf[String],
+      java.sql.Timestamp.valueOf("2024-05-01 12:00:00")))
+    (items ++ wm).toDF("item_id", "fingerprint", "updated_at")
+  }
+
+  private def itemMap(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.collect().filter(_.getString(0) != StateStore.WatermarkKey)
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("json backend roundtrips items + watermark; corrupt file -> fresh state") {
+    val dir = tempDir("graft-state")
+    val path = dir.resolve("state.json").toString
+    val mgr = JsonStateManager(path)
+    assert(mgr.load(spark).count() == 0) // missing -> empty
+    mgr.save(sampleState())
+    val loaded = mgr.load(spark)
+    assert(itemMap(loaded) == Map("doc1" -> "fp1", "doc2" -> "fp2"))
+    assert(StateStore.lastRunTimestamp(loaded).get ==
+      java.sql.Timestamp.valueOf("2024-05-01 12:00:00"))
+    Files.writeString(java.nio.file.Paths.get(path), "{not json!!")
+    assert(mgr.load(spark).count() == 0) // corrupt -> fresh (state_manager.py:59-61)
+  }
+
+  test("table backend roundtrips distributed state") {
+    val dir = tempDir("graft-tstate")
+    val mgr = TableStateManager(dir.resolve("state_table").toString)
+    assert(mgr.load(spark).count() == 0)
+    mgr.save(sampleState())
+    assert(itemMap(mgr.load(spark)) == Map("doc1" -> "fp1", "doc2" -> "fp2"))
+  }
+
+  test("memory backend roundtrips") {
+    val mgr = new MemoryStateManager
+    assert(mgr.load(spark).count() == 0)
+    mgr.save(sampleState())
+    assert(itemMap(mgr.load(spark)) == Map("doc1" -> "fp1", "doc2" -> "fp2"))
+  }
+
+  test("redis backend speaks RESP2 against a live socket") {
+    // Minimal single-key fake redis: enough of RESP2 for PING/GET/SET.
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val server = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val worker = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+        val out = sock.getOutputStream
+        def line(): String = {
+          val sb = new StringBuilder
+          var c = in.read()
+          while (c != '\r' && c != -1) { sb.append(c.toChar); c = in.read() }
+          in.read(); sb.toString
+        }
+        try {
+          val nArgs = line().drop(1).toInt
+          val args = (1 to nArgs).map { _ =>
+            val len = line().drop(1).toInt
+            val buf = new Array[Byte](len)
+            in.readFully(buf); in.read(); in.read()
+            new String(buf, "UTF-8")
+          }
+          args.head.toUpperCase match {
+            case "PING" => out.write("+PONG\r\n".getBytes)
+            case "SET" => store.put(args(1), args(2)); out.write("+OK\r\n".getBytes)
+            case "GET" =>
+              Option(store.get(args(1))) match {
+                case Some(v) =>
+                  val b = v.getBytes("UTF-8")
+                  out.write(s"$$${b.length}\r\n".getBytes); out.write(b); out.write("\r\n".getBytes)
+                case None => out.write("$-1\r\n".getBytes)
+              }
+            case _ => out.write("-ERR unknown\r\n".getBytes)
+          }
+          out.flush()
+        } finally sock.close()
+      } catch { case _: Exception => () }
+    })
+    worker.setDaemon(true); worker.start()
+    try {
+      val mgr = RedisStateManager("127.0.0.1", server.getLocalPort)
+      mgr.ping()
+      assert(mgr.load(spark).count() == 0) // nil key -> empty
+      mgr.save(sampleState())
+      assert(itemMap(mgr.load(spark)) == Map("doc1" -> "fp1", "doc2" -> "fp2"))
+    } finally server.close()
+  }
+
+  test("changed/upsert semantics: anti-join change detection + latest-fp-wins") {
+    import spark.implicits._
+    val state = Seq(("a", "fp_a", null.asInstanceOf[java.sql.Timestamp]),
+      ("b", "fp_b_old", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("item_id", "fingerprint", "updated_at")
+    val incoming = Seq(("a", "fp_a"), ("b", "fp_b_new"), ("c", "fp_c"),
+      ("d", null.asInstanceOf[String]))
+      .toDF("item_id", "fingerprint")
+    val changed = StateStore.changed(incoming, state).collect().map(_.getString(0)).sorted
+    // a unchanged; b changed; c new; d null-fingerprint treated unchanged
+    // (state_manager.py:167-170)
+    assert(changed.toSeq == Seq("b", "c"))
+    val upserted = StateStore.upsert(state,
+      Seq(("b", "fp_b_new"), ("c", "fp_c")).toDF("item_id", "fingerprint"))
+    val m = upserted.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "fp_a", "b" -> "fp_b_new", "c" -> "fp_c"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ComponentConfig
+import graft.streaming.Streaming
+
+/** Structured Streaming surface: incremental ingest via AvailableNow,
+  * watermarked windowed aggregation, stateful streaming dedup.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("ingest processes only new files per AvailableNow run (incremental semantics)") {
+    val root = tempDir("graft-stream")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val sinkDir = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    Files.writeString(in.resolve("one.txt"), "the first streaming document about spark engines")
+
+    val chunker = Factory.chunker(ComponentConfig("recursive_character",
+      Map("chunk_size" -> 60, "chunk_overlap" -> 5)))
+    val embedder = Factory.embedder(ComponentConfig("hashing", Map("dim" -> 16)))
+
+    val q1 = Streaming.ingest(spark, in.toString, sinkDir, ckpt, chunker, embedder)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(sinkDir).count()
+    assert(n1 >= 1)
+
+    // Second run with no new files: nothing appended.
+    val q2 = Streaming.ingest(spark, in.toString, sinkDir, ckpt, chunker, embedder)
+    q2.awaitTermination()
+    assert(spark.read.parquet(sinkDir).count() == n1)
+
+    // New file arrives: only it is processed.
+    Files.writeString(in.resolve("two.txt"), "a second document arrives later in the stream")
+    val q3 = Streaming.ingest(spark, in.toString, sinkDir, ckpt, chunker, embedder)
+    q3.awaitTermination()
+    val out = spark.read.parquet(sinkDir)
+    assert(out.count() > n1)
+    assert(out.select("source").distinct().count() == 2)
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventCounts(events,
+      windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      stream.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      // Advance the watermark past the first windows so they close and emit.
+      stream.addData((ts(40), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each fingerprint once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val deduped = Streaming.streamingDedup(stream.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(("fp1", "a.txt"), ("fp2", "b.txt"), ("fp1", "a_copy.txt"))
+      q.processAllAvailable()
+      val batch1 = spark.table("dedup_out").as[(String, String)].collect().toSet
+      assert(batch1.map(_._1) == Set("fp1", "fp2"))
+
+      // Same fingerprint again in a later batch: suppressed by query state.
+      stream.addData(("fp1", "again.txt"), ("fp3", "c.txt"))
+      q.processAllAvailable()
+      val all = spark.table("dedup_out").as[(String, String)].collect()
+      assert(all.count(_._1 == "fp1") == 1) // still only the first emission
+      assert(all.map(_._1).toSet == Set("fp1", "fp2", "fp3"))
+    } finally q.stop()
+  }
+}
