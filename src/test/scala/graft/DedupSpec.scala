@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup kernels: exact groups, shingles/Jaccard, banded MinHash recall on
+  * planted near-duplicates, SimHash hamming clustering.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today extra"), // near-dup of 1
+    (3L, "completely different content about distributed analytics engines and catalyst"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "tomato sauce needs garlic olive oil basil and a lot of patience while cooking")
+  ).toDF("id", "txt")
+
+  test("exact dedup groups by content hash with min-id winner") {
+    val groups = Dedup.exactGroups(corpus, "txt", "id").collect()
+    assert(groups.length == 4) // 1&4 collapse
+    val dupGroup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactDedup(corpus, "txt", "id").count() == 4)
+  }
+
+  test("shingles: distinct n-grams in first-occurrence order; short text -> empty") {
+    val sh = corpus.select(col("id"), Dedup.shingles(col("txt"), 3).as("sh"))
+      .filter(col("id") === 1).collect()(0).getSeq[String](1)
+    assert(sh.head == "the quick brown")
+    assert(sh.contains("quick brown fox"))
+    assert(sh.distinct.length == sh.length)
+    val short = Seq((9L, "two words")).toDF("id", "txt")
+      .select(Dedup.shingles(col("txt"), 3)).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard expression and fast UDF agree") {
+    val pairs = corpus.select(col("id"), Dedup.shingles(col("txt"), 3).as("sh"))
+      .crossJoin(corpus.select(col("id").as("id2"), Dedup.shingles(col("txt"), 3).as("sh2")))
+      .filter(col("id") < col("id2"))
+    val both = pairs.select(
+      Dedup.jaccard(col("sh"), col("sh2")).as("expr"),
+      Dedup.jaccardFastUdf(col("sh"), col("sh2")).as("udf")).collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("banded minhash finds the planted near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(corpus, "txt", "id", maxJaccardDistance = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup found
+    assert(pairs.contains((1L, 4L))) // exact dup trivially found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash distance is the exact verified Jaccard distance") {
+    val r = Dedup.minhashLshPairs(corpus, "txt", "id", maxJaccardDistance = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 4).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("jaccard_dist") == 0.0) // identical shingle sets
+  }
+
+  test("simhash: identical text -> identical hash; near text -> small hamming") {
+    val h = Dedup.simhash(corpus, "txt").select("id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    val near = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(5L))
+    assert(near < far)
+    val pairs = Dedup.simhashPairs(corpus, "txt", "id", maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine pair kernel matches a naive computation per block") {
+    val vecs = Seq(
+      (0, 1L, Seq(1f, 0f, 0f)), (0, 2L, Seq(1f, 0.1f, 0f)), (0, 3L, Seq(0f, 0f, 1f)),
+      (1, 4L, Seq(0f, 1f, 0f)), (1, 5L, Seq(0f, 1f, 0.2f))
+    ).toDF("label", "vec_id", "embedding")
+    val out = Dedup.cosinePairs(vecs, "embedding", "vec_id", "label", minCosine = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("cosine"))).toMap
+    assert(out.keySet == Set((1L, 2L), (4L, 5L))) // cross-block + low-cos pairs excluded
+    assert(math.abs(out((1L, 2L)) - 1.0 / math.sqrt(1.01)) < 1e-9)
+    assert(math.abs(out((4L, 5L)) - 1.0 / math.sqrt(1.04)) < 1e-9)
+  }
+
+  test("cosine pair kernel skips null and zero-norm vectors") {
+    val vecs = Seq(
+      (0, 1L, Seq(1f, 0f)), (0, 2L, Seq(0f, 0f)), (0, 3L, null.asInstanceOf[Seq[Float]]),
+      (0, 4L, Seq(1f, 0f))
+    ).toDF("label", "vec_id", "embedding")
+    val out = Dedup.cosinePairs(vecs, "embedding", "vec_id", "label", minCosine = -2.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((1L, 4L)))
+  }
+}

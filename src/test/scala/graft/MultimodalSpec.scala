@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: binary ingest, feature extraction (stub decode —
+  * the Spark-side schema/partitioning/batching is the real subject), frame
+  * sampling.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("binaryFile ingest: one record per file with payload + metadata") {
+    val dir = tempDir("graft-media")
+    Files.write(dir.resolve("img1.bin"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(dir.resolve("img2.bin"), Array[Byte](9, 8, 7))
+    val media = Multimodal.readBinaryDir(spark, dir.toString)
+    val rows = media.collect()
+    assert(rows.length == 2)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "payload", "mime", "width", "height", "n_bytes"))
+    assert(rows.map(_.getAs[Long]("n_bytes")).sorted.toSeq == Seq(3L, 5L))
+  }
+
+  test("feature extraction: fixed dim, unit norm, deterministic, row-aligned") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((1L, "hello"), (2L, ""), (3L, "hello")).toDF("id", "txt"), "txt", "id")
+    val feats = Multimodal.extractFeatures(media, dim = 8).orderBy("media_id").collect()
+    assert(feats.length == 3)
+    val f1 = feats(0).getSeq[Float](3)
+    val f2 = feats(1).getSeq[Float](3)
+    val f3 = feats(2).getSeq[Float](3)
+    assert(f1.length == 8 && f1 == f3)
+    assert(f2.forall(_ == 0f)) // empty payload -> zero features
+    val norm = math.sqrt(f1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("frame sampling: nFrames windows per non-empty payload, 0-based index") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((1L, "a longer payload for frames"), (2L, "")).toDF("id", "txt"), "txt", "id")
+    val frames = Multimodal.sampleFrames(media, nFrames = 4, dim = 8)
+    val rows = frames.collect()
+    assert(rows.length == 4) // empty payload contributes no frames
+    assert(rows.map(_.getAs[Int]("frame_index")).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(rows.forall(_.getSeq[Float](2).length == 8))
+  }
+}
