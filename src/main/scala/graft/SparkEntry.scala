@@ -27,11 +27,12 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Cosine in double with the exact arithmetic mirrored in the oracle SQL
-    * (dot/(sqrt*sqrt), left-to-right accumulation) — the single-pass UDF is
-    * bit-identical to the HOF expression form but far cheaper per pair.
+    * (dot/(sqrt*sqrt), left-to-right accumulation) — the native codegen'd
+    * Catalyst expression, bit-identical to the UDF/HOF forms but with no
+    * per-row boxing and no codegen fence.
     */
   private def cos(a: Column, b: Column): Column =
-    VectorFunctions.cosineSimilarityFast(a, b)
+    graft.plans.CosineSimilarityExpr.cosine(a, b)
 
   private val dec = "decimal(18,2)"
 

@@ -22,9 +22,9 @@ object Search {
     */
   def topKCosine(corpus: DataFrame, queryVec: Array[Float], k: Int,
                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val q = lit(queryVec.map(_.toDouble))
+    val q = lit(queryVec)
     corpus
-      .withColumn("score", cosineSimilarity(col(vecCol), q))
+      .withColumn("score", graft.plans.CosineSimilarityExpr.cosine(col(vecCol), q))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -53,7 +53,8 @@ object Search {
                    excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = queries.crossJoin(corpus)
-    val scored0 = joined.withColumn("score", cosineSimilarity(col(vecCol), col(qvecCol)))
+    val scored0 = joined.withColumn("score",
+      graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)))
     val scored = if (excludeSelf) scored0.filter(col(qidCol) =!= col(idCol)) else scored0
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
     scored

@@ -83,10 +83,10 @@ object Similarity {
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
-    val qLit = lit(q)
+    val qLit = lit(queryVec)
     indexed
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .withColumn("score", cosineSimilarity(col(vecCol), qLit))
+      .withColumn("score", graft.plans.CosineSimilarityExpr.cosine(col(vecCol), qLit))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
