@@ -164,6 +164,35 @@ object SparkEntry {
       // K3: delete-scope computation (sinks.py:66-72)
       Sink.distinctSources(t(s, dir, "documents"))),
 
+    "skew_join" -> ((s, dir) => {
+      // Salted equi-join (hot-key mitigation): result identical to the
+      // plain join, so the oracle is the unsalted SQL join.
+      val l = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      Skew.saltedEquiJoin(l, sup, "suppkey", numSalts = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"))
+    }),
+
+    "windowed_events" -> ((s, dir) => {
+      // Batch parity of the streaming windowed aggregation
+      // (graft.streaming.Streaming.windowedEventCounts): 1-hour tumbling
+      // windows over long-nanos event time. Decimal-exact value sums keep
+      // the result order-independent and engine-identical.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      t(s, dir, "events")
+        .groupBy((col("ts") - pmod(col("ts"), lit(hourNs))).as("window_start_ns"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    }),
+
     "web_normalize" -> ((s, dir) => {
       // S2: strip_html + per-line normalize (sources.py:134-137) over a
       // deterministic HTML wrapping of the corpus text.
@@ -216,6 +245,25 @@ object SparkEntry {
         .withColumn("score", round(cos(col("embedding"), col("qv")), 6))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
       val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      Search.hitRate(topk, "qid", "source", "expected_source")
+    }),
+
+    "eval_hitrate_blocked" -> ((s, dir) => {
+      // Scale path of eval_hitrate: LSH-banded candidate generation instead
+      // of the |Q| x |N| cross join; approximate (no oracle) — recall is
+      // pinned by SimilaritySpec, the aggregate shape by eval_hitrate.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("source").as("expected_source"))
+      val topk = Similarity.blockedTopKPerQuery(queries, corpus, 5,
+          qidCol = "qid", qvecCol = "qv")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(corpus.select(col("vec_id"), col("source")), "vec_id")
+        .join(queries.select(col("qid"), col("expected_source")), "qid")
       Search.hitRate(topk, "qid", "source", "expected_source")
     }),
 
@@ -447,6 +495,20 @@ object SparkEntry {
 
     "distinct_sources" ->
       "SELECT DISTINCT source FROM documents",
+
+    "skew_join" ->
+      """SELECT s.s_name,
+        | COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name""".stripMargin,
+
+    "windowed_events" ->
+      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS window_start_ns,
+        | event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "web_normalize" ->
       """SELECT doc_id,

@@ -68,6 +68,74 @@ object Similarity {
     (indexed, model.clusterCenters.map(_.toArray))
   }
 
+  // -------------------------------------------------------------------------
+  // Hyperplane-LSH blocked batch retrieval (scale path for eval/search)
+  // -------------------------------------------------------------------------
+
+  /** Deterministic Rademacher (±1) hyperplane signature: bit p of the
+    * result is the sign of the dot product with pseudo-random hyperplane p
+    * (components derived from fmix64(seed, plane, dim) — no RNG state, so
+    * signatures are reproducible across executors and runs).
+    */
+  private[operators] val hyperplaneSigUdf = udf((vec: Seq[Float], numPlanes: Int, seed: Int) => {
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < vec.length) {
+        var h = (seed.toLong << 32) ^ (p.toLong * 0x9E3779B97F4A7C15L) ^
+          (j.toLong * 0xC2B2AE3D27D4EB4FL)
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        dot += (if ((h & 1L) == 0L) 1.0 else -1.0) * vec(j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  })
+
+  /** Batch top-k per query WITHOUT the cross join: queries and corpus are
+    * blocked by hyperplane-LSH signature bands (cosine-similar vectors
+    * agree on hyperplane signs, so they share bands); candidates sharing
+    * any band are exactly re-ranked. The shuffle key is (band index, band
+    * value) — work scales with collisions, not |Q| x |N|. Approximate:
+    * recall is tuned by numPlanes / bandBits (more bands -> higher recall).
+    *
+    * Array columns never ride through the band explode: candidate (qid, id)
+    * pairs are distinct-ed first and vectors joined back, the same shape as
+    * the minhash verification join.
+    */
+  def blockedTopKPerQuery(queries: DataFrame, corpus: DataFrame, k: Int,
+                          qidCol: String = "qid", qvecCol: String = "qvec",
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          numPlanes: Int = 16, bandBits: Int = 2,
+                          seed: Int = 42): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    val nBands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, vc: String): DataFrame = {
+      val sig = hyperplaneSigUdf(col(vc), lit(numPlanes), lit(seed))
+      val bandVals = array((0 until nBands).map(b =>
+        shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
+      df.select(col(id), sig.as("__sig"))
+        .select(col(id), posexplode(bandVals).as(Seq("__band", "__bits")))
+    }
+    val qb = banded(queries, qidCol, qvecCol)
+    val cb = banded(corpus, idCol, vecCol)
+    val candidates = qb.join(cb, Seq("__band", "__bits"))
+      .select(col(qidCol), col(idCol)).distinct()
+    val scored = candidates
+      .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .withColumn("score",
+        graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Query an IVF-indexed corpus: rank cells by centroid distance, scan only
     * the `nProbe` nearest cells, exact top-k within them. The cell filter is
     * a partition-prunable predicate.

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bucketing, Search, Similarity, Skew}
+
+/** Scale-path operators: salted skew joins, bucketed co-located joins, and
+  * LSH-blocked batch retrieval — each verified for result parity with its
+  * plain (shuffle-heavy / exact) counterpart.
+  */
+class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("salted equi-join returns exactly the plain join result under skew") {
+    // hot key: 90% of fact rows share key 1
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 7 + 2 else 1, s"row$i"))
+      .toDF("k", "payload")
+    val dim = (1 to 10).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedEquiJoin(fact, dim, "k", numSalts = 8)
+      .select("k", "payload", "name").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted count matches plain groupBy count") {
+    val df = (1 to 500).map(i => (if (i % 5 == 0) "rare" + i else "hot", i))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, "k", numSalts = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("id", "a_val")
+    val b = (1 to 200).map(i => (i.toLong, s"b$i")).toDF("id", "b_val")
+    Bucketing.writeBucketed(a, "bucketed_a", "id", numBuckets = 8)
+    Bucketing.writeBucketed(b, "bucketed_b", "id", numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join: broadcast would sidestep bucketing entirely
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, "bucketed_a", "bucketed_b", "id")
+      assert(Bucketing.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.take(800))
+      assert(joined.count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("LSH-blocked retrieval avoids the cross join and keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val exact = Search.topKPerQuery(queries, corpus, 10, excludeSelf = true)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val blocked = Similarity.blockedTopKPerQuery(queries, corpus, 11)
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // no cross join in the blocked plan
+    val plan = Similarity.blockedTopKPerQuery(queries, corpus, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+
+    // recall@10 across the 10 queries: banded candidates must recover a
+    // solid share of the exact top-10 (random 64-dim corpus, 8x2-bit bands)
+    val recalls = exact.map { case (q, ex) =>
+      blocked.get(q).map(bl => bl.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+    // every query at least finds candidates
+    assert(blocked.size == exact.size)
+  }
+}

@@ -16,6 +16,9 @@ object SparkTestBase {
     // slots against its own background pool (all workers parked in
     // ChecksumCheckpointFileManager.awaitResult); not needed for tests.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // Static conf: catalog tables (bucketing tests) land in a temp warehouse.
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 }
 
