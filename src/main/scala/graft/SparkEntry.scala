@@ -98,6 +98,32 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    "q6_filtered_revenue" -> ((s, dir) => {
+      // Pushdown showcase: every predicate reaches the parquet scan
+      // (PushedFilters on l_shipdate/l_discount/l_quantity) and only the
+      // four referenced columns are read — at 100 TB this is the difference
+      // between scanning a year and scanning the whole table.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q4_order_priority" -> ((s, dir) => {
+      // Left-semi join (EXISTS): orders in a quarter with at least one
+      // lineitem shipped after the order date. The semi join dedups on the
+      // build side and never materializes matched lineitems.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
     "window_top_lineitems" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -458,6 +484,22 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name""".stripMargin,
+
+    "q6_filtered_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        | AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        | AND EXISTS (SELECT 1 FROM lineitem l
+        |             WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "window_top_lineitems" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties that matter at 100 TB: predicate
+  * pushdown into the parquet scan, column pruning, map-side partial
+  * aggregation, broadcast (not shuffle) joins against small sides, top-k via
+  * TakeOrderedAndProject (never a global sort), and shuffle-free narrow
+  * chunking. A regression in any of these keeps results correct but turns a
+  * pruned scan into a full-table scan at scale — so the plan shape itself is
+  * under test.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Formatted explain — unlike plan.toString it never truncates the
+    * PushedFilters / ReadSchema lists.
+    */
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: all predicates push into the parquet scan; only needed columns read") {
+    val p = formatted("q6_filtered_revenue")
+    assert(p.contains("PushedFilters: ["), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(p.contains("LessThan(l_quantity,24"), "quantity bound not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02"), "discount bound not pushed")
+    // column pruning: scan must not read the full 11-column lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p.take(600))
+    // exactly one shuffle: the final hash aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+  }
+
+  test("q3/q5: dimension joins broadcast; top-k is TakeOrderedAndProject") {
+    val p3 = plan("q3_top_revenue")
+    assert(p3.contains("TakeOrderedAndProject(limit=10"), "top-k fell back to a global sort")
+    assert(p3.contains("BroadcastHashJoin"), "customer join not broadcast")
+    assert(!p3.contains("CartesianProduct"))
+    val p5 = plan("q5_nation_revenue")
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(!p5.contains("SortMergeJoin"),
+      "q5 dims fell to sort-merge: a shuffle of lineitem per join at scale")
+  }
+
+  test("q4: EXISTS plans as a left-semi join") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("topk_search: single-vector KNN is a broadcast + TakeOrderedAndProject") {
+    val p = plan("topk_search")
+    assert(p.contains("TakeOrderedAndProject"), "vector top-k fell back to a global sort")
+    assert(!p.contains("Exchange rangepartitioning"), "global sort shuffle present")
+  }
+
+  test("change_detection: state anti-join broadcasts the small state side") {
+    val p = plan("change_detection")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("chunkers: chunking is a narrow stage (no shuffle)") {
+    for (q <- Seq("chunk_recursive", "chunk_markdown", "chunk_adaptive")) {
+      val p = plan(q)
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"$q shuffles: ${p.take(400)}")
+    }
+  }
+
+  test("embed: embedding attach is narrow and row-aligned (no shuffle, no join)") {
+    val p = plan("embed_hashing")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(400))
+    assert(!p.contains("Join"), "embedding attach should not need a join")
+  }
+}
