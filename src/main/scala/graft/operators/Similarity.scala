@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,18 +53,80 @@ object Similarity {
     * centroids. Returns (indexed corpus with `cell` column, centroids).
     * The indexed frame should be persisted partitioned by `cell` so queries
     * prune at scan time.
+    *
+    * Centroid TRAINING is driver-local over a bounded sample (`trainCap`
+    * rows) — the standard IVF design (FAISS trains coarse quantizers on a
+    * sample in-process): at 100 TB a distributed full-corpus k-means is
+    * pure waste; cell quality saturates long before millions of training
+    * points, and each MLlib iteration is a cluster-wide job. Cell
+    * ASSIGNMENT stays distributed: one narrow pass tagging every vector
+    * with its nearest centroid. Deterministic under (seed, input order).
     */
   def ivfIndex(corpus: DataFrame, vecCol: String = "embedding",
                nCells: Int = 16, seed: Long = 42L,
-               maxIter: Int = 5): (DataFrame, Array[Array[Double]]) = {
-    val withMl = corpus.withColumn("__ml_vec", toMl(col(vecCol)))
-    // Few iterations suffice: IVF only needs a reasonable partition of the
-    // space, not converged centroids — each extra iteration is a full pass.
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__ml_vec")
-      .setPredictionCol("cell").setMaxIter(maxIter)
-    val model = km.fit(withMl)
-    val indexed = model.transform(withMl).drop("__ml_vec")
-    (indexed, model.clusterCenters.map(_.toArray))
+               maxIter: Int = 5, trainCap: Int = 20000): (DataFrame, Array[Array[Double]]) = {
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol)).limit(trainCap)
+      .collect().iterator
+      .map(r => r.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+      .filter(_.nonEmpty).toArray
+    require(sample.nonEmpty, "ivfIndex: corpus has no non-empty vectors")
+    val k = math.min(nCells, sample.length)
+    val dim = sample(0).length
+    // deterministic seeded init: distinct sample indices from an LCG stream
+    val rnd = new java.util.Random(seed)
+    val centroids = Array.tabulate(k) { _ =>
+      sample(rnd.nextInt(sample.length)).clone()
+    }
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < dim) { val t = v(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // Lloyd's iterations, driver-local: O(maxIter * |sample| * k * dim)
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((vec: Seq[Float]) => {
+      val cs = bc.value
+      val v = new Array[Double](cs(0).length)
+      val n = math.min(vec.length, v.length)
+      var j = 0
+      while (j < n) { v(j) = vec(j).toDouble; j += 1 }
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    (corpus.withColumn("cell", assignUdf(col(vecCol))), centroids)
   }
 
   // -------------------------------------------------------------------------
