@@ -49,30 +49,40 @@ object Pipeline {
     val tracked = StateStore.changed(
       docs.filter(col("fingerprint").isNotNull), state, idCol = "source")
     val untracked = docs.filter(col("fingerprint").isNull)
+    // `changed` feeds the main lineage plus the state update and the report
+    // counts; persist so chunk/embed upstream is computed exactly once.
     val changed = tracked.unionByName(untracked)
-    val nChanged = changed.count()
-    if (nChanged == 0) return RunReport(nDocs, 0, 0, 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nChanged = changed.count()
+      if (nChanged == 0) return RunReport(nDocs, 0, 0, 0)
 
-    val chunked = chunker.chunk(changed, "content")
-    val embedded = embedder.embed(chunked, "chunk")
-    val projected = Sink.project(embedded, textCol = "chunk", vecCol = "embedding")
-      .drop("content") // the chunk is the sink text; full doc content is not re-stored
-    sink.write(projected)
-    val written = sink.read(spark)
-    val nChunks = written
-      .join(changed.select("source").distinct(), Seq("source"), "left_semi").count()
+      val chunked = chunker.chunk(changed, "content")
+      val embedded = embedder.embed(chunked, "chunk")
+      val projected = Sink.project(embedded, textCol = "chunk", vecCol = "embedding")
+        .drop("content") // the chunk is the sink text; full doc content is not re-stored
+      sink.write(projected)
+      // Post-write bookkeeping reads the WRITTEN table back instead of
+      // re-running the chunk/embed lineage: a source appears in the sink
+      // after an upsert restricted to this run's sources iff it produced
+      // >= 1 chunk this run.
+      val written = sink.read(spark)
+      val changedSources = changed.select("source").distinct()
+      val writtenChanged = written.join(changedSources, Seq("source"), "left_semi")
+      val nChunks = writtenChanged.count()
+      val processedSources = writtenChanged.select("source").distinct()
 
-    // State update AFTER the successful write, keyed by the sources that
-    // produced chunks.
-    val processedSources = chunked.select(col("source")).distinct()
-    val processedFps = changed
-      .join(processedSources, Seq("source"), "left_semi")
-      .select(col("source").as("item_id"), col("fingerprint"))
-      .filter(col("fingerprint").isNotNull)
-    val nProcessed = processedSources.count()
-    val newState = StateStore.touchWatermark(StateStore.upsert(state, processedFps))
-    stateManager.save(newState)
+      // State update AFTER the successful write, keyed by the sources that
+      // produced chunks.
+      val processedFps = changed
+        .join(processedSources, Seq("source"), "left_semi")
+        .select(col("source").as("item_id"), col("fingerprint"))
+        .filter(col("fingerprint").isNotNull)
+      val nProcessed = processedSources.count()
+      val newState = StateStore.touchWatermark(StateStore.upsert(state, processedFps))
+      stateManager.save(newState)
 
-    RunReport(nDocs, nChanged, nChunks, nProcessed)
+      RunReport(nDocs, nChanged, nChunks, nProcessed)
+    } finally changed.unpersist()
   }
 }
