@@ -219,6 +219,17 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "sessionize_events" -> ((s, dir) => {
+      // Gaps-and-islands sessionization (30-min inactivity gap) over long
+      // nanos event time; one shuffle on user_id for tag + aggregate.
+      // ts is truncated to microsecond precision first: DuckDB timestamps
+      // are micros, so the oracle's epoch_ns() can't see sub-micro digits.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      val micros = t(s, dir, "events").withColumn("ts", expr("ts div 1000 * 1000"))
+      Sessionize.sessionStats(micros, "user_id", "ts", gapNs)
+    }),
+
     "web_normalize" -> ((s, dir) => {
       // S2: strip_html + per-line normalize (sources.py:134-137) over a
       // deterministic HTML wrapping of the corpus text.
@@ -551,6 +562,22 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_ns(ts) AS tsn, value,
+        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+        |sess AS (
+        | SELECT user_id, tsn, value,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+        | FROM flagged)
+        |SELECT user_id, session_index, COUNT(*) AS n_events,
+        | MIN(tsn) AS start_ns, MAX(tsn) AS end_ns,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_index""".stripMargin,
 
     "web_normalize" ->
       """SELECT doc_id,
