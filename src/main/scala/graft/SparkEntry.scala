@@ -219,6 +219,20 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "event_percentiles" -> ((s, dir) => {
+      // Exact interpolated percentiles per group (the latency-SLO pattern).
+      // percentile() is a single-pass sort-based aggregate per group; at
+      // scale swap for approx_percentile (t-digest) when exactness can bend.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    }),
+
     "sessionize_events" -> ((s, dir) => {
       // Gaps-and-islands sessionization (30-min inactivity gap) over long
       // nanos event time; one shuffle on user_id for tag + aggregate.
@@ -562,6 +576,13 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "event_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "sessionize_events" ->
       """WITH flagged AS (
