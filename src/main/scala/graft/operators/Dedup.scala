@@ -113,12 +113,21 @@ object Dedup {
   // MinHash + LSH (approximate Jaccard at scale)
   // -------------------------------------------------------------------------
 
-  /** 64-bit minhash signature of a shingle set: one 64-bit base hash per
+  /** Banded minhash signature of a shingle set: one 64-bit base hash per
     * shingle (two murmur32 passes combined), re-mixed per hash function with
-    * a fixed odd multiplier + fmix64 finalizer, min-reduced. One array walk
-    * per document — no 2^18-dim sparse feature vectors, no model fit.
+    * a fixed odd multiplier + fmix64 finalizer, min-reduced — then the
+    * `numHashes` mins are folded into `numHashes / bandSize` band values
+    * (fmix-combined). One array walk per document — no 2^18-dim sparse
+    * feature vectors, no model fit.
+    *
+    * Band size is the LSH precision dial: candidate probability for a pair
+    * with Jaccard s is 1 - (1 - s^bandSize)^nBands. bandSize=1 makes ANY
+    * matching hash a candidate (huge noise-candidate volume); bandSize=2
+    * with twice the hashes keeps recall high near the dedup threshold while
+    * cutting random-pair collisions by an order of magnitude — the shuffle
+    * and verify stages scale with collisions.
     */
-  private[graft] val minhashSigUdf = udf((shingles: Seq[String], numHashes: Int, seed: Int) => {
+  private[graft] val minhashBandsUdf = udf((shingles: Seq[String], numHashes: Int, bandSize: Int, seed: Int) => {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     shingles.foreach { sh =>
       val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, seed)
@@ -132,28 +141,43 @@ object Dedup {
         i += 1
       }
     }
-    sig
+    val nBands = numHashes / bandSize
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0x9E3779B97F4A7C15L * (b + 1)
+      var j = 0
+      while (j < bandSize) {
+        h ^= sig(b * bandSize + j)
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        j += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    bands
   })
 
   /** Near-duplicate candidate pairs via banded MinHash: docs sharing any of
-    * `numHashTables` minhash bands become candidates (equi-join on
+    * `numHashes / bandSize` minhash bands become candidates (equi-join on
     * (band, value) — the shuffle key bounds the join, never a cross
     * product), then candidates are verified with EXACT shingle-set Jaccard
     * and filtered to distance <= `maxJaccardDistance`.
     *
     * Returns (id_a, id_b, jaccard_dist) with a < b; deterministic under the
     * seed. Same candidate semantics as MLlib's MinHashLSH
-    * approxSimilarityJoin (1-row bands), but ~10x faster: no HashingTF
-    * sparse vectors, no lsh.fit, no per-pair keyDistance over 2^18-dim
-    * vectors. At scale: signature pass is narrow, candidate generation
-    * shuffles once on the band key, verification shuffles only candidate
-    * ids.
+    * approxSimilarityJoin, but ~10x faster: no HashingTF sparse vectors, no
+    * lsh.fit, no per-pair keyDistance over 2^18-dim vectors. At scale:
+    * signature pass is narrow, candidate generation shuffles once on the
+    * band key, verification shuffles only candidate ids.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       maxJaccardDistance: Double = 0.6,
-                      numHashTables: Int = 8,
+                      numHashes: Int = 16,
+                      bandSize: Int = 2,
                       shingleSize: Int = 3,
                       seed: Long = 42L): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
     // The signature table is scanned three times (banding + both sides of
     // the verification join); the single-pass shingle UDF is cheap enough
     // that recomputing beats caching (a persist here held memory for the
@@ -163,11 +187,11 @@ object Dedup {
     val withShingles = Partitioning.ensureParallelism(df)
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
-    val sig = withShingles.withColumn("__sig",
-      minhashSigUdf(col("__shingles"), lit(numHashTables), lit(seed.toInt)))
-    // (band index, minhash value) is the LSH bucket key.
+    val sig = withShingles.withColumn("__bands",
+      minhashBandsUdf(col("__shingles"), lit(numHashes), lit(bandSize), lit(seed.toInt)))
+    // (band index, band value) is the LSH bucket key.
     val banded = sig.select(col(idCol),
-        posexplode(col("__sig")).as(Seq("__band", "__minh")))
+        posexplode(col("__bands")).as(Seq("__band", "__minh")))
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__minh"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__minh"))
     val candidates = a.join(b, Seq("__band", "__minh"))
