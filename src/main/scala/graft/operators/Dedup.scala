@@ -242,18 +242,30 @@ object Dedup {
   /** Hamming distance between two simhash columns (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the high 16 bits (near-dups almost
-    * always share a prefix band), then verify hamming <= threshold within
-    * blocks. At scale the block key bounds the self-join.
+  /** SimHash near-dup pairs: block on each of the four 16-bit quarters of
+    * the fingerprint (the simhash-paper table scheme) — a pair is a
+    * candidate if ANY quarter matches, which by pigeonhole GUARANTEES
+    * detection at hamming <= 3 and catches higher distances
+    * probabilistically (diffs must spread over all four quarters to hide).
+    * Candidates are then verified with the exact 64-bit hamming distance.
+    * The (band index, band value) key bounds the self-join at any scale;
+    * blocking on a single prefix band would silently miss every near-dup
+    * whose diffs land in that prefix.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 8): DataFrame = {
-    val h = simhash(df, textCol)
-      .select(col(idCol), col("simhash"), shiftrightunsigned(col("simhash"), 48).as("band"))
-    val a = h.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"))
-    val b = h.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"))
-    a.join(b, Seq("band"))
+    val h = simhash(df, textCol).select(col(idCol), col("simhash"))
+    val bandVals = array((0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = h.select(col(idCol), col("simhash"),
+      posexplode(bandVals).as(Seq("__band", "__bits")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("__band"), col("__bits"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("__band"), col("__bits"))
+    a.join(b, Seq("__band", "__bits"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
