@@ -68,6 +68,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within the gap and close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = stream.toDF().toDF("ts", "user_id", "value")
+    val agg = graft.operators.Sessionize.streamingSessionStats(
+      events, "user_id", "ts", gap = "10 minutes", delay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // user 1: two events 5 min apart (one session), one event 25 min later
+      // (a second session); user 2: a single event.
+      stream.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(30), 1L, 4.0),
+        (ts(1), 2L, 8.0))
+      q.processAllAvailable()
+      stream.addData((ts(59), 9L, 0.0)) // advance watermark; close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), rows.toString) // merged session
+      assert(rows.contains((1L, 1L, 4.0)))                // split session
+      assert(rows.contains((2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each fingerprint once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
