@@ -219,6 +219,18 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "sample_split" -> ((s, dir) => {
+      // Deterministic hash sampling + train/val/test split: membership is a
+      // pure function of (doc_id, salt), stable under repartitioning and
+      // corpus growth. The oracle runs the same md5-prefix predicate.
+      val d = t(s, dir, "documents")
+      d.withColumn("split",
+          Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+    }),
+
     "event_percentiles" -> ((s, dir) => {
       // Exact interpolated percentiles per group (the latency-SLO pattern).
       // percentile() is a single-pass sort-based aggregate per group; at
@@ -576,6 +588,16 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sample_split" ->
+      """WITH h AS (
+        | SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) AS hp
+        | FROM documents)
+        |SELECT CASE WHEN hp < 'cccc' THEN 'train'
+        |            WHEN hp < 'e666' THEN 'val'
+        |            ELSE 'test' END AS split,
+        | COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        |FROM h GROUP BY 1""".stripMargin,
 
     "event_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent on partitioning and engine-specific —
+  * useless for reproducible corpus subsets or cross-engine checks. These
+  * operators instead hash a stable key to a uniform value and compare
+  * against a threshold, so membership is a pure function of (key, salt,
+  * fraction): stable under repartitioning, re-runs, engine changes, and
+  * incremental appends (a row's fate never changes as the corpus grows —
+  * exactly what train/holdout splits need).
+  *
+  * The uniform value is the first `HexDigits` hex chars of md5(key || salt)
+  * compared LEXICOGRAPHICALLY against a hex threshold — md5 hex output is
+  * identical everywhere, so the same predicate runs verbatim in any SQL
+  * engine. Granularity is 16^-HexDigits (1/65536 at the default 4).
+  */
+object Sampling {
+
+  val HexDigits = 4
+
+  /** Hex threshold string for `fraction`: rows with hash prefix < threshold
+    * are kept. fraction=0.1 -> "1999" (6553/65536 ~ 9.999%).
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val buckets = 1 << (4 * HexDigits)
+    val cut = math.floor(fraction * buckets).toLong
+    // fraction 1.0 must admit every prefix, including "ffff"; "g" sorts
+    // above every hex digit, while the 5-char "10000" would sort BELOW most
+    // 4-char prefixes lexicographically.
+    if (cut >= buckets) "g" else f"%%0${HexDigits}x".format(cut)
+  }
+
+  /** The sampling predicate: md5-prefix(key||salt) < hexThreshold(fraction). */
+  def keepRow(key: Column, fraction: Double, salt: String = "graft"): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, HexDigits) <
+      lit(hexThreshold(fraction))
+
+  /** Deterministic Bernoulli sample: keep ~`fraction` of rows, membership a
+    * pure function of the key. The predicate is a plain comparison over a
+    * codegen'd hash — it pushes into scans wherever md5 does.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(keepRow(col(keyCol), fraction, salt))
+
+  /** Deterministic stratified sample: per-stratum fractions (missing strata
+    * keep `defaultFraction`). One narrow filter pass — no groupBy, no
+    * sampleBy RNG, no driver state.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, HexDigits) < threshold)
+  }
+
+  /** Disjoint deterministic split (e.g. train/validation/holdout): assigns
+    * each row the first label whose cumulative fraction exceeds its hash
+    * position. Fractions must sum to <= 1; rows beyond the sum get NULL
+    * (dropped by the caller or kept as "rest").
+    */
+  def splitColumn(key: Column, splits: Seq[(String, Double)],
+                  salt: String = "graft"): Column = {
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    require(cum.last <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val prefix = substring(md5(concat(key.cast("string"), lit(salt))), 1, HexDigits)
+    splits.map(_._1).zip(cum).foldRight(lit(null).cast("string")) {
+      case ((label, upper), acc) =>
+        when(prefix < lit(hexThreshold(upper)), lit(label)).otherwise(acc)
+    }
+  }
+}

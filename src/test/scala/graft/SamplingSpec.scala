@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Deterministic sampling: threshold math, stability under repartitioning,
+  * fraction accuracy, stratification, and disjoint splits.
+  */
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val ids = (0L until 5000L).toDF("id")
+
+  test("hexThreshold: exact corner values") {
+    assert(Sampling.hexThreshold(0.0) == "0000")
+    assert(Sampling.hexThreshold(0.1) == "1999")
+    assert(Sampling.hexThreshold(0.8) == "cccc")
+    assert(Sampling.hexThreshold(1.0) == "g") // admits every hex prefix
+  }
+
+  test("hashSample keeps ~fraction of rows and is repartition-stable") {
+    val sampled = Sampling.hashSample(ids, "id", 0.1)
+    val n = sampled.count()
+    assert(n > 380 && n < 620, s"10% of 5000 expected ~500, got $n")
+    val again = Sampling.hashSample(ids.repartition(13), "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == sampled.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("sample membership is monotone in fraction (nested subsets)") {
+    val small = Sampling.hashSample(ids, "id", 0.05).collect().map(_.getLong(0)).toSet
+    val large = Sampling.hashSample(ids, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = ids.withColumn("stratum", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val s = Sampling.stratifiedSample(df, "stratum", "id",
+      Map("a" -> 0.3, "b" -> 0.0), defaultFraction = 0.0)
+    val byStratum = s.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byStratum.contains("b"))
+    val na = byStratum.getOrElse("a", 0L)
+    assert(na > 600 && na < 900, s"30% of 2500 expected ~750, got $na")
+  }
+
+  test("splitColumn: labels are disjoint, exhaustive at sum=1, roughly proportional") {
+    val labeled = ids.withColumn("split",
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(!counts.contains("null"), s"sum=1 must label every row: $counts")
+    assert(counts.values.sum == 5000)
+    assert(counts("train") > 3800 && counts("train") < 4200, counts.toString)
+    assert(counts("val") > 330 && counts("val") < 670)
+    assert(counts("test") > 330 && counts("test") < 670)
+  }
+}
