@@ -219,6 +219,23 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "asof_enrich" -> ((s, dir) => {
+      // Point-in-time enrichment: each purchase gets the user's latest
+      // click value at or before it (union+window as-of join — one
+      // shuffle, no |L|x|R| range explosion). ts truncated to micros for
+      // oracle comparability (DuckDB timestamps are micros).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      AsofJoin.leftAsof(purchases, clicks, "user_id", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("click_value"), 6).as("last_click_value"))
+    }),
+
     "sample_split" -> ((s, dir) => {
       // Deterministic hash sampling + train/val/test split: membership is a
       // pure function of (doc_id, salt), stable under repartitioning and
@@ -588,6 +605,16 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "asof_enrich" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS tsu
+        | FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        | SELECT user_id, epoch_us(ts) AS tsu, max(value) AS click_value
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, round(r.click_value, 6) AS last_click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu""".stripMargin,
 
     "sample_split" ->
       """WITH h AS (
