@@ -219,6 +219,16 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "heavy_hitters" -> ((s, dir) => {
+      // Custom Misra-Gries TypedImperativeAggregate. Capacity (64) exceeds
+      // the distinct-source count, so the sketch degrades to EXACT counts —
+      // which is what makes a plain GROUP BY oracle valid. At scale the
+      // same aggregate bounds memory at `capacity` entries per group.
+      t(s, dir, "documents")
+        .agg(graft.plans.HeavyHittersAgg.approxTopItems(col("source"), 64).as("top"))
+        .select(explode(col("top")).as(Seq("source", "n_docs")))
+    }),
+
     "asof_enrich" -> ((s, dir) => {
       // Point-in-time enrichment: each purchase gets the user's latest
       // click value at or before it (union+window as-of join — one
@@ -605,6 +615,9 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "heavy_hitters" ->
+      "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
 
     "asof_enrich" ->
       """WITH l AS (
