@@ -219,6 +219,28 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "range_join_sessions" -> ((s, dir) => {
+      // Bucketed range join composed with sessionization: assign each
+      // purchase to the click-session interval it falls inside. The grid
+      // overlay turns the range predicate into a hash equi-join on
+      // (user_id, hour-bucket) — no nested-loop plan at any scale.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000 * 1000"))
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      // Pad the interval end by the gap: a session's activity window stays
+      // open for `gap` after its last click (otherwise most sessions are
+      // instants and the join is trivially empty).
+      val intervals = Sessionize.sessionStats(
+          ev.filter(col("event_type") === "click"), "user_id", "ts", gapNs)
+        .select(col("user_id"), col("session_index"), col("start_ns"),
+          (col("end_ns") + gapNs).as("end_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      RangeJoin.pointInInterval(purchases, intervals, "user_id", "ts",
+          "start_ns", "end_ns", bucketWidth = 3600L * 1000 * 1000 * 1000)
+        .select(col("event_id"), col("user_id"), col("session_index"))
+    }),
+
     "heavy_hitters" -> ((s, dir) => {
       // Custom Misra-Gries TypedImperativeAggregate. Capacity (64) exceeds
       // the distinct-source count, so the sketch degrades to EXACT counts —
@@ -615,6 +637,26 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "range_join_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_ns(ts) AS tsn,
+        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        | FROM events WHERE event_type = 'click'
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+        |sess AS (
+        | SELECT user_id, tsn,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+        | FROM flagged),
+        |iv AS (
+        | SELECT user_id, session_index, MIN(tsn) AS start_ns,
+        |  MAX(tsn) + 1800000000000 AS end_ns
+        | FROM sess GROUP BY user_id, session_index)
+        |SELECT p.event_id, p.user_id, iv.session_index
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN iv ON p.user_id = iv.user_id AND p.tsn BETWEEN iv.start_ns AND iv.end_ns""".stripMargin,
 
     "heavy_hitters" ->
       "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
