@@ -83,4 +83,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p.take(400))
     assert(!p.contains("Join"), "embedding attach should not need a join")
   }
+
+  test("sessionize: window + per-session aggregate reuse ONE user-key shuffle") {
+    val p = plan("sessionize_events")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected a single user_id exchange: ${p.take(600)}")
+  }
+
+  test("asof/range joins never plan a nested loop") {
+    for (q <- Seq("asof_enrich", "range_join_sessions")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("sample_split: the hash predicate needs no shuffle before aggregation") {
+    val p = plan("sample_split")
+    // one exchange for the final groupBy(split); the sampling itself is narrow
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(600))
+  }
 }
