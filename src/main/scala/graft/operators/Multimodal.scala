@@ -104,6 +104,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize shape for image-like payloads: downsample a decoded feature
+    * grid to `outDim` cells by box-averaging — the per-row transform a real
+    * `resize(w, h)` uses (decode -> pixel grid -> interpolate), with the
+    * decode step behind the same [[stubDecode]] stub. Emits `media_id,
+    * resized` (array<float> of outDim), row-aligned, no shuffle.
+    */
+  def resizeFeatures(media: DataFrame, srcDim: Int = 64, outDim: Int = 16): DataFrame = {
+    require(srcDim % outDim == 0, "srcDim must be a multiple of outDim (box resize)")
+    val box = srcDim / outDim
+    val resizeUdf = udf((payload: Array[Byte]) => {
+      val full = stubDecode(payload, srcDim)
+      val out = new Array[Float](outDim)
+      var i = 0
+      while (i < outDim) {
+        var acc = 0.0f
+        var j = 0
+        while (j < box) { acc += full(i * box + j); j += 1 }
+        out(i) = acc / box
+        i += 1
+      }
+      out
+    })
+    Partitioning.ensureParallelism(media)
+      .select(col("media_id"), resizeUdf(col("payload")).as("resized"))
+  }
+
   /** Frame-sampling shape for video-like payloads: split the payload into
     * `nFrames` even byte windows and extract features per window — the
     * 1->N explode pattern a real frame sampler uses.

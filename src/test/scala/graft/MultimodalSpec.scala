@@ -40,6 +40,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("resize: box-average of the full-dim decode, deterministic, row-aligned") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((1L, "resize me please"), (2L, "")).toDF("id", "txt"), "txt", "id")
+    val resized = Multimodal.resizeFeatures(media, srcDim = 16, outDim = 4)
+      .orderBy("media_id").collect()
+    assert(resized.length == 2)
+    val r1 = resized(0).getSeq[Float](1)
+    assert(r1.length == 4)
+    // box semantics: each cell is the mean of its 4 source cells
+    val full = Multimodal.stubDecode("resize me please".getBytes("UTF-8"), 16)
+    val expected = full.grouped(4).map(g => g.sum / 4).toSeq
+    assert(r1 == expected)
+    assert(resized(1).getSeq[Float](1).forall(_ == 0f)) // empty payload
+  }
+
   test("frame sampling: nFrames windows per non-empty payload, 0-based index") {
     import spark.implicits._
     val media = Multimodal.fromText(
