@@ -87,10 +87,21 @@ object TextSplitters {
 
   /** Split on a literal separator, re-attaching each separator occurrence to
     * the start of the fragment that follows it; empty fragments dropped.
-    * Empty separator means per-character split.
+    * Empty separator means per-CODE-POINT split (not per JVM char — a
+    * per-char split would cut astral-plane surrogate pairs in half, which
+    * the reference, operating on Python code-point strings, never does).
     */
   private[functions] def splitKeepingSeparator(text: String, sep: String): Seq[String] = {
-    if (sep.isEmpty) return text.map(_.toString).filter(_.nonEmpty)
+    if (sep.isEmpty) {
+      val out = ArrayBuffer[String]()
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      return out.toSeq
+    }
     val out = ArrayBuffer[String]()
     val first = text.indexOf(sep)
     if (first < 0) { out += text }

@@ -95,4 +95,16 @@ class TextSplittersSpec extends AnyFunSuite {
       assert(chunks.isEmpty || t.strip().endsWith(chunks.last.takeRight(1)))
     }
   }
+
+  test("per-character fallback splits code points, never surrogate halves") {
+    // One long unbroken run of astral-plane chars forces the "" separator.
+    val emoji = "😀" // U+1F600, a surrogate pair
+    val text = emoji * 40      // 80 JVM chars, no spaces
+    val chunks = TextSplitters.recursiveSplit(text, 10, 2)
+    assert(chunks.nonEmpty)
+    for (c <- chunks) {
+      assert(c.length % 2 == 0, s"chunk cut a surrogate pair: ${c.map(_.toInt)}")
+      assert(c.grouped(2).forall(_ == emoji))
+    }
+  }
 }
