@@ -43,19 +43,50 @@ object Sink {
         col(sourceCol).as("source")) ++ metaCols: _*)
   }
 
-  /** Upsert `df` into the table at `path`: partitions (source buckets)
-    * present in `df` are overwritten, everything else is untouched. This is
-    * the scale-safe version of the reference's delete-by-source + append
-    * (`sinks.py:66-93`).
+  /** Upsert `df` into the table at `path`: source buckets present in `df`
+    * are overwritten, everything else is untouched. This is the scale-safe
+    * version of the reference's delete-by-source + append (`sinks.py:66-93`).
+    *
+    * Bucket-collision safety: overwriting a bucket must not drop UNCHANGED
+    * sources that merely hash into it. Survivors — rows in affected buckets
+    * whose source is not in the incoming batch — are read back (a
+    * partition-PRUNED scan of only the affected buckets, never the whole
+    * table) and carried through the rewrite. They are staged to a temp dir
+    * first because Spark cannot overwrite a path it is simultaneously
+    * reading; survivor volume is bounded by the collision rate, not table
+    * size.
     */
   def upsertBySource(df: DataFrame, path: String, sourceCol: String = "source",
                      numBuckets: Int = DefaultBuckets): Unit = {
-    df.withColumn("source_bucket", pmod(hash(col(sourceCol)), lit(numBuckets)))
-      .write
+    val spark = df.sparkSession
+    val withBucket = df.withColumn("source_bucket",
+      pmod(hash(col(sourceCol)), lit(numBuckets)))
+    val existing =
+      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    val toWrite = existing match {
+      case Some(old) =>
+        val incomingBuckets = withBucket.select("source_bucket").distinct()
+        val incomingSources = df.select(col(sourceCol).as("__in_src")).distinct()
+        val survivors = old
+          .join(broadcast(incomingBuckets), Seq("source_bucket"), "left_semi")
+          .join(broadcast(incomingSources),
+            col(sourceCol) === col("__in_src"), "left_anti")
+        if (survivors.isEmpty) withBucket
+        else {
+          val tmp = path + ".survivors"
+          survivors.write.mode("overwrite").parquet(tmp)
+          withBucket.unionByName(spark.read.parquet(tmp))
+        }
+      case None => withBucket
+    }
+    toWrite.write
       .partitionBy("source_bucket")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".survivors"), true)
   }
 
   /** Read the sink table back. */

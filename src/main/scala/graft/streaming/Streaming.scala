@@ -57,6 +57,37 @@ object Streaming {
     (if (continuous) writer else writer.trigger(Trigger.AvailableNow())).start()
   }
 
+  /** Incremental ingest with the BATCH pipeline's upsert semantics: each
+    * micro-batch runs the same delete-by-source dynamic-partition-overwrite
+    * as `Sink.upsertBySource` via `foreachBatch` — re-ingesting a modified
+    * file REPLACES its chunks instead of appending duplicates. Checkpoint
+    * bookkeeping still guarantees each file is processed once; the upsert
+    * makes reprocessing after a checkpoint reset idempotent too.
+    */
+  def ingestUpsert(spark: SparkSession, inputDir: String, sinkDir: String,
+                   checkpointDir: String, chunker: GraftChunker, embedder: GraftEmbedder,
+                   continuous: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(inputDir)
+      .select(col("value").as("content"),
+        input_file_name().as("source"),
+        sha2(col("value"), 256).as("fingerprint"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(trim(col("content"))) > 0)
+    val chunked = chunker.chunk(raw, "content")
+    val embedded = embedder.embed(chunked, "chunk")
+    val projected = Sink.project(embedded, textCol = "chunk", vecCol = "embedding")
+      .drop("content")
+    val writer = projected.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) Sink.upsertBySource(batch, sinkDir)
+      }
+    (if (continuous) writer else writer.trigger(Trigger.AvailableNow())).start()
+  }
+
   /** Watermarked sliding/tumbling-window aggregation over an event stream
     * (`events` table shape: ts, event_type, value). Late events beyond
     * `watermarkDelay` are dropped; state is bounded.

@@ -26,6 +26,20 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Set(("a2", "src_a"), ("b1", "src_b")))
   }
 
+  test("bucket collision: upsert never drops an unchanged source sharing a bucket") {
+    // numBuckets=1 forces EVERY source into the same partition — the
+    // worst-case collision. Overwriting that bucket for src_a must carry
+    // src_b's rows through as survivors.
+    val dir = tempDir("graft-sink").resolve("t1c").toString
+    val sink = VectorTableSink(dir, numBuckets = 1)
+    sink.write(frame(Seq(
+      ("a1", Seq(1f, 0f), "src_a"), ("b1", Seq(0f, 1f), "src_b"))))
+    sink.write(frame(Seq(("a2", Seq(0.5f, 0.5f), "src_a"))))
+    val out = sink.read(spark).select("text", "source").as[(String, String)].collect().toSet
+    assert(out == Set(("a2", "src_a"), ("b1", "src_b")),
+      s"collision dropped a surviving source: $out")
+  }
+
   test("upsert is idempotent on re-ingest of identical batch") {
     val dir = tempDir("graft-sink").resolve("t2").toString
     val sink = VectorTableSink(dir)

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -42,6 +43,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val out = spark.read.parquet(sinkDir)
     assert(out.count() > n1)
     assert(out.select("source").distinct().count() == 2)
+  }
+
+  test("ingestUpsert: reprocessing a modified file replaces its chunks, keeps others") {
+    val root = tempDir("graft-stream-up")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val sinkDir = root.resolve("sink").toString
+    val chunker = Factory.chunker(ComponentConfig("recursive_character",
+      Map("chunk_size" -> 60, "chunk_overlap" -> 5)))
+    val embedder = Factory.embedder(ComponentConfig("hashing", Map("dim" -> 16)))
+
+    Files.writeString(in.resolve("a.txt"), "original content of document a for streaming upsert")
+    Files.writeString(in.resolve("b.txt"), "content of document b which will stay untouched")
+    val q1 = Streaming.ingestUpsert(spark, in.toString, sinkDir,
+      root.resolve("ckpt1").toString, chunker, embedder)
+    q1.awaitTermination()
+    val first = spark.read.parquet(sinkDir)
+    assert(first.select("source").distinct().count() == 2)
+
+    // File a changes; the file stream tracks seen paths, so reprocessing
+    // needs a fresh checkpoint — the upsert makes that safe: a's chunks are
+    // REPLACED (not appended), b's are carried through untouched.
+    Files.writeString(in.resolve("a.txt"), "completely rewritten document a after the edit")
+    Files.delete(in.resolve("b.txt"))
+    val q2 = Streaming.ingestUpsert(spark, in.toString, sinkDir,
+      root.resolve("ckpt2").toString, chunker, embedder)
+    q2.awaitTermination()
+    val out = spark.read.parquet(sinkDir)
+    assert(out.select("source").distinct().count() == 2, "b's chunks must survive")
+    val aTexts = out.filter(col("source").endsWith("a.txt"))
+      .select("text").collect().map(_.getString(0))
+    assert(aTexts.nonEmpty && aTexts.forall(_.contains("rewritten")),
+      s"stale chunks for a.txt: ${aTexts.mkString("; ")}")
   }
 
   test("watermarked windowed aggregation over a memory stream") {
