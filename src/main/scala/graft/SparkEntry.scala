@@ -219,6 +219,20 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "corpus_curation" -> ((s, dir) => {
+      // The operators composed as a curation pipeline in ONE plan: quality
+      // gate (length + token floor) -> exact dedup (min-id winner) ->
+      // deterministic 50% sample. Narrow filters fuse into the scan; the
+      // only shuffle is the dedup's hash partition on the content digest.
+      val kept = t(s, dir, "documents")
+        .filter(length(col("text")) >= 100 &&
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))) >= 20)
+      val deduped = Dedup.exactDedup(kept, "text", "doc_id")
+      Sampling.hashSample(deduped, "doc_id", 0.5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "range_join_sessions" -> ((s, dir) => {
       // Bucketed range join composed with sessionization: assign each
       // purchase to the click-session interval it falls inside. The grid
@@ -637,6 +651,17 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "corpus_curation" ->
+      """WITH kept AS (
+        | SELECT doc_id, source, text FROM documents
+        | WHERE len(text) >= 100
+        |  AND len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) >= 20),
+        |winners AS (
+        | SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+        |SELECT k.doc_id, k.source
+        |FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+        |WHERE substr(md5(CAST(k.doc_id AS VARCHAR) || 'graft'), 1, 4) < '8000'""".stripMargin,
 
     "range_join_sessions" ->
       """WITH flagged AS (
