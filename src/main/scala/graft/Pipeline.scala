@@ -33,13 +33,16 @@ object Pipeline {
                              chunksWritten: Long, sourcesProcessed: Long)
 
   def run(spark: SparkSession, config: PipelineConfig): RunReport = {
-    val source = Factory.source(config.source)
     val chunker = Factory.chunker(config.chunker)
     val embedder = Factory.embedder(config.embedder)
     val sink = Factory.sink(config.sink)
     val stateManager = Factory.stateManager(config.stateManager)
 
     val state = stateManager.load(spark)
+    // T3: watermark-capable sources (JDBC) push `ts > last_run_timestamp`
+    // into the source query server-side (`sources.py:266-272`).
+    val source = Factory.source(config.source)
+      .withRunWatermark(StateStore.lastRunTimestamp(state))
     val docs = source.load(spark)
     val nDocs = docs.count()
     if (nDocs == 0) return RunReport(0, 0, 0, 0)

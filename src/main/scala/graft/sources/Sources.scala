@@ -33,6 +33,12 @@ trait GraftSource {
     * `sources.py:109-115,152-159,224-234,302-308`).
     */
   def testConnection(spark: SparkSession): Unit
+
+  /** Bind the pipeline's run watermark (the reference consults
+    * `last_run_timestamp` inside `load_data`, `sources.py:266-272`). Only
+    * watermark-capable sources (JDBC) use it; everything else is a no-op.
+    */
+  def withRunWatermark(wm: Option[java.sql.Timestamp]): GraftSource = this
 }
 
 object GraftSource {
@@ -184,6 +190,9 @@ final case class JdbcSource(jdbcUrl: String,
     // jdbc:derby:memory:db;... -> keep scheme+path, drop credentials
     jdbcUrl.split(';').head
   }
+
+  override def withRunWatermark(wm: Option[java.sql.Timestamp]): GraftSource =
+    if (timestampColumn.isDefined && wm.isDefined) copy(watermark = wm) else this
 
   private[graft] def effectiveQuery: String = (timestampColumn, watermark) match {
     case (Some(tsCol), Some(wm)) =>

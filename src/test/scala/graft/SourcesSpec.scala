@@ -85,6 +85,21 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 1 && out(0).getAs[String]("content") == "second article")
   }
 
+  test("T3 wiring: withRunWatermark binds the state watermark into a JDBC source") {
+    val src = JdbcSource("jdbc:derby:memory:graftdb",
+      "SELECT body, author, ts FROM articles", timestampColumn = Some("ts"))
+    val wm = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val bound = src.withRunWatermark(Some(wm)).asInstanceOf[JdbcSource]
+    assert(bound.effectiveQuery.contains("ts > '2024-03-01"))
+    // no timestamp column configured -> watermark ignored (full scan)
+    val noTs = JdbcSource("jdbc:derby:memory:graftdb", "SELECT body FROM articles")
+    assert(noTs.withRunWatermark(Some(wm)).asInstanceOf[JdbcSource].effectiveQuery ==
+      "SELECT body FROM articles")
+    // non-JDBC sources: no-op passthrough
+    val lf = LocalFileSource("/tmp")
+    assert(lf.withRunWatermark(Some(wm)) eq lf)
+  }
+
   test("S2 web: fetch + tag strip + line normalize; stateless fingerprint") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
