@@ -277,9 +277,11 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("value")).as("click_value"))
+      // No-prior-click rows surface as -1.0 (not NULL): engines and the
+      // driver's pandas hash agree on a concrete sentinel unconditionally.
       AsofJoin.leftAsof(purchases, clicks, "user_id", "ts", Seq("click_value"))
         .select(col("event_id"), col("user_id"),
-          round(col("click_value"), 6).as("last_click_value"))
+          coalesce(round(col("click_value"), 6), lit(-1.0)).as("last_click_value"))
     }),
 
     "sample_split" -> ((s, dir) => {
@@ -693,7 +695,8 @@ object SparkEntry {
         |r AS (
         | SELECT user_id, epoch_us(ts) AS tsu, max(value) AS click_value
         | FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT l.event_id, l.user_id, round(r.click_value, 6) AS last_click_value
+        |SELECT l.event_id, l.user_id,
+        | coalesce(round(r.click_value, 6), -1.0) AS last_click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu""".stripMargin,
 
     "sample_split" ->
