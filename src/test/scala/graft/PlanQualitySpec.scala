@@ -98,6 +98,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corpus_curation: quality filter fuses into the scan; dedup is the only wide stage") {
+    val p = plan("corpus_curation")
+    // the length/token filters must not trigger their own exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the dedup shuffle: ${p.take(600)}")
+    assert(!p.contains("Join"), "curation needs no join (window-based dedup)")
+  }
+
+  test("heavy_hitters: one partial-merge aggregation, no raw-value shuffle") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("partial_approx_top_items") || p.contains("ObjectHashAggregate"),
+      s"sketch should partial-aggregate map-side: ${p.take(600)}")
+  }
+
   test("sample_split: the hash predicate needs no shuffle before aggregation") {
     val p = plan("sample_split")
     // one exchange for the final groupBy(split); the sampling itself is narrow
