@@ -251,7 +251,8 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       RangeJoin.pointInInterval(purchases, intervals, "user_id", "ts",
-          "start_ns", "end_ns", bucketWidth = 3600L * 1000 * 1000 * 1000)
+          "start_ns", "end_ns", bucketWidth = 3600L * 1000 * 1000 * 1000,
+          broadcastIntervals = true) // sessions are dimension-sized
         .select(col("event_id"), col("user_id"), col("session_index"))
     }),
 

@@ -23,15 +23,22 @@ object RangeJoin {
     * matching on `keyCol`. All range columns are numeric (long). Inner
     * semantics: unmatched points drop.
     */
+  /** `broadcastIntervals`: when the interval side is dimension-sized
+    * (sessions, calendars, SLA windows), broadcasting it makes the whole
+    * join a narrow stage over the (usually much larger) point side — no
+    * shuffle at all. Leave false when intervals rival points in size.
+    */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCol: String, pointCol: String,
                       startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      broadcastIntervals: Boolean = false): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val ivals = intervals.withColumn("__bucket",
+    val exploded = intervals.withColumn("__bucket",
       explode(sequence(
         floor(col(startCol) / bucketWidth).cast("long"),
         floor(col(endCol) / bucketWidth).cast("long"))))
+    val ivals = if (broadcastIntervals) broadcast(exploded) else exploded
     val pts = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pts.join(ivals, Seq(keyCol, "__bucket"))
