@@ -33,22 +33,24 @@ object AsofJoin {
     val leftCols = left.columns
     // Tag sides; right sorts before left at equal ts so ties are visible.
     val l = left.withColumn("__side", lit(1))
-    val r = valueCols.foldLeft(
-        right.select((keyCol +: tsCol +: valueCols).map(col): _*)
-          .withColumn("__side", lit(0))) { (df, c) =>
-        df.withColumnRenamed(c, s"__r_$c")
-      }
+    // Wrap the right payload in ONE struct per right row. The struct is
+    // non-null for every right row even when individual payload fields are
+    // NULL, so `last(ignoreNulls)` picks the most recent right ROW — a
+    // per-column last() would skip genuine NULL payloads and resurrect an
+    // older value, diverging from DuckDB ASOF JOIN semantics.
+    val r = right.select((keyCol +: tsCol +: valueCols).map(col): _*)
+      .withColumn("__r_payload", struct(valueCols.map(col): _*))
+      .select(col(keyCol), col(tsCol), col("__r_payload"))
+      .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn(
+      "__asof_payload", last(col("__r_payload"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
-    valueCols.foldLeft(
-        out.select((leftCols.map(col) ++ valueCols.map(c => col(s"__asof_$c"))): _*)) {
-      (df, c) => df.withColumnRenamed(s"__asof_$c", c)
-    }
+    out.select(
+      leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof_payload.$c").as(c)): _*)
   }
 }

@@ -34,7 +34,20 @@ object Bucketing {
   /** True if the physical plan of `df` contains no shuffle exchange —
     * the assertion that bucketing actually removed the shuffle. Broadcast
     * exchanges don't count: a broadcast is a replication, not a shuffle.
+    *
+    * Walks the executed plan for `ShuffleExchangeLike` nodes (their
+    * `nodeName` renders as "Exchange", so string-matching "ShuffleExchange"
+    * would never fire) including those hidden inside AQE's
+    * `AdaptiveSparkPlanExec` wrapper.
     */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange")
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p.collectFirst {
+      case _: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec if hasShuffle(a.executedPlan) => true
+    }.isDefined
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

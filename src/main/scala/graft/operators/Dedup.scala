@@ -187,8 +187,12 @@ object Dedup {
     val withShingles = Partitioning.ensureParallelism(df)
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
+    // Fold BOTH halves of the Long seed into the Int the UDF consumes —
+    // a bare .toInt would silently drop the high 32 bits, making seeds
+    // that differ only in the upper half produce identical signatures.
+    val mixedSeed = (seed ^ (seed >>> 32)).toInt
     val sig = withShingles.withColumn("__bands",
-      minhashBandsUdf(col("__shingles"), lit(numHashes), lit(bandSize), lit(seed.toInt)))
+      minhashBandsUdf(col("__shingles"), lit(numHashes), lit(bandSize), lit(mixedSeed)))
     // (band index, band value) is the LSH bucket key.
     val banded = sig.select(col(idCol),
         posexplode(col("__bands")).as(Seq("__band", "__minh")))

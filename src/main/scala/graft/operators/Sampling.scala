@@ -71,7 +71,11 @@ object Sampling {
     */
   def splitColumn(key: Column, splits: Seq[(String, Double)],
                   salt: String = "graft"): Column = {
+    // Snap near-1.0 accumulations to exactly 1.0: (0.6, 0.3, 0.1) sums to
+    // 0.9999999999999999 in double, which would yield threshold "ffff"
+    // instead of "g" and silently NULL rows whose md5 prefix is "ffff".
     val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => if (math.abs(c - 1.0) < 1e-9) 1.0 else c)
     require(cum.last <= 1.0 + 1e-9, "split fractions must sum to <= 1")
     val prefix = substring(md5(concat(key.cast("string"), lit(salt))), 1, HexDigits)
     splits.map(_._1).zip(cum).foldRight(lit(null).cast("string")) {

@@ -71,22 +71,28 @@ object Sink {
           .join(broadcast(incomingBuckets), Seq("source_bucket"), "left_semi")
           .join(broadcast(incomingSources),
             col(sourceCol) === col("__in_src"), "left_anti")
-        if (survivors.isEmpty) withBucket
+        if (survivors.isEmpty) (withBucket, None)
         else {
-          val tmp = path + ".survivors"
+          // Unique staging dir per invocation: a fixed path would let two
+          // concurrent upserts to the same table overwrite each other's
+          // staged survivors or delete a dir the other is still reading.
+          val tmp = path + ".survivors-" + java.util.UUID.randomUUID().toString
           survivors.write.mode("overwrite").parquet(tmp)
-          withBucket.unionByName(spark.read.parquet(tmp))
+          (withBucket.unionByName(spark.read.parquet(tmp)), Some(tmp))
         }
-      case None => withBucket
+      case None => (withBucket, None)
     }
-    toWrite.write
+    val (out, staging) = toWrite
+    out.write
       .partitionBy("source_bucket")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path + ".survivors"), true)
+    staging.foreach { tmp =>
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
   }
 
   /** Read the sink table back. */

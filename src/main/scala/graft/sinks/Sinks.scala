@@ -81,13 +81,21 @@ final case class VectorTableSink(path: String, numBuckets: Int = Sink.DefaultBuc
         val merged = df.unionByName(oldData
             .join(df.select("source").distinct(), Seq("source"), "left_anti"),
           allowMissingColumns = true)
-        val tmp = path + ".migrate"
+        // Unique staging dir (concurrent migrations must not clobber each
+        // other), and move-old-aside-then-promote instead of
+        // delete-then-rename so readers never observe a missing table:
+        // the table path is absent only between two metadata-level renames,
+        // not for the duration of a recursive delete.
+        val runId = java.util.UUID.randomUUID().toString
+        val tmp = path + ".migrate-" + runId
         merged.withColumn("source_bucket", pmod(hash(col("source")), lit(numBuckets)))
           .write.partitionBy("source_bucket").mode("overwrite").parquet(tmp)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val oldAside = new org.apache.hadoop.fs.Path(path + ".old-" + runId)
+        fs.rename(new org.apache.hadoop.fs.Path(path), oldAside)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+        fs.delete(oldAside, true)
       case _ =>
         Sink.upsertBySource(df, path, numBuckets = numBuckets)
     }

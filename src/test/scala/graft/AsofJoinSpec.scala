@@ -35,6 +35,18 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("v") == 8.0 && row.getAs[String]("s") == "b")
   }
 
+  test("a matched right row with a NULL payload yields NULL, not an older value") {
+    // DuckDB ASOF JOIN semantics: the most recent right ROW wins; if its
+    // payload is NULL the left row gets NULL — a per-column last(ignoreNulls)
+    // would skip it and resurrect the older 100.0.
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some(100.0)), (1L, 20L, None))
+      .toDF("k", "ts", "v")
+    val row = AsofJoin.leftAsof(left, right, "k", "ts", Seq("v")).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("v")),
+      s"expected NULL from the ts=20 row, got ${row.get(row.fieldIndex("v"))}")
+  }
+
   test("plan shape: one shuffle on the key, no range-join explosion") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 3L, 7.0)).toDF("k", "ts", "v")

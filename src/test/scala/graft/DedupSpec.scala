@@ -58,6 +58,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash seeds differing only in the high 32 bits change signatures") {
+    // A bare seed.toInt at the call site would truncate the upper half and
+    // make these two seeds produce byte-identical band arrays.
+    import org.apache.spark.sql.functions.lit
+    val sh = Dedup.shingles(lit("the quick brown fox jumps over the lazy dog"), 3)
+    def bands(seed: Long): Seq[Long] = {
+      val mixed = (seed ^ (seed >>> 32)).toInt
+      spark.range(1)
+        .select(Dedup.minhashBandsUdf(sh, lit(16), lit(2), lit(mixed)))
+        .collect()(0).getSeq[Long](0)
+    }
+    assert(bands(42L) != bands(42L | (1L << 40)))
+  }
+
   test("minhash distance is the exact verified Jaccard distance") {
     val r = Dedup.minhashLshPairs(corpus, "txt", "id", maxJaccardDistance = 0.5)
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()

@@ -58,4 +58,22 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(counts("val") > 330 && counts("val") < 670)
     assert(counts("test") > 330 && counts("test") < 670)
   }
+
+  test("splitColumn: double accumulation must not orphan ffff-prefix rows") {
+    // (0.6, 0.3, 0.1) accumulates to 0.9999999999999999 in double; without
+    // snapping, hexThreshold yields "ffff" instead of "g" and a key whose
+    // md5(key||salt) prefix is exactly "ffff" falls through to NULL. Find
+    // such a key deterministically and pin its label.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ffffKey = Iterator.from(0).map(_.toString).find { k =>
+      val hex = md.digest((k + "graft").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.startsWith("ffff")
+    }.get
+    val one = Seq(ffffKey).toDF("id")
+      .withColumn("split", Sampling.splitColumn(col("id"),
+        Seq("train" -> 0.6, "val" -> 0.3, "test" -> 0.1)))
+    assert(one.collect()(0).getString(1) == "test",
+      s"key $ffffKey with md5 prefix ffff must get the last label, not NULL")
+  }
 }

@@ -55,6 +55,24 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("isShuffleFree is a real detector: non-bucketed join reads as shuffled") {
+    // Guards the detector itself — ShuffleExchangeExec renders as
+    // "Exchange", so a naive string match on "ShuffleExchange" would pass
+    // every plan and silently mask bucketing regressions.
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "a_val")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("id", "b_val")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b, "id")
+      joined.count() // materialize so AQE finalizes the executed plan
+      assert(!Bucketing.isShuffleFree(joined),
+        "a plain sort-merge join must be detected as shuffled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("LSH-blocked retrieval avoids the cross join and keeps recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.select(col("vec_id"), col("embedding"))
