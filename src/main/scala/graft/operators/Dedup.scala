@@ -252,27 +252,70 @@ object Dedup {
     * detection at hamming <= 3 and catches higher distances
     * probabilistically (diffs must spread over all four quarters to hide).
     * Candidates are then verified with the exact 64-bit hamming distance.
-    * The (band index, band value) key bounds the self-join at any scale;
-    * blocking on a single prefix band would silently miss every near-dup
-    * whose diffs land in that prefix.
+    *
+    * Physical shape: ONE shuffle on the (band index, band value) bucket key
+    * and a streaming per-bucket pair kernel that applies the hamming filter
+    * before any candidate row materializes — no self-join (which would
+    * recompute the simhash scan on both sides), no broadcast, and the only
+    * other exchange is the final cross-band distinct. A bucket's pairwise
+    * work runs in one task; at cluster scale a pathological mega-bucket
+    * (e.g. a giant exact-dup cluster) is the thing to cap upstream via
+    * exact dedup first — the same bound the self-join formulation had, in
+    * row-explosion form.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val h = simhash(df, textCol).select(col(idCol), col("simhash"))
+    val idType = h.schema(idCol).dataType
     val bandVals = array((0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    // Row layout into the kernel: (id, simhash, __band, __bits).
     val banded = h.select(col(idCol), col("simhash"),
       posexplode(bandVals).as(Seq("__band", "__bits")))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("__band"), col("__bits"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("__band"), col("__bits"))
-    a.join(b, Seq("__band", "__bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("hamming", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    banded
+      .repartition(col("__band"), col("__bits"))
+      .sortWithinPartitions(col("__band"), col("__bits"), col(idCol))
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[Row] {
+          private var pending: Iterator[Row] = Iterator.empty
+          private def load(): Unit = {
+            while (!pending.hasNext && buf.hasNext) {
+              val band = buf.head.getInt(2)
+              val bits = buf.head.getLong(3)
+              val ids = scala.collection.mutable.ArrayBuffer[Any]()
+              val hs = scala.collection.mutable.ArrayBuffer[Long]()
+              while (buf.hasNext && buf.head.getInt(2) == band &&
+                     buf.head.getLong(3) == bits) {
+                val r = buf.next()
+                ids += r.get(0); hs += r.getLong(1)
+              }
+              val out = scala.collection.mutable.ArrayBuffer[Row]()
+              var i = 0
+              while (i < ids.length) {
+                var j = i + 1
+                while (j < ids.length) {
+                  val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+                  if (d <= maxHamming) out += Row(ids(i), ids(j), d)
+                  j += 1
+                }
+                i += 1
+              }
+              pending = out.iterator
+            }
+          }
+          override def hasNext: Boolean = { load(); pending.hasNext }
+          override def next(): Row = { load(); pending.next() }
+        }
+      }(enc)
+      // A pair sharing several quarters is emitted once per matching bucket.
+      .distinct()
   }
 
   // -------------------------------------------------------------------------
