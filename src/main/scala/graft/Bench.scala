@@ -1,9 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Per-query: N reps (SPARK_GRAFT_BENCH_REPS, default 3),
+  * MEDIAN reported — the first rep doubles as the per-query warm-up and the
+  * median discards its codegen/classload cost, making round-over-round
+  * deltas attributable to plan changes rather than run-order noise. Each
+  * query's physical plan (pre-execution, AQE-initial — deterministic, so
+  * the digest never flaps on runtime size re-plans) is normalized
+  * (expression ids stripped) and persisted to `bench_plans/<name>.txt` with
+  * a digest in the output JSON, so a regression can be bisected to "plan
+  * changed" vs "same plan, environment moved".
+  */
 object Bench {
+
+  /** Strip run-varying tokens (expression ids, plan ids, object addresses,
+    * codegen stage ids) so the digest is stable across runs of the same
+    * logical plan.
+    */
+  private[graft] def normalizePlan(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#N")
+      .replaceAll("plan_id=\\d+", "plan_id=N")
+      .replaceAll("\\(\\d+\\)", "(N)") // codegen stage ids
+      .replaceAll("@[0-9a-fA-F]+", "@X")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(X)")
+      .replaceAll("id=\\d+", "id=N")
+
+  private def digest(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,27 +48,52 @@ object Bench {
     // the first timed query doesn't absorb ~3s of JVM/Spark startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val plansDir = new java.io.File("bench_plans")
+    plansDir.mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val planDigests = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // Isolate queries from each other: drop leftover cached tables /
-      // broadcasts and collect garbage outside the timed window.
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+      val times = (1 to reps).flatMap { rep =>
+        // Isolate reps from each other: drop leftover cached tables /
+        // broadcasts and collect garbage outside the timed window.
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (rep == reps) {
+            // AQE-final physical plan of the rep just executed.
+            val normalized = normalizePlan(df.queryExecution.executedPlan.toString)
+            planDigests(name) = digest(normalized)
+            val w = new java.io.PrintWriter(new java.io.File(plansDir, s"$name.txt"), "UTF-8")
+            try w.write(normalized) finally w.close()
+          }
+          Some(dt)
+        } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+            }
+            None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val median =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${SparkEntry.queries.size} queries FAILED: ${failed.sorted.mkString(", ")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val plansJson = planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"plan_digests":$plansJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

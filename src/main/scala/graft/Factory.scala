@@ -65,6 +65,22 @@ object Factory {
     def embedQuery(query: String): Array[Float] = HashingEmbedder.embed(query, dim, seed)
   }
 
+  /** Remote HTTP embedder (the reference's OpenAI client,
+    * `embedders.py:62-91`): distributed mapPartitions batch client against
+    * an OpenAI-style `/embeddings` endpoint. Bound when the config provides
+    * a `base_url`/`endpoint`; without one (this environment has no egress)
+    * the factory falls back to the hashing stand-in, documented below.
+    */
+  private final case class RemoteEmbedderComponent(endpoint: String, apiKey: Option[String],
+                                                   model: String, dim: Int,
+                                                   batchSize: Int) extends GraftEmbedder {
+    def embed(df: DataFrame, textCol: String): DataFrame =
+      Embed.remote(df, textCol, endpoint, apiKey, model, batchSize)
+    def embedQuery(query: String): Array[Float] =
+      graft.functions.RemoteEmbedder.embedBatch(
+        graft.functions.RemoteEmbedder.newClient(30), endpoint, apiKey, model, Seq(query))(0)
+  }
+
   // ---------------------------------------------------------------------
   // Registries (F1)
   // ---------------------------------------------------------------------
@@ -102,12 +118,22 @@ object Factory {
     "sentence_transformer" -> (c =>
       HashingEmbedderComponent(c.int("dim", 384), c.int("seed", HashingEmbedder.DefaultSeed))),
     // The reference requires an api key (arg or env) and errors without one
-    // (`embedders.py:71-73`) — config error path preserved.
+    // (`embedders.py:71-73`) — config error path preserved. With a
+    // `base_url`/`endpoint` configured the REAL HTTP client is bound
+    // (mapPartitions batch client, Embed.remote); without one this offline
+    // environment binds the hashing stand-in under the same trait.
     "openai" -> { c =>
       val key = c.str("api_key").orElse(sys.env.get("OPENAI_API_KEY"))
       if (key.isEmpty)
         throw new GraftConfigException("OpenAI API key not set (api_key or OPENAI_API_KEY)")
-      HashingEmbedderComponent(c.int("dim", 1536), c.int("seed", HashingEmbedder.DefaultSeed))
+      c.str("base_url").orElse(c.str("endpoint")) match {
+        case Some(url) => RemoteEmbedderComponent(url, key,
+          c.strOr("model", graft.functions.RemoteEmbedder.DefaultModel),
+          c.int("dim", 1536),
+          c.int("batch_size", graft.functions.RemoteEmbedder.DefaultBatchSize))
+        case None =>
+          HashingEmbedderComponent(c.int("dim", 1536), c.int("seed", HashingEmbedder.DefaultSeed))
+      }
     },
     "hashing" -> (c =>
       HashingEmbedderComponent(c.int("dim", HashingEmbedder.DefaultDim),

@@ -250,9 +250,12 @@ object SparkEntry {
           (col("end_ns") + gapNs).as("end_ns"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // Adaptive broadcast decision (None): sessions grow with the data, so
+      // a pinned broadcast would become a driver-side collect of an
+      // unbounded set at 100x — the size-estimate threshold picks broadcast
+      // only while the interval side is genuinely dimension-sized.
       RangeJoin.pointInInterval(purchases, intervals, "user_id", "ts",
-          "start_ns", "end_ns", bucketWidth = 3600L * 1000 * 1000 * 1000,
-          broadcastIntervals = true) // sessions are dimension-sized
+          "start_ns", "end_ns", bucketWidth = 3600L * 1000 * 1000 * 1000)
         .select(col("event_id"), col("user_id"), col("session_index"))
     }),
 

@@ -49,8 +49,10 @@ object AsofJoin {
     val filled = unioned.withColumn(
       "__asof_payload", last(col("__r_payload"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
+    // getField addresses the struct member by name without parsing, so
+    // payload columns containing dots/backticks resolve correctly.
     out.select(
       leftCols.map(col) ++
-        valueCols.map(c => col(s"__asof_payload.$c").as(c)): _*)
+        valueCols.map(c => col("__asof_payload").getField(c).as(c)): _*)
   }
 }

@@ -42,11 +42,16 @@ object Bucketing {
     */
   def isShuffleFree(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    // AQE materializes exchanges as QueryStageExec leaves (and reuses them
+    // via ReusedExchangeExec), so a plain collectFirst over the tree never
+    // reaches the ShuffleExchangeLike wrapped inside — recurse into both.
     def hasShuffle(p: SparkPlan): Boolean = p.collectFirst {
       case _: ShuffleExchangeLike => true
       case a: AdaptiveSparkPlanExec if hasShuffle(a.executedPlan) => true
+      case q: QueryStageExec if hasShuffle(q.plan) => true
+      case r: ReusedExchangeExec if hasShuffle(r.child) => true
     }.isDefined
     !hasShuffle(df.queryExecution.executedPlan)
   }

@@ -263,11 +263,32 @@ object Dedup {
     * exact dedup first — the same bound the self-join formulation had, in
     * row-explosion form.
     */
+  /** Guard against a pathological mega-bucket (e.g. a giant exact-dup
+    * cluster all sharing a simhash quarter): fail loudly with a named error
+    * instead of grinding through O(bucket^2) pair work in one task.
+    */
+  final class BucketTooLargeException(op: String, size: Int, limit: Int)
+    extends IllegalStateException(
+      s"graft.$op: LSH bucket holds $size rows > maxBucketSize=$limit; " +
+        "run exact dedup first or raise maxBucketSize")
+
+  /** Lazy (i, j) upper-triangle pair iterator over one bucket's membership
+    * arrays: O(bucket) heap (the membership itself), never O(bucket^2) —
+    * pairs stream out as downstream consumes them.
+    */
+  private def lazyPairs[T](n: Int, emit: (Int, Int) => Option[T]): Iterator[T] =
+    Iterator.range(0, n).flatMap(i =>
+      Iterator.range(i + 1, n).flatMap(j => emit(i, j)))
+
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // NULL ids are dropped up front (matching the old self-join's
+    // id_a < id_b semantics, where NULL comparisons discarded the row).
     val h = simhash(df, textCol).select(col(idCol), col("simhash"))
+      .filter(col(idCol).isNotNull)
     val idType = h.schema(idCol).dataType
     val bandVals = array((0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
@@ -277,7 +298,7 @@ object Dedup {
     val outSchema = StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType),
       StructField("hamming", IntegerType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     banded
       .repartition(col("__band"), col("__bits"))
       .sortWithinPartitions(col("__band"), col("__bits"), col(idCol))
@@ -296,18 +317,12 @@ object Dedup {
                 val r = buf.next()
                 ids += r.get(0); hs += r.getLong(1)
               }
-              val out = scala.collection.mutable.ArrayBuffer[Row]()
-              var i = 0
-              while (i < ids.length) {
-                var j = i + 1
-                while (j < ids.length) {
-                  val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
-                  if (d <= maxHamming) out += Row(ids(i), ids(j), d)
-                  j += 1
-                }
-                i += 1
-              }
-              pending = out.iterator
+              if (ids.length > maxBucketSize)
+                throw new BucketTooLargeException("simhashPairs", ids.length, maxBucketSize)
+              pending = lazyPairs(ids.length, (i, j) => {
+                val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+                if (d <= maxHamming) Some(Row(ids(i), ids(j), d)) else None
+              })
             }
           }
           override def hasNext: Boolean = { load(); pending.hasNext }
@@ -335,7 +350,8 @@ object Dedup {
     * fit in one task's memory — the blocking key is chosen for that.
     */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String, blockCol: String,
-                  minCosine: Double = 0.8): DataFrame = {
+                  minCosine: Double = 0.8,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val inSchema = df.schema
@@ -344,7 +360,7 @@ object Dedup {
       StructField("id_a", inSchema(idCol).dataType),
       StructField("id_b", inSchema(idCol).dataType),
       StructField("cosine", DoubleType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(col(blockCol), col(idCol), col(vecCol))
       .repartition(col(blockCol))
       .sortWithinPartitions(col(blockCol), col(idCol))
@@ -362,35 +378,28 @@ object Dedup {
                 ids += r.get(1)
                 vecs += (if (r.isNullAt(2)) null else r.getSeq[Float](2).toArray)
               }
-              val out = scala.collection.mutable.ArrayBuffer[Row]()
-              var i = 0
-              while (i < ids.length) {
-                val va = vecs(i)
-                if (va != null) {
-                  var j = i + 1
-                  while (j < ids.length) {
-                    val vb = vecs(j)
-                    if (vb != null) {
-                      var dot = 0.0; var na = 0.0; var nb = 0.0
-                      val n = math.min(va.length, vb.length)
-                      var k = 0
-                      while (k < n) {
-                        val x = va(k).toDouble; val y = vb(k).toDouble
-                        dot += x * y; na += x * x; nb += y * y
-                        k += 1
-                      }
-                      val denom = math.sqrt(na) * math.sqrt(nb)
-                      if (denom != 0.0) {
-                        val c = dot / denom
-                        if (c >= minCosine) out += Row(blockVal, ids(i), ids(j), c)
-                      }
-                    }
-                    j += 1
+              if (ids.length > maxBucketSize)
+                throw new BucketTooLargeException("cosinePairs", ids.length, maxBucketSize)
+              // Pairs stream lazily out of the (i, j) triangle — the block's
+              // heap cost stays O(|block|) membership, not O(|block|^2) rows.
+              pending = lazyPairs(ids.length, (i, j) => {
+                val va = vecs(i); val vb = vecs(j)
+                if (va == null || vb == null) None
+                else {
+                  var dot = 0.0; var na = 0.0; var nb = 0.0
+                  val n = math.min(va.length, vb.length)
+                  var k = 0
+                  while (k < n) {
+                    val x = va(k).toDouble; val y = vb(k).toDouble
+                    dot += x * y; na += x * x; nb += y * y
+                    k += 1
                   }
+                  val denom = math.sqrt(na) * math.sqrt(nb)
+                  if (denom != 0.0 && dot / denom >= minCosine)
+                    Some(Row(blockVal, ids(i), ids(j), dot / denom))
+                  else None
                 }
-                i += 1
-              }
-              pending = out.iterator
+              })
             }
           }
           override def hasNext: Boolean = { loadNextBlock(); pending.hasNext }

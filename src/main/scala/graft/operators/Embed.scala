@@ -36,4 +36,38 @@ object Embed {
   def embedQuery(query: String, dim: Int = HashingEmbedder.DefaultDim,
                  seed: Int = HashingEmbedder.DefaultSeed): Array[Float] =
     HashingEmbedder.embed(query, dim, seed)
+
+  /** Attach an `embedding` column by calling a remote OpenAI-style
+    * embeddings endpoint (`embedders.py:62-91`): mapPartitions with ONE
+    * http client per partition and bounded batches of `batchSize` texts per
+    * POST — embeddings zip back row-aligned within the partition, so the
+    * operation stays distributed and the driver never holds a global batch.
+    * A failed batch fails the task (and with it the job) loudly; Spark task
+    * retry is the retry policy.
+    */
+  def remote(df: DataFrame, textCol: String, endpoint: String,
+             apiKey: Option[String] = None,
+             model: String = graft.functions.RemoteEmbedder.DefaultModel,
+             batchSize: Int = graft.functions.RemoteEmbedder.DefaultBatchSize,
+             timeoutSeconds: Int = 30,
+             outCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val outSchema = StructType(
+      inSchema.fields :+ StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = inSchema.fieldIndex(textCol)
+    Partitioning.ensureParallelism(df).mapPartitions { rows =>
+      lazy val client = graft.functions.RemoteEmbedder.newClient(timeoutSeconds)
+      rows.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => if (r.isNullAt(textIdx)) "" else r.getString(textIdx))
+        val vecs = graft.functions.RemoteEmbedder.embedBatch(
+          client, endpoint, apiKey, model, texts, timeoutSeconds)
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
 }

@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is real and tested: schema, partitioning, batch
   * iteration, and the feature-frame contract all match what a production
-  * decoder (via `mapInPandas` / a JNI codec) would use. The DECODE ITSELF IS
-  * A STUB — this container has no image/audio codecs — replaced by a
-  * deterministic fake that derives "features" from the payload bytes, clearly
-  * marked below. Swapping in a real decoder changes only the body of
-  * [[stubDecode]].
+  * decoder (via `mapInPandas` / a JNI codec) would use. IMAGE decode is REAL
+  * (javax.imageio — JDK built-in, offline-safe — handles png/jpeg/bmp/gif
+  * and emits pixel-derived luminance-histogram features plus width/height).
+  * Audio/video codecs are not in this container, so non-image payloads fall
+  * back to [[stubDecode]], a clearly-marked deterministic fake over the raw
+  * bytes; swapping in a real codec changes only the [[decode]] dispatch.
   */
 object Multimodal {
 
@@ -38,7 +39,13 @@ object Multimodal {
       .select(
         xxhash64(col("path")).as("media_id"),
         col("content").as("payload"),
-        lit("application/octet-stream").as("mime"),
+        // Extension-derived mime so the decode dispatch can pick the real
+        // ImageIO path for images straight off a directory scan.
+        when(lower(col("path")).endsWith(".png"), "image/png")
+          .when(lower(col("path")).endsWith(".jpg") || lower(col("path")).endsWith(".jpeg"), "image/jpeg")
+          .when(lower(col("path")).endsWith(".bmp"), "image/bmp")
+          .when(lower(col("path")).endsWith(".gif"), "image/gif")
+          .otherwise("application/octet-stream").as("mime"),
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height"),
         col("length").as("n_bytes"))
@@ -80,26 +87,91 @@ object Multimodal {
     out
   }
 
+  /** Real image decode via javax.imageio (JDK built-in, offline-safe):
+    * png/jpeg/bmp/gif payloads decode to a pixel grid. Returns None when
+    * ImageIO has no reader for the bytes (corrupt or unsupported format).
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  /** Pixel-derived features for a decoded image: `dim`-bin luminance
+    * histogram (Rec. 601 weights), L2-normalized — real pixels in, not a
+    * byte-stub.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        out(math.min(dim - 1, (lum * dim).toInt)) += 1.0f
+        x += 1
+      }
+      y += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += out(j) * out(j); j += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { out(j) *= inv; j += 1 }
+    }
+    out
+  }
+
+  /** Decode dispatch: image mimes get the real ImageIO path (falling back to
+    * the stub if the bytes don't decode); everything else (audio/video — no
+    * codecs in this container) takes the documented [[stubDecode]] fallback.
+    */
+  def decode(payload: Array[Byte], mime: String, dim: Int): Array[Float] =
+    if (mime != null && mime.startsWith("image/"))
+      decodeImage(payload).map(imageFeatures(_, dim)).getOrElse(stubDecode(payload, dim))
+    else stubDecode(payload, dim)
+
+  /** Fill width/height metadata by really decoding image payloads — narrow
+    * per-partition transform, non-image rows pass through with NULL dims.
+    */
+  def withImageDims(media: DataFrame): DataFrame = {
+    val dimsUdf = udf((payload: Array[Byte], mime: String) =>
+      if (mime != null && mime.startsWith("image/"))
+        decodeImage(payload).map(img => (img.getWidth, img.getHeight))
+      else None)
+    media.withColumn("__dims", dimsUdf(col("payload"), col("mime")))
+      .withColumn("width", coalesce(col("__dims._1"), col("width")))
+      .withColumn("height", coalesce(col("__dims._2"), col("height")))
+      .drop("__dims")
+  }
+
   /** Feature extraction over media records: batched per partition (the
     * mapInPandas batch shape — a real decoder amortizes codec init across
-    * the partition), emitting `media_id, mime, n_bytes, features`.
+    * the partition), emitting `media_id, mime, n_bytes, features`. Image
+    * payloads take the real ImageIO decode; others the documented stub.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("mime", StringType),
       StructField("n_bytes", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     Partitioning.ensureParallelism(
         media.select("media_id", "mime", "n_bytes", "payload"))
       .mapPartitions { rows =>
         // One decoder "session" per partition; rows stream through in order.
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-            r.getAs[Long]("n_bytes"), stubDecode(payload, dim).toSeq)
+          val mime = r.getAs[String]("mime")
+          Row(r.getAs[Long]("media_id"), mime,
+            r.getAs[Long]("n_bytes"), decode(payload, mime, dim).toSeq)
         }
       }(enc)
   }

@@ -22,23 +22,36 @@ object RangeJoin {
     * `endCol`, inclusive ends) on `start <= p <= end`, both sides also
     * matching on `keyCol`. All range columns are numeric (long). Inner
     * semantics: unmatched points drop.
-    */
-  /** `broadcastIntervals`: when the interval side is dimension-sized
-    * (sessions, calendars, SLA windows), broadcasting it makes the whole
-    * join a narrow stage over the (usually much larger) point side — no
-    * shuffle at all. Leave false when intervals rival points in size.
+    *
+    * `broadcastIntervals`: when the interval side is dimension-sized
+    * (calendars, SLA windows), broadcasting it makes the whole join a
+    * narrow stage over the (usually much larger) point side — no shuffle
+    * at all. `Some(false)` forces the shuffle equi-join. The default
+    * (`None`) decides ADAPTIVELY from Catalyst's size estimate of the
+    * interval side against `broadcastThresholdBytes`: interval sets that
+    * grow with the data (sessions at 100x) exceed the threshold and take
+    * the scale-safe shuffle path; true dimensions stay broadcast. This
+    * keeps a fixed `Some(true)` from turning into an unbounded driver-side
+    * collect as the data grows.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCol: String, pointCol: String,
                       startCol: String, endCol: String,
                       bucketWidth: Long,
-                      broadcastIntervals: Boolean = false): DataFrame = {
+                      broadcastIntervals: Option[Boolean] = None,
+                      broadcastThresholdBytes: Long = 10L << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val exploded = intervals.withColumn("__bucket",
       explode(sequence(
         floor(col(startCol) / bucketWidth).cast("long"),
         floor(col(endCol) / bucketWidth).cast("long"))))
-    val ivals = if (broadcastIntervals) broadcast(exploded) else exploded
+    val doBroadcast = broadcastIntervals.getOrElse {
+      // Pre-explosion estimate; the explode replicates rows by ~len/width,
+      // which the threshold absorbs (it is a safety bound, not a tuning
+      // knob — AQE still re-plans the join at runtime sizes).
+      intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastThresholdBytes
+    }
+    val ivals = if (doBroadcast) broadcast(exploded) else exploded
     val pts = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pts.join(ivals, Seq(keyCol, "__bucket"))

@@ -29,6 +29,36 @@ object Sink {
 
   val DefaultBuckets = 64
 
+  /** Per-table write locks: concurrent upserts from ONE JVM (the usual
+    * single-driver deployment) serialize instead of racing the shared
+    * `_temporary` committer dir and each other's partition overwrites.
+    * Cross-JVM concurrent writers need a transactional table format
+    * (Delta/Iceberg) — out of scope for a parquet sink, documented here.
+    */
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
+
+  /** Reap leftover survivor-staging dirs from crashed upserts: the UUID
+    * names make them unidentifiable to their (dead) writer, so any
+    * `<table>.survivors-*` older than `maxAgeMs` is garbage by construction
+    * (a live upsert holds the table lock for its whole write).
+    */
+  private def reapStaleStaging(spark: SparkSession, path: String,
+                               maxAgeMs: Long = 24L * 3600 * 1000): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent)) {
+      val prefix = p.getName + ".survivors-"
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      fs.listStatus(parent).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix) && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Project the canonical chunk frame into the sink schema. */
   def project(df: DataFrame, textCol: String = "chunk", vecCol: String = "embedding",
               sourceCol: String = "source"): DataFrame = {
@@ -57,8 +87,9 @@ object Sink {
     * size.
     */
   def upsertBySource(df: DataFrame, path: String, sourceCol: String = "source",
-                     numBuckets: Int = DefaultBuckets): Unit = {
+                     numBuckets: Int = DefaultBuckets): Unit = lockFor(path).synchronized {
     val spark = df.sparkSession
+    reapStaleStaging(spark, path)
     val withBucket = df.withColumn("source_bucket",
       pmod(hash(col(sourceCol)), lit(numBuckets)))
     val existing =
@@ -83,15 +114,21 @@ object Sink {
       case None => (withBucket, None)
     }
     val (out, staging) = toWrite
-    out.write
-      .partitionBy("source_bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(path)
-    staging.foreach { tmp =>
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // try/finally: a failed overwrite must not leak its staging dir (the
+    // UUID name would make it unreapable by anything but the age-based
+    // sweep above).
+    try {
+      out.write
+        .partitionBy("source_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    } finally {
+      staging.foreach { tmp =>
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
     }
   }
 

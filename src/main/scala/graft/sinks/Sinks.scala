@@ -67,7 +67,10 @@ object SinkSchemas {
 final case class VectorTableSink(path: String, numBuckets: Int = Sink.DefaultBuckets)
     extends GraftSink {
 
-  override def write(df: DataFrame): Unit = {
+  // Whole-write serialization per table path (reentrant with the inner
+  // upsert's lock): concurrent in-JVM writers see each other's completed
+  // writes, never a half-migrated table.
+  override def write(df: DataFrame): Unit = Sink.lockFor(path).synchronized {
     SinkSchemas.validate(df.schema)
     val spark = df.sparkSession
     val existing = try Some(spark.read.parquet(path)) catch { case _: Exception => None }
@@ -88,14 +91,36 @@ final case class VectorTableSink(path: String, numBuckets: Int = Sink.DefaultBuc
         // not for the duration of a recursive delete.
         val runId = java.util.UUID.randomUUID().toString
         val tmp = path + ".migrate-" + runId
-        merged.withColumn("source_bucket", pmod(hash(col("source")), lit(numBuckets)))
-          .write.partitionBy("source_bucket").mode("overwrite").parquet(tmp)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pathP = new org.apache.hadoop.fs.Path(path)
+        val tmpP = new org.apache.hadoop.fs.Path(tmp)
         val oldAside = new org.apache.hadoop.fs.Path(path + ".old-" + runId)
-        fs.rename(new org.apache.hadoop.fs.Path(path), oldAside)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
-        fs.delete(oldAside, true)
+        // Hadoop rename signals failure by RETURNING FALSE (and renaming
+        // onto an existing dir nests the source inside it) — every rename
+        // result is checked so a failed step can't silently "succeed" with
+        // stale data. On a failed promote the old table is restored.
+        var promoted = false
+        try {
+          merged.withColumn("source_bucket", pmod(hash(col("source")), lit(numBuckets)))
+            .write.partitionBy("source_bucket").mode("overwrite").parquet(tmp)
+          Sink.lockFor(path).synchronized {
+            require(fs.rename(pathP, oldAside),
+              s"sink migration: rename $pathP -> $oldAside failed")
+            try {
+              require(fs.rename(tmpP, pathP),
+                s"sink migration: rename $tmpP -> $pathP failed")
+              promoted = true
+            } catch {
+              case e: Throwable =>
+                fs.rename(oldAside, pathP) // best-effort restore of the old table
+                throw e
+            }
+          }
+          fs.delete(oldAside, true)
+        } finally {
+          if (!promoted) fs.delete(tmpP, true)
+        }
       case _ =>
         Sink.upsertBySource(df, path, numBuckets = numBuckets)
     }

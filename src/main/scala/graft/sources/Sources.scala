@@ -54,16 +54,44 @@ object GraftSource {
       .select(col("content"), col("source"), col("fingerprint"), col("metadata"))
 }
 
+/** Extension registry for text extraction — the explicit form of the
+  * reference's `unstructured.partition` format dispatch
+  * (`sources.py:92-93`). Text formats extract natively inside the
+  * distributed scan; known DOCUMENT formats whose parsers aren't available
+  * in this offline build (pdf/docx/...) FAIL LOUDLY with a named error
+  * instead of silently mis-decoding their bytes as UTF-8; extensions not in
+  * the registry decode as plain text (the reference's sniffing fallback).
+  */
+object TextExtractors {
+  sealed trait Handling
+  /** Decode bytes as UTF-8 text verbatim. */
+  case object Plain extends Handling
+  /** Strip tags + per-line normalize. */
+  case object Html extends Handling
+  /** Needs a real parser that is not available offline — fails loudly. */
+  case object Unsupported extends Handling
+
+  val registry: Map[String, Handling] = Map(
+    "txt" -> Plain, "text" -> Plain, "md" -> Plain, "markdown" -> Plain,
+    "log" -> Plain, "csv" -> Plain, "tsv" -> Plain, "json" -> Plain,
+    "jsonl" -> Plain, "xml" -> Plain, "yaml" -> Plain, "yml" -> Plain,
+    "html" -> Html, "htm" -> Html,
+    "pdf" -> Unsupported, "doc" -> Unsupported, "docx" -> Unsupported,
+    "ppt" -> Unsupported, "pptx" -> Unsupported, "xls" -> Unsupported,
+    "xlsx" -> Unsupported, "epub" -> Unsupported, "rtf" -> Unsupported,
+    "odt" -> Unsupported)
+
+  private[sources] def extsOf(h: Handling): Seq[String] =
+    registry.collect { case (ext, `h`) => ext }.toSeq
+}
+
 /** S1 — local directory scan (`sources.py:52-115`): glob files, extract
   * text per extension, one document per file, `source` = absolute path,
   * fingerprint = sha256 of the content. Unlike the reference (driver-side
   * `unstructured.partition` per file), extraction runs inside the
-  * distributed binaryFile scan.
-  *
-  * Extension dispatch (the reference delegates to `unstructured`, which
-  * is format-sniffing; we support the text formats natively and treat
-  * unknown binaries as opaque — multimodal columns handle those):
-  * html/htm -> tag-strip + line-normalize; everything else -> UTF-8 decode.
+  * distributed binaryFile scan. Format dispatch is the explicit
+  * [[TextExtractors.registry]]: unsupported document formats raise a named
+  * error per file (route real binaries through `Multimodal.readBinaryDir`).
   */
 final case class LocalFileSource(directory: String, glob: String = "*") extends GraftSource {
 
@@ -72,9 +100,17 @@ final case class LocalFileSource(directory: String, glob: String = "*") extends 
       .option("pathGlobFilter", glob)
       .load(directory)
     val text = decode(col("content"), "UTF-8")
-    val isHtml = lower(col("path")).endsWith(".html") || lower(col("path")).endsWith(".htm")
-    val extracted = when(isHtml,
-      TextFunctions.normalizeLines(TextFunctions.stripHtml(text))).otherwise(text)
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val htmlExts = TextExtractors.extsOf(TextExtractors.Html)
+    val unsupportedExts = TextExtractors.extsOf(TextExtractors.Unsupported)
+    val extracted = when(ext.isin(unsupportedExts: _*),
+        raise_error(concat(
+          lit("graft.LocalFileSource: no offline text extractor for format '"), ext,
+          lit("' ("), col("path"),
+          lit("); add a TextExtractors entry or ingest via Multimodal.readBinaryDir"))))
+      .when(ext.isin(htmlExts: _*),
+        TextFunctions.normalizeLines(TextFunctions.stripHtml(text)))
+      .otherwise(text)
     GraftSource.canonical(raw.select(
       extracted.as("content"),
       col("path").as("source"),
@@ -196,6 +232,12 @@ final case class JdbcSource(jdbcUrl: String,
 
   private[graft] def effectiveQuery: String = (timestampColumn, watermark) match {
     case (Some(tsCol), Some(wm)) =>
+      // Identifier allowlist: the column name is config-provided, so a
+      // hostile/typo'd value must not splice SQL into the pushed-down query.
+      // The watermark side is safe by construction (java.sql.Timestamp
+      // renders digits, '-', ':', '.', ' ' only).
+      require(tsCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"timestampColumn must be a plain SQL identifier, got: '$tsCol'")
       s"SELECT * FROM ($query) graft_q WHERE $tsCol > '${wm.toString}'"
     case _ => query
   }

@@ -104,6 +104,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out((4L, 5L)) - 1.0 / math.sqrt(1.04)) < 1e-9)
   }
 
+  test("simhash pairs drop null ids (old self-join semantics preserved)") {
+    val withNull = corpus.withColumn("id",
+      when(col("id") === 5, lit(null).cast("long")).otherwise(col("id")))
+    val pairs = Dedup.simhashPairs(withNull, "txt", "id", maxHamming = 64).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "NULL ids must never appear in emitted pairs")
+  }
+
+  test("mega-bucket guard fails loudly instead of grinding O(n^2) in one task") {
+    // 50 identical docs: one exact-dup cluster -> every row lands in the
+    // same four simhash buckets. maxBucketSize below the cluster size must
+    // raise the named error (the realistic 100 TB failure mode).
+    val mega = spark.range(50)
+      .select(col("id"), lit("same text repeated for every single row here").as("txt"))
+    val e = intercept[Exception] {
+      Dedup.simhashPairs(mega, "txt", "id", maxHamming = 3, maxBucketSize = 10).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("maxBucketSize"))),
+      s"expected BucketTooLargeException in: ${chain(e).map(_.getClass.getSimpleName)}")
+    // generous bound -> same pairs as unguarded
+    val n = Dedup.simhashPairs(mega, "txt", "id", maxHamming = 3, maxBucketSize = 1000).count()
+    assert(n == 50L * 49 / 2)
+    // cosine kernel: same guard
+    import spark.implicits._
+    val vecs = (1L to 30L).map(i => (0, i, Seq(1f, 0f))).toDF("label", "vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Dedup.cosinePairs(vecs, "embedding", "vec_id", "label",
+        minCosine = -2.0, maxBucketSize = 5).count()
+    }
+    assert(chain(e2).exists(t => Option(t.getMessage).exists(_.contains("maxBucketSize"))))
+  }
+
   test("cosine pair kernel skips null and zero-norm vectors") {
     val vecs = Seq(
       (0, 1L, Seq(1f, 0f)), (0, 2L, Seq(0f, 0f)), (0, 3L, null.asInstanceOf[Seq[Float]]),

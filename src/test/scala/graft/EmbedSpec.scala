@@ -58,4 +58,80 @@ class EmbedSpec extends AnyFunSuite with SparkTestBase {
     assert(HashingEmbedder.embedBatch(Seq.empty).isEmpty)
     assert(HashingEmbedder.embedBatch(Seq("a", "b", "c")).length == 3)
   }
+
+  /** Serve an OpenAI-shape embeddings endpoint; vector = [len(text), 1.5].
+    * Entries are returned in REVERSED order so the client's index-based
+    * re-alignment is actually exercised.
+    */
+  private def withFakeServer(status: Int = 200)(
+      body: (String, java.util.List[String], java.util.concurrent.atomic.AtomicInteger) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val nRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val authHeaders = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    server.createContext("/v1/embeddings", (ex: com.sun.net.httpserver.HttpExchange) => {
+      nRequests.incrementAndGet()
+      authHeaders.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val root = new org.yaml.snakeyaml.Yaml().load[Any](req)
+        .asInstanceOf[java.util.Map[String, Any]]
+      val input = root.get("input").asInstanceOf[java.util.List[String]]
+      val entries = (0 until input.size).reverse.map { i =>
+        s"""{"index":$i,"embedding":[${input.get(i).length}.0,1.5]}"""
+      }
+      val resp =
+        if (status == 200) s"""{"data":[${entries.mkString(",")}]}"""
+        else """{"error":"simulated upstream failure"}"""
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1/embeddings", authHeaders, nRequests)
+    finally server.stop(0)
+  }
+
+  test("remote embedder: distributed batch client round-trips, row-aligned, with auth") {
+    import spark.implicits._
+    withFakeServer() { (url, auths, nRequests) =>
+      val df = Seq((1L, "ab"), (2L, "abcd"), (3L, ""), (4L, "xyzxyz")).toDF("id", "txt")
+      val out = Embed.remote(df, "txt", url, apiKey = Some("sk-test"), batchSize = 2)
+        .orderBy("id").select("id", "embedding").collect()
+      assert(out.length == 4)
+      // vectors re-aligned by index despite the server's reversed response
+      assert(out(0).getSeq[Float](1) == Seq(2f, 1.5f))
+      assert(out(1).getSeq[Float](1) == Seq(4f, 1.5f))
+      assert(out(2).getSeq[Float](1) == Seq(0f, 1.5f)) // null-safe: "" for empty
+      assert(out(3).getSeq[Float](1) == Seq(6f, 1.5f))
+      assert(nRequests.get() >= 2, "batchSize=2 over 4 texts must take multiple POSTs")
+      assert(auths.toArray.forall(_ == "Bearer sk-test"))
+    }
+  }
+
+  test("remote embedder: non-2xx fails the job loudly with the API body") {
+    import spark.implicits._
+    withFakeServer(status = 500) { (url, _, _) =>
+      val df = Seq((1L, "boom")).toDF("id", "txt")
+      val e = intercept[Exception](Embed.remote(df, "txt", url).collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        Option(t.getMessage).exists(m => m.contains("HTTP 500") && m.contains("simulated"))))
+    }
+  }
+
+  test("remote embedder protocol core: escape, encode, parse") {
+    import graft.functions.RemoteEmbedder
+    val body = RemoteEmbedder.requestBody("m", Seq("a\"b", "line\nbreak", "tab\there"))
+    assert(body.contains("\\\"") && body.contains("\\n") && body.contains("\\t"))
+    val parsed = RemoteEmbedder.parseResponse(
+      """{"data":[{"index":1,"embedding":[3.0]},{"index":0,"embedding":[1.0]}]}""", 2)
+    assert(parsed(0).toSeq == Seq(1f) && parsed(1).toSeq == Seq(3f))
+    // count mismatch and duplicate/missing indices fail loudly
+    assertThrows[IllegalArgumentException](
+      RemoteEmbedder.parseResponse("""{"data":[{"index":0,"embedding":[1.0]}]}""", 2))
+    assertThrows[IllegalArgumentException](RemoteEmbedder.parseResponse(
+      """{"data":[{"index":0,"embedding":[1.0]},{"index":0,"embedding":[2.0]}]}""", 2))
+  }
 }

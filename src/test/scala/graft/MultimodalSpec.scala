@@ -56,6 +56,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(resized(1).getSeq[Float](1).forall(_ == 0f)) // empty payload
   }
 
+  test("real image decode: PNG payload yields pixel-derived features and dims") {
+    import org.apache.spark.sql.Row
+    // 8x4 image: left half black, right half white -> luminance histogram
+    // mass splits evenly between the lowest and highest bins.
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, png, "image/png", null, null, png.length.toLong),
+        Row(2L, "not an image".getBytes("UTF-8"), "text/plain", null, null, 12L)),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()
+    val f = feats(0).getSeq[Float](3)
+    // 16 black pixels in bin 0, 16 white in bin 3, L2-normalized
+    val inv = (1.0 / math.sqrt(2)).toFloat
+    assert(math.abs(f(0) - inv) < 1e-5 && math.abs(f(3) - inv) < 1e-5)
+    assert(f(1) == 0f && f(2) == 0f)
+    // non-image rows keep the documented stub path
+    assert(feats(1).getSeq[Float](3) ==
+      Multimodal.stubDecode("not an image".getBytes("UTF-8"), 4).toSeq)
+    // metadata fill: width/height decoded from the real pixels
+    val dims = Multimodal.withImageDims(media).orderBy("media_id")
+      .select("width", "height").collect()
+    assert(dims(0).getInt(0) == 8 && dims(0).getInt(1) == 4)
+    assert(dims(1).isNullAt(0) && dims(1).isNullAt(1))
+    // corrupt image bytes fall back to the stub rather than failing ingest
+    val broken = spark.createDataFrame(
+      java.util.Arrays.asList(Row(3L, Array[Byte](1, 2, 3), "image/png", null, null, 3L)),
+      Multimodal.mediaSchema)
+    val bf = Multimodal.extractFeatures(broken, dim = 4).collect()(0).getSeq[Float](3)
+    assert(bf == Multimodal.stubDecode(Array[Byte](1, 2, 3), 4).toSeq)
+  }
+
   test("frame sampling: nFrames windows per non-empty payload, 0-based index") {
     import spark.implicits._
     val media = Multimodal.fromText(

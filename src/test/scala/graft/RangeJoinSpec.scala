@@ -40,4 +40,37 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
       plan.take(600))
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(600))
   }
+
+  test("broadcast decision: forced regimes and the adaptive size threshold pin the plan") {
+    // AQE + auto-broadcast off so the physical join shape reflects ONLY the
+    // operator's own broadcast decision, not a runtime size conversion.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def planOf(bc: Option[Boolean], thr: Long = 10L << 20): String =
+      RangeJoin.pointInInterval(points, intervals, "k", "p", "s", "e", 64L, bc, thr)
+        .queryExecution.executedPlan.toString
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(planOf(Some(true)).contains("BroadcastHashJoin"), "forced broadcast regime")
+      assert(!planOf(Some(false)).contains("BroadcastHashJoin"), "forced shuffle regime")
+      // Adaptive: estimate under threshold -> broadcast; over -> shuffle.
+      assert(planOf(None, thr = Long.MaxValue).contains("BroadcastHashJoin"),
+        "dimension-sized intervals should broadcast")
+      assert(!planOf(None, thr = 0L).contains("BroadcastHashJoin"),
+        "intervals above the size threshold must take the scale-safe shuffle path")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+  }
+
+  test("adaptive and forced regimes agree on results") {
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bc <- Seq(Some(true), Some(false), None)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "k", "p", "s", "e", 64L, bc)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"broadcastIntervals=$bc")
+    }
+  }
 }

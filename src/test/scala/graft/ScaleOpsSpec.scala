@@ -47,7 +47,13 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       val joined = Bucketing.colocatedJoin(spark, "bucketed_a", "bucketed_b", "id")
       assert(Bucketing.isShuffleFree(joined),
         joined.queryExecution.executedPlan.toString.take(800))
-      assert(joined.count() == 200)
+      // collect() executes joined's OWN QueryExecution (count() would build
+      // a separate one), so AQE finalizes this plan — the detector must
+      // still read it as shuffle-free afterwards.
+      assert(joined.collect().length == 200)
+      assert(Bucketing.isShuffleFree(joined),
+        "AQE-finalized bucketed join misread as shuffled: " +
+          joined.queryExecution.executedPlan.toString.take(800))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bucketed_a")
@@ -65,9 +71,15 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = a.join(b, "id")
-      joined.count() // materialize so AQE finalizes the executed plan
       assert(!Bucketing.isShuffleFree(joined),
-        "a plain sort-merge join must be detected as shuffled")
+        "a plain sort-merge join must be detected as shuffled (unexecuted plan)")
+      // collect() executes joined's own QueryExecution, so AQE materializes
+      // the exchanges into ShuffleQueryStageExec LEAVES — the detector must
+      // recurse into query stages to keep seeing them.
+      joined.collect()
+      assert(!Bucketing.isShuffleFree(joined),
+        "AQE-finalized join misread as shuffle-free: " +
+          joined.queryExecution.executedPlan.toString.take(800))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }

@@ -67,6 +67,28 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](sink.write(bad))
   }
 
+  test("concurrent upserts to one table both land (in-JVM writers serialize)") {
+    // Worst case: numBuckets=1 puts every source in the same partition, so
+    // the two writers overwrite the SAME bucket. The per-path lock
+    // serializes them; each must carry the other's rows (and the seed row)
+    // through as survivors — nothing lost regardless of order.
+    val dir = tempDir("graft-sink").resolve("t6").toString
+    val sink = VectorTableSink(dir, numBuckets = 1)
+    sink.write(frame(Seq(("seed", Seq(9f), "src_seed"))))
+    val errors = java.util.Collections.synchronizedList(new java.util.ArrayList[Throwable]())
+    val threads = Seq("src_a" -> "a", "src_b" -> "b").map { case (src, txt) =>
+      new Thread(() =>
+        try sink.write(frame(Seq((txt, Seq(1f), src))))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent writer failed: ${errors}")
+    val out = sink.read(spark).select("text", "source").as[(String, String)].collect().toSet
+    assert(out == Set(("seed", "src_seed"), ("a", "src_a"), ("b", "src_b")),
+      s"a concurrent writer's rows were lost: $out")
+  }
+
   test("schema mismatch migrates the table, preserving old rows (sinks.py:40-48)") {
     val dir = tempDir("graft-sink").resolve("t5").toString
     val sink = VectorTableSink(dir)

@@ -85,6 +85,34 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 1 && out(0).getAs[String]("content") == "second article")
   }
 
+  test("S4 jdbc watermark: injection-shaped timestamp column is rejected") {
+    val wm = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    for (bad <- Seq("ts > '' OR 1=1 --", "ts; DROP TABLE articles", "ts)", "1ts", "a.b")) {
+      val src = JdbcSource("jdbc:derby:memory:graftdb", "SELECT body FROM articles",
+        timestampColumn = Some(bad), watermark = Some(wm))
+      assertThrows[IllegalArgumentException](src.effectiveQuery)
+    }
+    // plain identifiers still compose
+    val ok = JdbcSource("jdbc:derby:memory:graftdb", "SELECT body FROM articles",
+      timestampColumn = Some("updated_at_2"), watermark = Some(wm))
+    assert(ok.effectiveQuery.contains("updated_at_2 > '2024-03-01"))
+  }
+
+  test("S1 unsupported document formats fail loudly with a named error") {
+    val dir = tempDir("graft-unsupported")
+    Files.writeString(dir.resolve("ok.txt"), "plain is fine")
+    Files.writeString(dir.resolve("report.pdf"), "%PDF-1.4 not really parseable")
+    val e = intercept[Exception](LocalFileSource(dir.toString).load(spark).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val msgs = chain(e).flatMap(t => Option(t.getMessage))
+    assert(msgs.exists(m => m.contains("no offline text extractor") && m.contains("pdf")),
+      s"expected a named per-format error, got: ${msgs.take(3)}")
+    // without the pdf in scope, the scan succeeds
+    val out = LocalFileSource(dir.toString, glob = "*.txt").load(spark).collect()
+    assert(out.length == 1 && out(0).getAs[String]("content") == "plain is fine")
+  }
+
   test("T3 wiring: withRunWatermark binds the state watermark into a JDBC source") {
     val src = JdbcSource("jdbc:derby:memory:graftdb",
       "SELECT body, author, ts FROM articles", timestampColumn = Some("ts"))
