@@ -78,6 +78,19 @@ class ConfigFactorySpec extends AnyFunSuite {
       ComponentConfig("openai", Map("api_key" -> "k"))).dim == 1536)
   }
 
+  test("openai embedder with a base_url binds the real HTTP client") {
+    // Key error still fires first, with or without an endpoint.
+    assertThrows[GraftConfigException](
+      Factory.embedder(ComponentConfig("openai", Map("base_url" -> "http://x/v1/embeddings"))))
+    val remote = Factory.embedder(ComponentConfig("openai",
+      Map("api_key" -> "k", "base_url" -> "http://127.0.0.1:1/v1/embeddings", "dim" -> 8)))
+    assert(remote.dim == 8)
+    assert(remote.getClass.getSimpleName.contains("Remote"))
+    // without an endpoint the offline hashing stand-in is bound
+    val offline = Factory.embedder(ComponentConfig("openai", Map("api_key" -> "k")))
+    assert(offline.getClass.getSimpleName.contains("Hashing"))
+  }
+
   test("component registries expose the reference type strings") {
     val l = Factory.listComponents
     assert(l("sources").contains("local_files") && l("sources").contains("web") &&
