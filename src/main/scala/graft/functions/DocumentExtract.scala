@@ -1,0 +1,453 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Inflater, ZipEntry, ZipInputStream}
+
+import scala.collection.mutable
+
+/** Offline document-format text extraction — the JVM-native counterpart of
+  * the reference's `unstructured.partition` dispatch
+  * (`yamlpipe/components/sources.py:92-93`), built ONLY on the JDK
+  * (`java.util.zip`) so it works with zero extra dependencies:
+  *
+  *  - docx / pptx / xlsx (OOXML) and odt (ODF): zip containers of XML —
+  *    unzip the payload part(s) and walk the text runs;
+  *  - epub: zip of XHTML chapters — tag-strip each;
+  *  - rtf: single-pass control-word walker (destinations skipped,
+  *    `\par`/`\line`/`\tab`/`\'hh`/`\uN` handled);
+  *  - pdf: content-stream text operators (`Tj`/`'`/`"`/`TJ`) with
+  *    FlateDecode inflation. Covers machine-generated PDFs with standard
+  *    encodings; PDFs using subset fonts with custom CMaps extract
+  *    incompletely (a full CMap interpreter is out of scope offline) —
+  *    mirroring the reference's behavior on scanned PDFs, an empty result
+  *    is dropped by the empty-document skip (`sources.py:94-96`).
+  *
+  * Paragraph-level elements are joined with `"\n\n"` exactly as the
+  * reference joins partition elements (`sources.py:92-93`).
+  *
+  * Scale stance: called once per FILE inside the distributed binaryFile
+  * scan (a UDF is justified here — byte-level container parsing has no
+  * Column-expression equivalent, and the per-file granularity keeps it off
+  * any per-row hot path).
+  */
+object DocumentExtract {
+
+  /** Extension → extractor dispatch. Throws `IllegalArgumentException` with
+    * a named message on a corrupt container; unknown extensions are the
+    * caller's responsibility (see `TextExtractors.registry`).
+    */
+  def extract(ext: String, path: String, bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    try {
+      ext match {
+        case "docx"          => docx(bytes)
+        case "pptx"          => pptx(bytes)
+        case "xlsx"          => xlsx(bytes)
+        case "odt"           => odt(bytes)
+        case "epub"          => epub(bytes)
+        case "rtf"           => rtf(new String(bytes, StandardCharsets.ISO_8859_1))
+        case "pdf"           => pdf(bytes)
+        case other =>
+          throw new IllegalArgumentException(s"no extractor registered for '$other'")
+      }
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null && e.getMessage.startsWith("graft.DocumentExtract") => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"graft.DocumentExtract: failed to extract '$ext' text from $path: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  // ---------------------------------------------------------------- zip/XML
+
+  /** Read selected entries of a zip container into (name → UTF-8 string). */
+  private def zipEntries(bytes: Array[Byte])(keep: String => Boolean): Seq[(String, String)] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && keep(e.getName)) {
+          out += e.getName -> new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toSeq
+  }
+
+  private def zipEntry(bytes: Array[Byte], name: String): String =
+    zipEntries(bytes)(_ == name).headOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"container missing entry '$name'"))
+
+  /** Decode the five XML named entities plus numeric character references. */
+  private[functions] def decodeEntities(s: String): String = {
+    if (!s.contains('&')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val end = s.indexOf(';', i + 1)
+        if (end > i && end - i <= 10) {
+          s.substring(i + 1, end) match {
+            case "amp"  => sb += '&';  i = end + 1
+            case "lt"   => sb += '<';  i = end + 1
+            case "gt"   => sb += '>';  i = end + 1
+            case "quot" => sb += '"';  i = end + 1
+            case "apos" => sb += '\''; i = end + 1
+            case num if num.startsWith("#") =>
+              val cp = try {
+                if (num.startsWith("#x") || num.startsWith("#X")) Integer.parseInt(num.drop(2), 16)
+                else Integer.parseInt(num.drop(1))
+              } catch { case _: NumberFormatException => -1 }
+              if (cp >= 0) { sb.appendAll(Character.toChars(cp)); i = end + 1 }
+              else { sb += c; i += 1 }
+            case _ => sb += c; i += 1
+          }
+        } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def stripTags(xml: String): String =
+    decodeEntities(xml.replaceAll("<[^>]*>", ""))
+
+  /** Natural sort key for `slide10.xml` vs `slide2.xml`. */
+  private def naturalKey(name: String): (String, Long) = {
+    val m = "(\\d+)".r.findFirstIn(name)
+    (name.replaceAll("\\d+", ""), m.map(_.toLong).getOrElse(0L))
+  }
+
+  /** Split on a paragraph end tag, render each paragraph's runs in document
+    * order (so breaks/tabs interleave correctly with text), join non-empty
+    * paragraphs with the reference's element separator.
+    */
+  private def ooxmlParagraphs(xml: String, paraEnd: String,
+                              runRe: scala.util.matching.Regex,
+                              render: scala.util.matching.Regex.Match => String): String =
+    xml.split(java.util.regex.Pattern.quote(paraEnd)).iterator
+      .map(p => runRe.findAllMatchIn(p).map(render).mkString)
+      .map(_.trim).filter(_.nonEmpty).mkString("\n\n")
+
+  // ------------------------------------------------------------------ docx
+
+  /** Word: paragraphs are `<w:p>`, text runs `<w:t>`, explicit breaks
+    * `<w:br/>`/`<w:cr/>`, tabs `<w:tab/>`. Runs are walked in order so
+    * breaks and tabs interleave correctly with text.
+    */
+  private[functions] def docx(bytes: Array[Byte]): String = {
+    val xml = zipEntry(bytes, "word/document.xml")
+    ooxmlParagraphs(xml, "</w:p>",
+      "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:(?:br|cr)\\s*/?>|<w:tab\\s*/?>".r,
+      m => if (m.group(1) != null) decodeEntities(m.group(1))
+           else if (m.matched.contains("tab")) "\t" else "\n")
+  }
+
+  // ------------------------------------------------------------------ pptx
+
+  /** PowerPoint: one element per slide (slides in natural order), text runs
+    * `<a:t>`, paragraphs `<a:p>` become lines within the slide.
+    */
+  private[functions] def pptx(bytes: Array[Byte]): String = {
+    val slides = zipEntries(bytes)(n => n.startsWith("ppt/slides/slide") && n.endsWith(".xml"))
+      .sortBy(e => naturalKey(e._1))
+    val texts = slides.map { case (_, xml) =>
+      xml.split("</a:p>").iterator
+        .map(p => "(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t>".r
+          .findAllMatchIn(p).map(m => decodeEntities(m.group(1))).mkString)
+        .map(_.trim).filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty)
+    texts.mkString("\n\n")
+  }
+
+  // ------------------------------------------------------------------ xlsx
+
+  /** Excel: resolve shared-string cells (`t="s"`) through
+    * `xl/sharedStrings.xml`, keep inline strings and literal values;
+    * cells tab-joined per row, rows newline-joined, sheets (natural order)
+    * are the `"\n\n"`-joined elements.
+    */
+  private[functions] def xlsx(bytes: Array[Byte]): String = {
+    val parts = zipEntries(bytes)(n =>
+      n == "xl/sharedStrings.xml" || (n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")))
+    val shared: IndexedSeq[String] =
+      parts.find(_._1 == "xl/sharedStrings.xml").map { case (_, xml) =>
+        "(?s)<si(?:\\s[^>]*)?>(.*?)</si>".r.findAllMatchIn(xml).map { si =>
+          "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r.findAllMatchIn(si.group(1))
+            .map(m => decodeEntities(m.group(1))).mkString
+        }.toIndexedSeq
+      }.getOrElse(IndexedSeq.empty)
+    val cellRe = "(?s)<c(\\s[^>]*)?>(.*?)</c>".r
+    val vRe = "(?s)<v(?:\\s[^>]*)?>(.*?)</v>".r
+    val tRe = "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r
+    val sheets = parts.filter(_._1 != "xl/sharedStrings.xml").sortBy(e => naturalKey(e._1))
+    val texts = sheets.map { case (_, xml) =>
+      "(?s)<row(?:\\s[^>]*)?>(.*?)</row>".r.findAllMatchIn(xml).map { row =>
+        cellRe.findAllMatchIn(row.group(1)).map { c =>
+          val attrs = Option(c.group(1)).getOrElse("")
+          val body = c.group(2)
+          if (attrs.contains("t=\"s\"")) {
+            vRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
+              .filter(shared.indices.contains).map(shared).getOrElse("")
+          } else if (attrs.contains("t=\"inlineStr\"")) {
+            tRe.findAllMatchIn(body).map(m => decodeEntities(m.group(1))).mkString
+          } else vRe.findFirstMatchIn(body).map(m => decodeEntities(m.group(1))).getOrElse("")
+        }.mkString("\t")
+      }.map(_.trim).filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty)
+    texts.mkString("\n\n")
+  }
+
+  // ------------------------------------------------------------------- odt
+
+  /** OpenDocument text: paragraphs `<text:p>` and headings `<text:h>` in
+    * `content.xml`; nested spans tag-stripped.
+    */
+  private[functions] def odt(bytes: Array[Byte]): String = {
+    val xml = zipEntry(bytes, "content.xml")
+    "(?s)<text:(?:p|h)(?:\\s[^>]*)?>(.*?)</text:(?:p|h)>".r
+      .findAllMatchIn(xml)
+      .map(m => stripTags(
+        m.group(1).replaceAll("<text:tab\\s*/?>", "\t")
+                  .replaceAll("<text:line-break\\s*/?>", "\n")))
+      .map(_.trim).filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  // ------------------------------------------------------------------ epub
+
+  /** EPUB: zip of XHTML chapters — tag-strip each (scripts/styles removed),
+    * chapters in natural order are the joined elements.
+    */
+  private[functions] def epub(bytes: Array[Byte]): String = {
+    val chapters = zipEntries(bytes)(n =>
+      n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm"))
+      .sortBy(e => naturalKey(e._1))
+    chapters.map { case (_, html) =>
+      val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      val blocks = noScript.replaceAll("(?i)</(?:p|h[1-6]|div|li|tr|blockquote)>|<br\\s*/?>", "\n")
+      stripTags(blocks).linesIterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  // ------------------------------------------------------------------- rtf
+
+  /** RTF: single-pass walker. Skipped destinations (`{\*...}`, fonttbl,
+    * colortbl, stylesheet, info, pict, themedata) produce no text;
+    * `\par`/`\line` → newline, `\tab` → tab, `\'hh` → cp1252-ish byte,
+    * `\uN` → code point (with its fallback character consumed).
+    */
+  private[functions] def rtf(s: String): String = {
+    val sb = new StringBuilder
+    val skipDests = Set("fonttbl", "colortbl", "stylesheet", "info", "pict",
+      "themedata", "colorschememapping", "latentstyles", "datastore", "header", "footer")
+    var i = 0
+    var skipDepth = -1  // brace depth at which a skipped destination started
+    var depth = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '{' => depth += 1; i += 1
+          // peek for \* destination
+          if (skipDepth < 0 && i < n && s.charAt(i) == '\\' && i + 1 < n && s.charAt(i + 1) == '*')
+            skipDepth = depth
+        case '}' =>
+          if (skipDepth >= 0 && depth == skipDepth) skipDepth = -1
+          depth -= 1; i += 1
+        case '\\' if i + 1 < n =>
+          val nc = s.charAt(i + 1)
+          if (nc == '\\' || nc == '{' || nc == '}') { if (skipDepth < 0) sb += nc; i += 2 }
+          else if (nc == '\'') {
+            if (i + 3 < n) {
+              val hex = s.substring(i + 2, i + 4)
+              if (skipDepth < 0) try sb += hex.toList.map("0123456789abcdef".indexOf(_)).foldLeft(0)((a, d) => a * 16 + d).toChar
+                                 catch { case _: Exception => () }
+              i += 4
+            } else i = n
+          } else if (nc == '~') { if (skipDepth < 0) sb += ' '; i += 2 }
+          else {
+            // control word: letters then optional signed digits then optional space
+            var j = i + 1
+            while (j < n && s.charAt(j).isLetter) j += 1
+            val word = s.substring(i + 1, j)
+            var k = j
+            if (k < n && (s.charAt(k) == '-' || s.charAt(k).isDigit)) {
+              k += 1
+              while (k < n && s.charAt(k).isDigit) k += 1
+            }
+            val param = s.substring(j, k)
+            if (k < n && s.charAt(k) == ' ') k += 1
+            if (skipDepth < 0 && skipDests.contains(word) && depth > 0) skipDepth = depth
+            else if (skipDepth < 0) word match {
+              case "par" | "line" | "row" => sb += '\n'
+              case "tab" | "cell"         => sb += '\t'
+              case "u" =>
+                try sb.appendAll(Character.toChars(((param.toInt % 65536) + 65536) % 65536))
+                catch { case _: Exception => () }
+                // consume the one-char ANSI fallback that follows \uN
+                if (k < n && s.charAt(k) != '\\' && s.charAt(k) != '{' && s.charAt(k) != '}') k += 1
+              case _ => ()
+            }
+            i = k
+          }
+        case '\r' | '\n' => i += 1  // raw newlines are not document text in RTF
+        case ch => if (skipDepth < 0) sb += ch; i += 1
+      }
+    }
+    sb.toString.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n").trim
+  }
+
+  // ------------------------------------------------------------------- pdf
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val nb = needle.getBytes(StandardCharsets.ISO_8859_1)
+    var i = math.max(0, from)
+    val limit = hay.length - nb.length
+    while (i <= limit) {
+      var j = 0
+      while (j < nb.length && hay(i + j) == nb(j)) j += 1
+      if (j == nb.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val m = inf.inflate(buf)
+        if (m == 0 && inf.needsInput()) return out.toByteArray // truncated; keep what we have
+        out.write(buf, 0, m)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** PDF: walk `stream…endstream` segments, FlateDecode-inflate where the
+    * preceding dict says so, and run a text-operator scan over streams that
+    * contain `BT`: literal `(…)` and hex `<…>` strings are buffered and
+    * emitted on `Tj`/`'`/`"`/`TJ`; `Td`/`TD`/`T*`/`ET` emit line breaks.
+    */
+  private[functions] def pdf(bytes: Array[Byte]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var more = true
+    while (more) {
+      val s = indexOf(bytes, "stream", i)
+      if (s < 0) more = false
+      else {
+        var ds = s + "stream".length
+        if (ds < bytes.length && bytes(ds) == '\r') ds += 1
+        if (ds < bytes.length && bytes(ds) == '\n') ds += 1
+        val e = indexOf(bytes, "endstream", ds)
+        if (e < 0) more = false
+        else {
+          val winStart = math.max(0, s - 800)
+          val dict = new String(bytes, winStart, s - winStart, StandardCharsets.ISO_8859_1)
+          var data = bytes.slice(ds, e)
+          if (dict.contains("/FlateDecode")) {
+            data = try inflate(data) catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+          }
+          val content = new String(data, StandardCharsets.ISO_8859_1)
+          if (content.contains("BT")) {
+            val text = pdfTextOps(content)
+            if (text.nonEmpty) {
+              if (out.nonEmpty) out.append('\n')
+              out.append(text)
+            }
+          }
+          i = e + "endstream".length
+        }
+      }
+    }
+    out.toString.trim
+  }
+
+  /** Scan a decoded content stream for text-showing operators. */
+  private[functions] def pdfTextOps(cs: String): String = {
+    val out = new StringBuilder
+    val pending = mutable.ArrayBuffer.empty[String]
+    def flushPending(): Unit = { pending.foreach(out ++= _); pending.clear() }
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out += '\n'
+    var i = 0
+    val n = cs.length
+    while (i < n) {
+      cs.charAt(i) match {
+        case '(' =>
+          val (str, ni) = pdfLiteralString(cs, i)
+          pending += str; i = ni
+        case '<' if i + 1 < n && cs.charAt(i + 1) != '<' =>
+          val end = cs.indexOf('>', i + 1)
+          if (end < 0) i = n
+          else {
+            val hex = cs.substring(i + 1, end).filter(c => Character.digit(c, 16) >= 0)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            pending += padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+            i = end + 1
+          }
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          var j = i
+          while (j < n && (cs.charAt(j).isLetterOrDigit || cs.charAt(j) == '\'' || cs.charAt(j) == '"' || cs.charAt(j) == '*')) j += 1
+          cs.substring(i, j) match {
+            case "Tj" | "TJ"      => flushPending()
+            case "'" | "\""       => newline(); flushPending()
+            case "Td" | "TD" | "T*" | "ET" => pending.clear(); newline()
+            case _                => pending.clear()
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    out.toString.trim
+  }
+
+  /** Parse a PDF literal string starting at `(`; returns (text, next index).
+    * Handles the escape set of ISO 32000 §7.3.4.2 including octal and
+    * balanced nested parens.
+    */
+  private def pdfLiteralString(cs: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1
+    var depth = 1
+    val n = cs.length
+    while (i < n && depth > 0) {
+      cs.charAt(i) match {
+        case '\\' if i + 1 < n =>
+          cs.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case '(' => sb += '('; i += 2
+            case ')' => sb += ')'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '\n' => i += 2  // line continuation
+            case '\r' => i += (if (i + 2 < n && cs.charAt(i + 2) == '\n') 3 else 2)
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < n && j < i + 4 && cs.charAt(j) >= '0' && cs.charAt(j) <= '7') {
+                v = v * 8 + (cs.charAt(j) - '0'); j += 1
+              }
+              sb += v.toChar; i = j
+            case other => sb += other; i += 2
+          }
+        case '(' => depth += 1; sb += '('; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb += ')'
+          i += 1
+        case c => sb += c; i += 1
+      }
+    }
+    (sb.toString, i)
+  }
+}

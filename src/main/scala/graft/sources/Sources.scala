@@ -57,10 +57,12 @@ object GraftSource {
 /** Extension registry for text extraction — the explicit form of the
   * reference's `unstructured.partition` format dispatch
   * (`sources.py:92-93`). Text formats extract natively inside the
-  * distributed scan; known DOCUMENT formats whose parsers aren't available
-  * in this offline build (pdf/docx/...) FAIL LOUDLY with a named error
-  * instead of silently mis-decoding their bytes as UTF-8; extensions not in
-  * the registry decode as plain text (the reference's sniffing fallback).
+  * distributed scan; DOCUMENT formats (pdf/docx/pptx/xlsx/odt/epub/rtf)
+  * extract through the JDK-only [[graft.functions.DocumentExtract]]
+  * parsers; legacy binary formats with no offline parser (doc/ppt/xls)
+  * FAIL LOUDLY with a named error instead of silently mis-decoding their
+  * bytes as UTF-8; extensions not in the registry decode as plain text
+  * (the reference's sniffing fallback).
   */
 object TextExtractors {
   sealed trait Handling
@@ -68,6 +70,8 @@ object TextExtractors {
   case object Plain extends Handling
   /** Strip tags + per-line normalize. */
   case object Html extends Handling
+  /** Parse the container via [[graft.functions.DocumentExtract]]. */
+  case object Document extends Handling
   /** Needs a real parser that is not available offline — fails loudly. */
   case object Unsupported extends Handling
 
@@ -76,10 +80,10 @@ object TextExtractors {
     "log" -> Plain, "csv" -> Plain, "tsv" -> Plain, "json" -> Plain,
     "jsonl" -> Plain, "xml" -> Plain, "yaml" -> Plain, "yml" -> Plain,
     "html" -> Html, "htm" -> Html,
-    "pdf" -> Unsupported, "doc" -> Unsupported, "docx" -> Unsupported,
-    "ppt" -> Unsupported, "pptx" -> Unsupported, "xls" -> Unsupported,
-    "xlsx" -> Unsupported, "epub" -> Unsupported, "rtf" -> Unsupported,
-    "odt" -> Unsupported)
+    "pdf" -> Document, "docx" -> Document, "pptx" -> Document,
+    "xlsx" -> Document, "epub" -> Document, "rtf" -> Document,
+    "odt" -> Document,
+    "doc" -> Unsupported, "ppt" -> Unsupported, "xls" -> Unsupported)
 
   private[sources] def extsOf(h: Handling): Seq[String] =
     registry.collect { case (ext, `h`) => ext }.toSeq
@@ -90,8 +94,12 @@ object TextExtractors {
   * fingerprint = sha256 of the content. Unlike the reference (driver-side
   * `unstructured.partition` per file), extraction runs inside the
   * distributed binaryFile scan. Format dispatch is the explicit
-  * [[TextExtractors.registry]]: unsupported document formats raise a named
-  * error per file (route real binaries through `Multimodal.readBinaryDir`).
+  * [[TextExtractors.registry]]: document containers parse through
+  * [[graft.functions.DocumentExtract]] (one UDF call per FILE — byte-level
+  * zip/deflate parsing has no Column equivalent, and per-file granularity
+  * keeps it off any per-row hot path); formats with no offline parser
+  * raise a named error per file (route real binaries through
+  * `Multimodal.readBinaryDir`).
   */
 final case class LocalFileSource(directory: String, glob: String = "*") extends GraftSource {
 
@@ -102,19 +110,25 @@ final case class LocalFileSource(directory: String, glob: String = "*") extends 
     val text = decode(col("content"), "UTF-8")
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val htmlExts = TextExtractors.extsOf(TextExtractors.Html)
+    val docExts = TextExtractors.extsOf(TextExtractors.Document)
     val unsupportedExts = TextExtractors.extsOf(TextExtractors.Unsupported)
+    val extractDoc = udf(graft.functions.DocumentExtract.extract _)
     val extracted = when(ext.isin(unsupportedExts: _*),
         raise_error(concat(
           lit("graft.LocalFileSource: no offline text extractor for format '"), ext,
           lit("' ("), col("path"),
           lit("); add a TextExtractors entry or ingest via Multimodal.readBinaryDir"))))
+      .when(ext.isin(docExts: _*), extractDoc(ext, col("path"), col("content")))
       .when(ext.isin(htmlExts: _*),
         TextFunctions.normalizeLines(TextFunctions.stripHtml(text)))
       .otherwise(text)
     GraftSource.canonical(raw.select(
       extracted.as("content"),
       col("path").as("source"),
-      sha2(text, 256).as("fingerprint"),
+      // Fingerprint over the RAW bytes: identical for text formats'
+      // round-trippable UTF-8, and well-defined (no lossy decode) for
+      // binary document containers.
+      sha2(col("content"), 256).as("fingerprint"),
       GraftSource.emptyMeta.as("metadata")))
   }
 

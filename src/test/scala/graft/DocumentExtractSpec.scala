@@ -1,0 +1,178 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DocumentExtract
+import graft.sources.LocalFileSource
+
+/** Offline document extraction (reference `sources.py:92-93` — the
+  * `unstructured.partition` any-format dispatch). Fixtures are built
+  * programmatically: OOXML/ODF/EPUB are just zip+XML, PDF is authored as a
+  * minimal spec-conformant byte stream (raw and FlateDecode variants).
+  */
+class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------ docx
+
+  private val docxBytes = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "word/document.xml" ->
+      """<?xml version="1.0"?><w:document xmlns:w="http://w"><w:body>
+        |<w:p><w:r><w:t xml:space="preserve">Hello </w:t></w:r><w:r><w:t>World</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Left</w:t></w:r><w:r><w:tab/><w:t>right &amp; entity</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>line one</w:t><w:br/><w:t>line two</w:t></w:r></w:p>
+        |<w:p/>
+        |</w:body></w:document>""".stripMargin)
+
+  test("docx: runs, tabs, breaks, entities; paragraphs joined with \\n\\n") {
+    assert(DocumentExtract.extract("docx", "t.docx", docxBytes) ==
+      "Hello World\n\nLeft\tright & entity\n\nline one\nline two")
+  }
+
+  // ------------------------------------------------------------------ pptx
+
+  test("pptx: slides in natural order, a:p lines within a slide") {
+    val bytes = zip(
+      "ppt/slides/slide2.xml" ->
+        "<p:sld xmlns:a=\"http://a\"><a:p><a:r><a:t>second slide</a:t></a:r></a:p></p:sld>",
+      "ppt/slides/slide10.xml" ->
+        "<p:sld><a:p><a:r><a:t>tenth slide</a:t></a:r></a:p></p:sld>",
+      "ppt/slides/slide1.xml" ->
+        ("<p:sld><a:p><a:r><a:t>title </a:t></a:r><a:r><a:t>text</a:t></a:r></a:p>" +
+         "<a:p><a:r><a:t>subtitle</a:t></a:r></a:p></p:sld>"))
+    assert(DocumentExtract.extract("pptx", "t.pptx", bytes) ==
+      "title text\nsubtitle\n\nsecond slide\n\ntenth slide")
+  }
+
+  // ------------------------------------------------------------------ xlsx
+
+  test("xlsx: shared strings, inline strings, literal values; rows tab-joined") {
+    val bytes = zip(
+      "xl/sharedStrings.xml" ->
+        "<sst><si><t>name</t></si><si><t>wid</t><t>get</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2" t="inlineStr"><is><t>inline</t></is></c><c r="B2"><v>42</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    assert(DocumentExtract.extract("xlsx", "t.xlsx", bytes) ==
+      "name\twidget\ninline\t42")
+  }
+
+  // ------------------------------------------------------------------- odt
+
+  test("odt: text:p / text:h paragraphs with tabs and line breaks") {
+    val bytes = zip("content.xml" ->
+      ("<office:document-content><office:body><office:text>" +
+       "<text:h text:outline-level=\"1\">Heading</text:h>" +
+       "<text:p>alpha<text:tab/>beta<text:line-break/>gamma</text:p>" +
+       "<text:p><text:span>nested </text:span>span</text:p>" +
+       "</office:text></office:body></office:document-content>"))
+    assert(DocumentExtract.extract("odt", "t.odt", bytes) ==
+      "Heading\n\nalpha\tbeta\ngamma\n\nnested span")
+  }
+
+  // ------------------------------------------------------------------ epub
+
+  test("epub: xhtml chapters tag-stripped, scripts dropped, natural order") {
+    val bytes = zip(
+      "OEBPS/chap2.xhtml" -> "<html><body><p>Chapter two.</p></body></html>",
+      "OEBPS/chap1.xhtml" ->
+        "<html><head><style>p{color:red}</style></head><body><h1>One</h1><p>First &amp; foremost.</p></body></html>",
+      "mimetype" -> "application/epub+zip")
+    assert(DocumentExtract.extract("epub", "t.epub", bytes) ==
+      "One\nFirst & foremost.\n\nChapter two.")
+  }
+
+  // ------------------------------------------------------------------- rtf
+
+  test("rtf: control words stripped, destinations skipped, par/tab/hex/unicode") {
+    // built by concatenation: scalac expands \-u escapes even in raw strings
+    val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Times New Roman;}}{\\*\\generator Acme 1.0;}" +
+      "\\f0\\fs24 Hello\\par Caf\\'e9 time\\par A\\tab B\\par " +
+      "\\" + "u8212?dash{\\i italic} end\\par}"
+    assert(DocumentExtract.extract("rtf", "t.rtf", rtf.getBytes(StandardCharsets.ISO_8859_1)) ==
+      "Hello\nCafé time\nA\tB\n—dashitalic end")
+  }
+
+  // ------------------------------------------------------------------- pdf
+
+  private def pdfBytes(flate: Boolean): Array[Byte] = {
+    val content = "BT /F1 12 Tf 72 720 Td (Hello \\(PDF\\)) Tj T* (Second line) Tj " +
+      "T* [(ar) -120 (ray)] TJ ET"
+    val payload =
+      if (!flate) content.getBytes(StandardCharsets.ISO_8859_1)
+      else {
+        val d = new Deflater()
+        d.setInput(content.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+        val buf = new Array[Byte](4096)
+        val m = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, m)
+      }
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val bos = new ByteArrayOutputStream()
+    bos.write(s"%PDF-1.4\n1 0 obj\n<< /Length ${payload.length}$filter >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(payload)
+    bos.write("\nendstream\nendobj\ntrailer\n<<>>\n%%EOF".getBytes(StandardCharsets.ISO_8859_1))
+    bos.toByteArray
+  }
+
+  test("pdf: raw content stream Tj/TJ text with escapes and line breaks") {
+    assert(DocumentExtract.extract("pdf", "t.pdf", pdfBytes(flate = false)) ==
+      "Hello (PDF)\nSecond line\narray")
+  }
+
+  test("pdf: FlateDecode stream inflates and extracts identically") {
+    assert(DocumentExtract.extract("pdf", "t.pdf", pdfBytes(flate = true)) ==
+      "Hello (PDF)\nSecond line\narray")
+  }
+
+  test("pdf: hex strings and quote operator") {
+    // ' = move to next line THEN show its string; hex strings decode bytewise
+    val content = "BT (alpha) Tj (beta) ' <48454C4C4F> Tj ET"
+    val bytes = (s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      content + "\nendstream\nendobj").getBytes(StandardCharsets.ISO_8859_1)
+    assert(DocumentExtract.extract("pdf", "t.pdf", bytes) == "alpha\nbetaHELLO")
+  }
+
+  // ------------------------------------------------ errors + source wiring
+
+  test("corrupt container raises a named extraction error") {
+    val e = intercept[IllegalArgumentException](
+      DocumentExtract.extract("docx", "/x/bad.docx", Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("graft.DocumentExtract") && e.getMessage.contains("/x/bad.docx"))
+  }
+
+  test("LocalFileSource extracts document formats inside the distributed scan") {
+    val dir = tempDir("graft-docext")
+    Files.write(dir.resolve("report.docx"), docxBytes)
+    Files.write(dir.resolve("deck.pdf"), pdfBytes(flate = true))
+    Files.writeString(dir.resolve("plain.txt"), "plain text")
+    val out = LocalFileSource(dir.toString).load(spark).collect()
+    assert(out.length == 3)
+    val byName = out.map(r => (r.getAs[String]("source"), r.getAs[String]("content"))).toMap
+    assert(byName.find(_._1.endsWith("report.docx")).get._2.startsWith("Hello World"))
+    assert(byName.find(_._1.endsWith("deck.pdf")).get._2.startsWith("Hello (PDF)"))
+    assert(byName.find(_._1.endsWith("plain.txt")).get._2 == "plain text")
+    assert(out.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+}

@@ -101,14 +101,16 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
   test("S1 unsupported document formats fail loudly with a named error") {
     val dir = tempDir("graft-unsupported")
     Files.writeString(dir.resolve("ok.txt"), "plain is fine")
-    Files.writeString(dir.resolve("report.pdf"), "%PDF-1.4 not really parseable")
+    // legacy OLE2 binary — no offline parser (pdf/docx/… now DO extract)
+    Files.write(dir.resolve("report.doc"),
+      Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte))
     val e = intercept[Exception](LocalFileSource(dir.toString).load(spark).collect())
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
     val msgs = chain(e).flatMap(t => Option(t.getMessage))
-    assert(msgs.exists(m => m.contains("no offline text extractor") && m.contains("pdf")),
+    assert(msgs.exists(m => m.contains("no offline text extractor") && m.contains("doc")),
       s"expected a named per-format error, got: ${msgs.take(3)}")
-    // without the pdf in scope, the scan succeeds
+    // without the doc in scope, the scan succeeds
     val out = LocalFileSource(dir.toString, glob = "*.txt").load(spark).collect()
     assert(out.length == 1 && out(0).getAs[String]("content") == "plain is fine")
   }
