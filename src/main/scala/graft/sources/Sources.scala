@@ -87,6 +87,27 @@ object TextExtractors {
 
   private[sources] def extsOf(h: Handling): Seq[String] =
     registry.collect { case (ext, `h`) => ext }.toSeq
+
+  /** The registry as one dispatching Column over (path, raw bytes) — shared
+    * by every file-shaped source so local dirs and object stores extract
+    * identically. One [[graft.functions.DocumentExtract]] UDF call per FILE
+    * for container formats; everything else stays a codegen'd expression.
+    */
+  private[sources] def extractColumn(pathCol: org.apache.spark.sql.Column,
+                                     bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val text = decode(bytesCol, "UTF-8")
+    val ext = lower(regexp_extract(pathCol, "\\.([A-Za-z0-9]+)$", 1))
+    val extractDoc = udf(graft.functions.DocumentExtract.extract _)
+    when(ext.isin(extsOf(Unsupported): _*),
+        raise_error(concat(
+          lit("graft.LocalFileSource: no offline text extractor for format '"), ext,
+          lit("' ("), pathCol,
+          lit("); add a TextExtractors entry or ingest via Multimodal.readBinaryDir"))))
+      .when(ext.isin(extsOf(Document): _*), extractDoc(ext, pathCol, bytesCol))
+      .when(ext.isin(extsOf(Html): _*),
+        TextFunctions.normalizeLines(TextFunctions.stripHtml(text)))
+      .otherwise(text)
+  }
 }
 
 /** S1 — local directory scan (`sources.py:52-115`): glob files, extract
@@ -107,23 +128,8 @@ final case class LocalFileSource(directory: String, glob: String = "*") extends 
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(directory)
-    val text = decode(col("content"), "UTF-8")
-    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
-    val htmlExts = TextExtractors.extsOf(TextExtractors.Html)
-    val docExts = TextExtractors.extsOf(TextExtractors.Document)
-    val unsupportedExts = TextExtractors.extsOf(TextExtractors.Unsupported)
-    val extractDoc = udf(graft.functions.DocumentExtract.extract _)
-    val extracted = when(ext.isin(unsupportedExts: _*),
-        raise_error(concat(
-          lit("graft.LocalFileSource: no offline text extractor for format '"), ext,
-          lit("' ("), col("path"),
-          lit("); add a TextExtractors entry or ingest via Multimodal.readBinaryDir"))))
-      .when(ext.isin(docExts: _*), extractDoc(ext, col("path"), col("content")))
-      .when(ext.isin(htmlExts: _*),
-        TextFunctions.normalizeLines(TextFunctions.stripHtml(text)))
-      .otherwise(text)
     GraftSource.canonical(raw.select(
-      extracted.as("content"),
+      TextExtractors.extractColumn(col("path"), col("content")).as("content"),
       col("path").as("source"),
       // Fingerprint over the RAW bytes: identical for text formats'
       // round-trippable UTF-8, and well-defined (no lossy decode) for
@@ -191,7 +197,10 @@ final case class WebSource(url: String,
   * hdfs://, abfs:// — the scheme picks the connector. The reference's ETag
   * change detection becomes a fingerprint of (length, modification time) —
   * the same cheap no-read-needed semantics an ETag gives — exposed in
-  * `metadata("etag")` too.
+  * `metadata("etag")` too. Content extraction shares
+  * [[TextExtractors.extractColumn]] with the local source (the reference
+  * UTF-8-decodes only, `sources.py:200-203` — a bucket of pdfs would be
+  * mojibake; the registry dispatch strictly dominates).
   */
 final case class ObjectStoreSource(uriPrefix: String, glob: String = "*") extends GraftSource {
 
@@ -200,7 +209,7 @@ final case class ObjectStoreSource(uriPrefix: String, glob: String = "*") extend
       .option("pathGlobFilter", glob)
       .load(uriPrefix)
     GraftSource.canonical(raw.select(
-      decode(col("content"), "UTF-8").as("content"),
+      TextExtractors.extractColumn(col("path"), col("content")).as("content"),
       col("path").as("source"),
       // ETag-equivalent: identity of (size, mtime) — no content read needed
       // to test for change, mirroring `sources.py:184-188`.

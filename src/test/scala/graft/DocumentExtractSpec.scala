@@ -175,4 +175,12 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_.getAs[String]("fingerprint").length == 64))
   }
 
+  test("ObjectStoreSource shares the same extraction dispatch") {
+    val dir = tempDir("graft-objdoc")
+    Files.write(dir.resolve("memo.docx"), docxBytes)
+    val out = graft.sources.ObjectStoreSource("file://" + dir.toString).load(spark).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("content").startsWith("Hello World"))
+    assert(out(0).getAs[Map[String, String]]("metadata").contains("etag"))
+  }
 }
