@@ -417,6 +417,15 @@ object SparkEntry {
           round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
     }),
 
+    "decontamination" -> ((s, dir) => {
+      // Eval-set decontamination: docs sharing any 13-gram (GPT-3 appendix-C
+      // n) with the synthetic "benchmark" (every 97th document) get flagged
+      // — which catches those docs themselves plus their exact/near copies.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0).select(col("text").as("prompt"))
+      Dedup.contaminationFlags(docs, evalSet, "text", "doc_id", "prompt", n = 13)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates over a corpus with planted
       // near-duplicates (original + token-appended copy).
@@ -798,6 +807,23 @@ object SparkEntry {
          |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) END, 6) AS jaccard
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "decontamination" -> {
+      val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 13
+         |   THEN list_transform(range(1, len(toks) - 11), i -> $catTerms)
+         |   ELSE []::VARCHAR[] END) AS sh FROM t),
+         |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+         |dg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |m AS (SELECT dg.doc_id, count(DISTINCT dg.g) AS matched
+         |      FROM dg JOIN e ON dg.g = e.g GROUP BY dg.doc_id)
+         |SELECT d.doc_id, coalesce(m.matched, 0) AS matched_grams,
+         | coalesce(m.matched, 0) > 0 AS contaminated
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+    },
 
     "neardup_cosine" ->
       s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,

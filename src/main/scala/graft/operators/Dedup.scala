@@ -110,6 +110,42 @@ object Dedup {
     pairs.withColumn("jaccard", jaccard(col(aCol), col(bCol)))
 
   // -------------------------------------------------------------------------
+  // Eval-set decontamination (n-gram overlap against a benchmark corpus)
+  // -------------------------------------------------------------------------
+
+  /** Training-data decontamination: flag every document sharing at least one
+    * word n-gram with an eval/benchmark corpus (the GPT-3 appendix-C recipe —
+    * 13-gram overlap — default). Output: one row per input document with
+    * `matched_grams` (distinct overlapping n-grams) and a `contaminated`
+    * flag.
+    *
+    * Scale shape: eval sets are small and bounded (benchmarks are thousands
+    * of prompts, not terabytes), so the distinct eval-gram side BROADCASTS
+    * and the corpus side streams through a broadcast-hash semi-ish join —
+    * the 100 TB side is scanned once, never shuffled at gram granularity.
+    * Only the post-join survivors (contaminated docs' matched grams — tiny
+    * by construction) hit the per-doc count shuffle, and the final flag
+    * join-back moves doc ids only. Set `broadcastEval = false` for a
+    * pathological eval corpus too big to broadcast (falls back to a shuffle
+    * hash join, same results).
+    */
+  def contaminationFlags(docs: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String, evalTextCol: String,
+                         n: Int = 13, broadcastEval: Boolean = true): DataFrame = {
+    val docGrams = docs.select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
+    val evalGramsRaw = evalSet
+      .select(explode(shingles(col(evalTextCol), n)).as("__gram")).distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGramsRaw) else evalGramsRaw
+    val matches = docGrams.join(evalGrams, "__gram")
+      .groupBy(col(idCol)).agg(countDistinct(col("__gram")).as("matched_grams"))
+    docs.select(col(idCol)).distinct()
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // -------------------------------------------------------------------------
   // MinHash + LSH (approximate Jaccard at scale)
   // -------------------------------------------------------------------------
 

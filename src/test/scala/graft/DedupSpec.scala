@@ -28,6 +28,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.exactDedup(corpus, "txt", "id").count() == 4)
   }
 
+  test("decontamination: docs sharing an eval n-gram are flagged, rest clean") {
+    // eval set holds doc 1's opening 5-gram; docs 1, 2, 4 share it (2 is the
+    // token-appended near-dup, 4 the exact dup), 3 and 5 are clean.
+    val evalSet = Seq("the quick brown fox jumps").toDF("prompt")
+    val out = Dedup.contaminationFlags(corpus, evalSet, "txt", "id", "prompt", n = 5)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("id") -> (r.getAs[Long]("matched_grams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rows(1L) == (1L, true) && rows(2L) == (1L, true) && rows(4L) == (1L, true))
+    assert(rows(3L) == (0L, false) && rows(5L) == (0L, false))
+    // scale shape: the eval-gram side must broadcast (corpus never shuffles
+    // at gram granularity)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast eval side, got:\n$plan")
+  }
+
   test("shingles: distinct n-grams in first-occurrence order; short text -> empty") {
     val sh = corpus.select(col("id"), Dedup.shingles(col("txt"), 3).as("sh"))
       .filter(col("id") === 1).collect()(0).getSeq[String](1)
