@@ -484,6 +484,27 @@ object SparkEntry {
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCountFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "pii_redact" -> ((s, dir) => {
+      // PII scrubbing over documents with deterministically planted PII
+      // (emails / dotted quads / SSN-shaped ids / phone numbers keyed off
+      // doc_id) — redacted text + per-category counts.
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact admin"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7, ssn 123-45-6789, call +1 (415) 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("pii_text"))
+      TextAnalysis.piiFrame(planted, "pii_text", "doc_id")
+    }),
+
+    "repetition_signals" -> ((s, dir) => {
+      // Gopher-style repetition rules over documents with planted duplicate
+      // lines appended.
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nrepeat me\nrepeat me\nunique tail")).as("rep_text"))
+      TextAnalysis.repetitionFrame(planted, "rep_text", "doc_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintFrame(t(s, dir, "documents"), "text", "doc_id")),
 
@@ -891,6 +912,52 @@ object SparkEntry {
         |   list_transform(range(1, len(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
         |FROM documents""".stripMargin,
+
+    "pii_redact" -> {
+      // Generated from TextAnalysis.PiiPatterns so Spark and the oracle use
+      // byte-identical regexes, applied in the same progressive order.
+      val pats = TextAnalysis.PiiPatterns
+      val planted = "text || ' contact admin' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7, ssn 123-45-6789, call +1 (415) 555-01' || " +
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+      val sb = new StringBuilder(s"WITH p0 AS (SELECT doc_id, $planted AS t FROM documents)")
+      pats.zipWithIndex.foreach { case ((name, re, tag), i) =>
+        val carry = pats.take(i).map(x => s"n_${x._1}").mkString(", ")
+        val carryCols = if (carry.isEmpty) "" else carry + ", "
+        sb.append(s",\np${i + 1} AS (SELECT doc_id, ${carryCols}" +
+          s"len(regexp_extract_all(t, '$re')) AS n_$name, " +
+          s"regexp_replace(t, '$re', '$tag', 'g') AS t FROM p$i)")
+      }
+      sb.append(s"\nSELECT doc_id, ${pats.map(x => s"n_${x._1}").mkString(", ")}, " +
+        s"t AS redacted FROM p${pats.size}")
+      sb.toString
+    },
+
+    "repetition_signals" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10) || 'unique tail' AS t
+        | FROM documents),
+        |l AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines,
+        |  list_filter(string_split(lower(t), ' '), x -> len(x) > 0) AS toks
+        | FROM p),
+        |m AS (SELECT doc_id, lines, toks,
+        |  CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) AS total_chars,
+        |  CAST(list_sum(list_transform(list_distinct(lines), x -> len(x))) AS DOUBLE) AS distinct_chars
+        | FROM l)
+        |SELECT doc_id,
+        | CAST(len(lines) AS BIGINT) AS n_lines,
+        | round(CASE WHEN len(lines) > 0
+        |   THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END, 6)
+        |   AS dup_line_fraction,
+        | round(CASE WHEN total_chars > 0
+        |   THEN (total_chars - distinct_chars) / total_chars ELSE 0.0 END, 6)
+        |   AS dup_line_char_fraction,
+        | round(CASE WHEN len(toks) > 0
+        |   THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END, 6)
+        |   AS dup_token_fraction
+        |FROM m""".stripMargin,
 
     // Scalar-digest oracles for the vector-valued operators: dims and
     // nonzero-ness are exactly SQL-expressible; the vector values themselves

@@ -112,6 +112,78 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------------
+  // PII redaction (training-data scrubbing)
+  // -------------------------------------------------------------------------
+
+  /** Redaction patterns, applied in order (IPv4 before phone so dotted quads
+    * are not swallowed by the looser phone pattern; SSN before phone for the
+    * same reason). Each regex is valid under BOTH Java regex (Spark) and RE2
+    * (DuckDB oracle) with identical leftmost-longest behavior — no
+    * backreferences, no lookaround.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\+[0-9][0-9()\\s.-]{7,}[0-9]", "[PHONE]"))
+
+  /** Scrub emails / IPv4s / SSN-shaped ids / international phone numbers.
+    * Pure codegen'd regexp_replace chain — per-row, no shuffle, no UDF.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Per-document redaction frame: redacted text + per-category match
+    * counts (counted BEFORE redaction, on the progressively-scrubbed text so
+    * categories don't double-count each other's spans).
+    */
+  def piiFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(
+      df.select(col(idCol), col(textCol).as("__t"))) {
+        case (d, (name, re, tag)) =>
+          d.withColumn(s"n_$name",
+              size(regexp_extract_all(col("__t"), lit(re), lit(0))).cast("long"))
+            .withColumn("__t", regexp_replace(col("__t"), re, tag))
+      }
+    counted.withColumnRenamed("__t", "redacted")
+      .select(col(idCol) +: PiiPatterns.map(p => col(s"n_${p._1}")) :+ col("redacted"): _*)
+  }
+
+  // -------------------------------------------------------------------------
+  // Repetition signals (Gopher-style quality rules)
+  // -------------------------------------------------------------------------
+
+  /** Gopher-style repetition measures (Rae et al. 2021 §A1.1): documents
+    * dominated by repeated lines or repeated tokens are boilerplate/spam.
+    *  - `dup_line_fraction`: 1 - distinct/total over trimmed non-empty lines
+    *  - `dup_line_char_fraction`: chars in the EXTRA copies of repeated
+    *    lines / total line chars (total - distinct-sum keeps one copy free)
+    *  - `dup_token_fraction`: 1 - distinct/total over tokens
+    * All pure array expressions — per-row, codegen'd, oracle-expressible.
+    */
+  def repetitionFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => length(l) > 0)
+    val dLines = array_distinct(lines)
+    val nLines = size(lines).cast("double")
+    val charsOf = (a: Column) =>
+      aggregate(transform(a, l => length(l)), lit(0), (acc, v) => acc + v).cast("double")
+    val totalChars = charsOf(lines)
+    val tk = toks(col(textCol))
+    val nToks = size(tk).cast("double")
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      round(when(nLines > 0, lit(1.0) - size(dLines).cast("double") / nLines)
+        .otherwise(lit(0.0)), 6).as("dup_line_fraction"),
+      round(when(totalChars > 0, (totalChars - charsOf(dLines)) / totalChars)
+        .otherwise(lit(0.0)), 6).as("dup_line_char_fraction"),
+      round(when(nToks > 0, lit(1.0) - size(array_distinct(tk)).cast("double") / nToks)
+        .otherwise(lit(0.0)), 6).as("dup_token_fraction"))
+  }
+
+  // -------------------------------------------------------------------------
   // Token counting
   // -------------------------------------------------------------------------
 

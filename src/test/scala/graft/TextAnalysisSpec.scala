@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** PII redaction and Gopher-style repetition signals (the remaining
+  * TextAnalysis operators are value-pinned by the oracle gates).
+  */
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPs, SSNs and phones; categories don't collide") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@corp.example.org, host 10.20.30.40, ssn 123-45-6789, call +1 (415) 555-0142 now"),
+      (2L, "no pii here, just 3.14 and the year 2026"),
+      (3L, "two mails a@b.co c@d.io and dotted 255.255.255.255")
+    ).toDF("id", "txt")
+    val out = TextAnalysis.piiFrame(df, "txt", "id").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("redacted") ==
+      "mail [EMAIL], host [IP], ssn [SSN], call [PHONE] now")
+    assert(out(1L).getAs[Long]("n_email") == 1 && out(1L).getAs[Long]("n_ipv4") == 1 &&
+      out(1L).getAs[Long]("n_ssn") == 1 && out(1L).getAs[Long]("n_phone") == 1)
+    // decimals / years are not IPs or phones
+    assert(out(2L).getAs[String]("redacted").contains("3.14") &&
+      out(2L).getAs[String]("redacted").contains("2026"))
+    assert(Seq("n_email", "n_ipv4", "n_ssn", "n_phone").forall(c => out(2L).getAs[Long](c) == 0))
+    assert(out(3L).getAs[Long]("n_email") == 2 && out(3L).getAs[Long]("n_ipv4") == 1)
+  }
+
+  test("repetitionFrame: duplicate lines and tokens measured, clean text scores 0") {
+    val clean = "alpha beta gamma\ndelta epsilon zeta"
+    val spam = "buy now\nbuy now\nbuy now\nlimited offer"
+    val out = TextAnalysis.repetitionFrame(
+      Seq((1L, clean), (2L, spam), (3L, ""), (4L, "word word word word")).toDF("id", "txt"),
+      "txt", "id").collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Double]("dup_line_fraction") == 0.0 &&
+      out(1L).getAs[Double]("dup_line_char_fraction") == 0.0)
+    // spam: 4 lines, 2 distinct -> 0.5 dup fraction; "buy now" = 7 chars,
+    // total 7*3 + 13 = 34, extra copies 14 -> 14/34
+    assert(out(2L).getAs[Long]("n_lines") == 4)
+    assert(out(2L).getAs[Double]("dup_line_fraction") == 0.5)
+    assert(out(2L).getAs[Double]("dup_line_char_fraction") == math.rint(14.0 / 34.0 * 1e6) / 1e6)
+    assert(out(3L).getAs[Double]("dup_token_fraction") == 0.0) // empty -> all zeros
+    assert(out(4L).getAs[Double]("dup_token_fraction") == 0.75)
+  }
+}
