@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * decoder (via `mapInPandas` / a JNI codec) would use. IMAGE decode is REAL
   * (javax.imageio — JDK built-in, offline-safe — handles png/jpeg/bmp/gif
   * and emits pixel-derived luminance-histogram features plus width/height).
-  * Audio/video codecs are not in this container, so non-image payloads fall
+  * AUDIO decode is REAL (javax.sound.sampled — also JDK built-in — handles
+  * WAV/AIFF/AU PCM and emits an RMS energy envelope over the mixed-down
+  * samples). Video codecs are not in this container, so those payloads fall
   * back to [[stubDecode]], a clearly-marked deterministic fake over the raw
   * bytes; swapping in a real codec changes only the [[decode]] dispatch.
   */
@@ -45,6 +47,9 @@ object Multimodal {
           .when(lower(col("path")).endsWith(".jpg") || lower(col("path")).endsWith(".jpeg"), "image/jpeg")
           .when(lower(col("path")).endsWith(".bmp"), "image/bmp")
           .when(lower(col("path")).endsWith(".gif"), "image/gif")
+          .when(lower(col("path")).endsWith(".wav"), "audio/wav")
+          .when(lower(col("path")).endsWith(".aiff") || lower(col("path")).endsWith(".aif"), "audio/aiff")
+          .when(lower(col("path")).endsWith(".au"), "audio/basic")
           .otherwise("application/octet-stream").as("mime"),
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height"),
@@ -128,13 +133,94 @@ object Multimodal {
     out
   }
 
-  /** Decode dispatch: image mimes get the real ImageIO path (falling back to
-    * the stub if the bytes don't decode); everything else (audio/video — no
-    * codecs in this container) takes the documented [[stubDecode]] fallback.
+  /** Real audio decode via javax.sound.sampled (JDK built-in, offline-safe):
+    * WAV / AIFF / AU payloads decode to mono float samples in [-1, 1]
+    * (channels averaged). Returns None when no reader handles the bytes or
+    * the PCM layout is unsupported.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Array[Float], Float)] =
+    if (payload == null || payload.isEmpty) None
+    else {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned8 = bits == 8 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!(bits == 16 && signed) && !(bits == 8 && (signed || unsigned8))) None
+          else {
+            val bytes = ais.readAllBytes()
+            val bytesPerSample = bits / 8
+            val frameBytes = bytesPerSample * ch
+            val nFrames = bytes.length / frameBytes
+            val mono = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0.0f
+              var c = 0
+              while (c < ch) {
+                val off = f * frameBytes + c * bytesPerSample
+                val v =
+                  if (bits == 16) {
+                    val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                    ((bytes(hi) << 8) | (bytes(lo) & 0xff)).toShort / 32768.0f
+                  } else if (unsigned8) ((bytes(off) & 0xff) - 128) / 128.0f
+                  else bytes(off) / 128.0f
+                acc += v
+                c += 1
+              }
+              mono(f) = acc / ch
+              f += 1
+            }
+            Some((mono, fmt.getSampleRate))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Sample-derived features for decoded audio: `dim`-window RMS energy
+    * envelope, L2-normalized — real samples in, not a byte-stub.
+    */
+  def audioFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.nonEmpty) {
+      val win = math.max(1, samples.length / dim)
+      var w = 0
+      while (w < dim) {
+        val from = math.min(w * win, samples.length)
+        val until = if (w == dim - 1) samples.length else math.min((w + 1) * win, samples.length)
+        var acc = 0.0
+        var i = from
+        while (i < until) { acc += samples(i) * samples(i); i += 1 }
+        out(w) = if (until > from) math.sqrt(acc / (until - from)).toFloat else 0.0f
+        w += 1
+      }
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { norm += out(j) * out(j); j += 1 }
+      if (norm > 0) {
+        val inv = (1.0 / math.sqrt(norm)).toFloat
+        j = 0
+        while (j < dim) { out(j) *= inv; j += 1 }
+      }
+    }
+    out
+  }
+
+  /** Decode dispatch: image mimes get the real ImageIO path, audio mimes
+    * the real javax.sound.sampled path (each falling back to the stub if
+    * the bytes don't decode); everything else (video — no codecs in this
+    * container) takes the documented [[stubDecode]] fallback.
     */
   def decode(payload: Array[Byte], mime: String, dim: Int): Array[Float] =
     if (mime != null && mime.startsWith("image/"))
       decodeImage(payload).map(imageFeatures(_, dim)).getOrElse(stubDecode(payload, dim))
+    else if (mime != null && mime.startsWith("audio/"))
+      decodeAudio(payload).map(sr => audioFeatures(sr._1, dim)).getOrElse(stubDecode(payload, dim))
     else stubDecode(payload, dim)
 
   /** Fill width/height metadata by really decoding image payloads — narrow

@@ -93,6 +93,45 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(bf == Multimodal.stubDecode(Array[Byte](1, 2, 3), 4).toSeq)
   }
 
+  test("real audio decode: WAV payload yields sample-derived energy envelope") {
+    import org.apache.spark.sql.Row
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 400 samples: first half silence, second half a loud square wave ->
+    // RMS envelope mass concentrates in the trailing windows.
+    val n = 400
+    val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+    for (i <- n / 2 until n) {
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val (samples, rate) = Multimodal.decodeAudio(wav).get
+    assert(rate == 8000f && samples.length == n)
+    assert(samples.take(n / 2).forall(_ == 0f))
+    assert(math.abs(samples(n / 2).abs - 0.5f) < 1e-3)
+
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, wav, "audio/wav", null, null, wav.length.toLong)),
+      Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media, dim = 4).collect()(0).getSeq[Float](3)
+    val inv = (1.0 / math.sqrt(2)).toFloat
+    assert(f(0) == 0f && f(1) == 0f) // silent half
+    assert(math.abs(f(2) - inv) < 1e-4 && math.abs(f(3) - inv) < 1e-4)
+    // corrupt audio bytes fall back to the stub rather than failing ingest
+    val broken = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, Array[Byte](1, 2, 3), "audio/wav", null, null, 3L)),
+      Multimodal.mediaSchema)
+    val bf = Multimodal.extractFeatures(broken, dim = 4).collect()(0).getSeq[Float](3)
+    assert(bf == Multimodal.stubDecode(Array[Byte](1, 2, 3), 4).toSeq)
+  }
+
   test("frame sampling: nFrames windows per non-empty payload, 0-based index") {
     import spark.implicits._
     val media = Multimodal.fromText(
