@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import graft.config.{ComponentConfig, GraftConfigException}
 import graft.functions.HashingEmbedder
 import graft.operators.{Chunkers, Embed}
-import graft.sinks.{CollectionSink, GraftSink, VectorTableSink}
+import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, VectorTableSink}
 import graft.sources.{GraftSource, JdbcSource, LocalFileSource, ObjectStoreSource, WebSource}
 import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
 
@@ -141,8 +141,18 @@ object Factory {
 
   val sinks: Map[String, ComponentConfig => GraftSink] = Map(
     "lancedb" -> (c => VectorTableSink(c.require("uri"))),
-    "chromadb" -> (c => CollectionSink(
-      c.str("path").getOrElse(c.require("uri")))),
+    // With a `host` configured the REAL over-the-wire client is bound
+    // (Chroma REST surface, distributed per-partition upsert); without one
+    // this offline environment binds the parquet-backed collection sink
+    // under the same trait (same upsert semantics).
+    "chromadb" -> { c =>
+      c.str("host") match {
+        case Some(h) => ChromaRestSink(
+          s"http://$h:${c.int("port", 8000)}",
+          c.strOr("collection_name", "yamlpipe_collection"))
+        case None => CollectionSink(c.str("path").getOrElse(c.require("uri")))
+      }
+    },
     "table" -> (c => VectorTableSink(c.require("uri"))))
 
   val stateManagers: Map[String, ComponentConfig => StateManager] = Map(
