@@ -61,6 +61,13 @@ object DocumentExtract {
 
   // ---------------------------------------------------------------- zip/XML
 
+  /** Decompression bomb guard: a crafted container (zip bomb, deflate bomb)
+    * must fail loudly per file instead of OOMing the executor — 256 MiB of
+    * decompressed XML per entry is far beyond any legitimate document part.
+    * (var so the spec can exercise the guard without a 256 MiB fixture.)
+    */
+  private[graft] var MaxInflatedBytes: Int = 256 * 1024 * 1024
+
   /** Read selected entries of a zip container into (name → UTF-8 string). */
   private def zipEntries(bytes: Array[Byte])(keep: String => Boolean): Seq[(String, String)] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -69,7 +76,17 @@ object DocumentExtract {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
         if (!e.isDirectory && keep(e.getName)) {
-          out += e.getName -> new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](65536)
+          var m = zin.read(chunk)
+          while (m >= 0) {
+            if (buf.size() + m > MaxInflatedBytes)
+              throw new IllegalArgumentException(
+                s"graft.DocumentExtract: entry '${e.getName}' inflates past $MaxInflatedBytes bytes (decompression bomb?)")
+            buf.write(chunk, 0, m)
+            m = zin.read(chunk)
+          }
+          out += e.getName -> new String(buf.toByteArray, StandardCharsets.UTF_8)
         }
         e = zin.getNextEntry
       }
@@ -324,6 +341,9 @@ object DocumentExtract {
       while (!inf.finished() && !inf.needsDictionary()) {
         val m = inf.inflate(buf)
         if (m == 0 && inf.needsInput()) return out.toByteArray // truncated; keep what we have
+        if (out.size() + m > MaxInflatedBytes)
+          throw new IllegalArgumentException(
+            s"graft.DocumentExtract: pdf stream inflates past $MaxInflatedBytes bytes (decompression bomb?)")
         out.write(buf, 0, m)
       }
       out.toByteArray

@@ -155,6 +155,18 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
 
   // ------------------------------------------------ errors + source wiring
 
+  test("decompression bomb guard fails loudly instead of OOMing the task") {
+    val bomb = zip("word/document.xml" ->
+      ("<w:document><w:body><w:p><w:r><w:t>" + "A" * 100000 + "</w:t></w:r></w:p></w:body></w:document>"))
+    val saved = DocumentExtract.MaxInflatedBytes
+    try {
+      DocumentExtract.MaxInflatedBytes = 1024
+      val e = intercept[IllegalArgumentException](
+        DocumentExtract.extract("docx", "/x/bomb.docx", bomb))
+      assert(e.getMessage.contains("decompression bomb"))
+    } finally DocumentExtract.MaxInflatedBytes = saved
+  }
+
   test("corrupt container raises a named extraction error") {
     val e = intercept[IllegalArgumentException](
       DocumentExtract.extract("docx", "/x/bad.docx", Array[Byte](1, 2, 3)))
