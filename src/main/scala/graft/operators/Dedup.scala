@@ -214,12 +214,12 @@ object Dedup {
                       shingleSize: Int = 3,
                       seed: Long = 42L): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
-    // The signature table is scanned three times (banding + both sides of
-    // the verification join); the single-pass shingle UDF is cheap enough
-    // that recomputing beats caching (a persist here held memory for the
-    // whole query and caused GC pressure downstream). At cluster scale the
-    // signature table would instead be a persisted/bucketed table keyed by
-    // id, written once.
+    // The full-corpus shingle pass feeds only the banding self-join (two
+    // scans); recomputing there beats caching (a persist of this table held
+    // memory for the whole query and caused GC pressure downstream — r2).
+    // Verification shingles are computed separately on the candidate-bounded
+    // subset below. At cluster scale the signature table would instead be a
+    // persisted/bucketed table keyed by id, written once.
     val withShingles = Partitioning.ensureParallelism(df)
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
@@ -234,17 +234,33 @@ object Dedup {
         posexplode(col("__bands")).as(Seq("__band", "__minh")))
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__minh"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__minh"))
+    // Candidates are orders of magnitude smaller than the corpus; PERSIST
+    // them (pairs of ids — bytes per pair) so the verify stage's three uses
+    // don't re-execute the band self-join. This is the one intermediate
+    // small enough to cache at any corpus size.
     val candidates = a.join(b, Seq("__band", "__minh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // Exact-Jaccard verification on candidates only. The candidate set is
-    // orders of magnitude smaller than the corpus, so broadcast IT and
-    // stream the shingle table — never broadcast the array-heavy side.
-    val shA = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val shB = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
-    val withA = shA.join(broadcast(candidates), "id_a")
-    shB.join(broadcast(withA), "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact-Jaccard verification on candidates only. Semi-join the corpus
+    // down to candidate ids BEFORE computing verify shingles: the shingle
+    // UDF then runs over O(candidates) rows, not O(corpus) — the plan keeps
+    // the (broadcast, id-only) semi join below the UDF projection.
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val candShingles = Partitioning.ensureParallelism(df)
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shA = candShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
+    val shB = candShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
+    // Both verify inputs are candidate-bounded; AQE picks broadcast vs
+    // shuffle from their actual sizes (the array-heavy side must not be
+    // force-broadcast).
+    shA.join(broadcast(candidates), "id_a")
+      .join(shB, "id_b")
       .withColumn("jaccard_dist",
         lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard_dist") <= maxJaccardDistance)
