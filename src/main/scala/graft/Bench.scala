@@ -17,14 +17,38 @@ object Bench {
     * codegen stage ids) so the digest is stable across runs of the same
     * logical plan.
     */
-  private[graft] def normalizePlan(plan: String): String =
-    plan
+  private[graft] def normalizePlan(plan: String): String = {
+    val normalized = plan
       .replaceAll("#\\d+", "#N")
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("\\(\\d+\\)", "(N)") // codegen stage ids
       .replaceAll("@[0-9a-fA-F]+", "@X")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(X)")
       .replaceAll("id=\\d+", "id=N")
+    // Collapse cached-relation subtrees: InMemoryRelation re-prints its
+    // entire child plan (at every reference), turning a digest into
+    // thousands of lines without adding shape information — the cache
+    // CONTENT's plan is already visible where it was first built.
+    val lines = normalized.linesIterator.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var skipIndent = -1
+    lines.foreach { line =>
+      val indent = line.indexWhere(c => !" :+-".contains(c)) match {
+        case -1 => line.length
+        case i => i
+      }
+      if (skipIndent >= 0 && indent > skipIndent) () // inside a collapsed cache subtree
+      else {
+        skipIndent = -1
+        if (line.contains("InMemoryRelation")) {
+          out += line.substring(0, line.indexOf("InMemoryRelation")) +
+            "InMemoryRelation [collapsed cached subtree]"
+          skipIndent = indent
+        } else out += line
+      }
+    }
+    out.mkString("\n")
+  }
 
   private def digest(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
