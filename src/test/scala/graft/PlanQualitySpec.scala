@@ -112,6 +112,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"sketch should partial-aggregate map-side: ${p.take(600)}")
   }
 
+  test("pii_redact / repetition_signals: pure narrow per-row transforms (no shuffle, no UDF)") {
+    Seq("pii_redact", "repetition_signals").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles: ${p.take(400)}")
+      assert(!p.contains("BatchEvalPython") && !"\\bUDF\\b".r.findFirstIn(p).isDefined,
+        s"$q fell out of codegen: ${p.take(400)}")
+    }
+  }
+
+  test("decontamination: eval grams broadcast; corpus never shuffles at gram grain") {
+    val p = plan("decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // the corpus gram stream must meet the eval grams through a broadcast
+    // hash join — a sort-merge join here would shuffle the 100 TB side at
+    // gram granularity (the eval side's own tiny distinct may shuffle)
+    assert(!p.contains("SortMergeJoin [__gram"), p.take(900))
+  }
+
   test("sample_split: the hash predicate needs no shuffle before aggregation") {
     val p = plan("sample_split")
     // one exchange for the final groupBy(split); the sampling itself is narrow
