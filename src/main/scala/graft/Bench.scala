@@ -88,7 +88,12 @@ object Bench {
           df.count()
           val dt = (System.nanoTime() - t0) / 1e9
           if (rep == reps) {
-            // AQE-final physical plan of the rep just executed.
+            // count() executes its OWN QueryExecution (the aggregate's), so
+            // df's plan would still be AQE-initial here. Execute df's own
+            // query (untimed — gate results are small by design) so the
+            // captured digest reflects the runtime-final plan: AQE
+            // SMJ->broadcast conversions and stage coalescing included.
+            df.collect()
             val normalized = normalizePlan(df.queryExecution.executedPlan.toString)
             planDigests(name) = digest(normalized)
             val w = new java.io.PrintWriter(new java.io.File(plansDir, s"$name.txt"), "UTF-8")

@@ -75,10 +75,11 @@ object Factory {
                                                    model: String, dim: Int,
                                                    batchSize: Int) extends GraftEmbedder {
     def embed(df: DataFrame, textCol: String): DataFrame =
-      Embed.remote(df, textCol, endpoint, apiKey, model, batchSize)
+      Embed.remote(df, textCol, endpoint, apiKey, model, batchSize, dim = Some(dim))
     def embedQuery(query: String): Array[Float] =
       graft.functions.RemoteEmbedder.embedBatch(
-        graft.functions.RemoteEmbedder.newClient(30), endpoint, apiKey, model, Seq(query))(0)
+        graft.functions.RemoteEmbedder.newClient(30), endpoint, apiKey, model,
+        Seq(query), dimensions = Some(dim))(0)
   }
 
   // ---------------------------------------------------------------------

@@ -63,15 +63,20 @@ object DocumentExtract {
 
   /** Decompression bomb guard: a crafted container (zip bomb, deflate bomb)
     * must fail loudly per file instead of OOMing the executor — 256 MiB of
-    * decompressed XML per entry is far beyond any legitimate document part.
+    * decompressed XML ACROSS ALL KEPT ENTRIES of one file is far beyond any
+    * legitimate document; a multi-entry archive whose entries each stay
+    * under a per-entry cap would otherwise still accumulate unbounded.
     * (var so the spec can exercise the guard without a 256 MiB fixture.)
     */
   private[graft] var MaxInflatedBytes: Int = 256 * 1024 * 1024
 
-  /** Read selected entries of a zip container into (name → UTF-8 string). */
+  /** Read selected entries of a zip container into (name → UTF-8 string);
+    * the decompressed TOTAL across entries is capped by [[MaxInflatedBytes]].
+    */
   private def zipEntries(bytes: Array[Byte])(keep: String => Boolean): Seq[(String, String)] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.ArrayBuffer.empty[(String, String)]
+    var totalInflated = 0L
     try {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
@@ -80,9 +85,10 @@ object DocumentExtract {
           val chunk = new Array[Byte](65536)
           var m = zin.read(chunk)
           while (m >= 0) {
-            if (buf.size() + m > MaxInflatedBytes)
+            totalInflated += m
+            if (totalInflated > MaxInflatedBytes)
               throw new IllegalArgumentException(
-                s"graft.DocumentExtract: entry '${e.getName}' inflates past $MaxInflatedBytes bytes (decompression bomb?)")
+                s"graft.DocumentExtract: container inflates past $MaxInflatedBytes bytes at entry '${e.getName}' (decompression bomb?)")
             buf.write(chunk, 0, m)
             m = zin.read(chunk)
           }
@@ -197,7 +203,9 @@ object DocumentExtract {
             .map(m => decodeEntities(m.group(1))).mkString
         }.toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
-    val cellRe = "(?s)<c(\\s[^>]*)?>(.*?)</c>".r
+    // Styled-but-empty cells self-close (<c r="B1" s="1"/>); they must
+    // yield an empty field, not vanish, or columns shift left.
+    val cellRe = "(?s)<c(\\s[^>/]*)?(?:/>|>(.*?)</c>)".r
     val vRe = "(?s)<v(?:\\s[^>]*)?>(.*?)</v>".r
     val tRe = "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r
     val sheets = parts.filter(_._1 != "xl/sharedStrings.xml").sortBy(e => naturalKey(e._1))
@@ -205,7 +213,7 @@ object DocumentExtract {
       "(?s)<row(?:\\s[^>]*)?>(.*?)</row>".r.findAllMatchIn(xml).map { row =>
         cellRe.findAllMatchIn(row.group(1)).map { c =>
           val attrs = Option(c.group(1)).getOrElse("")
-          val body = c.group(2)
+          val body = Option(c.group(2)).getOrElse("")
           if (attrs.contains("t=\"s\"")) {
             vRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
               .filter(shared.indices.contains).map(shared).getOrElse("")
@@ -279,9 +287,11 @@ object DocumentExtract {
           if (nc == '\\' || nc == '{' || nc == '}') { if (skipDepth < 0) sb += nc; i += 2 }
           else if (nc == '\'') {
             if (i + 3 < n) {
-              val hex = s.substring(i + 2, i + 4)
-              if (skipDepth < 0) try sb += hex.toList.map("0123456789abcdef".indexOf(_)).foldLeft(0)((a, d) => a * 16 + d).toChar
-                                 catch { case _: Exception => () }
+              // hex digits are case-insensitive in RTF; emit nothing (never
+              // a garbage char) when a writer produced a malformed escape
+              val hi = Character.digit(s.charAt(i + 2), 16)
+              val lo = Character.digit(s.charAt(i + 3), 16)
+              if (skipDepth < 0 && hi >= 0 && lo >= 0) sb += (hi * 16 + lo).toChar
               i += 4
             } else i = n
           } else if (nc == '~') { if (skipDepth < 0) sb += ' '; i += 2 }
@@ -304,8 +314,13 @@ object DocumentExtract {
               case "u" =>
                 try sb.appendAll(Character.toChars(((param.toInt % 65536) + 65536) % 65536))
                 catch { case _: Exception => () }
-                // consume the one-char ANSI fallback that follows \uN
-                if (k < n && s.charAt(k) != '\\' && s.charAt(k) != '{' && s.charAt(k) != '}') k += 1
+                // Consume the one-char ANSI fallback that follows the
+                // unicode control word. Word writes it as a hex escape
+                // (u8217 followed by hex-escape 92), so an escape-shaped
+                // fallback must be consumed as a unit or the cp1252 byte
+                // leaks into the text as a duplicate character.
+                if (k + 3 < n && s.charAt(k) == '\\' && s.charAt(k + 1) == '\'') k += 4
+                else if (k < n && s.charAt(k) != '\\' && s.charAt(k) != '{' && s.charAt(k) != '}') k += 1
               case _ => ()
             }
             i = k

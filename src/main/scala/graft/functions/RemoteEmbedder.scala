@@ -38,9 +38,12 @@ object RemoteEmbedder {
     sb.toString
   }
 
-  def requestBody(model: String, texts: Seq[String]): String =
+  def requestBody(model: String, texts: Seq[String],
+                  dimensions: Option[Int] = None): String = {
+    val dims = dimensions.map(d => s""","dimensions":$d""").getOrElse("")
     texts.map(t => "\"" + jsonEscape(t) + "\"")
-      .mkString(s"""{"model":"${jsonEscape(model)}","input":[""", ",", "]}")
+      .mkString(s"""{"model":"${jsonEscape(model)}","input":[""", ",", s"]$dims}")
+  }
 
   /** Parse the response into `n` row-aligned vectors (ordered by the
     * response's own `index` field, not arrival order). Fails loudly on a
@@ -77,22 +80,32 @@ object RemoteEmbedder {
 
   /** One embeddings POST: n texts in, n row-aligned vectors out. Throws on
     * any non-2xx status with the body in the message (the reference
-    * surfaces the API error verbatim, embedders.py:83-85).
+    * surfaces the API error verbatim, embedders.py:83-85). A configured
+    * `dimensions` is passed through to the API (OpenAI v3 models honor it)
+    * AND validated against every returned vector — a silently wrong-width
+    * embedding column corrupts every downstream index.
     */
   def embedBatch(client: java.net.http.HttpClient, endpoint: String,
                  apiKey: Option[String], model: String, texts: Seq[String],
-                 timeoutSeconds: Int = 30): Array[Array[Float]] = {
+                 timeoutSeconds: Int = 30,
+                 dimensions: Option[Int] = None): Array[Array[Float]] = {
     if (texts.isEmpty) return Array.empty
     val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
       .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
       .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(requestBody(model, texts)))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        requestBody(model, texts, dimensions)))
     apiKey.foreach(k => builder.header("Authorization", s"Bearer $k"))
     val resp = client.send(builder.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() < 200 || resp.statusCode() >= 300)
       throw new IllegalStateException(
         s"embeddings POST $endpoint -> HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
-    parseResponse(resp.body(), texts.size)
+    val out = parseResponse(resp.body(), texts.size)
+    dimensions.foreach { d =>
+      out.find(_.length != d).foreach(v => throw new IllegalStateException(
+        s"embeddings endpoint returned ${v.length}-dim vectors, configured dim is $d"))
+    }
+    out
   }
 }

@@ -206,13 +206,20 @@ object Dedup {
     * lsh.fit, no per-pair keyDistance over 2^18-dim vectors. At scale:
     * signature pass is narrow, candidate generation shuffles once on the
     * band key, verification shuffles only candidate ids.
+    *
+    * CACHING: with `persistIntermediates` (default) the candidate-bounded
+    * intermediates are persisted MEMORY_AND_DISK and stay cached until the
+    * session drops them — a long-running app calling this repeatedly should
+    * `spark.catalog.clearCache()` between corpora (or pass false to trade
+    * re-execution of the band join for zero cache footprint).
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       maxJaccardDistance: Double = 0.6,
                       numHashes: Int = 16,
                       bandSize: Int = 2,
                       shingleSize: Int = 3,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L,
+                      persistIntermediates: Boolean = true): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
     // The full-corpus shingle pass feeds only the banding self-join (two
     // scans); recomputing there beats caching (a persist of this table held
@@ -238,11 +245,14 @@ object Dedup {
     // them (pairs of ids — bytes per pair) so the verify stage's three uses
     // don't re-execute the band self-join. This is the one intermediate
     // small enough to cache at any corpus size.
-    val candidates = a.join(b, Seq("__band", "__minh"))
+    def maybePersist(d: DataFrame): DataFrame =
+      if (persistIntermediates)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    val candidates = maybePersist(a.join(b, Seq("__band", "__minh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // Exact-Jaccard verification on candidates only. Semi-join the corpus
     // down to candidate ids BEFORE computing verify shingles: the shingle
     // UDF then runs over O(candidates) rows, not O(corpus) — the plan keeps
@@ -250,10 +260,9 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol)))
       .distinct()
-    val candShingles = Partitioning.ensureParallelism(df)
+    val candShingles = maybePersist(Partitioning.ensureParallelism(df)
       .join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles")))
     val shA = candShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
     val shB = candShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
     // Both verify inputs are candidate-bounded; AQE picks broadcast vs

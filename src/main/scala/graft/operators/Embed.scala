@@ -43,14 +43,18 @@ object Embed {
     * POST — embeddings zip back row-aligned within the partition, so the
     * operation stays distributed and the driver never holds a global batch.
     * A failed batch fails the task (and with it the job) loudly; Spark task
-    * retry is the retry policy.
+    * retry is the retry policy. Pass `dim` in production: it is sent as the
+    * API's `dimensions` parameter, validated against every returned vector,
+    * and sizes the zero vector for null/empty texts (without it an
+    * all-empty batch cannot know the width and emits length-0 vectors).
     */
   def remote(df: DataFrame, textCol: String, endpoint: String,
              apiKey: Option[String] = None,
              model: String = graft.functions.RemoteEmbedder.DefaultModel,
              batchSize: Int = graft.functions.RemoteEmbedder.DefaultBatchSize,
              timeoutSeconds: Int = 30,
-             outCol: String = "embedding"): DataFrame = {
+             outCol: String = "embedding",
+             dim: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val inSchema = df.schema
@@ -62,10 +66,20 @@ object Embed {
       lazy val client = graft.functions.RemoteEmbedder.newClient(timeoutSeconds)
       rows.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(r => if (r.isNullAt(textIdx)) "" else r.getString(textIdx))
-        val vecs = graft.functions.RemoteEmbedder.embedBatch(
-          client, endpoint, apiKey, model, texts, timeoutSeconds)
-        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
-          Row.fromSeq(r.toSeq :+ v.toSeq)
+        // Null/empty texts never reach the API (OpenAI rejects "" inputs
+        // with a 400, which would fail the whole job for one blank row);
+        // they get the zero vector — the hashing embedder's contract.
+        val nonEmpty = texts.zipWithIndex.filter(_._1.nonEmpty)
+        val vecs =
+          if (nonEmpty.isEmpty) Array.empty[Array[Float]]
+          else graft.functions.RemoteEmbedder.embedBatch(
+            client, endpoint, apiKey, model, nonEmpty.map(_._1), timeoutSeconds,
+            dimensions = dim)
+        val aligned = new Array[Array[Float]](texts.size)
+        nonEmpty.map(_._2).zip(vecs).foreach { case (i, v) => aligned(i) = v }
+        val zero = new Array[Float](dim.orElse(vecs.headOption.map(_.length)).getOrElse(0))
+        batch.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (if (aligned(i) == null) zero else aligned(i)).toSeq)
         }
       }
     }(enc)

@@ -42,7 +42,15 @@ final case class ChromaRestSink(baseUrl: String, collection: String,
         timeoutSeconds)
     val (url, bs, ts) = (s"$baseUrl/api/v1/collections/$collectionId/upsert", batchSize, timeoutSeconds)
     val hasId = df.columns.contains("id")
-    val prepared = (if (hasId) df else df.withColumn("id", expr("uuid()")))
+    // Deterministic content-derived ids instead of the reference's fresh
+    // uuid4 per record (`sinks.py:143`): Chroma upsert is keyed by id, and
+    // a task RETRY or speculative attempt re-posts its partition — with
+    // nondeterministic uuid() the first attempt's rows would survive under
+    // their old ids as silent duplicates. Hashing the whole row makes the
+    // distributed write idempotent (identical rows are true duplicates and
+    // legitimately collapse).
+    val prepared = (if (hasId) df
+      else df.withColumn("id", md5(to_json(struct(df.columns.map(col): _*)))))
       .select(col("id").cast("string"), col("text").cast("string"),
         col("vector").cast("array<float>"), col("source").cast("string"))
     prepared.foreachPartition { (rows: Iterator[Row]) =>

@@ -100,7 +100,7 @@ object TextExtractors {
     val extractDoc = udf(graft.functions.DocumentExtract.extract _)
     when(ext.isin(extsOf(Unsupported): _*),
         raise_error(concat(
-          lit("graft.LocalFileSource: no offline text extractor for format '"), ext,
+          lit("graft.TextExtractors: no offline text extractor for format '"), ext,
           lit("' ("), pathCol,
           lit("); add a TextExtractors entry or ingest via Multimodal.readBinaryDir"))))
       .when(ext.isin(extsOf(Document): _*), extractDoc(ext, pathCol, bytesCol))

@@ -96,16 +96,33 @@ class EmbedSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     withFakeServer() { (url, auths, nRequests) =>
       val df = Seq((1L, "ab"), (2L, "abcd"), (3L, ""), (4L, "xyzxyz")).toDF("id", "txt")
-      val out = Embed.remote(df, "txt", url, apiKey = Some("sk-test"), batchSize = 2)
+      val out = Embed.remote(df, "txt", url, apiKey = Some("sk-test"), batchSize = 2,
+          dim = Some(2))
         .orderBy("id").select("id", "embedding").collect()
       assert(out.length == 4)
       // vectors re-aligned by index despite the server's reversed response
       assert(out(0).getSeq[Float](1) == Seq(2f, 1.5f))
       assert(out(1).getSeq[Float](1) == Seq(4f, 1.5f))
-      assert(out(2).getSeq[Float](1) == Seq(0f, 1.5f)) // null-safe: "" for empty
+      // empty text never reaches the API (OpenAI 400s on "") — zero vector
+      assert(out(2).getSeq[Float](1) == Seq(0f, 0f))
       assert(out(3).getSeq[Float](1) == Seq(6f, 1.5f))
       assert(nRequests.get() >= 2, "batchSize=2 over 4 texts must take multiple POSTs")
       assert(auths.toArray.forall(_ == "Bearer sk-test"))
+    }
+  }
+
+  test("remote embedder: configured dim is validated against returned vectors") {
+    import spark.implicits._
+    withFakeServer() { (url, _, _) =>
+      val df = Seq((1L, "ab")).toDF("id", "txt")
+      // fake server always returns 2-dim vectors: dim=2 passes...
+      val ok = Embed.remote(df, "txt", url, dim = Some(2)).collect()
+      assert(ok(0).getSeq[Float](2).length == 2)
+      // ...dim=5 fails loudly instead of silently mis-sizing the column
+      val e = intercept[Exception](Embed.remote(df, "txt", url, dim = Some(5)).collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("configured dim"))))
     }
   }
 

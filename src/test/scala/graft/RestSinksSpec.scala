@@ -101,15 +101,20 @@ class RestSinksSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("records without ids get fresh uuids (reference sinks.py:143)") {
+  test("records without ids get deterministic content-derived ids (retry-idempotent)") {
     withFakeChroma { (url, store, _) =>
       val sink = ChromaRestSink(url, "c")
-      sink.write(Seq(("t1", Seq(1f), "s1"), ("t2", Seq(2f), "s1"))
+      def df = Seq(("t1", Seq(1f), "s1"), ("t2", Seq(2f), "s1"))
         .toDF("text", "vector", "source")
-        .selectExpr("text", "cast(vector as array<float>) as vector", "source"))
+        .selectExpr("text", "cast(vector as array<float>) as vector", "source")
+      sink.write(df)
       assert(store.size() == 2)
-      store.keySet().asScala.foreach(id =>
-        assert(java.util.UUID.fromString(id) != null))
+      val firstIds = store.keySet().asScala.toSet
+      firstIds.foreach(id => assert(id.matches("[0-9a-f]{32}")))
+      // A re-post of the same rows (what a task retry does) lands on the
+      // SAME ids — no duplicate records survive.
+      sink.write(df)
+      assert(store.size() == 2 && store.keySet().asScala.toSet == firstIds)
     }
   }
 
