@@ -101,6 +101,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("curation filters (PII redaction, quality, repetition) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    // The curation operators are stateless narrow expressions, so the SAME
+    // operator code serves batch and streaming — no streaming variant needed.
+    val curated = graft.operators.TextAnalysis.piiFrame(docs, "text", "doc_id")
+      .join(graft.operators.TextAnalysis.repetitionFrame(docs, "text", "doc_id"), "doc_id")
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "mail a@b.co now\nrepeat\nrepeat"), (2L, "clean text"))
+      q.processAllAvailable()
+      val rows = spark.table("curated").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows(1L).getAs[String]("redacted").startsWith("mail [EMAIL]"))
+      assert(rows(1L).getAs[Double]("dup_line_fraction") > 0.0)
+      assert(rows(2L).getAs[Long]("n_email") == 0L &&
+        rows(2L).getAs[Double]("dup_line_fraction") == 0.0)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap and close on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
