@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN reported — the first rep doubles as the per-query warm-up and the
   * median discards its codegen/classload cost, making round-over-round
   * deltas attributable to plan changes rather than run-order noise. Each
-  * query's physical plan (pre-execution, AQE-initial — deterministic, so
-  * the digest never flaps on runtime size re-plans) is normalized
-  * (expression ids stripped) and persisted to `bench_plans/<name>.txt` with
-  * a digest in the output JSON, so a regression can be bisected to "plan
-  * changed" vs "same plan, environment moved".
+  * query's physical plan — captured AFTER executing the query's own
+  * QueryExecution, i.e. the AQE-FINAL runtime plan including SMJ->broadcast
+  * conversions — is normalized (expression ids stripped) and persisted to
+  * `bench_plans/<name>.txt` with a digest in the output JSON. A digest
+  * change can therefore mean either a code-driven plan change OR a runtime
+  * size crossing an AQE threshold; the persisted plan text is what
+  * disambiguates the two (the Initial Plan section is printed alongside the
+  * Final Plan).
   */
 object Bench {
 
@@ -105,6 +108,10 @@ object Bench {
             if (!failed.contains(name)) {
               failed += name
               System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+              // A stale digest from a previous run must not masquerade as
+              // this round's plan for a query that failed to produce one.
+              new java.io.File(plansDir, s"$name.txt").delete()
+              planDigests.remove(name)
             }
             None
         }

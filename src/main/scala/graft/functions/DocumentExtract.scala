@@ -203,24 +203,36 @@ object DocumentExtract {
             .map(m => decodeEntities(m.group(1))).mkString
         }.toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
-    // Styled-but-empty cells self-close (<c r="B1" s="1"/>); they must
-    // yield an empty field, not vanish, or columns shift left.
+    // Excel stores only non-empty (or styled) cells and addresses them by
+    // the r="A1" reference: both self-closed styled cells AND wholly
+    // omitted cells must yield empty fields at their column positions, or
+    // later columns silently shift left.
     val cellRe = "(?s)<c(\\s[^>/]*)?(?:/>|>(.*?)</c>)".r
+    val refRe = "r=\"([A-Z]+)[0-9]+\"".r
     val vRe = "(?s)<v(?:\\s[^>]*)?>(.*?)</v>".r
     val tRe = "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r
+    def colIndex(letters: String): Int =
+      letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
     val sheets = parts.filter(_._1 != "xl/sharedStrings.xml").sortBy(e => naturalKey(e._1))
     val texts = sheets.map { case (_, xml) =>
       "(?s)<row(?:\\s[^>]*)?>(.*?)</row>".r.findAllMatchIn(xml).map { row =>
-        cellRe.findAllMatchIn(row.group(1)).map { c =>
+        val cells = mutable.ArrayBuffer.empty[String]
+        cellRe.findAllMatchIn(row.group(1)).foreach { c =>
           val attrs = Option(c.group(1)).getOrElse("")
           val body = Option(c.group(2)).getOrElse("")
-          if (attrs.contains("t=\"s\"")) {
-            vRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
-              .filter(shared.indices.contains).map(shared).getOrElse("")
-          } else if (attrs.contains("t=\"inlineStr\"")) {
-            tRe.findAllMatchIn(body).map(m => decodeEntities(m.group(1))).mkString
-          } else vRe.findFirstMatchIn(body).map(m => decodeEntities(m.group(1))).getOrElse("")
-        }.mkString("\t")
+          val idx = refRe.findFirstMatchIn(attrs).map(m => colIndex(m.group(1)))
+            .getOrElse(cells.length)
+          while (cells.length < idx) cells += ""
+          val value =
+            if (attrs.contains("t=\"s\"")) {
+              vRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
+                .filter(shared.indices.contains).map(shared).getOrElse("")
+            } else if (attrs.contains("t=\"inlineStr\"")) {
+              tRe.findAllMatchIn(body).map(m => decodeEntities(m.group(1))).mkString
+            } else vRe.findFirstMatchIn(body).map(m => decodeEntities(m.group(1))).getOrElse("")
+          if (idx < cells.length) cells(idx) = value else cells += value
+        }
+        cells.mkString("\t")
       }.map(_.trim).filter(_.nonEmpty).mkString("\n")
     }.filter(_.nonEmpty)
     texts.mkString("\n\n")
@@ -271,6 +283,7 @@ object DocumentExtract {
     var i = 0
     var skipDepth = -1  // brace depth at which a skipped destination started
     var depth = 0
+    var ucSkip = 1      // fallback chars per \uN escape (RTF default)
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
@@ -311,16 +324,25 @@ object DocumentExtract {
             else if (skipDepth < 0) word match {
               case "par" | "line" | "row" => sb += '\n'
               case "tab" | "cell"         => sb += '\t'
+              case "uc" =>
+                // \ucN declares how many ANSI fallback items follow each
+                // \uN escape (0 for modern writers, 1 default, 2+ for DBCS).
+                ucSkip = try math.max(0, param.toInt) catch { case _: Exception => 1 }
               case "u" =>
                 try sb.appendAll(Character.toChars(((param.toInt % 65536) + 65536) % 65536))
                 catch { case _: Exception => () }
-                // Consume the one-char ANSI fallback that follows the
-                // unicode control word. Word writes it as a hex escape
-                // (u8217 followed by hex-escape 92), so an escape-shaped
-                // fallback must be consumed as a unit or the cp1252 byte
-                // leaks into the text as a duplicate character.
-                if (k + 3 < n && s.charAt(k) == '\\' && s.charAt(k + 1) == '\'') k += 4
-                else if (k < n && s.charAt(k) != '\\' && s.charAt(k) != '{' && s.charAt(k) != '}') k += 1
+                // Consume exactly ucSkip fallback items after the unicode
+                // control word. Word writes each as a hex escape (u8217
+                // followed by hex-escape 92), others as a plain char; an
+                // unconsumed fallback leaks into the text as a duplicate
+                // character, an over-consumed one (under \uc0) eats real
+                // text.
+                var skip = ucSkip
+                while (skip > 0) {
+                  if (k + 3 < n && s.charAt(k) == '\\' && s.charAt(k + 1) == '\'') { k += 4; skip -= 1 }
+                  else if (k < n && s.charAt(k) != '\\' && s.charAt(k) != '{' && s.charAt(k) != '}') { k += 1; skip -= 1 }
+                  else skip = 0
+                }
               case _ => ()
             }
             i = k

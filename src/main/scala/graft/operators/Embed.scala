@@ -77,6 +77,13 @@ object Embed {
             dimensions = dim)
         val aligned = new Array[Array[Float]](texts.size)
         nonEmpty.map(_._2).zip(vecs).foreach { case (i, v) => aligned(i) = v }
+        // Without a configured dim, an all-empty batch has no way to know
+        // the vector width — a silent 0-length vector would make the
+        // embedding column ragged across batches; fail loudly instead.
+        if (nonEmpty.size < texts.size && dim.isEmpty && vecs.isEmpty)
+          throw new IllegalStateException(
+            "graft.Embed.remote: a batch of only null/empty texts needs an explicit dim " +
+              "to size their zero vectors — pass dim=Some(d)")
         val zero = new Array[Float](dim.orElse(vecs.headOption.map(_.length)).getOrElse(0))
         batch.iterator.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (if (aligned(i) == null) zero else aligned(i)).toSeq)

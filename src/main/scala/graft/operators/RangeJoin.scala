@@ -46,10 +46,22 @@ object RangeJoin {
         floor(col(startCol) / bucketWidth).cast("long"),
         floor(col(endCol) / bucketWidth).cast("long"))))
     val doBroadcast = broadcastIntervals.getOrElse {
-      // Pre-explosion estimate; the explode replicates rows by ~len/width,
-      // which the threshold absorbs (it is a safety bound, not a tuning
-      // knob — AQE still re-plans the join at runtime sizes).
-      intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastThresholdBytes
+      // The broadcast hint bypasses AQE's own size checks, and explode
+      // replicates each interval by ~len/width — UNBOUNDED by the byte
+      // estimate (a 5 MB table of month-long intervals at 1-hour buckets
+      // explodes ~720x into a multi-GB relation). So gate on the
+      // POST-explosion size: if the un-exploded side is already under the
+      // threshold it is cheap to measure the true replication factor with
+      // one tiny agg job, and only broadcast when size x replication still
+      // fits.
+      val preSize = intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+      preSize <= broadcastThresholdBytes && {
+        val repl = Option(intervals
+            .select(avg((col(endCol) - col(startCol)) / bucketWidth + 1))
+            .first().get(0))
+          .map(_.asInstanceOf[Double]).getOrElse(1.0)
+        BigDecimal(preSize) * math.max(1.0, repl) <= BigDecimal(broadcastThresholdBytes)
+      }
     }
     val ivals = if (doBroadcast) broadcast(exploded) else exploded
     val pts = points.withColumn("__bucket",

@@ -50,10 +50,13 @@ object Sink {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = p.getParent
     if (parent != null && fs.exists(parent)) {
-      val prefix = p.getName + ".survivors-"
+      // survivors- from upserts; migrate-/old- from schema migrations
+      // (full-table-sized — a kill -9 between write and promote would
+      // otherwise leak 1-2x the table size permanently).
+      val prefixes = Seq(".survivors-", ".migrate-", ".old-").map(p.getName + _)
       val cutoff = System.currentTimeMillis() - maxAgeMs
       fs.listStatus(parent).foreach { st =>
-        if (st.getPath.getName.startsWith(prefix) && st.getModificationTime < cutoff)
+        if (prefixes.exists(st.getPath.getName.startsWith) && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
     }

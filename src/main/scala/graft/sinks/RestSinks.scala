@@ -31,6 +31,15 @@ final case class ChromaRestSink(baseUrl: String, collection: String,
 
   override def write(df: DataFrame): Unit = {
     SinkSchemas.validate(df.schema)
+    // DATA validation must run BEFORE the per-source delete below: a null
+    // source/text/vector would NPE mid-upsert AFTER existing records for
+    // those sources were already dropped — silent data loss behind an
+    // opaque NullPointerException.
+    val badRows = df.filter(col("source").isNull || col("text").isNull ||
+      col("vector").isNull).limit(1).count()
+    require(badRows == 0,
+      "graft.ChromaRestSink: null source/text/vector in the incoming frame — " +
+        "filter or fill nulls before writing (the delete-then-upsert scope is not null-safe)")
     val client = newClient(timeoutSeconds)
     val collectionId = getOrCreateCollection(client, baseUrl, collection, timeoutSeconds)
     // Reference upsert scope: drop every existing record whose source is in

@@ -76,6 +76,18 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       "name\twidget\ninline\t42")
   }
 
+  test("xlsx: omitted and self-closed cells keep their column positions") {
+    val bytes = zip(
+      "xl/sharedStrings.xml" -> "<sst><si><t>x</t></si><si><t>y</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        // row 1: B omitted entirely; row 2: B styled-but-empty self-closed
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2"><v>1</v></c><c r="B2" s="1"/><c r="C2"><v>3</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    assert(DocumentExtract.extract("xlsx", "t.xlsx", bytes) == "x\t\ty\n1\t\t3")
+  }
+
   // ------------------------------------------------------------------- odt
 
   test("odt: text:p / text:h paragraphs with tabs and line breaks") {
@@ -110,6 +122,11 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       "\\" + "u8212?dash{\\i italic} end\\par}"
     assert(DocumentExtract.extract("rtf", "t.rtf", rtf.getBytes(StandardCharsets.ISO_8859_1)) ==
       "Hello\nCafé time\nA\tB\n—dashitalic end")
+    // \uc0 = no fallback byte after \uN (the next char is REAL text);
+    // uppercase hex escapes decode; Word-style escape fallbacks consume
+    val uc0 = "{\\rtf1\\ansi\\uc0 caf\\'E9 " + "\\" + "u8217 s}"
+    assert(DocumentExtract.extract("rtf", "t.rtf", uc0.getBytes(StandardCharsets.ISO_8859_1)) ==
+      "café ’s")
   }
 
   // ------------------------------------------------------------------- pdf

@@ -118,6 +118,21 @@ class RestSinksSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("null source/text/vector fails loudly BEFORE the destructive delete runs") {
+    withFakeChroma { (url, store, _) =>
+      val sink = ChromaRestSink(url, "c")
+      sink.write(frame(("a1", "keep me", Seq(1f), "src/a")))
+      assert(store.size() == 1)
+      val bad = Seq((null.asInstanceOf[String], Seq(2f), "src/a"))
+        .toDF("text", "vector", "source")
+        .selectExpr("text", "cast(vector as array<float>) as vector", "source")
+      val e = intercept[IllegalArgumentException](sink.write(bad))
+      assert(e.getMessage.contains("null source/text/vector"))
+      // the existing record for src/a survived — the delete never ran
+      assert(store.size() == 1 && store.containsKey("a1"))
+    }
+  }
+
   test("non-2xx fails loudly with the body in the message") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
