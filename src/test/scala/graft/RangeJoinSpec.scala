@@ -59,6 +59,17 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
         "dimension-sized intervals should broadcast")
       assert(!planOf(None, thr = 0L).contains("BroadcastHashJoin"),
         "intervals above the size threshold must take the scale-safe shuffle path")
+      // The guard is POST-explosion: a byte-small interval table whose
+      // intervals span many buckets (replication ~155x at width=1 here)
+      // must NOT broadcast even though its raw size fits the threshold.
+      val preSize = intervals.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+      def planW(width: Long, thr: Long): String =
+        RangeJoin.pointInInterval(points, intervals, "k", "p", "s", "e", width, None, thr)
+          .queryExecution.executedPlan.toString
+      assert(!planW(1L, preSize * 10).contains("BroadcastHashJoin"),
+        "explosion factor must veto the broadcast")
+      assert(planW(10000L, preSize * 10).contains("BroadcastHashJoin"),
+        "replication ~1 at huge widths keeps the broadcast")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
