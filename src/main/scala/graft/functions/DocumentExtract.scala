@@ -48,6 +48,7 @@ object DocumentExtract {
         case "epub"          => epub(bytes)
         case "rtf"           => rtf(new String(bytes, StandardCharsets.ISO_8859_1))
         case "pdf"           => pdf(bytes)
+        case "eml"           => eml(new String(bytes, StandardCharsets.ISO_8859_1))
         case other =>
           throw new IllegalArgumentException(s"no extractor registered for '$other'")
       }
@@ -352,6 +353,118 @@ object DocumentExtract {
       }
     }
     sb.toString.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n").trim
+  }
+
+  // ------------------------------------------------------------------- eml
+
+  /** RFC 822 / MIME email: `Subject` header + the preferred body text
+    * (text/plain over tag-stripped text/html), multipart walked
+    * recursively, quoted-printable and base64 transfer encodings decoded,
+    * part charset honored. Common-case parser (the ISO-8859-1 round-trip
+    * preserves raw bytes so charset decode is exact), not a full MIME
+    * stack.
+    */
+  private[functions] def eml(raw: String): String = {
+    val (headers, body) = splitHeaders(raw)
+    val subject = headers.get("subject").map(decodeEncodedWords).getOrElse("")
+    val text = emlBody(headers, body)
+    Seq(subject.trim, text.trim).filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  /** Split at the first blank line; unfold continuation lines; lowercase
+    * header names (last occurrence wins — sufficient here).
+    */
+  private def splitHeaders(raw: String): (Map[String, String], String) = {
+    val norm = raw.replace("\r\n", "\n")
+    val cut = norm.indexOf("\n\n")
+    val (head, body) = if (cut < 0) (norm, "") else (norm.take(cut), norm.drop(cut + 2))
+    val unfolded = head.replaceAll("\n[ \t]+", " ")
+    val headers = unfolded.linesIterator.flatMap { line =>
+      val c = line.indexOf(':')
+      if (c <= 0) None
+      else Some(line.take(c).trim.toLowerCase(java.util.Locale.ROOT) -> line.drop(c + 1).trim)
+    }.toMap
+    (headers, body)
+  }
+
+  /** RFC 2047 encoded-words in headers: =?charset?B|Q?...?= (whitespace
+    * between ADJACENT encoded words is not content and is dropped, §6.2).
+    */
+  private[functions] def decodeEncodedWords(raw: String): String = {
+    val s = raw.replaceAll("(\\?=)\\s+(=\\?)", "$1$2")
+    "=\\?([^?]+)\\?([BbQq])\\?([^?]*)\\?=".r.replaceAllIn(s, m => {
+      val charset = try java.nio.charset.Charset.forName(m.group(1))
+                    catch { case _: Exception => StandardCharsets.UTF_8 }
+      val payload = m.group(3)
+      val bytes =
+        if (m.group(2).equalsIgnoreCase("B"))
+          try java.util.Base64.getMimeDecoder.decode(payload)
+          catch { case _: Exception => payload.getBytes(charset) }
+        else decodeQuotedPrintable(payload.replace('_', ' ')).getBytes(StandardCharsets.ISO_8859_1)
+      scala.util.matching.Regex.quoteReplacement(new String(bytes, charset))
+    })
+  }
+
+  private def decodeQuotedPrintable(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=' && i + 1 < s.length && s.charAt(i + 1) == '\n') i += 2 // soft break
+      else if (c == '=' && i + 2 < s.length &&
+               Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb += (Character.digit(s.charAt(i + 1), 16) * 16 + Character.digit(s.charAt(i + 2), 16)).toChar
+        i += 3
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def headerParam(value: String, name: String): Option[String] =
+    s"""(?i)$name="?([^";]+)"?""".r.findFirstMatchIn(value).map(_.group(1).trim)
+
+  /** Decode one (possibly multipart) body to text. text/plain wins over
+    * text/html (stripped); multipart recurses into parts.
+    */
+  private def emlBody(headers: Map[String, String], body: String): String = {
+    val ctype = headers.getOrElse("content-type", "text/plain")
+    val lower = ctype.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("multipart/")) {
+      headerParam(ctype, "boundary") match {
+        case None => ""
+        case Some(b) =>
+          val parts = body.split(java.util.regex.Pattern.quote("--" + b))
+            .drop(1).takeWhile(p => !p.startsWith("--"))
+            .map(p => splitHeaders(p.dropWhile(c => c == '\n')))
+          def texts(pred: String => Boolean) = parts.flatMap { case (h, bd) =>
+            val ct = h.getOrElse("content-type", "text/plain").toLowerCase(java.util.Locale.ROOT)
+            if (ct.startsWith("multipart/")) Some(emlBody(h, bd)).filter(_.nonEmpty)
+            else if (pred(ct)) Some(emlBody(h, bd)).filter(_.nonEmpty)
+            else None
+          }
+          val plains = texts(_.startsWith("text/plain"))
+          val any = if (plains.nonEmpty) plains else texts(_.startsWith("text/"))
+          any.mkString("\n\n")
+      }
+    } else if (lower.startsWith("text/")) {
+      val decodedBytes = headers.getOrElse("content-transfer-encoding", "").toLowerCase(java.util.Locale.ROOT) match {
+        case "base64" =>
+          try java.util.Base64.getMimeDecoder.decode(body.filterNot(_.isWhitespace))
+          catch { case _: Exception => body.getBytes(StandardCharsets.ISO_8859_1) }
+        case "quoted-printable" =>
+          decodeQuotedPrintable(body).getBytes(StandardCharsets.ISO_8859_1)
+        case _ => body.getBytes(StandardCharsets.ISO_8859_1)
+      }
+      val charset = headerParam(ctype, "charset")
+        .flatMap(c => try Some(java.nio.charset.Charset.forName(c)) catch { case _: Exception => None })
+        .getOrElse(StandardCharsets.UTF_8)
+      val text = new String(decodedBytes, charset)
+      if (lower.startsWith("text/html")) {
+        val blocks = text.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+          .replaceAll("(?i)</(?:p|h[1-6]|div|li|tr|blockquote)>|<br\\s*/?>", "\n")
+        stripTags(blocks).linesIterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
+      } else text.trim
+    } else ""
   }
 
   // ------------------------------------------------------------------- pdf

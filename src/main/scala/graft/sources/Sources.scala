@@ -82,7 +82,7 @@ object TextExtractors {
     "html" -> Html, "htm" -> Html,
     "pdf" -> Document, "docx" -> Document, "pptx" -> Document,
     "xlsx" -> Document, "epub" -> Document, "rtf" -> Document,
-    "odt" -> Document,
+    "odt" -> Document, "eml" -> Document,
     "doc" -> Unsupported, "ppt" -> Unsupported, "xls" -> Unsupported)
 
   private[sources] def extsOf(h: Handling): Seq[String] =

@@ -129,6 +129,37 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       "café ’s")
   }
 
+  // ------------------------------------------------------------------- eml
+
+  test("eml: subject + plain body, headers unfolded") {
+    val eml = "From: a@example.com\r\nSubject: Weekly\r\n sync notes\r\nContent-Type: text/plain; charset=utf-8\r\n\r\nAgenda:\r\n- item one\r\n"
+    assert(DocumentExtract.extract("eml", "m.eml", eml.getBytes(StandardCharsets.ISO_8859_1)) ==
+      "Weekly sync notes\n\nAgenda:\n- item one")
+  }
+
+  test("eml: multipart prefers text/plain; qp and base64 decode; RFC2047 subject") {
+    val plainQp = "Caf=C3=A9 plans=\nfor friday"
+    val htmlB64 = java.util.Base64.getEncoder.encodeToString(
+      "<html><p>Café plans</p><p>for friday</p></html>".getBytes(StandardCharsets.UTF_8))
+    val eml =
+      "Subject: =?UTF-8?B?UsOpc3Vtw6k=?= =?UTF-8?Q?_attached?=\r\n" +
+      "Content-Type: multipart/alternative; boundary=\"BB\"\r\n\r\n" +
+      "--BB\r\nContent-Type: text/plain; charset=utf-8\r\nContent-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      plainQp + "\r\n" +
+      "--BB\r\nContent-Type: text/html; charset=utf-8\r\nContent-Transfer-Encoding: base64\r\n\r\n" +
+      htmlB64 + "\r\n--BB--\r\n"
+    assert(DocumentExtract.extract("eml", "m.eml", eml.getBytes(StandardCharsets.ISO_8859_1)) ==
+      "Résumé attached\n\nCafé plansfor friday")
+  }
+
+  test("eml: html-only multipart falls back to stripped html") {
+    val eml =
+      "Subject: s\r\nContent-Type: multipart/mixed; boundary=ZZ\r\n\r\n" +
+      "--ZZ\r\nContent-Type: text/html\r\n\r\n<p>only html</p>\r\n--ZZ--\r\n"
+    assert(DocumentExtract.extract("eml", "m.eml", eml.getBytes(StandardCharsets.ISO_8859_1)) ==
+      "s\n\nonly html")
+  }
+
   // ------------------------------------------------------------------- pdf
 
   private def pdfBytes(flate: Boolean): Array[Byte] = {
