@@ -28,6 +28,11 @@ object Bench {
       .replaceAll("@[0-9a-fA-F]+", "@X")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(X)")
       .replaceAll("id=\\d+", "id=N")
+      // JVM-run-varying tokens that flapped digests with no plan change:
+      // lambda class ids (Lambda$5808/0x7f26...) and AQE query-stage
+      // numbers (assigned in runtime completion order).
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$N")
+      .replaceAll("QueryStage \\d+", "QueryStage N")
     // Collapse cached-relation subtrees: InMemoryRelation re-prints its
     // entire child plan (at every reference), turning a digest into
     // thousands of lines without adding shape information — the cache

@@ -234,7 +234,8 @@ object DocumentExtract {
           if (idx < cells.length) cells(idx) = value else cells += value
         }
         cells.mkString("\t")
-      }.map(_.trim).filter(_.nonEmpty).mkString("\n")
+        // trailing-only trim: leading tabs ARE the empty leading columns
+      }.map(_.replaceAll("\\s+$", "")).filter(_.nonEmpty).mkString("\n")
     }.filter(_.nonEmpty)
     texts.mkString("\n\n")
   }
@@ -285,16 +286,19 @@ object DocumentExtract {
     var skipDepth = -1  // brace depth at which a skipped destination started
     var depth = 0
     var ucSkip = 1      // fallback chars per \uN escape (RTF default)
+    var ucStack = List.empty[Int] // \uc is group-scoped: saved on {, restored on }
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
       c match {
         case '{' => depth += 1; i += 1
+          ucStack = ucSkip :: ucStack
           // peek for \* destination
           if (skipDepth < 0 && i < n && s.charAt(i) == '\\' && i + 1 < n && s.charAt(i + 1) == '*')
             skipDepth = depth
         case '}' =>
           if (skipDepth >= 0 && depth == skipDepth) skipDepth = -1
+          ucSkip = ucStack.headOption.getOrElse(1); ucStack = ucStack.drop(1)
           depth -= 1; i += 1
         case '\\' if i + 1 < n =>
           val nc = s.charAt(i + 1)
@@ -376,6 +380,9 @@ object DocumentExtract {
     */
   private def splitHeaders(raw: String): (Map[String, String], String) = {
     val norm = raw.replace("\r\n", "\n")
+    // A leading blank line means EMPTY headers (legal for MIME parts,
+    // RFC 2046): everything after it is body.
+    if (norm.startsWith("\n")) return (Map.empty, norm.drop(1))
     val cut = norm.indexOf("\n\n")
     val (head, body) = if (cut < 0) (norm, "") else (norm.take(cut), norm.drop(cut + 2))
     val unfolded = head.replaceAll("\n[ \t]+", " ")
@@ -426,20 +433,23 @@ object DocumentExtract {
   /** Decode one (possibly multipart) body to text. text/plain wins over
     * text/html (stripped); multipart recurses into parts.
     */
-  private def emlBody(headers: Map[String, String], body: String): String = {
+  private def emlBody(headers: Map[String, String], body: String,
+                      depth: Int = 0): String = {
     val ctype = headers.getOrElse("content-type", "text/plain")
     val lower = ctype.toLowerCase(java.util.Locale.ROOT)
-    if (lower.startsWith("multipart/")) {
+    if (depth > 8) "" // crafted deep multipart nesting must not blow the stack
+    else if (lower.startsWith("multipart/")) {
       headerParam(ctype, "boundary") match {
         case None => ""
         case Some(b) =>
-          val parts = body.split(java.util.regex.Pattern.quote("--" + b))
+          // RFC 2046: delimiters only count at line start
+          val parts = body.split("(?m)^" + java.util.regex.Pattern.quote("--" + b))
             .drop(1).takeWhile(p => !p.startsWith("--"))
-            .map(p => splitHeaders(p.dropWhile(c => c == '\n')))
+            .map(p => splitHeaders(p.stripPrefix("\n")))
           def texts(pred: String => Boolean) = parts.flatMap { case (h, bd) =>
             val ct = h.getOrElse("content-type", "text/plain").toLowerCase(java.util.Locale.ROOT)
-            if (ct.startsWith("multipart/")) Some(emlBody(h, bd)).filter(_.nonEmpty)
-            else if (pred(ct)) Some(emlBody(h, bd)).filter(_.nonEmpty)
+            if (ct.startsWith("multipart/")) Some(emlBody(h, bd, depth + 1)).filter(_.nonEmpty)
+            else if (pred(ct)) Some(emlBody(h, bd, depth + 1)).filter(_.nonEmpty)
             else None
           }
           val plains = texts(_.startsWith("text/plain"))

@@ -33,6 +33,12 @@ object RangeJoin {
     * the scale-safe shuffle path; true dimensions stay broadcast. This
     * keeps a fixed `Some(true)` from turning into an unbounded driver-side
     * collect as the data grows.
+    *
+    * COST NOTE: the adaptive default runs one small agg job over the
+    * interval side AT PLAN-CONSTRUCTION TIME (to measure the explode
+    * replication) whenever the byte estimate is under the threshold. If
+    * the interval side has an expensive lineage or the join is re-planned
+    * repeatedly, pass an explicit `Some(...)` to skip it.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCol: String, pointCol: String,

@@ -31,20 +31,24 @@ final case class ChromaRestSink(baseUrl: String, collection: String,
 
   override def write(df: DataFrame): Unit = {
     SinkSchemas.validate(df.schema)
-    // DATA validation must run BEFORE the per-source delete below: a null
-    // source/text/vector would NPE mid-upsert AFTER existing records for
-    // those sources were already dropped — silent data loss behind an
-    // opaque NullPointerException.
-    val badRows = df.filter(col("source").isNull || col("text").isNull ||
-      col("vector").isNull).limit(1).count()
-    require(badRows == 0,
+    // ONE driver-side job computes both the delete scope and the null
+    // check (folding them halves the upstream lineage re-executions — the
+    // frame may be an expensive pipeline). The null validation must run
+    // BEFORE the per-source delete below: a null source/text/vector would
+    // NPE mid-upsert AFTER existing records for those sources were already
+    // dropped — silent data loss behind an opaque NullPointerException.
+    val scope = df.agg(
+      collect_set(col("source")).as("srcs"),
+      max(when(col("source").isNull || col("text").isNull || col("vector").isNull, 1)
+        .otherwise(0)).as("bad")).first()
+    require(scope.isNullAt(1) || scope.getInt(1) == 0,
       "graft.ChromaRestSink: null source/text/vector in the incoming frame — " +
         "filter or fill nulls before writing (the delete-then-upsert scope is not null-safe)")
     val client = newClient(timeoutSeconds)
     val collectionId = getOrCreateCollection(client, baseUrl, collection, timeoutSeconds)
     // Reference upsert scope: drop every existing record whose source is in
     // the incoming batch, then add (`sinks.py:129-156`).
-    val sources = df.select("source").distinct().collect().map(_.getString(0)).toSeq
+    val sources = scope.getSeq[String](0)
     if (sources.nonEmpty)
       post(client, s"$baseUrl/api/v1/collections/$collectionId/delete",
         s"""{"where":{"source":{"$$in":[${sources.map(s => "\"" + jsonEscape(s) + "\"").mkString(",")}]}}}""",

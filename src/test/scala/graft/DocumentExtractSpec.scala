@@ -80,12 +80,14 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     val bytes = zip(
       "xl/sharedStrings.xml" -> "<sst><si><t>x</t></si><si><t>y</t></si></sst>",
       "xl/worksheets/sheet1.xml" ->
-        // row 1: B omitted entirely; row 2: B styled-but-empty self-closed
+        // row 1: B omitted entirely; row 2: B styled-but-empty self-closed;
+        // row 3: A and B both omitted — LEADING empties must survive too
         """<worksheet><sheetData>
           |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>
           |<row r="2"><c r="A2"><v>1</v></c><c r="B2" s="1"/><c r="C2"><v>3</v></c></row>
+          |<row r="3"><c r="C3"><v>7</v></c></row>
           |</sheetData></worksheet>""".stripMargin)
-    assert(DocumentExtract.extract("xlsx", "t.xlsx", bytes) == "x\t\ty\n1\t\t3")
+    assert(DocumentExtract.extract("xlsx", "t.xlsx", bytes) == "x\t\ty\n1\t\t3\n\t\t7")
   }
 
   // ------------------------------------------------------------------- odt
@@ -158,6 +160,15 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       "--ZZ\r\nContent-Type: text/html\r\n\r\n<p>only html</p>\r\n--ZZ--\r\n"
     assert(DocumentExtract.extract("eml", "m.eml", eml.getBytes(StandardCharsets.ISO_8859_1)) ==
       "s\n\nonly html")
+  }
+
+  test("eml: headerless part keeps its body; mid-line boundary text is not a delimiter") {
+    // headerless part (legal, RFC 2046) defaults to text/plain
+    val eml =
+      "Subject: s\r\nContent-Type: multipart/mixed; boundary=QQ\r\n\r\n" +
+      "--QQ\r\n\r\nMeeting moved --QQ not a delimiter\r\n--QQ--\r\n"
+    assert(DocumentExtract.extract("eml", "m.eml", eml.getBytes(StandardCharsets.ISO_8859_1)) ==
+      "s\n\nMeeting moved --QQ not a delimiter")
   }
 
   // ------------------------------------------------------------------- pdf
