@@ -6,7 +6,7 @@ import graft.config.{ComponentConfig, GraftConfigException}
 import graft.functions.HashingEmbedder
 import graft.operators.{Chunkers, Embed}
 import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, VectorTableSink}
-import graft.sources.{GraftSource, JdbcSource, LocalFileSource, ObjectStoreSource, WebSource}
+import graft.sources.{GraftSource, JdbcSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
 import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
 
 /** Component registries + factory (SURVEY §2.8; reference
@@ -94,6 +94,9 @@ object Factory {
     "s3" -> (c => ObjectStoreSource(
       c.str("uri").getOrElse(s"s3a://${c.require("bucket")}/${c.strOr("prefix", "")}"),
       c.strOr("glob", "*"))),
+    // Scale-path extension (no reference counterpart): Common Crawl-style
+    // web-archive ingestion, one document per captured page.
+    "warc" -> (c => WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"))),
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
     "postgres" -> (c => JdbcSource(
       c.str("jdbc_url").getOrElse(

@@ -106,7 +106,7 @@ object DocumentExtract {
       .getOrElse(throw new IllegalArgumentException(s"container missing entry '$name'"))
 
   /** Decode the five XML named entities plus numeric character references. */
-  private[functions] def decodeEntities(s: String): String = {
+  private[graft] def decodeEntities(s: String): String = {
     if (!s.contains('&')) return s
     val sb = new StringBuilder(s.length)
     var i = 0

@@ -1,0 +1,94 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Warc, WarcSource}
+
+/** WARC ingestion: authored archives (plain + multi-member gzip, the
+  * Common Crawl layout) parse to one row per text capture, request
+  * records and non-text payloads skipped, html tag-stripped.
+  */
+class WarcSpec extends AnyFunSuite with SparkTestBase {
+
+  private def record(warcType: String, url: String, payload: Array[Byte],
+                     extra: String = ""): Array[Byte] = {
+    val head = s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\n" +
+      s"WARC-Date: 2026-01-02T03:04:05Z\r\n$extra" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    val bos = new ByteArrayOutputStream()
+    bos.write(head.getBytes(StandardCharsets.ISO_8859_1))
+    bos.write(payload)
+    bos.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    bos.toByteArray
+  }
+
+  private def httpHtml(html: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html)
+      .getBytes(StandardCharsets.UTF_8)
+
+  private val warcBytes: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(record("request", "http://a.example/page",
+      "GET /page HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)))
+    bos.write(record("response", "http://a.example/page",
+      httpHtml("<html><h1>Title</h1><p>Body &amp; text.</p></html>")))
+    bos.write(record("response", "http://a.example/logo.png",
+      "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNGDATA".getBytes(StandardCharsets.ISO_8859_1)))
+    bos.write(record("conversion", "http://b.example/doc",
+      "already extracted text".getBytes(StandardCharsets.UTF_8),
+      extra = "Content-Type: text/plain\r\n"))
+    bos.toByteArray
+  }
+
+  test("parseCaptures: responses + conversions kept, requests and binaries skipped") {
+    val caps = Warc.parseCaptures(warcBytes)
+    assert(caps.map(_.url) == Seq("http://a.example/page", "http://b.example/doc"))
+    assert(caps(0).text == "Title\nBody & text.")
+    assert(caps(0).mime == "text/html" && caps(0).captureTime == "2026-01-02T03:04:05Z")
+    assert(caps(1).text == "already extracted text" && caps(1).mime == "text/plain")
+  }
+
+  test("multi-member gzip (the Common Crawl .warc.gz layout) decodes identically") {
+    // one gzip member per record, concatenated — JDK GZIPInputStream reads
+    // members sequentially
+    val bos = new ByteArrayOutputStream()
+    Seq(
+      record("response", "http://a.example/page",
+        httpHtml("<p>gzipped page</p>")),
+      record("conversion", "http://b.example/doc",
+        "plain capture".getBytes(StandardCharsets.UTF_8),
+        extra = "Content-Type: text/plain\r\n")
+    ).foreach { rec =>
+      val g = new GZIPOutputStream(bos); g.write(rec); g.finish()
+    }
+    val caps = Warc.parseCaptures(bos.toByteArray)
+    assert(caps.map(_.text) == Seq("gzipped page", "plain capture"))
+  }
+
+  test("distributed scan: one row per capture; WarcSource emits the canonical frame") {
+    val dir = tempDir("graft-warc")
+    Files.write(dir.resolve("crawl-00000.warc"), warcBytes)
+    val df = Warc.readCaptures(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("url", "capture_time", "mime", "content", "source"))
+    assert(df.count() == 2)
+
+    val docs = WarcSource(dir.toString).load(spark).collect()
+    assert(docs.length == 2)
+    val byUrl = docs.map(r => r.getAs[String]("source") -> r).toMap
+    assert(byUrl("http://a.example/page").getAs[String]("content") == "Title\nBody & text.")
+    val meta = byUrl("http://b.example/doc").getAs[Map[String, String]]("metadata")
+    assert(meta("mime") == "text/plain" && meta("archive").endsWith("crawl-00000.warc"))
+    assert(docs.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("truncated / malformed archive parses best-effort without failing") {
+    val truncated = java.util.Arrays.copyOf(warcBytes, warcBytes.length / 2)
+    assert(Warc.parseCaptures(truncated).size <= 2) // no throw
+    assert(Warc.parseCaptures("not a warc at all".getBytes(StandardCharsets.UTF_8)).isEmpty)
+  }
+}
