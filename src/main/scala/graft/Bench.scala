@@ -33,7 +33,7 @@ object Bench {
       // numbers (assigned in runtime completion order).
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$N")
       .replaceAll("QueryStage \\d+", "QueryStage N")
-      .replaceAll("lambda x_\\d+", "lambda x_N") // global lambda-var counter
+      .replaceAll("lambda [a-z]+_\\d+", "lambda v_N") // global lambda-var counter (x_/y_/...)
     // Collapse cached-relation subtrees: InMemoryRelation re-prints its
     // entire child plan (at every reference), turning a digest into
     // thousands of lines without adding shape information — the cache

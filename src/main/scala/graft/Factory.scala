@@ -96,7 +96,8 @@ object Factory {
       c.strOr("glob", "*"))),
     // Scale-path extension (no reference counterpart): Common Crawl-style
     // web-archive ingestion, one document per captured page.
-    "warc" -> (c => WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"))),
+    "warc" -> (c => WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"),
+      maxRecordBytes = c.int("max_record_mb", 256) * 1024 * 1024)),
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
     "postgres" -> (c => JdbcSource(
       c.str("jdbc_url").getOrElse(

@@ -1,12 +1,10 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
-
-import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500) web-archive ingestion — the Common Crawl container, the
   * de-facto source format for web-scale training corpora. No reference
@@ -17,14 +15,16 @@ import org.apache.spark.sql.types._
   * `url, capture_time, mime, content (tag-stripped text), source`.
   *
   * Scale stance: files scan through Spark's distributed binaryFile reader
-  * (one task per file); records within a file stream through an iterator
-  * over the byte array — the per-record payloads are sliced lazily, never
-  * all materialized at once beyond the file bytes the scan already holds.
-  * Whole-file and per-record gzip members both decode (Common Crawl's
-  * `.warc.gz` is a multi-member stream, one member per record — JDK
-  * GZIPInputStream consumes members sequentially). A corrupt record ends
-  * that FILE's iteration (best-effort, like real-world WARC tooling), it
-  * does not fail the task.
+  * (one task per file, files up to the reader's 2 GiB limit); records
+  * DECOMPRESS AND PARSE STREAMING, one record at a time, through a
+  * `flatMap` iterator — peak task memory is the compressed file bytes the
+  * scan already holds plus ONE record (per-record cap, default 256 MiB),
+  * never the inflated archive. Common Crawl's multi-member `.warc.gz`
+  * (one gzip member per record) decodes through the JDK's multi-member
+  * GZIPInputStream. Malformed input — truncated archive, corrupt gzip
+  * tail, negative/oversized Content-Length — ends that FILE's iteration
+  * best-effort (like real-world WARC tooling); it does not fail the task.
+  * Chunked HTTP bodies are de-chunked.
   */
 object Warc {
 
@@ -34,21 +34,88 @@ object Warc {
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  private def gunzipAll(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(math.min(maxBytes, bytes.length * 4))
-    val buf = new Array[Byte](65536)
-    try {
-      var m = in.read(buf)
-      while (m >= 0) {
-        if (out.size() + m > maxBytes)
-          throw new IllegalArgumentException(
-            s"graft.Warc: archive inflates past $maxBytes bytes (decompression bomb?)")
-        out.write(buf, 0, m)
-        m = in.read(buf)
+  /** Streaming record iterator over one (possibly gzipped) WARC file:
+    * decompresses and parses ONE record at a time; any read/format error
+    * ends the iteration with the captures parsed so far.
+    */
+  def parseCaptures(raw: Array[Byte],
+                    maxRecordBytes: Int = 256 * 1024 * 1024): Iterator[Capture] = {
+    val in: InputStream =
+      try {
+        val base = new ByteArrayInputStream(raw)
+        if (isGzip(raw)) new BufferedInputStream(new java.util.zip.GZIPInputStream(base), 65536)
+        else new BufferedInputStream(base, 65536)
+      } catch { case scala.util.control.NonFatal(_) => InputStream.nullInputStream() }
+
+    new Iterator[Capture] {
+      private var nextCapture: Capture = _
+      private var done = false
+
+      /** Read one ISO-8859-1 line (terminated by \n, \r stripped); null at EOF. */
+      private def readLine(): String = {
+        val sb = new java.lang.StringBuilder(96)
+        var b = in.read()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') {
+          if (b != '\r') sb.append(b.toChar)
+          b = in.read()
+        }
+        sb.toString
       }
-    } finally in.close()
-    out.toByteArray
+
+      private def readFully(len: Int): Array[Byte] = {
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val m = in.read(buf, off, len - off)
+          if (m < 0) throw new EOFException(s"truncated record: $off of $len bytes")
+          off += m
+        }
+        buf
+      }
+
+      private def advance(): Unit = {
+        nextCapture = null
+        try {
+          while (nextCapture == null && !done) {
+            // scan to the next record header
+            var line = readLine()
+            while (line != null && !line.startsWith("WARC/")) line = readLine()
+            if (line == null) { done = true }
+            else {
+              val headers = scala.collection.mutable.Map.empty[String, String]
+              var h = readLine()
+              while (h != null && h.nonEmpty) {
+                val c = h.indexOf(':')
+                if (c > 0) headers(h.take(c).trim.toLowerCase(java.util.Locale.ROOT)) = h.drop(c + 1).trim
+                h = readLine()
+              }
+              headers.get("content-length").flatMap(_.toLongOption) match {
+                case None => done = true                       // mandatory per spec
+                case Some(len) if len < 0 => done = true       // corrupt; refuse to guess
+                case Some(len) if len > maxRecordBytes =>
+                  throw new IllegalArgumentException(
+                    s"graft.Warc: record of $len bytes exceeds maxRecordBytes=$maxRecordBytes")
+                case Some(len) =>
+                  val payload = readFully(len.toInt)
+                  val warcType = headers.getOrElse("warc-type", "")
+                  if (warcType == "response" || warcType == "conversion")
+                    nextCapture = captureOf(headers.toMap, payload).orNull
+              }
+            }
+          }
+        } catch {
+          // best-effort: truncated/corrupt input ends THIS file's iteration
+          case _: EOFException | _: java.util.zip.ZipException => done = true
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextCapture != null
+      override def next(): Capture = {
+        val c = nextCapture; advance(); c
+      }
+    }
   }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
@@ -64,47 +131,31 @@ object Warc {
     -1
   }
 
-  /** Parse all response/conversion captures of one (possibly gzipped) WARC
-    * file. Best-effort: returns the captures parsed before the first
-    * malformed record.
+  /** De-chunk a Transfer-Encoding: chunked HTTP body; returns the input
+    * unchanged if it does not parse as chunks (best-effort).
     */
-  def parseCaptures(raw: Array[Byte],
-                    maxInflatedBytes: Int = 1 << 30): Seq[Capture] = {
-    val bytes = if (isGzip(raw)) gunzipAll(raw, maxInflatedBytes) else raw
-    val out = mutable.ArrayBuffer.empty[Capture]
-    var pos = indexOf(bytes, "WARC/", 0)
-    var ok = pos >= 0
-    while (ok) {
-      // WARC header block ends at the first blank line.
-      val headEnd = indexOf(bytes, "\r\n\r\n", pos)
-      if (headEnd < 0) ok = false
-      else {
-        val head = new String(bytes, pos, headEnd - pos, StandardCharsets.ISO_8859_1)
-        val headers = head.linesIterator.flatMap { l =>
-          val c = l.indexOf(':')
-          if (c <= 0) None
-          else Some(l.take(c).trim.toLowerCase(java.util.Locale.ROOT) -> l.drop(c + 1).trim)
-        }.toMap
-        headers.get("content-length").flatMap(_.toLongOption) match {
-          case None => ok = false // mandatory per spec; refuse to guess
-          case Some(len) if headEnd + 4 + len > bytes.length => ok = false
-          case Some(len) =>
-            val bodyStart = headEnd + 4
-            val warcType = headers.getOrElse("warc-type", "")
-            if (warcType == "response" || warcType == "conversion") {
-              val payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + len.toInt)
-              captureOf(headers, payload).foreach(out += _)
-            }
-            pos = indexOf(bytes, "WARC/", bodyStart + len.toInt)
-            ok = pos >= 0
-        }
+  private[sources] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    try {
+      while (i < body.length) {
+        val lineEnd = indexOf(body, "\r\n", i)
+        if (lineEnd < 0) return body
+        val sizeStr = new String(body, i, lineEnd - i, StandardCharsets.ISO_8859_1)
+          .split(';').head.trim // chunk extensions ignored
+        val size = Integer.parseInt(sizeStr, 16)
+        if (size == 0) return out.toByteArray
+        if (lineEnd + 2 + size > body.length) return body
+        out.write(body, lineEnd + 2, size)
+        i = lineEnd + 2 + size + 2 // skip chunk CRLF
       }
-    }
-    out.toSeq
+      out.toByteArray
+    } catch { case _: NumberFormatException => body }
   }
 
   /** Build a capture from one response/conversion record: skip the HTTP
-    * envelope if present, tag-strip html, keep only text-mime payloads.
+    * envelope if present, de-chunk, tag-strip html, keep only text-mime
+    * payloads.
     */
   private def captureOf(headers: Map[String, String], payload: Array[Byte]): Option[Capture] = {
     val url = headers.getOrElse("warc-target-uri", "")
@@ -120,7 +171,9 @@ object Warc {
         val ct = "(?im)^content-type:\\s*([^;\\r\\n]+)".r
           .findFirstMatchIn(httpHead).map(_.group(1).trim.toLowerCase(java.util.Locale.ROOT))
           .getOrElse("application/octet-stream")
-        (ct, java.util.Arrays.copyOfRange(payload, hEnd + 4, payload.length))
+        val chunked = "(?im)^transfer-encoding:\\s*chunked".r.findFirstIn(httpHead).isDefined
+        val rawBody = java.util.Arrays.copyOfRange(payload, hEnd + 4, payload.length)
+        (ct, if (chunked) dechunk(rawBody) else rawBody)
       } else {
         (headers.getOrElse("content-type", "text/plain")
           .split(';').head.trim.toLowerCase(java.util.Locale.ROOT), payload)
@@ -140,29 +193,24 @@ object Warc {
     }
   }
 
-  private val captureSchema = StructType(Seq(
-    StructField("url", StringType),
-    StructField("capture_time", StringType),
-    StructField("mime", StringType),
-    StructField("content", StringType)))
-
   /** Distributed scan: one row per text capture across every `.warc` /
-    * `.warc.gz` under `path`.
+    * `.warc.gz` under `path`. `flatMap` consumes the per-file record
+    * iterator lazily — captures stream into rows, they are never all
+    * materialized per file.
     */
   def readCaptures(spark: SparkSession, path: String,
-                   glob: String = "*.warc*"): DataFrame = {
-    val parse = udf((bytes: Array[Byte]) =>
-      parseCaptures(bytes).map(c => (c.url, c.captureTime, c.mime, c.text)))
+                   glob: String = "*.warc*",
+                   maxRecordBytes: Int = 256 * 1024 * 1024): DataFrame = {
+    import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(path)
-      .select(col("path"), explode(parse(col("content"))).as("c"))
-      .select(
-        col("c._1").as("url"),
-        col("c._2").as("capture_time"),
-        col("c._3").as("mime"),
-        col("c._4").as("content"),
-        col("path").as("source"))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseCaptures(bytes, maxRecordBytes).map(c => (c.url, c.captureTime, c.mime, c.text, p))
+      }
+      .toDF("url", "capture_time", "mime", "content", "source")
   }
 }
 
@@ -170,10 +218,11 @@ object Warc {
   * document per captured page (`source` = the capture url — the identity
   * downstream dedup/sinks key on, not the archive file).
   */
-final case class WarcSource(directory: String, glob: String = "*.warc*") extends GraftSource {
+final case class WarcSource(directory: String, glob: String = "*.warc*",
+                            maxRecordBytes: Int = 256 * 1024 * 1024) extends GraftSource {
 
   override def load(spark: SparkSession): DataFrame =
-    GraftSource.canonical(Warc.readCaptures(spark, directory, glob).select(
+    GraftSource.canonical(Warc.readCaptures(spark, directory, glob, maxRecordBytes).select(
       col("content"),
       col("url").as("source"),
       sha2(col("content"), 256).as("fingerprint"),

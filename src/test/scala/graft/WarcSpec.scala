@@ -46,7 +46,7 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("parseCaptures: responses + conversions kept, requests and binaries skipped") {
-    val caps = Warc.parseCaptures(warcBytes)
+    val caps = Warc.parseCaptures(warcBytes).toSeq
     assert(caps.map(_.url) == Seq("http://a.example/page", "http://b.example/doc"))
     assert(caps(0).text == "Title\nBody & text.")
     assert(caps(0).mime == "text/html" && caps(0).captureTime == "2026-01-02T03:04:05Z")
@@ -66,7 +66,7 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     ).foreach { rec =>
       val g = new GZIPOutputStream(bos); g.write(rec); g.finish()
     }
-    val caps = Warc.parseCaptures(bos.toByteArray)
+    val caps = Warc.parseCaptures(bos.toByteArray).toSeq
     assert(caps.map(_.text) == Seq("gzipped page", "plain capture"))
   }
 
@@ -88,7 +88,36 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
 
   test("truncated / malformed archive parses best-effort without failing") {
     val truncated = java.util.Arrays.copyOf(warcBytes, warcBytes.length / 2)
-    assert(Warc.parseCaptures(truncated).size <= 2) // no throw
-    assert(Warc.parseCaptures("not a warc at all".getBytes(StandardCharsets.UTF_8)).isEmpty)
+    assert(Warc.parseCaptures(truncated).toSeq.size <= 2) // no throw
+    assert(Warc.parseCaptures("not a warc at all".getBytes(StandardCharsets.UTF_8)).toSeq.isEmpty)
+    // negative Content-Length ends iteration instead of hanging or throwing
+    val neg = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -1000\r\n\r\n" +
+      "garbage").getBytes(StandardCharsets.ISO_8859_1)
+    assert(Warc.parseCaptures(neg).toSeq.isEmpty)
+    // corrupt gzip tail: the valid leading member still parses
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(record("conversion", "http://b.example/doc",
+      "survives".getBytes(StandardCharsets.UTF_8), extra = "Content-Type: text/plain\r\n"))
+    g.finish()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)) // truncated second member
+    assert(Warc.parseCaptures(bos.toByteArray).toSeq.map(_.text) == Seq("survives"))
+  }
+
+  test("chunked transfer-encoding bodies are de-chunked") {
+    val html = "<p>chunked body text</p>"
+    val chunked = f"${html.length}%x\r\n$html\r\n0\r\n\r\n"
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunked).getBytes(StandardCharsets.UTF_8)
+    val caps = Warc.parseCaptures(record("response", "http://c.example/x", payload)).toSeq
+    assert(caps.map(_.text) == Seq("chunked body text"))
+  }
+
+  test("factory binds warc configs with the glob and record-cap knobs") {
+    val src = Factory.source(graft.config.ComponentConfig("warc",
+      Map("directory" -> "/data/crawl", "max_record_mb" -> 64)))
+    assert(src == WarcSource("/data/crawl", "*.warc*", 64 * 1024 * 1024))
+    assertThrows[graft.config.GraftConfigException](
+      Factory.source(graft.config.ComponentConfig("warc", Map.empty)))
   }
 }
