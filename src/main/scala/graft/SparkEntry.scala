@@ -508,6 +508,31 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "token_budget_pack" -> ((s, dir) => {
+      // Corpus mixing: pack each language up to a 5k-token budget in
+      // quality order. Single scan (quality + token estimate are narrow
+      // expressions), one shuffle for the per-language window.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      CorpusMix.packToBudget(docs, "lang", "bpe_tokens", budgetPerGroup = 5000,
+        orderBy = Seq(col("quality").desc, col("doc_id")))
+    }),
+
+    "domain_cap" -> ((s, dir) => {
+      // C4/Gopher-style per-domain contribution cap: each source keeps its
+      // 10 best documents by quality.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      CorpusMix.capPerGroup(docs, "source", maxPerGroup = 10,
+        orderBy = Seq(col("quality").desc, col("doc_id")))
+    }),
+
+    "tfidf_terms" -> ((s, dir) =>
+      TfIdf.topTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)),
+
     // -----------------------------------------------------------------------
     // Chunkers + embed (SURVEY §2.2, §2.3 — not ANSI-SQL-expressible; pinned
     // by ScalaTest goldens instead, per the driver contract)
@@ -588,6 +613,33 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+
+  /** CTE chain computing the TextAnalysis.qualityScore formula, ending in
+    * `qscore(doc_id, quality)` — shared by the corpus-mix oracles so the
+    * ranking arithmetic stays byte-identical with `quality_score`'s.
+    */
+  private val qualitySqlCtes = {
+    val stop = graft.operators.TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
+    s"""qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |qm AS (SELECT doc_id,
+       |  CAST(len(text) AS DOUBLE) AS n_chars,
+       |  CAST(len(toks) AS DOUBLE) AS n_toks,
+       |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS tok_chars,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+       |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS stop_hits
+       | FROM qt),
+       |qr AS (SELECT doc_id, n_chars,
+       |  CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_tok_len,
+       |  CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS stop_ratio
+       | FROM qm),
+       |qscore AS (SELECT doc_id,
+       |  round(least(n_chars / 500.0, 1.0) * 0.4 +
+       |   (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |   (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+       |   least(stop_ratio * 5.0, 1.0) * 0.1, 6) AS quality
+       | FROM qr)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -958,6 +1010,46 @@ object SparkEntry {
         |   THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END, 6)
         |   AS dup_token_fraction
         |FROM m""".stripMargin,
+
+    "token_budget_pack" ->
+      s"""WITH $qualitySqlCtes,
+         |tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         | FROM documents),
+         |j AS (SELECT d.doc_id, d.lang, tok.bpe_tokens, qscore.quality
+         | FROM documents d JOIN qscore USING (doc_id) JOIN tok USING (doc_id)),
+         |c AS (SELECT doc_id, lang, bpe_tokens, quality,
+         |  CAST(SUM(bpe_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM j)
+         |SELECT doc_id, lang, bpe_tokens, quality, cum_tokens FROM c
+         |WHERE cum_tokens <= 5000""".stripMargin,
+
+    "domain_cap" ->
+      s"""WITH $qualitySqlCtes,
+         |j AS (SELECT d.doc_id, d.source, qscore.quality
+         | FROM documents d JOIN qscore USING (doc_id)),
+         |r AS (SELECT doc_id, source, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+         | FROM j)
+         |SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rank FROM r
+         |WHERE rnk <= 10""".stripMargin,
+
+    "tfidf_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM tk GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+         | FROM tfq GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT tfq.doc_id, tfq.term, tfq.tf, dfreq.doc_freq,
+         |  round(tfq.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
+         | FROM tfq JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, tf, doc_freq, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         | FROM scored)
+         |SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rnk AS BIGINT) AS rank
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // Scalar-digest oracles for the vector-valued operators: dims and
     // nonzero-ness are exactly SQL-expressible; the vector values themselves

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixing operators for assembling a training set from a scored
+  * corpus: pack each group (language / domain / source) up to a token
+  * budget in quality order, and cap the number of documents any one
+  * domain may contribute (the C4/Gopher-style anti-boilerplate rule).
+  *
+  * No reference counterpart (the reference stops at ingest+search) — these
+  * are the mix/selection steps a 100 TB pretraining pipeline runs after
+  * dedup + quality scoring.
+  *
+  * Scale stance: the EXACT packers sort inside a window partitioned by the
+  * group column, so each group's rows land in one task — correct and fine
+  * when groups are languages or domains (thousands of groups, each far
+  * smaller than the corpus), but a single mega-group serializes into one
+  * task. `packToBudgetHistogram` is the mega-group-safe variant: it reduces
+  * the corpus to a (group × quality-bucket) token histogram (tiny,
+  * map-side-combined agg), picks per-group quality thresholds from the
+  * histogram, and keeps rows with a broadcast-joined map-side filter — no
+  * per-group sort anywhere, at the cost of budget granularity (whole
+  * buckets only).
+  */
+object CorpusMix {
+
+  /** Exact per-group token-budget packing: order each group by `orderBy`
+    * (best first), keep rows while the running token total stays within
+    * `budgetPerGroup`. Emits the input columns plus `cum_tokens`.
+    *
+    * One shuffle (hash on `groupCol` for the window); the running sum is a
+    * single in-order pass per group. Deterministic iff `orderBy` is a total
+    * order — pass a unique tiebreaker as the last sort key.
+    */
+  def packToBudget(df: DataFrame, groupCol: String, tokensCol: String,
+                   budgetPerGroup: Long, orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budgetPerGroup)
+  }
+
+  /** Mega-group-safe approximate packing: bucket quality to `buckets`
+    * equal-width bins over [0,1], build a (group, bucket) token histogram,
+    * keep exactly the buckets that fit the budget cumulatively from the top,
+    * and filter the corpus against the per-group threshold bucket.
+    *
+    * Guarantees: kept tokens <= budget per group (partial buckets are
+    * dropped, never split); the kept set is a quality prefix at bucket
+    * granularity. The histogram is `|groups| * (buckets+1)` rows — tiny —
+    * so its window sort is trivial and the thresholds broadcast.
+    *
+    * Plan: one map-side-combined agg (shuffle of histogram rows only), one
+    * broadcast join back, a narrow filter. The full corpus is never sorted
+    * and never shuffled.
+    */
+  def packToBudgetHistogram(df: DataFrame, groupCol: String, tokensCol: String,
+                            qualityCol: String, budgetPerGroup: Long,
+                            buckets: Int = 100): DataFrame = {
+    require(buckets > 0, "graft.CorpusMix: buckets must be positive")
+    // floor to a bucket index in [0, buckets]; quality is expected in [0,1]
+    val bucket = floor(col(qualityCol) * buckets).cast("int")
+    val hist = df.groupBy(col(groupCol), bucket.as("__bucket"))
+      .agg(sum(col(tokensCol)).as("__bucket_tokens"))
+    // cumulative tokens from the BEST bucket downward; a bucket is kept only
+    // if everything down to and including it fits the budget
+    val w = Window.partitionBy(groupCol).orderBy(col("__bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = hist.withColumn("__cum", sum(col("__bucket_tokens")).over(w))
+      .filter(col("__cum") <= budgetPerGroup)
+      .groupBy(groupCol).agg(min(col("__bucket")).as("__threshold_bucket"))
+    df.join(broadcast(kept), Seq(groupCol), "inner")
+      .filter(floor(col(qualityCol) * buckets).cast("int") >= col("__threshold_bucket"))
+      .drop("__threshold_bucket")
+  }
+
+  /** Per-group contribution cap: keep the best `maxPerGroup` rows of each
+    * group under the `orderBy` ranking (best first). Emits the input columns
+    * plus the 1-based `rank`. One shuffle (window on `groupCol`).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, maxPerGroup: Int,
+                  orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= maxPerGroup)
+  }
+}

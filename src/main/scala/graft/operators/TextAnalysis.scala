@@ -74,6 +74,30 @@ object TextAnalysis {
   val QualityStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** The combined quality score in [0,1] as a standalone expression, for
+    * operators that rank or filter on quality without the full signal frame
+    * (corpus packing, domain caps).
+    */
+  def qualityScore(t: Column): Column = {
+    val tk = toks(t)
+    val nChars = length(t).cast("double")
+    val nToks = size(tk).cast("double")
+    val tokChars = aggregate(transform(tk, x => length(x)), lit(0),
+      (acc, v) => acc + v).cast("double")
+    val meanTokLen = when(nToks > 0, tokChars / nToks).otherwise(lit(0.0))
+    val punct = size(split(t, "[^A-Za-z0-9\\s]", -1)).cast("double") - 1.0
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val stopHits = size(filter(tk, x => x.isin(QualityStopwords.map(lit): _*))).cast("double")
+    val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
+    val lengthSignal = least(nChars / 500.0, lit(1.0))
+    val tokLenSignal = when(meanTokLen >= 3.0 && meanTokLen <= 12.0, lit(1.0))
+      .otherwise(lit(0.0))
+    round(
+      lengthSignal * 0.4 + tokLenSignal * 0.3 +
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.1, 6)
+  }
+
   /** Heuristic quality signals + a combined score in [0,1]:
     *  - length signal: saturating n_chars / 500
     *  - token-length signal: mean token length in a sane [3,12] band
@@ -94,13 +118,6 @@ object TextAnalysis {
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
     val stopHits = size(filter(tk, x => x.isin(QualityStopwords.map(lit): _*))).cast("double")
     val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
-    val lengthSignal = least(nChars / 500.0, lit(1.0))
-    val tokLenSignal = when(meanTokLen >= 3.0 && meanTokLen <= 12.0, lit(1.0))
-      .otherwise(lit(0.0))
-    val score = round(
-      lengthSignal * 0.4 + tokLenSignal * 0.3 +
-        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2 +
-        least(stopRatio * 5.0, lit(1.0)) * 0.1, 6)
     df.select(
       col(idCol),
       nChars.cast("long").as("n_chars"),
@@ -108,7 +125,7 @@ object TextAnalysis {
       round(meanTokLen, 6).as("mean_token_len"),
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
-      score.as("quality"))
+      qualityScore(t).as("quality"))
   }
 
   // -------------------------------------------------------------------------
@@ -187,17 +204,22 @@ object TextAnalysis {
   // Token counting
   // -------------------------------------------------------------------------
 
-  /** Whitespace tokens + a BPE-ish regex token estimate (words greedily cut
-    * into <=4-char pieces, digits runs, single punctuation marks — the
-    * classic "~4 chars per token" approximation as a deterministic regex).
+  /** BPE-ish regex token estimate (words greedily cut into <=4-char pieces,
+    * digit runs, single punctuation marks — the classic "~4 chars per token"
+    * approximation as a deterministic regex), exposed standalone for
+    * budget-based operators.
     */
+  def bpeTokens(t: Column): Column =
+    size(regexp_extract_all(t, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Whitespace tokens + the BPE-ish estimate per document. */
   def tokenCountFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(
       col(idCol),
       size(filter(split(t, " "), x => length(x) > 0)).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(t, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-        .cast("long").as("bpe_tokens"))
+      bpeTokens(t).as("bpe_tokens"))
   }
 
   // -------------------------------------------------------------------------
