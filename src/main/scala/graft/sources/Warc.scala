@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   * (one task per file, files up to the reader's 2 GiB limit); records
   * DECOMPRESS AND PARSE STREAMING, one record at a time, through a
   * `flatMap` iterator — peak task memory is the compressed file bytes the
-  * scan already holds plus ONE record (per-record cap, default 256 MiB),
-  * never the inflated archive. Common Crawl's multi-member `.warc.gz`
-  * (one gzip member per record) decodes through the JDK's multi-member
-  * GZIPInputStream. Malformed input — truncated archive, corrupt gzip
-  * tail, negative/oversized Content-Length — ends that FILE's iteration
-  * best-effort (like real-world WARC tooling); it does not fail the task.
-  * Chunked HTTP bodies are de-chunked.
+  * scan already holds plus ONE record (per-record cap, default 256 MiB;
+  * oversized records — giant media captures — stream past in bounded
+  * memory and are dropped), never the inflated archive. Common Crawl's
+  * multi-member `.warc.gz` (one gzip member per record) decodes through
+  * the JDK's multi-member GZIPInputStream. Malformed input — truncated
+  * archive, corrupt gzip tail, negative Content-Length — ends that FILE's
+  * iteration best-effort (like real-world WARC tooling); it does not fail
+  * the task. Chunked HTTP bodies are de-chunked.
   */
 object Warc {
 
@@ -74,6 +75,19 @@ object Warc {
         buf
       }
 
+      /** Consume `len` bytes without materializing them (oversized records:
+        * bounded 64 KiB scratch, decompression streams through it).
+        */
+      private def skipFully(len: Long): Unit = {
+        val scratch = new Array[Byte](65536)
+        var left = len
+        while (left > 0) {
+          val m = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+          if (m < 0) throw new EOFException(s"truncated record: $left of $len bytes left")
+          left -= m
+        }
+      }
+
       private def advance(): Unit = {
         nextCapture = null
         try {
@@ -94,8 +108,11 @@ object Warc {
                 case None => done = true                       // mandatory per spec
                 case Some(len) if len < 0 => done = true       // corrupt; refuse to guess
                 case Some(len) if len > maxRecordBytes =>
-                  throw new IllegalArgumentException(
-                    s"graft.Warc: record of $len bytes exceeds maxRecordBytes=$maxRecordBytes")
+                  // oversized records (giant media captures) are almost
+                  // certainly non-text payloads the pipeline drops anyway:
+                  // stream past them in bounded memory instead of failing
+                  // the task
+                  skipFully(len)
                 case Some(len) =>
                   val payload = readFully(len.toInt)
                   val warcType = headers.getOrElse("warc-type", "")

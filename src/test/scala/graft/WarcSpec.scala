@@ -104,6 +104,17 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(Warc.parseCaptures(bos.toByteArray).toSeq.map(_.text) == Seq("survives"))
   }
 
+  test("oversized records stream past in bounded memory; iteration continues") {
+    val bos = new ByteArrayOutputStream()
+    bos.write(record("response", "http://big.example/video",
+      Array.fill[Byte](2048)('x'))) // over the 1 KiB cap below
+    bos.write(record("conversion", "http://b.example/doc",
+      "after the giant".getBytes(StandardCharsets.UTF_8),
+      extra = "Content-Type: text/plain\r\n"))
+    val caps = Warc.parseCaptures(bos.toByteArray, maxRecordBytes = 1024).toSeq
+    assert(caps.map(_.text) == Seq("after the giant"))
+  }
+
   test("chunked transfer-encoding bodies are de-chunked") {
     val html = "<p>chunked body text</p>"
     val chunked = f"${html.length}%x\r\n$html\r\n0\r\n\r\n"
