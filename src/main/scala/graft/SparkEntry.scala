@@ -1039,16 +1039,17 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
          | FROM tk GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS cf
          | FROM tfq GROUP BY term),
          |n AS (SELECT count(*) AS n_docs FROM documents),
-         |scored AS (SELECT tfq.doc_id, tfq.term, tfq.tf, dfreq.doc_freq,
+         |scored AS (SELECT tfq.doc_id, tfq.term, tfq.tf, dfreq.doc_freq, dfreq.cf,
          |  round(tfq.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
          | FROM tfq JOIN dfreq USING (term) CROSS JOIN n),
-         |ranked AS (SELECT doc_id, term, tf, doc_freq, tfidf,
+         |ranked AS (SELECT doc_id, term, tf, doc_freq, cf, tfidf,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
          | FROM scored)
-         |SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rnk AS BIGINT) AS rank
+         |SELECT doc_id, term, tf, doc_freq, cf, tfidf, CAST(rnk AS BIGINT) AS rank
          |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // Scalar-digest oracles for the vector-valued operators: dims and

@@ -20,14 +20,28 @@ class TfIdfSpec extends AnyFunSuite with SparkTestBase {
 
   test("score matches the smoothed tf-idf formula on a hand-checked corpus") {
     val s = TfIdf.score(docs, "text", "doc_id")
-      .select("doc_id", "term", "tf", "doc_freq", "tfidf")
-      .as[(Long, String, Long, Long, Double)].collect()
-      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      .select("doc_id", "term", "tf", "doc_freq", "cf", "tfidf")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
     assert(s.size == 6) // (1,apple)(1,banana)(2,banana)(2,cherry)(3,cherry)(3,durian)
-    assert(s((1L, "apple")) == ((2L, 1L, expected(2, 1, 3))))
-    assert(s((1L, "banana")) == ((1L, 2L, expected(1, 2, 3))))
-    assert(s((3L, "cherry")) == ((2L, 2L, expected(2, 2, 3))))
-    assert(s((3L, "durian")) == ((1L, 1L, expected(1, 1, 3))))
+    assert(s((1L, "apple")) == ((2L, 1L, 2L, expected(2, 1, 3))))
+    assert(s((1L, "banana")) == ((1L, 2L, 2L, expected(1, 2, 3))))
+    assert(s((3L, "cherry")) == ((2L, 2L, 3L, expected(2, 2, 3))))
+    assert(s((3L, "durian")) == ((1L, 1L, 1L, expected(1, 1, 3))))
+  }
+
+  test("the frequency join reuses one scan+explode+shuffle subtree (ReusedExchange)") {
+    // exchange reuse is finalized during execution (AQE stage cache) —
+    // run the query, then inspect the final plan
+    val q = TfIdf.topTerms(docs, "text", "doc_id", 3)
+    q.collect()
+    // AQE's toString appends the pre-reuse "== Initial Plan ==" — inspect
+    // only the executed section
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no exchange reuse in final plan:\n${plan.take(1200)}")
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      s"corpus exploded more than once:\n${plan.take(1200)}")
   }
 
   test("topTerms ranks by tfidf desc with term tiebreak and caps at k") {
