@@ -417,6 +417,22 @@ object SparkEntry {
           round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
     }),
 
+    "dedup_components" -> ((s, dir) => {
+      // Duplicate-cluster closure over a deterministic planted pair graph
+      // (chains of consecutive ids at %7<3, skip-links at %11==0 — the
+      // structure the pair generators emit, minus their non-ANSI hashing):
+      // every node resolves to the min id reachable through the graph.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      Components.connectedComponents(edges, "src", "dst")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     "decontamination" -> ((s, dir) => {
       // Eval-set decontamination: docs sharing any 13-gram (GPT-3 appendix-C
       // n) with the synthetic "benchmark" (every 97th document) get flagged
@@ -880,6 +896,21 @@ object SparkEntry {
          |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) END, 6) AS jaccard
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+        | UNION ALL
+        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+        |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+        |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+        |reach(id, comp) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        |FROM reach GROUP BY id""".stripMargin,
 
     "decontamination" -> {
       val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")

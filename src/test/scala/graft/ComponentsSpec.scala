@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    Components.connectedComponents(
+      edges.toDF("id_a", "id_b"), "id_a", "id_b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, stars, bridges, and separate clusters resolve to min labels") {
+    // chain 1-2-3-4; star 10-(11,12,13); bridge 13-20; separate pair 30-31
+    val labels = cc(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (13L, 20L),
+      (30L, 31L)))
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 10L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("self-loops, duplicate and reversed edges are harmless") {
+    val labels = cc(Seq((5L, 5L), (6L, 7L), (7L, 6L), (6L, 7L)))
+    assert(labels == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("a long path converges in O(log diameter) rounds (path doubling)") {
+    // 64-node path: plain min-propagation needs ~63 rounds, doubling ~7
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val labels = cc(edges, maxIter = 10)
+    assert(labels.size == 64 && labels.values.forall(_ == 0L))
+  }
+
+  test("non-convergence fails loudly instead of returning partial labels") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](cc(edges, maxIter = 2))
+  }
+
+  test("dropDuplicates keeps one representative per cluster and all singletons") {
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val comps = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    val kept = Components.dropDuplicates(docs, "doc_id", comps)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4,7,8 untouched
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L))
+  }
+}
