@@ -97,7 +97,12 @@ object Factory {
     // Scale-path extension (no reference counterpart): Common Crawl-style
     // web-archive ingestion, one document per captured page.
     "warc" -> (c => WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"),
-      maxRecordBytes = c.int("max_record_mb", 256) * 1024 * 1024)),
+      // Long math + clamp: max_record_mb >= 2048 must saturate at
+      // Int.MaxValue, not wrap to a zero/negative cap that silently drops
+      // every record.
+      maxRecordBytes =
+        math.min(math.max(c.int("max_record_mb", 256).toLong, 1L) * 1024 * 1024,
+          Int.MaxValue.toLong).toInt)),
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
     "postgres" -> (c => JdbcSource(
       c.str("jdbc_url").getOrElse(

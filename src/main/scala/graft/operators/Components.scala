@@ -37,13 +37,16 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // persist BEFORE the eager initial-labels checkpoint so that first pass
+    // over the edge list also populates the cache (instead of computing the
+    // union twice)
+    val symP = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    var labels = sym.select(col("src").as("id")).distinct()
+      .persist()
+    var labels = symP.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    val symP = sym.persist()
 
     var converged = false
     var i = 0

@@ -88,6 +88,14 @@ object Warc {
         }
       }
 
+      /** End this file's iteration and release the stream promptly — the
+        * gzip Inflater holds NATIVE memory that otherwise waits for GC.
+        */
+      private def finish(): Unit = {
+        done = true
+        try in.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+
       private def advance(): Unit = {
         nextCapture = null
         try {
@@ -95,7 +103,7 @@ object Warc {
             // scan to the next record header
             var line = readLine()
             while (line != null && !line.startsWith("WARC/")) line = readLine()
-            if (line == null) { done = true }
+            if (line == null) { finish() }
             else {
               val headers = scala.collection.mutable.Map.empty[String, String]
               var h = readLine()
@@ -104,26 +112,26 @@ object Warc {
                 if (c > 0) headers(h.take(c).trim.toLowerCase(java.util.Locale.ROOT)) = h.drop(c + 1).trim
                 h = readLine()
               }
+              val warcType = headers.getOrElse("warc-type", "")
+              val isCapture = warcType == "response" || warcType == "conversion"
               headers.get("content-length").flatMap(_.toLongOption) match {
-                case None => done = true                       // mandatory per spec
-                case Some(len) if len < 0 => done = true       // corrupt; refuse to guess
-                case Some(len) if len > maxRecordBytes =>
-                  // oversized records (giant media captures) are almost
-                  // certainly non-text payloads the pipeline drops anyway:
-                  // stream past them in bounded memory instead of failing
-                  // the task
+                case None => finish()                          // mandatory per spec
+                case Some(len) if len < 0 => finish()          // corrupt; refuse to guess
+                case Some(len) if len > maxRecordBytes || !isCapture =>
+                  // skip without materializing: request/metadata/warcinfo
+                  // records the pipeline drops, and oversized records
+                  // (giant media captures — almost certainly non-text) —
+                  // stream past in bounded memory instead of allocating or
+                  // failing the task
                   skipFully(len)
                 case Some(len) =>
-                  val payload = readFully(len.toInt)
-                  val warcType = headers.getOrElse("warc-type", "")
-                  if (warcType == "response" || warcType == "conversion")
-                    nextCapture = captureOf(headers.toMap, payload).orNull
+                  nextCapture = captureOf(headers.toMap, readFully(len.toInt)).orNull
               }
             }
           }
         } catch {
           // best-effort: truncated/corrupt input ends THIS file's iteration
-          case _: EOFException | _: java.util.zip.ZipException => done = true
+          case _: EOFException | _: java.util.zip.ZipException => finish()
         }
       }
 
@@ -160,11 +168,13 @@ object Warc {
         if (lineEnd < 0) return body
         val sizeStr = new String(body, i, lineEnd - i, StandardCharsets.ISO_8859_1)
           .split(';').head.trim // chunk extensions ignored
-        val size = Integer.parseInt(sizeStr, 16)
+        // Long math: a negative or huge size must not pass the bounds check
+        // via Int overflow — corrupt sizes return the input unchanged.
+        val size = java.lang.Long.parseLong(sizeStr, 16)
         if (size == 0) return out.toByteArray
-        if (lineEnd + 2 + size > body.length) return body
-        out.write(body, lineEnd + 2, size)
-        i = lineEnd + 2 + size + 2 // skip chunk CRLF
+        if (size < 0 || lineEnd + 2L + size > body.length) return body
+        out.write(body, lineEnd + 2, size.toInt)
+        i = lineEnd + 2 + size.toInt + 2 // skip chunk CRLF
       }
       out.toByteArray
     } catch { case _: NumberFormatException => body }

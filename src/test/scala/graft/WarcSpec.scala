@@ -124,10 +124,29 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(caps.map(_.text) == Seq("chunked body text"))
   }
 
+  test("corrupt chunk-size lines (negative / int-overflowing) fall back to the raw body") {
+    // negative size: '-5' parses but must not reach out.write
+    val neg = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n-5\r\n<p>x</p>\r\n0\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val negCaps = Warc.parseCaptures(record("response", "http://c.example/neg", neg)).toSeq
+    assert(negCaps.size == 1) // no throw; raw body carried through
+    // overflowing size: lineEnd + 2 + size wraps Int; Long math must catch it
+    val huge = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n7ffffff0\r\nbody\r\n0\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val hugeCaps = Warc.parseCaptures(record("response", "http://c.example/huge", huge)).toSeq
+    assert(hugeCaps.size == 1)
+  }
+
   test("factory binds warc configs with the glob and record-cap knobs") {
     val src = Factory.source(graft.config.ComponentConfig("warc",
       Map("directory" -> "/data/crawl", "max_record_mb" -> 64)))
     assert(src == WarcSource("/data/crawl", "*.warc*", 64 * 1024 * 1024))
+    // >= 2048 MiB would overflow Int multiplication: must clamp, not wrap
+    val big = Factory.source(graft.config.ComponentConfig("warc",
+      Map("directory" -> "/data/crawl", "max_record_mb" -> 4096)))
+    assert(big == WarcSource("/data/crawl", "*.warc*", Int.MaxValue))
     assertThrows[graft.config.GraftConfigException](
       Factory.source(graft.config.ComponentConfig("warc", Map.empty)))
   }
