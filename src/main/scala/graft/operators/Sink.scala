@@ -139,6 +139,28 @@ object Sink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compacting, clustering write — the 100 TB answer to the small-files
+    * problem and its mirror image (one giant unsplittable file per task):
+    * range-repartition on `clusterCols` into `numFiles` partitions, sort
+    * rows within each, and write with `maxRecordsPerFile` as the overflow
+    * valve. Range partitioning + in-file ordering give every parquet
+    * column chunk tight min/max bounds on the cluster key, so downstream
+    * scans filtering on it prune at BOTH the file and row-group level —
+    * poor-man's z-ordering for the 1-key case, at the cost of one range
+    * shuffle (sampled boundaries, skew-tolerant).
+    */
+  def compactWrite(df: DataFrame, path: String, clusterCols: Seq[String],
+                   numFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(clusterCols.nonEmpty, "graft.Sink.compactWrite: clusterCols is empty")
+    val keys = clusterCols.map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** The distinct incoming sources that scope an upsert — the reference's
     * `set(doc.metadata["source"])` (`sinks.py:66-72,129-135`).
     */

@@ -89,6 +89,31 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       s"a concurrent writer's rows were lost: $out")
   }
 
+  test("compactWrite clusters into the requested file count with in-file key order") {
+    import graft.operators.Sink
+    val dir = tempDir("graft-sink").resolve("compact").toString
+    val df = spark.range(10000).toDF("k")
+      .withColumn("v", col("k") % 97)
+    Sink.compactWrite(df, dir, Seq("k"), numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 data files, got ${files.length}")
+    // range partitioning: file-level key ranges are disjoint, so a point
+    // filter on k prunes to ONE file's range; rows are sorted within files
+    val perFile = files.map { f =>
+      val ks = spark.read.parquet(f.getPath).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not sorted")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, "file key ranges overlap")
+      case _ =>
+    }
+    // whole table round-trips
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("schema mismatch migrates the table, preserving old rows (sinks.py:40-48)") {
     val dir = tempDir("graft-sink").resolve("t5").toString
     val sink = VectorTableSink(dir)
