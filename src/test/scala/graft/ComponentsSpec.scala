@@ -42,6 +42,10 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalStateException](cc(edges, maxIter = 2))
   }
 
+  test("an empty pair graph yields an empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
   test("dropDuplicates keeps one representative per cluster and all singletons") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val comps = Components.connectedComponents(
