@@ -524,6 +524,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "data_profile" -> ((s, dir) =>
+      // Single-pass profiling report over lineitem's numeric columns
+      // (exact-distinct regime so the oracle can mirror it).
+      Profile.numeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), exactDistinct = true)),
+
     "token_budget_pack" -> ((s, dir) => {
       // Corpus mixing: pack each language up to a 5k-token budget in
       // quality order. Single scan (quality + token estimate are narrow
@@ -1041,6 +1047,17 @@ object SparkEntry {
         |   THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END, 6)
         |   AS dup_token_fraction
         |FROM m""".stripMargin,
+
+    "data_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER ($c IS NULL) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     "token_budget_pack" ->
       s"""WITH $qualitySqlCtes,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass corpus/table profiling — the data-quality report a pipeline
+  * runs before and after every curation stage (did dedup drop a language?
+  * did a schema change null out a column?).
+  *
+  * One global aggregate computes every metric for every requested column in
+  * a single scan: the parquet read prunes to exactly the profiled columns,
+  * partial aggregation runs map-side, and the only movement is the
+  * fixed-size partial-aggregate merge — no groupBy shuffle of data rows at
+  * any corpus size. The wide 1-row aggregate is then unpivoted to one row
+  * per column.
+  *
+  * `exactDistinct = true` uses `count(DISTINCT col)` (Spark expands the
+  * aggregate — one pass but rows replicate per distinct-column; exact, the
+  * oracle-checkable regime). The default approximates with HyperLogLog++
+  * (`approx_count_distinct`, fixed-size sketch per column — the 100 TB
+  * regime).
+  */
+object Profile {
+
+  /** Profile numeric columns: `(col_name, n, n_null, n_distinct, min_v,
+    * max_v)`, one row per requested column, values as doubles.
+    */
+  def numeric(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "graft.Profile: no columns to profile")
+    val aggs = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(v.isNull, lit(1))).as(s"__nnull_$c"),
+        (if (exactDistinct) countDistinct(v) else approx_count_distinct(v))
+          .as(s"__ndist_$c"),
+        min(v).cast("double").as(s"__min_$c"),
+        max(v).cast("double").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__n_$c").as("n"),
+        col(s"__nnull_$c").as("n_null"), col(s"__ndist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_v"), col(s"__max_$c").as("max_v"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+}
