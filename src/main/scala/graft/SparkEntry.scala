@@ -417,6 +417,20 @@ object SparkEntry {
           round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
     }),
 
+    "dedup_cross_corpus" -> ((s, dir) => {
+      // Cross-corpus dedup: a synthetic "new crawl" (every 5th document,
+      // lightly perturbed, re-keyed) joined ONLY against the reference
+      // corpus — each new doc should match exactly its original. MinHash is
+      // non-ANSI -> no oracle; semantics pinned by DedupSpec.
+      val ref = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val incoming = ref.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" freshly crawled tail")).as("text"))
+      Dedup.crossCorpusPairs(incoming, ref, "text", "doc_id",
+          maxJaccardDistance = 0.5)
+        .select(col("id_new"), col("id_ref"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
+    }),
+
     "dedup_components" -> ((s, dir) => {
       // Duplicate-cluster closure over a deterministic planted pair graph
       // (chains of consecutive ids at %7<3, skip-links at %11==0 — the

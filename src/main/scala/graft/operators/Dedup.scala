@@ -221,24 +221,7 @@ object Dedup {
                       seed: Long = 42L,
                       persistIntermediates: Boolean = true): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
-    // The full-corpus shingle pass feeds only the banding self-join (two
-    // scans); recomputing there beats caching (a persist of this table held
-    // memory for the whole query and caused GC pressure downstream — r2).
-    // Verification shingles are computed separately on the candidate-bounded
-    // subset below. At cluster scale the signature table would instead be a
-    // persisted/bucketed table keyed by id, written once.
-    val withShingles = Partitioning.ensureParallelism(df)
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
-      .filter(size(col("__shingles")) > 0)
-    // Fold BOTH halves of the Long seed into the Int the UDF consumes —
-    // a bare .toInt would silently drop the high 32 bits, making seeds
-    // that differ only in the upper half produce identical signatures.
-    val mixedSeed = (seed ^ (seed >>> 32)).toInt
-    val sig = withShingles.withColumn("__bands",
-      minhashBandsUdf(col("__shingles"), lit(numHashes), lit(bandSize), lit(mixedSeed)))
-    // (band index, band value) is the LSH bucket key.
-    val banded = sig.select(col(idCol),
-        posexplode(col("__bands")).as(Seq("__band", "__minh")))
+    val banded = bandedKeys(df, textCol, idCol, numHashes, bandSize, shingleSize, seed)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__minh"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__minh"))
     // Candidates are orders of magnitude smaller than the corpus; PERSIST
@@ -274,6 +257,71 @@ object Dedup {
         lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard_dist") <= maxJaccardDistance)
       .select("id_a", "id_b", "jaccard_dist")
+  }
+
+  /** (id, band index, band value) LSH bucket keys for one corpus — the
+    * shared front half of the within- and cross-corpus MinHash joins.
+    * The full-corpus shingle pass feeds only the banding join (recomputing
+    * beats caching — a persist of this table held memory for the whole
+    * query and caused GC pressure downstream, r2); at cluster scale the
+    * signature table would instead be a persisted/bucketed table keyed by
+    * id, written once.
+    */
+  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+                         numHashes: Int, bandSize: Int, shingleSize: Int,
+                         seed: Long): DataFrame = {
+    val withShingles = Partitioning.ensureParallelism(df)
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+    // Fold BOTH halves of the Long seed into the Int the UDF consumes —
+    // a bare .toInt would silently drop the high 32 bits, making seeds
+    // that differ only in the upper half produce identical signatures.
+    val mixedSeed = (seed ^ (seed >>> 32)).toInt
+    withShingles
+      .withColumn("__bands",
+        minhashBandsUdf(col("__shingles"), lit(numHashes), lit(bandSize), lit(mixedSeed)))
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("__band", "__minh")))
+  }
+
+  /** Cross-corpus near-dup join: MinHash-banded candidates BETWEEN two
+    * corpora (a new crawl vs the existing training set), verified with
+    * exact shingle Jaccard. Returns `(id_new, id_ref, jaccard_dist)` —
+    * only cross pairs exist by construction (each side is banded
+    * separately and the bucket join is between them, so no within-corpus
+    * candidate is ever generated, unlike tagging + self-join). Ids must be
+    * unique within each corpus but may collide across them. Same scale
+    * shape as [[minhashLshPairs]]: one bucket-key equi-join, candidate-
+    * bounded verification.
+    */
+  def crossCorpusPairs(dfNew: DataFrame, dfRef: DataFrame,
+                       textCol: String, idCol: String,
+                       maxJaccardDistance: Double = 0.6,
+                       numHashes: Int = 16,
+                       bandSize: Int = 2,
+                       shingleSize: Int = 3,
+                       seed: Long = 42L): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
+    val a = bandedKeys(dfNew, textCol, idCol, numHashes, bandSize, shingleSize, seed)
+      .select(col(idCol).as("id_new"), col("__band"), col("__minh"))
+    val b = bandedKeys(dfRef, textCol, idCol, numHashes, bandSize, shingleSize, seed)
+      .select(col(idCol).as("id_ref"), col("__band"), col("__minh"))
+    val candidates = a.join(b, Seq("__band", "__minh"))
+      .select("id_new", "id_ref").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = Partitioning.ensureParallelism(dfNew)
+      .join(broadcast(candidates.select(col("id_new").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_new"), shingles(col(textCol), shingleSize).as("__sh_a"))
+    val shRef = Partitioning.ensureParallelism(dfRef)
+      .join(broadcast(candidates.select(col("id_ref").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_ref"), shingles(col(textCol), shingleSize).as("__sh_b"))
+    shNew.join(broadcast(candidates), "id_new")
+      .join(shRef, "id_ref")
+      .withColumn("jaccard_dist",
+        lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard_dist") <= maxJaccardDistance)
+      .select("id_new", "id_ref", "jaccard_dist")
   }
 
   // -------------------------------------------------------------------------
