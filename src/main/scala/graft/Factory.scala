@@ -96,13 +96,17 @@ object Factory {
       c.strOr("glob", "*"))),
     // Scale-path extension (no reference counterpart): Common Crawl-style
     // web-archive ingestion, one document per captured page.
-    "warc" -> (c => WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"),
-      // Long math + clamp: max_record_mb >= 2048 must saturate at
-      // Int.MaxValue, not wrap to a zero/negative cap that silently drops
-      // every record.
-      maxRecordBytes =
-        math.min(math.max(c.int("max_record_mb", 256).toLong, 1L) * 1024 * 1024,
-          Int.MaxValue.toLong).toInt)),
+    "warc" -> { c =>
+      val mb = c.int("max_record_mb", 256)
+      // zero/negative would silently skip every record; >= 2048 would wrap
+      // the Int multiplication to a zero/negative cap — reject one, clamp
+      // the other.
+      if (mb <= 0)
+        throw new config.GraftConfigException(
+          s"warc: max_record_mb must be positive, got $mb")
+      WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"),
+        maxRecordBytes = math.min(mb.toLong * 1024 * 1024, Int.MaxValue.toLong).toInt)
+    },
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
     "postgres" -> (c => JdbcSource(
       c.str("jdbc_url").getOrElse(

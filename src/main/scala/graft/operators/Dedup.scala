@@ -243,21 +243,39 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol)))
       .distinct()
-    val candShingles = maybePersist(Partitioning.ensureParallelism(df)
-      .join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles")))
-    val shA = candShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a"))
-    val shB = candShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b"))
-    // Both verify inputs are candidate-bounded; AQE picks broadcast vs
-    // shuffle from their actual sizes (the array-heavy side must not be
-    // force-broadcast).
-    shA.join(broadcast(candidates), "id_a")
-      .join(shB, "id_b")
+    val candShingles = maybePersist(
+      candidateShingles(df, textCol, idCol, shingleSize, candIds))
+    verifiedPairs(
+      candShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sh_a")),
+      candShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sh_b")),
+      candidates, "id_a", "id_b", maxJaccardDistance)
+  }
+
+  /** Shingles for the candidate-bounded subset of a corpus: semi-join the
+    * ids BEFORE computing shingles so the UDF runs over O(candidates) rows,
+    * not O(corpus).
+    */
+  private def candidateShingles(df: DataFrame, textCol: String, idCol: String,
+                                shingleSize: Int, ids: DataFrame): DataFrame =
+    Partitioning.ensureParallelism(df)
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
+
+  /** Shared exact-Jaccard verification tail: join both candidate-bounded
+    * shingle sides through the (tiny, broadcast) candidate pairs and keep
+    * pairs within the distance bound. AQE picks broadcast vs shuffle for
+    * the shingle joins from actual sizes (the array-heavy sides must not
+    * be force-broadcast).
+    */
+  private def verifiedPairs(shLeft: DataFrame, shRight: DataFrame,
+                            candidates: DataFrame, leftId: String, rightId: String,
+                            maxJaccardDistance: Double): DataFrame =
+    shLeft.join(broadcast(candidates), leftId)
+      .join(shRight, rightId)
       .withColumn("jaccard_dist",
         lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard_dist") <= maxJaccardDistance)
-      .select("id_a", "id_b", "jaccard_dist")
-  }
+      .select(leftId, rightId, "jaccard_dist")
 
   /** (id, band index, band value) LSH bucket keys for one corpus — the
     * shared front half of the within- and cross-corpus MinHash joins.
@@ -292,6 +310,11 @@ object Dedup {
     * unique within each corpus but may collide across them. Same scale
     * shape as [[minhashLshPairs]]: one bucket-key equi-join, candidate-
     * bounded verification.
+    *
+    * CACHING: as with [[minhashLshPairs]], `persistIntermediates` (default)
+    * persists the candidate-bounded intermediates MEMORY_AND_DISK until the
+    * session drops them — an app calling this once per crawl batch should
+    * `spark.catalog.clearCache()` between batches, or pass false.
     */
   def crossCorpusPairs(dfNew: DataFrame, dfRef: DataFrame,
                        textCol: String, idCol: String,
@@ -299,29 +322,26 @@ object Dedup {
                        numHashes: Int = 16,
                        bandSize: Int = 2,
                        shingleSize: Int = 3,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L,
+                       persistIntermediates: Boolean = true): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
+    def maybePersist(d: DataFrame): DataFrame =
+      if (persistIntermediates)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
     val a = bandedKeys(dfNew, textCol, idCol, numHashes, bandSize, shingleSize, seed)
       .select(col(idCol).as("id_new"), col("__band"), col("__minh"))
     val b = bandedKeys(dfRef, textCol, idCol, numHashes, bandSize, shingleSize, seed)
       .select(col(idCol).as("id_ref"), col("__band"), col("__minh"))
-    val candidates = a.join(b, Seq("__band", "__minh"))
-      .select("id_new", "id_ref").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shNew = Partitioning.ensureParallelism(dfNew)
-      .join(broadcast(candidates.select(col("id_new").as(idCol)).distinct()),
-        Seq(idCol), "left_semi")
-      .select(col(idCol).as("id_new"), shingles(col(textCol), shingleSize).as("__sh_a"))
-    val shRef = Partitioning.ensureParallelism(dfRef)
-      .join(broadcast(candidates.select(col("id_ref").as(idCol)).distinct()),
-        Seq(idCol), "left_semi")
-      .select(col(idCol).as("id_ref"), shingles(col(textCol), shingleSize).as("__sh_b"))
-    shNew.join(broadcast(candidates), "id_new")
-      .join(shRef, "id_ref")
-      .withColumn("jaccard_dist",
-        lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
-      .filter(col("jaccard_dist") <= maxJaccardDistance)
-      .select("id_new", "id_ref", "jaccard_dist")
+    val candidates = maybePersist(a.join(b, Seq("__band", "__minh"))
+      .select("id_new", "id_ref").distinct())
+    val shNew = candidateShingles(dfNew, textCol, idCol, shingleSize,
+        candidates.select(col("id_new").as(idCol)).distinct())
+      .select(col(idCol).as("id_new"), col("__shingles").as("__sh_a"))
+    val shRef = candidateShingles(dfRef, textCol, idCol, shingleSize,
+        candidates.select(col("id_ref").as(idCol)).distinct())
+      .select(col(idCol).as("id_ref"), col("__shingles").as("__sh_b"))
+    verifiedPairs(shNew, shRef, candidates, "id_new", "id_ref", maxJaccardDistance)
   }
 
   // -------------------------------------------------------------------------

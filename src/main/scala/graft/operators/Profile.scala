@@ -28,6 +28,8 @@ object Profile {
   def numeric(df: DataFrame, cols: Seq[String],
               exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "graft.Profile: no columns to profile")
+    require(cols.distinct.size == cols.size,
+      s"graft.Profile: duplicate columns in ${cols.mkString(", ")}")
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(

@@ -48,6 +48,13 @@ object Warc {
         else new BufferedInputStream(base, 65536)
       } catch { case scala.util.control.NonFatal(_) => InputStream.nullInputStream() }
 
+    // Early-terminated tasks (limit, take) abandon the iterator before it
+    // reaches EOF — close the stream (native Inflater memory) at task end
+    // regardless. No-op outside a task (driver-side tests).
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case scala.util.control.NonFatal(_) => () }))
+
     new Iterator[Capture] {
       private var nextCapture: Capture = _
       private var done = false

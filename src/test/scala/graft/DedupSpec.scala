@@ -91,18 +91,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("cross-corpus minhash joins only ACROSS the corpora and finds planted dups") {
     // "new crawl": one near-copy of ref doc 1, one exact copy of ref doc 5,
-    // one fresh doc. Within-corpus dup (101 vs 102 unrelated) must not pair.
+    // one fresh doc — PLUS an exact within-crawl duplicate pair (103/104)
+    // that must never appear: their mutual similarity is maximal, so only
+    // the cross-only candidate construction keeps them out.
     val fresh = Seq(
       (101L, "the quick brown fox jumps over the lazy dog near the river bank today indeed"),
       (102L, "tomato sauce needs garlic olive oil basil and a lot of patience while cooking"),
-      (103L, "novel text with no counterpart in the reference corpus whatsoever today")
+      (103L, "novel text with no counterpart in the reference corpus whatsoever today"),
+      (104L, "novel text with no counterpart in the reference corpus whatsoever today")
     ).toDF("id", "txt")
     val pairs = Dedup.crossCorpusPairs(fresh, corpus, "txt", "id",
       maxJaccardDistance = 0.5)
       .collect().map(r => (r.getAs[Long]("id_new"), r.getAs[Long]("id_ref"))).toSet
     assert(pairs.contains((101L, 1L)) && pairs.contains((101L, 4L))) // near-copies
     assert(pairs.contains((102L, 5L))) // exact copy
-    assert(!pairs.exists(_._1 == 103L)) // fresh doc clean
+    assert(!pairs.exists(p => p._1 == 103L || p._1 == 104L)) // fresh docs clean
+    // the 103~104 within-crawl dup never pairs in ANY orientation
+    assert(!pairs.exists(p => p._2 == 103L || p._2 == 104L))
     // provenance: every left id is from the new corpus, every right from ref
     assert(pairs.forall { case (n, r) => n >= 101L && r <= 5L })
   }

@@ -149,5 +149,9 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(big == WarcSource("/data/crawl", "*.warc*", Int.MaxValue))
     assertThrows[graft.config.GraftConfigException](
       Factory.source(graft.config.ComponentConfig("warc", Map.empty)))
+    // zero/negative caps would silently skip every record: reject at config
+    assertThrows[graft.config.GraftConfigException](
+      Factory.source(graft.config.ComponentConfig("warc",
+        Map("directory" -> "/data/crawl", "max_record_mb" -> 0))))
   }
 }
