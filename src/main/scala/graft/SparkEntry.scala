@@ -556,6 +556,18 @@ object SparkEntry {
         orderBy = Seq(col("quality").desc, col("doc_id")))
     }),
 
+    "token_budget_pack_hist" -> ((s, dir) => {
+      // The SCALE path of corpus packing: histogram-threshold selection
+      // (no corpus sort, broadcast threshold join) — deterministic, so it
+      // gets a full oracle, not just the spec parity pin.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      CorpusMix.packToBudgetHistogram(docs, "lang", "bpe_tokens", "quality",
+        budgetPerGroup = 5000, buckets = 100)
+    }),
+
     "domain_cap" -> ((s, dir) => {
       // C4/Gopher-style per-domain contribution cap: each source keeps its
       // 10 best documents by quality.
@@ -1086,6 +1098,25 @@ object SparkEntry {
          | FROM j)
          |SELECT doc_id, lang, bpe_tokens, quality, cum_tokens FROM c
          |WHERE cum_tokens <= 5000""".stripMargin,
+
+    "token_budget_pack_hist" ->
+      s"""WITH $qualitySqlCtes,
+         |tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         | FROM documents),
+         |j AS (SELECT d.doc_id, d.lang, tok.bpe_tokens, qscore.quality,
+         |  CAST(floor(qscore.quality * 100) AS INT) AS bkt
+         | FROM documents d JOIN qscore USING (doc_id) JOIN tok USING (doc_id)),
+         |hist AS (SELECT lang, bkt, SUM(bpe_tokens) AS bkt_tokens
+         | FROM j GROUP BY lang, bkt),
+         |cum AS (SELECT lang, bkt,
+         |  SUM(bkt_tokens) OVER (PARTITION BY lang ORDER BY bkt DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         | FROM hist),
+         |thr AS (SELECT lang, MIN(bkt) AS thr_bkt
+         | FROM cum WHERE cum_tokens <= 5000 GROUP BY lang)
+         |SELECT j.doc_id, j.lang, j.bpe_tokens, j.quality
+         |FROM j JOIN thr USING (lang) WHERE j.bkt >= thr.thr_bkt""".stripMargin,
 
     "domain_cap" ->
       s"""WITH $qualitySqlCtes,
