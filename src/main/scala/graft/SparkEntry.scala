@@ -568,6 +568,26 @@ object SparkEntry {
         budgetPerGroup = 5000, buckets = 100)
     }),
 
+    "sequence_pack" -> ((s, dir) => {
+      // Concat-and-chunk sequence packing: map every document to its global
+      // token offset and 2048-token training-sequence coordinates via the
+      // two-pass distributed prefix sum (no global window).
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+      SequencePack.assignments(docs, "bpe_tokens", seqLen = 2048,
+        orderBy = Seq(col("doc_id")))
+    }),
+
+    "sequence_pieces" -> ((s, dir) => {
+      // Per-(document × sequence) slices of the packed stream — what a
+      // shard writer would emit. Narrow explode over the assignments.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+      val assigned = SequencePack.assignments(docs, "bpe_tokens",
+        seqLen = 2048, orderBy = Seq(col("doc_id")))
+      SequencePack.pieces(assigned, "bpe_tokens", seqLen = 2048, "doc_id")
+    }),
+
     "domain_cap" -> ((s, dir) => {
       // C4/Gopher-style per-domain contribution cap: each source keeps its
       // 10 best documents by quality.
@@ -1117,6 +1137,45 @@ object SparkEntry {
          | FROM cum WHERE cum_tokens <= 5000 GROUP BY lang)
          |SELECT j.doc_id, j.lang, j.bpe_tokens, j.quality
          |FROM j JOIN thr USING (lang) WHERE j.bkt >= thr.thr_bkt""".stripMargin,
+
+    "sequence_pack" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, bpe_tokens,
+         |  CAST(COALESCE(SUM(bpe_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+         | FROM tok)
+         |SELECT doc_id, bpe_tokens, start_token,
+         | start_token // 2048 AS seq_id,
+         | start_token % 2048 AS offset_in_seq,
+         | CAST(CASE WHEN bpe_tokens > 0
+         |   THEN (start_token + bpe_tokens - 1) // 2048 - start_token // 2048 + 1
+         |   ELSE 0 END AS BIGINT) AS n_seqs
+         |FROM c""".stripMargin,
+
+    "sequence_pieces" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, bpe_tokens,
+         |  CAST(COALESCE(SUM(bpe_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+         | FROM tok WHERE bpe_tokens > 0),
+         |x AS (SELECT doc_id, bpe_tokens, start_token,
+         |  unnest(generate_series(start_token // 2048,
+         |                         (start_token + bpe_tokens - 1) // 2048)) AS seq
+         | FROM c),
+         |s AS (SELECT doc_id, seq,
+         |  greatest(start_token, seq * 2048) AS slice_from,
+         |  least(start_token + bpe_tokens, (seq + 1) * 2048) AS slice_to,
+         |  start_token
+         | FROM x)
+         |SELECT doc_id, seq,
+         | slice_from - start_token AS take_from,
+         | slice_to - slice_from AS take_len,
+         | slice_from % 2048 AS pos_in_seq
+         |FROM s""".stripMargin,
 
     "domain_cap" ->
       s"""WITH $qualitySqlCtes,
