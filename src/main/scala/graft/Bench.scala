@@ -129,13 +129,25 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${SparkEntry.queries.size} queries FAILED: ${failed.sorted.mkString(", ")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver parses the result JSON out of the LAST ~2000 chars of
+    // stdout (BENCH_r04 had parsed:null because the r4 line, carrying 54
+    // plan digests, outgrew that window and the tail started mid-line). So:
+    // digests go to a file, timings are rounded to ms, and the line is
+    // guarded — anything pushing it near the window is a build error we
+    // want to see locally, not a silently ungraded round.
     val plansJson = planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
+    val pw = new java.io.PrintWriter(new java.io.File(plansDir, "digests.json"), "UTF-8")
+    try pw.write(plansJson) finally pw.close()
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"plan_digests":$plansJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: result line is ${line.length} chars; the driver's tail window is ~2000 — shorten query names or drop fields")
+    println(line)
     spark.stop()
   }
 }

@@ -12,8 +12,8 @@ package graft.functions
   *   POST { "model": m, "input": [texts...] }
   *   <-   { "data": [ { "index": i, "embedding": [floats...] }, ... ] }
   * }}}
-  * The response is parsed with snakeyaml (JSON is a YAML subset) — the same
-  * zero-extra-dependency choice the JSON state manager makes.
+  * The response is parsed with Jackson ([[graft.functions.Json]]) — large
+  * batched responses exceed SnakeYAML's default code-point limit.
   */
 object RemoteEmbedder {
 
@@ -52,8 +52,7 @@ object RemoteEmbedder {
     */
   def parseResponse(body: String, n: Int): Array[Array[Float]] = {
     import scala.jdk.CollectionConverters._
-    val root = new org.yaml.snakeyaml.Yaml().load[Any](body)
-      .asInstanceOf[java.util.Map[String, Any]]
+    val root = Json.parse(body).asInstanceOf[java.util.Map[String, Any]]
     val data = root.get("data").asInstanceOf[java.util.List[Any]]
     require(data != null && data.size == n,
       s"embeddings response has ${if (data == null) 0 else data.size} entries for $n inputs")

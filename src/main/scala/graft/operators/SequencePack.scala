@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for pretraining: lay the corpus out as one deterministic
   * token stream and cut it into fixed-length training sequences (the
@@ -23,10 +22,18 @@ import org.apache.spark.storage.StorageLevel
   * order keys, running sum WITHIN each partition (parallel), plus a
   * broadcast map of per-partition token totals (one tiny row per partition)
   * to shift each partition into global coordinates. No stage ever sees the
-  * corpus in one task. The input is persisted (MEMORY_AND_DISK) for the
-  * duration of the two passes so both read the same partition boundaries —
-  * at extreme scale the same two passes would run against a staged table
-  * instead of the block-manager cache.
+  * corpus in one task. The range-partitioned input is pinned with an EAGER
+  * `localCheckpoint` so the totals pass and the output read the exact same
+  * partition boundaries: range sampling is nondeterministic across
+  * executions, and a plain persist would silently re-sample on an
+  * executor loss (recompute) — checkpoint truncation makes block loss a
+  * loud job failure instead of offsets inconsistent with the collected
+  * totals. Checkpoint blocks are reclaimed by Spark's ContextCleaner once
+  * the returned frame is unreferenced; between corpora in one session,
+  * `spark.catalog.clearCache()` reclaims them immediately (the same
+  * convention as `Dedup.persistIntermediates`). At extreme scale the same
+  * two passes would run against a staged table instead of the
+  * block-manager cache.
   */
 object SequencePack {
 
@@ -58,14 +65,15 @@ object SequencePack {
     val nPart = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
 
     // Pass 0: one range shuffle establishes contiguous, sorted partitions of
-    // the stream order. Persist so the totals pass and the output pass see
-    // identical partition boundaries (range sampling is not deterministic
-    // across executions).
+    // the stream order. Eager localCheckpoint pins those boundaries for both
+    // downstream passes (see scaladoc: loss -> loud failure, blocks
+    // reclaimed via ContextCleaner / clearCache, not a session-lifetime
+    // cache leak).
     val parted = df
       .repartitionByRange(nPart, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
 
     // Pass 1: per-partition token totals — |partitions| rows, driver-safe by
     // construction (same pattern as the bounded IVF training sample).

@@ -41,11 +41,20 @@ object Sink {
 
   /** Reap leftover survivor-staging dirs from crashed upserts: the UUID
     * names make them unidentifiable to their (dead) writer, so any
-    * `<table>.survivors-*` older than `maxAgeMs` is garbage by construction
-    * (a live upsert holds the table lock for its whole write).
+    * `<table>.survivors-*` whose LAST WRITE is older than the reap age is
+    * treated as garbage. Staleness is judged by the newest mtime among the
+    * dir and its direct children, not the dir's creation time — a live
+    * writer in ANOTHER JVM (the table lock is JVM-local) keeps creating
+    * part files, refreshing that signal even when its job has run past the
+    * age bound. Residual cross-JVM hazard, documented: a writer that
+    * finished writing >reap-age ago but is still in its read-back phase
+    * could still lose its dir — tune `graft.sink.stagingReapAgeMs` (Spark
+    * conf, default 24h) above the slowest expected migration, or use a
+    * transactional table format for true multi-writer deployments.
     */
-  private def reapStaleStaging(spark: SparkSession, path: String,
-                               maxAgeMs: Long = 24L * 3600 * 1000): Unit = {
+  private def reapStaleStaging(spark: SparkSession, path: String): Unit = {
+    val maxAgeMs = spark.conf.getOption("graft.sink.stagingReapAgeMs")
+      .map(_.toLong).getOrElse(24L * 3600 * 1000)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = p.getParent
@@ -56,8 +65,12 @@ object Sink {
       val prefixes = Seq(".survivors-", ".migrate-", ".old-").map(p.getName + _)
       val cutoff = System.currentTimeMillis() - maxAgeMs
       fs.listStatus(parent).foreach { st =>
-        if (prefixes.exists(st.getPath.getName.startsWith) && st.getModificationTime < cutoff)
-          fs.delete(st.getPath, true)
+        if (prefixes.exists(st.getPath.getName.startsWith)) {
+          val lastWrite =
+            try (st.getModificationTime +: fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+            catch { case _: java.io.IOException => st.getModificationTime }
+          if (lastWrite < cutoff) fs.delete(st.getPath, true)
+        }
       }
     }
   }

@@ -31,6 +31,17 @@ final case class ChromaRestSink(baseUrl: String, collection: String,
 
   override def write(df: DataFrame): Unit = {
     SinkSchemas.validate(df.schema)
+    // Pin the lineage: the scope/null-check job and the upsert job below
+    // must observe IDENTICAL rows. Without the persist, a nondeterministic
+    // upstream (sampling, uuid, repartition+limit) could pass the null
+    // guard in job 1 yet produce different rows in job 2 — reopening the
+    // delete-then-NPE data-loss window the guard exists to close.
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writePinned(pinned)
+    finally pinned.unpersist(blocking = false)
+  }
+
+  private def writePinned(df: DataFrame): Unit = {
     // ONE driver-side job computes both the delete scope and the null
     // check (folding them halves the upstream lineage re-executions — the
     // frame may be an expensive pipeline). The null validation must run
@@ -128,7 +139,7 @@ object ChromaRestSink {
                             name: String, timeoutSeconds: Int): String = {
     val body = post(client, s"$baseUrl/api/v1/collections",
       s"""{"name":"${jsonEscape(name)}","get_or_create":true}""", timeoutSeconds)
-    val root = new org.yaml.snakeyaml.Yaml().load[Any](body)
+    val root = graft.functions.Json.parse(body)
       .asInstanceOf[java.util.Map[String, Any]]
     val id = root.get("id")
     require(id != null, s"collections response missing id: ${body.take(200)}")
@@ -149,7 +160,7 @@ object ChromaRestSink {
     */
   def parseGet(body: String): Seq[(String, String, Seq[Float], String)] = {
     import scala.jdk.CollectionConverters._
-    val root = new org.yaml.snakeyaml.Yaml().load[Any](body)
+    val root = graft.functions.Json.parse(body)
       .asInstanceOf[java.util.Map[String, Any]]
     def list(k: String) = Option(root.get(k))
       .map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq).getOrElse(Seq.empty)
