@@ -538,6 +538,15 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "paragraph_dedup" -> ((s, dir) => {
+      // RefinedWeb/C4-style boilerplate removal: a banner paragraph planted
+      // into every document recurs corpus-wide and must be stripped from
+      // each, while the documents' own paragraphs survive in order.
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Cookie notice: we use cookies\n\n"), col("text")).as("p_text"))
+      Paragraphs.removeBoilerplate(planted, "p_text", "doc_id", minRepeats = 5)
+    }),
+
     "data_profile" -> ((s, dir) =>
       // Single-pass profiling report over lineitem's numeric columns
       // (exact-distinct regime so the oracle can mirror it).
@@ -1047,6 +1056,20 @@ object SparkEntry {
         |   list_transform(range(1, len(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
         |FROM documents""".stripMargin,
+
+    "paragraph_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |  'Cookie notice: we use cookies' || chr(10) || chr(10) || text AS t FROM documents),
+        |a AS (SELECT doc_id, regexp_split_to_array(t, '\n\n+') AS arr FROM p),
+        |e AS (SELECT doc_id, unnest(range(len(arr))) AS pos, trim(unnest(arr)) AS para FROM a),
+        |e2 AS (SELECT doc_id, pos, para FROM e WHERE len(para) > 0),
+        |c AS (SELECT para, count(*) AS n FROM e2 GROUP BY 1)
+        |SELECT doc_id,
+        | coalesce(string_agg(CASE WHEN n < 5 THEN para END, chr(10) || chr(10) ORDER BY pos), '') AS text,
+        | count(CASE WHEN n < 5 THEN 1 END) AS n_kept,
+        | count(CASE WHEN n >= 5 THEN 1 END) AS n_dropped
+        |FROM e2 JOIN c USING (para)
+        |GROUP BY doc_id""".stripMargin,
 
     "pii_redact" -> {
       // Generated from TextAnalysis.PiiPatterns so Spark and the oracle use

@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   * executions, and a plain persist would silently re-sample on an
   * executor loss (recompute) — checkpoint truncation makes block loss a
   * loud job failure instead of offsets inconsistent with the collected
-  * totals. Checkpoint blocks are reclaimed by Spark's ContextCleaner once
-  * the returned frame is unreferenced; between corpora in one session,
-  * `spark.catalog.clearCache()` reclaims them immediately (the same
-  * convention as `Dedup.persistIntermediates`). At extreme scale the same
-  * two passes would run against a staged table instead of the
+  * totals. Checkpoint blocks live in the block manager OUTSIDE the
+  * CacheManager, so `spark.catalog.clearCache()` does NOT touch them; they
+  * are reclaimed only by the ContextCleaner after the checkpointed RDD is
+  * garbage-collected (i.e. once the returned frame and its lineage are
+  * unreferenced and a GC runs). Between corpora in one long session, drop
+  * all references to the previous output and its inputs; under real memory
+  * pressure `System.gc()` forces the cleaner's hand. At extreme scale the
+  * same two passes would run against a staged table instead of the
   * block-manager cache.
   */
 object SequencePack {

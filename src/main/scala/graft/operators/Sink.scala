@@ -42,17 +42,19 @@ object Sink {
   /** Reap leftover survivor-staging dirs from crashed upserts: the UUID
     * names make them unidentifiable to their (dead) writer, so any
     * `<table>.survivors-*` whose LAST WRITE is older than the reap age is
-    * treated as garbage. Staleness is judged by the newest mtime among the
-    * dir and its direct children, not the dir's creation time — a live
-    * writer in ANOTHER JVM (the table lock is JVM-local) keeps creating
-    * part files, refreshing that signal even when its job has run past the
-    * age bound. Residual cross-JVM hazard, documented: a writer that
-    * finished writing >reap-age ago but is still in its read-back phase
-    * could still lose its dir — tune `graft.sink.stagingReapAgeMs` (Spark
-    * conf, default 24h) above the slowest expected migration, or use a
-    * transactional table format for true multi-writer deployments.
+    * treated as garbage. Staleness is judged by the newest mtime found in a
+    * bounded-depth recursive scan of the dir, not the dir's creation time —
+    * an in-flight Spark write lands task output nested under
+    * `_temporary/<job>/_temporary/<task>/part-…` (direct children only
+    * appear at job commit), so a live writer in ANOTHER JVM (the table lock
+    * is JVM-local) refreshes the signal through its deepest in-progress
+    * files. Residual cross-JVM hazard, documented: a writer that finished
+    * writing >reap-age ago but is still in its read-back phase could still
+    * lose its dir — tune `graft.sink.stagingReapAgeMs` (Spark conf, default
+    * 24h) above the slowest expected migration, or use a transactional
+    * table format for true multi-writer deployments.
     */
-  private def reapStaleStaging(spark: SparkSession, path: String): Unit = {
+  private[graft] def reapStaleStaging(spark: SparkSession, path: String): Unit = {
     val maxAgeMs = spark.conf.getOption("graft.sink.stagingReapAgeMs")
       .map(_.toLong).getOrElse(24L * 3600 * 1000)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -64,12 +66,21 @@ object Sink {
       // otherwise leak 1-2x the table size permanently).
       val prefixes = Seq(".survivors-", ".migrate-", ".old-").map(p.getName + _)
       val cutoff = System.currentTimeMillis() - maxAgeMs
+      // Depth 5 reaches <staging>/_temporary/<job>/_temporary/<task>/part-…
+      // (the FileOutputCommitter layout while a write is in flight).
+      def newestMtime(st: org.apache.hadoop.fs.FileStatus, depth: Int): Long = {
+        val self = st.getModificationTime
+        if (depth <= 0 || !st.isDirectory) self
+        else {
+          val kids =
+            try fs.listStatus(st.getPath)
+            catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+          (self +: kids.map(newestMtime(_, depth - 1)).toSeq).max
+        }
+      }
       fs.listStatus(parent).foreach { st =>
         if (prefixes.exists(st.getPath.getName.startsWith)) {
-          val lastWrite =
-            try (st.getModificationTime +: fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
-            catch { case _: java.io.IOException => st.getModificationTime }
-          if (lastWrite < cutoff) fs.delete(st.getPath, true)
+          if (newestMtime(st, depth = 5) < cutoff) fs.delete(st.getPath, true)
         }
       }
     }

@@ -127,4 +127,36 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val rows = out.select("text", "lang").as[(String, String)].collect().toMap
     assert(rows == Map("old" -> null, "new" -> "en"))
   }
+
+  test("staging reap spares a dir with fresh nested task output, deletes a truly stale one") {
+    // An in-flight Spark write only has fresh mtimes DEEP under
+    // _temporary/<job>/_temporary/<task>/part-… — direct children of the
+    // staging dir stay old until job commit. The reap must look that deep.
+    val base = tempDir("graft-reap")
+    val table = base.resolve("t6")
+    java.nio.file.Files.createDirectories(table)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+
+    def mkStaging(name: String): java.io.File = {
+      val leaf = base.resolve(name).resolve("_temporary").resolve("0")
+        .resolve("_temporary").resolve("attempt_0")
+      java.nio.file.Files.createDirectories(leaf)
+      val part = leaf.resolve("part-00000").toFile
+      java.nio.file.Files.write(part.toPath, "x".getBytes)
+      // age every level, then selectively refresh below
+      var d = base.resolve(name).toFile
+      Iterator.iterate(d)(f => f.listFiles().head)
+        .takeWhile(_ != null).take(6).foreach(_.setLastModified(old))
+      part
+    }
+    val livePart = mkStaging("t6.survivors-live")
+    mkStaging("t6.survivors-dead")
+    livePart.setLastModified(System.currentTimeMillis()) // writer still streaming bytes
+
+    graft.operators.Sink.reapStaleStaging(spark, table.toString)
+    assert(base.resolve("t6.survivors-live").toFile.exists(),
+      "reap deleted a staging dir whose nested task output is fresh")
+    assert(!base.resolve("t6.survivors-dead").toFile.exists(),
+      "reap failed to delete a fully stale staging dir")
+  }
 }
