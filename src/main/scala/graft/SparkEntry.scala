@@ -219,6 +219,13 @@ object SparkEntry {
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
     }),
 
+    "streaming_windowed" -> ((s, dir) =>
+      // The SAME hourly aggregation as `windowed_events`, but executed by
+      // the streaming engine: readStream -> tumbling window ->
+      // Trigger.AvailableNow, run to completion. One oracle covers both
+      // execution paths.
+      graft.streaming.Streaming.runWindowedAvailableNow(s, s"$dir/events.parquet")),
+
     "corpus_curation" -> ((s, dir) => {
       // The operators composed as a curation pipeline in ONE plan: quality
       // gate (length + token floor) -> exact dedup (min-id winner) ->
@@ -454,6 +461,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val evalSet = docs.filter(col("doc_id") % 97 === 0).select(col("text").as("prompt"))
       Dedup.contaminationFlags(docs, evalSet, "text", "doc_id", "prompt", n = 13)
+    }),
+
+    "decontamination_bloom" -> ((s, dir) => {
+      // The 100 TB path of the same decontamination: Bloom-filter prefilter
+      // (broadcast ~10 bits/gram) + shuffle-join exact verify of survivors.
+      // Must produce row-identical output to `decontamination`.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0).select(col("text").as("prompt"))
+      Dedup.contaminationFlagsBloom(docs, evalSet, "text", "doc_id", "prompt", n = 13)
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -718,6 +734,27 @@ object SparkEntry {
        | FROM qr)""".stripMargin
   }
 
+  /** GPT-3-appendix-C 13-gram decontamination — shared by the exact
+    * (`decontamination`) and Bloom-prefiltered (`decontamination_bloom`)
+    * gates, which must agree row for row.
+    */
+  private val decontaminationSql = {
+    val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(toks) >= 13
+       |   THEN list_transform(range(1, len(toks) - 11), i -> $catTerms)
+       |   ELSE []::VARCHAR[] END) AS sh FROM t),
+       |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+       |dg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |m AS (SELECT dg.doc_id, count(DISTINCT dg.g) AS matched
+       |      FROM dg JOIN e ON dg.g = e.g GROUP BY dg.doc_id)
+       |SELECT d.doc_id, coalesce(m.matched, 0) AS matched_grams,
+       | coalesce(m.matched, 0) > 0 AS contaminated
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -812,6 +849,13 @@ object SparkEntry {
 
     "windowed_events" ->
       """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS window_start_ns,
+        | event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "streaming_windowed" ->
+      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000 AS window_start_us,
         | event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
@@ -973,22 +1017,11 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
         |FROM reach GROUP BY id""".stripMargin,
 
-    "decontamination" -> {
-      val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, list_distinct(
-         |  CASE WHEN len(toks) >= 13
-         |   THEN list_transform(range(1, len(toks) - 11), i -> $catTerms)
-         |   ELSE []::VARCHAR[] END) AS sh FROM t),
-         |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
-         |dg AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |m AS (SELECT dg.doc_id, count(DISTINCT dg.g) AS matched
-         |      FROM dg JOIN e ON dg.g = e.g GROUP BY dg.doc_id)
-         |SELECT d.doc_id, coalesce(m.matched, 0) AS matched_grams,
-         | coalesce(m.matched, 0) > 0 AS contaminated
-         |FROM (SELECT DISTINCT doc_id FROM documents) d
-         |LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
-    },
+    "decontamination" -> decontaminationSql,
+
+    // Bloom prefilter + exact verify must be row-identical to the exact
+    // broadcast-join formulation — one oracle covers both paths.
+    "decontamination_bloom" -> decontaminationSql,
 
     "neardup_cosine" ->
       s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,

