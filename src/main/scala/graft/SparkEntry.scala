@@ -593,6 +593,13 @@ object SparkEntry {
         budgetPerGroup = 5000, buckets = 100)
     }),
 
+    "corpus_shuffle" -> ((s, dir) =>
+      // Deterministic epoch shuffle: 0-based training-order position via
+      // the distributed prefix sum (no global window, no rand(seed)).
+      Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        keyCols = Seq("doc_id"), salt = "epoch0")),
+
     "sequence_pack" -> ((s, dir) => {
       // Concat-and-chunk sequence packing: map every document to its global
       // token offset and 2048-token training-sequence coordinates via the
@@ -915,6 +922,13 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         | COUNT(*) AS n_docs, MIN(doc_id) AS min_id
         |FROM h GROUP BY 1""".stripMargin,
+
+    "corpus_shuffle" ->
+      """SELECT doc_id, lang,
+        | row_number() OVER (
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ' || 'epoch0'), doc_id) - 1
+        |   AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     "event_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

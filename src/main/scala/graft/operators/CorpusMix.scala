@@ -55,14 +55,26 @@ object CorpusMix {
     * Plan: one map-side-combined agg (shuffle of histogram rows only), one
     * broadcast join back, a narrow filter. The full corpus is never sorted
     * and never shuffled.
+    *
+    * `df` is consumed by BOTH the histogram and the output branch; when its
+    * columns carry expensive annotations (token counts, quality scores —
+    * regex-heavy extractions in this library), `persistInput` (default)
+    * caches the annotated rows MEMORY_AND_DISK so the annotations are
+    * computed ONCE instead of once per branch. Callers should pass the
+    * narrow projection (id, group, tokens, quality — never raw text), which
+    * keeps the cache bytes-per-row small at any corpus size; pass false for
+    * a cheap input (plain table scan) where a second scan beats the cache.
     */
   def packToBudgetHistogram(df: DataFrame, groupCol: String, tokensCol: String,
                             qualityCol: String, budgetPerGroup: Long,
-                            buckets: Int = 100): DataFrame = {
+                            buckets: Int = 100, persistInput: Boolean = true): DataFrame = {
     require(buckets > 0, "graft.CorpusMix: buckets must be positive")
+    val in =
+      if (persistInput) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     // floor to a bucket index in [0, buckets]; quality is expected in [0,1]
     val bucket = floor(col(qualityCol) * buckets).cast("int")
-    val hist = df.groupBy(col(groupCol), bucket.as("__bucket"))
+    val hist = in.groupBy(col(groupCol), bucket.as("__bucket"))
       .agg(sum(col(tokensCol)).as("__bucket_tokens"))
     // cumulative tokens from the BEST bucket downward; a bucket is kept only
     // if everything down to and including it fits the budget
@@ -71,7 +83,7 @@ object CorpusMix {
     val kept = hist.withColumn("__cum", sum(col("__bucket_tokens")).over(w))
       .filter(col("__cum") <= budgetPerGroup)
       .groupBy(groupCol).agg(min(col("__bucket")).as("__threshold_bucket"))
-    df.join(broadcast(kept), Seq(groupCol), "inner")
+    in.join(broadcast(kept), Seq(groupCol), "inner")
       .filter(floor(col(qualityCol) * buckets).cast("int") >= col("__threshold_bucket"))
       .drop("__threshold_bucket")
   }

@@ -83,4 +83,30 @@ object Sampling {
         when(prefix < lit(hexThreshold(upper)), lit(label)).otherwise(acc)
     }
   }
+
+  /** Deterministic epoch shuffle: assign every row its 0-based position
+    * `shuffle_pos` in the training order `md5(keyCols || salt)` — change
+    * the salt, get an independent permutation; keep it, get the identical
+    * order on every run, engine, and partitioning. This is the
+    * reproducible replacement for `orderBy(rand(seed))` (whose output
+    * depends on partition layout).
+    *
+    * Positions come from [[SequencePack.assignments]] over a unit-token
+    * stream — one range shuffle on the hash key plus two narrow passes
+    * (per-partition counts broadcast as offsets). No global
+    * single-partition window at any size; writing the shuffled corpus is
+    * then a `repartitionByRange(shuffle_pos)` + sortWithinPartitions away.
+    */
+  def deterministicShuffle(df: DataFrame, keyCols: Seq[String],
+                           salt: String = "graft"): DataFrame = {
+    require(keyCols.nonEmpty, "graft.Sampling: keyCols must be non-empty")
+    val sk = md5(concat_ws(" ", keyCols.map(c => col(c).cast("string")) :+ lit(salt): _*))
+    val keyed = df.withColumn("__sk", sk).withColumn("__one", lit(1L))
+    // seqLen=1 makes start_token the row's 0-based position in key order;
+    // keyCols break md5 ties (astronomically unlikely, determinism cheap).
+    SequencePack.assignments(keyed, "__one", seqLen = 1L,
+        orderBy = col("__sk") +: keyCols.map(col))
+      .withColumnRenamed("start_token", "shuffle_pos")
+      .drop("__one", "__sk", "seq_id", "offset_in_seq", "n_seqs")
+  }
 }

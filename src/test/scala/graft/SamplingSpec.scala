@@ -59,6 +59,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(counts("test") > 330 && counts("test") < 670)
   }
 
+  test("deterministicShuffle: exact permutation, salt-sensitive, partition-stable") {
+    val docs = ids.limit(500)
+    val out = Sampling.deterministicShuffle(docs, Seq("id"), salt = "e0")
+      .select("id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are exactly 0..n-1 (a permutation, no gaps or repeats)
+    assert(out.values.toSeq.sorted === (0L until 500L))
+    // not the identity order (the hash actually shuffles)
+    assert((0L until 500L).exists(i => out(i) != i))
+    // identical on re-run and under a different input partitioning
+    val again = Sampling.deterministicShuffle(docs.repartition(13), Seq("id"), salt = "e0")
+      .select("id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+    // a different salt yields a different permutation
+    val e1 = Sampling.deterministicShuffle(docs, Seq("id"), salt = "e1")
+      .select("id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 !== out)
+  }
+
   test("splitColumn: double accumulation must not orphan ffff-prefix rows") {
     // (0.6, 0.3, 0.1) accumulates to 0.9999999999999999 in double; without
     // snapping, hexThreshold yields "ffff" instead of "g" and a key whose
