@@ -135,4 +135,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     // one exchange for the final groupBy(split); the sampling itself is narrow
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(600))
   }
+
+  test("paragraph_dedup: paragraph counts partial-aggregate before their shuffle") {
+    val p = plan("paragraph_dedup")
+    // the count shuffle must carry one row per distinct digest per
+    // partition (partial_count below the exchange), not raw occurrences
+    assert(p.contains("partial_count") || p.contains("partial count"), p.take(900))
+    // no nested loop anywhere (digest equi-join + doc-id groupBy only)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+  }
+
+  test("decontamination_bloom: bloom prefilter cuts the gram stream below the join") {
+    val p = formatted("decontamination_bloom")
+    // the corpus-gram stream is cut by the broadcast Bloom BEFORE any join
+    // moves it: the mightContain UDF must appear as a Filter condition
+    // (formatted explain puts it on a "Condition : ... UDF ..." line), and
+    // never as a join condition or projection.
+    // ignore the shingle generators (explode(UDF(text, n))); the bloom UDF
+    // is the single-argument UDF(__gram...) call
+    val bloomLines = p.linesIterator
+      .filter(l => "UDF\\(__gram[^,)]*\\)".r.findFirstIn(l).isDefined).toSeq
+    assert(bloomLines.nonEmpty, p.take(900))
+    assert(bloomLines.forall(_.trim.startsWith("Condition")),
+      s"bloom UDF escaped the Filter: ${bloomLines.mkString("; ")}")
+  }
+
+  test("corpus_shuffle: positions come from range partitions, never one task") {
+    val p = plan("corpus_shuffle")
+    // the 0-based positions are per-partition windows + broadcast offsets;
+    // a single-partition exchange here would serialize the corpus through
+    // one task (the orderBy(rand) failure mode this operator replaces)
+    assert(!p.contains("SinglePartition"), p.take(900))
+    assert(p.contains("Window"), p.take(600))
+  }
 }
