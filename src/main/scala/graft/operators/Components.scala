@@ -37,16 +37,32 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 25): DataFrame = {
-    // persist BEFORE the eager initial-labels checkpoint so that first pass
-    // over the edge list also populates the cache (instead of computing the
-    // union twice)
+    // Pre-partition the (big) edge list on the per-round join key and
+    // persist: InMemoryRelation keeps the cached plan's outputPartitioning,
+    // so every round's edges-to-labels join reuses this layout instead of
+    // re-shuffling the edge list — only the (node, comp) label table moves
+    // per round. Persisted BEFORE the eager initial-labels checkpoint so
+    // that first pass also populates the cache.
     val symP = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("dst"))
       .persist()
     var labels = symP.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: every node's label is
+    // non-increasing round over round (one-hop min includes self; doubling
+    // follows label(x) <= x), so the exact sum strictly decreases iff ANY
+    // label changed — one agg over the just-checkpointed table replaces a
+    // join against the previous round (one fewer shuffle per round).
+    // decimal(38,0) keeps the sum exact for any graph that fits in longs.
+    def labelSum(d: DataFrame): java.math.BigDecimal = {
+      // empty labeling sums to NULL -> zero (converges on the first round)
+      val s = d.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prevSum = labelSum(labels)
 
     var converged = false
     var i = 0
@@ -63,12 +79,10 @@ object Components {
         .select(oneHop("id"), col("ccomp").as("comp"))
         .localCheckpoint() // truncate lineage; superseded rounds are
                            // released by the ContextCleaner
-      val changed = next.as("n")
-        .join(labels.as("p"), "id")
-        .filter(col("n.comp") =!= col("p.comp"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     symP.unpersist()
