@@ -680,6 +680,26 @@ object SparkEntry {
           size(col("embedding")).cast("long").as("dim"),
           (VectorFunctions.normSq(col("embedding")) > 0).as("has_embedding"))),
 
+    "embed_quantize" -> ((s, dir) => {
+      // int8 symmetric quantization of the embeddings table — per-vector
+      // scale, clamped half-up rounding, reconstruction-error metric. All
+      // pure double arithmetic with pinned evaluation order, so the full
+      // row (not just a digest) hash-matches the oracle.
+      // internal name: an output alias `qscale` in the same select would
+      // capture col("__qscale") references LATERALLY (Spark resolves
+      // sibling aliases first), silently computing the error against the
+      // ROUNDED scale.
+      val withScale = t(s, dir, "embeddings")
+        .withColumn("__qscale", VectorFunctions.int8Scale(col("embedding")))
+      withScale
+        .withColumn("__q", VectorFunctions.quantizeInt8(col("embedding"), col("__qscale")))
+        .select(col("vec_id"),
+          round(col("__qscale"), 6).as("qscale"),
+          aggregate(col("__q"), lit(0L), (acc, q) => acc + q.cast("long")).as("sum_q"),
+          round(VectorFunctions.dequantMeanAbsError(
+            col("embedding"), col("__q"), col("__qscale")), 6).as("mean_abs_err"))
+    }),
+
     // -----------------------------------------------------------------------
     // Multimodal extensions (decode is a documented stub; plumbing is real)
     // -----------------------------------------------------------------------
@@ -1281,6 +1301,26 @@ object SparkEntry {
       """SELECT doc_id, CAST(64 AS BIGINT) AS dim,
         | regexp_matches(text, '[\p{L}\p{N}]') AS has_embedding
         |FROM documents""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH x AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs FROM embeddings),
+        |s AS (SELECT vec_id, xs,
+        |  list_reduce(list_prepend(0.0, list_transform(xs, v -> abs(v))),
+        |    (a, b) -> greatest(a, b)) / 127.0 AS qscale FROM x),
+        |q AS (SELECT vec_id, xs, qscale,
+        |  CASE WHEN qscale = 0.0 THEN list_transform(xs, v -> 0)
+        |   ELSE list_transform(xs, v ->
+        |     CAST(least(greatest(floor(v / qscale + 0.5), -127.0), 127.0) AS INT))
+        |  END AS qs FROM s)
+        |SELECT vec_id, round(qscale, 6) AS qscale,
+        | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(qs, v -> CAST(v AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS sum_q,
+        | round(CASE WHEN len(xs) = 0 THEN 0.0
+        |  ELSE list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, len(xs) + 1), i -> abs(xs[i] - qs[i] * qscale))),
+        |   (a, b) -> a + b) / len(xs) END, 6) AS mean_abs_err
+        |FROM q""".stripMargin,
 
     "multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,

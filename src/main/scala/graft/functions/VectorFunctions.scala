@@ -95,4 +95,34 @@ object VectorFunctions {
     when(n === 0.0, a.cast("array<double>"))
       .otherwise(transform(a, x => x.cast("double") / n))
   }
+
+  // --------------------------------------------------------------------
+  // int8 symmetric quantization (ANN storage / bandwidth path: 4x fewer
+  // bytes per vector than float32, dot products in integer SIMD)
+  // --------------------------------------------------------------------
+
+  /** Per-vector symmetric scale: max|x| / 127 (0.0 for empty/all-zero). */
+  def int8Scale(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  /** Quantize to array<int> in [-127, 127] against `scale`. Rounding is
+    * floor(x/scale + 0.5) — half-up toward +inf in BOTH IEEE engines (no
+    * locale/banker's ambiguity), exact in double.
+    */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    when(scale === 0.0, transform(a, _ => lit(0)))
+      .otherwise(transform(a, x =>
+        least(greatest(floor(x.cast("double") / scale + 0.5), lit(-127.0)), lit(127.0))
+          .cast("int")))
+
+  /** Mean absolute reconstruction error of the (quantized, scale) pair vs
+    * the original — the quality metric a pipeline thresholds before
+    * swapping its ANN path to int8. Left-to-right summation (oracle
+    * parity); empty vectors yield 0.0.
+    */
+  def dequantMeanAbsError(a: Column, q: Column, scale: Column): Column = {
+    val errs = zip_with(a, q, (x, qi) => abs(x.cast("double") - qi.cast("double") * scale))
+    when(size(a) === 0, lit(0.0))
+      .otherwise(aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(a).cast("double"))
+  }
 }

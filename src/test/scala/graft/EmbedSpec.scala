@@ -138,6 +138,32 @@ class EmbedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("int8 quantization: bounded error, zero-vector identity, clamped range") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)),             // zero vector -> scale 0, q all 0
+      (3L, Seq(1000.0f, -1000.0f, 1.0f)) // extremes land exactly on +/-127
+    ).toDF("id", "v")
+    val out = vecs
+      .withColumn("s", int8Scale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("s")))
+      .withColumn("err", dequantMeanAbsError(col("v"), col("q"), col("s")))
+      .select("id", "s", "q", "err")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2), r.getDouble(3))).toMap
+    val (s1, q1, e1) = out(1L)
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-12)
+    assert(q1 === Seq(64, -127, 32, 0)) // 0.5/s+0.5 = 64.0 exactly
+    assert(e1 <= s1 / 2 + 1e-12, s"mean abs err $e1 exceeds half-step ${s1 / 2}")
+    val (s2, q2, e2) = out(2L)
+    assert(s2 === 0.0 && q2 === Seq(0, 0) && e2 === 0.0)
+    val (_, q3, _) = out(3L)
+    assert(q3.head === 127 && q3(1) === -127)
+    assert(q3.forall(q => q >= -127 && q <= 127))
+  }
+
   test("remote embedder protocol core: escape, encode, parse") {
     import graft.functions.RemoteEmbedder
     val body = RemoteEmbedder.requestBody("m", Seq("a\"b", "line\nbreak", "tab\there"))
