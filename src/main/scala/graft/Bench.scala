@@ -68,6 +68,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Local-iteration filter: comma-separated query names. Unset (driver
+    // runs) = full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -85,7 +89,11 @@ object Bench {
     plansDir.mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val planDigests = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val benched = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = benched.map { case (name, fn) =>
       val times = (1 to reps).flatMap { rep =>
         // Isolate reps from each other: drop leftover cached tables /
         // broadcasts and collect garbage outside the timed window.
@@ -128,7 +136,7 @@ object Bench {
       name -> median
     }
     if (failed.nonEmpty)
-      System.err.println(s"[bench] ${failed.size}/${SparkEntry.queries.size} queries FAILED: ${failed.sorted.mkString(", ")}")
+      System.err.println(s"[bench] ${failed.size}/${benched.size} queries FAILED: ${failed.sorted.mkString(", ")}")
     // The driver parses the result JSON out of the LAST ~2000 chars of
     // stdout (BENCH_r04 had parsed:null because the r4 line, carrying 54
     // plan digests, outgrew that window and the tail started mid-line). So:

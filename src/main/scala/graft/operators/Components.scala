@@ -31,66 +31,103 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Target edge rows per task inside the closure loop — (long, long) rows,
+    * so ~4M rows ≈ 64 MB, the usual shuffle-partition sweet spot.
+    */
+  private val RowsPerIterationPartition = 4L * 1000 * 1000
+
   /** Component label (= min reachable node id) for every node that appears
     * in `edges`: output `(id, component)`. Edges are treated as undirected;
     * self-loops and duplicate pairs are fine.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     // Pre-partition the (big) edge list on the per-round join key and
     // persist: InMemoryRelation keeps the cached plan's outputPartitioning,
     // so every round's edges-to-labels join reuses this layout instead of
     // re-shuffling the edge list — only the (node, comp) label table moves
     // per round. Persisted BEFORE the eager initial-labels checkpoint so
     // that first pass also populates the cache.
-    val symP = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val symWide = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("dst"))
       .persist()
-    var labels = symP.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    // Convergence via the label-sum invariant: every node's label is
-    // non-increasing round over round (one-hop min includes self; doubling
-    // follows label(x) <= x), so the exact sum strictly decreases iff ANY
-    // label changed — one agg over the just-checkpointed table replaces a
-    // join against the previous round (one fewer shuffle per round).
-    // decimal(38,0) keeps the sum exact for any graph that fits in longs.
-    def labelSum(d: DataFrame): java.math.BigDecimal = {
-      // empty labeling sums to NULL -> zero (converges on the first round)
-      val s = d.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
+    // Iteration width scales with the MEASURED edge list, not the session
+    // default: a closure over a tiny near-dup pair graph must not pay
+    // (session-width tasks) x (stages/round) x (log-diameter rounds) of
+    // scheduling overhead, while a 100 TB pair graph keeps full cluster
+    // width. The count doubles as the cache-populating pass. When the
+    // width shrinks, the narrow re-layout runs once FROM the cache and
+    // replaces it; at full width this branch is a no-op.
+    val edgeCount = symWide.count()
+    val nParts = math.max(1L,
+      math.min(defaultParts.toLong, edgeCount / RowsPerIterationPartition + 1)).toInt
+    val symP =
+      if (nParts == defaultParts) symWide
+      else {
+        val narrow = symWide.repartition(nParts, col("dst")).persist()
+        narrow.count()
+        symWide.unpersist()
+        narrow
+      }
+    // Per-round joins/aggregations must run at the chosen width — Spark
+    // sizes every exchange from spark.sql.shuffle.partitions, so pin it for
+    // the duration of the (eagerly executed) loop and restore after. The
+    // loop owns the session while it runs; the returned DataFrame is a
+    // checkpointed leaf, so nothing downstream re-executes under the
+    // mutated conf.
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try {
+      var labels = symP.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint()
+      // Convergence via the label-sum invariant: every node's label is
+      // non-increasing round over round (one-hop min includes self; doubling
+      // follows label(x) <= x), so the exact sum strictly decreases iff ANY
+      // label changed — one agg over the just-checkpointed table replaces a
+      // join against the previous round (one fewer shuffle per round).
+      // decimal(38,0) keeps the sum exact for any graph that fits in longs.
+      def labelSum(d: DataFrame): java.math.BigDecimal = {
+        // empty labeling sums to NULL -> zero (converges on the first round)
+        val s = d.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
+      var prevSum = labelSum(labels)
 
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      // 1-hop: min label over self + neighbors
-      val viaNeighbors = symP.join(labels, symP("dst") === labels("id"))
-        .select(symP("src").as("id"), col("comp"))
-      val oneHop = labels.select("id", "comp").union(viaNeighbors)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // path doubling: follow the label's own label (comp is a node id, so
-      // it always has a row in oneHop)
-      val hops = oneHop.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val next = oneHop.join(hops, oneHop("comp") === hops("cid"))
-        .select(oneHop("id"), col("ccomp").as("comp"))
-        .localCheckpoint() // truncate lineage; superseded rounds are
-                           // released by the ContextCleaner
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      i += 1
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        // 1-hop: min label over self + neighbors
+        val viaNeighbors = symP.join(labels, symP("dst") === labels("id"))
+          .select(symP("src").as("id"), col("comp"))
+        val oneHop = labels.select("id", "comp").union(viaNeighbors)
+          .groupBy("id").agg(min("comp").as("comp"))
+        // path doubling: follow the label's own label (comp is a node id, so
+        // it always has a row in oneHop)
+        val hops = oneHop.select(col("id").as("cid"), col("comp").as("ccomp"))
+        val next = oneHop.join(hops, oneHop("comp") === hops("cid"))
+          .select(oneHop("id"), col("ccomp").as("comp"))
+          .localCheckpoint() // truncate lineage; superseded rounds are
+                             // released by the ContextCleaner
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        i += 1
+      }
+      symP.unpersist()
+      if (!converged)
+        throw new IllegalStateException(
+          s"graft.Components: no convergence after $maxIterations rounds " +
+            "(pathological graph?) — raise maxIterations")
+      labels.select(col("id"), col("comp").as("component"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevConf)
     }
-    symP.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"graft.Components: no convergence after $maxIterations rounds " +
-          "(pathological graph?) — raise maxIterations")
-    labels.select(col("id"), col("comp").as("component"))
   }
 
   /** Apply a component labeling as a dedup: drop every row whose id is a
