@@ -633,6 +633,13 @@ object SparkEntry {
     "tfidf_terms" -> ((s, dir) =>
       TfIdf.topTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)),
 
+    "bm25_rank" -> ((s, dir) =>
+      // Lexical retrieval: BM25 scores for a fixed 3-term query over the
+      // corpus (k1/b = Lucene defaults). Deterministic formula -> full
+      // oracle.
+      Bm25.score(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "join", "window"))),
+
     // -----------------------------------------------------------------------
     // Chunkers + embed (SURVEY §2.2, §2.3 — not ANSI-SQL-expressible; pinned
     // by ScalaTest goldens instead, per the driver contract)
@@ -1293,6 +1300,23 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, term, tf, doc_freq, cf, tfidf, CAST(rnk AS BIGINT) AS rank
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "bm25_rank" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dl AS (SELECT d.doc_id, CAST(count(t.term) AS INT) AS dlen
+         | FROM documents d LEFT JOIN tk t USING (doc_id) GROUP BY d.doc_id),
+         |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  coalesce(avg(dlen), 0.0) AS avgdl FROM dl),
+         |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM tk WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS doc_freq FROM tfq GROUP BY 1)
+         |SELECT tfq.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+         |  round(sum(ln((stats.n_docs - dfreq.doc_freq + 0.5)
+         |      / (dfreq.doc_freq + 0.5) + 1.0)
+         |    * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))
+         |  ), 6) AS bm25
+         |FROM tfq JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY tfq.doc_id""".stripMargin,
 
     // Scalar-digest oracles for the vector-valued operators: dims and
     // nonzero-ness are exactly SQL-expressible; the vector values themselves

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 document scoring against a bag-of-words query — the lexical
+  * retrieval ranking the reference's search path (SURVEY §2.6) would reach
+  * for before/alongside vector top-k (`yamlpipe/core/evaluation.py` ranks by
+  * embedding similarity only; BM25 is the standard lexical complement). Uses
+  * the Lucene idf variant, `ln((N - df + 0.5) / (df + 0.5) + 1)`, which is
+  * non-negative for any df <= N.
+  *
+  * Scale shape — the query term set is tiny and bounded, so everything
+  * downstream of the corpus scan moves only query-matching rows:
+  *   1. ONE corpus scan: doc length (narrow `size(tokens)`) is carried
+  *      through the token explode, and the explode output is filtered to
+  *      query terms BEFORE any shuffle — the (doc, term) aggregation
+  *      shuffles matching tokens only, never the corpus vocabulary;
+  *   2. per-term document frequencies aggregate over the (persisted,
+  *      query-bounded) per-doc tf table and broadcast back onto it;
+  *   3. corpus stats (N, average doc length) are a 1-row reduce-only
+  *      aggregate, broadcast. This is the one extra pass over the text
+  *      column; at cluster scale N/avgdl come from table statistics
+  *      maintained at write time instead.
+  * No UDFs — tokenization is the shared [[TextAnalysis.toks]] expression
+  * chain, so the whole plan stays inside whole-stage codegen.
+  */
+object Bm25 {
+
+  /** BM25 score per document for `queryTerms` (lowercased, de-duplicated;
+    * term multiplicity in the query carries no weight, matching Lucene).
+    * Output: one row per document containing at least one query term —
+    * `(id, matched_terms, bm25)`. Documents matching nothing score zero and
+    * are omitted; union them back if a dense score column is needed.
+    */
+  def score(df: DataFrame, textCol: String, idCol: String,
+            queryTerms: Seq[String],
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    // 1-row (N, avgdl) — reduce-only, no shuffle wider than the partial aggs.
+    val stats = df.agg(
+      count(lit(1)).as("__n_docs"),
+      coalesce(avg(size(TextAnalysis.toks(col(textCol)))), lit(0.0)).as("__avgdl"))
+    val matched = df.select(col(idCol),
+        size(TextAnalysis.toks(col(textCol))).as("__dl"),
+        explode(TextAnalysis.toks(col(textCol))).as("term"))
+      .filter(col("term").isin(q: _*))
+    // The tf table is query-bounded (matching docs x |q| rows) — persist it
+    // so the doc-frequency aggregate reads the cache instead of re-scanning
+    // and re-exploding the corpus. MEMORY_AND_DISK: a pathologically common
+    // query term spills rather than OOMs. (A per-term window count would
+    // also avoid the rescan but funnels every tf row of a term through one
+    // task — groupBy keeps map-side partials, no skew straggler.) The cache
+    // lives until the session drops it; long-running apps issuing many
+    // queries should clearCache() between corpora, as with [[Dedup]].
+    val tf = matched.groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n_docs") - col("doc_freq") + lit(0.5)) /
+          (col("doc_freq") + lit(0.5)) + lit(1.0)))
+      .withColumn("__w",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("__w")), 6).as("bm25"))
+  }
+
+  /** Top-`k` documents for the query (ties broken by id — deterministic).
+    * Global top-k: Spark plans `TakeOrderedAndProject`, never a full sort.
+    */
+  def topK(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    score(df, textCol, idCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+}

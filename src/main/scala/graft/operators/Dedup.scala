@@ -252,6 +252,64 @@ object Dedup {
     bands
   })
 
+  /** Fused tokenize→shingle→minhash→band kernel: byte-identical output to
+    * `minhashBandsUdf(shinglesUdf(text, n), ...)` (min over a multiset
+    * equals min over its set, so the distinct pass shingling does for the
+    * VERIFY stage is a no-op for signatures) in ONE evaluation with no
+    * intermediate shingle array. This matters beyond constant factors:
+    * Catalyst's CollapseProject + InferFiltersFromGenerate duplicate a
+    * projected UDF into the scan filter and the generator input, so the
+    * two-UDF composition was evaluated up to 3x per row — the fused form
+    * explodes with `posexplode_outer` (nothing to infer) and is evaluated
+    * exactly once. Returns null when the text yields no shingles.
+    */
+  private[graft] val minhashBandsFromTextUdf = udf(
+    (text: String, shingleSize: Int, numHashes: Int, bandSize: Int, seed: Int) => {
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
+      if (toks.length < shingleSize) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + shingleSize <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < shingleSize) {
+            if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1
+          }
+          val sh = sb.toString
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, seed)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, h1)
+          val base = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+          var k = 0
+          while (k < numHashes) {
+            var h = base ^ (0x9E3779B97F4A7C15L * (k + 1)) // golden-ratio stream split
+            h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // fmix64
+            if (h < sig(k)) sig(k) = h
+            k += 1
+          }
+          i += 1
+        }
+        val nBands = numHashes / bandSize
+        val bands = new Array[Long](nBands)
+        var b = 0
+        while (b < nBands) {
+          var h = 0x9E3779B97F4A7C15L * (b + 1)
+          var j = 0
+          while (j < bandSize) {
+            h ^= sig(b * bandSize + j)
+            h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+            j += 1
+          }
+          bands(b) = h
+          b += 1
+        }
+        bands
+      }
+    })
+
   /** Near-duplicate candidate pairs via banded MinHash: docs sharing any of
     * `numHashes / bandSize` minhash bands become candidates (equi-join on
     * (band, value) — the shuffle key bounds the join, never a cross
@@ -348,17 +406,20 @@ object Dedup {
   private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
                          numHashes: Int, bandSize: Int, shingleSize: Int,
                          seed: Long): DataFrame = {
-    val withShingles = Partitioning.ensureParallelism(df)
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
-      .filter(size(col("__shingles")) > 0)
     // Fold BOTH halves of the Long seed into the Int the UDF consumes —
     // a bare .toInt would silently drop the high 32 bits, making seeds
     // that differ only in the upper half produce identical signatures.
     val mixedSeed = (seed ^ (seed >>> 32)).toInt
-    withShingles
-      .withColumn("__bands",
-        minhashBandsUdf(col("__shingles"), lit(numHashes), lit(bandSize), lit(mixedSeed)))
-      .select(col(idCol), posexplode(col("__bands")).as(Seq("__band", "__minh")))
+    // posexplode_OUTER + null-filter AFTER the generate: the non-outer form
+    // makes the optimizer infer a `size(bands) > 0` scan filter that
+    // re-evaluates the signature kernel per row (see
+    // [[minhashBandsFromTextUdf]]); outer generates a (null, null) row for
+    // shingle-less docs instead, dropped by a cheap attribute filter.
+    Partitioning.ensureParallelism(df)
+      .select(col(idCol),
+        posexplode_outer(minhashBandsFromTextUdf(col(textCol), lit(shingleSize),
+          lit(numHashes), lit(bandSize), lit(mixedSeed))).as(Seq("__band", "__minh")))
+      .filter(col("__minh").isNotNull)
   }
 
   /** Cross-corpus near-dup join: MinHash-banded candidates BETWEEN two

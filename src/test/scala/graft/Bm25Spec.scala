@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25
+
+class Bm25Spec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // Doc lengths: 3, 2, 4, 1 (avgdl = 2.5, N = 4).
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry durian cherry apple"),
+    (4L, "elderberry")
+  ).toDF("doc_id", "text")
+
+  private def bm25(tf: Long, df: Long, dl: Long,
+                   n: Long = 4, avgdl: Double = 2.5,
+                   k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+      (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("score matches the Lucene BM25 formula on a hand-checked corpus") {
+    val s = Bm25.score(docs, "text", "doc_id", Seq("apple", "cherry"))
+      .select("doc_id", "matched_terms", "bm25")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 4 matches nothing and is absent
+    assert(s.keySet == Set(1L, 2L, 3L))
+    assert(s(1L) == ((1L, round6(bm25(tf = 2, df = 2, dl = 3)))))         // apple x2
+    assert(s(2L) == ((1L, round6(bm25(tf = 1, df = 2, dl = 2)))))         // cherry
+    assert(s(3L) == ((2L, round6(bm25(tf = 1, df = 2, dl = 4)            // apple
+      + bm25(tf = 2, df = 2, dl = 4)))))                                  // cherry x2
+  }
+
+  test("query terms are lowercased and de-duplicated; idf stays non-negative at df = N") {
+    val dup = Bm25.score(docs, "text", "doc_id", Seq("Apple", "APPLE", "apple"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val once = Bm25.score(docs, "text", "doc_id", Seq("apple"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(dup == once)
+    // a term present in EVERY doc: Lucene idf = ln(1/(N+0.5) + 1) > 0
+    val everywhere = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val all = Bm25.score(everywhere, "text", "doc_id", Seq("x"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect()
+    assert(all.length == 2 && all.forall(_._2 > 0.0))
+  }
+
+  test("topK returns the best k by score with id tiebreak, via a global top-k plan") {
+    val top = Bm25.topK(docs, "text", "doc_id", Seq("apple", "cherry"), k = 2)
+    val rows = top.select("doc_id").as[Long].collect()
+    // doc 3 matches both terms -> highest; doc 1 (apple x2, short doc) next
+    assert(rows.toSeq == Seq(3L, 1L))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must not full-sort:\n${plan.take(800)}")
+  }
+
+  test("df aggregation reads the cached tf table; query filter precedes the shuffle") {
+    val q = Bm25.score(docs, "text", "doc_id", Seq("apple", "cherry"))
+    q.collect()
+    // both consumers of tf (scoring side + doc-frequency side) hit the
+    // cache — the textual plan truncates inside InMemoryRelation re-prints,
+    // so count the logical nodes instead
+    val cacheReads = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.size
+    assert(cacheReads == 2,
+      s"expected both sides to read the tf cache, saw $cacheReads reads")
+    // the explode output is filtered to query terms before any exchange
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("term#") && plan.contains("IN ("),
+      s"query-term filter missing:\n${plan.take(1500)}")
+    spark.catalog.clearCache()
+  }
+
+  test("empty and null texts are handled; empty query rejected") {
+    val weird = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "apple")).toDF("doc_id", "text")
+    val s = Bm25.score(weird, "text", "doc_id", Seq("apple"))
+      .select("doc_id").as[Long].collect()
+    assert(s.toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "text", "doc_id", Seq.empty)
+    }
+  }
+}

@@ -104,6 +104,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bands(42L) != bands(42L | (1L << 40)))
   }
 
+  test("fused text->bands kernel is byte-identical to the composed shingles->bands form") {
+    // Includes repeated shingles ("tok tok tok...") — min over the multiset
+    // must equal min over the distinct set — plus shingle-less edge cases.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "tok tok tok tok tok tok",
+      "one two three",
+      "two tokens", "", "   ")
+    val mixed = (42L ^ (42L >>> 32)).toInt
+    texts.foreach { t =>
+      val row = spark.range(1).select(
+        Dedup.minhashBandsFromTextUdf(lit(t), lit(3), lit(16), lit(2), lit(mixed)).as("fused"),
+        Dedup.minhashBandsUdf(Dedup.shingles(lit(t), 3), lit(16), lit(2), lit(mixed)).as("composed"),
+        size(Dedup.shingles(lit(t), 3)).as("n")).collect()(0)
+      if (row.getAs[Int]("n") > 0)
+        assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"text: '$t'")
+      else
+        assert(row.isNullAt(0), s"shingle-less text must yield null bands: '$t'")
+    }
+  }
+
   test("cross-corpus minhash joins only ACROSS the corpora and finds planted dups") {
     // "new crawl": one near-copy of ref doc 1, one exact copy of ref doc 5,
     // one fresh doc — PLUS an exact within-crawl duplicate pair (103/104)
