@@ -472,6 +472,17 @@ object SparkEntry {
       Dedup.contaminationFlagsBloom(docs, evalSet, "text", "doc_id", "prompt", n = 13)
     }),
 
+    "dup_span_density" -> ((s, dir) => {
+      // Span-level duplication density (distinct 13-gram windows shared
+      // with any other doc) over the corpus plus planted %7 copies — the
+      // duplicated docs light up near density 1.0, the rest stay low.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      Dedup.duplicationDensity(docs.unionByName(planted), "text", "doc_id")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates over a corpus with planted
       // near-duplicates (original + token-appended copy).
@@ -1057,6 +1068,28 @@ object SparkEntry {
         | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
         |FROM reach GROUP BY id""".stripMargin,
+
+    "dup_span_density" -> {
+      val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM docs),
+         |s AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 13
+         |   THEN list_transform(range(1, len(toks) - 11), i -> $catTerms)
+         |   ELSE []::VARCHAR[] END) AS sh FROM t),
+         |dg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |gf AS (SELECT g, count(*) AS dfreq FROM dg GROUP BY g),
+         |p AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS total_grams,
+         |   CAST(sum(CASE WHEN gf.dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+         |  FROM dg JOIN gf USING (g) GROUP BY dg.doc_id)
+         |SELECT d.doc_id, coalesce(p.total_grams, 0) AS total_grams,
+         | coalesce(p.dup_grams, 0) AS dup_grams,
+         | round(CASE WHEN coalesce(p.total_grams, 0) = 0 THEN 0.0
+         |  ELSE CAST(p.dup_grams AS DOUBLE) / p.total_grams END, 6) AS dup_density
+         |FROM (SELECT doc_id FROM docs) d LEFT JOIN p USING (doc_id)""".stripMargin
+    },
 
     "decontamination" -> decontaminationSql,
 

@@ -203,6 +203,39 @@ object Dedup {
         (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Cross-document duplication density: for every document, the fraction
+    * of its distinct word `n`-grams that also occur in at least one OTHER
+    * document — the span-level duplication signal curation pipelines use to
+    * find boilerplate-heavy and template-generated text (the per-corpus
+    * companion of [[contaminationFlags]], which asks the same question
+    * against an external eval set). Output: one row per input document with
+    * `total_grams`, `dup_grams`, `dup_density` (0.0 for shingle-less docs).
+    *
+    * Scale shape: one corpus scan computes shingles ONCE (posexplode keeps
+    * the per-doc total recoverable as `max(pos) + 1`, so no second shingle
+    * pass); gram frequencies aggregate with map-side partials and join back
+    * at gram granularity — the two vocabulary-sized shuffles are inherent
+    * to a corpus-global statistic (same shape as [[TfIdf.score]]). The
+    * final per-doc rollup shuffles doc ids only.
+    */
+  def duplicationDensity(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 13): DataFrame = {
+    val grams = Partitioning.ensureParallelism(df)
+      .select(col(idCol), posexplode(shingles(col(textCol), n)).as(Seq("__pos", "__gram")))
+    val gfreq = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(gfreq, "__gram")
+      .groupBy(col(idCol))
+      .agg((max(col("__pos")) + 1).cast("long").as("total_grams"),
+        sum((col("__df") >= 2).cast("long")).as("dup_grams"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        round(when(coalesce(col("total_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("dup_grams").cast("double") / col("total_grams")), 6)
+          .as("dup_density"))
+  }
+
   // -------------------------------------------------------------------------
   // MinHash + LSH (approximate Jaccard at scale)
   // -------------------------------------------------------------------------

@@ -104,6 +104,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bands(42L) != bands(42L | (1L << 40)))
   }
 
+  test("duplication density: shared trigram fraction per doc, hand-checked") {
+    // doc1/doc4 identical (12 trigrams each, all shared -> 1.0); doc2 is
+    // doc1 + one token (12 of its 13 trigrams shared -> 12/13); docs 3 and
+    // 5 share nothing; a two-token doc has no trigrams at all.
+    val withShort = corpus.union(Seq((6L, "too short")).toDF("id", "txt"))
+    val d = Dedup.duplicationDensity(withShort, "txt", "id", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("total_grams"), r.getAs[Long]("dup_grams"),
+          r.getAs[Double]("dup_density")))).toMap
+    assert(d.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(d(1L) == ((12L, 12L, 1.0)) && d(4L) == ((12L, 12L, 1.0)))
+    assert(d(2L) == ((13L, 12L, BigDecimal(12.0 / 13)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(d(3L)._2 == 0L && d(3L)._3 == 0.0)
+    assert(d(5L)._2 == 0L && d(5L)._3 == 0.0)
+    assert(d(6L) == ((0L, 0L, 0.0)))
+  }
+
   test("fused text->bands kernel is byte-identical to the composed shingles->bands form") {
     // Includes repeated shingles ("tok tok tok...") — min over the multiset
     // must equal min over the distinct set — plus shingle-less edge cases.
