@@ -483,6 +483,27 @@ object SparkEntry {
       Dedup.duplicationDensity(docs.unionByName(planted), "text", "doc_id")
     }),
 
+    "span_dedup_spans" -> ((s, dir) => {
+      // Exact-substring dedup, span table: merged token ranges to remove
+      // (duplicated 20-token windows minus their first occurrence) over the
+      // corpus plus planted %7 tail-extended copies.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      SpanDedup.duplicateSpans(docs.unionByName(planted), "text", "doc_id", w = 20)
+    }),
+
+    "span_dedup_clean" -> ((s, dir) => {
+      // Exact-substring dedup, applied: cleaned text + removed-token counts
+      // for the same corpus (planted copies collapse to their unique tail).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      SpanDedup.removeDuplicateSpans(docs.unionByName(planted), "text", "doc_id", w = 20)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates over a corpus with planted
       // near-duplicates (original + token-appended copy).
@@ -783,6 +804,36 @@ object SparkEntry {
     * (`decontamination`) and Bloom-prefiltered (`decontamination_bloom`)
     * gates, which must agree row for row.
     */
+  /** Shared CTE chain for the exact-substring span-dedup oracles: corpus +
+    * planted %7 copies -> 20-token window md5 fingerprints with positions ->
+    * non-first duplicated windows -> gaps-and-islands interval merge.
+    */
+  private val spanDedupCtes = {
+    val catW = (0 until 20).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM docs),
+       |wins AS (SELECT doc_id, i - 1 AS s, md5($catW) AS fp
+       |  FROM t, UNNEST(range(1, len(toks) - 18)) AS u(i)),
+       |ranked AS (SELECT doc_id, s, count(*) OVER (PARTITION BY fp) AS n,
+       |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn FROM wins),
+       |marked AS (SELECT doc_id, s AS st, s + 20 AS fin
+       |  FROM ranked WHERE n >= 2 AND rn > 1),
+       |pm AS (SELECT doc_id, st, fin, max(fin) OVER (PARTITION BY doc_id
+       |   ORDER BY st, fin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM marked),
+       |isl AS (SELECT doc_id, st, fin,
+       |  sum(CASE WHEN st > coalesce(prev_max, -1) THEN 1 ELSE 0 END)
+       |   OVER (PARTITION BY doc_id ORDER BY st, fin ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM pm),
+       |spans AS (SELECT doc_id, CAST(min(st) AS BIGINT) AS span_start,
+       |   CAST(max(fin) AS BIGINT) AS span_end FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
+
+  private val spanDedupSpansSql =
+    spanDedupCtes + "\nSELECT doc_id, span_start, span_end FROM spans"
+
   private val decontaminationSql = {
     val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1068,6 +1119,24 @@ object SparkEntry {
         | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
         |FROM reach GROUP BY id""".stripMargin,
+
+    "span_dedup_spans" -> spanDedupSpansSql,
+
+    "span_dedup_clean" ->
+      s"""$spanDedupCtes,
+         |tokpos AS (SELECT doc_id, i, toks[i] AS tok
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         |  LEFT JOIN spans sp ON tp.doc_id = sp.doc_id
+         |   AND tp.i - 1 >= sp.span_start AND tp.i - 1 < sp.span_end
+         |  WHERE sp.doc_id IS NULL),
+         |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS removed
+         |  FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(ct.clean_text, '') AS clean_text,
+         | coalesce(rem.removed, 0) AS removed_tokens
+         |FROM docs d LEFT JOIN ct USING (doc_id) LEFT JOIN rem USING (doc_id)""".stripMargin,
 
     "dup_span_density" -> {
       val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
