@@ -454,6 +454,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    "link_pagerank" -> ((s, dir) => {
+      // Link-graph centrality (3 fixed iterations of unnormalized PageRank)
+      // over the same deterministic planted graph as `dedup_components`.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      PageRank.ranks(edges, "src", "dst", iterations = 3)
+        .select(col("id").as("doc_id"), col("pagerank"))
+    }),
+
     "decontamination" -> ((s, dir) => {
       // Eval-set decontamination: docs sharing any 13-gram (GPT-3 appendix-C
       // n) with the synthetic "benchmark" (every 97th document) get flagged
@@ -1158,6 +1172,31 @@ object SparkEntry {
          | round(CASE WHEN coalesce(p.total_grams, 0) = 0 THEN 0.0
          |  ELSE CAST(p.dup_grams AS DOUBLE) / p.total_grams END, 6) AS dup_density
          |FROM (SELECT doc_id FROM docs) d LEFT JOIN p USING (doc_id)""".stripMargin
+    },
+
+    "link_pagerank" -> {
+      // Three unrolled iterations of rank = 0.15 + 0.85 * sum(in-rank/deg),
+      // every literal cast to DOUBLE so DuckDB's decimal literals don't
+      // change the arithmetic relative to Spark's doubles.
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS s
+           | FROM edges e JOIN deg d ON e.src = d.src
+           | JOIN r${k - 1} r ON r.id = e.src GROUP BY 1),
+           |r$k AS (SELECT n.id,
+           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c$k.s, 0) AS rank
+           | FROM nodes n LEFT JOIN c$k USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+         | UNION ALL
+         | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+         |edges AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+         |$iterCtes
+         |SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r3""".stripMargin
     },
 
     "decontamination" -> decontaminationSql,

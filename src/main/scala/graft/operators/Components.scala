@@ -31,11 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Target edge rows per task inside the closure loop — (long, long) rows,
-    * so ~4M rows ≈ 64 MB, the usual shuffle-partition sweet spot.
-    */
-  private val RowsPerIterationPartition = 4L * 1000 * 1000
-
   /** Component label (= min reachable node id) for every node that appears
     * in `edges`: output `(id, component)`. Edges are treated as undirected;
     * self-loops and duplicate pairs are fine.
@@ -63,8 +58,7 @@ object Components {
     // width shrinks, the narrow re-layout runs once FROM the cache and
     // replaces it; at full width this branch is a no-op.
     val edgeCount = symWide.count()
-    val nParts = math.max(1L,
-      math.min(defaultParts.toLong, edgeCount / RowsPerIterationPartition + 1)).toInt
+    val nParts = Partitioning.iterationWidth(spark, edgeCount)
     val symP =
       if (nParts == defaultParts) symWide
       else {
@@ -73,15 +67,10 @@ object Components {
         symWide.unpersist()
         narrow
       }
-    // Per-round joins/aggregations must run at the chosen width — Spark
-    // sizes every exchange from spark.sql.shuffle.partitions, so pin it for
-    // the duration of the (eagerly executed) loop and restore after. The
-    // loop owns the session while it runs; the returned DataFrame is a
-    // checkpointed leaf, so nothing downstream re-executes under the
-    // mutated conf.
-    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
-    try {
+    // Per-round joins/aggregations run at the chosen width; the returned
+    // DataFrame is a checkpointed leaf, so nothing downstream re-executes
+    // under the temporarily mutated conf.
+    Partitioning.withShuffleWidth(spark, nParts) {
       var labels = symP.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
@@ -125,8 +114,6 @@ object Components {
           s"graft.Components: no convergence after $maxIterations rounds " +
             "(pathological graph?) — raise maxIterations")
       labels.select(col("id"), col("comp").as("component"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevConf)
     }
   }
 

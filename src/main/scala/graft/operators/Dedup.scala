@@ -418,13 +418,23 @@ object Dedup {
     * the shingle joins from actual sizes (the array-heavy sides must not
     * be force-broadcast).
     */
+  /** [[jaccardFastUdf]] marked non-deterministic — it IS deterministic, but
+    * the marking stops the optimizer substituting the projected expression
+    * into the distance filter (and from there into the join condition),
+    * which evaluated the set intersection TWICE per candidate pair: once
+    * probing the join, once in the output projection. Marked, the UDF runs
+    * exactly once per pair in the projection and the filter consumes the
+    * projected attribute.
+    */
+  private val jaccardOnceUdf = jaccardFastUdf.asNondeterministic()
+
   private def verifiedPairs(shLeft: DataFrame, shRight: DataFrame,
                             candidates: DataFrame, leftId: String, rightId: String,
                             maxJaccardDistance: Double): DataFrame =
     shLeft.join(broadcast(candidates), leftId)
       .join(shRight, rightId)
       .withColumn("jaccard_dist",
-        lit(1.0) - jaccardFastUdf(col("__sh_a"), col("__sh_b")))
+        lit(1.0) - jaccardOnceUdf(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard_dist") <= maxJaccardDistance)
       .select(leftId, rightId, "jaccard_dist")
 

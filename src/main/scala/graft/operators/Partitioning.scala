@@ -25,4 +25,29 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Shuffle width for an ITERATIVE operator, from the measured row count
+    * of its per-round working set: a loop over a tiny table must not pay
+    * (session-width tasks) x (stages/round) x rounds of scheduling
+    * overhead, while a cluster-scale working set keeps full width.
+    * ~4M (long, long) rows ≈ 64 MB per task, the usual shuffle sweet spot.
+    */
+  def iterationWidth(spark: org.apache.spark.sql.SparkSession, rows: Long,
+                     rowsPerPartition: Long = 4L * 1000 * 1000): Int = {
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(defaultParts.toLong, rows / rowsPerPartition + 1)).toInt
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` pinned to `n`, restoring
+    * the previous value after. Spark sizes every exchange from that conf,
+    * so an eagerly-executed iteration loop is the one place a temporary
+    * session-conf mutation is the right tool; the caller must ensure the
+    * loop owns the session while it runs (Bench/Verify run queries
+    * sequentially) and return only checkpointed leaves.
+    */
+  def withShuffleWidth[T](spark: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

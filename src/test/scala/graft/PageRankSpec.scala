@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PageRank
+
+/** Fixed-iteration unnormalized PageRank: hand-checked propagation on
+  * stars, cycles, chains; parallel-edge weighting; conf restoration.
+  */
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    PageRank.ranks(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+
+  test("star: two iterations of hand-computed propagation") {
+    // 2,3,4 -> 1. iter1: r1 = 0.15 + 0.85*3 = 2.7, spokes 0.15.
+    // iter2: r1 = 0.15 + 0.85*(3*0.15) = 0.5325.
+    val r = run(Seq((2L, 1L), (3L, 1L), (4L, 1L)), iters = 2)
+    assert(r == Map(1L -> 0.5325, 2L -> 0.15, 3L -> 0.15, 4L -> 0.15))
+  }
+
+  test("cycle and self-loop are fixed points at rank 1.0") {
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 5).values.toSet == Set(1.0))
+    assert(run(Seq((7L, 7L)), iters = 4) == Map(7L -> 1.0))
+  }
+
+  test("chain with dangling tail: two iterations") {
+    // 1 -> 2 -> 3; 3 dangles (its mass leaks, per the unnormalized variant).
+    // iter1: r1=0.15, r2=1.0, r3=1.0. iter2: r2=0.15+0.85*0.15=0.2775, r3=1.0.
+    val r = run(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    assert(r == Map(1L -> 0.15, 2L -> 0.2775, 3L -> 1.0))
+  }
+
+  test("parallel edges split out-degree proportionally") {
+    // 1 -> 2 (twice), 1 -> 3: outdeg 3, so 2 gets 2/3, 3 gets 1/3.
+    val r = run(Seq((1L, 2L), (1L, 2L), (1L, 3L)), iters = 1)
+    def v(x: Double) = BigDecimal(0.15 + 0.85 * x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Map(1L -> 0.15, 2L -> v(2.0 / 3), 3L -> v(1.0 / 3)))
+  }
+
+  test("shuffle-partition conf is restored after the loop") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    run(Seq((1L, 2L)), iters = 1)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+}
