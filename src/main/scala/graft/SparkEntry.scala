@@ -370,6 +370,22 @@ object SparkEntry {
         .select(col("vec_id"), col("score"))
     }),
 
+    "hybrid_search_rrf" -> ((s, dir) => {
+      // Hybrid retrieval: reciprocal-rank fusion of the vector top-k list
+      // (query = vec 0's embedding, as in `topk_search`) with the BM25
+      // lexical list (query terms as in `bm25_rank`). Scores rounded to 6dp
+      // before ranking so the rank order is engine-stable.
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val vec = e.crossJoin(q).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          round(cos(col("embedding"), col("qv")), 6).as("score"))
+      val lex = Bm25.score(t(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "join", "window"))
+        .select(col("doc_id").as("id"), col("bm25").as("score"))
+      HybridSearch.rrf(vec, lex, "id", "score", k = 60, perListK = 100, topN = 20)
+    }),
+
     "eval_hitrate" -> ((s, dir) => {
       // A1+A2: hit@k per question -> hit-rate aggregate (evaluation.py:83-109)
       val d = t(s, dir, "documents")
@@ -818,6 +834,29 @@ object SparkEntry {
     * (`decontamination`) and Bloom-prefiltered (`decontamination_bloom`)
     * gates, which must agree row for row.
     */
+  /** Shared BM25 oracle pieces (used by `bm25_rank` and the RRF hybrid):
+    * the CTE chain ends at per-(doc, term) tf + per-term doc frequency; the
+    * select applies the Lucene idf and k1/b = 1.2/0.75 saturation.
+    */
+  private val bm25Ctes =
+    s"""tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |dl AS (SELECT d.doc_id, CAST(count(t.term) AS INT) AS dlen
+       | FROM documents d LEFT JOIN tk t USING (doc_id) GROUP BY d.doc_id),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |  coalesce(avg(dlen), 0.0) AS avgdl FROM dl),
+       |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       | FROM tk WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS doc_freq FROM tfq GROUP BY 1)""".stripMargin
+
+  private val bm25Select =
+    """SELECT tfq.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+      |  round(sum(ln((stats.n_docs - dfreq.doc_freq + 0.5)
+      |      / (dfreq.doc_freq + 0.5) + 1.0)
+      |    * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))
+      |  ), 6) AS bm25
+      |FROM tfq JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |GROUP BY tfq.doc_id""".stripMargin
+
   /** Shared CTE chain for the exact-substring span-dedup oracles: corpus +
     * planted %7 copies -> 20-token window md5 fingerprints with positions ->
     * non-first duplicated windows -> gaps-and-islands interval merge.
@@ -1443,21 +1482,25 @@ object SparkEntry {
          |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     "bm25_rank" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-         |dl AS (SELECT d.doc_id, CAST(count(t.term) AS INT) AS dlen
-         | FROM documents d LEFT JOIN tk t USING (doc_id) GROUP BY d.doc_id),
-         |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |  coalesce(avg(dlen), 0.0) AS avgdl FROM dl),
-         |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         | FROM tk WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS doc_freq FROM tfq GROUP BY 1)
-         |SELECT tfq.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
-         |  round(sum(ln((stats.n_docs - dfreq.doc_freq + 0.5)
-         |      / (dfreq.doc_freq + 0.5) + 1.0)
-         |    * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))
-         |  ), 6) AS bm25
-         |FROM tfq JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-         |GROUP BY tfq.doc_id""".stripMargin,
+      s"""WITH $bm25Ctes
+         |$bm25Select""".stripMargin,
+
+    "hybrid_search_rrf" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vscored AS (SELECT vec_id AS id, round(${cosOf("embedding", "qv")}, 6) AS score
+         | FROM embeddings, q WHERE vec_id <> 0),
+         |vtop AS (SELECT id, score FROM vscored ORDER BY score DESC, id LIMIT 100),
+         |vrank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM vtop),
+         |$bm25Ctes,
+         |bscored AS ($bm25Select),
+         |btop AS (SELECT doc_id AS id, bm25 AS score FROM bscored
+         | ORDER BY score DESC, id LIMIT 100),
+         |brank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM btop)
+         |SELECT coalesce(v.id, b.id) AS id,
+         | round(coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r), 0)
+         |  + coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0), 6) AS rrf_score
+         |FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id
+         |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin,
 
     // Scalar-digest oracles for the vector-valued operators: dims and
     // nonzero-ness are exactly SQL-expressible; the vector values themselves
