@@ -143,10 +143,16 @@ object Bench {
     // digests go to a file, timings are rounded to ms, and the line is
     // guarded — anything pushing it near the window is a build error we
     // want to see locally, not a silently ungraded round.
-    val plansJson = planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
-      .mkString("{", ",", "}")
-    val pw = new java.io.PrintWriter(new java.io.File(plansDir, "digests.json"), "UTF-8")
-    try pw.write(plansJson) finally pw.close()
+    // Under SPARK_GRAFT_BENCH_ONLY the run covers a subset — rewriting the
+    // digest index from it would silently drop every other query's digest
+    // (the per-query .txt files only overwrite the queries that ran, so
+    // they stay).
+    if (only.isEmpty) {
+      val plansJson = planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString("{", ",", "}")
+      val pw = new java.io.PrintWriter(new java.io.File(plansDir, "digests.json"), "UTF-8")
+      try pw.write(plansJson) finally pw.close()
+    }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

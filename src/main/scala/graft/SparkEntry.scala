@@ -1214,15 +1214,19 @@ object SparkEntry {
     },
 
     "link_pagerank" -> {
-      // Three unrolled iterations of rank = 0.15 + 0.85 * sum(in-rank/deg),
+      // Three unrolled iterations of rank = (1-d) + d * sum(in-rank/deg),
       // every literal cast to DOUBLE so DuckDB's decimal literals don't
-      // change the arithmetic relative to Spark's doubles.
+      // change the arithmetic relative to Spark's doubles. The teleport
+      // term is spelled 1.0 - 0.85, NOT 0.15: Spark computes
+      // lit(1.0 - damping) = 0.150000000000000002 and a literal 0.15
+      // differs by 1 ulp — enough to flip a round(...,6) half-boundary.
       val iterCtes = (1 to 3).map { k =>
         s"""c$k AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS s
            | FROM edges e JOIN deg d ON e.src = d.src
            | JOIN r${k - 1} r ON r.id = e.src GROUP BY 1),
            |r$k AS (SELECT n.id,
-           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c$k.s, 0) AS rank
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |   + CAST(0.85 AS DOUBLE) * coalesce(c$k.s, 0) AS rank
            | FROM nodes n LEFT JOIN c$k USING (id))""".stripMargin
       }.mkString(",\n")
       s"""WITH ids AS (SELECT doc_id FROM documents),

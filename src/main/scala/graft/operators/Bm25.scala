@@ -39,9 +39,13 @@ object Bm25 {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
     val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     // 1-row (N, avgdl) — reduce-only, no shuffle wider than the partial aggs.
+    // NULL text counts as length 0 in the average (size(null) is NULL and
+    // avg would silently skip the row, shifting avgdl — and with it every
+    // scored doc's length normalization — relative to a dense-count mirror).
     val stats = df.agg(
       count(lit(1)).as("__n_docs"),
-      coalesce(avg(size(TextAnalysis.toks(col(textCol)))), lit(0.0)).as("__avgdl"))
+      coalesce(avg(coalesce(size(TextAnalysis.toks(col(textCol))), lit(0))), lit(0.0))
+        .as("__avgdl"))
     val matched = df.select(col(idCol),
         size(TextAnalysis.toks(col(textCol))).as("__dl"),
         explode(TextAnalysis.toks(col(textCol))).as("term"))

@@ -44,33 +44,19 @@ object Components {
     // re-shuffling the edge list — only the (node, comp) label table moves
     // per round. Persisted BEFORE the eager initial-labels checkpoint so
     // that first pass also populates the cache.
-    val defaultParts = spark.sessionState.conf.numShufflePartitions
-    val symWide = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .repartition(col("dst"))
-      .persist()
     // Iteration width scales with the MEASURED edge list, not the session
     // default: a closure over a tiny near-dup pair graph must not pay
     // (session-width tasks) x (stages/round) x (log-diameter rounds) of
     // scheduling overhead, while a 100 TB pair graph keeps full cluster
-    // width. The count doubles as the cache-populating pass. When the
-    // width shrinks, the narrow re-layout runs once FROM the cache and
-    // replaces it; at full width this branch is a no-op.
-    val edgeCount = symWide.count()
-    val nParts = Partitioning.iterationWidth(spark, edgeCount)
-    val symP =
-      if (nParts == defaultParts) symWide
-      else {
-        val narrow = symWide.repartition(nParts, col("dst")).persist()
-        narrow.count()
-        symWide.unpersist()
-        narrow
-      }
+    // width.
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val (symP, nParts) = Partitioning.measuredCoPartition(sym, col("dst"))
     // Per-round joins/aggregations run at the chosen width; the returned
     // DataFrame is a checkpointed leaf, so nothing downstream re-executes
     // under the temporarily mutated conf.
-    Partitioning.withShuffleWidth(spark, nParts) {
+    try Partitioning.withShuffleWidth(spark, nParts) {
       var labels = symP.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
@@ -108,13 +94,12 @@ object Components {
         prevSum = nextSum
         i += 1
       }
-      symP.unpersist()
       if (!converged)
         throw new IllegalStateException(
           s"graft.Components: no convergence after $maxIterations rounds " +
             "(pathological graph?) — raise maxIterations")
       labels.select(col("id"), col("comp").as("component"))
-    }
+    } finally symP.unpersist()
   }
 
   /** Apply a component labeling as a dedup: drop every row whose id is a

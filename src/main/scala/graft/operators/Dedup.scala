@@ -66,28 +66,77 @@ object Dedup {
   // Shingles + n-gram Jaccard (exact similarity kernel)
   // -------------------------------------------------------------------------
 
-  private val shinglesUdf = udf((text: String, n: Int) => {
-    if (text == null) Seq.empty[String]
+  /** Lowercased single-space tokens — the tokenizer contract every n-gram
+    * kernel here and in [[SpanDedup]] shares (shingles, minhash signatures,
+    * span windows). One definition so the kernels cannot drift apart.
+    */
+  private[operators] def spaceTokens(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
+
+  /** All `n`-token windows of `toks`, space-joined, in positional order
+    * (NOT distinct). Empty when the text is shorter than one window.
+    */
+  private[operators] def wordWindows(toks: Array[String], n: Int): Iterator[String] =
+    if (toks.length < n) Iterator.empty
     else {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split(' ').filter(_.nonEmpty)
-      if (toks.length < n) Seq.empty[String]
-      else {
-        // LinkedHashSet = distinct keeping first-occurrence order (the
-        // array_distinct contract).
-        val seen = new java.util.LinkedHashSet[String]()
-        val sb = new java.lang.StringBuilder()
-        var i = 0
-        while (i + n <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-          seen.add(sb.toString)
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        seen.asScala.toSeq
+      val sb = new java.lang.StringBuilder()
+      (0 to toks.length - n).iterator.map { i =>
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        sb.toString
       }
+    }
+
+  /** Fold one shingle into a running minhash signature: two murmur32 passes
+    * combined into a 64-bit base, re-mixed per hash function with a
+    * golden-ratio stream split + fmix64 finalizer, min-kept.
+    */
+  private def minhashUpdate(sig: Array[Long], sh: String, seed: Int): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, seed)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, h1)
+    val base = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    var k = 0
+    while (k < sig.length) {
+      var h = base ^ (0x9E3779B97F4A7C15L * (k + 1)) // golden-ratio stream split
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // fmix64
+      if (h < sig(k)) sig(k) = h
+      k += 1
+    }
+  }
+
+  /** Fold a minhash signature into `sig.length / bandSize` band values
+    * (fmix-combined).
+    */
+  private def minhashFoldBands(sig: Array[Long], bandSize: Int): Array[Long] = {
+    val nBands = sig.length / bandSize
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0x9E3779B97F4A7C15L * (b + 1)
+      var j = 0
+      while (j < bandSize) {
+        h ^= sig(b * bandSize + j)
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        j += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    bands
+  }
+
+  private val shinglesUdf = udf((text: String, n: Int) => {
+    val toks = spaceTokens(text)
+    if (toks.length < n) Seq.empty[String]
+    else {
+      // LinkedHashSet = distinct keeping first-occurrence order (the
+      // array_distinct contract).
+      val seen = new java.util.LinkedHashSet[String]()
+      wordWindows(toks, n).foreach(seen.add)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
     }
   })
 
@@ -256,33 +305,8 @@ object Dedup {
     */
   private[graft] val minhashBandsUdf = udf((shingles: Seq[String], numHashes: Int, bandSize: Int, seed: Int) => {
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { sh =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, seed)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, h1)
-      val base = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var i = 0
-      while (i < numHashes) {
-        var h = base ^ (0x9E3779B97F4A7C15L * (i + 1)) // golden-ratio stream split
-        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // fmix64
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-    }
-    val nBands = numHashes / bandSize
-    val bands = new Array[Long](nBands)
-    var b = 0
-    while (b < nBands) {
-      var h = 0x9E3779B97F4A7C15L * (b + 1)
-      var j = 0
-      while (j < bandSize) {
-        h ^= sig(b * bandSize + j)
-        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-        j += 1
-      }
-      bands(b) = h
-      b += 1
-    }
-    bands
+    shingles.foreach(minhashUpdate(sig, _, seed))
+    minhashFoldBands(sig, bandSize)
   })
 
   /** Fused tokenize→shingle→minhash→band kernel: byte-identical output to
@@ -298,48 +322,12 @@ object Dedup {
     */
   private[graft] val minhashBandsFromTextUdf = udf(
     (text: String, shingleSize: Int, numHashes: Int, bandSize: Int, seed: Int) => {
-      val toks =
-        if (text == null) Array.empty[String]
-        else text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
+      val toks = spaceTokens(text)
       if (toks.length < shingleSize) null
       else {
         val sig = Array.fill(numHashes)(Long.MaxValue)
-        val sb = new java.lang.StringBuilder()
-        var i = 0
-        while (i + shingleSize <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < shingleSize) {
-            if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1
-          }
-          val sh = sb.toString
-          val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, seed)
-          val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, h1)
-          val base = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-          var k = 0
-          while (k < numHashes) {
-            var h = base ^ (0x9E3779B97F4A7C15L * (k + 1)) // golden-ratio stream split
-            h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // fmix64
-            if (h < sig(k)) sig(k) = h
-            k += 1
-          }
-          i += 1
-        }
-        val nBands = numHashes / bandSize
-        val bands = new Array[Long](nBands)
-        var b = 0
-        while (b < nBands) {
-          var h = 0x9E3779B97F4A7C15L * (b + 1)
-          var j = 0
-          while (j < bandSize) {
-            h ^= sig(b * bandSize + j)
-            h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-            j += 1
-          }
-          bands(b) = h
-          b += 1
-        }
-        bands
+        wordWindows(toks, shingleSize).foreach(minhashUpdate(sig, _, seed))
+        minhashFoldBands(sig, bandSize)
       }
     })
 

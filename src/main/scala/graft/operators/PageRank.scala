@@ -35,21 +35,12 @@ object PageRank {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val eWide = e.repartition(col("src")).persist()
-    val edgeCount = eWide.count()
-    val nParts = Partitioning.iterationWidth(spark, edgeCount)
-    val eP =
-      if (nParts == spark.sessionState.conf.numShufflePartitions) eWide
-      else {
-        val narrow = eWide.repartition(nParts, col("src")).persist()
-        narrow.count()
-        eWide.unpersist()
-        narrow
-      }
-    Partitioning.withShuffleWidth(spark, nParts) {
+    val (eP, nParts) = Partitioning.measuredCoPartition(e, col("src"))
+    var linked: DataFrame = null
+    try Partitioning.withShuffleWidth(spark, nParts) {
       val outDeg = eP.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
       // (src, dst, outdeg) co-partitioned on src for the per-round join
-      val linked = eP.join(outDeg, "src").repartition(nParts, col("src")).persist()
+      linked = eP.join(outDeg, "src").repartition(nParts, col("src")).persist()
       linked.count()
       val nodes = eP.select(col("src").as("id"))
         .union(eP.select(col("dst").as("id")))
@@ -68,9 +59,10 @@ object PageRank {
           .localCheckpoint()
         i += 1
       }
-      eP.unpersist()
-      linked.unpersist()
       ranks.select(col("id"), round(col("rank"), 6).as("pagerank"))
+    } finally {
+      eP.unpersist()
+      if (linked != null) linked.unpersist()
     }
   }
 }

@@ -38,6 +38,33 @@ object Partitioning {
     math.max(1L, math.min(defaultParts.toLong, rows / rowsPerPartition + 1)).toInt
   }
 
+  /** Cache `df` co-partitioned on `key` at a width measured from its own
+    * row count (see [[iterationWidth]]): repartition at session width,
+    * persist, count (the cache-populating pass), and — when the measured
+    * width is narrower — re-layout once FROM the cache and swap the persist.
+    * Returns (cached frame, width); the CALLER owns the unpersist and
+    * should hold it in a try/finally so a mid-loop failure doesn't leak the
+    * cache.
+    */
+  def measuredCoPartition(df: DataFrame,
+                          key: org.apache.spark.sql.Column): (DataFrame, Int) = {
+    val spark = df.sparkSession
+    val wide = df.repartition(key).persist()
+    try {
+      val rows = wide.count()
+      val n = iterationWidth(spark, rows)
+      if (n == spark.sessionState.conf.numShufflePartitions) (wide, n)
+      else {
+        val narrow = wide.repartition(n, key).persist()
+        narrow.count()
+        wide.unpersist()
+        (narrow, n)
+      }
+    } catch {
+      case e: Throwable => wide.unpersist(); throw e
+    }
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` pinned to `n`, restoring
     * the previous value after. Spark sizes every exchange from that conf,
     * so an eagerly-executed iteration loop is the one place a temporary

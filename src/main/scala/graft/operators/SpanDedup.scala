@@ -29,30 +29,11 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** All `w`-token windows of `text` in order (NOT distinct — position is
-    * identity here). Single pass, shares the tokenizer contract of
-    * [[Dedup.shingles]] (lowercase, single-space split, empties dropped).
+    * identity here). Shares [[Dedup.spaceTokens]]/[[Dedup.wordWindows]], the
+    * single definition of the tokenizer + window contract.
     */
-  private[graft] val windowsUdf = udf((text: String, w: Int) => {
-    if (text == null) Seq.empty[String]
-    else {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split(' ').filter(_.nonEmpty)
-      if (toks.length < w) Seq.empty[String]
-      else {
-        val out = new Array[String](toks.length - w + 1)
-        val sb = new java.lang.StringBuilder()
-        var i = 0
-        while (i + w <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-          out(i) = sb.toString
-          i += 1
-        }
-        out.toSeq
-      }
-    }
-  })
+  private[graft] val windowsUdf = udf((text: String, w: Int) =>
+    Dedup.wordWindows(Dedup.spaceTokens(text), w).toSeq)
 
   /** Merged token spans `[span_start, span_end)` to REMOVE per document:
     * every `w`-token window whose content appears elsewhere in the corpus
@@ -99,8 +80,7 @@ object SpanDedup {
     udf((text: String, spans: Seq[org.apache.spark.sql.Row]) => {
       if (text == null) null
       else {
-        val toks = text.toLowerCase(java.util.Locale.ROOT)
-          .split(' ').filter(_.nonEmpty)
+        val toks = Dedup.spaceTokens(text)
         if (spans == null || spans.isEmpty) toks.mkString(" ")
         else {
           val ranges = spans.map(r => (r.getLong(0), r.getLong(1)))

@@ -79,11 +79,14 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("empty and null texts are handled; empty query rejected") {
+  test("empty and null texts are handled; null counts as length 0 in avgdl") {
     val weird = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "apple")).toDF("doc_id", "text")
     val s = Bm25.score(weird, "text", "doc_id", Seq("apple"))
-      .select("doc_id").as[Long].collect()
-    assert(s.toSeq == Seq(3L))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    // avgdl must average over ALL THREE docs (0, 0, 1 -> 1/3), not skip the
+    // null row (0, 1 -> 1/2): a dense-length mirror (the oracle) counts it.
+    assert(s.keySet == Set(3L))
+    assert(s(3L) == round6(bm25(tf = 1, df = 1, dl = 1, n = 3, avgdl = 1.0 / 3)))
     intercept[IllegalArgumentException] {
       Bm25.score(docs, "text", "doc_id", Seq.empty)
     }
