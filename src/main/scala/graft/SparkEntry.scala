@@ -769,6 +769,23 @@ object SparkEntry {
             col("embedding"), col("__q"), col("__qscale")), 6).as("mean_abs_err"))
     }),
 
+    "kmeans_assign" -> ((s, dir) =>
+      // Distributed Lloyd's k-means (KMeans scaladoc): deterministic
+      // lowest-id seeds, left-to-right double distances, per-iteration
+      // centroid rounding — the full (id, cluster, dist2) row hash-matches
+      // the unrolled-CTE oracle.
+      KMeans.fitAssign(t(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 10, iterations = 2)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist2"))),
+
+    "semantic_dedup" -> ((s, dir) =>
+      // SemDeDup: k-means clusters as blocks, then greedy keep-lowest-id
+      // within each cluster at cosine >= 0.3 (Dedup.cosinePairs kernel).
+      KMeans.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 10, iterations = 2, minCosine = 0.3)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))),
+
     // -----------------------------------------------------------------------
     // Multimodal extensions (decode is a documented stub; plumbing is real)
     // -----------------------------------------------------------------------
@@ -799,6 +816,41 @@ object SparkEntry {
 
   private def cosOf(a: String, b: String): String =
     cosSql.replace("%A", a).replace("%B", b)
+
+  /** Squared-L2 between row vector `$e.v` and centroid `$c.v` with the same
+    * arithmetic as `KMeans.dist2`: per-dimension diffs, then a sequential
+    * left-to-right sum of squares.
+    */
+  private def kmeansD2(e: String, c: String, dim: Int): String = {
+    val diff = s"list_transform(range(1, ${dim + 1}), i -> $e.v[i] - $c.v[i])"
+    s"list_dot_product($diff, $diff)"
+  }
+
+  /** Unrolled Lloyd's-iteration CTE chain mirroring `KMeans.fit` (same
+    * lowest-id seeds, same distance, same per-iteration `round(avg, 6)`
+    * centroids, empty clusters carry forward). Leaves `e` (non-null
+    * double vectors) and `c<iters>` (final centroids) in scope.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val head =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${kmeansD2("e", "c", dim)} ASC, c.cluster ASC) AS rn
+         |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+         |m$t AS (SELECT a.cluster, t.d, round(avg(list_extract(e.v, t.d)), 6) AS m
+         |  FROM a$t a JOIN e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(d)
+         |  GROUP BY a.cluster, t.d),
+         |c$t AS (SELECT c.cluster, coalesce(n.v, c.v) AS v
+         |  FROM c${t - 1} c LEFT JOIN (SELECT cluster, list(m ORDER BY d) AS v
+         |    FROM m$t GROUP BY cluster) n USING (cluster))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
@@ -1533,6 +1585,26 @@ object SparkEntry {
         |    list_transform(range(1, len(xs) + 1), i -> abs(xs[i] - qs[i] * qscale))),
         |   (a, b) -> a + b) / len(xs) END, 6) AS mean_abs_err
         |FROM q""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH ${kmeansCtes(10, 2, 64)}
+         |SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+         |  SELECT e.vec_id, c.cluster, ${kmeansD2("e", "c", 64)} AS d2,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmeansD2("e", "c", 64)} ASC, c.cluster ASC) AS rn
+         |  FROM e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH ${kmeansCtes(10, 2, 64)},
+         |af AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${kmeansD2("e", "c", 64)} ASC, c.cluster ASC) AS rn
+         |  FROM e CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT a.vec_id, a.cluster FROM af a JOIN e ea USING (vec_id)
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM af b JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+         |    AND ${cosOf("ea.v", "eb.v")} >= 0.3)""".stripMargin,
 
     "multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,

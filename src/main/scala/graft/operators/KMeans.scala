@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Distributed Lloyd's k-means over an embedding column — the clustering
+  * primitive behind semantic dedup (SemDeDup-style: cluster, then near-dup
+  * within clusters) and IVF index training.
+  *
+  * Reference scope: the reference delegates vector organisation to its
+  * vector stores (`yamlpipe/components/sinks.py:33-162`); a training-data
+  * pipeline at 100 TB needs the clustering step itself to be distributed.
+  *
+  * Every step is deterministic and mirrorable by an ANSI-SQL oracle:
+  *   - init: the `k` vectors with the lowest id, in id order, cluster ids
+  *     `0..k-1` (no RNG — reproducible across engines and runs);
+  *   - assignment: argmin over squared L2, computed as a LEFT-TO-RIGHT
+  *     double summation of `(v(i)-c(i))^2` (matches DuckDB's
+  *     `list_dot_product(diff, diff)` on the same values bit-for-bit);
+  *     distance ties break to the lowest cluster id;
+  *   - re-centroid: per-(cluster, dimension) mean ROUNDED to `roundDp`
+  *     decimals. The rounding is load-bearing: Spark's partial aggregation
+  *     and an oracle's sequential sum differ by ulps, and an unrounded
+  *     centroid would propagate that drift into the next assignment's
+  *     argmin. Rounding makes the centroids bit-identical across engines,
+  *     so every downstream distance is too.
+  *   - a cluster that loses all members keeps its previous centroid.
+  *
+  * Scale shape (pinned in KMeansSpec / PlanQualitySpec):
+  *   - centroids are `k x dim` doubles — they live on the driver and ride
+  *     to executors in the assignment closure (the MLlib/FAISS pattern;
+  *     bounded, independent of corpus size);
+  *   - assignment is one NARROW pass (no shuffle);
+  *   - re-centroid explodes to (cluster, dim, value) rows but the groupBy
+  *     partial-aggregates map-side: only `k x dim x partitions` partial
+  *     sums move per iteration, never the corpus.
+  */
+object KMeans {
+
+  /** Squared L2 between a row vector and a centroid, summed left-to-right
+    * in double — the one distance definition both assignment passes and the
+    * SQL oracle mirror.
+    */
+  private def dist2(v: Array[Double], c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Index of the nearest centroid (ties -> lowest index). */
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = dist2(v, cs(0))
+    var j = 1
+    while (j < cs.length) {
+      val d = dist2(v, cs(j))
+      if (d < bestD) { best = j; bestD = d }
+      j += 1
+    }
+    best
+  }
+
+  /** Train centroids: `iterations` Lloyd rounds from the lowest-id seeds.
+    * Null vectors are dropped. Returns the `k x dim` centroid matrix
+    * (row index = cluster id).
+    */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+          iterations: Int, roundDp: Int = 6): Array[Array[Double]] = {
+    require(k > 0, "k must be positive")
+    require(iterations >= 0, "iterations must be >= 0")
+    val vecs = df
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .persist()
+    try {
+      // Seeds: the k lowest-id vectors in id order (TakeOrdered — no full
+      // sort). Float->double widening is exact, so no rounding here.
+      val seeds = vecs.orderBy(col("__id")).limit(k).collect()
+      require(seeds.length == k,
+        s"graft.KMeans: need at least $k non-null vectors, got ${seeds.length}")
+      var centroids = seeds.map(_.getSeq[Double](1).toArray)
+      val dim = centroids(0).length
+      var it = 0
+      while (it < iterations) {
+        val cs = centroids // stable reference for the closure
+        val assignUdf = udf((v: Seq[Double]) => nearest(v.toArray, cs))
+        // (cluster, dim, mean) — map-side partial agg; k*dim rows survive.
+        val means = vecs
+          .select(assignUdf(col("__v")).as("__cluster"),
+            posexplode(col("__v")).as(Seq("__d", "__x")))
+          .groupBy(col("__cluster"), col("__d"))
+          .agg(round(avg(col("__x")), roundDp).as("__m"))
+          .collect()
+        val next = Array.tabulate(k)(j => centroids(j).clone())
+        val seen = new Array[Boolean](k)
+        means.foreach { r =>
+          val cl = r.getInt(0)
+          next(cl)(r.getInt(1)) = r.getDouble(2)
+          seen(cl) = true
+        }
+        // Empty clusters keep their previous centroid (`seen` only guards
+        // fully-empty ones; a cluster with members updates every dim).
+        centroids = next
+        require(centroids.forall(_.length == dim))
+        it += 1
+      }
+      centroids
+    } finally vecs.unpersist()
+  }
+
+  /** Assign every row to its nearest centroid: `(id, cluster, dist2)` with
+    * the distance rounded to `roundDp`. One narrow pass.
+    */
+  def assignFrame(df: DataFrame, vecCol: String, idCol: String,
+                  centroids: Array[Array[Double]],
+                  roundDp: Int = 6): DataFrame = {
+    val cs = centroids
+    // Tuple-returning typed UDF -> struct<_1, _2>; one distance scan yields
+    // both the argmin and its distance.
+    val assignUdf = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      val j = nearest(arr, cs)
+      (j, dist2(arr, cs(j)))
+    })
+    df.select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col(idCol), assignUdf(col("__v")).as("__a"))
+      .select(col(idCol), col("__a._1").as("cluster"),
+        round(col("__a._2"), roundDp).as("dist2"))
+  }
+
+  /** Fit + assign in one call (the gate entry point). */
+  def fitAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                iterations: Int, roundDp: Int = 6): DataFrame =
+    assignFrame(df, vecCol, idCol, fit(df, vecCol, idCol, k, iterations, roundDp),
+      roundDp)
+
+  /** SemDeDup-style semantic dedup: cluster with k-means, then inside each
+    * cluster drop every row whose cosine similarity to a LOWER-id row of the
+    * same cluster reaches `minCosine` (greedy keep-first — the standard
+    * SemDeDup policy, and expressible as an EXISTS for the oracle). Returns
+    * the SURVIVORS `(id, cluster)`.
+    *
+    * The pairwise pass reuses [[Dedup.cosinePairs]]'s per-block kernel:
+    * vectors unbox once per task and only the (cluster)-blocked pairs are
+    * ever considered — O(sum block^2) work bounded by cluster sizes, never
+    * corpus^2. At 100 TB, k scales with corpus size so blocks stay
+    * task-sized (SemDeDup's own design: k ~ sqrt(n) or larger).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                    iterations: Int, minCosine: Double): DataFrame = {
+    val assigned = fitAssign(df, vecCol, idCol, k, iterations)
+    val withCluster = df.select(col(idCol), col(vecCol))
+      .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
+    val pairs = Dedup.cosinePairs(withCluster, vecCol, idCol,
+      blockCol = "cluster", minCosine = minCosine)
+    val drops = pairs.select(col("id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cluster"))
+      .join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+
+/** Distributed Lloyd's k-means: hand-checked convergence on planted
+  * clusters, nearest-centroid invariant, determinism, the duplicate-seed /
+  * empty-cluster carry, null handling, and the narrow-assignment plan pin.
+  */
+class KMeansSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // Three well-separated 2D clusters; ids interleave the clusters so the
+  // lowest-id seeds land one per cluster.
+  private def planted = Seq(
+    (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f)), (2L, Seq(0.0f, 10.0f)),
+    (3L, Seq(0.2f, 0.1f)), (4L, Seq(10.1f, 0.2f)), (5L, Seq(0.1f, 10.2f)),
+    (6L, Seq(0.1f, 0.2f)), (7L, Seq(9.9f, 0.1f)), (8L, Seq(0.2f, 9.9f))
+  ).toDF("id", "vec")
+
+  test("planted clusters are recovered and centroids are member means") {
+    val cs = KMeans.fit(planted, "vec", "id", k = 3, iterations = 2)
+    // cluster 0 = {0,3,6}: mean (0.1, 0.1); cluster 1 = {1,4,7}: mean
+    // (10.0, 0.1); cluster 2 = {2,5,8}: mean (0.1, 10.033333).
+    assert(cs(0).toSeq == Seq(0.1, 0.1))
+    assert(cs(1).toSeq == Seq(10.0, 0.1))
+    assert(cs(2).toSeq == Seq(0.1, 10.033333))
+    val byId = KMeans.assignFrame(planted, "vec", "id", cs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cluster")).toMap
+    assert(byId == Map(0L -> 0, 3L -> 0, 6L -> 0, 1L -> 1, 4L -> 1, 7L -> 1,
+      2L -> 2, 5L -> 2, 8L -> 2))
+  }
+
+  test("every row lands on its argmin centroid (invariant, ties to lowest)") {
+    val cs = KMeans.fit(planted, "vec", "id", k = 3, iterations = 1)
+    val rows = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val assigned = KMeans.assignFrame(planted, "vec", "id", cs).collect()
+    assigned.foreach { r =>
+      val v = rows(r.getAs[Long]("id"))
+      def d2(c: Array[Double]) = {
+        var acc = 0.0; var i = 0
+        while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+      val best = cs.indices.minBy(j => (d2(cs(j)), j))
+      assert(r.getAs[Int]("cluster") == best)
+      assert(r.getAs[Double]("dist2") ==
+        BigDecimal(d2(cs(best))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("fit is deterministic across runs") {
+    val a = KMeans.fit(planted, "vec", "id", k = 3, iterations = 2)
+    val b = KMeans.fit(planted, "vec", "id", k = 3, iterations = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("duplicate seeds: ties collapse to the lowest cluster, empty cluster keeps its centroid") {
+    // Seeds 0 and 1 are identical vectors -> in the update pass every point
+    // ties between clusters 0 and 1 and resolves to 0. Proof is in the
+    // centroids: cluster 0's mean covers ALL FOUR points ((0+0+1+0.5)/4 =
+    // 0.375) and empty cluster 1 carries its seed unchanged.
+    val dup = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.5f, 0.0f))).toDF("id", "vec")
+    val cs = KMeans.fit(dup, "vec", "id", k = 2, iterations = 1)
+    assert(cs(0).toSeq == Seq(0.375, 0.0))
+    assert(cs(1).toSeq == Seq(0.0, 0.0)) // carried seed, never re-averaged
+  }
+
+  test("null vectors are dropped; too few vectors for k raises") {
+    val withNull = Seq((0L, Seq(0.0f)), (1L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(4.0f))).toDF("id", "vec")
+    val cs = KMeans.fit(withNull, "vec", "id", k = 2, iterations = 1)
+    assert(KMeans.assignFrame(withNull, "vec", "id", cs).count() == 2)
+    intercept[IllegalArgumentException] {
+      KMeans.fit(withNull, "vec", "id", k = 3, iterations = 1)
+    }
+  }
+
+  test("semanticDedup keeps the lowest id of each near-identical group") {
+    // Two planted duplicate groups (cosine 1.0 within group) + one unique
+    // vector; k=2 splits the two directions. Greedy keep-first must retain
+    // ids 0 and 1 and drop every higher-id copy; the unique vector survives.
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)), (3L, Seq(0.0f, 3.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.02f, 0.0f)), (5L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val survivors = KMeans.semanticDedup(docs, "vec", "id", k = 2,
+        iterations = 2, minCosine = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(survivors.contains(0L) && survivors.contains(1L))
+    assert(!survivors.contains(2L) && !survivors.contains(4L) && !survivors.contains(3L))
+    assert(survivors.contains(5L))
+  }
+
+  test("plan: assignment is one narrow pass (no Exchange)") {
+    val cs = KMeans.fit(planted, "vec", "id", k = 3, iterations = 1)
+    val plan = KMeans.assignFrame(planted, "vec", "id", cs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+}
