@@ -695,6 +695,12 @@ object SparkEntry {
     "tfidf_terms" -> ((s, dir) =>
       TfIdf.topTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)),
 
+    "lm_unigram_score" -> ((s, dir) =>
+      // CCNet-style quality signal: self-trained unigram LM, per-doc mean
+      // token log-prob + perplexity (LangModel scaladoc). Deterministic
+      // weighted-mean formulation -> full oracle.
+      LangModel.unigramScore(t(s, dir, "documents"), "text", "doc_id")),
+
     "bm25_rank" -> ((s, dir) =>
       // Lexical retrieval: BM25 scores for a fixed 3-term query over the
       // corpus (k1/b = Lucene defaults). Deterministic formula -> full
@@ -1536,6 +1542,19 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, term, tf, doc_freq, cf, tfidf, CAST(rnk AS BIGINT) AS rank
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "lm_unigram_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |cfq AS (SELECT term, sum(tf) AS cf FROM tfq GROUP BY term),
+         |tot AS (SELECT sum(cf) AS t, count(*) AS v FROM cfq)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+         | round(sum(wlp) / sum(tf), 6) AS avg_logprob,
+         | round(exp(-(sum(wlp) / sum(tf))), 6) AS perplexity
+         |FROM (SELECT tfq.doc_id, tfq.tf,
+         |   tfq.tf * ln((cfq.cf + 0.5) / (tot.t + 0.5 * tot.v)) AS wlp
+         |  FROM tfq JOIN cfq USING (term) CROSS JOIN tot) s
+         |GROUP BY doc_id""".stripMargin,
 
     "bm25_rank" ->
       s"""WITH $bm25Ctes

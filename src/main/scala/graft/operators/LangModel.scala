@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model scoring — the CCNet-style quality signal:
+  * train token frequencies on a corpus, score each document by its mean
+  * token log-probability (and perplexity = exp(-mean)). Documents whose
+  * token distribution diverges from the corpus (gibberish, boilerplate,
+  * wrong language) score low; fluent in-distribution text scores high.
+  *
+  * Reference scope: the reference has no LM scorer (its quality gates are
+  * per-row heuristics, cf. [[TextAnalysis.qualityScore]]); this is one of
+  * the mandated training-data-pipeline extensions.
+  *
+  * Unigram model with add-k smoothing:
+  * `lp(t) = ln((cf(t) + k) / (T + k*V))` with `cf` the corpus frequency,
+  * `T` total tokens, `V` vocabulary size; unseen terms (cross-corpus
+  * scoring) get `cf = 0`.
+  *
+  * Scale shape (mirrors [[TfIdf.score]], all aggregates map-side combined):
+  *   1. explode tokens -> groupBy(doc, term): one shuffle on (doc, term);
+  *   2. corpus frequencies: groupBy(term) OVER THE SAME (doc, term)
+  *      subtree — ReusedExchange executes the scan+explode once;
+  *   3. frequency join back on term: vocabulary-sized build side, AQE
+  *      broadcasts when it fits;
+  *   4. per-doc score: a weighted mean (sum(tf*lp)/sum(tf)) — one doc-key
+  *      shuffle, algebraically the per-token mean without re-exploding.
+  * Totals (T, V) are a 1-row aggregate, broadcast. No collect, no UDF.
+  */
+object LangModel {
+
+  /** Corpus unigram frequencies `(term, cf)` — the trainable model half,
+    * reusable against other corpora via [[scoreAgainst]].
+    */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.toks(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+
+  /** Train on `df` and score the same corpus (self-perplexity — the usual
+    * in-pipeline quality pass). Output: `(id, n_toks, avg_logprob,
+    * perplexity)`, rounded to 6 decimals; token-less documents are absent.
+    */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String,
+                   addK: Double = 0.5): DataFrame = {
+    require(addK >= 0, "addK must be non-negative")
+    val terms = df.select(col(idCol),
+      explode(TextAnalysis.toks(col(textCol))).as("__term"))
+    val tf = terms.groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    // Consumes __tf (not a pruned distinct-term subtree) so both join
+    // sides share the identical exchange — same trick as TfIdf.score.
+    val cf = tf.groupBy(col("__term")).agg(sum(col("__tf")).as("__cf"))
+    scoreTf(tf, cf, idCol, addK, seenOnly = true)
+  }
+
+  /** Score `df` against a PRE-TRAINED frequency table (cross-corpus: e.g.
+    * score fresh crawl against a trusted reference corpus). Terms absent
+    * from the model smooth to `cf = 0`.
+    */
+  def scoreAgainst(df: DataFrame, textCol: String, idCol: String,
+                   counts: DataFrame, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "cross-corpus scoring needs addK > 0 (unseen terms)")
+    val tf = df.select(col(idCol),
+        explode(TextAnalysis.toks(col(textCol))).as("__term"))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val cf = counts.select(col("term").as("__term"), col("cf").as("__cf"))
+    scoreTf(tf, cf, idCol, addK, seenOnly = false)
+  }
+
+  private def scoreTf(tf: DataFrame, cf: DataFrame, idCol: String,
+                      addK: Double, seenOnly: Boolean): DataFrame = {
+    val tot = cf.agg(sum(col("__cf")).as("__t"), count(lit(1)).as("__v"))
+    val joined =
+      if (seenOnly) tf.join(cf, "__term")
+      else tf.join(cf, Seq("__term"), "left")
+        .withColumn("__cf", coalesce(col("__cf"), lit(0L)))
+    joined.crossJoin(broadcast(tot))
+      .select(col(idCol), col("__tf"),
+        (col("__tf") * log((col("__cf") + addK) /
+          (col("__t") + col("__v") * addK))).as("__wlp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("long").as("n_toks"),
+        (sum(col("__wlp")) / sum(col("__tf"))).as("__avg"))
+      .select(col(idCol), col("n_toks"),
+        round(col("__avg"), 6).as("avg_logprob"),
+        round(exp(-col("__avg")), 6).as("perplexity"))
+  }
+}

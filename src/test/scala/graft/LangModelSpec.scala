@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LangModel
+
+/** Unigram LM scoring: hand-computed probabilities on a tiny corpus,
+  * cross-corpus smoothing of unseen terms, edge inputs, and the
+  * exchange-reuse plan pin shared with TfIdf.
+  */
+class LangModelSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // Corpus: "a a b" / "a c". cf: a=3, b=1, c=1; T=5, V=3; k=0.5 ->
+  // denominator 6.5. lp(a)=ln(3.5/6.5), lp(b)=lp(c)=ln(1.5/6.5).
+  private val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+
+  test("self-trained scores match the hand-computed formula") {
+    val got = LangModel.unigramScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Double]("avg_logprob"),
+          r.getAs[Double]("perplexity")))).toMap
+    val lpA = math.log(3.5 / 6.5); val lpRare = math.log(1.5 / 6.5)
+    val avg1 = (2 * lpA + lpRare) / 3.0
+    val avg2 = (lpA + lpRare) / 2.0
+    assert(got(1L) == ((3L, r6(avg1), r6(math.exp(-avg1)))))
+    assert(got(2L) == ((2L, r6(avg2), r6(math.exp(-avg2)))))
+    // The common-token doc is more probable (lower perplexity).
+    assert(got(1L)._3 < got(2L)._3)
+  }
+
+  test("cross-corpus scoring smooths unseen terms to cf = 0") {
+    val model = LangModel.unigramCounts(corpus, "text")
+    val fresh = Seq((9L, "a zzz")).toDF("doc_id", "text")
+    val got = LangModel.scoreAgainst(fresh, "text", "doc_id", model)
+      .collect().map(r => (r.getAs[Long]("n_toks"), r.getAs[Double]("avg_logprob")))
+    val avg = (math.log(3.5 / 6.5) + math.log(0.5 / 6.5)) / 2.0
+    assert(got.toSeq == Seq((2L, r6(avg))))
+  }
+
+  test("empty, whitespace, and null texts yield no output rows") {
+    val weird = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "x")).toDF("doc_id", "text")
+    val ids = LangModel.unigramScore(weird, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(4L))
+  }
+
+  test("single-token corpus: probability 1-ish, perplexity = exp(-lp)") {
+    val one = Seq((1L, "w w")).toDF("doc_id", "text")
+    // cf(w)=2, T=2, V=1 -> lp = ln(2.5/2.5) = 0 -> perplexity 1.
+    val row = LangModel.unigramScore(one, "text", "doc_id").collect().head
+    assert(row.getAs[Double]("avg_logprob") == 0.0)
+    assert(row.getAs[Double]("perplexity") == 1.0)
+  }
+
+  test("plan: corpus is scanned once (ReusedExchange on the tf subtree)") {
+    // Exchange reuse is finalized during execution (AQE stage cache) — run
+    // the query, then inspect only the executed section of the plan.
+    val q = LangModel.unigramScore(corpus, "text", "doc_id")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"cf side must reuse the tf exchange:\n${plan.take(1200)}")
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      s"corpus exploded more than once:\n${plan.take(1200)}")
+  }
+}
