@@ -6,7 +6,7 @@ import graft.config.{ComponentConfig, GraftConfigException}
 import graft.functions.HashingEmbedder
 import graft.operators.{Chunkers, Embed}
 import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, VectorTableSink}
-import graft.sources.{GraftSource, JdbcSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
+import graft.sources.{GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
 import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
 
 /** Component registries + factory (SURVEY §2.8; reference
@@ -106,6 +106,14 @@ object Factory {
           s"warc: max_record_mb must be positive, got $mb")
       WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"),
         maxRecordBytes = math.min(mb.toLong * 1024 * 1024, Int.MaxValue.toLong).toInt)
+    },
+    // Scale-path extension: JSONL corpora (one JSON document per line).
+    "jsonl" -> { c =>
+      val metas = c.str("meta_fields").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      JsonlSource(c.require("directory"), c.strOr("glob", "*.jsonl"),
+        c.strOr("text_field", "text"), c.str("id_field"), metas,
+        strict = c.str("strict").exists(_.toBoolean))
     },
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
     "postgres" -> (c => JdbcSource(

@@ -144,6 +144,22 @@ object SparkEntry {
           sha2(col("text"), 256).as("fingerprint"))
     }),
 
+    "jsonl_parse" -> ((s, dir) => {
+      // JSONL corpus source: serialize each document row to a JSON line
+      // with to_json, parse back through JsonlSource's line parser (the
+      // load path minus file enumeration, which SourcesSpec covers with
+      // real files). The oracle is the identity reconstruction, so Spark
+      // must round-trip every character through real JSON to hash-match.
+      val lines = t(s, dir, "documents").select(
+        to_json(struct(col("text"), col("doc_id").cast("string").as("id"),
+          col("lang"))).as("value"),
+        lit("mem").as("__file"))
+      graft.sources.JsonlSource
+        .parseLines(lines, "text", Some("id"), Seq("lang"), strict = true)
+        .select(col("source"), col("content"), col("fingerprint"),
+          element_at(col("metadata"), "lang").as("meta_lang"))
+    }),
+
     "change_detection" -> ((s, dir) => {
       // T1: anti-join against a simulated state table. Docs with
       // doc_id%6==0 are unchanged (state fp matches), doc_id%6==3 changed
@@ -1018,6 +1034,11 @@ object SparkEntry {
 
     "source_scan" ->
       """SELECT doc_id, source, text, sha256(text) AS fingerprint
+        |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
+
+    "jsonl_parse" ->
+      """SELECT 'mem#' || CAST(doc_id AS VARCHAR) AS source, text AS content,
+        | sha256(text) AS fingerprint, lang AS meta_lang
         |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
 
     "change_detection" ->

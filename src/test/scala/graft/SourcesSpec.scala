@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{JdbcSource, LocalFileSource, ObjectStoreSource, WebSource}
+import graft.sources.{JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WebSource}
 
 /** Sources S1–S5 against real local infrastructure: temp directories,
   * file:// object-store uris, an in-memory Derby database, and a JDK
@@ -24,6 +24,50 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(byName.find(_._1.endsWith("a.txt")).get._2 == "hello world")
     assert(byName.find(_._1.endsWith("b.html")).get._2 == "first\nsecond")
     assert(out.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("jsonl: one doc per line, id/meta fields, blank+malformed lines skipped") {
+    val dir = tempDir("graft-jsonl")
+    Files.writeString(dir.resolve("c.jsonl"),
+      """{"text":"alpha doc","id":"d1","lang":"en"}
+        |
+        |{"text":"beta \"quoted\" doc","id":"d2"}
+        |not json at all
+        |{"text":"   ","id":"blank"}
+        |{"id":"no-text"}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("skip.txt"), """{"text":"wrong ext"}""")
+    val out = JsonlSource(dir.toString, idField = Some("id"),
+      metaFields = Seq("lang")).load(spark).collect()
+    assert(out.length == 2) // blank text, missing text, malformed all dropped
+    val bySrc = out.map(r => r.getAs[String]("source") ->
+      ((r.getAs[String]("content"), r.getAs[Map[String, String]]("metadata")))).toMap
+    val d1 = bySrc.find(_._1.endsWith("c.jsonl#d1")).get._2
+    assert(d1 == (("alpha doc", Map("lang" -> "en"))))
+    val d2 = bySrc.find(_._1.endsWith("c.jsonl#d2")).get._2
+    assert(d2 == (("beta \"quoted\" doc", Map.empty[String, String])))
+    assert(out.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("jsonl strict mode raises a named error on a malformed line") {
+    val dir = tempDir("graft-jsonl-strict")
+    Files.writeString(dir.resolve("bad.jsonl"),
+      "{\"text\":\"ok\"}\n{broken\n")
+    val e = intercept[Exception] {
+      JsonlSource(dir.toString, strict = true).load(spark).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("graft.JsonlSource: malformed")))
+  }
+
+  test("jsonl without idField falls back to a stable content-hash id") {
+    val dir = tempDir("graft-jsonl-noid")
+    Files.writeString(dir.resolve("x.jsonl"), "{\"text\":\"payload\"}\n")
+    val a = JsonlSource(dir.toString).load(spark).collect()(0).getAs[String]("source")
+    val b = JsonlSource(dir.toString).load(spark).collect()(0).getAs[String]("source")
+    assert(a == b && a.matches(".*x\\.jsonl#[0-9a-f]{12}$"))
   }
 
   test("S1 glob filter restricts files") {
