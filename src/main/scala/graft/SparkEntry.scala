@@ -791,6 +791,18 @@ object SparkEntry {
             col("embedding"), col("__q"), col("__qscale")), 6).as("mean_abs_err"))
     }),
 
+    "embed_project" -> ((s, dir) => {
+      // Signed random projection 64 -> 16 (JL/Achlioptas): a codegen'd
+      // literal-sign expression chain, no UDF; the oracle embeds the SAME
+      // sign literals, so each coordinate is engine-exact (see
+      // VectorFunctions.signMatrix).
+      val signs = VectorFunctions.signMatrix(dim = 64, outDim = 16)
+      val cols = signs.indices.map(j =>
+        round(VectorFunctions.projectedCoord(col("embedding"), signs, j), 6)
+          .as(f"p$j%02d"))
+      t(s, dir, "embeddings").select(col("vec_id") +: cols: _*)
+    }),
+
     "kmeans_assign" -> ((s, dir) =>
       // Distributed Lloyd's k-means (KMeans scaladoc): deterministic
       // lowest-id seeds, left-to-right double distances, per-iteration
@@ -1625,6 +1637,19 @@ object SparkEntry {
         |    list_transform(range(1, len(xs) + 1), i -> abs(xs[i] - qs[i] * qscale))),
         |   (a, b) -> a + b) / len(xs) END, 6) AS mean_abs_err
         |FROM q""".stripMargin,
+
+    "embed_project" -> {
+      val signs = graft.functions.VectorFunctions.signMatrix(dim = 64, outDim = 16)
+      val cols = signs.indices.map { j =>
+        val terms = signs(j).zipWithIndex.map { case (sgn, i) =>
+          val v = s"embedding[${i + 1}]::DOUBLE"
+          if (i == 0) { if (sgn > 0) v else s"-$v" }
+          else { if (sgn > 0) s" + $v" else s" - $v" }
+        }.mkString
+        f"round(($terms) / sqrt(16.0), 6) AS p$j%02d"
+      }
+      s"SELECT vec_id,\n ${cols.mkString(",\n ")}\nFROM embeddings"
+    },
 
     "kmeans_assign" ->
       s"""WITH ${kmeansCtes(10, 2, 64)}

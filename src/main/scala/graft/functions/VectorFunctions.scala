@@ -125,4 +125,36 @@ object VectorFunctions {
     when(size(a) === 0, lit(0.0))
       .otherwise(aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(a).cast("double"))
   }
+
+  // --------------------------------------------------------------------
+  // Signed random projection (Achlioptas/JL): dimensionality reduction for
+  // the ANN scale path — project float vectors onto +-1 hyperplane rows,
+  // shrinking per-vector bytes before LSH/IVF while approximately
+  // preserving cosine geometry.
+  // --------------------------------------------------------------------
+
+  /** Deterministic +-1 sign matrix (`outDim x dim`), derived per (seed, j,
+    * i) from an fmix64 finalizer. Pure function of its arguments — both
+    * the Spark expression and an external oracle can embed the SAME
+    * literals, so projections are engine-exact.
+    */
+  def signMatrix(dim: Int, outDim: Int, seed: Long = 42L): Array[Array[Int]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      var h = seed ^ (j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL)
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      if ((h & 1L) == 0L) 1 else -1
+    }
+
+  /** One projected coordinate `j`: `sum_i sign(j,i) * v(i) / sqrt(outDim)`
+    * as a codegen'd expression chain (no UDF) — a left-to-right sum of
+    * literal-signed terms, mirrorable token-for-token in SQL.
+    */
+  def projectedCoord(a: Column, signs: Array[Array[Int]], j: Int): Column = {
+    val row = signs(j)
+    val terms = row.indices.map { i =>
+      val v = element_at(a, i + 1).cast("double")
+      if (row(i) > 0) v else -v
+    }
+    terms.reduceLeft(_ + _) / math.sqrt(signs.length.toDouble)
+  }
 }
