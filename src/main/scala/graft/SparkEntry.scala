@@ -717,6 +717,24 @@ object SparkEntry {
       // weighted-mean formulation -> full oracle.
       LangModel.unigramScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    "quality_classifier" -> ((s, dir) => {
+      // fastText-style quality filter: train logistic regression on the
+      // rounded TextAnalysis quality signals (label: lang == 'en', which
+      // genuinely correlates with the English stopword ratio), then score
+      // the corpus. Per-iteration weight rounding makes train + score
+      // fully oracle-checked (Classifier scaladoc).
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      Classifier.fitScoreLogistic(feats,
+          Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+          iterations = 2, lr = 1.0)
+        .select(col("doc_id"), col("label"), col("prob"), col("predicted"))
+    }),
+
     "bm25_rank" -> ((s, dir) =>
       // Lexical retrieval: BM25 scores for a fixed 3-term query over the
       // corpus (k1/b = Lucene defaults). Deterministic formula -> full
@@ -1588,6 +1606,50 @@ object SparkEntry {
          |   tfq.tf * ln((cfq.cf + 0.5) / (tot.t + 0.5 * tot.v)) AS wlp
          |  FROM tfq JOIN cfq USING (term) CROSS JOIN tot) s
          |GROUP BY doc_id""".stripMargin,
+
+    "quality_classifier" -> {
+      // Feature CTEs mirror the quality_score oracle byte-for-byte; the
+      // unrolled gradient steps mirror Classifier.fitLogistic (zero init,
+      // left-to-right z, round(w - lr*g, 6) per iteration).
+      val stop = TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
+      def zf(w: String) = s"($w.b + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3)"
+      def step(n: Int): String = {
+        val prev = s"w${n - 1}"
+        s"""g$n AS (SELECT avg(s - y) AS g0, avg((s - y) * x1) AS g1,
+           |  avg((s - y) * x2) AS g2, avg((s - y) * x3) AS g3
+           | FROM (SELECT y, x1, x2, x3,
+           |    1.0 / (1.0 + exp(-${zf(prev)})) AS s
+           |   FROM f CROSS JOIN $prev)),
+           |w$n AS (SELECT round($prev.b - 1.0 * g$n.g0, 6) AS b,
+           |  round($prev.w1 - 1.0 * g$n.g1, 6) AS w1,
+           |  round($prev.w2 - 1.0 * g$n.g2, 6) AS w2,
+           |  round($prev.w3 - 1.0 * g$n.g3, 6) AS w3
+           | FROM $prev CROSS JOIN g$n)""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(toks) AS DOUBLE) AS n_toks,
+         |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS tok_chars,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS stop_hits
+         | FROM t),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS stop_ratio
+         | FROM m),
+         |f AS (SELECT r.doc_id, round(mean_tok_len, 6) AS x1,
+         |  round(punct_ratio, 6) AS x2, round(stop_ratio, 6) AS x3,
+         |  CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         | FROM r JOIN documents d USING (doc_id)),
+         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |${step(1)},
+         |${step(2)}
+         |SELECT doc_id, y AS label, round(p, 6) AS prob, p >= 0.5 AS predicted
+         |FROM (SELECT f.doc_id, y, 1.0 / (1.0 + exp(-${zf("w2")})) AS p
+         |  FROM f CROSS JOIN w2)""".stripMargin
+    },
 
     "bm25_rank" ->
       s"""WITH $bm25Ctes

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier training — the fastText-style filter
+  * step of an LLM data pipeline (train a cheap linear model on labeled
+  * quality signals, score the whole corpus, keep the confident slice).
+  *
+  * Reference scope: the reference has no trainable component; this is one
+  * of the mandated training-data-pipeline extensions.
+  *
+  * Logistic regression by FULL-BATCH gradient descent, deterministic and
+  * oracle-mirrorable:
+  *   - weights start at zero, bias first, then `featureCols` in order;
+  *   - `z = b + w1*x1 + ... + wp*xp` summed left-to-right;
+  *   - gradient = per-component mean of `(sigmoid(z) - y) * x`;
+  *   - update `w' = round(w - lr * grad, roundDp)` — the per-iteration
+  *     rounding makes weights bit-identical across engines (the same
+  *     trick as [[KMeans]]'s centroid rounding), so scores are too.
+  *
+  * Scale shape: each iteration is ONE map-side-combined global aggregate
+  * (p+1 partial sums per partition move, never rows); the model is p+1
+  * doubles on the driver; scoring is one narrow codegen'd pass. Full-batch
+  * GD per epoch is the standard distributed LR layout (MLlib's LBFGS costs
+  * the same per pass); epochs are bounded by `iterations`.
+  */
+object Classifier {
+
+  private def z(weights: Array[Double], features: Seq[Column]): Column =
+    features.zipWithIndex.foldLeft(lit(weights(0)): Column) {
+      case (acc, (x, j)) => acc + lit(weights(j + 1)) * x
+    }
+
+  private def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Train: returns `(bias, w1..wp)` after `iterations` rounded updates.
+    * Rows with a null label or null feature are excluded (both engines
+    * would otherwise propagate null through the mean).
+    */
+  def fitLogistic(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  iterations: Int = 2, lr: Double = 1.0,
+                  roundDp: Int = 6): Array[Double] = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val feats = featureCols.map(col)
+    val clean = df.filter(
+      (col(labelCol).isNotNull +: featureCols.map(col(_).isNotNull))
+        .reduce(_ && _))
+      .persist()
+    try {
+      var weights = new Array[Double](featureCols.length + 1)
+      var it = 0
+      while (it < iterations) {
+        val err = sigmoid(z(weights, feats)) - col(labelCol)
+        val gradCols = avg(err).as("g0") +:
+          feats.zipWithIndex.map { case (x, j) => avg(err * x).as(s"g${j + 1}") }
+        val g = clean.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        weights = weights.indices.map { j =>
+          BigDecimal(weights(j) - lr * g.getDouble(j))
+            .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toArray
+        it += 1
+      }
+      weights
+    } finally clean.unpersist()
+  }
+
+  /** Score: adds `prob` (rounded) and `predicted` (prob >= 0.5). One
+    * narrow pass; `weights` layout as returned by [[fitLogistic]].
+    */
+  def scoreLogistic(df: DataFrame, featureCols: Seq[String],
+                    weights: Array[Double], roundDp: Int = 6): DataFrame = {
+    require(weights.length == featureCols.length + 1,
+      s"weights (${weights.length}) must be features+bias (${featureCols.length + 1})")
+    val p = sigmoid(z(weights, featureCols.map(col)))
+    df.withColumn("prob", round(p, roundDp))
+      .withColumn("predicted", p >= 0.5)
+  }
+
+  /** Fit + score in one call (the gate entry point). */
+  def fitScoreLogistic(df: DataFrame, featureCols: Seq[String],
+                       labelCol: String, iterations: Int = 2,
+                       lr: Double = 1.0): DataFrame =
+    scoreLogistic(df, featureCols,
+      fitLogistic(df, featureCols, labelCol, iterations, lr))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classifier
+
+/** Logistic-regression quality classifier: hand-computed gradient steps,
+  * separation on separable data, null exclusion, determinism, and the
+  * narrow-scoring plan pin.
+  */
+class ClassifierSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("one gradient step matches the hand computation") {
+    // w=0 -> sigmoid(0)=0.5 for both rows; err = (-0.5, +0.5).
+    // g_bias = 0; g_x = (-0.5*1 + 0.5*0)/2 = -0.25 -> w = (0, 0.25).
+    val df = Seq((1.0, 1.0), (0.0, 0.0)).toDF("x", "y")
+    val w = Classifier.fitLogistic(df, Seq("x"), "y", iterations = 1, lr = 1.0)
+    assert(w.toSeq == Seq(0.0, 0.25))
+  }
+
+  test("second step uses the first step's rounded weights") {
+    val df = Seq((1.0, 1.0), (0.0, 0.0)).toDF("x", "y")
+    val w2 = Classifier.fitLogistic(df, Seq("x"), "y", iterations = 2, lr = 1.0)
+    // Replay by hand from (0, 0.25): s1 = sigmoid(0.25), s0 = sigmoid(0).
+    val s1 = 1.0 / (1.0 + math.exp(-0.25)); val s0 = 0.5
+    val g0 = ((s1 - 1.0) + (s0 - 0.0)) / 2.0
+    val g1 = ((s1 - 1.0) * 1.0 + (s0 - 0.0) * 0.0) / 2.0
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(w2.toSeq == Seq(r6(0.0 - g0), r6(0.25 - g1)))
+  }
+
+  test("separable data separates: confident probs on each side") {
+    val df = (1 to 50).map(i => (i.toDouble / 50.0, 0.0)) ++
+      (1 to 50).map(i => (2.0 + i.toDouble / 50.0, 1.0))
+    val scored = Classifier.fitScoreLogistic(df.toDF("x", "y"), Seq("x"), "y",
+      iterations = 30, lr = 1.0)
+    val avgByY = scored.groupBy("y").agg(org.apache.spark.sql.functions.avg("prob"))
+      .as[(Double, Double)].collect().toMap
+    assert(avgByY(0.0) < 0.35 && avgByY(1.0) > 0.65)
+    // predicted agrees with prob
+    assert(scored.filter(($"prob" >= 0.5) =!= $"predicted").count() == 0)
+  }
+
+  test("null labels and features are excluded from the gradient") {
+    val withNulls = Seq(
+      (Some(1.0), Some(1.0)), (Some(0.0), Some(0.0)),
+      (None, Some(1.0)), (Some(0.5), None)
+    ).toDF("x", "y")
+    val clean = Seq((1.0, 1.0), (0.0, 0.0)).toDF("x", "y")
+    assert(Classifier.fitLogistic(withNulls, Seq("x"), "y", 2).toSeq ==
+      Classifier.fitLogistic(clean, Seq("x"), "y", 2).toSeq)
+  }
+
+  test("weights/features arity mismatch raises") {
+    val df = Seq((1.0, 1.0)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Classifier.scoreLogistic(df, Seq("x"), Array(0.0, 0.1, 0.2))
+    }
+  }
+
+  test("plan: scoring is one narrow pass (no Exchange)") {
+    val df = Seq((1.0, 1.0)).toDF("x", "y")
+    val plan = Classifier.scoreLogistic(df, Seq("x"), Array(0.1, 0.2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+}
