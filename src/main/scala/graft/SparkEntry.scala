@@ -809,6 +809,31 @@ object SparkEntry {
             col("embedding"), col("__q"), col("__qscale")), 6).as("mean_abs_err"))
     }),
 
+    "embed_mean_pool" -> ((s, dir) =>
+      // Chunk-to-document pooling shape: per-dimension mean per group
+      // (here the planted label), exploded (group, dim, value) layout.
+      Embed.meanPoolExploded(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"), col("value"))),
+
+    "dedup_keep_best" -> ((s, dir) => {
+      // Quality-aware cluster representative: same planted pair graph as
+      // dedup_components, but each duplicate cluster keeps its HIGHEST-
+      // quality member (ties -> lowest id) instead of the min id.
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val comps = Components.connectedComponents(edges, "src", "dst")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Components.keepBest(scored, "doc_id", comps, Seq(col("quality").desc))
+    }),
+
     "embed_project" -> ((s, dir) => {
       // Signed random projection 64 -> 16 (JL/Achlioptas): a codegen'd
       // literal-sign expression chain, no UDF; the oracle embeds the SAME
@@ -1699,6 +1724,57 @@ object SparkEntry {
         |    list_transform(range(1, len(xs) + 1), i -> abs(xs[i] - qs[i] * qscale))),
         |   (a, b) -> a + b) / len(xs) END, 6) AS mean_abs_err
         |FROM q""".stripMargin,
+
+    "embed_mean_pool" ->
+      """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+        | round(avg(embedding[i]::DOUBLE), 6) AS value
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "dedup_keep_best" -> {
+      val stop = TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+         | UNION ALL
+         | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+         |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+         |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+         |reach(id, comp) AS (
+         | SELECT DISTINCT src, src FROM edges
+         | UNION
+         | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id),
+         |t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(toks) AS DOUBLE) AS n_toks,
+         |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS tok_chars,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS stop_hits
+         | FROM t),
+         |r AS (SELECT doc_id, n_chars,
+         |  CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS stop_ratio
+         | FROM m),
+         |q AS (SELECT r.doc_id, d.source,
+         |  round(least(r.n_chars / 500.0, 1.0) * 0.4 +
+         |   (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |   (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+         |   least(stop_ratio * 5.0, 1.0) * 0.1, 6) AS quality
+         | FROM r JOIN documents d USING (doc_id)),
+         |members AS (SELECT q.doc_id, q.source, q.quality, c.component
+         | FROM q JOIN cmp c USING (doc_id)),
+         |best AS (SELECT doc_id, source, quality FROM (
+         |  SELECT doc_id, source, quality,
+         |   row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+         |  FROM members) WHERE rn = 1)
+         |SELECT doc_id, source, quality FROM q
+         | WHERE doc_id NOT IN (SELECT doc_id FROM cmp)
+         |UNION ALL
+         |SELECT doc_id, source, quality FROM best""".stripMargin
+    },
 
     "embed_project" -> {
       val signs = graft.functions.VectorFunctions.signMatrix(dim = 64, outDim = 16)

@@ -112,4 +112,29 @@ object Components {
       components.filter(col("id") =!= col("component"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Keep ONE representative per duplicate cluster chosen by `orderBy`
+    * (e.g. quality desc) instead of [[dropDuplicates]]'s min-id default —
+    * the curation-aware variant: of N near-identical pages, keep the
+    * highest-quality one. Ties (and the final tiebreak) fall back to the
+    * ascending id so the choice is deterministic.
+    *
+    * Scale shape: the corpus splits against the component table (cluster
+    * members only — orders of magnitude smaller than the corpus, AQE
+    * broadcasts it) so the row_number window shuffles ONLY cluster
+    * members; untouched rows pass through the anti-join unshuffled.
+    */
+  def keepBest(df: DataFrame, idCol: String, components: DataFrame,
+               orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val comp = components.select(col("id").as(idCol), col("component"))
+    val members = df.join(comp, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(orderBy :+ col(idCol).asc: _*)
+    val best = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "component")
+    df.join(comp.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(best)
+  }
 }

@@ -37,6 +37,31 @@ object Embed {
                  seed: Int = HashingEmbedder.DefaultSeed): Array[Float] =
     HashingEmbedder.embed(query, dim, seed)
 
+  /** Per-dimension mean of `vecCol` per `groupCol` in EXPLODED layout
+    * `(group, dim, value)` — chunk-to-document embedding pooling (and any
+    * centroid summary). posexplode + groupBy partial-aggregates map-side:
+    * only `groups x dim x partitions` partial sums shuffle, never rows —
+    * the same budget as [[KMeans]]'s re-centroid step. Null vectors
+    * contribute no rows.
+    */
+  def meanPoolExploded(df: DataFrame, groupCol: String, vecCol: String,
+                       roundDp: Int = 6): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(round(avg(col("__v")), roundDp).as("value"))
+
+  /** [[meanPoolExploded]] reassembled into an `embedding` array per group
+    * (dimension order preserved).
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+               roundDp: Int = 6): DataFrame =
+    meanPoolExploded(df, groupCol, vecCol, roundDp)
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("embedding"))
+
   /** Attach an `embedding` column by calling a remote OpenAI-style
     * embeddings endpoint (`embedders.py:62-91`): mapPartitions with ONE
     * http client per partition and bounded batches of `batchSize` texts per

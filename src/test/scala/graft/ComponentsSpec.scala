@@ -55,4 +55,18 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4,7,8 untouched
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("keepBest keeps the highest-quality member, ties to lowest id, singletons pass") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // cluster {1,2,3} -> 2 wins on quality
+      (5L, 0.7), (6L, 0.7),            // cluster {5,6} -> tie, 5 wins on id
+      (4L, 0.1), (7L, 0.0)             // singletons pass through
+    ).toDF("doc_id", "quality")
+    val comps = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    val kept = Components.keepBest(docs, "doc_id", comps, Seq(col("quality").desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 4L, 7L))
+  }
 }

@@ -177,4 +177,20 @@ class EmbedSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](RemoteEmbedder.parseResponse(
       """{"data":[{"index":0,"embedding":[1.0]},{"index":0,"embedding":[2.0]}]}""", 2))
   }
+
+  test("meanPool averages per dimension per group; null vectors drop; order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 10.0f)), ("a", Seq(3.0f, 30.0f)),
+      ("b", Seq(5.0f, 7.0f)), ("b", null.asInstanceOf[Seq[Float]])
+    ).toDF("g", "vec")
+    val pooled = Embed.meanPool(df, "g", "vec")
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getSeq[Double](r.fieldIndex("embedding"))).toMap
+    assert(pooled("a").toSeq == Seq(2.0, 20.0))
+    assert(pooled("b").toSeq == Seq(5.0, 7.0)) // null vector contributes nothing
+    val exploded = Embed.meanPoolExploded(df, "g", "vec")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("dim")) -> r.getAs[Double]("value")).toMap
+    assert(exploded(("a", 0)) == 2.0 && exploded(("a", 1)) == 20.0)
+  }
 }
