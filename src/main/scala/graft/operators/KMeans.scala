@@ -49,8 +49,14 @@ object KMeans {
     acc
   }
 
-  /** Index of the nearest centroid (ties -> lowest index). */
+  /** Index of the nearest centroid (ties -> lowest index). Ragged input
+    * fails loudly — a shorter vector would otherwise read past its end
+    * (or silently zero-pad, worse).
+    */
   private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    if (v.length != cs(0).length)
+      throw new IllegalArgumentException(
+        s"graft.KMeans: vector length ${v.length} != centroid dim ${cs(0).length}")
     var best = 0
     var bestD = dist2(v, cs(0))
     var j = 1

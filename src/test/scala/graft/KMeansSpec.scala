@@ -98,6 +98,18 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors.contains(5L))
   }
 
+  test("ragged vectors fail loudly with a named error") {
+    val ragged = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(3.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      KMeans.fit(ragged, "vec", "id", k = 2, iterations = 1)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("graft.KMeans: vector length")))
+  }
+
   test("plan: assignment is one narrow pass (no Exchange)") {
     val cs = KMeans.fit(planted, "vec", "id", k = 3, iterations = 1)
     val plan = KMeans.assignFrame(planted, "vec", "id", cs)
