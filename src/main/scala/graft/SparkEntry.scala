@@ -647,6 +647,11 @@ object SparkEntry {
       Profile.numeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"), exactDistinct = true)),
 
+    "profile_by_lang" -> ((s, dir) =>
+      // Stratified profile: the per-language slice report (exact regime).
+      Profile.numericBy(t(s, dir, "documents"), "lang",
+        Seq("doc_id", "n_chars"), exactDistinct = true)),
+
     "token_budget_pack" -> ((s, dir) => {
       // Corpus mixing: pack each language up to a 5k-token budget in
       // quality order. Single scan (quality + token estimate are narrow
@@ -716,6 +721,12 @@ object SparkEntry {
       // token log-prob + perplexity (LangModel scaladoc). Deterministic
       // weighted-mean formulation -> full oracle.
       LangModel.unigramScore(t(s, dir, "documents"), "text", "doc_id")),
+
+    "lm_bigram_score" -> ((s, dir) =>
+      // Bigram conditional LM (LangModel.bigramScore): the repetition-
+      // sensitive twin of lm_unigram_score. Same weighted-mean trick ->
+      // full oracle.
+      LangModel.bigramScore(t(s, dir, "documents"), "text", "doc_id")),
 
     "quality_classifier" -> ((s, dir) => {
       // fastText-style quality filter: train logistic regression on the
@@ -1520,6 +1531,16 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
     },
 
+    "profile_by_lang" -> {
+      Seq("doc_id", "n_chars").map { c =>
+        s"""SELECT lang, '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER ($c IS NULL) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM documents GROUP BY lang""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     "token_budget_pack" ->
       s"""WITH $qualitySqlCtes,
          |tok AS (SELECT doc_id,
@@ -1630,6 +1651,22 @@ object SparkEntry {
          |FROM (SELECT tfq.doc_id, tfq.tf,
          |   tfq.tf * ln((cfq.cf + 0.5) / (tot.t + 0.5 * tot.v)) AS wlp
          |  FROM tfq JOIN cfq USING (term) CROSS JOIN tot) s
+         |GROUP BY doc_id""".stripMargin,
+
+    "lm_bigram_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |cf2 AS (SELECT w1, w2, sum(tf) AS c2 FROM tf2 GROUP BY 1, 2),
+         |c1t AS (SELECT w1, sum(tf) AS c1 FROM tf2 GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w2) AS v FROM tf2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         | round(sum(wlp) / sum(tf), 6) AS avg_logprob,
+         | round(exp(-(sum(wlp) / sum(tf))), 6) AS perplexity
+         |FROM (SELECT tf2.doc_id, tf2.tf,
+         |   tf2.tf * ln((cf2.c2 + 0.5) / (c1t.c1 + 0.5 * vv.v)) AS wlp
+         |  FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv) s
          |GROUP BY doc_id""".stripMargin,
 
     "quality_classifier" -> {

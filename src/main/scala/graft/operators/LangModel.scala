@@ -68,6 +68,49 @@ object LangModel {
     scoreTf(tf, cf, idCol, addK, seenOnly = false)
   }
 
+  /** Bigram conditional scoring: mean `ln P(w2 | w1)` over a document's
+    * token bigrams, with add-k smoothing against continuation-context
+    * counts (`c1(w) = #bigrams starting with w`, `V` = distinct
+    * continuation types — self-normalizing: probabilities per context sum
+    * to 1 at k=0). The repetition-sensitive LM signal: boilerplate has
+    * hyper-predictable bigrams (score high), shuffled/gibberish text has
+    * unseen ones (score low) even when unigram frequencies match.
+    *
+    * Scale shape: bigrams build NARROW (zip_with over adjacent slices —
+    * no per-doc window shuffle); one (doc, w1, w2) aggregate; the
+    * frequency, context, and vocabulary sides all consume that same
+    * subtree (ReusedExchange — one corpus scan); joins are
+    * bigram-vocabulary-sized. Documents under 2 tokens are absent.
+    */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  addK: Double = 0.5): DataFrame = {
+    require(addK >= 0, "addK must be non-negative")
+    val tk = TextAnalysis.toks(col(textCol))
+    val n = size(tk)
+    val pairs = zip_with(
+      slice(tk, lit(1), greatest(n - 1, lit(0))),
+      slice(tk, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val tf2 = df.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__tf"))
+    val cf2 = tf2.groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf")).as("__c2"))
+    val c1 = tf2.groupBy(col("__w1")).agg(sum(col("__tf")).as("__c1"))
+    val vv = tf2.agg(countDistinct(col("__w2")).as("__v"))
+    tf2.join(cf2, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+      .crossJoin(broadcast(vv))
+      .select(col(idCol), col("__tf"),
+        (col("__tf") * log((col("__c2") + addK) /
+          (col("__c1") + col("__v") * addK))).as("__wlp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("long").as("n_bigrams"),
+        (sum(col("__wlp")) / sum(col("__tf"))).as("__avg"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__avg"), 6).as("avg_logprob"),
+        round(exp(-col("__avg")), 6).as("perplexity"))
+  }
+
   private def scoreTf(tf: DataFrame, cf: DataFrame, idCol: String,
                       addK: Double, seenOnly: Boolean): DataFrame = {
     val tot = cf.agg(sum(col("__cf")).as("__t"), count(lit(1)).as("__v"))

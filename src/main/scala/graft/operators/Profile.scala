@@ -48,4 +48,39 @@ object Profile {
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** [[numeric]] stratified by `groupCol` — the per-language / per-domain
+    * slice report (did curation starve a language? is one domain's doc
+    * length collapsing?). Same single-scan shape with a groupBy on the
+    * stratum key: partials still combine map-side, and only
+    * `groups x cols` aggregate rows move — the stratum cardinality
+    * (languages, domains) is orders of magnitude below row count at any
+    * corpus size.
+    */
+  def numericBy(df: DataFrame, groupCol: String, cols: Seq[String],
+                exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "graft.Profile: no columns to profile")
+    require(cols.distinct.size == cols.size,
+      s"graft.Profile: duplicate columns in ${cols.mkString(", ")}")
+    require(!cols.contains(groupCol),
+      s"graft.Profile: group column $groupCol cannot also be profiled")
+    val aggs = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(v.isNull, lit(1))).as(s"__nnull_$c"),
+        (if (exactDistinct) countDistinct(v) else approx_count_distinct(v))
+          .as(s"__ndist_$c"),
+        min(v).cast("double").as(s"__min_$c"),
+        max(v).cast("double").as(s"__max_$c"))
+    }
+    val wide = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__n_$c").as("n"),
+        col(s"__nnull_$c").as("n_null"), col(s"__ndist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_v"), col(s"__max_$c").as("max_v"))
+    }
+    wide.select(col(groupCol), explode(array(stacked: _*)).as("p"))
+      .select(col(groupCol), col("p.*"))
+  }
 }

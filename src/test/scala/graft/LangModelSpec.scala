@@ -58,6 +58,37 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("perplexity") == 1.0)
   }
 
+  test("bigram scores match the hand-computed conditional formula") {
+    // "a b a b" + "b c": tf2 = {(1,a,b):2, (1,b,a):1, (2,b,c):1};
+    // c2(a,b)=2, c2(b,a)=1, c2(b,c)=1; c1(a)=2, c1(b)=2; V=|{b,a,c}|=3.
+    val corpus2 = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = LangModel.bigramScore(corpus2, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    val lpAB = math.log(2.5 / 3.5); val lpBA = math.log(1.5 / 3.5)
+    val lpBC = math.log(1.5 / 3.5)
+    assert(got(1L) == ((3L, r6((2 * lpAB + lpBA) / 3.0))))
+    assert(got(2L) == ((1L, r6(lpBC))))
+  }
+
+  test("documents with fewer than two tokens are absent from bigram output") {
+    val weird = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "two tokens")).toDF("doc_id", "text")
+    val ids = LangModel.bigramScore(weird, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(4L))
+  }
+
+  test("bigram repetition scores higher than shuffled text") {
+    // Repetitive doc reuses one bigram; the scrambled doc has only unseen
+    // transitions relative to its own statistics spread thin.
+    val corpus3 = Seq((1L, "x y x y x y x y"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val ppl = LangModel.bigramScore(corpus3, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    assert(ppl(1L) < ppl(2L))
+  }
+
   test("plan: corpus is scanned once (ReusedExchange on the tf subtree)") {
     // Exchange reuse is finalized during execution (AQE stage cache) — run
     // the query, then inspect only the executed section of the plan.

@@ -20,6 +20,21 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(p("b") == ((5L, 1L, 3L, 0.5, 2.5)))
   }
 
+  test("numericBy stratifies per group and rejects profiling the group key") {
+    import spark.implicits._
+    val rows = Seq(("en", Some(1.0)), ("en", Some(3.0)), ("de", Some(5.0)),
+      ("de", None)).toDF("lang", "v")
+    val p = Profile.numericBy(rows, "lang", Seq("v"), exactDistinct = true)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))).toMap
+    assert(p("en") == ((2L, 0L, 2L, 1.0, 3.0)))
+    assert(p("de") == ((2L, 1L, 1L, 5.0, 5.0)))
+    intercept[IllegalArgumentException] {
+      Profile.numericBy(rows, "lang", Seq("lang", "v"))
+    }
+  }
+
   test("approx regime needs no row shuffle: only the 1-row aggregate merge moves") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val q = Profile.numeric(df, Seq("l_quantity", "l_discount"))
