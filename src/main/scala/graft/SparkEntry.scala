@@ -175,6 +175,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "corpus_diff" -> ((s, dir) => {
+      // Snapshot diff: the 'old' corpus is missing doc_id%5==4 (-> added),
+      // holds a stale fingerprint at %5==2 (-> changed), and carries a
+      // retired id range (-> removed).
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 2, sha2(concat(col("text"), lit("old")), 256))
+            .otherwise(sha2(col("text"), 256)).as("fp"))
+        .union(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            sha2(col("text"), 256).as("fp")))
+      StateStore.corpusDiff(oldSnap, newSnap, "doc_id", "fp")
+    }),
+
     "state_update" -> ((s, dir) => {
       // T2: fingerprint upsert — new fps win over old on id collision.
       val docs = t(s, dir, "documents")
@@ -1115,6 +1131,23 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM state s
         |  WHERE s.item_id = d.doc_id AND s.st_fp = sha256(d.text))""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH newsnap AS (SELECT doc_id, sha256(text) AS fp FROM documents),
+        |oldsnap AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 2 THEN sha256(text || 'old') ELSE sha256(text) END AS fp
+        | FROM documents WHERE doc_id % 5 <> 4
+        | UNION ALL
+        | SELECT doc_id + 1000000, sha256(text) FROM documents WHERE doc_id % 50 = 0)
+        |SELECT doc_id, status FROM (
+        | SELECT doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |   WHEN n.fp IS NULL THEN 'removed'
+        |   WHEN o.fp <> n.fp THEN 'changed'
+        |   ELSE 'unchanged' END AS status
+        | FROM oldsnap o FULL OUTER JOIN newsnap n USING (doc_id))
+        |WHERE status <> 'unchanged'""".stripMargin,
 
     "state_update" ->
       """WITH old AS (

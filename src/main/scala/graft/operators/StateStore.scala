@@ -60,6 +60,31 @@ object StateStore {
       .join(st, col(idCol) === col("__st_id") && col(fpCol) === col("__st_fp"), "left_anti")
   }
 
+  /** Full snapshot diff between two corpus versions — the dataset-iteration
+    * report (what did this crawl/curation pass add, drop, or rewrite?):
+    * `(id, status)` with status `added` (id only in `newDf`), `removed`
+    * (only in `oldDf`), or `changed` (both, fingerprints differ);
+    * unchanged rows are included only when `includeUnchanged`.
+    *
+    * One full-outer shuffle join on the id — both sides are corpus-scale,
+    * so unlike [[changed]] nothing broadcasts; at 100 TB this is the one
+    * unavoidable co-partitioning of the two snapshots (bucket both by id
+    * to eliminate it entirely).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, fpCol: String,
+                 includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"), col(fpCol).as("__old_fp"))
+    val n = newDf.select(col(idCol).as("__id"), col(fpCol).as("__new_fp"))
+    val joined = o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__old_fp").isNull, lit("added"))
+          .when(col("__new_fp").isNull, lit("removed"))
+          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** Merge new fingerprints into the state, keeping the newest per item. */
   def upsert(state: DataFrame, updates: DataFrame,
              idCol: String = "item_id", fpCol: String = "fingerprint"): DataFrame = {

@@ -119,4 +119,17 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
     val m = upserted.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m == Map("a" -> "fp_a", "b" -> "fp_b_new", "c" -> "fp_c"))
   }
+
+  test("corpusDiff classifies added/removed/changed; unchanged opt-in") {
+    import spark.implicits._
+    val oldSnap = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("id", "fp")
+    val newSnap = Seq(("b", "2"), ("c", "9"), ("d", "4")).toDF("id", "fp")
+    val diff = StateStore.corpusDiff(oldSnap, newSnap, "id", "fp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diff == Map("a" -> "removed", "c" -> "changed", "d" -> "added"))
+    val all = StateStore.corpusDiff(oldSnap, newSnap, "id", "fp",
+      includeUnchanged = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all("b") == "unchanged" && all.size == 4)
+  }
 }
