@@ -435,6 +435,24 @@ object SparkEntry {
       Search.hitRate(topk, "qid", "source", "expected_source")
     }),
 
+    "eval_mrr" -> ((s, dir) => {
+      // Rank-sensitive twin of eval_hitrate over the same top-5 frame:
+      // 1/rank of the first relevant result, 0 when absent.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("source").as("expected_source"))
+      val scored = queries.crossJoin(corpus)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", round(cos(col("embedding"), col("qv")), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      Search.mrr(topk, "qid", "source", "expected_source", rankCol = "rn")
+    }),
+
     "eval_hitrate_blocked" -> ((s, dir) => {
       // Scale path of eval_hitrate: LSH-banded candidate generation instead
       // of the |Q| x |N| cross join; approximate (no oracle) — recall is
@@ -1319,6 +1337,30 @@ object SparkEntry {
          |SELECT round(CAST(sum(hit) AS DOUBLE) * 100.0 / count(*), 6) AS hit_rate,
          | count(*) AS total_questions, CAST(sum(hit) AS BIGINT) AS hits
          |FROM hits""".stripMargin,
+
+    "eval_mrr" ->
+      s"""WITH corpus AS (
+         | SELECT e.vec_id, e.embedding, d.source
+         | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, source AS expected_source
+         | FROM corpus WHERE vec_id < 20),
+         |scored AS (
+         | SELECT qs.qid, qs.expected_source, c.vec_id, c.source,
+         |  round(${cosOf("c.embedding", "qs.qv")}, 6) AS score
+         | FROM qs, corpus c WHERE c.vec_id <> qs.qid),
+         |topk AS (
+         | SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |firsts AS (
+         | SELECT qid, min(CASE WHEN source = expected_source THEN rn END) AS first_hit
+         | FROM topk GROUP BY qid)
+         |SELECT round(avg(CASE WHEN first_hit IS NOT NULL
+         |   THEN 1.0 / first_hit ELSE 0.0 END), 6) AS mrr,
+         | count(*) AS total_questions,
+         | CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS answered
+         |FROM firsts""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

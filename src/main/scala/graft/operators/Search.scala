@@ -77,4 +77,25 @@ object Search {
       count(lit(1)).as("total_questions"),
       coalesce(sum("hit"), lit(0)).cast("long").as("hits"))
   }
+
+  /** Mean reciprocal rank over the same top-k frame as [[hitRate]]: per
+    * query, 1/rank of the FIRST relevant result (0 when none in the top
+    * k). Returns 1 row `(mrr, total_questions, answered)`; empty input ->
+    * 0.0. Rank-sensitive where hit-rate is membership-only — the pair is
+    * the standard retrieval report.
+    */
+  def mrr(topk: DataFrame, qidCol: String, resultSourceCol: String,
+          expectedSourceCol: String, rankCol: String = "rank"): DataFrame = {
+    val perQuery = topk
+      .groupBy(col(qidCol))
+      .agg(min(when(col(resultSourceCol) === col(expectedSourceCol),
+        col(rankCol))).as("__first_hit"))
+    perQuery.agg(
+      coalesce(round(avg(
+        when(col("__first_hit").isNotNull, lit(1.0) / col("__first_hit"))
+          .otherwise(lit(0.0))), 6), lit(0.0)).as("mrr"),
+      count(lit(1)).as("total_questions"),
+      sum(when(col("__first_hit").isNotNull, 1).otherwise(0))
+        .cast("long").as("answered"))
+  }
 }

@@ -103,6 +103,22 @@ class PipelineEngineSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(row.getAs[Double]("hit_rate") - 200.0 / 3).abs < 0.01)
   }
 
+  test("mrr scores 1/rank of the first relevant result, 0 when absent") {
+    import spark.implicits._
+    // q1 hits at rank 2, q2 at rank 1, q3 never.
+    val topk = Seq(
+      (1L, 1, "a", "b"), (1L, 2, "b", "b"), (1L, 3, "b", "b"),
+      (2L, 1, "x", "x"), (2L, 2, "y", "x"),
+      (3L, 1, "p", "z"), (3L, 2, "q", "z")
+    ).toDF("qid", "rank", "source", "expected_source")
+    val row = graft.operators.Search.mrr(topk, "qid", "source", "expected_source")
+      .collect()(0)
+    assert(row.getAs[Long]("total_questions") == 3)
+    assert(row.getAs[Long]("answered") == 2)
+    assert(row.getAs[Double]("mrr") ==
+      BigDecimal((0.5 + 1.0 + 0.0) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("adaptive chunker + markdown docs flow through the pipeline") {
     val root = tempDir("graft-md")
     val data = root.resolve("data")
