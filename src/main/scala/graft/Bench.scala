@@ -154,20 +154,32 @@ object Bench {
       try pw.write(plansJson) finally pw.close()
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
-    println(line)
-    if (line.length > 1800) {
-      // The driver parses the tail of stdout; an oversized line can start
-      // mid-window and parse as nothing. Follow it with a minimal line so
-      // the tail always ENDS with complete JSON (the stderr warning alone
-      // is invisible to a stdout-only harness).
-      System.err.println(s"[bench] WARNING: result line is ${line.length} chars; the driver's tail window is ~2000 — emitting minimal fallback line")
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    def lineAt(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     }
+    // The driver parses the tail of stdout; an oversized line can start
+    // mid-window and parse as nothing. Degrade gracefully: ms precision ->
+    // centisecond precision (the query map survives; ~1 char/query saved
+    // per digit) -> minimal line without the map. The LAST printed line is
+    // always complete JSON within the window.
+    val full = lineAt(r3)
+    val line =
+      if (full.length <= 1880) full
+      else {
+        System.err.println(s"[bench] line is ${full.length} chars at 3dp; driver tail is 2000 chars minus the sbt success footer — degrading precision")
+        val compact = lineAt(r2)
+        if (compact.length <= 1880) compact
+        else {
+          System.err.println(s"[bench] still ${compact.length} chars at 2dp — dropping the per-query map")
+          s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+        }
+      }
+    println(line)
     spark.stop()
   }
 }

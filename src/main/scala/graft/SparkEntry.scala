@@ -1151,18 +1151,20 @@ object SparkEntry {
         |  WHERE s.item_id = d.doc_id AND s.st_fp = sha256(d.text))""".stripMargin,
 
     "corpus_diff" ->
-      """WITH newsnap AS (SELECT doc_id, sha256(text) AS fp FROM documents),
+      """WITH newsnap AS (SELECT doc_id, sha256(text) AS fp, TRUE AS in_new
+        |  FROM documents),
         |oldsnap AS (
         | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 2 THEN sha256(text || 'old') ELSE sha256(text) END AS fp
+        |  CASE WHEN doc_id % 5 = 2 THEN sha256(text || 'old') ELSE sha256(text) END AS fp,
+        |  TRUE AS in_old
         | FROM documents WHERE doc_id % 5 <> 4
         | UNION ALL
-        | SELECT doc_id + 1000000, sha256(text) FROM documents WHERE doc_id % 50 = 0)
+        | SELECT doc_id + 1000000, sha256(text), TRUE FROM documents WHERE doc_id % 50 = 0)
         |SELECT doc_id, status FROM (
         | SELECT doc_id,
-        |  CASE WHEN o.fp IS NULL THEN 'added'
-        |   WHEN n.fp IS NULL THEN 'removed'
-        |   WHEN o.fp <> n.fp THEN 'changed'
+        |  CASE WHEN in_old IS NULL THEN 'added'
+        |   WHEN in_new IS NULL THEN 'removed'
+        |   WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
         |   ELSE 'unchanged' END AS status
         | FROM oldsnap o FULL OUTER JOIN newsnap n USING (doc_id))
         |WHERE status <> 'unchanged'""".stripMargin,

@@ -55,6 +55,8 @@ object Classifier {
         val gradCols = avg(err).as("g0") +:
           feats.zipWithIndex.map { case (x, j) => avg(err * x).as(s"g${j + 1}") }
         val g = clean.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        require(!g.isNullAt(0),
+          "graft.Classifier: no trainable rows (all labels/features null?)")
         weights = weights.indices.map { j =>
           BigDecimal(weights(j) - lr * g.getDouble(j))
             .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble

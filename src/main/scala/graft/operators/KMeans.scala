@@ -88,7 +88,6 @@ object KMeans {
       require(seeds.length == k,
         s"graft.KMeans: need at least $k non-null vectors, got ${seeds.length}")
       var centroids = seeds.map(_.getSeq[Double](1).toArray)
-      val dim = centroids(0).length
       var it = 0
       while (it < iterations) {
         val cs = centroids // stable reference for the closure
@@ -100,17 +99,14 @@ object KMeans {
           .groupBy(col("__cluster"), col("__d"))
           .agg(round(avg(col("__x")), roundDp).as("__m"))
           .collect()
+        // Start from the previous centroids and overwrite every
+        // (cluster, dim) mean that has members — a fully-empty cluster
+        // keeps its centroid (the SQL oracle's LEFT JOIN + coalesce).
         val next = Array.tabulate(k)(j => centroids(j).clone())
-        val seen = new Array[Boolean](k)
         means.foreach { r =>
-          val cl = r.getInt(0)
-          next(cl)(r.getInt(1)) = r.getDouble(2)
-          seen(cl) = true
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
         }
-        // Empty clusters keep their previous centroid (`seen` only guards
-        // fully-empty ones; a cluster with members updates every dim).
         centroids = next
-        require(centroids.forall(_.length == dim))
         it += 1
       }
       centroids

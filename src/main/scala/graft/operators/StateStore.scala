@@ -74,13 +74,19 @@ object StateStore {
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  idCol: String, fpCol: String,
                  includeUnchanged: Boolean = false): DataFrame = {
-    val o = oldDf.select(col(idCol).as("__id"), col(fpCol).as("__old_fp"))
-    val n = newDf.select(col(idCol).as("__id"), col(fpCol).as("__new_fp"))
+    // Presence comes from explicit marker columns, NOT fingerprint
+    // nullability — a legitimately null fingerprint must not turn an
+    // existing row into 'added'/'removed'. Fingerprint comparison is
+    // null-safe (<=>): null vs value = changed, null vs null = unchanged.
+    val o = oldDf.select(col(idCol).as("__id"), col(fpCol).as("__old_fp"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(idCol).as("__id"), col(fpCol).as("__new_fp"),
+      lit(true).as("__in_new"))
     val joined = o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__old_fp").isNull, lit("added"))
-          .when(col("__new_fp").isNull, lit("removed"))
-          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__old_fp") <=> col("__new_fp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }

@@ -53,6 +53,15 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
       Classifier.fitLogistic(clean, Seq("x"), "y", 2).toSeq)
   }
 
+  test("all-null training input raises a named error instead of NPE") {
+    val allNull = Seq((None: Option[Double], None: Option[Double]))
+      .toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.fitLogistic(allNull, Seq("x"), "y", iterations = 1)
+    }
+    assert(e.getMessage.contains("no trainable rows"))
+  }
+
   test("weights/features arity mismatch raises") {
     val df = Seq((1.0, 1.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {

@@ -132,4 +132,16 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(all("b") == "unchanged" && all.size == 4)
   }
+
+  test("corpusDiff: null fingerprints mean changed-vs-value, unchanged-vs-null, never added/removed") {
+    import spark.implicits._
+    val oldSnap = Seq(("a", None), ("b", None), ("c", Some("3")))
+      .toDF("id", "fp")
+    val newSnap = Seq(("a", Some("1")), ("b", None), ("c", None))
+      .toDF("id", "fp")
+    val diff = StateStore.corpusDiff(oldSnap, newSnap, "id", "fp",
+      includeUnchanged = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diff == Map("a" -> "changed", "b" -> "unchanged", "c" -> "changed"))
+  }
 }
