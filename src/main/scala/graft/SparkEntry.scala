@@ -258,6 +258,13 @@ object SparkEntry {
       // execution paths.
       graft.streaming.Streaming.runWindowedAvailableNow(s, s"$dir/events.parquet")),
 
+    "streaming_neardup" -> ((s, dir) =>
+      // Stream-static near-dup flags through the REAL streaming engine
+      // (stateless band join against a planted reference; Streaming
+      // scaladoc). MinHash is non-ANSI -> rows-only check; semantics
+      // pinned by StreamingSpec + DedupSpec.
+      graft.streaming.Streaming.runNearDupAvailableNow(s, s"$dir/documents.parquet")),
+
     "corpus_curation" -> ((s, dir) => {
       // The operators composed as a curation pipeline in ONE plan: quality
       // gate (length + token floor) -> exact dedup (min-id winner) ->

@@ -127,7 +127,7 @@ object Dedup {
     bands
   }
 
-  private val shinglesUdf = udf((text: String, n: Int) => {
+  private[graft] val shinglesUdf = udf((text: String, n: Int) => {
     val toks = spaceTokens(text)
     if (toks.length < n) Seq.empty[String]
     else {
@@ -414,7 +414,7 @@ object Dedup {
     * exactly once per pair in the projection and the filter consumes the
     * projected attribute.
     */
-  private val jaccardOnceUdf = jaccardFastUdf.asNondeterministic()
+  private[graft] val jaccardOnceUdf = jaccardFastUdf.asNondeterministic()
 
   private def verifiedPairs(shLeft: DataFrame, shRight: DataFrame,
                             candidates: DataFrame, leftId: String, rightId: String,
@@ -434,7 +434,7 @@ object Dedup {
     * signature table would instead be a persisted/bucketed table keyed by
     * id, written once.
     */
-  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def bandedKeys(df: DataFrame, textCol: String, idCol: String,
                          numHashes: Int, bandSize: Int, shingleSize: Int,
                          seed: Long): DataFrame = {
     // Fold BOTH halves of the Long seed into the Int the UDF consumes —

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 import graft.Factory.{GraftChunker, GraftEmbedder}
-import graft.operators.Sink
+import graft.operators.{Dedup, Sink}
 
 /** Structured Streaming surface. The reference is batch/incremental-batch
   * (its "watermark" is an ingest cursor, not event time) — its incremental
@@ -169,5 +169,81 @@ object Streaming {
       }
       .filter(_.isDefined)
       .map(_.get)
+  }
+
+  /** [[nearDupFlagsAgainst]] executed as a REAL streaming query over the
+    * documents table (`Trigger.AvailableNow`), against a planted reference:
+    * every 7th document re-appears under a shifted id with a one-word
+    * suffix. Returns the collected flags as a batch frame, distinct-ed
+    * batch-side (multi-band collisions emit duplicate flags on the
+    * stateless stream — see [[nearDupFlagsAgainst]]). The gate harness for
+    * the streaming near-dup path; deterministic because MinHash is.
+    */
+  def runNearDupAvailableNow(spark: SparkSession, docsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val batch = spark.read.parquet(docsPath)
+    val ref = batch.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+      .select(col("doc_id"), col("text"))
+    val flags = nearDupFlagsAgainst(stream, ref, "text", "doc_id",
+      maxJaccardDistance = 0.5)
+    val name = "nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+    val q = flags.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).distinct()
+  }
+
+  /** Flag incoming documents that near-duplicate a STATIC reference corpus
+    * (the existing training set) as they stream in — the crawl-frontier
+    * twin of [[graft.operators.Dedup.crossCorpusPairs]]. Returns a
+    * streaming frame `(id_new, id_ref, jaccard_dist)`.
+    *
+    * STATELESS by construction: the MinHash banding is a narrow projection
+    * on the stream, candidate generation and shingle lookup are
+    * stream-static inner equi-joins (no watermark, no state store, any
+    * output mode), and the exact-Jaccard verify is per-row. Two artifacts
+    * of statelessness, both deliberate:
+    *  - a pair colliding in MULTIPLE bands emits duplicate identical flags
+    *    (cross-batch distinct would need a state store — dedup downstream
+    *    in foreachBatch when exactly-once flags matter);
+    *  - the reference plan is re-evaluated per micro-batch — persist()
+    *    the ref frame (or point it at a bucketed table) in production.
+    */
+  def nearDupFlagsAgainst(stream: DataFrame, ref: DataFrame,
+                          textCol: String, idCol: String,
+                          maxJaccardDistance: Double = 0.6,
+                          numHashes: Int = 16, bandSize: Int = 2,
+                          shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
+    val mixedSeed = (seed ^ (seed >>> 32)).toInt
+    val refBands = Dedup.bandedKeys(ref, textCol, idCol,
+        numHashes, bandSize, shingleSize, seed)
+      .select(col(idCol).as("__id_ref"), col("__band"), col("__minh"))
+    val refShingles = ref.select(col(idCol).as("__id_ref"),
+      Dedup.shinglesUdf(col(textCol), lit(shingleSize)).as("__sh_b"))
+    val streamBanded = stream
+      .select(col(idCol).as("id_new"),
+        Dedup.shinglesUdf(col(textCol), lit(shingleSize)).as("__sh_a"),
+        posexplode_outer(Dedup.minhashBandsFromTextUdf(col(textCol),
+          lit(shingleSize), lit(numHashes), lit(bandSize), lit(mixedSeed)))
+          .as(Seq("__band", "__minh")))
+      .filter(col("__minh").isNotNull)
+    streamBanded
+      .join(refBands, Seq("__band", "__minh"))
+      .join(refShingles, Seq("__id_ref"))
+      .withColumn("jaccard_dist",
+        lit(1.0) - Dedup.jaccardOnceUdf(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard_dist") <= maxJaccardDistance)
+      .select(col("id_new"), col("__id_ref").as("id_ref"), col("jaccard_dist"))
   }
 }

@@ -168,6 +168,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static near-dup flags incoming docs against a reference corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely unrelated reference material about databases")
+    ).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val flags = Streaming.nearDupFlagsAgainst(
+      stream.toDS().toDF("doc_id", "text"), ref, "text", "doc_id",
+      maxJaccardDistance = 0.5)
+    val q = flags.writeStream.format("memory").queryName("neardup_flags")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 100
+        (2L, "totally novel text with no reference overlap at all"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_flags")
+        .select("id_new", "id_ref").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L)))
+      // a later batch still flags against the same static side
+      stream.addData((3L, "completely unrelated reference material about databases"))
+      q.processAllAvailable()
+      val all = spark.table("neardup_flags")
+        .select("id_new", "id_ref").as[(Long, Long)].collect().toSet
+      assert(all == Set((1L, 100L), (3L, 101L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each fingerprint once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
