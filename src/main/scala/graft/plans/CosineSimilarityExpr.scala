@@ -132,5 +132,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(children.length == 2, "graft_cosine expects 2 arguments")
         CosineSimilarityExpr(children.head, children(1))
       }))
+    // The scalar graft_* surface (quality, lang-id, PII, tokens, vector
+    // ops) — same builders as GraftFunctions.register.
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -87,4 +87,36 @@ class CosineExprSpec extends AnyFunSuite with SparkTestBase {
     one.createOrReplaceTempView("one_pair")
     assert(s2.sql("SELECT graft_cosine(a, b) FROM one_pair").collect()(0).getDouble(0) == 1.0)
   }
+
+  test("graft_* scalar surface registers and matches the Column API") {
+    import graft.operators.TextAnalysis
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "The quick brown fox and the lazy dog were here today."),
+      (2L, "mail me at a@b.com from 10.0.0.1")).toDF("id", "text")
+    df.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_quality(text) AS q, graft_lang_id(text) AS lang,
+        | graft_redact_pii(text) AS clean, graft_bpe_count(text) AS n,
+        | graft_rolling_hash(text) AS fp
+        |FROM gf_docs""".stripMargin).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val viaCols = df.select(col("id"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.redactPii(col("text")).as("clean"),
+        TextAnalysis.bpeTokens(col("text")).as("n"),
+        TextAnalysis.rollingHash(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(viaSql == viaCols)
+    assert(viaSql(2L)._3.contains("[EMAIL]"))
+    // vector scalars too
+    val v = Seq((Seq(3f, 4f), Seq(1f, 0f))).toDF("a", "b")
+    v.createOrReplaceTempView("gf_vecs")
+    val row = spark.sql(
+      "SELECT graft_l2_norm(a) AS n, graft_dot(a, b) AS d FROM gf_vecs").collect()(0)
+    assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 3.0)
+  }
 }
