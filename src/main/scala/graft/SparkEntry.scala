@@ -757,6 +757,23 @@ object SparkEntry {
     "tfidf_terms" -> ((s, dir) =>
       TfIdf.topTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)),
 
+    "gopher_rules" -> ((s, dir) =>
+      // Gopher §A1.1 document-quality rules (CurationRules scaladoc):
+      // per-rule metrics + combined pass flag, paper-default thresholds.
+      CurationRules.gopherFlags(t(s, dir, "documents"), "text", "doc_id")),
+
+    "c4_clean" -> ((s, dir) =>
+      // C4 §2.2 line-level cleaning over a corpus with planted structure:
+      // every 3rd doc gains a bulleted/short-line block, every 11th a
+      // brace (doc-level drop).
+      CurationRules.c4Clean(
+        t(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" {code}")))
+            .when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(".\nshort line\n- bullet item\nA proper sentence with enough words here.")))
+            .otherwise(concat(col("text"), lit(".")))),
+        "text", "doc_id")),
+
     "lm_unigram_score" -> ((s, dir) =>
       // CCNet-style quality signal: self-trained unigram LM, per-doc mean
       // token log-prob + perplexity (LangModel scaladoc). Deterministic
@@ -1723,6 +1740,73 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, term, tf, doc_freq, cf, tfidf, CAST(rnk AS BIGINT) AS rank
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "gopher_rules" -> {
+      val stop = TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n_toks,
+         |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS tok_chars,
+         |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
+         |   + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+         |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words,
+         |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS BIGINT) AS stop_hits
+         | FROM t),
+         |r AS (SELECT doc_id, n_toks, stop_hits,
+         |  CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_toks > 0 THEN CAST(symbols AS DOUBLE) / n_toks ELSE 0.0 END AS symbol_ratio,
+         |  CAST(len(lines) AS DOUBLE) AS n_lines,
+         |  CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+         |    OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '•'))) AS DOUBLE) AS bullets,
+         |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+         |    OR ends_with(rtrim(l), '…'))) AS DOUBLE) AS ellipses,
+         |  alpha_words
+         | FROM m),
+         |f AS (SELECT doc_id, n_toks, mean_word_len, symbol_ratio, stop_hits,
+         |  CASE WHEN n_lines > 0 THEN bullets / n_lines ELSE 0.0 END AS bullet_frac,
+         |  CASE WHEN n_lines > 0 THEN ellipses / n_lines ELSE 0.0 END AS ellipsis_frac,
+         |  CASE WHEN n_toks > 0 THEN alpha_words / n_toks ELSE 0.0 END AS alpha_frac
+         | FROM r)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS word_count,
+         | round(mean_word_len, 6) AS mean_word_len,
+         | round(symbol_ratio, 6) AS symbol_ratio,
+         | round(bullet_frac, 6) AS bullet_frac,
+         | round(ellipsis_frac, 6) AS ellipsis_frac,
+         | round(alpha_frac, 6) AS alpha_frac,
+         | stop_hits,
+         | (n_toks >= 50 AND n_toks <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND symbol_ratio <= 0.1
+         |  AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+         |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
+         |FROM f""".stripMargin
+    },
+
+    "c4_clean" ->
+      """WITH docs AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' {code}'
+        |   WHEN doc_id % 3 = 0 THEN text || '.' || chr(10) || 'short line'
+        |     || chr(10) || '- bullet item' || chr(10)
+        |     || 'A proper sentence with enough words here.'
+        |   ELSE text || '.' END AS text
+        | FROM documents),
+        |k AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+        |    AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+        |      OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        | FROM docs),
+        |d AS (SELECT doc_id, kept,
+        |  (contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+        |   OR len(kept) < 1) AS dropped
+        | FROM k)
+        |SELECT doc_id,
+        | CASE WHEN dropped THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text,
+        | CASE WHEN dropped THEN 0 ELSE len(kept) END AS n_lines_kept,
+        | dropped AS doc_dropped
+        |FROM d""".stripMargin,
 
     "lm_unigram_score" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

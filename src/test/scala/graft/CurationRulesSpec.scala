@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CurationRules
+
+/** Gopher document rules and C4 line cleaning: hand-checked rule firing,
+  * metric values, and edge inputs.
+  */
+class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("gopher: clean prose passes, each rule can fail independently") {
+    val prose = ("the data pipeline reads a document and writes a result " * 6).trim
+    val docs = Seq(
+      (1L, prose),                                   // passes everything
+      (2L, "too short"),                             // word count < 50
+      (3L, ("a " * 60).trim),                        // mean word len < 3
+      (4L, prose + " " + ("#" * 40)),                // symbol ratio > 0.1
+      (5L, prose + "\n" + Seq.fill(20)("- item").mkString("\n")), // bullets
+      (6L, prose.split(" ").map(_ + "...").mkString("\n")),       // ellipses
+      (7L, ("12345 " * 60).trim)                     // alpha frac 0 + no stopwords
+    ).toDF("doc_id", "text")
+    val got = CurationRules.gopherFlags(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passes")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false))
+  }
+
+  test("gopher metrics are the hand-computed values") {
+    val r = CurationRules.gopherFlags(
+      Seq((1L, "alpha beta gamma#...\n- b1\nplain line")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()(0)
+    // SPACE tokenizer (newlines don't split): "alpha", "beta",
+    // "gamma#...\n-", "b1\nplain", "line" -> 5 tokens; symbols = # + one
+    // "..." = 2.
+    assert(r.getAs[Long]("word_count") == 5L)
+    assert(r.getAs[Double]("symbol_ratio") ==
+      BigDecimal(2.0 / 5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("bullet_frac") ==
+      BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("c4: keeps punctuated >=5-word lines, drops javascript lines and brace docs") {
+    val docs = Seq(
+      (1L, "This first line has enough words.\nshort one.\nno terminal punctuation here at all\nPlease enable javascript to continue reading.\nAnother good line with plenty of words!"),
+      (2L, "A fine sentence with many words. { embedded code }"),
+      (3L, "We apologise for the lorem ipsum filler text here."),
+      (4L, "only\nfragments\nhere")
+    ).toDF("doc_id", "text")
+    val got = CurationRules.c4Clean(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[Boolean]("doc_dropped")))).toMap
+    assert(got(1L) == (("This first line has enough words.\nAnother good line with plenty of words!", 2L, false)))
+    assert(got(2L) == (("", 0L, true)))  // brace -> whole doc dropped
+    assert(got(3L) == (("", 0L, true)))  // lorem ipsum
+    assert(got(4L) == (("", 0L, true)))  // no kept lines
+  }
+
+  test("null and empty texts are dropped, not crashed on") {
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val c4 = CurationRules.c4Clean(weird, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("doc_dropped")).toMap
+    assert(c4 == Map(1L -> true, 2L -> true))
+  }
+}
