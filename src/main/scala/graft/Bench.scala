@@ -155,30 +155,34 @@ object Bench {
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def lineAt(fmt: Double => String): String = {
+    def lineAt(fmt: Double => String, extras: Boolean): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      // `failed` is a load-bearing signal only when non-empty; `reps` is
+      // informational — both are shed before any timing precision beyond
+      // centiseconds is.
+      val failedPart = if (extras || failed.nonEmpty) s""","failed":$failedJson""" else ""
+      val repsPart = if (extras) s""","reps":$reps""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedPart$repsPart,"sf":"$sfDir"}"""
     }
     // The driver parses the tail of stdout; an oversized line can start
-    // mid-window and parse as nothing. Degrade gracefully: ms precision ->
-    // centisecond precision (the query map survives; ~1 char/query saved
-    // per digit) -> minimal line without the map. The LAST printed line is
-    // always complete JSON within the window.
-    val full = lineAt(r3)
-    val line =
-      if (full.length <= 1880) full
-      else {
-        System.err.println(s"[bench] line is ${full.length} chars at 3dp; driver tail is 2000 chars minus the sbt success footer — degrading precision")
-        val compact = lineAt(r2)
-        if (compact.length <= 1880) compact
-        else {
-          System.err.println(s"[bench] still ${compact.length} chars at 2dp — dropping the per-query map")
-          s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
-        }
-      }
+    // mid-window and parse as nothing. Degrade stepwise — ms precision,
+    // then centiseconds minus the optional keys, then deciseconds — and
+    // only as a last resort drop the per-query map. The printed line is
+    // always complete JSON within the ~1880-char budget (2000-char tail
+    // minus the sbt success footer).
+    val candidates = Seq(
+      lineAt(r3, extras = true), lineAt(r2, extras = false),
+      lineAt(r1, extras = false))
+    val line = candidates.find(_.length <= 1880).getOrElse {
+      System.err.println(s"[bench] per-query map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — dropping it")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    }
+    if (line != candidates.head)
+      System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")
     println(line)
     spark.stop()
   }

@@ -757,6 +757,12 @@ object SparkEntry {
     "tfidf_terms" -> ((s, dir) =>
       TfIdf.topTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)),
 
+    "winnow_fingerprints" -> ((s, dir) =>
+      // MOSS winnowing (Dedup.winnowFingerprints scaladoc): min-hash of
+      // each sliding gram window, distinct, digested set-stably. Pure
+      // HOF expressions -> full oracle.
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id")),
+
     "gopher_rules" -> ((s, dir) =>
       // Gopher §A1.1 document-quality rules (CurationRules scaladoc):
       // per-rule metrics + combined pass flag, paper-default thresholds.
@@ -1740,6 +1746,25 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, term, tf, doc_freq, cf, tfidf, CAST(rnk AS BIGINT) AS rank
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 5 THEN
+         |    list_transform(range(1, len(toks) - 3), i ->
+         |      md5(array_to_string(list_slice(toks, i, i + 4), ' ')))
+         |  ELSE CAST([] AS VARCHAR[]) END AS grams
+         | FROM t),
+         |f AS (SELECT doc_id, len(grams) AS n_grams,
+         |  CASE WHEN len(grams) >= 4 THEN
+         |    list_distinct(list_transform(range(1, len(grams) - 2), i ->
+         |      list_min(list_slice(grams, i, i + 3))))
+         |  ELSE CAST([] AS VARCHAR[]) END AS fps
+         | FROM g)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         | CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         | md5(array_to_string(list_sort(fps), '')) AS fp_digest
+         |FROM f""".stripMargin,
 
     "gopher_rules" -> {
       val stop = TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")

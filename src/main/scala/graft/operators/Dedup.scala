@@ -267,6 +267,40 @@ object Dedup {
     * to a corpus-global statistic (same shape as [[TfIdf.score]]). The
     * final per-doc rollup shuffles doc ids only.
     */
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): md5 each `k`-token gram, then keep the MINIMUM hash of
+    * every `window`-gram sliding window, distinct — a position-robust
+    * document fingerprint SET whose density is guaranteed (at least one
+    * selection per window) while insertions/deletions only perturb nearby
+    * windows. The plagiarism-detection complement to [[SpanDedup]]'s exact
+    * spans and the minhash signature's whole-document sketch.
+    *
+    * Output: `(id, n_grams, n_fingerprints, fp_digest)` where `fp_digest`
+    * is md5 over the sorted fingerprint set (set-stable). Pure codegen'd
+    * HOFs (transform/slice/array_min) — no UDF, no shuffle, linear at any
+    * corpus size. Documents with fewer than `k + window - 1` tokens yield
+    * zero fingerprints.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 5, window: Int = 4): DataFrame = {
+    require(k > 0 && window > 0, "k and window must be positive")
+    val toks = TextAnalysis.toks(col(textCol))
+    val n = size(toks)
+    val grams = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i =>
+          md5(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val nGrams = size(grams)
+    val fps = when(nGrams >= window,
+        array_distinct(transform(sequence(lit(1), nGrams - (window - 1)), i =>
+          array_min(slice(grams, i, lit(window))))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol),
+      nGrams.cast("long").as("n_grams"),
+      size(fps).cast("long").as("n_fingerprints"),
+      md5(array_join(array_sort(fps), "")).as("fp_digest"))
+  }
+
   def duplicationDensity(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 13): DataFrame = {
     val grams = Partitioning.ensureParallelism(df)

@@ -243,4 +243,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(out == Set((1L, 4L)))
   }
+  test("winnowing: guaranteed density, shift-robust, short docs empty") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val shifted = "zzz " + base // one token inserted at the front
+    val docs = Seq((1L, base), (2L, shifted), (3L, "only four short words"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_fingerprints"),
+          r.getAs[String]("fp_digest")))).toMap
+    // 40 tokens, k=5 -> 36 grams; window=4 -> 33 windows; distinct <= 33
+    assert(out(1L)._1 == 36L && out(1L)._2 <= 33L && out(1L)._2 >= 9L)
+    // determinism
+    val again = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .filter($"doc_id" === 1L).collect()(0).getAs[String]("fp_digest")
+    assert(again == out(1L)._3)
+    // one inserted token perturbs only nearby windows: the fingerprint
+    // SETS must still overlap heavily (winnowing's locality guarantee)
+    val fpsOf = (t: String) => {
+      val toks = t.split(" ")
+      val grams = toks.sliding(5).map(_.mkString(" ")).map { g =>
+        java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toVector
+      grams.sliding(4).map(_.min).toSet
+    }
+    val inter = fpsOf(base).intersect(fpsOf(shifted)).size
+    assert(inter >= fpsOf(base).size - 3, s"shift destroyed locality: $inter")
+    // and the operator agrees with the reference implementation above
+    assert(out(1L)._2 == fpsOf(base).size.toLong)
+    // short and null docs: zero fingerprints, md5("") digest
+    assert(out(3L)._2 == 0L && out(3L)._3 == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(!out.contains(4L) || out(4L)._2 == 0L)
+  }
 }
+

@@ -121,6 +121,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gopher_rules / c4_clean: the curation rule sets are narrow and UDF-free too") {
+    Seq("gopher_rules", "c4_clean").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles: ${p.take(400)}")
+      assert(!p.contains("BatchEvalPython") && !"\\bUDF\\b".r.findFirstIn(p).isDefined,
+        s"$q fell out of codegen: ${p.take(400)}")
+    }
+  }
+
+  test("embed_mean_pool: per-dim means partial-aggregate map-side") {
+    val p = plan("embed_mean_pool")
+    assert(p.contains("partial_avg") || p.contains("partial_average"),
+      s"mean pool should map-side combine: ${p.take(600)}")
+  }
+
   test("decontamination: eval grams broadcast; corpus never shuffles at gram grain") {
     val p = plan("decontamination")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
