@@ -717,6 +717,15 @@ object SparkEntry {
         budgetPerGroup = 5000, buckets = 100)
     }),
 
+    "temperature_mix" -> ((s, dir) =>
+      // T5/mT5 temperature sampling across languages (alpha=0.5 up-weights
+      // low-resource langs; CorpusMix.temperatureSample scaladoc). The
+      // md5-of-id order makes the in-group draw deterministic + unbiased.
+      CorpusMix.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", alpha = 0.5, budget = 300,
+        orderBy = Seq(md5(col("doc_id").cast("string")), col("doc_id")))),
+
     "corpus_shuffle" -> ((s, dir) =>
       // Deterministic epoch shuffle: 0-based training-order position via
       // the distributed prefix sum (no global window, no rand(seed)).
@@ -1746,6 +1755,20 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, term, tf, doc_freq, cf, tfidf, CAST(rnk AS BIGINT) AS rank
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "temperature_mix" ->
+      """WITH sizes AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM sizes),
+        |tg AS (SELECT lang, least(CAST(n AS BIGINT),
+        |  CAST(floor(round(pow(n, 0.5) / z.z * 300, 6)) AS BIGINT)) AS target
+        | FROM sizes CROSS JOIN z),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        | FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rank AS BIGINT) AS rank, tg.target
+        |FROM r JOIN tg USING (lang) WHERE r.rank <= tg.target""".stripMargin,
 
     "winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

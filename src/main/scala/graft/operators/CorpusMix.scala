@@ -98,4 +98,37 @@ object CorpusMix {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= maxPerGroup)
   }
+
+  /** Temperature sampling across groups (the T5/mT5 multilingual mix,
+    * Raffel et al. / Xue et al.): group `j` contributes
+    * `floor(round(n_j^alpha / sum_k n_k^alpha * budget, 6))` rows — at
+    * `alpha = 1` proportional to size, at `alpha -> 0` uniform across
+    * groups, in between up-weighting low-resource groups, capped at the
+    * group's actual size. Row selection within a group follows `orderBy`
+    * (pass an md5-of-key order for an unbiased deterministic draw, or
+    * quality-desc for best-first). The round(..., 6) before floor pins the
+    * target against cross-engine pow/division ulps.
+    *
+    * Scale shape: group sizes are one map-side-combined aggregate (rows =
+    * number of groups, broadcast back); the per-group rank is the same
+    * one-shuffle window as [[capPerGroup]]. Output adds `rank` (in-group)
+    * and `target` (the group's computed quota).
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, alpha: Double,
+                        budget: Long, orderBy: Seq[Column]): DataFrame = {
+    require(alpha > 0, "alpha must be positive (alpha -> 0 is uniform)")
+    require(budget > 0, "budget must be positive")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tot = sizes.agg(sum(pow(col("__n"), alpha)).as("__z"))
+    val targets = sizes.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(col("__n").cast("long"),
+          floor(round(pow(col("__n"), alpha) / col("__z") * budget, 6))
+            .cast("long")).as("target"))
+    val w = Window.partitionBy(groupCol).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("rank") <= col("target"))
+  }
 }

@@ -107,4 +107,26 @@ class CorpusMixSpec extends AnyFunSuite with SparkTestBase {
     }
     exactTokens.foreach { case (l, t) => assert(t <= budget, s"$l exact pack exceeded: $t") }
   }
+
+  test("temperatureSample: quotas follow n^alpha, capped at group size, rounding pinned") {
+    import org.apache.spark.sql.functions.col
+    // sizes 4 and 1, alpha 0.5, budget 3: z = 2 + 1 = 3 ->
+    // targets floor(round(2/3*3)) = 2 and floor(round(1/3*3)) = 1. The
+    // 1/3*3 = 0.999... case is exactly what the round-before-floor fixes.
+    val docs = (1L to 4L).map(i => (i, "big")) :+ ((5L, "small"))
+    val got = CorpusMix.temperatureSample(docs.toDF("id", "g"), "g",
+        alpha = 0.5, budget = 3, orderBy = Seq(col("id")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("target"))
+    assert(got.toMap.values.toSet == Set(2L, 1L))
+    assert(got.length == 3)
+    assert(got.count(_._2 == 2L) == 2) // two rows drawn from the big group
+    // alpha = 1 reduces to proportional: targets floor(4/5*5)=4, floor(1/5*5)=1
+    val prop = CorpusMix.temperatureSample(docs.toDF("id", "g"), "g",
+        alpha = 1.0, budget = 5, orderBy = Seq(col("id")))
+    assert(prop.count() == 5)
+    // cap: a huge budget never over-draws a group
+    val capped = CorpusMix.temperatureSample(docs.toDF("id", "g"), "g",
+        alpha = 0.5, budget = 1000000, orderBy = Seq(col("id")))
+    assert(capped.count() == 5)
+  }
 }
