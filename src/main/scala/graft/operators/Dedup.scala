@@ -510,8 +510,55 @@ object Dedup {
                        bandSize: Int = 2,
                        shingleSize: Int = 3,
                        seed: Long = 42L,
-                       persistIntermediates: Option[Boolean] = None): DataFrame = {
+                       persistIntermediates: Option[Boolean] = None): DataFrame =
+    crossCorpusPairsPrebanded(dfNew, dfRef, textCol, idCol,
+      signatures(dfRef, textCol, idCol, numHashes, bandSize, shingleSize, seed),
+      maxJaccardDistance, numHashes, bandSize, shingleSize, seed,
+      persistIntermediates)
+
+  /** The reference corpus's banded signature table `(id, band, minh)` — the
+    * artifact an INCREMENTAL pipeline persists once and re-joins every
+    * crawl instead of re-banding the whole training set:
+    * {{{
+    *   Dedup.signatures(trainingSet, "text", "doc_id")
+    *     .write.bucketBy(256, "band", "minh").sortBy("band")
+    *     .saveAsTable("train_signatures")
+    *   // later, per crawl:
+    *   Dedup.crossCorpusPairsPrebanded(crawl, trainingSet, "text", "doc_id",
+    *     spark.table("train_signatures"))
+    * }}}
+    * Bucketing by (band, minh) makes the candidate join shuffle-free on
+    * the (large) reference side — only the new crawl's signatures move.
+    */
+  def signatures(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 16, bandSize: Int = 2,
+                 shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
+    bandedKeys(df, textCol, idCol, numHashes, bandSize, shingleSize, seed)
+      .select(col(idCol), col("__band").as("band"), col("__minh").as("minh"))
+  }
+
+  /** [[crossCorpusPairs]] against a PRE-COMPUTED reference signature table
+    * (from [[signatures]], typically a bucketed catalog table). `dfRef` is
+    * still required — the exact-Jaccard verification reads candidate
+    * shingles from it — but its full-corpus banding pass is skipped, and
+    * with a bucketed table the candidate join does not shuffle the
+    * reference side at all. Signature parameters MUST match the ones the
+    * table was built with (same hashes/bands/shingles/seed), or candidates
+    * silently miss; they are passed explicitly to document that coupling.
+    */
+  def crossCorpusPairsPrebanded(dfNew: DataFrame, dfRef: DataFrame,
+                                textCol: String, idCol: String,
+                                refSignatures: DataFrame,
+                                maxJaccardDistance: Double = 0.6,
+                                numHashes: Int = 16,
+                                bandSize: Int = 2,
+                                shingleSize: Int = 3,
+                                seed: Long = 42L,
+                                persistIntermediates: Option[Boolean] = None): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
+    require(Seq(idCol, "band", "minh").forall(refSignatures.columns.contains),
+      s"refSignatures needs columns ($idCol, band, minh) — build it with Dedup.signatures")
     val persist = shouldPersist(dfNew.unionByName(dfRef), persistIntermediates)
     def maybePersist(d: DataFrame): DataFrame =
       if (persist)
@@ -519,8 +566,8 @@ object Dedup {
       else d
     val a = bandedKeys(dfNew, textCol, idCol, numHashes, bandSize, shingleSize, seed)
       .select(col(idCol).as("id_new"), col("__band"), col("__minh"))
-    val b = bandedKeys(dfRef, textCol, idCol, numHashes, bandSize, shingleSize, seed)
-      .select(col(idCol).as("id_ref"), col("__band"), col("__minh"))
+    val b = refSignatures.select(col(idCol).as("id_ref"),
+      col("band").as("__band"), col("minh").as("__minh"))
     val candidates = maybePersist(a.join(b, Seq("__band", "__minh"))
       .select("id_new", "id_ref").distinct())
     val shNew = candidateShingles(dfNew, textCol, idCol, shingleSize,

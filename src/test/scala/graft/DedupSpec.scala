@@ -277,5 +277,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L)._2 == 0L && out(3L)._3 == "d41d8cd98f00b204e9800998ecf8427e")
     assert(!out.contains(4L) || out(4L)._2 == 0L)
   }
+  test("prebanded cross-corpus dedup: bucketed signature table, identical pairs, no ref re-banding") {
+    import spark.implicits._
+    val ref = (1L to 30L).map(i => (i, s"the shared reference document number $i talks about topic ${i % 5}"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      (101L, "the shared reference document number 7 talks about topic 2"), // dup of 7
+      (102L, "completely novel crawl content with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.crossCorpusPairs(crawl, ref, "text", "doc_id")
+      .select("id_new", "id_ref").as[(Long, Long)].collect().toSet
+    // persist the signatures through a REAL bucketed catalog table
+    spark.sql("DROP TABLE IF EXISTS ref_sigs")
+    Dedup.signatures(ref, "text", "doc_id")
+      .write.bucketBy(4, "band", "minh").saveAsTable("ref_sigs")
+    val pre = Dedup.crossCorpusPairsPrebanded(crawl, ref, "text", "doc_id",
+      spark.table("ref_sigs"))
+    assert(pre.select("id_new", "id_ref").as[(Long, Long)].collect().toSet == direct)
+    assert(direct.contains((101L, 7L)))
+    // the reference side must NOT re-band. The un-persisted candidate
+    // subtree is referenced three times, so banding Generates appear once
+    // PER COPY per banded side: the prebanded plan must carry half the
+    // direct plan's (crawl only vs crawl+ref).
+    val preGens = "Generate posexplode".r.findAllIn(
+      pre.queryExecution.executedPlan.toString).size
+    val directGens = "Generate posexplode".r.findAllIn(
+      Dedup.crossCorpusPairs(crawl, ref, "text", "doc_id")
+        .queryExecution.executedPlan.toString).size
+    assert(preGens * 2 == directGens && preGens > 0,
+      s"expected ref banding to disappear: prebanded=$preGens direct=$directGens")
+    spark.sql("DROP TABLE IF EXISTS ref_sigs")
+  }
 }
+
 
