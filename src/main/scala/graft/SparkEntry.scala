@@ -305,6 +305,28 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("session_index"))
     }),
 
+    "interval_overlap" -> ((s, dir) => {
+      // Range x range: which click sessions overlap which view sessions
+      // per user (both gap-padded). Grid overlay + the canonical-cell
+      // dedup trick (emit from the overlap-start cell only) — hash
+      // equi-join, no nested loop, no distinct shuffle.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000 * 1000"))
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      def sessIv(tpe: String, p: String) =
+        Sessionize.sessionStats(ev.filter(col("event_type") === tpe),
+            "user_id", "ts", gapNs)
+          .select(col("user_id"), col("session_index").as(s"${p}_session"),
+            col("start_ns").as(s"${p}_start"),
+            (col("end_ns") + gapNs).as(s"${p}_end"))
+      RangeJoin.intervalOverlap(sessIv("click", "c"), sessIv("view", "v"),
+          "c_start", "c_end", "v_start", "v_end",
+          bucketWidth = 3600L * 1000 * 1000 * 1000, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("c_session"), col("v_session"),
+          greatest(col("c_start"), col("v_start")).as("overlap_start"),
+          least(col("c_end"), col("v_end")).as("overlap_end"))
+    }),
+
     "heavy_hitters" -> ((s, dir) => {
       // Custom Misra-Gries TypedImperativeAggregate. Capacity (64) exceeds
       // the distinct-source count, so the sketch degrades to EXACT counts —
@@ -1277,6 +1299,31 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, epoch_ns(ts) AS tsn
         |      FROM events WHERE event_type = 'purchase') p
         |JOIN iv ON p.user_id = iv.user_id AND p.tsn BETWEEN iv.start_ns AND iv.end_ns""".stripMargin,
+
+    "interval_overlap" -> {
+      def sessCtes(tpe: String, p: String) =
+        s"""${p}f AS (
+           | SELECT user_id, epoch_ns(ts) AS tsn,
+           |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+           |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+           | FROM events WHERE event_type = '$tpe'
+           | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+           |${p}s AS (
+           | SELECT user_id, tsn,
+           |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+           | FROM ${p}f),
+           |${p}iv AS (
+           | SELECT user_id, session_index, MIN(tsn) AS start_ns,
+           |  MAX(tsn) + 1800000000000 AS end_ns
+           | FROM ${p}s GROUP BY user_id, session_index)""".stripMargin
+      s"""WITH ${sessCtes("click", "c")},
+         |${sessCtes("view", "v")}
+         |SELECT c.user_id, c.session_index AS c_session, v.session_index AS v_session,
+         | greatest(c.start_ns, v.start_ns) AS overlap_start,
+         | least(c.end_ns, v.end_ns) AS overlap_end
+         |FROM civ c JOIN viv v ON c.user_id = v.user_id
+         | AND c.start_ns <= v.end_ns AND v.start_ns <= c.end_ns""".stripMargin
+    },
 
     "heavy_hitters" ->
       "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",

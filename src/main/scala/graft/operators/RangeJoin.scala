@@ -76,4 +76,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join (range x range): pairs where
+    * `[ls, le]` and `[rs, re]` intersect (inclusive ends). Same grid
+    * overlay as [[pointInInterval]], with the classic dedup trick: a pair
+    * sharing several grid cells is emitted only from the cell containing
+    * the OVERLAP START (`greatest(ls, rs)`) — a narrow post-join filter,
+    * so no distinct shuffle is ever needed. No nested loop at any size;
+    * cost scales with true overlap density x replication (~len/width per
+    * side). Column names must be disjoint across the two inputs.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      bucketWidth: Long,
+                      keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def cells(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__cell", explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+    val l = cells(left, leftStart, leftEnd)
+    val r = cells(right, rightStart, rightEnd)
+    l.join(r, keyCols :+ "__cell")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__cell") ===
+        floor(greatest(col(leftStart), col(rightStart)) / bucketWidth).cast("long"))
+      .drop("__cell")
+  }
 }

@@ -84,4 +84,26 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(got == expected, s"broadcastIntervals=$bc")
     }
   }
+
+  test("intervalOverlap matches the naive theta join; multi-cell pairs emit once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Spans crossing many 10-wide cells, touching pairs, disjoint pairs,
+    // and a keyed split.
+    val l = Seq((1L, "a", 0L, 35L), (2L, "a", 50L, 55L), (3L, "b", 0L, 100L))
+      .toDF("lid", "k", "ls", "le")
+    val r = Seq((10L, "a", 30L, 70L), (11L, "a", 200L, 210L), (12L, "b", 90L, 95L))
+      .toDF("rid", "k", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 10L, keyCols = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val naiveOverlap = l.join(r, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == naiveOverlap)
+    assert(got.size == got.toSet.size, s"duplicate pair emission: $got")
+    // (1,10) overlap [30,35] spans only part of a cell; (2,10) and (3,12)
+    // also overlap; key separation keeps b-side pairs apart from a-side.
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
 }
