@@ -174,6 +174,13 @@ object Bench {
     // only as a last resort drop the per-query map. The printed line is
     // always complete JSON within the ~1880-char budget (2000-char tail
     // minus the sbt success footer).
+    // Full-precision timings always land in a file (like the plan
+    // digests), so the stdout line's degradation never loses data.
+    if (only.isEmpty) {
+      val tw = new java.io.PrintWriter(new java.io.File(plansDir, "timings.json"), "UTF-8")
+      try tw.write(results.map { case (k, v) => s"\"$k\":${r3(v)}" }
+        .mkString("{", ",", "}")) finally tw.close()
+    }
     val candidates = Seq(
       lineAt(r3, extras = true), lineAt(r2, extras = false),
       lineAt(r1, extras = false))
