@@ -393,6 +393,21 @@ object SparkEntry {
       Sessionize.sessionStats(micros, "user_id", "ts", gapNs)
     }),
 
+    "html_main_content" -> ((s, dir) => {
+      // Boilerplate removal: the corpus text embedded in a page skeleton
+      // with a nav bar (short -> dropped), a link farm (link-dense ->
+      // dropped), a tiny footer (short -> dropped), and one genuine extra
+      // paragraph. extractMainContent must keep exactly the content
+      // blocks (TextFunctions scaladoc).
+      val page = concat(
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a></div>\n<p>"),
+        col("text"),
+        lit("</p>\n<div><a href=\"/l1\">one interesting link label here</a> <a href=\"/l2\">another long link label text</a> and</div>\n" +
+          "<p>A second real paragraph with plenty of genuine content words.</p>\n<div>tiny</div>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.extractMainContent(page).as("main"))
+    }),
+
     "web_normalize" -> ((s, dir) => {
       // S2: strip_html + per-line normalize (sources.py:134-137) over a
       // deterministic HTML wrapping of the corpus text.
@@ -1378,6 +1393,31 @@ object SparkEntry {
         | MIN(tsn) AS start_ns, MAX(tsn) AS end_ns,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_index""".stripMargin,
+
+    "html_main_content" -> {
+      def stripSql(in: String): String =
+        s"""replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace($in, '(?is)<script[^>]*>.*?</script>', '', 'g'), '(?is)<style[^>]*>.*?</style>', '', 'g'), '<[^>]*>', '', 'g'), '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39))"""
+      s"""WITH p AS (SELECT doc_id,
+         | '<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div>' || chr(10) || '<p>' || text
+         |  || '</p>' || chr(10)
+         |  || '<div><a href="/l1">one interesting link label here</a> <a href="/l2">another long link label text</a> and</div>' || chr(10)
+         |  || '<p>A second real paragraph with plenty of genuine content words.</p>' || chr(10) || '<div>tiny</div>' AS page
+         | FROM documents),
+         |b AS (SELECT doc_id,
+         |  string_split_regex(page, '(?i)</p>|</div>|</li>|</h[1-6]>|<br */?>') AS blocks
+         | FROM p),
+         |s AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
+         |    t := regexp_replace(${stripSql("x")}, '^\\s+|\\s+$$', '', 'g'),
+         |    lc := CAST(list_reduce(list_prepend(0, list_transform(
+         |      regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), y -> len(y))),
+         |      (a, b) -> a + b) AS DOUBLE))) AS sc
+         | FROM b)
+         |SELECT doc_id, array_to_string(list_transform(list_filter(sc, e ->
+         |  len(e.t) >= 25 AND
+         |  (CASE WHEN len(e.t) > 0 THEN e.lc / CAST(len(e.t) AS DOUBLE) ELSE 1.0 END) <= 0.3),
+         |  e -> e.t), chr(10)) AS main
+         |FROM s""".stripMargin
+    },
 
     "web_normalize" ->
       """SELECT doc_id,

@@ -25,6 +25,38 @@ object TextFunctions {
     }
   }
 
+  /** jusText/trafilatura-style MAIN-CONTENT extraction: split the page at
+    * block-level boundaries (</p>, </div>, </li>, headings, <br>), score
+    * each block by its stripped-text length and its link-text density
+    * (anchor inner-text chars / text chars), and keep only content-looking
+    * blocks — navigation, footers, and link farms drop. The heuristic core
+    * of every boilerplate-removal crawler, as pure codegen'd expressions
+    * (split/transform/filter/regexp — no UDF, narrow, linear).
+    *
+    * A block survives when `len(text) >= minBlockChars` AND
+    * `linkChars/len(text) <= maxLinkFrac` (empty blocks count as all-link).
+    * Survivors re-join with newlines in page order.
+    */
+  def extractMainContent(html: Column, minBlockChars: Int = 25,
+                         maxLinkFrac: Double = 0.3): Column = {
+    val blocks = split(html, "(?i)</p>|</div>|</li>|</h[1-6]>|<br */?>", -1)
+    val scored = transform(blocks, b => {
+      // full-whitespace trim (plain trim() is spaces-only in both engines)
+      val text = regexp_replace(stripHtml(b), "^\\s+|\\s+$", "")
+      val linkChars = aggregate(
+        transform(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+          x => length(x)),
+        lit(0), (acc, v) => acc + v).cast("double")
+      struct(text.as("t"),
+        (length(text) >= minBlockChars &&
+          when(length(text) > 0, linkChars / length(text).cast("double"))
+            .otherwise(lit(1.0)) <= maxLinkFrac).as("keep"))
+    })
+    array_join(
+      transform(filter(scored, s => s.getField("keep")), s => s.getField("t")),
+      "\n")
+  }
+
   /** Per-line strip, drop blank lines, re-join with "\n" — the reference's
     * web-source normalization (`sources.py:136-137`).
     */

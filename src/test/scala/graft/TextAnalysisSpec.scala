@@ -47,4 +47,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L).getAs[Double]("dup_token_fraction") == 0.0) // empty -> all zeros
     assert(out(4L).getAs[Double]("dup_token_fraction") == 0.75)
   }
+
+  test("extractMainContent keeps content blocks, drops nav/link-farm/short blocks") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val page =
+      """<div id="nav"><a href="/">Home</a> <a href="/a">About</a></div>
+        |<p>This paragraph carries the genuine long-form article content of the page.</p>
+        |<div><a href="/x">a long link label over here</a> <a href="/y">another long link label there</a> ok</div>
+        |<p>Second real paragraph, also with plenty of honest words inside it.</p>
+        |<div>tiny</div>""".stripMargin
+    val out = Seq((1L, page)).toDF("id", "html")
+      .select(TextFunctions.extractMainContent(org.apache.spark.sql.functions.col("html")))
+      .as[String].collect().head
+    assert(out ==
+      "This paragraph carries the genuine long-form article content of the page.\n" +
+        "Second real paragraph, also with plenty of honest words inside it.")
+    // all-boilerplate page -> empty
+    val none = Seq((1L, "<div><a href=\"/\">Home</a></div><div>tiny</div>"))
+      .toDF("id", "html")
+      .select(TextFunctions.extractMainContent(org.apache.spark.sql.functions.col("html")))
+      .as[String].collect().head
+    assert(none == "")
+  }
 }
