@@ -53,6 +53,10 @@ object Factory {
     def chunk(df: DataFrame, textCol: String): DataFrame =
       Chunkers.adaptive(df, textCol, size, overlap)
   }
+  private final case class SentenceChunker(per: Int, overlap: Int) extends GraftChunker {
+    def chunk(df: DataFrame, textCol: String): DataFrame =
+      Chunkers.sentences(df, textCol, per, overlap)
+  }
 
   /** Deterministic offline embedder (the engine's default binding for both
     * reference embedder types — no local model or network exists here; the
@@ -132,7 +136,10 @@ object Factory {
       RecursiveChunker(c.int("chunk_size", 100), c.int("chunk_overlap", 20))),
     "markdown" -> (_ => MarkdownChunker),
     "adaptive" -> (c =>
-      AdaptiveChunker(c.int("chunk_size", 100), c.int("chunk_overlap", 20))))
+      AdaptiveChunker(c.int("chunk_size", 100), c.int("chunk_overlap", 20))),
+    // Scale-path extension: RAG sentence-window strategy.
+    "sentence_window" -> (c =>
+      SentenceChunker(c.int("sentences_per_chunk", 5), c.int("overlap_sentences", 1))))
 
   val embedders: Map[String, ComponentConfig => GraftEmbedder] = Map(
     // Reference default model all-MiniLM-L6-v2 is 384-dim

@@ -873,6 +873,15 @@ object SparkEntry {
           "text", chunkSize = 150, chunkOverlap = 30)
         .select(col("doc_id"), col("chunk_index"), col("chunk"))),
 
+    "chunk_sentences" -> ((s, dir) =>
+      // Sentence-window chunking (Chunkers.sentences scaladoc). Sentence
+      // boundary regex needs lookbehind (absent from RE2) -> rows-only
+      // check; values pinned by TextSplittersSpec goldens.
+      Chunkers.sentences(
+          t(s, dir, "documents").filter(TextFunctions.nonBlank(col("text"))),
+          "text", sentencesPerChunk = 3, overlapSentences = 1)
+        .select(col("doc_id"), col("chunk_index"), col("chunk"))),
+
     "chunk_markdown" -> ((s, dir) => {
       // Corpus text has no headers; wrap it in a deterministic md skeleton.
       // The headers map is projected to scalar header1..3 columns (the

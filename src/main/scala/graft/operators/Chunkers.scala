@@ -71,6 +71,42 @@ object Chunkers {
       .drop("__graft_pos", "__graft_c")
   }
 
+  private val sentencesUdf = udf((text: String, per: Int, overlap: Int) => {
+    if (text == null) Seq.empty[String]
+    else {
+      val sents = text.split("(?<=[.!?])\\s+").map(_.trim).filter(_.nonEmpty).toSeq
+      if (sents.isEmpty) Seq.empty[String]
+      else {
+        val step = math.max(1, per - overlap)
+        (0 until sents.length by step)
+          .map(i => sents.slice(i, i + per).mkString(" "))
+      }
+    }
+  })
+
+  /** Sentence-window chunking — the RAG "sentence window" strategy the
+    * character chunkers can't express: segment at sentence boundaries
+    * (`[.!?]` + whitespace), emit windows of `sentencesPerChunk` sentences
+    * sliding by `sentencesPerChunk - overlapSentences`. Trailing windows
+    * may be short (standard sliding semantics). Same narrow
+    * UDF + posexplode shape as the other chunkers — zero shuffles.
+    * (No SQL oracle: the boundary regex needs lookbehind, absent from
+    * RE2 — pinned by TextSplittersSpec goldens like `chunk_recursive`.)
+    */
+  def sentences(df: DataFrame, textCol: String, sentencesPerChunk: Int = 5,
+                overlapSentences: Int = 1): DataFrame = {
+    require(sentencesPerChunk > 0, "sentencesPerChunk must be positive")
+    require(overlapSentences >= 0 && overlapSentences < sentencesPerChunk,
+      "overlapSentences must be in [0, sentencesPerChunk)")
+    requireNoCollision(df, Seq("chunk", "chunk_index"))
+    Partitioning.ensureParallelism(df).select(
+        col("*"),
+        posexplode(sentencesUdf(col(textCol), lit(sentencesPerChunk),
+          lit(overlapSentences))).as(Seq("__graft_pos", "chunk")))
+      .withColumn("chunk_index", col("__graft_pos") + 1)
+      .drop("__graft_pos")
+  }
+
   /** Adaptive chunking: per-row dispatch between markdown and recursive based
     * on the reference heuristic; single pass, no branching plans.
     */

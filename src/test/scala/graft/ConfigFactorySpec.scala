@@ -95,7 +95,7 @@ class ConfigFactorySpec extends AnyFunSuite {
     val l = Factory.listComponents
     assert(l("sources").contains("local_files") && l("sources").contains("web") &&
       l("sources").contains("s3") && l("sources").contains("postgres"))
-    assert(l("chunkers") == Seq("adaptive", "markdown", "recursive_character"))
+    assert(l("chunkers") == Seq("adaptive", "markdown", "recursive_character", "sentence_window"))
     assert(l("embedders").contains("sentence_transformer") && l("embedders").contains("openai"))
     assert(l("sinks").contains("lancedb") && l("sinks").contains("chromadb"))
     assert(l("state_managers").contains("json") && l("state_managers").contains("redis"))

@@ -107,4 +107,37 @@ class TextSplittersSpec extends AnyFunSuite {
       assert(c.grouped(2).forall(_ == emoji))
     }
   }
+
+  test("sentence-window chunker: golden windows, overlap slide, edge inputs") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val text = "One is here. Two follows! Three asks? Four ends. Five closes."
+    val out = graft.operators.Chunkers.sentences(
+        Seq((1L, text)).toDF("doc_id", "text"), "text",
+        sentencesPerChunk = 3, overlapSentences = 1)
+      .orderBy(col("chunk_index"))
+      .select("chunk").as[String].collect().toSeq
+    // windows of 3 sliding by 2: [1,2,3], [3,4,5], [5]
+    assert(out == Seq(
+      "One is here. Two follows! Three asks?",
+      "Three asks? Four ends. Five closes.",
+      "Five closes."))
+    // no-overlap slide partitions exactly
+    val flat = graft.operators.Chunkers.sentences(
+        Seq((1L, text)).toDF("doc_id", "text"), "text",
+        sentencesPerChunk = 2, overlapSentences = 0)
+      .orderBy(col("chunk_index")).select("chunk").as[String].collect().toSeq
+    assert(flat == Seq("One is here. Two follows!", "Three asks? Four ends.", "Five closes."))
+    // null / blank / boundary-less inputs
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
+      (3L, "no terminal punctuation at all")).toDF("doc_id", "text")
+    val byDoc = graft.operators.Chunkers.sentences(weird, "text", 3, 1)
+      .select("doc_id", "chunk").as[(Long, String)].collect().toSeq
+    assert(byDoc == Seq((3L, "no terminal punctuation at all")))
+    // invalid params raise
+    intercept[IllegalArgumentException] {
+      graft.operators.Chunkers.sentences(weird, "text", 2, 2)
+    }
+  }
 }
