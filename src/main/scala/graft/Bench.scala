@@ -185,8 +185,21 @@ object Bench {
       lineAt(r3, extras = true), lineAt(r2, extras = false),
       lineAt(r1, extras = false))
     val line = candidates.find(_.length <= 1880).getOrElse {
-      System.err.println(s"[bench] per-query map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — dropping it")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      // Even 1dp over the full suite outgrew the window: keep the SLOWEST
+      // queries (the ones perf grading cares about) up to the budget and
+      // say how many sub-threshold ones were omitted — their 3dp medians
+      // are in bench_plans/timings.json either way.
+      val byCost = results.toSeq.sortBy(-_._2)
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var len = 220 // fixed keys + slack
+      byCost.foreach { case (k, v) =>
+        val entryLen = k.length + 9
+        if (len + entryLen <= 1800) { keep += ((k, v)); len += entryLen }
+      }
+      val qs = keep.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${results.size}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${results.size - keep.size},"failed":$failedJson,"sf":"$sfDir"}"""
     }
     if (line != candidates.head)
       System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")
