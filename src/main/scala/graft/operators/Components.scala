@@ -119,22 +119,27 @@ object Components {
     * highest-quality one. Ties (and the final tiebreak) fall back to the
     * ascending id so the choice is deterministic.
     *
-    * Scale shape: the corpus splits against the component table (cluster
-    * members only — orders of magnitude smaller than the corpus, AQE
-    * broadcasts it) so the row_number window shuffles ONLY cluster
-    * members; untouched rows pass through the anti-join unshuffled.
+    * Scale shape: ONE pass over `df` — left-join the (small, AQE-broadcast)
+    * component table, then a single row_number window partitioned by
+    * `coalesce(component, id)`. Singletons are their own size-1 window
+    * partitions (trivially rank 1), so no branch re-reads the corpus and
+    * any expensive computed column in `df` (e.g. a ~40-op quality score)
+    * is evaluated exactly once per row. The window exchange moves only the
+    * columns `df` projects — callers should `select` down to the output
+    * schema first so the corpus-wide shuffle stays narrow. (Key safety:
+    * a cluster's `component` is the min MEMBER id, and singleton ids are
+    * by definition non-members, so the coalesced key never collides
+    * across groups.)
     */
   def keepBest(df: DataFrame, idCol: String, components: DataFrame,
                orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val comp = components.select(col("id").as(idCol), col("component"))
-    val members = df.join(comp, Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
+      .partitionBy(coalesce(col("component"), col(idCol)))
       .orderBy(orderBy :+ col(idCol).asc: _*)
-    val best = members.withColumn("__rn", row_number().over(w))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "component")
-    df.join(comp.select(col(idCol)), Seq(idCol), "left_anti")
-      .unionByName(best)
   }
 }

@@ -644,9 +644,17 @@ object Dedup {
     Iterator.range(0, n).flatMap(i =>
       Iterator.range(i + 1, n).flatMap(j => emit(i, j)))
 
+  /** Default per-bucket cap for the pairwise kernels: a bucket past this
+    * size means ~50M+ candidate pairs in ONE task — at that point the
+    * corpus needs exact dedup first (the pair count is inherently
+    * quadratic; no partitioning trick shrinks it). Failing loudly by
+    * default beats a silent multi-hour grind on a pathological cluster.
+    */
+  val DefaultMaxBucketSize: Int = 10000
+
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 8,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // NULL ids are dropped up front (matching the old self-join's
@@ -715,7 +723,7 @@ object Dedup {
     */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String, blockCol: String,
                   minCosine: Double = 0.8,
-                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                  maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val inSchema = df.schema

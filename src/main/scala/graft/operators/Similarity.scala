@@ -54,28 +54,92 @@ object Similarity {
     * The indexed frame should be persisted partitioned by `cell` so queries
     * prune at scan time.
     *
+    * SPHERICAL k-means: search scores by cosine ([[ivfTopK]]), so the
+    * quantizer must partition by direction, not magnitude — vectors are
+    * L2-normalized for training and assignment and centroids are
+    * renormalized after every Lloyd update (the FAISS recipe for
+    * inner-product/cosine IVF: normalize, then index). With a plain-L2
+    * quantizer over unnormalized vectors the cells capture magnitude and
+    * the top cosine hit can land in the L2-farthest cell from the query.
+    * The returned centroids are unit vectors; on them, L2 ranking ==
+    * cosine ranking, which [[ivfTopK]] relies on. Zero-norm vectors
+    * (direction undefined) deterministically land in cell 0.
+    *
     * Centroid TRAINING is driver-local over a bounded sample (`trainCap`
     * rows) — the standard IVF design (FAISS trains coarse quantizers on a
     * sample in-process): at 100 TB a distributed full-corpus k-means is
     * pure waste; cell quality saturates long before millions of training
     * points, and each MLlib iteration is a cluster-wide job. Cell
     * ASSIGNMENT stays distributed: one narrow pass tagging every vector
-    * with its nearest centroid. Deterministic under (seed, input order).
+    * with its nearest centroid.
+    *
+    * The training sample is UNBIASED and deterministic under (content,
+    * seed): a `.limit(trainCap)` would take whatever file sorts first, so
+    * at scale the centroids would be trained on one shard's distribution
+    * (r6 verdict finding). Instead the corpus is thinned by a content-hash
+    * Bernoulli filter to ~1.2x trainCap rows (one narrow filter pass; the
+    * only extra cost is a count, amortized over the index build), then the
+    * bounded collect is sorted by the same hash and truncated — partition
+    * and file order never influence which vectors train the quantizer.
     */
   def ivfIndex(corpus: DataFrame, vecCol: String = "embedding",
                nCells: Int = 16, seed: Long = 42L,
                maxIter: Int = 5, trainCap: Int = 20000): (DataFrame, Array[Array[Double]]) = {
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol)).limit(trainCap)
-      .collect().iterator
-      .map(r => r.getSeq[Float](0).iterator.map(_.toDouble).toArray)
-      .filter(_.nonEmpty).toArray
+    val vecs = corpus.select(col(vecCol))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val total = vecs.count()
+    val hashed = vecs.withColumn("__h", xxhash64(col(vecCol), lit(seed)))
+    val thinned =
+      if (total <= trainCap) hashed
+      else {
+        // keep ~1.2x trainCap via hash-bucket threshold (2^20 buckets); the
+        // headroom makes an under-full sample vanishingly unlikely, and the
+        // local truncation below restores the exact cap.
+        val buckets = 1L << 20
+        val cut = math.min(buckets,
+          math.ceil(trainCap.toDouble * 1.2 / total * buckets).toLong)
+        hashed.filter(pmod(col("__h"), lit(buckets)) < lit(cut))
+      }
+    def unit(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var j = 0
+      while (j < v.length) { n += v(j) * v(j); j += 1 }
+      if (n > 0) { val inv = 1.0 / math.sqrt(n); j = 0
+        while (j < v.length) { v(j) *= inv; j += 1 } }
+      v
+    }
+    val sample: Array[Array[Double]] = thinned.collect()
+      .sortBy(_.getLong(1))
+      .iterator.take(trainCap)
+      .map(r => unit(r.getSeq[Float](0).iterator.map(_.toDouble).toArray))
+      .filter(v => v.exists(_ != 0.0))
+      .toArray
     require(sample.nonEmpty, "ivfIndex: corpus has no non-empty vectors")
     val k = math.min(nCells, sample.length)
     val dim = sample(0).length
-    // deterministic seeded init: distinct sample indices from an LCG stream
-    val rnd = new java.util.Random(seed)
-    val centroids = Array.tabulate(k) { _ =>
-      sample(rnd.nextInt(sample.length)).clone()
+    // Deterministic farthest-point (k-center) init over the hash-ordered
+    // sample: seed 0 is the lowest-hash vector, each next seed maximizes
+    // its min distance to the seeds so far (ties -> lowest index). No RNG,
+    // well-separated cells, and a pure function of the sample content.
+    val centroids: Array[Array[Double]] = {
+      val chosen = new Array[Array[Double]](k)
+      chosen(0) = sample(0).clone()
+      val minD = Array.fill(sample.length)(Double.MaxValue)
+      var c = 1
+      while (c < k) {
+        var i = 0; var bestI = 0; var bestD = -1.0
+        while (i < sample.length) {
+          var d = 0.0; var j = 0
+          val last = chosen(c - 1); val v = sample(i)
+          val n = math.min(dim, math.min(v.length, last.length))
+          while (j < n) { val t = v(j) - last(j); d += t * t; j += 1 }
+          if (d < minD(i)) minD(i) = d
+          if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+          i += 1
+        }
+        chosen(c) = sample(bestI).clone()
+        c += 1
+      }
+      chosen
     }
     def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
@@ -104,6 +168,7 @@ object Similarity {
         if (counts(c) > 0) {
           var j = 0
           while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          unit(centroids(c)) // spherical step: project back to the sphere
         }
         c += 1
       }
@@ -114,17 +179,23 @@ object Similarity {
       val cs = bc.value
       val v = new Array[Double](cs(0).length)
       val n = math.min(vec.length, v.length)
-      var j = 0
-      while (j < n) { v(j) = vec(j).toDouble; j += 1 }
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
+      var j = 0; var norm = 0.0
+      while (j < n) { v(j) = vec(j).toDouble; norm += v(j) * v(j); j += 1 }
+      if (norm == 0.0) 0 // zero-norm: direction undefined, pinned to cell 0
+      else {
+        val inv = 1.0 / math.sqrt(norm)
+        j = 0
+        while (j < n) { v(j) *= inv; j += 1 }
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          val cv = cs(c)
+          while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
       }
-      best
     })
     (corpus.withColumn("cell", assignUdf(col(vecCol))), centroids)
   }
@@ -197,14 +268,18 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Query an IVF-indexed corpus: rank cells by centroid distance, scan only
-    * the `nProbe` nearest cells, exact top-k within them. The cell filter is
-    * a partition-prunable predicate.
+  /** Query an IVF-indexed corpus: rank cells by centroid distance IN THE
+    * QUANTIZER'S SPACE (query normalized, centroids already unit — so the
+    * L2 ranking equals the cosine ranking the scorer uses), scan only the
+    * `nProbe` nearest cells, exact top-k within them. The cell filter is a
+    * partition-prunable predicate.
     */
   def ivfTopK(indexed: DataFrame, centroids: Array[Array[Double]],
               queryVec: Array[Float], k: Int, nProbe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = queryVec.map(_.toDouble)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    if (qn > 0) { var j = 0; while (j < q.length) { q(j) /= qn; j += 1 } }
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0

@@ -234,6 +234,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(chain(e2).exists(t => Option(t.getMessage).exists(_.contains("maxBucketSize"))))
   }
 
+  test("mega-bucket guard is ON by default (planted 10k+ exact-dup cluster)") {
+    // r6 verdict: maxBucketSize defaulted to Int.MaxValue, so only callers
+    // who knew about the guard were protected. The default is now
+    // Dedup.DefaultMaxBucketSize (10k): a bucket past it fails loudly with
+    // the named error and the exact-dedup-first remedy, with NO argument.
+    assert(Dedup.DefaultMaxBucketSize == 10000)
+    val mega = spark.range(Dedup.DefaultMaxBucketSize + 1)
+      .select(col("id"), lit("identical text in every row of the cluster").as("txt"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val e = intercept[Exception] {
+      Dedup.simhashPairs(mega, "txt", "id", maxHamming = 3).count()
+    }
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("maxBucketSize"))),
+      s"default guard must trip: ${chain(e).map(_.getClass.getSimpleName)}")
+    import spark.implicits._
+    val vecs = (0L until (Dedup.DefaultMaxBucketSize + 1).toLong)
+      .map(i => (0, i, Seq(1f, 0f))).toDF("label", "vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Dedup.cosinePairs(vecs, "embedding", "vec_id", "label", minCosine = -2.0).count()
+    }
+    assert(chain(e2).exists(t => Option(t.getMessage).exists(_.contains("maxBucketSize"))))
+  }
+
   test("cosine pair kernel skips null and zero-norm vectors") {
     val vecs = Seq(
       (0, 1L, Seq(1f, 0f)), (0, 2L, Seq(0f, 0f)), (0, 3L, null.asInstanceOf[Seq[Float]]),
