@@ -537,8 +537,9 @@ object SparkEntry {
     "dedup_cross_corpus" -> ((s, dir) => {
       // Cross-corpus dedup: a synthetic "new crawl" (every 5th document,
       // lightly perturbed, re-keyed) joined ONLY against the reference
-      // corpus — each new doc should match exactly its original. MinHash is
-      // non-ANSI -> no oracle; semantics pinned by DedupSpec.
+      // corpus — each new doc should match exactly its original. Full
+      // oracle (r7): the verified output equals the brute-force cross
+      // join at the threshold, which DuckDB recomputes with list functions.
       val ref = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val incoming = ref.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -630,7 +631,9 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates over a corpus with planted
-      // near-duplicates (original + token-appended copy).
+      // near-duplicates (original + token-appended copy). Full oracle (r7):
+      // the exact-Jaccard-verified output equals the brute-force all-pairs
+      // set at the threshold, recomputed by DuckDB.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -1514,6 +1517,50 @@ object SparkEntry {
          |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) END, 6) AS jaccard
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // The LSH BANDING isn't ANSI-expressible, but the engine's OUTPUT is:
+    // banded candidates are verified with exact shingle Jaccard, and on this
+    // corpus the verified set equals the brute-force all-pairs set at the
+    // same threshold (100% recall — planted near-dups sit far inside the
+    // banding's collision curve). The oracle recomputes that brute-force
+    // set; a banding regression that drops a true pair now fails the gate
+    // instead of hiding behind a rows-only check.
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |s AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |   ELSE []::VARCHAR[] END) AS sh FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >=
+         | 0.5 * (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))""".stripMargin,
+
+    // Same promotion as dedup_minhash_lsh: the incoming-x-reference verified
+    // pair set equals the brute-force cross join at the threshold, and the
+    // emitted jaccard_dist is plain 1 - i/u double arithmetic both engines
+    // compute identically.
+    "dedup_cross_corpus" ->
+      s"""WITH tr AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ti AS (SELECT doc_id + 100000 AS doc_id,
+         |  list_filter(string_split(lower(text || ' freshly crawled tail'), ' '), x -> len(x) > 0) AS toks
+         | FROM documents WHERE doc_id % 5 = 0),
+         |sr AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |  ELSE []::VARCHAR[] END) AS sh FROM tr),
+         |si AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |  ELSE []::VARCHAR[] END) AS sh FROM ti),
+         |pairs AS (SELECT i.doc_id AS id_new, r.doc_id AS id_ref,
+         |  CASE WHEN CAST(len(i.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE) = 0 THEN 0.0
+         |   ELSE CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE) /
+         |    (CAST(len(i.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE)) END AS sim
+         | FROM si i CROSS JOIN sr r)
+         |SELECT id_new, id_ref, round(1.0 - sim, 6) AS jaccard_dist
+         |FROM pairs WHERE 1.0 - sim <= 0.5""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
