@@ -689,6 +689,14 @@ object SparkEntry {
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCountFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "bpe_merge_count" -> ((s, dir) =>
+      // Exact BPE token counts under the pinned merge table (functions/Bpe)
+      // — the real budgeting unit for the packing operators, vs the regex
+      // estimate in `token_count`. Oracle: DuckDB recursive CTE replaying
+      // the merge loop (one lowest-rank merge per step) over distinct words.
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Bpe.count(col("text")).as("bpe_tokens"))),
+
     "pii_redact" -> ((s, dir) => {
       // PII scrubbing over documents with deterministically planted PII
       // (emails / dotted quads / SSN-shaped ids / phone numbers keyed off
@@ -1711,6 +1719,39 @@ object SparkEntry {
         | CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    // DuckDB replay of the pinned-merge-table BPE: the recursive CTE applies
+    // ONE lowest-rank merge (leftmost occurrence) per step over DISTINCT
+    // words — equivalent to the all-occurrences form because a merged token
+    // only participates in later-rank rules — then occurrence counts join
+    // back per document. The merge literal is generated from Bpe.merges so
+    // engine and oracle can never hold different tables.
+    "bpe_merge_count" -> {
+      val ml = graft.functions.Bpe.merges
+        .map { case (a, b) => s"'$a $b'" }.mkString(", ")
+      def ranks(tk: String) =
+        s"list_transform(range(1, len($tk)), i -> coalesce(list_position([$ml], $tk[i] || ' ' || $tk[i+1]), 0))"
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+         |words AS (SELECT DISTINCT word FROM occ),
+         |init AS (SELECT word, list_transform(range(1, len(word) + 1), i -> word[i]) AS tk FROM words),
+         |rec(word, tk) AS (
+         | SELECT word, tk FROM init
+         | UNION ALL
+         | SELECT word, list_concat(list_concat(tk[1:pos-1], [tk[pos] || tk[pos+1]]), tk[pos+2:]) AS tk
+         | FROM (
+         |  SELECT word, tk,
+         |   list_position(${ranks("tk")},
+         |    CASE WHEN len(list_filter(${ranks("tk")}, r -> r > 0)) > 0
+         |     THEN list_aggregate(list_filter(${ranks("tk")}, r -> r > 0), 'min') END) AS pos
+         |  FROM rec) WHERE pos IS NOT NULL AND pos > 0),
+         |final AS (SELECT word, len(tk) AS ntok FROM rec
+         | WHERE len(list_filter(${ranks("tk")}, r -> r > 0)) = 0),
+         |counts AS (SELECT o.doc_id, sum(f.ntok) AS n FROM occ o JOIN final f USING (word) GROUP BY o.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN counts c USING (doc_id)""".stripMargin
+    },
 
     "doc_fingerprint" ->
       """SELECT doc_id,

@@ -57,6 +57,9 @@ object GraftFunctions {
     unary("graft_bpe_count",
       "_FUNC_(text) - BPE-ish token count (alpha runs <=4, digit runs, symbols)")(
       TextAnalysis.bpeTokens),
+    unary("graft_bpe_merge_count",
+      "_FUNC_(text) - exact BPE token count under the pinned merge table")(
+      graft.functions.Bpe.count),
     unary("graft_rolling_hash",
       "_FUNC_(text) - 64-bit rolling-hash document fingerprint (long)")(
       TextAnalysis.rollingHash),
