@@ -261,9 +261,13 @@ object SparkEntry {
     "streaming_neardup" -> ((s, dir) =>
       // Stream-static near-dup flags through the REAL streaming engine
       // (stateless band join against a planted reference; Streaming
-      // scaladoc). MinHash is non-ANSI -> rows-only check; semantics
-      // pinned by StreamingSpec + DedupSpec.
-      graft.streaming.Streaming.runNearDupAvailableNow(s, s"$dir/documents.parquet")),
+      // scaladoc). Full oracle (r7), same promotion as dedup_cross_corpus:
+      // the verified stream output equals the brute-force batch cross join
+      // at the threshold — one oracle covers both execution paths, the
+      // streaming_windowed trick.
+      graft.streaming.Streaming.runNearDupAvailableNow(s, s"$dir/documents.parquet")
+        .select(col("id_new"), col("id_ref"),
+          round(col("jaccard_dist"), 6).as("jaccard_dist"))),
 
     "corpus_curation" -> ((s, dir) => {
       // The operators composed as a curation pipeline in ONE plan: quality
@@ -1303,6 +1307,29 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Batch-parity oracle for the streaming near-dup path: the stream's
+    // verified flags equal the brute-force docs-x-reference cross join at
+    // the 0.5 distance threshold (the planted reference is every 7th doc,
+    // re-keyed +100000, with a one-word suffix).
+    "streaming_neardup" ->
+      s"""WITH tn AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tr AS (SELECT doc_id + 100000 AS doc_id,
+         |  list_filter(string_split(lower(text || ' extra'), ' '), x -> len(x) > 0) AS toks
+         | FROM documents WHERE doc_id % 7 = 0),
+         |sn AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |  ELSE []::VARCHAR[] END) AS sh FROM tn),
+         |sr AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |  ELSE []::VARCHAR[] END) AS sh FROM tr),
+         |pairs AS (SELECT n.doc_id AS id_new, r.doc_id AS id_ref,
+         |  CASE WHEN CAST(len(n.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) = 0 THEN 0.0
+         |   ELSE CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+         |    (CAST(len(n.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE)) END AS sim
+         | FROM sn n CROSS JOIN sr r)
+         |SELECT id_new, id_ref, round(1.0 - sim, 6) AS jaccard_dist
+         |FROM pairs WHERE 1.0 - sim <= 0.5""".stripMargin,
 
     "corpus_curation" ->
       """WITH kept AS (

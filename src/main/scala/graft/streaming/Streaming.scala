@@ -119,33 +119,64 @@ object Streaming {
     * (`ts div 1000`) so the output matches engines that carry
     * microsecond timestamps.
     */
-  def runWindowedAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Run `build(memTableName, checkpointDir)` to completion with the
+    * local-mode checksum workaround applied, then return the memory-sink
+    * contents as a self-contained LOCAL frame. Cleans up everything the
+    * one-shot harness touched: the checksum conf is restored (not left
+    * mutated session-wide), the temp checkpoint directory is deleted, and
+    * the memory-sink temp view is dropped — repeated gate runs in one
+    * session no longer accumulate tables/dirs. Materializing is safe by
+    * construction: memory sinks already hold the full result on the
+    * driver, so the collect adds no new driver pressure (these runners are
+    * the finite-input harness, not the 100 TB path — see each caller).
+    */
+  private def runToLocalFrame(spark: SparkSession, prefix: String)
+                             (build: (String, String) => StreamingQuery): DataFrame = {
+    val confKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(confKey)
     // Local-mode: keep the checksum manager's background pool from starving
     // the task slots (see object scaladoc).
-    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    spark.conf.set(confKey, "false")
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    try {
+      build(name, ckpt.toString).awaitTermination()
+      val sunk = spark.table(name)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(sunk.collect(): _*)),
+        sunk.schema)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+      spark.catalog.dropTempView(name)
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(ckpt.toFile)
+    }
+  }
+
+  def runWindowedAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-    val name = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
     // FileStreamSource needs a DIRECTORY to watch; the test tables are
     // single files — stream the parent with a name filter.
     val p = new org.apache.hadoop.fs.Path(eventsPath)
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
-      .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("event_type"), col("n_events"), col("sum_value"))
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToLocalFrame(spark, "sw_") { (name, ckpt) =>
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Streaming first-seen dedup via mapGroupsWithState: one state entry per
@@ -180,27 +211,24 @@ object Streaming {
     * the streaming near-dup path; deterministic because MinHash is.
     */
   def runNearDupAvailableNow(spark: SparkSession, docsPath: String): DataFrame = {
-    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     val batch = spark.read.parquet(docsPath)
     val ref = batch.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
     val p = new org.apache.hadoop.fs.Path(docsPath)
-    val stream = spark.readStream.schema(batch.schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-      .select(col("doc_id"), col("text"))
-    val flags = nearDupFlagsAgainst(stream, ref, "text", "doc_id",
-      maxJaccardDistance = 0.5)
-    val name = "nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
-    val q = flags.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).distinct()
+    runToLocalFrame(spark, "nd_") { (name, ckpt) =>
+      val stream = spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .select(col("doc_id"), col("text"))
+      nearDupFlagsAgainst(stream, ref, "text", "doc_id",
+          maxJaccardDistance = 0.5)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }.distinct()
   }
 
   /** Flag incoming documents that near-duplicate a STATIC reference corpus

@@ -118,6 +118,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("one-shot runners clean up after themselves (conf, memory table, result survives)") {
+    // r7 ADVICE fix: the AvailableNow gate runners used to leave the
+    // checksum conf mutated session-wide and leak one memory-sink temp
+    // view + one temp checkpoint dir per invocation.
+    val confKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val before = spark.conf.getOption(confKey)
+    val viewsBefore = spark.catalog.listTables().count()
+    val out = Streaming.runNearDupAvailableNow(
+      spark, "/root/testdata/sf0.001/documents.parquet")
+    assert(spark.conf.getOption(confKey) == before, "conf must be restored")
+    assert(spark.catalog.listTables().count() == viewsBefore,
+      "memory-sink temp view must be dropped")
+    // the returned frame must remain usable AFTER its sink table is gone
+    assert(out.count() > 0)
+  }
+
   test("curation filters (PII redaction, quality, repetition) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
