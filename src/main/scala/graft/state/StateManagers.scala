@@ -47,11 +47,38 @@ object StateManager {
     (itemRows ++ wmRows).toDF("item_id", "fingerprint", "updated_at")
   }
 
-  /** Serialize a state frame to the reference's JSON shape. Driver-side:
-    * only for the small-state backends.
+  /** Above this many state rows the JSON/Redis backends LOG a warning
+    * recommending the table backend; above [[MaxDriverStateRows]] they
+    * refuse outright. The factory default backend is `json` to match the
+    * reference, so a scale-up user who never chose a backend gets told —
+    * loudly, before the driver OOMs — that the small-state backends
+    * materialize everything driver-side and `table` is the 100 TB path.
     */
-  private[state] def toJson(state: DataFrame): String = {
-    val rows = state.collect()
+  val WarnDriverStateRows: Int = 100000
+  val MaxDriverStateRows: Int = 1000000
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(StateManager.getClass)
+
+  /** Serialize a state frame to the reference's JSON shape. Driver-side:
+    * only for the small-state backends. The collect is CAPPED at
+    * `maxDriverRows + 1` rows so an oversized state fails loudly without
+    * first pulling the whole table onto the driver.
+    */
+  private[state] def toJson(state: DataFrame,
+                            maxDriverRows: Int = MaxDriverStateRows): String = {
+    val rows = state.limit(maxDriverRows + 1).collect()
+    if (rows.length > maxDriverRows)
+      throw new IllegalStateException(
+        s"state has more than $maxDriverRows rows; the json/redis backends " +
+          "serialize the whole state on the driver and are sized for " +
+          "reference-scale state (thousands of items). Switch to the " +
+          "'table' backend (TableStateManager) — state stays a distributed " +
+          "parquet table and never leaves the cluster.")
+    if (rows.length > WarnDriverStateRows)
+      log.warn(s"state has ${rows.length} rows — the json/redis backends " +
+        "collect all of it to the driver per save; consider the 'table' " +
+        s"backend (warning above $WarnDriverStateRows, hard stop above " +
+        s"$maxDriverRows rows)")
     val items = rows.filter(r => r.getString(0) != StateStore.WatermarkKey)
     val wm = rows.find(_.getString(0) == StateStore.WatermarkKey)
       .flatMap(r => Option(r.getTimestamp(2)))
@@ -95,9 +122,12 @@ object StateManager {
 
 /** T4 — JSON-file backend (`state_manager.py:38-71`): the whole state in one
   * JSON document; corrupt or missing file -> fresh state; atomic
-  * write-temp-then-rename save.
+  * write-temp-then-rename save. `maxDriverItems` caps the driver-side
+  * materialization (see [[StateManager.MaxDriverStateRows]]).
   */
-final case class JsonStateManager(path: String) extends StateManager {
+final case class JsonStateManager(path: String,
+                                  maxDriverItems: Int = StateManager.MaxDriverStateRows)
+  extends StateManager {
   override def load(spark: SparkSession): DataFrame = {
     val p = Paths.get(path)
     if (!Files.exists(p)) StateManager.emptyState(spark)
@@ -106,7 +136,7 @@ final case class JsonStateManager(path: String) extends StateManager {
   }
 
   override def save(state: DataFrame): Unit = {
-    val json = StateManager.toJson(state)
+    val json = StateManager.toJson(state, maxDriverItems)
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val tmp = Paths.get(path + ".tmp")
@@ -140,7 +170,9 @@ final class MemoryStateManager extends StateManager {
   * socket (GET/SET/PING) — no driver dependency needed.
   */
 final case class RedisStateManager(host: String, port: Int = 6379,
-                                   key: String = "graft:pipeline_state") extends StateManager {
+                                   key: String = "graft:pipeline_state",
+                                   maxDriverItems: Int = StateManager.MaxDriverStateRows)
+  extends StateManager {
 
   private def withConn[T](f: (java.io.DataOutputStream, java.io.DataInputStream) => T): T = {
     val sock = new java.net.Socket()
@@ -204,7 +236,7 @@ final case class RedisStateManager(host: String, port: Int = 6379,
   }
 
   override def save(state: DataFrame): Unit = {
-    val json = StateManager.toJson(state)
+    val json = StateManager.toJson(state, maxDriverItems)
     withConn { (out, in) =>
       writeCommand(out, Seq("SET", key, json))
       readReply(in)

@@ -37,6 +37,26 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
     assert(mgr.load(spark).count() == 0) // corrupt -> fresh (state_manager.py:59-61)
   }
 
+  test("json backend refuses state past the driver-materialization cap") {
+    // r6 verdict #7: the factory default backend is json (reference
+    // fidelity) and collects the whole state per save — a scale-up user
+    // must be told, loudly, before the driver OOMs. The refusal must fire
+    // from a CAPPED collect (limit cap+1), never after pulling everything.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val big = spark.range(0, 50)
+      .select(concat(lit("doc"), col("id")).as("item_id"),
+        lit("fp").as("fingerprint"),
+        lit(null).cast("timestamp").as("updated_at"))
+    val dir = tempDir("graft-state-cap")
+    val mgr = JsonStateManager(dir.resolve("state.json").toString, maxDriverItems = 10)
+    val e = intercept[IllegalStateException] { mgr.save(big) }
+    assert(e.getMessage.contains("table"), e.getMessage)
+    assert(e.getMessage.contains("10"), e.getMessage)
+    // under the cap the same manager saves fine
+    mgr.save(sampleState())
+    assert(itemMap(mgr.load(spark)) == Map("doc1" -> "fp1", "doc2" -> "fp2"))
+  }
+
   test("table backend roundtrips distributed state") {
     val dir = tempDir("graft-tstate")
     val mgr = TableStateManager(dir.resolve("state_table").toString)
