@@ -2135,7 +2135,7 @@ object SparkEntry {
          |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
          |${step(1)},
          |${step(2)}
-         |SELECT doc_id, y AS label, round(p, 6) AS prob, p >= 0.5 AS predicted
+         |SELECT doc_id, y AS label, round(p, 6) AS prob, round(p, 6) >= 0.5 AS predicted
          |FROM (SELECT f.doc_id, y, 1.0 / (1.0 + exp(-${zf("w2")})) AS p
          |  FROM f CROSS JOIN w2)""".stripMargin
     },

@@ -46,21 +46,17 @@ object Bm25 {
       count(lit(1)).as("__n_docs"),
       coalesce(avg(coalesce(size(TextAnalysis.toks(col(textCol))), lit(0))), lit(0.0))
         .as("__avgdl"))
-    val matched = df.select(col(idCol),
-        size(TextAnalysis.toks(col(textCol))).as("__dl"),
-        explode(TextAnalysis.toks(col(textCol))).as("term"))
-      .filter(col("term").isin(q: _*))
-    // The tf table is query-bounded (matching docs x |q| rows) — persist it
-    // so the doc-frequency aggregate reads the cache instead of re-scanning
-    // and re-exploding the corpus. MEMORY_AND_DISK: a pathologically common
-    // query term spills rather than OOMs. (A per-term window count would
-    // also avoid the rescan but funnels every tf row of a term through one
-    // task — groupBy keeps map-side partials, no skew straggler.) The cache
-    // lives until the session drops it; long-running apps issuing many
-    // queries should clearCache() between corpora, as with [[Dedup]].
-    val tf = matched.groupBy(col(idCol), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The tf table is query-bounded (matching docs x |q| rows) — materialize
+    // it once (eager localCheckpoint, MEMORY_AND_DISK blocks) so the
+    // doc-frequency aggregate and the final join both read the blocks
+    // instead of re-scanning and re-exploding the corpus. (A per-term
+    // window count would also avoid the rescan but funnels every tf row of
+    // a term through one task — groupBy keeps map-side partials, no skew
+    // straggler.) Unlike a persist(), checkpoint blocks are OWNED by the
+    // returned frame: the ContextCleaner frees them when the result is
+    // garbage-collected, so a long-running app issuing many queries no
+    // longer accumulates one cached table per query (r7 advice fix).
+    val tf = tfFrame(df, textCol, idCol, q).localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -73,6 +69,20 @@ object Bm25 {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("__w")), 6).as("bm25"))
   }
+
+  /** The (id, doc length, term, tf) table for `q`, BEFORE materialization —
+    * the query-term filter sits under the aggregation so only matching
+    * term rows reach the shuffle (pinned by Bm25Spec on this frame, since
+    * the checkpoint in [[score]] hides the plan).
+    */
+  private[graft] def tfFrame(df: DataFrame, textCol: String, idCol: String,
+                             q: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        size(TextAnalysis.toks(col(textCol))).as("__dl"),
+        explode(TextAnalysis.toks(col(textCol))).as("term"))
+      .filter(col("term").isin(q: _*))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
 
   /** Top-`k` documents for the query (ties broken by id — deterministic).
     * Global top-k: Spark plans `TakeOrderedAndProject`, never a full sort.

@@ -78,7 +78,15 @@ object Chunkers {
       if (sents.isEmpty) Seq.empty[String]
       else {
         val step = math.max(1, per - overlap)
+        // A window starting at i > 0 only reaches NEW content when it
+        // extends past its predecessor's coverage, which ends at i + overlap
+        // (predecessor starts at i - step and spans per = step + overlap).
+        // Without the guard a short trailing window can be a strict subset
+        // of the previous chunk (per=3, overlap=1 over 5 sentences: windows
+        // [0..2], [2..4], [4] — the last duplicates content into the RAG
+        // index; r7 advice fix).
         (0 until sents.length by step)
+          .filter(i => i == 0 || i + overlap < sents.length)
           .map(i => sents.slice(i, i + per).mkString(" "))
       }
     }

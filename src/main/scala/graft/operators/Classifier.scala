@@ -69,13 +69,17 @@ object Classifier {
 
   /** Score: adds `prob` (rounded) and `predicted` (prob >= 0.5). One
     * narrow pass; `weights` layout as returned by [[fitLogistic]].
+    * `predicted` derives from the SAME rounded value emitted as `prob`, so
+    * the output can never show prob = 0.5 with predicted = false (an
+    * unrounded p = 0.4999996 used to round up in `prob` while predicting
+    * false; r7 advice fix — the oracle applies the identical rounding).
     */
   def scoreLogistic(df: DataFrame, featureCols: Seq[String],
                     weights: Array[Double], roundDp: Int = 6): DataFrame = {
     require(weights.length == featureCols.length + 1,
       s"weights (${weights.length}) must be features+bias (${featureCols.length + 1})")
-    val p = sigmoid(z(weights, featureCols.map(col)))
-    df.withColumn("prob", round(p, roundDp))
+    val p = round(sigmoid(z(weights, featureCols.map(col))), roundDp)
+    df.withColumn("prob", p)
       .withColumn("predicted", p >= 0.5)
   }
 

@@ -59,19 +59,21 @@ object CorpusMix {
     * `df` is consumed by BOTH the histogram and the output branch; when its
     * columns carry expensive annotations (token counts, quality scores —
     * regex-heavy extractions in this library), `persistInput` (default)
-    * caches the annotated rows MEMORY_AND_DISK so the annotations are
-    * computed ONCE instead of once per branch. Callers should pass the
-    * narrow projection (id, group, tokens, quality — never raw text), which
-    * keeps the cache bytes-per-row small at any corpus size; pass false for
-    * a cheap input (plain table scan) where a second scan beats the cache.
+    * materializes the annotated rows ONCE (eager localCheckpoint,
+    * MEMORY_AND_DISK blocks) so the annotations aren't computed once per
+    * branch — and, unlike a persist(), the blocks are freed by the
+    * ContextCleaner when the returned frame is garbage-collected instead of
+    * accumulating per call until clearCache() (r7 advice fix). Callers
+    * should pass the narrow projection (id, group, tokens, quality — never
+    * raw text), which keeps the cached bytes-per-row small at any corpus
+    * size; pass false for a cheap input (plain table scan) where a second
+    * scan beats the cache.
     */
   def packToBudgetHistogram(df: DataFrame, groupCol: String, tokensCol: String,
                             qualityCol: String, budgetPerGroup: Long,
                             buckets: Int = 100, persistInput: Boolean = true): DataFrame = {
     require(buckets > 0, "graft.CorpusMix: buckets must be positive")
-    val in =
-      if (persistInput) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+    val in = if (persistInput) df.localCheckpoint() else df
     // floor to a bucket index in [0, buckets]; quality is expected in [0,1]
     val bucket = floor(col(qualityCol) * buckets).cast("int")
     val hist = in.groupBy(col(groupCol), bucket.as("__bucket"))

@@ -88,6 +88,12 @@ object KMeans {
       require(seeds.length == k,
         s"graft.KMeans: need at least $k non-null vectors, got ${seeds.length}")
       var centroids = seeds.map(_.getSeq[Double](1).toArray)
+      // All k seeds must agree on one dimension BEFORE the Lloyd loop:
+      // nearest() only checks each vector against centroid 0, so a short
+      // seed would otherwise silently sum over its own prefix and bias the
+      // argmin toward itself instead of failing loudly (r7 advice fix).
+      require(centroids.forall(_.length == centroids(0).length),
+        s"graft.KMeans: ragged seed vectors — dims ${centroids.map(_.length).distinct.mkString(",")}")
       var it = 0
       while (it < iterations) {
         val cs = centroids // stable reference for the closure

@@ -61,22 +61,31 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       s"global top-k must not full-sort:\n${plan.take(800)}")
   }
 
-  test("df aggregation reads the cached tf table; query filter precedes the shuffle") {
+  test("both tf consumers share one materialization owned by the result; no session cache") {
+    // r7 advice fix: the tf table is an eager localCheckpoint, not a
+    // persist() — the ContextCleaner frees its blocks when the result frame
+    // is GC'd, so repeated queries can't accumulate session-lifetime caches.
     val q = Bm25.score(docs, "text", "doc_id", Seq("apple", "cherry"))
-    q.collect()
-    // both consumers of tf (scoring side + doc-frequency side) hit the
-    // cache — the textual plan truncates inside InMemoryRelation re-prints,
-    // so count the logical nodes instead
+    val rddIds = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(rddIds.size == 2 && rddIds.distinct.size == 1,
+      s"both sides must read ONE checkpointed tf RDD, saw $rddIds")
     val cacheReads = q.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }.size
-    assert(cacheReads == 2,
-      s"expected both sides to read the tf cache, saw $cacheReads reads")
-    // the explode output is filtered to query terms before any exchange
-    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(plan.contains("term#") && plan.contains("IN ("),
-      s"query-term filter missing:\n${plan.take(1500)}")
-    spark.catalog.clearCache()
+    assert(cacheReads == 0, s"no session-lifetime cache expected, saw $cacheReads")
+    q.collect()
+    // the explode output is filtered to query terms before the tf shuffle
+    // (pinned on the pre-checkpoint frame — the checkpoint hides the plan)
+    val tfPlan = Bm25.tfFrame(docs, "text", "doc_id", Seq("apple", "cherry"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val filterAt = tfPlan.indexOf("IN (")
+    val exchangeAt = tfPlan.indexOf("Exchange")
+    assert(filterAt >= 0 && exchangeAt >= 0 && filterAt > exchangeAt,
+      // textual plans print top-down: the filter BELOW the exchange means
+      // it runs before it
+      s"query-term filter must precede the shuffle:\n${tfPlan.take(1500)}")
   }
 
   test("empty and null texts are handled; null counts as length 0 in avgdl") {

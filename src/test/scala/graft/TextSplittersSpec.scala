@@ -118,11 +118,22 @@ class TextSplittersSpec extends AnyFunSuite {
         sentencesPerChunk = 3, overlapSentences = 1)
       .orderBy(col("chunk_index"))
       .select("chunk").as[String].collect().toSeq
-    // windows of 3 sliding by 2: [1,2,3], [3,4,5], [5]
+    // windows of 3 sliding by 2: [1,2,3], [3,4,5] — the slide would also
+    // start a window at sentence 5, but [5] is a strict subset of [3,4,5]
+    // (duplicated content in the RAG index) and is skipped (r7 advice fix)
     assert(out == Seq(
       "One is here. Two follows! Three asks?",
+      "Three asks? Four ends. Five closes."))
+    // a short trailing window with NEW content is still emitted
+    val six = text + " Six finishes."
+    val tail = graft.operators.Chunkers.sentences(
+        Seq((1L, six)).toDF("doc_id", "text"), "text",
+        sentencesPerChunk = 3, overlapSentences = 1)
+      .orderBy(col("chunk_index")).select("chunk").as[String].collect().toSeq
+    assert(tail == Seq(
+      "One is here. Two follows! Three asks?",
       "Three asks? Four ends. Five closes.",
-      "Five closes."))
+      "Five closes. Six finishes."))
     // no-overlap slide partitions exactly
     val flat = graft.operators.Chunkers.sentences(
         Seq((1L, text)).toDF("doc_id", "text"), "text",
