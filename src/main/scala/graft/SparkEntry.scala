@@ -889,9 +889,10 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_index"), col("chunk"))),
 
     "chunk_sentences" -> ((s, dir) =>
-      // Sentence-window chunking (Chunkers.sentences scaladoc). Sentence
-      // boundary regex needs lookbehind (absent from RE2) -> rows-only
-      // check; values pinned by TextSplittersSpec goldens.
+      // Sentence-window chunking (Chunkers.sentences scaladoc). Full oracle
+      // (r7): the lookbehind split `(?<=[.!?])\s+` is equivalent to the
+      // RE2-safe replace `([.!?])\s+ -> \1<SEP>` + split on <SEP>, so
+      // DuckDB can replay the whole chunker with list functions.
       Chunkers.sentences(
           t(s, dir, "documents").filter(TextFunctions.nonBlank(col("text"))),
           "text", sentencesPerChunk = 3, overlapSentences = 1)
@@ -2290,6 +2291,26 @@ object SparkEntry {
         | least(frame_index * greatest(1, nb // 4), nb)
         |   < least((frame_index + 1) * greatest(1, nb // 4), nb) AS frame_nonzero
         |FROM f""".stripMargin,
+
+    // Replays Chunkers.sentences exactly: the Java lookbehind split
+    // `(?<=[.!?])\s+` == RE2-safe `regexp_replace('([.!?])\s+' -> '\1<SEP>')`
+    // + split on <SEP>; window starts slide by per-overlap=2 and a start
+    // s > 1 is emitted only when s < len(sents) (the r7 subset-chunk rule).
+    "chunk_sentences" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
+         |sp AS (SELECT doc_id,
+         |  list_filter(list_transform(
+         |    string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+         |    x -> trim(x)), x -> len(x) > 0) AS sents
+         | FROM d),
+         |st AS (SELECT doc_id, sents,
+         |  list_filter(range(1, len(sents) + 1, 2), s -> s = 1 OR s < len(sents)) AS starts
+         | FROM sp WHERE len(sents) > 0),
+         |ch AS (SELECT doc_id,
+         |  list_transform(starts, s -> array_to_string(sents[s:s+2], ' ')) AS chunks
+         | FROM st)
+         |SELECT doc_id, i AS chunk_index, chunks[i] AS chunk
+         |FROM ch, UNNEST(range(1, len(chunks) + 1)) AS u(i)""".stripMargin,
 
     "chunk_markdown" ->
       """WITH n AS (
