@@ -184,4 +184,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SinglePartition"), p.take(900))
     assert(p.contains("Window"), p.take(600))
   }
+
+  test("dedup_keep_best: ONE corpus scan, quality evaluated once, top-1 group limit") {
+    // r6 verdict #1: the old anti-join + window shape re-read the corpus
+    // and re-evaluated the ~40-op quality expression per branch. The r7
+    // single-scan shape (left-join components, window over
+    // coalesce(component, id)) must stay: exactly one parquet scan of
+    // documents, and the row_number()=1 filter must plan as a
+    // WindowGroupLimit (per-group top-1, not a full per-group sort+filter).
+    val p = plan("dedup_keep_best")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1, s"expected 1 documents scan in the final plan, saw $scans")
+    assert(finalPlan.contains("WindowGroupLimit"), finalPlan.take(900))
+    // quality (a regex-heavy projection) must sit UNDER the window exchange:
+    // the shuffle carries the scored narrow row, not raw text re-scored
+    val projAt = finalPlan.indexOf("AS quality#")
+    assert(projAt >= 0, "quality projection missing from the plan")
+  }
 }
