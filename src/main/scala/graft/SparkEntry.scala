@@ -569,6 +569,47 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    "url_canonicalize" -> ((s, dir) => {
+      // Crawl-URL normalization over deterministically planted raw URLs
+      // (mixed case, default + exotic ports, tracking params, fragments,
+      // trailing slashes, two-level public suffixes) — canonical form +
+      // registered domain, both pure RE2-safe expression chains
+      // (functions/UrlFunctions) the oracle replays.
+      import graft.functions.UrlFunctions
+      val d = col("doc_id").cast("string")
+      val url = concat(
+        lit("HTTPS://WWW.Site"), (col("doc_id") % 50).cast("string"),
+        lit(".Example."),
+        element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        when(col("doc_id") % 3 === 0, lit(":443"))
+          .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/Path/"), d,
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), d, lit("&utm_campaign=x"),
+        when(col("doc_id") % 5 === 0, concat(lit("#frag"), d)).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("url_canonical"),
+          UrlFunctions.registeredDomain(col("url")).as("registered_domain"))
+    }),
+
+    "leakage_safe_split" -> ((s, dir) => {
+      // Train/val/test split that never lets a duplicate cluster straddle
+      // splits (Sampling.splitByComponent scaladoc) — clusters come from
+      // the same deterministic planted pair graph as `dedup_components`.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val comps = Components.connectedComponents(edges, "src", "dst")
+      Sampling.splitByComponent(t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", comps, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     "link_pagerank" -> ((s, dir) => {
       // Link-graph centrality (3 fixed iterations of unnormalized PageRank)
       // over the same deterministic planted graph as `dedup_components`.
@@ -1612,6 +1653,77 @@ object SparkEntry {
         | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
         |FROM reach GROUP BY id""".stripMargin,
+
+    // Replays the plant + the UrlFunctions canonicalization chain rule for
+    // rule (DuckDB regexp_replace needs explicit 'g' for the one global
+    // rule and \1 replacement syntax; everything else is anchored).
+    "url_canonicalize" -> {
+      val track = "(?:utm_[A-Za-z0-9_]*|gclid|fbclid)"
+      s"""WITH raw AS (SELECT doc_id,
+         | 'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.' ||
+         | (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 4 + 1 AS INT)] ||
+         | CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+         | '/Path/' || CAST(doc_id AS VARCHAR) ||
+         | CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         | '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x' ||
+         | CASE WHEN doc_id % 5 = 0 THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+         | FROM documents),
+         |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM raw),
+         |c2 AS (SELECT doc_id, url,
+         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
+         |  substr(u, len(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
+         | FROM c1),
+         |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
+         |  '^(http://[^/:?#]+):80([/?#].*)?$$', '\\1\\2'),
+         |  '^(https://[^/:?#]+):443([/?#].*)?$$', '\\1\\2') AS u FROM c2),
+         |c4 AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(u,
+         |  '&$track=[^&]*', '', 'g'),
+         |  '\\?$track=[^&]*&', '?'),
+         |  '\\?$track=[^&]*$$', '') AS u FROM c3),
+         |c5 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
+         |  '^([^?]*)/\\?', '\\1?'), '/$$', '') AS u FROM c4),
+         |h AS (SELECT doc_id, url, u,
+         |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS host
+         | FROM c5),
+         |p AS (SELECT doc_id, u, host, string_split(host, '.') AS parts FROM h),
+         |q AS (SELECT doc_id, u, host, parts, len(parts) AS n,
+         |  CASE WHEN len(parts) > 2 AND (parts[-2] || '.' || parts[-1]) IN
+         |   ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'co.jp', 'com.au', 'net.au',
+         |    'com.br', 'co.in', 'com.cn', 'co.kr', 'co.za', 'com.mx', 'com.ar',
+         |    'com.tr', 'co.id') THEN 3 ELSE 2 END AS take
+         | FROM p)
+         |SELECT doc_id, u AS url_canonical,
+         | CASE WHEN host = '' OR host IS NULL THEN NULL
+         |      WHEN n <= take THEN host
+         |      ELSE array_to_string(parts[n - take + 1:n], '.') END AS registered_domain
+         |FROM q""".stripMargin
+    },
+
+    // Same RECURSIVE closure as dedup_components, then the sample_split
+    // md5-prefix arithmetic over coalesce(component, doc_id) — DuckDB
+    // recomputes both halves, so a split that lets a cluster straddle
+    // train/test hash-mismatches.
+    "leakage_safe_split" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+        | UNION ALL
+        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+        |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+        |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+        |reach(id, comp) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        | FROM reach GROUP BY id),
+        |keyed AS (SELECT d.doc_id,
+        |  substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || 'graft'), 1, 4) AS hp
+        | FROM ids d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, CASE WHEN hp < 'cccc' THEN 'train'
+        |                    WHEN hp < 'e666' THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM keyed""".stripMargin,
 
     "span_dedup_spans" -> spanDedupSpansSql,
 

@@ -109,4 +109,32 @@ object Sampling {
       .withColumnRenamed("start_token", "shuffle_pos")
       .drop("__one", "__sk", "seq_id", "offset_in_seq", "n_seqs")
   }
+
+  /** Leakage-safe train/val/test split: rows in the same duplicate CLUSTER
+    * always land in the same split. Splitting by row id leaks — a document
+    * and its near-duplicate can straddle train/test, and the model is then
+    * evaluated on (a copy of) its own training data (the Lee et al. 2021
+    * "Deduplicating Training Data" eval-contamination failure). Here the
+    * split key is `coalesce(component, id)`: cluster members share their
+    * component id (from [[Components.connectedComponents]] over near-dup
+    * pairs) and singletons fall back to their own id — the same null-safe
+    * key trick as [[Components.keepBest]], collision-free because a
+    * component id is the min MEMBER id and singleton ids are non-members.
+    *
+    * Scale shape: one left join against the (cluster-members-only, orders
+    * of magnitude smaller than the corpus — AQE broadcasts it) component
+    * table, then the same narrow md5-prefix predicate as [[splitColumn]].
+    * Membership stays a pure function of (cluster, salt): stable under
+    * repartitioning, re-runs, and corpus growth — appending documents
+    * never moves an existing cluster across splits.
+    */
+  def splitByComponent(df: DataFrame, idCol: String, components: DataFrame,
+                       splits: Seq[(String, Double)],
+                       salt: String = "graft"): DataFrame = {
+    val comp = components.select(col("id").as(idCol), col("component"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("split",
+        splitColumn(coalesce(col("component"), col(idCol)), splits, salt))
+      .drop("component")
+  }
 }

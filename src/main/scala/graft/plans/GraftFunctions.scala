@@ -60,6 +60,12 @@ object GraftFunctions {
     unary("graft_bpe_merge_count",
       "_FUNC_(text) - exact BPE token count under the pinned merge table")(
       graft.functions.Bpe.count),
+    unary("graft_url_canonical",
+      "_FUNC_(url) - canonical URL (case, default ports, fragments, tracking params)")(
+      graft.functions.UrlFunctions.canonicalizeUrl),
+    unary("graft_url_domain",
+      "_FUNC_(url) - registered domain of the URL's host")(
+      graft.functions.UrlFunctions.registeredDomain),
     unary("graft_rolling_hash",
       "_FUNC_(text) - 64-bit rolling-hash document fingerprint (long)")(
       TextAnalysis.rollingHash),

@@ -97,4 +97,32 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(one.collect()(0).getString(1) == "test",
       s"key $ffffKey with md5 prefix ffff must get the last label, not NULL")
   }
+
+  test("splitByComponent: duplicate clusters never straddle splits; append-stable") {
+    import graft.operators.Components
+    // clusters {1,2,3}, {10,11}; 20..24 are singletons
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 24L)).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val comps = Components.connectedComponents(edges, "src", "dst")
+    val split = Sampling.splitByComponent(docs, "doc_id", comps,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 10 && split.values.forall(_ != null))
+    // the leakage property: all members of a cluster share one split
+    assert(Set(split(1L), split(2L), split(3L)).size == 1)
+    assert(split(10L) == split(11L))
+    // append stability: growing the corpus with new singletons never moves
+    // an existing row's split (membership is a pure function of the key)
+    val grown = Sampling.splitByComponent(
+        (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 44L)).toDF("doc_id"),
+        "doc_id", comps, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.forall { case (k, v) => grown(k) == v })
+    // singletons split by their own id — identical to the plain splitColumn
+    val plain = (20L to 24L).toSeq.toDF("doc_id")
+      .withColumn("s", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((20L to 24L).forall(i => split(i) == plain(i)))
+  }
 }
