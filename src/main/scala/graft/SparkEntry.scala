@@ -594,6 +594,48 @@ object SparkEntry {
           UrlFunctions.registeredDomain(col("url")).as("registered_domain"))
     }),
 
+    "url_dedup" -> ((s, dir) => {
+      // Crawl-frontier dedup: 5 raw variants per canonical URL (case, the
+      // https default port, trailing slash, tracking params, fragments all
+      // vary with doc_id; everything canonical varies only with
+      // base = doc_id % 100) — urlDedupGroups must collapse 500 raws into
+      // 100 canonical groups of 5 with keep_id = base.
+      val base = col("doc_id") % 100
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
+          .otherwise(lit("https://www.site")),
+        (base % 10).cast("string"),
+        lit(".example."),
+        element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
+          (base % 4 + 1).cast("int")),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/path/"), base.cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 < 2,
+            concat(lit("?utm_source=s"), lit("&id="), base.cast("string")))
+          .otherwise(concat(lit("?id="), base.cast("string"))),
+        when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
+      Dedup.urlDedupGroups(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+    }),
+
+    "soft_dedup_weights" -> ((s, dir) => {
+      // Soft dedup (keep everything, weight clusters down): over the same
+      // planted pair graph as `dedup_components`; at alpha=1 each cluster's
+      // total weight is exactly 1.0 and singletons keep weight 1.0.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val comps = Components.connectedComponents(edges, "src", "dst")
+      Components.softDedupWeights(ids, "doc_id", comps, alpha = 1.0)
+        .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+    }),
+
     "leakage_safe_split" -> ((s, dir) => {
       // Train/val/test split that never lets a duplicate cluster straddle
       // splits (Sampling.splitByComponent scaladoc) — clusters come from
@@ -1698,6 +1740,63 @@ object SparkEntry {
          |      ELSE array_to_string(parts[n - take + 1:n], '.') END AS registered_domain
          |FROM q""".stripMargin
     },
+
+    // Replays the 5-variants-per-base plant, the same canonicalization
+    // chain as url_canonicalize, then the group-collapse: 100 canonical
+    // URLs, keep_id = base, n_dups = 5 each.
+    "url_dedup" -> {
+      val track = "(?:utm_[A-Za-z0-9_]*|gclid|fbclid)"
+      s"""WITH raw AS (SELECT doc_id, doc_id % 100 AS base,
+         | CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site' ELSE 'https://www.site' END ||
+         | CAST(doc_id % 100 % 10 AS VARCHAR) || '.example.' ||
+         | (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 100 % 4 + 1 AS INT)] ||
+         | CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+         | '/path/' || CAST(doc_id % 100 AS VARCHAR) ||
+         | CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         | CASE WHEN doc_id % 5 < 2 THEN '?utm_source=s&id=' || CAST(doc_id % 100 AS VARCHAR)
+         |      ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) END ||
+         | CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END AS url
+         | FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+         |c2 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
+         |  substr(u, len(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
+         | FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+         |  '^(http://[^/:?#]+):80([/?#].*)?$$', '\\1\\2'),
+         |  '^(https://[^/:?#]+):443([/?#].*)?$$', '\\1\\2') AS u FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+         |  '&$track=[^&]*', '', 'g'),
+         |  '\\?$track=[^&]*&', '?'),
+         |  '\\?$track=[^&]*$$', '') AS u FROM c3),
+         |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+         |  '^([^?]*)/\\?', '\\1?'), '/$$', '') AS u FROM c4)
+         |SELECT u AS url_canonical, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM c5 GROUP BY u""".stripMargin
+    },
+
+    // Same RECURSIVE closure as dedup_components, then cluster sizes ->
+    // pow(size, -1) weights; singletons (no component row) weigh 1.0.
+    "soft_dedup_weights" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+        | UNION ALL
+        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+        |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+        |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+        |reach(id, comp) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        | FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+        |SELECT d.doc_id,
+        | round(CAST(CASE WHEN c.component IS NULL THEN 1.0
+        |                 ELSE pow(s.csize, -1.0) END AS DOUBLE), 6) AS weight
+        |FROM ids d LEFT JOIN comp c USING (doc_id)
+        | LEFT JOIN sizes s USING (component)""".stripMargin,
 
     // Same RECURSIVE closure as dedup_components, then the sample_split
     // md5-prefix arithmetic over coalesce(component, doc_id) — DuckDB

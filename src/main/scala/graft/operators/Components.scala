@@ -142,4 +142,29 @@ object Components {
       .filter(col("__rn") === 1)
       .drop("__rn", "component")
   }
+
+  /** SOFT dedup: instead of dropping duplicates, keep every row and attach a
+    * sampling/loss weight `cluster_size^(-alpha)` (singletons weigh 1.0) —
+    * the soft-deduplication idea (SoftDedup, He et al. 2024; and the
+    * repeat-discounting view of Muennighoff et al. 2023's data-constrained
+    * scaling): duplicated content still contributes, just not N times. At
+    * `alpha = 1` a cluster's TOTAL weight is 1.0 regardless of its size
+    * (copies split one document's mass); `alpha = 0` degrades to no dedup.
+    *
+    * Scale shape: cluster sizes come from a groupBy on the (members-only,
+    * corpus-fraction-sized) component table; the weighted size table is
+    * AQE-broadcast into one left join against the corpus — the corpus
+    * itself is never shuffled.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, components: DataFrame,
+                       alpha: Double = 1.0): DataFrame = {
+    val sizes = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("__csize"))
+    val weighted = components.select(col("id").as(idCol), col("component"))
+      .join(sizes, Seq("component"))
+      .select(col(idCol), pow(col("__csize"), lit(-alpha)).as("__w"))
+    df.join(weighted, Seq(idCol), "left")
+      .withColumn("weight", coalesce(col("__w"), lit(1.0)))
+      .drop("__w")
+  }
 }

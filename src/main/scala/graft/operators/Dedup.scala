@@ -62,6 +62,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** URL-level dedup groups: [[exactGroups]] keyed on the CANONICAL url
+    * ([[graft.functions.UrlFunctions.canonicalizeUrl]]) instead of the
+    * content hash — the crawl-frontier dedup that unifies
+    * `HTTP://Example.com:80/a?utm_source=x#top` with `http://example.com/a`
+    * before any text is fetched or compared. Same scale shape as exact
+    * dedup: the canonicalization is a narrow codegen'd expression chain, so
+    * the whole operator is one hash-shuffle groupBy on the canonical form.
+    */
+  def urlDedupGroups(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.groupBy(
+        graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)).as("url_canonical"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep exactly one row per canonical URL (the min-id winner), with the
+    * canonical form attached. Single window shuffle, corpus never re-read.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol))
+    val w = Window.partitionBy(col("url_canonical")).orderBy(col(idCol))
+    df.withColumn("url_canonical", canon)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   // -------------------------------------------------------------------------
   // Shingles + n-gram Jaccard (exact similarity kernel)
   // -------------------------------------------------------------------------

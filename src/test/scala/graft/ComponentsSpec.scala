@@ -69,4 +69,19 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 5L, 4L, 7L))
   }
+
+  test("softDedupWeights: cluster mass sums to 1 at alpha=1; singletons weigh 1; alpha=0 is no-op") {
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val comps = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    val w = Components.softDedupWeights(docs, "doc_id", comps)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w(1L) == 1.0 / 3 && w(2L) == 1.0 / 3 && w(3L) == 1.0 / 3)
+    assert(w(5L) == 0.5 && w(6L) == 0.5)
+    assert(w(9L) == 1.0) // singleton
+    assert(math.abs((w(1L) + w(2L) + w(3L)) - 1.0) < 1e-12)
+    val flat = Components.softDedupWeights(docs, "doc_id", comps, alpha = 0.0)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(flat.values.forall(_ == 1.0))
+  }
 }

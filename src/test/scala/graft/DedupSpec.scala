@@ -332,6 +332,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"expected ref banding to disappear: prebanded=$preGens direct=$directGens")
     spark.sql("DROP TABLE IF EXISTS ref_sigs")
   }
+
+  test("url dedup: raw variants collapse on the canonical form, min-id winner") {
+    val raws = Seq(
+      (1L, "HTTP://Example.com:80/a?utm_source=x#top"),
+      (2L, "http://example.com/a"),
+      (3L, "https://example.com/a"), // different scheme -> different page
+      (4L, "http://example.com/a/?gclid=1&q=2"),
+      (5L, "http://example.com/a?q=2")
+    ).toDF("doc_id", "url")
+    val groups = Dedup.urlDedupGroups(raws, "url", "doc_id")
+      .as[(String, Long, Long)].collect()
+      .map { case (u, k, n) => u -> ((k, n)) }.toMap
+    assert(groups == Map(
+      "http://example.com/a" -> ((1L, 2L)),
+      "https://example.com/a" -> ((3L, 1L)),
+      "http://example.com/a?q=2" -> ((4L, 2L))))
+    val kept = Dedup.urlDedup(raws, "url", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }
 
 
