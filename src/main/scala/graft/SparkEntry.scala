@@ -784,6 +784,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.Bpe.count(col("text")).as("bpe_tokens"))),
 
+    "bpe_train_merges" -> ((s, dir) =>
+      // TRAIN a 12-merge BPE table on the corpus (functions/Bpe.trainMerges:
+      // most-frequent pair per round, ties to the lexicographically smallest
+      // — the deterministic Sennrich learner). Oracle: 12 unrolled DuckDB
+      // stages over the word-frequency table, each replaying one
+      // pair-count -> argmax -> merge-apply round on delimiter-encoded
+      // symbol strings.
+      graft.functions.Bpe.trainMerges(t(s, dir, "documents"), "text", 12)),
+
     "pii_redact" -> ((s, dir) => {
       // PII scrubbing over documents with deterministically planted PII
       // (emails / dotted quads / SSN-shaped ids / phone numbers keyed off
@@ -1990,6 +1999,37 @@ object SparkEntry {
          |counts AS (SELECT o.doc_id, sum(f.ntok) AS n FROM occ o JOIN final f USING (word) GROUP BY o.doc_id)
          |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens
          |FROM documents d LEFT JOIN counts c USING (doc_id)""".stripMargin
+    },
+
+    // Replays the TRAINING loop (not just application): 12 unrolled rounds,
+    // each computing pair counts over the delimiter-encoded vocab (chr(1)
+    // token-open, chr(2) token-close, chr(3) pair separator — all below any
+    // word byte, so ORDER BY the joined pair string == ORDER BY (lhs, rhs)),
+    // taking the argmax with the same count-desc-then-lex tie-break, and
+    // applying the merge via left-to-right non-overlapping replace() —
+    // exactly the engine kernel's semantics.
+    "bpe_train_merges" -> {
+      val n = 12
+      val (tl, tr, sep) = ("chr(1)", "chr(2)", "chr(3)")
+      val sb = new StringBuilder(
+        s"""WITH occ AS (SELECT unnest($toksSql) AS word FROM documents),
+           |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY word),
+           |w0 AS (SELECT regexp_replace(word, '(.)', $tl || '\\1' || $tr, 'g') AS enc, cnt FROM wc)""")
+      for (k <- 1 to n) {
+        sb.append(s""",
+           |p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || $sep || toks[i+1])) AS pair, cnt
+           |  FROM (SELECT string_split(trim(enc, $tl || $tr), $tr || $tl) AS toks, cnt FROM w${k - 1})
+           | ) GROUP BY pair),
+           |b$k AS (SELECT string_split(pair, $sep)[1] AS lhs, string_split(pair, $sep)[2] AS rhs, pc
+           |  FROM p$k ORDER BY pc DESC, pair ASC LIMIT 1),
+           |w$k AS (SELECT replace(w.enc, $tl || b.lhs || $tr || $tl || b.rhs || $tr, $tl || b.lhs || b.rhs || $tr) AS enc, cnt
+           |  FROM w${k - 1} w CROSS JOIN b$k b)""")
+      }
+      sb.append("\n" + (1 to n).map(k =>
+        s"""SELECT $k AS "rank", lhs, rhs, pc AS pair_count FROM b$k""")
+        .mkString("\nUNION ALL\n"))
+      sb.toString.stripMargin
     },
 
     "doc_fingerprint" ->

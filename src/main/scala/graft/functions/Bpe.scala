@@ -65,7 +65,11 @@ object Bpe {
   }
 
   /** Encode one word (merge loop over code points); returns the tokens. */
-  private[graft] def encodeWord(word: String): Array[String] = {
+  private[graft] def encodeWord(word: String): Array[String] =
+    encodeWith(rank, word)
+
+  private def encodeWith(rank: java.util.HashMap[String, Integer],
+                         word: String): Array[String] = {
     var tk: Array[String] = {
       val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
       var i = 0
@@ -133,4 +137,105 @@ object Bpe {
 
   /** The BPE token sequence itself (debugging / piece-level consumers). */
   def tokens(textCol: Column): Column = tokensUdf(textCol)
+
+  /** [[count]]/[[tokens]] for an ARBITRARY merge table — e.g. one just
+    * produced by [[trainMerges]]; the pinned-table functions above are the
+    * special case `tableFor(Bpe.merges)`. No per-executor memo (a freshly
+    * trained table is usually applied once; the pinned table is the
+    * steady-state hot path).
+    */
+  final class Table(val table: Vector[(String, String)]) extends Serializable {
+    private val rk: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](table.length * 2)
+      table.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+      m
+    }
+    private[graft] def encodeWord(word: String): Array[String] = encodeWith(rk, word)
+    private lazy val cUdf = udf((text: String) => {
+      var n = 0L
+      spaceTokens(text).foreach(w => n += encodeWith(rk, w).length)
+      n
+    })
+    private lazy val tUdf = udf((text: String) =>
+      spaceTokens(text).flatMap(encodeWith(rk, _)).toSeq)
+    def count(textCol: Column): Column = cUdf(textCol)
+    def tokens(textCol: Column): Column = tUdf(textCol)
+  }
+
+  def tableFor(merges: Seq[(String, String)]): Table = new Table(merges.toVector)
+
+  /** TRAIN a merge table on a corpus — the distributed Sennrich et al. 2016
+    * BPE learner (most-frequent adjacent pair wins each round; ties break to
+    * the lexicographically smallest `(left, right)` so training is
+    * deterministic — exactly how the pinned [[merges]] artifact was built).
+    * Returns one row per learned merge: `(rank, lhs, rhs, pair_count)`,
+    * rank 1 = first/highest-priority merge; stops early if the vocabulary
+    * runs out of adjacent pairs.
+    *
+    * Scale shape: ONE corpus scan aggregates word frequencies; every later
+    * step runs on the vocabulary-sized `(symbols, count)` table — the same
+    * reduction every production BPE trainer exploits (corpus size doesn't
+    * matter past the word count, and vocabularies are ~millions of rows even
+    * at 100 TB, so the per-round shuffle is small). Each round is one
+    * pair-count aggregation at a measured shuffle width + a 1-row argmax
+    * collect (bounded driver state, like KMeans' centroid updates), then a
+    * narrow merge-apply map over the vocab, `localCheckpoint`ed so lineage
+    * stays flat across rounds (the [[graft.operators.Components]] pattern).
+    * The merge-apply is left-to-right non-overlapping — the same pass
+    * `replace` semantics the DuckDB oracle replays.
+    */
+  def trainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  numMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    require(numMerges > 0, "numMerges must be positive")
+    val toks = filter(split(lower(col(textCol)), " "), x => length(x) > 0)
+    // NB: `functions.count`, NOT the enclosing object's BPE `count` UDF,
+    // which shadows it here.
+    var vocab = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val width = graft.operators.Partitioning.iterationWidth(spark, vocab.count())
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    graft.operators.Partitioning.withShuffleWidth(spark, width) {
+      var k = 1
+      var exhausted = false
+      while (k <= numMerges && !exhausted) {
+        val n = size(col("syms"))
+        val best = vocab.filter(n > 1)
+          .select(col("cnt"), explode(arrays_zip(
+            slice(col("syms"), lit(1), n - 1).as("a"),
+            slice(col("syms"), lit(2), n - 1).as("b"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val a = best(0).getString(0)
+          val b = best(0).getString(1)
+          learned += ((k, a, b, best(0).getLong(2)))
+          val applyMerge = udf((syms: Seq[String]) => {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toSeq
+          })
+          val next = vocab.select(applyMerge(col("syms")).as("syms"), col("cnt"))
+            .localCheckpoint() // flat lineage; superseded rounds are
+                               // released by the ContextCleaner
+          vocab.unpersist()
+          vocab = next
+          k += 1
+        }
+      }
+    }
+    vocab.unpersist()
+    spark.createDataFrame(learned.toSeq)
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
 }

@@ -66,4 +66,49 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       .as[Seq[String]].collect()(0)
     assert(pieces == Seq("the", "z", "z", "q"))
   }
+
+  test("trainMerges: the classic low/lower/newest corpus, hand-computed") {
+    // words: low x3, lower x2, newest x1.
+    // round 1: (l,o)=5 ties (o,w)=5 -> lex smallest (l,o)
+    // round 2: (lo,w)=5 wins
+    // round 3: (low,e)=2 ties (e,r)=2 -> lex smallest (e,r)
+    val docs = Seq((1L, "low low lower newest"), (2L, "low lower"))
+      .toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)))
+  }
+
+  test("trainMerges stops early when the vocabulary runs out of pairs") {
+    val got = Bpe.trainMerges(Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 2L))) // 'ab' x2 -> one pair, then done
+  }
+
+  test("trainMerges on the fixture reproduces the pinned artifact's prefix") {
+    // The pinned table's provenance claim (object scaladoc): trained with
+    // exactly this learner on the sf0.001 documents fixture. Retraining the
+    // first 10 merges must reproduce the artifact prefix.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Bpe.trainMerges(docs, "text", 10)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    assert(got == Bpe.merges.take(10).toSeq)
+  }
+
+  test("tableFor: a trained table drives count/tokens like the pinned one") {
+    val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
+    val learned = Bpe.trainMerges(docs, "text", 3)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val tbl = Bpe.tableFor(learned)
+    // after (l,o), (lo,w), (e,r): low -> [low], lower -> [low, er],
+    // newest -> [n, e, w, e, s, t] (no trained merge applies cleanly:
+    // (e,r) needs adjacent e r which newest lacks)
+    assert(tbl.encodeWord("low").toSeq == Seq("low"))
+    assert(tbl.encodeWord("lower").toSeq == Seq("low", "er"))
+    assert(tbl.encodeWord("newest").toSeq == Seq("n", "e", "w", "e", "s", "t"))
+    val counts = docs.select(tbl.count(col("text")).as("n")).as[Long].collect()
+    assert(counts.toSeq == Seq(1L + 1L + 2L + 6L))
+  }
 }
