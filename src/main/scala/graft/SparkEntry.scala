@@ -1101,6 +1101,31 @@ object SparkEntry {
           k = 10, iterations = 2, minCosine = 0.3)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))),
 
+    "pq_encode" -> ((s, dir) => {
+      // Product quantization codes (operators/Pq): 4 subspaces x 16 dims,
+      // 8 codes each, codebooks from the deterministic per-subspace
+      // KMeans.fit — exploded to (vec_id, subspace, code) scalars. Oracle:
+      // the kmeans_assign unrolled-CTE machinery, once per subspace slice.
+      val e = t(s, dir, "embeddings")
+      val cb = Pq.train(e, "embedding", "vec_id", m = 4, k = 8, iterations = 2)
+      Pq.encode(e, "embedding", "vec_id", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code").cast("long").as("code"))
+    }),
+
+    "pq_adc_topk" -> ((s, dir) => {
+      // ADC search over the PQ codes: the exact query (vec_id 0's vector)
+      // builds the m x k distance table driver-side; every corpus row is
+      // scored by m lookups + adds in a codegen'd expression, then top-10.
+      val e = t(s, dir, "embeddings")
+      val cb = Pq.train(e, "embedding", "vec_id", m = 4, k = 8, iterations = 2)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      Pq.adcTopK(Pq.encode(e, "embedding", "vec_id", cb), cb, q, topK = 10)
+    }),
+
     // -----------------------------------------------------------------------
     // Multimodal extensions (decode is a documented stub; plumbing is real)
     // -----------------------------------------------------------------------
@@ -1146,26 +1171,58 @@ object SparkEntry {
     * centroids, empty clusters carry forward). Leaves `e` (non-null
     * double vectors) and `c<iters>` (final centroids) in scope.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
+    kmeansCtesOver("", "embedding::DOUBLE[]", k, iters, dim)
+
+  /** [[kmeansCtes]] generalized to a PREFIXED name space over an arbitrary
+    * vector expression (e.g. a subspace slice for the PQ oracles). Leaves
+    * `<p>e` (non-null double vectors) and `<p>c<iters>` (final centroids)
+    * in scope.
+    */
+  private def kmeansCtesOver(p: String, vExpr: String, k: Int, iters: Int,
+                             dim: Int): String = {
     val head =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      s"""${p}e AS (SELECT vec_id, $vExpr AS v FROM embeddings
          |  WHERE embedding IS NOT NULL),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
-         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+         |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+         |  FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
     val rounds = (1 to iters).map { t =>
-      s"""a$t AS (SELECT vec_id, cluster FROM (
+      s"""${p}a$t AS (SELECT vec_id, cluster FROM (
          |  SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${kmeansD2("e", "c", dim)} ASC, c.cluster ASC) AS rn
-         |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
-         |m$t AS (SELECT a.cluster, t.d, round(avg(list_extract(e.v, t.d)), 6) AS m
-         |  FROM a$t a JOIN e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(d)
+         |  FROM ${p}e e CROSS JOIN ${p}c${t - 1} c) WHERE rn = 1),
+         |${p}m$t AS (SELECT a.cluster, t.d, round(avg(list_extract(e.v, t.d)), 6) AS m
+         |  FROM ${p}a$t a JOIN ${p}e e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(d)
          |  GROUP BY a.cluster, t.d),
-         |c$t AS (SELECT c.cluster, coalesce(n.v, c.v) AS v
-         |  FROM c${t - 1} c LEFT JOIN (SELECT cluster, list(m ORDER BY d) AS v
-         |    FROM m$t GROUP BY cluster) n USING (cluster))""".stripMargin
+         |${p}c$t AS (SELECT c.cluster, coalesce(n.v, c.v) AS v
+         |  FROM ${p}c${t - 1} c LEFT JOIN (SELECT cluster, list(m ORDER BY d) AS v
+         |    FROM ${p}m$t GROUP BY cluster) n USING (cluster))""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }
+
+  /** Shared PQ-oracle pieces (m=4 subspaces x 16 dims, k=8, 2 iterations —
+    * the gates' configuration): per-subspace codebook training CTEs plus
+    * `cd<j>(vec_id, code)` assignments.
+    */
+  private def pqCodeCtes(): String = {
+    val books = (0 until 4).map(j =>
+      kmeansCtesOver(s"s${j}_",
+        s"(embedding::DOUBLE[])[${j * 16 + 1}:${(j + 1) * 16}]", 8, 2, 16))
+      .mkString(",\n")
+    val cds = (0 until 4).map(j =>
+      s"""cd$j AS (SELECT vec_id, cluster AS code FROM (
+         |  SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${kmeansD2("e", "c", 16)} ASC, c.cluster ASC) AS rn
+         |  FROM s${j}_e e CROSS JOIN s${j}_c2 c) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    s"$books,\n$cds"
+  }
+
+  private def pqCodeSelect(): String =
+    (0 until 4).map(j =>
+      s"SELECT vec_id, CAST($j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code FROM cd$j")
+      .mkString("\nUNION ALL\n")
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
@@ -2512,6 +2569,29 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${kmeansD2("e", "c", 64)} ASC, c.cluster ASC) AS rn
          |  FROM e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
+
+    // Per-subspace replay of the PQ codebook training + code assignment:
+    // the kmeans_assign unrolled-CTE machinery over each 16-dim slice.
+    "pq_encode" -> s"WITH ${pqCodeCtes()}\n${pqCodeSelect()}",
+
+    // ...then ADC: each row's distance is the sum over subspaces of the
+    // exact-query-to-assigned-centroid distance — the same m lookups the
+    // engine's literal table provides, in the same left-to-right add order.
+    "pq_adc_topk" -> {
+      val qs = (0 until 4).map(j =>
+        s"q$j AS (SELECT (embedding::DOUBLE[])[${j * 16 + 1}:${(j + 1) * 16}] AS v" +
+          " FROM embeddings WHERE vec_id = 0)").mkString(",\n")
+      val ts = (0 until 4).map(j =>
+        s"""t$j AS (SELECT cd.vec_id, ${kmeansD2("q", "c", 16)} AS d
+           |  FROM cd$j cd JOIN s${j}_c2 c ON c.cluster = cd.code CROSS JOIN q$j q)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH ${pqCodeCtes()},
+         |$qs,
+         |$ts
+         |SELECT vec_id, round(t0.d + t1.d + t2.d + t3.d, 6) AS adc_dist2
+         |FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id) JOIN t3 USING (vec_id)
+         |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "semantic_dedup" ->
       s"""WITH ${kmeansCtes(10, 2, 64)},
