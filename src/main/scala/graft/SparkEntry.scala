@@ -36,6 +36,63 @@ object SparkEntry {
 
   private val dec = "decimal(18,2)"
 
+  /** Deterministic raw crawl-URL plant shared by the `url_dedup` /
+    * `domain_profile` gates: everything CANONICAL varies only with
+    * `base = doc_id % 100` (50 sites x 4 public suffixes x path), while
+    * case, the https default port, trailing slash, tracking params, and
+    * fragments vary with the full doc_id — 5 raw variants per canonical
+    * URL. SQL replay in [[plantedCrawlUrlSql]].
+    */
+  private def plantedCrawlUrl: Column = {
+    val base = col("doc_id") % 100
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
+        .otherwise(lit("https://www.site")),
+      (base % 10).cast("string"),
+      lit(".example."),
+      element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
+        (base % 4 + 1).cast("int")),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/path/"), base.cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 < 2,
+          concat(lit("?utm_source=s"), lit("&id="), base.cast("string")))
+        .otherwise(concat(lit("?id="), base.cast("string"))),
+      when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
+  }
+
+  private val plantedCrawlUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site' ELSE 'https://www.site' END ||
+      | CAST(doc_id % 100 % 10 AS VARCHAR) || '.example.' ||
+      | (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 100 % 4 + 1 AS INT)] ||
+      | CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      | '/path/' || CAST(doc_id % 100 AS VARCHAR) ||
+      | CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      | CASE WHEN doc_id % 5 < 2 THEN '?utm_source=s&id=' || CAST(doc_id % 100 AS VARCHAR)
+      |      ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) END ||
+      | CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END""".stripMargin
+
+  /** The UrlFunctions.canonicalizeUrl rule chain as DuckDB CTEs — expects a
+    * `raw(doc_id, url)` CTE in scope, leaves `c5(doc_id, u)` (canonical).
+    */
+  private val urlCanonChainSql: String = {
+    val track = "(?:utm_[A-Za-z0-9_]*|gclid|fbclid)"
+    s"""c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+       |c2 AS (SELECT doc_id,
+       |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
+       |  substr(u, len(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
+       | FROM c1),
+       |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+       |  '^(http://[^/:?#]+):80([/?#].*)?$$', '\\1\\2'),
+       |  '^(https://[^/:?#]+):443([/?#].*)?$$', '\\1\\2') AS u FROM c2),
+       |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+       |  '&$track=[^&]*', '', 'g'),
+       |  '\\?$track=[^&]*&', '?'),
+       |  '\\?$track=[^&]*$$', '') AS u FROM c3),
+       |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+       |  '^([^?]*)/\\?', '\\1?'), '/$$', '') AS u FROM c4)""".stripMargin
+  }
+
   /** Flagship: the reference's write path end-to-end on sf0.001 — scan ->
     * non-blank filter -> adaptive chunk -> embed -> sink projection
     * (`yamlpipe/core/pipeline.py:51-98` as one lazy Spark lineage).
@@ -600,24 +657,25 @@ object SparkEntry {
       // vary with doc_id; everything canonical varies only with
       // base = doc_id % 100) — urlDedupGroups must collapse 500 raws into
       // 100 canonical groups of 5 with keep_id = base.
-      val base = col("doc_id") % 100
-      val url = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
-          .otherwise(lit("https://www.site")),
-        (base % 10).cast("string"),
-        lit(".example."),
-        element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
-          (base % 4 + 1).cast("int")),
-        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-        lit("/path/"), base.cast("string"),
-        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 5 < 2,
-            concat(lit("?utm_source=s"), lit("&id="), base.cast("string")))
-          .otherwise(concat(lit("?id="), base.cast("string"))),
-        when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
       Dedup.urlDedupGroups(
-        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        t(s, dir, "documents").select(col("doc_id"), plantedCrawlUrl.as("url")),
         "url", "doc_id")
+    }),
+
+    "domain_profile" -> ((s, dir) => {
+      // Per-registered-domain curation stats over the same planted crawl
+      // URLs: doc count, distinct canonical pages, decimal-exact mean
+      // quality — the aggregation a per-domain cap / mixing pass keys on.
+      import graft.functions.UrlFunctions
+      t(s, dir, "documents")
+        .select(UrlFunctions.registeredDomain(plantedCrawlUrl).as("domain"),
+          UrlFunctions.canonicalizeUrl(plantedCrawlUrl).as("u"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("u")).as("n_pages"),
+          round(sum(col("q").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_quality"))
     }),
 
     "soft_dedup_weights" -> ((s, dir) => {
@@ -775,6 +833,12 @@ object SparkEntry {
 
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCountFrame(t(s, dir, "documents"), "text", "doc_id")),
+
+    "char_entropy" -> ((s, dir) =>
+      // Character-level Shannon entropy (bits/char) — the cheap gibberish /
+      // boilerplate curation signal; sorted-distinct fold so the floating
+      // sum is order-deterministic and DuckDB-replayable.
+      TextAnalysis.entropyFrame(t(s, dir, "documents"), "text", "doc_id")),
 
     "bpe_merge_count" -> ((s, dir) =>
       // Exact BPE token counts under the pinned merge table (functions/Bpe)
@@ -1810,36 +1874,38 @@ object SparkEntry {
     // Replays the 5-variants-per-base plant, the same canonicalization
     // chain as url_canonicalize, then the group-collapse: 100 canonical
     // URLs, keep_id = base, n_dups = 5 each.
-    "url_dedup" -> {
-      val track = "(?:utm_[A-Za-z0-9_]*|gclid|fbclid)"
-      s"""WITH raw AS (SELECT doc_id, doc_id % 100 AS base,
-         | CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site' ELSE 'https://www.site' END ||
-         | CAST(doc_id % 100 % 10 AS VARCHAR) || '.example.' ||
-         | (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 100 % 4 + 1 AS INT)] ||
-         | CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
-         | '/path/' || CAST(doc_id % 100 AS VARCHAR) ||
-         | CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
-         | CASE WHEN doc_id % 5 < 2 THEN '?utm_source=s&id=' || CAST(doc_id % 100 AS VARCHAR)
-         |      ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) END ||
-         | CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END AS url
-         | FROM documents),
-         |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
-         |c2 AS (SELECT doc_id,
-         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
-         |  substr(u, len(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
-         | FROM c1),
-         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-         |  '^(http://[^/:?#]+):80([/?#].*)?$$', '\\1\\2'),
-         |  '^(https://[^/:?#]+):443([/?#].*)?$$', '\\1\\2') AS u FROM c2),
-         |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
-         |  '&$track=[^&]*', '', 'g'),
-         |  '\\?$track=[^&]*&', '?'),
-         |  '\\?$track=[^&]*$$', '') AS u FROM c3),
-         |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-         |  '^([^?]*)/\\?', '\\1?'), '/$$', '') AS u FROM c4)
+    "url_dedup" ->
+      s"""WITH raw AS (SELECT doc_id, $plantedCrawlUrlSql AS url FROM documents),
+         |$urlCanonChainSql
          |SELECT u AS url_canonical, min(doc_id) AS keep_id, count(*) AS n_dups
-         |FROM c5 GROUP BY u""".stripMargin
-    },
+         |FROM c5 GROUP BY u""".stripMargin,
+
+    // Plant + canonicalization chain + the registered-domain rules (as in
+    // url_canonicalize), then decimal-exact per-domain aggregation joined
+    // with the quality CTE chain.
+    "domain_profile" ->
+      s"""WITH raw AS (SELECT doc_id, $plantedCrawlUrlSql AS url FROM documents),
+         |$urlCanonChainSql,
+         |h AS (SELECT c5.doc_id, c5.u,
+         |  lower(regexp_extract(raw.url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS host
+         | FROM c5 JOIN raw USING (doc_id)),
+         |p AS (SELECT doc_id, u, host, string_split(host, '.') AS parts FROM h),
+         |q AS (SELECT doc_id, u, host, parts, len(parts) AS n,
+         |  CASE WHEN len(parts) > 2 AND (parts[-2] || '.' || parts[-1]) IN
+         |   ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'co.jp', 'com.au', 'net.au',
+         |    'com.br', 'co.in', 'com.cn', 'co.kr', 'co.za', 'com.mx', 'com.ar',
+         |    'com.tr', 'co.id') THEN 3 ELSE 2 END AS take
+         | FROM p),
+         |dom AS (SELECT doc_id, u,
+         |  CASE WHEN host = '' OR host IS NULL THEN NULL
+         |       WHEN n <= take THEN host
+         |       ELSE array_to_string(parts[n - take + 1:n], '.') END AS domain
+         | FROM q),
+         |$qualitySqlCtes
+         |SELECT d.domain, count(*) AS n_docs, count(DISTINCT d.u) AS n_pages,
+         | round(CAST(sum(CAST(s.quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+         |FROM dom d JOIN qscore s USING (doc_id)
+         |GROUP BY d.domain""".stripMargin,
 
     // Same RECURSIVE closure as dedup_components, then cluster sizes ->
     // pow(size, -1) weights; singletons (no component row) weigh 1.0.
@@ -2087,6 +2153,20 @@ object SparkEntry {
         s"""SELECT $k AS "rank", lhs, rhs, pc AS pair_count FROM b$k""")
         .mkString("\nUNION ALL\n"))
       sb.toString.stripMargin
+    },
+
+    // Same sorted-distinct fold, same (p * ln p) / ln 2 shape and add order.
+    "char_entropy" -> {
+      val p = "(CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE) / len(chars))"
+      s"""WITH ch AS (SELECT doc_id, len(text) AS nt,
+         |  list_transform(range(1, len(text) + 1), i -> text[i]) AS chars
+         | FROM documents)
+         |SELECT doc_id, CAST(CASE WHEN nt = 0 THEN 0.0 ELSE
+         | round(-list_reduce(list_prepend(0.0,
+         |   list_transform(list_sort(list_distinct(chars)),
+         |     d -> $p * ln($p) / ln(2.0))), (a, b) -> a + b), 6)
+         | END AS DOUBLE) AS char_entropy
+         |FROM ch""".stripMargin
     },
 
     "doc_fingerprint" ->

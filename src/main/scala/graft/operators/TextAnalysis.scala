@@ -251,4 +251,27 @@ object TextAnalysis {
   def fingerprintFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
     Partitioning.ensureParallelism(df)
       .select(col(idCol), rollingHash(col(textCol)).as("rolling_hash"))
+
+  /** Character-level Shannon entropy (bits/char), rounded to 6dp — the
+    * cheap gibberish/boilerplate signal real curation stacks pair with the
+    * ratio rules: natural prose sits ~3.5-4.5 bits, `aaaa...` runs and
+    * base64 blobs fall far outside. Pure HOF expression, no UDF: the
+    * distinct-character list is SORTED before the fold so the floating-sum
+    * order is deterministic and oracle-replayable; O(len * alphabet) per
+    * row with alphabet <= ~100 on text. Empty text -> 0.0.
+    */
+  def charEntropy(c: Column): Column = {
+    val chars = split(c, "")
+    val n = size(chars).cast("double")
+    val terms = transform(array_sort(array_distinct(chars)), d => {
+      val p = size(filter(chars, ch => ch === d)).cast("double") / n
+      p * log(p) / log(lit(2.0))
+    })
+    when(length(c) === 0, lit(0.0))
+      .otherwise(round(-aggregate(terms, lit(0.0), (a, b) => a + b), 6))
+  }
+
+  def entropyFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Partitioning.ensureParallelism(df)
+      .select(col(idCol), charEntropy(col(textCol)).as("char_entropy"))
 }

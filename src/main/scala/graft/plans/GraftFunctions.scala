@@ -69,6 +69,9 @@ object GraftFunctions {
     unary("graft_rolling_hash",
       "_FUNC_(text) - 64-bit rolling-hash document fingerprint (long)")(
       TextAnalysis.rollingHash),
+    unary("graft_char_entropy",
+      "_FUNC_(text) - character-level Shannon entropy in bits/char (double)")(
+      TextAnalysis.charEntropy),
     unary("graft_strip_html",
       "_FUNC_(html) - tags/scripts/entities stripped to text")(
       TextFunctions.stripHtml),

@@ -70,4 +70,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .as[String].collect().head
     assert(none == "")
   }
+
+  test("charEntropy: hand-computed values, degenerate and empty text") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      (1L, "abab"),   // two chars, p=1/2 each -> 1 bit
+      (2L, "abcd"),   // four chars uniform -> 2 bits
+      (3L, "aaaa"),   // one char -> 0 (p=1, ln 1 = 0)
+      (4L, ""),       // empty -> 0 by definition
+      (5L, "aab")     // 2/3, 1/3 -> ~0.918296
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.TextAnalysis.charEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0 && got(2L) == 2.0)
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+    assert(got(5L) == 0.918296)
+  }
 }
