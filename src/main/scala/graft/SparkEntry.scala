@@ -1027,6 +1027,24 @@ object SparkEntry {
         .select(col("doc_id"), col("label"), col("prob"), col("predicted"))
     }),
 
+    "classifier_auc" -> ((s, dir) => {
+      // ROC-AUC of the quality classifier: rank-sum with exact tie
+      // handling over the per-distinct-prob distribution (Classifier
+      // .aucFrame scaladoc) — the eval metric a filter-threshold decision
+      // reads.
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      Classifier.aucFrame(
+        Classifier.fitScoreLogistic(feats,
+          Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+          iterations = 2, lr = 1.0),
+        "prob", "label")
+    }),
+
     "bm25_rank" -> ((s, dir) =>
       // Lexical retrieval: BM25 scores for a fixed 3-term query over the
       // corpus (k1/b = Lucene defaults). Deterministic formula -> full
@@ -1316,6 +1334,53 @@ object SparkEntry {
        |   (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
        |   least(stop_ratio * 5.0, 1.0) * 0.1, 6) AS quality
        | FROM qr)""".stripMargin
+  }
+
+  /** Unrolled logistic-regression training + scoring CTEs mirroring
+    * `Classifier.fitLogistic`/`scoreLogistic` (feature CTEs byte-identical
+    * to the quality_score oracle; zero init, left-to-right z,
+    * round(w - lr*g, 6) per iteration), ending at `scored(doc_id, y, prob)`
+    * — shared by `quality_classifier` and `classifier_auc`.
+    */
+  private val classifierScoredSqlCtes: String = {
+    val stop = graft.operators.TextAnalysis.QualityStopwords
+      .map(w => s"'$w'").mkString(", ")
+    def zf(w: String) = s"($w.b + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3)"
+    def step(n: Int): String = {
+      val prev = s"w${n - 1}"
+      s"""g$n AS (SELECT avg(s - y) AS g0, avg((s - y) * x1) AS g1,
+         |  avg((s - y) * x2) AS g2, avg((s - y) * x3) AS g3
+         | FROM (SELECT y, x1, x2, x3,
+         |    1.0 / (1.0 + exp(-${zf(prev)})) AS s
+         |   FROM f CROSS JOIN $prev)),
+         |w$n AS (SELECT round($prev.b - 1.0 * g$n.g0, 6) AS b,
+         |  round($prev.w1 - 1.0 * g$n.g1, 6) AS w1,
+         |  round($prev.w2 - 1.0 * g$n.g2, 6) AS w2,
+         |  round($prev.w3 - 1.0 * g$n.g3, 6) AS w3
+         | FROM $prev CROSS JOIN g$n)""".stripMargin
+    }
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(text) AS DOUBLE) AS n_chars,
+       |  CAST(len(toks) AS DOUBLE) AS n_toks,
+       |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS tok_chars,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+       |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS stop_hits
+       | FROM t),
+       |r AS (SELECT doc_id,
+       |  CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_tok_len,
+       |  CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS stop_ratio
+       | FROM m),
+       |f AS (SELECT r.doc_id, round(mean_tok_len, 6) AS x1,
+       |  round(punct_ratio, 6) AS x2, round(stop_ratio, 6) AS x3,
+       |  CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       | FROM r JOIN documents d USING (doc_id)),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${step(1)},
+       |${step(2)},
+       |scored AS (SELECT f.doc_id, y, round(1.0 / (1.0 + exp(-${zf("w2")})), 6) AS prob
+       | FROM f CROSS JOIN w2)""".stripMargin
   }
 
   /** GPT-3-appendix-C 13-gram decontamination — shared by the exact
@@ -2485,49 +2550,27 @@ object SparkEntry {
          |  FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv) s
          |GROUP BY doc_id""".stripMargin,
 
-    "quality_classifier" -> {
-      // Feature CTEs mirror the quality_score oracle byte-for-byte; the
-      // unrolled gradient steps mirror Classifier.fitLogistic (zero init,
-      // left-to-right z, round(w - lr*g, 6) per iteration).
-      val stop = TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
-      def zf(w: String) = s"($w.b + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3)"
-      def step(n: Int): String = {
-        val prev = s"w${n - 1}"
-        s"""g$n AS (SELECT avg(s - y) AS g0, avg((s - y) * x1) AS g1,
-           |  avg((s - y) * x2) AS g2, avg((s - y) * x3) AS g3
-           | FROM (SELECT y, x1, x2, x3,
-           |    1.0 / (1.0 + exp(-${zf(prev)})) AS s
-           |   FROM f CROSS JOIN $prev)),
-           |w$n AS (SELECT round($prev.b - 1.0 * g$n.g0, 6) AS b,
-           |  round($prev.w1 - 1.0 * g$n.g1, 6) AS w1,
-           |  round($prev.w2 - 1.0 * g$n.g2, 6) AS w2,
-           |  round($prev.w3 - 1.0 * g$n.g3, 6) AS w3
-           | FROM $prev CROSS JOIN g$n)""".stripMargin
-      }
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(text) AS DOUBLE) AS n_chars,
-         |  CAST(len(toks) AS DOUBLE) AS n_toks,
-         |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS tok_chars,
-         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
-         |  CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS stop_hits
-         | FROM t),
-         |r AS (SELECT doc_id,
-         |  CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_tok_len,
-         |  CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
-         |  CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS stop_ratio
-         | FROM m),
-         |f AS (SELECT r.doc_id, round(mean_tok_len, 6) AS x1,
-         |  round(punct_ratio, 6) AS x2, round(stop_ratio, 6) AS x3,
-         |  CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         | FROM r JOIN documents d USING (doc_id)),
-         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-         |${step(1)},
-         |${step(2)}
-         |SELECT doc_id, y AS label, round(p, 6) AS prob, round(p, 6) >= 0.5 AS predicted
-         |FROM (SELECT f.doc_id, y, 1.0 / (1.0 + exp(-${zf("w2")})) AS p
-         |  FROM f CROSS JOIN w2)""".stripMargin
-    },
+    "quality_classifier" ->
+      s"""WITH $classifierScoredSqlCtes
+         |SELECT doc_id, y AS label, prob, prob >= 0.5 AS predicted
+         |FROM scored""".stripMargin,
+
+    // Rank-sum AUC with exact tie handling over the scored distribution:
+    // rows collapse to per-distinct-prob (n_pos, n_neg) first, the
+    // cumulative below-count runs over that table, and every accumulated
+    // term is an exact multiple of 0.5 — order-independent, so the engine's
+    // shuffle order can't drift the hash.
+    "classifier_auc" ->
+      s"""WITH $classifierScoredSqlCtes,
+         |dist AS (SELECT prob, sum(y) AS npos, sum(1.0 - y) AS nneg
+         | FROM scored GROUP BY prob),
+         |cum AS (SELECT prob, npos, nneg,
+         |  coalesce(sum(nneg) OVER (ORDER BY prob
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
+         | FROM dist)
+         |SELECT round(sum(npos * (below + nneg / 2.0)) / (sum(npos) * sum(nneg)), 6) AS auc,
+         | CAST(sum(npos) AS BIGINT) AS n_pos, CAST(sum(nneg) AS BIGINT) AS n_neg
+         |FROM cum""".stripMargin,
 
     "bm25_rank" ->
       s"""WITH $bm25Ctes

@@ -89,4 +89,35 @@ object Classifier {
                        lr: Double = 1.0): DataFrame =
     scoreLogistic(df, featureCols,
       fitLogistic(df, featureCols, labelCol, iterations, lr))
+
+  /** ROC-AUC of a scored frame, one row `(auc, n_pos, n_neg)` — the
+    * rank-sum (Mann-Whitney) formulation with exact tie handling:
+    * `AUC = P(score_pos > score_neg) + P(score_pos = score_neg)/2`.
+    *
+    * Scale shape: NO global per-row window. Rows first collapse to the
+    * per-distinct-score distribution `(score, n_pos, n_neg)` (one shuffle,
+    * map-side combine), and the cumulative pass runs over THAT table,
+    * bounded by the number of distinct scores — the same regime trick as
+    * `CorpusMix.packToBudgetHistogram` (rounded probabilities have at most
+    * 10^roundDp + 1 distinct values, here ~1e6 worst case, typically far
+    * fewer). Every accumulated term is an exact multiple of 0.5 well below
+    * 2^52, so the floating sums are order-independent and the single final
+    * division is the only inexact step — deterministic and
+    * oracle-replayable.
+    */
+  def aucFrame(scored: DataFrame, probCol: String, labelCol: String,
+               roundDp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = scored.groupBy(col(probCol).as("__p"))
+      .agg(sum(col(labelCol)).as("__npos"),
+        sum(lit(1.0) - col(labelCol)).as("__nneg"))
+    val w = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist.withColumn("__below", coalesce(sum(col("__nneg")).over(w), lit(0.0)))
+      .agg(
+        round(sum(col("__npos") * (col("__below") + col("__nneg") / 2.0)) /
+          (sum(col("__npos")) * sum(col("__nneg"))), roundDp).as("auc"),
+        sum(col("__npos")).cast("long").as("n_pos"),
+        sum(col("__nneg")).cast("long").as("n_neg"))
+  }
 }

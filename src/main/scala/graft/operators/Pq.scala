@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
@@ -70,12 +70,11 @@ object Pq {
     } finally vecs.unpersist()
   }
 
-  /** Encode every row to its `m` codes: `(id, codes array<int>)` — ints
-    * here for plumbing clarity; at k <= 256 a production sink stores them
-    * as `m` bytes. One narrow pass, codebook in the closure.
+  /** The `m` codes of a vector column as an expression — the kernel behind
+    * [[encode]], exposed so composite indexes (IVF-PQ) can attach codes in
+    * the same pass that attaches the cell. Codebook rides the closure.
     */
-  def encode(df: DataFrame, vecCol: String, idCol: String,
-             cb: Codebooks): DataFrame = {
+  def encodeColumn(cb: Codebooks, vec: Column): Column = {
     val books = cb.centroids
     val subDim = cb.subDim
     val encodeUdf = udf((v: Seq[Double]) => {
@@ -98,11 +97,17 @@ object Pq {
         bestC
       }.toSeq
     })
-    df.select(col(idCol),
-        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
-      .filter(col("__v").isNotNull)
-      .select(col(idCol), encodeUdf(col("__v")).as("codes"))
+    encodeUdf(vec.cast(ArrayType(DoubleType)))
   }
+
+  /** Encode every row to its `m` codes: `(id, codes array<int>)` — ints
+    * here for plumbing clarity; at k <= 256 a production sink stores them
+    * as `m` bytes. One narrow pass, codebook in the closure.
+    */
+  def encode(df: DataFrame, vecCol: String, idCol: String,
+             cb: Codebooks): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), encodeColumn(cb, col(vecCol)).as("codes"))
 
   /** ADC top-k over an encoded frame: builds the `m × k` distance table
     * from the exact `query` driver-side (tiny), inlines it as a literal,

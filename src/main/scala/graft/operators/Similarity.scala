@@ -294,4 +294,59 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  // -------------------------------------------------------------------------
+  // IVF-PQ (coarse cells + product-quantized residual-free codes)
+  // -------------------------------------------------------------------------
+
+  /** IVF-PQ index: the [[ivfIndex]] coarse quantizer picks the cell, and a
+    * [[Pq]] codebook trained on the UNIT-normalized vectors compresses each
+    * row to `m` codes — both attached in ONE pass, so the stored index is
+    * `(id, cell, codes)`: a few bytes per row instead of the float vector.
+    * This is the classic IVF-PQ (actually IVF-flat-PQ: codes quantize the
+    * vector itself, not the cell residual — one shared codebook, simpler
+    * plumbing, same scan shape). Normalizing first makes ADC's L2 ranking
+    * equal the cosine ranking [[ivfTopK]] uses, so the two search paths are
+    * drop-in comparable.
+    *
+    * Scale shape: PQ training sees the corpus through [[Pq.train]] (sample
+    * upstream for a 100 TB corpus); cell assignment and encoding are one
+    * narrow map each; nothing shuffles.
+    */
+  def ivfPqIndex(corpus: DataFrame, vecCol: String = "embedding",
+                 idCol: String = "vec_id", nCells: Int = 16, m: Int = 4,
+                 kCodes: Int = 8, pqIterations: Int = 2, seed: Long = 42L)
+      : (DataFrame, Array[Array[Double]], Pq.Codebooks) = {
+    val (indexed, centroids) = ivfIndex(corpus, vecCol, nCells, seed)
+    val unit = graft.functions.VectorFunctions.l2Normalize(col(vecCol))
+    val unitized = indexed.filter(col(vecCol).isNotNull)
+      .withColumn("__unit", unit)
+    val cb = Pq.train(unitized, "__unit", idCol, m, kCodes, pqIterations)
+    val encoded = unitized.select(col(idCol), col("cell"),
+      Pq.encodeColumn(cb, col("__unit")).as("codes"))
+    (encoded, centroids, cb)
+  }
+
+  /** Query an IVF-PQ index: probe the `nProbe` nearest cells (same cell
+    * ranking as [[ivfTopK]] — query normalized, centroids unit), then ADC
+    * top-k over ONLY the probed cells' codes. No float vector is read at
+    * scan time; returns `(id, adc_dist2)` where `adc_dist2 ~ 2 - 2*cosine`
+    * on the unit sphere.
+    */
+  def ivfPqTopK(encoded: DataFrame, centroids: Array[Array[Double]],
+                cb: Pq.Codebooks, queryVec: Array[Float], k: Int,
+                nProbe: Int = 4, idCol: String = "vec_id"): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    if (qn > 0) { var j = 0; while (j < q.length) { q(j) /= qn; j += 1 } }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    Pq.adcTopK(encoded.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      cb, q, k, idCol)
+  }
 }

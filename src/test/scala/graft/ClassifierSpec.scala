@@ -75,4 +75,20 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  test("aucFrame: perfect, inverted, chance, and tied rankings hand-checked") {
+    def auc(rows: Seq[(Double, Double)]): (Double, Long, Long) =
+      Classifier.aucFrame(rows.toDF("prob", "label"), "prob", "label")
+        .as[(Double, Long, Long)].collect()(0)
+    // perfect separation
+    assert(auc(Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))) == ((1.0, 2L, 2L)))
+    // inverted
+    assert(auc(Seq((0.1, 1.0), (0.2, 1.0), (0.8, 0.0), (0.9, 0.0)))._1 == 0.0)
+    // all scores tied -> chance
+    assert(auc(Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0)))._1 == 0.5)
+    // one pos above one neg, one pos tied with one neg:
+    // pairs: (p=.9,n=.5)->1, (p=.9,n=.2)->1, (p=.5,n=.5)->0.5, (p=.5,n=.2)->1
+    // AUC = 3.5/4 = 0.875
+    assert(auc(Seq((0.9, 1.0), (0.5, 1.0), (0.5, 0.0), (0.2, 0.0)))._1 == 0.875)
+  }
 }

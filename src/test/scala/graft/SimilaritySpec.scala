@@ -131,4 +131,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("cell"), "cell predicate missing from plan")
   }
+
+  test("IVF-PQ: codes-only index ranks the query's cluster first under nProbe=1") {
+    // Same directional-cluster regime as the spherical IVF test; the IVF-PQ
+    // index stores only (id, cell, codes) and ADC must still surface the
+    // query's neighborhood. ADC distance on the unit sphere ~ 2 - 2*cos.
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val cluster = i % 3
+      val mag = 0.1f + (i % 50) * 2f
+      val base = Array.fill(8)(0.01f * (i % 7))
+      base(cluster) = mag
+      (i.toLong, cluster, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "cluster", "embedding")
+    val (encoded, centroids, cb) = Similarity.ivfPqIndex(df, nCells = 3,
+      m = 2, kCodes = 8, pqIterations = 3)
+    assert(encoded.columns.toSeq == Seq("vec_id", "cell", "codes"))
+    val query = Array(1f, 0.02f, 0.01f, 0f, 0f, 0f, 0f, 0f) // cluster-0 direction
+    val got = Similarity.ivfPqTopK(encoded, centroids, cb, query, 10, nProbe = 1)
+      .as[(Long, Double)].collect()
+    // every hit comes from the query's directional cluster (vec_id % 3 == 0)
+    assert(got.length == 10 && got.forall(_._1 % 3 == 0), s"got ${got.toSeq}")
+    // ADC distances live on the unit sphere: 0 <= d2 <= 4, near for cluster 0
+    assert(got.forall(r => r._2 >= 0.0 && r._2 < 1.0), s"got ${got.toSeq}")
+  }
 }
