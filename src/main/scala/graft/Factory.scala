@@ -6,7 +6,7 @@ import graft.config.{ComponentConfig, GraftConfigException}
 import graft.functions.HashingEmbedder
 import graft.operators.{Chunkers, Embed}
 import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, VectorTableSink}
-import graft.sources.{GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
+import graft.sources.{CsvSource, GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
 import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
 
 /** Component registries + factory (SURVEY §2.8; reference
@@ -117,6 +117,18 @@ object Factory {
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       JsonlSource(c.require("directory"), c.strOr("glob", "*.jsonl"),
         c.strOr("text_field", "text"), c.str("id_field"), metas,
+        strict = c.str("strict").exists(_.toBoolean))
+    },
+    // Scale-path extension: CSV/TSV corpora (positional columns, optional
+    // header row; delimiter '\t' for TSV).
+    "csv" -> { c =>
+      val metas = c.str("meta_fields").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      CsvSource(c.require("directory"), c.strOr("glob", "*.csv"),
+        c.strOr("text_field", "text"), c.str("id_field"), metas,
+        header = c.str("header").forall(_.toBoolean),
+        delimiter = c.strOr("delimiter", ","),
+        multiLine = c.str("multiline").exists(_.toBoolean),
         strict = c.str("strict").exists(_.toBoolean))
     },
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),

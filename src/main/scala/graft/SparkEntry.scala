@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -213,6 +215,22 @@ object SparkEntry {
         lit("mem").as("__file"))
       graft.sources.JsonlSource
         .parseLines(lines, "text", Some("id"), Seq("lang"), strict = true)
+        .select(col("source"), col("content"), col("fingerprint"),
+          element_at(col("metadata"), "lang").as("meta_lang"))
+    }),
+
+    "csv_parse" -> ((s, dir) => {
+      // CSV corpus source: serialize each document row to a CSV line with
+      // to_csv (real quoting), parse back through CsvSource's positional
+      // line parser — the load path minus file enumeration (SourcesSpec
+      // covers real files, headers, malformed rows). Identity oracle.
+      val lines = t(s, dir, "documents").select(
+        to_csv(struct(col("text"), col("doc_id").cast("string").as("id"),
+            col("lang")),
+          Map("escape" -> "\"").asJava).as("value"),
+        lit("mem").as("__file"))
+      graft.sources.CsvSource
+        .parseLines(lines, "text", Some("id"), Seq("lang"), ",", strict = true)
         .select(col("source"), col("content"), col("fingerprint"),
           element_at(col("metadata"), "lang").as("meta_lang"))
     }),
@@ -839,6 +857,11 @@ object SparkEntry {
       // boilerplate curation signal; sorted-distinct fold so the floating
       // sum is order-deterministic and DuckDB-replayable.
       TextAnalysis.entropyFrame(t(s, dir, "documents"), "text", "doc_id")),
+
+    "lexical_diversity" -> ((s, dir) =>
+      // Gopher-style unique-word-fraction family: type-token ratio + hapax
+      // legomena per document, pure HOFs over the tokenizer contract.
+      TextAnalysis.lexicalDiversityFrame(t(s, dir, "documents"), "text", "doc_id")),
 
     "bpe_merge_count" -> ((s, dir) =>
       // Exact BPE token counts under the pinned merge table (functions/Bpe)
@@ -1516,6 +1539,13 @@ object SparkEntry {
         |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
 
     "jsonl_parse" ->
+      """SELECT 'mem#' || CAST(doc_id AS VARCHAR) AS source, text AS content,
+        | sha256(text) AS fingerprint, lang AS meta_lang
+        |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
+
+    // Identity oracle like jsonl_parse: the engine must round-trip every
+    // character through real CSV quoting (to_csv -> from_csv) to match.
+    "csv_parse" ->
       """SELECT 'mem#' || CAST(doc_id AS VARCHAR) AS source, text AS content,
         | sha256(text) AS fingerprint, lang AS meta_lang
         |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
@@ -2219,6 +2249,18 @@ object SparkEntry {
         .mkString("\nUNION ALL\n"))
       sb.toString.stripMargin
     },
+
+    "lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, list_distinct(toks) AS dis FROM t)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(dis) AS BIGINT) AS n_distinct,
+         | CAST(len(list_filter(dis, x -> len(list_filter(toks, y -> y = x)) = 1)) AS BIGINT) AS n_hapax,
+         | CAST(CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE round(CAST(len(dis) AS DOUBLE) / len(toks), 6) END AS DOUBLE) AS ttr,
+         | CAST(CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE round(CAST(len(list_filter(dis, x -> len(list_filter(toks, y -> y = x)) = 1)) AS DOUBLE) / len(toks), 6) END AS DOUBLE) AS hapax_ratio
+         |FROM d""".stripMargin,
 
     // Same sorted-distinct fold, same (p * ln p) / ln 2 shape and add order.
     "char_entropy" -> {

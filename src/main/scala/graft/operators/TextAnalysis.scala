@@ -274,4 +274,27 @@ object TextAnalysis {
   def entropyFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
     Partitioning.ensureParallelism(df)
       .select(col(idCol), charEntropy(col(textCol)).as("char_entropy"))
+
+  /** Lexical-diversity signals per document: token count, distinct tokens,
+    * hapax legomena (tokens occurring exactly once), type-token ratio and
+    * hapax ratio — the Gopher-style unique-word-fraction family (templated
+    * boilerplate repeats its vocabulary; natural prose doesn't). Pure HOF
+    * expressions over the shared tokenizer contract, O(len * distinct) per
+    * row, no shuffle.
+    */
+  def lexicalDiversityFrame(df: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    val tk = toks(col(textCol))
+    val n = size(tk)
+    val dis = array_distinct(tk)
+    val hapax = size(filter(dis, d => size(filter(tk, t => t === d)) === 1))
+    Partitioning.ensureParallelism(df).select(col(idCol),
+      n.cast("long").as("n_tokens"),
+      size(dis).cast("long").as("n_distinct"),
+      hapax.cast("long").as("n_hapax"),
+      when(n === 0, lit(0.0))
+        .otherwise(round(size(dis).cast("double") / n.cast("double"), 6)).as("ttr"),
+      when(n === 0, lit(0.0))
+        .otherwise(round(hapax.cast("double") / n.cast("double"), 6)).as("hapax_ratio"))
+  }
 }

@@ -234,6 +234,117 @@ object JsonlSource {
   }
 }
 
+/** Scale-path extension beside [[JsonlSource]]: CSV/TSV corpora — the other
+  * ubiquitous tabular text interchange (reference capability:
+  * `unstructured.partition` accepts csv, `sources.py:92-93`). Columns are
+  * POSITIONAL against the declared field order `(textField, idField?,
+  * metaFields...)`; `header = true` skips a leading header row per file.
+  *
+  * `load` goes through Spark's native distributed CSV reader; `strict =
+  * true` maps to FAILFAST, default drops malformed rows (DROPMALFORMED),
+  * mirroring the JSONL posture. Default parsing is line-splittable (input
+  * splits parallelize within a file — the crawl-scale posture); corpora
+  * with NEWLINES INSIDE QUOTED FIELDS need `multiLine = true`, which
+  * parses whole files (parallelism across files only — Spark's own
+  * trade-off, not ours). [[CsvSource.parseLines]] is the hermetic
+  * single-line variant (same parser via `from_csv`) powering the
+  * `csv_parse` gate.
+  */
+final case class CsvSource(directory: String, glob: String = "*.csv",
+                           textField: String = "text",
+                           idField: Option[String] = None,
+                           metaFields: Seq[String] = Nil,
+                           header: Boolean = true,
+                           delimiter: String = ",",
+                           multiLine: Boolean = false,
+                           strict: Boolean = false) extends GraftSource {
+
+  override def load(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fields = (Seq(textField) ++ idField ++ metaFields).distinct
+    val schema = StructType(fields.map(f => StructField(f, StringType)))
+    val raw = spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("multiLine", multiLine.toString)
+      // RFC 4180 doubled-quote escaping ("" inside a quoted field), not
+      // Spark's backslash default — real CSV corpora are RFC-shaped.
+      .option("escape", "\"")
+      .option("mode", if (strict) "FAILFAST" else "DROPMALFORMED")
+      .option("pathGlobFilter", glob)
+      .csv(directory)
+      .select(col("*"), input_file_name().as("__file"))
+    CsvSource.canonicalize(raw, textField, idField, metaFields, delimiter)
+  }
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(directory)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory)
+      throw new IllegalStateException(s"directory does not exist: $directory")
+  }
+}
+
+object CsvSource {
+  /** Single-line parse half over any `(value, __file)` frame — `from_csv`
+    * with the positional schema, PERMISSIVE + corrupt-record detection,
+    * shared semantics with `load`'s native reader. Blank lines ignored.
+    */
+  private[graft] def parseLines(lines: DataFrame, textField: String,
+                                idField: Option[String],
+                                metaFields: Seq[String],
+                                delimiter: String,
+                                strict: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fields = (Seq(textField) ++ idField ++ metaFields).distinct
+    val Corrupt = "__corrupt"
+    val schema = StructType(
+      fields.map(f => StructField(f, StringType)) :+ StructField(Corrupt, StringType))
+    val parsed = lines
+      .filter(TextFunctions.nonBlank(col("value")))
+      .select(col("__file"),
+        from_csv(col("value"), schema,
+          Map("sep" -> delimiter, "escape" -> "\"", "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> Corrupt)).as("__j"))
+    val checked =
+      if (strict)
+        parsed.withColumn("__j",
+          when(col("__j").getField(Corrupt).isNotNull, raise_error(concat(
+            lit("graft.CsvSource: malformed CSV line in "), col("__file"),
+            lit(": "), substring(col("__j").getField(Corrupt), 1, 80))))
+            .otherwise(col("__j")))
+      else parsed.filter(col("__j").getField(Corrupt).isNull)
+    canonicalize(
+      checked.select(
+        (fields.map(f => col("__j").getField(f).as(f)) :+ col("__file")): _*),
+      textField, idField, metaFields, delimiter)
+  }
+
+  /** Shared canonical projection over a parsed `(fields..., __file)` frame. */
+  private def canonicalize(parsed: DataFrame, textField: String,
+                           idField: Option[String], metaFields: Seq[String],
+                           delimiter: String): DataFrame = {
+    val fields = (Seq(textField) ++ idField ++ metaFields).distinct
+    val content = col(textField)
+    val rowDigest = sha2(
+      concat_ws(delimiter, fields.map(f => coalesce(col(f), lit(""))): _*), 256)
+    val docId = idField match {
+      case Some(f) => coalesce(col(f), substring(rowDigest, 1, 12))
+      case None => substring(rowDigest, 1, 12)
+    }
+    val meta =
+      if (metaFields.isEmpty) GraftSource.emptyMeta
+      else map_filter(
+        map(metaFields.flatMap(f => Seq(lit(f), col(f))): _*),
+        (_, v) => v.isNotNull).cast("map<string,string>")
+    GraftSource.canonical(parsed.select(
+      content.as("content"),
+      concat(col("__file"), lit("#"), docId).as("source"),
+      sha2(content, 256).as("fingerprint"),
+      meta.as("metadata")))
+  }
+}
+
 /** S2 — single-URL web source (`sources.py:118-159`): driver-side HTTP GET
   * with a desktop UA and 10s timeout, HTML tag strip, per-line normalize.
   * Stateless — no change detection (`sources.py:149-150`), so fingerprint

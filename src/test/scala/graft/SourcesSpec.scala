@@ -196,4 +196,62 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       assert(out(0).getAs[String]("fingerprint") == null)
     } finally server.stop(0)
   }
+
+  test("csv: header skipped, quoted fields round-trip, id/meta, blank text dropped") {
+    val dir = tempDir("graft-csv")
+    Files.writeString(dir.resolve("c.csv"),
+      """text,id,lang
+        |alpha doc,d1,en
+        |"beta, with ""quotes"" and
+        |a newline",d2,
+        |   ,blank,en
+        |""".stripMargin)
+    Files.writeString(dir.resolve("skip.txt"), "text,id,lang\nwrong ext,x,en\n")
+    val out = graft.sources.CsvSource(dir.toString, idField = Some("id"),
+      metaFields = Seq("lang"), multiLine = true).load(spark).collect()
+    assert(out.length == 2) // blank text dropped, skip.txt not globbed
+    val bySrc = out.map(r => r.getAs[String]("source") ->
+      ((r.getAs[String]("content"), r.getAs[Map[String, String]]("metadata")))).toMap
+    val d1 = bySrc.find(_._1.endsWith("c.csv#d1")).get._2
+    assert(d1 == (("alpha doc", Map("lang" -> "en"))))
+    val d2 = bySrc.find(_._1.endsWith("c.csv#d2")).get._2
+    assert(d2 == (("beta, with \"quotes\" and\na newline", Map.empty[String, String])))
+    assert(out.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("csv: TSV delimiter and headerless positional parse") {
+    val dir = tempDir("graft-tsv")
+    Files.writeString(dir.resolve("t.tsv"), "tab doc\td9\n")
+    val out = graft.sources.CsvSource(dir.toString, glob = "*.tsv",
+      idField = Some("id"), header = false, delimiter = "\t")
+      .load(spark).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("content") == "tab doc")
+    assert(out(0).getAs[String]("source").endsWith("t.tsv#d9"))
+  }
+
+  test("csv strict parseLines raises a named error on a malformed line") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val lines = Seq("\"unclosed quote,oops").toDF("value")
+      .select(col("value"), lit("mem").as("__file"))
+    val e = intercept[Exception] {
+      graft.sources.CsvSource.parseLines(lines, "text", Some("id"), Nil,
+        ",", strict = true).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("graft.CsvSource: malformed")))
+  }
+
+  test("csv without idField falls back to a stable row-digest id") {
+    val dir = tempDir("graft-csv-noid")
+    Files.writeString(dir.resolve("x.csv"), "text\npayload\n")
+    val a = graft.sources.CsvSource(dir.toString).load(spark)
+      .collect()(0).getAs[String]("source")
+    val b = graft.sources.CsvSource(dir.toString).load(spark)
+      .collect()(0).getAs[String]("source")
+    assert(a == b && a.matches(".*x\\.csv#[0-9a-f]{12}$"))
+  }
 }

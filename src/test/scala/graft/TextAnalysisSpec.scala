@@ -86,4 +86,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == 0.0 && got(4L) == 0.0)
     assert(got(5L) == 0.918296)
   }
+
+  test("lexicalDiversityFrame: TTR and hapax hand-checked, empty text zeroed") {
+    val got = Seq(
+      (1L, "the cat sat on the mat"), // 6 toks, 5 distinct, hapax {cat,sat,on,mat}
+      (2L, "spam spam spam"),         // 3 toks, 1 distinct, 0 hapax
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .lexicalDiversityFrame(got, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(rows(1L) == ((6L, 5L, 4L, 0.833333, 0.666667)))
+    assert(rows(2L) == ((3L, 1L, 0L, 0.333333, 0.0)))
+    assert(rows(3L) == ((0L, 0L, 0L, 0.0, 0.0)))
+  }
 }
