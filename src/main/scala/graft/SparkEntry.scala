@@ -1032,6 +1032,17 @@ object SparkEntry {
       // full oracle.
       LangModel.bigramScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    "dsir_weights" -> ((s, dir) => {
+      // DSIR data selection (Dsir scaladoc): importance-weight every doc
+      // against a trusted target subset (doc_id%5==0 stands in for the
+      // in-domain corpus), keep the top quarter. Raw (unhashed) features
+      // -> fully oracle-checked, weights AND the exact keep set.
+      val d = t(s, dir, "documents")
+      val w = Dsir.importanceWeights(d, d.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id")
+      Dsir.selectTopFraction(w, "doc_id", 0.25)
+    }),
+
     "quality_classifier" -> ((s, dir) => {
       // fastText-style quality filter: train logistic regression on the
       // rounded TextAnalysis quality signals (label: lang == 'en', which
@@ -2591,6 +2602,33 @@ object SparkEntry {
          |   tf2.tf * ln((cf2.c2 + 0.5) / (c1t.c1 + 0.5 * vv.v)) AS wlp
          |  FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv) s
          |GROUP BY doc_id""".stripMargin,
+
+    // Same feature build (u:/b:-prefixed unigrams+bigrams), same add-k
+    // log-ratio, same union-vocabulary smoothing as Dsir.importanceWeights;
+    // ranking runs over the 6-dp-rounded weight with doc_id tie-break in
+    // both engines, so the exact keep set hashes identically.
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, f FROM (
+         |  SELECT doc_id, list_concat(
+         |    list_transform(toks, x -> 'u:' || x),
+         |    list_transform(range(1, len(toks)), i -> 'b:' || toks[i] || ' ' || toks[i + 1])
+         |  ) AS fs FROM t), UNNEST(fs) AS u(f)),
+         |tf AS (SELECT doc_id, f, count(*) AS tf FROM f GROUP BY 1, 2),
+         |rawc AS (SELECT f, sum(tf) AS cr FROM tf GROUP BY 1),
+         |tgtc AS (SELECT f, count(*) AS ct FROM f WHERE doc_id % 5 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS tr,
+         |  (SELECT sum(ct) FROM tgtc) AS tt,
+         |  (SELECT count(*) FROM (SELECT f FROM rawc UNION SELECT f FROM tgtc)) AS v),
+         |w AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+         |  round(sum(tf.tf * (ln((coalesce(tgtc.ct, 0) + 0.5) / (tot.tt + tot.v * 0.5))
+         |    - ln((rawc.cr + 0.5) / (tot.tr + tot.v * 0.5)))), 6) AS log_weight
+         | FROM tf JOIN rawc USING (f) LEFT JOIN tgtc USING (f) CROSS JOIN tot
+         | GROUP BY 1)
+         |SELECT doc_id, n_feats, log_weight,
+         | row_number() OVER (ORDER BY log_weight DESC, doc_id)
+         |   <= CAST(ceil(0.25 * (SELECT count(*) FROM w)) AS BIGINT) AS selected
+         |FROM w""".stripMargin,
 
     "quality_classifier" ->
       s"""WITH $classifierScoredSqlCtes
