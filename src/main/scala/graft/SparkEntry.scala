@@ -576,6 +576,18 @@ object SparkEntry {
       Search.mrr(topk, "qid", "source", "expected_source", rankCol = "rn")
     }),
 
+    "hard_negatives" -> ((s, dir) => {
+      // Contrastive-training data mining (Search.hardNegatives scaladoc):
+      // per query, top-5 same-corpus items from OTHER label groups + the
+      // margin over the query's best same-label hit. Exact cross-join
+      // baseline like eval_hitrate -> fully oracle-checked.
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Search.hardNegatives(qs, e, 5, qGroupCol = "qlabel")
+    }),
+
     "eval_hitrate_blocked" -> ((s, dir) => {
       // Scale path of eval_hitrate: LSH-banded candidate generation instead
       // of the |Q| x |N| cross join; approximate (no oracle) — recall is
@@ -1856,6 +1868,27 @@ object SparkEntry {
          | count(*) AS total_questions,
          | CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS answered
          |FROM firsts""".stripMargin,
+
+    // Same 6-dp-rounded cosine, same (score DESC, vec_id) rank order, same
+    // one-pass best-positive window as Search.hardNegatives.
+    "hard_negatives" ->
+      s"""WITH qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         | FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         | SELECT qs.qid, qs.qlabel, e.vec_id, e.label,
+         |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS score
+         | FROM qs, embeddings e WHERE e.vec_id <> qs.qid),
+         |withpos AS (
+         | SELECT *, max(CASE WHEN label = qlabel THEN score END)
+         |   OVER (PARTITION BY qid) AS best_pos
+         | FROM scored)
+         |SELECT qid, vec_id, rank, score, round(score - best_pos, 6) AS margin
+         |FROM (
+         | SELECT qid, vec_id, score, best_pos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         | FROM withpos WHERE label <> qlabel)
+         |WHERE rank <= 5""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -62,6 +62,45 @@ object Search {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive retrieval training (DPR-style,
+    * Karpukhin et al. 2020; margin view after Artetxe & Schwenk 2019): for
+    * each query, the top-k most similar corpus items OUTSIDE the query's
+    * positive group — the near-misses a contrastive loss learns most from.
+    * Output per negative: `rank`, 6-dp cosine `score`, and `margin` =
+    * score minus the query's BEST positive score (near-zero or positive
+    * margin = the hardest negatives; null when the corpus holds no positive
+    * for the query). The query's own row is excluded from both sides.
+    *
+    * Scale shape: ONE pass over the scored pairs — best-positive is an
+    * unordered window max and the negative rank an ordered `row_number`
+    * over the same `qidCol` partitioning, so both resolve in a single
+    * query-key shuffle. The cross join is the exact baseline (same as the
+    * eval gates); at corpus scale swap candidate generation for
+    * [[Similarity.blockedTopKPerQuery]] and keep the same exclusion +
+    * margin tail.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    qidCol: String = "qid", qvecCol: String = "qvec",
+                    qGroupCol: String = "qgroup", idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    groupCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = queries.crossJoin(corpus)
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("score", round(
+        graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
+    val byQuery = Window.partitionBy(col(qidCol))
+    val isPos = col(qGroupCol) === col(groupCol)
+    scored
+      .withColumn("__best_pos", max(when(isPos, col("score"))).over(byQuery))
+      .filter(!isPos)
+      .withColumn("rank", row_number().over(
+        byQuery.orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("score"),
+        round(col("score") - col("__best_pos"), 6).as("margin"))
+  }
+
   /** Hit@k + hit-rate aggregate (`evaluation.py:83-109`): a query is a hit if
     * ANY of its top-k results matches the expected source. Returns a 1-row
     * frame `(hit_rate double, total_questions bigint, hits bigint)`;

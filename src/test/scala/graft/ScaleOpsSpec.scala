@@ -114,4 +114,36 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     // every query at least finds candidates
     assert(blocked.size == exact.size)
   }
+
+  test("hardNegatives: group exclusion, rank order, margin vs best positive") {
+    // 2-d unit-ish vectors: query q (group A) at 0 deg; positives at 10 deg
+    // (best) and 60 deg; negatives at 5, 30 and 90 deg.
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq(
+      (1L, v(0.0), "A"),   // the query itself -> excluded
+      (2L, v(10.0), "A"),  // best positive: cos(10 deg) ~ 0.984808
+      (3L, v(60.0), "A"),
+      (4L, v(5.0), "B"),   // hardest negative, margin > 0 vs best pos? cos5 > cos10
+      (5L, v(30.0), "B"),
+      (6L, v(90.0), "C")
+    ).toDF("vec_id", "embedding", "label")
+    val qs = Seq((1L, v(0.0), "A")).toDF("qid", "qvec", "qlabel")
+    val got = Search.hardNegatives(qs, corpus, 2, qGroupCol = "qlabel")
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 5L)) // 90-deg C cut by k=2
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2))
+    val margins = got.map(_.getDouble(4))
+    // neg@5deg beats the best positive (10deg): positive margin; neg@30deg
+    // trails it: negative margin.
+    assert(margins(0) > 0 && margins(1) < 0)
+    assert(math.abs(got(0).getDouble(3) - 0.996195) < 1e-6)
+
+    // query with no positive in the corpus -> null margin, negatives intact
+    val qs2 = Seq((100L, v(0.0), "Z")).toDF("qid", "qvec", "qlabel")
+    val solo = Search.hardNegatives(qs2, corpus, 3, qGroupCol = "qlabel").collect()
+    assert(solo.length == 3 && solo.forall(_.isNullAt(4)))
+  }
 }
