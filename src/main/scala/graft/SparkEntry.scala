@@ -496,6 +496,19 @@ object SparkEntry {
         TextFunctions.normalizeLines(TextFunctions.stripHtml(html)).as("cleaned"))
     }),
 
+    "text_normalize" -> ((s, dir) => {
+      // Unicode canonicalization (functions.Normalize scaladoc) over a
+      // deterministic typographic decoration of the corpus text: combining
+      // accent -> NFC, curly quotes/dashes/NBSP -> ASCII, zero-width +
+      // control strip, ellipsis fold, whitespace collapse. DuckDB's
+      // nfc_normalize replays the NFC step -> full oracle.
+      val deco = concat(
+        lit("Caf\u00e9 \u201Cqu\u2026ote\u201D \u2014\u00A0"), col("text"),
+        lit(" e\u0301\u200B end\u0007"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Normalize.cleanText(deco).as("normalized"))
+    }),
+
     "sink_projection" -> ((s, dir) => {
       // K1: fixed text+vector sink schema (dynamic_schemas.py:44-51). The
       // compared output carries scalar digests of the vector (dim + L2 norm)
@@ -1809,6 +1822,26 @@ object SparkEntry {
         |       '<[^>]*>', '', 'g'),
         |     '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
         |   chr(10)), x -> trim(x)), x -> len(x) > 0), chr(10)) AS cleaned
+        |FROM documents""".stripMargin,
+
+    // Mirrors Normalize.cleanText step for step: control strip, NFC
+    // (DuckDB nfc_normalize == java.text.Normalizer NFC), zero-width strip,
+    // typographic translate, ellipsis fold, whitespace collapse. Special
+    // chars spelled chr() so the SQL stays ASCII.
+    "text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(
+        |   translate(
+        |    regexp_replace(
+        |     nfc_normalize(regexp_replace(
+        |      'Caf' || chr(233) || ' ' || chr(8220) || 'qu' || chr(8230) || 'ote' || chr(8221) || ' ' || chr(8212) || chr(160)
+        |        || text || ' e' || chr(769) || chr(8203) || ' end' || chr(7),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |     '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']', '', 'g'),
+        |    chr(8220) || chr(8221) || chr(8216) || chr(8217) || chr(8212) || chr(8211) || chr(160) || chr(8199) || chr(8239),
+        |    '""' || chr(39) || chr(39) || '--   '),
+        |   chr(8230), '...'),
+        |  '\s+', ' ', 'g')) AS normalized
         |FROM documents""".stripMargin,
 
     "sink_projection" ->

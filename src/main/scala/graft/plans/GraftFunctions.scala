@@ -75,6 +75,10 @@ object GraftFunctions {
     unary("graft_strip_html",
       "_FUNC_(html) - tags/scripts/entities stripped to text")(
       TextFunctions.stripHtml),
+    unary("graft_clean_text",
+      "_FUNC_(text) - Unicode NFC canonicalization: control/zero-width " +
+        "strip, typographic->ASCII punctuation, whitespace collapse")(
+      c => graft.functions.Normalize.cleanText(c)),
     unary("graft_l2_norm",
       "_FUNC_(vec) - L2 norm of a float/double array in double")(
       VectorFunctions.l2Norm),

@@ -118,5 +118,9 @@ class CosineExprSpec extends AnyFunSuite with SparkTestBase {
     val row = spark.sql(
       "SELECT graft_l2_norm(a) AS n, graft_dot(a, b) AS d FROM gf_vecs").collect()(0)
     assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 3.0)
+    // unicode canonicalization scalar
+    val ct = spark.sql(
+      s"SELECT graft_clean_text('  “hi”…  x ') AS t").collect()(0)
+    assert(ct.getString(0) == "\"hi\"... x")
   }
 }
