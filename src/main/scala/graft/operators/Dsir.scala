@@ -47,11 +47,11 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Unigram+bigram feature array for one text column: `u:tok` and
-    * `b:w1 w2`, prefixed so the two spaces can't collide. Narrow.
+  /** Unigram+bigram feature array over a MATERIALIZED token-array column:
+    * `u:tok` and `b:w1 w2`, prefixed so the two spaces can't collide.
+    * Narrow.
     */
-  private def featureArray(textCol: Column): Column = {
-    val tk = TextAnalysis.toks(textCol)
+  private def featureArray(tk: Column): Column = {
     val n = size(tk)
     val unis = transform(tk, t => concat(lit("u:"), t))
     val bis = zip_with(
@@ -63,11 +63,18 @@ object Dsir {
 
   /** Exploded `(idCol, __f)` feature occurrences; `buckets > 0` maps each
     * feature to its hashed bucket id (string, `h:<bucket>`).
+    *
+    * The tokenizer runs in its own projection so the split+filter executes
+    * ONCE per row — the feature expression references the token array six
+    * times, and CollapseProject keeps a multiply-referenced non-trivial
+    * alias out of the Generate instead of inlining six split() copies.
     */
   private[graft] def features(df: DataFrame, textCol: String, idCol: String,
                               buckets: Int): DataFrame = {
-    val f = explode(featureArray(col(textCol))).as("__f")
-    val out = df.select(col(idCol), f)
+    val withTk = df.select(col(idCol),
+      TextAnalysis.toks(col(textCol)).as("__tk"))
+    val out = withTk.select(col(idCol),
+      explode(featureArray(col("__tk"))).as("__f"))
     if (buckets <= 0) out
     else out.select(col(idCol),
       concat(lit("h:"), pmod(xxhash64(col("__f")), lit(buckets.toLong))
@@ -89,12 +96,13 @@ object Dsir {
     val rawC = tf.groupBy(col("__f")).agg(sum(col("__tf")).as("__cr"))
     val tgtC = features(target, textCol, idCol, buckets)
       .groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
-    val tot = rawC.select(col("__f"), col("__cr"), lit(null).cast("long").as("__ct"))
-      .unionByName(tgtC.select(col("__f"), lit(null).cast("long").as("__cr"), col("__ct")))
-      .agg(sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"),
-        count_distinct(col("__f")).as("__v"))
-    tf.join(rawC, "__f")
-      .join(tgtC, Seq("__f"), "left")
+    // One vocabulary-sized frame carries both models; the totals (T_r, T_t,
+    // V over the union support) aggregate THIS frame, not a re-explode of
+    // either corpus — each corpus is feature-counted exactly once.
+    val counts = rawC.join(tgtC, Seq("__f"), "full_outer")
+    val tot = counts.agg(sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"),
+      count(lit(1)).as("__v"))
+    tf.join(counts, "__f")
       .crossJoin(broadcast(tot))
       .select(col(idCol), col("__tf"),
         (col("__tf") * (
@@ -119,9 +127,15 @@ object Dsir {
   def selectTopFraction(weights: DataFrame, idCol: String,
                         fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    // The input is referenced three times (distribution, total, final
+    // join); materialize it once via lazy localCheckpoint — one row per
+    // doc, 3 narrow columns — instead of re-running the (usually
+    // expensive) scoring plan per reference. Storage is executor-local
+    // and GC-reclaimed (same pattern as Components' iteration frames).
+    val wts = weights.localCheckpoint(false)
     val w = col("log_weight")
-    val dist = weights.groupBy(w.as("__w")).agg(count(lit(1)).as("__n"))
-    val tot = weights.agg(ceil(count(lit(1)) * fraction).cast("long").as("__k"))
+    val dist = wts.groupBy(w.as("__w")).agg(count(lit(1)).as("__n"))
+    val tot = wts.agg(ceil(count(lit(1)) * fraction).cast("long").as("__k"))
     // Cumulative count of rows with weight STRICTLY above each distinct
     // weight; single-partition window, but over distinct weights only.
     val cum = dist.select(col("__w"),
@@ -132,7 +146,7 @@ object Dsir {
       .filter(col("__above") < col("__k"))
       .agg(min(col("__w")).as("__cut"), max(col("__above")).as("__cut_above"),
         max(col("__k")).as("__k2"))
-    val joined = weights.crossJoin(broadcast(cut))
+    val joined = wts.crossJoin(broadcast(cut))
     // Tie-break inside the cutoff weight group only: rank by id ASC.
     val tieRank = row_number().over(
       Window.partitionBy(w).orderBy(col(idCol).asc))
