@@ -1225,6 +1225,13 @@ object SparkEntry {
       t(s, dir, "embeddings").select(col("vec_id") +: cols: _*)
     }),
 
+    "embed_covariance" -> ((s, dir) =>
+      // PCA moment pass (Pca scaladoc): upper-triangle covariance of the
+      // first 16 embedding coordinates from ONE wide aggregate (no explode,
+      // no per-pair shuffle); the eigen/whitening tail is driver-side d x d
+      // math pinned by PcaSpec.
+      Pca.covarianceFrame(t(s, dir, "embeddings"), "embedding", 16)),
+
     "kmeans_assign" -> ((s, dir) =>
       // Distributed Lloyd's k-means (KMeans scaladoc): deterministic
       // lowest-id seeds, left-to-right double distances, per-iteration
@@ -2830,6 +2837,22 @@ object SparkEntry {
       }
       s"SELECT vec_id,\n ${cols.mkString(",\n ")}\nFROM embeddings"
     },
+
+    // Same per-element double casts, same (sxy - sx*sy/n)/n arithmetic as
+    // Pca.covarianceFrame; 6-dp rounding absorbs summation-order drift
+    // (the embed-gate convention).
+    "embed_covariance" ->
+      """WITH pairs AS (
+        |  SELECT a.i AS i, b.i AS j
+        |  FROM range(0, 16) AS a(i), range(0, 16) AS b(i) WHERE a.i <= b.i),
+        |s AS (
+        |  SELECT p.i, p.j,
+        |   sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * CAST(e.embedding[p.j + 1] AS DOUBLE)) AS sxy,
+        |   sum(CAST(e.embedding[p.i + 1] AS DOUBLE)) AS sx,
+        |   sum(CAST(e.embedding[p.j + 1] AS DOUBLE)) AS sy,
+        |   CAST(count(*) AS DOUBLE) AS n
+        |  FROM pairs p CROSS JOIN embeddings e GROUP BY 1, 2)
+        |SELECT i, j, round((sxy - sx * sy / n) / n, 6) + 0.0 AS cov FROM s""".stripMargin,
 
     "kmeans_assign" ->
       s"""WITH ${kmeansCtes(10, 2, 64)}
