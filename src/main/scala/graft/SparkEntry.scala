@@ -1104,6 +1104,23 @@ object SparkEntry {
         "prob", "label")
     }),
 
+    "classifier_calibration" -> ((s, dir) => {
+      // Reliability bins of the same quality classifier (Classifier
+      // .calibrationFrame scaladoc): per-decile count, decimal-exact mean
+      // predicted prob, empirical positive rate, |gap|.
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      Classifier.calibrationFrame(
+        Classifier.fitScoreLogistic(feats,
+          Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+          iterations = 2, lr = 1.0),
+        "prob", "label")
+    }),
+
     "bm25_rank" -> ((s, dir) =>
       // Lexical retrieval: BM25 scores for a fixed 3-term query over the
       // corpus (k1/b = Lucene defaults). Deterministic formula -> full
@@ -2724,6 +2741,20 @@ object SparkEntry {
          |SELECT round(sum(npos * (below + nneg / 2.0)) / (sum(npos) * sum(nneg)), 6) AS auc,
          | CAST(sum(npos) AS BIGINT) AS n_pos, CAST(sum(nneg) AS BIGINT) AS n_neg
          |FROM cum""".stripMargin,
+
+    // Same decile binning, same decimal-exact mean-prob sum, same rounded
+    // gap arithmetic as Classifier.calibrationFrame.
+    "classifier_calibration" ->
+      s"""WITH $classifierScoredSqlCtes,
+         |bins AS (
+         | SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin,
+         |  count(*) AS n,
+         |  round(CAST(sum(CAST(prob AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS mean_prob,
+         |  round(sum(y) / count(*), 6) AS pos_rate
+         | FROM scored GROUP BY 1)
+         |SELECT bin, n, mean_prob, pos_rate,
+         | round(abs(mean_prob - pos_rate), 6) AS gap
+         |FROM bins""".stripMargin,
 
     "bm25_rank" ->
       s"""WITH $bm25Ctes

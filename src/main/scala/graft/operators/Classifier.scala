@@ -120,4 +120,30 @@ object Classifier {
         sum(col("__npos")).cast("long").as("n_pos"),
         sum(col("__nneg")).cast("long").as("n_neg"))
   }
+
+  /** Reliability diagram over a scored frame: equal-width probability bins
+    * (the last bin closed at 1.0), each with its row count, mean predicted
+    * probability, empirical positive rate, and |gap| — the per-bin view
+    * behind expected-calibration-error, the companion diagnostic to
+    * [[aucFrame]] (AUC says the RANKING is good; calibration says the
+    * PROBABILITIES mean what they claim — what a filter-threshold decision
+    * actually consumes).
+    *
+    * Determinism: probabilities arrive 6-dp-rounded (the classifier's
+    * output contract), so summing them as `decimal` is exact and
+    * order-independent; labels are 0/1. One groupBy over `bins` keys — a
+    * single map-side-combined shuffle, any corpus size.
+    */
+  def calibrationFrame(scored: DataFrame, probCol: String, labelCol: String,
+                       bins: Int = 10, roundDp: Int = 6): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val bin = least(floor(col(probCol) * bins), lit(bins - 1)).cast("long")
+    val meanProb = round(
+      sum(col(probCol).cast("decimal(16,6)")).cast("double") / count(lit(1)), roundDp)
+    val posRate = round(sum(col(labelCol)) / count(lit(1)), roundDp)
+    scored.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), meanProb.as("mean_prob"),
+        posRate.as("pos_rate"))
+      .withColumn("gap", round(abs(col("mean_prob") - col("pos_rate")), roundDp))
+  }
 }

@@ -91,4 +91,20 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
     // AUC = 3.5/4 = 0.875
     assert(auc(Seq((0.9, 1.0), (0.5, 1.0), (0.5, 0.0), (0.2, 0.0)))._1 == 0.875)
   }
+
+  test("calibrationFrame: bins, means, rates and gaps hand-checked") {
+    val scored = Seq(
+      (0.05, 0.0), (0.15, 0.0), (0.15, 1.0), // bins 0 and 1
+      (0.95, 1.0), (0.97, 1.0), (0.99, 0.0), // bin 9
+      (1.0, 1.0)                             // prob 1.0 stays in bin 9
+    ).toDF("prob", "label")
+    val got = Classifier.calibrationFrame(scored, "prob", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 9L))
+    assert(got(0L) == ((1L, 0.05, 0.0, 0.05)))
+    assert(got(1L) == ((2L, 0.15, 0.5, 0.35)))
+    // bin 9: mean = (0.95+0.97+0.99+1.0)/4 = 0.9775, rate = 3/4
+    assert(got(9L) == ((4L, 0.9775, 0.75, 0.2275)))
+  }
 }
