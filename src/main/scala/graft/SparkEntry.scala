@@ -949,6 +949,22 @@ object SparkEntry {
       Profile.numericBy(t(s, dir, "documents"), "lang",
         Seq("doc_id", "n_chars"), exactDistinct = true)),
 
+    "dsir_budget_pack" -> ((s, dir) => {
+      // Composition: DSIR importance weights drive the per-language
+      // token-budget pack — select the most target-like documents until
+      // each language's budget fills (the published DSIR selection with a
+      // budget instead of a fraction). One weights plan + one pack window.
+      val d = t(s, dir, "documents")
+      val w = Dsir.importanceWeights(d, d.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id")
+      val docs = d.select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+        .join(w.select(col("doc_id"), col("log_weight")), "doc_id")
+      CorpusMix.packToBudget(docs, "lang", "bpe_tokens",
+        budgetPerGroup = 3000,
+        orderBy = Seq(col("log_weight").desc, col("doc_id")))
+    }),
+
     "token_budget_pack" -> ((s, dir) => {
       // Corpus mixing: pack each language up to a 5k-token budget in
       // quality order. Single scan (quality + token estimate are narrow
@@ -1396,6 +1412,30 @@ object SparkEntry {
     * `qscore(doc_id, quality)` — shared by the corpus-mix oracles so the
     * ranking arithmetic stays byte-identical with `quality_score`'s.
     */
+  /** DSIR importance-weight CTE chain ending in `w(doc_id, n_feats,
+    * log_weight)` — the exact mirror of `Dsir.importanceWeights` on
+    * `documents` with target = `doc_id % 5 = 0`, shared by the
+    * `dsir_weights` and `dsir_budget_pack` oracles.
+    */
+  private lazy val dsirWeightsSqlCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, f FROM (
+       |  SELECT doc_id, list_concat(
+       |    list_transform(toks, x -> 'u:' || x),
+       |    list_transform(range(1, len(toks)), i -> 'b:' || toks[i] || ' ' || toks[i + 1])
+       |  ) AS fs FROM t), UNNEST(fs) AS u(f)),
+       |tf AS (SELECT doc_id, f, count(*) AS tf FROM f GROUP BY 1, 2),
+       |rawc AS (SELECT f, sum(tf) AS cr FROM tf GROUP BY 1),
+       |tgtc AS (SELECT f, count(*) AS ct FROM f WHERE doc_id % 5 = 0 GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS tr,
+       |  (SELECT sum(ct) FROM tgtc) AS tt,
+       |  (SELECT count(*) FROM (SELECT f FROM rawc UNION SELECT f FROM tgtc)) AS v),
+       |w AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+       |  round(sum(tf.tf * (ln((coalesce(tgtc.ct, 0) + 0.5) / (tot.tt + tot.v * 0.5))
+       |    - ln((rawc.cr + 0.5) / (tot.tr + tot.v * 0.5)))), 6) AS log_weight
+       | FROM tf JOIN rawc USING (f) LEFT JOIN tgtc USING (f) CROSS JOIN tot
+       | GROUP BY 1)""".stripMargin
+
   private val qualitySqlCtes = {
     val stop = graft.operators.TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
     s"""qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -2698,27 +2738,28 @@ object SparkEntry {
     // ranking runs over the 6-dp-rounded weight with doc_id tie-break in
     // both engines, so the exact keep set hashes identically.
     "dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |f AS (SELECT doc_id, f FROM (
-         |  SELECT doc_id, list_concat(
-         |    list_transform(toks, x -> 'u:' || x),
-         |    list_transform(range(1, len(toks)), i -> 'b:' || toks[i] || ' ' || toks[i + 1])
-         |  ) AS fs FROM t), UNNEST(fs) AS u(f)),
-         |tf AS (SELECT doc_id, f, count(*) AS tf FROM f GROUP BY 1, 2),
-         |rawc AS (SELECT f, sum(tf) AS cr FROM tf GROUP BY 1),
-         |tgtc AS (SELECT f, count(*) AS ct FROM f WHERE doc_id % 5 = 0 GROUP BY 1),
-         |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS tr,
-         |  (SELECT sum(ct) FROM tgtc) AS tt,
-         |  (SELECT count(*) FROM (SELECT f FROM rawc UNION SELECT f FROM tgtc)) AS v),
-         |w AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feats,
-         |  round(sum(tf.tf * (ln((coalesce(tgtc.ct, 0) + 0.5) / (tot.tt + tot.v * 0.5))
-         |    - ln((rawc.cr + 0.5) / (tot.tr + tot.v * 0.5)))), 6) AS log_weight
-         | FROM tf JOIN rawc USING (f) LEFT JOIN tgtc USING (f) CROSS JOIN tot
-         | GROUP BY 1)
+      s"""WITH $dsirWeightsSqlCtes
          |SELECT doc_id, n_feats, log_weight,
          | row_number() OVER (ORDER BY log_weight DESC, doc_id)
          |   <= CAST(ceil(0.25 * (SELECT count(*) FROM w)) AS BIGINT) AS selected
          |FROM w""".stripMargin,
+
+    // DSIR weights (shared CTEs) driving the token-budget pack window —
+    // same order key (weight DESC, doc_id), same cumulative-sum cutoff as
+    // CorpusMix.packToBudget.
+    "dsir_budget_pack" ->
+      s"""WITH $dsirWeightsSqlCtes,
+         |tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         | FROM documents),
+         |j AS (SELECT d.doc_id, d.lang, tok.bpe_tokens, w.log_weight
+         | FROM documents d JOIN w USING (doc_id) JOIN tok USING (doc_id)),
+         |c AS (SELECT doc_id, lang, bpe_tokens, log_weight,
+         |  CAST(SUM(bpe_tokens) OVER (PARTITION BY lang ORDER BY log_weight DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM j)
+         |SELECT doc_id, lang, bpe_tokens, log_weight, cum_tokens FROM c
+         |WHERE cum_tokens <= 3000""".stripMargin,
 
     "quality_classifier" ->
       s"""WITH $classifierScoredSqlCtes
