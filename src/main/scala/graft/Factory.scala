@@ -5,8 +5,8 @@ import org.apache.spark.sql.DataFrame
 import graft.config.{ComponentConfig, GraftConfigException}
 import graft.functions.HashingEmbedder
 import graft.operators.{Chunkers, Embed}
-import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, VectorTableSink}
-import graft.sources.{CsvSource, GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
+import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, JsonlExportSink, VectorTableSink}
+import graft.sources.{ColumnarSource, CsvSource, GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
 import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
 
 /** Component registries + factory (SURVEY §2.8; reference
@@ -131,6 +131,15 @@ object Factory {
         multiLine = c.str("multiline").exists(_.toBoolean),
         strict = c.str("strict").exists(_.toBoolean))
     },
+    // Scale-path extension: columnar corpora (parquet/ORC tables) with a
+    // predicate pushed into the scan.
+    "parquet" -> { c =>
+      val metas = c.str("meta_fields").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      ColumnarSource(c.require("path"), c.strOr("format", "parquet"),
+        c.strOr("text_field", "text"), c.str("id_field"), metas,
+        where = c.str("where"))
+    },
     "object_store" -> (c => ObjectStoreSource(c.require("uri"), c.strOr("glob", "*"))),
     "postgres" -> (c => JdbcSource(
       c.str("jdbc_url").getOrElse(
@@ -194,7 +203,12 @@ object Factory {
         case None => CollectionSink(c.str("path").getOrElse(c.require("uri")))
       }
     },
-    "table" -> (c => VectorTableSink(c.require("uri"))))
+    "table" -> (c => VectorTableSink(c.require("uri"))),
+    // Scale-path extension: sharded JSONL corpus export (the trainer /
+    // tokenizer interchange format).
+    "jsonl" -> (c => JsonlExportSink(c.require("path"),
+      compress = c.str("compress").exists(_.toBoolean),
+      mode = c.strOr("mode", "overwrite"))))
 
   val stateManagers: Map[String, ComponentConfig => StateManager] = Map(
     "json" -> (c => JsonStateManager(c.strOr("path", ".graft_state.json"))),

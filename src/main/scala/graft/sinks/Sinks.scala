@@ -157,3 +157,29 @@ final case class CollectionSink(path: String, numBuckets: Int = Sink.DefaultBuck
   override def read(spark: SparkSession): DataFrame = inner.read(spark)
   override def testConnection(spark: SparkSession): Unit = inner.testConnection(spark)
 }
+
+/** Corpus-export sink: sharded JSONL (optionally gzip), the interchange
+  * format every downstream trainer/tokenizer reads. One JSON object per
+  * document; shard count = the frame's partitioning (repartition upstream
+  * to choose shard size — at 100 TB you want ~1 GiB shards, not one file).
+  * `ignoreNullFields = false` keeps schema-stable lines (a missing key and
+  * a null are different things to a reader contract).
+  */
+final case class JsonlExportSink(path: String, compress: Boolean = false,
+                                 mode: String = "overwrite") extends GraftSink {
+
+  override def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode).option("ignoreNullFields", "false")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  override def read(spark: SparkSession): DataFrame = spark.read.json(path)
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent != null && !fs.exists(parent))
+      throw new IllegalStateException(s"parent directory does not exist: $parent")
+  }
+}

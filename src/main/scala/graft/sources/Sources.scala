@@ -345,6 +345,51 @@ object CsvSource {
   }
 }
 
+/** Scale-path extension beside [[JsonlSource]]/[[CsvSource]]: a columnar
+  * corpus already materialized as parquet/ORC tables (the usual handoff
+  * format BETWEEN pipeline stages at 100 TB — schema'd, splittable,
+  * predicate-pushdown-capable). Named columns rather than positions;
+  * non-string id/meta columns are cast to string for the canonical
+  * metadata map. `where` pushes an optional SQL predicate INTO the scan
+  * (partition pruning / PushedFilters — the reason this source exists
+  * instead of "just read it yourself").
+  */
+final case class ColumnarSource(path: String, format: String = "parquet",
+                                textField: String = "text",
+                                idField: Option[String] = None,
+                                metaFields: Seq[String] = Nil,
+                                where: Option[String] = None) extends GraftSource {
+  require(Seq("parquet", "orc").contains(format),
+    s"unsupported columnar format '$format' (expected parquet or orc)")
+
+  override def load(spark: SparkSession): DataFrame = {
+    val raw0 = spark.read.format(format).load(path)
+    val raw = where.fold(raw0)(raw0.filter)
+    val content = col(textField).cast("string")
+    val docId = idField match {
+      case Some(f) => col(f).cast("string")
+      case None => substring(sha2(content.cast("binary"), 256), 1, 12)
+    }
+    val meta =
+      if (metaFields.isEmpty) GraftSource.emptyMeta
+      else map_filter(
+        map(metaFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
+        (_, v) => v.isNotNull).cast("map<string,string>")
+    GraftSource.canonical(raw.select(
+      content.as("content"),
+      concat(lit(path), lit("#"), docId).as("source"),
+      sha2(content.cast("binary"), 256).as("fingerprint"),
+      meta.as("metadata")))
+  }
+
+  override def testConnection(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(s"path does not exist: $path")
+  }
+}
+
 /** S2 — single-URL web source (`sources.py:118-159`): driver-side HTTP GET
   * with a desktop UA and 10s timeout, HTML tag strip, per-line normalize.
   * Stateless — no change detection (`sources.py:149-150`), so fingerprint

@@ -99,5 +99,9 @@ class ConfigFactorySpec extends AnyFunSuite {
     assert(l("embedders").contains("sentence_transformer") && l("embedders").contains("openai"))
     assert(l("sinks").contains("lancedb") && l("sinks").contains("chromadb"))
     assert(l("state_managers").contains("json") && l("state_managers").contains("redis"))
+    // scale-path extension formats
+    assert(l("sources").contains("jsonl") && l("sources").contains("csv") &&
+      l("sources").contains("parquet") && l("sources").contains("warc"))
+    assert(l("sinks").contains("jsonl"))
   }
 }

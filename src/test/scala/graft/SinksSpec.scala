@@ -159,4 +159,33 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(!base.resolve("t6.survivors-dead").toFile.exists(),
       "reap failed to delete a fully stale staging dir")
   }
+
+  test("jsonl export sink: shard count follows partitioning, null fields kept, gzip round-trips") {
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("graft-jsonl-sink")
+    val df = Seq(("a", "s1", null.asInstanceOf[String]), ("b", "s2", "m"))
+      .toDF("content", "source", "note").repartition(2)
+    val sink = graft.sinks.JsonlExportSink(dir.resolve("out").toString)
+    sink.testConnection(spark)
+    sink.write(df)
+    val shards = java.nio.file.Files.list(dir.resolve("out")).iterator()
+    val parts = Iterator.continually(shards).takeWhile(_.hasNext).map(_.next())
+      .filter(_.getFileName.toString.startsWith("part-")).toList
+    assert(parts.size == 2)
+    // a null field is serialized, not dropped
+    val lines = parts.flatMap(p =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala)
+    assert(lines.exists(_.contains("\"note\":null")))
+    val back = sink.read(spark)
+    assert(back.count() == 2 &&
+      back.filter(col("note").isNull).count() == 1)
+    // gzip variant round-trips through spark.read.json
+    val gz = graft.sinks.JsonlExportSink(dir.resolve("gz").toString, compress = true)
+    gz.write(df)
+    assert(gz.read(spark).count() == 2)
+    intercept[IllegalStateException](
+      graft.sinks.JsonlExportSink(dir.resolve("no/such/parent/x").toString)
+        .testConnection(spark))
+  }
 }

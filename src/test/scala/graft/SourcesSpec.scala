@@ -245,6 +245,32 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       c.getMessage.contains("graft.CsvSource: malformed")))
   }
 
+  test("columnar source: parquet corpus with pushed predicate, cast meta, blank drop") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tempDir("graft-colsrc")
+    Seq((1L, "alpha doc", "en", 7), (2L, "  ", "fr", 8), (3L, "beta doc", "de", 9))
+      .toDF("doc_id", "body", "lang", "score")
+      .write.mode("overwrite").parquet(dir.toString)
+    val src = graft.sources.ColumnarSource(dir.toString, textField = "body",
+      idField = Some("doc_id"), metaFields = Seq("lang", "score"),
+      where = Some("doc_id <> 3"))
+    val out = src.load(spark).collect()
+    assert(out.length == 1) // blank row 2 dropped, row 3 filtered
+    assert(out(0).getAs[String]("content") == "alpha doc")
+    assert(out(0).getAs[String]("source").endsWith("#1"))
+    assert(out(0).getAs[Map[String, String]]("metadata") ==
+      Map("lang" -> "en", "score" -> "7")) // non-string meta cast
+    // the predicate reaches the scan
+    val plan = src.load(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan.take(400))
+    src.testConnection(spark)
+    intercept[IllegalStateException](
+      graft.sources.ColumnarSource(dir.toString + "-missing").testConnection(spark))
+    intercept[IllegalArgumentException](
+      graft.sources.ColumnarSource(dir.toString, format = "avro"))
+  }
+
   test("csv without idField falls back to a stable row-digest id") {
     val dir = tempDir("graft-csv-noid")
     Files.writeString(dir.resolve("x.csv"), "text\npayload\n")
