@@ -949,6 +949,26 @@ object SparkEntry {
       Profile.numericBy(t(s, dir, "documents"), "lang",
         Seq("doc_id", "n_chars"), exactDistinct = true)),
 
+    "zipf_fit" -> ((s, dir) =>
+      // Corpus-health intake QA: OLS fit of ln(freq) on ln(rank) over the
+      // vocabulary (Profile.zipfFit scaladoc) — 1 row, full oracle.
+      Profile.zipfFit(t(s, dir, "documents"), "text")),
+
+    "shard_manifest" -> ((s, dir) => {
+      // Deterministic 16-way shard assignment (hex digit of a salted md5 —
+      // the Sampling.shardOf key math) + the per-shard manifest an export
+      // job publishes: docs, tokens, id range, language count.
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokens(col("text")).as("__toks"),
+          Sampling.shardOf(col("doc_id"), 16, ":shard").as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__toks")).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
+
     "dsir_budget_pack" -> ((s, dir) => {
       // Composition: DSIR importance weights drive the per-language
       // token-budget pack — select the most target-like documents until
@@ -2504,6 +2524,38 @@ object SparkEntry {
            |FROM documents GROUP BY lang""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // Same OLS moments over ln(rank)/ln(freq), same guards, slope left
+    // unrounded inside the intercept/r2 arithmetic — mirrors Profile.zipfFit.
+    "zipf_fit" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS t FROM documents),
+         |cf AS (SELECT t, count(*) AS cf FROM tk GROUP BY t),
+         |pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY cf DESC, t) AS DOUBLE)) AS x,
+         |  ln(CAST(cf AS DOUBLE)) AS y FROM cf),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         | CASE WHEN n * sxx - sx * sx > 0
+         |   THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+         | CASE WHEN n * sxx - sx * sx > 0
+         |   THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) END AS intercept,
+         | CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |   THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+         |     ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+         |FROM s""".stripMargin,
+
+    // Same hex-digit shard math (md5 of key||salt), same manifest columns
+    // as the shard_manifest gate.
+    "shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks,
+         | CAST(strpos('0123456789abcdef',
+         |   substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 1)) - 1 AS INTEGER) AS shard
+         |FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS min_id, max(doc_id) AS max_id,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM d GROUP BY shard""".stripMargin,
 
     "token_budget_pack" ->
       s"""WITH $qualitySqlCtes,

@@ -83,4 +83,44 @@ object Profile {
     wide.select(col(groupCol), explode(array(stacked: _*)).as("p"))
       .select(col(groupCol), col("p.*"))
   }
+
+  /** Zipf's-law fit over the corpus vocabulary: OLS of `ln(freq)` on
+    * `ln(rank)`. Natural-language corpora fit a slope near -1 with high
+    * r-squared (Piantadosi 2014's review of Zipf's word-frequency law);
+    * templated, machine-generated, or truncated-vocabulary corpora deviate
+    * — a one-row corpus-health signal for intake QA.
+    *
+    * Output: `(n_terms, slope, intercept, r2)`, 6-dp; degenerate inputs
+    * (under 2 distinct terms, or zero variance in either axis) yield null
+    * fit columns instead of division blowups.
+    *
+    * Scale shape: one map-side-combined term count; ranking is a
+    * single-partition window over DISTINCT TERMS ONLY (vocabulary-sized,
+    * the [[Dsir.selectTopFraction]] posture — never the corpus); then a
+    * 1-row moment aggregate.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = Partitioning.ensureParallelism(df)
+      .select(explode(TextAnalysis.toks(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cf"))
+    val pts = cf.withColumn("__rank",
+        row_number().over(Window.orderBy(col("__cf").desc, col("__t"))))
+      .select(log(col("__rank").cast("double")).as("__x"),
+        log(col("__cf").cast("double")).as("__y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val cov = n * col("__sxy") - sx * sy
+    val varX = n * col("__sxx") - sx * sx
+    val varY = n * col("__syy") - sy * sy
+    val slope = cov / varX
+    s.select(n.cast("long").as("n_terms"),
+      when(varX > 0, round(slope, 6)).as("slope"),
+      when(varX > 0, round((sy - slope * sx) / n, 6)).as("intercept"),
+      when(varX > 0 && varY > 0, round(cov * cov / (varX * varY), 6)).as("r2"))
+  }
 }

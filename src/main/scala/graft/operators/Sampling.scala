@@ -137,4 +137,19 @@ object Sampling {
         splitColumn(coalesce(col("component"), col(idCol)), splits, salt))
       .drop("component")
   }
+
+  /** Deterministic shard id in `[0, shards)` from the md5 hex prefix —
+    * the export-sharding counterpart of [[keepRow]]: a pure function of
+    * (key, salt), stable under repartitioning and appends, identical in
+    * any engine that has md5. `shards` must be a power of 16 (each hex
+    * digit contributes one factor), so the prefix IS the shard id — no
+    * modulo, no bias.
+    */
+  def shardOf(key: Column, shards: Int, salt: String = "graft"): Column = {
+    val digits = (math.log(shards) / math.log(16)).round.toInt
+    require(digits >= 1 && math.pow(16, digits).toInt == shards,
+      s"shards must be a positive power of 16, got $shards")
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, digits),
+      16, 10).cast("int")
+  }
 }

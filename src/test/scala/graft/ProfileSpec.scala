@@ -45,4 +45,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     // column pruning: the scan reads only the profiled columns
     assert(!plan.contains("l_extendedprice"), "scan read unprofiled columns")
   }
+
+  test("zipfFit: perfect power law fits slope -1 with r2 1; degenerate inputs null out") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // freq(rank r) = 60/r exactly for r=1..4 -> ln y = ln 60 - 1 * ln x
+    val words = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val one = Profile.zipfFit(Seq((1L, text)).toDF("id", "text"), "text").collect()(0)
+    assert(one.getLong(0) == 4)
+    assert(math.abs(one.getDouble(1) + 1.0) < 1e-6)   // slope = -1
+    assert(math.abs(one.getDouble(3) - 1.0) < 1e-6)   // r2 = 1
+    // all-equal frequencies: x varies, y constant -> slope 0, r2 null
+    val flat = Profile.zipfFit(Seq((1L, "a b c")).toDF("id", "text"), "text").collect()(0)
+    assert(flat.getDouble(1) == 0.0 && flat.isNullAt(3))
+    // single term: no x variance -> all fit columns null
+    val mono = Profile.zipfFit(Seq((1L, "a a a")).toDF("id", "text"), "text").collect()(0)
+    assert(mono.getLong(0) == 1 && mono.isNullAt(1) && mono.isNullAt(2) && mono.isNullAt(3))
+  }
 }

@@ -125,4 +125,22 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert((20L to 24L).forall(i => split(i) == plain(i)))
   }
+
+  test("shardOf: in-range, deterministic, engine-stable hex math, power-of-16 only") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (0L until 200L).toDF("id")
+    val a = df.select(col("id"), Sampling.shardOf(col("id"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    assert(a.values.toSet.size > 8) // spreads across most shards
+    val b = df.repartition(7).select(col("id"), Sampling.shardOf(col("id"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    // 256 = two hex digits; first-digit consistency with the 16-way shard
+    val c = df.select(col("id"), Sampling.shardOf(col("id"), 256).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c.forall { case (id, s256) => s256 / 16 == a(id) })
+    intercept[IllegalArgumentException](Sampling.shardOf(col("id"), 10))
+  }
 }
