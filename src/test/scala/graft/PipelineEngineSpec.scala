@@ -148,4 +148,45 @@ class PipelineEngineSpec extends AnyFunSuite with SparkTestBase {
       .select("text").collect().map(_.getString(0))
     assert(texts.exists(_.contains("# Section One")))
   }
+
+  test("csv source -> jsonl sink end-to-end through a YAML config") {
+    val root = tempDir("graft-e2e-csv")
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    Files.writeString(data.resolve("corpus.csv"),
+      "text,id,lang\n\"Spark runs, at scale\",c1,en\nsegunda fila,c2,es\n")
+    val yaml =
+      s"""source:
+         |  type: csv
+         |  config:
+         |    directory: ${data.toString}
+         |    id_field: id
+         |    meta_fields: lang
+         |chunker:
+         |  type: recursive_character
+         |  config:
+         |    chunk_size: 200
+         |    chunk_overlap: 0
+         |embedder:
+         |  type: hashing
+         |  config:
+         |    dim: 16
+         |sink:
+         |  type: jsonl
+         |  config:
+         |    path: ${root.resolve("out").toString}
+         |state_manager:
+         |  type: memory
+         |  config: {}
+         |""".stripMargin
+    val cfgPath = root.resolve("pipeline.yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = graft.config.Configs.load(cfgPath.toString)
+    val r = Pipeline.run(spark, cfg)
+    assert(r.documentsLoaded == 2 && r.chunksWritten == 2)
+    val back = Factory.sink(cfg.sink).read(spark)
+    assert(back.count() == 2)
+    val texts = back.select("text").collect().map(_.getString(0)).toSet
+    assert(texts.contains("Spark runs, at scale")) // CSV quoting survived
+  }
 }
