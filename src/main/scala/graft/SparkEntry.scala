@@ -626,6 +626,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
 
+    "corpus_overlap" -> ((s, dir) => {
+      // Corpus-level contamination screen (Dedup.corpusOverlap scaladoc):
+      // exact distinct-3-gram overlap between the even- and odd-id corpus
+      // halves — sizes, intersection, Jaccard, containment. 1 row, full
+      // oracle; the KMV sketch scale path is pinned by DedupSpec.
+      val d = t(s, dir, "documents")
+      Dedup.corpusOverlap(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // Exact word-3-gram Jaccard kernel over consecutive-id pairs (linear,
       // deterministic; the LSH variant below handles the quadratic case).
@@ -2010,6 +2020,24 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // Same shingle formulation as dedup_ngram_jaccard, corpus-level sets.
+    "corpus_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |   ELSE []::VARCHAR[] END AS sh FROM t),
+         |ga AS (SELECT DISTINCT g FROM s, UNNEST(sh) AS u(g) WHERE doc_id % 2 = 0),
+         |gb AS (SELECT DISTINCT g FROM s, UNNEST(sh) AS u(g) WHERE doc_id % 2 = 1),
+         |st AS (SELECT (SELECT count(*) FROM ga) AS na,
+         |  (SELECT count(*) FROM gb) AS nb,
+         |  (SELECT count(*) FROM ga JOIN gb USING (g)) AS i)
+         |SELECT na AS n_a, nb AS n_b, i AS n_intersect,
+         | CASE WHEN na + nb - i = 0 THEN 0.0
+         |  ELSE round(CAST(i AS DOUBLE) / (na + nb - i), 6) END AS jaccard,
+         | CASE WHEN na = 0 THEN 0.0
+         |  ELSE round(CAST(i AS DOUBLE) / na, 6) END AS containment_a
+         |FROM st""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -803,4 +803,65 @@ object Dedup {
         }
       }(enc)
   }
+
+  /** CORPUS-level n-gram overlap between two corpora — the one-number
+    * contamination screen run BEFORE any pairwise dedup ("how much of this
+    * crawl is already in the training set?"). Exact: distinct shingle sets
+    * per corpus, one equi-join. Output (1 row): set sizes, intersection,
+    * Jaccard, and containment of A in B's direction
+    * (`n_intersect / n_a` — the asymmetric number a crawl-vs-trainset
+    * screen actually wants).
+    *
+    * Scale shape: each corpus is shingled once (explode -> distinct is a
+    * map-side-combined aggregate whose exchange is REUSED by its size
+    * count); the join is distinct-gram-sized. At 100 TB the distinct-gram
+    * space itself is the cost — that regime uses [[corpusOverlapSketch]],
+    * the bottom-k (KMV) estimator whose state is k hashes per corpus.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                    n: Int = 3): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      Partitioning.ensureParallelism(df)
+        .select(explode(shingles(col(textCol), n)).as("__g")).distinct()
+    val ga = grams(a)
+    val gb = grams(b)
+    val na = ga.agg(count(lit(1)).as("__na"))
+    val nb = gb.agg(count(lit(1)).as("__nb"))
+    val inter = ga.join(gb, "__g").agg(count(lit(1)).as("__i"))
+    val union = col("__na") + col("__nb") - col("__i")
+    na.crossJoin(nb).crossJoin(inter).select(
+      col("__na").as("n_a"), col("__nb").as("n_b"), col("__i").as("n_intersect"),
+      when(union === 0, lit(0.0))
+        .otherwise(round(col("__i").cast("double") / union, 6)).as("jaccard"),
+      when(col("__na") === 0, lit(0.0))
+        .otherwise(round(col("__i").cast("double") / col("__na"), 6)).as("containment_a"))
+  }
+
+  /** Bottom-k (KMV) sketch estimate of [[corpusOverlap]]'s Jaccard: per
+    * corpus keep the k smallest `xxhash64` values over its distinct
+    * shingles (a `TakeOrderedAndProject` — per-partition top-k then a
+    * k-row merge, never a full sort); the estimator is
+    * `|bottomK(A u B) ∩ A_k ∩ B_k| / k` (Bar-Yossef et al. 2002). State is
+    * k longs per corpus regardless of corpus size; error ~ 1/sqrt(k).
+    */
+  def corpusOverlapSketch(a: DataFrame, b: DataFrame, textCol: String,
+                          n: Int = 3, k: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    def sketch(df: DataFrame): DataFrame =
+      Partitioning.ensureParallelism(df)
+        .select(explode(shingles(col(textCol), n)).as("__g")).distinct()
+        .select(xxhash64(col("__g")).as("__h"))
+        .orderBy(col("__h")).limit(k)
+    val sa = sketch(a)
+    val sb = sketch(b)
+    val unionK = sa.union(sb).distinct().orderBy(col("__h")).limit(k)
+    val inBoth = unionK.join(sa, "__h").join(sb, "__h")
+      .agg(count(lit(1)).as("__m"))
+    val kk = unionK.agg(count(lit(1)).as("__k")) // < k only for tiny corpora
+    inBoth.crossJoin(kk).select(
+      col("__m").as("n_matched"), col("__k").as("sketch_size"),
+      when(col("__k") === 0, lit(0.0))
+        .otherwise(round(col("__m").cast("double") / col("__k"), 6))
+        .as("jaccard_est"))
+  }
 }

@@ -352,6 +352,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("corpusOverlap: hand-checked sets; KMV sketch agrees with exact on small corpora") {
+    // corpus A grams: {a b c, b c d} u {x y z}; corpus B: {b c d, c d e}
+    val a = Seq((1L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    val b = Seq((3L, "b c d e")).toDF("doc_id", "text")
+    val r = Dedup.corpusOverlap(a, b, "text").collect()(0)
+    // A = {a b c, b c d, x y z}, B = {b c d, c d e}: inter 1, union 4
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 0.25)
+    assert(math.abs(r.getDouble(4) - 0.333333) < 1e-9) // containment 1/3
+    // sketch with k >= |union|: the estimator is EXACT (bottom-k = the set)
+    val sk = Dedup.corpusOverlapSketch(a, b, "text", k = 64).collect()(0)
+    assert(sk.getLong(1) == 4) // union size caps the sketch
+    assert(sk.getDouble(2) == 0.25)
+    // disjoint corpora -> 0 everywhere
+    val z = Dedup.corpusOverlap(a, Seq((9L, "p q r s")).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert(z.getLong(2) == 0 && z.getDouble(3) == 0.0)
+  }
 }
 
 
