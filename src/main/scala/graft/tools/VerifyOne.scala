@@ -1,0 +1,40 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump a SUBSET of gates + their oracles for a targeted
+  * `scripts/check_oracle.py` run — the fast inner loop when iterating on
+  * one gate (full `graft.Verify` replays all of them, ~2 min).
+  *
+  * Usage: `runMain graft.tools.VerifyOne <gate[,gate...]> <sfDir> <outDir>`
+  * then `python3 scripts/check_oracle.py <sfDir> <outDir>`.
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(names, sfDir, outDir) = args
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val wanted = names.split(',').toSeq
+    wanted.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = wanted.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
