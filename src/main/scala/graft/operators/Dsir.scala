@@ -88,14 +88,36 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
                         idCol: String, addK: Double = 0.5,
-                        buckets: Int = 0): DataFrame = {
+                        buckets: Int = 0): DataFrame =
+    importanceWeightsAgainst(raw, targetModel(target, textCol, idCol, buckets),
+      textCol, idCol, addK, buckets)
+
+  /** The trainable half: target-corpus feature counts `(feature, cf)` — a
+    * vocabulary-sized frame meant to be WRITTEN ONCE (parquet/table) and
+    * re-used by [[importanceWeightsAgainst]] across crawl batches, the
+    * same persisted-artifact posture as the cross-corpus dedup signature
+    * tables. Train with the same `buckets` you will score with.
+    */
+  def targetModel(target: DataFrame, textCol: String, idCol: String,
+                  buckets: Int = 0): DataFrame =
+    features(target, textCol, idCol, buckets)
+      .groupBy(col("__f")).agg(count(lit(1)).as("cf"))
+      .select(col("__f").as("feature"), col("cf"))
+
+  /** [[importanceWeights]] against a PRE-TRAINED `(feature, cf)` model
+    * (incremental posture: yesterday's target model scores today's crawl
+    * without re-reading the target corpus).
+    */
+  def importanceWeightsAgainst(raw: DataFrame, targetCounts: DataFrame,
+                               textCol: String, idCol: String,
+                               addK: Double = 0.5,
+                               buckets: Int = 0): DataFrame = {
     require(addK > 0, "DSIR needs addK > 0 (target-unseen features)")
     val tf = features(Partitioning.ensureParallelism(raw), textCol, idCol, buckets)
       .groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__tf"))
     // Raw counts consume __tf so both sides share one exchange (one scan).
     val rawC = tf.groupBy(col("__f")).agg(sum(col("__tf")).as("__cr"))
-    val tgtC = features(target, textCol, idCol, buckets)
-      .groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+    val tgtC = targetCounts.select(col("feature").as("__f"), col("cf").as("__ct"))
     // One vocabulary-sized frame carries both models; the totals (T_r, T_t,
     // V over the union support) aggregate THIS frame, not a re-explode of
     // either corpus — each corpus is feature-counted exactly once.

@@ -49,4 +49,16 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     val w = Seq.empty[(Long, Long, Double)].toDF("doc_id", "n_feats", "log_weight")
     assert(Dsir.selectTopFraction(w, "doc_id", 0.5).count() == 0)
   }
+
+  test("a persisted target model scores identically to the inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir-model")
+    Dsir.targetModel(target, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val persisted = spark.read.parquet(dir.toString)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dsir.importanceWeights(raw, target, "text", "doc_id")
+    val against = Dsir.importanceWeightsAgainst(raw, persisted, "text", "doc_id")
+    assert(rows(against) == rows(inline))
+  }
 }
