@@ -202,4 +202,40 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     val projAt = finalPlan.indexOf("AS quality#")
     assert(projAt >= 0, "quality projection missing from the plan")
   }
+
+  test("embed_covariance: one moment aggregate — no pre-agg explode, no join, no per-pair shuffle") {
+    val p = plan("embed_covariance")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the only Generate is the triangle unfold of the ONE-ROW result —
+    // it must sit ABOVE the aggregate (earlier in the printed plan), never
+    // explode corpus rows below it
+    val genAt = finalPlan.indexOf("Generate")
+    val aggAt = finalPlan.indexOf("HashAggregate")
+    assert(genAt >= 0 && aggAt > genAt, "triangle unfold must consume the 1-row aggregate")
+    assert(finalPlan.indexOf("Generate", aggAt) < 0, "no explode below the aggregate")
+    assert(!finalPlan.contains("Join"), "covariance must not join")
+    // data movement = the 1-row partial-aggregate merge only (the round-
+    // robin is ensureParallelism's input spread, not a per-pair shuffle)
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      "covariance must not shuffle by any key")
+  }
+
+  test("hard_negatives: best-positive and rank share ONE query-key shuffle") {
+    val p = plan("hard_negatives")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val qidShuffles = "hashpartitioning\\(qid".r.findAllIn(finalPlan).size
+    assert(qidShuffles == 1,
+      s"expected exactly one qid shuffle, saw $qidShuffles\n${finalPlan.take(900)}")
+    assert(!finalPlan.contains("CartesianProduct"),
+      "query x corpus must broadcast, not cartesian")
+  }
+
+  test("zipf_fit: the global rank window runs over the distinct-term aggregate") {
+    val p = plan("zipf_fit")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val windowAt = finalPlan.indexOf("Window")
+    val aggAt = finalPlan.indexOf("HashAggregate", windowAt)
+    assert(windowAt >= 0 && aggAt > windowAt,
+      "rank window must consume the term-count aggregate, not raw rows")
+  }
 }
