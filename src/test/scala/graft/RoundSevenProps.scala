@@ -67,6 +67,46 @@ object RoundSevenProps extends Properties("RoundSeven") {
         again.sameElements(out)
     }
 
+  // --- CSV round-trip -----------------------------------------------------
+
+  // no raw newline: parseLines is line-oriented and to_csv's single-record
+  // mode escapes embedded newlines (real files with multiLine=true cover
+  // that case in SourcesSpec); quoting/commas/unicode are the point here
+  private val csvCellGen: Gen[String] = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaNumChar),
+    (2, Gen.oneOf(',', '"', ' ', '\t', ';')),
+    (1, Gen.oneOf('é', '“')))).map(_.mkString)
+
+  property("csv parseLines round-trips arbitrary cell content through real quoting") =
+    forAll(Gen.listOfN(4, Gen.zip(csvCellGen, csvCellGen))) { cells =>
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      // shrinking walks chars toward the zero char - sanitize controls; the
+      // writer-side trim is a to_csv default we must disable to test the
+      // PARSER's fidelity rather than the generator's
+      def clean(s: String) = s.map(c => if (c < ' ') ' ' else c)
+      val rows = cells.zipWithIndex.map { case ((t, m), i) =>
+        (i.toString, clean(t), clean(m))
+      }
+      val lines = rows.toDF("id", "text", "meta")
+        .select(org.apache.spark.sql.functions.to_csv(
+            org.apache.spark.sql.functions.struct(col("text"), col("id"), col("meta")),
+            Map("escape" -> "\"", "ignoreLeadingWhiteSpace" -> "false",
+              "ignoreTrailingWhiteSpace" -> "false").asJava).as("value"),
+          org.apache.spark.sql.functions.lit("mem").as("__file"))
+      val out = graft.sources.CsvSource
+        .parseLines(lines, "text", Some("id"), Seq("meta"), ",", strict = true)
+        .collect()
+        .map(r => r.getAs[String]("source").stripPrefix("mem#") ->
+          r.getAs[String]("content")).toMap
+      // the source's blank-drop uses Spark trim (strips ' ' only, not \n)
+      def sparkBlank(s: String): Boolean =
+        s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').isEmpty
+      val expected = rows.filterNot(r => sparkBlank(r._2))
+        .map { case (id, t, _) => id -> t }.toMap
+      out == expected
+    }
+
   // --- Calibration -------------------------------------------------------
 
   property("calibration bins partition the rows and bound their means") =
