@@ -1045,6 +1045,20 @@ object SparkEntry {
         orderBy = Seq(col("doc_id")))
     }),
 
+    "pack_fragmentation" -> ((s, dir) => {
+      // The concat-and-chunk quality report: how many documents span k
+      // training sequences (fragmented docs lose coherence at the cut).
+      // One aggregate over the assignments — tiny output, any corpus size.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+      SequencePack.assignments(docs, "bpe_tokens", seqLen = 2048,
+          orderBy = Seq(col("doc_id")))
+        .filter(col("bpe_tokens") > 0)
+        .groupBy(col("n_seqs"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tokens")).cast("long").as("n_tokens"))
+    }),
+
     "sequence_pieces" -> ((s, dir) => {
       // Per-(document × sequence) slices of the packed stream — what a
       // shard writer would emit. Narrow explode over the assignments.
@@ -2633,6 +2647,22 @@ object SparkEntry {
          |   THEN (start_token + bpe_tokens - 1) // 2048 - start_token // 2048 + 1
          |   ELSE 0 END AS BIGINT) AS n_seqs
          |FROM c""".stripMargin,
+
+    // Same prefix-sum CTEs as sequence_pieces, collapsed to the per-doc
+    // sequence-span count.
+    "pack_fragmentation" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, bpe_tokens,
+         |  CAST(COALESCE(SUM(bpe_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+         | FROM tok WHERE bpe_tokens > 0),
+         |frag AS (SELECT doc_id, bpe_tokens,
+         |  ((start_token + bpe_tokens - 1) // 2048) - (start_token // 2048) + 1 AS n_seqs
+         | FROM c)
+         |SELECT n_seqs, count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS n_tokens
+         |FROM frag GROUP BY 1""".stripMargin,
 
     "sequence_pieces" ->
       s"""WITH tok AS (SELECT doc_id,
