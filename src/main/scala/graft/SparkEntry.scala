@@ -959,6 +959,24 @@ object SparkEntry {
       Profile.numericBy(t(s, dir, "documents"), "lang",
         Seq("doc_id", "n_chars"), exactDistinct = true)),
 
+    "lang_similarity" -> ((s, dir) => {
+      // Pairwise corpus-similarity matrix from per-group KMV sketches
+      // (plans.KmvSketchAgg scaladoc): each language reduces to 64 hashes
+      // BEFORE any pairing — no pairwise raw-data join at any corpus size.
+      // The sketch contents are deterministic (min-k of md5) -> full oracle.
+      val sk = t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("__t"))
+        .select(col("lang"), md5(col("__t")).as("__h"))
+        .groupBy(col("lang"))
+        .agg(graft.plans.KmvSketchAgg.kmvSketch(col("__h"), 64).as("__sk"))
+      val a = sk.select(col("lang").as("lang_a"), col("__sk").as("__ska"))
+      val b = sk.select(col("lang").as("lang_b"), col("__sk").as("__skb"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          graft.plans.KmvSketchAgg.jaccardEstimate(
+            col("__ska"), col("__skb"), 64).as("jaccard_est"))
+    }),
+
     "zipf_fit" -> ((s, dir) =>
       // Corpus-health intake QA: OLS fit of ln(freq) on ln(rank) over the
       // vocabulary (Profile.zipfFit scaladoc) — 1 row, full oracle.
@@ -2566,6 +2584,22 @@ object SparkEntry {
            |FROM documents GROUP BY lang""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // Exact mirror of the KMV construction: min-64 of distinct md5(token)
+    // per language, union re-truncated to 64, membership in both sketches.
+    "lang_similarity" ->
+      s"""WITH tk AS (SELECT lang, unnest($toksSql) AS t FROM documents),
+         |s AS (SELECT lang, (list_sort(list(DISTINCT md5(t))))[1:64] AS sk
+         | FROM tk GROUP BY lang)
+         |SELECT lang_a, lang_b,
+         | CASE WHEN len(u) = 0 THEN 0.0
+         |  ELSE round(CAST(len(list_intersect(u, ab)) AS DOUBLE) / len(u), 6)
+         | END AS jaccard_est
+         |FROM (
+         | SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |  (list_sort(list_distinct(list_concat(a.sk, b.sk))))[1:64] AS u,
+         |  list_intersect(a.sk, b.sk) AS ab
+         | FROM s a JOIN s b ON a.lang < b.lang)""".stripMargin,
 
     // Same OLS moments over ln(rank)/ln(freq), same guards, slope left
     // unrounded inside the intercept/r2 arithmetic — mirrors Profile.zipfFit.
