@@ -370,6 +370,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val z = Dedup.corpusOverlap(a, Seq((9L, "p q r s")).toDF("doc_id", "text"), "text")
       .collect()(0)
     assert(z.getLong(2) == 0 && z.getDouble(3) == 0.0)
+    // an empty corpus -> zero sizes and the guarded 0.0, no NaN/divide blowup
+    val e = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ze = Dedup.corpusOverlap(e, b, "text").collect()(0)
+    assert(ze.getLong(0) == 0 && ze.getDouble(3) == 0.0 && ze.getDouble(4) == 0.0)
+    val zs = Dedup.corpusOverlapSketch(e, e, "text").collect()(0)
+    assert(zs.getLong(1) == 0 && zs.getDouble(2) == 0.0)
   }
 }
 

@@ -50,6 +50,17 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(Dsir.selectTopFraction(w, "doc_id", 0.5).count() == 0)
   }
 
+  test("an empty target corpus degrades gracefully: finite weights, no crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, empty, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every feature is target-unseen: the target model is uniform-over-V
+    // (pure smoothing), so weights stay finite and defined — a rare-in-raw
+    // feature can still sit above uniform, so only finiteness is guaranteed
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("a persisted target model scores identically to the inline path") {
     val dir = java.nio.file.Files.createTempDirectory("dsir-model")
     Dsir.targetModel(target, "text", "doc_id")
