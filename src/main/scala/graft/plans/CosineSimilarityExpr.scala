@@ -133,7 +133,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         CosineSimilarityExpr(children.head, children(1))
       }))
     // The scalar graft_* surface (quality, lang-id, PII, tokens, vector
-    // ops) — same builders as GraftFunctions.register.
+    // ops) — same builders as GraftFunctions.register — plus the custom
+    // sketch aggregates (approx_top_items, kmv_sketch).
     GraftFunctions.all.foreach(ext.injectFunction)
+    AggRegistration.all.foreach(ext.injectFunction)
   }
 }

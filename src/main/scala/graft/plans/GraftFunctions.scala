@@ -92,5 +92,6 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     CosineSimilarityExpr.register(spark)
+    AggRegistration.register(spark)
   }
 }

@@ -116,4 +116,11 @@ object HeavyHittersAgg {
   def approxTopItems(c: Column, capacity: Int): Column =
     GraftSqlBridge.column(
       HeavyHittersAgg(GraftSqlBridge.expression(c), capacity).toAggregateExpression())
+
+  /** SQL surface: `approx_top_items(col, capacity)` with a literal capacity. */
+  private[plans] lazy val sqlEntry: AggRegistration.Entry = AggRegistration.entry("approx_top_items",
+    "_FUNC_(col, capacity) - Misra-Gries frequent items: map of item -> " +
+      "lower-bound count, at most `capacity` tracked") {
+    (child, cap) => HeavyHittersAgg(child, cap)
+  }
 }

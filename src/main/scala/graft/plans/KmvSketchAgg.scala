@@ -109,6 +109,13 @@ object KmvSketchAgg {
     GraftSqlBridge.column(
       KmvSketchAgg(GraftSqlBridge.expression(c), k).toAggregateExpression())
 
+  /** SQL surface: `kmv_sketch(col, k)` with a literal k. */
+  private[plans] lazy val sqlEntry: AggRegistration.Entry = AggRegistration.entry("kmv_sketch",
+    "_FUNC_(col, k) - k-minimum-values set sketch (sorted array of the k " +
+      "smallest distinct values); feed a uniform hash for estimation") {
+    (child, k) => KmvSketchAgg(child, k)
+  }
+
   /** Jaccard estimate from two KMV sketches built with the same k: take
     * the k smallest of the union, count how many live in BOTH sketches,
     * divide. Pure array HOFs — SQL-mirrorable, no UDF.

@@ -37,6 +37,26 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(sk4 >= 0.0 && sk4 <= 1.0)
   }
 
+  test("SQL surface: kmv_sketch and approx_top_items usable from SQL text") {
+    graft.plans.GraftFunctions.register(spark)
+    (1 to 50).map(i => (i % 5, f"v$i%03d")).toDF("g", "v")
+      .createOrReplaceTempView("kmv_rows")
+    val sk = spark.sql(
+      "SELECT g, kmv_sketch(v, 3) AS sk FROM kmv_rows GROUP BY g ORDER BY g")
+      .collect()
+    assert(sk.length == 5)
+    assert(sk(0).getSeq[String](1) == Seq("v005", "v010", "v015"))
+    val top = spark.sql(
+      "SELECT approx_top_items(CAST(g AS STRING), 8) AS t FROM kmv_rows")
+      .collect()(0).getMap[String, Long](0)
+    assert(top.values.sum == 50)
+    // non-literal k fails loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT kmv_sketch(v, g) FROM kmv_rows").collect())
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("null inputs are skipped; empty input yields an empty sketch") {
     val got = Seq(Option("a"), None, Option("b")).toDF("v")
       .agg(KmvSketchAgg.kmvSketch(col("v"), 8)).collect()(0).getSeq[String](0)
