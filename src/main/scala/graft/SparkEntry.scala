@@ -589,6 +589,33 @@ object SparkEntry {
       Search.mrr(topk, "qid", "source", "expected_source", rankCol = "rn")
     }),
 
+    "eval_ndcg" -> ((s, dir) => {
+      // Graded third leg of the retrieval report (hitrate/mrr/ndcg) over the
+      // identical top-5 frame. The ideal DCG uses the per-query corpus-wide
+      // relevant count (docs sharing the expected source, self excluded) so
+      // partial retrieval is penalized honestly.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("source").as("expected_source"))
+      val scored = queries.crossJoin(corpus)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", round(cos(col("embedding"), col("qv")), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      // n_relevant per query = corpus docs with the expected source minus the
+      // query doc itself: a per-source count broadcast, not a second scan.
+      val bySource = corpus.groupBy(col("source").as("rel_source")).count()
+      val totals = queries.join(broadcast(bySource),
+          col("expected_source") === col("rel_source"))
+        .select(col("qid"), (col("count") - 1).as("n_relevant"))
+      Search.ndcg(topk, "qid", "source", "expected_source", rankCol = "rn",
+        k = 5, relevantTotals = totals)
+    }),
+
     "hard_negatives" -> ((s, dir) => {
       // Contrastive-training data mining (Search.hardNegatives scaladoc):
       // per query, top-5 same-corpus items from OTHER label groups + the
@@ -2027,6 +2054,44 @@ object SparkEntry {
          | count(*) AS total_questions,
          | CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS answered
          |FROM firsts""".stripMargin,
+
+    // Same corpus/top-5 CTEs as eval_mrr; the ideal DCG comes from the
+    // per-source corpus count minus self, capped at k=5, mirroring
+    // Search.ndcg's relevantTotals join. Per-query ratio and the final mean
+    // both rounded to 6 dp on both sides.
+    "eval_ndcg" ->
+      s"""WITH corpus AS (
+         | SELECT e.vec_id, e.embedding, d.source
+         | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, source AS expected_source
+         | FROM corpus WHERE vec_id < 20),
+         |scored AS (
+         | SELECT qs.qid, qs.expected_source, c.vec_id, c.source,
+         |  round(${cosOf("c.embedding", "qs.qv")}, 6) AS score
+         | FROM qs, corpus c WHERE c.vec_id <> qs.qid),
+         |topk AS (
+         | SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |dcg AS (
+         | SELECT qid, sum(CASE WHEN source = expected_source
+         |   THEN 1.0 / log2(rn + 1) ELSE 0.0 END) AS dcg
+         | FROM topk GROUP BY qid),
+         |rel AS (
+         | SELECT qs.qid, least(5, cnt.n - 1) AS m
+         | FROM qs JOIN (SELECT source, count(*) AS n FROM corpus GROUP BY source) cnt
+         |  ON cnt.source = qs.expected_source),
+         |series AS (SELECT i FROM generate_series(1, 5) t(i)),
+         |idcg AS (
+         | SELECT r.qid, sum(1.0 / log2(s.i + 1)) AS idcg
+         | FROM rel r JOIN series s ON s.i <= r.m GROUP BY r.qid),
+         |perq AS (
+         | SELECT d.qid, CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6)
+         |   ELSE 0.0 END AS ndcg
+         | FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid)
+         |SELECT round(avg(ndcg), 6) AS ndcg, count(*) AS total_questions
+         |FROM perq""".stripMargin,
 
     // Same 6-dp-rounded cosine, same (score DESC, vec_id) rank order, same
     // one-pass best-positive window as Search.hardNegatives.

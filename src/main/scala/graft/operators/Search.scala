@@ -137,4 +137,49 @@ object Search {
       sum(when(col("__first_hit").isNotNull, 1).otherwise(0))
         .cast("long").as("answered"))
   }
+
+  /** Binary-relevance nDCG@k over the same top-k frame as [[hitRate]] /
+    * [[mrr]]: per query, DCG = sum of 1/log2(rank+1) over relevant results,
+    * normalized by the ideal DCG of `min(k, total relevant in corpus)`
+    * front-loaded ranks. Unlike the degenerate "ideal = retrieved" variant,
+    * a query with 5 relevant docs that surfaces only one at rank 1 does NOT
+    * score 1.0 — `relevantTotals` supplies the per-query corpus-wide
+    * relevant count `(qidCol, totalCol)` so the ideal is honest.
+    *
+    * Graded position-sensitivity completes the standard retrieval report:
+    * hit-rate (membership), MRR (first hit), nDCG (all hits, discounted).
+    * Returns 1 row `(ndcg double, total_questions bigint)`; empty -> 0.0.
+    * Both the per-query ratio and the final mean are rounded to 6 dp so a
+    * SQL oracle summing the ≤k discount terms in a different order cannot
+    * drift past the hash compare.
+    *
+    * Scale shape: one groupBy on the (small) top-k frame + a join against
+    * the per-query totals — no second corpus scan; callers derive
+    * `relevantTotals` from a per-source count aggregate they already need.
+    */
+  def ndcg(topk: DataFrame, qidCol: String, resultSourceCol: String,
+           expectedSourceCol: String, rankCol: String, k: Int,
+           relevantTotals: DataFrame, totalCol: String = "n_relevant"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dcg = topk
+      .groupBy(col(qidCol))
+      .agg(sum(when(col(resultSourceCol) === col(expectedSourceCol),
+        lit(1.0) / log2(col(rankCol).cast("double") + 1))
+        .otherwise(lit(0.0))).as("__dcg"))
+    val withIdeal = dcg
+      .join(relevantTotals.select(col(qidCol).as("__tq"), col(totalCol).as("__n_rel")),
+        dcg(qidCol) === col("__tq"), "left")
+      .withColumn("__m", least(lit(k), coalesce(col("__n_rel"), lit(0))).cast("int"))
+      .withColumn("__idcg",
+        when(col("__m") >= 1,
+          aggregate(sequence(lit(1), col("__m")), lit(0.0d),
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1)))
+          .otherwise(lit(0.0)))
+    val perQuery = withIdeal.withColumn("__ndcg",
+      when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))
+        .otherwise(lit(0.0)))
+    perQuery.agg(
+      coalesce(round(avg(col("__ndcg")), 6), lit(0.0)).as("ndcg"),
+      count(lit(1)).as("total_questions"))
+  }
 }

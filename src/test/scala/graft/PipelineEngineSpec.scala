@@ -119,6 +119,46 @@ class PipelineEngineSpec extends AnyFunSuite with SparkTestBase {
       BigDecimal((0.5 + 1.0 + 0.0) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("ndcg discounts by rank and normalizes by the honest corpus-wide ideal") {
+    import spark.implicits._
+    def log2(x: Double): Double = math.log(x) / math.log(2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: relevant at ranks 1 and 3 of 3, corpus holds 4 relevant -> ideal
+    //     covers min(k=3, 4)=3 front ranks, so retrieving only 2 cannot
+    //     reach 1.0. q2: perfect single hit with exactly 1 relevant -> 1.0.
+    //     q3: nothing relevant -> 0.0.
+    val topk = Seq(
+      (1L, 1, "a", "a"), (1L, 2, "b", "a"), (1L, 3, "a", "a"),
+      (2L, 1, "x", "x"), (2L, 2, "y", "x"),
+      (3L, 1, "p", "z"), (3L, 2, "q", "z")
+    ).toDF("qid", "rank", "source", "expected_source")
+    val totals = Seq((1L, 4L), (2L, 1L), (3L, 0L)).toDF("qid", "n_relevant")
+    val row = graft.operators.Search.ndcg(topk, "qid", "source",
+      "expected_source", rankCol = "rank", k = 3, relevantTotals = totals)
+      .collect()(0)
+    assert(row.getAs[Long]("total_questions") == 3)
+    val q1 = r6((1.0 / log2(2) + 1.0 / log2(4)) /
+      (1.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)))
+    assert(row.getAs[Double]("ndcg") == r6((q1 + 1.0 + 0.0) / 3))
+  }
+
+  test("ndcg: missing totals row and empty input degrade to 0 without error") {
+    import spark.implicits._
+    val topk = Seq((1L, 1, "a", "a")).toDF("qid", "rank", "source", "expected_source")
+    // qid 1 absent from totals -> n_relevant coalesces to 0 -> idcg 0 -> 0.0.
+    val totals = Seq((9L, 3L)).toDF("qid", "n_relevant")
+    val row = graft.operators.Search.ndcg(topk, "qid", "source",
+      "expected_source", rankCol = "rank", k = 3, relevantTotals = totals)
+      .collect()(0)
+    assert(row.getAs[Double]("ndcg") == 0.0)
+    val empty = graft.operators.Search.ndcg(topk.limit(0), "qid", "source",
+      "expected_source", rankCol = "rank", k = 3, relevantTotals = totals)
+      .collect()(0)
+    assert(empty.getAs[Double]("ndcg") == 0.0)
+    assert(empty.getAs[Long]("total_questions") == 0)
+  }
+
   test("adaptive chunker + markdown docs flow through the pipeline") {
     val root = tempDir("graft-md")
     val data = root.resolve("data")
