@@ -1150,6 +1150,17 @@ object SparkEntry {
             .otherwise(concat(col("text"), lit(".")))),
         "text", "doc_id")),
 
+    "blocklist_filter" -> ((s, dir) => {
+      // C4 §2.2 bad-word document gate via the broadcast-join scale path
+      // (the narrow literal-array path is pinned equal by CurationSpec).
+      // 'slow' is corpus-common, 'dup' rare, 'deadlock' absent — the gate
+      // exercises hit, miss, and threshold (>2 occurrences) in one run.
+      import s.implicits._
+      val terms = Seq("slow", "dup", "deadlock").toDF("term")
+      CurationRules.blocklistFlagsJoin(t(s, dir, "documents"), "text", "doc_id",
+        terms, maxFlagged = 2L)
+    }),
+
     "lm_unigram_score" -> ((s, dir) =>
       // CCNet-style quality signal: self-trained unigram LM, per-doc mean
       // token log-prob + perplexity (LangModel scaladoc). Deterministic
@@ -2912,6 +2923,24 @@ object SparkEntry {
         | CASE WHEN dropped THEN 0 ELSE len(kept) END AS n_lines_kept,
         | dropped AS doc_dropped
         |FROM d""".stripMargin,
+
+    // Mirrors CurationRules.blocklistFlagsJoin: lowercase [a-z0-9]+ tokens,
+    // occurrence count + sorted-distinct comma-joined evidence, blocked
+    // when n_flagged > 2. Zero-hit docs restored by the left join.
+    "blocklist_filter" ->
+      """WITH bl AS (SELECT unnest(['slow', 'dup', 'deadlock']) AS term),
+        |toks AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        | FROM documents),
+        |hits AS (SELECT t.doc_id, t.tok FROM toks t JOIN bl b ON t.tok = b.term),
+        |agg AS (SELECT doc_id, count(*) AS n,
+        |  string_agg(DISTINCT tok, ',' ORDER BY tok) AS terms
+        | FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(a.n, 0) AS BIGINT) AS n_flagged,
+        | coalesce(a.terms, '') AS flagged_terms,
+        | coalesce(a.n, 0) > 2 AS blocked
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     "lm_unigram_score" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -103,4 +103,62 @@ object CurationRules {
       when(dropped, lit(0L)).otherwise(size(kept).cast("long")).as("n_lines_kept"),
       dropped.as("doc_dropped"))
   }
+
+  /** Word-blocklist gate (the C4 "bad words" document filter, Raffel et al.
+    * 2020 §2.2: drop any page containing a word from a fixed list). Tokens
+    * are lowercase `[a-z0-9]+` runs; a document is `blocked` when its total
+    * blocklisted-token occurrences exceed `maxFlagged` (0 = the paper's
+    * any-hit semantics). Emits the evidence alongside the verdict:
+    * `(idCol, n_flagged, flagged_terms, blocked)` with `flagged_terms` the
+    * sorted distinct matches comma-joined — so a curator can audit WHY a
+    * doc was dropped without re-running.
+    *
+    * This is the narrow path: the list rides inside a codegen'd
+    * `array_contains` filter — right for the typical few-thousand-word
+    * list (per-row cost is tokens × list with no shuffle, no join, no
+    * broadcast table to manage). For very large lists use
+    * [[blocklistFlagsJoin]].
+    */
+  def blocklistFlags(df: DataFrame, textCol: String, idCol: String,
+                     terms: Seq[String], maxFlagged: Long = 0L): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val listLit = lit(terms.map(_.toLowerCase).distinct.toArray)
+    // coalesce against the null-text row so both paths (and a SQL LEFT JOIN
+    // mirror) agree on (0, "", false) instead of propagating nulls.
+    val toks = coalesce(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)),
+      lit(Array.empty[String]))
+    val hits = filter(toks, tk => array_contains(listLit, tk))
+    df.select(col(idCol),
+      size(hits).cast("long").as("n_flagged"),
+      array_join(array_sort(array_distinct(hits)), ",").as("flagged_terms"),
+      (size(hits) > maxFlagged).as("blocked"))
+  }
+
+  /** Scale path of [[blocklistFlags]] for blocklists too large to inline in
+    * an expression (phrase lists, multi-language unions): explode tokens,
+    * broadcast-hash-join the term table, aggregate back per document, then
+    * restore zero-hit documents with a left join against the id spine. One
+    * shuffle (the per-doc aggregate); the blocklist never shuffles.
+    * Identical output contract to the narrow path — pinned by a spec that
+    * runs both over the same frame.
+    */
+  def blocklistFlagsJoin(df: DataFrame, textCol: String, idCol: String,
+                         termsDf: DataFrame, termCol: String = "term",
+                         maxFlagged: Long = 0L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("__tok"))
+    val hits = toks.join(
+      broadcast(termsDf.select(lower(col(termCol)).as("__term")).distinct()),
+      col("__tok") === col("__term"))
+    val agg = hits.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__n"),
+      array_join(array_sort(collect_set(col("__tok"))), ",").as("__terms"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_flagged"),
+        coalesce(col("__terms"), lit("")).as("flagged_terms"),
+        (coalesce(col("__n"), lit(0L)) > maxFlagged).as("blocked"))
+  }
 }

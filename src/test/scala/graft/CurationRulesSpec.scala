@@ -65,4 +65,40 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("doc_dropped")).toMap
     assert(c4 == Map(1L -> true, 2L -> true))
   }
+
+  test("blocklist: counts occurrences, audits terms, thresholds, case-folds") {
+    val docs = Seq(
+      (1L, "Slow SLOW slow pipeline"),       // 3 hits of one term
+      (2L, "a dup and a deadlock appear"),   // 2 hits, 2 distinct terms
+      (3L, "perfectly clean prose"),         // 0 hits
+      (4L, "slow-dup hyphenated")            // punctuation splits -> 2 hits
+    ).toDF("doc_id", "text")
+    val terms = Seq("slow", "DUP", "deadlock")
+    val got = CurationRules.blocklistFlags(docs, "text", "doc_id", terms, maxFlagged = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_flagged"), r.getAs[String]("flagged_terms"),
+          r.getAs[Boolean]("blocked")))).toMap
+    assert(got(1L) == ((3L, "slow", true)))
+    assert(got(2L) == ((2L, "deadlock,dup", true)))
+    assert(got(3L) == ((0L, "", false)))
+    assert(got(4L) == ((2L, "dup,slow", true)))
+  }
+
+  test("blocklist: join scale path matches the narrow path row for row") {
+    val docs = Seq(
+      (1L, "slow slow dup"), (2L, "nothing here"), (3L, "Deadlock! dup."),
+      (4L, null.asInstanceOf[String]), (5L, "")
+    ).toDF("doc_id", "text")
+    val terms = Seq("slow", "dup", "deadlock")
+    val narrow = CurationRules.blocklistFlags(docs, "text", "doc_id", terms)
+    val joined = CurationRules.blocklistFlagsJoin(docs, "text", "doc_id",
+      terms.toDF("term"))
+    // Null text: regexp over null yields null tokens -> null/0 hits on both
+    // paths; assert identical ordered rows.
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_flagged"),
+        r.getAs[String]("flagged_terms"), r.getAs[Boolean]("blocked"))
+    assert(narrow.collect().map(key).sortBy(_._1).toSeq ==
+      joined.collect().map(key).sortBy(_._1).toSeq)
+  }
 }
