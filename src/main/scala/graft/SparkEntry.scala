@@ -266,6 +266,25 @@ object SparkEntry {
       StateStore.corpusDiff(oldSnap, newSnap, "doc_id", "fp")
     }),
 
+    "scd2_history" -> ((s, dir) => {
+      // Temporal twin of corpus_diff over the same planted snapshots: the
+      // old snapshot bootstraps the SCD2 history at version 1, the new one
+      // applies at version 2 — changed docs close+reopen, removed docs
+      // close, added docs open, unchanged docs carry their interval.
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 2, sha2(concat(col("text"), lit("old")), 256))
+            .otherwise(sha2(col("text"), 256)).as("fp"))
+        .union(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            sha2(col("text"), 256).as("fp")))
+      val boot = StateStore.scd2Apply(
+        StateStore.scd2Empty(s, "doc_id", "fp"), oldSnap, "doc_id", "fp", 1L)
+      StateStore.scd2Apply(boot, newSnap, "doc_id", "fp", 2L)
+    }),
+
     "state_update" -> ((s, dir) => {
       // T2: fingerprint upsert — new fps win over old on id collision.
       val docs = t(s, dir, "documents")
@@ -1777,6 +1796,36 @@ object SparkEntry {
         |   ELSE 'unchanged' END AS status
         | FROM oldsnap o FULL OUTER JOIN newsnap n USING (doc_id))
         |WHERE status <> 'unchanged'""".stripMargin,
+
+    // Mirrors StateStore.scd2Apply over the corpus_diff snapshots: closes
+    // (changed/removed at version 2), opens (added/changed), carries
+    // (unchanged keep valid_from=1, open-ended). Null-safe fp compare.
+    "scd2_history" ->
+      """WITH newsnap AS (SELECT doc_id, sha256(text) AS fp, TRUE AS in_new
+        |  FROM documents),
+        |oldsnap AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 2 THEN sha256(text || 'old') ELSE sha256(text) END AS fp,
+        |  TRUE AS in_old
+        | FROM documents WHERE doc_id % 5 <> 4
+        | UNION ALL
+        | SELECT doc_id + 1000000, sha256(text), TRUE FROM documents WHERE doc_id % 50 = 0),
+        |j AS (
+        | SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp,
+        |  o.in_old, n.in_new
+        | FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, ofp AS fp, CAST(1 AS BIGINT) AS valid_from,
+        | CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+        |FROM j WHERE in_old IS NOT NULL
+        | AND (in_new IS NULL OR ofp IS DISTINCT FROM nfp)
+        |UNION ALL
+        |SELECT doc_id, nfp, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM j WHERE in_old IS NULL
+        | OR (in_new IS NOT NULL AND ofp IS DISTINCT FROM nfp)
+        |UNION ALL
+        |SELECT doc_id, ofp, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM j WHERE in_old IS NOT NULL AND in_new IS NOT NULL
+        | AND ofp IS NOT DISTINCT FROM nfp""".stripMargin,
 
     "state_update" ->
       """WITH old AS (

@@ -136,4 +136,70 @@ object StateStore {
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(tmp, dst)
   }
+
+  /** Apply a snapshot to an SCD-type-2 fingerprint history (Kimball slowly-
+    * changing dimension): where [[corpusDiff]] reports WHAT changed between
+    * two snapshots, this keeps WHEN — every fingerprint a document ever had,
+    * with its validity interval — so an incremental pipeline can answer
+    * "what did the corpus look like at version V" and audit re-crawls.
+    *
+    * `history` rows: `(idCol, fpCol, valid_from long, valid_to long|null,
+    * is_current boolean)`; an empty history bootstraps from the snapshot.
+    * `version` is the caller-supplied monotonic snapshot version (a run id
+    * or epoch — never wall-clock inside the plan, so replays are
+    * deterministic). Per apply:
+    *  - unchanged fp   -> current row passes through untouched
+    *  - changed fp     -> current row closes at `version`, a new current
+    *    row opens (two output rows)
+    *  - id gone        -> current row closes (a later re-appearance opens a
+    *    fresh row at its then-version)
+    *  - id new         -> current row opens at `version`
+    *  - already-closed rows always pass through (history is append-only)
+    *
+    * Fingerprint comparison is null-safe like [[corpusDiff]]. One shuffle:
+    * the full-outer join of current rows vs snapshot on id; closed rows
+    * never join. At 100 TB both sides partition by id and AQE handles the
+    * skewless hash join; history grows by O(changed), not O(corpus).
+    */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame,
+                idCol: String, fpCol: String, version: Long): DataFrame = {
+    val closedRows = history.filter(!col("is_current"))
+      .select(col(idCol), col(fpCol), col("valid_from"), col("valid_to"),
+        col("is_current"))
+    val cur = history.filter(col("is_current"))
+      .select(col(idCol).as("__id"), col(fpCol).as("__cur_fp"),
+        col("valid_from").as("__cur_from"), lit(true).as("__in_cur"))
+    val snap = snapshot
+      .select(col(idCol).as("__id"), col(fpCol).as("__new_fp"),
+        lit(true).as("__in_new"))
+    val j = cur.join(snap, Seq("__id"), "full_outer")
+    val changed = col("__in_cur").isNotNull && col("__in_new").isNotNull &&
+      !(col("__cur_fp") <=> col("__new_fp"))
+    // Closing side: current rows whose doc changed or disappeared.
+    val closes = j.filter(col("__in_cur").isNotNull &&
+        (col("__in_new").isNull || changed))
+      .select(col("__id").as(idCol), col("__cur_fp").as(fpCol),
+        col("__cur_from").as("valid_from"),
+        lit(version).as("valid_to"), lit(false).as("is_current"))
+    // Opening side: new ids and changed fingerprints.
+    val opens = j.filter(col("__in_cur").isNull || changed)
+      .select(col("__id").as(idCol), col("__new_fp").as(fpCol),
+        lit(version).as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    // Unchanged current rows ride through with their original interval.
+    val carries = j.filter(col("__in_cur").isNotNull && col("__in_new").isNotNull &&
+        (col("__cur_fp") <=> col("__new_fp")))
+      .select(col("__id").as(idCol), col("__cur_fp").as(fpCol),
+        col("__cur_from").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    closedRows.unionByName(closes).unionByName(opens).unionByName(carries)
+  }
+
+  /** Bootstrap an empty SCD2 history frame with [[scd2Apply]]'s schema. */
+  def scd2Empty(spark: SparkSession, idCol: String, fpCol: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(idCol, LongType), StructField(fpCol, StringType),
+        StructField("valid_from", LongType), StructField("valid_to", LongType),
+        StructField("is_current", BooleanType))))
 }

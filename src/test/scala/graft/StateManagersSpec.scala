@@ -164,4 +164,31 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(diff == Map("a" -> "changed", "b" -> "unchanged", "c" -> "changed"))
   }
+
+  test("scd2Apply: full document lifecycle across four versions") {
+    import spark.implicits._
+    def snap(rows: (Long, String)*) = rows.toDF("id", "fp")
+    def apply(h: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame,
+              v: Long) = StateStore.scd2Apply(h, s, "id", "fp", v)
+    val empty = StateStore.scd2Empty(spark, "id", "fp")
+    // v1: a,b appear. v2: a changes, b unchanged, c appears. v3: a removed.
+    // v4: a re-appears with a fresh fp.
+    val h4 = apply(apply(apply(apply(empty,
+      snap(1L -> "a1", 2L -> "b1"), 1),
+      snap(1L -> "a2", 2L -> "b1", 3L -> "c1"), 2),
+      snap(2L -> "b1", 3L -> "c1"), 3),
+      snap(1L -> "a3", 2L -> "b1", 3L -> "c1"), 4)
+    val rows = h4.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("fp"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(rows == Set(
+      (1L, "a1", 1L, Some(2L), false),   // first fp closed when it changed
+      (1L, "a2", 2L, Some(3L), false),   // second fp closed when doc vanished
+      (1L, "a3", 4L, None, true),        // re-appearance opens a fresh row
+      (2L, "b1", 1L, None, true),        // never changed: original interval
+      (3L, "c1", 2L, None, true)))       // late arrival keeps its birth version
+    // History is append-only: each apply only adds rows.
+    assert(h4.count() == 5)
+  }
 }
