@@ -38,6 +38,13 @@ object SparkEntry {
 
   private val dec = "decimal(18,2)"
 
+  /** Clean text whose [[graft.functions.Mojibake.corrupt]] rendering seeds
+    * the mojibake_repair gate — accents, the nbsp pair (a-grave before a
+    * space), dashes, the 0x9d-hole right quote, and the 3-char euro.
+    */
+  private val MojibakeCleanSuffix =
+    " caf\u00e9 \u2014 d\u00e9j\u00e0 vu\u2026 25\u00b0 \u201cok\u201d \u20ac5"
+
   /** Deterministic raw crawl-URL plant shared by the `url_dedup` /
     * `domain_profile` gates: everything CANONICAL varies only with
     * `base = doc_id % 100` (50 sites x 4 public suffixes x path), while
@@ -526,6 +533,20 @@ object SparkEntry {
         lit(" e\u0301\u200B end\u0007"))
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.Normalize.cleanText(deco).as("normalized"))
+    }),
+
+    "mojibake_repair" -> ((s, dir) => {
+      // ftfy-style encoding repair (functions.Mojibake scaladoc): every 3rd
+      // doc gains a suffix rendered the way a UTF-8-as-cp1252 mis-decode
+      // would mangle it (accents, nbsp pair, dashes, the 0x9d-hole quote);
+      // the repair chain must restore it and leave clean docs untouched.
+      val bad = graft.functions.Mojibake.corrupt(MojibakeCleanSuffix)
+      val planted = when(col("doc_id") % 3 === 0, concat(col("text"), lit(bad)))
+        .otherwise(col("text"))
+      val fixed = graft.functions.Mojibake.fixMojibake(planted)
+      t(s, dir, "documents").select(col("doc_id"),
+        fixed.as("fixed_text"),
+        (fixed =!= planted).as("was_mojibake"))
     }),
 
     "sink_projection" -> ((s, dir) => {
@@ -2056,6 +2077,19 @@ object SparkEntry {
         |   chr(8230), '...'),
         |  '\s+', ' ', 'g')) AS normalized
         |FROM documents""".stripMargin,
+
+    // Generated from Mojibake.table (one source of truth): plant the
+    // corrupted suffix, run the identical ordered replace chain, flag docs
+    // the chain changed. Every character travels as chr(N).
+    "mojibake_repair" -> {
+      val bad = graft.functions.Mojibake.corrupt(MojibakeCleanSuffix)
+      val planted = s"(CASE WHEN doc_id % 3 = 0 THEN text || " +
+        s"${graft.functions.Mojibake.sqlStringExpr(bad)} ELSE text END)"
+      val fixed = graft.functions.Mojibake.sqlRepairExpr(planted)
+      s"""SELECT doc_id, $fixed AS fixed_text,
+         | $fixed <> $planted AS was_mojibake
+         |FROM documents""".stripMargin
+    },
 
     "sink_projection" ->
       """SELECT d.text AS text, d.source, d.lang, d.doc_id,
