@@ -226,6 +226,30 @@ object SparkEntry {
           element_at(col("metadata"), "lang").as("meta_lang"))
     }),
 
+    "chat_template" -> ((s, dir) => {
+      // SFT prep (ChatTemplate scaladoc): build a 3-turn conversation from
+      // each doc (fixed system prompt; user = first ceil(n/2) ws-tokens,
+      // assistant = rest), serialize with to_json, then the operator must
+      // parse the real JSON back and render the ChatML template. The oracle
+      // computes the rendered string directly from the halves — the engine
+      // only matches if the JSON round trip and template are faithful.
+      val docs = t(s, dir, "documents")
+      val parts = split(col("text"), " ", -1)
+      val n = size(parts)
+      val k = ((n + 1) / 2).cast("int")
+      val userHalf = concat_ws(" ", slice(parts, lit(1), k))
+      val asstHalf = concat_ws(" ", slice(parts, k + 1, n - k))
+      val msgs = array(
+        struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"), userHalf.as("content")),
+        struct(lit("assistant").as("role"), asstHalf.as("content")))
+      val parsed = ChatTemplate.parseMessages(
+        docs.select(col("doc_id"), to_json(msgs).as("raw")), "raw")
+      ChatTemplate.render(parsed)
+        .select(col("doc_id"), col("chat_text"), col("n_turns"), col("roles"))
+    }),
+
     "csv_parse" -> ((s, dir) => {
       // CSV corpus source: serialize each document row to a CSV line with
       // to_csv (real quoting), parse back through CsvSource's positional
@@ -1782,6 +1806,22 @@ object SparkEntry {
       """SELECT 'mem#' || CAST(doc_id AS VARCHAR) AS source, text AS content,
         | sha256(text) AS fingerprint, lang AS meta_lang
         |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
+
+    // Direct-rendered mirror of ChatTemplate.render over the same halves:
+    // the engine's JSON round trip must be character-faithful to match.
+    "chat_template" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |d AS (SELECT doc_id, parts, len(parts) AS n,
+        |  CAST(floor((len(parts) + 1) / 2.0) AS INT) AS k FROM p)
+        |SELECT doc_id,
+        | '<|im_start|>system' || chr(10) || 'You are a helpful assistant.<|im_end|>' || chr(10)
+        |  || '<|im_start|>user' || chr(10) || array_to_string(parts[1:k], ' ')
+        |  || '<|im_end|>' || chr(10)
+        |  || '<|im_start|>assistant' || chr(10) || array_to_string(parts[k+1:n], ' ')
+        |  || '<|im_end|>' || chr(10) AS chat_text,
+        | CAST(3 AS BIGINT) AS n_turns,
+        | 'system,user,assistant' AS roles
+        |FROM d""".stripMargin,
 
     // Identity oracle like jsonl_parse: the engine must round-trip every
     // character through real CSV quoting (to_csv -> from_csv) to match.

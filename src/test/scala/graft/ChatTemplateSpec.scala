@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.operators.ChatTemplate
+
+/** Conversation parse + ChatML render: faithful round trip, malformed-JSON
+  * leniency, and template shape.
+  */
+class ChatTemplateSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("parse + render produces the exact ChatML text, turn count and roles") {
+    val raw = Seq(
+      (1L, """[{"role":"user","content":"hi there"},{"role":"assistant","content":"hello!"}]"""),
+      (2L, """[{"role":"system","content":"be brief"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]""")
+    ).toDF("id", "raw")
+    val out = ChatTemplate.render(ChatTemplate.parseMessages(raw, "raw"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("chat_text"), r.getAs[Long]("n_turns"),
+          r.getAs[String]("roles")))).toMap
+    assert(out(1L) == ((
+      "<|im_start|>user\nhi there<|im_end|>\n<|im_start|>assistant\nhello!<|im_end|>\n",
+      2L, "user,assistant")))
+    assert(out(2L)._2 == 3L && out(2L)._3 == "system,user,assistant")
+    assert(out(2L)._1.startsWith("<|im_start|>system\nbe brief<|im_end|>\n"))
+  }
+
+  test("malformed JSON and nulls render to null columns, not failures") {
+    val raw = Seq(
+      (1L, "not json at all"),
+      (2L, null.asInstanceOf[String]),
+      (3L, """[{"role":"user","content":"ok"}]""")
+    ).toDF("id", "raw")
+    val out = ChatTemplate.render(ChatTemplate.parseMessages(raw, "raw"))
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(out.columns.indexOf("chat_text")))
+    assert(byId(2L).isNullAt(out.columns.indexOf("chat_text")))
+    assert(byId(3L).getAs[String]("chat_text") == "<|im_start|>user\nok<|im_end|>\n")
+    // Null count is the malformed-line audit a pipeline filters on.
+    assert(out.filter(col("chat_text").isNull).count() == 2)
+  }
+
+  test("special characters survive the JSON round trip into the template") {
+    val content = "line1\nline2 \"quoted\" back\\slash café —"
+    val raw = Seq((1L, s"""[{"role":"user","content":${jsonStr(content)}}]"""))
+      .toDF("id", "raw")
+    val got = ChatTemplate.render(ChatTemplate.parseMessages(raw, "raw"))
+      .collect()(0).getAs[String]("chat_text")
+    assert(got == s"<|im_start|>user\n$content<|im_end|>\n")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+}
