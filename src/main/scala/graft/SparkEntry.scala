@@ -989,6 +989,14 @@ object SparkEntry {
       // legomena per document, pure HOFs over the tokenizer contract.
       TextAnalysis.lexicalDiversityFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "oov_rate" -> ((s, dir) =>
+      // Tokenizer-vocab coverage (TextAnalysis.oovRateFrame scaladoc): the
+      // corpus's own top-25 vocabulary, then per-doc out-of-vocabulary
+      // token count and rate. The ~40-term fixture vocab makes ~top-25 a
+      // real cutoff: every doc carries both in- and out-of-vocab mass.
+      TextAnalysis.oovRateFrame(t(s, dir, "documents"), "text", "doc_id",
+        vocabSize = 25)),
+
     "bpe_merge_count" -> ((s, dir) =>
       // Exact BPE token counts under the pinned merge table (functions/Bpe)
       // — the real budgeting unit for the packing operators, vs the regex
@@ -2681,6 +2689,24 @@ object SparkEntry {
          | CAST(CASE WHEN len(toks) = 0 THEN 0.0
          |   ELSE round(CAST(len(list_filter(dis, x -> len(list_filter(toks, y -> y = x)) = 1)) AS DOUBLE) / len(toks), 6) END AS DOUBLE) AS hapax_ratio
          |FROM d""".stripMargin,
+
+    // Same tokenizer, same (count desc, token asc) vocab ranking, same
+    // left-join OOV flagging as TextAnalysis.oovRateFrame.
+    "oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |cf AS (SELECT tok, count(*) AS cf FROM tk GROUP BY tok),
+         |vocab AS (SELECT tok FROM (
+         |  SELECT tok, row_number() OVER (ORDER BY cf DESC, tok) AS rk FROM cf)
+         | WHERE rk <= 25),
+         |agg AS (SELECT t.doc_id, count(*) AS n,
+         |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov
+         | FROM tk t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+         | CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov,
+         | CAST(CASE WHEN coalesce(a.n, 0) > 0
+         |   THEN round(CAST(a.oov AS DOUBLE) / a.n, 6) ELSE 0.0 END AS DOUBLE) AS oov_rate
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     // Same sorted-distinct fold, same (p * ln p) / ln 2 shape and add order.
     "char_entropy" -> {

@@ -297,4 +297,39 @@ object TextAnalysis {
       when(n === 0, lit(0.0))
         .otherwise(round(hapax.cast("double") / n.cast("double"), 6)).as("hapax_ratio"))
   }
+
+  /** Tokenizer-vocabulary coverage: per document, how many tokens fall
+    * outside the corpus's top-`vocabSize` vocabulary (count desc, token asc
+    * tie-break — deterministic). High OOV rate flags transcoded/garbled/
+    * wrong-language docs before they waste tokenizer <unk> budget; the same
+    * frame sizes a vocab for a new domain.
+    *
+    * Shape: one token-count aggregate, a top-V row_number (the COUNTS
+    * table, tiny next to the corpus), then a broadcast left join back over
+    * the exploded tokens and a per-doc aggregate — two shuffles total, both
+    * on narrow projections. `explode_outer` keeps empty docs at
+    * (0, 0, 0.0). At true web scale the exact global top-V over an
+    * unbounded vocab should come from [[Sketches]]' heavy hitters instead;
+    * the contract here is the exact one the oracle can replay.
+    */
+  def oovRateFrame(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int = 25): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tk = df.select(col(idCol), explode_outer(toks(col(textCol))).as("__tok"))
+    val counts = tk.filter(col("__tok").isNotNull)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cf").desc, col("__tok"))
+    val vocab = counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= vocabSize).select(col("__tok").as("__v"))
+    val joined = tk.join(broadcast(vocab), col("__tok") === col("__v"), "left")
+    val n = count(col("__tok"))
+    val oov = sum(when(col("__tok").isNotNull && col("__v").isNull, 1)
+      .otherwise(0))
+    joined.groupBy(col(idCol)).agg(
+      n.cast("long").as("n_tokens"),
+      oov.cast("long").as("n_oov"),
+      when(n > 0, round(oov.cast("double") / n.cast("double"), 6))
+        .otherwise(lit(0.0)).as("oov_rate"))
+  }
 }

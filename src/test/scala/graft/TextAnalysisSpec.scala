@@ -101,4 +101,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2L) == ((3L, 1L, 0L, 0.333333, 0.0)))
     assert(rows(3L) == ((0L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("oovRateFrame: top-V vocab with deterministic ties, per-doc OOV, empty docs") {
+    // Corpus counts: a=4, b=3, c=2, d=2, e=1. vocabSize=3 -> vocab {a,b,c}
+    // (c beats d on the token-asc tie-break).
+    val docs = Seq(
+      (1L, "a a b c d"),  // 5 toks, oov {d} -> 1
+      (2L, "a b c d e"),  // 5 toks, oov {d,e} -> 2
+      (3L, "a a b"),      // 3 toks, 0 oov
+      (4L, "")            // empty -> (0, 0, 0.0)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .oovRateFrame(docs, "text", "doc_id", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 1L, 0.2)))
+    assert(got(2L) == ((5L, 2L, 0.4)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
 }
