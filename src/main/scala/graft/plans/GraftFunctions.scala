@@ -79,6 +79,10 @@ object GraftFunctions {
       "_FUNC_(text) - Unicode NFC canonicalization: control/zero-width " +
         "strip, typographic->ASCII punctuation, whitespace collapse")(
       c => graft.functions.Normalize.cleanText(c)),
+    unary("graft_fix_mojibake",
+      "_FUNC_(text) - repair UTF-8-as-cp1252 mojibake (ftfy-style ordered " +
+        "replace chain over the top ~34 sequences)")(
+      c => graft.functions.Mojibake.fixMojibake(c)),
     unary("graft_l2_norm",
       "_FUNC_(vec) - L2 norm of a float/double array in double")(
       VectorFunctions.l2Norm),

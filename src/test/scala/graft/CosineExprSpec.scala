@@ -122,5 +122,9 @@ class CosineExprSpec extends AnyFunSuite with SparkTestBase {
     val ct = spark.sql(
       s"SELECT graft_clean_text('  “hi”…  x ') AS t").collect()(0)
     assert(ct.getString(0) == "\"hi\"... x")
+    // mojibake repair scalar ("cafÃ©" -> "café" spelled via escapes)
+    val mj = spark.sql(
+      "SELECT graft_fix_mojibake('cafÃ©') AS t").collect()(0)
+    assert(mj.getString(0) == "café")
   }
 }
