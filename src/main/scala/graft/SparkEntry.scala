@@ -1239,6 +1239,19 @@ object SparkEntry {
       // weighted-mean formulation -> full oracle.
       LangModel.unigramScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    "ccnet_band" -> ((s, dir) => {
+      // CCNet head/middle/tail perplexity banding per language
+      // (LangModel.perplexityBands scaladoc) over the self-trained unigram
+      // scores — the standard "train on the middle band" curation split.
+      val docs = t(s, dir, "documents")
+      val scored = LangModel.unigramScore(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      LangModel.perplexityBands(scored, "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("perplexity"),
+          col("band").cast("long").as("band"), col("band_label"),
+          col("keep_middle"))
+    }),
+
     "lm_bigram_score" -> ((s, dir) =>
       // Bigram conditional LM (LangModel.bigramScore): the repetition-
       // sensitive twin of lm_unigram_score. Same weighted-mean trick ->
@@ -3103,6 +3116,28 @@ object SparkEntry {
          |   tfq.tf * ln((cfq.cf + 0.5) / (tot.t + 0.5 * tot.v)) AS wlp
          |  FROM tfq JOIN cfq USING (term) CROSS JOIN tot) s
          |GROUP BY doc_id""".stripMargin,
+
+    // Same unigram-perplexity CTEs, then CCNet's per-language ntile(3) on
+    // the ROUNDED perplexity with the id tie-break (rank-determinism rule).
+    "ccnet_band" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |cfq AS (SELECT term, sum(tf) AS cf FROM tfq GROUP BY term),
+         |tot AS (SELECT sum(cf) AS t, count(*) AS v FROM cfq),
+         |scored AS (
+         | SELECT doc_id, round(exp(-(sum(wlp) / sum(tf))), 6) AS perplexity
+         | FROM (SELECT tfq.doc_id, tfq.tf,
+         |    tfq.tf * ln((cfq.cf + 0.5) / (tot.t + 0.5 * tot.v)) AS wlp
+         |   FROM tfq JOIN cfq USING (term) CROSS JOIN tot) s
+         | GROUP BY doc_id),
+         |b AS (
+         | SELECT s.doc_id, d.lang, s.perplexity,
+         |  ntile(3) OVER (PARTITION BY d.lang ORDER BY s.perplexity, s.doc_id) AS band
+         | FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+         |SELECT doc_id, lang, perplexity, CAST(band AS BIGINT) AS band,
+         | CASE band WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band_label,
+         | band = 2 AS keep_middle
+         |FROM b""".stripMargin,
 
     "lm_bigram_score" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -111,6 +111,35 @@ object LangModel {
         round(exp(-col("__avg")), 6).as("perplexity"))
   }
 
+  /** CCNet's final step (Wenzek et al. 2020 §4.3): bucket documents into
+    * per-language perplexity bands — head (most fluent third), middle,
+    * tail — because BOTH extremes are suspect at web scale (head skews to
+    * repetitive template prose, tail to gibberish; CCNet trains on middle).
+    * Emits every doc with its band so downstream chooses the policy;
+    * `keep_middle` pre-computes the CCNet default.
+    *
+    * Banding is exact `ntile(n)` over (rounded perplexity, id) within each
+    * language — deterministic and oracle-replayable. At true web scale the
+    * per-language sort becomes the bottleneck; the scale path is sampled
+    * threshold estimation (CCNet itself uses thresholds from a sample)
+    * joined as literals — same output contract, approximate cutpoints.
+    */
+  def perplexityBands(scored: DataFrame, idCol: String, langCol: String,
+                      pplCol: String = "perplexity", nBands: Int = 3): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2, got $nBands")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col(pplCol), col(idCol))
+    val banded = scored.withColumn("band", ntile(nBands).over(w))
+    val label =
+      if (nBands == 3)
+        when(col("band") === 1, lit("head"))
+          .when(col("band") === 2, lit("middle"))
+          .otherwise(lit("tail"))
+      else concat(lit("b"), col("band"))
+    banded.withColumn("band_label", label)
+      .withColumn("keep_middle", col("band") === ((nBands + 1) / 2))
+  }
+
   private def scoreTf(tf: DataFrame, cf: DataFrame, idCol: String,
                       addK: Double, seenOnly: Boolean): DataFrame = {
     val tot = cf.agg(sum(col("__cf")).as("__t"), count(lit(1)).as("__v"))

@@ -100,4 +100,28 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     assert("Generate explode".r.findAllIn(plan).size == 1,
       s"corpus exploded more than once:\n${plan.take(1200)}")
   }
+
+  test("perplexityBands: per-language terciles, deterministic ties, labels") {
+    // Language x: ppl 1..6 -> bands (1,1),(2,2),(3,3) by pairs.
+    // Language y: 2 docs, ntile(3) gives bands 1 and 2 (no tail).
+    val scored = Seq(
+      (1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0),
+      (4L, "x", 4.0), (5L, "x", 5.0), (6L, "x", 6.0),
+      (7L, "y", 9.0), (8L, "y", 1.0)
+    ).toDF("doc_id", "lang", "perplexity")
+    val got = LangModel.perplexityBands(scored, "doc_id", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("band"), r.getAs[String]("band_label"),
+          r.getAs[Boolean]("keep_middle")))).toMap
+    assert(got(1L) == ((1, "head", false)) && got(2L) == ((1, "head", false)))
+    assert(got(3L) == ((2, "middle", true)) && got(4L) == ((2, "middle", true)))
+    assert(got(5L) == ((3, "tail", false)) && got(6L) == ((3, "tail", false)))
+    assert(got(8L) == ((1, "head", false)) && got(7L) == ((2, "middle", true)))
+    // Equal perplexity: the id tie-break fixes band assignment.
+    val ties = Seq((10L, "z", 5.0), (11L, "z", 5.0), (12L, "z", 5.0))
+      .toDF("doc_id", "lang", "perplexity")
+    val t = LangModel.perplexityBands(ties, "doc_id", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("band")).toMap
+    assert(t == Map(10L -> 1, 11L -> 2, 12L -> 3))
+  }
 }
