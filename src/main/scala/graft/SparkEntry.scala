@@ -1222,6 +1222,20 @@ object SparkEntry {
             .otherwise(concat(col("text"), lit(".")))),
         "text", "doc_id")),
 
+    "boilerplate_prefix" -> ((s, dir) => {
+      // Template detection by shared document head (sharedPrefixFlags
+      // scaladoc): half the docs gain a per-source subscription header, so
+      // each source forms one large prefix group; unplanted word-salad
+      // prefixes stay unique.
+      val docs = t(s, dir, "documents")
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 4 < 2,
+          concat(lit("Subscribe to "), col("source"), lit(" updates! "), col("text")))
+          .otherwise(col("text")))
+      CurationRules.sharedPrefixFlags(planted, "text", "doc_id", "source",
+        prefixLen = 30, minShared = 3)
+    }),
+
     "blocklist_filter" -> ((s, dir) => {
       // C4 §2.2 bad-word document gate via the broadcast-join scale path
       // (the narrow literal-array path is pinned equal by CurationSpec).
@@ -3085,6 +3099,19 @@ object SparkEntry {
         | CASE WHEN dropped THEN 0 ELSE len(kept) END AS n_lines_kept,
         | dropped AS doc_dropped
         |FROM d""".stripMargin,
+
+    // Mirrors CurationRules.sharedPrefixFlags over the planted headers:
+    // same 30-char prefix key, same per-(source, prefix) count window.
+    "boilerplate_prefix" ->
+      """WITH p AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 4 < 2
+        |   THEN 'Subscribe to ' || source || ' updates! ' || text
+        |   ELSE text END AS text
+        | FROM documents)
+        |SELECT doc_id, source, substring(text, 1, 30) AS prefix,
+        | count(*) OVER (PARTITION BY source, substring(text, 1, 30)) AS prefix_count,
+        | count(*) OVER (PARTITION BY source, substring(text, 1, 30)) >= 3 AS is_boilerplate
+        |FROM p""".stripMargin,
 
     // Mirrors CurationRules.blocklistFlagsJoin: lowercase [a-z0-9]+ tokens,
     // occurrence count + sorted-distinct comma-joined evidence, blocked

@@ -135,6 +135,32 @@ object CurationRules {
       (size(hits) > maxFlagged).as("blocked"))
   }
 
+  /** Template-boilerplate detector: documents from the same source that
+    * share their first `prefixLen` characters are near-certainly stamped
+    * from one template (cookie banners, subscription headers, listing
+    * pages). Complements [[Paragraphs]]' cross-doc paragraph dedup at the
+    * document head where templates live: the prefix is a cheap fixed-width
+    * key, no shingling.
+    *
+    * One shuffle: a count window over (source, prefix). Emits the evidence
+    * (`prefix_count` = docs in this source sharing the prefix) plus the
+    * `is_boilerplate` flag at `minShared`. Short docs (< prefixLen chars)
+    * participate with their full text as the prefix — two identical tiny
+    * docs ARE template suspects.
+    */
+  def sharedPrefixFlags(df: DataFrame, textCol: String, idCol: String,
+                        sourceCol: String, prefixLen: Int = 40,
+                        minShared: Int = 3): DataFrame = {
+    require(prefixLen >= 1 && minShared >= 2,
+      s"need prefixLen >= 1 and minShared >= 2, got ($prefixLen, $minShared)")
+    val prefix = substring(col(textCol), 1, prefixLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), prefix)
+    df.select(col(idCol), col(sourceCol), prefix.as("prefix"),
+        count(lit(1)).over(w).as("prefix_count"))
+      .withColumn("is_boilerplate", col("prefix_count") >= minShared)
+  }
+
   /** Scale path of [[blocklistFlags]] for blocklists too large to inline in
     * an expression (phrase lists, multi-language unions): explode tokens,
     * broadcast-hash-join the term table, aggregate back per document, then

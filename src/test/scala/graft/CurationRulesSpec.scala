@@ -84,6 +84,25 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((2L, "dup,slow", true)))
   }
 
+  test("sharedPrefixFlags: groups within source only, threshold, short docs") {
+    val docs = Seq(
+      (1L, "s1", "TEMPLATE HEAD alpha body"),
+      (2L, "s1", "TEMPLATE HEAD beta body"),
+      (3L, "s1", "TEMPLATE HEAD gamma body"),
+      (4L, "s2", "TEMPLATE HEAD other source"),  // same prefix, other source
+      (5L, "s1", "unique document text here"),
+      (6L, "s1", "tiny"), (7L, "s1", "tiny")     // short docs: full text key
+    ).toDF("doc_id", "source", "text")
+    val got = CurationRules.sharedPrefixFlags(docs, "text", "doc_id", "source",
+      prefixLen = 13, minShared = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("prefix_count"), r.getAs[Boolean]("is_boilerplate")))).toMap
+    assert(got(1L) == ((3L, true)) && got(2L) == ((3L, true)) && got(3L) == ((3L, true)))
+    assert(got(4L) == ((1L, false)))  // source partitioning isolates s2
+    assert(got(5L) == ((1L, false)))
+    assert(got(6L) == ((2L, false)) && got(7L) == ((2L, false)))  // < minShared
+  }
+
   test("blocklist: join scale path matches the narrow path row for row") {
     val docs = Seq(
       (1L, "slow slow dup"), (2L, "nothing here"), (3L, "Deadlock! dup."),
