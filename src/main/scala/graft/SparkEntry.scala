@@ -1058,6 +1058,16 @@ object SparkEntry {
       Profile.numericBy(t(s, dir, "documents"), "lang",
         Seq("doc_id", "n_chars"), exactDistinct = true)),
 
+    "token_drift" -> ((s, dir) => {
+      // Distribution drift between the en and de sub-corpora (Drift
+      // scaladoc): JSD over token frequencies plus the vocab/total audit —
+      // the frequency-mix complement of lang_similarity's set overlap.
+      val docs = t(s, dir, "documents")
+      Drift.tokenDistributionDrift(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"), "text")
+    }),
+
     "lang_similarity" -> ((s, dir) => {
       // Pairwise corpus-similarity matrix from per-group KMV sketches
       // (plans.KmvSketchAgg scaladoc): each language reduces to 64 hashes
@@ -2839,6 +2849,36 @@ object SparkEntry {
 
     // Exact mirror of the KMV construction: min-64 of distinct md5(token)
     // per language, union re-truncated to 64, membership in both sketches.
+    // Mirrors Drift.tokenDistributionDrift en-vs-de: same full-outer vocab
+    // join, same 12-dp-rounded DECIMAL(28,12) contribution sum (order-
+    // independent), same ln-based JSD with the ln(2) bits conversion.
+    "token_drift" ->
+      s"""WITH pt AS (SELECT unnest($toksSql) AS t FROM documents WHERE lang = 'en'),
+         |qt AS (SELECT unnest($toksSql) AS t FROM documents WHERE lang = 'de'),
+         |pc AS (SELECT t, count(*) AS cp FROM pt GROUP BY t),
+         |qc AS (SELECT t, count(*) AS cq FROM qt GROUP BY t),
+         |j AS (SELECT coalesce(pc.t, qc.t) AS t,
+         |  coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+         | FROM pc FULL OUTER JOIN qc ON pc.t = qc.t),
+         |tot AS (SELECT sum(cp) AS tp, sum(cq) AS tq FROM j),
+         |c AS (SELECT cp, cq,
+         |  CASE WHEN tp > 0 THEN CAST(cp AS DOUBLE) / tp ELSE 0.0 END AS pi,
+         |  CASE WHEN tq > 0 THEN CAST(cq AS DOUBLE) / tq ELSE 0.0 END AS qi
+         | FROM j CROSS JOIN tot),
+         |k AS (SELECT cp, cq, CAST(round(
+         |   0.5 * (CASE WHEN pi > 0 THEN pi * ln(pi / ((pi + qi) / 2)) ELSE 0.0 END)
+         | + 0.5 * (CASE WHEN qi > 0 THEN qi * ln(qi / ((pi + qi) / 2)) ELSE 0.0 END),
+         |  12) AS DECIMAL(28,12)) AS contrib FROM c)
+         |SELECT
+         | CAST(round(CAST(sum(contrib) AS DOUBLE), 6) + 0.0 AS DOUBLE) AS jsd_nats,
+         | CAST(round(CAST(sum(contrib) AS DOUBLE) / ln(2), 6) + 0.0 AS DOUBLE) AS jsd_bits,
+         | CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_p,
+         | CAST(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_q,
+         | CAST(sum(CASE WHEN cp > 0 AND cq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+         | CAST(sum(cp) AS BIGINT) AS total_p,
+         | CAST(sum(cq) AS BIGINT) AS total_q
+         |FROM k""".stripMargin,
+
     "lang_similarity" ->
       s"""WITH tk AS (SELECT lang, unnest($toksSql) AS t FROM documents),
          |s AS (SELECT lang, (list_sort(list(DISTINCT md5(t))))[1:64] AS sk

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitoring: Jensen-Shannon divergence between the token
+  * distributions of two corpora (crawl snapshots, sources, or languages).
+  * The operational question a 100 TB ingest pipeline asks every run —
+  * "does this week's crawl still look like last week's?" — answered with
+  * the one f-divergence that is always finite, symmetric, and bounded
+  * (<= ln 2 nats / 1 bit), so thresholds survive vocabulary churn.
+  *
+  * [[graft.plans.KmvSketchAgg]]'s language-similarity matrix answers the
+  * SET question (shared vocabulary); this answers the DISTRIBUTION question
+  * (frequency mix) — a corpus can keep its vocabulary and still drift hard.
+  *
+  * Shape: two token-count aggregates (map-side combined), a full-outer join
+  * on the vocabulary (vocab-sized, tiny next to the corpora), 1-row totals
+  * broadcast, one final 1-row aggregate. No collect, no UDF. Per-token
+  * contributions are rounded to 12 dp and summed as DECIMAL(28,12) so the
+  * result is independent of partition/summation order — the oracle-parity
+  * decimal-sum rule.
+  */
+object Drift {
+
+  private def tokenCounts(df: DataFrame, textCol: String, cnt: String): DataFrame =
+    df.select(explode(TextAnalysis.toks(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as(cnt))
+
+  /** 1-row drift report between corpus `p` and corpus `q`:
+    * `(jsd_nats, jsd_bits, vocab_p, vocab_q, vocab_shared, total_p,
+    * total_q)`. Empty corpora yield 0 totals and a 0.0 divergence rather
+    * than an error (a missing snapshot should page via the totals, not
+    * crash the report).
+    */
+  def tokenDistributionDrift(p: DataFrame, q: DataFrame,
+                             textCol: String = "text"): DataFrame = {
+    val pc = tokenCounts(p, textCol, "__cp")
+    val qc = tokenCounts(q, textCol, "__cq")
+    val j = pc.join(qc, Seq("__t"), "full_outer")
+      .select(col("__t"),
+        coalesce(col("__cp"), lit(0L)).as("__cp"),
+        coalesce(col("__cq"), lit(0L)).as("__cq"))
+    val tot = j.agg(sum(col("__cp")).as("__tp"), sum(col("__cq")).as("__tq"))
+    val withP = j.crossJoin(broadcast(tot))
+    // 0/0 is NaN in double math and would poison the mixture term; an
+    // empty corpus contributes probability 0 instead.
+    val pi = when(col("__tp") > 0, col("__cp").cast("double") / col("__tp"))
+      .otherwise(lit(0.0))
+    val qi = when(col("__tq") > 0, col("__cq").cast("double") / col("__tq"))
+      .otherwise(lit(0.0))
+    val m = (pi + qi) / lit(2)
+    def half(x: Column): Column =
+      lit(0.5) * when(x > 0, x * log(x / m)).otherwise(lit(0.0))
+    val contrib = round(half(pi) + half(qi), 12).cast("decimal(28,12)")
+    withP.select(col("__cp"), col("__cq"), contrib.as("__contrib"))
+      .agg(
+        (coalesce(round(sum(col("__contrib")).cast("double"), 6), lit(0.0))
+          + lit(0.0)).as("jsd_nats"),
+        (coalesce(round(sum(col("__contrib")).cast("double") / log(lit(2.0)), 6),
+          lit(0.0)) + lit(0.0)).as("jsd_bits"),
+        sum(when(col("__cp") > 0, 1).otherwise(0)).cast("long").as("vocab_p"),
+        sum(when(col("__cq") > 0, 1).otherwise(0)).cast("long").as("vocab_q"),
+        sum(when(col("__cp") > 0 && col("__cq") > 0, 1).otherwise(0))
+          .cast("long").as("vocab_shared"),
+        coalesce(sum(col("__cp")), lit(0L)).cast("long").as("total_p"),
+        coalesce(sum(col("__cq")), lit(0L)).cast("long").as("total_q"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Drift
+
+/** Token-distribution JSD: hand-computed divergence, the 0 and ln2 bounds,
+  * symmetry, and empty-corpus degradation.
+  */
+class DriftSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def drift(p: Seq[String], q: Seq[String]) =
+    Drift.tokenDistributionDrift(
+      p.map(Tuple1(_)).toDF("text"), q.map(Tuple1(_)).toDF("text"))
+      .collect()(0)
+
+  test("hand-computed JSD on a two-token mix") {
+    // p: a=3/4, b=1/4; q: a=1/4, b=3/4 -> m: a=b=1/2.
+    // jsd = 0.5*(0.75 ln 1.5 + 0.25 ln 0.5) + same by symmetry
+    //     = 0.75 ln 1.5 + 0.25 ln 0.5
+    val row = drift(Seq("a a a b"), Seq("a b b b"))
+    val expect = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert(math.abs(row.getAs[Double]("jsd_nats") - r6(expect)) < 2e-6)
+    assert(row.getAs[Long]("vocab_p") == 2 && row.getAs[Long]("vocab_q") == 2)
+    assert(row.getAs[Long]("vocab_shared") == 2)
+    assert(row.getAs[Long]("total_p") == 4 && row.getAs[Long]("total_q") == 4)
+  }
+
+  test("identical distributions score 0; disjoint vocabularies score ln 2") {
+    val same = drift(Seq("x y z x"), Seq("x x y z"))
+    assert(same.getAs[Double]("jsd_nats") == 0.0)
+    val disjoint = drift(Seq("a b c"), Seq("d e f"))
+    assert(math.abs(disjoint.getAs[Double]("jsd_nats") - r6(math.log(2))) < 2e-6)
+    assert(math.abs(disjoint.getAs[Double]("jsd_bits") - 1.0) < 2e-6)
+    assert(disjoint.getAs[Long]("vocab_shared") == 0)
+  }
+
+  test("JSD is symmetric") {
+    val ab = drift(Seq("a a b c"), Seq("b c c d"))
+    val ba = drift(Seq("b c c d"), Seq("a a b c"))
+    assert(ab.getAs[Double]("jsd_nats") == ba.getAs[Double]("jsd_nats"))
+  }
+
+  test("an empty corpus degrades to zero totals, not NaN") {
+    val row = drift(Seq("a b"), Seq.empty)
+    assert(!row.getAs[Double]("jsd_nats").isNaN)
+    assert(row.getAs[Long]("total_q") == 0)
+    assert(row.getAs[Long]("vocab_q") == 0)
+    val both = drift(Seq.empty, Seq.empty)
+    assert(both.getAs[Double]("jsd_nats") == 0.0)
+    assert(both.getAs[Long]("total_p") == 0)
+  }
+}
