@@ -238,4 +238,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(windowAt >= 0 && aggAt > windowAt,
       "rank window must consume the term-count aggregate, not raw rows")
   }
+
+  test("mojibake_repair / chat_template: narrow per-row transforms, no shuffle") {
+    for (q <- Seq("mojibake_repair", "chat_template")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(600)}")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q must stay codegen'd")
+    }
+  }
+
+  test("blocklist_filter / oov_rate: the term/vocab side broadcasts") {
+    for (q <- Seq("blocklist_filter", "oov_rate")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q small side must broadcast:\n${p.take(800)}")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+  }
+
+  test("scd2_history / token_drift: id-keyed outer joins, never a cartesian") {
+    for (q <- Seq("scd2_history", "token_drift")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+  }
+
+  test("boilerplate_prefix: one (source, prefix) shuffle feeds the count window") {
+    val p = plan("boilerplate_prefix").split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly one shuffle, saw $shuffles\n${p.take(700)}")
+  }
 }
