@@ -1058,6 +1058,13 @@ object SparkEntry {
       Profile.numericBy(t(s, dir, "documents"), "lang",
         Seq("doc_id", "n_chars"), exactDistinct = true)),
 
+    "phrase_search" -> ((s, dir) =>
+      // Quoted-query adjacency search (Bm25.phraseMatches scaladoc) for
+      // "hash join": ~27 fixture docs contain the bigram, one twice —
+      // match count and 1-based first position both exercised.
+      Bm25.phraseMatches(t(s, dir, "documents"), "text", "doc_id",
+        Seq("hash", "join"))),
+
     "token_drift" -> ((s, dir) => {
       // Distribution drift between the en and de sub-corpora (Drift
       // scaladoc): JSD over token frequencies plus the vocab/total audit —
@@ -2849,6 +2856,16 @@ object SparkEntry {
 
     // Exact mirror of the KMV construction: min-64 of distinct md5(token)
     // per language, union re-truncated to 64, membership in both sketches.
+    // Mirrors Bm25.phraseMatches: same 1-based candidate starts, same
+    // adjacency compare over the shared tokenizer.
+    "phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, list_filter(range(1, len(toks)), i ->
+         |  toks[i] = 'hash' AND toks[i+1] = 'join') AS hits FROM t)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+         | CAST(hits[1] AS BIGINT) AS first_pos
+         |FROM h WHERE len(hits) > 0""".stripMargin,
+
     // Mirrors Drift.tokenDistributionDrift en-vs-de: same full-outer vocab
     // join, same 12-dp-rounded DECIMAL(28,12) contribution sum (order-
     // independent), same ln-based JSD with the ln(2) bits conversion.

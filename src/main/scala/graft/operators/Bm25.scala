@@ -93,4 +93,36 @@ object Bm25 {
     score(df, textCol, idCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** Exact positional phrase search — the quoted-query complement of the
+    * bag-of-words ranking above (BM25 scores `hash AND join` the same
+    * whether adjacent or paragraphs apart; a quoted "hash join" must match
+    * adjacency). Token positions are 1-based over the shared
+    * [[TextAnalysis.toks]] contract.
+    *
+    * Pure narrow HOF per row — a window-compare over candidate start
+    * indices, no positional inverted index to maintain. O(n_tokens *
+    * phrase_len) per document, no shuffle, embarrassingly parallel: at
+    * 100 TB this is a map-only scan that AQE never touches. Emits matching
+    * docs only: `(idCol, n_matches, first_pos)`.
+    */
+  def phraseMatches(df: DataFrame, textCol: String, idCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val terms = phrase.map(_.toLowerCase)
+    val tk = TextAnalysis.toks(col(textCol))
+    val n = size(tk)
+    val len = terms.length
+    val starts = when(n >= len, sequence(lit(1), n - lit(len) + 1))
+      .otherwise(array().cast("array<int>"))
+    val hits = filter(starts, i => terms.zipWithIndex.map { case (w, j) =>
+      element_at(tk, (i + lit(j)).cast("int")) === lit(w)
+    }.reduce(_ && _))
+    df.select(col(idCol),
+        size(hits).cast("long").as("n_matches"),
+        // try_: ANSI element_at throws on the zero-hit rows this very
+        // frame filters away a line later (evaluation order isn't ours).
+        try_element_at(hits, lit(1)).cast("long").as("first_pos"))
+      .filter(col("n_matches") > 0)
+  }
 }

@@ -100,4 +100,28 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       Bm25.score(docs, "text", "doc_id", Seq.empty)
     }
   }
+
+  test("phraseMatches: adjacency only, overlaps, 1-based positions, edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the hash join wins"),          // match at 2
+      (2L, "hash beats join always"),      // terms present, not adjacent
+      (3L, "hash join and hash join too"), // two matches, first at 1
+      (4L, "a b hash Join"),               // case-folds, match at 3
+      (5L, "hash"),                        // shorter than the phrase
+      (6L, ""), (7L, "x x x hash hash join") // overlap run: match at 5
+    ).toDF("doc_id", "text")
+    val got = Bm25.phraseMatches(docs, "text", "doc_id", Seq("hash", "JOIN"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L)), 3L -> ((2L, 1L)), 4L -> ((1L, 3L)), 7L -> ((1L, 5L))))
+    // Single-token phrase degenerates to a token find.
+    val one = Bm25.phraseMatches(docs, "text", "doc_id", Seq("join"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 7L -> 1L))
+    intercept[IllegalArgumentException] {
+      Bm25.phraseMatches(docs, "text", "doc_id", Seq.empty)
+    }
+  }
 }
