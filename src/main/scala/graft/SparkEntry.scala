@@ -1075,6 +1075,16 @@ object SparkEntry {
         docs.filter(col("lang") === "de"), "text")
     }),
 
+    "length_drift" -> ((s, dir) => {
+      // KS distance between en and de document-length (token count)
+      // distributions — the numeric-feature drift probe beside
+      // token_drift's JSD, with the max-gap location as evidence.
+      val docs = t(s, dir, "documents")
+      def lens(l: String) = docs.filter(col("lang") === l)
+        .select(size(TextAnalysis.toks(col("text"))).as("len"))
+      Drift.ksDistance(lens("en"), lens("de"), "len")
+    }),
+
     "lang_similarity" -> ((s, dir) => {
       // Pairwise corpus-similarity matrix from per-group KMV sketches
       // (plans.KmvSketchAgg scaladoc): each language reduces to 64 hashes
@@ -2865,6 +2875,31 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
          | CAST(hits[1] AS BIGINT) AS first_pos
          |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    // Mirrors Drift.ksDistance on token counts: same ECDF running sums over
+    // the joined distinct-value table, same 6-dp round + min-value
+    // tie-break selecting the argmax row.
+    "length_drift" ->
+      s"""WITH pv AS (SELECT len($toksSql) AS v FROM documents WHERE lang = 'en'),
+         |qv AS (SELECT len($toksSql) AS v FROM documents WHERE lang = 'de'),
+         |pc AS (SELECT v, count(*) AS cp FROM pv GROUP BY v),
+         |qc AS (SELECT v, count(*) AS cq FROM qv GROUP BY v),
+         |j AS (SELECT coalesce(pc.v, qc.v) AS v,
+         |  coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+         | FROM pc FULL OUTER JOIN qc ON pc.v = qc.v),
+         |tot AS (SELECT sum(cp) AS tp, sum(cq) AS tq FROM j),
+         |c AS (SELECT v, tp, tq,
+         |  CASE WHEN tp > 0 THEN CAST(sum(cp) OVER
+         |    (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tp
+         |   ELSE 0.0 END AS fp,
+         |  CASE WHEN tq > 0 THEN CAST(sum(cq) OVER
+         |    (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / tq
+         |   ELSE 0.0 END AS fq
+         | FROM j CROSS JOIN tot),
+         |d AS (SELECT v, round(abs(fp - fq), 6) AS ks, tp, tq FROM c)
+         |SELECT CAST(ks + 0.0 AS DOUBLE) AS ks, CAST(v AS BIGINT) AS ks_at,
+         | CAST(tp AS BIGINT) AS n_p, CAST(tq AS BIGINT) AS n_q
+         |FROM d ORDER BY ks DESC, v LIMIT 1""".stripMargin,
 
     // Mirrors Drift.tokenDistributionDrift en-vs-de: same full-outer vocab
     // join, same 12-dp-rounded DECIMAL(28,12) contribution sum (order-

@@ -27,6 +27,45 @@ object Drift {
     df.select(explode(TextAnalysis.toks(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as(cnt))
 
+  /** Two-sample Kolmogorov-Smirnov distance between a numeric feature's
+    * distributions in two corpora — the companion to
+    * [[tokenDistributionDrift]] for NUMERIC health signals (document
+    * length, quality score, token count): JSD sees the token mix, KS sees
+    * a shifted length profile the mix can hide.
+    *
+    * Exact, not sampled: both corpora reduce to per-distinct-value count
+    * tables (bounded by the value domain, tiny for lengths/scores), the
+    * ECDFs come from one running-sum window over the joined table, and the
+    * statistic is the max |ECDF_p - ECDF_q| with the 6-dp round + min-value
+    * tie-break making the argmax row deterministic. Returns 1 row
+    * `(ks, ks_at, n_p, n_q)`; an empty corpus yields ECDF 0 for that side
+    * (ks then reads 1.0 against any non-empty side at its top value, and
+    * the zero total is the audit signal).
+    */
+  def ksDistance(p: DataFrame, q: DataFrame, valueCol: String): DataFrame = {
+    val pc = p.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__cp"))
+    val qc = q.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__cq"))
+    val j = pc.join(qc, Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__cp"), lit(0L)).as("__cp"),
+        coalesce(col("__cq"), lit(0L)).as("__cq"))
+    val tot = j.agg(sum(col("__cp")).as("__tp"), sum(col("__cq")).as("__tq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = j.crossJoin(broadcast(tot))
+      .withColumn("__fp", when(col("__tp") > 0,
+        sum(col("__cp")).over(w).cast("double") / col("__tp")).otherwise(lit(0.0)))
+      .withColumn("__fq", when(col("__tq") > 0,
+        sum(col("__cq")).over(w).cast("double") / col("__tq")).otherwise(lit(0.0)))
+      .withColumn("__d", round(abs(col("__fp") - col("__fq")), 6))
+    cum.orderBy(col("__d").desc, col("__v")).limit(1)
+      .select((col("__d") + lit(0.0)).as("ks"),
+        col("__v").cast("long").as("ks_at"),
+        col("__tp").cast("long").as("n_p"),
+        col("__tq").cast("long").as("n_q"))
+  }
+
   /** 1-row drift report between corpus `p` and corpus `q`:
     * `(jsd_nats, jsd_bits, vocab_p, vocab_q, vocab_shared, total_p,
     * total_q)`. Empty corpora yield 0 totals and a 0.0 divergence rather

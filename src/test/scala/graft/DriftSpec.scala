@@ -55,4 +55,38 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(both.getAs[Double]("jsd_nats") == 0.0)
     assert(both.getAs[Long]("total_p") == 0)
   }
+
+  private def ks(p: Seq[Long], q: Seq[Long]) =
+    Drift.ksDistance(
+      p.map(Tuple1(_)).toDF("len"), q.map(Tuple1(_)).toDF("len"), "len")
+      .collect()(0)
+
+  test("ksDistance: hand-computed max ECDF gap with its location") {
+    // p = {1,2,3,4}, q = {3,4,5,6}: ECDF gap peaks at v=2 (0.5 - 0.0).
+    val row = ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))
+    assert(row.getAs[Double]("ks") == 0.5)
+    assert(row.getAs[Long]("ks_at") == 2L)
+    assert(row.getAs[Long]("n_p") == 4 && row.getAs[Long]("n_q") == 4)
+  }
+
+  test("ksDistance: identical samples give 0; disjoint ranges give 1") {
+    assert(ks(Seq(5L, 7L, 9L), Seq(5L, 7L, 9L)).getAs[Double]("ks") == 0.0)
+    val far = ks(Seq(1L, 2L), Seq(10L, 20L))
+    assert(far.getAs[Double]("ks") == 1.0)
+    assert(far.getAs[Long]("ks_at") == 2L)  // gap saturates at p's max
+  }
+
+  test("ksDistance: tie on the max gap resolves to the smallest value") {
+    // p={1}, q={2}: gap 1.0 at v=1; both rows v=1 and nothing smaller.
+    // p={1,3}, q={2,4}: gaps 0.5 at v=1,2,3 -> argmax reported at v=1.
+    val row = ks(Seq(1L, 3L), Seq(2L, 4L))
+    assert(row.getAs[Double]("ks") == 0.5)
+    assert(row.getAs[Long]("ks_at") == 1L)
+  }
+
+  test("ksDistance: one empty side reads 1.0 with a zero total as the audit") {
+    val row = ks(Seq(3L, 4L), Seq.empty)
+    assert(row.getAs[Double]("ks") == 1.0)
+    assert(row.getAs[Long]("n_q") == 0)
+  }
 }
