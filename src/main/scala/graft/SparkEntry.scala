@@ -717,6 +717,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
 
+    "dedup_editdist" -> ((s, dir) =>
+      // Character-level near-dup verifier (EditDistance.pairs scaladoc):
+      // block on the 24-char normalized head, exact Levenshtein on the
+      // first 400 chars, keep pairs within 20% edit ratio — catches the
+      // small in-place edits the token-set family only bounds.
+      EditDistance.pairs(t(s, dir, "documents"), "doc_id", "text")),
+
     "corpus_overlap" -> ((s, dir) => {
       // Corpus-level contamination screen (Dedup.corpusOverlap scaladoc):
       // exact distinct-3-gram overlap between the even- and odd-id corpus
@@ -2313,6 +2320,21 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // Mirrors EditDistance.pairs: same prefix blocking, same capped
+    // lowercased window, DuckDB's levenshtein is the same classic
+    // unit-cost DP as Spark's, same 6-dp round (+0.0 fold) on the ratio.
+    "dedup_editdist" ->
+      """WITH b AS (SELECT doc_id, substr(lower(text), 1, 24) AS pfx,
+        |  substr(lower(text), 1, 400) AS t
+        | FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  levenshtein(a.t, c.t) AS d, greatest(len(a.t), len(c.t)) AS ln
+        | FROM b a JOIN b c ON a.pfx = c.pfx AND a.doc_id < c.doc_id),
+        |r AS (SELECT id_a, id_b, CAST(d AS BIGINT) AS dist,
+        |  round(CASE WHEN ln = 0 THEN 0.0
+        |   ELSE CAST(d AS DOUBLE) / ln END, 6) + 0.0 AS ratio FROM p)
+        |SELECT id_a, id_b, dist, ratio FROM r WHERE ratio <= 0.2""".stripMargin,
 
     // Same shingle formulation as dedup_ngram_jaccard, corpus-level sets.
     "corpus_overlap" ->

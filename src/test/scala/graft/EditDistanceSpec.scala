@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EditDistance
+
+class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], prefixLen: Int = 4,
+                  cap: Int = 400, maxRatio: Double = 0.2,
+                  maxBlockSize: Int = 10000) =
+    EditDistance.pairs(rows.toDF("doc_id", "text"), "doc_id", "text",
+      prefixLen, cap, maxRatio, maxBlockSize)
+      .orderBy("id_a", "id_b").collect()
+
+  test("hand-computed pair: one substitution on shared-prefix texts") {
+    // "the scan runs fast" vs "the scan runs last": dist 1, max len 18.
+    val out = run(Seq(1L -> "the scan runs fast", 2L -> "the scan runs last"))
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("dist") == 1L)
+    assert(r.getAs[Double]("ratio") == math.rint(1.0 / 18 * 1e6) / 1e6)
+  }
+
+  test("blocking: similar texts with different prefixes are never compared") {
+    val out = run(Seq(1L -> "aaa scan order merge", 2L -> "zzz scan order merge"))
+    assert(out.isEmpty)
+  }
+
+  test("ratio gate: a shared-prefix but distant pair is dropped") {
+    val out = run(Seq(
+      1L -> "sort window value key merge join",
+      2L -> "sort by completely different body text here"))
+    assert(out.isEmpty) // dist/len well past 0.2
+  }
+
+  test("cap: differences past the cap window are invisible") {
+    val head = "same head " * 5
+    val out = run(Seq(1L -> (head + "tail one"), 2L -> (head + "tail two")),
+      cap = head.length)
+    assert(out.length == 1 && out(0).getAs[Long]("dist") == 0L)
+    assert(out(0).getAs[Double]("ratio") == 0.0)
+  }
+
+  test("exact duplicates and empty texts pair at distance 0, ratio 0.0") {
+    val out = run(Seq(1L -> "", 2L -> "", 3L -> "sort sort", 4L -> "sort sort"))
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+    assert(out.forall(r => r.getAs[Long]("dist") == 0L &&
+      r.getAs[Double]("ratio") == 0.0))
+  }
+
+  test("lowercase normalization: case-only variants are exact dups") {
+    val out = run(Seq(1L -> "Sort Merge Join", 2L -> "sort merge join"))
+    assert(out.length == 1 && out(0).getAs[Long]("dist") == 0L)
+  }
+
+  test("null ids are dropped") {
+    val df = Seq((java.lang.Long.valueOf(1L), "sort merge"),
+      (null.asInstanceOf[java.lang.Long], "sort merge"))
+      .toDF("doc_id", "text")
+    assert(EditDistance.pairs(df, "doc_id", "text", 4, 400, 0.2, 100)
+      .collect().isEmpty)
+  }
+
+  test("mega-block guard fails loudly by default semantics") {
+    val rows = (1L to 4L).map(i => i -> "same prefix block row")
+    val ex = intercept[Exception] {
+      run(rows, maxBlockSize = 3)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m != null && m.contains("graft.editDistancePairs")))
+  }
+}

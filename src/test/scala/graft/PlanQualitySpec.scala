@@ -269,4 +269,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles == 1, s"expected exactly one shuffle, saw $shuffles\n${p.take(700)}")
   }
+
+  test("dedup_editdist: blocked equi-join with the mega-block guard below it") {
+    val p = plan("dedup_editdist").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "editdist planned a cartesian")
+    assert(p.contains("levenshtein"), "distance must be the codegen'd built-in")
+    // the raise_error guard must sit on the join INPUT (a Filter), not on
+    // the joined output — oversized blocks die before pairs multiply
+    val joinIdx = p.indexOf("Join")
+    val guardIdx = p.indexOf("raise_error")
+    assert(joinIdx >= 0 && guardIdx > joinIdx,
+      s"guard must be below the join (join@$joinIdx guard@$guardIdx)")
+  }
+
+  test("length_drift: ECDF window runs over the distinct-value aggregate") {
+    val p = plan("length_drift").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      "totals must broadcast (1-row BNLJ), not cartesian")
+    // the window's input is the joined per-value count table, i.e. an
+    // aggregate sits below the window — never the raw corpus
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) > winIdx,
+      s"window must run over the count aggregate\n${p.take(700)}")
+  }
 }
