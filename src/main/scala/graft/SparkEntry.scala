@@ -1012,6 +1012,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.Bpe.count(col("text")).as("bpe_tokens"))),
 
+    "tokenizer_fertility" -> ((s, dir) =>
+      // Per-language tokenizer capacity report (TextAnalysis.fertilityFrame
+      // scaladoc): exact-BPE tokens per word and chars per token from the
+      // group sums — the sequence-budget planning input for CorpusMix.
+      TextAnalysis.fertilityFrame(t(s, dir, "documents"), "lang", "text",
+        graft.functions.Bpe.count(col("text")))),
+
     "bpe_train_merges" -> ((s, dir) =>
       // TRAIN a 12-merge BPE table on the corpus (functions/Bpe.trainMerges:
       // most-frequent pair per round, ties to the lexicographically smallest
@@ -2721,6 +2728,45 @@ object SparkEntry {
          |counts AS (SELECT o.doc_id, sum(f.ntok) AS n FROM occ o JOIN final f USING (word) GROUP BY o.doc_id)
          |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens
          |FROM documents d LEFT JOIN counts c USING (doc_id)""".stripMargin
+    },
+
+    // Same pinned-merge-table BPE replay as bpe_merge_count, then the
+    // per-language sums: fertility = sum(bpe)/sum(words),
+    // chars_per_token = sum(len(text))/sum(bpe) — both 6-dp + 0.0-folded.
+    "tokenizer_fertility" -> {
+      val ml = graft.functions.Bpe.merges
+        .map { case (a, b) => s"'$a $b'" }.mkString(", ")
+      def ranks(tk: String) =
+        s"list_transform(range(1, len($tk)), i -> coalesce(list_position([$ml], $tk[i] || ' ' || $tk[i+1]), 0))"
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id, lang, len(text) AS chars,
+         |  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+         |words AS (SELECT DISTINCT word FROM occ),
+         |init AS (SELECT word, list_transform(range(1, len(word) + 1), i -> word[i]) AS tk FROM words),
+         |rec(word, tk) AS (
+         | SELECT word, tk FROM init
+         | UNION ALL
+         | SELECT word, list_concat(list_concat(tk[1:pos-1], [tk[pos] || tk[pos+1]]), tk[pos+2:]) AS tk
+         | FROM (
+         |  SELECT word, tk,
+         |   list_position(${ranks("tk")},
+         |    CASE WHEN len(list_filter(${ranks("tk")}, r -> r > 0)) > 0
+         |     THEN list_aggregate(list_filter(${ranks("tk")}, r -> r > 0), 'min') END) AS pos
+         |  FROM rec) WHERE pos IS NOT NULL AND pos > 0),
+         |final AS (SELECT word, len(tk) AS ntok FROM rec
+         | WHERE len(list_filter(${ranks("tk")}, r -> r > 0)) = 0),
+         |counts AS (SELECT o.doc_id, sum(f.ntok) AS n FROM occ o JOIN final f USING (word) GROUP BY o.doc_id),
+         |per AS (SELECT d.lang, d.chars, len(d.toks) AS words, coalesce(c.n, 0) AS bpe
+         | FROM docs d LEFT JOIN counts c USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(words) AS BIGINT) AS n_words,
+         | CAST(sum(bpe) AS BIGINT) AS n_tokens,
+         | round(CASE WHEN sum(words) = 0 THEN 0.0
+         |  ELSE CAST(sum(bpe) AS DOUBLE) / sum(words) END, 6) + 0.0 AS fertility,
+         | round(CASE WHEN sum(bpe) = 0 THEN 0.0
+         |  ELSE CAST(sum(chars) AS DOUBLE) / sum(bpe) END, 6) + 0.0 AS chars_per_token
+         |FROM per GROUP BY lang""".stripMargin
     },
 
     // Replays the TRAINING loop (not just application): 12 unrolled rounds,

@@ -222,6 +222,39 @@ object TextAnalysis {
       bpeTokens(t).as("bpe_tokens"))
   }
 
+  /** Tokenizer fertility report per group (language/source): how many
+    * subword tokens the tokenizer spends per word, and how many characters
+    * one token buys — THE capacity metrics a multilingual training pipeline
+    * watches, because a high-fertility language burns sequence budget
+    * ([[graft.operators.CorpusMix.packToBudget]]) faster than its byte
+    * share suggests.
+    *
+    * `tokens` is the per-document token count as a Column so the caller
+    * picks the tokenizer — [[graft.functions.Bpe.count]] for the exact
+    * pinned-merge-table BPE, [[bpeTokens]] for the zero-setup regex
+    * estimate. One groupBy over per-row arithmetic (map-side partial
+    * aggregate, group-cardinality shuffle only); ratios are computed from
+    * the group SUMS (corpus-level fertility, not a mean of per-doc ratios)
+    * and 6-dp rounded for oracle parity. Zero-word / zero-token groups
+    * read 0.0 rather than NULL so empty-corpus audits stay arithmetic.
+    */
+  def fertilityFrame(df: DataFrame, groupCol: String, textCol: String,
+                     tokens: Column): DataFrame = {
+    val per = df.select(col(groupCol),
+      length(col(textCol)).cast("long").as("__chars"),
+      size(toks(col(textCol))).cast("long").as("__words"),
+      tokens.cast("long").as("__tokens"))
+    def ratio(num: Column, den: Column): Column =
+      round(when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den), 6) + lit(0.0)
+    per.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__words")).as("n_words"),
+      sum(col("__tokens")).as("n_tokens"),
+      ratio(sum(col("__tokens")), sum(col("__words"))).as("fertility"),
+      ratio(sum(col("__chars")), sum(col("__tokens"))).as("chars_per_token"))
+  }
+
   // -------------------------------------------------------------------------
   // Document fingerprinting (rolling hash)
   // -------------------------------------------------------------------------

@@ -120,4 +120,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((3L, 0L, 0.0)))
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
+
+  test("fertilityFrame: group-sum ratios hand-checked, empty group zeroed") {
+    import org.apache.spark.sql.functions.col
+    // Pinned BPE: "scan" -> 1 token, "value" -> 1, "xq" -> 2 ("x","q"
+    // never merge). en: texts "scan value" (2w/2t/10c) and "xq" (1w/2t/2c)
+    // -> fertility 4/3, chars_per_token 12/4 = 3.0.
+    val docs = Seq(
+      (1L, "en", "scan value"), (2L, "en", "xq"), (3L, "zz", "")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis
+      .fertilityFrame(docs, "lang", "text",
+        graft.functions.Bpe.count(col("text")))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("en") == ((2L, 3L, 4L, math.rint(4.0 / 3 * 1e6) / 1e6, 3.0)))
+    assert(got("zz") == ((1L, 0L, 0L, 0.0, 0.0)))
+  }
 }
