@@ -692,6 +692,17 @@ object SparkEntry {
       Search.hardNegatives(qs, e, 5, qGroupCol = "qlabel")
     }),
 
+    "mmr_rerank" -> ((s, dir) => {
+      // Diversity-aware re-ranking (Search.mmrRerank scaladoc): top-10
+      // cosine candidates per query greedily cut to 5 by MMR at
+      // lambda=0.7. Deterministic greedy over 6-dp-rounded scores -> full
+      // oracle (unrolled selection steps in SQL).
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Search.mmrRerank(qs, e, n = 10, k = 5, lambda = 0.7)
+    }),
+
     "eval_hitrate_blocked" -> ((s, dir) => {
       // Scale path of eval_hitrate: LSH-banded candidate generation instead
       // of the |Q| x |N| cross join; approximate (no oracle) — recall is
@@ -2323,6 +2334,54 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
          | FROM withpos WHERE label <> qlabel)
          |WHERE rank <= 5""".stripMargin,
+
+    // Unrolled greedy MMR mirroring Search.mmrRerank: same 6-dp-rounded
+    // cosine relevance/pair sims, same double arithmetic (0.7 and 1.0-0.7
+    // CAST to DOUBLE so the literals are the same IEEE doubles as Scala's),
+    // same (value DESC, vec_id) argmax per step. Steps 2..5 are generated by
+    // the Scala loop below — each picks the best not-yet-selected candidate
+    // against the accumulated picked set.
+    "mmr_rerank" -> {
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val oml = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+      val steps = (2 to 5).map { i =>
+        s"""val$i AS (
+           | SELECT c.qid, c.vec_id, c.rel,
+           |  round($lam * c.rel - $oml * max(s.sim), 7) + 0.0 AS v
+           | FROM cand c JOIN sym s ON s.qid = c.qid AND s.a = c.vec_id
+           | WHERE s.b IN (SELECT p.vec_id FROM picked${i - 1} p WHERE p.qid = c.qid)
+           |  AND c.vec_id NOT IN (SELECT p.vec_id FROM picked${i - 1} p WHERE p.qid = c.qid)
+           | GROUP BY c.qid, c.vec_id, c.rel),
+           |sel$i AS (
+           | SELECT qid, vec_id, rel, v AS mmr, $i AS mmr_rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY v DESC, vec_id) AS rn
+           |  FROM val$i) WHERE rn = 1),
+           |picked$i AS (SELECT * FROM picked${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qs AS (
+         | SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         | SELECT qs.qid, e.vec_id, e.embedding,
+         |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS rel
+         | FROM qs, embeddings e WHERE e.vec_id <> qs.qid),
+         |cand AS (
+         | SELECT qid, vec_id, embedding, rel, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+         |  FROM scored WHERE rel IS NOT NULL) WHERE rn <= 10),
+         |pairs AS (
+         | SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b,
+         |  round(${cosOf("c1.embedding", "c2.embedding")}, 6) AS sim
+         | FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.vec_id < c2.vec_id),
+         |sym AS (
+         | SELECT qid, a, b, sim FROM pairs
+         | UNION ALL SELECT qid, b AS a, a AS b, sim FROM pairs),
+         |sel1 AS (
+         | SELECT qid, vec_id, rel, round($lam * rel, 7) + 0.0 AS mmr, 1 AS mmr_rank
+         | FROM cand WHERE rn = 1),
+         |picked1 AS (SELECT * FROM sel1),
+         |$steps
+         |SELECT qid, vec_id, mmr_rank, rel, mmr FROM picked5""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -101,6 +101,105 @@ object Search {
         round(col("score") - col("__best_pos"), 6).as("margin"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) of
+    * the top-`n` cosine candidates per query down to `k` diversified
+    * results — the standard answer to a RAG result page full of near-copies
+    * of one passage (the reference's `search(query, k)` returns raw top-k;
+    * this is the diversity-aware tail a pipeline bolts on top).
+    *
+    * Greedy: the first pick is the most relevant candidate; each later pick
+    * maximizes `lambda * rel - (1 - lambda) * maxSimToSelected`. Emits one
+    * row per selected candidate: `(qid, id, mmr_rank, rel, mmr)`; `rel` is
+    * 6-dp rounded, `mmr` 7-dp (−0.0 folded), ties broken by id. 7 dp for
+    * the MMR value is load-bearing, not cosmetic: over 6-dp inputs,
+    * `lambda*rel - (1-lambda)*maxSim` is an exact multiple of 1e-7, so
+    * rounding it at 6 dp sits ON the half-up boundary where engines'
+    * round implementations legitimately disagree; at 7 dp the value is
+    * strictly interior and every engine lands on the same double.
+    *
+    * Scale shape: relevance + top-n candidate cut is the same
+    * cross-join + `row_number` window as the eval gates (swap in
+    * [[Similarity.blockedTopKPerQuery]] for candidate generation at corpus
+    * scale); candidate-pair similarities are an n²-per-query self-join of
+    * the ALREADY-CUT candidate frame (n ≤ ~tens, never the corpus); the
+    * greedy selection runs inside one UDF per query over O(n²) pre-rounded
+    * sims — bounded state, no driver loop, no iteration over the corpus.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+                lambda: Double = 0.7,
+                qidCol: String = "qid", qvecCol: String = "qv",
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val scored = queries.crossJoin(corpus)
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__rel", round(
+        graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
+      .filter(col("__rel").isNotNull)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__rel").desc, col(idCol))
+    val cand = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(col(qidCol), col(idCol), col(vecCol), col("__rel"))
+    val c1 = cand.select(col(qidCol), col(idCol).as("__a"), col(vecCol).as("__va"))
+    val c2 = cand.select(col(qidCol).as("__qid2"), col(idCol).as("__b"),
+      col(vecCol).as("__vb"))
+    val pairs = c1.join(c2, c1(qidCol) === col("__qid2") && col("__a") < col("__b"))
+      .select(col(qidCol), struct(
+        col("__a").as("_1"), col("__b").as("_2"),
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__va"), col("__vb")), 6)
+          .as("_3")).as("__p"))
+      .groupBy(col(qidCol)).agg(collect_list(col("__p")).as("__pairs"))
+    val cands = cand
+      .select(col(qidCol), struct(col(idCol).as("_1"), col("__rel").as("_2")).as("__c"))
+      .groupBy(col(qidCol)).agg(collect_list(col("__c")).as("__cands"))
+    cands.join(pairs, Seq(qidCol), "left")
+      .select(col(qidCol), explode(mmrSelectUdf(
+        col("__cands"),
+        coalesce(col("__pairs"), typedLit(Seq.empty[(Long, Long, Double)])),
+        lit(k), lit(lambda))).as("__s"))
+      .select(col(qidCol), col("__s._1").as(idCol),
+        col("__s._2").as("mmr_rank"), col("__s._3").as("rel"),
+        col("__s._4").as("mmr"))
+  }
+
+  /** 7-dp HALF_UP round over the shortest decimal repr (BigDecimal.valueOf,
+    * the same path Spark's `round` takes); `+ 0.0` folds −0.0 so both
+    * engines hash the same zero.
+    */
+  private def round7(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** Greedy MMR over one query's candidate set: pre-rounded relevance plus
+    * pre-rounded pairwise sims in, `(id, rank, rel, mmr)` out. All float
+    * arithmetic (`lambda * rel - (1 - lambda) * maxSim`, then round) uses
+    * the same double ops as the SQL oracle, so scores hash-match.
+    */
+  private val mmrSelectUdf = udf(
+    (cands: Seq[org.apache.spark.sql.Row], pairs: Seq[org.apache.spark.sql.Row],
+     k: Int, lambda: Double) => {
+      val cs = cands.map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, rel) => (-rel, id) }
+      val sim = pairs.iterator.flatMap { p =>
+        val (a, b, s) = (p.getLong(0), p.getLong(1), p.getDouble(2))
+        Iterator((a, b) -> s, (b, a) -> s)
+      }.toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Double)]
+      val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+      while (selected.length < k && remaining.nonEmpty) {
+        val best = remaining.map { case (id, rel) =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => sim.getOrElse((id, s._1), 0.0)).max
+          (id, rel, round7(lambda * rel - (1.0 - lambda) * maxSim))
+        }.minBy { case (id, _, v) => (-v, id) }
+        selected += ((best._1, selected.length + 1, best._2, best._3))
+        remaining.remove(remaining.indexWhere(_._1 == best._1))
+      }
+      selected.toSeq
+    })
+
   /** Hit@k + hit-rate aggregate (`evaluation.py:83-109`): a query is a hit if
     * ANY of its top-k results matches the expected source. Returns a 1-row
     * frame `(hit_rate double, total_questions bigint, hits bigint)`;
