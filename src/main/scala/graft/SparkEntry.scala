@@ -936,6 +936,12 @@ object SparkEntry {
       SpanDedup.removeDuplicateSpans(docs.unionByName(planted), "text", "doc_id", w = 20)
     }),
 
+    "minhash_plan" -> ((s, dir) =>
+      // LSH tuning report (Dedup.lshPlan scaladoc): the S-curve of every
+      // band split of a 128-perm signature + the split recommended for a
+      // 0.8 Jaccard target. Closed-form probabilities -> full oracle.
+      Dedup.lshPlan(s, numPerms = 128, targetJaccard = 0.8)),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates over a corpus with planted
       // near-duplicates (original + token-appended copy). Full oracle (r7):
@@ -2382,6 +2388,29 @@ object SparkEntry {
          |$steps
          |SELECT qid, vec_id, mmr_rank, rel, mmr FROM picked5""".stripMargin
     },
+
+    // Same closed-form S-curve arithmetic as Dedup.lshPlan: double pow over
+    // the divisor frame, 6-dp rounds (+0.0 folds), argmin of the rounded
+    // |s50 - 0.8| with a fewer-bands tiebreak.
+    "minhash_plan" ->
+      """WITH d AS (
+        | SELECT CAST(i AS BIGINT) AS bands, CAST(128 // i AS BIGINT) AS rows_per_band
+        | FROM generate_series(1, 128) t(i) WHERE 128 % i = 0),
+        |s AS (
+        | SELECT bands, rows_per_band,
+        |  round(pow(CAST(1.0 AS DOUBLE) / bands, CAST(1.0 AS DOUBLE) / rows_per_band), 6) + 0.0 AS s50,
+        |  round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), rows_per_band), bands), 6) + 0.0 AS p_at_05,
+        |  round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - pow(CAST(0.7 AS DOUBLE), rows_per_band), bands), 6) + 0.0 AS p_at_07,
+        |  round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - pow(CAST(0.8 AS DOUBLE), rows_per_band), bands), 6) + 0.0 AS p_at_08,
+        |  round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - pow(CAST(0.9 AS DOUBLE), rows_per_band), bands), 6) + 0.0 AS p_at_09
+        | FROM d),
+        |r AS (
+        | SELECT *, row_number() OVER (
+        |   ORDER BY round(abs(s50 - CAST(0.8 AS DOUBLE)), 6), bands) AS rn
+        | FROM s)
+        |SELECT bands, rows_per_band, s50, p_at_05, p_at_07, p_at_08, p_at_09,
+        | rn = 1 AS recommended
+        |FROM r""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -864,4 +864,51 @@ object Dedup {
         .otherwise(round(col("__m").cast("double") / col("__k"), 6))
         .as("jaccard_est"))
   }
+
+  // -------------------------------------------------------------------------
+  // LSH parameter planning
+  // -------------------------------------------------------------------------
+
+  /** Tuning report for the MinHash-LSH banding scheme: for each way to split
+    * a `numPerms`-permutation signature into b bands of r rows (b·r =
+    * numPerms), the S-curve characteristics of the candidate filter
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4.2 — the
+    * same analysis datasketch's `MinHashLSH` runs to pick its params):
+    *
+    *  - `s50` = (1/b)^(1/r), the Jaccard similarity with 50% collision odds
+    *    (the threshold the band split effectively filters at);
+    *  - `p_at_05/07/08/09` = 1 − (1 − s^r)^b, the probability a pair at
+    *    Jaccard s shares at least one band bucket;
+    *  - `recommended` = the split whose s50 lands closest to
+    *    `targetJaccard` (ties to fewer bands = cheaper shuffle).
+    *
+    * Feed the winning (b, r) to [[minhashLshPairs]] as
+    * `numHashes = numPerms, bandSize = r`. Driver-side planning math — the
+    * frame is |divisors(numPerms)| rows regardless of corpus size.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numPerms: Int = 128,
+              targetJaccard: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(numPerms >= 1, s"numPerms must be >= 1, got $numPerms")
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      s"targetJaccard must be in (0,1), got $targetJaccard")
+    val splits = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b.toLong, (numPerms / b).toLong))
+    val d = splits.toDF("bands", "rows_per_band")
+    def pAt(s: Double): Column =
+      round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("rows_per_band")),
+        col("bands")), 6) + lit(0.0)
+    val curved = d.select(col("bands"), col("rows_per_band"),
+      (round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6)
+        + lit(0.0)).as("s50"),
+      pAt(0.5).as("p_at_05"), pAt(0.7).as("p_at_07"),
+      pAt(0.8).as("p_at_08"), pAt(0.9).as("p_at_09"))
+    // Tiny global window (one row per divisor) — argmin of |s50 - target|
+    // over the ROUNDED s50 so the pick is engine-stable.
+    val w = Window.orderBy(round(abs(col("s50") - lit(targetJaccard)), 6),
+      col("bands"))
+    curved
+      .withColumn("recommended", row_number().over(w) === 1)
+  }
 }

@@ -377,6 +377,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val zs = Dedup.corpusOverlapSketch(e, e, "text").collect()(0)
     assert(zs.getLong(1) == 0 && zs.getDouble(2) == 0.0)
   }
+
+  test("lshPlan: closed-form S-curve rows, sane endpoints, 0.8-target pick") {
+    val plan = Dedup.lshPlan(spark, numPerms = 128, targetJaccard = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(plan.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    // b=1 (one band of 128 rows): only exact dups collide -> s50 = 1.0,
+    // p(0.9) = 0.9^128, tiny
+    assert(plan(1L).getDouble(2) == 1.0)
+    assert(plan(1L).getDouble(6) < 0.001)
+    // b=128 (128 bands of 1 row): everything collides -> s50 = 1/128
+    assert(math.abs(plan(128L).getDouble(2) - 0.007813) < 1e-9)
+    assert(plan(128L).getDouble(3) > 0.999999)
+    // hand-checked interior point: b=16, r=8
+    val p16 = plan(16L)
+    assert(math.abs(p16.getDouble(2) -
+      BigDecimal(math.pow(1.0 / 16, 1.0 / 8)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // the 0.8-target recommendation is b=8/r=16 (s50 ~ 0.878, diff 0.078 —
+    // closer than b=16/r=8's 0.707/0.093) and is unique
+    assert(plan(8L).getBoolean(7))
+    assert(plan.values.count(_.getBoolean(7)) == 1)
+  }
 }
 
 
