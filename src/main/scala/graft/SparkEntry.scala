@@ -1096,6 +1096,14 @@ object SparkEntry {
       Bm25.phraseMatches(t(s, dir, "documents"), "text", "doc_id",
         Seq("hash", "join"))),
 
+    "prf_expansion" -> ((s, dir) =>
+      // RM1 pseudo-relevance feedback over the bm25_rank query
+      // (Bm25.prfExpansionTerms scaladoc): top-15 expansion terms from the
+      // BM25 top-10 feedback docs. Decimal-exact weight sums -> full
+      // oracle.
+      Bm25.prfExpansionTerms(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "join", "window"), topDocs = 10, topTerms = 15)),
+
     "token_drift" -> ((s, dir) => {
       // Distribution drift between the en and de sub-corpora (Drift
       // scaladoc): JSD over token frequencies plus the vocab/total audit —
@@ -3031,6 +3039,31 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
          | CAST(hits[1] AS BIGINT) AS first_pos
          |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    // Mirrors Bm25.prfExpansionTerms: the shared BM25 CTE chain feeds the
+    // top-10 cut, the feedback-mass total is an exact DECIMAL(18,6) sum,
+    // per-(doc, term) contributions round at 9 dp into DECIMAL(18,9), and
+    // the final 6-dp round happens IN DECIMAL before the double cast — the
+    // same arithmetic Spark runs, so no float-sum or boundary drift.
+    "prf_expansion" ->
+      s"""WITH $bm25Ctes,
+         |bscored AS ($bm25Select),
+         |top AS (SELECT doc_id, bm25 FROM bscored ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |tot AS (SELECT CAST(sum(CAST(bm25 AS DECIMAL(18,6))) AS DOUBLE) AS total FROM top),
+         |dtk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |expd AS (SELECT e.doc_id, top.bm25, len(e.tk) AS dl, unnest(e.tk) AS term
+         | FROM dtk e JOIN top ON top.doc_id = e.doc_id),
+         |tfc AS (SELECT doc_id, term, bm25, dl, count(*) AS tf
+         | FROM expd WHERE term NOT IN ('spark', 'join', 'window')
+         | GROUP BY 1, 2, 3, 4),
+         |contrib AS (SELECT term,
+         |  CAST(round(CAST(tf AS DOUBLE) / dl * (bm25 / tot.total), 9)
+         |   AS DECIMAL(18,9)) AS c
+         | FROM tfc CROSS JOIN tot)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df_top,
+         | CAST(round(sum(c), 6) AS DOUBLE) AS weight
+         |FROM contrib GROUP BY term
+         |ORDER BY weight DESC, term LIMIT 15""".stripMargin,
 
     // Mirrors Drift.ksDistance on token counts: same ECDF running sums over
     // the joined distinct-value table, same 6-dp round + min-value

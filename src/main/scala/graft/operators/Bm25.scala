@@ -94,6 +94,56 @@ object Bm25 {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Pseudo-relevance-feedback expansion terms (RM1 relevance model,
+    * Lavrenko & Croft 2001 — the scoring half of RM3, before interpolation
+    * back into the query): assume the BM25 top-`topDocs` documents are
+    * relevant, estimate `P(w|R) = sum_d P(w|d) * P(d|R)` with `P(w|d) =
+    * tf/|d|` and `P(d|R)` = the doc's share of the feedback set's BM25
+    * mass, and emit the `topTerms` highest-weight terms outside the
+    * original query — the terms a query expander appends.
+    *
+    * Scale shape: the feedback set is `topDocs` rows (broadcast join
+    * against the corpus), so only those documents are re-tokenized —
+    * explode runs over 10 docs, not the corpus; the BM25 mass is an exact
+    * decimal 1-row broadcast. Per-term weights sum 9-dp-rounded decimal
+    * contributions (order-independent), then round to 6 dp IN DECIMAL
+    * before the double cast — float-sum and round-boundary drift can't
+    * split the engines. Output: `(term, df_top, weight)`, top terms by
+    * (weight desc, term).
+    */
+  def prfExpansionTerms(df: DataFrame, textCol: String, idCol: String,
+                        queryTerms: Seq[String], topDocs: Int = 10,
+                        topTerms: Int = 15,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topDocs >= 1 && topTerms >= 1,
+      s"topDocs and topTerms must be >= 1, got $topDocs/$topTerms")
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val top = topK(df, textCol, idCol, q, topDocs, k1, b)
+      .select(col(idCol), col("bm25"))
+    // Exact decimal total of the (6-dp) feedback-set scores: a float sum
+    // over topDocs rows would be addition-order-dependent.
+    val total = top.agg(
+      sum(col("bm25").cast("decimal(18,6)")).cast("double").as("__total"))
+    val contrib = df
+      .select(col(idCol), TextAnalysis.toks(col(textCol)).as("__tk"))
+      .join(broadcast(top), idCol)
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("bm25"), col("__total"),
+        size(col("__tk")).as("__dl"), explode(col("__tk")).as("term"))
+      .filter(!col("term").isin(q: _*))
+      .groupBy(col(idCol), col("term"), col("bm25"), col("__total"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+      .select(col("term"),
+        round(col("__tf").cast("double") / col("__dl") *
+          (col("bm25") / col("__total")), 9)
+          .cast("decimal(18,9)").as("__c"))
+    contrib.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df_top"),
+        round(sum(col("__c")), 6).cast("double").as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(topTerms)
+  }
+
   /** Exact positional phrase search — the quoted-query complement of the
     * bag-of-words ranking above (BM25 scores `hash AND join` the same
     * whether adjacent or paragraphs apart; a quoted "hash join" must match

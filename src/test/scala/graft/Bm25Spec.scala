@@ -124,4 +124,31 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       Bm25.phraseMatches(docs, "text", "doc_id", Seq.empty)
     }
   }
+
+  test("prfExpansionTerms: RM1 weights hand-checked, query terms excluded") {
+    // Query "apple": matches docs 1 (tf 2, dl 3) and 3 (tf 1, dl 4).
+    // Feedback set (topDocs = 2) = {1, 3}; expansion terms come only from
+    // those docs, minus the query term itself.
+    val out = Bm25.prfExpansionTerms(docs, "text", "doc_id", Seq("apple"),
+      topDocs = 2, topTerms = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val terms = out.map(_._1).toSet
+    assert(terms == Set("banana", "cherry", "durian")) // no "apple", no doc-2/4 terms
+    val s1 = round6(bm25(2, 2, 3))
+    val s3 = round6(bm25(1, 2, 4))
+    val total = s1 + s3 // decimal-exact at 6 dp
+    def c(tf: Double, dl: Double, s: Double) =
+      BigDecimal(math.rint(tf / dl * (s / total) * 1e9) / 1e9)
+    val w = out.map(t => t._1 -> t._3).toMap
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(w("banana") == r6(c(1, 3, s1)))            // only in doc 1
+    assert(w("cherry") == r6(c(2, 4, s3)))            // tf 2 in doc 3
+    assert(w("durian") == r6(c(1, 4, s3)))
+    val df = out.map(t => t._1 -> t._2).toMap
+    assert(df == Map("banana" -> 1L, "cherry" -> 1L, "durian" -> 1L))
+    // ranking: weight desc with term tiebreak; topTerms cuts
+    assert(out.sortBy(t => (-t._3, t._1)).toSeq == out.toSeq)
+    assert(Bm25.prfExpansionTerms(docs, "text", "doc_id", Seq("apple"),
+      topDocs = 2, topTerms = 1).count() == 1)
+  }
 }
