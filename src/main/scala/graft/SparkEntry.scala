@@ -886,6 +886,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pagerank"))
     }),
 
+    "link_hits" -> ((s, dir) => {
+      // HITS hubs/authorities (PageRank.hits scaladoc) over the same
+      // planted link graph as link_pagerank — 4 max-normalized iterations,
+      // fully deterministic -> full oracle.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      PageRank.hits(edges, "src", "dst", iterations = 4)
+        .select(col("id").as("doc_id"), col("hub"), col("authority"))
+    }),
+
     "decontamination" -> ((s, dir) => {
       // Eval-set decontamination: docs sharing any 13-gram (GPT-3 appendix-C
       // n) with the synthetic "benchmark" (every 97th document) get flagged
@@ -2725,6 +2740,36 @@ object SparkEntry {
          |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |$iterCtes
          |SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r3""".stripMargin
+    },
+
+    // Four unrolled HITS iterations mirroring PageRank.hits: per-side sums
+    // over in/out-edges (in-degree <= 2 in the planted graph, so the float
+    // sums are order-safe), max normalization (order-independent by
+    // construction), absent sides coalesce to 0.0.
+    "link_hits" -> {
+      val iterCtes = (1 to 4).map { k =>
+        s"""a${k}r AS (SELECT e.dst AS id, sum(h.h) AS s
+           | FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+           |a${k}m AS (SELECT max(s) AS m FROM a${k}r),
+           |a$k AS (SELECT n.id, coalesce(r.s / t.m, CAST(0.0 AS DOUBLE)) AS a
+           | FROM nodes n LEFT JOIN a${k}r r USING (id) CROSS JOIN a${k}m t),
+           |h${k}r AS (SELECT e.src AS id, sum(a.a) AS s
+           | FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+           |h${k}m AS (SELECT max(s) AS m FROM h${k}r),
+           |h$k AS (SELECT n.id, coalesce(r.s / t.m, CAST(0.0 AS DOUBLE)) AS h
+           | FROM nodes n LEFT JOIN h${k}r r USING (id) CROSS JOIN h${k}m t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+         | UNION ALL
+         | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+         |edges AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+         |$iterCtes
+         |SELECT h4.id AS doc_id, round(h4.h, 6) AS hub, round(a4.a, 6) AS authority
+         |FROM h4 JOIN a4 USING (id)""".stripMargin
     },
 
     "decontamination" -> decontaminationSql,

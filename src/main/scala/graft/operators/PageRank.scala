@@ -65,4 +65,66 @@ object PageRank {
       if (linked != null) linked.unpersist()
     }
   }
+
+  /** Fixed-iteration HITS (Kleinberg 1999): mutually recursive hub and
+    * authority scores over a directed edge list — the complement of
+    * [[ranks]] for link-graph curation (PageRank finds globally endorsed
+    * pages; HITS separates directories-of-links (hubs) from
+    * frequently-linked content (authorities), the split that matters when
+    * scoring crawl link farms vs genuinely cited documents).
+    *
+    * Per iteration: `auth(v) = sum of hub(u) over in-edges`, normalized;
+    * then `hub(u) = sum of auth(v) over out-edges`, normalized. Each side
+    * normalizes by its MAX (top score = 1.0), not the usual L2 norm: max
+    * is addition-order-independent, so the result is deterministic under
+    * any partitioning and therefore oracle-checkable — an L2 norm would
+    * float-sum thousands of doubles in engine-dependent order. With a
+    * fixed iteration count the output is exact: `(id, hub, authority)`,
+    * 6-dp rounded. Nodes missing in-edges score authority 0; missing
+    * out-edges, hub 0.
+    *
+    * Scale shape, same pattern as [[ranks]]: the edge list is
+    * co-partitioned once and persisted, each round is two
+    * aggregate+left-join pairs at measured width, `localCheckpoint` stops
+    * lineage growth, and the per-round normalizer is a broadcast 1-row max.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one iteration")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val (eP, nParts) = Partitioning.measuredCoPartition(e, col("src"))
+    try Partitioning.withShuffleWidth(spark, nParts) {
+      val nodes = eP.select(col("src").as("id"))
+        .union(eP.select(col("dst").as("id")))
+        .distinct()
+        .localCheckpoint()
+      var hubs = nodes.withColumn("h", lit(1.0)).localCheckpoint()
+      var auths: DataFrame = null
+      var i = 0
+      while (i < iterations) {
+        val aRaw = eP.join(hubs, eP("src") === hubs("id"))
+          .select(col("dst").as("id"), col("h"))
+          .groupBy(col("id")).agg(sum(col("h")).as("__s"))
+        val aMax = aRaw.agg(max(col("__s")).as("__m"))
+        auths = nodes.join(aRaw, Seq("id"), "left")
+          .crossJoin(broadcast(aMax))
+          .select(col("id"), coalesce(col("__s") / col("__m"), lit(0.0)).as("a"))
+          .localCheckpoint()
+        val hRaw = eP.join(auths, eP("dst") === auths("id"))
+          .select(col("src").as("id"), col("a"))
+          .groupBy(col("id")).agg(sum(col("a")).as("__s"))
+        val hMax = hRaw.agg(max(col("__s")).as("__m"))
+        hubs = nodes.join(hRaw, Seq("id"), "left")
+          .crossJoin(broadcast(hMax))
+          .select(col("id"), coalesce(col("__s") / col("__m"), lit(0.0)).as("h"))
+          .localCheckpoint()
+        i += 1
+      }
+      hubs.join(auths, Seq("id"))
+        .select(col("id"), round(col("h"), 6).as("hub"),
+          round(col("a"), 6).as("authority"))
+    } finally eP.unpersist()
+  }
 }

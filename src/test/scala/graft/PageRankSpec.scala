@@ -47,4 +47,32 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     run(Seq((1L, 2L)), iters = 1)
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int) = {
+    import spark.implicits._
+    graft.operators.PageRank
+      .hits(edges.toDF("src", "dst"), "src", "dst", iterations = iters)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+  }
+
+  test("hits: one iteration hand-checked on 1->2, 1->3, 2->3") {
+    // auth sums over h0=1: a(2)=1, a(3)=2, max 2 -> a = (0, 0.5, 1.0);
+    // hub sums: h(1)=0.5+1.0=1.5, h(2)=1.0, max 1.5 -> h = (1, 2/3, 0).
+    val r = runHits(Seq((1L, 2L), (1L, 3L), (2L, 3L)), iters = 1)
+    assert(r(1L) == ((1.0, 0.0)))
+    assert(r(2L) == ((BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+    assert(r(3L) == ((0.0, 1.0)))
+  }
+
+  test("hits: fixed point structure holds at 4 iterations") {
+    val r = runHits(Seq((1L, 2L), (1L, 3L), (2L, 3L)), iters = 4)
+    // node 1 stays the top hub, node 3 the top authority, and the
+    // source/sink have no authority/hub mass respectively
+    assert(r(1L)._1 == 1.0 && r(1L)._2 == 0.0)
+    assert(r(3L)._1 == 0.0 && r(3L)._2 == 1.0)
+    assert(r(2L)._1 > 0.0 && r(2L)._1 < 1.0)
+    assert(r(2L)._2 > 0.0 && r(2L)._2 < 1.0)
+  }
 }
