@@ -331,13 +331,11 @@ object SparkEntry {
     "watermark_filter" -> ((s, dir) => {
       // S4/T3: incremental watermark predicate (sources.py:266-272) — only
       // rows newer than the cursor; pushed into the scan by Catalyst.
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
-      // refuses to read as a timestamp; read it as raw long nanos instead
-      // (the oracle reads timestamp[ns] natively — same row set either way).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-      val sevenDaysNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
-      val wm = ev.agg((max(col("ts")) - lit(sevenDaysNs)).as("wm"))
+      // EventTime normalizes ts to epoch micros whichever parquet encoding
+      // the fixture carries (the oracle reads the timestamp natively — same
+      // row set either way).
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      val wm = ev.agg((max(col("ts")) - lit(7L * EventTime.DayMicros)).as("wm"))
       ev.crossJoin(broadcast(wm))
         .filter(col("ts") > col("wm"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -365,12 +363,11 @@ object SparkEntry {
     "windowed_events" -> ((s, dir) => {
       // Batch parity of the streaming windowed aggregation
       // (graft.streaming.Streaming.windowedEventCounts): 1-hour tumbling
-      // windows over long-nanos event time. Decimal-exact value sums keep
+      // windows over micros event time. Decimal-exact value sums keep
       // the result order-independent and engine-identical.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val hourNs = 3600L * 1000 * 1000 * 1000
-      t(s, dir, "events")
-        .groupBy((col("ts") - pmod(col("ts"), lit(hourNs))).as("window_start_ns"),
+      EventTime.readMicros(s, s"$dir/events.parquet")
+        .groupBy((col("ts") - pmod(col("ts"), lit(EventTime.HourMicros)))
+            .as("window_start_us"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
@@ -413,16 +410,15 @@ object SparkEntry {
       // purchase to the click-session interval it falls inside. The grid
       // overlay turns the range predicate into a hash equi-join on
       // (user_id, hour-bucket) — no nested-loop plan at any scale.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000 * 1000"))
-      val gapNs = 1800L * 1000 * 1000 * 1000
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      val gapUs = 1800L * EventTime.MicrosPerSecond
       // Pad the interval end by the gap: a session's activity window stays
       // open for `gap` after its last click (otherwise most sessions are
       // instants and the join is trivially empty).
       val intervals = Sessionize.sessionStats(
-          ev.filter(col("event_type") === "click"), "user_id", "ts", gapNs)
-        .select(col("user_id"), col("session_index"), col("start_ns"),
-          (col("end_ns") + gapNs).as("end_ns"))
+          ev.filter(col("event_type") === "click"), "user_id", "ts", gapUs)
+        .select(col("user_id"), col("session_index"), col("start_us"),
+          (col("end_us") + gapUs).as("end_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       // Adaptive broadcast decision (None): sessions grow with the data, so
@@ -430,7 +426,7 @@ object SparkEntry {
       // unbounded set at 100x — the size-estimate threshold picks broadcast
       // only while the interval side is genuinely dimension-sized.
       RangeJoin.pointInInterval(purchases, intervals, "user_id", "ts",
-          "start_ns", "end_ns", bucketWidth = 3600L * 1000 * 1000 * 1000)
+          "start_us", "end_us", bucketWidth = EventTime.HourMicros)
         .select(col("event_id"), col("user_id"), col("session_index"))
     }),
 
@@ -439,18 +435,17 @@ object SparkEntry {
       // per user (both gap-padded). Grid overlay + the canonical-cell
       // dedup trick (emit from the overlap-start cell only) — hash
       // equi-join, no nested loop, no distinct shuffle.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000 * 1000"))
-      val gapNs = 1800L * 1000 * 1000 * 1000
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      val gapUs = 1800L * EventTime.MicrosPerSecond
       def sessIv(tpe: String, p: String) =
         Sessionize.sessionStats(ev.filter(col("event_type") === tpe),
-            "user_id", "ts", gapNs)
+            "user_id", "ts", gapUs)
           .select(col("user_id"), col("session_index").as(s"${p}_session"),
-            col("start_ns").as(s"${p}_start"),
-            (col("end_ns") + gapNs).as(s"${p}_end"))
+            col("start_us").as(s"${p}_start"),
+            (col("end_us") + gapUs).as(s"${p}_end"))
       RangeJoin.intervalOverlap(sessIv("click", "c"), sessIv("view", "v"),
           "c_start", "c_end", "v_start", "v_end",
-          bucketWidth = 3600L * 1000 * 1000 * 1000, keyCols = Seq("user_id"))
+          bucketWidth = EventTime.HourMicros, keyCols = Seq("user_id"))
         .select(col("user_id"), col("c_session"), col("v_session"),
           greatest(col("c_start"), col("v_start")).as("overlap_start"),
           least(col("c_end"), col("v_end")).as("overlap_end"))
@@ -469,10 +464,9 @@ object SparkEntry {
     "asof_enrich" -> ((s, dir) => {
       // Point-in-time enrichment: each purchase gets the user's latest
       // click value at or before it (union+window as-of join — one
-      // shuffle, no |L|x|R| range explosion). ts truncated to micros for
-      // oracle comparability (DuckDB timestamps are micros).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      // shuffle, no |L|x|R| range explosion). Micros event time matches
+      // DuckDB's native timestamp precision exactly.
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -501,8 +495,7 @@ object SparkEntry {
       // Exact interpolated percentiles per group (the latency-SLO pattern).
       // percentile() is a single-pass sort-based aggregate per group; at
       // scale swap for approx_percentile (t-digest) when exactness can bend.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      EventTime.readMicros(s, s"$dir/events.parquet")
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -512,14 +505,13 @@ object SparkEntry {
     }),
 
     "sessionize_events" -> ((s, dir) => {
-      // Gaps-and-islands sessionization (30-min inactivity gap) over long
-      // nanos event time; one shuffle on user_id for tag + aggregate.
-      // ts is truncated to microsecond precision first: DuckDB timestamps
-      // are micros, so the oracle's epoch_ns() can't see sub-micro digits.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val gapNs = 1800L * 1000 * 1000 * 1000
-      val micros = t(s, dir, "events").withColumn("ts", expr("ts div 1000 * 1000"))
-      Sessionize.sessionStats(micros, "user_id", "ts", gapNs)
+      // Gaps-and-islands sessionization (30-min inactivity gap) over micros
+      // event time; one shuffle on user_id for tag + aggregate. Micros are
+      // exactly DuckDB's native timestamp precision, so the oracle's
+      // epoch_us() sees the identical instants.
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      Sessionize.sessionStats(ev, "user_id", "ts",
+        1800L * EventTime.MicrosPerSecond)
     }),
 
     "html_main_content" -> ((s, dir) => {
@@ -2030,14 +2022,14 @@ object SparkEntry {
         |GROUP BY s.s_name""".stripMargin,
 
     "windowed_events" ->
-      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS window_start_ns,
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
         | event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "streaming_windowed" ->
-      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000 AS window_start_us,
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
         | event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
@@ -2079,47 +2071,47 @@ object SparkEntry {
 
     "range_join_sessions" ->
       """WITH flagged AS (
-        | SELECT user_id, epoch_ns(ts) AS tsn,
-        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        | SELECT user_id, epoch_us(ts) AS tsu,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
         | FROM events WHERE event_type = 'click'
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
         |sess AS (
-        | SELECT user_id, tsn,
-        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+        | SELECT user_id, tsu,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
         | FROM flagged),
         |iv AS (
-        | SELECT user_id, session_index, MIN(tsn) AS start_ns,
-        |  MAX(tsn) + 1800000000000 AS end_ns
+        | SELECT user_id, session_index, MIN(tsu) AS start_us,
+        |  MAX(tsu) + 1800000000 AS end_us
         | FROM sess GROUP BY user_id, session_index)
         |SELECT p.event_id, p.user_id, iv.session_index
-        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tsu
         |      FROM events WHERE event_type = 'purchase') p
-        |JOIN iv ON p.user_id = iv.user_id AND p.tsn BETWEEN iv.start_ns AND iv.end_ns""".stripMargin,
+        |JOIN iv ON p.user_id = iv.user_id AND p.tsu BETWEEN iv.start_us AND iv.end_us""".stripMargin,
 
     "interval_overlap" -> {
       def sessCtes(tpe: String, p: String) =
         s"""${p}f AS (
-           | SELECT user_id, epoch_ns(ts) AS tsn,
-           |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-           |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+           | SELECT user_id, epoch_us(ts) AS tsu,
+           |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
            | FROM events WHERE event_type = '$tpe'
-           | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+           | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
            |${p}s AS (
-           | SELECT user_id, tsn,
-           |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+           | SELECT user_id, tsu,
+           |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
            | FROM ${p}f),
            |${p}iv AS (
-           | SELECT user_id, session_index, MIN(tsn) AS start_ns,
-           |  MAX(tsn) + 1800000000000 AS end_ns
+           | SELECT user_id, session_index, MIN(tsu) AS start_us,
+           |  MAX(tsu) + 1800000000 AS end_us
            | FROM ${p}s GROUP BY user_id, session_index)""".stripMargin
       s"""WITH ${sessCtes("click", "c")},
          |${sessCtes("view", "v")}
          |SELECT c.user_id, c.session_index AS c_session, v.session_index AS v_session,
-         | greatest(c.start_ns, v.start_ns) AS overlap_start,
-         | least(c.end_ns, v.end_ns) AS overlap_end
+         | greatest(c.start_us, v.start_us) AS overlap_start,
+         | least(c.end_us, v.end_us) AS overlap_end
          |FROM civ c JOIN viv v ON c.user_id = v.user_id
-         | AND c.start_ns <= v.end_ns AND v.start_ns <= c.end_ns""".stripMargin
+         | AND c.start_us <= v.end_us AND v.start_us <= c.end_us""".stripMargin
     },
 
     "heavy_hitters" ->
@@ -2162,17 +2154,17 @@ object SparkEntry {
 
     "sessionize_events" ->
       """WITH flagged AS (
-        | SELECT user_id, epoch_ns(ts) AS tsn, value,
-        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        | SELECT user_id, epoch_us(ts) AS tsu, value,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
         | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
         |sess AS (
-        | SELECT user_id, tsn, value,
-        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+        | SELECT user_id, tsu, value,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
         | FROM flagged)
         |SELECT user_id, session_index, COUNT(*) AS n_events,
-        | MIN(tsn) AS start_ns, MAX(tsn) AS end_ns,
+        | MIN(tsu) AS start_us, MAX(tsu) AS end_us,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_index""".stripMargin,
 

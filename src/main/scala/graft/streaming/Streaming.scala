@@ -115,9 +115,9 @@ object Streaming {
     * where state stays bounded — complete+memory is the finite-input
     * harness, not the 100 TB path.
     *
-    * Event time is the events table's long-nanos `ts`, floored to micros
-    * (`ts div 1000`) so the output matches engines that carry
-    * microsecond timestamps.
+    * Event time is the events table's `ts` normalized to epoch micros
+    * ([[graft.operators.EventTime]]) so the output matches engines that
+    * carry microsecond timestamps.
     */
   /** Run `build(memTableName, checkpointDir)` to completion with the
     * local-mode checksum workaround applied, then return the memory-sink
@@ -156,16 +156,20 @@ object Streaming {
   }
 
   def runWindowedAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
+    // EventTime handles both fixture encodings of ts (legacy long-nanos,
+    // native timestamp[us]); the normalization is a pure projection, so it
+    // composes with the streaming frame unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // FileStreamSource needs a DIRECTORY to watch; the test tables are
     // single files — stream the parent with a name filter.
     val p = new org.apache.hadoop.fs.Path(eventsPath)
     runToLocalFrame(spark, "sw_") { (name, ckpt) =>
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      graft.operators.EventTime.tsMicros(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", p.getName)
+            .parquet(p.getParent.toString), "ts")
+        .withColumn("ets", timestamp_micros(col("ts")))
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))

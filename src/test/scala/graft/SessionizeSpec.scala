@@ -12,7 +12,7 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
-  test("tagSessions breaks exactly on gaps > gapNanos; index is 1-based dense") {
+  test("tagSessions breaks exactly on gaps > gap; index is 1-based dense") {
     val gap = 100L
     val events = Seq(
       (1L, 0L), (1L, 50L), (1L, 150L),   // diffs 50, 100 -> same session (<= gap)
@@ -30,29 +30,28 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
   test("tie timestamps land in one session with identical aggregates") {
     val events = Seq((1L, 0L, 1.0), (1L, 0L, 2.0), (1L, 300L, 4.0))
       .toDF("user_id", "ts", "value")
-    val stats = Sessionize.sessionStats(events, "user_id", "ts", gapNanos = 100L)
+    val stats = Sessionize.sessionStats(events, "user_id", "ts", gap = 100L)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
     assert(stats == Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
   }
 
   test("batch gaps-and-islands matches session_window on real event data") {
-    // events.ts is INT64 TIMESTAMP(NANOS): read as long nanos, then derive a
-    // micros-truncated pair (integer division — double math would lose
-    // precision above 2^53) so both formulations see identical instants.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("tsn", expr("ts div 1000") * 1000)
-      .withColumn("tst", timestamp_micros(expr("ts div 1000")))
-    val gapNs = 1800L * 1000 * 1000 * 1000
+    // EventTime normalizes ts to epoch micros for the batch formulation and
+    // to a real timestamp for session_window, whichever parquet encoding
+    // the fixture carries — both formulations see identical instants.
+    val events = graft.operators.EventTime
+      .readMicros(spark, "/root/testdata/sf0.001/events.parquet")
+      .withColumn("tst", timestamp_micros(col("ts")))
+    val gapUs = 1800L * 1000 * 1000
 
     val batch = Sessionize.sessionStats(
-        events.select(col("user_id"), col("tsn").as("ts"), col("value")),
-        "user_id", "ts", gapNs)
-      .select(col("user_id"), col("start_ns"), col("n_events"), col("sum_value"))
+        events.select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", gapUs)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("sum_value"))
     val sw = Sessionize.streamingSessionStats(
         events.select(col("user_id"), col("tst").as("ts"), col("value")),
         "user_id", "ts", gap = "30 minutes")
-      .select(col("user_id"), (unix_micros(col("session_start")) * 1000).as("start_ns"),
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
         col("n_events"), col("sum_value"))
 
     val b = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet

@@ -105,10 +105,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runWindowedAvailableNow(spark, s"$dir/events.parquet")
       .collect().map(_.toSeq).toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventTime.readMicros(spark, s"$dir/events.parquet")
       .groupBy(org.apache.spark.sql.functions.expr(
-        "(ts div 1000) - (ts div 1000) % 3600000000").as("window_start_us"),
+        "ts - ts % 3600000000").as("window_start_us"),
         col("event_type"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_events"),
