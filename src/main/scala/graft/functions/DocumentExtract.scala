@@ -49,6 +49,7 @@ object DocumentExtract {
         case "rtf"           => rtf(new String(bytes, StandardCharsets.ISO_8859_1))
         case "pdf"           => pdf(bytes)
         case "eml"           => eml(new String(bytes, StandardCharsets.ISO_8859_1))
+        case "doc" | "ppt" | "xls" => ole2BestEffort(ext, bytes)
         case other =>
           throw new IllegalArgumentException(s"no extractor registered for '$other'")
       }
@@ -630,4 +631,185 @@ object DocumentExtract {
     }
     (sb.toString, i)
   }
+
+  // ------------------------------------------------------------- OLE2 / CFB
+
+  /** Best-effort text scrape of legacy binary Office formats (.doc/.ppt/
+    * .xls) — OLE2 Compound File Binary containers ([MS-CFB]). The
+    * reference parses these via `unstructured.partition`
+    * (`yamlpipe/components/sources.py:92-93`); a full Word 97 piece-table /
+    * BIFF8 / PPT-record interpreter is out of scope offline, so this walks
+    * the REAL CFB structure (FAT, mini-FAT, directory) to isolate the main
+    * document stream, then extracts printable cp1252 and UTF-16LE runs
+    * from it — old crawls carry OLE2 files, and a best-effort scrape beats
+    * the former loud failure for corpus building. Noise floor: style and
+    * font names survive the scrape; the dominant payload is body text.
+    */
+  private[functions] def ole2BestEffort(ext: String, bytes: Array[Byte]): String = {
+    val streams = ole2Streams(bytes)
+    val preferred = ext match {
+      case "doc" => streams.filter(_._1 == "WordDocument")
+      case "ppt" => streams.filter(_._1 == "PowerPoint Document")
+      case "xls" => streams.filter(s => s._1 == "Workbook" || s._1 == "Book")
+      case _     => Nil
+    }
+    // Unknown layout -> scrape every user stream (names starting with a
+    // control char are OLE plumbing: CompObj, SummaryInformation).
+    val picked =
+      if (preferred.nonEmpty) preferred
+      else streams.filter(s => s._1.nonEmpty && s._1.charAt(0) >= ' ')
+    picked.flatMap(s => printableRuns(s._2)).mkString("\n")
+  }
+
+  private def u16At(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def i32At(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  private val EndOfChain = 0xFFFFFFFE
+  private val MaxChainSectors = 1 << 20 // 512 MiB of 512 B sectors — cycle guard
+
+  /** Parse a CFB container into its (name, bytes) streams: header ->
+    * DIFAT -> FAT -> directory; per-stream read follows the FAT chain, or
+    * the mini-FAT chain inside the root's mini stream for streams under
+    * the mini cutoff. Bounds- and cycle-guarded throughout (a truncated
+    * or crafted file fails loudly per file, never loops or OOMs).
+    */
+  private[functions] def ole2Streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    if (bytes.length < 512 || !bytes.take(8).sameElements(magic))
+      throw new IllegalArgumentException(
+        "not an OLE2 compound file (bad magic)")
+    val sectorSize = 1 << u16At(bytes, 30)
+    val miniSize = 1 << u16At(bytes, 32)
+    val miniCutoff = i32At(bytes, 56)
+    require(sectorSize >= 128 && sectorSize <= 4096 && miniSize >= 16 && miniSize <= sectorSize,
+      "implausible CFB sector sizes")
+    // Header occupies 512 bytes; sector n starts at (n+1)*sectorSize for
+    // both v3 (512 B) and v4 (4096 B) layouts.
+    def sector(n: Int): Array[Byte] = {
+      val off = (n.toLong + 1) * sectorSize
+      if (n < 0 || off + sectorSize > bytes.length)
+        throw new IllegalArgumentException(
+          s"CFB sector $n out of bounds (truncated file?)")
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sectorSize)
+    }
+    def ints(sec: Array[Byte]): Array[Int] =
+      Array.tabulate(sec.length / 4)(i => i32At(sec, i * 4))
+    // DIFAT: 109 header entries + chained DIFAT sectors (last int = next).
+    val fatSectIds = mutable.ArrayBuffer.empty[Int]
+    for (i <- 0 until 109) {
+      val e = i32At(bytes, 76 + 4 * i)
+      if (e >= 0) fatSectIds += e
+    }
+    var difat = i32At(bytes, 68)
+    var difatGuard = 0
+    while (difat != EndOfChain && difat >= 0 && difatGuard < MaxChainSectors) {
+      val es = ints(sector(difat))
+      es.dropRight(1).foreach(e => if (e >= 0) fatSectIds += e)
+      difat = es.last
+      difatGuard += 1
+    }
+    val fat: Array[Int] = fatSectIds.toArray.flatMap(s => ints(sector(s)))
+    def chain(start: Int, table: Array[Int]): Seq[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      val seen = mutable.HashSet.empty[Int]
+      var cur = start
+      while (cur != EndOfChain && cur >= 0) {
+        if (cur >= table.length || !seen.add(cur) || out.length >= MaxChainSectors)
+          throw new IllegalArgumentException(
+            "corrupt CFB allocation chain")
+        out += cur
+        cur = table(cur)
+      }
+      out.toSeq
+    }
+    val dirBytes: Array[Byte] = chain(i32At(bytes, 48), fat).toArray.flatMap(sector)
+    final case class Entry(name: String, objType: Int, start: Int, size: Long)
+    val entries = (0 until dirBytes.length / 128).map { i =>
+      val o = i * 128
+      val nameLen = u16At(dirBytes, o + 64) // bytes incl. UTF-16 terminator
+      val name =
+        if (nameLen < 2 || nameLen > 64) ""
+        else new String(dirBytes, o, nameLen - 2, StandardCharsets.UTF_16LE)
+      Entry(name, dirBytes(o + 66) & 0xFF, i32At(dirBytes, o + 116),
+        i32At(dirBytes, o + 120) & 0xFFFFFFFFL)
+    }
+    val root = entries.find(_.objType == 5)
+    // Mini stream: the root entry's own FAT chain; mini-FAT maps 64 B cells.
+    lazy val miniStream: Array[Byte] = root match {
+      case Some(r) if r.start != EndOfChain && r.start >= 0 =>
+        chain(r.start, fat).toArray.flatMap(sector)
+      case _ => Array.emptyByteArray
+    }
+    lazy val miniFat: Array[Int] = {
+      val first = i32At(bytes, 60)
+      if (first == EndOfChain || first < 0) Array.emptyIntArray
+      else chain(first, fat).toArray.flatMap(s => ints(sector(s)))
+    }
+    def readStream(e: Entry): Array[Byte] = {
+      val total = new java.io.ByteArrayOutputStream()
+      if (e.size == 0) ()
+      else if (e.size < miniCutoff) {
+        chain(e.start, miniFat).foreach { m =>
+          val off = m.toLong * miniSize
+          if (off + miniSize > miniStream.length)
+            throw new IllegalArgumentException(
+              "CFB mini sector out of bounds")
+          total.write(miniStream, off.toInt, miniSize)
+        }
+      } else chain(e.start, fat).foreach(s => total.write(sector(s)))
+      val all = total.toByteArray
+      if (all.length < e.size)
+        throw new IllegalArgumentException(
+          "CFB stream shorter than directory size")
+      java.util.Arrays.copyOfRange(all, 0, e.size.toInt)
+    }
+    entries.filter(e => e.objType == 2 && e.size > 0 && e.size <= MaxInflatedBytes)
+      .map(e => e.name -> readStream(e))
+  }
+
+  /** Printable-run extraction over raw stream bytes, in BOTH encodings the
+    * legacy formats mix: cp1252 single-byte runs and UTF-16LE runs. The
+    * UTF-16 acceptance set is Latin + common typographic punctuation ONLY
+    * — a wider set (e.g. CJK) would re-admit cp1252 byte PAIRS as fake
+    * ideographs, duplicating every 8-bit run as garbage. Conversely,
+    * ASCII-in-UTF-16 shows the 8-bit scan interleaved NULs, so its runs
+    * stay below `minRun`. Runs must contain a letter to drop length/offset
+    * tables that happen to land in the printable byte range.
+    */
+  private[functions] def printableRuns(data: Array[Byte], minRun: Int = 5): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    def keep(sb: java.lang.StringBuilder): Unit = {
+      if (sb.length >= minRun && (0 until sb.length).exists(i => Character.isLetter(sb.charAt(i))))
+        out += sb.toString.trim
+      sb.setLength(0)
+    }
+    def p8(b: Int): Boolean =
+      (b >= 0x20 && b <= 0x7E) || b == 0x09 || (b >= 0xC0 && b <= 0xFF)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      if (p8(b)) sb.append(cp1252Char(b)) else keep(sb)
+      i += 1
+    }
+    keep(sb)
+    def p16(c: Int): Boolean =
+      (c >= 0x20 && c <= 0x7E) || c == 0x09 || (c >= 0xA0 && c <= 0x24F) ||
+        c == 0x2013 || c == 0x2014 || c == 0x2018 || c == 0x2019 ||
+        c == 0x201C || c == 0x201D || c == 0x2026
+    i = 0
+    while (i + 1 < data.length) {
+      val c = u16At(data, i)
+      if (p16(c)) sb.append(c.toChar) else keep(sb)
+      i += 2
+    }
+    keep(sb)
+    out.toSeq
+  }
+
+  private def cp1252Char(b: Int): Char =
+    if (b < 0x80 || b >= 0xA0) b.toChar
+    else new String(Array(b.toByte), java.nio.charset.Charset.forName("windows-1252")).charAt(0)
 }

@@ -57,12 +57,12 @@ object GraftSource {
 /** Extension registry for text extraction — the explicit form of the
   * reference's `unstructured.partition` format dispatch
   * (`sources.py:92-93`). Text formats extract natively inside the
-  * distributed scan; DOCUMENT formats (pdf/docx/pptx/xlsx/odt/epub/rtf)
-  * extract through the JDK-only [[graft.functions.DocumentExtract]]
-  * parsers; legacy binary formats with no offline parser (doc/ppt/xls)
-  * FAIL LOUDLY with a named error instead of silently mis-decoding their
-  * bytes as UTF-8; extensions not in the registry decode as plain text
-  * (the reference's sniffing fallback).
+  * distributed scan; DOCUMENT formats (pdf/docx/pptx/xlsx/odt/epub/rtf,
+  * plus best-effort OLE2 scrapes of legacy doc/ppt/xls) extract through
+  * the JDK-only [[graft.functions.DocumentExtract]] parsers — a corrupt
+  * or non-matching container still FAILS LOUDLY with a named error
+  * instead of silently mis-decoding its bytes as UTF-8; extensions not in
+  * the registry decode as plain text (the reference's sniffing fallback).
   */
 object TextExtractors {
   sealed trait Handling
@@ -83,7 +83,7 @@ object TextExtractors {
     "pdf" -> Document, "docx" -> Document, "pptx" -> Document,
     "xlsx" -> Document, "epub" -> Document, "rtf" -> Document,
     "odt" -> Document, "eml" -> Document,
-    "doc" -> Unsupported, "ppt" -> Unsupported, "xls" -> Unsupported)
+    "doc" -> Document, "ppt" -> Document, "xls" -> Document)
 
   private[sources] def extsOf(h: Handling): Seq[String] =
     registry.collect { case (ext, `h`) => ext }.toSeq

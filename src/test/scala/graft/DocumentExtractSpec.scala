@@ -254,4 +254,135 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getAs[String]("content").startsWith("Hello World"))
     assert(out(0).getAs[Map[String, String]]("metadata").contains("etag"))
   }
+
+  // ----------------------------------------------------------- OLE2 legacy
+
+  test("OLE2 .doc/.ppt/.xls best-effort scrape finds the body text (FAT path)") {
+    val msg = "Quarterly results improved across all regions."
+    for ((ext, stream) <- Seq("doc" -> "WordDocument",
+        "ppt" -> "PowerPoint Document", "xls" -> "Workbook")) {
+      val got = DocumentExtract.extract(ext, s"f.$ext",
+        DocumentExtractSpec.cfbFixture(stream, msg))
+      assert(got.contains(msg), s"$ext: $got")
+    }
+  }
+
+  test("OLE2 mini-stream (< 4096 B) streams read through the mini-FAT") {
+    val msg = "Tiny legacy memo body."
+    val got = DocumentExtract.extract("doc", "m.doc",
+      DocumentExtractSpec.cfbMiniFixture("WordDocument", msg))
+    assert(got.contains(msg), got)
+  }
+
+  test("OLE2 UTF-16LE stream content extracts (and cp1252 is not duplicated)") {
+    val msg = "Unicode body with punctuation - em dash and quotes."
+    val utf16 = msg.getBytes(StandardCharsets.UTF_16LE)
+    val got = DocumentExtract.extract("doc", "u.doc",
+      DocumentExtractSpec.cfbFixtureRaw("WordDocument", utf16))
+    assert(got.contains(msg), got)
+    assert(got.split(java.util.regex.Pattern.quote(msg), -1).length == 2,
+      s"text duplicated across encoding scans: $got")
+  }
+
+  test("OLE2 corrupt container fails loudly with a named error") {
+    val e = intercept[IllegalArgumentException](
+      DocumentExtract.extract("doc", "/x/bad.doc",
+        Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte)))
+    assert(e.getMessage.contains("graft.DocumentExtract"))
+    // right magic, truncated body
+    val half = DocumentExtractSpec.cfbFixture("WordDocument", "x").take(700)
+    val e2 = intercept[IllegalArgumentException](
+      DocumentExtract.extract("doc", "/x/trunc.doc", half))
+    assert(e2.getMessage.contains("graft.DocumentExtract"))
+  }
+}
+
+/** Minimal [MS-CFB] compound-file builders for the OLE2 tests: one named
+  * stream, v3 layout (512 B sectors). `cfbFixture` stores the stream via
+  * the main FAT (padded to >= the 4096 mini cutoff); `cfbMiniFixture`
+  * stores it in the mini stream via the mini-FAT.
+  */
+object DocumentExtractSpec {
+  private val FREE = 0xFFFFFFFF
+  private val END = 0xFFFFFFFE
+  private val FATSECT = 0xFFFFFFFD
+
+  private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+  }
+  private def putI32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+    b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+  }
+
+  private def header(numFat: Int, firstDir: Int, firstMiniFat: Int,
+                     numMiniFat: Int): Array[Byte] = {
+    val h = new Array[Byte](512)
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .zipWithIndex.foreach { case (v, i) => h(i) = v.toByte }
+    putU16(h, 24, 0x003E); putU16(h, 26, 0x0003) // minor/major version
+    putU16(h, 28, 0xFFFE)                        // little-endian marker
+    putU16(h, 30, 9); putU16(h, 32, 6)           // 512 B sectors, 64 B mini
+    putI32(h, 44, numFat)
+    putI32(h, 48, firstDir)
+    putI32(h, 56, 4096)                          // mini cutoff
+    putI32(h, 60, firstMiniFat); putI32(h, 64, numMiniFat)
+    putI32(h, 68, END); putI32(h, 72, 0)         // no DIFAT chain
+    putI32(h, 76, 0)                             // DIFAT[0] -> FAT at sector 0
+    for (i <- 1 until 109) putI32(h, 76 + 4 * i, FREE)
+    h
+  }
+
+  private def dirEntry(b: Array[Byte], idx: Int, name: String, objType: Int,
+                       child: Int, start: Int, size: Int): Unit = {
+    val o = idx * 128
+    val nm = name.getBytes(StandardCharsets.UTF_16LE)
+    System.arraycopy(nm, 0, b, o, nm.length)
+    putU16(b, o + 64, nm.length + 2)
+    b(o + 66) = objType.toByte; b(o + 67) = 1 // black
+    putI32(b, o + 68, FREE); putI32(b, o + 72, FREE); putI32(b, o + 76, child)
+    putI32(b, o + 116, start); putI32(b, o + 120, size)
+  }
+
+  /** Stream bytes via the main FAT: sectors [0]=FAT, [1]=dir, [2..9]=data
+    * padded to 4096 (>= mini cutoff, so the FAT path is exercised).
+    */
+  def cfbFixtureRaw(streamName: String, content: Array[Byte]): Array[Byte] = {
+    val data = java.util.Arrays.copyOf(content, 4096)
+    val fat = new Array[Byte](512)
+    putI32(fat, 0, FATSECT); putI32(fat, 4, END) // dir chain: just sector 1
+    for (s <- 2 until 9) putI32(fat, s * 4, s + 1)
+    putI32(fat, 9 * 4, END)
+    for (s <- 10 until 128) putI32(fat, s * 4, FREE)
+    val dir = new Array[Byte](512)
+    dirEntry(dir, 0, "Root Entry", 5, child = 1, start = END, size = 0)
+    dirEntry(dir, 1, streamName, 2, child = FREE, start = 2, size = data.length)
+    header(1, 1, END, 0) ++ fat ++ dir ++ data
+  }
+
+  def cfbFixture(streamName: String, text: String): Array[Byte] =
+    cfbFixtureRaw(streamName, text.getBytes(StandardCharsets.ISO_8859_1))
+
+  /** Stream bytes in the MINI stream: sectors [0]=FAT, [1]=dir,
+    * [2]=mini-FAT, [3]=mini-stream container (the root's own chain).
+    */
+  def cfbMiniFixture(streamName: String, text: String): Array[Byte] = {
+    val content = text.getBytes(StandardCharsets.ISO_8859_1)
+    require(content.length <= 512, "mini fixture caps at one container sector")
+    val nMini = (content.length + 63) / 64
+    val fat = new Array[Byte](512)
+    putI32(fat, 0, FATSECT); putI32(fat, 4, END)  // dir
+    putI32(fat, 8, END)                           // mini-FAT chain
+    putI32(fat, 12, END)                          // mini-stream container
+    for (s <- 4 until 128) putI32(fat, s * 4, FREE)
+    val minifat = new Array[Byte](512)
+    for (m <- 0 until nMini - 1) putI32(minifat, m * 4, m + 1)
+    putI32(minifat, (nMini - 1) * 4, END)
+    for (m <- nMini until 128) putI32(minifat, m * 4, FREE)
+    val dir = new Array[Byte](512)
+    dirEntry(dir, 0, "Root Entry", 5, child = 1, start = 3, size = nMini * 64)
+    dirEntry(dir, 1, streamName, 2, child = FREE, start = 0, size = content.length)
+    val mini = java.util.Arrays.copyOf(content, 512)
+    header(1, 1, 2, 1) ++ fat ++ dir ++ minifat ++ mini
+  }
 }

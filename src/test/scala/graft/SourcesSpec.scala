@@ -142,21 +142,26 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(ok.effectiveQuery.contains("updated_at_2 > '2024-03-01"))
   }
 
-  test("S1 unsupported document formats fail loudly with a named error") {
-    val dir = tempDir("graft-unsupported")
+  test("S1 corrupt legacy OLE2 files fail loudly; a real .doc scrapes text") {
+    val dir = tempDir("graft-ole2")
     Files.writeString(dir.resolve("ok.txt"), "plain is fine")
-    // legacy OLE2 binary — no offline parser (pdf/docx/… now DO extract)
-    Files.write(dir.resolve("report.doc"),
+    // truncated OLE2 (magic prefix only) — must fail loudly, not mis-decode
+    Files.write(dir.resolve("broken.doc"),
       Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte))
     val e = intercept[Exception](LocalFileSource(dir.toString).load(spark).collect())
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
     val msgs = chain(e).flatMap(t => Option(t.getMessage))
-    assert(msgs.exists(m => m.contains("no offline text extractor") && m.contains("doc")),
+    assert(msgs.exists(m => m.contains("graft.DocumentExtract") && m.contains("doc")),
       s"expected a named per-format error, got: ${msgs.take(3)}")
-    // without the doc in scope, the scan succeeds
-    val out = LocalFileSource(dir.toString, glob = "*.txt").load(spark).collect()
-    assert(out.length == 1 && out(0).getAs[String]("content") == "plain is fine")
+    // a structurally valid .doc extracts non-empty text through the scan
+    Files.delete(dir.resolve("broken.doc"))
+    Files.write(dir.resolve("report.doc"), DocumentExtractSpec.cfbFixture(
+      "WordDocument", "Quarterly results improved across all regions."))
+    val out = LocalFileSource(dir.toString).load(spark).collect()
+    val doc = out.find(_.getAs[String]("source").endsWith("report.doc"))
+    assert(doc.exists(_.getAs[String]("content")
+      .contains("Quarterly results improved across all regions.")))
   }
 
   test("T3 wiring: withRunWatermark binds the state watermark into a JDBC source") {
