@@ -150,11 +150,14 @@ object Dsir {
                         fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     // The input is referenced three times (distribution, total, final
-    // join); materialize it once via lazy localCheckpoint — one row per
-    // doc, 3 narrow columns — instead of re-running the (usually
-    // expensive) scoring plan per reference. Storage is executor-local
+    // join); materialize it once via EAGER localCheckpoint — one row per
+    // doc, 3 narrow columns. Eager matters: with a lazy checkpoint the
+    // three consumer subtrees can race to compute the (usually expensive)
+    // scoring plan before the persist lands, re-running it up to 3x
+    // depending on stage scheduling — the r7 3.3->9.6 s dsir_weights
+    // swing under an unchanged plan digest. Storage is executor-local
     // and GC-reclaimed (same pattern as Components' iteration frames).
-    val wts = weights.localCheckpoint(false)
+    val wts = weights.localCheckpoint(true)
     val w = col("log_weight")
     val dist = wts.groupBy(w.as("__w")).agg(count(lit(1)).as("__n"))
     val tot = wts.agg(ceil(count(lit(1)) * fraction).cast("long").as("__k"))

@@ -21,10 +21,21 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val wanted = names.split(',').toSeq
-    wanted.foreach { n =>
-      graft.SparkEntry.queries(n)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+    // Per-gate try/catch like `Verify`: one broken gate must not hide the
+    // status of the rest of a multi-failure round.
+    val failed = wanted.flatMap { n =>
+      try {
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+        None
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[VerifyOne] $n FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Some(n)
+      }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[VerifyOne] ${failed.size}/${wanted.size} gates failed: ${failed.mkString(",")}")
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
