@@ -29,6 +29,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     bad = []
+    status = {}  # per-gate record, written as JSON next to the results
     for name in sorted(os.listdir(out)):
         p = os.path.join(out, name)
         if not os.path.isdir(p):
@@ -36,18 +37,23 @@ def main() -> int:
         spark_df = pd.read_parquet(p)
         if name not in oracle:
             print(f"{name:24s} no_oracle rows={len(spark_df)}")
+            status[name] = {"status": "no_oracle", "rows": len(spark_df)}
             continue
         try:
             odf = con.sql(oracle[name]).df()
             cols_s, cols_o = sorted(spark_df.columns), sorted(odf.columns)
             if cols_s != cols_o:
                 print(f"{name:24s} SCHEMA MISMATCH spark={cols_s} oracle={cols_o}")
+                status[name] = {"status": "schema_mismatch",
+                                "spark_cols": cols_s, "oracle_cols": cols_o}
                 bad.append(name)
                 continue
             s = spark_df[cols_s].sort_values(cols_s).reset_index(drop=True)
             o = odf[cols_o].sort_values(cols_o).reset_index(drop=True)
             if len(s) != len(o):
                 print(f"{name:24s} ROWS MISMATCH spark={len(s)} oracle={len(o)}")
+                status[name] = {"status": "rows_mismatch",
+                                "spark_rows": len(s), "oracle_rows": len(o)}
                 bad.append(name)
                 continue
             if not s.astype(str).equals(o.astype(str)):
@@ -55,12 +61,20 @@ def main() -> int:
                 print(f"{name:24s} VALUE MISMATCH rows={len(s)}")
                 print(s[diff].head(3))
                 print(o[diff].head(3))
+                status[name] = {"status": "value_mismatch", "rows": len(s)}
                 bad.append(name)
                 continue
             print(f"{name:24s} OK rows={len(s)}")
+            status[name] = {"status": "ok", "rows": len(s)}
         except Exception as e:  # noqa: BLE001 - report and keep scanning
             print(f"{name:24s} ERR {type(e).__name__}: {str(e)[:200]}")
+            status[name] = {"status": "err",
+                            "error": f"{type(e).__name__}: {str(e)[:200]}"}
             bad.append(name)
+    with open(os.path.join(out, "oracle_status.json"), "w") as f:
+        json.dump({"sf_dir": sfdir, "gates": status,
+                   "n_ok": sum(1 for v in status.values() if v["status"] == "ok"),
+                   "n_total": len(status)}, f, indent=1, sort_keys=True)
     if bad:
         print(f"\nFAILED: {', '.join(bad)}")
         return 1

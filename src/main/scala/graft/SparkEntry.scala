@@ -514,6 +514,25 @@ object SparkEntry {
         1800L * EventTime.MicrosPerSecond)
     }),
 
+    "session_window_events" -> ((s, dir) => {
+      // Spark's OWN event-time sessionization — the built-in
+      // `session_window` aggregation over NATIVE timestamps (the always-on
+      // streaming path, here in batch mode) — against the gaps-and-islands
+      // oracle. Boundary semantics differ from sessionize_events by design:
+      // session_window merges half-open [ts, ts+gap) windows, so a gap of
+      // EXACTLY 30 min starts a new session (>=, not >), and end_us is
+      // last_ts + gap (exclusive) rather than last_ts.
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      Sessionize.streamingSessionStats(
+          EventTime.microsToTimestamp(ev, "ts", "tst")
+            .select(col("user_id"), col("tst").as("ts"), col("value")),
+          "user_id", "ts", gap = "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
     "html_main_content" -> ((s, dir) => {
       // Boilerplate removal: the corpus text embedded in a page skeleton
       // with a nav bar (short -> dropped), a link farm (link-dense ->
@@ -2168,6 +2187,24 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_index""".stripMargin,
 
+    // session_window boundary semantics: a gap of exactly `gap` STARTS a
+    // new session (half-open window merge), and end = last_ts + gap.
+    "session_window_events" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_us(ts) AS tsu, value,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |sess AS (
+        | SELECT user_id, tsu, value,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM flagged)
+        |SELECT user_id, MIN(tsu) AS start_us, MAX(tsu) + 1800000000 AS end_us,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
     "html_main_content" -> {
       def stripSql(in: String): String =
         s"""replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace($in, '(?is)<script[^>]*>.*?</script>', '', 'g'), '(?is)<style[^>]*>.*?</style>', '', 'g'), '<[^>]*>', '', 'g'), '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39))"""
@@ -2909,22 +2946,28 @@ object SparkEntry {
     // taking the argmax with the same count-desc-then-lex tie-break, and
     // applying the merge via left-to-right non-overlapping replace() —
     // exactly the engine kernel's semantics.
+    //
+    // Every per-round CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    // and with w{k} and b{k} each referenced twice the inlined chain
+    // re-evaluates w0 O(2^rounds) times — at sf0.1 this oracle ran for
+    // >10 minutes (the round-7 driver-check starvation); materialized it
+    // is linear in rounds and finishes in seconds at any fixture SF.
     "bpe_train_merges" -> {
       val n = 12
       val (tl, tr, sep) = ("chr(1)", "chr(2)", "chr(3)")
       val sb = new StringBuilder(
         s"""WITH occ AS (SELECT unnest($toksSql) AS word FROM documents),
            |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY word),
-           |w0 AS (SELECT regexp_replace(word, '(.)', $tl || '\\1' || $tr, 'g') AS enc, cnt FROM wc)""")
+           |w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', $tl || '\\1' || $tr, 'g') AS enc, cnt FROM wc)""")
       for (k <- 1 to n) {
         sb.append(s""",
            |p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
            |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || $sep || toks[i+1])) AS pair, cnt
            |  FROM (SELECT string_split(trim(enc, $tl || $tr), $tr || $tl) AS toks, cnt FROM w${k - 1})
            | ) GROUP BY pair),
-           |b$k AS (SELECT string_split(pair, $sep)[1] AS lhs, string_split(pair, $sep)[2] AS rhs, pc
+           |b$k AS MATERIALIZED (SELECT string_split(pair, $sep)[1] AS lhs, string_split(pair, $sep)[2] AS rhs, pc
            |  FROM p$k ORDER BY pc DESC, pair ASC LIMIT 1),
-           |w$k AS (SELECT replace(w.enc, $tl || b.lhs || $tr || $tl || b.rhs || $tr, $tl || b.lhs || b.rhs || $tr) AS enc, cnt
+           |w$k AS MATERIALIZED (SELECT replace(w.enc, $tl || b.lhs || $tr || $tl || b.rhs || $tr, $tl || b.lhs || b.rhs || $tr) AS enc, cnt
            |  FROM w${k - 1} w CROSS JOIN b$k b)""")
       }
       sb.append("\n" + (1 to n).map(k =>
