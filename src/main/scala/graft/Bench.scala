@@ -75,6 +75,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Small-input/heavy-compute queries: don't let AQE coalesce shuffle
       // partitions below cluster parallelism (tiny bytes != tiny work).
@@ -130,11 +131,16 @@ object Bench {
             None
         }
       }
+      // A failed query has NO timing — encode as None (null in the JSON
+      // artifacts) instead of a free-looking 0.000 that silently deflates
+      // the total (r7 advice: the bench total must cover only queries that
+      // actually ran).
       val median =
-        if (times.isEmpty) 0.0
-        else times.sorted.apply(times.size / 2)
+        if (times.isEmpty) None
+        else Some(times.sorted.apply(times.size / 2))
       name -> median
     }
+    val ran = results.collect { case (k, Some(v)) => (k, v) }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${benched.size} queries FAILED: ${failed.sorted.mkString(", ")}")
     // The driver parses the result JSON out of the LAST ~2000 chars of
@@ -156,10 +162,10 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (ran.nonEmpty) ran.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def lineAt(fmt: Double => String, extras: Boolean): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      val qs = ran.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // `failed` is a load-bearing signal only when non-empty and is shed
       // from the degraded tiers otherwise; `reps` is ~9 chars and makes the
@@ -177,8 +183,12 @@ object Bench {
     // Full-precision timings always land in a file (like the plan
     // digests), so the stdout line's degradation never loses data.
     if (only.isEmpty) {
+      // Failed queries appear explicitly as null — same key set as the
+      // queries that were attempted, so timings.json and digests.json can
+      // be joined without guessing which absences mean "failed".
       val tw = new java.io.PrintWriter(new java.io.File(plansDir, "timings.json"), "UTF-8")
-      try tw.write(results.map { case (k, v) => s"\"$k\":${r3(v)}" }
+      try tw.write(results.map { case (k, v) =>
+          s"\"$k\":${v.map(r3).getOrElse("null")}" }
         .mkString("{", ",", "}")) finally tw.close()
     }
     val candidates = Seq(
@@ -189,7 +199,7 @@ object Bench {
       // queries (the ones perf grading cares about) up to the budget and
       // say how many sub-threshold ones were omitted — their 3dp medians
       // are in bench_plans/timings.json either way.
-      val byCost = results.toSeq.sortBy(-_._2)
+      val byCost = ran.toSeq.sortBy(-_._2)
       val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var len = 220 // fixed keys + slack
       byCost.foreach { case (k, v) =>
@@ -198,8 +208,8 @@ object Bench {
       }
       val qs = keep.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
-      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${results.size}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${results.size - keep.size},"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${ran.size}; full 3dp map in bench_plans/timings.json")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size},"queries_full":"bench_plans/timings.json","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     }
     if (line != candidates.head)
       System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")

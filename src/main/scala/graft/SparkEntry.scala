@@ -2063,17 +2063,21 @@ object SparkEntry {
          |tr AS (SELECT doc_id + 100000 AS doc_id,
          |  list_filter(string_split(lower(text || ' extra'), ' '), x -> len(x) > 0) AS toks
          | FROM documents WHERE doc_id % 7 = 0),
-         |sn AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |sn AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
          |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
          |  ELSE []::VARCHAR[] END) AS sh FROM tn),
-         |sr AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |sr AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
          |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
          |  ELSE []::VARCHAR[] END) AS sh FROM tr),
-         |pairs AS (SELECT n.doc_id AS id_new, r.doc_id AS id_ref,
-         |  CASE WHEN CAST(len(n.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) = 0 THEN 0.0
-         |   ELSE CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
-         |    (CAST(len(n.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE)) END AS sim
-         | FROM sn n CROSS JOIN sr r)
+         |lnn AS (SELECT doc_id, len(sh) AS l FROM sn),
+         |lnr AS (SELECT doc_id, len(sh) AS l FROM sr),
+         |en AS (SELECT doc_id, unnest(sh) AS g FROM sn),
+         |er AS (SELECT doc_id, unnest(sh) AS g FROM sr),
+         |inter AS (SELECT en.doc_id AS id_new, er.doc_id AS id_ref, CAST(count(*) AS DOUBLE) AS ic
+         | FROM en JOIN er ON en.g = er.g GROUP BY 1, 2),
+         |pairs AS (SELECT x.id_new, x.id_ref,
+         |  x.ic / (CAST(a.l + b.l AS DOUBLE) - x.ic) AS sim
+         | FROM inter x JOIN lnn a ON a.doc_id = x.id_new JOIN lnr b ON b.doc_id = x.id_ref)
          |SELECT id_new, id_ref, round(1.0 - sim, 6) AS jaccard_dist
          |FROM pairs WHERE 1.0 - sim <= 0.5""".stripMargin,
 
@@ -2414,7 +2418,7 @@ object SparkEntry {
            | SELECT qid, vec_id, rel, v AS mmr, $i AS mmr_rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY v DESC, vec_id) AS rn
            |  FROM val$i) WHERE rn = 1),
-           |picked$i AS (SELECT * FROM picked${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+           |picked$i AS MATERIALIZED (SELECT * FROM picked${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
       }.mkString(",\n")
       s"""WITH qs AS (
          | SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
@@ -2422,7 +2426,7 @@ object SparkEntry {
          | SELECT qs.qid, e.vec_id, e.embedding,
          |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS rel
          | FROM qs, embeddings e WHERE e.vec_id <> qs.qid),
-         |cand AS (
+         |cand AS MATERIALIZED (
          | SELECT qid, vec_id, embedding, rel, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
          |  FROM scored WHERE rel IS NOT NULL) WHERE rn <= 10),
@@ -2430,7 +2434,7 @@ object SparkEntry {
          | SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b,
          |  round(${cosOf("c1.embedding", "c2.embedding")}, 6) AS sim
          | FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.vec_id < c2.vec_id),
-         |sym AS (
+         |sym AS MATERIALIZED (
          | SELECT qid, a, b, sim FROM pairs
          | UNION ALL SELECT qid, b AS a, a AS b, sim FROM pairs),
          |sel1 AS (
@@ -2520,40 +2524,55 @@ object SparkEntry {
     // banding's collision curve). The oracle recomputes that brute-force
     // set; a banding regression that drops a true pair now fails the gate
     // instead of hiding behind a rows-only check.
+    // Exact-equivalent of the brute-force all-pairs check, bounded for
+    // oracle tractability at any fixture SF: Jaccard >= 0.5 requires at
+    // least one SHARED shingle, so every qualifying pair appears in the
+    // inverted-index self-join — and because the shingle lists are
+    // list_distinct, COUNT(*) over that join IS |A∩B|, so no per-pair
+    // list_intersect is ever evaluated (the all-pairs form ran >10 min at
+    // sf0.1; the count form runs in seconds).
     "dedup_minhash_lsh" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          | UNION ALL
          | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
          |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
-         |s AS (SELECT doc_id, list_distinct(
+         |s AS MATERIALIZED (SELECT doc_id, list_distinct(
          |  CASE WHEN len(toks) >= 3
          |   THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |   ELSE []::VARCHAR[] END) AS sh FROM t)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >=
-         | 0.5 * (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))""".stripMargin,
+         |   ELSE []::VARCHAR[] END) AS sh FROM t),
+         |ln AS (SELECT doc_id, len(sh) AS l FROM s),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS DOUBLE) AS i
+         | FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT x.ida AS id_a, x.idb AS id_b
+         |FROM inter x JOIN ln la ON la.doc_id = x.ida JOIN ln lb ON lb.doc_id = x.idb
+         |WHERE x.i >= 0.5 * (CAST(la.l + lb.l AS DOUBLE) - x.i)""".stripMargin,
 
     // Same promotion as dedup_minhash_lsh: the incoming-x-reference verified
     // pair set equals the brute-force cross join at the threshold, and the
     // emitted jaccard_dist is plain 1 - i/u double arithmetic both engines
-    // compute identically.
+    // compute identically. Bounded the same way too: dist <= 0.5 implies a
+    // shared shingle, so the inverted-index candidate join loses no pair.
     "dedup_cross_corpus" ->
       s"""WITH tr AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |ti AS (SELECT doc_id + 100000 AS doc_id,
          |  list_filter(string_split(lower(text || ' freshly crawled tail'), ' '), x -> len(x) > 0) AS toks
          | FROM documents WHERE doc_id % 5 = 0),
-         |sr AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |sr AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
          |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
          |  ELSE []::VARCHAR[] END) AS sh FROM tr),
-         |si AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |si AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
          |  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
          |  ELSE []::VARCHAR[] END) AS sh FROM ti),
-         |pairs AS (SELECT i.doc_id AS id_new, r.doc_id AS id_ref,
-         |  CASE WHEN CAST(len(i.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE) = 0 THEN 0.0
-         |   ELSE CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE) /
-         |    (CAST(len(i.sh) + len(r.sh) AS DOUBLE) - CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE)) END AS sim
-         | FROM si i CROSS JOIN sr r)
+         |lr AS (SELECT doc_id, len(sh) AS l FROM sr),
+         |li AS (SELECT doc_id, len(sh) AS l FROM si),
+         |er AS (SELECT doc_id, unnest(sh) AS g FROM sr),
+         |ei AS (SELECT doc_id, unnest(sh) AS g FROM si),
+         |inter AS (SELECT ei.doc_id AS id_new, er.doc_id AS id_ref, CAST(count(*) AS DOUBLE) AS ic
+         | FROM ei JOIN er ON ei.g = er.g GROUP BY 1, 2),
+         |pairs AS (SELECT x.id_new, x.id_ref,
+         |  x.ic / (CAST(li.l + lr.l AS DOUBLE) - x.ic) AS sim
+         | FROM inter x JOIN li ON li.doc_id = x.id_new JOIN lr ON lr.doc_id = x.id_ref)
          |SELECT id_new, id_ref, round(1.0 - sim, 6) AS jaccard_dist
          |FROM pairs WHERE 1.0 - sim <= 0.5""".stripMargin,
 
@@ -2750,10 +2769,10 @@ object SparkEntry {
       // lit(1.0 - damping) = 0.150000000000000002 and a literal 0.15
       // differs by 1 ulp — enough to flip a round(...,6) half-boundary.
       val iterCtes = (1 to 3).map { k =>
-        s"""c$k AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS s
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS s
            | FROM edges e JOIN deg d ON e.src = d.src
            | JOIN r${k - 1} r ON r.id = e.src GROUP BY 1),
-           |r$k AS (SELECT n.id,
+           |r$k AS MATERIALIZED (SELECT n.id,
            |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
            |   + CAST(0.85 AS DOUBLE) * coalesce(c$k.s, 0) AS rank
            | FROM nodes n LEFT JOIN c$k USING (id))""".stripMargin
@@ -2777,15 +2796,15 @@ object SparkEntry {
     // construction), absent sides coalesce to 0.0.
     "link_hits" -> {
       val iterCtes = (1 to 4).map { k =>
-        s"""a${k}r AS (SELECT e.dst AS id, sum(h.h) AS s
+        s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS s
            | FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
            |a${k}m AS (SELECT max(s) AS m FROM a${k}r),
-           |a$k AS (SELECT n.id, coalesce(r.s / t.m, CAST(0.0 AS DOUBLE)) AS a
+           |a$k AS MATERIALIZED (SELECT n.id, coalesce(r.s / t.m, CAST(0.0 AS DOUBLE)) AS a
            | FROM nodes n LEFT JOIN a${k}r r USING (id) CROSS JOIN a${k}m t),
-           |h${k}r AS (SELECT e.src AS id, sum(a.a) AS s
+           |h${k}r AS MATERIALIZED (SELECT e.src AS id, sum(a.a) AS s
            | FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY 1),
            |h${k}m AS (SELECT max(s) AS m FROM h${k}r),
-           |h$k AS (SELECT n.id, coalesce(r.s / t.m, CAST(0.0 AS DOUBLE)) AS h
+           |h$k AS MATERIALIZED (SELECT n.id, coalesce(r.s / t.m, CAST(0.0 AS DOUBLE)) AS h
            | FROM nodes n LEFT JOIN h${k}r r USING (id) CROSS JOIN h${k}m t)""".stripMargin
       }.mkString(",\n")
       s"""WITH ids AS (SELECT doc_id FROM documents),

@@ -87,19 +87,14 @@ object Similarity {
                maxIter: Int = 5, trainCap: Int = 20000): (DataFrame, Array[Array[Double]]) = {
     val vecs = corpus.select(col(vecCol))
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-    val total = vecs.count()
-    val hashed = vecs.withColumn("__h", xxhash64(col(vecCol), lit(seed)))
-    val thinned =
-      if (total <= trainCap) hashed
-      else {
-        // keep ~1.2x trainCap via hash-bucket threshold (2^20 buckets); the
-        // headroom makes an under-full sample vanishingly unlikely, and the
-        // local truncation below restores the exact cap.
-        val buckets = 1L << 20
-        val cut = math.min(buckets,
-          math.ceil(trainCap.toDouble * 1.2 / total * buckets).toLong)
-        hashed.filter(pmod(col("__h"), lit(buckets)) < lit(cut))
-      }
+    // The trainCap lowest-content-hash rows: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-K, one merge on the driver)
+    // — ONE corpus pass, no count job, and the same unbiased deterministic
+    // sample as the former count+Bernoulli-thin+local-sort (partition and
+    // file order still never influence which vectors train the quantizer;
+    // the r7 count+filter pair cost a second full scan per index build).
+    val thinned = vecs.withColumn("__h", xxhash64(col(vecCol), lit(seed)))
+      .orderBy(col("__h")).limit(trainCap)
     def unit(v: Array[Double]): Array[Double] = {
       var n = 0.0; var j = 0
       while (j < v.length) { n += v(j) * v(j); j += 1 }

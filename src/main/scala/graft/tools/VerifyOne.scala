@@ -20,7 +20,11 @@ object VerifyOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val wanted = names.split(',').toSeq
+    // "@sql" dumps oracle_sql.json for EVERY gate without running any
+    // query — the fast path when only oracle SQL text changed.
+    val wanted =
+      if (names == "@sql") Seq.empty
+      else names.split(',').toSeq
     // Per-gate try/catch like `Verify`: one broken gate must not hide the
     // status of the rest of a multi-failure round.
     val failed = wanted.flatMap { n =>
@@ -43,7 +47,8 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = wanted.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+    val sqlNames = if (names == "@sql") graft.SparkEntry.oracleSql.keys.toSeq.sorted else wanted
+    val json = sqlNames.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
