@@ -533,6 +533,15 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    "streaming_session_window" -> ((s, dir) =>
+      // The SAME session-window aggregation as `session_window_events`, but
+      // executed by the STREAMING engine: readStream -> stateful
+      // session_window merge -> Trigger.AvailableNow, run to completion.
+      // One oracle covers both execution paths (the streaming_windowed
+      // promotion pattern).
+      graft.streaming.Streaming.runSessionWindowAvailableNow(
+        s, s"$dir/events.parquet")),
+
     "html_main_content" -> ((s, dir) => {
       // Boilerplate removal: the corpus text embedded in a page skeleton
       // with a nav bar (short -> dropped), a link farm (link-dense ->
@@ -1364,6 +1373,12 @@ object SparkEntry {
       // full oracle.
       LangModel.bigramScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    "lm_kneser_ney" -> ((s, dir) =>
+      // Interpolated Kneser–Ney bigram LM (LangModel.kneserNeyBigramScore):
+      // the absolute-discount + continuation-probability smoothing real
+      // CCNet-style filters use. Same weighted-mean trick -> full oracle.
+      LangModel.kneserNeyBigramScore(t(s, dir, "documents"), "text", "doc_id")),
+
     "dsir_weights" -> ((s, dir) => {
       // DSIR data selection (Dsir scaladoc): importance-weight every doc
       // against a trusted target subset (doc_id%5==0 stands in for the
@@ -1708,6 +1723,26 @@ object SparkEntry {
     * `documents` with target = `doc_id % 5 = 0`, shared by the
     * `dsir_weights` and `dsir_budget_pack` oracles.
     */
+  /** Shared by `session_window_events` (batch) and
+    * `streaming_session_window` (streaming engine) — identical output
+    * contract, one oracle for both execution paths.
+    */
+  private lazy val sessionWindowSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, epoch_us(ts) AS tsu, value,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |sess AS (
+      | SELECT user_id, tsu, value,
+      |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      | FROM flagged)
+      |SELECT user_id, MIN(tsu) AS start_us, MAX(tsu) + 1800000000 AS end_us,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   private lazy val dsirWeightsSqlCtes: String =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |f AS (SELECT doc_id, f FROM (
@@ -2192,22 +2227,11 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, session_index""".stripMargin,
 
     // session_window boundary semantics: a gap of exactly `gap` STARTS a
-    // new session (half-open window merge), and end = last_ts + gap.
-    "session_window_events" ->
-      """WITH flagged AS (
-        | SELECT user_id, epoch_us(ts) AS tsu, value,
-        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
-        |sess AS (
-        | SELECT user_id, tsu, value,
-        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
-        | FROM flagged)
-        |SELECT user_id, MIN(tsu) AS start_us, MAX(tsu) + 1800000000 AS end_us,
-        | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
-        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    // new session (half-open window merge), and end = last_ts + gap. The
+    // streaming twin runs the identical aggregation through the streaming
+    // engine — one oracle covers both execution paths.
+    "session_window_events" -> sessionWindowSql,
+    "streaming_session_window" -> sessionWindowSql,
 
     "html_main_content" -> {
       def stripSql(in: String): String =
@@ -3560,6 +3584,29 @@ object SparkEntry {
          |FROM (SELECT tf2.doc_id, tf2.tf,
          |   tf2.tf * ln((cf2.c2 + 0.5) / (c1t.c1 + 0.5 * vv.v)) AS wlp
          |  FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv) s
+         |GROUP BY doc_id""".stripMargin,
+
+    // Interpolated KN with D=0.75: max(c2-D,0) discount mass redistributed
+    // via continuation probability N1+(*,w2)/B; N1+ counts are row counts
+    // of the bigram-TYPE table, exactly as the engine derives them from
+    // cf2. Identical expression shape left-to-right.
+    "lm_kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |cf2 AS MATERIALIZED (SELECT w1, w2, sum(tf) AS c2 FROM tf2 GROUP BY 1, 2),
+         |c1t AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM cf2 GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n1b FROM cf2 GROUP BY 1),
+         |bt AS (SELECT count(*) AS b FROM cf2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         | round(sum(wlp) / sum(tf), 6) AS avg_logprob,
+         | round(exp(-(sum(wlp) / sum(tf))), 6) AS perplexity
+         |FROM (SELECT tf2.doc_id, tf2.tf,
+         |   tf2.tf * ln((greatest(cf2.c2 - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |     + CAST(0.75 AS DOUBLE) * c1t.n1f * (cont.n1b / bt.b)) / c1t.c1) AS wlp
+         |  FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1t USING (w1)
+         |  JOIN cont USING (w2) CROSS JOIN bt) s
          |GROUP BY doc_id""".stripMargin,
 
     // Same feature build (u:/b:-prefixed unigrams+bigrams), same add-k

@@ -111,6 +111,63 @@ object LangModel {
         round(exp(-col("__avg")), 6).as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing the real CCNet-style perplexity filters use, where add-k
+    * systematically over-penalizes rare-but-fluent continuations):
+    * {{{
+    *   P(w2|w1) = (max(c2(w1,w2) - D, 0) + D * N1+(w1,*) * Pcont(w2)) / c1(w1)
+    *   Pcont(w2) = N1+(*,w2) / B
+    * }}}
+    * with `c2` the bigram count, `c1(w1) = sum_w2 c2`, `N1+(w1,*)` the
+    * distinct continuations of `w1`, `N1+(*,w2)` the distinct left
+    * contexts of `w2`, `B` the number of distinct bigram TYPES, and fixed
+    * discount `D in (0,1)`. Self-scoring keeps every probability positive
+    * (`c2 >= 1 > D`). Output matches [[bigramScore]]'s shape:
+    * `(id, n_bigrams, avg_logprob, perplexity)`, 6-dp rounded.
+    *
+    * Scale shape: identical to [[bigramScore]] — the count (`cf2`),
+    * context (`c1` + continuation fan-out), right-context (`cont`), and
+    * type-total aggregates ALL consume the one (doc,w1,w2) subtree
+    * (ReusedExchange, one corpus scan); join sides are bigram-vocabulary
+    * sized; the type total is a 1-row broadcast.
+    */
+  def kneserNeyBigramScore(df: DataFrame, textCol: String, idCol: String,
+                           discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "KN discount must be in (0,1)")
+    val tk = TextAnalysis.toks(col(textCol))
+    val n = size(tk)
+    val pairs = zip_with(
+      slice(tk, lit(1), greatest(n - 1, lit(0))),
+      slice(tk, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val tf2 = df.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__tf"))
+    // Model tables all derive from cf2 so the corpus is scanned once; cf2
+    // row-count per key IS the distinct-continuation count (N1+).
+    val cf2 = tf2.groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf")).as("__c2"))
+    val c1 = cf2.groupBy(col("__w1"))
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = cf2.groupBy(col("__w2")).agg(count(lit(1)).as("__n1b"))
+    val bt = cf2.agg(count(lit(1)).as("__b"))
+    val d = lit(discount)
+    tf2.join(cf2, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+      .join(cont, Seq("__w2"))
+      .crossJoin(broadcast(bt))
+      .select(col(idCol), col("__tf"),
+        (col("__tf") * log(
+          (greatest(col("__c2") - d, lit(0.0)) +
+            d * col("__n1f") * (col("__n1b") / col("__b"))) / col("__c1")))
+          .as("__wlp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("long").as("n_bigrams"),
+        (sum(col("__wlp")) / sum(col("__tf"))).as("__avg"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__avg"), 6).as("avg_logprob"),
+        round(exp(-col("__avg")), 6).as("perplexity"))
+  }
+
   /** CCNet's final step (Wenzek et al. 2020 §4.3): bucket documents into
     * per-language perplexity bands — head (most fluent third), middle,
     * tail — because BOTH extremes are suspect at web scale (head skews to

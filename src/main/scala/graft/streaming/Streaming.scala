@@ -183,6 +183,40 @@ object Streaming {
     }
   }
 
+  /** The session_window aggregation executed as a REAL streaming query —
+    * stateful session-window merging through the streaming engine, run to
+    * completion with `Trigger.AvailableNow`. Complete-mode memory sink
+    * keeps the result deterministic (no watermark-withheld tail sessions)
+    * regardless of micro-batch splits, exactly the [[runWindowedAvailableNow]]
+    * pattern; the always-on deployment is
+    * [[graft.operators.Sessionize.streamingSessionStats]] with a watermark
+    * to a real sink. Output columns match the batch gate
+    * (`session_window_events`) so ONE oracle covers both execution paths.
+    */
+  def runSessionWindowAvailableNow(spark: SparkSession, eventsPath: String,
+                                   gap: String = "30 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    runToLocalFrame(spark, "ssw_") { (name, ckpt) =>
+      val ev = graft.operators.EventTime.tsMicros(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", p.getName)
+            .parquet(p.getParent.toString), "ts")
+        .select(col("user_id"), timestamp_micros(col("ts")).as("ts"), col("value"))
+      graft.operators.Sessionize.streamingSessionStats(ev, "user_id", "ts", gap)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Streaming first-seen dedup via mapGroupsWithState: one state entry per
     * fingerprint; each (fingerprint, first source) is emitted once, repeats
     * emit nothing. State grows with distinct fingerprints — a production

@@ -71,6 +71,29 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((1L, r6(lpBC))))
   }
 
+  test("Kneser–Ney scores match the hand-computed interpolated formula") {
+    // "a b a b" + "b c": cf2 = {(a,b):2, (b,a):1, (b,c):1}; c1(a)=2,
+    // c1(b)=2; N1+(a,*)=1, N1+(b,*)=2; N1+(*,b)=1, N1+(*,a)=1,
+    // N1+(*,c)=1; B=3. D=0.75:
+    //  P(b|a) = ((2-D) + D*1*(1/3)) / 2
+    //  P(a|b) = ((1-D) + D*2*(1/3)) / 2
+    //  P(c|b) = ((1-D) + D*2*(1/3)) / 2
+    val corpus2 = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = LangModel.kneserNeyBigramScore(corpus2, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    val d = 0.75
+    val lpAB = math.log(((2 - d) + d * 1 * (1.0 / 3)) / 2)
+    val lpBA = math.log(((1 - d) + d * 2 * (1.0 / 3)) / 2)
+    val lpBC = lpBA
+    assert(got(1L) == ((3L, r6((2 * lpAB + lpBA) / 3.0))))
+    assert(got(2L) == ((1L, r6(lpBC))))
+    // Per-context probabilities sum to <= 1 with the leftover mass going
+    // to unseen continuations: P(b|a) < 1 despite a->b being the only
+    // observed transition (the smoothing actually discounts).
+    assert(math.exp(lpAB) < 1.0 && math.exp(lpAB) > 0.6)
+  }
+
   test("documents with fewer than two tokens are absent from bigram output") {
     val weird = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]),
       (4L, "two tokens")).toDF("doc_id", "text")
