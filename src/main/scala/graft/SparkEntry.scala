@@ -939,6 +939,17 @@ object SparkEntry {
       Dedup.contaminationFlagsBloom(docs, evalSet, "text", "doc_id", "prompt", n = 13)
     }),
 
+    "contamination_fraction" -> ((s, dir) => {
+      // Overlap-fraction decontamination (Dedup.contaminationFraction):
+      // the PaLM/Llama-style dirty-doc criterion over the same planted
+      // benchmark as `decontamination` — the eval docs themselves land at
+      // fraction 1.0, near-copies high, everything else 0.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0).select(col("text").as("prompt"))
+      Dedup.contaminationFraction(docs, evalSet, "text", "doc_id", "prompt",
+        n = 13, dirtyThreshold = 0.2)
+    }),
+
     "dup_span_density" -> ((s, dir) => {
       // Span-level duplication density (distinct 13-gram windows shared
       // with any other doc) over the corpus plus planted %7 copies — the
@@ -2845,6 +2856,30 @@ object SparkEntry {
     },
 
     "decontamination" -> decontaminationSql,
+
+    // Same 13-gram CTEs as decontamination; the fraction divides by the
+    // doc's DISTINCT gram total (dg rows are unique per doc because s is
+    // list_distinct, so count(*) = matched distinct grams). `dirty`
+    // thresholds the unrounded ratio, exactly as the engine does.
+    "contamination_fraction" -> {
+      val catTerms = (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS MATERIALIZED (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 13
+         |   THEN list_transform(range(1, len(toks) - 11), i -> $catTerms)
+         |   ELSE []::VARCHAR[] END) AS sh FROM t),
+         |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+         |dg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |m AS (SELECT dg.doc_id, count(*) AS matched
+         |      FROM dg JOIN e ON dg.g = e.g GROUP BY dg.doc_id),
+         |tot AS (SELECT doc_id, len(sh) AS total FROM s)
+         |SELECT tot.doc_id, CAST(tot.total AS BIGINT) AS total_grams,
+         | CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_grams,
+         | round(CASE WHEN tot.total = 0 THEN 0.0
+         |  ELSE CAST(coalesce(m.matched, 0) AS DOUBLE) / tot.total END, 6) AS overlap_fraction,
+         | tot.total > 0 AND CAST(coalesce(m.matched, 0) AS DOUBLE) / tot.total > 0.2 AS dirty
+         |FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id""".stripMargin
+    },
 
     // Bloom prefilter + exact verify must be row-identical to the exact
     // broadcast-join formulation — one oracle covers both paths.

@@ -238,6 +238,47 @@ object Dedup {
         (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-document eval-overlap FRACTION — the "dirty document" criterion
+    * later-generation decontamination pipelines threshold on (PaLM /
+    * Llama-style: a doc is dirty when a large share of its n-grams appear
+    * in the benchmark; [[contaminationFlags]]' any-collision flag is the
+    * GPT-3-style conservative special case). Output: `(id, total_grams,
+    * matched_grams, overlap_fraction, dirty)`; gram-less docs report 0.0
+    * and clean. `dirty` thresholds the UNROUNDED fraction.
+    *
+    * Scale shape: identical broadcast posture to [[contaminationFlags]] —
+    * the eval-gram side broadcasts, the 100 TB corpus side is scanned
+    * once; posexplode over the DISTINCT gram array keeps the per-doc
+    * total recoverable as `max(pos) + 1` (no second shingle pass — the
+    * [[duplicationDensity]] trick); only doc-key rollups shuffle.
+    */
+  def contaminationFraction(docs: DataFrame, evalSet: DataFrame,
+                            textCol: String, idCol: String, evalTextCol: String,
+                            n: Int = 13, dirtyThreshold: Double = 0.2,
+                            broadcastEval: Boolean = true): DataFrame = {
+    val grams = Partitioning.ensureParallelism(docs)
+      .select(col(idCol),
+        posexplode(array_distinct(shingles(col(textCol), n))).as(Seq("__pos", "__gram")))
+    val evalGramsRaw = evalSet
+      .select(explode(shingles(col(evalTextCol), n)).as("__gram")).distinct()
+      .withColumn("__hit", lit(1L))
+    val evalGrams = if (broadcastEval) broadcast(evalGramsRaw) else evalGramsRaw
+    val perDoc = grams.join(evalGrams, Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg((max(col("__pos")) + 1).cast("long").as("total_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("matched_grams"))
+    docs.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"))
+      .withColumn("overlap_fraction",
+        round(when(col("total_grams") === 0L, lit(0.0))
+          .otherwise(col("matched_grams").cast("double") / col("total_grams")), 6))
+      .withColumn("dirty", col("total_grams") > 0L &&
+        col("matched_grams").cast("double") / col("total_grams") > dirtyThreshold)
+  }
+
   /** [[contaminationFlags]] for an eval corpus too big to broadcast as a
     * hash relation: a Bloom filter over the distinct eval grams (~10 bits
     * per gram at `fpp` 1% — 10-50x smaller than the gram strings) broadcasts

@@ -45,6 +45,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"expected broadcast eval side, got:\n$plan")
   }
 
+  test("contamination fraction: distinct-gram overlap share and dirty threshold") {
+    // doc A: 6 tokens -> 2 distinct 5-grams, one shared with the eval set
+    // -> fraction 0.5; doc B: eval text verbatim -> 1.0; doc C: clean ->
+    // 0.0; doc D: too short for a 5-gram -> total 0, clean.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely unrelated tokens in this sentence"),
+      (4L, "too short")
+    ).toDF("id", "txt")
+    val evalSet = Seq("the quick brown fox jumps").toDF("prompt")
+    val out = Dedup.contaminationFraction(docs, evalSet, "txt", "id", "prompt",
+        n = 5, dirtyThreshold = 0.4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("total_grams"), r.getAs[Long]("matched_grams"),
+          r.getAs[Double]("overlap_fraction"), r.getAs[Boolean]("dirty")))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5, true)))
+    assert(out(2L) == ((1L, 1L, 1.0, true)))
+    assert(out(3L) == ((2L, 0L, 0.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+    // threshold is strict: a fraction exactly AT the threshold stays clean
+    val strict = Dedup.contaminationFraction(docs, evalSet, "txt", "id", "prompt",
+        n = 5, dirtyThreshold = 0.5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("dirty")).toMap
+    assert(!strict(1L) && strict(2L))
+  }
+
   test("bloom decontamination is row-identical to the exact path, even undersized") {
     val evalSet = Seq("the quick brown fox jumps").toDF("prompt")
     val exact = Dedup.contaminationFlags(corpus, evalSet, "txt", "id", "prompt", n = 5)
