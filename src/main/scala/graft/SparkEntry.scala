@@ -479,6 +479,17 @@ object SparkEntry {
           coalesce(round(col("click_value"), 6), lit(-1.0)).as("last_click_value"))
     }),
 
+    "stratified_split" -> ((s, dir) =>
+      // EXACT-count per-language split (Sampling.exactStratifiedSplit):
+      // within each lang stratum, hash-ranked rows take train/val/test at
+      // exact ceil-cumulative boundaries — the frozen-corpus complement of
+      // the append-stable Bernoulli `sample_split`.
+      Sampling.exactStratifiedSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))),
+
     "sample_split" -> ((s, dir) => {
       // Deterministic hash sampling + train/val/test split: membership is a
       // pure function of (doc_id, salt), stable under repartitioning and
@@ -2196,6 +2207,22 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id,
         | coalesce(round(r.click_value, 6), -1.0) AS last_click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu""".stripMargin,
+
+    // Same hash rank, same ceil-cumulative boundaries (the double product
+    // 0.8 * n is IEEE-identical in both engines, so the ceil agrees even
+    // at representation edges like 0.8 * 50).
+    "stratified_split" ->
+      """WITH r AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT doc_id, lang,
+        | CASE WHEN rn <= CAST(ceil(0.8 * n) AS BIGINT) THEN 'train'
+        |      WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM r""".stripMargin,
 
     "sample_split" ->
       """WITH h AS (

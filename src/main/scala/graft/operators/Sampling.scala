@@ -84,6 +84,39 @@ object Sampling {
     }
   }
 
+  /** EXACT-count stratified split: within each stratum, rows rank by the
+    * salted md5 hash and the first `ceil(cum_fraction * n)` ranks take
+    * each label in order — per-stratum counts are exact, where the
+    * Bernoulli hash predicate ([[splitColumn]]) fluctuates ~sqrt(n). For
+    * small strata the fluctuation IS the stratum: a 50-doc language at a
+    * 10% validation fraction can draw 0 or 12 validation docs under the
+    * predicate, exactly 5 here. Deterministic given (stratum contents,
+    * salt) but NOT append-stable — adding rows shifts ranks — so use
+    * [[splitColumn]] for incrementally-growing corpora and this for
+    * frozen-corpus exact splits.
+    *
+    * Scale shape: one rank window per stratum (hash-partitioned on the
+    * stratum key). A skewed mega-stratum pays its sort on one partition —
+    * the same cost class as CCNet's exact ntile banding, with the same
+    * sampled-cutpoint escape hatch if a stratum outgrows an executor.
+    */
+  def exactStratifiedSplit(df: DataFrame, strataCol: String, keyCol: String,
+                           splits: Seq[(String, Double)],
+                           salt: String = "graft"): DataFrame = {
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => if (math.abs(c - 1.0) < 1e-9) 1.0 else c)
+    require(cum.last <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val strata = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val hash = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val rn = row_number().over(strata.orderBy(hash, col(keyCol)))
+    val n = count(lit(1)).over(strata)
+    val label = splits.map(_._1).zip(cum).foldRight(lit(null).cast("string")) {
+      case ((lbl, c), acc) =>
+        when(rn <= ceil(lit(c) * n).cast("long"), lit(lbl)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic epoch shuffle: assign every row its 0-based position
     * `shuffle_pos` in the training order `md5(keyCols || salt)` — change
     * the salt, get an independent permutation; keep it, get the identical

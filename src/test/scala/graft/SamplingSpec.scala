@@ -126,6 +126,39 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert((20L to 24L).forall(i => split(i) == plain(i)))
   }
 
+  test("exactStratifiedSplit: per-stratum counts are exact and deterministic") {
+    import spark.implicits._
+    // 50-row and 7-row strata: the Bernoulli predicate would fluctuate;
+    // exact split must give ceil-boundary counts per stratum.
+    val df = ((1L to 50L).map(i => (i, "big")) ++ (101L to 107L).map(i => (i, "small")))
+      .toDF("id", "lang")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.exactStratifiedSplit(df, "lang", "id", splits)
+      .groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // Boundaries via the same double arithmetic the engine uses (0.8 * n
+    // can land a hair above the exact product; ceil must agree with it).
+    val bTrain = math.ceil(0.8 * 50).toLong
+    val bVal = math.ceil(0.9 * 50).toLong - bTrain
+    def cnt(k: (String, String)): Long = out.getOrElse(k, 0L)
+    assert(cnt(("big", "train")) == bTrain)
+    assert(cnt(("big", "val")) == bVal)
+    assert(cnt(("big", "test")) == 50 - bTrain - bVal)
+    // n=7: ceil(5.6)=6 train, ceil(6.3)=7 -> val takes the last row and
+    // test is legitimately EMPTY — ceil boundaries can exhaust a small
+    // stratum before the tail label.
+    val sTrain = math.ceil(0.8 * 7).toLong
+    val sVal = math.ceil(0.9 * 7).toLong - sTrain
+    assert(cnt(("small", "train")) == sTrain && cnt(("small", "val")) == sVal)
+    assert(cnt(("small", "test")) == 7 - sTrain - sVal)
+    // every row labeled; repartitioning does not move any row
+    val a = Sampling.exactStratifiedSplit(df, "lang", "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.exactStratifiedSplit(df.repartition(7), "lang", "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b && a.values.forall(_ != null))
+  }
+
   test("shardOf: in-range, deterministic, engine-stable hex math, power-of-16 only") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
