@@ -490,6 +490,16 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    "length_outliers" -> ((s, dir) =>
+      // Robust per-source length screening (Profile.robustOutliers):
+      // median/MAD with a 3-MAD fence — the outlier-resistant replacement
+      // for mean/stddev z-scores. p=0.5 interpolation over integer lengths
+      // yields exact .0/.5 doubles, so the unrounded fence comparison is
+      // engine-identical.
+      Profile.robustOutliers(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
     "sample_split" -> ((s, dir) => {
       // Deterministic hash sampling + train/val/test split: membership is a
       // pure function of (doc_id, salt), stable under repartitioning and
@@ -2223,6 +2233,23 @@ object SparkEntry {
         |      WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN 'val'
         |      ELSE 'test' END AS split
         |FROM r""".stripMargin,
+
+    // Same two-phase median/MAD joins; quantile_cont == Spark's
+    // interpolated percentile, and at p=0.5 over integer data the
+    // interpolation lands on exact .0/.5 doubles, so the unrounded
+    // 3-MAD fence agrees bitwise.
+    "length_outliers" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |med AS (SELECT source, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1),
+        |mad AS (SELECT b.source, max(med.med) AS med2,
+        |  quantile_cont(abs(b.v - med.med), 0.5) AS mad
+        | FROM b JOIN med USING (source) GROUP BY b.source)
+        |SELECT b.source, count(*) AS n,
+        | round(max(mad.med2), 6) AS med_v,
+        | round(max(mad.mad), 6) AS mad_v,
+        | CAST(sum(CASE WHEN abs(b.v - mad.med2) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(CAST(sum(CASE WHEN abs(b.v - mad.med2) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_frac
+        |FROM b JOIN mad USING (source) GROUP BY b.source""".stripMargin,
 
     "sample_split" ->
       """WITH h AS (

@@ -99,6 +99,43 @@ object Profile {
     * the [[Dsir.selectTopFraction]] posture — never the corpus); then a
     * 1-row moment aggregate.
     */
+  /** Robust per-group outlier report over one numeric column: median, MAD
+    * (median absolute deviation), and how many rows sit outside
+    * `median ± k * MAD` — the robust z-score curation signal (a source
+    * whose length distribution needs mean/stddev screening gets wrecked by
+    * the very outliers being hunted; median/MAD doesn't). Output one row
+    * per group: `(group, n, med_v, mad_v, n_outliers, outlier_frac)`.
+    * `mad_v = 0` (constant-valued group) flags any deviating row — there
+    * are none by construction, so the group reports 0 outliers.
+    *
+    * Scale shape: exact interpolated percentiles are per-group sort-based
+    * aggregates (the `event_percentiles` cost class); the two aggregate
+    * passes join back through a group-cardinality-sized broadcast, and the
+    * data rows themselves shuffle only on the group key. At web scale swap
+    * `percentile` for `approx_percentile` (t-digest) — same contract,
+    * approximate cutpoints.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol), v.as("__v"))
+    val med = base.groupBy(col(groupCol))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val mad = base.join(med, Seq(groupCol))
+      .select(col(groupCol), col("__med"), abs(col("__v") - col("__med")).as("__ad"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__med")).as("__med2"), expr("percentile(__ad, 0.5)").as("__mad"))
+    base.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med2")), 6).as("med_v"),
+        round(max(col("__mad")), 6).as("mad_v"),
+        sum((abs(col("__v") - col("__med2")) > lit(k) * col("__mad"))
+          .cast("long")).as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cf = Partitioning.ensureParallelism(df)

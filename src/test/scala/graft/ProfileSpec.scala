@@ -63,4 +63,20 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     val mono = Profile.zipfFit(Seq((1L, "a a a")).toDF("id", "text"), "text").collect()(0)
     assert(mono.getLong(0) == 1 && mono.isNullAt(1) && mono.isNullAt(2) && mono.isNullAt(3))
   }
+
+  test("robustOutliers: median/MAD fence flags the planted spike, constant group is calm") {
+    // group a: 1..9 plus a 1000 spike -> med 5.5; sorted |v-med| =
+    // (0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5) -> MAD 2.5; fence
+    // 3*2.5 = 7.5 flags only the spike (|1-5.5|=4.5 and |9-5.5|=3.5 pass).
+    // group b: constant value -> MAD 0, zero outliers.
+    val df = ((1 to 9).map(v => ("a", v.toLong)) :+ ("a", 1000L)) ++
+      (1 to 5).map(_ => ("b", 7L))
+    val out = Profile.robustOutliers(df.toDF("src", "len"), "src", "len")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("med_v"), r.getAs[Double]("mad_v"),
+          r.getAs[Long]("n_outliers")))).toMap
+    assert(out("a")._1 == 10L && out("a")._4 == 1L)
+    assert(out("a")._2 == 5.5 && out("a")._3 == 2.5)
+    assert(out("b") == ((5L, 7.0, 0.0, 0L)))
+  }
 }
