@@ -125,11 +125,15 @@ object LangModel {
     * (`c2 >= 1 > D`). Output matches [[bigramScore]]'s shape:
     * `(id, n_bigrams, avg_logprob, perplexity)`, 6-dp rounded.
     *
-    * Scale shape: identical to [[bigramScore]] — the count (`cf2`),
-    * context (`c1` + continuation fan-out), right-context (`cont`), and
-    * type-total aggregates ALL consume the one (doc,w1,w2) subtree
-    * (ReusedExchange, one corpus scan); join sides are bigram-vocabulary
-    * sized; the type total is a 1-row broadcast.
+    * Scale shape: the (doc,w1,w2) aggregate is localCheckpointed ONCE (the
+    * [[Bm25]] tf-table pattern) and the four model aggregates plus the
+    * scoring join all read the checkpoint — the corpus is scanned exactly
+    * once. Plain ReusedExchange does NOT survive here: each model table
+    * prunes different columns from the shared subtree, so Catalyst
+    * specializes four non-identical copies (measured: 4 corpus explodes
+    * without the checkpoint). Join sides are bigram-vocabulary sized; the
+    * type total is a 1-row broadcast. Storage is executor-local and
+    * GC-reclaimed.
     */
   def kneserNeyBigramScore(df: DataFrame, textCol: String, idCol: String,
                            discount: Double = 0.75): DataFrame = {
@@ -144,8 +148,9 @@ object LangModel {
       .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
       .groupBy(col(idCol), col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__tf"))
-    // Model tables all derive from cf2 so the corpus is scanned once; cf2
-    // row-count per key IS the distinct-continuation count (N1+).
+      .localCheckpoint(true)
+    // Model tables all derive from cf2; cf2 row-count per key IS the
+    // distinct-continuation count (N1+).
     val cf2 = tf2.groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf")).as("__c2"))
     val c1 = cf2.groupBy(col("__w1"))
       .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1f"))

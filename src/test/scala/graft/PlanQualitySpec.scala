@@ -292,4 +292,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) > winIdx,
       s"window must run over the count aggregate\n${p.take(700)}")
   }
+
+  test("contamination_fraction: the eval-gram side broadcasts (corpus never shuffles at gram grain)") {
+    val p = plan("contamination_fraction").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval side must broadcast\n${p.take(700)}")
+  }
+
+  test("stratified_split: one stratum-key shuffle feeds the rank window") {
+    val p = plan("stratified_split").split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly one shuffle, saw $shuffles\n${p.take(700)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "split must not serialize through a single partition")
+  }
+
+  test("length_outliers: group-table joins broadcast; no data-row cartesian") {
+    val p = plan("length_outliers").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(700))
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD group tables must broadcast back\n${p.take(700)}")
+  }
+
+  test("lm_kneser_ney: model aggregates read the checkpointed bigram table, not the corpus") {
+    // The (doc,w1,w2) table is localCheckpointed once (BM25 tf pattern):
+    // the final query must contain ZERO corpus explodes — every path scans
+    // the checkpoint RDD.
+    val q = SparkEntry.queries("lm_kneser_ney")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllIn(p).isEmpty,
+      s"a model path re-exploded the corpus instead of reading the checkpoint\n${p.take(900)}")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "aggregates must combine map-side")
+  }
 }
