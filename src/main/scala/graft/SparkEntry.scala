@@ -490,6 +490,19 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    "quality_calibrate" -> ((s, dir) => {
+      // Cross-source score calibration (Profile.percentRankBy): each doc's
+      // quality becomes its within-source percentile, so one threshold
+      // means the same thing on every source. Quality is the 6-dp-rounded
+      // TextAnalysis score, making the rank order engine-identical.
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("quality"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Profile.percentRankBy(scored, "source", "quality")
+        .select(col("doc_id"), col("source"), col("quality"), col("pct_rank"))
+    }),
+
     "length_outliers" -> ((s, dir) =>
       // Robust per-source length screening (Profile.robustOutliers):
       // median/MAD with a 3-MAD fence — the outlier-resistant replacement
@@ -2233,6 +2246,15 @@ object SparkEntry {
         |      WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN 'val'
         |      ELSE 'test' END AS split
         |FROM r""".stripMargin,
+
+    // Same quality CTE chain as quality_score; percent_rank has identical
+    // (rank-1)/(n-1) tie-sharing semantics in both engines, over the
+    // 6-dp-rounded quality so the order agrees exactly.
+    "quality_calibrate" ->
+      s"""WITH $qualitySqlCtes
+         |SELECT q.doc_id, d.source, q.quality,
+         | round(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality), 6) AS pct_rank
+         |FROM qscore q JOIN documents d ON q.doc_id = d.doc_id""".stripMargin,
 
     // Same two-phase median/MAD joins; quantile_cont == Spark's
     // interpolated percentile, and at p=0.5 over integer data the

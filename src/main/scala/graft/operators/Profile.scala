@@ -136,6 +136,25 @@ object Profile {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** Per-group percent-rank calibration of a score column: appends
+    * `pct_rank` in [0,1] computed WITHIN each group — the rank-based
+    * normalization that makes one quality threshold comparable across
+    * sources whose raw score distributions differ (a 0.6 from a
+    * clean-books source and a 0.6 from a web crawl are not the same
+    * signal; their within-source percentiles are). Ties share a rank
+    * (percent_rank semantics), so the output is deterministic without a
+    * tie-break key; single-member groups calibrate to 0.0.
+    *
+    * Scale shape: one window per group (hash-partitioned on the group
+    * key) — the CCNet-banding cost class; a skewed mega-group pays its
+    * sort, with sampled cutpoints as the web-scale escape hatch.
+    */
+  def percentRankBy(df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cf = Partitioning.ensureParallelism(df)

@@ -64,6 +64,20 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(mono.getLong(0) == 1 && mono.isNullAt(1) && mono.isNullAt(2) && mono.isNullAt(3))
   }
 
+  test("percentRankBy: within-group ranks, tie sharing, single-member group at 0") {
+    val df = Seq(
+      ("a", 1L, 0.2), ("a", 2L, 0.5), ("a", 3L, 0.5), ("a", 4L, 0.9),
+      ("b", 5L, 0.1)
+    ).toDF("src", "id", "q")
+    val got = Profile.percentRankBy(df, "src", "q")
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("pct_rank")).toMap
+    // group a (n=4): ranks (1,2,2,4) -> (0, 1/3, 1/3, 1)
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(got(2L) == got(3L) && got(2L) == 0.333333)
+    // singleton group: percent_rank of the only row is 0
+    assert(got(5L) == 0.0)
+  }
+
   test("robustOutliers: median/MAD fence flags the planted spike, constant group is calm") {
     // group a: 1..9 plus a 1000 spike -> med 5.5; sorted |v-med| =
     // (0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5) -> MAD 2.5; fence
