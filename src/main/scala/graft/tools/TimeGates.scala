@@ -2,8 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratch: time a subset of gates N times each within one session
-  * (JIT-warm), for diagnosing run-to-run variance. Deleted after use.
+/** Committed dev tool (like [[VerifyOne]]): time a subset of gates N times
+  * each within ONE session, so JIT/classload warm-up is visible as rep-1
+  * and the warm steady-state as the later reps — the fast way to tell a
+  * real per-gate regression from run-order noise without a full Bench
+  * sweep (used to diagnose the r7 dsir_weights / similarity_ivf swings).
   * Usage: runMain graft.tools.TimeGates <gate[,gate...]> <sfDir> <reps>
   */
 object TimeGates {
