@@ -85,4 +85,43 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
         zip("xl/sharedStrings.xml" -> sst, "xl/worksheets/sheet1.xml" -> sheet)) ==
         ps.mkString("\n")
     }
+
+  property("ole2 round-trip: scraped text contains every authored sentence") =
+    forAll(paras) { ps =>
+      // Sentences >= the 5-char printable-run floor survive the scrape in
+      // order; runs under it may drop (best-effort contract).
+      val body = ps.map(p => p + " end").mkString(". ")
+      val got = DocumentExtract.extract("doc", "p.doc",
+        DocumentExtractSpec.cfbFixture("WordDocument", body))
+      ps.filter(_.length >= 5).forall(got.contains)
+    }
+
+  // Adversarial robustness: arbitrary bytes behind the OLE2 magic, and bit
+  // flips over a VALID container, must either scrape (string) or fail
+  // loudly (IllegalArgumentException) — never hang, loop, or escape with a
+  // different error. The bounds/cycle guards of the CFB walker are exactly
+  // what this exercises.
+  private val magic =
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+
+  property("ole2 fuzz: random bytes after the magic never escape the contract") =
+    forAll(Gen.choose(0, 2048).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))) { tail =>
+      val bytes = magic ++ tail.toArray
+      try { DocumentExtract.extract("doc", "f.doc", bytes); true }
+      catch { case _: IllegalArgumentException => true }
+    }
+
+  property("ole2 fuzz: bit flips over a valid container never escape the contract") =
+    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 16)) { (seed, flips) =>
+      val base = DocumentExtractSpec.cfbFixture("WordDocument", "fuzz target body text")
+      val rnd = new scala.util.Random(seed)
+      val mutated = base.clone()
+      (1 to flips).foreach { _ =>
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { DocumentExtract.extract("doc", "m.doc", mutated); true }
+      catch { case _: IllegalArgumentException => true }
+    }
 }
