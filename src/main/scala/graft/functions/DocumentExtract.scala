@@ -703,12 +703,16 @@ object DocumentExtract {
       if (e >= 0) fatSectIds += e
     }
     var difat = i32At(bytes, 68)
-    var difatGuard = 0
-    while (difat != EndOfChain && difat >= 0 && difatGuard < MaxChainSectors) {
+    val difatSeen = mutable.HashSet.empty[Int]
+    while (difat != EndOfChain && difat >= 0) {
+      // Cycle guard like chain(): a self-referencing DIFAT sector would
+      // otherwise re-append the same FAT ids until the id list (and then
+      // the flattened FAT) OOMs — the one loop the chain() guard missed.
+      if (!difatSeen.add(difat))
+        throw new IllegalArgumentException("corrupt CFB DIFAT chain (cycle)")
       val es = ints(sector(difat))
       es.dropRight(1).foreach(e => if (e >= 0) fatSectIds += e)
       difat = es.last
-      difatGuard += 1
     }
     val fat: Array[Int] = fatSectIds.toArray.flatMap(s => ints(sector(s)))
     def chain(start: Int, table: Array[Int]): Seq[Int] = {

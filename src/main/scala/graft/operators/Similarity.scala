@@ -74,13 +74,13 @@ object Similarity {
     * with its nearest centroid.
     *
     * The training sample is UNBIASED and deterministic under (content,
-    * seed): a `.limit(trainCap)` would take whatever file sorts first, so
-    * at scale the centroids would be trained on one shard's distribution
-    * (r6 verdict finding). Instead the corpus is thinned by a content-hash
-    * Bernoulli filter to ~1.2x trainCap rows (one narrow filter pass; the
-    * only extra cost is a count, amortized over the index build), then the
-    * bounded collect is sorted by the same hash and truncated — partition
-    * and file order never influence which vectors train the quantizer.
+    * seed): a bare `.limit(trainCap)` would take whatever file sorts
+    * first, so at scale the centroids would be trained on one shard's
+    * distribution (r6 verdict finding). Instead the sample is the
+    * trainCap LOWEST-content-hash vectors via `orderBy(hash).limit` —
+    * planned as TakeOrderedAndProject (per-partition top-K, one driver
+    * merge, ONE corpus pass, no count job) — so partition and file order
+    * never influence which vectors train the quantizer.
     */
   def ivfIndex(corpus: DataFrame, vecCol: String = "embedding",
                nCells: Int = 16, seed: Long = 42L,

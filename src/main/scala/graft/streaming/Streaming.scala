@@ -155,20 +155,27 @@ object Streaming {
     }
   }
 
-  def runWindowedAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
-    // EventTime handles both fixture encodings of ts (legacy long-nanos,
-    // native timestamp[us]); the normalization is a pure projection, so it
-    // composes with the streaming frame unchanged.
+  /** Stream the events table with `ts` normalized to epoch micros — the
+    * streaming twin of [[graft.operators.EventTime.readMicros]], shared by
+    * both event-time streaming gates so a fixture-encoding or
+    * FileStreamSource workaround change has ONE site. EventTime's
+    * normalization is a pure projection, so it composes with the streaming
+    * frame unchanged; FileStreamSource needs a DIRECTORY to watch and the
+    * test tables are single files, hence parent dir + name filter.
+    */
+  private def streamEventsMicros(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-    // FileStreamSource needs a DIRECTORY to watch; the test tables are
-    // single files — stream the parent with a name filter.
     val p = new org.apache.hadoop.fs.Path(eventsPath)
+    graft.operators.EventTime.tsMicros(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString), "ts")
+  }
+
+  def runWindowedAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
     runToLocalFrame(spark, "sw_") { (name, ckpt) =>
-      graft.operators.EventTime.tsMicros(
-          spark.readStream.schema(schema)
-            .option("pathGlobFilter", p.getName)
-            .parquet(p.getParent.toString), "ts")
+      streamEventsMicros(spark, eventsPath)
         .withColumn("ets", timestamp_micros(col("ts")))
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -195,14 +202,8 @@ object Streaming {
     */
   def runSessionWindowAvailableNow(spark: SparkSession, eventsPath: String,
                                    gap: String = "30 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
-    val p = new org.apache.hadoop.fs.Path(eventsPath)
     runToLocalFrame(spark, "ssw_") { (name, ckpt) =>
-      val ev = graft.operators.EventTime.tsMicros(
-          spark.readStream.schema(schema)
-            .option("pathGlobFilter", p.getName)
-            .parquet(p.getParent.toString), "ts")
+      val ev = streamEventsMicros(spark, eventsPath)
         .select(col("user_id"), timestamp_micros(col("ts")).as("ts"), col("value"))
       graft.operators.Sessionize.streamingSessionStats(ev, "user_id", "ts", gap)
         .select(col("user_id"),

@@ -13,9 +13,15 @@ object TimeGates {
   def main(args: Array[String]): Unit = {
     val Array(names, sfDir, repsS) = args
     val reps = repsS.toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // Mirror Bench's session sizing exactly (CPU-count parallelism + the
+    // AQE coalesce floor) — timings are only diagnostic against Bench
+    // numbers if the plans match.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (n <- names.split(',').toSeq; r <- 1 to reps) {

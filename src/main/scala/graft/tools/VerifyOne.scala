@@ -35,6 +35,11 @@ object VerifyOne {
       } catch {
         case e: Exception =>
           System.err.println(s"[VerifyOne] $n FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          // A previous run's parquet must not masquerade as this run's
+          // result in a later check_oracle.py pass (the Bench stale-digest
+          // rule).
+          org.apache.spark.network.util.JavaUtils.deleteRecursively(
+            new java.io.File(s"$outDir/$n"))
           Some(n)
       }
     }
@@ -52,5 +57,8 @@ object VerifyOne {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Non-zero exit on any gate failure: a pipeline keyed on exit codes
+    // must never green-light a broken gate.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

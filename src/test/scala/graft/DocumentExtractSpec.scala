@@ -284,6 +284,22 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       s"text duplicated across encoding scans: $got")
   }
 
+  test("OLE2 self-referencing DIFAT chain fails loudly instead of OOMing") {
+    // Point the header's DIFAT chain at data sector 4 and make that
+    // sector's trailing next-pointer reference itself: without the cycle
+    // guard this re-appends FAT ids until the id list OOMs.
+    val b = DocumentExtractSpec.cfbFixture("WordDocument", "x").clone()
+    def put(o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+      b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    put(68, 4); put(72, 1)            // first DIFAT sector = 4
+    put((4 + 1) * 512 + 512 - 4, 4)   // its next-pointer = itself
+    val e = intercept[IllegalArgumentException](
+      DocumentExtract.extract("doc", "loop.doc", b))
+    assert(e.getMessage.contains("DIFAT"), e.getMessage)
+  }
+
   test("OLE2 corrupt container fails loudly with a named error") {
     val e = intercept[IllegalArgumentException](
       DocumentExtract.extract("doc", "/x/bad.doc",
