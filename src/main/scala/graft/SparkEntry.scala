@@ -1418,6 +1418,13 @@ object SparkEntry {
       // full oracle.
       LangModel.bigramScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    "collocations_pmi" -> ((s, dir) =>
+      // Top-50 PMI collocations (LangModel.collocations): the
+      // Church–Hanks phrase-mining signal over corpus bigrams, min pair
+      // count 5. Deterministic (rounded pmi, w1, w2) total order ->
+      // full oracle.
+      LangModel.collocations(t(s, dir, "documents"), "text", k = 50)),
+
     "lm_kneser_ney" -> ((s, dir) =>
       // Interpolated Kneser–Ney bigram LM (LangModel.kneserNeyBigramScore):
       // the absolute-discount + continuation-probability smoothing real
@@ -3696,6 +3703,23 @@ object SparkEntry {
          |   tf2.tf * ln((cf2.c2 + 0.5) / (c1t.c1 + 0.5 * vv.v)) AS wlp
          |  FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vv) s
          |GROUP BY doc_id""".stripMargin,
+
+    // Same bigram counts; pmi = ln(c2*N/(cl*cr)) with identical cast
+    // shape, rank by the ROUNDED pmi with (w1,w2) tie-break — a total
+    // order both engines sort identically.
+    "collocations_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         |cf2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |cl AS (SELECT w1, sum(c2) AS cl FROM cf2 GROUP BY 1),
+         |cr AS (SELECT w2, sum(c2) AS cr FROM cf2 GROUP BY 1),
+         |tot AS (SELECT sum(c2) AS n FROM cf2)
+         |SELECT cf2.w1, cf2.w2, cf2.c2 AS pair_count,
+         | round(ln((CAST(cf2.c2 AS DOUBLE) * tot.n) / (CAST(cl.cl AS DOUBLE) * cr.cr)), 6) AS pmi
+         |FROM cf2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+         |WHERE cf2.c2 >= 5
+         |ORDER BY pmi DESC, cf2.w1, cf2.w2 LIMIT 50""".stripMargin,
 
     // Interpolated KN with D=0.75: max(c2-D,0) discount mass redistributed
     // via continuation probability N1+(*,w2)/B; N1+ counts are row counts

@@ -173,6 +173,45 @@ object LangModel {
         round(exp(-col("__avg")), 6).as("perplexity"))
   }
 
+  /** Top-k collocations by pointwise mutual information over corpus
+    * bigrams: `pmi(w1,w2) = ln(c2 * N / (c1l * c1r))` with `c2` the bigram
+    * count, `c1l`/`c1r` the left/right marginal totals, and `N` the total
+    * bigram count — the standard collocation/phrase-mining signal
+    * (Church & Hanks 1990). `minCount` suppresses the low-frequency PMI
+    * explosion (a hapax pair maxes the score by definition). Output:
+    * `(w1, w2, pair_count, pmi)`, top `k` by (rounded pmi desc, w1, w2) —
+    * a deterministic total order.
+    *
+    * Scale shape: everything reduces to bigram-vocabulary-sized count
+    * tables before any join (the [[bigramScore]] family); the global top-k
+    * is `orderBy.limit` = TakeOrderedAndProject (per-partition top-k, one
+    * driver merge, never a global sort).
+    */
+  def collocations(df: DataFrame, textCol: String, k: Int = 50,
+                   minCount: Long = 5L): DataFrame = {
+    require(k > 0 && minCount >= 1, "k and minCount must be positive")
+    val tk = TextAnalysis.toks(col(textCol))
+    val n = size(tk)
+    val pairs = zip_with(
+      slice(tk, lit(1), greatest(n - 1, lit(0))),
+      slice(tk, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val cf2 = df.select(explode(pairs).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val cl = cf2.groupBy(col("w1")).agg(sum(col("__c2")).as("__cl"))
+    val cr = cf2.groupBy(col("w2")).agg(sum(col("__c2")).as("__cr"))
+    val tot = cf2.agg(sum(col("__c2")).as("__n"))
+    cf2.filter(col("__c2") >= minCount)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("__c2").as("pair_count"),
+        round(log((col("__c2").cast("double") * col("__n")) /
+          (col("__cl").cast("double") * col("__cr"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** CCNet's final step (Wenzek et al. 2020 §4.3): bucket documents into
     * per-language perplexity bands — head (most fluent third), middle,
     * tail — because BOTH extremes are suspect at web scale (head skews to

@@ -94,6 +94,27 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
     assert(math.exp(lpAB) < 1.0 && math.exp(lpAB) > 0.6)
   }
 
+  test("collocations: PMI ranks the exclusive pair above the promiscuous one") {
+    // "a b" x5 (a only ever precedes b) and "c d" x5 alongside "c e" x5
+    // (c splits its right contexts): pmi(a,b) = ln(5*15/(5*5)) = ln 3,
+    // pmi(c,d) = pmi(c,e) = ln(5*15/(10*5)) = ln 1.5.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "c d")) ++
+      (11 to 15).map(i => (i.toLong, "c e"))
+    ).toDF("doc_id", "text")
+    val got = LangModel.collocations(docs, "text", k = 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("pair_count"), r.getAs[Double]("pmi")))
+    assert(got.length == 3)
+    assert(got(0) == (("a", "b", 5L, r6(math.log(3.0)))))
+    // tie between (c,d) and (c,e) breaks on w2
+    assert(got(1) == (("c", "d", 5L, r6(math.log(1.5)))))
+    assert(got(2) == (("c", "e", 5L, r6(math.log(1.5)))))
+    // below minCount: nothing qualifies
+    assert(LangModel.collocations(docs, "text", k = 10, minCount = 6L).count() == 0)
+  }
+
   test("documents with fewer than two tokens are absent from bigram output") {
     val weird = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]),
       (4L, "two tokens")).toDF("doc_id", "text")
