@@ -955,6 +955,42 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("hub"), col("authority"))
     }),
 
+    "label_propagation" -> ((s, dir) => {
+      // Semi-supervised majority-vote label spread (LabelProp.propagate
+      // scaladoc) over the planted link graph: every 13th doc seeds class
+      // doc_id % 5; 3 synchronous rounds with deterministic min-label
+      // ties. The cheap-corpus-annotation pattern — label a sliver,
+      // propagate along the graph.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val seeds = ids.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), (col("doc_id") % 5).as("class_label"))
+      LabelProp.propagate(edges, seeds, "src", "dst", "doc_id",
+          "class_label", rounds = 3)
+        .select(col("id").as("doc_id"), col("label"), col("seeded"))
+    }),
+
+    "hll_union_audit" -> ((s, dir) =>
+      // Mergeable-sketch cardinality audit (SketchAudit.hllUnionAudit
+      // scaladoc): per (returnflag, ship-month) DataSketches HLL sketches
+      // unioned per flag, estimate vs exact countDistinct(l_orderkey)
+      // pinned inside the 5% tolerance (~3 standard errors at lgK=12).
+      SketchAudit.hllUnionAudit(t(s, dir, "lineitem"), "l_returnflag",
+        date_trunc("month", col("l_shipdate")), "l_orderkey")),
+
+    "percentile_sketch_audit" -> ((s, dir) =>
+      // Quantile-sketch rank-error audit (SketchAudit.percentileSketchAudit
+      // scaladoc): approx_percentile's GK guarantee checked against the
+      // actual rank of its answer, exact interpolated percentile alongside.
+      SketchAudit.percentileSketchAudit(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "event_type", "value", Seq(0.5, 0.9, 0.99), accuracy = 1000)),
+
     "decontamination" -> ((s, dir) => {
       // Eval-set decontamination: docs sharing any 13-gram (GPT-3 appendix-C
       // n) with the synthetic "benchmark" (every 97th document) get flagged
@@ -1034,6 +1070,20 @@ object SparkEntry {
       Dedup.minhashLshPairs(docs.unionByName(planted), "text", "doc_id",
         maxJaccardDistance = 0.5)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    "minhash_lsh_eval" -> ((s, dir) => {
+      // Recall audit of the banded path against exact inverted-index truth
+      // (Dedup.lshRecallAudit scaladoc) over the same planted corpus as
+      // dedup_minhash_lsh; the oracle recomputes n_truth and pins
+      // recall = 1.0, so a banding regression that drops a true pair
+      // surfaces as a metric, not just a diff.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      Dedup.lshRecallAudit(docs.unionByName(planted), "text", "doc_id",
+        maxJaccardDistance = 0.5)
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -2666,6 +2716,32 @@ object SparkEntry {
          |FROM inter x JOIN ln la ON la.doc_id = x.ida JOIN ln lb ON lb.doc_id = x.idb
          |WHERE x.i >= 0.5 * (CAST(la.l + lb.l AS DOUBLE) - x.i)""".stripMargin,
 
+    // The recall audit's truth set is the SAME bounded inverted-index
+    // enumeration as dedup_minhash_lsh (J >= 0.5 needs a shared shingle);
+    // recall is pinned to exactly 1.0 — the engine's banding must find
+    // every true pair on this corpus or the gate fails.
+    "minhash_lsh_eval" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |s AS MATERIALIZED (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |   ELSE []::VARCHAR[] END) AS sh FROM t),
+         |ln AS (SELECT doc_id, len(sh) AS l FROM s),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS DOUBLE) AS i
+         | FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT x.ida, x.idb
+         | FROM inter x JOIN ln la ON la.doc_id = x.ida JOIN ln lb ON lb.doc_id = x.idb
+         | WHERE x.i >= 0.5 * (CAST(la.l + lb.l AS DOUBLE) - x.i))
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         | CAST(count(*) AS BIGINT) AS n_found,
+         | CAST(0 AS BIGINT) AS n_missed,
+         | CAST(1.0 AS DOUBLE) AS recall
+         |FROM truth""".stripMargin,
+
     // Same promotion as dedup_minhash_lsh: the incoming-x-reference verified
     // pair set equals the brute-force cross join at the threshold, and the
     // emitted jaccard_dist is plain 1 - i/u double arithmetic both engines
@@ -2937,6 +3013,61 @@ object SparkEntry {
          |SELECT h4.id AS doc_id, round(h4.h, 6) AS hub, round(a4.a, 6) AS authority
          |FROM h4 JOIN a4 USING (id)""".stripMargin
     },
+
+    // 3 unrolled synchronous LPA rounds, matching LabelProp.propagate
+    // exactly: majority neighbor label, ties -> smallest, seeds immutable,
+    // unreached nodes keep null.
+    "label_propagation" -> {
+      val roundCtes = (1 to 3).map { k =>
+        s"""v$k AS (SELECT u.dst AS id, l.label, count(*) AS c
+           | FROM und u JOIN l${k - 1} l ON l.id = u.src AND l.label IS NOT NULL
+           | GROUP BY 1, 2),
+           |w$k AS (SELECT id, label FROM (
+           |  SELECT id, label, row_number() OVER (
+           |    PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM v$k)
+           | WHERE rn = 1),
+           |l$k AS MATERIALIZED (SELECT p.id,
+           |  coalesce(s.slabel, w.label, p.label) AS label
+           | FROM l${k - 1} p LEFT JOIN w$k w USING (id)
+           | LEFT JOIN seeds s USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+         | UNION ALL
+         | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+         |ed AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+         |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+         |seeds AS (SELECT doc_id AS id, doc_id % 5 AS slabel FROM ids WHERE doc_id % 13 = 0),
+         |nodes AS (SELECT DISTINCT src AS id FROM und UNION SELECT id FROM seeds),
+         |l0 AS (SELECT n.id, s.slabel AS label FROM nodes n LEFT JOIN seeds s USING (id)),
+         |$roundCtes
+         |SELECT l3.id AS doc_id, l3.label, s.id IS NOT NULL AS seeded
+         |FROM l3 LEFT JOIN seeds s USING (id)""".stripMargin
+    },
+
+    // The sketch estimate itself is implementation-defined and not
+    // emitted; the oracle checks the exact side plus the pinned-TRUE
+    // tolerance verdicts — a sketch drifting past its bound fails here.
+    "hll_union_audit" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT) AS n_shards,
+        | count(DISTINCT l_orderkey) AS n_exact,
+        | TRUE AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "percentile_sketch_audit" ->
+      """SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
+        | round(quantile_cont(value, 0.5), 6) AS x_exact, TRUE AS rank_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT event_type, CAST(0.9 AS DOUBLE),
+        | round(quantile_cont(value, 0.9), 6), TRUE
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT event_type, CAST(0.99 AS DOUBLE),
+        | round(quantile_cont(value, 0.99), 6), TRUE
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "decontamination" -> decontaminationSql,
 

@@ -160,6 +160,13 @@ object Bm25 {
                     phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
     val terms = phrase.map(_.toLowerCase)
+    // Cheap necessary pre-filter: a token equals `w` only if `w` occurs as
+    // a substring of the lowercased text (toks is a space-split), so docs
+    // missing any term skip tokenization entirely. On a 100 TB corpus the
+    // selective substring scan is what keeps the O(n_tokens * phrase_len)
+    // window-compare off the overwhelming majority of rows.
+    val prefiltered = df.filter(
+      terms.map(w => lower(col(textCol)).contains(w)).reduce(_ && _))
     val tk = TextAnalysis.toks(col(textCol))
     val n = size(tk)
     val len = terms.length
@@ -168,7 +175,7 @@ object Bm25 {
     val hits = filter(starts, i => terms.zipWithIndex.map { case (w, j) =>
       element_at(tk, (i + lit(j)).cast("int")) === lit(w)
     }.reduce(_ && _))
-    df.select(col(idCol),
+    prefiltered.select(col(idCol),
         size(hits).cast("long").as("n_matches"),
         // try_: ANSI element_at throws on the zero-hit rows this very
         // frame filters away a line later (evaluation order isn't ours).

@@ -489,6 +489,61 @@ object Dedup {
       candidates, "id_a", "id_b", maxJaccardDistance)
   }
 
+  /** Recall audit of the banded-MinHash path against exact ground truth —
+    * the dedup-QA report that answers "is the LSH shortcut still finding
+    * every true near-duplicate?" as a number instead of a belief.
+    *
+    * Ground truth is computed WITHOUT banding: Jaccard >= (1 - maxDist) > 0
+    * requires at least one shared shingle, so the inverted-index self-join
+    * (explode distinct shingles, equi-join on the shingle, COUNT(*) per
+    * pair = |A∩B|) enumerates every qualifying pair exactly — no all-pairs
+    * product, but ALSO no minhash approximation. The engine's
+    * [[minhashLshPairs]] output is then compared against that truth set.
+    *
+    * Returns ONE row: (n_truth, n_found, n_missed, recall). Precision is
+    * structurally 1.0 (candidates are exact-verified before emission), so
+    * recall is the only free parameter of the banding.
+    *
+    * Scale: the inverted-index join's group sizes follow shingle document
+    * frequency — at 100 TB run the audit over a sampled stratum (the
+    * sketch path stays production); the fixture-scale gate keeps the
+    * parameter choices honest. Reference posture: quality metrics surfaced
+    * beside the data they grade (yamlpipe evaluators.py).
+    */
+  def lshRecallAudit(df: DataFrame, textCol: String, idCol: String,
+                     maxJaccardDistance: Double = 0.6,
+                     numHashes: Int = 16,
+                     bandSize: Int = 2,
+                     shingleSize: Int = 3,
+                     seed: Long = 42L): DataFrame = {
+    val sh = Partitioning.ensureParallelism(df)
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+    val ln = sh.select(col(idCol), size(col("__sh")).as("__l"))
+      .filter(col("__l") > 0)
+    val e = sh.select(col(idCol), explode(col("__sh")).as("__g"))
+    val inter = e.alias("a")
+      .join(e.alias("b"),
+        col("a.__g") === col("b.__g") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).cast("double").as("__i"))
+    val truth = inter
+      .join(ln.select(col(idCol).as("id_a"), col("__l").as("__la")), "id_a")
+      .join(ln.select(col(idCol).as("id_b"), col("__l").as("__lb")), "id_b")
+      .filter(col("__i") >=
+        lit(1.0 - maxJaccardDistance) * (col("__la") + col("__lb") - col("__i")))
+      .select("id_a", "id_b")
+    val found = minhashLshPairs(df, textCol, idCol, maxJaccardDistance,
+        numHashes, bandSize, shingleSize, seed)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+      .select(col("n_truth"), col("n_found"),
+        (col("n_truth") - col("n_found")).as("n_missed"),
+        round(col("n_found").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
   /** Shingles for the candidate-bounded subset of a corpus: semi-join the
     * ids BEFORE computing shingles so the UDF runs over O(candidates) rows,
     * not O(corpus).

@@ -123,6 +123,14 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Bm25.phraseMatches(docs, "text", "doc_id", Seq.empty)
     }
+    // Substring pre-filter must stay a NECESSARY condition only: terms
+    // occurring inside larger tokens pass the prefilter but not the
+    // token-adjacency match.
+    val sub = Seq((8L, "hashjoin mashup rejoinder"), (9L, "the hash join"))
+      .toDF("doc_id", "text")
+    val subGot = Bm25.phraseMatches(sub, "text", "doc_id", Seq("hash", "join"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(subGot == Set(9L))
   }
 
   test("prfExpansionTerms: RM1 weights hand-checked, query terms excluded") {

@@ -117,6 +117,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("lshRecallAudit: exact truth enumerated, recall 1.0 on the planted corpus") {
+    val out = Dedup.lshRecallAudit(corpus, "txt", "id", maxJaccardDistance = 0.5)
+      .collect()(0)
+    // Truth at J >= 0.5: (1,2), (1,4), (2,4) — the near-dup triangle.
+    assert(out.getAs[Long]("n_truth") == 3L)
+    assert(out.getAs[Long]("n_found") == 3L)
+    assert(out.getAs[Long]("n_missed") == 0L)
+    assert(out.getAs[Double]("recall") == 1.0)
+  }
+
   test("minhash seeds differing only in the high 32 bits change signatures") {
     // A bare seed.toInt at the call site would truncate the upper half and
     // make these two seeds produce byte-identical band arrays.
