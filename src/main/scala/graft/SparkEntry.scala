@@ -380,6 +380,39 @@ object SparkEntry {
       // execution paths.
       graft.streaming.Streaming.runWindowedAvailableNow(s, s"$dir/events.parquet")),
 
+    "streaming_enrich" -> ((s, dir) =>
+      // Stream-static dimension join through the streaming engine
+      // (Streaming.runEnrichAvailableNow scaladoc): streaming events
+      // broadcast-joined to the static customer dimension, aggregated per
+      // (segment, event_type). The batch SQL join is the oracle.
+      graft.streaming.Streaming.runEnrichAvailableNow(s,
+        s"$dir/events.parquet", s"$dir/customer.parquet")),
+
+    "dedup_cluster_histogram" -> ((s, dir) => {
+      // Dedup QA report #2: duplicate-cluster size distribution over the
+      // planted graph — the "how duplicated is this corpus" histogram
+      // (cluster_size -> n_clusters), singletons included as size 1.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val comps = Components.connectedComponents(edges, "src", "dst")
+      val hist = comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      // Docs in no pair are size-1 clusters; graph components are always
+      // >= 2 nodes, so the buckets never collide.
+      val singles = ids.agg(count(lit(1)).as("__nd"))
+        .crossJoin(comps.agg(count(lit(1)).as("__nn")))
+        .select(lit(1L).as("cluster_size"),
+          (col("__nd") - col("__nn")).as("n_clusters"))
+      hist.unionByName(singles)
+    }),
+
     "streaming_neardup" -> ((s, dir) =>
       // Stream-static near-dup flags through the REAL streaming engine
       // (stateless band join against a planted reference; Streaming
@@ -2769,6 +2802,37 @@ object SparkEntry {
          | FROM inter x JOIN li ON li.doc_id = x.id_new JOIN lr ON lr.doc_id = x.id_ref)
          |SELECT id_new, id_ref, round(1.0 - sim, 6) AS jaccard_dist
          |FROM pairs WHERE 1.0 - sim <= 0.5""".stripMargin,
+
+    // Stream-static join in complete mode is batch-equivalent; the plain
+    // SQL join is the oracle (same promotion as streaming_windowed).
+    "streaming_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
+
+    // Same closure as dedup_components, aggregated to the size histogram;
+    // singleton docs (in no pair) are the size-1 bucket.
+    "dedup_cluster_histogram" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+        | UNION ALL
+        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+        |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+        |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+        |reach(id, comp) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+        |hist AS (SELECT CAST(csize AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1)
+        |SELECT cluster_size, n_clusters FROM hist
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        | (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),

@@ -218,6 +218,33 @@ object Streaming {
     }
   }
 
+  /** Stream-static enrichment — the dimension-join pattern every event
+    * pipeline runs: a streaming fact (events) inner-joined to a broadcast
+    * static dimension (customer), then aggregated per (segment, type).
+    * Stream-static joins are stateless in Structured Streaming (the static
+    * side is re-read per micro-batch, broadcast here since dimensions are
+    * small); only the aggregation keeps state. Complete-mode memory sink +
+    * AvailableNow = deterministic batch-equivalent output, so the plain
+    * SQL join IS the oracle. Decimal-exact value sums as everywhere.
+    */
+  def runEnrichAvailableNow(spark: SparkSession, eventsPath: String,
+                            customerPath: String): DataFrame = {
+    runToLocalFrame(spark, "en_") { (name, ckpt) =>
+      val dim = broadcast(spark.read.parquet(customerPath)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      streamEventsMicros(spark, eventsPath)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Streaming first-seen dedup via mapGroupsWithState: one state entry per
     * fingerprint; each (fingerprint, first source) is emitted once, repeats
     * emit nothing. State grows with distinct fingerprints — a production

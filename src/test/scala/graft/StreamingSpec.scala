@@ -117,6 +117,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("AvailableNow stream-static enrichment matches the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runEnrichAvailableNow(spark,
+        s"$dir/events.parquet", s"$dir/customer.parquet")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.EventTime.readMicros(spark, s"$dir/events.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(28,6)"))
+          .cast("double").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("one-shot runners clean up after themselves (conf, memory table, result survives)") {
     // r7 ADVICE fix: the AvailableNow gate runners used to leave the
     // checksum conf mutated session-wide and leak one memory-sink temp
