@@ -45,35 +45,49 @@ object LabelProp {
                 idCol: String, labelCol: String,
                 rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val spark = edges.sparkSession
+    val und0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-    val nodes = und.select(col("src").as("id"))
-      .union(seeds.select(col(idCol).as("id")))
-      .distinct()
-    val seed = seeds.select(col(idCol).as("id"), col(labelCol).as("seed_label"))
-    // state: (id, label nullable) for all nodes; seeds pinned.
-    var state = nodes.join(seed, Seq("id"), "left")
-      .select(col("id"), col("seed_label").as("label"))
-    val win = Window.partitionBy(col("id"))
-      .orderBy(col("__c").desc, col("label").asc)
-    (1 to rounds).foreach { _ =>
-      val votes = und
-        .join(state.filter(col("label").isNotNull)
-          .select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("id"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-      val winner = votes
-        .withColumn("__rn", row_number().over(win))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("label").as("vote_label"))
-      state = state.join(winner, Seq("id"), "left")
-        .join(seed, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("seed_label"), col("vote_label"), col("label"))
-            .as("label"))
-    }
-    state.join(seed, Seq("id"), "left")
-      .select(col("id"), col("label"),
-        col("seed_label").isNotNull.as("seeded"))
+    // Same iteration-width discipline as Components.connectedComponents:
+    // pre-partition + persist the edge list on the per-round join key and
+    // size every round's exchange from the MEASURED edge count — a small
+    // label graph must not pay session-width scheduling overhead times
+    // (stages/round) x rounds, while a huge one keeps full width. Rounds
+    // are eagerly localCheckpoint'ed so every exchange executes under the
+    // pinned width and the returned frame is a flat leaf.
+    val (und, nParts) = Partitioning.measuredCoPartition(und0, col("src"))
+    try Partitioning.withShuffleWidth(spark, nParts) {
+      val nodes = und.select(col("src").as("id"))
+        .union(seeds.select(col(idCol).as("id")))
+        .distinct()
+      val seed = seeds.select(col(idCol).as("id"), col(labelCol).as("seed_label"))
+      // state: (id, label nullable) for all nodes; seeds pinned.
+      var state = nodes.join(seed, Seq("id"), "left")
+        .select(col("id"), col("seed_label").as("label"))
+        .localCheckpoint()
+      val win = Window.partitionBy(col("id"))
+        .orderBy(col("__c").desc, col("label").asc)
+      (1 to rounds).foreach { _ =>
+        val votes = und
+          .join(state.filter(col("label").isNotNull)
+            .select(col("id").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+        val winner = votes
+          .withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") === 1)
+          .select(col("id"), col("label").as("vote_label"))
+        state = state.join(winner, Seq("id"), "left")
+          .join(seed, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("seed_label"), col("vote_label"), col("label"))
+              .as("label"))
+          .localCheckpoint()
+      }
+      state.join(seed, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          col("seed_label").isNotNull.as("seeded"))
+        .localCheckpoint()
+    } finally und.unpersist()
   }
 }
