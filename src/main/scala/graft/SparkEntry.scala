@@ -1381,6 +1381,35 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         keyCols = Seq("doc_id"), salt = "epoch0")),
 
+    "curriculum_order" -> ((s, dir) =>
+      // Easy-to-hard curriculum with round-robin source interleave
+      // (Sampling.curriculumOrder scaladoc); difficulty proxy = n_chars.
+      // Global position via the distributed prefix sum — no global window.
+      Sampling.curriculumOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id")),
+
+    "padding_waste" -> ((s, dir) => {
+      // Length-bucketed batching audit (SequencePack.paddingWasteReport
+      // scaladoc): per 64-token bucket, tokens paid for vs tokens carried —
+      // the padding-vs-packing decision as a report.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+      SequencePack.paddingWasteReport(docs, "bpe_tokens", bucketWidth = 64)
+    }),
+
+    "corpus_checksum" -> ((s, dir) =>
+      // Order-independent corpus release fingerprint: (n_docs, total
+      // chars, sum of per-doc rolling hashes) — equal corpora report equal
+      // checksums regardless of partitioning or row order; any added,
+      // dropped, or edited doc moves it. The reproducibility stamp for a
+      // dataset release manifest.
+      Partitioning.ensureParallelism(t(s, dir, "documents"))
+        .select(TextAnalysis.rollingHash(col("text")).as("__h"), col("n_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("__h")).as("corpus_checksum"))),
+
     "sequence_pack" -> ((s, dir) => {
       // Concat-and-chunk sequence packing: map every document to its global
       // token offset and 2048-token training-sequence coordinates via the
@@ -3634,6 +3663,38 @@ object SparkEntry {
          | FROM cum WHERE cum_tokens <= 5000 GROUP BY lang)
          |SELECT j.doc_id, j.lang, j.bpe_tokens, j.quality
          |FROM j JOIN thr USING (lang) WHERE j.bkt >= thr.thr_bkt""".stripMargin,
+
+    "curriculum_order" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS stratum_rank
+        | FROM documents)
+        |SELECT doc_id, source, n_chars, stratum_rank,
+        | CAST(row_number() OVER (ORDER BY stratum_rank, source, doc_id) - 1 AS BIGINT) AS curriculum_pos
+        |FROM r""".stripMargin,
+
+    "padding_waste" ->
+      """WITH tok AS (SELECT
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        | FROM documents),
+        |b AS (SELECT bpe_tokens,
+        |  ((greatest(bpe_tokens, 1) - 1) // 64 + 1) * 64 AS bucket_max FROM tok),
+        |g AS (SELECT bucket_max, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens FROM b GROUP BY 1)
+        |SELECT CAST(bucket_max AS BIGINT) AS bucket_max, n_docs, total_tokens,
+        | CAST(bucket_max * n_docs AS BIGINT) AS padded_tokens,
+        | round(1.0 - CAST(total_tokens AS DOUBLE) / (bucket_max * n_docs), 6) AS waste_ratio
+        |FROM g""".stripMargin,
+
+    // Same rolling-hash formulation as doc_fingerprint, aggregated
+    // order-independently (sum is commutative over the per-doc hashes).
+    "corpus_checksum" ->
+      """WITH h AS (SELECT n_chars, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, len(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(rh) AS BIGINT) AS corpus_checksum
+        |FROM h""".stripMargin,
 
     "sequence_pack" ->
       s"""WITH tok AS (SELECT doc_id,

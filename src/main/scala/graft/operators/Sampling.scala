@@ -143,6 +143,35 @@ object Sampling {
       .drop("__one", "__sk", "seq_id", "offset_in_seq", "n_seqs")
   }
 
+  /** Curriculum training order: easy-to-hard WITHIN each stratum, strata
+    * interleaved round-robin — rank-1 docs of every source come first
+    * (ordered by stratum name), then every rank-2 doc, and so on. This is
+    * the deterministic curriculum-learning layout: difficulty ramps up
+    * globally while every training window still sees the full source mix
+    * (a plain global sort by difficulty would front-load whichever source
+    * skews easy).
+    *
+    * Scale shape: the per-stratum rank is a window PARTITIONED by stratum
+    * (parallel across strata); the global 0-based `curriculum_pos` reuses
+    * [[deterministicShuffle]]'s machinery — [[SequencePack.assignments]]
+    * over a unit-token stream on (rank, stratum, id) — so there is no
+    * single-partition window at any size. Ties inside a stratum break by
+    * id: append-stable and engine-identical.
+    */
+  def curriculumOrder(df: DataFrame, strataCol: String, difficultyCol: String,
+                      idCol: String): DataFrame = {
+    val rank = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+        .orderBy(col(difficultyCol).asc, col(idCol).asc))
+    val ranked = df.withColumn("__rank", rank.cast("long"))
+      .withColumn("__one", lit(1L))
+    SequencePack.assignments(ranked, "__one", seqLen = 1L,
+        orderBy = Seq(col("__rank"), col(strataCol), col(idCol)))
+      .withColumnRenamed("start_token", "curriculum_pos")
+      .withColumnRenamed("__rank", "stratum_rank")
+      .drop("__one", "seq_id", "offset_in_seq", "n_seqs")
+  }
+
   /** Leakage-safe train/val/test split: rows in the same duplicate CLUSTER
     * always land in the same split. Splitting by row id leaks — a document
     * and its near-duplicate can straddle train/test, and the model is then

@@ -146,4 +146,29 @@ object SequencePack {
         (col("__slice_to") - col("__slice_from")).as("take_len"),
         (col("__slice_from") % seqLen).as("pos_in_seq"))
   }
+
+  /** Padding-waste report for length-bucketed batching — the alternative
+    * to concat-and-chunk packing: docs are padded up to their length
+    * bucket's ceiling (`bucketWidth`-token buckets) and batched per
+    * bucket. Emits one row per occupied bucket: `(bucket_max, n_docs,
+    * total_tokens, padded_tokens, waste_ratio)` — the tokens-paid-for vs
+    * tokens-carried audit that decides between padding and packing (cf.
+    * [[assignments]]' zero-waste layout vs this layout's per-doc
+    * coherence). Zero-token docs land in the first bucket (they still pay
+    * one padded row). One partial-aggregating shuffle on the bucket key —
+    * map-side combine reduces to |buckets| rows regardless of corpus size.
+    */
+  def paddingWasteReport(df: DataFrame, tokensCol: String,
+                         bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val nt = greatest(col(tokensCol).cast("long"), lit(1L))
+    val bucketMax = (floor((nt - 1) / bucketWidth) + 1) * bucketWidth
+    df.groupBy(bucketMax.as("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("total_tokens"))
+      .select(col("bucket_max"), col("n_docs"), col("total_tokens"),
+        (col("bucket_max") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          (col("bucket_max") * col("n_docs")), 6).as("waste_ratio"))
+  }
 }

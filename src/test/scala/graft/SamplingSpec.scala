@@ -176,4 +176,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(c.forall { case (id, s256) => s256 / 16 == a(id) })
     intercept[IllegalArgumentException](Sampling.shardOf(col("id"), 10))
   }
+
+  test("curriculumOrder: easy-first within stratum, strata interleaved round-robin") {
+    import spark.implicits._
+    // Two sources: a has difficulties 3<5<9, b has 1<2. Expected global
+    // order by (rank, source, id): a3(id=11), b1(id=20), a5(id=12),
+    // b2(id=21), a9(id=10).
+    val df = Seq(
+      (10L, "a", 9L), (11L, "a", 3L), (12L, "a", 5L),
+      (20L, "b", 1L), (21L, "b", 2L)
+    ).toDF("id", "src", "diff")
+    val out = Sampling.curriculumOrder(df, "src", "diff", "id")
+      .orderBy("curriculum_pos")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("stratum_rank"),
+        r.getAs[Long]("curriculum_pos")))
+    assert(out.map(_._1).toSeq == Seq(11L, 20L, 12L, 21L, 10L))
+    assert(out.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_._2).toSeq == Seq(1L, 1L, 2L, 2L, 3L))
+    // Difficulty ties break by id: two equal-difficulty docs keep id order.
+    val tie = Seq((2L, "a", 7L), (1L, "a", 7L)).toDF("id", "src", "diff")
+    val tieOut = Sampling.curriculumOrder(tie, "src", "diff", "id")
+      .orderBy("curriculum_pos").collect().map(_.getAs[Long]("id")).toSeq
+    assert(tieOut == Seq(1L, 2L))
+  }
 }

@@ -97,4 +97,22 @@ class SequencePackSpec extends AnyFunSuite with SparkTestBase {
       SequencePack.assignments(docs, "bpe_tokens", 0, Seq(col("doc_id")))
     }
   }
+
+  test("paddingWasteReport: bucket ceilings, waste math, zero-token docs") {
+    import spark.implicits._
+    // widths of 4: tokens 1..4 -> bucket 4; 5..8 -> bucket 8; 0 -> bucket 4.
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 0L)).toDF("id", "ntok")
+    val out = SequencePack.paddingWasteReport(df, "ntok", bucketWidth = 4)
+      .orderBy("bucket_max").collect()
+      .map(r => (r.getAs[Long]("bucket_max"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Double]("waste_ratio")))
+    // bucket 4: docs {1 (3), 2 (4), 4 (0)} -> 7 tokens carried, 12 paid.
+    assert(out(0) == ((4L, 3L, 7L, 12L, math.rint((1.0 - 7.0 / 12) * 1e6) / 1e6)))
+    // bucket 8: doc 3 (5 tokens) -> 5 carried, 8 paid.
+    assert(out(1) == ((8L, 1L, 5L, 8L, 0.375)))
+    intercept[IllegalArgumentException] {
+      SequencePack.paddingWasteReport(df, "ntok", bucketWidth = 0)
+    }
+  }
 }
