@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextFunctions, VectorFunctions, Wordpiece}
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1198,6 +1198,14 @@ object SparkEntry {
       // group sums — the sequence-budget planning input for CorpusMix.
       TextAnalysis.fertilityFrame(t(s, dir, "documents"), "lang", "text",
         graft.functions.Bpe.count(col("text")))),
+
+    "wordpiece_stats" -> ((s, dir) =>
+      // WordPiece-family greedy longest-match tokenization (Wordpiece
+      // scaladoc): top-200 corpus substrings as the vocab, per-doc piece
+      // and UNK counts. The oracle replays the greedy walk with a bounded
+      // recursive CTE (one longest-match step per recursion level).
+      Wordpiece.docStats(t(s, dir, "documents"), "text", "doc_id",
+        vocabSize = 200, maxPieceLen = 6)),
 
     "bpe_train_merges" -> ((s, dir) =>
       // TRAIN a 12-merge BPE table on the corpus (functions/Bpe.trainMerges:
@@ -3288,6 +3296,45 @@ object SparkEntry {
     // Same pinned-merge-table BPE replay as bpe_merge_count, then the
     // per-language sums: fertility = sum(bpe)/sum(words),
     // chars_per_token = sum(len(text))/sum(bpe) — both 6-dp + 0.0-folded.
+    // Replays the vocabulary build (top-200 substrings by weighted count,
+    // ties to the smaller piece) and the greedy longest-match walk: one
+    // recursion level per emitted piece, the 6 LEFT JOINs probe piece
+    // lengths 6..1 (string equality enforces the length, so a truncated
+    // tail substr can only match its true remaining length).
+    "wordpiece_stats" -> {
+      val lenCase = (6 to 2 by -1).map(l =>
+        s"WHEN p$l.piece IS NOT NULL THEN $l").mkString(" ")
+      val probes = (6 to 1 by -1).map(l =>
+        s"LEFT JOIN vocab p$l ON p$l.piece = substr(k.w, k.pos, $l)").mkString("\n ")
+      val allNull = (6 to 1 by -1).map(l => s"p$l.piece IS NULL").mkString(" AND ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ex AS MATERIALIZED (SELECT doc_id, unnest(toks) AS w FROM t),
+         |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY w),
+         |sub AS (SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+         |  list_transform(range(1, least(6, len(w) - i + 1) + 1), l ->
+         |    substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM words),
+         |vocab AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS total
+         | FROM sub GROUP BY piece ORDER BY total DESC, piece LIMIT 200),
+         |dw AS (SELECT DISTINCT w FROM ex),
+         |walk(w, pos, np, nu) AS (
+         | SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+         | UNION ALL
+         | SELECT k.w,
+         |  k.pos + CASE $lenCase ELSE 1 END,
+         |  k.np + 1,
+         |  k.nu + CASE WHEN $allNull THEN 1 ELSE 0 END
+         | FROM walk k
+         | $probes
+         | WHERE k.pos <= len(k.w)),
+         |fin AS (SELECT w, np, nu FROM walk WHERE pos > len(w)),
+         |agg AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(f.np) AS BIGINT) AS n_pieces, CAST(sum(f.nu) AS BIGINT) AS n_unk
+         | FROM ex JOIN fin f ON ex.w = f.w GROUP BY ex.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+         | coalesce(a.n_pieces, 0) AS n_pieces, coalesce(a.n_unk, 0) AS n_unk
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
+
     "tokenizer_fertility" -> {
       val ml = graft.functions.Bpe.merges
         .map { case (a, b) => s"'$a $b'" }.mkString(", ")
