@@ -1229,6 +1229,13 @@ object SparkEntry {
       TextAnalysis.piiFrame(planted, "pii_text", "doc_id")
     }),
 
+    "k_anonymity" -> ((s, dir) =>
+      // Release-side privacy audit (CurationRules.kAnonymity scaladoc):
+      // (nation, market-segment) as the quasi-identifier pair over
+      // customer, k=10 — groups below k are the re-identification risk.
+      CurationRules.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)),
+
     "repetition_signals" -> ((s, dir) => {
       // Gopher-style repetition rules over documents with planted duplicate
       // lines appended.
@@ -3472,6 +3479,11 @@ object SparkEntry {
         | count(CASE WHEN n >= 5 THEN 1 END) AS n_dropped
         |FROM e2 JOIN c USING (para)
         |GROUP BY doc_id""".stripMargin,
+
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
+        | COUNT(*) >= 10 AS k_anonymous
+        |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
 
     "pii_redact" -> {
       // Generated from TextAnalysis.PiiPatterns so Spark and the oracle use

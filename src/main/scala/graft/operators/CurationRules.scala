@@ -187,4 +187,24 @@ object CurationRules {
         coalesce(col("__terms"), lit("")).as("flagged_terms"),
         (coalesce(col("__n"), lit(0L)) > maxFlagged).as("blocked"))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination — the release
+    * check that complements token-level PII redaction: a record is
+    * re-identifiable when its (quasi-identifier) group is smaller than k,
+    * even with direct identifiers stripped. Emits one row per occupied
+    * combination: the quasi columns, `n_rows`, and `k_anonymous`
+    * (n_rows >= k). Publish-ready = every combination k-anonymous;
+    * violating groups are the ones to suppress or generalize.
+    *
+    * One partial-aggregating shuffle to |combinations| rows — at 100 TB
+    * the output is bounded by the quasi-identifier domain, not the corpus.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(quasiCols.map(col) :+ col("n_rows") :+
+        (col("n_rows") >= k).as("k_anonymous"): _*)
+  }
 }

@@ -120,4 +120,25 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
     assert(narrow.collect().map(key).sortBy(_._1).toSeq ==
       joined.collect().map(key).sortBy(_._1).toSeq)
   }
+
+  test("kAnonymity: group sizes vs k, multi-column quasi-identifier, guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"), // (us,a) x3
+      ("us", "b"),                           // (us,b) x1
+      ("de", "a"), ("de", "a")               // (de,a) x2
+    ).toDF("country", "segment")
+    val out = graft.operators.CurationRules
+      .kAnonymity(df, Seq("country", "segment"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_rows"), r.getAs[Boolean]("k_anonymous"))).toSet
+    assert(out == Set(("us", "a", 3L, true), ("us", "b", 1L, false),
+      ("de", "a", 2L, true)))
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.kAnonymity(df, Seq.empty, 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.kAnonymity(df, Seq("country"), 0)
+    }
+  }
 }
