@@ -1804,6 +1804,21 @@ object SparkEntry {
           size(col("features")).cast("long").as("feat_dim"),
           (VectorFunctions.normSq(col("features")) > 0).as("feat_nonzero"))),
 
+    "image_dhash" -> ((s, dir) => {
+      // Real end-to-end image pipeline with a FULL oracle: a deterministic
+      // 9x8 gray BMP is generated per doc (real 54-byte-header BMP bytes),
+      // decoded by real javax.imageio, and dHash'd
+      // (Multimodal.dHashBits scaladoc). Because the image is exactly the
+      // dHash grid size, sampling is identity and the oracle recomputes
+      // the expected bits analytically from the pixel formula — the gate
+      // fails if ANY stage (encode, decode, luminance, bit packing) drifts.
+      val mk = udf((id: Long) => Multimodal.syntheticBmp(id, 9, 8))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.imageDHashFrame(media)
+        .select(col("media_id").as("doc_id"), col("dhash_hi"), col("dhash_lo"))
+    }),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"),
@@ -4294,6 +4309,23 @@ object SparkEntry {
          |  SELECT 1 FROM af b JOIN e eb ON eb.vec_id = b.vec_id
          |  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
          |    AND ${cosOf("ea.v", "eb.v")} >= 0.3)""".stripMargin,
+
+    // Analytic mirror of the BMP test pattern: gray pixel value
+    // v(x,y) = (doc_id*7 + x*13 + y*31) % 256 survives the real
+    // encode/decode/luminance path exactly, so the dHash bit is just the
+    // neighbor comparison on the formula.
+    "image_dhash" ->
+      """WITH g AS (SELECT doc_id, y, x
+        | FROM documents, range(0, 8) t1(y), range(0, 8) t2(x)),
+        |bits AS (SELECT doc_id, y * 8 + x AS k,
+        |  CASE WHEN (doc_id * 7 + x * 13 + y * 31) % 256 <
+        |            (doc_id * 7 + (x + 1) * 13 + y * 31) % 256
+        |   THEN 1 ELSE 0 END AS b
+        | FROM g)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        | CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,

@@ -133,6 +133,99 @@ object Multimodal {
     out
   }
 
+  /** dHash perceptual fingerprint of a decoded image — the gradient hash
+    * image-dedup pipelines use: sample the image to a (hashW+1) x hashH
+    * luminance grid, emit one bit per horizontal neighbor pair
+    * (left < right), 64 bits at the default 8x8. Robust to re-encoding
+    * and scaling; pairs with [[graft.operators.Dedup.hammingDist]] /
+    * simhash-style banding for corpus-scale near-dup joins exactly like
+    * text simhash.
+    *
+    * Sampling is deterministic nearest-pixel at cell centers
+    * (`sx = floor((gx + 0.5) * w / gridW)`) — identity when the image is
+    * already (hashW+1) x hashH, which is what makes the gate's analytic
+    * oracle exact. Luminance = integer Rec.601 `(30r + 59g + 11b) / 100`
+    * (exact for gray pixels). Bit index k = y * hashW + x; returned split
+    * as non-negative (hi, lo) 32-bit halves so any engine's BIGINT
+    * arithmetic can reproduce the packing without two's-complement games.
+    */
+  def dHashBits(img: java.awt.image.BufferedImage, hashW: Int = 8,
+                hashH: Int = 8): (Long, Long) = {
+    val gridW = hashW + 1
+    val w = img.getWidth
+    val h = img.getHeight
+    def lum(gx: Int, gy: Int): Int = {
+      val sx = math.min(w - 1, ((gx + 0.5) * w / gridW).toInt)
+      val sy = math.min(h - 1, ((gy + 0.5) * h / hashH).toInt)
+      val rgb = img.getRGB(sx, sy)
+      (30 * ((rgb >> 16) & 0xff) + 59 * ((rgb >> 8) & 0xff) +
+        11 * (rgb & 0xff)) / 100
+    }
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < hashH) {
+      var x = 0
+      while (x < hashW) {
+        if (lum(x, y) < lum(x + 1, y)) {
+          val k = y * hashW + x
+          if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** Frame of dHash fingerprints over a media table:
+    * `(media_id, dhash_hi, dhash_lo)`, nulls for undecodable payloads.
+    * Narrow map-only pass — at 100 TB this is a scan; the near-dup join
+    * over the 64-bit hashes is the same banding as [[Dedup.simhashPairs]].
+    */
+  def imageDHashFrame(media: DataFrame, hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      decodeImage(payload).map { img =>
+        val (hi, lo) = dHashBits(img, hashW, hashH)
+        (hi, lo)
+      })
+    Partitioning.ensureParallelism(media)
+      .select(col("media_id"), u(col("payload")).as("__d"))
+      .select(col("media_id"), col("__d._1").as("dhash_hi"),
+        col("__d._2").as("dhash_lo"))
+  }
+
+  /** Deterministic 24-bit BMP test pattern: gray pixel
+    * `v(x, y) = (seed * 7 + x * 13 + y * 31) % 256`, top-left origin. A
+    * REAL BMP byte stream (54-byte header, bottom-up rows, 4-byte row
+    * padding) — the probe image for the end-to-end decode gates/specs,
+    * whose pixel values an oracle can recompute analytically.
+    */
+  def syntheticBmp(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val rowPadded = (rowBytes + 3) / 4 * 4
+    val dataSize = rowPadded * height
+    val size = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = ((seed * 7 + x * 13 + y * 31) % 256).toByte
+        b.put(v).put(v).put(v) // b, g, r — equal: gray
+        x += 1
+      }
+      var p = rowBytes
+      while (p < rowPadded) { b.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
   /** Real audio decode via javax.sound.sampled (JDK built-in, offline-safe):
     * WAV / AIFF / AU payloads decode to mono float samples in [-1, 1]
     * (channels averaged). Returns None when no reader handles the bytes or

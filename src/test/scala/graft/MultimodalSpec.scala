@@ -142,4 +142,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Int]("frame_index")).sorted.toSeq == Seq(0, 1, 2, 3))
     assert(rows.forall(_.getSeq[Float](2).length == 8))
   }
+
+  test("dHash: real BMP round trip matches the analytic bit formula") {
+    val seed = 5L
+    val img = Multimodal.decodeImage(Multimodal.syntheticBmp(seed, 9, 8)).get
+    assert(img.getWidth == 9 && img.getHeight == 8)
+    val (hi, lo) = Multimodal.dHashBits(img)
+    def v(x: Int, y: Int): Long = (seed * 7 + x * 13 + y * 31) % 256
+    var expHi = 0L; var expLo = 0L
+    for (y <- 0 until 8; x <- 0 until 8; if v(x, y) < v(x + 1, y)) {
+      val k = y * 8 + x
+      if (k >= 32) expHi |= 1L << (k - 32) else expLo |= 1L << k
+    }
+    assert((hi, lo) == ((expHi, expLo)))
+  }
+
+  test("dHash is invariant under 2x pixel-replication upscaling") {
+    // An 18x16 image that replicates each 9x8 pattern pixel 2x2 samples
+    // back to the identical grid -> identical hash (the scale-robustness
+    // property that makes dHash a near-dup key, not an exact-bytes key).
+    val seed = 11L
+    val small = Multimodal.decodeImage(Multimodal.syntheticBmp(seed, 9, 8)).get
+    val big = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      big.setRGB(x, y, small.getRGB(x / 2, y / 2))
+    assert(Multimodal.dHashBits(big) == Multimodal.dHashBits(small))
+  }
+
+  test("dHash frame: per-media hashes, null for undecodable payloads") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticBmp(1L, 9, 8)),
+      (2L, Array[Byte](1, 2, 3)) // not an image
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageDHashFrame(media).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
 }
