@@ -1819,6 +1819,20 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash_hi"), col("dhash_lo"))
     }),
 
+    "audio_fingerprint" -> ((s, dir) => {
+      // The audio twin of image_dhash: a REAL 16-bit PCM WAV generated per
+      // doc (2080 samples = 65 windows x 32), decoded by real
+      // javax.sound, energy-envelope fingerprinted
+      // (Multimodal.audioEnvelopeBits scaladoc). 16-bit PCM decodes to
+      // exact dyadic floats, so the oracle replays the bits with pure
+      // INTEGER window sums of squared samples.
+      val mk = udf((id: Long) => Multimodal.syntheticWav(id, 2080))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.audioFingerprintFrame(media)
+        .select(col("media_id").as("doc_id"), col("afp_hi"), col("afp_lo"))
+    }),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"),
@@ -4325,6 +4339,23 @@ object SparkEntry {
         |SELECT doc_id,
         | CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
         | CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // Integer replay of the WAV probe: bit k compares window k's and
+    // k+1's integer sums of a(i)^2, a(i) = (doc_id*7 + i*13) % 2001 - 1000
+    // over i in [w*32, w*32+32).
+    "audio_fingerprint" ->
+      """WITH s AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  (doc_id * 7 + i * 13) % 2001 - 1000 AS a
+        | FROM documents, range(0, 2080) t(i)),
+        |e AS (SELECT doc_id, i // 32 AS w, sum(a * a) AS energy
+        | FROM s GROUP BY 1, 2),
+        |bits AS (SELECT l.doc_id, l.w AS k,
+        |  CASE WHEN l.energy < r.energy THEN 1 ELSE 0 END AS b
+        | FROM e l JOIN e r ON r.doc_id = l.doc_id AND r.w = l.w + 1)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+        | CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS afp_lo
         |FROM bits GROUP BY doc_id""".stripMargin,
 
     "multimodal_features" ->

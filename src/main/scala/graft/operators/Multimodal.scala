@@ -275,6 +275,86 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  /** Audio energy-envelope fingerprint — the dHash twin for sound: split
+    * the decoded samples into `nWindows` equal windows, emit one bit per
+    * adjacent-window energy comparison (left < right),
+    * `nWindows - 1` bits (64 at the default 65). Robust to gain scaling
+    * (energies scale together) and to the container byte layout; pairs
+    * with hamming banding for corpus-scale audio near-dup joins.
+    *
+    * Determinism contract: 16-bit PCM decodes to exact dyadic floats
+    * (`short / 32768`), squares and <= 2^37-numerator window sums are
+    * exact in double, so the bit is the comparison of INTEGER sums of
+    * squared sample values — an oracle can replay it without any
+    * floating-point replication. Bit k packs as in [[dHashBits]]
+    * (non-negative hi/lo halves). Trailing samples past
+    * `nWindows * (n / nWindows)` are ignored.
+    */
+  def audioEnvelopeBits(samples: Array[Float], nWindows: Int = 65): (Long, Long) = {
+    require(nWindows >= 2 && nWindows <= 65, "nWindows must be in [2, 65]")
+    val win = samples.length / nWindows
+    val energies = new Array[Double](nWindows)
+    if (win > 0) {
+      var w = 0
+      while (w < nWindows) {
+        var acc = 0.0
+        var i = w * win
+        val until = i + win
+        while (i < until) { acc += samples(i).toDouble * samples(i); i += 1 }
+        energies(w) = acc
+        w += 1
+      }
+    }
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < nWindows - 1) {
+      if (energies(k) < energies(k + 1)) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Frame of audio fingerprints over a media table:
+    * `(media_id, afp_hi, afp_lo)`, nulls for undecodable payloads.
+    * Narrow map-only pass, same scale shape as [[imageDHashFrame]].
+    */
+  def audioFingerprintFrame(media: DataFrame, nWindows: Int = 65): DataFrame = {
+    val u = udf((payload: Array[Byte]) =>
+      decodeAudio(payload).map { case (samples, _) =>
+        audioEnvelopeBits(samples, nWindows)
+      })
+    Partitioning.ensureParallelism(media)
+      .select(col("media_id"), u(col("payload")).as("__a"))
+      .select(col("media_id"), col("__a._1").as("afp_hi"),
+        col("__a._2").as("afp_lo"))
+  }
+
+  /** Deterministic 16-bit mono PCM WAV test pattern: sample
+    * `a(i) = (seed * 7 + i * 13) % 2001 - 1000` — a REAL RIFF/WAVE byte
+    * stream (44-byte header), the audio probe for the end-to-end decode
+    * gates/specs, integer-replayable by an oracle.
+    */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort(((seed * 7 + i * 13) % 2001 - 1000).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
   /** Sample-derived features for decoded audio: `dim`-window RMS energy
     * envelope, L2-normalized — real samples in, not a byte-stub.
     */

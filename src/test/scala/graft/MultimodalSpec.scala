@@ -170,6 +170,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.dHashBits(big) == Multimodal.dHashBits(small))
   }
 
+  test("audio fingerprint: real WAV round trip matches integer window sums") {
+    val seed = 3L
+    val n = 2080 // 65 windows x 32 samples
+    val (samples, rate) = Multimodal.decodeAudio(
+      Multimodal.syntheticWav(seed, n)).get
+    assert(samples.length == n && rate == 8000f)
+    val (hi, lo) = Multimodal.audioEnvelopeBits(samples)
+    def a(i: Int): Long = (seed * 7 + i * 13) % 2001 - 1000
+    val energy = (0 until 65).map(w =>
+      (w * 32 until (w + 1) * 32).map(i => a(i) * a(i)).sum)
+    var expHi = 0L; var expLo = 0L
+    for (k <- 0 until 64 if energy(k) < energy(k + 1))
+      if (k >= 32) expHi |= 1L << (k - 32) else expLo |= 1L << k
+    assert((hi, lo) == ((expHi, expLo)))
+  }
+
+  test("audio fingerprint is invariant under uniform gain scaling") {
+    val (samples, _) = Multimodal.decodeAudio(
+      Multimodal.syntheticWav(9L, 2080)).get
+    val halved = samples.map(_ * 0.5f)
+    assert(Multimodal.audioEnvelopeBits(halved) ==
+      Multimodal.audioEnvelopeBits(samples))
+  }
+
   test("dHash frame: per-media hashes, null for undecodable payloads") {
     import spark.implicits._
     val media = Seq(
