@@ -624,6 +624,25 @@ object SparkEntry {
         TextFunctions.extractMainContent(page).as("main"))
     }),
 
+    "html_links" -> ((s, dir) => {
+      // Outlink extraction (TextFunctions.extractLinks scaladoc) over a
+      // page with planted links keyed by doc_id: a relative link, an
+      // UPPERCASE-attribute absolute link with inner markup in the anchor,
+      // and an href-less <a> that must be skipped.
+      val page = concat(
+        lit("<p>"), col("text"), lit("</p> <a href=\"/p"),
+        col("doc_id").cast("string"), lit("\">first "), col("lang"),
+        lit(" page</a> mid <A HREF=\"https://ex"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">Ex <b>bold</b> label</A> tail <a name=\"x\">no href</a>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.extractLinks(page)).as(Seq("link_pos", "l")))
+        .select(col("doc_id"), col("link_pos").cast("long").as("link_pos"),
+          col("l.href").as("href"), col("l.anchor").as("anchor"))
+    }),
+
     "web_normalize" -> ((s, dir) => {
       // S2: strip_html + per-line normalize (sources.py:134-137) over a
       // deterministic HTML wrapping of the corpus text.
@@ -2507,6 +2526,28 @@ object SparkEntry {
          |  e -> e.t), chr(10)) AS main
          |FROM s""".stripMargin
     },
+
+    // Same planted page; parallel unnest keeps the tag and its 0-based
+    // page-order position in lockstep. DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's global default.
+    "html_links" ->
+      """WITH page AS (SELECT doc_id,
+        |  '<p>' || text || '</p> <a href="/p' || CAST(doc_id AS VARCHAR) ||
+        |  '">first ' || lang || ' page</a> mid <A HREF="https://ex' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '.example.com/x?id=' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  '">Ex <b>bold</b> label</A> tail <a name="x">no href</a>' AS html
+        | FROM documents),
+        |tags AS (SELECT doc_id,
+        |  regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 0) AS ts
+        | FROM page),
+        |e AS (SELECT doc_id, unnest(range(len(ts))) AS link_pos, unnest(ts) AS tag FROM tags)
+        |SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos,
+        | regexp_extract(tag, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS href,
+        | regexp_replace(regexp_replace(
+        |   regexp_extract(tag, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2),
+        |   '<[^>]*>', ' ', 'g'), '^\s+|\s+$', '', 'g') AS anchor
+        |FROM e""".stripMargin,
 
     "web_normalize" ->
       """SELECT doc_id,

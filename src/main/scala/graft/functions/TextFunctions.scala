@@ -57,6 +57,23 @@ object TextFunctions {
       "\n")
   }
 
+  /** Outlink extraction — the crawl-side producer of the link graph (and
+    * of anchor-text training signal): every `<a href="...">...</a>` in
+    * page order as a struct array `(href, anchor)`, anchors stripped of
+    * inner markup and whitespace-trimmed. Anchors without an href
+    * attribute are not links and are skipped. Pure codegen'd
+    * regexp/transform expressions — no UDF, narrow, linear; feeds
+    * [[graft.operators.PageRank]] edges and URL-frontier dedup directly.
+    */
+  def extractLinks(html: Column): Column = {
+    val tagRe = "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    transform(regexp_extract_all(html, lit(tagRe), lit(0)), t =>
+      struct(
+        regexp_extract(t, tagRe, 1).as("href"),
+        regexp_replace(regexp_replace(regexp_extract(t, tagRe, 2),
+          "<[^>]*>", " "), "^\\s+|\\s+$", "").as("anchor")))
+  }
+
   /** Per-line strip, drop blank lines, re-join with "\n" — the reference's
     * web-source normalization (`sources.py:136-137`).
     */

@@ -71,6 +71,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(none == "")
   }
 
+  test("extractLinks: page order, markup-stripped anchors, href-less skipped") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val page = "x <a href=\"/one\">First link</a> y " +
+      "<A HREF=\"https://e.com/p?q=1\">Ex <b>bold</b> label</A> z " +
+      "<a name=\"anchor-only\">not a link</a> " +
+      "<a class=\"btn\" href=\"/two\"> spaced </a>"
+    val out = Seq((1L, page)).toDF("id", "html")
+      .select(org.apache.spark.sql.functions.explode(
+        TextFunctions.extractLinks(org.apache.spark.sql.functions.col("html"))).as("l"))
+      .select("l.href", "l.anchor")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      ("/one", "First link"),
+      ("https://e.com/p?q=1", "Ex  bold  label"), // inner tags -> spaces
+      ("/two", "spaced")))
+    // no links at all -> empty array
+    val none = Seq((1L, "<p>plain</p>")).toDF("id", "html")
+      .select(org.apache.spark.sql.functions.size(
+        TextFunctions.extractLinks(org.apache.spark.sql.functions.col("html"))))
+      .collect().head.getInt(0)
+    assert(none == 0)
+  }
+
   test("charEntropy: hand-computed values, degenerate and empty text") {
     import org.apache.spark.sql.functions.col
     val got = Seq(
