@@ -571,6 +571,21 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
     }),
 
+    "funnel_conversion" -> ((s, dir) =>
+      // Strictly-ordered view -> click -> purchase funnel
+      // (EventAnalytics.funnel scaladoc): per-stage user counts + HALF_UP
+      // 6dp conversion ratios, exact integer event time.
+      EventAnalytics.funnel(EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    "cohort_retention" -> ((s, dir) =>
+      // Day-granularity cohort retention (EventAnalytics.cohortRetention
+      // scaladoc): first-event day per user, distinct activity per
+      // (cohort, day offset 0..7), all integer micros arithmetic.
+      EventAnalytics.cohortRetention(
+        EventTime.readMicros(s, s"$dir/events.parquet"), "user_id", "ts",
+        maxOffsetDays = 7)),
+
     "sessionize_events" -> ((s, dir) => {
       // Gaps-and-islands sessionization (30-min inactivity gap) over micros
       // event time; one shuffle on user_id for tag + aggregate. Micros are
@@ -2478,6 +2493,35 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+        |SELECT CAST(1 AS BIGINT) AS stage_index, 'view' AS event_type,
+        | CAST(n1 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conversion FROM c
+        |UNION ALL
+        |SELECT 2, 'click', CAST(n2 AS BIGINT),
+        | round(CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n2 AS DOUBLE) / n1 END, 6) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        | round(CASE WHEN n2 = 0 THEN 0.0 ELSE CAST(n3 AS DOUBLE) / n2 END, 6) FROM c""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+        |a AS (SELECT DISTINCT d.user_id, c.cohort, d.day - c.cohort AS off
+        | FROM d JOIN c ON c.user_id = d.user_id WHERE d.day - c.cohort <= 7)
+        |SELECT cohort AS cohort_day, off AS day_offset,
+        | CAST(count(*) AS BIGINT) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "sessionize_events" ->
       """WITH flagged AS (

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+/** Funnel ordering semantics and cohort day arithmetic, hand-checked. */
+class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val DAY = 86400000000L
+
+  test("funnel: strict ordering — later-stage events before the frontier don't count") {
+    // u1: view@10, click@20, buy@30  -> completes all stages
+    // u2: click@5, view@10           -> click BEFORE first view: stage2 no
+    // u3: view@10                    -> stage 1 only
+    // u4: click@10 (never views)     -> not even stage 1
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L),
+      (4L, "click", 10L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .orderBy("stage_index").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, "view", 3L, 1.0)))
+    assert(out(1) == ((2L, "click", 1L, 0.333333)))
+    assert(out(2) == ((3L, "buy", 1L, 1.0)))
+  }
+
+  test("funnel: same-timestamp stage events count (>= frontier, not >)") {
+    val ev = Seq((1L, "a", 10L), (1L, "b", 10L)).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts", Seq("a", "b"))
+      .orderBy("stage_index").collect()
+    assert(out(1).getLong(2) == 1L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(ev, "user_id", "event_type", "ts", Seq.empty)
+    }
+  }
+
+  test("cohortRetention: cohort = first-event day, distinct per offset, cap") {
+    // u1 first on day 0: active days 0, 1, 1 (dup), 9 (past cap)
+    // u2 first on day 1: active days 1, 2
+    val ev = Seq(
+      (1L, 10L), (1L, DAY + 5L), (1L, DAY + 6L), (1L, 9 * DAY),
+      (2L, DAY), (2L, 2 * DAY + 1)
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(ev, "user_id", "ts", maxOffsetDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, // u1 day0+day1 (dup collapsed, day9 capped)
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L  // u2 day1+day2
+    ))
+  }
+}
