@@ -1263,6 +1263,26 @@ object SparkEntry {
       TextAnalysis.piiFrame(planted, "pii_text", "doc_id")
     }),
 
+    "fk_orphans" -> ((s, dir) =>
+      // Referential-integrity audit (Profile.fkOrphans scaladoc):
+      // orders.o_custkey -> customer.c_custkey row/key orphan counts +
+      // key coverage — the post-load data-quality staple.
+      Profile.fkOrphans(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey")),
+
+    "script_profile" -> ((s, dir) => {
+      // Unicode-script routing profile (TextAnalysis.scriptProfileFrame
+      // scaladoc) over text with planted non-Latin runs keyed by doc_id —
+      // verifies Java's \p{IsX} and RE2's \p{X} bind the same scripts.
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" привет мир"))
+            .when(col("doc_id") % 4 === 1, lit(" 你好世界"))
+            .when(col("doc_id") % 4 === 2, lit(" مرحبا بالعالم"))
+            .otherwise(lit(""))).as("mixed"))
+      TextAnalysis.scriptProfileFrame(planted, "mixed", "doc_id")
+    }),
+
     "k_anonymity" -> ((s, dir) =>
       // Release-side privacy audit (CurationRules.kAnonymity scaladoc):
       // (nation, market-segment) as the quasi-identifier pair over
@@ -3593,6 +3613,36 @@ object SparkEntry {
         | count(CASE WHEN n >= 5 THEN 1 END) AS n_dropped
         |FROM e2 JOIN c USING (para)
         |GROUP BY doc_id""".stripMargin,
+
+    "fk_orphans" ->
+      """WITH o AS (SELECT o_custkey FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT (SELECT count(*) FROM orders) AS n_child_rows,
+        | (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child_keys,
+        | CAST((SELECT count(*) FROM o) AS BIGINT) AS n_orphan_rows,
+        | CAST((SELECT count(DISTINCT o_custkey) FROM o) AS BIGINT) AS n_orphan_keys,
+        | round(CAST((SELECT count(DISTINCT o_custkey) FROM orders) -
+        |   (SELECT count(DISTINCT o_custkey) FROM o) AS DOUBLE) /
+        |  (SELECT count(DISTINCT o_custkey) FROM orders), 6) AS key_coverage""".stripMargin,
+
+    "script_profile" ->
+      """WITH m AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' привет мир'
+        |       WHEN doc_id % 4 = 1 THEN ' 你好世界'
+        |       WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم'
+        |       ELSE '' END AS mixed FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(regexp_replace(mixed, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(regexp_replace(mixed, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(regexp_replace(mixed, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(length(regexp_replace(mixed, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic
+        | FROM m)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+        | CASE WHEN n_latin + n_cyrillic + n_han + n_arabic > 0
+        |  THEN round(CAST(n_cyrillic + n_han + n_arabic AS DOUBLE) /
+        |    (n_latin + n_cyrillic + n_han + n_arabic), 6)
+        |  ELSE 0.0 END AS non_latin_frac
+        |FROM c""".stripMargin,
 
     "k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,

@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Referential-integrity audit for one child→parent relationship — the
+    * data-quality staple a warehouse runs after every load: child-side
+    * row/key counts, the orphan count (child keys with no parent row,
+    * counted over rows and over distinct keys), and coverage. One row out.
+    *
+    * Scale shape: a left-anti join on the key (AQE broadcasts the smaller
+    * side) plus key-level partial aggregates — no row-level wide state.
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orphanRows = child
+      .join(parent.select(col(parentKey)).distinct(),
+        child(childKey) === col(parentKey), "left_anti")
+    val totals = child.agg(
+      count(lit(1)).as("n_child_rows"),
+      countDistinct(col(childKey)).as("n_child_keys"))
+    val orphans = orphanRows.agg(
+      count(lit(1)).as("n_orphan_rows"),
+      countDistinct(col(childKey)).as("n_orphan_keys"))
+    totals.crossJoin(orphans)
+      .select(col("n_child_rows"), col("n_child_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        when(col("n_child_keys") > 0,
+          round((col("n_child_keys") - col("n_orphan_keys")).cast("double") /
+            col("n_child_keys").cast("double"), 6))
+          .otherwise(lit(1.0)).as("key_coverage"))
+  }
+
   /** Profile numeric columns: `(col_name, n, n_null, n_distinct, min_v,
     * max_v)`, one row per requested column, values as doubles.
     */

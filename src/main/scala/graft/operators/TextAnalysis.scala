@@ -365,4 +365,28 @@ object TextAnalysis {
       when(n > 0, round(oov.cast("double") / n.cast("double"), 6))
         .otherwise(lit(0.0)).as("oov_rate"))
   }
+
+  /** Unicode-script profile — the writing-system complement of the
+    * token-marker [[langIdFrame]]: per-document character counts for the
+    * four highest-volume scripts plus the non-Latin letter fraction. The
+    * multilingual-corpus routing signal (CJK/Arabic/Cyrillic content needs
+    * different tokenizers and quality models than Latin) computed as pure
+    * codegen'd regexp counts, no UDF. Script classes (`\p{IsLatin}` in
+    * Java = `\p{Latin}` in RE2) are Unicode SCRIPTS, not blocks — both
+    * engines bind them identically, which the gate verifies end-to-end.
+    */
+  def scriptProfileFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def cnt(script: String): Column =
+      length(regexp_replace(col(textCol), s"[^\\p{Is$script}]", "")).cast("long")
+    val latin = cnt("Latin"); val cyr = cnt("Cyrillic")
+    val han = cnt("Han"); val arab = cnt("Arabic")
+    val nonLatin = cyr + han + arab
+    val letters = latin + nonLatin
+    Partitioning.ensureParallelism(df).select(col(idCol),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      arab.as("n_arabic"),
+      when(letters > 0,
+        round(nonLatin.cast("double") / letters.cast("double"), 6))
+        .otherwise(lit(0.0)).as("non_latin_frac"))
+  }
 }

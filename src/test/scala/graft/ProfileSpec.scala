@@ -93,4 +93,18 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out("a")._2 == 5.5 && out("a")._3 == 2.5)
     assert(out("b") == ((5L, 7.0, 0.0, 0L)))
   }
+
+  test("fkOrphans: row/key orphan counts and coverage, clean and broken links") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 9L, 9L, 8L).toDF("fk") // keys 9,8 orphaned
+    val r = Profile.fkOrphans(child, "fk", parent, "pk").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 4L, 3L, 2L)))
+    assert(r.getDouble(4) == 0.5) // 2 of 4 child keys covered
+    // fully covered
+    val clean = Profile.fkOrphans(Seq(1L, 2L).toDF("fk"), "fk", parent, "pk")
+      .collect()(0)
+    assert(clean.getLong(2) == 0L && clean.getDouble(4) == 1.0)
+  }
 }

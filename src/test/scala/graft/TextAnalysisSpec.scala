@@ -95,6 +95,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(none == 0)
   }
 
+  test("scriptProfileFrame: per-script counts and non-Latin fraction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello привет"),  // 5 latin, 6 cyrillic
+      (2L, "你好 abc"),       // 2 han, 3 latin
+      (3L, "123 !!!")        // no letters at all
+    ).toDF("id", "txt")
+    val out = graft.operators.TextAnalysis.scriptProfileFrame(df, "txt", "id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((5L, 6L, 0L, 0L, 0.545455)))
+    assert(out(2L) == ((3L, 0L, 2L, 0L, 0.4)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("charEntropy: hand-computed values, degenerate and empty text") {
     import org.apache.spark.sql.functions.col
     val got = Seq(
