@@ -571,6 +571,17 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
     }),
 
+    "changepoint_cusum" -> ((s, dir) => {
+      // WHEN did the metric move: exact integer CUSUM over daily event
+      // counts per type (Drift.cusumChangepoint scaladoc).
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      val daily = ev.groupBy(col("event_type"),
+          expr(s"ts div ${EventTime.DayMicros}").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Drift.cusumChangepoint(daily, "event_type", "day", "n")
+        .withColumnRenamed("changepoint_t", "changepoint_day")
+    }),
+
     "funnel_conversion" -> ((s, dir) =>
       // Strictly-ordered view -> click -> purchase funnel
       // (EventAnalytics.funnel scaladoc): per-stage user counts + HALF_UP
@@ -2513,6 +2524,23 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "changepoint_cusum" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |  count(*) OVER (PARTITION BY event_type) *
+        |   sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |     ROWS UNBOUNDED PRECEDING) -
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) *
+        |   sum(n) OVER (PARTITION BY event_type) AS stat,
+        |  count(*) OVER (PARTITION BY event_type) AS np
+        | FROM daily),
+        |r AS (SELECT event_type, day, stat, np, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY abs(stat) DESC, day ASC) AS rk FROM s)
+        |SELECT event_type, day AS changepoint_day,
+        | CAST(stat AS BIGINT) AS cusum_scaled, CAST(np AS BIGINT) AS n_points
+        |FROM r WHERE rk = 1""".stripMargin,
 
     "funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events

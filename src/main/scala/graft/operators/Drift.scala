@@ -105,4 +105,37 @@ object Drift {
         coalesce(sum(col("__cp")), lit(0L)).cast("long").as("total_p"),
         coalesce(sum(col("__cq")), lit(0L)).cast("long").as("total_q"))
   }
+
+  /** CUSUM mean-shift changepoint over an ordered integer series — the
+    * pipeline-monitoring answer to "WHEN did this metric move", the
+    * location complement of [[ksDistance]]'s "how far apart". For each
+    * key, the classic statistic S_t = Σ_{i<=t}(x_i - mean) is evaluated
+    * EXACTLY by scaling through n: `n·S_t = n·cumsum_t − t·total` is pure
+    * integer arithmetic (no rational mean, no floating drift), and the
+    * changepoint is the position with the largest |n·S_t|, ties to the
+    * earliest. Emits `(key, changepoint_t, cusum_scaled, n_points)` —
+    * `cusum_scaled` keeps its sign (negative = the series runs below its
+    * mean up to the changepoint, i.e. an upward shift after it).
+    *
+    * Scale shape: one per-key window over the (key, t, x) series — the
+    * series is already aggregated (e.g. daily counts), so window width is
+    * bounded by the time range, never by event volume.
+    */
+  def cusumChangepoint(series: DataFrame, keyCol: String, tCol: String,
+                       xCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val wOrd = w.orderBy(col(tCol))
+    val scaled = series.select(col(keyCol), col(tCol),
+        (count(lit(1)).over(w) *
+          sum(col(xCol)).over(wOrd.rowsBetween(Long.MinValue, 0)) -
+          row_number().over(wOrd) * sum(col(xCol)).over(w)).as("__s"),
+        count(lit(1)).over(w).as("__n"))
+    val pick = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("__s")).desc, col(tCol).asc)
+    scaled.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col(tCol).as("changepoint_t"),
+        col("__s").cast("long").as("cusum_scaled"),
+        col("__n").cast("long").as("n_points"))
+  }
 }

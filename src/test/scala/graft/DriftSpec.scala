@@ -89,4 +89,20 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("ks") == 1.0)
     assert(row.getAs[Long]("n_q") == 0)
   }
+
+  test("cusumChangepoint: step series pinpoints the shift, flat series ties to first") {
+    import spark.implicits._
+    // key a: 10,10,10,50,50 — mean 26; n*S_t = 5*cum - t*130:
+    // t=1: 50-130=-80; t=2: -160; t=3: -240 (min, |.|max); t=4: -120; t=5: 0.
+    // key b: flat 7s — every n*S_t = 0, tie -> earliest t.
+    val s = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 50L), ("a", 5L, 50L),
+      ("b", 1L, 7L), ("b", 2L, 7L)
+    ).toDF("k", "t", "x")
+    val out = graft.operators.Drift.cusumChangepoint(s, "k", "t", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((3L, -240L, 5L))) // shift right after t=3, upward (negative stat)
+    assert(out("b") == ((1L, 0L, 2L)))
+  }
 }
