@@ -1274,6 +1274,14 @@ object SparkEntry {
       TextAnalysis.piiFrame(planted, "pii_text", "doc_id")
     }),
 
+    "gini_concentration" -> ((s, dir) =>
+      // Corpus concentration: Gini over per-source character mass
+      // (Profile.giniConcentration scaladoc) — the one-number diversity
+      // audit beside the per-source profile slices.
+      Profile.giniConcentration(
+        t(s, dir, "documents").groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("w")), "w")),
+
     "fk_orphans" -> ((s, dir) =>
       // Referential-integrity audit (Profile.fkOrphans scaladoc):
       // orders.o_custkey -> customer.c_custkey row/key orphan counts +
@@ -3641,6 +3649,17 @@ object SparkEntry {
         | count(CASE WHEN n >= 5 THEN 1 END) AS n_dropped
         |FROM e2 JOIN c USING (para)
         |GROUP BY doc_id""".stripMargin,
+
+    // Σ i·x is tie-invariant, so ORDER BY x alone is deterministic enough.
+    "gini_concentration" ->
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(x) AS BIGINT) AS total_weight,
+        | round(2.0 * sum(i * x) / (count(*) * sum(x)) -
+        |   (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
 
     "fk_orphans" ->
       """WITH o AS (SELECT o_custkey FROM orders

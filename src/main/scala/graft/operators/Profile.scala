@@ -22,6 +22,39 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Gini concentration of a weight distribution over groups — "how
+    * dominated is the corpus by a few sources/domains?" as one number
+    * (0 = perfectly even, →1 = one group holds everything). The
+    * diversity-tracking complement of [[graft.operators.Profile]]'s
+    * per-group slices and `zipfFit`'s rank-frequency slope.
+    *
+    * Exact formulation: with weights sorted ascending (1-indexed),
+    * `G = 2·Σ i·x_i / (n·Σx) − (n+1)/n`. Σ i·x_i is tie-invariant
+    * (permuting equal weights leaves it unchanged), so the sort needs no
+    * tie-break; every term is an integer sum, the division shape is
+    * pinned, output rounds to 6dp. Emits one row:
+    * `(n_groups, total_weight, gini)`.
+    *
+    * Scale: the input is one row per GROUP (sources, domains), so the
+    * single-partition window ranks a group-bounded table, never the
+    * corpus.
+    */
+  def giniConcentration(weights: DataFrame, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(weightCol))
+    weights.select(col(weightCol).cast("long").as("__x"),
+        row_number().over(w).cast("long").as("__i"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__x")).as("total_weight"),
+        sum(col("__i") * col("__x")).as("__sw"))
+      .select(col("n_groups"), col("total_weight"),
+        when(col("n_groups") > 0 && col("total_weight") > 0,
+          round(lit(2.0) * col("__sw") /
+            (col("n_groups") * col("total_weight")) -
+            (col("n_groups") + lit(1.0)) / col("n_groups"), 6))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   /** Referential-integrity audit for one child→parent relationship — the
     * data-quality staple a warehouse runs after every load: child-side
     * row/key counts, the orphan count (child keys with no parent row,

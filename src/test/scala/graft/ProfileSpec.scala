@@ -94,6 +94,24 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out("b") == ((5L, 7.0, 0.0, 0L)))
   }
 
+  test("giniConcentration: even split 0, dominated split hand-checked, empty 0") {
+    import spark.implicits._
+    // even: 4 groups x 25 -> G = 2*(1+2+3+4)*25/(4*100) - 5/4 = 1.25-1.25 = 0
+    val even = Profile.giniConcentration(
+      Seq(25L, 25L, 25L, 25L).toDF("w"), "w").collect()(0)
+    assert(even.getLong(0) == 4L && even.getLong(1) == 100L)
+    assert(even.getDouble(2) == 0.0)
+    // skewed: (1, 1, 98): sorted 1,1,98 -> 2*(1+2+294)/(3*100) - 4/3
+    //  = 594/300 - 4/3 = 1.98 - 1.333333... = 0.646667 (6dp)
+    val skew = Profile.giniConcentration(
+      Seq(98L, 1L, 1L).toDF("w"), "w").collect()(0)
+    assert(skew.getDouble(2) == 0.646667)
+    val empty = Profile.giniConcentration(
+      spark.emptyDataFrame.withColumn("w", org.apache.spark.sql.functions.lit(0L))
+        .limit(0), "w").collect()(0)
+    assert(empty.getDouble(2) == 0.0)
+  }
+
   test("fkOrphans: row/key orphan counts and coverage, clean and broken links") {
     import spark.implicits._
     val parent = Seq(1L, 2L, 3L).toDF("pk")
