@@ -571,6 +571,16 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
     }),
 
+    "event_dispersion" -> ((s, dir) => {
+      // Burstiness alarm (Drift.dispersion scaladoc): Fano factor of
+      // daily event counts per type from exact integer power sums.
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      val daily = ev.groupBy(col("event_type"),
+          expr(s"ts div ${EventTime.DayMicros}").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Drift.dispersion(daily, "event_type", "n")
+    }),
+
     "changepoint_cusum" -> ((s, dir) => {
       // WHEN did the metric move: exact integer CUSUM over daily event
       // counts per type (Drift.cusumChangepoint scaladoc).
@@ -1273,6 +1283,12 @@ object SparkEntry {
           lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("pii_text"))
       TextAnalysis.piiFrame(planted, "pii_text", "doc_id")
     }),
+
+    "class_balance" -> ((s, dir) =>
+      // Dataset-card class-balance report (Profile.classBalance scaladoc)
+      // over the embeddings labels: majority share + label-order-pinned
+      // normalized entropy.
+      Profile.classBalance(t(s, dir, "embeddings"), "label")),
 
     "gini_concentration" -> ((s, dir) =>
       // Corpus concentration: Gini over per-source character mass
@@ -2533,6 +2549,23 @@ object SparkEntry {
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "event_dispersion" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+        |  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+        | FROM daily GROUP BY 1)
+        |SELECT event_type, np AS n_points,
+        | round(CAST(s AS DOUBLE) / np, 6) AS mean,
+        | CASE WHEN np > 1
+        |  THEN round(CAST(np * s2 - s * s AS DOUBLE) / (np * (np - 1)), 6)
+        |  ELSE 0.0 END AS variance,
+        | CASE WHEN np > 1 AND s > 0
+        |  THEN round(CAST(np * s2 - s * s AS DOUBLE) / (np * (np - 1)) /
+        |    (CAST(s AS DOUBLE) / np), 6)
+        |  ELSE 0.0 END AS fano
+        |FROM a""".stripMargin,
+
     "changepoint_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
@@ -3649,6 +3682,24 @@ object SparkEntry {
         | count(CASE WHEN n >= 5 THEN 1 END) AS n_dropped
         |FROM e2 JOIN c USING (para)
         |GROUP BY doc_id""".stripMargin,
+
+    // Entropy fold runs in label-ascending order in BOTH engines (list
+    // ORDER BY l == sort_array of (label, count) structs), so the
+    // floating sum is bit-identical.
+    "class_balance" ->
+      """WITH c AS (SELECT label AS l, CAST(count(*) AS BIGINT) AS c
+        |  FROM embeddings GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS mx,
+        |  list(c ORDER BY l) AS arr FROM c)
+        |SELECT n_classes, n_rows,
+        | round(CAST(mx AS DOUBLE) / n_rows, 6) AS max_share,
+        | CASE WHEN n_classes > 1 THEN
+        |  round(-list_reduce(list_prepend(0.0, list_transform(arr, x ->
+        |    (CAST(x AS DOUBLE) / n_rows) * ln(CAST(x AS DOUBLE) / n_rows))),
+        |   (a, b) -> a + b) / ln(CAST(n_classes AS DOUBLE)), 6)
+        | ELSE 0.0 END AS entropy_norm
+        |FROM a""".stripMargin,
 
     // Σ i·x is tie-invariant, so ORDER BY x alone is deterministic enough.
     "gini_concentration" ->

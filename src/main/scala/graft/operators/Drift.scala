@@ -121,6 +121,32 @@ object Drift {
     * series is already aggregated (e.g. daily counts), so window width is
     * bounded by the time range, never by event volume.
     */
+  /** Dispersion report over an integer series per key — mean, sample
+    * variance, and the Fano factor (variance/mean): the burstiness alarm
+    * for arrival-count series (Poisson traffic sits near 1; bursts and
+    * bot storms push it far above). Variance is computed from exact
+    * integer power sums — `var = (n·Σx² − (Σx)²) / (n·(n−1))` — with one
+    * double division at the end, so the oracle replays it bit-for-bit.
+    * Emits `(key, n_points, mean, variance, fano)`, 6dp.
+    */
+  def dispersion(series: DataFrame, keyCol: String, xCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    series.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
+        sum(x * x).as("__s2"))
+      .select(col(keyCol), col("__n").as("n_points"),
+        round(col("__s").cast("double") / col("__n"), 6).as("mean"),
+        when(col("__n") > 1,
+          round((col("__n") * col("__s2") - col("__s") * col("__s"))
+            .cast("double") / (col("__n") * (col("__n") - 1)), 6))
+          .otherwise(lit(0.0)).as("variance"),
+        when(col("__n") > 1 && col("__s") > 0,
+          round((col("__n") * col("__s2") - col("__s") * col("__s"))
+            .cast("double") / (col("__n") * (col("__n") - 1)) /
+            (col("__s").cast("double") / col("__n")), 6))
+          .otherwise(lit(0.0)).as("fano"))
+  }
+
   def cusumChangepoint(series: DataFrame, keyCol: String, tCol: String,
                        xCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))

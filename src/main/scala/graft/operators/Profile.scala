@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Class-balance report over a label column — the dataset-card staple
+    * for classifier/eval-set prep: class count, row count, the majority
+    * share, and the normalized label entropy (H / ln k: 1 = perfectly
+    * balanced, → 0 = one class dominates). Entropy terms are folded in
+    * LABEL-ASCENDING order (the [[graft.operators.TextAnalysis.charEntropy]]
+    * discipline) so the floating sum is deterministic and
+    * oracle-replayable. One partial-aggregating shuffle to |classes| rows,
+    * then a 1-row fold.
+    */
+  def classBalance(df: DataFrame, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    counts.agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("__mx"),
+        transform(sort_array(collect_list(struct(col("__l"), col("__c")))),
+          s => s.getField("__c")).as("__a"))
+      .select(col("n_classes"), col("n_rows"),
+        round(col("__mx").cast("double") / col("n_rows"), 6).as("max_share"),
+        when(col("n_classes") > 1,
+          round(-aggregate(col("__a"), lit(0.0), (acc, c) =>
+            acc + (c.cast("double") / col("n_rows")) *
+              log(c.cast("double") / col("n_rows"))) /
+            log(col("n_classes").cast("double")), 6))
+          .otherwise(lit(0.0)).as("entropy_norm"))
+  }
+
   /** Gini concentration of a weight distribution over groups — "how
     * dominated is the corpus by a few sources/domains?" as one number
     * (0 = perfectly even, →1 = one group holds everything). The

@@ -90,6 +90,21 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("n_q") == 0)
   }
 
+  test("dispersion: hand-computed mean/variance/fano, single-point guard") {
+    import spark.implicits._
+    // a: 2,4,6 -> mean 4, var = (3*56-144)/6 = 4, fano = 1
+    // b: constant 5,5 -> var 0, fano 0
+    // c: single point -> variance/fano 0 by guard
+    val s = Seq(("a", 2L), ("a", 4L), ("a", 6L),
+      ("b", 5L), ("b", 5L), ("c", 9L)).toDF("k", "x")
+    val out = graft.operators.Drift.dispersion(s, "k", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((3L, 4.0, 4.0, 1.0)))
+    assert(out("b") == ((2L, 5.0, 0.0, 0.0)))
+    assert(out("c") == ((1L, 9.0, 0.0, 0.0)))
+  }
+
   test("cusumChangepoint: step series pinpoints the shift, flat series ties to first") {
     import spark.implicits._
     // key a: 10,10,10,50,50 — mean 26; n*S_t = 5*cum - t*130:

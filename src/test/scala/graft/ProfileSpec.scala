@@ -94,6 +94,23 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(out("b") == ((5L, 7.0, 0.0, 0L)))
   }
 
+  test("classBalance: balanced entropy 1, skew hand-checked, single class 0") {
+    import spark.implicits._
+    // balanced 2x2 -> H/ln2 = 1
+    val bal = Profile.classBalance(Seq(0, 0, 1, 1).toDF("label"), "label")
+      .collect()(0)
+    assert((bal.getLong(0), bal.getLong(1), bal.getDouble(2), bal.getDouble(3))
+      == ((2L, 4L, 0.5, 1.0)))
+    // 3:1 split -> H = -(0.75 ln 0.75 + 0.25 ln 0.25) = 0.562335,
+    // /ln2 = 0.811278
+    val skew = Profile.classBalance(Seq(0, 0, 0, 1).toDF("label"), "label")
+      .collect()(0)
+    assert(skew.getDouble(2) == 0.75 && skew.getDouble(3) == 0.811278)
+    // one class -> entropy 0 by guard
+    val one = Profile.classBalance(Seq(7, 7).toDF("label"), "label").collect()(0)
+    assert(one.getLong(0) == 1L && one.getDouble(3) == 0.0)
+  }
+
   test("giniConcentration: even split 0, dominated split hand-checked, empty 0") {
     import spark.implicits._
     // even: 4 groups x 25 -> G = 2*(1+2+3+4)*25/(4*100) - 5/4 = 1.25-1.25 = 0
