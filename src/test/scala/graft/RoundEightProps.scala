@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{LabelProp, Sampling, SequencePack, SketchAudit}
+import graft.operators.{Drift, EventAnalytics, LabelProp, Multimodal,
+  Profile, Sampling, SequencePack, SketchAudit}
 
 /** Invariants of the round-8 additions under generated inputs. */
 object RoundEightProps extends Properties("RoundEight") {
@@ -48,7 +49,9 @@ object RoundEightProps extends Properties("RoundEight") {
 
   // --- padding waste ------------------------------------------------------
 
-  property("paddingWasteReport conserves docs and tokens; waste in [0,1)") =
+  // waste hits exactly 1.0 when a bucket holds only zero-token docs
+  // (they pay a fully-padded row) — hence the closed upper bound.
+  property("paddingWasteReport conserves docs and tokens; waste in [0,1]") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, 300L)), Gen.choose(1L, 64L)) {
       (toks, w) =>
         import spark.implicits._
@@ -60,7 +63,7 @@ object RoundEightProps extends Properties("RoundEight") {
         nDocs == toks.length.toLong && total == toks.sum &&
           out.forall { r =>
             val wr = r.getAs[Double]("waste_ratio")
-            wr >= 0.0 && wr < 1.0 &&
+            wr >= 0.0 && wr <= 1.0 &&
               r.getAs[Long]("padded_tokens") >= r.getAs[Long]("total_tokens") &&
               r.getAs[Long]("bucket_max") % w == 0
           }
@@ -112,6 +115,88 @@ object RoundEightProps extends Properties("RoundEight") {
     }
 
   // --- sketch audits ------------------------------------------------------
+
+  // --- funnel / cohort ----------------------------------------------------
+
+  private val eventGen = Gen.nonEmptyListOf(for {
+    u <- Gen.choose(1L, 6L)
+    t <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.choose(0L, 100L)
+  } yield (u, t, ts))
+
+  property("funnel counts are monotone non-increasing down the stages") =
+    forAll(eventGen) { evs =>
+      import spark.implicits._
+      val out = EventAnalytics.funnel(evs.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", Seq("a", "b", "c"))
+        .orderBy("stage_index").collect().map(_.getAs[Long]("n_users")).toSeq
+      out.zip(out.drop(1)).forall { case (hi, lo) => lo <= hi }
+    }
+
+  property("cohortRetention: offset-0 count equals the number of distinct users") =
+    forAll(eventGen) { evs =>
+      import spark.implicits._
+      val df = evs.map { case (u, _, ts) => (u, ts * 86400000000L / 4) }
+        .toDF("user_id", "ts")
+      val out = EventAnalytics.cohortRetention(df, "user_id", "ts", 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every user appears exactly once at their own cohort's offset 0
+      out.filter(_._2 == 0L).map(_._3).sum == evs.map(_._1).distinct.size.toLong
+    }
+
+  // --- dispersion / gini / class balance ---------------------------------
+
+  property("dispersion: variance non-negative; constant series has fano 0") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 50L)), Gen.choose(1L, 9L)) {
+      (xs, c) =>
+        import spark.implicits._
+        val mixed = xs.map(("v", _)) ++ List.fill(3)(("k", c))
+        val out = Drift.dispersion(mixed.toDF("k", "x"), "k", "x")
+          .collect().map(r => r.getString(0) ->
+            ((r.getDouble(3), r.getDouble(4)))).toMap
+        out("k") == ((0.0, 0.0)) && out("v")._1 >= 0.0
+    }
+
+  property("gini is in [0, 1) and 0 for a uniform distribution") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 100L)), Gen.choose(1L, 50L),
+      Gen.choose(2, 8)) { (ws, u, k) =>
+      import spark.implicits._
+      val g = Profile.giniConcentration(ws.toDF("w"), "w")
+        .collect()(0).getDouble(2)
+      val uni = Profile.giniConcentration(
+          List.fill(k)(u).toDF("w"), "w").collect()(0).getDouble(2)
+      g >= 0.0 && g < 1.0 && uni == 0.0
+    }
+
+  property("classBalance entropy_norm is in [0, 1], 1 iff balanced") =
+    forAll(Gen.choose(1, 5), Gen.choose(1, 20), Gen.choose(0, 15)) {
+      (k, per, extra) =>
+        import spark.implicits._
+        val labels = (0 until k).flatMap(l => List.fill(per)(l)) ++
+          List.fill(extra)(0)
+        val r = Profile.classBalance(labels.toDF("label"), "label").collect()(0)
+        val h = r.getDouble(3)
+        h >= 0.0 && h <= 1.0000001 &&
+          (k == 1 || extra > 0 || math.abs(h - 1.0) < 1e-9)
+    }
+
+  // --- media fingerprints -------------------------------------------------
+
+  property("image dHash survives the real BMP encode/decode for any seed/size") =
+    forAll(Gen.choose(0L, 5000L), Gen.choose(9, 27), Gen.choose(8, 24)) {
+      (seed, w, h) =>
+        val img = Multimodal.decodeImage(Multimodal.syntheticBmp(seed, w, h))
+        img.nonEmpty && img.get.getWidth == w && img.get.getHeight == h
+    }
+
+  property("audio fingerprint halves are non-negative 32-bit, decode is lossless") =
+    forAll(Gen.choose(0L, 5000L), Gen.choose(130, 400)) { (seed, n) =>
+      val (samples, _) = Multimodal.decodeAudio(
+        Multimodal.syntheticWav(seed, n)).get
+      val (hi, lo) = Multimodal.audioEnvelopeBits(samples)
+      samples.length == n &&
+        hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32)
+    }
 
   property("hllUnionAudit exact side matches a reference countDistinct") =
     forAll(Gen.nonEmptyListOf(for {
