@@ -326,4 +326,57 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       "aggregates must combine map-side")
   }
+
+  // RoundRobinPartitioning is ensureParallelism's deliberate widening of
+  // single-file inputs — data never re-keys. What these pins forbid is a
+  // KEYED shuffle (hash/range/single-partition): the ops are map-only.
+  private def onlyRoundRobinExchanges(p: String, g: String): Unit = {
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      s"$g planned a keyed shuffle:\n${p.take(700)}")
+  }
+
+  test("image_dhash / audio_fingerprint: map-only scans, no keyed shuffle") {
+    Seq("image_dhash", "audio_fingerprint").foreach { g =>
+      onlyRoundRobinExchanges(plan(g), g)
+    }
+  }
+
+  test("script_profile / html_links: narrow, no keyed shuffle; script path UDF-free") {
+    Seq("script_profile", "html_links").foreach { g =>
+      onlyRoundRobinExchanges(plan(g), g)
+    }
+    assert(!plan("html_links").contains("UDF"),
+      "html_links fell back to a UDF")
+  }
+
+  test("k_anonymity / event_dispersion: partial aggregation before the shuffle") {
+    Seq("k_anonymity", "event_dispersion").foreach { g =>
+      val p = plan(g)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$g shuffles raw rows:\n${p.take(600)}")
+    }
+  }
+
+  test("percentile_sketch_audit: the rank pass broadcasts the sketch answers") {
+    val p = plan("percentile_sketch_audit")
+    assert(p.contains("BroadcastExchange"),
+      s"approx answers must broadcast back over the corpus:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "rank pass must stay keyed")
+  }
+
+  test("funnel_conversion / cohort_retention: user-keyed joins, never a cartesian") {
+    Seq("funnel_conversion", "cohort_retention").foreach { g =>
+      val p = plan(g)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$g planned an unkeyed join:\n${p.take(600)}")
+    }
+  }
+
+  test("wordpiece_stats: word-stats side broadcasts back onto the corpus") {
+    val p = plan("wordpiece_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word stats must broadcast:\n${p.take(600)}")
+  }
 }
