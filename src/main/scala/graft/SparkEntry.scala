@@ -380,6 +380,14 @@ object SparkEntry {
       // execution paths.
       graft.streaming.Streaming.runWindowedAvailableNow(s, s"$dir/events.parquet")),
 
+    "streaming_dedup" -> ((s, dir) =>
+      // First-seen dedup through the REAL stateful streaming engine
+      // (Streaming.runFirstSeenAvailableNow scaladoc): mapGroupsWithState
+      // collapses planted exact duplicates to exactly one emission per
+      // distinct fingerprint.
+      graft.streaming.Streaming.runFirstSeenAvailableNow(
+        s, s"$dir/documents.parquet")),
+
     "streaming_enrich" -> ((s, dir) =>
       // Stream-static dimension join through the streaming engine
       // (Streaming.runEnrichAvailableNow scaladoc): streaming events
@@ -3049,6 +3057,10 @@ object SparkEntry {
          | FROM inter x JOIN li ON li.doc_id = x.id_new JOIN lr ON lr.doc_id = x.id_ref)
          |SELECT id_new, id_ref, round(1.0 - sim, 6) AS jaccard_dist
          |FROM pairs WHERE 1.0 - sim <= 0.5""".stripMargin,
+
+    // One emission per distinct fingerprint, whatever the batch order.
+    "streaming_dedup" ->
+      "SELECT DISTINCT sha256(text) AS fingerprint FROM documents",
 
     // Stream-static join in complete mode is batch-equivalent; the plain
     // SQL join is the oracle (same promotion as streaming_windowed).

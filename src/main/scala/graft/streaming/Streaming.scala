@@ -268,6 +268,39 @@ object Streaming {
       .map(_.get)
   }
 
+  /** [[streamingDedup]] executed as a REAL streaming query over the
+    * documents table with planted exact duplicates (the stream unioned
+    * with an id-shifted copy of itself — both copies land in the same
+    * AvailableNow batch, so the state dedup collapses them inside the
+    * first group visit). Emits the deterministic projection — the SET of
+    * first-seen fingerprints — which must equal DISTINCT sha256(text)
+    * exactly once each; the first-SOURCE attribution is batch-order
+    * dependent by design and stays out of the gate.
+    */
+  def runFirstSeenAvailableNow(spark: SparkSession, docsPath: String): DataFrame = {
+    val batch = spark.read.parquet(docsPath)
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    runToLocalFrame(spark, "fs_") { (name, ckpt) =>
+      val stream = spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .select(col("doc_id"), col("text"), col("source"))
+      val doubled = stream.union(
+        stream.withColumn("doc_id", col("doc_id") + 100000))
+      import spark.implicits._
+      val ds = doubled
+        .select(sha2(col("text"), 256).as("fp"), col("source"))
+        .as[(String, String)]
+      streamingDedup(ds).toDF("fingerprint", "first_source")
+        .select("fingerprint")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** [[nearDupFlagsAgainst]] executed as a REAL streaming query over the
     * documents table (`Trigger.AvailableNow`), against a planted reference:
     * every 7th document re-appears under a shifted id with a one-word
