@@ -1216,6 +1216,22 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    "similarity_ivf_exact" -> ((s, dir) => {
+      // The SAME IVF code path in its exactness regime: probing every
+      // cell (nProbe = nCells) makes the approximate search brute force,
+      // promoting it to a full oracle — the production `similarity_ivf`
+      // gate keeps the approximate parameters, this one pins the scan +
+      // rank machinery itself. Cross-engine stable because the cosine is
+      // the shared expression shape (left-to-right summation) both
+      // engines evaluate bit-identically.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val (indexed, centroids) = Similarity.ivfIndex(e, nCells = 8)
+      Similarity.ivfTopK(indexed, centroids, q, 10, nProbe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // -----------------------------------------------------------------------
     // Text-analysis extensions
     // -----------------------------------------------------------------------
@@ -2747,6 +2763,15 @@ object SparkEntry {
          |SELECT vec_id, round(${cosOf("embedding", "qv")}, 6) AS score
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Selection runs on the UNROUNDED cosine in both engines (identical
+    // expression shape -> bit-identical doubles), vec_id tie-break; the
+    // query vector itself ranks first at score 1.0.
+    "similarity_ivf_exact" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosOf("embedding", "qv")}, 6) AS score
+         |FROM embeddings, q
+         |ORDER BY ${cosOf("embedding", "qv")} DESC, vec_id LIMIT 10""".stripMargin,
 
     "eval_hitrate" ->
       s"""WITH corpus AS (
