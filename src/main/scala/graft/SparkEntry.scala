@@ -1952,8 +1952,39 @@ object SparkEntry {
           nFrames = 4, dim = 8)
         .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
           size(col("frame_features")).cast("long").as("frame_dim"),
-          (VectorFunctions.normSq(col("frame_features")) > 0).as("frame_nonzero")))
+          (VectorFunctions.normSq(col("frame_features")) > 0).as("frame_nonzero"))),
+
+    // -- wave 3: graph cohesion, release audits, deterministic sampling ------
+
+    "link_triangles" -> ((s, dir) => {
+      // Per-node triangle participation + local clustering coefficient
+      // (Graph.triangleCounts scaladoc: degree-ordered compact-forward,
+      // O(|E|^1.5) wedge bound). The planted graph is denser than
+      // link_pagerank's — successor, skip-2, and skip-3 edges — so closed
+      // wedges actually occur and the clustering column is non-trivial.
+      Graph.triangleCounts(
+          plantedDenseEdges(t(s, dir, "documents").select(col("doc_id"))),
+          "src", "dst")
+        .select(col("id").as("doc_id"), col("degree"), col("triangles"),
+          col("clustering"))
+    })
   )
+
+  /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
+    * skip-2 on `% 5 < 2`, skip-3 on `% 11 == 0`, destinations clipped to
+    * existing ids — deterministic, triangle-bearing, same left-semi clip
+    * idiom as the `link_pagerank` family.
+    */
+  private def plantedDenseEdges(ids: DataFrame): DataFrame = {
+    val e1 = ids.filter(col("doc_id") % 7 < 3)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    val e2 = ids.filter(col("doc_id") % 5 < 2)
+      .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+    val e3 = ids.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+    e1.union(e2).union(e3)
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+  }
 
   // ---------------------------------------------------------------------------
   // Oracle SQL (DuckDB dialect) — exact mirrors of the Spark computations.
@@ -4683,6 +4714,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(3 AS BIGINT) AS chunk_index,
         | '### Notes' || chr(10) || 'tail' AS chunk,
         | 'Doc ' || doc_id AS header1, 'Body' AS header2, 'Notes' AS header3
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+
+    // -- wave 3 ----------------------------------------------------------
+
+    "link_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (
+        | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+        | UNION ALL
+        | SELECT doc_id, doc_id + 2 FROM ids WHERE doc_id % 5 < 2
+        | UNION ALL
+        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM raw WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
+        |deg AS (SELECT id, COUNT(*) AS degree
+        |        FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY id),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |per AS (SELECT id, COUNT(*) AS triangles
+        |        FROM (SELECT a AS id FROM tri UNION ALL
+        |              SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |        GROUP BY id)
+        |SELECT deg.id AS doc_id, deg.degree,
+        | COALESCE(per.triangles, 0) AS triangles,
+        | CASE WHEN deg.degree > 1
+        |   THEN round(2.0 * COALESCE(per.triangles, 0) /
+        |        (deg.degree * (deg.degree - 1)), 6)
+        |   ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN per ON per.id = deg.id""".stripMargin
   )
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting and local clustering coefficients over an edge list —
+  * the link-graph cohesion signals crawl curation uses alongside
+  * [[PageRank]]: a page whose neighborhood is densely inter-linked (high
+  * clustering) sits in a genuine community; link-farm spam rings show up as
+  * anomalously high triangle density, isolated doorway pages as zero.
+  *
+  * Algorithm: the degree-ordered node-iterator ("compact-forward").
+  * Edges are first canonicalized to undirected form (self-loops dropped,
+  * parallel/reverse duplicates collapsed), then each undirected edge is
+  * oriented from its LOWER-(degree, id) endpoint to its higher one. Every
+  * triangle {a,b,c} then has exactly one wedge (a→b, a→c) centered at its
+  * smallest endpoint whose closing edge (b→c) is also oriented — so one
+  * wedge self-join plus one semi-join against the oriented edge set counts
+  * each triangle exactly once.
+  *
+  * Why this survives 100 TB: the naive wedge join explodes on hub nodes —
+  * Σ d(v)² wedges, quadratic in the max degree (a 10M-degree hub alone
+  * generates 10¹⁴ wedges). Orienting by degree bounds the out-degree of
+  * every node by O(√|E|) (a node of degree d only keeps edges to
+  * HIGHER-degree neighbors, and there can be at most 2|E|/d of those), so
+  * the wedge count is O(|E|^1.5) worst-case regardless of skew — the
+  * standard bound (Latapy 2008; Suri & Vassilvitskii's MapReduce variant).
+  * All three joins shuffle on node keys; nothing is ever collected.
+  */
+object Graph {
+
+  /** Canonical undirected edge set: `(u, v)` with `u < v`, self-loops
+    * dropped, duplicates (including reversed duplicates) collapsed.
+    */
+  def undirected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+
+  /** Per-node triangle participation and local clustering coefficient:
+    * `(id, degree, triangles, clustering)` for every node of the
+    * undirected projection, `clustering = 2·T(v) / (d(v)·(d(v)−1))`
+    * (0.0 for degree-1 nodes), rounded to 6 decimals. Deterministic —
+    * exact counts, no sampling — so fully oracle-checkable.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
+
+    // Orient each undirected edge from its lower-(degree, id) endpoint to
+    // the higher one: (degree, id) is a total order, so orientation is
+    // deterministic and acyclic.
+    val du = deg.select(col("id").as("u"), col("degree").as("__du"))
+    val dv = deg.select(col("id").as("v"), col("degree").as("__dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("__du") < col("__dv") ||
+            (col("__du") === col("__dv") && col("u") < col("v")),
+          struct(col("u").as("lo"), col("v").as("hi")))
+          .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+          .as("__e"))
+      .select(col("__e.lo").as("lo"), col("__e.hi").as("hi"))
+
+    // Wedges centered at the orientation-minimal endpoint; b < c pins each
+    // unordered neighbor pair once. Closing edge must exist in EITHER
+    // orientation between b and c — membership in the undirected set is
+    // the cheapest check (u < v canonical).
+    val wedges = oriented.select(col("lo").as("a"), col("hi").as("b"))
+      .join(oriented.select(col("lo").as("a"), col("hi").as("c")), "a")
+      .filter(col("b") < col("c"))
+    val triangles = wedges.join(und,
+      wedges("b") === und("u") && wedges("c") === und("v"), "left_semi")
+
+    // Each triangle credits all three corners.
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("triangles"))
+
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") > 1,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Whole-graph summary: `(n_nodes, n_edges, n_triangles,
+    * global_clustering)` where global clustering is the transitivity ratio
+    * `3·triangles / open+closed wedges` (0.0 on wedge-free graphs).
+    */
+  def triangleSummary(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val per = triangleCounts(edges, srcCol, dstCol)
+    per.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("degree")) / 2).cast("long").as("n_edges"),
+        (sum(col("triangles")) / 3).cast("long").as("n_triangles"),
+        sum(col("degree") * (col("degree") - lit(1L)) / 2).as("__wedges"),
+        sum(col("triangles")).as("__closed"))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("__wedges") > 0,
+          round(col("__closed") / col("__wedges").cast("double"), 6))
+          .otherwise(lit(0.0)).as("global_clustering"))
+  }
+}

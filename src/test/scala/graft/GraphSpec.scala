@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Triangle counting + clustering coefficients: hand-checked closed forms
+  * on K3/K4/stars, canonicalization rules, and a brute-force cross-check
+  * on a pseudo-random graph (the same degree-ordered result must match the
+  * O(n^3) enumeration).
+  */
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def counts(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("clustering"))))
+      .toMap
+
+  test("triangle: every node has 1 triangle, clustering 1.0") {
+    val r = counts(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r.values.toSet == Set((2L, 1L, 1.0)))
+  }
+
+  test("K4: 4 triangles total, 3 per node, clustering 1.0") {
+    val e = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val r = counts(e)
+    assert(r.values.toSet == Set((3L, 3L, 1.0)))
+  }
+
+  test("star has no triangles; hub clustering is 0") {
+    val r = counts(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(r(1L) == ((3L, 0L, 0.0)))
+    assert(r(2L) == ((1L, 0L, 0.0)))
+  }
+
+  test("self-loops, duplicates, and reversed duplicates are canonicalized") {
+    // {1,2},{2,3},{1,3} once each after cleanup -> one triangle.
+    val r = counts(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L),
+      (1L, 3L), (3L, 3L)))
+    assert(r.values.toSet == Set((2L, 1L, 1.0)))
+  }
+
+  test("square (4-cycle): wedges but no triangles") {
+    val r = counts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(r.values.map(_._2).toSet == Set(0L))
+  }
+
+  test("matches brute-force enumeration on a pseudo-random graph") {
+    // Deterministic LCG edge set over 30 nodes.
+    var x = 12345L
+    def nxt(): Long = { x = (x * 1103515245L + 12347L) % 2147483647L; x }
+    val edges = (1 to 160).map { _ =>
+      ((nxt() % 30 + 1), (nxt() % 30 + 1))
+    }
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = nodes.map { v =>
+      val nbrs = und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSeq
+      val tri = (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.size
+        if und.contains((math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j))))
+      } yield 1).size.toLong
+      v -> ((nbrs.size.toLong, tri))
+    }.toMap
+    val r = counts(edges)
+    assert(r.keySet == brute.keySet)
+    brute.foreach { case (v, (d, tr)) =>
+      assert(r(v)._1 == d, s"degree of $v")
+      assert(r(v)._2 == tr, s"triangles of $v")
+      val expC = if (d > 1)
+        BigDecimal(2.0 * tr / (d * (d - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(r(v)._3 == expC, s"clustering of $v")
+    }
+  }
+
+  test("summary: transitivity on the paw graph (triangle + pendant)") {
+    // {1,2,3} triangle, 3-4 pendant. Wedges: d(3)=3 -> C(3,2)=3, others 1+1+0.
+    // closed = 3*1 = 3, total wedges = 5 -> transitivity 0.6.
+    val r = Graph.triangleSummary(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d"), "s", "d")
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Double]("global_clustering") == 0.6)
+  }
+}
