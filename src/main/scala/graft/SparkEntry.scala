@@ -1967,7 +1967,42 @@ object SparkEntry {
           "src", "dst")
         .select(col("id").as("doc_id"), col("degree"), col("triangles"),
           col("clustering"))
-    })
+    }),
+
+    "l_diversity" -> ((s, dir) => {
+      // Homogeneity-attack audit (CurationRules.lDiversity scaladoc):
+      // a (event_type, day) group can be k-anonymous yet expose its
+      // members if every row shares one sensitive value. user_id as the
+      // sensitive column, l=5, day from integer-micros event time.
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+        .withColumn("day", expr(s"ts div ${EventTime.DayMicros}"))
+      CurationRules.lDiversity(ev, Seq("event_type", "day"), "user_id", l = 5)
+    }),
+
+    "event_anomaly_mad" -> ((s, dir) => {
+      // Row-level robust anomaly flags (Profile.robustFlags scaladoc)
+      // over daily event counts: WHICH days spiked (exact median/MAD,
+      // 3-MAD fence), the per-day companion of changepoint_cusum.
+      val ev = EventTime.readMicros(s, s"$dir/events.parquet")
+      val daily = ev.groupBy(col("event_type"),
+          expr(s"ts div ${EventTime.DayMicros}").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Profile.robustFlags(daily, "event_type", "n", k = 3.0)
+        .select(col("event_type"), col("day"), col("n"), col("med_v"),
+          col("mad_v"), col("is_outlier"))
+    }),
+
+    "tail_index" -> ((s, dir) =>
+      // Hill tail-exponent estimate over the doc-length distribution
+      // (Profile.hillTailIndex scaladoc): top-101 order statistics only —
+      // a TakeOrderedAndProject, never a global sort.
+      Profile.hillTailIndex(t(s, dir, "documents"), "n_chars", k = 100)),
+
+    "source_lang_mi" -> ((s, dir) =>
+      // Source<->language dependence audit (Profile.mutualInformation
+      // scaladoc): high MI = language coverage is hostage to specific
+      // sources; the corpus-mix planning signal.
+      Profile.mutualInformation(t(s, dir, "documents"), "source", "lang"))
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -4745,6 +4780,60 @@ object SparkEntry {
         |   THEN round(2.0 * COALESCE(per.triangles, 0) /
         |        (deg.degree * (deg.degree - 1)), 6)
         |   ELSE 0.0 END AS clustering
-        |FROM deg LEFT JOIN per ON per.id = deg.id""".stripMargin
+        |FROM deg LEFT JOIN per ON per.id = deg.id""".stripMargin,
+
+    "l_diversity" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+        | count(DISTINCT user_id) >= 5 AS l_diverse
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "event_anomaly_mad" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS m
+        |        FROM daily GROUP BY 1),
+        |ad AS (SELECT daily.event_type, daily.day, daily.n, med.m
+        |       FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(n - m), 0.5) AS md
+        |        FROM ad GROUP BY 1)
+        |SELECT ad.event_type, ad.day, ad.n,
+        | round(ad.m, 6) AS med_v, round(mad.md, 6) AS mad_v,
+        | abs(ad.n - ad.m) > 3.0 * mad.md AS is_outlier
+        |FROM ad JOIN mad USING (event_type)""".stripMargin,
+
+    "tail_index" ->
+      """WITH top AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 101),
+        |s AS (SELECT count(*) AS n, min(x) AS xt, sum(ln(x)) AS slog FROM top)
+        |SELECT CAST(n - 1 AS BIGINT) AS k, round(xt, 6) AS x_tail,
+        | round((slog - n * ln(xt)) / (n - 1), 6) AS gamma,
+        | CASE WHEN slog - n * ln(xt) > 0
+        |   THEN round((n - 1) / (slog - n * ln(xt)), 6) END AS alpha
+        |FROM s""".stripMargin,
+
+    "source_lang_mi" ->
+      """WITH joint AS (SELECT CAST(source AS VARCHAR) AS a,
+        |  CAST(lang AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS c
+        | FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, sum(c) AS nr
+        |        FROM joint),
+        |ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY 1),
+        |mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY 1),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |        -sum((ca / nr) * ln(ca / nr)) AS ha FROM ma, tot),
+        |eb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |        -sum((cb / nr) * ln(cb / nr)) AS hb FROM mb, tot),
+        |mi AS (SELECT sum(c * (ln(CAST(c AS DOUBLE)) + ln(CAST(nr AS DOUBLE))
+        |         - ln(CAST(ca AS DOUBLE)) - ln(CAST(cb AS DOUBLE)))) AS misum
+        |       FROM joint JOIN ma USING (a) JOIN mb USING (b), tot)
+        |SELECT tot.n_cells, ea.n_a, eb.n_b, CAST(tot.nr AS BIGINT) AS n_rows,
+        | round(ea.ha, 6) AS h_a, round(eb.hb, 6) AS h_b,
+        | round(mi.misum / tot.nr, 6) AS mi_nats,
+        | CASE WHEN least(ea.ha, eb.hb) > 0
+        |   THEN round((mi.misum / tot.nr) / least(ea.ha, eb.hb), 6)
+        |   ELSE 0.0 END AS mi_norm
+        |FROM tot, ea, eb, mi""".stripMargin
   )
 }

@@ -207,4 +207,30 @@ object CurationRules {
       .select(quasiCols.map(col) :+ col("n_rows") :+
         (col("n_rows") >= k).as("k_anonymous"): _*)
   }
+
+  /** l-diversity audit — the refinement k-anonymity misses: a group can be
+    * large (k-anonymous) yet carry a SINGLE sensitive value, so membership
+    * alone discloses it (the homogeneity attack). A group is l-diverse
+    * when its sensitive column takes at least `l` distinct values. Emits
+    * one row per occupied quasi-identifier combination: the quasi columns,
+    * `n_rows`, `n_sensitive` (distinct sensitive values), and `l_diverse`.
+    * Publish-ready = every combination both k-anonymous AND l-diverse.
+    *
+    * One partial-aggregating shuffle; `count(DISTINCT)` expands to a
+    * two-level aggregate whose intermediate is bounded by
+    * |combinations| x |sensitive domain|, never the corpus — exact (the
+    * oracle-checkable regime), matching [[kAnonymity]]'s posture.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot also be a quasi-identifier")
+    require(l >= 1, "l must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) :+ col("n_rows") :+ col("n_sensitive") :+
+        (col("n_sensitive") >= l).as("l_diverse"): _*)
+  }
 }

@@ -270,4 +270,116 @@ object Profile {
       when(varX > 0, round((sy - slope * sx) / n, 6)).as("intercept"),
       when(varX > 0 && varY > 0, round(cov * cov / (varX * varY), 6)).as("r2"))
   }
+
+  /** Per-ROW robust outlier flags — the row-level companion of
+    * [[robustOutliers]] (which emits per-group summaries): every input row
+    * comes back with its group's exact median and MAD and an `is_outlier`
+    * flag (`|v − med| > k·MAD`). This is the actionable form — WHICH days
+    * spiked, WHICH documents ballooned — where the summary only says
+    * something did. A zero-MAD group (over half its values identical)
+    * flags any row off the median, matching [[robustOutliers]].
+    *
+    * Scale shape: two exact-percentile aggregates over |groups|-bounded
+    * tables plus two broadcast-sized joins back — the row table shuffles
+    * on the group key once and is never windowed.
+    */
+  def robustFlags(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(med, Seq(groupCol))
+    val mad = withMed
+      .select(col(groupCol), abs(v - col("__med")).as("__ad"))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    withMed.join(mad, Seq(groupCol))
+      .withColumn("med_v", round(col("__med"), 6))
+      .withColumn("mad_v", round(col("__mad"), 6))
+      .withColumn("is_outlier",
+        abs(v - col("__med")) > lit(k) * col("__mad"))
+      .drop("__med", "__mad")
+  }
+
+  /** Hill tail-index estimator over a positive numeric column — "how
+    * heavy is the tail?" as one number. Fit on the top `k+1` order
+    * statistics: `gamma = mean_{i<=k}(ln x_(i) − ln x_(k+1))`,
+    * `alpha = 1/gamma` (Pareto tail exponent; smaller alpha = heavier
+    * tail). Corpus length distributions are the classic subject — a crawl
+    * whose doc-length alpha drifts below ~1.5 is accumulating pathological
+    * mega-documents faster than content.
+    *
+    * Emits one row: `(k, x_tail, gamma, alpha)` rounded to 6. Order
+    * statistics are a multiset, so value ties at the cut need no
+    * tie-break — the result is deterministic and oracle-checkable.
+    *
+    * Scale shape: a `TakeOrderedAndProject` top-(k+1) (per-partition
+    * heaps, one k-row merge — no global sort), then a 1-row aggregate.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int = 100): DataFrame = {
+    require(k >= 2, "Hill estimator needs k >= 2")
+    val top = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x") > 0)
+      .orderBy(col("__x").desc)
+      .limit(k + 1)
+    top.agg(count(lit(1)).as("__n"), min(col("__x")).as("__xt"),
+        sum(log(col("__x"))).as("__slog"))
+      .select(
+        (col("__n") - 1).cast("long").as("k"),
+        round(col("__xt"), 6).as("x_tail"),
+        (col("__slog") - col("__n") * log(col("__xt"))).as("__g"),
+        col("__n"))
+      .select(col("k"), col("x_tail"),
+        round(col("__g") / col("k"), 6).as("gamma"),
+        // degenerate tail (all top values equal) has no finite exponent
+        when(col("__g") > 0, round(col("k") / col("__g"), 6)).as("alpha"))
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence audit behind corpus-mix decisions: MI(source; lang) near
+    * zero means sources are language-balanced, high MI means language
+    * coverage is hostage to specific sources (dropping one drops a
+    * language). Emits one row: cell/marginal cardinalities, entropies of
+    * both columns, `mi_nats`, and the normalized `mi_norm = MI /
+    * min(H(a), H(b))` in [0,1] (0 when either column is constant).
+    *
+    * Exact counts; the MI sum runs over |A|x|B| occupied cells — bounded
+    * by the categorical domains, never the corpus. Null categories count
+    * as their own level (dropping them would hide a skewed null pattern).
+    *
+    * Scale shape: one partial-aggregating shuffle to the joint table;
+    * marginals and entropies derive from it without touching rows again.
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df.groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = joint.agg(count(lit(1)).as("n_cells"),
+      sum(col("__c")).as("__nr"))
+    val margA = joint.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val margB = joint.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val entA = margA.crossJoin(totals.select(col("__nr").as("__n1")))
+      .agg(count(lit(1)).as("n_a"),
+        (-sum((col("__ca") / col("__n1")) *
+          log(col("__ca") / col("__n1")))).as("__ha"))
+    val entB = margB.crossJoin(totals.select(col("__nr").as("__n2")))
+      .agg(count(lit(1)).as("n_b"),
+        (-sum((col("__cb") / col("__n2")) *
+          log(col("__cb") / col("__n2")))).as("__hb"))
+    val mi = joint.join(margA, Seq("__a")).join(margB, Seq("__b"))
+      .crossJoin(totals.select(col("__nr").as("__n3")))
+      .agg(sum(col("__c") * (log(col("__c").cast("double")) +
+        log(col("__n3").cast("double")) - log(col("__ca").cast("double")) -
+        log(col("__cb").cast("double")))).as("__misum"))
+    totals.crossJoin(entA).crossJoin(entB).crossJoin(mi)
+      .select(col("n_cells"), col("n_a"), col("n_b"),
+        col("__nr").cast("long").as("n_rows"),
+        round(col("__ha"), 6).as("h_a"),
+        round(col("__hb"), 6).as("h_b"),
+        round(col("__misum") / col("__nr"), 6).as("mi_nats"),
+        when(least(col("__ha"), col("__hb")) > 0,
+          round((col("__misum") / col("__nr")) /
+            least(col("__ha"), col("__hb")), 6))
+          .otherwise(lit(0.0)).as("mi_norm"))
+  }
 }

@@ -141,4 +141,28 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.CurationRules.kAnonymity(df, Seq("country"), 0)
     }
   }
+
+  test("lDiversity: distinct sensitive values vs l, homogeneous group flagged") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", "cancer"), ("us", "flu"), ("us", "cold"), // (us): 3 distinct
+      ("de", "flu"), ("de", "flu"), ("de", "flu"),     // (de): large but homogeneous
+      ("fr", "flu"), ("fr", "cold")                    // (fr): 2 distinct
+    ).toDF("country", "condition")
+    val out = graft.operators.CurationRules
+      .lDiversity(df, Seq("country"), "condition", l = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_sensitive"), r.getAs[Boolean]("l_diverse"))).toSet
+    assert(out == Set(("us", 3L, 3L, true), ("de", 3L, 1L, false),
+      ("fr", 2L, 2L, true)))
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.lDiversity(df, Seq.empty, "condition", 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.lDiversity(df, Seq("condition"), "condition", 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.lDiversity(df, Seq("country"), "condition", 0)
+    }
+  }
 }

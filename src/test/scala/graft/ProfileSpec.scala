@@ -142,4 +142,58 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0)
     assert(clean.getLong(2) == 0L && clean.getDouble(4) == 1.0)
   }
+
+  test("robustFlags: per-row fence flags the spike row, zero-MAD group") {
+    import spark.implicits._
+    // group a: values 10,10,10,11,100 -> med 10, MAD 0? ads = 0,0,0,1,90
+    // -> MAD 0... use 8,10,10,11,100: med 10, ads 2,0,0,1,90 -> MAD 1.
+    val df = Seq(("a", 8.0), ("a", 10.0), ("a", 10.0), ("a", 11.0),
+      ("a", 100.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r = Profile.robustFlags(df, "g", "v", k = 3.0)
+      .collect().map(x => (x.getAs[String]("g"), x.getAs[Double]("v"),
+        x.getAs[Double]("med_v"), x.getAs[Double]("mad_v"),
+        x.getAs[Boolean]("is_outlier"))).toSet
+    assert(r.contains(("a", 100.0, 10.0, 1.0, true)))
+    assert(r.contains(("a", 11.0, 10.0, 1.0, false)))
+    assert(r.contains(("a", 8.0, 10.0, 1.0, false))) // |8-10| = 2 <= 3*1
+    // zero-MAD group: any off-median row would flag; none exists here
+    assert(r.filter(_._1 == "b").forall(x => x._4 == 0.0 && !x._5))
+  }
+
+  test("hillTailIndex: exact Pareto order stats recover the exponent") {
+    import spark.implicits._
+    // x_i = (n/i)^(1/2): exact Pareto(alpha=2) quantiles. With k=10,
+    // gamma = mean(ln x_i - ln x_11) = (1/10)*sum ln(sqrt(11/i))
+    val n = 40
+    val xs = (1 to n).map(i => math.pow(n.toDouble / i, 0.5))
+    val r = Profile.hillTailIndex(xs.toDF("x"), "x", k = 10).collect()(0)
+    val expG = (1 to 10).map(i => 0.5 * math.log(11.0 / i)).sum / 10.0
+    assert(r.getAs[Long]("k") == 10L)
+    assert(math.abs(r.getAs[Double]("gamma") - expG) < 1e-6)
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0 / expG) < 1e-4)
+    // degenerate: all values equal -> gamma 0, alpha null
+    val d = Profile.hillTailIndex(Seq(5.0, 5.0, 5.0, 5.0).toDF("x"), "x", k = 2)
+      .collect()(0)
+    assert(d.getAs[Double]("gamma") == 0.0 && d.isNullAt(3))
+  }
+
+  test("mutualInformation: independent -> 0, deterministic copy -> H, guards") {
+    import spark.implicits._
+    // Perfectly independent 2x2 with equal counts: MI = 0.
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val ri = Profile.mutualInformation(ind, "a", "b").collect()(0)
+    assert(ri.getAs[Long]("n_cells") == 4L && ri.getAs[Long]("n_rows") == 4L)
+    assert(math.abs(ri.getAs[Double]("mi_nats")) == 0.0)
+    assert(ri.getAs[Double]("mi_norm") == 0.0)
+    // b is a copy of a: MI = H(a) = ln 2 (balanced binary), mi_norm = 1.
+    val cp = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val rc = Profile.mutualInformation(cp, "a", "b").collect()(0)
+    assert(math.abs(rc.getAs[Double]("mi_nats") - math.log(2)) < 1e-6)
+    assert(math.abs(rc.getAs[Double]("h_a") - math.log(2)) < 1e-6)
+    assert(rc.getAs[Double]("mi_norm") == 1.0)
+    // constant column: entropy 0, normalized MI defined as 0
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val r0 = Profile.mutualInformation(const, "a", "b").collect()(0)
+    assert(r0.getAs[Double]("h_a") == 0.0 && r0.getAs[Double]("mi_norm") == 0.0)
+  }
 }
