@@ -2002,7 +2002,35 @@ object SparkEntry {
       // Source<->language dependence audit (Profile.mutualInformation
       // scaladoc): high MI = language coverage is hostage to specific
       // sources; the corpus-mix planning signal.
-      Profile.mutualInformation(t(s, dir, "documents"), "source", "lang"))
+      Profile.mutualInformation(t(s, dir, "documents"), "source", "lang")),
+
+    "weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sample without replacement
+      // (Sampling.weightedSample scaladoc): 100 docs, length-weighted,
+      // md5-derived priorities -> TakeOrderedAndProject, engine-stable.
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          k = 100, salt = "wsamp")
+        .select(col("doc_id"), col("n_chars"))),
+
+    "group_reservoir" -> ((s, dir) =>
+      // Exactly-k-per-group deterministic sample (Sampling.groupReservoir
+      // scaladoc): 20 docs per language by lowest md5 hash — the eval-set
+      // construction contract.
+      Sampling.groupReservoir(t(s, dir, "documents"), "lang", "doc_id", k = 20)
+        .select(col("lang"), col("doc_id"))),
+
+    "quality_deciles" -> ((s, dir) => {
+      // Exact decile binning of the quality score (Sampling.rankBuckets
+      // scaladoc: global positions via the SequencePack machinery, not an
+      // ntile single-partition window), then per-decile population stats.
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"), col("n_chars"))
+      Sampling.rankBuckets(scored, "quality", "doc_id", buckets = 10)
+        .groupBy(col("bucket").as("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
+          round(avg(col("n_chars")), 6).as("mean_chars"))
+    })
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -4834,6 +4862,39 @@ object SparkEntry {
         | CASE WHEN least(ea.ha, eb.hb) > 0
         |   THEN round((mi.misum / tot.nr) / least(ea.ha, eb.hb), 6)
         |   ELSE 0.0 END AS mi_norm
-        |FROM tot, ea, eb, mi""".stripMargin
+        |FROM tot, ea, eb, mi""".stripMargin,
+
+    "weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || 'wsamp'), 1, 4) AS hx
+        | FROM documents WHERE n_chars > 0),
+        |u AS (SELECT doc_id, n_chars,
+        |  ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) + 1) / 65536.0 AS uu
+        | FROM h)
+        |SELECT doc_id, n_chars FROM u
+        |ORDER BY pow(uu, 1.0 / n_chars) DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
+    "group_reservoir" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rn
+        | FROM documents) WHERE rn <= 20""".stripMargin,
+
+    "quality_deciles" -> {
+      s"""WITH $qualitySqlCtes,
+         |pos AS (SELECT q.doc_id, q.quality, d.n_chars,
+         |  row_number() OVER (ORDER BY q.quality, q.doc_id) - 1 AS p,
+         |  count(*) OVER () AS nn
+         | FROM qscore q JOIN documents d USING (doc_id))
+         |SELECT CAST((p * 10) // nn AS INTEGER) AS decile,
+         | CAST(count(*) AS BIGINT) AS n,
+         | min(quality) AS min_q, max(quality) AS max_q,
+         | round(avg(n_chars), 6) AS mean_chars
+         |FROM pos GROUP BY 1""".stripMargin
+    }
   )
 }

@@ -207,6 +207,82 @@ object Sampling {
     * digit contributes one factor), so the prefix IS the shard id — no
     * modulo, no bias.
     */
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis A-ES): each row gets priority `u^(1/w)` where `u ∈ (0,1]`
+    * derives from the md5 hex prefix of (key ‖ salt) and `w` is the row's
+    * weight; the k highest-priority rows ARE a weighted sample without
+    * replacement. Replaces `rand()`-based weighted picks with a pure
+    * function of (key, salt, weight): identical on every run, engine, and
+    * partitioning. Non-positive-weight rows are ineligible. Exact-equal
+    * priorities (same hash prefix AND same weight) tie-break by key, so
+    * the selected SET is engine-stable even at the md5-grain resolution.
+    *
+    * Scale shape: a narrow per-row expression, then top-k via
+    * `TakeOrderedAndProject` (per-partition heaps, one k-row merge) — no
+    * global sort, no shuffle of the corpus.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, "graft.Sampling: k must be >= 1")
+    val buckets = (1 << (4 * HexDigits)).toDouble
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))),
+      1, HexDigits), 16, 10).cast("double") + 1.0) / buckets
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__pr", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__pr").desc, col(keyCol))
+      .limit(k)
+      .drop("__pr")
+  }
+
+  /** Deterministic per-group "reservoir": the k rows of each group whose
+    * md5(key ‖ salt) hashes sort lowest — a uniform pseudo-random k-subset
+    * per group that is a pure function of (keys, salt). Unlike the
+    * fraction-based [[stratifiedSample]], the output size per group is
+    * EXACTLY min(k, |group|) — the contract eval-set construction needs
+    * ("20 docs per language", never 19 or 23). Appends can displace
+    * earlier picks (inherent to fixed-k); use [[stratifiedSample]] when
+    * append-stability matters more than exact counts.
+    *
+    * Scale shape: one window per group (hash-partitioned on the group
+    * key); the sort is per-group, never global.
+    */
+  def groupReservoir(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, "graft.Sampling: k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Exact rank buckets (deciles and friends): bucket
+    * `floor(position * buckets / n)` from the row's 0-based global
+    * position in `(orderCol, idCol)` order — every bucket within one row
+    * of n/buckets, boundaries exact, no approximate percentiles. The
+    * quality-binning primitive behind per-decile sampling rates and
+    * score-stratified reporting.
+    *
+    * Scale shape: global positions come from [[SequencePack.assignments]]
+    * over a unit-token stream (the [[deterministicShuffle]] machinery) —
+    * one range shuffle plus two narrow passes, NO single-partition window
+    * at any size; `ntile()` over an unpartitioned window would be exactly
+    * that and is the anti-pattern this replaces.
+    */
+  def rankBuckets(df: DataFrame, orderCol: String, idCol: String,
+                  buckets: Int): DataFrame = {
+    require(buckets >= 1, "graft.Sampling: buckets must be >= 1")
+    val pos = SequencePack.assignments(df.withColumn("__one", lit(1L)), "__one",
+      seqLen = 1L, orderBy = Seq(col(orderCol), col(idCol)))
+    // 1-row total broadcast into the bucket expression (n_seqs is the
+    // per-row span count, not the table size)
+    pos.crossJoin(pos.agg(count(lit(1)).as("__nrows")))
+      .withColumn("bucket",
+        expr(s"start_token * $buckets div __nrows").cast("int"))
+      .drop("__one", "seq_id", "offset_in_seq", "start_token", "n_seqs",
+        "__nrows")
+  }
+
   def shardOf(key: Column, shards: Int, salt: String = "graft"): Column = {
     val digits = (math.log(shards) / math.log(16)).round.toInt
     require(digits >= 1 && math.pow(16, digits).toInt == shards,

@@ -199,4 +199,74 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("curriculum_pos").collect().map(_.getAs[Long]("id")).toSeq
     assert(tieOut == Seq(1L, 2L))
   }
+
+  test("weightedSample: matches local A-ES replay, favors weight, k clips") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1) * 100.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 30, salt = "t")
+      .collect().map(_.getAs[Long]("id")).toSet
+    // local replay of the exact same priority definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16)
+    }
+    val expect = rows
+      .map { case (i, w) =>
+        val u = (hex4(i.toString + "t") + 1.0) / 65536.0
+        (math.pow(u, 1.0 / w), i)
+      }
+      .sortBy { case (p, i) => (-p, i) }
+      .take(30).map(_._2).toSet
+    assert(got == expect)
+    // zero/negative weights are ineligible; k larger than pool clips
+    val small = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("id", "w")
+    val s = Sampling.weightedSample(small, "id", "w", k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(s == Set(3L))
+  }
+
+  test("groupReservoir: exactly k per group, deterministic, salt-sensitive") {
+    import spark.implicits._
+    val df = (1L to 90L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+    val out = Sampling.groupReservoir(df, "g", "id", k = 5)
+    val byG = out.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keySet == Set("g0", "g1", "g2"))
+    assert(byG.values.forall(_.size == 5))
+    // deterministic across runs / repartitioning
+    val again = Sampling.groupReservoir(df.repartition(7), "g", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // a different salt draws a different subset (overwhelmingly)
+    val salted = Sampling.groupReservoir(df, "g", "id", k = 5, salt = "other")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted != again)
+    // small group: min(k, |group|)
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
+    assert(Sampling.groupReservoir(tiny, "g", "id", k = 5).count() == 3)
+  }
+
+  test("rankBuckets: exact boundaries, near-even sizes, tie and clip behavior") {
+    import spark.implicits._
+    // 25 rows into 10 buckets: floor(p*10/25) -> sizes 3,2,3,2,...
+    val df = (1L to 25L).map(i => (i, (i * 37 % 100).toDouble)).toDF("id", "v")
+    val out = Sampling.rankBuckets(df, "v", "id", buckets = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"),
+        r.getAs[Int]("bucket")))
+    assert(out.length == 25)
+    val sorted = out.sortBy(x => (x._2, x._1))
+    sorted.zipWithIndex.foreach { case ((_, _, b), p) =>
+      assert(b == p * 10 / 25, s"position $p")
+    }
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(s => s == 2 || s == 3))
+    // single bucket collapses to 0; fewer rows than buckets still in-range
+    assert(Sampling.rankBuckets(df, "v", "id", 1)
+      .collect().forall(_.getAs[Int]("bucket") == 0))
+    val few = Sampling.rankBuckets(df.limit(3), "v", "id", 10)
+      .collect().map(_.getAs[Int]("bucket")).toSet
+    assert(few.subsetOf(Set(0, 3, 6)))
+  }
 }
