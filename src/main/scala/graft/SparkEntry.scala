@@ -2030,7 +2030,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
           round(avg(col("n_chars")), 6).as("mean_chars"))
-    })
+    }),
+
+    "readability" -> ((s, dir) =>
+      // Flesch reading ease + FK grade per doc (TextAnalysis
+      // .readabilityFrame scaladoc): toks words, [.!?]+ sentences,
+      // vowel-run syllables — pure codegen'd expressions.
+      TextAnalysis.readabilityFrame(t(s, dir, "documents"), "text", "doc_id")),
+
+    "dup_ngrams" -> ((s, dir) =>
+      // Boilerplate radar (Profile.topDuplicatedNgrams scaladoc): top-50
+      // duplicated word 5-grams with occurrence + document counts,
+      // (n_occ desc, ngram) total order -> deterministic cut.
+      Profile.topDuplicatedNgrams(t(s, dir, "documents"), "text", "doc_id",
+        n = 5, minCount = 2, k = 50))
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -4895,6 +4908,31 @@ object SparkEntry {
          | min(quality) AS min_q, max(quality) AS max_q,
          | round(avg(n_chars), 6) AS mean_chars
          |FROM pos GROUP BY 1""".stripMargin
-    }
+    },
+
+    "readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         |    AS n_sents,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |    AS n_syll
+         | FROM documents)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         | round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+         |   - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS reading_ease,
+         | round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+         |   + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
+         |FROM c WHERE n_words > 0""".stripMargin,
+
+    "dup_ngrams" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ng AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS ngram
+         |       FROM tk, UNNEST(range(1, len(toks) - 3)) AS u(i)
+         |       WHERE len(toks) >= 5)
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occ,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM ng GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin
   )
 }

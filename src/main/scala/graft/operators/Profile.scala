@@ -271,6 +271,33 @@ object Profile {
       when(varX > 0 && varY > 0, round(cov * cov / (varX * varY), 6)).as("r2"))
   }
 
+  /** Most-duplicated word n-grams across the corpus — the boilerplate
+    * radar: templated headers, licence blocks, and navigation chrome
+    * surface as n-grams whose occurrence count dwarfs their document
+    * count, BEFORE any dedup decision is taken. Emits the top `k`
+    * duplicated n-grams (occurrences >= `minCount`) with both counts,
+    * ranked by (occurrences desc, n-gram asc) — a total order, so the
+    * cut at k is deterministic and oracle-checkable.
+    *
+    * Scale shape: n-gram explosion is a narrow generator; the groupBy
+    * partial-aggregates map-side (dominant singleton mass collapses
+    * before the shuffle), and the top-k is a `TakeOrderedAndProject` —
+    * per-partition heaps, never a global sort of the n-gram table.
+    */
+  def topDuplicatedNgrams(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 5, minCount: Long = 2,
+                          k: Int = 50): DataFrame = {
+    require(k >= 1 && minCount >= 1, "k and minCount must be >= 1")
+    Partitioning.ensureParallelism(df)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("__id")).as("n_docs"))
+      .filter(col("n_occ") >= minCount)
+      .orderBy(col("n_occ").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Per-ROW robust outlier flags — the row-level companion of
     * [[robustOutliers]] (which emits per-group summaries): every input row
     * comes back with its group's exact median and MAD and an `is_outlier`

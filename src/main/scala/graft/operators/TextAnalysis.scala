@@ -222,6 +222,48 @@ object TextAnalysis {
       bpeTokens(t).as("bpe_tokens"))
   }
 
+  /** Flesch readability per document — the grade-level curation signal a
+    * corpus card reports next to [[qualityScore]]: reading ease
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)` and the
+    * Flesch–Kincaid grade `0.39·(words/sentences) +
+    * 11.8·(syllables/word) − 15.59`. Counting contract (deterministic and
+    * SQL-replayable, like every signal here): words via the [[toks]]
+    * tokenizer, sentences as runs of `[.!?]` (floored at 1), syllables as
+    * vowel-group runs `[aeiouy]+` over the lowercased text — the standard
+    * cheap approximation. Zero-word documents are dropped (no defined
+    * score). Pure codegen'd expressions: one narrow pass, no UDF.
+    */
+  def readabilityFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        size(toks(t)).cast("long").as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sents"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("n_syll"))
+      .filter(col("n_words") > 0)
+      .select(col(idCol), col("n_words"), col("n_sents"), col("n_syll"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 6)
+          .as("reading_ease"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sents")) +
+          lit(11.8) * (col("n_syll").cast("double") / col("n_words")) -
+          lit(15.59), 6).as("fk_grade"))
+  }
+
+  /** Word n-grams under the [[toks]] contract: all `size−n+1` contiguous
+    * n-token windows joined with single spaces; empty array when the
+    * document has fewer than n tokens.
+    */
+  def wordNgrams(t: Column, n: Int): Column = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val tk = toks(t)
+    when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => array_join(slice(tk, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Tokenizer fertility report per group (language/source): how many
     * subword tokens the tokenizer spends per word, and how many characters
     * one token buys — THE capacity metrics a multilingual training pipeline

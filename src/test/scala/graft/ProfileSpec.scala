@@ -143,6 +143,28 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(clean.getLong(2) == 0L && clean.getDouble(4) == 1.0)
   }
 
+  test("topDuplicatedNgrams: counts, threshold, deterministic rank cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z a b"), (2L, "x y z c d"), (3L, "x y z a b"),
+      (4L, "p q") // too short for 3-grams
+    ).toDF("doc_id", "text")
+    val r = Profile.topDuplicatedNgrams(docs, "text", "doc_id",
+        n = 3, minCount = 2, k = 10)
+      .collect().map(x => (x.getString(0), x.getAs[Long]("n_occ"),
+        x.getAs[Long]("n_docs"))).toSeq
+    // "x y z" occurs 3x in 3 docs; "y z a"/"z a b" 2x in 2 docs.
+    assert(r.head == (("x y z", 3L, 3L)))
+    assert(r.toSet == Set(("x y z", 3L, 3L), ("y z a", 2L, 2L),
+      ("z a b", 2L, 2L)))
+    // rank ties (n_occ 2) break by ngram ascending
+    assert(r.drop(1).map(_._1) == Seq("y z a", "z a b"))
+    // k cuts deterministically
+    val top2 = Profile.topDuplicatedNgrams(docs, "text", "doc_id", 3, 2, 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("x y z", "y z a"))
+  }
+
   test("robustFlags: per-row fence flags the spike row, zero-MAD group") {
     import spark.implicits._
     // group a: values 10,10,10,11,100 -> med 10, MAD 0? ads = 0,0,0,1,90

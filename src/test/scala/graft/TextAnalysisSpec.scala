@@ -176,4 +176,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got("en") == ((2L, 3L, 4L, math.rint(4.0 / 3 * 1e6) / 1e6, 3.0)))
     assert(got("zz") == ((1L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("readabilityFrame: hand-counted Flesch terms, floors and drops") {
+    import spark.implicits._
+    val docs = Seq(
+      // "the cat sat. it ran!" -> 5 words, 2 sentence runs,
+      // vowel runs: e,a,a,i,a -> 5 syllables
+      (1L, "the cat sat. it ran!"),
+      // no terminator -> sentence floor 1; y counts as a vowel run
+      (2L, "xyz xyz"),
+      (3L, ""), // zero words -> dropped
+      (4L, "   ") // whitespace only -> dropped
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .readabilityFrame(docs, "text", "doc_id")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_words"), x.getAs[Long]("n_sents"),
+          x.getAs[Long]("n_syll"), x.getAs[Double]("reading_ease"),
+          x.getAs[Double]("fk_grade")))).toMap
+    assert(r.keySet == Set(1L, 2L))
+    val (w, s, y) = (5.0, 2.0, 5.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) == ((5L, 2L, 5L,
+      r6(206.835 - 1.015 * (w / s) - 84.6 * (y / w)),
+      r6(0.39 * (w / s) + 11.8 * (y / w) - 15.59))))
+    assert(r(2L)._1 == 2L && r(2L)._2 == 1L && r(2L)._3 == 2L)
+  }
+
+  test("wordNgrams: windows, short docs empty, joins with single spaces") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c d"), Tuple1("a b"), Tuple1("")).toDF("t")
+    val got = df.select(graft.operators.TextAnalysis
+        .wordNgrams(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq.empty, Seq.empty))
+  }
 }
