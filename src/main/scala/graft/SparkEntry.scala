@@ -2043,7 +2043,44 @@ object SparkEntry {
       // duplicated word 5-grams with occurrence + document counts,
       // (n_occ desc, ngram) total order -> deterministic cut.
       Profile.topDuplicatedNgrams(t(s, dir, "documents"), "text", "doc_id",
-        n = 5, minCount = 2, k = 50))
+        n = 5, minCount = 2, k = 50)),
+
+    "winsorize_events" -> ((s, dir) =>
+      // Outlier-robust event-value means (Profile.winsorizedStats
+      // scaladoc): exact [5%, 95%] fences pinned to 6dp, decimal-exact
+      // sums — raw vs winsorized mean per event type plus clip counts.
+      Profile.winsorizedStats(t(s, dir, "events"), "event_type", "value",
+        pLo = 0.05, pHi = 0.95)),
+
+    "pii_luhn" -> ((s, dir) => {
+      // Card-number PLAUSIBILITY check (TextFunctions.luhnValid scaladoc):
+      // mod-10 fold as pure HOF expressions. Two planted 16-digit runs
+      // per doc (id-derived, so validity varies pseudo-randomly); the
+      // oracle replays the fold digit-by-digit in SQL.
+      val ca = lpad(col("doc_id").cast("string"), 16, "4")
+      val cb = concat(lit("5"),
+        lpad((col("doc_id") * 7919 % 1000000000L).cast("string"), 15, "0"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.luhnValid(ca).as("luhn_a"),
+        graft.functions.TextFunctions.luhnValid(cb).as("luhn_b"))
+    }),
+
+    "anchor_text" -> ((s, dir) => {
+      // Anchor-text aggregation per link target (Graph.anchorTexts
+      // scaladoc) over REAL extraction: each doc links to one of 11
+      // planted domains with a (lang, id%3)-keyed anchor; targets then
+      // collect their sorted, capped distinct anchor sets.
+      val page = concat(lit("<p>pad</p><a href=\"https://site"),
+        (col("doc_id") % 11).cast("string"),
+        lit(".example.com/\">anchor "), col("lang"), lit(" "),
+        (col("doc_id") % 3).cast("string"), lit("</a>"))
+      val links = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.TextFunctions.extractLinks(page)).as("l"))
+        .select(col("doc_id"), col("l.href").as("href"),
+          col("l.anchor").as("anchor"))
+      Graph.anchorTexts(links, "href", "anchor", "doc_id", maxAnchors = 10)
+    })
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -4933,6 +4970,60 @@ object SparkEntry {
          |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occ,
          | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM ng GROUP BY 1 HAVING count(*) >= 2
-         |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin
+         |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin,
+
+    "winsorize_events" ->
+      """WITH f AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.05), 6) AS lo,
+        |  round(quantile_cont(value, 0.95), 6) AS hi
+        | FROM events GROUP BY 1),
+        |j AS (SELECT e.event_type, e.value AS v, f.lo, f.hi,
+        |  greatest(least(e.value, f.hi), f.lo) AS w
+        | FROM events e JOIN f USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_lo,
+        | CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_hi,
+        | min(lo) AS fence_lo, min(hi) AS fence_hi,
+        | round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |   AS mean_raw,
+        | round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |   AS mean_winsorized
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "pii_luhn" ->
+      """WITH c AS (SELECT doc_id,
+        |  lpad(CAST(doc_id AS VARCHAR), 16, '4') AS ca,
+        |  '5' || lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 15, '0')
+        |    AS cb
+        | FROM documents)
+        |SELECT doc_id,
+        | list_aggregate(list_transform(range(1, 17), i ->
+        |   CASE WHEN (16 - i) % 2 = 1
+        |     THEN CASE WHEN CAST(substr(ca, CAST(i AS INT), 1) AS INT) * 2 > 9
+        |       THEN CAST(substr(ca, CAST(i AS INT), 1) AS INT) * 2 - 9
+        |       ELSE CAST(substr(ca, CAST(i AS INT), 1) AS INT) * 2 END
+        |     ELSE CAST(substr(ca, CAST(i AS INT), 1) AS INT) END),
+        |   'sum') % 10 = 0 AS luhn_a,
+        | list_aggregate(list_transform(range(1, 17), i ->
+        |   CASE WHEN (16 - i) % 2 = 1
+        |     THEN CASE WHEN CAST(substr(cb, CAST(i AS INT), 1) AS INT) * 2 > 9
+        |       THEN CAST(substr(cb, CAST(i AS INT), 1) AS INT) * 2 - 9
+        |       ELSE CAST(substr(cb, CAST(i AS INT), 1) AS INT) * 2 END
+        |     ELSE CAST(substr(cb, CAST(i AS INT), 1) AS INT) END),
+        |   'sum') % 10 = 0 AS luhn_b
+        |FROM c""".stripMargin,
+
+    "anchor_text" ->
+      """WITH l AS (SELECT doc_id,
+        |  'https://site' || (doc_id % 11) || '.example.com/' AS href,
+        |  'anchor ' || lang || ' ' || (doc_id % 3) AS anchor
+        | FROM documents)
+        |SELECT href AS target, CAST(count(*) AS BIGINT) AS n_links,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
+        | array_to_string(list_sort(list_distinct(list(anchor)))[1:10], ' | ')
+        |   AS anchors
+        |FROM l GROUP BY 1""".stripMargin
   )
 }

@@ -110,4 +110,29 @@ object TextFunctions {
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column =
     size(filter(split(c, "\\s+"), t => length(t) > 0))
+
+  /** Luhn checksum validity of a digit string (spaces/dashes tolerated) —
+    * the false-positive filter card-number PII detection needs: a 16-digit
+    * run is only a payment card if its mod-10 check digit holds, which
+    * eliminates ~90% of random digit runs. From the RIGHT, every second
+    * digit doubles (minus 9 above 9); valid iff the fold sums to 0 mod 10.
+    * Pure higher-order-function expression (filter/transform/aggregate
+    * over the digit array) — codegen-friendly, no UDF; non-digit-bearing
+    * or sub-12-digit inputs are invalid, never an error.
+    */
+  def luhnValid(c: Column): Column = {
+    val ds = filter(split(c, ""), ch => ch.rlike("[0-9]"))
+    val n = size(ds)
+    // position from the right of element i (1-based): n - i; doubles when
+    // that distance is even (2nd, 4th, ... from the right)
+    val total = aggregate(
+      zip_with(ds, sequence(lit(1), greatest(n, lit(1))), (d, i) => {
+        val v = d.cast("int")
+        val dbl = v * 2
+        when(((n - i) % 2) === 1, when(dbl > 9, dbl - 9).otherwise(dbl))
+          .otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    (n >= 12) && (total % 10 === 0)
+  }
 }

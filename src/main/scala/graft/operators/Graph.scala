@@ -91,6 +91,34 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Anchor-text aggregation per link target — the web-graph enrichment
+    * classic: the text OTHER pages use to link to a URL describes it
+    * better than its own title (the signal behind anchor-text indexing in
+    * web search). Per target: in-link count, distinct linking sources,
+    * and the sorted distinct anchor texts joined with `" | "` (sorted set,
+    * so the string is deterministic and oracle-checkable regardless of
+    * partitioning).
+    *
+    * Scale shape: one partial-aggregating shuffle on the target key;
+    * anchor sets are bounded with `slice(..., maxAnchors)` AFTER the sort
+    * so a mega-degree target cannot blow the aggregation buffer past the
+    * cap (the collect_set still holds distinct anchors for the group —
+    * cap anchor cardinality upstream if distinct anchors themselves are
+    * unbounded).
+    */
+  def anchorTexts(links: DataFrame, targetCol: String, anchorCol: String,
+                  sourceCol: String, maxAnchors: Int = 20): DataFrame = {
+    require(maxAnchors >= 1, "maxAnchors must be >= 1")
+    links
+      .filter(col(targetCol).isNotNull)
+      .groupBy(col(targetCol).as("target"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        array_join(
+          slice(array_sort(collect_set(col(anchorCol))), 1, maxAnchors),
+          " | ").as("anchors"))
+  }
+
   /** Whole-graph summary: `(n_nodes, n_edges, n_triangles,
     * global_clustering)` where global clustering is the transitivity ratio
     * `3·triangles / open+closed wedges` (0.0 on wedge-free graphs).

@@ -328,6 +328,47 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Per-group winsorized statistics — outlier-robust means without
+    * dropping rows: values are clipped to the group's EXACT [pLo, pHi]
+    * percentiles (linear-interpolation order statistics, the
+    * [[robustOutliers]] exactness regime) and the report carries both raw
+    * and winsorized means plus how many rows each fence touched. The
+    * metric-stabilization step before comparing event values or doc
+    * lengths across skewed groups.
+    *
+    * Both means fold through `decimal(18,6)` so the sums are exact and
+    * engine-identical (floating accumulation order never shows up in the
+    * 6dp output). Two exact-percentile aggregates over |groups|-bounded
+    * tables, two broadcast joins back, one final aggregate — the row
+    * table is never windowed.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val fences = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
+        expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    // fences are pinned to 6dp BEFORE clipping, so every winsorized value
+    // is either an input value or an exactly-6dp fence — the decimal cast
+    // below is then rounding-mode-independent across engines
+    df.join(fences, Seq(groupCol))
+      .select(col(groupCol), round(col("__lo"), 6).as("__lo"),
+        round(col("__hi"), 6).as("__hi"), v.as("__v"))
+      .withColumn("__w", greatest(least(col("__v"), col("__hi")), col("__lo")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__v") < col("__lo")).cast("long")).as("n_clipped_lo"),
+        sum((col("__v") > col("__hi")).cast("long")).as("n_clipped_hi"),
+        min(col("__lo")).as("fence_lo"),
+        min(col("__hi")).as("fence_hi"),
+        // exact decimal sum, ONE double division, 6dp: engine-identical
+        round(sum(col("__v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_raw"),
+        round(sum(col("__w").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_winsorized"))
+  }
+
   /** Hill tail-index estimator over a positive numeric column — "how
     * heavy is the tail?" as one number. Fit on the top `k+1` order
     * statistics: `gamma = mean_{i<=k}(ln x_(i) − ln x_(k+1))`,

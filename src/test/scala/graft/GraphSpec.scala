@@ -87,6 +87,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("anchorTexts: sorted distinct anchors, cap, counts, null targets") {
+    import spark.implicits._
+    val links = Seq(
+      ("u1", "buy now", 1L), ("u1", "acme corp", 2L), ("u1", "buy now", 3L),
+      ("u2", "z", 1L), ("u2", "y", 1L), ("u2", "x", 1L),
+      (null.asInstanceOf[String], "dropped", 9L)
+    ).toDF("href", "anchor", "src")
+    val r = graft.operators.Graph
+      .anchorTexts(links, "href", "anchor", "src", maxAnchors = 2)
+      .collect().map(x => x.getAs[String]("target") ->
+        ((x.getAs[Long]("n_links"), x.getAs[Long]("n_sources"),
+          x.getAs[String]("anchors")))).toMap
+    assert(r.keySet == Set("u1", "u2"))
+    // distinct anchors sorted, duplicate "buy now" collapsed
+    assert(r("u1") == ((3L, 3L, "acme corp | buy now")))
+    // cap cuts AFTER the sort: x,y survive, z dropped
+    assert(r("u2") == ((3L, 1L, "x | y")))
+  }
+
   test("summary: transitivity on the paw graph (triangle + pendant)") {
     // {1,2,3} triangle, 3-4 pendant. Wedges: d(3)=3 -> C(3,2)=3, others 1+1+0.
     // closed = 3*1 = 3, total wedges = 5 -> transitivity 0.6.

@@ -143,6 +143,28 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(clean.getLong(2) == 0L && clean.getDouble(4) == 1.0)
   }
 
+  test("winsorizedStats: exact fences, clip counts, decimal-exact means") {
+    import spark.implicits._
+    // group a: 1..10. p10 fence = 1.9, p90 = 9.1 (linear interpolation).
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val r = Profile.winsorizedStats(df, "g", "v", pLo = 0.1, pHi = 0.9)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("fence_lo") == 1.9)
+    assert(r.getAs[Double]("fence_hi") == 9.1)
+    assert(r.getAs[Long]("n_clipped_lo") == 1L) // only 1 < 1.9
+    assert(r.getAs[Long]("n_clipped_hi") == 1L) // only 10 > 9.1
+    assert(r.getAs[Double]("mean_raw") == 5.5)
+    // winsorized: 1.9 + 2..9 + 9.1 = 55 - 1 - 10 + 1.9 + 9.1 = 55.0 -> 5.5
+    assert(r.getAs[Double]("mean_winsorized") == 5.5)
+    // asymmetric clip actually moves the mean
+    val sk = (Seq.fill(9)(1.0) :+ 1000.0).map(("b", _)).toDF("g", "v")
+    val rs = Profile.winsorizedStats(sk, "g", "v", pLo = 0.0, pHi = 0.5)
+      .collect()(0)
+    assert(rs.getAs[Double]("mean_winsorized") == 1.0)
+    assert(rs.getAs[Long]("n_clipped_hi") == 1L)
+  }
+
   test("topDuplicatedNgrams: counts, threshold, deterministic rank cut") {
     import spark.implicits._
     val docs = Seq(

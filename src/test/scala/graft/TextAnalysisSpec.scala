@@ -203,6 +203,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(r(2L)._1 == 2L && r(2L)._2 == 1L && r(2L)._3 == 2L)
   }
 
+  test("luhnValid: known cards, off-by-one digit, separators, short/empty") {
+    import spark.implicits._
+    val cases = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // corrupted check digit
+      ("4111 1111 1111 1111", true), // separators tolerated
+      ("5500-0000-0000-0004", true), // Mastercard test number
+      ("79927398713", false),       // valid Luhn but 11 digits < 12 floor
+      ("799273987130", false),      // 12 digits, fold sums 62 -> invalid
+      ("no digits at all", false),
+      ("", false))
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), graft.functions.TextFunctions.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (s, exp) => assert(got(s) == exp, s"'$s'") }
+  }
+
   test("wordNgrams: windows, short docs empty, joins with single spaces") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d"), Tuple1("a b"), Tuple1("")).toDF("t")
