@@ -2080,7 +2080,16 @@ object SparkEntry {
         .select(col("doc_id"), col("l.href").as("href"),
           col("l.anchor").as("anchor"))
       Graph.anchorTexts(links, "href", "anchor", "doc_id", maxAnchors = 10)
-    })
+    }),
+
+    "chunk_cdc" -> ((s, dir) =>
+      // Content-defined chunking (Chunkers.contentDefined scaladoc):
+      // strictly-windowed gear hash, mask 2^6 -> ~64-char chunks whose
+      // boundaries survive byte edits — the byte-level dedup chunker,
+      // pure codegen'd expressions end to end.
+      Chunkers.contentDefined(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("chunk_index"), col("start_pos"),
+          col("chunk_len"), col("chunk")))
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -5024,6 +5033,38 @@ object SparkEntry {
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
         | array_to_string(list_sort(list_distinct(list(anchor)))[1:10], ' | ')
         |   AS anchors
-        |FROM l GROUP BY 1""".stripMargin
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "chunk_cdc" -> {
+      // the 16-term windowed gear sum, generated to match the Spark fold
+      val gearSum = (0 until 16)
+        .map(j => s"gs[CAST(i - $j AS INT)] * ${1L << j}")
+        .mkString(" + ")
+      s"""WITH t0 AS (SELECT doc_id, text, len(text) AS L FROM documents
+         |  WHERE len(text) >= 1),
+         |g AS (SELECT doc_id, text, L,
+         |  list_transform(range(1, L + 1), p ->
+         |    (ascii(substr(text, CAST(p AS INT), 1)) * 2654435761) % 65536)
+         |    AS gs
+         | FROM t0),
+         |b AS (SELECT doc_id, text, L,
+         |  list_filter(range(16, L + 1),
+         |    i -> (($gearSum) % 65536) % 64 = 0) AS bs
+         | FROM g),
+         |c AS (SELECT doc_id, text,
+         |  list_prepend(CAST(1 AS BIGINT), list_transform(bs, x -> x + 1))
+         |    AS starts,
+         |  list_append(bs, CAST(L AS BIGINT)) AS ends
+         | FROM b)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index,
+         | CAST(starts[CAST(k AS INT)] AS BIGINT) AS start_pos,
+         | CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS BIGINT)
+         |   AS chunk_len,
+         | substr(text, CAST(starts[CAST(k AS INT)] AS INT),
+         |   CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS INT))
+         |   AS chunk
+         |FROM c, UNNEST(range(1, len(starts) + 1)) AS u(k)
+         |WHERE ends[CAST(k AS INT)] >= starts[CAST(k AS INT)]""".stripMargin
+    }
   )
 }

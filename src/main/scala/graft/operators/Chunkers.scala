@@ -129,4 +129,63 @@ object Chunkers {
       .withColumn("chunk_index", col("__graft_pos") + 1)
       .drop("__graft_pos", "__graft_c")
   }
+
+  /** Content-defined chunking (CDC) — boundaries placed where a rolling
+    * hash of the last `window` characters hits a mask, NOT at fixed
+    * offsets. The property that matters for dedup: inserting or deleting
+    * a byte only reshuffles the chunks NEAR the edit — every boundary
+    * more than `window` chars away re-synchronizes, so byte-level
+    * near-duplicate detection over chunk fingerprints survives edits that
+    * shift all fixed-size chunk frames (the rsync/LBFS/FastCDC idea).
+    *
+    * This variant keeps the hash STRICTLY windowed (a position's
+    * boundary-ness depends on exactly the `window` chars ending there,
+    * gear table `G(c) = c·2654435761 mod 2^16`, weight `2^j`, mask
+    * `2^maskBits`): no min/max clamping, hence no sequential dependency —
+    * every position decides independently, the whole operator is pure
+    * codegen'd HOF expressions (no UDF, unlike the reference's chunkers),
+    * and the boundary rule is replayable in plain SQL. Expected chunk
+    * length is `2^maskBits` chars. Empty docs produce no chunks;
+    * `chunk_index` is 1-based and dense (a boundary AT the final char
+    * would produce an empty tail chunk — dropped, index still dense).
+    *
+    * Scale shape: narrow generator stage end to end — O(window) work per
+    * char, no shuffle, no driver involvement.
+    */
+  def contentDefined(df: DataFrame, textCol: String, idCol: String,
+                     window: Int = 16, maskBits: Int = 6): DataFrame = {
+    require(window >= 2 && window <= 64, "window must be in [2, 64]")
+    require(maskBits >= 1 && maskBits <= 20, "maskBits must be in [1, 20]")
+    requireNoCollision(df, Seq("chunk", "chunk_index", "start_pos", "chunk_len"))
+    val t = col(textCol)
+    val len = length(t)
+    val gs = when(len >= 1,
+        transform(sequence(lit(1), len),
+          p => (ascii(t.substr(p, lit(1))).cast("long") * 2654435761L) % 65536L))
+      .otherwise(array().cast("array<bigint>"))
+    val idxs = when(len >= window, sequence(lit(window), len))
+      .otherwise(array().cast("array<int>"))
+    val mask = 1L << maskBits
+    val bs = filter(idxs, i => {
+      val h = (0 until window).map { j =>
+        element_at(col("__gs"), (i - lit(j)).cast("int")) * lit(1L << j)
+      }.reduce(_ + _) % 65536L
+      (h % mask) === 0L
+    })
+    val starts = concat(array(lit(1)), transform(col("__bs"), b => b + 1))
+    val ends = concat(col("__bs"), array(len))
+    val chunks = zip_with(starts, ends,
+      (st, en) => struct(st.as("s"), (en - st + 1).as("l"),
+        t.substr(st, greatest(en - st + 1, lit(0))).as("c")))
+    Partitioning.ensureParallelism(df)
+      .withColumn("__gs", gs)
+      .withColumn("__bs", bs)
+      .select(col("*"), posexplode(chunks).as(Seq("__pos", "__ck")))
+      .filter(col("__ck.l") > 0)
+      .withColumn("chunk_index", (col("__pos") + 1).cast("long"))
+      .withColumn("start_pos", col("__ck.s").cast("long"))
+      .withColumn("chunk_len", col("__ck.l").cast("long"))
+      .withColumn("chunk", col("__ck.c"))
+      .drop("__gs", "__bs", "__pos", "__ck")
+  }
 }

@@ -151,4 +151,67 @@ class TextSplittersSpec extends AnyFunSuite {
       graft.operators.Chunkers.sentences(weird, "text", 2, 2)
     }
   }
+
+  test("contentDefined: chunks cover the text exactly, local replay agrees") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(7)
+    val alpha = "abcdefgh "
+    val texts = (1L to 20L).map(i =>
+      (i, (0 until 200 + rng.nextInt(300))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString))
+    val out = graft.operators.Chunkers
+      .contentDefined(texts.toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "chunk_index", "start_pos", "chunk_len", "chunk")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunks are a dense, gapless cover of each document
+    texts.foreach { case (id, txt) =>
+      val cs = out(id)
+      assert(cs.map(_._2).toSeq == (1L to cs.size).toSeq, s"dense index $id")
+      assert(cs.map(_._5).mkString == txt, s"cover $id")
+      cs.foreach(c => assert(c._5.length == c._4))
+    }
+    // local replay of the windowed gear rule
+    def boundaries(txt: String): Seq[Int] =
+      (16 to txt.length).filter { i =>
+        val h = (0 until 16).map { j =>
+          ((txt.charAt(i - j - 1).toLong * 2654435761L) % 65536L) * (1L << j)
+        }.sum % 65536L
+        h % 64 == 0
+      }
+    texts.take(5).foreach { case (id, txt) =>
+      val bs = boundaries(txt)
+      val starts = 1L +: bs.map(_ + 1L)
+      val exp = starts.zip(bs.map(_.toLong) :+ txt.length.toLong)
+        .filter { case (s, e) => e >= s }
+      assert(out(id).map(c => (c._3, c._3 + c._4 - 1)).toSeq == exp, s"doc $id")
+    }
+  }
+
+  test("contentDefined: boundaries re-synchronize after an insertion") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(11)
+    val base = (0 until 600).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val edited = base.substring(0, 300) + "INSERTED-BYTES" + base.substring(300)
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunkers
+      .contentDefined(df, "text", "doc_id")
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // the suffix chunks far from the edit are byte-identical: CDC
+    // re-synchronizes, a fixed-size chunker would shift every frame
+    val shared = a.intersect(b)
+    assert(shared.nonEmpty, "no shared chunks after edit")
+    // everything after the edit region (+window slack) should re-sync;
+    // demand at least half of each side's chunk mass is shared
+    assert(shared.size * 2 >= math.min(a.size, b.size), s"shared=${shared.size} a=${a.size} b=${b.size}")
+    // empty and sub-window docs
+    val tiny = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
+    val tc = graft.operators.Chunkers.contentDefined(tiny, "text", "doc_id")
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+    assert(tc.toSet == Set((2L, "short")))
+  }
 }
