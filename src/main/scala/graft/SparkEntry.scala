@@ -2089,7 +2089,14 @@ object SparkEntry {
       // pure codegen'd expressions end to end.
       Chunkers.contentDefined(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("chunk_index"), col("start_pos"),
-          col("chunk_len"), col("chunk")))
+          col("chunk_len"), col("chunk"))),
+
+    "dedup_cdc_containment" -> ((s, dir) =>
+      // Byte-level near-dup pairs over CDC chunk fingerprints
+      // (Dedup.cdcContainment scaladoc): containment vs min(|A|,|B|),
+      // boilerplate fingerprints (>50 docs) fenced before pairing.
+      Dedup.cdcContainment(t(s, dir, "documents"), "text", "doc_id",
+        minShared = 2, minContainment = 0.4))
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -5035,27 +5042,8 @@ object SparkEntry {
         |   AS anchors
         |FROM l GROUP BY 1""".stripMargin,
 
-    "chunk_cdc" -> {
-      // the 16-term windowed gear sum, generated to match the Spark fold
-      val gearSum = (0 until 16)
-        .map(j => s"gs[CAST(i - $j AS INT)] * ${1L << j}")
-        .mkString(" + ")
-      s"""WITH t0 AS (SELECT doc_id, text, len(text) AS L FROM documents
-         |  WHERE len(text) >= 1),
-         |g AS (SELECT doc_id, text, L,
-         |  list_transform(range(1, L + 1), p ->
-         |    (ascii(substr(text, CAST(p AS INT), 1)) * 2654435761) % 65536)
-         |    AS gs
-         | FROM t0),
-         |b AS (SELECT doc_id, text, L,
-         |  list_filter(range(16, L + 1),
-         |    i -> (($gearSum) % 65536) % 64 = 0) AS bs
-         | FROM g),
-         |c AS (SELECT doc_id, text,
-         |  list_prepend(CAST(1 AS BIGINT), list_transform(bs, x -> x + 1))
-         |    AS starts,
-         |  list_append(bs, CAST(L AS BIGINT)) AS ends
-         | FROM b)
+    "chunk_cdc" ->
+      s"""WITH $cdcSqlCtes
          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index,
          | CAST(starts[CAST(k AS INT)] AS BIGINT) AS start_pos,
          | CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS BIGINT)
@@ -5064,7 +5052,59 @@ object SparkEntry {
          |   CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS INT))
          |   AS chunk
          |FROM c, UNNEST(range(1, len(starts) + 1)) AS u(k)
-         |WHERE ends[CAST(k AS INT)] >= starts[CAST(k AS INT)]""".stripMargin
-    }
+         |WHERE ends[CAST(k AS INT)] >= starts[CAST(k AS INT)]""".stripMargin,
+
+    "dedup_cdc_containment" ->
+      s"""WITH $cdcSqlCtes,
+         |ch AS (SELECT DISTINCT doc_id, md5(substr(text,
+         |   CAST(starts[CAST(k AS INT)] AS INT),
+         |   CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS INT)))
+         |   AS fp
+         | FROM c, UNNEST(range(1, len(starts) + 1)) AS u(k)
+         | WHERE ends[CAST(k AS INT)] >= starts[CAST(k AS INT)]),
+         |keepfp AS (SELECT fp FROM ch GROUP BY fp HAVING count(*) <= 50),
+         |fch AS (SELECT ch.doc_id, ch.fp FROM ch JOIN keepfp USING (fp)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+         |       FROM fch GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS shared
+         | FROM fch a JOIN fch b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.id_a, p.id_b, p.shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+         | round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
+         |   AS containment
+         |FROM p
+         |JOIN sz sa ON sa.doc_id = p.id_a
+         |JOIN sz sb ON sb.doc_id = p.id_b
+         |WHERE round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
+         |  >= 0.4""".stripMargin
   )
+
+  /** Content-defined chunking CTE chain (DuckDB) ending at
+    * `c(doc_id, text, starts, ends)` — byte-identical replay of
+    * `Chunkers.contentDefined(window=16, maskBits=6)`: gear table,
+    * 16-term windowed sum (generated to match the Spark fold), mask 64.
+    * Shared by `chunk_cdc` and `dedup_cdc_containment`.
+    */
+  private lazy val cdcSqlCtes: String = {
+    val gearSum = (0 until 16)
+      .map(j => s"gs[CAST(i - $j AS INT)] * ${1L << j}")
+      .mkString(" + ")
+    s"""t0 AS (SELECT doc_id, text, len(text) AS L FROM documents
+       |  WHERE len(text) >= 1),
+       |g AS (SELECT doc_id, text, L,
+       |  list_transform(range(1, L + 1), p ->
+       |    (ascii(substr(text, CAST(p AS INT), 1)) * 2654435761) % 65536)
+       |    AS gs
+       | FROM t0),
+       |b AS (SELECT doc_id, text, L,
+       |  list_filter(range(16, L + 1),
+       |    i -> (($gearSum) % 65536) % 64 = 0) AS bs
+       | FROM g),
+       |c AS (SELECT doc_id, text,
+       |  list_prepend(CAST(1 AS BIGINT), list_transform(bs, x -> x + 1))
+       |    AS starts,
+       |  list_append(bs, CAST(L AS BIGINT)) AS ends
+       | FROM b)""".stripMargin
+  }
 }

@@ -1007,4 +1007,62 @@ object Dedup {
     curved
       .withColumn("recommended", row_number().over(w) === 1)
   }
+
+  /** Byte-level near-duplicate pairs via content-defined chunk
+    * fingerprints — the CDC payoff ([[Chunkers.contentDefined]] scaladoc):
+    * because chunk boundaries re-synchronize around edits, two documents
+    * that share long byte runs share exact chunk fingerprints even when
+    * insertions have shifted every fixed offset. Pairs are scored by
+    * CONTAINMENT `shared / min(|A|, |B|)` over distinct chunk
+    * fingerprints — the doc-inside-doc signal Jaccard dilutes when sizes
+    * differ (a quote of half a small doc inside a huge one has high
+    * containment, tiny Jaccard).
+    *
+    * Boilerplate guard: a chunk fingerprint occurring in more than
+    * `maxDocsPerChunk` documents is template chrome, not identity, and is
+    * dropped BEFORE pairing — the skew fence that keeps a shared footer
+    * from generating |docs|² candidate pairs (the [[simhashPairs]]
+    * mega-bucket discipline, here a silent semantic filter because
+    * boilerplate genuinely is not duplication evidence).
+    *
+    * Scale shape: chunking is a narrow generator; fingerprint distinct +
+    * frequency filter are partial-aggregating shuffles on the fingerprint
+    * key; pair generation joins only within same-fingerprint buckets whose
+    * size the guard bounds; per-doc sizes broadcast back. No all-pairs
+    * stage anywhere.
+    */
+  def cdcContainment(df: DataFrame, textCol: String, idCol: String,
+                     window: Int = 16, maskBits: Int = 6,
+                     maxDocsPerChunk: Long = 50, minShared: Long = 2,
+                     minContainment: Double = 0.5): DataFrame = {
+    require(maxDocsPerChunk >= 2, "maxDocsPerChunk must be >= 2")
+    require(minShared >= 1, "minShared must be >= 1")
+    val chunks = Chunkers
+      .contentDefined(df.select(col(idCol), col(textCol)), textCol, idCol,
+        window, maskBits)
+      .select(col(idCol).as("__id"), md5(col("chunk")).as("__fp"))
+      .distinct()
+    val keep = chunks.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") <= maxDocsPerChunk)
+      .select(col("__fp"))
+    val filtered = chunks.join(keep, Seq("__fp"), "left_semi")
+    val sizes = filtered.groupBy(col("__id")).agg(count(lit(1)).as("__nfp"))
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__nfp").as("nfp_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__nfp").as("nfp_b")),
+        Seq("id_b"))
+      .withColumn("containment",
+        round(col("shared") / least(col("nfp_a"), col("nfp_b")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared"), col("nfp_a"),
+        col("nfp_b"), col("containment"))
+  }
 }

@@ -437,6 +437,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(8L).getBoolean(7))
     assert(plan.values.count(_.getBoolean(7)) == 1)
   }
+
+  test("cdcContainment: finds the edited copy, respects fences and thresholds") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(23)
+    def txt(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val original = txt(800)
+    // near-copy: one insertion mid-document — fixed frames would all shift
+    val edited = original.substring(0, 400) + "EDIT" + original.substring(400)
+    val unrelatedA = txt(800)
+    val unrelatedB = txt(800)
+    val df = Seq((1L, original), (2L, edited), (3L, unrelatedA),
+      (4L, unrelatedB)).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .cdcContainment(df, "text", "doc_id", minShared = 2,
+        minContainment = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) >= 0.5)
+    // boilerplate fence: a chunk shared by ALL docs is not identity —
+    // with maxDocsPerChunk below the doc count, it cannot create pairs
+    val boiler = "FOOTER " * 40 // long shared run -> shared chunks
+    val many = (1L to 6L).map(i => (i, boiler + txt(300))).toDF("doc_id", "text")
+    val fenced = graft.operators.Dedup.cdcContainment(many, "text", "doc_id",
+      maxDocsPerChunk = 5, minShared = 1, minContainment = 0.1)
+    // every doc shares ONLY the boilerplate chunks -> all fenced out
+    assert(fenced.count() == 0)
+  }
 }
 
 
