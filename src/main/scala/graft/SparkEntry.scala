@@ -2096,7 +2096,18 @@ object SparkEntry {
       // (Dedup.cdcContainment scaladoc): containment vs min(|A|,|B|),
       // boilerplate fingerprints (>50 docs) fenced before pairing.
       Dedup.cdcContainment(t(s, dir, "documents"), "text", "doc_id",
-        minShared = 2, minContainment = 0.4))
+        minShared = 2, minContainment = 0.4)),
+
+    "kmeans_silhouette" -> ((s, dir) =>
+      // Centroid-based simplified silhouette per cluster
+      // (KMeans.silhouetteFrame scaladoc): O(n*k), both distances from
+      // one broadcast-centroid scan — the cluster-quality audit for the
+      // SemDeDup blocking.
+      KMeans.silhouetteFrame(t(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 10, iterations = 2)
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          col("mean_a"), col("mean_b"), col("mean_silhouette"),
+          col("n_misassigned")))
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -4741,6 +4752,29 @@ object SparkEntry {
          |FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id) JOIN t3 USING (vec_id)
          |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
     },
+
+    "kmeans_silhouette" ->
+      s"""WITH ${kmeansCtes(10, 2, 64)},
+         |d AS (SELECT e.vec_id, c.cluster, ${kmeansD2("e", "c", 64)} AS d2,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${kmeansD2("e", "c", 64)} ASC, c.cluster ASC) AS rn
+         | FROM e CROSS JOIN c2 c),
+         |ab AS (SELECT vec_id,
+         |   max(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+         |   sqrt(max(CASE WHEN rn = 1 THEN d2 END)) AS a,
+         |   sqrt(max(CASE WHEN rn = 2 THEN d2 END)) AS b
+         | FROM d WHERE rn <= 2 GROUP BY 1),
+         |sv AS (SELECT cluster, a, b,
+         |   CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |     ELSE 0.0 END AS s
+         | FROM ab)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         | CAST(count(*) AS BIGINT) AS n,
+         | round(avg(a), 6) AS mean_a, round(avg(b), 6) AS mean_b,
+         | round(avg(s), 6) AS mean_silhouette,
+         | CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_misassigned
+         |FROM sv GROUP BY 1""".stripMargin,
 
     "semantic_dedup" ->
       s"""WITH ${kmeansCtes(10, 2, 64)},

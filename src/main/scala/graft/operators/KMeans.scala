@@ -147,6 +147,58 @@ object KMeans {
     assignFrame(df, vecCol, idCol, fit(df, vecCol, idCol, k, iterations, roundDp),
       roundDp)
 
+  /** Simplified-silhouette clustering audit: per point,
+    * `a` = Euclidean distance to the OWN centroid, `b` = distance to the
+    * nearest OTHER centroid, `s = (b − a) / max(a, b)` (1 = crisp, 0 =
+    * boundary, negative = likely misassigned). The centroid-based variant
+    * (Hruschka et al.) — O(n·k) instead of the pairwise O(n²) silhouette,
+    * which is the only formulation that survives 100 TB, and exact given
+    * the centroids, hence oracle-checkable. One row per cluster:
+    * population, mean a/b, mean silhouette, and the misassigned count
+    * (s < 0). The drop-a-cluster / split-a-cluster decision input for the
+    * SemDeDup blocking above.
+    *
+    * Scale shape: one narrow pass with the broadcast centroid matrix (the
+    * [[assignFrame]] discipline — both distances come from the same k-way
+    * scan), then a partial-aggregating shuffle to k rows.
+    */
+  def silhouetteFrame(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                      iterations: Int, roundDp: Int = 6): DataFrame = {
+    val cs = fit(df, vecCol, idCol, k, iterations, roundDp)
+    // one scan over the k centroids yields (argmin, d1, second-best d2)
+    val bothUdf = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      var best = 0
+      var bestD = dist2(arr, cs(0))
+      var secondD = Double.MaxValue
+      var j = 1
+      while (j < cs.length) {
+        val d = dist2(arr, cs(j))
+        if (d < bestD) { secondD = bestD; best = j; bestD = d }
+        else if (d < secondD) { secondD = d }
+        j += 1
+      }
+      (best, bestD, secondD)
+    })
+    df.select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(bothUdf(col("__v")).as("__t"))
+      .select(col("__t._1").as("cluster"), sqrt(col("__t._2")).as("__a"),
+        sqrt(col("__t._3")).as("__b"))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__a")), roundDp).as("mean_a"),
+        round(avg(col("__b")), roundDp).as("mean_b"),
+        round(avg(col("__s")), roundDp).as("mean_silhouette"),
+        sum((col("__s") < 0).cast("long")).as("n_misassigned"))
+  }
+
+
   /** SemDeDup-style semantic dedup: cluster with k-means, then inside each
     * cluster drop every row whose cosine similarity to a LOWER-id row of the
     * same cluster reaches `minCosine` (greedy keep-first — the standard

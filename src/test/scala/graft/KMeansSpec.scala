@@ -116,4 +116,33 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
+
+  test("silhouetteFrame: hand-checked a/b/s on pinned seed centroids") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // iterations=0 -> centroids are the two lowest-id vectors: (0,0), (10,0)
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 0.0)),
+      (3L, Seq(0.0, 1.0)),   // a=1, b=sqrt(101), cluster 0
+      (4L, Seq(5.0, 0.0)),   // equidistant: tie -> cluster 0, a=b=5 -> s=0
+      (5L, Seq(9.0, 0.0))    // a=1, b=9, cluster 1
+    ).toDF("id", "vec")
+    val r = KMeans.silhouetteFrame(df, "vec", "id", k = 2, iterations = 0)
+      .collect().map(x => x.getAs[Int]("cluster") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("mean_a"),
+          x.getAs[Double]("mean_b"), x.getAs[Double]("mean_silhouette"),
+          x.getAs[Long]("n_misassigned")))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s101 = math.sqrt(101.0)
+    // cluster 0: points 1 (a=0,b=10,s=1), 3 (a=1,b=s101), 4 (a=5,b=5,s=0)
+    assert(r(0)._1 == 3L)
+    assert(r(0)._2 == r6((0.0 + 1.0 + 5.0) / 3))
+    assert(r(0)._3 == r6((10.0 + s101 + 5.0) / 3))
+    assert(r(0)._4 == r6((1.0 + (s101 - 1) / s101 + 0.0) / 3))
+    assert(r(0)._5 == 0L)
+    // cluster 1: points 2 (a=0,b=10,s=1), 5 (a=1,b=9,s=8/9)
+    assert(r(1)._1 == 2L)
+    assert(r(1)._4 == r6((1.0 + 8.0 / 9.0) / 2))
+    assert(r(1)._5 == 0L)
+  }
 }
