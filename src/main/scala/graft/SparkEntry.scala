@@ -2107,7 +2107,25 @@ object SparkEntry {
           k = 10, iterations = 2)
         .select(col("cluster").cast("long").as("cluster"), col("n"),
           col("mean_a"), col("mean_b"), col("mean_silhouette"),
-          col("n_misassigned")))
+          col("n_misassigned"))),
+
+    "link_ppr" -> ((s, dir) => {
+      // Personalized PageRank / random walk with restart
+      // (PageRank.personalized scaladoc): teleport only to every-13th-doc
+      // seeds over the link_pagerank planted graph — the seed-expansion
+      // signal ("more pages like these trusted ones").
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val seeds = ids.filter(col("doc_id") % 13 === 0)
+      PageRank.personalized(edges, seeds, "src", "dst", "doc_id",
+          iterations = 3)
+        .select(col("id").as("doc_id"), col("ppr"))
+    })
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -3501,6 +3519,35 @@ object SparkEntry {
          |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |$iterCtes
          |SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r3""".stripMargin
+    },
+
+    // Personalized PageRank: the link_pagerank unroll with the teleport
+    // term scaled by the seed indicator (id % 13 = 0) and seed-indicator
+    // initialization — same 1.0 - 0.85 literal-ulp discipline.
+    "link_ppr" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS s
+           | FROM edges e JOIN deg d ON e.src = d.src
+           | JOIN r${k - 1} r ON r.id = e.src GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT n.id,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.seed
+           |   + CAST(0.85 AS DOUBLE) * coalesce(c$k.s, 0) AS rank
+           | FROM nodes n LEFT JOIN c$k USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+         | UNION ALL
+         | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+         |edges AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |n0 AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nodes AS (SELECT id,
+         |  CASE WHEN id % 13 = 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS seed FROM n0),
+         |r0 AS (SELECT id, seed AS rank FROM nodes),
+         |$iterCtes
+         |SELECT id AS doc_id, round(rank, 6) AS ppr FROM r3""".stripMargin
     },
 
     // Four unrolled HITS iterations mirroring PageRank.hits: per-side sums

@@ -66,6 +66,65 @@ object PageRank {
     }
   }
 
+  /** Fixed-iteration PERSONALIZED PageRank (random walk with restart):
+    * the teleport mass returns only to `seeds`, so scores measure
+    * closeness to the seed set along link structure — the standard
+    * seed-expansion move in corpus curation ("find more pages like these
+    * trusted ones") and the graph-side complement of
+    * [[graft.operators.Dsir]]'s content-side reweighting. Update:
+    * `rank = (1 − d)·seed + d·Σ(rank_src/outdeg_src)` with initial rank
+    * equal to the seed indicator; fixed iterations → deterministic →
+    * oracle-checkable. Non-seed nodes with no inbound paths from seeds
+    * stay at exactly 0.0 — a clean "unreachable" signal.
+    *
+    * Scale shape identical to [[ranks]]: edge list co-partitioned once on
+    * the per-round join key and persisted, measured iteration width,
+    * per-round `localCheckpoint`, seed indicator carried as a column of
+    * the node table (one broadcast-sized left join at setup, nothing
+    * per-round).
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, srcCol: String,
+                   dstCol: String, seedCol: String, iterations: Int = 3,
+                   damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "personalized PageRank needs at least one iteration")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val (eP, nParts) = Partitioning.measuredCoPartition(e, col("src"))
+    var linked: DataFrame = null
+    try Partitioning.withShuffleWidth(spark, nParts) {
+      val outDeg = eP.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      linked = eP.join(outDeg, "src").repartition(nParts, col("src")).persist()
+      linked.count()
+      val nodes = eP.select(col("src").as("id"))
+        .union(eP.select(col("dst").as("id")))
+        .distinct()
+      val seeded = nodes
+        .join(seeds.select(col(seedCol).as("id")).distinct()
+          .withColumn("__seed", lit(1.0)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), lit(0.0)).as("__s0"))
+        .localCheckpoint()
+      var ranks = seeded.select(col("id"), col("__s0").as("rank"))
+        .localCheckpoint()
+      var i = 0
+      while (i < iterations) {
+        val contribs = linked.join(ranks, linked("src") === ranks("id"))
+          .select(col("dst").as("id"), (col("rank") / col("__outdeg")).as("__c"))
+          .groupBy(col("id")).agg(sum(col("__c")).as("__csum"))
+        ranks = seeded.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0 - damping) * col("__s0") +
+              lit(damping) * coalesce(col("__csum"), lit(0.0))).as("rank"))
+          .localCheckpoint()
+        i += 1
+      }
+      ranks.select(col("id"), round(col("rank"), 6).as("ppr"))
+    } finally {
+      eP.unpersist()
+      if (linked != null) linked.unpersist()
+    }
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999): mutually recursive hub and
     * authority scores over a directed edge list — the complement of
     * [[ranks]] for link-graph curation (PageRank finds globally endorsed

@@ -48,6 +48,31 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
+  test("personalized: seed teleport, downstream decay, unreachable at 0") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3, island 4 -> 5; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    val r = PageRank.personalized(edges, seeds, "s", "d", "node",
+        iterations = 2)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("ppr")).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // iter1: r1 = 0.15, r2 = 0.85*1 = 0.85, r3 = 0.85*0 = 0
+    // iter2: r1 = 0.15, r2 = 0.85*0.15 = 0.1275, r3 = 0.85*0.85 = 0.7225
+    assert(r(1L) == r6(1.0 - 0.85))
+    assert(r(2L) == r6(0.85 * (1.0 - 0.85)))
+    assert(r(3L) == r6(0.85 * 0.85))
+    // island never reached by seed mass
+    assert(r(4L) == 0.0 && r(5L) == 0.0)
+    // seeding every node with damping teleport reduces toward ranks' shape
+    val all = PageRank.personalized(edges,
+      Seq(1L, 2L, 3L, 4L, 5L).toDF("node"), "s", "d", "node", iterations = 3)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("ppr")).toMap
+    val classic = PageRank.ranks(edges, "s", "d", iterations = 3)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("pagerank")).toMap
+    assert(all == classic)
+  }
+
   private def runHits(edges: Seq[(Long, Long)], iters: Int) = {
     import spark.implicits._
     graft.operators.PageRank
