@@ -2125,7 +2125,15 @@ object SparkEntry {
       PageRank.personalized(edges, seeds, "src", "dst", "doc_id",
           iterations = 3)
         .select(col("id").as("doc_id"), col("ppr"))
-    })
+    }),
+
+    "streaming_anomaly" -> ((s, dir) =>
+      // The SAME median/MAD daily-count flags as `event_anomaly_mad`, but
+      // flagged by the streaming engine against batch-trained broadcast
+      // fences (Streaming.runAnomalyAvailableNow scaladoc) — the
+      // fences-offline / flag-online deployment shape; one shared oracle.
+      graft.streaming.Streaming.runAnomalyAvailableNow(s,
+        s"$dir/events.parquet"))
   )
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
@@ -4964,19 +4972,8 @@ object SparkEntry {
         | count(DISTINCT user_id) >= 5 AS l_diverse
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "event_anomaly_mad" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS m
-        |        FROM daily GROUP BY 1),
-        |ad AS (SELECT daily.event_type, daily.day, daily.n, med.m
-        |       FROM daily JOIN med USING (event_type)),
-        |mad AS (SELECT event_type, quantile_cont(abs(n - m), 0.5) AS md
-        |        FROM ad GROUP BY 1)
-        |SELECT ad.event_type, ad.day, ad.n,
-        | round(ad.m, 6) AS med_v, round(mad.md, 6) AS mad_v,
-        | abs(ad.n - ad.m) > 3.0 * mad.md AS is_outlier
-        |FROM ad JOIN mad USING (event_type)""".stripMargin,
+    "event_anomaly_mad" -> anomalyMadSql,
+    "streaming_anomaly" -> anomalyMadSql,
 
     "tail_index" ->
       """WITH top AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
@@ -5160,6 +5157,25 @@ object SparkEntry {
          |WHERE round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
          |  >= 0.4""".stripMargin
   )
+
+  /** Exact median/MAD daily-count anomaly flags — ONE oracle for both the
+    * batch gate (`event_anomaly_mad`) and the streaming execution of the
+    * same semantics (`streaming_anomaly`), the `sessionWindowSql`
+    * discipline.
+    */
+  private val anomalyMadSql: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, quantile_cont(n, 0.5) AS m
+      |        FROM daily GROUP BY 1),
+      |ad AS (SELECT daily.event_type, daily.day, daily.n, med.m
+      |       FROM daily JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(abs(n - m), 0.5) AS md
+      |        FROM ad GROUP BY 1)
+      |SELECT ad.event_type, ad.day, ad.n,
+      | round(ad.m, 6) AS med_v, round(mad.md, 6) AS mad_v,
+      | abs(ad.n - ad.m) > 3.0 * mad.md AS is_outlier
+      |FROM ad JOIN mad USING (event_type)""".stripMargin
 
   /** Content-defined chunking CTE chain (DuckDB) ending at
     * `c(doc_id, text, starts, ends)` — byte-identical replay of

@@ -245,6 +245,48 @@ object Streaming {
     }
   }
 
+  /** Daily-count anomaly flags through the streaming engine: the
+    * fences-offline / flag-online deployment shape — exact median/MAD
+    * fences per event type are trained BATCH-side (the
+    * [[graft.operators.Profile.robustFlags]] statistics), broadcast as a
+    * static dimension into the stream, and every day's count is flagged
+    * in-flight by the 3-MAD rule. Because fences here are trained on the
+    * same fixture the stream replays, the final complete-mode table is
+    * byte-identical to the batch `event_anomaly_mad` gate — ONE oracle
+    * covers both execution paths (the `streaming_windowed` discipline).
+    *
+    * Scale shape: the fence table is |event types| rows (broadcast); the
+    * streaming aggregation keys on (type, day) — bounded state, no
+    * per-event state growth.
+    */
+  def runAnomalyAvailableNow(spark: SparkSession, eventsPath: String,
+                             k: Double = 3.0): DataFrame = {
+    import graft.operators.EventTime
+    val daily = EventTime.readMicros(spark, eventsPath)
+      .groupBy(col("event_type"),
+        expr(s"ts div ${EventTime.DayMicros}").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fences = broadcast(
+      graft.operators.Profile.robustFlags(daily, "event_type", "n", k)
+        .select(col("event_type"), col("med_v"), col("mad_v")).distinct())
+    runToLocalFrame(spark, "an_") { (name, ckpt) =>
+      streamEventsMicros(spark, eventsPath)
+        .withColumn("day", expr(s"ts div ${EventTime.DayMicros}"))
+        .join(fences, Seq("event_type"))
+        .groupBy(col("event_type"), col("day"), col("med_v"), col("mad_v"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"), col("med_v"),
+          col("mad_v"),
+          (abs(col("n") - col("med_v")) > lit(k) * col("mad_v"))
+            .as("is_outlier"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Streaming first-seen dedup via mapGroupsWithState: one state entry per
     * fingerprint; each (fingerprint, first source) is emitted once, repeats
     * emit nothing. State grows with distinct fingerprints — a production

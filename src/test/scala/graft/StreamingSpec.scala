@@ -252,4 +252,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(all.map(_._1).toSet == Set("fp1", "fp2", "fp3"))
     } finally q.stop()
   }
+
+  test("streaming anomaly flags equal the batch robustFlags verdicts") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming
+      .runAnomalyAvailableNow(spark, s"$dir/events.parquet")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("day")) -> ((r.getAs[Long]("n"),
+        r.getAs[Boolean]("is_outlier")))).toMap
+    val daily = graft.operators.EventTime
+      .readMicros(spark, s"$dir/events.parquet")
+      .groupBy(col("event_type"),
+        expr(s"ts div ${graft.operators.EventTime.DayMicros}").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val batch = graft.operators.Profile.robustFlags(daily, "event_type", "n")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("day")) -> ((r.getAs[Long]("n"),
+        r.getAs[Boolean]("is_outlier")))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
