@@ -302,18 +302,21 @@ object SparkEntry {
       // old snapshot bootstraps the SCD2 history at version 1, the new one
       // applies at version 2 — changed docs close+reopen, removed docs
       // close, added docs open, unchanged docs carry their interval.
+      plantedScd2History(s, t(s, dir, "documents"))
+    }),
+
+    "scd2_lookup" -> ((s, dir) => {
+      // Point-in-time-correct temporal lookup (StateStore.scd2Lookup
+      // scaladoc) against the SAME planted history: every doc probed AS OF
+      // versions 1 and 2 — changed docs answer with their old fp at v1,
+      // v2-only docs null out at v1, removed docs null out at v2.
       val docs = t(s, dir, "documents")
-      val newSnap = docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
-      val oldSnap = docs.filter(col("doc_id") % 5 =!= 4)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 2, sha2(concat(col("text"), lit("old")), 256))
-            .otherwise(sha2(col("text"), 256)).as("fp"))
-        .union(docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            sha2(col("text"), 256).as("fp")))
-      val boot = StateStore.scd2Apply(
-        StateStore.scd2Empty(s, "doc_id", "fp"), oldSnap, "doc_id", "fp", 1L)
-      StateStore.scd2Apply(boot, newSnap, "doc_id", "fp", 2L)
+      val probes = docs.select(col("doc_id"))
+        .withColumn("v", explode(array(lit(1L), lit(2L))))
+      StateStore.scd2Lookup(plantedScd2History(s, docs), probes,
+          "doc_id", "v")
+        .select(col("doc_id"), col("v"), col("fp"), col("valid_from"),
+          col("valid_to"))
     }),
 
     "state_update" -> ((s, dir) => {
@@ -2133,8 +2136,35 @@ object SparkEntry {
       // fences (Streaming.runAnomalyAvailableNow scaladoc) — the
       // fences-offline / flag-online deployment shape; one shared oracle.
       graft.streaming.Streaming.runAnomalyAvailableNow(s,
-        s"$dir/events.parquet"))
+        s"$dir/events.parquet")),
+
+    "link_kcore" -> ((s, dir) =>
+      // 2-core by 6 synchronous peeling rounds (Graph.kCore scaladoc):
+      // low-degree tendrils dissolve, the interlinked core survives with
+      // its residual degree — the link-graph noise filter.
+      Graph.kCore(plantedDenseEdges(t(s, dir, "documents")
+          .select(col("doc_id"))), "src", "dst", k = 2, rounds = 6)
+        .select(col("id").as("doc_id"), col("core_degree")))
   )
+
+  /** The planted two-version SCD2 history shared by `scd2_history` and
+    * `scd2_lookup`: old snapshot (docs except %5==4, %5==2 fingerprints
+    * altered, plus +1M ghosts every 50th) at version 1, the real corpus
+    * at version 2.
+    */
+  private def plantedScd2History(s: SparkSession, docs: DataFrame): DataFrame = {
+    val newSnap = docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+    val oldSnap = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 2, sha2(concat(col("text"), lit("old")), 256))
+          .otherwise(sha2(col("text"), 256)).as("fp"))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          sha2(col("text"), 256).as("fp")))
+    val boot = StateStore.scd2Apply(
+      StateStore.scd2Empty(s, "doc_id", "fp"), oldSnap, "doc_id", "fp", 1L)
+    StateStore.scd2Apply(boot, newSnap, "doc_id", "fp", 2L)
+  }
 
   /** Wave-3 planted link graph: successor edges on `doc_id % 7 < 3`,
     * skip-2 on `% 5 < 2`, skip-3 on `% 11 == 0`, destinations clipped to
@@ -2542,31 +2572,17 @@ object SparkEntry {
     // (changed/removed at version 2), opens (added/changed), carries
     // (unchanged keep valid_from=1, open-ended). Null-safe fp compare.
     "scd2_history" ->
-      """WITH newsnap AS (SELECT doc_id, sha256(text) AS fp, TRUE AS in_new
-        |  FROM documents),
-        |oldsnap AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 2 THEN sha256(text || 'old') ELSE sha256(text) END AS fp,
-        |  TRUE AS in_old
-        | FROM documents WHERE doc_id % 5 <> 4
-        | UNION ALL
-        | SELECT doc_id + 1000000, sha256(text), TRUE FROM documents WHERE doc_id % 50 = 0),
-        |j AS (
-        | SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp,
-        |  o.in_old, n.in_new
-        | FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
-        |SELECT doc_id, ofp AS fp, CAST(1 AS BIGINT) AS valid_from,
-        | CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
-        |FROM j WHERE in_old IS NOT NULL
-        | AND (in_new IS NULL OR ofp IS DISTINCT FROM nfp)
-        |UNION ALL
-        |SELECT doc_id, nfp, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
-        |FROM j WHERE in_old IS NULL
-        | OR (in_new IS NOT NULL AND ofp IS DISTINCT FROM nfp)
-        |UNION ALL
-        |SELECT doc_id, ofp, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
-        |FROM j WHERE in_old IS NOT NULL AND in_new IS NOT NULL
-        | AND ofp IS NOT DISTINCT FROM nfp""".stripMargin,
+      s"""WITH $scd2SqlCtes
+         |SELECT * FROM hist""".stripMargin,
+
+    "scd2_lookup" ->
+      s"""WITH $scd2SqlCtes,
+         |probes AS (SELECT doc_id, v FROM documents,
+         |  UNNEST([CAST(1 AS BIGINT), CAST(2 AS BIGINT)]) AS u(v))
+         |SELECT p.doc_id, p.v, h.fp, h.valid_from, h.valid_to
+         |FROM probes p LEFT JOIN hist h ON h.doc_id = p.doc_id
+         | AND h.valid_from <= p.v
+         | AND (h.valid_to IS NULL OR h.valid_to > p.v)""".stripMargin,
 
     "state_update" ->
       """WITH old AS (
@@ -4975,6 +4991,35 @@ object SparkEntry {
     "event_anomaly_mad" -> anomalyMadSql,
     "streaming_anomaly" -> anomalyMadSql,
 
+    // k-core: 6 unrolled synchronous peel rounds over the wave-3 planted
+    // graph (degree -> qualify -> semi-filter both endpoints), mirroring
+    // Graph.kCore's loop exactly.
+    "link_kcore" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT id, count(*) AS degree FROM (
+           |  SELECT u AS id FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+           |  GROUP BY id),
+           |q$r AS MATERIALIZED (SELECT id FROM d$r WHERE degree >= 2),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN q$r qu ON qu.id = e.u JOIN q$r qv ON qv.id = e.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS MATERIALIZED (SELECT doc_id FROM documents),
+         |raw AS (
+         | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+         | UNION ALL
+         | SELECT doc_id, doc_id + 2 FROM ids WHERE doc_id % 5 < 2
+         | UNION ALL
+         | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw JOIN ids ON ids.doc_id = raw.dst WHERE src <> dst),
+         |$rounds
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM (SELECT u AS id FROM e6 UNION ALL SELECT v FROM e6)
+         |GROUP BY id""".stripMargin
+    },
+
     "tail_index" ->
       """WITH top AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
         |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 101),
@@ -5157,6 +5202,38 @@ object SparkEntry {
          |WHERE round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
          |  >= 0.4""".stripMargin
   )
+
+  /** The planted two-version SCD2 build as DuckDB CTEs ending at
+    * `hist(doc_id, fp, valid_from, valid_to, is_current)` — shared by
+    * `scd2_history` and `scd2_lookup`.
+    */
+  private val scd2SqlCtes: String =
+    """newsnap AS (SELECT doc_id, sha256(text) AS fp, TRUE AS in_new
+      |  FROM documents),
+      |oldsnap AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 THEN sha256(text || 'old') ELSE sha256(text) END AS fp,
+      |  TRUE AS in_old
+      | FROM documents WHERE doc_id % 5 <> 4
+      | UNION ALL
+      | SELECT doc_id + 1000000, sha256(text), TRUE FROM documents WHERE doc_id % 50 = 0),
+      |j AS (
+      | SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp,
+      |  o.in_old, n.in_new
+      | FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id),
+      |hist AS (
+      | SELECT doc_id, ofp AS fp, CAST(1 AS BIGINT) AS valid_from,
+      |  CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+      | FROM j WHERE in_old IS NOT NULL
+      |  AND (in_new IS NULL OR ofp IS DISTINCT FROM nfp)
+      | UNION ALL
+      | SELECT doc_id, nfp, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+      | FROM j WHERE in_old IS NULL
+      |  OR (in_new IS NOT NULL AND ofp IS DISTINCT FROM nfp)
+      | UNION ALL
+      | SELECT doc_id, ofp, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+      | FROM j WHERE in_old IS NOT NULL AND in_new IS NOT NULL
+      |  AND ofp IS NOT DISTINCT FROM nfp)""".stripMargin
 
   /** Exact median/MAD daily-count anomaly flags — ONE oracle for both the
     * batch gate (`event_anomaly_mad`) and the streaming execution of the

@@ -1037,15 +1037,23 @@ object Dedup {
                      minContainment: Double = 0.5): DataFrame = {
     require(maxDocsPerChunk >= 2, "maxDocsPerChunk must be >= 2")
     require(minShared >= 1, "minShared must be >= 1")
+    // The CDC expression costs O(window) per char; materialize the
+    // (id, fingerprint) table ONCE so the frequency fence, the per-doc
+    // sizes, and both sides of the pair join all read the checkpoint
+    // instead of re-running the chunk pipeline (the Bm25 tf-table
+    // discipline — the checkpoint is owned by this result's lineage).
     val chunks = Chunkers
       .contentDefined(df.select(col(idCol), col(textCol)), textCol, idCol,
         window, maskBits)
       .select(col(idCol).as("__id"), md5(col("chunk")).as("__fp"))
       .distinct()
+      .localCheckpoint()
     val keep = chunks.groupBy(col("__fp"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") <= maxDocsPerChunk)
       .select(col("__fp"))
+    // (no second checkpoint: the semi-join re-derives cheaply from the
+    // materialized chunk table on each of its three consumers)
     val filtered = chunks.join(keep, Seq("__fp"), "left_semi")
     val sizes = filtered.groupBy(col("__id")).agg(count(lit(1)).as("__nfp"))
     val pairs = filtered.as("a")

@@ -91,6 +91,66 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** k-core decomposition by synchronous peeling: repeatedly remove every
+    * node whose degree in the SURVIVING graph is below `k`. The k-core is
+    * the classic link-graph noise filter — doorway pages, dangling chains,
+    * and one-shot spam hang off the graph as low-degree tendrils and peel
+    * away in a few rounds, while genuinely interconnected content (the
+    * 2-core and up) survives. Runs a FIXED `rounds` of peeling, so the
+    * output is deterministic and oracle-checkable; a long path can take
+    * ~length/2 rounds to fully dissolve, so callers wanting the exact
+    * fixpoint compare round r with r+1 (the [[GraphSpec]] convergence
+    * probe) or size `rounds` to the graph's peel depth. Returns the
+    * surviving nodes with their residual degree.
+    *
+    * Scale shape: each round is one degree aggregation (partial,
+    * map-side) plus two semi-joins of the edge list against the
+    * still-qualified node set — all shuffles on node keys, work strictly
+    * shrinking per round; `localCheckpoint` truncates the per-round
+    * lineage exactly like [[Components]]' closure loop.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    val spark = edges.sparkSession
+    // Iteration width from the MEASURED edge count (the PageRank loop
+    // discipline): a small graph peels each round in a couple of tasks
+    // instead of paying session-width shuffles six times over.
+    val (eP, nParts) = Partitioning.measuredCoPartition(
+      undirected(edges, srcCol, dstCol), col("u"))
+    try Partitioning.withShuffleWidth(spark, nParts) {
+      var e = eP
+      var i = 0
+      while (i < rounds) {
+        val deg = e.select(col("u").as("id"))
+          .union(e.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+        // Anti-join on the DISQUALIFIED set: after the first round the
+        // peel frontier is small (only nodes whose neighbors just
+        // vanished can newly fall below k), so the broadcast side shrinks
+        // every round — cheaper than semi-joining against the large
+        // surviving set.
+        val bad = deg.filter(col("degree") < k).select(col("id"))
+        e = e
+          .join(broadcast(bad.withColumnRenamed("id", "u")), Seq("u"),
+            "left_anti")
+          .join(broadcast(bad.withColumnRenamed("id", "v")), Seq("v"),
+            "left_anti")
+          // The per-round EAGER checkpoint is load-bearing, not an
+          // optimization: each round's plan references the previous
+          // round's edges THREE times (both degree branches + the filter
+          // input), so an un-truncated lineage re-expands 3^rounds copies
+          // of the base scan — the iterative-algorithm trap the PageRank
+          // loop documents.
+          .localCheckpoint()
+        i += 1
+      }
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).cast("long").as("core_degree"))
+    } finally eP.unpersist()
+  }
+
   /** Anchor-text aggregation per link target — the web-graph enrichment
     * classic: the text OTHER pages use to link to a URL describes it
     * better than its own title (the signal behind anchor-text indexing in

@@ -195,6 +195,33 @@ object StateStore {
     closedRows.unionByName(closes).unionByName(opens).unionByName(carries)
   }
 
+  /** Point-in-time-correct lookup against an SCD2 history: for every probe
+    * row, return the history version whose validity interval
+    * `[valid_from, valid_to)` (open-ended when `valid_to` is null) covers
+    * the probe's version — "what did this document look like AS OF
+    * version v", the temporal-join correctness contract that prevents
+    * feature leakage when training data is reconstructed from a mutating
+    * store (the feature-store / time-travel staple). Probes with no
+    * covering interval (not yet ingested, or already deleted at v) come
+    * back with null history columns — a left join, so the probe set is
+    * never silently filtered.
+    *
+    * Scale shape: an equi-join on the id with a residual interval
+    * predicate — per-id history rows are bounded by the version count, so
+    * the residual filter scans a handful of rows per key; no range-join
+    * machinery needed.
+    */
+  def scd2Lookup(history: DataFrame, probes: DataFrame, idCol: String,
+                 versionCol: String): DataFrame = {
+    val h = history.withColumnRenamed(idCol, "__scd2_id")
+    probes.join(h,
+        probes(idCol) === h("__scd2_id") &&
+          h("valid_from") <= probes(versionCol) &&
+          (h("valid_to").isNull || h("valid_to") > probes(versionCol)),
+        "left")
+      .drop("__scd2_id", "is_current")
+  }
+
   /** Bootstrap an empty SCD2 history frame with [[scd2Apply]]'s schema. */
   def scd2Empty(spark: SparkSession, idCol: String, fpCol: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

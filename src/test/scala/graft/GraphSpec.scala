@@ -87,6 +87,26 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kCore: tendrils peel, core survives, convergence probe") {
+    import spark.implicits._
+    // triangle {1,2,3} with a chain 3-4-5-6 hanging off it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("s", "d")
+    def core(rounds: Int): Map[Long, Long] =
+      graft.operators.Graph.kCore(edges, "s", "d", k = 2, rounds = rounds)
+        .collect().map(r => r.getAs[Long]("id") ->
+          r.getAs[Long]("core_degree")).toMap
+    // round 1 peels 6; round 2 peels 5; round 3 peels 4 -> pure triangle
+    assert(core(3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // converged: one more round changes nothing (the fixpoint probe)
+    assert(core(4) == core(3))
+    // partial peel is a defined intermediate state
+    assert(core(1).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // k above the max degree empties the graph
+    assert(graft.operators.Graph.kCore(edges, "s", "d", k = 4, rounds = 2)
+      .count() == 0)
+  }
+
   test("anchorTexts: sorted distinct anchors, cap, counts, null targets") {
     import spark.implicits._
     val links = Seq(

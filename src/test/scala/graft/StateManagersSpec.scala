@@ -191,4 +191,31 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
     // History is append-only: each apply only adds rows.
     assert(h4.count() == 5)
   }
+
+  test("scd2Lookup: as-of answers across the full lifecycle, gaps null") {
+    import spark.implicits._
+    def snap(rows: (Long, String)*) = rows.toDF("id", "fp")
+    def apply(h: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame,
+              v: Long) = StateStore.scd2Apply(h, s, "id", "fp", v)
+    val h4 = apply(apply(apply(apply(StateStore.scd2Empty(spark, "id", "fp"),
+      snap(1L -> "a1", 2L -> "b1"), 1),
+      snap(1L -> "a2", 2L -> "b1", 3L -> "c1"), 2),
+      snap(2L -> "b1", 3L -> "c1"), 3),
+      snap(1L -> "a3", 2L -> "b1", 3L -> "c1"), 4)
+    val probes = (for (id <- 1L to 3L; v <- 1L to 4L) yield (id, v))
+      .toDF("id", "v")
+    val got = StateStore.scd2Lookup(h4, probes, "id", "v")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v")) ->
+        Option(r.getAs[String]("fp"))).toMap
+    // doc 1: a1 at v1, a2 at v2, GONE at v3 (removed), a3 at v4
+    assert(got((1L, 1L)).contains("a1"))
+    assert(got((1L, 2L)).contains("a2"))
+    assert(got((1L, 3L)).isEmpty)
+    assert(got((1L, 4L)).contains("a3"))
+    // doc 2: b1 throughout; doc 3: null before birth at v2
+    assert((1L to 4L).forall(v => got((2L, v)).contains("b1")))
+    assert(got((3L, 1L)).isEmpty && got((3L, 2L)).contains("c1"))
+    // left join: every probe row present exactly once
+    assert(got.size == 12)
+  }
 }
