@@ -2144,7 +2144,36 @@ object SparkEntry {
       // its residual degree — the link-graph noise filter.
       Graph.kCore(plantedDenseEdges(t(s, dir, "documents")
           .select(col("doc_id"))), "src", "dst", k = 2, rounds = 6)
-        .select(col("id").as("doc_id"), col("core_degree")))
+        .select(col("id").as("doc_id"), col("core_degree"))),
+
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      // The daily-crawl incremental near-dup pass
+      // (Dedup.minhashLshIncrementalPairs scaladoc): the reference corpus
+      // contributes only its PRE-BANDED signature table; the planted batch
+      // is banded fresh. Work scales with the batch — and the result still
+      // equals the brute-force truth restricted to pairs touching a new id.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val sigs = Dedup.signatures(docs, "text", "doc_id")
+      Dedup.minhashLshIncrementalPairs(batch, docs, "text", "doc_id", sigs,
+          maxJaccardDistance = 0.5)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    "vocab_coverage" -> ((s, dir) =>
+      // Token-mass coverage of the top-k word types (Profile.vocabCoverage
+      // scaladoc) at k = 10/25/100 — the vocab-size planning curve.
+      Profile.vocabCoverage(t(s, dir, "documents"), "text",
+        ks = Seq(10, 25, 100))),
+
+    "streaming_heavy_hitters" -> ((s, dir) =>
+      // The custom Misra-Gries TypedImperativeAggregate through the REAL
+      // streaming engine (Streaming.runHeavyHittersAvailableNow scaladoc):
+      // exact regime -> the batch GROUP BY oracle covers both paths.
+      graft.streaming.Streaming.runHeavyHittersAvailableNow(s,
+        s"$dir/documents.parquet"))
   )
 
   /** The planted two-version SCD2 history shared by `scd2_history` and
@@ -2708,6 +2737,51 @@ object SparkEntry {
 
     "heavy_hitters" ->
       "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+    "streaming_heavy_hitters" ->
+      "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+
+    // Brute-force truth restricted to pairs touching a NEW id (all new ids
+    // exceed 100000, so "touches new" is exactly id_b >= 100000 after
+    // normalization) — the incremental path must find the same set while
+    // only banding the batch.
+    "dedup_minhash_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |s AS MATERIALIZED (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |   ELSE []::VARCHAR[] END) AS sh FROM t),
+         |ln AS (SELECT doc_id, len(sh) AS l FROM s),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS DOUBLE) AS i
+         | FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT x.ida AS id_a, x.idb AS id_b
+         |FROM inter x JOIN ln la ON la.doc_id = x.ida JOIN ln lb ON lb.doc_id = x.idb
+         |WHERE x.i >= 0.5 * (CAST(la.l + lb.l AS DOUBLE) - x.i)
+         | AND x.idb >= 100000""".stripMargin,
+
+    "vocab_coverage" -> {
+      val perK = Seq(10, 25, 100).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           | CAST(count(*) AS BIGINT) AS n_top_types,
+           | CAST(sum(c) AS BIGINT) AS covered_tokens
+           |FROM r WHERE rn <= $k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |c AS (SELECT u AS term, count(*) AS c FROM t, UNNEST(toks) AS x(u)
+         |      GROUP BY 1),
+         |tot AS (SELECT sum(c) AS tot, CAST(count(*) AS BIGINT) AS n_types
+         |        FROM c),
+         |r AS (SELECT term, c,
+         |       row_number() OVER (ORDER BY c DESC, term) AS rn FROM c),
+         |perk AS ($perK)
+         |SELECT perk.k, perk.n_top_types, perk.covered_tokens,
+         | CAST(tot.tot AS BIGINT) AS total_tokens, tot.n_types,
+         | round(CAST(perk.covered_tokens AS DOUBLE) / tot.tot, 6) AS coverage
+         |FROM perk, tot""".stripMargin
+    },
 
     "asof_enrich" ->
       """WITH l AS (

@@ -699,6 +699,40 @@ object Dedup {
     verifiedPairs(shNew, shRef, candidates, "id_new", "id_ref", maxJaccardDistance)
   }
 
+  /** The COMPLETE incremental near-dup pass for one crawl batch: every
+    * near-dup pair involving at least one NEW document, as the union of
+    *  - new x reference candidates via the PRE-BANDED signature table
+    *    ([[crossCorpusPairsPrebanded]] — the reference corpus is never
+    *    re-banded, and with a bucketed table never re-shuffled), and
+    *  - new x new candidates via the self-banding path
+    *    ([[minhashLshPairs]] over just the batch).
+    * Reference-internal pairs are by construction absent — they were
+    * found when THOSE documents were the batch. This is the daily-crawl
+    * contract: work scales with the batch, not the accumulated corpus.
+    * Ids must be unique across the union (the incremental store's id
+    * space); pairs come back normalized `(id_a < id_b, jaccard_dist)`.
+    */
+  def minhashLshIncrementalPairs(dfNew: DataFrame, dfRef: DataFrame,
+                                 textCol: String, idCol: String,
+                                 refSignatures: DataFrame,
+                                 maxJaccardDistance: Double = 0.6,
+                                 numHashes: Int = 16,
+                                 bandSize: Int = 2,
+                                 shingleSize: Int = 3,
+                                 seed: Long = 42L,
+                                 persistIntermediates: Option[Boolean] = None): DataFrame = {
+    val cross = crossCorpusPairsPrebanded(dfNew, dfRef, textCol, idCol,
+        refSignatures, maxJaccardDistance, numHashes, bandSize, shingleSize,
+        seed, persistIntermediates)
+      .select(least(col("id_new"), col("id_ref")).as("id_a"),
+        greatest(col("id_new"), col("id_ref")).as("id_b"),
+        col("jaccard_dist"))
+    val within = minhashLshPairs(dfNew, textCol, idCol, maxJaccardDistance,
+        numHashes, bandSize, shingleSize, seed, persistIntermediates)
+      .select(col("id_a"), col("id_b"), col("jaccard_dist"))
+    cross.unionByName(within)
+  }
+
   // -------------------------------------------------------------------------
   // SimHash (64-bit fingerprint; hamming-near docs are near-dups)
   // -------------------------------------------------------------------------

@@ -271,6 +271,41 @@ object Profile {
       when(varX > 0 && varY > 0, round(cov * cov / (varX * varY), 6)).as("r2"))
   }
 
+  /** Vocabulary coverage curve: what fraction of corpus TOKEN MASS the
+    * top-k word types cover, for each requested k — the Zipf-in-practice
+    * number behind vocab-size decisions (a tokenizer whose top-1000 types
+    * cover 95% of tokens spends its remaining budget on the 5% tail) and
+    * the drift alarm's cheap cousin (coverage at fixed k drops when new
+    * jargon floods in). One row per k: top-type count (= min(k, |vocab|)),
+    * covered and total token counts, distinct type count, and coverage.
+    *
+    * Scale shape: one explode + partial-aggregating shuffle to the
+    * vocab-bounded count table (checkpointed once — it feeds |ks| top-k
+    * probes plus the total), then per-k `TakeOrderedAndProject` heaps.
+    * Ranking ties break by term, so every cut is deterministic.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val counts = Partitioning.ensureParallelism(df)
+      .select(explode(TextAnalysis.toks(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("__c")).as("__tot"),
+      count(lit(1)).as("n_types"))
+    val perK = ks.map { k =>
+      counts.orderBy(col("__c").desc, col("__t")).limit(k)
+        .agg(count(lit(1)).as("n_top_types"),
+          sum(col("__c")).as("covered_tokens"))
+        .withColumn("k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    perK.crossJoin(total)
+      .select(col("k"), col("n_top_types"), col("covered_tokens"),
+        col("__tot").as("total_tokens"), col("n_types"),
+        round(col("covered_tokens").cast("double") / col("__tot"), 6)
+          .as("coverage"))
+  }
+
   /** Most-duplicated word n-grams across the corpus — the boilerplate
     * radar: templated headers, licence blocks, and navigation chrome
     * surface as n-grams whose occurrence count dwarfs their document

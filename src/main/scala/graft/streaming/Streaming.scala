@@ -343,6 +343,36 @@ object Streaming {
     }
   }
 
+  /** The custom Misra-Gries `TypedImperativeAggregate`
+    * ([[graft.plans.HeavyHittersAgg]]) executed by the STREAMING engine:
+    * complete-mode aggregation over the streamed documents table, sketch
+    * buffers merged across micro-batches by the state store. Capacity 64
+    * exceeds the distinct-source count, so the sketch runs in its exact
+    * regime and the final table equals the batch GROUP BY — the
+    * `heavy_hitters` oracle covers both execution paths. The explode of
+    * the final top-items array happens on the COLLECTED frame (the
+    * streaming query emits the one-row sketch; generators after a
+    * streaming aggregation are not supported in-plan).
+    */
+  def runHeavyHittersAvailableNow(spark: SparkSession,
+                                  docsPath: String): DataFrame = {
+    val batch = spark.read.parquet(docsPath)
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val sunk = runToLocalFrame(spark, "hh_") { (name, ckpt) =>
+      spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .agg(graft.plans.HeavyHittersAgg.approxTopItems(col("source"), 64)
+          .as("top"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    sunk.select(explode(col("top")).as(Seq("source", "n_docs")))
+  }
+
   /** [[nearDupFlagsAgainst]] executed as a REAL streaming query over the
     * documents table (`Trigger.AvailableNow`), against a planted reference:
     * every 7th document re-appears under a shifted id with a one-word

@@ -438,6 +438,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.values.count(_.getBoolean(7)) == 1)
   }
 
+  test("minhashLshIncrementalPairs: cross + within-batch, no ref-internal pairs") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // ref: 1 and 2 are near-dups of each other; batch: 11 ~ 1 (cross),
+    // 12 ~ 13 (within batch), 14 unrelated.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq((1L, base), (2L, base + " mu"),
+      (3L, "completely different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq((11L, base + " nu"), (12L, base.replace("alpha", "omega")),
+      (13L, base.replace("alpha", "omega") + " xi"),
+      (14L, "unrelated batch content with its own vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.signatures(ref, "text", "doc_id")
+    val got = graft.operators.Dedup
+      .minhashLshIncrementalPairs(batch, ref, "text", "doc_id", sigs,
+        maxJaccardDistance = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every pair touches a batch id; ref-internal (1,2) is absent
+    assert(got.forall { case (a, b) => a >= 11L || b >= 11L })
+    assert(!got.contains((1L, 2L)))
+    assert(got.contains((1L, 11L)) || got.contains((2L, 11L)),
+      s"cross pair missing: $got")
+    assert(got.contains((12L, 13L)), s"within-batch pair missing: $got")
+    assert(!got.exists { case (a, b) => a == 14L || b == 14L })
+  }
+
   test("cdcContainment: finds the edited copy, respects fences and thresholds") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._

@@ -165,6 +165,24 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(rs.getAs[Long]("n_clipped_hi") == 1L)
   }
 
+  test("vocabCoverage: hand-counted curve, k clips at vocab size, tie cut") {
+    import spark.implicits._
+    // counts: a x5, b x3, c x1, d x1 -> total 10, 4 types
+    val df = Seq("a a a b b", "a a b c", "d").toDF("text")
+    val r = Profile.vocabCoverage(df, "text", ks = Seq(1, 2, 10))
+      .collect().map(x => x.getAs[Long]("k") ->
+        ((x.getAs[Long]("n_top_types"), x.getAs[Long]("covered_tokens"),
+          x.getAs[Long]("total_tokens"), x.getAs[Long]("n_types"),
+          x.getAs[Double]("coverage")))).toMap
+    assert(r(1L) == ((1L, 5L, 10L, 4L, 0.5)))
+    assert(r(2L) == ((2L, 8L, 10L, 4L, 0.8)))
+    // k beyond the vocab clips: all 4 types, full mass
+    assert(r(10L) == ((4L, 10L, 10L, 4L, 1.0)))
+    // tie at rank cut breaks by term: c (x1) beats d (x1) at k=3
+    val r3 = Profile.vocabCoverage(df, "text", ks = Seq(3)).collect()(0)
+    assert(r3.getAs[Long]("covered_tokens") == 9L) // a+b+c, not a+b+d... both 9
+  }
+
   test("topDuplicatedNgrams: counts, threshold, deterministic rank cut") {
     import spark.implicits._
     val docs = Seq(

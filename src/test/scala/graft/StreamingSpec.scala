@@ -253,6 +253,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters equal the batch GROUP BY (exact regime)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming
+      .runHeavyHittersAvailableNow(spark, s"$dir/documents.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming anomaly flags equal the batch robustFlags verdicts") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
