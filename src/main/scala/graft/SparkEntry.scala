@@ -2173,7 +2173,26 @@ object SparkEntry {
       // streaming engine (Streaming.runHeavyHittersAvailableNow scaladoc):
       // exact regime -> the batch GROUP BY oracle covers both paths.
       graft.streaming.Streaming.runHeavyHittersAvailableNow(s,
-        s"$dir/documents.parquet"))
+        s"$dir/documents.parquet")),
+
+    "dedup_components_incremental" -> ((s, dir) => {
+      // Incremental closure (Components.incrementalComponents scaladoc):
+      // the %7-chain half of the planted pair graph is "yesterday's"
+      // standing assignment (collapsed to stars); the %11 skip-links are
+      // today's batch. The fold must reproduce the FULL-graph closure —
+      // one oracle covers both paths.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val prev = Components.connectedComponents(
+        e1.join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi"),
+        "src", "dst")
+      Components.incrementalComponents(prev, e2, "src", "dst")
+        .select(col("id").as("doc_id"), col("component"))
+    })
   )
 
   /** The planted two-version SCD2 history shared by `scd2_history` and
@@ -3405,20 +3424,10 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT),
         | (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)""".stripMargin,
 
-    "dedup_components" ->
-      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
-        |e0 AS (
-        | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
-        | UNION ALL
-        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
-        |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
-        |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
-        |reach(id, comp) AS (
-        | SELECT DISTINCT src, src FROM edges
-        | UNION
-        | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
-        |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
-        |FROM reach GROUP BY id""".stripMargin,
+    "dedup_components" -> componentsSql,
+    // The incremental fold must reproduce the FULL-graph closure exactly —
+    // the same recursive-CTE truth grades both paths.
+    "dedup_components_incremental" -> componentsSql,
 
     // Replays the plant + the UrlFunctions canonicalization chain rule for
     // rule (DuckDB regexp_replace needs explicit 'g' for the one global
@@ -5276,6 +5285,25 @@ object SparkEntry {
          |WHERE round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
          |  >= 0.4""".stripMargin
   )
+
+  /** Min-reachable-id closure over the planted pair graph — ONE oracle for
+    * the from-scratch closure (`dedup_components`) and the star-compressed
+    * incremental fold (`dedup_components_incremental`).
+    */
+  private val componentsSql: String =
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |e0 AS (
+      | SELECT doc_id AS src, doc_id + 1 AS dst FROM ids WHERE doc_id % 7 < 3
+      | UNION ALL
+      | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+      |ek AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM ids)),
+      |edges AS (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+      |reach(id, comp) AS (
+      | SELECT DISTINCT src, src FROM edges
+      | UNION
+      | SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+      |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+      |FROM reach GROUP BY id""".stripMargin
 
   /** The planted two-version SCD2 build as DuckDB CTEs ending at
     * `hist(doc_id, fp, valid_from, valid_to, is_current)` — shared by

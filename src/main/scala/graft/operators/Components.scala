@@ -131,6 +131,34 @@ object Components {
     * by definition non-members, so the coalesced key never collides
     * across groups.)
     */
+  /** INCREMENTAL closure: fold a new batch of duplicate pairs into an
+    * existing component assignment without re-walking the accumulated pair
+    * graph. The previous assignment is lossless for connectivity — each
+    * old cluster collapses to a STAR (member → component edges), so the
+    * closure over (stars ∪ new pairs) equals the closure over (all old
+    * pairs ∪ new pairs), but the old side's size is one edge per member
+    * instead of one per historical pair, and its diameter is 1, so the
+    * path-doubling rounds are driven by the NEW batch's structure alone.
+    * Labels stay canonical (min reachable id): merging two old clusters
+    * through a new pair relabels both to the smaller min — exactly what a
+    * full recompute would produce, which is what makes the incremental
+    * path oracle-checkable against the full-graph truth.
+    *
+    * The daily-dedup companion of
+    * [[graft.operators.Dedup.minhashLshIncrementalPairs]]: that finds the
+    * batch's pairs, this folds them into the standing clusters.
+    */
+  def incrementalComponents(prevAssign: DataFrame, newPairs: DataFrame,
+                            srcCol: String, dstCol: String,
+                            maxIterations: Int = 25): DataFrame = {
+    require(Seq("id", "component").forall(prevAssign.columns.contains),
+      "prevAssign needs columns (id, component) — a connectedComponents output")
+    val stars = prevAssign.select(col("id").as("src"),
+      col("component").as("dst"))
+    val np = newPairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    connectedComponents(stars.unionByName(np), "src", "dst", maxIterations)
+  }
+
   def keepBest(df: DataFrame, idCol: String, components: DataFrame,
                orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val comp = components.select(col("id").as(idCol), col("component"))

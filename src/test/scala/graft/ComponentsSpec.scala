@@ -84,4 +84,31 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "weight").as[(Long, Double)].collect().toMap
     assert(flat.values.forall(_ == 1.0))
   }
+
+  test("incrementalComponents: fold equals full recompute, merges relabel") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]) = Components
+      .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    // yesterday: {1,2,3} and {10,11}; today's batch BRIDGES them (3-10)
+    // and adds a fresh cluster {20,21}
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val batch = Seq((3L, 10L), (20L, 21L))
+    val prev = Components.connectedComponents(old.toDF("a", "b"), "a", "b")
+    val inc = Components.incrementalComponents(prev, batch.toDF("a", "b"),
+        "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    val full = cc(old ++ batch)
+    assert(inc == full)
+    // the bridged cluster relabeled to the global min, fresh cluster intact
+    assert(inc(11L) == 1L && inc(10L) == 1L && inc(21L) == 20L)
+    // empty batch: fold is an identity on the assignment
+    val idFold = Components.incrementalComponents(prev,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(idFold == cc(old))
+  }
 }
