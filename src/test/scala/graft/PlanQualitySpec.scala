@@ -379,4 +379,48 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"word stats must broadcast:\n${p.take(600)}")
   }
+
+  test("readability / chunk_cdc / pii_luhn: no keyed shuffle (round-robin spread ok)") {
+    Seq("readability", "chunk_cdc", "pii_luhn").foreach { g =>
+      val p = plan(g)
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"$g must not shuffle on a key:\n${p.take(600)}")
+    }
+  }
+
+  test("weighted_sample / tail_index: top-k heaps, never a global sort") {
+    Seq("weighted_sample", "tail_index").foreach { g =>
+      val p = plan(g)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$g must use top-k heaps:\n${p.take(600)}")
+      assert(!p.contains("Sort ["), s"$g must not global-sort:\n${p.take(600)}")
+    }
+  }
+
+  test("link_triangles / dedup_cdc_containment: keyed joins, no cartesian") {
+    Seq("link_triangles", "dedup_cdc_containment").foreach { g =>
+      val p = plan(g)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$g must not go quadratic:\n${p.take(800)}")
+    }
+  }
+
+  test("quality_deciles: the only window is the partition-local prefix sum") {
+    val p = plan("quality_deciles")
+    // every Window operator must be partitioned by __pid (the SequencePack
+    // distributed prefix sum) — a partition-spec-free window would drag
+    // the corpus through one task
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "expected the SequencePack prefix-sum window")
+    windows.foreach(w =>
+      assert(w.contains("__pid"), s"unpartitioned window in plan: $w"))
+  }
+
+  test("group_reservoir: the reservoir window partitions by the group key") {
+    val p = plan("group_reservoir")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("lang")),
+      s"reservoir window must partition by group:\n${windows.mkString("\n")}")
+  }
 }
