@@ -381,13 +381,16 @@ object Profile {
                       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val v = col(valueCol).cast("double")
-    val fences = df.groupBy(col(groupCol))
+    // null values carry no information for fences OR means — drop them up
+    // front so n / clip counts / means all describe the same population
+    val rows = df.filter(col(valueCol).isNotNull)
+    val fences = rows.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
         expr(s"percentile($valueCol, $pHi)").as("__hi"))
     // fences are pinned to 6dp BEFORE clipping, so every winsorized value
     // is either an input value or an exactly-6dp fence — the decimal cast
     // below is then rounding-mode-independent across engines
-    df.join(fences, Seq(groupCol))
+    rows.join(fences, Seq(groupCol))
       .select(col(groupCol), round(col("__lo"), 6).as("__lo"),
         round(col("__hi"), 6).as("__hi"), v.as("__v"))
       .withColumn("__w", greatest(least(col("__v"), col("__hi")), col("__lo")))
@@ -454,8 +457,11 @@ object Profile {
     * marginals and entropies derive from it without touching rows again.
     */
   def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val joint = df.groupBy(col(colA).cast("string").as("__a"),
-        col(colB).cast("string").as("__b"))
+    // Nulls must survive the marginal JOINS below (equi-joins drop null
+    // keys even though groupBy keeps them) — fold them into a sentinel
+    // level up front (the sentinel cannot collide with a cast categorical).
+    def lvl(c: String) = coalesce(col(c).cast("string"), lit("\u0000<null>"))
+    val joint = df.groupBy(lvl(colA).as("__a"), lvl(colB).as("__b"))
       .agg(count(lit(1)).as("__c"))
     val totals = joint.agg(count(lit(1)).as("n_cells"),
       sum(col("__c")).as("__nr"))

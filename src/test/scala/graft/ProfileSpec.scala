@@ -257,5 +257,12 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
     val r0 = Profile.mutualInformation(const, "a", "b").collect()(0)
     assert(r0.getAs[Double]("h_a") == 0.0 && r0.getAs[Double]("mi_norm") == 0.0)
+    // null categories are a LEVEL, not dropped (equi-joins would silently
+    // lose them without the sentinel): null-b perfectly predicts x here
+    val withNull = Seq(("x", null.asInstanceOf[String]), ("x", null.asInstanceOf[String]),
+      ("y", "p"), ("y", "p")).toDF("a", "b")
+    val rn = Profile.mutualInformation(withNull, "a", "b").collect()(0)
+    assert(rn.getAs[Long]("n_rows") == 4L && rn.getAs[Long]("n_cells") == 2L)
+    assert(math.abs(rn.getAs[Double]("mi_nats") - math.log(2)) < 1e-6)
   }
 }
