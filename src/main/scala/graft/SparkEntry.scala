@@ -2175,6 +2175,28 @@ object SparkEntry {
       graft.streaming.Streaming.runHeavyHittersAvailableNow(s,
         s"$dir/documents.parquet")),
 
+    "pii_iban" -> ((s, dir) => {
+      // IBAN mod-97 plausibility (TextFunctions.ibanValid scaladoc): the
+      // fold IS the big-integer mod, as pure HOF expressions. Planted
+      // 16-char DE IBANs with id-derived check digits — validity varies
+      // pseudo-randomly; the oracle replays the fold via list_reduce.
+      val iban = concat(lit("DE"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lpad((col("doc_id") * 37 % 1000000000000L).cast("string"), 12, "0"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.ibanValid(iban).as("iban_valid"))
+    }),
+
+    "embed_truncation" -> ((s, dir) => {
+      // Matryoshka truncation audit (Similarity.truncationAudit scaladoc):
+      // overlap of the full-dim top-10 vs search on the first 8/16/32
+      // components — the store-fewer-floats decision curve.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.truncationAudit(e, q, k = 10, dims = Seq(8, 16, 32))
+    }),
+
     "dedup_components_incremental" -> ((s, dir) => {
       // Incremental closure (Components.incrementalComponents scaladoc):
       // the %7-chain half of the planted pair graph is "yesterday's"
@@ -2780,6 +2802,45 @@ object SparkEntry {
          |FROM inter x JOIN ln la ON la.doc_id = x.ida JOIN ln lb ON lb.doc_id = x.idb
          |WHERE x.i >= 0.5 * (CAST(la.l + lb.l AS DOUBLE) - x.i)
          | AND x.idb >= 100000""".stripMargin,
+
+    "pii_iban" ->
+      """WITH c AS (SELECT doc_id,
+        |  'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |  lpad(CAST((doc_id * 37) % 1000000000000 AS VARCHAR), 12, '0')
+        |    AS iban FROM documents),
+        |r AS (SELECT doc_id, iban,
+        |  substr(iban, 5) || substr(iban, 1, 4) AS rot FROM c)
+        |SELECT doc_id,
+        | regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$') AND
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(range(1, len(rot) + 1),
+        |       i -> CAST(ascii(substr(rot, CAST(i AS INT), 1)) AS BIGINT))),
+        |   (acc, v) -> CASE WHEN v BETWEEN 48 AND 57
+        |     THEN (acc * 10 + (v - 48)) % 97
+        |     ELSE (acc * 100 + (v - 55)) % 97 END) = 1 AS iban_valid
+        |FROM r""".stripMargin,
+
+    "embed_truncation" -> {
+      def sliced(d: Int, a: String, b: String) =
+        cosOf(s"($a::DOUBLE[])[1:$d]", s"($b::DOUBLE[])[1:$d]")
+      val perDim = Seq(8, 16, 32).map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim,
+           | CAST(count(*) AS BIGINT) AS k_eff,
+           | CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM fullk)
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           |FROM (SELECT vec_id FROM embeddings, q
+           |      ORDER BY ${sliced(d, "embedding", "qv")} DESC, vec_id
+           |      LIMIT 10)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |fullk AS MATERIALIZED (SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${cosOf("embedding", "qv")} DESC, vec_id LIMIT 10),
+         |perdim AS ($perDim)
+         |SELECT dim, k_eff, n_overlap,
+         | round(CAST(n_overlap AS DOUBLE) / k_eff, 6) AS overlap
+         |FROM perdim""".stripMargin
+    },
 
     "vocab_coverage" -> {
       val perK = Seq(10, 25, 100).map { k =>

@@ -120,6 +120,28 @@ object TextFunctions {
     * over the digit array) — codegen-friendly, no UDF; non-digit-bearing
     * or sub-12-digit inputs are invalid, never an error.
     */
+  /** IBAN mod-97 validity (ISO 13616) — the bank-account counterpart of
+    * [[luhnValid]]: uppercase, strip spaces/dashes, shape-check
+    * (2 letters + 2 check digits + 11–30 alphanumerics), rotate the first
+    * four chars to the end, then fold the digits-and-letters expansion
+    * (A=10..Z=35) through a running `mod 97` — valid iff the remainder is
+    * 1. The fold IS the big-integer mod (each step keeps acc < 97, so
+    * `acc·100 + 35` never overflows a long) and runs as pure HOF
+    * expressions over the char array — codegen'd, SQL-replayable, no UDF.
+    */
+  def ibanValid(c: Column): Column = {
+    val s = upper(regexp_replace(c, "[\\s-]", ""))
+    val shapeOk = s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    val rot = concat(substring(s, 5, Int.MaxValue), substring(s, 1, 4))
+    val chars = filter(split(rot, ""), ch => length(ch) > 0)
+    val rem = aggregate(chars, lit(0L), (acc, ch) => {
+      val v = ascii(ch).cast("long")
+      when(ch.rlike("[0-9]"), (acc * 10 + (v - 48)) % 97)
+        .otherwise((acc * 100 + (v - 55)) % 97)
+    })
+    shapeOk && (rem === 1L)
+  }
+
   def luhnValid(c: Column): Column = {
     val ds = filter(split(c, ""), ch => ch.rlike("[0-9]"))
     val n = size(ds)

@@ -45,6 +45,45 @@ object Similarity {
       .drop("__ml_vec", "__hashes")
   }
 
+  /** Matryoshka-style truncation audit: how much of the FULL-dimension
+    * top-k survives when search runs on only the first `d` components, for
+    * each probe dimension — the measurement behind truncated-embedding
+    * serving (MRL): if overlap@10 at d=16 is already 0.9, the index can
+    * store a quarter of the floats. Exact brute-force top-k on both sides
+    * (ties broken by id), so the report is deterministic and
+    * oracle-checkable. One row per probe dim: `(dim, k_eff, n_overlap,
+    * overlap)`.
+    *
+    * Scale shape: each top-k is a `TakeOrderedAndProject` heap over one
+    * corpus scan; the full-dim id set is k rows and broadcasts into every
+    * per-dim overlap join.
+    */
+  def truncationAudit(corpus: DataFrame, queryVec: Array[Float], k: Int,
+                      dims: Seq[Int], vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= queryVec.length),
+      s"probe dims must be in [1, ${queryVec.length}]")
+    def topIds(d: Option[Int]): DataFrame = {
+      val qv = d.map(queryVec.take).getOrElse(queryVec)
+      val vec = d.map(n => slice(col(vecCol), 1, n)).getOrElse(col(vecCol))
+      corpus
+        .withColumn("__s", graft.plans.CosineSimilarityExpr.cosine(vec, lit(qv)))
+        .orderBy(col("__s").desc, col(idCol))
+        .limit(k)
+        .select(col(idCol))
+    }
+    val full = broadcast(topIds(None).withColumn("__f", lit(1L)))
+    dims.map { d =>
+      topIds(Some(d)).join(full, Seq(idCol), "left")
+        .agg(count(lit(1)).as("k_eff"),
+          sum(coalesce(col("__f"), lit(0L))).as("n_overlap"))
+        .select(lit(d.toLong).as("dim"), col("k_eff"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / col("k_eff"), 6)
+            .as("overlap"))
+    }.reduce(_ unionByName _)
+  }
+
   // -------------------------------------------------------------------------
   // IVF tier
   // -------------------------------------------------------------------------

@@ -156,4 +156,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // ADC distances live on the unit sphere: 0 <= d2 <= 4, near for cluster 0
     assert(got.forall(r => r._2 >= 0.0 && r._2 < 1.0), s"got ${got.toSeq}")
   }
+
+  test("truncationAudit: planted prefix-aligned vs tail-aligned vectors") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // query = all-ones over 4 dims. ids 1..3 align with the query only in
+    // the FIRST 2 dims; ids 4..6 only in the LAST 2. Full-dim cosine ties
+    // them, truncated-to-2 search sees only the prefix group.
+    val q = Array(1f, 1f, 1f, 1f)
+    val rows =
+      (1L to 3L).map(i => (i, Seq(1f, 1f, 0f, 0f))) ++
+      (4L to 6L).map(i => (i, Seq(0f, 0f, 1f, 1f))) ++
+      Seq((7L, Seq(-1f, -1f, -1f, -1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Similarity.truncationAudit(df, q, k = 6, dims = Seq(2, 4))
+      .collect().map(x => x.getAs[Long]("dim") ->
+        ((x.getAs[Long]("k_eff"), x.getAs[Long]("n_overlap"),
+          x.getAs[Double]("overlap")))).toMap
+    // full top-6 = ids 1..6 (cos 0.707 each) ahead of 7 (cos -1)
+    assert(r(4L) == ((6L, 6L, 1.0)))
+    // dim=2: prefix group at cos 1.0, then 7 at cos -1, then the tail
+    // group (zero prefix -> null cosine, sorted last, id order) — top-6 is
+    // {1,2,3,7,4,5}, of which all but 7 sit in the full top-6
+    val (kEff2, overlap2, _) = r(2L)
+    assert(kEff2 == 6L && overlap2 == 5L, s"got ${r(2L)}")
+    // degenerate probe dims reject
+    intercept[IllegalArgumentException] {
+      Similarity.truncationAudit(df, q, 3, Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.truncationAudit(df, q, 3, Seq(5))
+    }
+  }
 }

@@ -220,6 +220,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     cases.foreach { case (s, exp) => assert(got(s) == exp, s"'$s'") }
   }
 
+  test("ibanValid: canonical valid IBANs, corruption, shape rejects") {
+    import spark.implicits._
+    val cases = Seq(
+      ("DE89 3704 0044 0532 0130 00", true),  // canonical DE example
+      ("GB82 WEST 1234 5698 7654 32", true),  // letters in the BBAN
+      ("gb82 west 1234 5698 7654 32", true),  // case-folds
+      ("DE89-3704-0044-0532-0130-00", true),  // dash separators
+      ("DE88 3704 0044 0532 0130 00", false), // corrupted check digits
+      ("GB82 WEST 1234 5698 7654 33", false), // corrupted tail
+      ("DE89370400440532013", false),         // 19 chars but mod-97 fails
+      ("1289 3704 0044 0532 0130 00", false), // digits where country goes
+      ("DE89", false), ("", false))
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), graft.functions.TextFunctions.ibanValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (s, exp) => assert(got(s) == exp, s"'$s'") }
+  }
+
   test("wordNgrams: windows, short docs empty, joins with single spaces") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d"), Tuple1("a b"), Tuple1("")).toDF("t")
