@@ -1745,6 +1745,14 @@ object SparkEntry {
       Bm25.score(t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "join", "window"))),
 
+    "ql_dirichlet" -> ((s, dir) =>
+      // Language-model retrieval baseline (Bm25.dirichletScore scaladoc):
+      // Dirichlet-smoothed query likelihood for the SAME 3-term query —
+      // rank-equivalent decomposition, one extra 1-row aggregate over
+      // BM25's plan, full oracle.
+      Bm25.dirichletScore(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "join", "window"), mu = 2000.0)),
+
     // -----------------------------------------------------------------------
     // Chunkers + embed (SURVEY §2.2, §2.3 — not ANSI-SQL-expressible; pinned
     // by ScalaTest goldens instead, per the driver contract)
@@ -4811,6 +4819,22 @@ object SparkEntry {
     "bm25_rank" ->
       s"""WITH $bm25Ctes
          |$bm25Select""".stripMargin,
+
+    // Dirichlet QL in the same rank-equivalent decomposition as the engine:
+    // matched-term sum + |q_eff| * length penalty, collection stats from
+    // the shared token CTEs.
+    "ql_dirichlet" ->
+      s"""WITH $bm25Ctes,
+         |ctoks AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM tk),
+         |cf AS (SELECT term, sum(tf) AS cfreq FROM tfq GROUP BY 1),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cf)
+         |SELECT tfq.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+         | round(sum(ln(1.0 + tfq.tf / (2000.0 * cf.cfreq / ctoks.ct)))
+         |   + max(nq.n) * ln(2000.0 / (max(dl.dlen) + 2000.0)), 6)
+         |   AS ql_score
+         |FROM tfq JOIN cf USING (term) JOIN dl USING (doc_id)
+         |CROSS JOIN ctoks CROSS JOIN nq
+         |GROUP BY tfq.doc_id""".stripMargin,
 
     "hybrid_search_rrf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -84,6 +84,48 @@ object Bm25 {
       .groupBy(col(idCol), col("__dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Dirichlet-smoothed query-likelihood scoring (Zhai & Lafferty) — the
+    * language-model retrieval baseline beside [[score]]'s BM25 and the
+    * vector top-k: rank by `Σ_w ln P(w|d)` with
+    * `P(w|d) = (tf + μ·P(w|C)) / (|d| + μ)`. Computed in the standard
+    * rank-equivalent decomposition
+    * `Σ_{w∈q∩d} ln(1 + tf / (μ·cf_w/|C|)) + |q|·ln(μ / (|d| + μ))`,
+    * which needs the tf table only for MATCHING terms — the exact value of
+    * the full sum, not an approximation. Query terms absent from the
+    * collection are dropped (their contribution is a rank-irrelevant
+    * constant). Output: one row per document matching at least one term —
+    * `(id, matched_terms, ql_score)` (scores are negative log-likelihoods
+    * shifted by the collection model; higher = better, as always).
+    *
+    * Scale shape identical to [[score]]: the query-bounded tf table is
+    * checkpointed once and feeds the collection-frequency aggregate AND
+    * the scoring join; collection token count is a 1-row reduce-only
+    * aggregate. No extra corpus pass beyond BM25's.
+    */
+  def dirichletScore(df: DataFrame, textCol: String, idCol: String,
+                     queryTerms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "query-likelihood needs at least one term")
+    require(mu > 0, "mu must be positive")
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val stats = df.agg(
+      sum(coalesce(size(TextAnalysis.toks(col(textCol))), lit(0)))
+        .as("__ctoks"))
+    val tf = tfFrame(df, textCol, idCol, q).localCheckpoint()
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("__cf"))
+    val nEff = cf.agg(count(lit(1)).as("__nq"))
+    tf.join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(nEff))
+      .withColumn("__w", log(lit(1.0) +
+        col("tf") / (lit(mu) * col("__cf") / col("__ctoks"))))
+      .groupBy(col(idCol), col("__dl"), col("__nq"))
+      .agg(count(lit(1)).as("matched_terms"), sum(col("__w")).as("__ws"))
+      .select(col(idCol), col("matched_terms"),
+        round(col("__ws") +
+          col("__nq") * log(lit(mu) / (col("__dl") + lit(mu))), 6)
+          .as("ql_score"))
+  }
+
   /** Top-`k` documents for the query (ties broken by id — deterministic).
     * Global top-k: Spark plans `TakeOrderedAndProject`, never a full sort.
     */

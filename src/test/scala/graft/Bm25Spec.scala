@@ -159,4 +159,42 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(Bm25.prfExpansionTerms(docs, "text", "doc_id", Seq("apple"),
       topDocs = 2, topTerms = 1).count() == 1)
   }
+
+  test("dirichletScore: hand-checked QL decomposition, unseen terms dropped") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // corpus: d1 = "a a b", d2 = "b c". |C| = 5 tokens.
+    // cf: a=2, b=2, c=1. Query (a, b, zzz): zzz unseen -> |q_eff| = 2.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val mu = 10.0
+    val r = Bm25.dirichletScore(docs, "text", "doc_id", Seq("a", "b", "zzz"),
+        mu = mu)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("matched_terms"), x.getAs[Double]("ql_score")))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d1: tf(a)=2, tf(b)=1, dl=3 ->
+    //   ln(1 + 2/(mu*2/5)) + ln(1 + 1/(mu*2/5)) + 2*ln(mu/(3+mu))
+    val d1 = math.log(1 + 2 / (mu * 2 / 5)) + math.log(1 + 1 / (mu * 2 / 5)) +
+      2 * math.log(mu / (3 + mu))
+    // d2: tf(b)=1, dl=2 -> ln(1 + 1/(mu*2/5)) + 2*ln(mu/(2+mu))
+    val d2 = math.log(1 + 1 / (mu * 2 / 5)) + 2 * math.log(mu / (2 + mu))
+    assert(r(1L)._1 == 2L && math.abs(r(1L)._2 - r6(d1)) < 1e-9, s"${r(1L)}")
+    assert(r(2L)._1 == 1L && math.abs(r(2L)._2 - r6(d2)) < 1e-9, s"${r(2L)}")
+    // the rank-equivalent decomposition preserves the TRUE QL ordering:
+    // full-model scores (including unmatched-term mass) rank identically
+    def trueQl(tfs: Map[String, Int], dl: Int): Double =
+      Seq("a" -> 2.0, "b" -> 2.0).map { case (w, cf) =>
+        math.log((tfs.getOrElse(w, 0) + mu * cf / 5.0) / (dl + mu))
+      }.sum
+    val trueOrder = Seq(1L -> trueQl(Map("a" -> 2, "b" -> 1), 3),
+      2L -> trueQl(Map("b" -> 1), 2)).sortBy(-_._2).map(_._1)
+    val gotOrder = r.toSeq.sortBy(-_._2._2).map(_._1)
+    assert(gotOrder == trueOrder)
+    intercept[IllegalArgumentException] {
+      Bm25.dirichletScore(docs, "text", "doc_id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.dirichletScore(docs, "text", "doc_id", Seq("a"), mu = 0.0)
+    }
+  }
 }
