@@ -833,6 +833,77 @@ object SparkEntry {
         k = 5, relevantTotals = totals)
     }),
 
+    "eval_rbo" -> ((s, dir) => {
+      // Ranker-comparison: how much does the top-10 ordering change when
+      // cosine is swapped for raw dot product? One scored frame, two
+      // row_number windows, then Search.rbo's exact-rational suffix sum
+      // (k=10, p=9/10) — per query: overlap_at_k and the top-weighted RBO.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = queries.crossJoin(corpus)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_s", round(cos(col("embedding"), col("qv")), 6))
+        .withColumn("dot_s",
+          round(VectorFunctions.dotProduct(col("embedding"), col("qv")), 6))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_s").desc, col("vec_id"))
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col("dot_s").desc, col("vec_id"))
+      val ranked = scored
+        .withColumn("rank_cos", row_number().over(wc))
+        .withColumn("rank_dot", row_number().over(wd))
+        .select(col("qid"), col("rank_cos"), col("rank_dot"))
+      Search.rbo(ranked, "qid", "rank_cos", "rank_dot",
+        k = 10, pNum = 9, pDen = 10)
+    }),
+
+    "eval_rouge" -> ((s, dir) => {
+      // ROUGE-2 of the lead-20-token extractive baseline against the full
+      // document (Search.rougeN scaladoc): clipped bigram counts, P/R/F1
+      // each one exact integer division.
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id"),
+        array_join(slice(TextAnalysis.toks(col("text")), 1, 20), " ")
+          .as("cand"),
+        col("text"))
+      Search.rougeN(pairs, "doc_id", "cand", "text", n = 2)
+    }),
+
+    "bitext_margin" -> ((s, dir) => {
+      // Margin-based bitext mining (Similarity.marginBitext scaladoc):
+      // even/odd vec_id halves play source/target corpus; ratio margin
+      // over knn=4 neighborhoods, best target per source + mutual flag.
+      val e = t(s, dir, "embeddings")
+      Similarity.marginBitext(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), knn = 4)
+    }),
+
+    "label_agreement" -> ((s, dir) => {
+      // Cohen's kappa between two cheap quality raters (char-length
+      // buckets vs token-count buckets) — the inter-annotator-agreement
+      // audit (Classifier.cohenKappa scaladoc); exact-integer kappa.
+      val d = t(s, dir, "documents")
+      val wc = size(TextAnalysis.toks(col("text")))
+      val rated = d.select(
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 380, "medium")
+          .otherwise("long").as("rater_len"),
+        when(wc < 38, "short")
+          .when(wc < 72, "medium")
+          .otherwise("long").as("rater_tok"))
+      Classifier.cohenKappa(rated, "rater_len", "rater_tok")
+    }),
+
+    "t_closeness" -> ((s, dir) =>
+      // Third rung of the privacy ladder after k_anonymity / l_diversity
+      // (CurationRules.tCloseness scaladoc): per-source language
+      // distribution vs the corpus-wide one, exact-integer TVD, t = 0.2.
+      CurationRules.tCloseness(t(s, dir, "documents"), Seq("source"), "lang",
+        t = 0.2)),
+
     "hard_negatives" -> ((s, dir) => {
       // Contrastive-training data mining (Search.hardNegatives scaladoc):
       // per query, top-5 same-corpus items from OTHER label groups + the
@@ -2270,6 +2341,12 @@ object SparkEntry {
   private def cosOf(a: String, b: String): String =
     cosSql.replace("%A", a).replace("%B", b)
 
+  /** Exact RBO suffix coefficients (k=10, p=9/10) — the SAME table the
+    * `eval_rbo` Spark gate uses, so the oracle replays identical integer
+    * arithmetic.
+    */
+  private lazy val rboCoefs = Search.rboSuffixCoefs(10, 9, 10)
+
   /** Squared-L2 between row vector `$e.v` and centroid `$c.v` with the same
     * arithmetic as `KMeans.dist2`: per-dimension diffs, then a sequential
     * left-to-right sum of squares.
@@ -3231,6 +3308,160 @@ object SparkEntry {
          | FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid)
          |SELECT round(avg(ndcg), 6) AS ndcg, count(*) AS total_questions
          |FROM perq""".stripMargin,
+
+    // Search.rbo's exact-rational suffix-coefficient replay: each item
+    // contributes suffix(max(rank_cos, rank_dot)); coefficients and the
+    // common denominator come from the SAME rboSuffixCoefs call the Spark
+    // side uses, so the single final division is bit-identical.
+    "eval_rbo" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         | FROM corpus WHERE vec_id < 20),
+         |scored AS (
+         | SELECT qs.qid, c.vec_id,
+         |  round(${cosOf("c.embedding", "qs.qv")}, 6) AS cos_s,
+         |  round(list_dot_product(c.embedding::DOUBLE[], qs.qv::DOUBLE[]), 6) AS dot_s
+         | FROM qs, corpus c WHERE c.vec_id <> qs.qid),
+         |ranked AS (
+         | SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_s DESC, vec_id) AS ra,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dot_s DESC, vec_id) AS rb
+         | FROM scored),
+         |contrib AS (
+         | SELECT qid,
+         |  ([${rboCoefs._1.mkString(", ")}])[CAST(greatest(ra, rb) AS INT)] AS w
+         | FROM ranked WHERE greatest(ra, rb) <= 10)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS overlap_at_k,
+         | round(CAST(sum(w) AS DOUBLE) / ${10L * rboCoefs._2}, 6) AS rbo
+         |FROM contrib GROUP BY qid""".stripMargin,
+
+    // Clipped-bigram ROUGE replay: the candidate is the lead-20 token
+    // slice (retokenizing the joined string is a no-op), P/R/F1 are the
+    // same single exact integer divisions as Search.rougeN.
+    "eval_rouge" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sliced AS (SELECT doc_id, toks[1:20] AS cand, toks FROM tk),
+         |cg AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(cand)),
+         |   i -> cand[i] || ' ' || cand[i + 1])) AS gram
+         | FROM sliced),
+         |rg AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         | FROM sliced),
+         |cc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+         | FROM cg GROUP BY doc_id, gram),
+         |rc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+         | FROM rg GROUP BY doc_id, gram),
+         |ov AS (
+         | SELECT cc.doc_id, sum(least(cc.n, rc.n)) AS ov
+         | FROM cc JOIN rc USING (doc_id, gram) GROUP BY cc.doc_id),
+         |totals AS (
+         | SELECT doc_id, CAST(greatest(len(cand) - 1, 0) AS BIGINT) AS n_cand,
+         |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_ref
+         | FROM sliced)
+         |SELECT t.doc_id, t.n_cand, t.n_ref,
+         | CAST(coalesce(ov.ov, 0) AS BIGINT) AS overlap,
+         | CASE WHEN t.n_cand > 0
+         |   THEN round(CAST(coalesce(ov.ov, 0) AS DOUBLE) / t.n_cand, 6)
+         |   ELSE 0.0 END AS precision,
+         | CASE WHEN t.n_ref > 0
+         |   THEN round(CAST(coalesce(ov.ov, 0) AS DOUBLE) / t.n_ref, 6)
+         |   ELSE 0.0 END AS recall,
+         | CASE WHEN t.n_cand + t.n_ref > 0
+         |   THEN round(2.0 * coalesce(ov.ov, 0) / (t.n_cand + t.n_ref), 6)
+         |   ELSE 0.0 END AS f1
+         |FROM totals t LEFT JOIN ov USING (doc_id)""".stripMargin,
+
+    // Similarity.marginBitext replay: 6-dp cosines lifted to exact integer
+    // micro-units, knn=4 neighborhood sums and the ratio margin all in
+    // BIGINT with ONE final division (no float summation — a rounded
+    // float avg measurably ulp-drifted across engines), ties by id,
+    // mutual = the pair survives the best-per-target window too.
+    "bitext_margin" ->
+      s"""WITH src AS (SELECT vec_id AS src_id, embedding AS sv
+         | FROM embeddings WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT vec_id AS tgt_id, embedding AS tv
+         | FROM embeddings WHERE vec_id % 2 = 1),
+         |scored AS (
+         | SELECT src_id, tgt_id,
+         |  CAST(round(round(${cosOf("sv", "tv")}, 6) * 1000000, 0) AS BIGINT) AS cu
+         | FROM src, tgt),
+         |asrc AS (
+         | SELECT src_id, sum(cu) AS ssum, CAST(count(*) AS BIGINT) AS sn FROM (
+         |  SELECT src_id, cu,
+         |   row_number() OVER (PARTITION BY src_id ORDER BY cu DESC, tgt_id) AS rn
+         |  FROM scored) WHERE rn <= 4 GROUP BY src_id),
+         |atgt AS (
+         | SELECT tgt_id, sum(cu) AS tsum, CAST(count(*) AS BIGINT) AS tn FROM (
+         |  SELECT tgt_id, cu,
+         |   row_number() OVER (PARTITION BY tgt_id ORDER BY cu DESC, src_id) AS rn
+         |  FROM scored) WHERE rn <= 4 GROUP BY tgt_id),
+         |m AS (
+         | SELECT s.src_id, s.tgt_id,
+         |  round(CAST(2 * s.cu * asrc.sn * atgt.tn AS DOUBLE) /
+         |   (asrc.ssum * atgt.tn + atgt.tsum * asrc.sn), 6) AS margin
+         | FROM scored s JOIN asrc USING (src_id) JOIN atgt USING (tgt_id)),
+         |bs AS (SELECT src_id, tgt_id, margin FROM (
+         | SELECT *, row_number() OVER (PARTITION BY src_id
+         |   ORDER BY margin DESC, tgt_id) AS rn FROM m) WHERE rn = 1),
+         |bt AS (SELECT src_id AS bsrc, tgt_id AS btgt FROM (
+         | SELECT *, row_number() OVER (PARTITION BY tgt_id
+         |   ORDER BY margin DESC, src_id) AS rn FROM m) WHERE rn = 1)
+         |SELECT bs.src_id, bs.tgt_id, bs.margin,
+         | (bt.bsrc IS NOT NULL) AS mutual
+         |FROM bs LEFT JOIN bt
+         | ON bs.src_id = bt.bsrc AND bs.tgt_id = bt.btgt""".stripMargin,
+
+    // Classifier.cohenKappa replay: identical rater bucketing, exact
+    // BIGINT cells/marginals, kappa as one division; degenerate-marginal
+    // convention (pe = 1 -> kappa = 0) mirrored.
+    "label_agreement" ->
+      s"""WITH rated AS (
+         | SELECT CASE WHEN n_chars < 200 THEN 'short'
+         |   WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS ra,
+         |  CASE WHEN len($toksSql) < 38 THEN 'short'
+         |   WHEN len($toksSql) < 72 THEN 'medium' ELSE 'long' END AS rb
+         | FROM documents),
+         |cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS nc
+         | FROM rated GROUP BY ra, rb),
+         |ma AS (SELECT ra AS label, sum(nc) AS na FROM cells GROUP BY ra),
+         |mb AS (SELECT rb AS label, sum(nc) AS nb FROM cells GROUP BY rb),
+         |sp AS (SELECT coalesce(sum(na * nb), 0) AS sum_prod
+         | FROM ma JOIN mb USING (label)),
+         |tt AS (SELECT sum(nc) AS n,
+         |  sum(CASE WHEN ra = rb THEN nc ELSE 0 END) AS agree FROM cells)
+         |SELECT CAST(tt.n AS BIGINT) AS n,
+         | round(CAST(tt.agree AS DOUBLE) / tt.n, 6) AS po,
+         | round(CAST(sp.sum_prod AS DOUBLE) / (tt.n * tt.n), 6) AS pe,
+         | CASE WHEN tt.n * tt.n = sp.sum_prod THEN 0.0
+         |  ELSE round(CAST(tt.n * tt.agree - sp.sum_prod AS DOUBLE) /
+         |   (tt.n * tt.n - sp.sum_prod), 6) END AS kappa
+         |FROM tt CROSS JOIN sp""".stripMargin,
+
+    // CurationRules.tCloseness replay: exact-BIGINT TVD numerator
+    // (in-group |n_gv*N - nv*n_g| terms plus the absent-value mass), one
+    // division, flag compared on the rounded value.
+    "t_closeness" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_gv
+        | FROM documents GROUP BY source, lang),
+        |gd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv
+        | FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |g AS (SELECT source, sum(n_gv) AS n_g FROM cells GROUP BY source),
+        |agg AS (
+        | SELECT c.source, g.n_g, t.n,
+        |  sum(abs(c.n_gv * t.n - gl.nv * g.n_g)) AS sum_abs,
+        |  sum(gl.nv) AS sum_nv_in
+        | FROM cells c JOIN gd gl USING (lang) JOIN g USING (source)
+        |  CROSS JOIN tot t
+        | GROUP BY c.source, g.n_g, t.n)
+        |SELECT source, CAST(n_g AS BIGINT) AS n_rows,
+        | round(CAST(sum_abs + (n - sum_nv_in) * n_g AS DOUBLE) /
+        |   (2 * n * n_g), 6) AS tvd,
+        | (round(CAST(sum_abs + (n - sum_nv_in) * n_g AS DOUBLE) /
+        |   (2 * n * n_g), 6) <= 0.2) AS t_close
+        |FROM agg""".stripMargin,
 
     // Same 6-dp-rounded cosine, same (score DESC, vec_id) rank order, same
     // one-pass best-positive window as Search.hardNegatives.

@@ -121,6 +121,58 @@ object Classifier {
         sum(col("__nneg")).cast("long").as("n_neg"))
   }
 
+  /** Cohen's kappa between two categorical rater columns — the
+    * inter-annotator-agreement audit of a labeling pipeline (two human
+    * annotators, or a new quality classifier vs the incumbent): observed
+    * agreement corrected for the agreement two raters with these marginal
+    * label distributions would reach by chance.
+    *
+    * One row: `n` (co-rated rows — rows where either rater is null are
+    * excluded), `po` (observed agreement), `pe` (chance agreement from the
+    * marginals), `kappa`. With integer cell counts the whole computation
+    * is exact until the final division:
+    * `kappa = (n*agree - sum_k margA_k*margB_k) / (n^2 - sum_k margA_k*margB_k)`
+    * — both operands are exact BIGINTs, so the one double division is
+    * bit-identical across engines. Degenerate marginals (both raters
+    * constant -> pe = 1, denominator 0) yield kappa = 0.0 by convention:
+    * a constant rater carries no information beyond chance.
+    *
+    * Scale shape: ONE map-side-combined shuffle to the label-pair domain
+    * (`|A| x |B|` cells); marginals and the final row are aggregates over
+    * that tiny cell table — the corpus is scanned once (the three cell
+    * consumers share the identical scan->partial-agg->shuffle subtree,
+    * which ReusedExchange executes once).
+    */
+  def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String,
+                 roundDp: Int = 6): DataFrame = {
+    val cells = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .groupBy(col(raterACol).as("__ra"), col(raterBCol).as("__rb"))
+      .agg(count(lit(1)).as("__n_cell"))
+    val margA = cells.groupBy(col("__ra").as("__label"))
+      .agg(sum(col("__n_cell")).as("__na"))
+    val margB = cells.groupBy(col("__rb").as("__label"))
+      .agg(sum(col("__n_cell")).as("__nb"))
+    // Inner join: a label missing from one rater's marginals contributes 0
+    // to the chance product either way.
+    val sumProd = margA.join(margB, "__label")
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__sum_prod"))
+    val totals = cells.agg(
+      sum(col("__n_cell")).as("__n"),
+      sum(when(col("__ra") === col("__rb"), col("__n_cell"))
+        .otherwise(lit(0L))).as("__agree"))
+    totals.crossJoin(sumProd).select(
+      col("__n").cast("long").as("n"),
+      round(col("__agree").cast("double") / col("__n"), roundDp).as("po"),
+      round(col("__sum_prod").cast("double") / (col("__n") * col("__n")),
+        roundDp).as("pe"),
+      when(col("__n") * col("__n") === col("__sum_prod"), lit(0.0))
+        .otherwise(round(
+          (col("__n") * col("__agree") - col("__sum_prod")).cast("double") /
+            (col("__n") * col("__n") - col("__sum_prod")), roundDp))
+        .as("kappa"))
+  }
+
   /** Reliability diagram over a scored frame: equal-width probability bins
     * (the last bin closed at 1.0), each with its row count, mean predicted
     * probability, empirical positive rate, and |gap| — the per-bin view

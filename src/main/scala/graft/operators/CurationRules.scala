@@ -233,4 +233,57 @@ object CurationRules {
       .select(quasiCols.map(col) :+ col("n_rows") :+ col("n_sensitive") :+
         (col("n_sensitive") >= l).as("l_diverse"): _*)
   }
+
+  /** t-closeness audit — the third rung of the release ladder after
+    * [[kAnonymity]] and [[lDiversity]]: a group can be k-anonymous AND
+    * l-diverse yet still leak (skewness attack — 3 distinct diseases, but
+    * 98% of the group has one of them). A group is t-close when the
+    * distribution of the categorical sensitive attribute WITHIN the group
+    * is within total-variation distance `t` of its corpus-wide
+    * distribution. Emits one row per occupied quasi-identifier
+    * combination: the quasi columns, `n_rows`, `tvd`, `t_close`.
+    *
+    * Exact arithmetic: with integer counts (`n_gv` group x value, `n_g`
+    * group, `nv` global value, `N` corpus),
+    * `TVD = (sum_v_in_group |n_gv*N - nv*n_g| + (N - sum_v_in_group nv) * n_g)
+    *        / (2*N*n_g)`
+    * — the second numerator term folds in every sensitive value ABSENT
+    * from the group (|0 - nv/N| each). Numerator and denominator are exact
+    * BIGINTs, so the single double division is bit-identical across
+    * engines; `t_close` compares the ROUNDED tvd so the flag matches what
+    * the output shows.
+    *
+    * Scale shape: one map-side-combined shuffle to the
+    * |combinations| x |sensitive domain| cell table; the global sensitive
+    * distribution is a sensitive-domain-sized aggregate joined in
+    * broadcast. Nothing corpus-sized moves after the first aggregate.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 t: Double, roundDp: Int = 6): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot also be a quasi-identifier")
+    require(t >= 0.0 && t <= 1.0, "t must be in [0, 1]")
+    val quasi = quasiCols.map(col)
+    val cells = df.groupBy(quasi :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__n_gv"))
+    val global = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val total = df.agg(count(lit(1)).as("__n_total"))
+    val tvd = (col("__sum_abs") +
+      (col("__n_total") - col("__sum_nv_in")) * col("n_rows")).cast("double") /
+      (lit(2L) * col("__n_total") * col("n_rows"))
+    cells.join(broadcast(global), "__v")
+      .crossJoin(broadcast(total))
+      .withColumn("__n_g", sum(col("__n_gv"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(quasi: _*)))
+      .groupBy(quasi :+ col("__n_total"): _*)
+      .agg(max(col("__n_g")).as("n_rows"),
+        sum(abs(col("__n_gv") * col("__n_total") - col("__nv") * col("__n_g")))
+          .as("__sum_abs"),
+        sum(col("__nv")).as("__sum_nv_in"))
+      .withColumn("tvd", round(tvd, roundDp))
+      .select(quasi :+ col("n_rows") :+ col("tvd") :+
+        (col("tvd") <= t).as("t_close"): _*)
+  }
 }

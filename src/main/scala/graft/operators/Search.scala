@@ -281,4 +281,118 @@ object Search {
       coalesce(round(avg(col("__ndcg")), 6), lit(0.0)).as("ndcg"),
       count(lit(1)).as("total_questions"))
   }
+
+  /** Rank-biased overlap (Webber et al., TOIS 2010) truncated at depth `k`
+    * between two rankings of the same candidate universe — the
+    * ranker-comparison metric of a retrieval stack migration ("how much
+    * does the ordering actually change if we swap cosine for dot-product /
+    * BM25 v2 / the new ANN index?"). Top-weighted where Kendall's tau is
+    * not: disagreement at rank 1 costs more than at rank k.
+    *
+    * `RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_1..d ∩ B_1..d| / d`, with
+    * persistence `p = pNum/pDen`. Input is one row per (query, item) with
+    * the item's rank under ranking A and ranking B; an item enters every
+    * depth `d >= max(rankA, rankB)`, so each item contributes the exact
+    * rational suffix sum `sum_{d>=m} coef(d)` with `m = max(rA, rB)` — the
+    * whole metric is ONE groupBy(qid) over integer-weighted items. With
+    * `p` rational the coefficients are exact BIGINTs over the common
+    * denominator `lcm(1..k) * pDen^(k-1)`, so the single final division is
+    * bit-identical across engines.
+    *
+    * Returns one row per query: `(qid, overlap_at_k, rbo)`. Items ranked
+    * past `k` by either ranking contribute nothing and are filtered before
+    * the aggregate — the shuffle moves at most k rows per query.
+    */
+  def rbo(ranks: DataFrame, qidCol: String, rankACol: String,
+          rankBCol: String, k: Int, pNum: Long, pDen: Long,
+          roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pNum > 0 && pDen > pNum, "need 0 < p = pNum/pDen < 1")
+    val coefs = rboSuffixCoefs(k, pNum, pDen)
+    val denom = coefs._2
+    val suffix = coefs._1
+    val m = greatest(col(rankACol), col(rankBCol)).cast("int")
+    ranks.filter(m <= k)
+      .withColumn("__w", element_at(lit(suffix), m))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).cast("long").as("overlap_at_k"),
+        round(((lit(pDen - pNum) * sum(col("__w"))).cast("double") /
+          (lit(pDen) * lit(denom)).cast("double")), roundDp).as("rbo"))
+  }
+
+  /** Exact suffix coefficient table for [[rbo]]: `(suffix, D)` where
+    * `suffix(m-1) = sum_{d=m..k} pNum^(d-1) * pDen^(k-d) * (lcm(1..k)/d)`
+    * and `D = lcm(1..k) * pDen^(k-1)`, both guaranteed to fit a Long
+    * (callers wanting huge k/pDen would overflow — fail loudly instead).
+    */
+  private[graft] def rboSuffixCoefs(k: Int, pNum: Long,
+                                    pDen: Long): (Array[Long], Long) = {
+    val lcm = (1 to k).map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+    val coef = (1 to k).map(d =>
+      BigInt(pNum).pow(d - 1) * BigInt(pDen).pow(k - d) * (lcm / d))
+    val suffix = (1 to k).map(m => coef.drop(m - 1).sum)
+    val d = lcm * BigInt(pDen).pow(k - 1)
+    require(suffix.head.isValidLong && (d * (pDen - pNum)).isValidLong,
+      s"rbo coefficients overflow Long for k=$k, p=$pNum/$pDen")
+    (suffix.map(_.toLong).toArray, d.toLong)
+  }
+
+  /** ROUGE-N (Lin, 2004) between a candidate text and a reference text per
+    * row — the n-gram-overlap eval of a summarization / distillation
+    * pipeline (does the extracted lead, the model summary, the paraphrase
+    * cover the source?). Clipped-count formulation: overlap counts each
+    * n-gram at most `min(count_in_candidate, count_in_reference)` times.
+    *
+    * With integer gram counts every metric is a single exact division:
+    * `P = ov/nc`, `R = ov/nr`, and — because P and R share the numerator —
+    * `F1 = 2PR/(P+R) = 2*ov/(nc+nr)`; all three bit-identical across
+    * engines. A candidate shorter than `n` tokens has no grams: P/R/F all
+    * 0.0 (never null, never a divide-by-zero).
+    *
+    * Returns one row per input row: `(id, n_cand, n_ref, overlap,
+    * precision, recall, f1)`.
+    *
+    * Scale shape: tokenization and gram construction are codegen'd HOF
+    * expressions; both gram multisets aggregate map-side-combined on
+    * `(id, gram)` and join co-partitioned on the same key — one shuffle
+    * per side, no corpus-wide state.
+    */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, n: Int, roundDp: Int = 6): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = TextAnalysis.toks(c)
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def counts(textCol: String, out: String): DataFrame =
+      pairs.select(col(idCol), explode(grams(col(textCol))).as("__gram"))
+        .groupBy(col(idCol), col("__gram"))
+        .agg(count(lit(1)).as(out))
+    val cand = counts(candCol, "__cc")
+    val ref = counts(refCol, "__cr")
+    val overlap = cand.join(ref, Seq(idCol, "__gram"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("__ov"))
+    val totals = pairs.select(col(idCol),
+      greatest(size(TextAnalysis.toks(col(candCol))) - (n - 1), lit(0))
+        .cast("long").as("n_cand"),
+      greatest(size(TextAnalysis.toks(col(refCol))) - (n - 1), lit(0))
+        .cast("long").as("n_ref"))
+    totals.join(overlap, Seq(idCol), "left")
+      .withColumn("overlap", coalesce(col("__ov"), lit(0L)))
+      .select(col(idCol), col("n_cand"), col("n_ref"), col("overlap"),
+        when(col("n_cand") > 0,
+          round(col("overlap").cast("double") / col("n_cand"), roundDp))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_ref") > 0,
+          round(col("overlap").cast("double") / col("n_ref"), roundDp))
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("n_cand") + col("n_ref") > 0,
+          round(lit(2.0) * col("overlap") / (col("n_cand") + col("n_ref")),
+            roundDp))
+          .otherwise(lit(0.0)).as("f1"))
+  }
 }

@@ -383,4 +383,87 @@ object Similarity {
     Pq.adcTopK(encoded.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
       cb, q, k, idCol)
   }
+
+  // -------------------------------------------------------------------------
+  // Bitext mining
+  // -------------------------------------------------------------------------
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix recipe): align two embedding corpora (source-language
+    * sentences vs target-language sentences) by RATIO MARGIN rather than
+    * raw cosine, because absolute cosine is incomparable across query
+    * neighborhoods (hubness): a 0.8 in a dense region means less than a
+    * 0.6 in a sparse one. Each candidate pair is scored
+    * `margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)` where `avgK`
+    * is the mean cosine to the `knn` nearest neighbors in the OTHER
+    * corpus. Emits the best target per source —
+    * `(src_id, tgt_id, margin, mutual)` — with `mutual` true when the
+    * source is ALSO that target's best source (the high-precision slice a
+    * parallel-corpus builder keeps).
+    *
+    * Determinism: cosines are rounded to `roundDp` before any use, then
+    * lifted to exact integer micro-units (`round(cos * 10^roundDp)`), so
+    * each neighborhood mean and the margin collapse to INTEGER arithmetic
+    * with one final division:
+    * `margin = 2 * c_u * n_s * n_t / (sum_s * n_t + sum_t * n_s)` — no
+    * float summation anywhere, so no engine can drift an ulp across a
+    * rounding boundary (a plain `round(avg(cos), 6)` did, measured); ties
+    * break by id everywhere.
+    *
+    * Scale shape: this is the EXACT regime (all-pairs scoring, the
+    * oracle-checkable baseline, same posture as `eval_hitrate`) — at
+    * corpus scale the candidate pairs and the avgK tables come from
+    * [[blockedTopKPerQuery]] in both directions instead; the margin/mutual
+    * algebra on top is unchanged. The two windows and the mutual check all
+    * run on the (pairs)-sized frame, never re-scanning the inputs.
+    */
+  def marginBitext(src: DataFrame, tgt: DataFrame, knn: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   roundDp: Int = 6): DataFrame = {
+    require(knn >= 1, s"knn must be >= 1, got $knn")
+    import org.apache.spark.sql.expressions.Window
+    val scored = src
+      .select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+      .crossJoin(tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv")))
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__sv"), col("__tv")),
+          roundDp))
+      .withColumn("__cu",
+        round(col("__cos") * math.pow(10, roundDp), 0).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("__cu"))
+    val bySrc = Window.partitionBy(col("src_id"))
+      .orderBy(col("__cu").desc, col("tgt_id"))
+    val byTgt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("__cu").desc, col("src_id"))
+    val avgSrc = scored.withColumn("__rn", row_number().over(bySrc))
+      .filter(col("__rn") <= knn)
+      .groupBy(col("src_id"))
+      .agg(sum(col("__cu")).as("__ssum"), count(lit(1)).as("__sn"))
+    val avgTgt = scored.withColumn("__rn", row_number().over(byTgt))
+      .filter(col("__rn") <= knn)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("__cu")).as("__tsum"), count(lit(1)).as("__tn"))
+    val margins = scored
+      .join(avgSrc, "src_id").join(avgTgt, "tgt_id")
+      .withColumn("margin",
+        round((lit(2L) * col("__cu") * col("__sn") * col("__tn")).cast("double") /
+          (col("__ssum") * col("__tn") + col("__tsum") * col("__sn")),
+          roundDp))
+      .select(col("src_id"), col("tgt_id"), col("margin"))
+    val marginBySrc = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    val marginByTgt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin").desc, col("src_id"))
+    val bestPerSrc = margins.withColumn("__rn", row_number().over(marginBySrc))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bestPerTgt = margins.withColumn("__rn", row_number().over(marginByTgt))
+      .filter(col("__rn") === 1)
+      .select(col("src_id").as("__bs"), col("tgt_id").as("__bt"))
+    bestPerSrc
+      .join(bestPerTgt,
+        col("src_id") === col("__bs") && col("tgt_id") === col("__bt"),
+        "left")
+      .select(col("src_id"), col("tgt_id"), col("margin"),
+        col("__bs").isNotNull.as("mutual"))
+  }
 }

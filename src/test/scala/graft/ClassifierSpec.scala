@@ -107,4 +107,40 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
     // bin 9: mean = (0.95+0.97+0.99+1.0)/4 = 0.9775, rate = 3/4
     assert(got(9L) == ((4L, 0.9775, 0.75, 0.2275)))
   }
+
+  test("cohenKappa matches the hand-computed 2x2 confusion matrix") {
+    // cells: (a,a)x20 (a,b)x5 (b,a)x10 (b,b)x15 -> n=50, agree=35,
+    // margA=(25,25), margB=(30,20), sumProd=1250.
+    // po=0.7, pe=0.5, kappa=(50*35-1250)/(2500-1250)=0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = Classifier.cohenKappa(rows.toDF("ra", "rb"), "ra", "rb")
+      .collect()(0)
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+  }
+
+  test("cohenKappa excludes null-rated rows and ignores one-sided labels") {
+    // The (null, a) and (a, null) rows drop; label 'c' appears only for
+    // rater B, so it adds nothing to the chance product.
+    val rows = Seq(
+      (Some("a"), Some("a")), (Some("a"), Some("c")), (Some("b"), Some("b")),
+      (None, Some("a")), (Some("a"), None))
+    val r = Classifier.cohenKappa(rows.toDF("ra", "rb"), "ra", "rb")
+      .collect()(0)
+    assert(r.getLong(0) == 3L)
+    // n=3, agree=2, margA: a=2,b=1; margB: a=1,b=1,c=1; sumProd=2*1+1*1=3
+    // po=2/3, pe=3/9, kappa=(3*2-3)/(9-3)=0.5
+    assert(r.getDouble(1) == 0.666667 && r.getDouble(2) == 0.333333)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("cohenKappa degenerate constant raters -> kappa 0 by convention") {
+    val rows = Seq.fill(4)(("x", "x"))
+    val r = Classifier.cohenKappa(rows.toDF("ra", "rb"), "ra", "rb")
+      .collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0)
+  }
 }

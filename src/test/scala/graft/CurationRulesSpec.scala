@@ -165,4 +165,34 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.CurationRules.lDiversity(df, Seq("country"), "condition", 0)
     }
   }
+
+  test("tCloseness: hand-computed TVD incl. the absent-value mass") {
+    // Global sensitive distribution: v1 x6, v2 x2, v3 x2 (N=10).
+    // g1 (n=4): v1 x3, v2 x1 — v3 absent from the group:
+    //   TVD = 0.5*(|3/4-0.6| + |1/4-0.2| + |0-0.2|) = 0.2
+    // g2 (n=6): v1 x3, v2 x1, v3 x2:
+    //   TVD = 0.5*(|0.5-0.6| + |1/6-0.2| + |1/3-0.2|) = 2/15 = 0.133333
+    val df = (Seq.fill(3)(("g1", "v1")) ++ Seq(("g1", "v2")) ++
+      Seq.fill(3)(("g2", "v1")) ++ Seq(("g2", "v2")) ++
+      Seq.fill(2)(("g2", "v3"))).toDF("grp", "disease")
+    val got = graft.operators.CurationRules
+      .tCloseness(df, Seq("grp"), "disease", t = 0.15)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got("g1") == ((4L, 0.2, false)))
+    assert(got("g2") == ((6L, 0.133333, true)))
+  }
+
+  test("tCloseness guards: empty quasi, sensitive-in-quasi, t range") {
+    val df = Seq(("a", "x")).toDF("grp", "disease")
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.tCloseness(df, Seq.empty, "disease", 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.tCloseness(df, Seq("disease"), "disease", 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationRules.tCloseness(df, Seq("grp"), "disease", 1.5)
+    }
+  }
 }

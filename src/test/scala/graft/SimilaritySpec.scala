@@ -188,4 +188,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.truncationAudit(df, q, 3, Seq(5))
     }
   }
+
+  test("marginBitext: planted hubness makes raw-cosine and margin disagree") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // knn=1 neighborhoods. s1=t1=(1,0): cos 1, both neighborhoods 1 ->
+    // margin 1, mutual. s3=(0.6,0.8)=t2 direction: margin 1, mutual.
+    // s2=(0,1): best tgt is t2 at cos 0.8, but t2's own neighborhood is
+    // s3 at cos 1.0 -> margin = 2*0.8/(0.8+1.0) = 0.888889, NOT mutual
+    // (t2's best source is s3).
+    val src = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (4L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(1f, 0f)), (3L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginBitext(src, tgt, knn = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == ((1L, 1.0, true)))
+    assert(got(2L) == ((3L, 0.888889, false)))
+    assert(got(4L) == ((3L, 1.0, true)))
+    intercept[IllegalArgumentException] {
+      Similarity.marginBitext(src, tgt, knn = 0)
+    }
+  }
 }
