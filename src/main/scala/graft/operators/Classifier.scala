@@ -121,6 +121,61 @@ object Classifier {
         sum(col("__nneg")).cast("long").as("n_neg"))
   }
 
+  /** Murphy decomposition of the Brier score over the calibration bins —
+    * the quantitative companion to [[calibrationFrame]]'s reliability
+    * diagram: `brier = reliability - resolution + uncertainty` (up to
+    * within-bin variance), separating "the probabilities are miscalibrated"
+    * (reliability, want 0) from "the classifier can't discriminate"
+    * (resolution, want large) from the label base-rate floor
+    * (uncertainty). The decision this feeds: recalibrate (high
+    * reliability) vs retrain (low resolution).
+    *
+    * One row per occupied bin:
+    * `(bin, n, rel_term, res_term, brier, uncertainty)` — the two global
+    * scalars repeat on every row (the gate artifact stays a single flat
+    * frame). Determinism: probabilities arrive 6-dp-rounded and lift to
+    * exact integer micro-units, labels are 0/1, so every numerator is an
+    * exact integer and each output is one fixed-shape division chain:
+    *   rel_term = (sum_pu - 1e6*sum_y)^2 / n_b / 1e12 / N
+    *   res_term = (sum_y*N - SY*n_b)^2 / n_b / N / N / N
+    *   brier    = sum((pu - 1e6*y)^2) / N / 1e12
+    *   uncertainty = SY*(N-SY) / N^2
+    * (squares computed in double so a 100 TB corpus cannot overflow the
+    * integer path; identical shape in the oracle).
+    *
+    * Scale shape: one map-side-combined shuffle to the bin table, 1-row
+    * globals broadcast — same regime as [[calibrationFrame]].
+    */
+  def brierDecomposition(scored: DataFrame, probCol: String, labelCol: String,
+                         bins: Int = 10, roundDp: Int = 6): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val micro = 1000000L
+    val pu = round(col(probCol) * micro, 0).cast("long")
+    val y = col(labelCol).cast("long")
+    val bin = least(floor(col(probCol) * bins), lit(bins - 1)).cast("long")
+    val perBin = scored
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("bin"), pu.as("__pu"), y.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__pu")).as("__sp"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__pu") - lit(micro) * col("__y")).cast("double") *
+          (col("__pu") - lit(micro) * col("__y"))).as("__sq"))
+    val glob = perBin.agg(sum(col("n")).as("__nt"), sum(col("__sy")).as("__syt"),
+      sum(col("__sq")).as("__sqt"))
+    val dp = (col("__sp") - lit(micro) * col("__sy")).cast("double")
+    val dy = (col("__sy") * col("__nt") - col("__syt") * col("n")).cast("double")
+    perBin.crossJoin(broadcast(glob))
+      .select(col("bin"), col("n"),
+        round(dp * dp / col("n") / lit(1.0e12) / col("__nt"), roundDp)
+          .as("rel_term"),
+        round(dy * dy / col("n") / col("__nt") / col("__nt") / col("__nt"),
+          roundDp).as("res_term"),
+        round(col("__sqt") / col("__nt") / lit(1.0e12), roundDp).as("brier"),
+        round((col("__syt") * (col("__nt") - col("__syt"))).cast("double") /
+          (col("__nt") * col("__nt")), roundDp).as("uncertainty"))
+  }
+
   /** Cohen's kappa between two categorical rater columns — the
     * inter-annotator-agreement audit of a labeling pipeline (two human
     * annotators, or a new quality classifier vs the incumbent): observed

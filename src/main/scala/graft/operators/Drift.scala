@@ -164,4 +164,61 @@ object Drift {
         col("__s").cast("long").as("cusum_scaled"),
         col("__n").cast("long").as("n_points"))
   }
+
+  /** Population stability index between a reference and a current corpus
+    * over a numeric column — the industry-standard scorecard-drift gauge
+    * that completes the drift kit (JSD: token mix, KS: continuous shape,
+    * PSI: BINNED mix with the asymmetric-log weighting risk teams
+    * threshold at 0.1/0.25). Fixed-width bins over `[lo, hi)` (outliers
+    * clamp into the edge bins, so a runaway tail still registers), Laplace
+    * `+1` smoothing so empty bins stay finite.
+    *
+    * One row per bin: `(bin, n_ref, n_cur, psi_term, psi_total)`.
+    * `psi_term = (p_r - p_c) * ln(p_r / p_c)` with
+    * `p = (n_bin + 1) / (N + bins)` — exact integer ratios in, identical
+    * expression shape both engines, rounded to 6 dp. `psi_total` repeats
+    * the rounded-term sum on every row: each rounded term is a multiple of
+    * 1e-6, so the float sum sits within 1e-15 of an exact 1e-6 multiple
+    * and the final 6-dp round can never straddle a boundary —
+    * order-independent without a decimal cast.
+    *
+    * Scale shape: two map-side-combined aggregates to `bins` rows each, a
+    * bins-sized join, one window over `bins` rows. Nothing corpus-sized
+    * moves.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, bins: Int,
+          lo: Double, hi: Double, roundDp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def bin(c: Column): Column =
+      least(greatest(floor((c - lo) / width), lit(0)), lit(bins - 1))
+        .cast("long")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(bin(col(valueCol)).as("bin"))
+        .agg(count(lit(1)).as(out))
+    val all = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val allBins = ref.sparkSession.range(0, bins).select(col("id").as("bin"))
+      .join(all, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = allBins.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val pr = (col("n_ref") + 1).cast("double") / (col("__tr") + bins)
+    val pc = (col("n_cur") + 1).cast("double") / (col("__tc") + bins)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    allBins.crossJoin(broadcast(tot))
+      .withColumn("psi_term", round((pr - pc) * log(pr / pc), roundDp))
+      .withColumn("psi_total", round(sum(col("psi_term")).over(w), roundDp))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"),
+        col("psi_total"))
+  }
 }

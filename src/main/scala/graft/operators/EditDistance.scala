@@ -68,4 +68,99 @@ object EditDistance {
           6) + lit(0.0)).as("ratio"))
       .filter(col("ratio") <= maxRatio)
   }
+
+  /** Jaro-Winkler similarity — the record-linkage-standard string metric
+    * [[pairs]]' Levenshtein ratio complements badly on SHORT strings
+    * (names, titles, usernames): Jaro counts windowed character matches
+    * and half-transpositions, Winkler boosts shared prefixes. Standard
+    * parameters: prefix scale 0.1, max prefix 4, boost only when the base
+    * Jaro exceeds 0.7 — the same convention DuckDB's
+    * `jaro_winkler_similarity` implements, which the gate oracle leans on.
+    */
+  private[graft] def jaroWinkler(s1: String, s2: String): Double = {
+    val (l1, l2) = (s1.length, s2.length)
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val matched2 = new Array[Boolean](l2)
+    val m1 = new StringBuilder
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched2(j) = true
+          m1.append(s1.charAt(i))
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val m = m1.length
+    if (m == 0) return 0.0
+    val m2 = new StringBuilder
+    var j = 0
+    while (j < l2) { if (matched2(j)) m2.append(s2.charAt(j)); j += 1 }
+    var t = 0
+    var p = 0
+    while (p < m) { if (m1.charAt(p) != m2.charAt(p)) t += 1; p += 1 }
+    val half = t / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var pfx = 0
+      while (pfx < math.min(4, math.min(l1, l2)) &&
+        s1.charAt(pfx) == s2.charAt(pfx)) pfx += 1
+      jaro + pfx * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  private val jwUdf = udf((a: String, b: String) => jaroWinkler(a, b))
+
+  /** Fuzzy entity-resolution pairs by Jaro-Winkler: candidates block on
+    * the first character of the lowercased name (typo families keep their
+    * initial; the classic cheap blocker), pairs within a block score
+    * `round(jw, 6)` and survive at `>= minSim`. Returns
+    * `(id_a, id_b, name_a, name_b, jw)` with `id_a < id_b`; null
+    * ids/names drop.
+    *
+    * Physical shape mirrors [[pairs]]: ONE shuffle on the block key
+    * (ReusedExchange covers both self-join sides), the same lazy
+    * `raise_error` mega-block guard bounds the quadratic blow-up, and the
+    * similarity is the one justified UDF (a windowed two-cursor match
+    * count has no HOF/builtin form; the kernel is O(len * window) on
+    * short strings).
+    */
+  def jaroPairs(df: DataFrame, idCol: String, nameCol: String,
+                minSim: Double = 0.85,
+                maxBlockSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"graft.EditDistance: minSim must be in [0, 1], got $minSim")
+    val b = df.filter(col(idCol).isNotNull && col(nameCol).isNotNull)
+      .select(col(idCol).as("__id"), lower(col(nameCol)).as("__name"),
+        substring(lower(col(nameCol)), 1, 1).as("__blk"))
+    val guarded = b
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .filter(when(col("__bsz") > maxBlockSize,
+        raise_error(concat(
+          lit("graft.jaroPairs: block holds "), col("__bsz"),
+          lit(s" rows > maxBlockSize=$maxBlockSize; tighten the blocker " +
+            "or raise maxBlockSize"))))
+        .otherwise(lit(true)))
+    val l = guarded.select(col("__blk"), col("__id").as("id_a"),
+      col("__name").as("name_a"))
+    val r = guarded.select(col("__blk"), col("__id").as("id_b"),
+      col("__name").as("name_b"))
+    l.join(r, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(jwUdf(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("jw"))
+  }
 }

@@ -491,4 +491,42 @@ object Profile {
             least(col("__ha"), col("__hb")), 6))
           .otherwise(lit(0.0)).as("mi_norm"))
   }
+
+  /** Benford first-digit audit over a positive numeric column — the
+    * forensic data-quality check for ingested metrics/amounts: naturally
+    * occurring multi-scale values follow `P(d) = log10(1 + 1/d)`; a flat
+    * or spiky first-digit profile flags synthetic, truncated, or
+    * unit-mangled feeds before they poison downstream stats.
+    *
+    * One row per digit 1..9: `(digit, n, expected, chi2_term)`.
+    * First-significant-digit extraction is
+    * `floor(v / pow(10, floor(log10(v))))` with the `10 -> 1` clamp (at
+    * exact powers of 10 libm's `log10` can sit one ulp under the integer,
+    * making the ratio read 10 — that IS digit 1 one decade up).
+    * `expected = n_total * round(log10(1 + 1/d), 6)` and the chi-square
+    * term divide/multiply in the identical shape both engines, every input
+    * already exact or pre-rounded — deterministic to the 6-dp output.
+    * Non-positive and null values are excluded (Benford is undefined
+    * there); their count is the caller's separate hygiene gate.
+    *
+    * Scale shape: one narrow codegen'd pass, one map-side-combined
+    * aggregate to <= 9 rows, a 1-row total broadcast.
+    */
+  def benford(df: DataFrame, valueCol: String, roundDp: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val raw = floor(v / pow(lit(10.0), floor(log10(v))))
+    val digit = when(raw === 10, lit(1)).otherwise(raw).cast("long")
+    val counts = df.filter(v.isNotNull && v > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__nt"))
+    val expected = col("__nt") * round(log10(lit(1.0) + lit(1.0) / col("digit")),
+      roundDp)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("expected", round(expected, roundDp))
+      .withColumn("chi2_term",
+        round((col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"), roundDp))
+      .select(col("digit"), col("n"), col("expected"), col("chi2_term"))
+  }
 }

@@ -143,4 +143,32 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
     assert(r.getDouble(3) == 0.0)
   }
+
+  test("brierDecomposition: hand-computed two-bin Murphy terms") {
+    // bin1: p=0.15 x(3 neg + 1 pos); bin9: p=0.95 x 4 pos. N=8, SY=5.
+    // rel1=(0.15-0.25)^2*4/8=0.005   rel9=(0.95-1.0)^2*4/8=0.00125
+    // res1=res9=(4/8)*(1/4-5/8)^2 -> 144/2048=0.0703125 -> 0.070313
+    // brier=(3*0.15^2+0.85^2+4*0.05^2)/8=0.1  unc=5*3/64=0.234375
+    val scored = (Seq.fill(3)((0.15, 0.0)) ++ Seq((0.15, 1.0)) ++
+      Seq.fill(4)((0.95, 1.0))).toDF("prob", "label")
+    val got = Classifier.brierDecomposition(scored, "prob", "label")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0.005, 0.070313, 0.1, 0.234375),
+      (9L, 4L, 0.00125, 0.070313, 0.1, 0.234375)))
+  }
+
+  test("brierDecomposition: null rows drop; perfect classifier is clean") {
+    val scored = (Seq((1.0, 1.0), (0.0, 0.0)).map { case (p, y) =>
+      (Option(p), Option(y)) } ++ Seq((None: Option[Double], Some(1.0)),
+      (Some(0.5), None: Option[Double]))).toDF("prob", "label")
+    val got = Classifier.brierDecomposition(scored, "prob", "label")
+      .orderBy("bin").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 9L))
+    // brier 0, reliability 0 per bin, uncertainty 1*1/4
+    assert(got.forall(r => r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0))
+    assert(got.forall(r => r.getDouble(5) == 0.25))
+  }
 }

@@ -120,4 +120,42 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(out("a") == ((3L, -240L, 5L))) // shift right after t=3, upward (negative stat)
     assert(out("b") == ((1L, 0L, 2L)))
   }
+
+  test("psi: hand-computed Laplace-smoothed terms, clamping, total") {
+    // bins=2 over [0,2): ref 5 low/15 high, cur 15 low/5 high; the
+    // clamped outliers (-5 -> bin 0, 99 -> bin 1) replace two in-range
+    // values, nulls drop. Smoothed p0_ref=6/22, p0_cur=16/22 (symmetric).
+    val ref = (Seq.fill(4)(0.5) ++ Seq(-5.0) ++ Seq.fill(15)(1.5))
+      .map(Option(_)) ++ Seq(None)
+    val cur = (Seq.fill(15)(0.5) ++ Seq.fill(4)(1.5) ++ Seq(99.0))
+      .map(Option(_))
+    val got = Drift.psi(ref.toDF("v"), cur.toDF("v"), "v",
+      bins = 2, lo = 0.0, hi = 2.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val term = BigDecimal((6.0 / 22 - 16.0 / 22) *
+      math.log((6.0 / 22) / (16.0 / 22)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val total = BigDecimal(term * 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((0L, 5L, 15L, term, total),
+      (1L, 15L, 5L, term, total)))
+  }
+
+  test("psi: empty bins stay finite and present via Laplace smoothing") {
+    val ref = Seq(0.5, 0.5, 2.5).toDF("v")
+    val cur = Seq(2.5, 2.5, 2.5).toDF("v")
+    val got = Drift.psi(ref, cur, "v", bins = 3, lo = 0.0, hi = 3.0)
+      .orderBy("bin").collect()
+    assert(got.length == 3) // bin 1 occupied by neither side, still a row
+    assert(got.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    assert(got.map(r => r.getLong(1)).toSeq == Seq(2L, 0L, 1L))
+    intercept[IllegalArgumentException] {
+      Drift.psi(ref, cur, "v", bins = 1, lo = 0.0, hi = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.psi(ref, cur, "v", bins = 2, lo = 1.0, hi = 1.0)
+    }
+  }
 }

@@ -76,4 +76,40 @@ class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
     assert(messages(ex).exists(m =>
       m != null && m.contains("graft.editDistancePairs")))
   }
+
+  test("jaroWinkler kernel: canonical values and the 0.7 boost threshold") {
+    def jw(a: String, b: String) =
+      math.rint(EditDistance.jaroWinkler(a, b) * 1e6) / 1e6
+    assert(jw("martha", "marhta") == 0.961111)
+    assert(jw("dixon", "dicksonx") == 0.813333)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // jaro = 5/9 <= 0.7: shared 2-char prefix earns NO Winkler boost
+    assert(jw("abcdef", "abpqrs") == 0.555556)
+    assert(jw("", "") == 1.0)
+    assert(jw("a", "") == 0.0)
+  }
+
+  test("jaroPairs: first-letter blocks, threshold, hand-computed sims") {
+    val df = Seq((1L, "ann"), (2L, "anna"), (3L, "bob"), (4L, "bobby"),
+      (5L, "ben")).toDF("id", "name")
+    val got = EditDistance.jaroPairs(df, "id", "name", minSim = 0.8)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jw"))).toSeq
+    // ann/anna: jaro 11/12, prefix 3 -> 0.941667
+    // bob/bobby: jaro 13/15, prefix 3 -> 0.906667
+    // bob/ben: window 0 so only 'b' matches -> jaro 5/9, no boost, dropped
+    // bobby/ben: jaro 0.511 -> dropped; cross-block never compared
+    assert(got == Seq((1L, 2L, 0.941667), (3L, 4L, 0.906667)))
+  }
+
+  test("jaroPairs mega-block guard raises a named error") {
+    val rows = (1L to 5L).map(i => (i, s"aname$i"))
+    val ex = intercept[Exception] {
+      EditDistance.jaroPairs(rows.toDF("id", "name"), "id", "name",
+        minSim = 0.0, maxBlockSize = 3).collect()
+    }
+    assert(ex.getMessage.contains("graft.jaroPairs"))
+  }
 }

@@ -265,4 +265,24 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(rn.getAs[Long]("n_rows") == 4L && rn.getAs[Long]("n_cells") == 2L)
     assert(math.abs(rn.getAs[Double]("mi_nats") - math.log(2)) < 1e-6)
   }
+
+  test("benford: digit extraction incl. sub-1 values and the 10->1 clamp") {
+    // digits: 1.0->1, 19->1, 1000->1 (directly or via the clamp when
+    // log10 lands one ulp under 3), 0.25->2, 300->3, 0.99->9;
+    // -2, 0 and null excluded. N=6.
+    val vals = Seq(Some(1.0), Some(19.0), Some(1000.0), Some(0.25),
+      Some(300.0), Some(0.99), Some(-2.0), Some(0.0), None)
+    val got = graft.operators.Profile.benford(vals.toDF("v"), "v")
+      .orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def exp(d: Int) = r6(6 * r6(math.log10(1.0 + 1.0 / d)))
+    def chi(n: Long, e: Double) = r6((n - e) * (n - e) / e)
+    assert(got.toSeq == Seq(
+      (1L, 3L, exp(1), chi(3, exp(1))),
+      (2L, 1L, exp(2), chi(1, exp(2))),
+      (3L, 1L, exp(3), chi(1, exp(3))),
+      (9L, 1L, exp(9), chi(1, exp(9)))))
+  }
 }
