@@ -954,6 +954,49 @@ object SparkEntry {
           plantedSurname.as("name")),
         "doc_id", "name", minSim = 0.85)),
 
+    "coreset_kcenter" -> ((s, dir) =>
+      // Gonzalez farthest-point coreset over the embeddings
+      // (KMeans.kCenter scaladoc): k=6 bounded driver rounds, each one
+      // TakeOrderedAndProject argmax; selection curve + coverage radius.
+      KMeans.kCenter(t(s, dir, "embeddings"), "embedding", "vec_id", k = 6)),
+
+    "cms_audit" -> ((s, dir) =>
+      // Count-min sketch accuracy audit over the token stream
+      // (SketchAudit.countMinAudit scaladoc): engine-neutral md5 bucket
+      // hashes, depth 3 x width 128, top-20 keys, never-undercounts law.
+      SketchAudit.countMinAudit(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.toks(col("text"))).as("term")),
+        "term")),
+
+    "pareto_quality" -> ((s, dir) =>
+      // 2-D skyline of the curation trade-off (Profile.paretoFrontier
+      // scaladoc): maximize quality score, minimize char cost — no
+      // pairwise pass, one window over per-quality minima.
+      Profile.paretoFrontier(
+        TextAnalysis.qualityFrame(t(s, dir, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("quality"), col("n_chars")),
+        "quality", "n_chars")),
+
+    "inclusion_profile" -> ((s, dir) => {
+      // Candidate-FK discovery across the warehouse tables
+      // (Profile.inclusionDependency scaladoc): three true inclusion
+      // dependencies and one deliberate non-FK control pair.
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      Seq(
+        Profile.inclusionDependency(li, "l_orderkey", o, "o_orderkey",
+          "lineitem.l_orderkey->orders.o_orderkey"),
+        Profile.inclusionDependency(o, "o_custkey", c, "c_custkey",
+          "orders.o_custkey->customer.c_custkey"),
+        Profile.inclusionDependency(c, "c_nationkey", n, "n_nationkey",
+          "customer.c_nationkey->nation.n_nationkey"),
+        Profile.inclusionDependency(o, "o_custkey", sup, "s_suppkey",
+          "orders.o_custkey->supplier.s_suppkey"))
+        .reduce(_ unionByName _)
+    }),
+
     "hard_negatives" -> ((s, dir) => {
       // Contrastive-training data mining (Search.hardNegatives scaladoc):
       // per query, top-5 same-corpus items from OTHER label groups + the
@@ -2403,6 +2446,38 @@ object SparkEntry {
     * so first-letter blocking never splits a variant family. SQL replay in
     * the gate's oracle.
     */
+  /** Unrolled greedy k-center CTE chain mirroring `KMeans.kCenter` on the
+    * embeddings table: `c1` = lowest vec_id; round r: `cr` = the
+    * (dm DESC, vec_id) argmax over `d(r-1)`, then
+    * `dr.dm = least(d(r-1).dm, round(d2(., cr), 6))`. Distance arithmetic
+    * is the shared [[kmeansD2]] zip-fold.
+    */
+  private def kcenterSql(k: Int, dim: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS (SELECT vec_id, v, dm FROM d${r - 1}
+         | ORDER BY dm DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT d.vec_id, d.v,
+         |  least(d.dm, round(${kmeansD2(s"d", s"c$r", dim)}, 6)) AS dm
+         | FROM d${r - 1} d CROSS JOIN c$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k)
+      .map(r => s"UNION ALL SELECT $r, vec_id, dm FROM c$r")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.v, round(${kmeansD2("e", "c1", dim)}, 6) AS dm
+       | FROM e CROSS JOIN c1),
+       |$rounds,
+       |sel AS (
+       | SELECT 1 AS rank, vec_id, 0.0 AS d2 FROM c1
+       | $sel),
+       |cov AS (SELECT max(dm) AS coverage_d2 FROM d$k)
+       |SELECT CAST(sel.rank AS BIGINT) AS rank,
+       | CAST(sel.vec_id AS BIGINT) AS id, CAST(sel.d2 AS DOUBLE) AS d2,
+       | cov.coverage_d2
+       |FROM sel CROSS JOIN cov""".stripMargin
+  }
+
   /** RAKE's fixed stoplist as a SQL IN-list — one source of truth
     * ([[graft.operators.Rake.Stopwords]]) for both engines.
     */
@@ -3641,6 +3716,73 @@ object SparkEntry {
          | FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id)
          |SELECT id_a, id_b, name_a, name_b, jw
          |FROM p WHERE jw >= 0.85""".stripMargin,
+
+    // KMeans.kCenter replay: unrolled greedy rounds — seed = min vec_id,
+    // each next center the (rounded-d2 DESC, vec_id) argmax of the running
+    // least of per-center rounded distances; identical zip-fold distance
+    // arithmetic as the kmeans oracles.
+    "coreset_kcenter" -> kcenterSql(6, 64),
+
+    // SketchAudit.countMinAudit replay: identical md5-hex bucket hash,
+    // depth 3 x width 128 cells, min-over-rows estimate, top-20 keys.
+    "cms_audit" ->
+      s"""WITH ks AS (SELECT unnest($toksSql) AS k FROM documents),
+         |tc AS (SELECT k, CAST(count(*) AS BIGINT) AS n_true
+         | FROM ks GROUP BY k),
+         |jx AS (SELECT CAST(i AS BIGINT) AS j FROM generate_series(0, 2) t(i)),
+         |sk AS (SELECT j,
+         |  CAST(('0x' || substr(md5(k || '#' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 128 AS b,
+         |  CAST(count(*) AS BIGINT) AS cell
+         | FROM ks CROSS JOIN jx GROUP BY 1, 2),
+         |aud AS (SELECT k, n_true FROM tc ORDER BY n_true DESC, k LIMIT 20),
+         |est AS (SELECT a.k, min(sk.cell) AS n_est
+         | FROM aud a CROSS JOIN jx
+         | JOIN sk ON sk.j = jx.j AND sk.b =
+         |  CAST(('0x' || substr(md5(a.k || '#' || CAST(jx.j AS VARCHAR)), 1, 8)) AS BIGINT) % 128
+         | GROUP BY a.k)
+         |SELECT a.k AS key, a.n_true, e.n_est,
+         | e.n_est - a.n_true AS overestimate,
+         | (e.n_est >= a.n_true) AS never_undercounts
+         |FROM aud a JOIN est e USING (k)""".stripMargin,
+
+    // Profile.paretoFrontier replay over the shared quality CTEs: group to
+    // per-quality minima, one running-min window (peers excluded via ROWS
+    // ... 1 PRECEDING on the distinct-quality table), semi-join back.
+    "pareto_quality" ->
+      s"""WITH $qualitySqlCtes,
+         |base AS (SELECT q.doc_id, q.quality, d.n_chars
+         | FROM qscore q JOIN documents d USING (doc_id)),
+         |g AS (SELECT quality, min(n_chars) AS gl FROM base GROUP BY quality),
+         |f AS (SELECT quality, gl, min(gl) OVER (ORDER BY quality DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM g),
+         |fr AS (SELECT quality, gl FROM f WHERE prev IS NULL OR gl < prev)
+         |SELECT b.doc_id, b.quality, CAST(b.n_chars AS BIGINT) AS n_chars
+         |FROM base b JOIN fr ON b.quality = fr.quality AND b.n_chars = fr.gl""".stripMargin,
+
+    // Profile.inclusionDependency replay: distinct-value containment per
+    // declared pair, exact division, flag on the rounded value.
+    "inclusion_profile" -> Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem.l_orderkey->orders.o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey",
+          "orders.o_custkey->customer.c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey",
+          "customer.c_nationkey->nation.n_nationkey"),
+        ("orders", "o_custkey", "supplier", "s_suppkey",
+          "orders.o_custkey->supplier.s_suppkey"))
+      .map { case (ct, cc, pt, pc, label) =>
+        s"""SELECT '$label' AS pair,
+           | CAST(count(*) AS BIGINT) AS n_child_distinct,
+           | CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_contained,
+           | round(CAST(coalesce(sum(hit), 0) AS DOUBLE) / count(*), 6) AS containment,
+           | (round(CAST(coalesce(sum(hit), 0) AS DOUBLE) / count(*), 6) >= 0.95) AS fk_candidate
+           |FROM (
+           | SELECT c.v, CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END AS hit
+           | FROM (SELECT DISTINCT CAST($cc AS VARCHAR) AS v FROM $ct
+           |        WHERE $cc IS NOT NULL) c
+           | LEFT JOIN (SELECT DISTINCT CAST($pc AS VARCHAR) AS v FROM $pt
+           |        WHERE $pc IS NOT NULL) p USING (v)) q""".stripMargin }
+      .mkString("", "\nUNION ALL\n", ""),
 
     // CurationRules.tCloseness replay: exact-BIGINT TVD numerator
     // (in-group |n_gv*N - nv*n_g| terms plus the absent-value mass), one

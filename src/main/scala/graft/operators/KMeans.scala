@@ -222,4 +222,65 @@ object KMeans {
     assigned.select(col(idCol), col("cluster"))
       .join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal, the
+    * 2-approximation): pick the lowest-id vector as seed, then `k-1` times
+    * add the point FARTHEST from everything selected so far. The
+    * diversity-sampling step of an annotation/eval budget — where k-means
+    * summarizes mass, k-center guarantees COVERAGE (every corpus vector
+    * within the returned radius of some selected center).
+    *
+    * Returns one row per selected center, in selection order:
+    * `(rank, id, d2)` — squared L2 distance to the nearest EARLIER center
+    * (0.0 for the seed; the ranks' d2 values are non-increasing, the
+    * classic coverage curve) — plus `coverage_d2`, the k-center objective
+    * after all `k` selections, repeated on every row.
+    *
+    * Determinism: each pairwise d2 is the one fixed-shape zip-fold
+    * ([[graft.functions.VectorFunctions.l2DistanceSq]]) rounded to
+    * `roundDp` BEFORE the running `least`, so argmax ordering
+    * (d2 DESC, id) and the final maxima compare identical doubles on any
+    * engine.
+    *
+    * Scale shape: `k` bounded driver rounds (the [[fit]] / BPE
+    * discipline), each ONE distributed `TakeOrderedAndProject` argmax over
+    * a narrow codegen'd pass; the running min-distance column folds `least`
+    * per round, so round `r` costs O(n) work and collects ONE row. The
+    * input projection is persisted once; nothing else is corpus-sized.
+    */
+  def kCenter(df: DataFrame, vecCol: String, idCol: String, k: Int,
+              roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cur = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+      .persist()
+    try {
+      val seedRow = cur.orderBy(col("__id")).limit(1).collect()
+      require(seedRow.nonEmpty, "graft.kCenter: no non-null input vectors")
+      def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+        r.getSeq[Double](1).toArray
+      val selected = scala.collection.mutable.ArrayBuffer(
+        (1L, seedRow(0).getLong(0), 0.0))
+      def d2To(c: Array[Double]) = round(
+        graft.functions.VectorFunctions.l2DistanceSq(col("__v"), lit(c)),
+        roundDp)
+      var frame = cur.withColumn("__dm", d2To(vecOf(seedRow(0))))
+      var r = 2
+      while (r <= k) {
+        val top = frame.orderBy(col("__dm").desc, col("__id")).limit(1)
+          .collect()(0)
+        selected += ((r.toLong, top.getLong(0), top.getDouble(2)))
+        frame = frame.withColumn("__dm",
+          least(col("__dm"), d2To(vecOf(top))))
+        r += 1
+      }
+      val coverage = frame.agg(max(col("__dm"))).collect()(0).getDouble(0)
+      selected.toSeq.toDF("rank", "id", "d2")
+        .withColumn("coverage_d2", lit(coverage))
+    } finally cur.unpersist()
+  }
 }

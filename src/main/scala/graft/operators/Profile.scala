@@ -492,6 +492,70 @@ object Profile {
           .otherwise(lit(0.0)).as("mi_norm"))
   }
 
+  /** 2-D Pareto frontier (skyline): the rows not STRICTLY dominated under
+    * (maximize `maximizeCol`, minimize `minimizeCol`) — the
+    * quality-vs-cost selection curve of a curation budget ("which docs are
+    * optimal trade-offs of quality score against token cost?"). A row is
+    * dominated when some other row is >= on the maximize axis, <= on the
+    * minimize axis, and strictly better on at least one; ties on both
+    * axes survive together.
+    *
+    * Scale shape — the 2-D skyline needs NO pairwise pass: collapse to
+    * per-maximize-value minima (one map-side-combined shuffle, bounded by
+    * the value domain), one running-min window over THAT table ordered by
+    * the maximize axis descending, then a semi-join back. A row survives
+    * iff it attains its group's minimum AND that minimum beats every
+    * strictly-higher group's (`min < prevMin`). Null on either axis
+    * drops (dominance is undefined there).
+    */
+  def paretoFrontier(df: DataFrame, maximizeCol: String,
+                     minimizeCol: String): DataFrame = {
+    val clean = df.filter(col(maximizeCol).isNotNull &&
+      col(minimizeCol).isNotNull)
+    val groups = clean.groupBy(col(maximizeCol).as("__q"))
+      .agg(min(col(minimizeCol)).as("__gl"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val frontier = groups.withColumn("__prev", min(col("__gl")).over(w))
+      .filter(col("__prev").isNull || col("__gl") < col("__prev"))
+      .select(col("__q"), col("__gl"))
+    clean.join(broadcast(frontier),
+      col(maximizeCol) === col("__q") && col(minimizeCol) === col("__gl"))
+      .drop("__q", "__gl")
+  }
+
+  /** Inclusion-dependency profile — candidate-foreign-key discovery, the
+    * schema-inference audit a lakehouse runs over freshly landed tables:
+    * for a declared (child column, parent column) pair, what fraction of
+    * the child's distinct non-null values exist in the parent?
+    * `containment = 1` is a verified inclusion dependency (FK candidate);
+    * the threshold flags near-inclusions dirtied by a few orphans (the
+    * row-level complement is [[fkOrphans]]).
+    *
+    * One row: `(pair, n_child_distinct, n_contained, containment,
+    * fk_candidate)` — containment is one exact integer division, the flag
+    * compares the ROUNDED value. Scale shape: two distinct-aggregates
+    * (map-side combined, bounded by the key domains) and a domain-sized
+    * join — never row-level.
+    */
+  def inclusionDependency(child: DataFrame, childCol: String,
+                          parent: DataFrame, parentCol: String, pair: String,
+                          threshold: Double = 0.95): DataFrame = {
+    val c = child.filter(col(childCol).isNotNull)
+      .select(col(childCol).cast("string").as("__v")).distinct()
+    val p = parent.filter(col(parentCol).isNotNull)
+      .select(col(parentCol).cast("string").as("__v")).distinct()
+    c.join(p.withColumn("__hit", lit(1L)), Seq("__v"), "left")
+      .agg(count(lit(1)).as("n_child_distinct"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contained"))
+      .select(lit(pair).as("pair"), col("n_child_distinct"),
+        col("n_contained"),
+        round(col("n_contained").cast("double") / col("n_child_distinct"), 6)
+          .as("containment"))
+      .withColumn("fk_candidate", col("containment") >= threshold)
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * forensic data-quality check for ingested metrics/amounts: naturally
     * occurring multi-scale values follow `P(d) = log10(1 + 1/d)`; a flat

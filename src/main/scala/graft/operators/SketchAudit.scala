@@ -120,4 +120,59 @@ object SketchAudit {
             (lit(2.0) * col("__n") / accuracy + 1))
           .as("rank_ok"))
   }
+
+  /** Count-min sketch accuracy audit — the third sketch of the kit beside
+    * HLL (cardinality) and GK (quantiles): CMS answers point FREQUENCY
+    * queries from `depth x width` counters, the mergeable structure behind
+    * streaming heavy-hitter backends and per-key rate limits. The audit
+    * builds the sketch and the exact counts from the same key stream and
+    * checks the one-sided guarantee — CMS NEVER undercounts
+    * (`est = min_j counter[j][h_j(key)] >= true`), with overestimate
+    * bounded by colliding mass.
+    *
+    * Output: the `topK` keys by true count (ties by key), one row each:
+    * `(key, n_true, n_est, overestimate, never_undercounts)`.
+    *
+    * Determinism / oracle parity: `h_j(key) = hex64(md5(key || '#' || j))
+    * % width` — the first 8 md5 hex chars parsed as an integer, a hash
+    * both engines compute bit-identically (Spark/DuckDB murmur builtins
+    * disagree; md5 is the engine-neutral choice, same trick as the
+    * deterministic-shuffle gates). All counts are exact BIGINTs.
+    *
+    * Scale shape: the sketch build is ONE map-side-combined shuffle of
+    * `depth * width` cells (the whole point of CMS — counters, not keys);
+    * the query side touches only the audited keys' `depth` cells via a
+    * broadcast join. The exact-count side is affordable at audit scale
+    * only — at 100 TB one audits a sampled stratum, production trusts the
+    * sketch (the [[hllUnionAudit]] posture).
+    */
+  def countMinAudit(df: DataFrame, keyCol: String, depth: Int = 3,
+                    width: Int = 128, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2")
+    require(topK >= 1, "topK must be >= 1")
+    def bucket(k: Column, j: Column): Column =
+      conv(substring(md5(concat(k, lit("#"), j.cast("string"))), 1, 8),
+        16, 10).cast("long") % width
+    val keys = df.select(col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+    val trueCounts = keys.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_true"))
+    val js = array((0 until depth).map(lit): _*)
+    val sketch = keys
+      .select(col("__k"), explode(js).as("__j"))
+      .groupBy(col("__j"), bucket(col("__k"), col("__j")).as("__b"))
+      .agg(count(lit(1)).as("__cell"))
+    val audited = trueCounts
+      .orderBy(col("n_true").desc, col("__k")).limit(topK)
+    val est = audited
+      .select(col("__k"), explode(js).as("__j"))
+      .withColumn("__b", bucket(col("__k"), col("__j")))
+      .join(sketch, Seq("__j", "__b"))
+      .groupBy(col("__k"))
+      .agg(min(col("__cell")).as("n_est"))
+    audited.join(est, Seq("__k"))
+      .select(col("__k").as("key"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("overestimate"),
+        (col("n_est") >= col("n_true")).as("never_undercounts"))
+  }
 }

@@ -145,4 +145,24 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(r(1)._4 == r6((1.0 + 8.0 / 9.0) / 2))
     assert(r(1)._5 == 0L)
   }
+
+  test("kCenter: farthest-point traversal with rounded-d2 tie-break") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // 1-D line: id1@0 (seed, lowest id), id2@10 (farthest, d2=100), then
+    // id3@4 vs id4@6 tie at dm=16 -> vec_id breaks to id3; coverage =
+    // id4's remaining min-d2 = 4.
+    val df = Seq((1L, Seq(0f)), (2L, Seq(10f)), (3L, Seq(4f)),
+      (4L, Seq(6f))).toDF("vec_id", "embedding")
+    val got = graft.operators.KMeans.kCenter(df, "embedding", "vec_id", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1L, 0.0, 4.0), (2L, 2L, 100.0, 4.0),
+      (3L, 3L, 16.0, 4.0)))
+    // selection distances are non-increasing (the coverage curve law)
+    assert(got.map(_._3).drop(1).sliding(2).forall(p => p(0) >= p(1)))
+    intercept[IllegalArgumentException] {
+      graft.operators.KMeans.kCenter(df, "embedding", "vec_id", k = 0)
+    }
+  }
 }

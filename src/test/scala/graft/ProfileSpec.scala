@@ -285,4 +285,31 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       (3L, 1L, exp(3), chi(1, exp(3))),
       (9L, 1L, exp(9), chi(1, exp(9)))))
   }
+
+  test("paretoFrontier: strict dominance, surviving ties, null drop") {
+    val df = Seq((Some(5.0), Some(10L)), (Some(5.0), Some(12L)),
+      (Some(4.0), Some(8L)), (Some(4.0), Some(8L)), (Some(3.0), Some(20L)),
+      (Some(2.0), Some(5L)), (None, Some(1L)), (Some(9.0), None))
+      .toDF("q", "l")
+    val got = graft.operators.Profile.paretoFrontier(df, "q", "l")
+      .orderBy(org.apache.spark.sql.functions.col("q").desc)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // (5,12) dominated by (5,10); (3,20) by (4,8); equal (4,8) pair both
+    // survive; (2,5) survives on the cheap axis.
+    assert(got.toSeq == Seq((5.0, 10L), (4.0, 8L), (4.0, 8L), (2.0, 5L)))
+  }
+
+  test("inclusionDependency: containment fraction and threshold flag") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None, Some(2L)).toDF("ck")
+    val parent = Seq(1L, 2L, 4L).toDF("pk")
+    val r = graft.operators.Profile
+      .inclusionDependency(child, "ck", parent, "pk", "c->p").collect()(0)
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.666667 && !r.getBoolean(4))
+    val r2 = graft.operators.Profile
+      .inclusionDependency(child, "ck", parent, "pk", "c->p", threshold = 0.5)
+      .collect()(0)
+    assert(r2.getBoolean(4))
+  }
 }

@@ -59,4 +59,34 @@ class SketchAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getDouble(2) == 42.0)
     assert(out(0).getBoolean(3))
   }
+
+  test("countMinAudit: exact counts, one-sided error, topK ordering") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val keys = (Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq.fill(3)("gamma") ++ Seq("delta")).toDF("k")
+    val got = graft.operators.SketchAudit.countMinAudit(keys, "k", topK = 3)
+      .orderBy(org.apache.spark.sql.functions.col("n_true").desc,
+        org.apache.spark.sql.functions.col("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))
+    // topK=3 cuts delta; beta/gamma tie at 3 -> both kept over delta.
+    assert(got.map(_._1).toSeq == Seq("alpha", "beta", "gamma"))
+    assert(got.map(_._2).toSeq == Seq(5L, 3L, 3L))
+    // CMS law: estimates never undercount.
+    assert(got.forall(_._4))
+    assert(got.forall(r => r._3 >= r._2))
+  }
+
+  test("countMinAudit: forced collisions (width=2) still never undercount") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 4 + 1)(s"k$i")).toDF("k")
+    val got = graft.operators.SketchAudit
+      .countMinAudit(keys, "k", depth = 2, width = 2, topK = 40).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getBoolean(4)))
+    // with 40 keys in 2 buckets, SOME estimate must exceed its true count
+    assert(got.exists(r => r.getLong(2) > r.getLong(1)))
+  }
 }
