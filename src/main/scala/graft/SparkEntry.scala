@@ -997,6 +997,33 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    "ssjoin_prefix" -> ((s, dir) =>
+      // EXACT set-similarity join via prefix filtering
+      // (Dedup.prefixFilterJoin scaladoc): rational threshold 4/5, pure
+      // integer prefix length + verify predicate; the brute-force oracle
+      // proves the zero-false-negative guarantee pair for pair.
+      // doc_id < 1000 keeps the oracle's all-pairs side tractable at
+      // driver SF bumps.
+      Dedup.prefixFilterJoin(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", tNum = 4, tDen = 5)),
+
+    "outlier_knn" -> ((s, dir) => {
+      // k-th-neighbor-distance novelty scores
+      // (Similarity.kthNeighborDistance scaladoc): cosine distance to the
+      // 5th nearest, flag at >= 0.75 — the sparse-region triage signal.
+      val e = t(s, dir, "embeddings")
+      Similarity.kthNeighborDistance(e.filter(col("vec_id") < 50), e, k = 5)
+    }),
+
+    "downsample_lttb" -> ((s, dir) =>
+      // Largest-triangle-three-buckets downsampling, bucket-average
+      // variant (EventAnalytics.lttbDownsample scaladoc): per event_type,
+      // 100-point buckets, spike-preserving representative points.
+      EventAnalytics.lttbDownsample(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "event_type", "ts", "value", "event_id", bucketSize = 100)),
+
     "hard_negatives" -> ((s, dir) => {
       // Contrastive-training data mining (Search.hardNegatives scaladoc):
       // per query, top-5 same-corpus items from OTHER label groups + the
@@ -3783,6 +3810,77 @@ object SparkEntry {
            | LEFT JOIN (SELECT DISTINCT CAST($pc AS VARCHAR) AS v FROM $pt
            |        WHERE $pc IS NOT NULL) p USING (v)) q""".stripMargin }
       .mkString("", "\nUNION ALL\n", ""),
+
+    // BRUTE-FORCE all-pairs oracle for Dedup.prefixFilterJoin — no prefix
+    // filter at all, so a hash match PROVES the zero-false-negative
+    // guarantee. Same integer verify predicate (inter*5 >= union*4).
+    "ssjoin_prefix" ->
+      s"""WITH tk AS (SELECT doc_id, list_distinct($toksSql) AS s
+         | FROM documents WHERE doc_id < 1000),
+         |nz AS (SELECT doc_id, s, len(s) AS n FROM tk WHERE len(s) > 0),
+         |p AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+         |  CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+         | FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, n_inter, n_union,
+         | round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+         |FROM p WHERE n_inter * 5 >= n_union * 4""".stripMargin,
+
+    // Similarity.kthNeighborDistance replay: 6-dp cosine distance, rank-5
+    // by (dist, corpus id), flag at >= 0.75.
+    "outlier_knn" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         | FROM corpus WHERE vec_id < 50),
+         |scored AS (
+         | SELECT qs.qid, c.vec_id,
+         |  round(1.0 - (${cosOf("c.embedding", "qs.qv")}), 6) AS d
+         | FROM qs, corpus c WHERE c.vec_id <> qs.qid),
+         |ranked AS (SELECT qid, d,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+         | FROM scored)
+         |SELECT qid AS vec_id, d AS kth_dist, (d >= 0.75) AS is_outlier
+         |FROM ranked WHERE rn = 5""".stripMargin,
+
+    // EventAnalytics.lttbDownsample replay: identical bucket assignment
+    // (row_number over (ts, id) div 100), exact-sum bucket averages
+    // (BIGINT timestamps, DECIMAL values), identical cross-product area
+    // rounded for the argmax, first/last anchors.
+    "downsample_lttb" ->
+      """WITH pts AS (
+        | SELECT event_type AS key, epoch_us(ts) AS tsu, value, event_id AS id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY epoch_us(ts), event_id) - 1 AS rn
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |bp AS (SELECT *, CAST(floor(rn / 100) AS BIGINT) AS bucket FROM pts),
+        |aggs AS (
+        | SELECT key, bucket, min(rn) AS lo, max(rn) AS hi,
+        |  CAST(sum(tsu) AS DOUBLE) / count(*) AS ax,
+        |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ay
+        | FROM bp GROUP BY key, bucket),
+        |ctx AS (
+        | SELECT *, lag(ax) OVER w AS px, lag(ay) OVER w AS py,
+        |  lead(ax) OVER w AS nx, lead(ay) OVER w AS ny,
+        |  max(bucket) OVER (PARTITION BY key) AS maxb
+        | FROM aggs WINDOW w AS (PARTITION BY key ORDER BY bucket)),
+        |joined AS (
+        | SELECT b.key, b.bucket, b.id, b.tsu, b.value, b.rn, c.lo, c.hi,
+        |  c.maxb,
+        |  round(abs((c.px - c.nx) * (b.value - c.py) -
+        |    (c.px - CAST(b.tsu AS DOUBLE)) * (c.ny - c.py)), 6) AS area
+        | FROM bp b JOIN ctx c USING (key, bucket)),
+        |picked AS (
+        | SELECT *, row_number() OVER (PARTITION BY key, bucket
+        |    ORDER BY area DESC, id) AS pick,
+        |  CASE WHEN bucket = 0 THEN 'first'
+        |   WHEN bucket = maxb THEN 'last' ELSE 'lttb' END AS reason
+        | FROM joined)
+        |SELECT key, bucket, id, tsu AS ts, value, reason
+        |FROM picked
+        |WHERE (reason = 'first' AND rn = lo)
+        |   OR (reason = 'last' AND rn = hi)
+        |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
 
     // CurationRules.tCloseness replay: exact-BIGINT TVD numerator
     // (in-group |n_gv*N - nv*n_g| terms plus the absent-value mass), one

@@ -1107,4 +1107,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("nfp_a"),
         col("nfp_b"), col("containment"))
   }
+
+  /** EXACT set-similarity join by prefix filtering (PPJoin-family,
+    * Chaudhuri/Xiao et al.) — the zero-false-negative complement to
+    * [[minhashLshPairs]]: every pair with token-set Jaccard >= `tNum/tDen`
+    * is GUARANTEED found (prefix-filter theorem: two sets meeting the
+    * threshold must share a token in their first `|x| - ceil(t*|x|) + 1`
+    * tokens under any fixed global order), where MinHash only finds them
+    * with high probability. The right tool when the dedup decision is
+    * contractual (compliance takedowns, exact-recall eval sets).
+    *
+    * The threshold is a RATIONAL `tNum/tDen`, so the prefix length
+    * (`sz - (tNum*sz + tDen - 1) div tDen + 1` — exact integer ceil) and
+    * the verify predicate (`inter * tDen >= union * tNum`) are pure
+    * integer arithmetic: a float `ceil(0.8 * 25)` lands on 21 (0.8 has no
+    * binary representation) and silently SHORTENS the prefix — a real
+    * false-negative bug this formulation cannot have.
+    *
+    * Global token order is (document frequency ASC, token) — rare tokens
+    * first, the standard choice that keeps prefixes selective. The rank
+    * assignment is one row_number window over the VOCABULARY table
+    * (vocab-sized single partition, the DSIR distinct-weights regime —
+    * never corpus rows). Candidates explode only prefix tokens, pair up
+    * inside per-token blocks, and are verified with one exact
+    * `array_intersect`. Zero-token documents drop (Jaccard undefined).
+    *
+    * Returns `(id_a, id_b, n_inter, n_union, jaccard)` with `id_a < id_b`.
+    */
+  def prefixFilterJoin(df: DataFrame, textCol: String, idCol: String,
+                       tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum,
+      s"need 0 < threshold = tNum/tDen <= 1, got $tNum/$tDen")
+    val sets = df.select(col(idCol).as("__id"),
+        array_distinct(TextAnalysis.toks(col(textCol))).as("__set"))
+      .withColumn("__sz", size(col("__set")))
+      .filter(col("__sz") > 0)
+    val toksOf = sets.select(col("__id"), explode(col("__set")).as("__t"))
+    val vocabRank = toksOf.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__df"), col("__t"))).cast("long"))
+      .select(col("__t"), col("__rank"))
+    val ranked = toksOf.join(vocabRank, Seq("__t"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(col("__rank"))).as("__r"))
+      .withColumn("__sz", size(col("__r")))
+    // exact integer ceil(tNum*sz/tDen) via (a + b - 1) div b
+    val plen = col("__sz") -
+      ((col("__sz") * tNum + (tDen - 1)) / tDen).cast("int") + 1
+    val prefix = ranked
+      .select(col("__id"), explode(slice(col("__r"), lit(1), plen)).as("__p"))
+    val cands = prefix.select(col("__p"), col("__id").as("id_a"))
+      .join(prefix.select(col("__p"), col("__id").as("id_b")), Seq("__p"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val a = ranked.select(col("__id").as("id_a"), col("__r").as("__ra"),
+      col("__sz").as("__sa"))
+    val b = ranked.select(col("__id").as("id_b"), col("__r").as("__rb"),
+      col("__sz").as("__sb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__ra"), col("__rb"))).cast("long"))
+      .withColumn("n_union",
+        (col("__sa") + col("__sb")).cast("long") - col("n_inter"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6)
+          .as("jaccard"))
+  }
 }

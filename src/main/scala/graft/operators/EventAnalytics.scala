@@ -78,4 +78,80 @@ object EventAnalytics {
       .groupBy(col("__cohort").as("cohort_day"), col("__off").as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** LTTB-style time-series downsampling (Steinarsson's
+    * largest-triangle-three-buckets, in the bucket-average variant):
+    * per series key, points fall into fixed-count buckets in time order
+    * and each interior bucket keeps the single point forming the
+    * LARGEST-AREA triangle with the neighboring buckets' averages — the
+    * downsample that preserves spikes and shape where naive avg/first
+    * smears them. The first and last buckets keep their first/last point
+    * (the standard anchor rule). The per-dashboard/per-export compaction
+    * step of an event warehouse.
+    *
+    * The classic sequential LTTB anchors on the PREVIOUS SELECTED point —
+    * an inherently serial chain; this variant anchors on the previous
+    * bucket's average (the original paper's own suggested parallel
+    * simplification), which makes every bucket independent: one window to
+    * assign buckets, one bucket-level aggregate, lag/lead, one argmax
+    * window. Fully shuffle-bounded by (key, bucket).
+    *
+    * Determinism: bucket averages are single exact-sum divisions
+    * (timestamps sum as exact longs, values as DECIMAL), the area is a
+    * fixed-shape cross-product of identical doubles rounded to 6 dp for
+    * the argmax, ties break by the id column.
+    *
+    * `tsCol` must be epoch micros (long — [[EventTime.tsMicros]]).
+    * Returns `(key, bucket, id, ts, value, reason)` with reason in
+    * `first|lttb|last`.
+    */
+  def lttbDownsample(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, idCol: String,
+                     bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("id"))
+    val pts = events
+      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(valueCol).cast("double").as("value"), col(idCol).as("id"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .withColumn("__rn", row_number().over(ordered) - 1)
+      .withColumn("bucket", floor(col("__rn") / bucketSize).cast("long"))
+    val aggs = pts.groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("__n"), sum(col("ts")).as("__st"),
+        sum(col("value").cast("decimal(24,6)")).as("__sv"),
+        min(col("__rn")).as("__lo"), max(col("__rn")).as("__hi"))
+      .select(col("key"), col("bucket"), col("__lo"), col("__hi"),
+        (col("__st").cast("double") / col("__n")).as("__ax"),
+        (col("__sv").cast("double") / col("__n")).as("__ay"))
+    val byBucket = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val nb = Window.partitionBy(col("key"))
+    val ctx = aggs
+      .withColumn("__px", lag(col("__ax"), 1).over(byBucket))
+      .withColumn("__py", lag(col("__ay"), 1).over(byBucket))
+      .withColumn("__nx", lead(col("__ax"), 1).over(byBucket))
+      .withColumn("__ny", lead(col("__ay"), 1).over(byBucket))
+      .withColumn("__maxb", max(col("bucket")).over(nb))
+    val joined = pts.join(ctx, Seq("key", "bucket"))
+    val area = round(abs(
+      (col("__px") - col("__nx")) * (col("value") - col("__py")) -
+        (col("__px") - col("ts").cast("double")) * (col("__ny") - col("__py"))),
+      6)
+    val argmax = Window.partitionBy(col("key"), col("bucket"))
+      .orderBy(col("__area").desc, col("id"))
+    joined
+      .withColumn("__area", area)
+      .withColumn("__pick", row_number().over(argmax))
+      .withColumn("reason",
+        when(col("bucket") === 0, lit("first"))
+          .when(col("bucket") === col("__maxb"), lit("last"))
+          .otherwise(lit("lttb")))
+      .filter(
+        (col("reason") === "first" && col("__rn") === col("__lo")) ||
+          (col("reason") === "last" && col("__rn") === col("__hi")) ||
+          (col("reason") === "lttb" && col("__pick") === 1))
+      .select(col("key"), col("bucket"), col("id"), col("ts"), col("value"),
+        col("reason"))
+  }
 }

@@ -417,6 +417,41 @@ object Similarity {
     * algebra on top is unchanged. The two windows and the mutual check all
     * run on the (pairs)-sized frame, never re-scanning the inputs.
     */
+  /** Distance to the k-th nearest neighbor — the density-based novelty /
+    * outlier score over an embedding column (a large k-distance means the
+    * point sits in a sparse region: mislabeled, off-distribution, or
+    * genuinely novel — the triage signal an embedding-space curation pass
+    * ranks by). Returns one row per query: `(id, kth_dist, is_outlier)`
+    * with `kth_dist = round(1 - cos, roundDp)` to the k-th closest corpus
+    * vector (self-matches excluded by id) and the flag at `>= threshold`.
+    *
+    * Exact regime (all-pairs scoring, the oracle-checkable baseline, same
+    * posture as `eval_hitrate`); at corpus scale the candidate set comes
+    * from [[blockedTopKPerQuery]] and the k-th-rank selection on top is
+    * unchanged. Ties break by corpus id everywhere.
+    */
+  def kthNeighborDistance(queries: DataFrame, corpus: DataFrame, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          threshold: Double = 0.75,
+                          roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val scored = queries
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+      .crossJoin(corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
+      .filter(col("__cid") =!= col("__qid"))
+      .withColumn("__d", round(lit(1.0) -
+        graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+        roundDp))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__d"), col("__cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === k)
+      .select(col("__qid").as(idCol), col("__d").as("kth_dist"),
+        (col("__d") >= threshold).as("is_outlier"))
+  }
+
   def marginBitext(src: DataFrame, tgt: DataFrame, knn: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    roundDp: Int = 6): DataFrame = {

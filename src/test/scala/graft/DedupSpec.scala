@@ -493,6 +493,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // every doc shares ONLY the boilerplate chunks -> all fenced out
     assert(fenced.count() == 0)
   }
+
+  test("prefixFilterJoin: hand pair, threshold predicate, zero-token drop") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val df = Seq((1L, "x y z"), (2L, "x y z w"), (3L, "p q r"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .prefixFilterJoin(df, "text", "doc_id", tNum = 2, tDen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // J(1,2)=3/4 >= 2/3; J with doc 3 is 0; empty doc 4 never appears.
+    assert(got.toSeq == Seq((1L, 2L, 3L, 4L, 0.75)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.prefixFilterJoin(df, "text", "doc_id", 4, 3)
+    }
+  }
+
+  test("prefixFilterJoin == brute force: the zero-false-negative law") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // 40 docs over an 8-word vocab -> dense Jaccard overlaps, every
+    // threshold band exercised. Compare against an in-test brute force.
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0 until 40).map { i =>
+      val words = vocab.indices.filter(j => (i >> (j % 6) & 1) == 1 || (i + j) % 3 == 0)
+        .map(vocab)
+      (i.toLong, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .prefixFilterJoin(df, "text", "doc_id", tNum = 3, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSet }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; union = sa.size + sb.size - inter
+      if inter * 5 >= union * 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // the law is vacuous on an empty pair set
+  }
 }
-
-

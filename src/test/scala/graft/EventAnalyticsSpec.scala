@@ -55,4 +55,30 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L  // u2 day1+day2
     ))
   }
+
+  test("lttbDownsample: spike-preserving picks, first/last anchors") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // key a: 8 points, bucketSize 2. Interior bucket 1 holds the spike
+    // (ts=2, v=10): its area vs neighbor-bucket averages is 40 vs 0, so
+    // the spike survives where an average would smear it. Bucket 2 picks
+    // ts=4 (area 16.25 vs 13.75). First/last points anchor.
+    val vals = Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 5.0, 0.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, v, i.toLong) } :+ (("b", 99L, 7.0, 42L))
+    val df = rows.toDF("etype", "tsu", "value", "eid")
+    val got = graft.operators.EventAnalytics
+      .lttbDownsample(df, "etype", "tsu", "value", "eid", bucketSize = 2)
+      .orderBy("key", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 0L, "first"), ("a", 1L, 2L, "lttb"), ("a", 2L, 4L, "lttb"),
+      ("a", 3L, 7L, "last"),
+      ("b", 0L, 42L, "first"))) // single-bucket series keeps its first
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics
+        .lttbDownsample(df, "etype", "tsu", "value", "eid", bucketSize = 0)
+    }
+  }
 }

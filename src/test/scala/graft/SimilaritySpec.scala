@@ -211,4 +211,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.marginBitext(src, tgt, knn = 0)
     }
   }
+
+  test("kthNeighborDistance: dense point vs isolated point") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 1f)),
+      (4L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kthNeighborDistance(
+      corpus.filter(org.apache.spark.sql.functions.col("vec_id").isin(1L, 4L)),
+      corpus, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // q1: d(2)=0, d(3)=1-1/sqrt(2)=0.292893 -> kth=0.292893, dense
+    assert(got(1L) == ((0.292893, false)))
+    // q4: d(3)=1.707107, d(1)=d(2)=2 -> kth (rank2 by (d, id)) = 2.0
+    assert(got(4L) == ((2.0, true)))
+    intercept[IllegalArgumentException] {
+      Similarity.kthNeighborDistance(corpus, corpus, k = 0)
+    }
+  }
 }
