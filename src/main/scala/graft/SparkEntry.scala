@@ -1024,6 +1024,31 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "symspell_match" -> ((s, dir) =>
+      // SymSpell deletion-variant fuzzy match over the planted surnames
+      // (EditDistance.symspellPairs scaladoc): equi-join on variant keys,
+      // exact levenshtein verify; the brute-force oracle proves every
+      // distance-<=1 pair is found.
+      EditDistance.symspellPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          plantedSurname.as("name")),
+        "doc_id", "name")),
+
+    "itemset_pairs" -> ((s, dir) =>
+      // Frequent event-type pairs per user basket with confidence + lift
+      // (EventAnalytics.itemsetPairs scaladoc): domain-bounded pair join,
+      // exact-integer rule stats.
+      EventAnalytics.itemsetPairs(t(s, dir, "events"), "user_id",
+        "event_type")),
+
+    "twap_events" -> ((s, dir) =>
+      // Time-weighted average per (type, day)
+      // (EventAnalytics.timeWeightedAverage scaladoc): holding-time
+      // weights in exact micros, values in integer cents, one division.
+      EventAnalytics.timeWeightedAverage(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "event_type", "ts", "value", "event_id")),
+
     "hard_negatives" -> ((s, dir) => {
       // Contrastive-training data mining (Search.hardNegatives scaladoc):
       // per query, top-5 same-corpus items from OTHER label groups + the
@@ -2526,6 +2551,21 @@ object SparkEntry {
       .otherwise(base)
   }
 
+  /** The [[plantedSurname]] plant as CTEs ending at `nm(doc_id, name)` —
+    * shared by the `dedup_jaro` and `symspell_match` oracles.
+    */
+  private lazy val plantedSurnameSqlCtes: String =
+    s"""named AS (SELECT doc_id,
+       |  ([${JaroSurnames.map(s => s"'$s'").mkString(", ")}])[CAST(doc_id % 10 + 1 AS INT)] AS base
+       | FROM documents),
+       |nm AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 4 = 1 THEN substr(base, 1, 2) || substr(base, 4, 100)
+       |   WHEN doc_id % 4 = 2 THEN substr(base, 1, 1) || substr(base, 3, 1) ||
+       |     substr(base, 2, 1) || substr(base, 4, 100)
+       |   WHEN doc_id % 4 = 3 THEN base || 'x'
+       |   ELSE base END AS name
+       | FROM named)""".stripMargin
+
   /** Squared-L2 between row vector `$e.v` and centroid `$c.v` with the same
     * arithmetic as `KMeans.dist2`: per-dimension diffs, then a sequential
     * left-to-right sum of squares.
@@ -3725,16 +3765,7 @@ object SparkEntry {
     // term-for-term against the engine's kernel: 0/1600 mismatches at
     // 6 dp on this plant's variant space).
     "dedup_jaro" ->
-      s"""WITH named AS (SELECT doc_id,
-         |  ([${JaroSurnames.map(s => s"'$s'").mkString(", ")}])[CAST(doc_id % 10 + 1 AS INT)] AS base
-         | FROM documents),
-         |nm AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 4 = 1 THEN substr(base, 1, 2) || substr(base, 4, 100)
-         |   WHEN doc_id % 4 = 2 THEN substr(base, 1, 1) || substr(base, 3, 1) ||
-         |     substr(base, 2, 1) || substr(base, 4, 100)
-         |   WHEN doc_id % 4 = 3 THEN base || 'x'
-         |   ELSE base END AS name
-         | FROM named),
+      s"""WITH $plantedSurnameSqlCtes,
          |b AS (SELECT doc_id AS id, lower(name) AS nmv,
          |  substr(lower(name), 1, 1) AS blk FROM nm),
          |p AS (SELECT a.id AS id_a, c.id AS id_b, a.nmv AS name_a,
@@ -3881,6 +3912,54 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // BRUTE-FORCE all-pairs levenshtein oracle for
+    // EditDistance.symspellPairs — proves the deletion-variant candidate
+    // generation misses no distance-<=1 pair.
+    "symspell_match" ->
+      s"""WITH $plantedSurnameSqlCtes,
+         |b AS (SELECT doc_id AS id, lower(name) AS nmv FROM nm)
+         |SELECT a.id AS id_a, c.id AS id_b, a.nmv AS name_a, c.nmv AS name_b,
+         | CAST(levenshtein(a.nmv, c.nmv) AS BIGINT) AS dist
+         |FROM b a JOIN b c ON a.id < c.id
+         |WHERE levenshtein(a.nmv, c.nmv) <= 1""".stripMargin,
+
+    // EventAnalytics.itemsetPairs replay: distinct baskets, per-user pair
+    // join, exact-integer confidence and lift.
+    "itemset_pairs" ->
+      """WITH baskets AS (
+        | SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        | WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM baskets),
+        |singles AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        | FROM baskets GROUP BY t),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_ab
+        | FROM baskets a JOIN baskets b ON a.u = b.u AND a.t < b.t
+        | GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_ab,
+        | round(CAST(p.n_ab AS DOUBLE) / sa.n, 6) AS confidence,
+        | round(CAST(p.n_ab * nu.n_users AS DOUBLE) / (sa.n * sb.n), 6) AS lift
+        |FROM p JOIN singles sa ON sa.t = p.type_a
+        | JOIN singles sb ON sb.t = p.type_b CROSS JOIN nu""".stripMargin,
+
+    // EventAnalytics.timeWeightedAverage replay: identical holding-time
+    // weights (lead over (ts, id)), integer cents, one division; the
+    // day's last event carries no weight, single-event days null.
+    "twap_events" ->
+      """WITH pts AS (
+        | SELECT event_type AS key, epoch_us(ts) AS tsu, value, event_id AS id,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |ww AS (SELECT key, day,
+        |  lead(tsu) OVER (PARTITION BY key, day ORDER BY tsu, id) - tsu AS w,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+        | FROM pts)
+        |SELECT key, day, CAST(count(*) AS BIGINT) AS n_events,
+        | CASE WHEN coalesce(sum(w), 0) > 0
+        |  THEN round(CAST(sum(cents * w) AS DOUBLE) / (100.0 * sum(w)), 6)
+        |  ELSE NULL END AS twap
+        |FROM ww GROUP BY key, day""".stripMargin,
 
     // CurationRules.tCloseness replay: exact-BIGINT TVD numerator
     // (in-group |n_gv*N - nv*n_g| terms plus the absent-value mass), one

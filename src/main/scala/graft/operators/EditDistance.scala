@@ -163,4 +163,49 @@ object EditDistance {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("jw"))
   }
+
+  /** SymSpell-style edit-distance-1 matching by DELETION variants (Garbe's
+    * symmetric delete algorithm): every string generates itself plus its
+    * |s| single-character deletions; two strings within Levenshtein
+    * distance 1 are GUARANTEED to share a variant (equal → the string
+    * itself; substitution → the deletion at the edited position; 1-char
+    * insert/delete → the shorter string is a deletion of the longer). So
+    * candidate generation is an equi-join on the variant key — linear
+    * work + a keyed shuffle, where naive fuzzy match is O(n^2) and
+    * prefix-blocking ([[jaroPairs]]) can MISS first-character edits.
+    * Candidates are verified with the exact codegen'd `levenshtein`, so
+    * false positives (two deletions apart) are filtered and the result is
+    * EXACT: every distance-<=1 pair, no false negatives — the
+    * brute-force-oracle-checkable guarantee.
+    *
+    * Returns `(id_a, id_b, name_a, name_b, dist)` with `id_a < id_b`,
+    * `dist` in {0, 1}. Variant fan-out is |s|+1 rows per string — bound
+    * input length upstream for 100 TB runs; the variant-key blocks are
+    * frequency-bounded by construction (a variant is shared only by
+    * near-identical strings), so no mega-bucket guard is needed beyond
+    * the exact-dup families an upstream exact dedup should clear anyway.
+    */
+  def symspellPairs(df: DataFrame, idCol: String,
+                    nameCol: String): DataFrame = {
+    val deletions = transform(
+      sequence(lit(1), length(col("__name"))),
+      i => concat(col("__name").substr(lit(1), i - 1),
+        col("__name").substr(i + 1, lit(100))))
+    val variants = df
+      .filter(col(idCol).isNotNull && col(nameCol).isNotNull)
+      .select(col(idCol).as("__id"), lower(col(nameCol)).as("__name"))
+      .select(col("__id"), col("__name"),
+        explode(array_distinct(concat(array(col("__name")), deletions)))
+          .as("__v"))
+    val l = variants.select(col("__v"), col("__id").as("id_a"),
+      col("__name").as("name_a"))
+    val r = variants.select(col("__v"), col("__id").as("id_b"),
+      col("__name").as("name_b"))
+    l.join(r, Seq("__v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
 }

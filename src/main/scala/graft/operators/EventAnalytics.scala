@@ -79,6 +79,90 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Frequent-pair mining over user baskets (the 2-itemset core of
+    * association rules): which event types co-occur in the same user's
+    * history more than their marginals predict? Emits one row per
+    * unordered type pair with support and the two directionless rule
+    * stats: `confidence` = P(b|a) and `lift` = P(a,b)/(P(a)P(b)) — lift
+    * > 1 is genuine affinity, the cross-sell / co-trigger signal.
+    *
+    * Exact arithmetic: all counts are BIGINTs;
+    * `lift = n_ab * n_users / (n_a * n_b)` and `confidence = n_ab / n_a`
+    * are each ONE division of exact integers, rounded at output.
+    *
+    * Scale shape: baskets collapse to DISTINCT (user, type) first (one
+    * map-side-combined shuffle), the pair join is per-user over the type
+    * domain (|types|^2 per user, domain-bounded — never event-row
+    * quadratic), marginals broadcast.
+    */
+  def itemsetPairs(events: DataFrame, userCol: String,
+                   typeCol: String): DataFrame = {
+    val baskets = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t")).distinct()
+    val nUsers = baskets.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__n_users"))
+    val singles = baskets.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val pairs = baskets.select(col("__u"), col("__t").as("type_a"))
+      .join(baskets.select(col("__u"), col("__t").as("type_b")), Seq("__u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("__t").as("type_a"),
+        col("__n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(singles.select(col("__t").as("type_b"),
+        col("__n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round((col("n_ab") * col("__n_users")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Time-weighted average value per (series key, day) — the TWAP/
+    * duty-cycle aggregate a metrics warehouse needs wherever samples
+    * arrive unevenly (a plain mean over-weights bursts): each event's
+    * value holds until the next event of the same key and day, and the
+    * average weights by that holding time. The day's last event has no
+    * successor inside the day and carries no weight (the conservative
+    * convention — no weight invented past the observation window); days
+    * with a single event emit `n_events` with a null twap, which is the
+    * honest answer.
+    *
+    * Exact arithmetic: values lift to integer cents
+    * (`round(value * 100)` — the fixtures' 2-decimal contract), weights
+    * are exact micro durations, so the accumulator is an exact BIGINT and
+    * `twap = sum(cents * w) / (100.0 * sum(w))` is ONE division.
+    *
+    * Scale shape: one window (partitioned by key+day) for the successor
+    * timestamp, one map-side-combined aggregate to |keys x days| rows.
+    * `tsCol` must be epoch micros ([[EventTime.tsMicros]]).
+    */
+  def timeWeightedAverage(events: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = events
+      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(valueCol).cast("double").as("value"), col(idCol).as("id"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .withColumn("day", floor(col("ts") / EventTime.DayMicros).cast("long"))
+    val w = Window.partitionBy(col("key"), col("day"))
+      .orderBy(col("ts"), col("id"))
+    pts
+      .withColumn("__w", lead(col("ts"), 1).over(w) - col("ts"))
+      .withColumn("__cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__cents") * col("__w")).as("__num"),
+        sum(col("__w")).as("__den"))
+      .select(col("key"), col("day"), col("n_events"),
+        when(col("__den") > 0,
+          round(col("__num").cast("double") / (lit(100.0) * col("__den")), 6))
+          .otherwise(lit(null).cast("double")).as("twap"))
+  }
+
   /** LTTB-style time-series downsampling (Steinarsson's
     * largest-triangle-three-buckets, in the bucket-average variant):
     * per series key, points fall into fixed-count buckets in time order

@@ -112,4 +112,32 @@ class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(ex.getMessage.contains("graft.jaroPairs"))
   }
+
+  test("symspellPairs: finds all distance-<=1 pairs incl. first-char edits") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd"), (4L, "ab"),
+      (5L, "xabc"), (6L, "azz")).toDF("id", "name")
+    val got = EditDistance.symspellPairs(df, "id", "name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    // (1,5): the FIRST-char insertion a prefix blocker would miss.
+    val want = Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (1L, 5L) -> 1L, (2L, 3L) -> 1L, (2L, 4L) -> 1L, (2L, 5L) -> 1L,
+      (3L, 4L) -> 1L)
+    assert(got == want, s"got $got")
+    // completeness vs in-test brute force
+    val names = Map(1L -> "abc", 2L -> "abc", 3L -> "abd", 4L -> "ab",
+      5L -> "xabc", 6L -> "azz")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names.keys; b <- names.keys if a < b
+      if lev(names(a), names(b)) <= 1
+    } yield (a, b)).toSet
+    assert(got.keySet == brute)
+  }
 }

@@ -81,4 +81,38 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
         .lttbDownsample(df, "etype", "tsu", "value", "eid", bucketSize = 0)
     }
   }
+
+  test("itemsetPairs: hand-computed support, confidence, lift") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val ev = Seq((1L, "A"), (1L, "B"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "B"), (4L, "C")).toDF("user_id", "etype")
+    val got = graft.operators.EventAnalytics
+      .itemsetPairs(ev, "user_id", "etype")
+      .orderBy("type_a", "type_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // N=4 users; n_A=3, n_B=3, n_C=1; AB support 2, BC support 1; the
+    // repeated (1,A) event collapses in the distinct basket.
+    assert(got.toSeq == Seq(
+      ("A", "B", 3L, 3L, 2L, 0.666667, 0.888889),
+      ("B", "C", 3L, 1L, 1L, 0.333333, 1.333333)))
+  }
+
+  test("timeWeightedAverage: holding-time weights, day split, 1-event null") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val day = graft.operators.EventTime.DayMicros
+    val ev = Seq(("a", 0L, 1.0, 1L), ("a", 10L, 3.0, 2L),
+      ("a", 40L, 2.0, 3L), ("a", day + 5L, 9.0, 4L))
+      .toDF("etype", "tsu", "value", "eid")
+    val got = graft.operators.EventAnalytics
+      .timeWeightedAverage(ev, "etype", "tsu", "value", "eid")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // day 0: (100c*10 + 300c*30)/(100*(10+30)) = 2.5; last event weightless
+    // day 1: single event -> null twap (no holding window observed)
+    assert(got.toSeq == Seq((0L, 3L, Some(2.5)), (1L, 1L, None)))
+  }
 }
