@@ -1024,6 +1024,23 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "unigram_vocab" -> ((s, dir) =>
+      // Unigram-LM tokenizer vocabulary (UnigramLm.trainVocab scaladoc):
+      // all single chars + top-40 substrings, integer micro-nat costs.
+      graft.functions.UnigramLm.trainVocab(t(s, dir, "documents"), "text")),
+
+    "unigram_segment" -> ((s, dir) => {
+      // Viterbi segmentation of every distinct corpus word under the
+      // trained vocab (UnigramLm scaladoc) — the combined cost*16+1
+      // metric makes optimum value AND piece count one integer DP; the
+      // pieces string itself is spec-pinned (SQL backtracking adds
+      // nothing the metric doesn't already certify).
+      val d = t(s, dir, "documents")
+      graft.functions.UnigramLm
+        .segment(d, "text", graft.functions.UnigramLm.trainVocab(d, "text"))
+        .drop("pieces")
+    }),
+
     "symspell_match" -> ((s, dir) =>
       // SymSpell deletion-variant fuzzy match over the planted surnames
       // (EditDistance.symspellPairs scaladoc): equi-join on variant keys,
@@ -2530,6 +2547,43 @@ object SparkEntry {
        |FROM sel CROSS JOIN cov""".stripMargin
   }
 
+  /** Unigram-LM CTE chain: substring candidates from occurrence-weighted
+    * distinct words, single-chars + top-`topK` vocabulary with integer
+    * micro-nat costs (ending at `vc`), then the Viterbi DP over the
+    * combined `cost*16 + 1` metric UNROLLED position by position (`b1` ..
+    * `b<maxWordLen>`) — pure integer arithmetic end to end, shared by the
+    * `unigram_vocab` and `unigram_segment` oracles.
+    */
+  private def unigramSqlCtes(topK: Int, maxPieceLen: Int,
+                             maxWordLen: Int): String = {
+    val rounds = (1 to maxWordLen).map { i =>
+      val cands = (1 to math.min(maxPieceLen, i)).map { l =>
+        s"""SELECT b.w, b.m + vc.cost_micro * 16 + 1 AS m
+           | FROM b${i - l} b JOIN vc ON vc.piece = b.w[${i - l + 1}:$i]
+           | WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""b$i AS MATERIALIZED (SELECT w, min(m) AS m FROM (\n$cands\n ) GROUP BY w)"""
+    }.mkString(",\n")
+    s"""uw AS MATERIALIZED (SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM
+       | (SELECT unnest($toksSql) AS t FROM documents) q GROUP BY t),
+       |cand AS (SELECT piece, sum(n) AS n FROM (
+       | SELECT unnest(flatten(list_transform(range(1, least(len(w), $maxPieceLen) + 1),
+       |   l -> list_transform(range(1, len(w) - l + 2), i -> w[i:i+l-1])))) AS piece, n
+       | FROM uw) q GROUP BY piece),
+       |vsel AS (
+       | SELECT piece, n FROM cand WHERE len(piece) = 1
+       | UNION ALL
+       | SELECT piece, n FROM (
+       |  SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS rk
+       |  FROM cand WHERE len(piece) > 1) q WHERE rk <= $topK),
+       |tot AS (SELECT sum(n) AS total FROM vsel),
+       |vc AS MATERIALIZED (SELECT piece, CAST(n AS BIGINT) AS n,
+       |  CAST(round(-ln(CAST(n AS DOUBLE) / tot.total) * 1000000, 0) AS BIGINT) AS cost_micro
+       | FROM vsel CROSS JOIN tot),
+       |b0 AS MATERIALIZED (SELECT w, 0 AS m FROM uw),
+       |$rounds""".stripMargin
+  }
+
   /** RAKE's fixed stoplist as a SQL IN-list — one source of truth
     * ([[graft.operators.Rake.Stopwords]]) for both engines.
     */
@@ -3912,6 +3966,25 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // UnigramLm.trainVocab replay: the shared CTE chain's vocabulary.
+    "unigram_vocab" ->
+      s"""WITH ${unigramSqlCtes(40, 4, 12)}
+         |SELECT piece, n, cost_micro FROM vc""".stripMargin,
+
+    // UnigramLm.segment replay: the unrolled integer Viterbi; decode the
+    // combined metric into piece count and micro-nat cost.
+    "unigram_segment" ->
+      s"""WITH ${unigramSqlCtes(40, 4, 12)},
+         |res AS (
+         |${(1 to 12).map(i =>
+             s" SELECT uw.w, uw.n, b$i.m FROM uw JOIN b$i ON uw.w = b$i.w AND len(uw.w) = $i")
+             .mkString("\n UNION ALL\n")}
+         |)
+         |SELECT w AS word, n AS n_occurrences,
+         | CAST(m % 16 AS BIGINT) AS n_pieces,
+         | CAST(m // 16 AS BIGINT) AS cost_micro
+         |FROM res""".stripMargin,
 
     // BRUTE-FORCE all-pairs levenshtein oracle for
     // EditDistance.symspellPairs — proves the deletion-variant candidate
