@@ -1024,6 +1024,31 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "embed_binarize" -> ((s, dir) =>
+      // 1-bit sign quantization packed into 32-dim words
+      // (Similarity.binarize scaladoc): 64 dims -> two BIGINTs, exact by
+      // construction.
+      Similarity.binarize(t(s, dir, "embeddings"))
+        .select(col("id").as("vec_id"),
+          element_at(col("words"), 1).as("bits_w0"),
+          element_at(col("words"), 2).as("bits_w1"), col("n_pos"))),
+
+    "hamming_topk" -> ((s, dir) => {
+      // Pure-integer top-5 by Hamming distance over the binarized codes
+      // (Similarity.hammingTopK scaladoc) — the shortlist stage of the
+      // binarize-then-rerank recipe.
+      val codes = Similarity.binarize(t(s, dir, "embeddings"))
+      Similarity.hammingTopK(codes.filter(col("id") < 20), codes, k = 5)
+    }),
+
+    "event_transitions" -> ((s, dir) =>
+      // First-order Markov transition matrix over user event streams
+      // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
+      // counts + row-stochastic probabilities.
+      EventAnalytics.transitionMatrix(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts", "event_id")),
+
     "unigram_vocab" -> ((s, dir) =>
       // Unigram-LM tokenizer vocabulary (UnigramLm.trainVocab scaladoc):
       // all single chars + top-40 substrings, integer micro-nat costs.
@@ -2584,6 +2609,19 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** 1-bit sign packing of `embeddings` into 32-dim words — the SELECT
+    * body shared by the `embed_binarize` / `hamming_topk` oracles,
+    * mirroring `Similarity.binarize`'s word/bit layout exactly.
+    */
+  private val binarizeSqlSelect: String =
+    """SELECT vec_id,
+      |  list_transform(range(0, CAST(floor((len(embedding) - 1) / 32) AS INT) + 1),
+      |   w -> CAST(list_sum(list_transform(range(0, 32),
+      |     i -> CASE WHEN w * 32 + i < len(embedding)
+      |        AND embedding[CAST(w * 32 + i + 1 AS INT)] > 0
+      |       THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS words
+      | FROM embeddings""".stripMargin
+
   /** RAKE's fixed stoplist as a SQL IN-list — one source of truth
     * ([[graft.operators.Rake.Stopwords]]) for both engines.
     */
@@ -3966,6 +4004,48 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Similarity.binarize replay: identical 32-bit word packing (2^i
+    // accumulated in double, exact below 2^32), bit_count totals.
+    "embed_binarize" ->
+      s"""WITH codes AS ($binarizeSqlSelect)
+         |SELECT vec_id, words[1] AS bits_w0, words[2] AS bits_w1,
+         | CAST(list_sum(list_transform(words, x -> bit_count(x))) AS BIGINT) AS n_pos
+         |FROM codes""".stripMargin,
+
+    // Similarity.hammingTopK replay: per-word XOR popcount sums, rank by
+    // (hamming, id).
+    "hamming_topk" ->
+      s"""WITH codes AS ($binarizeSqlSelect),
+         |qs AS (SELECT vec_id AS qid, words AS qw FROM codes WHERE vec_id < 20),
+         |scored AS (
+         | SELECT qs.qid, c.vec_id AS id,
+         |  CAST(list_sum(list_transform(range(1, len(qs.qw) + 1),
+         |    j -> bit_count(xor(qs.qw[j], c.words[j])))) AS BIGINT) AS hamming
+         | FROM qs, codes c WHERE c.vec_id <> qs.qid),
+         |ranked AS (SELECT qid, id, hamming,
+         |  row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS rn
+         | FROM scored)
+         |SELECT qid, id, hamming, CAST(rn AS BIGINT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // EventAnalytics.transitionMatrix replay: lead over (ts, id) per user,
+    // |types|^2 counts, one exact division.
+    "event_transitions" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events
+        | WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND ts IS NOT NULL),
+        |p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS to_type
+        | FROM ev),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        | FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, sum(n) AS nf FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        | round(CAST(c.n AS DOUBLE) / ft.nf, 6) AS prob
+        |FROM c JOIN ft USING (from_type)""".stripMargin,
 
     // UnigramLm.trainVocab replay: the shared CTE chain's vocabulary.
     "unigram_vocab" ->

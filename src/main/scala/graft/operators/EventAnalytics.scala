@@ -79,6 +79,39 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** First-order Markov transition matrix over each user's event stream —
+    * the user-journey model behind "what happens after X": consecutive
+    * event-type pairs within a user's time-ordered history, with the
+    * empirical transition probability `P(to | from)`. The row-stochastic
+    * matrix feeds next-step prediction, funnel design, and anomaly checks
+    * (a transition probability collapsing week-over-week is a product
+    * regression). Self-transitions count — repeats are signal here.
+    *
+    * Exact arithmetic: counts are BIGINTs, `prob = n / n_from` is ONE
+    * division rounded at output.
+    *
+    * Scale shape: one lead window per user (shuffle on the user key),
+    * then a map-side-combined aggregate to the |types|^2 matrix; marginals
+    * broadcast. `tsCol` must be epoch micros ([[EventTime.tsMicros]]).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__nf"))
+    pairs.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__nf"), 6).as("prob"))
+  }
+
   /** Frequent-pair mining over user baskets (the 2-itemset core of
     * association rules): which event types co-occur in the same user's
     * history more than their marginals predict? Emits one row per

@@ -385,6 +385,68 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------------
+  // Binary (1-bit) quantization tier
+  // -------------------------------------------------------------------------
+
+  /** 1-bit (sign) quantization of an embedding column, packed into 32-dim
+    * machine words — the most aggressive memory tier of the quantization
+    * ladder (float32 -> [[Pq]] codes -> int8 (`embed_quantize`) -> 1 bit
+    * here): 64 dims become TWO BIGINTs (32x smaller than float32), and
+    * similarity becomes pure bit arithmetic ([[hammingTopK]]) — no floats
+    * anywhere, so results are exactly reproducible on any engine by
+    * construction. The re-rank recipe: Hamming shortlist at 1 bit, exact
+    * cosine only on the shortlist.
+    *
+    * Packing: word `w` holds dims `32w .. 32w+31`; bit `i` is set iff the
+    * dimension is strictly positive (sign quantization, the standard
+    * binarization). 32-bit words sidestep the BIGINT sign bit and stay
+    * exact through the double-arithmetic `2^i` accumulation (< 2^32).
+    *
+    * Returns `(id, words array<long>, n_pos)`. One narrow codegen'd pass.
+    */
+  def binarize(corpus: DataFrame, vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val dimWord = 32
+    val words = transform(
+      sequence(lit(0), floor((size(col(vecCol)) - 1) / dimWord).cast("int")),
+      w => aggregate(
+        sequence(lit(0), lit(dimWord - 1)),
+        lit(0L),
+        (acc, i) => acc + when(
+          w * dimWord + i < size(col(vecCol)) &&
+            element_at(col(vecCol), (w * dimWord + i + 1).cast("int")) > 0,
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))))
+    corpus.select(col(idCol).as("id"), words.as("words"))
+      .withColumn("n_pos",
+        aggregate(col("words"), lit(0L), (acc, v) => acc + bit_count(v)))
+  }
+
+  /** Exact top-k by Hamming distance over [[binarize]]d codes: per query,
+    * the `k` corpus codes with the fewest differing sign bits (ties by
+    * corpus id). Pure integer XOR/popcount — at scale this is the
+    * shortlist stage, scanning 2 longs per 64-dim vector instead of 64
+    * floats. Returns `(qid, id, hamming, rank)`.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  idCol: String = "id",
+                  wordsCol: String = "words"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val scored = queries
+      .select(col(idCol).as("qid"), col(wordsCol).as("__qw"))
+      .crossJoin(corpus.select(col(idCol).as("id"), col(wordsCol).as("__cw")))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("__qw"), col("__cw"), (a, b) => bit_count(a.bitwiseXOR(b))),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("hamming"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------------
   // Bitext mining
   // -------------------------------------------------------------------------
 

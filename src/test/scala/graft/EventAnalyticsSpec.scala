@@ -115,4 +115,19 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // day 1: single event -> null twap (no holding window observed)
     assert(got.toSeq == Seq((0L, 3L, Some(2.5)), (1L, 1L, None)))
   }
+
+  test("transitionMatrix: consecutive pairs per user, row-stochastic probs") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val ev = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (2L, "A", 5L, 4L), (2L, "A", 6L, 5L)).toDF("u", "t", "tsu", "eid")
+    val got = graft.operators.EventAnalytics
+      .transitionMatrix(ev, "u", "t", "tsu", "eid")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // user1: A->B->A; user2: A->A (self-transition counts)
+    assert(got.toSeq == Seq(("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5),
+      ("B", "A", 1L, 1.0)))
+  }
 }

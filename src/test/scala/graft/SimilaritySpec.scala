@@ -230,4 +230,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.kthNeighborDistance(corpus, corpus, k = 0)
     }
   }
+
+  test("binarize + hammingTopK: hand-packed sign bits, multi-word layout") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, -1f, 1f, -1f)),   // bits {0,2} -> 5
+      (2L, Seq(1f, 1f, -1f, -1f)),   // bits {0,1} -> 3
+      (3L, Seq(-1f, -1f, 0f, -1f))). // zero is NOT positive -> 0
+      toDF("vec_id", "embedding")
+    val codes = Similarity.binarize(corpus)
+    val got = codes.collect().map(r => r.getLong(0) ->
+      ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(got(1L) == ((Seq(5L), 2L)))
+    assert(got(2L) == ((Seq(3L), 2L)))
+    assert(got(3L) == ((Seq(0L), 0L)))
+    // 34-dim vector: only dim 34 positive -> word 1, bit 1
+    val wide = Seq((9L, (Seq.fill(33)(-1f) :+ 1f))).toDF("vec_id", "embedding")
+    val w = Similarity.binarize(wide).collect()(0)
+    assert(w.getSeq[Long](1) == Seq(0L, 2L) && w.getLong(2) == 1L)
+    // hamming(1,2)=popcount(5^3)=2, hamming(1,3)=popcount(5)=2 -> tie by id
+    val top = Similarity.hammingTopK(codes.filter($"id" === 1L), codes, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.toSeq == Seq((2L, 2L, 1L), (3L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(codes, codes, k = 0)
+    }
+  }
 }
