@@ -1024,6 +1024,87 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "hamming_rerank_recall" -> ((s, dir) => {
+      // The binarize->shortlist->rerank recipe audited end to end
+      // (Similarity.hammingRerankRecall scaladoc): recall@5 of a
+      // 20-candidate Hamming shortlist reranked by exact cosine.
+      val e = t(s, dir, "embeddings")
+      Similarity.hammingRerankRecall(e.filter(col("vec_id") < 20), e,
+        shortlist = 20, k = 5)
+    }),
+
+    "rolling_7d" -> ((s, dir) =>
+      // Trailing 7-day rolling aggregates per event type
+      // (EventAnalytics.rollingDaily scaladoc): RANGE-framed on day
+      // number so gap days age out; integer-cent value sums.
+      EventAnalytics.rollingDaily(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "event_type", "ts", "value")),
+
+    "ewma_daily" -> ((s, dir) =>
+      // Exponentially-weighted daily-count baseline per event type
+      // (EventAnalytics.ewmaDaily scaladoc): independent left-to-right
+      // prefix folds, alpha = 0.3.
+      EventAnalytics.ewmaDaily(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "event_type", "ts")),
+
+    "rollup_revenue" -> ((s, dir) => {
+      // Hierarchical revenue report via ROLLUP(region, nation) — the
+      // grouping-sets surface: leaf rows, per-region subtotals, and the
+      // grand total in one aggregate pass.
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_items"))
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8-flavor deep star join: per order year, each supplier
+      // nation's share of ASIA-customer revenue on small parts — 7 tables,
+      // every dimension broadcast, exact-decimal revenue, one division
+      // for the share.
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val p = broadcast(t(s, dir, "part").filter(col("p_size") < 15)
+        .select(col("p_partkey")))
+      val nCust = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("__cnk"), col("n_regionkey")))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val nSupp = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation")))
+      val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(nCust, c("c_nationkey") === col("__cnk"))
+        .join(r, col("n_regionkey") === r("r_regionkey"))
+        .join(nSupp, sup("s_nationkey") === col("__snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("supp_nation"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec))).as("__revd"))
+      val totals = rev.groupBy(col("o_year"))
+        .agg(sum(col("__revd")).as("__totd"))
+      rev.join(broadcast(totals), "o_year")
+        .select(col("o_year"), col("supp_nation"),
+          col("__revd").cast("double").as("revenue"),
+          round(col("__revd").cast("double") / col("__totd").cast("double"), 6)
+            .as("share"))
+    }),
+
     "embed_binarize" -> ((s, dir) =>
       // 1-bit sign quantization packed into 32-dim words
       // (Similarity.binarize scaladoc): 64 dims -> two BIGINTs, exact by
@@ -4004,6 +4085,115 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Similarity.hammingRerankRecall replay: Hamming shortlist over the
+    // binarize CTE, exact-cosine rerank, recall vs the exact top-5.
+    "hamming_rerank_recall" ->
+      s"""WITH codes AS ($binarizeSqlSelect),
+         |qs AS (SELECT vec_id AS qid, words AS qw FROM codes WHERE vec_id < 20),
+         |hshort AS (SELECT qid, id FROM (
+         | SELECT qs.qid, c.vec_id AS id,
+         |  row_number() OVER (PARTITION BY qs.qid ORDER BY
+         |   CAST(list_sum(list_transform(range(1, len(qs.qw) + 1),
+         |     j -> bit_count(xor(qs.qw[j], c.words[j])))) AS BIGINT), c.vec_id) AS rn
+         | FROM qs, codes c WHERE c.vec_id <> qs.qid) q WHERE rn <= 20),
+         |qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+         | WHERE vec_id < 20),
+         |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |approx AS (SELECT qid, id FROM (
+         | SELECT h.qid, h.id, row_number() OVER (PARTITION BY h.qid ORDER BY
+         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, h.id) AS rn
+         | FROM hshort h JOIN qv ON qv.qid = h.qid JOIN cv ON cv.id = h.id) q
+         | WHERE rn <= 5),
+         |exact AS (SELECT qid, id FROM (
+         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
+         |SELECT e.qid,
+         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+         |GROUP BY e.qid""".stripMargin,
+
+    // EventAnalytics.rollingDaily replay: RANGE-framed day window,
+    // integer-cent sums, identical division shapes.
+    "rolling_7d" ->
+      """WITH daily AS (
+        | SELECT event_type AS key,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        | GROUP BY 1, 2),
+        |roll AS (
+        | SELECT key, day, n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS rolling_n,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS rc
+        | FROM daily
+        | WINDOW w AS (PARTITION BY key ORDER BY day
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT key, day, n, rolling_n,
+        | round(CAST(rc AS DOUBLE) / 100.0, 6) AS rolling_value,
+        | round(CAST(rc AS DOUBLE) / (100.0 * rolling_n), 6) AS rolling_avg
+        |FROM roll""".stripMargin,
+
+    // EventAnalytics.ewmaDaily replay: per-day independent left-to-right
+    // list_reduce folds seeded with the first element — the exact op
+    // sequence of the engine's aggregate() fold.
+    "ewma_daily" ->
+      """WITH daily AS (
+        | SELECT event_type AS key,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |series AS (
+        | SELECT key, list(day ORDER BY day) AS days,
+        |  list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+        | FROM daily GROUP BY key),
+        |expl AS (
+        | SELECT key, unnest(list_transform(range(1, len(xs) + 1),
+        |   i -> {'day': days[i], 'n': xs[i],
+        |         'ewma': round(list_reduce(xs[1:i],
+        |            (acc, x) -> 0.3 * x + 0.7 * acc), 6)})) AS u
+        | FROM series)
+        |SELECT key, u.day AS day, CAST(u.n AS BIGINT) AS n, u.ewma AS ewma
+        |FROM expl""".stripMargin,
+
+    // Spark rollup == DuckDB GROUP BY ROLLUP; subtotal nulls coalesce to
+    // 'ALL' on both sides, revenue exact-decimal.
+    "rollup_revenue" ->
+      """SELECT coalesce(r.r_name, 'ALL') AS region,
+        | coalesce(n.n_name, 'ALL') AS nation,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin,
+
+    // Q8-flavor market share: same 7-table join, exact-decimal revenues,
+    // share as one double division.
+    "q8_market_share" ->
+      """WITH rev AS (
+        | SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  n2.n_name AS supp_nation,
+        |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revd
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 15
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        | JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        | JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        | GROUP BY 1, 2),
+        |tot AS (SELECT o_year, sum(revd) AS totd FROM rev GROUP BY o_year)
+        |SELECT rev.o_year, rev.supp_nation,
+        | CAST(rev.revd AS DOUBLE) AS revenue,
+        | round(CAST(rev.revd AS DOUBLE) / CAST(tot.totd AS DOUBLE), 6) AS share
+        |FROM rev JOIN tot USING (o_year)""".stripMargin,
 
     // Similarity.binarize replay: identical 32-bit word packing (2^i
     // accumulated in double, exact below 2^32), bit_count totals.

@@ -79,6 +79,90 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Rolling `windowDays`-day aggregates per series key — the
+    * trailing-window health view (7-day active counts, rolling spend)
+    * every metrics dashboard reads beside the raw dailies. RANGE-framed
+    * on the day NUMBER, so gap days genuinely age out of the window
+    * (a ROWS frame would silently stretch across gaps — the classic
+    * rolling-window bug).
+    *
+    * One row per occupied (key, day): `(key, day, n, rolling_n,
+    * rolling_value, rolling_avg)` — value sums ride integer cents
+    * (exact), the two emitted ratios are each one division.
+    *
+    * Scale shape: one map-side-combined aggregate to |keys x days| rows,
+    * then one RANGE window over that daily table (per-key, days-bounded).
+    * `tsCol` must be epoch micros ([[EventTime.tsMicros]]).
+    */
+  def rollingDaily(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        floor(col(tsCol).cast("long") / EventTime.DayMicros).cast("long")
+          .as("day"),
+        round(col(valueCol).cast("double") * 100, 0).cast("long").as("__c"))
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__cents"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("rolling_n", sum(col("n")).over(w).cast("long"))
+      .withColumn("__rc", sum(col("__cents")).over(w))
+      .select(col("key"), col("day"), col("n"), col("rolling_n"),
+        round(col("__rc").cast("double") / 100.0, 6).as("rolling_value"),
+        round(col("__rc").cast("double") / (lit(100.0) * col("rolling_n")), 6)
+          .as("rolling_avg"))
+  }
+
+  /** Exponentially-weighted moving average of DAILY COUNTS per series key
+    * (`s_1 = x_1`, `s_i = alpha*x_i + (1-alpha)*s_{i-1}`) — the smoothed
+    * baseline an alerting rule compares today against; unlike the
+    * [[rollingDaily]] flat window it never forgets level shifts, only
+    * fades them.
+    *
+    * Determinism: each day's value is recomputed as an independent
+    * LEFT-TO-RIGHT prefix fold over the day-sorted counts (identical
+    * lambda shape in the oracle — DuckDB's `list_reduce` seeds with the
+    * first element exactly like the `aggregate` fold here), so both
+    * engines execute the same IEEE op sequence; rounded only at output.
+    * The per-series O(days^2) fold cost is bounded by the day span, not
+    * event volume.
+    *
+    * One row per occupied (key, day): `(key, day, n, ewma)`.
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+                alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        floor(col(tsCol).cast("long") / EventTime.DayMicros).cast("long")
+          .as("day"))
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("__s"))
+      .select(col("key"),
+        transform(col("__s"), x => x("day")).as("__days"),
+        transform(col("__s"), x => x("n").cast("double")).as("__xs"))
+    val ewmas = transform(
+      sequence(lit(1), size(col("__xs"))),
+      i => round(aggregate(
+        slice(col("__xs"), lit(2), i - 1),
+        element_at(col("__xs"), 1),
+        (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc), 6))
+    series
+      .withColumn("__e", ewmas)
+      .select(col("key"),
+        posexplode(arrays_zip(col("__days"), col("__xs"), col("__e")))
+          .as(Seq("__i", "__z")))
+      .select(col("key"), col("__z.__days").as("day"),
+        col("__z.__xs").cast("long").as("n"), col("__z.__e").as("ewma"))
+  }
+
   /** First-order Markov transition matrix over each user's event stream —
     * the user-journey model behind "what happens after X": consecutive
     * event-type pairs within a user's time-ordered history, with the

@@ -446,6 +446,59 @@ object Similarity {
       .select(col("qid"), col("id"), col("hamming"), col("rank"))
   }
 
+  /** End-to-end audit of the binarize-then-rerank recipe: per query, take
+    * a `shortlist`-sized Hamming candidate set over the 1-bit codes,
+    * re-rank it by exact cosine, and measure recall@k against the exact
+    * full-precision top-k — the number that decides whether the 32x
+    * memory saving is free or costs retrieval quality. Returns one row
+    * per query: `(qid, n_hit, recall)`.
+    *
+    * Exact regime on both paths (oracle-checkable); at scale the
+    * shortlist comes from a Hamming index scan and the exact side from a
+    * sampled audit stratum. All ranking ties break by id; recall is one
+    * exact integer division.
+    */
+  def hammingRerankRecall(queries: DataFrame, corpus: DataFrame,
+                          shortlist: Int, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          roundDp: Int = 6): DataFrame = {
+    require(shortlist >= k && k >= 1,
+      s"need shortlist >= k >= 1, got ($shortlist, $k)")
+    import org.apache.spark.sql.expressions.Window
+    val codesQ = binarize(queries, vecCol, idCol)
+    val codesC = binarize(corpus, vecCol, idCol)
+    val short = hammingTopK(codesQ, codesC, shortlist)
+      .select(col("qid"), col("id"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("id"))
+    val approx = short.join(qv, "qid").join(cv, "id")
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+          roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id"))
+    val exact = qv.crossJoin(cv)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+          roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id").as("__eid"))
+    exact
+      .join(approx.withColumn("__hit", lit(1L)),
+        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+        "left")
+      .groupBy(exact("qid"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+  }
+
   // -------------------------------------------------------------------------
   // Bitext mining
   // -------------------------------------------------------------------------

@@ -130,4 +130,49 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq(("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5),
       ("B", "A", 1L, 1.0)))
   }
+
+  test("rollingDaily: RANGE frame ages gap days out of the window") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val day = graft.operators.EventTime.DayMicros
+    val ev = Seq(("a", 0L, 1.0, 1L), ("a", 1L, 1.0, 2L),
+      ("a", day, 2.0, 3L), ("a", 2 * day, 4.0, 4L),
+      ("a", 9 * day, 10.0, 5L)).toDF("etype", "tsu", "value", "eid")
+    val got = graft.operators.EventAnalytics
+      .rollingDaily(ev, "etype", "tsu", "value")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 2.0, 1.0),
+      (1L, 1L, 3L, 4.0, 1.333333),
+      (2L, 1L, 4L, 8.0, 2.0),
+      // day 9's trailing week covers days 3..9 only: the gap aged out
+      (9L, 1L, 1L, 10.0, 10.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics
+        .rollingDaily(ev, "etype", "tsu", "value", windowDays = 0)
+    }
+  }
+
+  test("ewmaDaily: independent prefix folds match the hand recurrence") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val day = graft.operators.EventTime.DayMicros
+    val rows = Seq.fill(10)(("a", 0L)) ++ Seq.fill(4)(("a", day)) ++
+      Seq.fill(7)(("a", 2 * day))
+    val ev = rows.zipWithIndex.map { case ((k, t), i) => (k, t + i, i.toLong) }
+      .toDF("etype", "tsu", "eid")
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e2raw = 0.3 * 4 + 0.7 * 10.0
+    val got = graft.operators.EventAnalytics.ewmaDaily(ev, "etype", "tsu")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 10L, 10.0), (1L, 4L, r6(e2raw)),
+      (2L, 7L, r6(0.3 * 7 + 0.7 * e2raw))))
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics.ewmaDaily(ev, "etype", "tsu", alpha = 0.0)
+    }
+  }
 }

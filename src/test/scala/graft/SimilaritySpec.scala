@@ -258,4 +258,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.hammingTopK(codes, codes, k = 0)
     }
   }
+
+  test("hammingRerankRecall: full shortlist reranks to exact -> recall 1") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val corpus = (0L until 8L).map(i =>
+      (i, Seq.tabulate(4)(d => if (((i >> d) & 1L) == 1L) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingRerankRecall(
+      corpus.filter($"vec_id" < 3), corpus, shortlist = 7, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // shortlist covers every candidate, so the rerank IS the exact top-3
+    assert(got.length == 3)
+    assert(got.forall(r => r._2 == 3L && r._3 == 1.0), got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.hammingRerankRecall(corpus, corpus, shortlist = 2, k = 3)
+    }
+  }
 }
