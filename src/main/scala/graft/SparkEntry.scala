@@ -1024,6 +1024,37 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "cooc_window" -> ((s, dir) =>
+      // Skip-window co-occurrence PMI, window 2
+      // (LangModel.windowedCooccurrence scaladoc) — the embedding-training
+      // context statistic beside the adjacent-bigram collocations gate.
+      LangModel.windowedCooccurrence(t(s, dir, "documents"), "text",
+        "doc_id")),
+
+    "negative_sampling" -> ((s, dir) =>
+      // word2vec count^(3/4) negative-sampling distribution
+      // (LangModel.negativeSamplingDist scaladoc).
+      LangModel.negativeSamplingDist(t(s, dir, "documents"), "text")),
+
+    "fd_audit" -> ((s, dir) =>
+      // Functional-dependency audit (Profile.functionalDependency
+      // scaladoc): a natural-key FD that holds on the dimension table and
+      // two denormalized columns that genuinely violate.
+      Seq(
+        Profile.functionalDependency(t(s, dir, "nation"), "n_name",
+          "n_regionkey", "nation.n_name->n_regionkey"),
+        Profile.functionalDependency(t(s, dir, "customer"), "c_nationkey",
+          "c_mktsegment", "customer.c_nationkey->c_mktsegment"),
+        Profile.functionalDependency(t(s, dir, "documents"), "source",
+          "lang", "documents.source->lang"))
+        .reduce(_ unionByName _)),
+
+    "domain_tree" -> ((s, dir) =>
+      // Reversed-label domain hierarchy rollup over the planted crawl
+      // hosts (Profile.domainTree scaladoc).
+      Profile.domainTree(
+        t(s, dir, "documents").select(plantedHost.as("host")), "host")),
+
     "hamming_rerank_recall" -> ((s, dir) => {
       // The binarize->shortlist->rerank recipe audited end to end
       // (Similarity.hammingRerankRecall scaladoc): recall@5 of a
@@ -2724,6 +2755,16 @@ object SparkEntry {
       .otherwise(base)
   }
 
+  /** The host portion of [[plantedCrawlUrl]], already canonical-lowercase
+    * — the `domain_tree` gate's input (50 hosts over 4 public suffixes).
+    */
+  private def plantedHost: Column = {
+    val base = col("doc_id") % 100
+    concat(lit("www.site"), (base % 10).cast("string"), lit(".example."),
+      element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
+        (base % 4 + 1).cast("int")))
+  }
+
   /** The [[plantedSurname]] plant as CTEs ending at `nm(doc_id, name)` —
     * shared by the `dedup_jaro` and `symspell_match` oracles.
     */
@@ -4085,6 +4126,76 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // LangModel.windowedCooccurrence replay: position-band pair join,
+    // unordered normalization, fixed-shape PMI product chain.
+    "cooc_window" ->
+      s"""WITH pos AS (
+         | SELECT doc_id, u.pos AS p, u.tok AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> {'pos': i, 'tok': toks[i]})) AS u
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) t) q),
+         |pairs AS (
+         | SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+         |  CAST(count(*) AS BIGINT) AS pair_count
+         | FROM pos a JOIN pos b
+         |  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+         | GROUP BY 1, 2),
+         |occ AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM pos GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos),
+         |tt AS (SELECT sum(pair_count) AS t FROM pairs)
+         |SELECT p.w1, p.w2, p.pair_count,
+         | round(ln(CAST(p.pair_count AS DOUBLE) * nt.n * nt.n /
+         |   (CAST(tt.t AS DOUBLE) * oa.nw * ob.nw)), 6) AS pmi
+         |FROM pairs p JOIN occ oa ON oa.w = p.w1 JOIN occ ob ON ob.w = p.w2
+         | CROSS JOIN nt CROSS JOIN tt
+         |WHERE p.pair_count >= 5""".stripMargin,
+
+    // LangModel.negativeSamplingDist replay: pow rounded first, DECIMAL
+    // normalizer sum, one division each.
+    "negative_sampling" ->
+      s"""WITH occ AS (
+         | SELECT t AS token, CAST(count(*) AS BIGINT) AS n,
+         |  round(pow(CAST(count(*) AS DOUBLE), 0.75), 6) AS pw
+         | FROM (SELECT unnest($toksSql) AS t FROM documents) q GROUP BY t),
+         |tot AS (SELECT sum(n) AS nt,
+         |  CAST(sum(CAST(pw AS DECIMAL(24,6))) AS DOUBLE) AS z FROM occ)
+         |SELECT token, n, round(CAST(n AS DOUBLE) / tot.nt, 6) AS p_raw,
+         | round(pw / tot.z, 6) AS p_neg
+         |FROM occ CROSS JOIN tot""".stripMargin,
+
+    // Profile.functionalDependency replay per declared dependency.
+    "fd_audit" -> Seq(
+        ("nation", "n_name", "n_regionkey", "nation.n_name->n_regionkey"),
+        ("customer", "c_nationkey", "c_mktsegment",
+          "customer.c_nationkey->c_mktsegment"),
+        ("documents", "source", "lang", "documents.source->lang"))
+      .map { case (tbl, lhs, rhs, label) =>
+        s"""SELECT '$label' AS dependency,
+           | CAST(count(*) AS BIGINT) AS n_lhs,
+           | CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           | CAST(max(nr) AS BIGINT) AS max_rhs_per_lhs,
+           | (sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0) AS holds
+           |FROM (SELECT l, count(*) AS nr FROM (
+           | SELECT DISTINCT $lhs AS l, $rhs AS r FROM $tbl
+           | WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL) q GROUP BY l) g""".stripMargin }
+      .mkString("", "\nUNION ALL\n", ""),
+
+    // Profile.domainTree replay: reversed labels, prefix nodes, counts.
+    "domain_tree" ->
+      """WITH hosts AS (
+        | SELECT 'www.site' || CAST(doc_id % 100 % 10 AS VARCHAR) ||
+        |  '.example.' ||
+        |  (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 100 % 4 + 1 AS INT)] AS host
+        | FROM documents),
+        |lab AS (SELECT list_reverse(string_split(lower(host), '.')) AS ls
+        | FROM hosts),
+        |nodes AS (SELECT unnest(list_transform(range(1, len(ls) + 1),
+        |   d -> {'node': array_to_string(ls[1:d], '.'), 'depth': d})) AS u
+        | FROM lab)
+        |SELECT u.node AS node, CAST(u.depth AS BIGINT) AS depth,
+        | CAST(count(*) AS BIGINT) AS n_urls
+        |FROM nodes GROUP BY 1, 2""".stripMargin,
 
     // Similarity.hammingRerankRecall replay: Hamming shortlist over the
     // binarize CTE, exact-cosine rerank, recall vs the exact top-5.

@@ -212,6 +212,76 @@ object LangModel {
       .limit(k)
   }
 
+  /** Skip-window co-occurrence PMI (the word2vec/GloVe context statistic):
+    * unordered token pairs within `window` positions of each other inside
+    * a document, scored
+    * `pmi = ln( (n_ab/T) / ((n_a/N)(n_b/N)) )` with pair total `T` and
+    * token totals `N` — where [[collocations]] sees only ADJACENT bigrams
+    * (phrases), the windowed statistic sees the loose association
+    * embedding training actually consumes. Pairs normalize to
+    * `w1 <= w2`; `minCount` fences the hapax-PMI explosion.
+    *
+    * Output `(w1, w2, pair_count, pmi)`, bounded by the vocabulary
+    * square. The PMI argument is one fixed-shape double product chain of
+    * exact integers — identical on any engine.
+    *
+    * Scale shape: positions explode once; the pair join is per-document
+    * on the id key with a position-band predicate (each token joins to at
+    * most `window` successors); counts collapse map-side. No corpus-wide
+    * quadratic anywhere.
+    */
+  def windowedCooccurrence(df: DataFrame, textCol: String, idCol: String,
+                           window: Int = 2, minCount: Long = 5L): DataFrame = {
+    require(window >= 1 && minCount >= 1, "window and minCount must be >= 1")
+    val pos = df.select(col(idCol).as("__id"),
+      posexplode(TextAnalysis.toks(col(textCol))).as(Seq("__pos", "__w")))
+    val l = pos.select(col("__id"), col("__pos").as("__p1"),
+      col("__w").as("__w1"))
+    val r = pos.select(col("__id"), col("__pos").as("__p2"),
+      col("__w").as("__w2"))
+    val pairs = l.join(r, Seq("__id"))
+      .filter(col("__p2") - col("__p1") >= 1 &&
+        col("__p2") - col("__p1") <= window)
+      .select(least(col("__w1"), col("__w2")).as("w1"),
+        greatest(col("__w1"), col("__w2")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+    val occ = pos.groupBy(col("__w")).agg(count(lit(1)).as("__nw"))
+    val nTotal = pos.agg(count(lit(1)).as("__n"))
+    val tTotal = pairs.agg(sum(col("pair_count")).as("__t"))
+    pairs.filter(col("pair_count") >= minCount)
+      .join(broadcast(occ.select(col("__w").as("w1"), col("__nw").as("__na"))),
+        Seq("w1"))
+      .join(broadcast(occ.select(col("__w").as("w2"), col("__nw").as("__nb"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nTotal)).crossJoin(broadcast(tTotal))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(col("pair_count").cast("double") * col("__n") * col("__n") /
+          (col("__t").cast("double") * col("__na") * col("__nb"))), 6)
+          .as("pmi"))
+  }
+
+  /** word2vec negative-sampling distribution (Mikolov et al. 2013's
+    * `count^(3/4)` flattening): the draw probabilities a skip-gram trainer
+    * samples negatives from — raw frequency under-samples the long tail,
+    * uniform over-samples it, the 3/4 power is the empirical sweet spot.
+    * Output per token: `(token, n, p_raw, p_neg)`.
+    *
+    * Determinism: each `n^0.75` rounds to 6 dp FIRST, the normalizer sums
+    * those exact 1e-6 multiples as DECIMAL (order-independent), and each
+    * probability is one division of deterministic doubles.
+    */
+  def negativeSamplingDist(df: DataFrame, textCol: String): DataFrame = {
+    val occ = df.select(explode(TextAnalysis.toks(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("__pw", round(pow(col("n").cast("double"), 0.75), 6))
+    val tot = occ.agg(sum(col("n")).as("__nt"),
+      sum(col("__pw").cast("decimal(24,6)")).cast("double").as("__z"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("token"), col("n"),
+        round(col("n").cast("double") / col("__nt"), 6).as("p_raw"),
+        round(col("__pw") / col("__z"), 6).as("p_neg"))
+  }
+
   /** CCNet's final step (Wenzek et al. 2020 §4.3): bucket documents into
     * per-language perplexity bands — head (most fluent third), middle,
     * tail — because BOTH extremes are suspect at web scale (head skews to

@@ -556,6 +556,51 @@ object Profile {
       .withColumn("fk_candidate", col("containment") >= threshold)
   }
 
+  /** Functional-dependency audit `lhs -> rhs`: does every distinct LHS
+    * value map to exactly one RHS value? The schema-semantics complement
+    * to [[inclusionDependency]] (FK candidates): FDs that SHOULD hold
+    * (natural key -> attribute) and silently break are how denormalized
+    * lakehouse tables rot. One row:
+    * `(dependency, n_lhs, n_violating, max_rhs_per_lhs, holds)` —
+    * `n_violating` counts LHS values with more than one RHS.
+    *
+    * Scale shape: distinct pairs first (map-side combined, bounded by the
+    * pair domain), then an LHS-keyed count — never row-level. Null LHS or
+    * RHS rows are excluded (a null determines nothing).
+    */
+  def functionalDependency(df: DataFrame, lhsCol: String, rhsCol: String,
+                           dependency: String): DataFrame = {
+    df.filter(col(lhsCol).isNotNull && col(rhsCol).isNotNull)
+      .select(col(lhsCol).as("__l"), col(rhsCol).as("__r")).distinct()
+      .groupBy(col("__l")).agg(count(lit(1)).as("__nr"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("__nr") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__nr")).as("max_rhs_per_lhs"))
+      .select(lit(dependency).as("dependency"), col("n_lhs"),
+        col("n_violating"), col("max_rhs_per_lhs"),
+        (col("n_violating") === 0).as("holds"))
+  }
+
+  /** Reversed-label domain hierarchy rollup: every host contributes a
+    * count to each node on its public-suffix-rooted path
+    * (`uk -> uk.co -> uk.co.example -> uk.co.example.www`) — the crawl
+    * -analytics tree behind per-TLD/per-site budgets and block decisions.
+    * One row per occupied node: `(node, depth, n_urls)`.
+    *
+    * Scale shape: label split + prefix expansion are codegen'd HOFs
+    * (fan-out = label count, ~4), one map-side-combined aggregate to the
+    * node domain.
+    */
+  def domainTree(df: DataFrame, hostCol: String): DataFrame = {
+    val labels = reverse(split(lower(col(hostCol)), "\\."))
+    val prefixes = transform(sequence(lit(1), size(labels)),
+      d => array_join(slice(labels, lit(1), d), "."))
+    df.filter(col(hostCol).isNotNull)
+      .select(posexplode(prefixes).as(Seq("__d", "node")))
+      .groupBy(col("node"), (col("__d") + 1).cast("long").as("depth"))
+      .agg(count(lit(1)).as("n_urls"))
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * forensic data-quality check for ingested metrics/amounts: naturally
     * occurring multi-scale values follow `P(d) = log10(1 + 1/d)`; a flat

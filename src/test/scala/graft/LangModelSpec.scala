@@ -168,4 +168,40 @@ class LangModelSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("band")).toMap
     assert(t == Map(10L -> 1, 11L -> 2, 12L -> 3))
   }
+
+  test("windowedCooccurrence: hand-counted window-2 pairs and PMI") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // "a b a c": pairs (a,b)x2, (a,a), (b,c), (a,c); N=4 tokens, T=5
+    val df = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val got = graft.operators.LangModel
+      .windowedCooccurrence(df, "text", "doc_id", window = 2, minCount = 1)
+      .collect().map(r => (r.getString(1), r.getString(0)) match {
+        case (w2, w1) => (w1, w2) -> ((r.getLong(2), r.getDouble(3)))
+      }).toMap
+    def pmi(nab: Long, na: Long, nb: Long) =
+      BigDecimal(math.log(nab.toDouble * 4 * 4 / (5.0 * na * nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      ("a", "b") -> ((2L, pmi(2, 2, 1))),
+      ("a", "a") -> ((1L, pmi(1, 2, 2))),
+      ("b", "c") -> ((1L, pmi(1, 1, 1))),
+      ("a", "c") -> ((1L, pmi(1, 2, 1)))))
+  }
+
+  test("negativeSamplingDist: 3/4-power flattening vs raw frequency") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val df = Seq(Tuple1("a a a a b")).toDF("text")
+    val got = graft.operators.LangModel.negativeSamplingDist(df, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pwA = r6(math.pow(4, 0.75)); val z = pwA + 1.0
+    assert(got("a") == ((4L, 0.8, r6(pwA / z))))
+    assert(got("b") == ((1L, 0.2, r6(1.0 / z))))
+    // the whole point: flattened tail prob exceeds its raw share
+    assert(got("b")._3 > got("b")._2 && got("a")._3 < got("a")._2)
+  }
 }

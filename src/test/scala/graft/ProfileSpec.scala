@@ -312,4 +312,30 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0)
     assert(r2.getBoolean(4))
   }
+
+  test("functionalDependency: violation counts, null exclusion, holds flag") {
+    val df = Seq((Some(1L), Some("x")), (Some(1L), Some("x")),
+      (Some(2L), Some("y")), (Some(2L), Some("z")), (Some(3L), Some("w")),
+      (None, Some("q")), (Some(4L), None)).toDF("l", "r")
+    val v = graft.operators.Profile
+      .functionalDependency(df, "l", "r", "t.l->r").collect()(0)
+    assert((v.getString(0), v.getLong(1), v.getLong(2), v.getLong(3),
+      v.getBoolean(4)) == (("t.l->r", 3L, 1L, 2L, false)))
+    val ok = Seq((1L, "x"), (2L, "y"), (1L, "x")).toDF("l", "r")
+    assert(graft.operators.Profile
+      .functionalDependency(ok, "l", "r", "ok").collect()(0).getBoolean(4))
+  }
+
+  test("domainTree: reversed-label prefix nodes with per-node counts") {
+    val df = Seq("a.example.com", "b.example.com", "c.example.org")
+      .map(Tuple1(_)).toDF("host")
+    val got = graft.operators.Profile.domainTree(df, "host")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("com", 1L) -> 2L, ("com.example", 2L) -> 2L,
+      ("com.example.a", 3L) -> 1L, ("com.example.b", 3L) -> 1L,
+      ("org", 1L) -> 1L, ("org.example", 2L) -> 1L,
+      ("org.example.c", 3L) -> 1L))
+  }
 }
