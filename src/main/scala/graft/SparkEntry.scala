@@ -949,9 +949,11 @@ object SparkEntry {
       // (EditDistance.jaroPairs scaladoc): first-letter blocking, standard
       // Jaro-Winkler at >= 0.85. The plant mutates a 10-surname base by
       // doc_id%4: keep / drop 3rd char / swap chars 2-3 / append 'x'.
+      // doc_id < 1000 bounds the quadratic same-surname pair families at
+      // driver SF bumps (same fence as ssjoin_prefix).
       EditDistance.jaroPairs(
-        t(s, dir, "documents").select(col("doc_id"),
-          plantedSurname.as("name")),
+        t(s, dir, "documents").filter(col("doc_id") < 1000)
+          .select(col("doc_id"), plantedSurname.as("name")),
         "doc_id", "name", minSim = 0.85)),
 
     "coreset_kcenter" -> ((s, dir) =>
@@ -1023,6 +1025,20 @@ object SparkEntry {
       EventAnalytics.lttbDownsample(
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
+
+    "json_props_stats" -> ((s, dir) =>
+      // Schema-on-read promotion of the semi-structured props column:
+      // extract $.k per event, typed stats per event_type — the JSON
+      // attribute surface (get_json_object == DuckDB json_extract), all
+      // exact integers.
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__k").isNotNull.cast("long")).as("n_k"),
+          min(col("__k")).as("k_min"), max(col("__k")).as("k_max"),
+          sum(col("__k")).as("k_sum"))),
 
     "cooc_window" -> ((s, dir) =>
       // Skip-window co-occurrence PMI, window 2
@@ -1183,9 +1199,11 @@ object SparkEntry {
       // (EditDistance.symspellPairs scaladoc): equi-join on variant keys,
       // exact levenshtein verify; the brute-force oracle proves every
       // distance-<=1 pair is found.
+      // Same doc_id < 1000 fence as dedup_jaro: the exact-dup families
+      // make the OUTPUT quadratic in family size.
       EditDistance.symspellPairs(
-        t(s, dir, "documents").select(col("doc_id"),
-          plantedSurname.as("name")),
+        t(s, dir, "documents").filter(col("doc_id") < 1000)
+          .select(col("doc_id"), plantedSurname.as("name")),
         "doc_id", "name")),
 
     "itemset_pairs" -> ((s, dir) =>
@@ -2771,7 +2789,7 @@ object SparkEntry {
   private lazy val plantedSurnameSqlCtes: String =
     s"""named AS (SELECT doc_id,
        |  ([${JaroSurnames.map(s => s"'$s'").mkString(", ")}])[CAST(doc_id % 10 + 1 AS INT)] AS base
-       | FROM documents),
+       | FROM documents WHERE doc_id < 1000),
        |nm AS (SELECT doc_id,
        |  CASE WHEN doc_id % 4 = 1 THEN substr(base, 1, 2) || substr(base, 4, 100)
        |   WHEN doc_id % 4 = 2 THEN substr(base, 1, 1) || substr(base, 3, 1) ||
@@ -4126,6 +4144,16 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // get_json_object == json_extract + BIGINT cast; exact-integer stats.
+    "json_props_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k,
+        | CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+        | CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) q
+        |GROUP BY event_type""".stripMargin,
 
     // LangModel.windowedCooccurrence replay: position-band pair join,
     // unordered normalization, fixed-shape PMI product chain.
