@@ -491,4 +491,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(windows.nonEmpty && windows.forall(_.contains("key")),
       s"LTTB windows must stay per-series:\n${windows.mkString("\n")}")
   }
+
+  test("symspell_match / cooc_window: variant/position joins stay keyed") {
+    for (g <- Seq("symspell_match", "cooc_window")) {
+      val p = plan(g)
+      assert(!p.contains("CartesianProduct"), s"$g degenerated to all-pairs")
+      assert(p.contains("Join"), s"$g lost its join")
+    }
+  }
+
+  test("rolling_7d / ewma_daily / twap_events / event_transitions: windows keyed") {
+    for (g <- Seq("rolling_7d", "ewma_daily", "twap_events",
+        "event_transitions")) {
+      val p = plan(g)
+      val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+      windows.foreach(w =>
+        assert(w.contains("key") || w.contains("user_id"),
+          s"$g has an unkeyed window: $w"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q8_market_share / rollup_revenue: dimension joins broadcast, no cartesian") {
+    for (g <- Seq("q8_market_share", "rollup_revenue")) {
+      val p = plan(g)
+      assert(p.contains("BroadcastHashJoin"), s"$g dims not broadcast")
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_sum"), s"$g aggregation not map-side combined")
+    }
+  }
+
+  test("json_props_stats / unigram_vocab: map-side combined aggregates") {
+    for (g <- Seq("json_props_stats", "unigram_vocab")) {
+      val p = plan(g)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$g: no map-side combine")
+    }
+  }
 }
