@@ -1026,6 +1026,31 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "cdc_apply" -> ((s, dir) =>
+      // MERGE-INTO change-log collapse (StateStore.cdcApply scaladoc):
+      // last op per user wins, 'error' events are deletes, resurrection
+      // flagged.
+      StateStore.cdcApply(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "value",
+        deleteCol = col("event_type") === "error")),
+
+    "journey_trigrams" -> ((s, dir) =>
+      // Top-20 three-step user journeys
+      // (EventAnalytics.journeyTrigrams scaladoc).
+      EventAnalytics.journeyTrigrams(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts", "event_id")),
+
+    "embed_drift" -> ((s, dir) => {
+      // First-moment embedding drift between the even/odd halves
+      // (Drift.embeddingDrift scaladoc): mean-vector cosine + norm ratio
+      // from exact micro-unit dimension sums.
+      val e = t(s, dir, "embeddings")
+      Drift.embeddingDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
+
     "json_props_stats" -> ((s, dir) =>
       // Schema-on-read promotion of the semi-structured props column:
       // extract $.k per event, typed stats per event_type — the JSON
@@ -4144,6 +4169,74 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // StateStore.cdcApply replay: last-op-wins via a descending
+    // row_number, per-key op/delete counts, integer cents.
+    "cdc_apply" ->
+      """WITH lg AS (
+        | SELECT user_id AS k, epoch_us(ts) AS tsu, event_id AS id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  (event_type = 'error') AS del
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |wn AS (SELECT *,
+        |  row_number() OVER (PARTITION BY k ORDER BY tsu DESC, id DESC) AS rnd,
+        |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_ops,
+        |  CAST(sum(CASE WHEN del THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k) AS BIGINT) AS n_del
+        | FROM lg)
+        |SELECT k AS key, round(CAST(cents AS DOUBLE) / 100.0, 6) AS value,
+        | tsu AS last_ts, n_ops, n_ops - n_del AS n_upserts,
+        | n_del AS n_deletes, (n_del > 0) AS resurrected
+        |FROM wn WHERE rnd = 1 AND NOT del""".stripMargin,
+
+    // EventAnalytics.journeyTrigrams replay: two leads, path concat,
+    // TakeOrdered top-20.
+    "journey_trigrams" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        | FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND ts IS NOT NULL),
+        |w AS (SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS t2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS t3
+        | FROM ev)
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // Drift.embeddingDrift replay: micro-unit dimension sums, identical
+    // contraction shape, scale-invariant cosine on the sum vectors.
+    "embed_drift" ->
+      """WITH ha AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |hb AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |sa AS (SELECT u.d AS d, sum(u.s) AS s FROM (
+        | SELECT unnest(list_transform(range(1, len(embedding) + 1),
+        |   i -> {'d': i,
+        |         's': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)})) AS u
+        | FROM ha) q GROUP BY 1),
+        |sb AS (SELECT u.d AS d, sum(u.s) AS s FROM (
+        | SELECT unnest(list_transform(range(1, len(embedding) + 1),
+        |   i -> {'d': i,
+        |         's': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)})) AS u
+        | FROM hb) q GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ha),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM hb),
+        |j AS (SELECT coalesce(sa.s, 0) AS va, coalesce(sb.s, 0) AS vb
+        | FROM sa FULL OUTER JOIN sb USING (d)),
+        |c AS (SELECT sum(CAST(va AS DOUBLE) * vb) AS dot,
+        |  sum(CAST(va AS DOUBLE) * va) AS a2,
+        |  sum(CAST(vb AS DOUBLE) * vb) AS b2 FROM j)
+        |SELECT na.n_a, nb.n_b,
+        | CASE WHEN c.a2 > 0 AND c.b2 > 0
+        |  THEN round(c.dot / (sqrt(c.a2) * sqrt(c.b2)), 6) ELSE NULL END
+        |  AS mean_cosine,
+        | CASE WHEN c.b2 > 0 AND na.n_a > 0
+        |  THEN round(sqrt(c.a2) * nb.n_b / (sqrt(c.b2) * na.n_a), 6)
+        |  ELSE NULL END AS norm_ratio
+        |FROM c CROSS JOIN na CROSS JOIN nb""".stripMargin,
 
     // get_json_object == json_extract + BIGINT cast; exact-integer stats.
     "json_props_stats" ->

@@ -165,6 +165,57 @@ object Drift {
         col("__n").cast("long").as("n_points"))
   }
 
+  /** Embedding-space drift between two corpora: cosine between the MEAN
+    * vectors plus the mean-norm ratio — the two cheapest honest answers to
+    * "did the new crawl's embedding distribution move?" (a centroid
+    * rotation shows in the cosine, a mass/scale change in the ratio;
+    * `embed_covariance` is the expensive second moment, this is the first).
+    *
+    * Determinism: per-dimension sums ride integer micro-units
+    * (`round(v * 1e6)` — exact BIGINT sums, order-independent), cosine is
+    * scale-invariant so it runs directly on the SUM vectors, and the norm
+    * ratio rescales by the exact counts; the dot/norm contractions are
+    * fixed-shape double chains over those exact integers. One row:
+    * `(n_a, n_b, mean_cosine, norm_ratio)`; a zero mean vector on either
+    * side yields null cosine (direction undefined — the audit signal is
+    * the null).
+    *
+    * Scale shape: one posexplode + map-side-combined per-dim aggregate per
+    * side (dim-bounded), a dim-sized join, a 1-row contraction. Nothing
+    * corpus-sized moves after the first aggregate.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+                     vecCol: String = "embedding",
+                     roundDp: Int = 6): DataFrame = {
+    def dimSums(df: DataFrame, out: String, cnt: String): (DataFrame, DataFrame) = {
+      val d = df.filter(col(vecCol).isNotNull)
+      (d.select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+        .groupBy(col("__d"))
+        .agg(sum(round(col("__v").cast("double") * 1e6, 0).cast("long"))
+          .as(out)),
+        d.agg(count(lit(1)).as(cnt)))
+    }
+    val (sa, na) = dimSums(a, "__sa", "__na")
+    val (sb, nb) = dimSums(b, "__sb", "__nb")
+    val contracted = sa.join(sb, Seq("__d"), "full_outer")
+      .select(coalesce(col("__sa"), lit(0L)).as("__sa"),
+        coalesce(col("__sb"), lit(0L)).as("__sb"))
+      .agg(
+        sum(col("__sa").cast("double") * col("__sb")).as("__dot"),
+        sum(col("__sa").cast("double") * col("__sa")).as("__a2"),
+        sum(col("__sb").cast("double") * col("__sb")).as("__b2"))
+    contracted.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__a2") > 0 && col("__b2") > 0,
+          round(col("__dot") / (sqrt(col("__a2")) * sqrt(col("__b2"))),
+            roundDp))
+          .otherwise(lit(null).cast("double")).as("mean_cosine"),
+        when(col("__b2") > 0 && col("__na") > 0,
+          round(sqrt(col("__a2")) * col("__nb") /
+            (sqrt(col("__b2")) * col("__na")), roundDp))
+          .otherwise(lit(null).cast("double")).as("norm_ratio"))
+  }
+
   /** Population stability index between a reference and a current corpus
     * over a numeric column — the industry-standard scorecard-drift gauge
     * that completes the drift kit (JSD: token mix, KS: continuous shape,

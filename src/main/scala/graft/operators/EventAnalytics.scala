@@ -79,6 +79,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Top-k event-type TRIGRAM journeys — the sequence-mining extension of
+    * [[transitionMatrix]]: three consecutive events in one user's
+    * time-ordered history form a path (`a>b>c`), and the most frequent
+    * paths are the product's actual highways (and its rage-click loops).
+    * Returns the top `k` by (count desc, path): `(path, n)`.
+    *
+    * Scale shape: two leads over one per-user window, a map-side-combined
+    * count to the |types|^3 path domain, `orderBy.limit` =
+    * TakeOrderedAndProject.
+    */
+  def journeyTrigrams(events: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, idCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .withColumn("__t2", lead(col(typeCol), 1).over(w))
+      .withColumn("__t3", lead(col(typeCol), 2).over(w))
+      .filter(col("__t3").isNotNull)
+      .groupBy(concat_ws(">", col(typeCol), col("__t2"), col("__t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Rolling `windowDays`-day aggregates per series key — the
     * trailing-window health view (7-day active counts, rolling spend)
     * every metrics dashboard reads beside the raw dailies. RANGE-framed

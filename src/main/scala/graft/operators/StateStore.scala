@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -229,4 +229,52 @@ object StateStore {
         StructField(idCol, LongType), StructField(fpCol, StringType),
         StructField("valid_from", LongType), StructField("valid_to", LongType),
         StructField("is_current", BooleanType))))
+
+  /** CDC APPLY — collapse an ordered change log (upserts + deletes) into
+    * the final snapshot, MERGE-INTO semantics: per key, the LAST operation
+    * wins — a trailing delete removes the key, a trailing upsert (even
+    * after earlier deletes — resurrection) carries its value. The
+    * lakehouse primitive behind applying a Debezium/binlog feed to a
+    * table; [[scd2Apply]] keeps the history, this produces the state.
+    *
+    * One row per SURVIVING key:
+    * `(key, value, last_ts, n_ops, n_upserts, n_deletes, resurrected)` —
+    * `resurrected` marks keys whose surviving upsert follows at least one
+    * delete (the merge edge case naive `anti-join deletes` implementations
+    * get wrong). Values ride integer cents, counts are exact.
+    *
+    * Order within a key is `(tsCol, idCol)` — the log's total order must
+    * be reconstructible or CDC apply is undefined; ties on both columns
+    * would be an upstream bug this operator inherits.
+    *
+    * Scale shape: ONE window per key (the shuffle), then a filter — the
+    * associative formulation (apply(a ++ b) == apply(apply(a) as log ++ b),
+    * pinned in spec) is what makes incremental batch application sound.
+    */
+  def cdcApply(log: DataFrame, keyCol: String, tsCol: String, idCol: String,
+               valueCol: String, deleteCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__id"))
+    val wAll = Window.partitionBy(col("__k"))
+    val typed = log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
+        col(idCol).as("__id"),
+        round(col(valueCol).cast("double") * 100, 0).cast("long").as("__cents"),
+        deleteCol.cast("boolean").as("__del"))
+    typed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__last", max(col("__rn")).over(wAll))
+      .withColumn("__n_del",
+        sum(col("__del").cast("long")).over(wAll))
+      .withColumn("__n_ops", count(lit(1)).over(wAll))
+      .filter(col("__rn") === col("__last") && !col("__del"))
+      .select(col("__k").as("key"),
+        round(col("__cents").cast("double") / 100.0, 6).as("value"),
+        col("__ts").as("last_ts"),
+        col("__n_ops").as("n_ops"),
+        (col("__n_ops") - col("__n_del")).as("n_upserts"),
+        col("__n_del").as("n_deletes"),
+        (col("__n_del") > 0).as("resurrected"))
+  }
 }

@@ -158,4 +158,19 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
       Drift.psi(ref, cur, "v", bins = 2, lo = 1.0, hi = 1.0)
     }
   }
+
+  test("embeddingDrift: orthogonal/parallel means, norm ratio, zero guard") {
+    val a = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val r1 = Drift.embeddingDrift(a, b, "embedding").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) == ((1L, 1L, 0.0)))
+    val b2 = Seq((2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Drift.embeddingDrift(a, b2, "embedding").collect()(0)
+    // parallel means -> cosine 1; |mean_a| = |mean_b| = 1 -> ratio 1
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 1.0)
+    val z = Seq((9L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val r3 = Drift.embeddingDrift(a, z, "embedding").collect()(0)
+    assert(r3.isNullAt(2) && r3.isNullAt(3))
+  }
 }

@@ -175,4 +175,20 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.EventAnalytics.ewmaDaily(ev, "etype", "tsu", alpha = 0.0)
     }
   }
+
+  test("journeyTrigrams: two leads, path strings, top-k cut") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val ev = Seq((1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "A", 3L, 3L),
+      (1L, "C", 4L, 4L), (2L, "A", 1L, 5L), (2L, "B", 2L, 6L))
+      .toDF("u", "t", "tsu", "eid")
+    val all = graft.operators.EventAnalytics
+      .journeyTrigrams(ev, "u", "t", "tsu", "eid", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all == Map("A>B>A" -> 1L, "B>A>C" -> 1L)) // user2 too short
+    val top1 = graft.operators.EventAnalytics
+      .journeyTrigrams(ev, "u", "t", "tsu", "eid", k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("A>B>A")) // tie broken by path
+  }
 }

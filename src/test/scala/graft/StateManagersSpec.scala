@@ -218,4 +218,49 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
     // left join: every probe row present exactly once
     assert(got.size == 12)
   }
+
+  test("cdcApply: last op wins, deletes drop keys, resurrection flagged") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    // key 1: upsert, delete, upsert (resurrected, survives at 3.00)
+    // key 2: upsert, delete (gone)
+    // key 3: single upsert
+    val log = Seq(
+      (1L, 10L, 1L, 1.00, "u"), (1L, 20L, 2L, 0.0, "d"),
+      (1L, 30L, 3L, 3.00, "u"),
+      (2L, 10L, 4L, 2.00, "u"), (2L, 20L, 5L, 0.0, "d"),
+      (3L, 5L, 6L, 7.50, "u")).toDF("k", "tsu", "id", "value", "op")
+    val got = graft.operators.StateStore
+      .cdcApply(log, "k", "tsu", "id", "value", col("op") === "d")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, 3.0, 30L, 3L, 2L, 1L, true),
+      (3L, 7.5, 5L, 1L, 1L, 0L, false)))
+  }
+
+  test("cdcApply is incremental: collapsed halves == one-shot, as state") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val ops = Seq(
+      (1L, 10L, 1L, 1.0, "u"), (1L, 20L, 2L, 0.0, "d"),
+      (2L, 15L, 3L, 4.0, "u"), (1L, 30L, 4L, 9.0, "u"),
+      (2L, 40L, 5L, 0.0, "d"), (3L, 50L, 6L, 2.0, "u"))
+    def apply(rows: Seq[(Long, Long, Long, Double, String)]) =
+      graft.operators.StateStore.cdcApply(
+        rows.toDF("k", "tsu", "id", "value", "op"),
+        "k", "tsu", "id", "value", col("op") === "d")
+    val oneShot = apply(ops).select("key", "value", "last_ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // re-feed half 1's collapsed state as upserts, then half 2
+    val half1 = apply(ops.take(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), 0L, r.getDouble(1), "u"))
+    val twoPhase = apply(half1.toSeq ++ ops.drop(3))
+      .select("key", "value", "last_ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(oneShot == twoPhase)
+  }
 }
