@@ -1026,6 +1026,27 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "kwic_snippets" -> ((s, dir) =>
+      // Keyword-in-context concordance for 'spark'
+      // (TextAnalysis.kwic scaladoc): one row per occurrence, 3-token
+      // context, edge-clipped.
+      TextAnalysis.kwic(t(s, dir, "documents"), "text", "doc_id", "spark")),
+
+    "trend_theilsen" -> ((s, dir) =>
+      // Theil-Sen robust daily-count trend per event type
+      // (EventAnalytics.theilSenTrend scaladoc): lower median of rounded
+      // pairwise slopes under a total order.
+      EventAnalytics.theilSenTrend(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "event_type", "ts")),
+
+    "novelty_rate" -> ((s, dir) =>
+      // First-seen novelty decomposition per day
+      // (EventAnalytics.noveltyRate scaladoc).
+      EventAnalytics.noveltyRate(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "ts")),
+
     "cdc_apply" -> ((s, dir) =>
       // MERGE-INTO change-log collapse (StateStore.cdcApply scaladoc):
       // last op per user wins, 'error' events are deletes, resurrection
@@ -4169,6 +4190,60 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // TextAnalysis.kwic replay: per-occurrence window slice, 1-based
+    // positions, edge clipping.
+    "kwic_snippets" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hits AS (
+         | SELECT doc_id, toks, u.pos AS p1 FROM (
+         |  SELECT doc_id, toks,
+         |   unnest(list_transform(range(1, len(toks) + 1),
+         |     i -> {'pos': i, 'tok': toks[i]})) AS u
+         |  FROM tk) q WHERE u.tok = 'spark')
+         |SELECT doc_id, CAST(p1 AS BIGINT) AS pos,
+         | array_to_string(toks[greatest(p1 - 3, 1):least(len(toks), p1 + 3)], ' ') AS snippet,
+         | CAST(least(len(toks), p1 + 3) - greatest(p1 - 3, 1) + 1 AS BIGINT) AS n_window
+         |FROM hits""".stripMargin,
+
+    // EventAnalytics.theilSenTrend replay: exact-division slopes rounded
+    // 6 dp, lower median under the (slope, d1, d2) order.
+    "trend_theilsen" ->
+      """WITH daily AS (
+        | SELECT event_type AS key,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |nd AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days
+        | FROM daily GROUP BY key),
+        |sl AS (
+        | SELECT a.key, a.day AS d1, b.day AS d2,
+        |  round(CAST(b.n - a.n AS DOUBLE) / (b.day - a.day), 6) AS s
+        | FROM daily a JOIN daily b ON a.key = b.key AND a.day < b.day),
+        |rk AS (SELECT key, s,
+        |  row_number() OVER (PARTITION BY key ORDER BY s, d1, d2) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS np
+        | FROM sl),
+        |med AS (SELECT key, np AS n_pairs, s AS slope FROM rk
+        | WHERE rn = (np + 1) // 2)
+        |SELECT nd.key, nd.n_days, coalesce(med.n_pairs, 0) AS n_pairs,
+        | med.slope
+        |FROM nd LEFT JOIN med USING (key)""".stripMargin,
+
+    // EventAnalytics.noveltyRate replay: distinct (user, day), first-day
+    // join-back, exact ratio.
+    "novelty_rate" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id AS u,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fst AS (SELECT u, min(day) AS fd FROM ud GROUP BY u)
+        |SELECT ud.day, CAST(count(*) AS BIGINT) AS n_active,
+        | CAST(sum(CASE WHEN ud.day = fst.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | round(CAST(sum(CASE WHEN ud.day = fst.fd THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS new_ratio
+        |FROM ud JOIN fst USING (u)
+        |GROUP BY ud.day""".stripMargin,
 
     // StateStore.cdcApply replay: last-op-wins via a descending
     // row_number, per-key op/delete counts, integer cents.

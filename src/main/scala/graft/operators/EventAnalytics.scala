@@ -79,6 +79,78 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Theil-Sen robust trend per series key: the MEDIAN of all pairwise
+    * day-over-day slopes of the daily counts — the trend estimator one
+    * outlier day cannot drag (ordinary least squares moves with a single
+    * spike; the median of O(days^2) pairwise slopes has a 29% breakdown
+    * point). One row per key: `(key, n_days, n_pairs, slope)` in
+    * events/day; keys with a single day emit a null slope.
+    *
+    * Determinism: each pairwise slope is one exact-integer division
+    * rounded to 6 dp; the median is the LOWER median of the rounded
+    * slopes under the total order (slope, d1, d2) — no float averaging of
+    * middle elements, so both engines pick the identical element.
+    *
+    * Scale shape: the pair join is per-key over the DAILY table (days^2,
+    * day-span-bounded — never event rows); one rank window per key.
+    */
+  def theilSenTrend(events: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        floor(col(tsCol).cast("long") / EventTime.DayMicros).cast("long")
+          .as("day"))
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
+    val a = daily.select(col("key"), col("day").as("__d1"), col("n").as("__n1"))
+    val b = daily.select(col("key"), col("day").as("__d2"), col("n").as("__n2"))
+    val slopes = a.join(b, Seq("key")).filter(col("__d1") < col("__d2"))
+      .withColumn("__s",
+        round((col("__n2") - col("__n1")).cast("double") /
+          (col("__d2") - col("__d1")), 6))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__s"), col("__d1"), col("__d2"))
+    val nDays = daily.groupBy(col("key")).agg(count(lit(1)).as("n_days"))
+    val med = slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__np",
+        count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("__rn") === ((col("__np") + 1) / 2).cast("long"))
+      .select(col("key"), col("__np").as("n_pairs"), col("__s").as("slope"))
+    nDays.join(med, Seq("key"), "left")
+      .select(col("key"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+  }
+
+  /** New-entity novelty rate per day: how much of today's activity comes
+    * from users never seen before? The growth-vs-churn decomposition
+    * every activation dashboard opens with, and — read over a crawl —
+    * the "is this source still yielding new documents" signal. One row
+    * per day: `(day, n_active, n_new, new_ratio)`; ratio is one exact
+    * division.
+    *
+    * Scale shape: distinct (user, day) first, then a per-user min-day
+    * aggregate joined back — two user-keyed map-side-combined shuffles,
+    * output day-bounded.
+    */
+  def noveltyRate(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val ud = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(col(tsCol).cast("long") / EventTime.DayMicros).cast("long")
+          .as("day"))
+      .distinct()
+    val first = ud.groupBy(col("__u")).agg(min(col("day")).as("__fd"))
+    ud.join(first, Seq("__u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("__fd")).cast("long")).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_active"), 6)
+          .as("new_ratio"))
+  }
+
   /** Top-k event-type TRIGRAM journeys — the sequence-mining extension of
     * [[transitionMatrix]]: three consecutive events in one user's
     * time-ordered history form a path (`a>b>c`), and the most frequent

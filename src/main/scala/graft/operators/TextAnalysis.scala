@@ -431,4 +431,32 @@ object TextAnalysis {
         round(nonLatin.cast("double") / letters.cast("double"), 6))
         .otherwise(lit(0.0)).as("non_latin_frac"))
   }
+
+  /** KWIC (keyword-in-context) concordance: one row per OCCURRENCE of
+    * `term` with the surrounding `context`-token window — the snippet a
+    * search result page shows, and the qualitative-review view a
+    * curation analyst reads before trusting any aggregate ("show me
+    * 'crypto' in context, not its count"). Output:
+    * `(id, pos, snippet, n_window)` — `pos` 1-based in tokens, snippet
+    * the up-to-`2*context+1`-token window joined by spaces, clipped at
+    * document edges.
+    *
+    * Pure codegen'd HOFs: posexplode + an array slice per hit — the
+    * fan-out is the occurrence count, never positions x positions.
+    */
+  def kwic(df: DataFrame, textCol: String, idCol: String, term: String,
+           context: Int = 3): DataFrame = {
+    require(term.nonEmpty && context >= 0, "need a term, context >= 0")
+    val withToks = df.select(col(idCol), toks(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .filter(col("__tok") === term)
+      .withColumn("__p1", col("__p0") + 1)
+    val start = greatest(col("__p1") - context, lit(1))
+    val end = least(size(col("__toks")), col("__p1") + context)
+    withToks.select(col(idCol), col("__p1").cast("long").as("pos"),
+      array_join(slice(col("__toks"), start, end - start + 1), " ")
+        .as("snippet"),
+      (end - start + 1).cast("long").as("n_window"))
+  }
 }

@@ -191,4 +191,43 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(top1 == Seq("A>B>A")) // tie broken by path
   }
+
+  test("theilSenTrend: outlier-robust lower-median slope") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val day = graft.operators.EventTime.DayMicros
+    // daily counts 1,2,3,100 on days 0..3: OLS would chase 100; the six
+    // pairwise slopes are [1,1,32.333333,49,49.5,98] -> lower median
+    // (rank 3) = 32.333333... wait recompute: slopes: (2-1)/1=1,
+    // (3-1)/2=1, (100-1)/3=33, (3-2)/1=1, (100-2)/2=49, (100-3)/1=97
+    // sorted: [1,1,1,33,49,97] -> lower median rank 3 = 1.0
+    val rows = (0 to 0).flatMap(_ =>
+      Seq.fill(1)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(3)(2L) ++
+        Seq.fill(100)(3L))
+    val ev = rows.zipWithIndex
+      .map { case (d, i) => ("a", d * day + i, i.toLong) }
+      .toDF("etype", "tsu", "eid")
+    val r = graft.operators.EventAnalytics
+      .theilSenTrend(ev, "etype", "tsu").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((4L, 6L, 1.0)))
+    // single-day key -> null slope, 0 pairs
+    val one = Seq(("b", 5L, 1L)).toDF("etype", "tsu", "eid")
+    val r1 = graft.operators.EventAnalytics
+      .theilSenTrend(one, "etype", "tsu").collect()(0)
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 0L && r1.isNullAt(3))
+  }
+
+  test("noveltyRate: first-seen decomposition per day") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val day = graft.operators.EventTime.DayMicros
+    // day0: users 1,2 (both new); day1: users 1,3 (3 new) -> ratio 0.5
+    val ev = Seq((1L, 0L), (2L, 5L), (1L, day), (3L, day + 1), (1L, day + 2))
+      .toDF("user_id", "tsu")
+    val got = graft.operators.EventAnalytics
+      .noveltyRate(ev, "user_id", "tsu")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 1L, 0.5)))
+  }
 }

@@ -246,4 +246,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getSeq[String](0).toSeq).toSeq
     assert(got == Seq(Seq("a b c", "b c d"), Seq.empty, Seq.empty))
   }
+
+  test("kwic: per-occurrence windows, edge clipping, 1-based positions") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val df = Seq((1L, "x spark y z spark"), (2L, "no hits here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .kwic(df, "text", "doc_id", "spark", context = 2)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, "x spark y z", 4L),       // left clipped at the doc edge
+      (1L, 5L, "y z spark", 3L)))        // right clipped
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.kwic(df, "text", "doc_id", "", 2)
+    }
+  }
 }
