@@ -1026,6 +1026,45 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "chisq_independence" -> ((s, dir) =>
+      // Chi-square independence of lang x source
+      // (Profile.chiSquareIndependence scaladoc): per-cell terms + the
+      // boundary-safe rounded total and dof.
+      Profile.chiSquareIndependence(t(s, dir, "documents"), "lang",
+        "source")),
+
+    "group_correlation" -> ((s, dir) => {
+      // Exact per-group + pooled Pearson between the JSON k attribute and
+      // the event value (Profile.pearsonByGroup scaladoc) — the
+      // Simpson's-paradox audit view, integer cents x integer k.
+      val e = t(s, dir, "events")
+      Profile.pearsonByGroup(
+        e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "k", "cents")
+    }),
+
+    "signal_corr" -> ((s, dir) => {
+      // Pairwise exact Pearson between the quality signals (micro-unit
+      // lift of the 6-dp frame) — which curation signals are redundant?
+      val q = TextAnalysis.qualityFrame(t(s, dir, "documents"), "text",
+        "doc_id")
+      def m(c: String) = round(col(c) * 1e6, 0).cast("long")
+      val pairs = Seq(
+        ("mean_token_len~punct_ratio", "mean_token_len", "punct_ratio"),
+        ("mean_token_len~stopword_ratio", "mean_token_len", "stopword_ratio"),
+        ("mean_token_len~quality", "mean_token_len", "quality"),
+        ("punct_ratio~stopword_ratio", "punct_ratio", "stopword_ratio"),
+        ("punct_ratio~quality", "punct_ratio", "quality"),
+        ("stopword_ratio~quality", "stopword_ratio", "quality"))
+      val stacked = pairs.map { case (lbl, a, b) =>
+        q.select(lit(lbl).as("pair"), m(a).as("x"), m(b).as("y")) }
+        .reduce(_ unionByName _)
+      Profile.pearsonByGroup(stacked, "pair", "x", "y")
+        .filter(col("group") =!= "<pooled>")
+    }),
+
     "kwic_snippets" -> ((s, dir) =>
       // Keyword-in-context concordance for 'spark'
       // (TextAnalysis.kwic scaladoc): one row per occurrence, 3-token
@@ -4190,6 +4229,88 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Profile.chiSquareIndependence replay: cell/marginal tables, rounded
+    // expectations, window-summed rounded terms.
+    "chisq_independence" ->
+      """WITH cells AS (
+        | SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        | GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT sum(n) AS nt,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS ka,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS kb FROM cells),
+        |t1 AS (SELECT c.a, c.b, c.n, tot.ka, tot.kb,
+        |  round(CAST(ra.ra * cb.cb AS DOUBLE) / tot.nt, 6) AS expected
+        | FROM cells c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+        |t2 AS (SELECT a, b, n, ka, kb, expected,
+        |  round((n - expected) * (n - expected) / expected, 6) AS chi2_term
+        | FROM t1)
+        |SELECT a, b, n, expected, chi2_term,
+        | round(sum(chi2_term) OVER (), 6) AS chi2_total,
+        | (ka - 1) * (kb - 1) AS dof
+        |FROM t2""".stripMargin,
+
+    // Profile.pearsonByGroup replay: exact BIGINT moment sums, double
+    // combination chain, per-group + pooled rows.
+    "group_correlation" ->
+      """WITH xy AS (
+        | SELECT event_type AS g,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS x,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS y
+        | FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |m AS (
+        | SELECT g AS grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |  sum(y * y) AS syy
+        | FROM xy GROUP BY g
+        | UNION ALL
+        | SELECT '<pooled>', CAST(count(*) AS BIGINT), sum(x), sum(y),
+        |  sum(x * y), sum(x * x), sum(y * y)
+        | FROM xy)
+        |SELECT grp AS "group", n,
+        | CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  ELSE NULL END AS r
+        |FROM m""".stripMargin,
+
+    // Pairwise signal Pearson over the shared quality CTEs: micro-unit
+    // lifts of the 6-dp signals, same moment chain per pair label.
+    "signal_corr" ->
+      s"""WITH $qualitySqlCtes,
+         |sig AS (
+         | SELECT q.doc_id,
+         |  CAST(round(round(qr.mean_tok_len, 6) * 1000000, 0) AS BIGINT) AS mtl,
+         |  CAST(round(round(qr.punct_ratio, 6) * 1000000, 0) AS BIGINT) AS pr,
+         |  CAST(round(round(qr.stop_ratio, 6) * 1000000, 0) AS BIGINT) AS sr,
+         |  CAST(round(q.quality * 1000000, 0) AS BIGINT) AS ql
+         | FROM qr JOIN qscore q USING (doc_id)),
+         |stack AS (
+         | SELECT 'mean_token_len~punct_ratio' AS grp, mtl AS x, pr AS y FROM sig
+         | UNION ALL SELECT 'mean_token_len~stopword_ratio', mtl, sr FROM sig
+         | UNION ALL SELECT 'mean_token_len~quality', mtl, ql FROM sig
+         | UNION ALL SELECT 'punct_ratio~stopword_ratio', pr, sr FROM sig
+         | UNION ALL SELECT 'punct_ratio~quality', pr, ql FROM sig
+         | UNION ALL SELECT 'stopword_ratio~quality', sr, ql FROM sig),
+         |m AS (
+         | SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+         |  sum(y * y) AS syy
+         | FROM stack GROUP BY grp)
+         |SELECT grp AS "group", n,
+         | CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+         |   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+         |  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+         |    sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         |  ELSE NULL END AS r
+         |FROM m""".stripMargin,
 
     // TextAnalysis.kwic replay: per-occurrence window slice, 1-based
     // positions, edge clipping.

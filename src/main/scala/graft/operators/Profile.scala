@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass corpus/table profiling — the data-quality report a pipeline
@@ -554,6 +554,92 @@ object Profile {
         round(col("n_contained").cast("double") / col("n_child_distinct"), 6)
           .as("containment"))
       .withColumn("fk_candidate", col("containment") >= threshold)
+  }
+
+  /** Chi-square independence audit between two categorical columns: per
+    * occupied cell, observed count vs the independence expectation
+    * `e = row_total * col_total / N`, with the chi-square term — the
+    * "are these two labels actually related" test behind balance checks
+    * (is language independent of source? is label independent of
+    * annotator?). One row per cell:
+    * `(a, b, n, expected, chi2_term, chi2_total, dof)` — the two global
+    * scalars repeat per row. `chi2_total` is the window sum of the
+    * ROUNDED terms (each a 1e-6 multiple, so the final round cannot
+    * straddle a boundary — the PSI trick); `dof = (|A|-1)(|B|-1)`.
+    *
+    * Scale shape: one map-side-combined shuffle to the |A| x |B| cell
+    * table; marginals and totals are aggregates over that table,
+    * broadcast back. Null categories are excluded.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("__ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n")).as("__cb"))
+    val tot = cells.agg(sum(col("n")).as("__nt"),
+      countDistinct(col("a")).as("__ka"), countDistinct(col("b")).as("__kb"))
+    val expected = round(
+      (col("__ra") * col("__cb")).cast("double") / col("__nt"), 6)
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", expected)
+      .withColumn("chi2_term",
+        round((col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"), 6))
+      .withColumn("chi2_total", round(sum(col("chi2_term")).over(w), 6))
+      .select(col("a"), col("b"), col("n"), col("expected"),
+        col("chi2_term"), col("chi2_total"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"))
+  }
+
+  /** Exact Pearson correlation per group PLUS the pooled row — the
+    * Simpson's-paradox audit view: a pooled correlation whose sign flips
+    * (or collapses) inside every group is a confounded aggregate, and
+    * shipping it un-grouped is how dashboards lie. Inputs must be
+    * INTEGER-scaled by the caller (cents, micro-units): every moment sum
+    * is then an exact BIGINT and
+    * `r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))`
+    * is one fixed-shape chain. One row per group and one labeled
+    * `pooledLabel` row: `(group, n, r)` — degenerate variance (constant
+    * x or y) yields null r.
+    *
+    * Scale shape: both levels are single map-side-combined aggregates of
+    * five products; nothing bigger than the group domain moves.
+    */
+  def pearsonByGroup(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String, pooledLabel: String = "<pooled>",
+                     roundDp: Int = 6): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+      col(yCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def moments(d: DataFrame, g: Column): DataFrame =
+      d.groupBy(g.as("group"))
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+          sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__y")).as("__sxy"),
+          sum(col("__x") * col("__x")).as("__sxx"),
+          sum(col("__y") * col("__y")).as("__syy"))
+    val both = moments(base, col("group"))
+      .unionByName(moments(base, lit(pooledLabel)))
+    // moment COMBINATIONS go through double (fixed shape both engines):
+    // n*sxx overflows BIGINT around 1e5 rows of 5-digit cents; the raw
+    // sums themselves stay exact longs.
+    val vx = col("n").cast("double") * col("__sxx") -
+      col("__sx").cast("double") * col("__sx")
+    val vy = col("n").cast("double") * col("__syy") -
+      col("__sy").cast("double") * col("__sy")
+    val cov = col("n").cast("double") * col("__sxy") -
+      col("__sx").cast("double") * col("__sy")
+    both.select(col("group"), col("n"),
+      when(vx > 0 && vy > 0,
+        round(cov / (sqrt(vx) * sqrt(vy)), roundDp))
+        .otherwise(lit(null).cast("double")).as("r"))
   }
 
   /** Functional-dependency audit `lhs -> rhs`: does every distinct LHS

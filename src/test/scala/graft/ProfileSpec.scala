@@ -338,4 +338,37 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       ("org", 1L) -> 1L, ("org.example", 2L) -> 1L,
       ("org.example.c", 3L) -> 1L))
   }
+
+  test("chiSquareIndependence: hand 2x2 table, totals, dof") {
+    // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; N=80.
+    // row x=40, col p=40 -> e=20 everywhere; term=(10)^2/20=5 -> chi2=20.
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val got = graft.operators.Profile
+      .chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(got(("x", "p")) == ((30L, 20.0, 5.0, 20.0, 1L)))
+    assert(got(("y", "p")) == ((10L, 20.0, 5.0, 20.0, 1L)))
+    assert(got.size == 4)
+  }
+
+  test("pearsonByGroup: Simpson flip — positive in groups, negative pooled") {
+    // two groups each with slope +1, but group B offset so the pooled
+    // cloud tilts negative.
+    val rows = Seq(("A", 0L, 100L), ("A", 1L, 101L), ("A", 2L, 102L),
+      ("B", 10L, 0L), ("B", 11L, 1L), ("B", 12L, 2L))
+    val got = graft.operators.Profile
+      .pearsonByGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") == 1.0 && got("B") == 1.0)
+    assert(got("<pooled>") < 0.0) // the paradox
+    // constant x -> null r
+    val const = Seq(("C", 5L, 1L), ("C", 5L, 9L)).toDF("g", "x", "y")
+    val rc = graft.operators.Profile
+      .pearsonByGroup(const, "g", "x", "y")
+      .collect().filter(_.getString(0) == "C")
+    assert(rc.forall(_.isNullAt(2)))
+  }
 }
