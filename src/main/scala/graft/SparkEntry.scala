@@ -1026,6 +1026,22 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "target_encoding" -> ((s, dir) =>
+      // Leave-one-out target encoding with additive smoothing
+      // (Classifier.targetEncodeLoo scaladoc): exact rational rewrite,
+      // one division per row.
+      Classifier.targetEncodeLoo(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_id", "event_type", "cents")),
+
+    "funnel_latency" -> ((s, dir) =>
+      // click -> purchase time-to-convert (EventAnalytics.funnelLatency
+      // scaladoc): exact rank-selected median and p90, no interpolation.
+      EventAnalytics.funnelLatency(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts", "click", "purchase")),
+
     "chisq_independence" -> ((s, dir) =>
       // Chi-square independence of lang x source
       // (Profile.chiSquareIndependence scaladoc): per-cell terms + the
@@ -4229,6 +4245,45 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Classifier.targetEncodeLoo replay: identical rational rewrite and
+    // double shapes, m = 10.
+    "target_encoding" ->
+      """WITH base AS (
+        | SELECT event_id, event_type AS category,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS y
+        | FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cats AS (SELECT category, CAST(count(*) AS BIGINT) AS nc,
+        |  sum(y) AS sc FROM base GROUP BY category),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy FROM base)
+        |SELECT b.event_id, b.category, b.y,
+        | round((CAST(c.sc - b.y AS DOUBLE) * gl.n +
+        |   CAST(10 AS DOUBLE) * gl.sy) /
+        |  (CAST(gl.n AS DOUBLE) * (c.nc - 1 + 10)), 6) AS enc
+        |FROM base b JOIN cats c USING (category) CROSS JOIN gl""".stripMargin,
+
+    // EventAnalytics.funnelLatency replay: first-A / first-B-after joins,
+    // integer rank selection for median and p90.
+    "funnel_latency" ->
+      """WITH base AS (
+        | SELECT user_id AS u, event_type AS t, epoch_us(ts) AS tsu
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fa AS (SELECT u, min(tsu) AS ta FROM base WHERE t = 'click'
+        | GROUP BY u),
+        |fb AS (SELECT b.u, fa.ta, min(b.tsu) AS tb
+        | FROM base b JOIN fa USING (u)
+        | WHERE b.t = 'purchase' AND b.tsu >= fa.ta GROUP BY b.u, fa.ta),
+        |d AS (SELECT u, tb - ta AS dd FROM fb),
+        |r AS (SELECT dd, row_number() OVER (ORDER BY dd, u) AS rn,
+        |  CAST(count(*) OVER () AS BIGINT) AS ncv FROM d),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM fa),
+        |med AS (SELECT dd AS median_us, ncv AS n_converted FROM r
+        | WHERE rn = (ncv + 1) // 2),
+        |p90 AS (SELECT dd AS p90_us FROM r WHERE rn = (ncv * 9 + 9) // 10)
+        |SELECT na.n_a, med.n_converted,
+        | round(CAST(med.n_converted AS DOUBLE) / na.n_a, 6) AS conv_rate,
+        | med.median_us, p90.p90_us
+        |FROM na CROSS JOIN med CROSS JOIN p90""".stripMargin,
 
     // Profile.chiSquareIndependence replay: cell/marginal tables, rounded
     // expectations, window-summed rounded terms.

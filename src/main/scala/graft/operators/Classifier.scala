@@ -121,6 +121,40 @@ object Classifier {
         sum(col("__nneg")).cast("long").as("n_neg"))
   }
 
+  /** Leave-one-out target encoding with additive smoothing — the
+    * categorical-feature transform tabular models actually train on
+    * (naive per-category target means leak the row's own label; LOO
+    * removes it, the prior damps rare categories toward the global mean):
+    * `enc_i = (sum_cat - y_i + m * SY/N) / (n_cat - 1 + m)`.
+    *
+    * Exact arithmetic: with integer targets the encoding rewrites to
+    * `((sum_cat - y_i) * N + m * SY) / (N * (n_cat - 1 + m))` — exact
+    * BIGINT numerator and denominator, ONE division per row. A singleton
+    * category collapses to exactly the global mean (the graceful LOO
+    * edge naive implementations divide by zero on).
+    *
+    * Output: input rows + `enc` (rounded). Scale shape: one
+    * map-side-combined aggregate to the category domain, broadcast back;
+    * the encoding itself is a narrow codegen'd pass.
+    */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: String, m: Long = 10L,
+                      roundDp: Int = 6): DataFrame = {
+    require(m >= 1, s"smoothing m must be >= 1, got $m")
+    val base = df.filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(idCol), col(catCol).as("category"),
+        col(targetCol).cast("long").as("y"))
+    val cats = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("__nc"), sum(col("y")).as("__sc"))
+    val glob = base.agg(count(lit(1)).as("__n"), sum(col("y")).as("__sy"))
+    base.join(broadcast(cats), Seq("category")).crossJoin(broadcast(glob))
+      .select(col(idCol), col("category"), col("y"),
+        round(((col("__sc") - col("y")).cast("double") * col("__n") +
+          lit(m).cast("double") * col("__sy")) /
+          (col("__n").cast("double") * (col("__nc") - 1 + m)), roundDp)
+          .as("enc"))
+  }
+
   /** Murphy decomposition of the Brier score over the calibration bins —
     * the quantitative companion to [[calibrationFrame]]'s reliability
     * diagram: `brier = reliability - resolution + uncertainty` (up to

@@ -79,6 +79,53 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Funnel latency between two stages: per user, the gap from the FIRST
+    * `stageA` event to the first `stageB` event AT OR AFTER it — then the
+    * conversion rate and the latency distribution's lower median and p90
+    * (exact order statistics by rank selection over (delta, user) — no
+    * float interpolation, so both engines pick the identical element).
+    * The time-to-convert companion to [[funnel]]'s who-converts counts.
+    * One row: `(n_a, n_converted, conv_rate, median_us, p90_us)`;
+    * `p90` rank = ceil(0.9 * n) in pure integers.
+    *
+    * Scale shape: two user-keyed min-aggregates + one join on the user
+    * key; rank selection windows run over the CONVERTED-USER table
+    * (user-bounded, not event-bounded).
+    */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, stageA: String,
+                    stageB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).cast("long").as("__ts"))
+    val firstA = base.filter(col("__t") === stageA)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__ta"))
+    val bAfter = base.filter(col("__t") === stageB)
+      .join(firstA, Seq("__u"))
+      .filter(col("__ts") >= col("__ta"))
+      .groupBy(col("__u"), col("__ta")).agg(min(col("__ts")).as("__tb"))
+      .withColumn("__d", col("__tb") - col("__ta"))
+    val w = Window.orderBy(col("__d"), col("__u"))
+    val ranked = bAfter
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nc", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val nA = firstA.agg(count(lit(1)).as("n_a"))
+    val med = ranked
+      .filter(col("__rn") === ((col("__nc") + 1) / 2).cast("long"))
+      .select(col("__d").as("median_us"), col("__nc").as("n_converted"))
+    val p90 = ranked
+      .filter(col("__rn") === ((col("__nc") * 9 + 9) / 10).cast("long"))
+      .select(col("__d").as("p90_us"))
+    nA.crossJoin(med).crossJoin(p90)
+      .select(col("n_a"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_a"), 6)
+          .as("conv_rate"),
+        col("median_us"), col("p90_us"))
+  }
+
   /** Theil-Sen robust trend per series key: the MEDIAN of all pairwise
     * day-over-day slopes of the daily counts — the trend estimator one
     * outlier day cannot drag (ordinary least squares moves with a single

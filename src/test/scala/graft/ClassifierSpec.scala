@@ -171,4 +171,20 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(r => r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0))
     assert(got.forall(r => r.getDouble(5) == 0.25))
   }
+
+  test("targetEncodeLoo: leave-one-out means, smoothing, singleton collapse") {
+    // category A: y = 10, 20, 30 (sum 60); B: y = 100 (singleton).
+    // global: N=4, SY=160 -> mean 40. m=2.
+    // A row y=10: ((60-10) + 2*40) / (3-1+2) = 130/4 = 32.5
+    // B row: LOO sum 0 -> (0 + 2*40)/(0+2) = 40 = global mean exactly.
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "B", 100L)).toDF("id", "cat", "y")
+    val got = Classifier.targetEncodeLoo(df, "id", "cat", "y", m = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 32.5 && got(2L) == 30.0 && got(3L) == 27.5)
+    assert(got(4L) == 40.0)
+    intercept[IllegalArgumentException] {
+      Classifier.targetEncodeLoo(df, "id", "cat", "y", m = 0)
+    }
+  }
 }

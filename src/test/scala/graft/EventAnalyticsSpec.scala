@@ -230,4 +230,20 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 1L, 0.5)))
   }
+
+  test("funnelLatency: first-A to first-B-after, exact rank selection") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // u1: A@10 -> B@30 (delta 20); u2: B@5 BEFORE A@10 then B@50 (delta 40)
+    // u3: A@10, no B -> not converted; u4: B only -> not in funnel
+    val ev = Seq((1L, "A", 10L), (1L, "B", 30L), (2L, "B", 5L),
+      (2L, "A", 10L), (2L, "B", 50L), (3L, "A", 10L), (4L, "B", 7L))
+      .toDF("u", "t", "tsu")
+    val r = graft.operators.EventAnalytics
+      .funnelLatency(ev, "u", "t", "tsu", "A", "B").collect()(0)
+    // n_a=3, converted=2, rate 2/3; deltas [20, 40]: lower median 20,
+    // p90 rank = ceil(1.8) = 2 -> 40
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 0.666667, 20L, 40L)))
+  }
 }
