@@ -1026,6 +1026,63 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "sorted_neighborhood" -> ((s, dir) =>
+      // Sorted-neighborhood blocking over the planted surnames
+      // (EditDistance.sortedNeighborhoodPairs scaladoc): the sliding
+      // window catches families a hard block key splits; same doc_id
+      // fence as the other linkage gates.
+      EditDistance.sortedNeighborhoodPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000)
+          .select(col("doc_id"), plantedSurname.as("name")),
+        "doc_id", "name", window = 3, minSim = 0.85)),
+
+    "spearman_corr" -> ((s, dir) => {
+      // Rank (Spearman) correlation per event type between the JSON k
+      // and the value — monotone association where Pearson sees only
+      // linear; min-rank ties (rank()) are deterministic on both engines.
+      val e = t(s, dir, "events")
+      val base = e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+        .filter(col("event_type").isNotNull && col("k").isNotNull &&
+          col("cents").isNotNull)
+      val rx = Window.partitionBy(col("event_type")).orderBy(col("k"))
+      val ry = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      Profile.pearsonByGroup(
+        base.withColumn("rk", rank().over(rx).cast("long"))
+          .withColumn("rc", rank().over(ry).cast("long")),
+        "event_type", "rk", "rc")
+        .filter(col("group") =!= "<pooled>")
+    }),
+
+    "activity_heatmap" -> ((s, dir) => {
+      // Day-of-week x hour activity matrix over exact event time — the
+      // operational heat view; dow 0 = Sunday via the epoch-Thursday +4
+      // shift, share one exact division.
+      val e = EventTime.readMicros(s, s"$dir/events.parquet")
+      val cells = e.filter(col("ts").isNotNull)
+        .groupBy(
+          ((floor(col("ts") / EventTime.DayMicros) + 4) % 7).cast("long")
+            .as("dow"),
+          (floor(col("ts") / EventTime.HourMicros) % 24).cast("long")
+            .as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("__t"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n"),
+          round(col("n").cast("double") / col("__t"), 6).as("share"))
+    }),
+
+    "quantile_diff" -> ((s, dir) => {
+      // Decile-by-decile shift between the even/odd event-id halves
+      // (Profile.quantileDiff scaladoc): exact rank-selected cents.
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      Profile.quantileDiff(e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1), "cents", "event_id")
+    }),
+
     "target_encoding" -> ((s, dir) =>
       // Leave-one-out target encoding with additive smoothing
       // (Classifier.targetEncodeLoo scaladoc): exact rational rewrite,
@@ -4245,6 +4302,86 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // EditDistance.sortedNeighborhoodPairs replay: lexicographic distinct
+    // ranks, band join within 3, DuckDB's verified-identical JW kernel,
+    // id expansion.
+    "sorted_neighborhood" ->
+      s"""WITH $plantedSurnameSqlCtes,
+         |nmd AS (SELECT doc_id AS id, lower(name) AS nmv FROM nm),
+         |rk AS (SELECT nmv, row_number() OVER (ORDER BY nmv) AS r
+         | FROM (SELECT DISTINCT nmv FROM nmd) q),
+         |np AS (
+         | SELECT a.nmv AS na, b.nmv AS nb,
+         |  round(jaro_winkler_similarity(a.nmv, b.nmv), 6) AS jw
+         | FROM rk a JOIN rk b ON b.r - a.r >= 0 AND b.r - a.r <= 3
+         | WHERE round(jaro_winkler_similarity(a.nmv, b.nmv), 6) >= 0.85),
+         |np2 AS (SELECT na, nb, jw FROM np
+         | UNION ALL SELECT nb, na, jw FROM np WHERE na <> nb)
+         |SELECT la.id AS id_a, lb.id AS id_b, np2.na AS name_a,
+         | np2.nb AS name_b, np2.jw
+         |FROM np2 JOIN nmd la ON la.nmv = np2.na
+         | JOIN nmd lb ON lb.nmv = np2.nb
+         |WHERE la.id < lb.id""".stripMargin,
+
+    // Spearman = Pearson on min-rank ties; identical window + moment
+    // chain shapes.
+    "spearman_corr" ->
+      """WITH base AS (
+        | SELECT event_type AS g,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+        | FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |rks AS (SELECT g,
+        |  CAST(rank() OVER (PARTITION BY g ORDER BY k) AS BIGINT) AS x,
+        |  CAST(rank() OVER (PARTITION BY g ORDER BY cents) AS BIGINT) AS y
+        | FROM base),
+        |m AS (
+        | SELECT g AS grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |  sum(y * y) AS syy
+        | FROM rks GROUP BY g)
+        |SELECT grp AS "group", n,
+        | CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  ELSE NULL END AS r
+        |FROM m""".stripMargin,
+
+    // Exact dow/hour cells from epoch micros; share one division.
+    "activity_heatmap" ->
+      """WITH cells AS (
+        | SELECT CAST((floor(epoch_us(ts) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
+        |  CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS t FROM cells)
+        |SELECT dow, hour, n, round(CAST(n AS DOUBLE) / tot.t, 6) AS share
+        |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // Profile.quantileDiff replay: rank-selected deciles per half under
+    // (value, id), exact integer gaps.
+    "quantile_diff" ->
+      """WITH ha AS (SELECT event_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+        | FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |hb AS (SELECT event_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+        | FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |ra AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rn,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM ha),
+        |rb AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rn,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM hb),
+        |qs AS (SELECT CAST(i AS BIGINT) AS q FROM generate_series(1, 9) t(i)),
+        |da AS (SELECT qs.q, ra.cents AS x_a FROM qs JOIN ra
+        | ON ra.rn = (qs.q * ra.n + 9) // 10),
+        |db AS (SELECT qs.q, rb.cents AS x_b FROM qs JOIN rb
+        | ON rb.rn = (qs.q * rb.n + 9) // 10)
+        |SELECT da.q, da.x_a, db.x_b, db.x_b - da.x_a AS diff
+        |FROM da JOIN db USING (q)""".stripMargin,
 
     // Classifier.targetEncodeLoo replay: identical rational rewrite and
     // double shapes, m = 10.

@@ -556,6 +556,41 @@ object Profile {
       .withColumn("fk_candidate", col("containment") >= threshold)
   }
 
+  /** Exact quantile-difference report between two numeric distributions:
+    * for each decile, the rank-selected value on each side and the gap —
+    * WHERE a shift lives, which a single KS statistic or PSI number hides
+    * (a tail-only regression vs a uniform drift read identically there).
+    * Values must be INTEGER-scaled by the caller; quantile `k/10` selects
+    * rank `ceil(k*n/10)` under the total order (value, id) — pure integer
+    * rank arithmetic, no interpolation, both engines pick the identical
+    * element. One row per decile k=1..9:
+    * `(q, x_a, x_b, diff)` with `diff = x_b - x_a` (exact).
+    *
+    * Scale shape: one rank window per side (value-ordered; at true scale
+    * swap in the GK-sketch path audited by `percentile_sketch_audit` —
+    * this exact formulation is the oracle-checkable regime).
+    */
+  def quantileDiff(a: DataFrame, b: DataFrame, valueCol: String,
+                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def deciles(df: DataFrame, out: String): DataFrame = {
+      val w = Window.orderBy(col(valueCol).cast("long"), col(idCol))
+      val ranked = df.filter(col(valueCol).isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      ranked.crossJoin(broadcast(
+          ranked.sparkSession.range(1, 10).select(col("id").as("q"))))
+        .filter(col("__rn") ===
+          ((col("q") * col("__n") + 9) / 10).cast("long"))
+        .select(col("q"), col(valueCol).cast("long").as(out))
+    }
+    deciles(a, "x_a").join(deciles(b, "x_b"), Seq("q"))
+      .select(col("q"), col("x_a"), col("x_b"),
+        (col("x_b") - col("x_a")).as("diff"))
+  }
+
   /** Chi-square independence audit between two categorical columns: per
     * occupied cell, observed count vs the independence expectation
     * `e = row_total * col_total / N`, with the chi-square term — the

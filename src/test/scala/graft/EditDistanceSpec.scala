@@ -140,4 +140,22 @@ class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
     } yield (a, b)).toSet
     assert(got.keySet == brute)
   }
+
+  test("sortedNeighborhoodPairs: window catches cross-letter neighbors") {
+    // sorted order: [bob, bobby, box, coy, cox]; window 2 pairs bob-bobby
+    // (0.94+), bobby-box?, box-coy (different letters but adjacent in the
+    // sort — a first-letter blocker would NEVER compare them).
+    val df = Seq((1L, "bob"), (2L, "bobby"), (3L, "box"), (4L, "cox"),
+      (5L, "coy")).toDF("id", "name")
+    val got = EditDistance.sortedNeighborhoodPairs(df, "id", "name",
+        window = 2, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jw(bob,bobby)=0.906667; jw(bob,box)=0.822222; jw(cox,coy)=0.822222;
+    // jw(bobby,box) = jaro(13/15? recompute) -> below 0.8 threshold or not:
+    // m=2 ('b','o'), jaro=(2/5+2/3+1)/3=0.688 <= 0.7 -> 0.688 dropped.
+    assert(got == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    intercept[IllegalArgumentException] {
+      EditDistance.sortedNeighborhoodPairs(df, "id", "name", window = 0)
+    }
+  }
 }

@@ -371,4 +371,16 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .collect().filter(_.getString(0) == "C")
     assert(rc.forall(_.isNullAt(2)))
   }
+
+  test("quantileDiff: exact rank-selected deciles and gaps") {
+    val a = (1L to 100L).map(i => (i, i * 10)).toDF("id", "v")
+    val b = (1L to 100L).map(i => (i, i * 10 + 55)).toDF("id", "v")
+    val got = graft.operators.Profile.quantileDiff(a, b, "v", "id")
+      .orderBy("q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // decile k selects rank ceil(k*100/10) = 10k -> value 100k; the
+    // shifted side differs by exactly 55 at every decile.
+    assert(got.toSeq == (1 to 9).map(k =>
+      (k.toLong, k * 100L, k * 100L + 55L, 55L)))
+  }
 }
