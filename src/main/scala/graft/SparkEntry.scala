@@ -1026,6 +1026,41 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "conformal_threshold" -> ((s, dir) => {
+      // Split-conformal wrapper on the quality classifier
+      // (Classifier.conformalThreshold scaladoc): exact rank-selected
+      // 90% nonconformity quantile on the even split, holdout coverage
+      // on the odd split.
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      val scored = Classifier.fitScoreLogistic(feats,
+        Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+        iterations = 2, lr = 1.0)
+      Classifier.conformalThreshold(scored, "doc_id", "prob", "label",
+        calCol = col("doc_id") % 2 === 0)
+    }),
+
+    "feature_attribution" -> ((s, dir) => {
+      // Per-document linear attribution against the corpus-mean baseline
+      // (Classifier.featureAttribution scaladoc): which signal drove the
+      // score, decided on the emitted rounded values.
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      val w = Classifier.fitLogistic(feats,
+        Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+        iterations = 2, lr = 1.0)
+      Classifier.featureAttribution(feats, "doc_id",
+        Seq("mean_token_len", "punct_ratio", "stopword_ratio"), w)
+    }),
+
     "sorted_neighborhood" -> ((s, dir) =>
       // Sorted-neighborhood blocking over the planted surnames
       // (EditDistance.sortedNeighborhoodPairs scaladoc): the sliding
@@ -4302,6 +4337,53 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Classifier.conformalThreshold replay over the trained-scored CTEs:
+    // micro nonconformity, integer rank ceil((n+1)*9/10) clamped, holdout
+    // coverage.
+    "conformal_threshold" ->
+      s"""WITH $classifierScoredSqlCtes,
+         |sc AS (SELECT doc_id,
+         |  CAST(round(abs(y - prob) * 1000000, 0) AS BIGINT) AS su,
+         |  (doc_id % 2 = 0) AS cal FROM scored),
+         |ranked AS (SELECT su,
+         |  row_number() OVER (ORDER BY su, doc_id) AS rn,
+         |  CAST(count(*) OVER () AS BIGINT) AS n FROM sc WHERE cal),
+         |thr AS (SELECT n AS n_cal, su AS thr FROM ranked
+         | WHERE rn = least(n, ((n + 1) * 9 + 9) // 10)),
+         |ev AS (SELECT su FROM sc WHERE NOT cal)
+         |SELECT thr.n_cal,
+         | round(CAST(thr.thr AS DOUBLE) / 1000000.0, 6) AS threshold,
+         | CAST(count(*) AS BIGINT) AS n_eval,
+         | round(CAST(sum(CASE WHEN ev.su <= thr.thr THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS coverage
+         |FROM ev CROSS JOIN thr GROUP BY thr.n_cal, thr.thr""".stripMargin,
+
+    // Classifier.featureAttribution replay: same trained weights (w2),
+    // decimal-exact rounded means, argmax on the ROUNDED contributions
+    // with name-priority ties (c1 < c2 < c3 alphabetically).
+    "feature_attribution" ->
+      s"""WITH $classifierScoredSqlCtes,
+         |mm AS (SELECT
+         |  round(CAST(sum(CAST(x1 AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS m1,
+         |  round(CAST(sum(CAST(x2 AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS m2,
+         |  round(CAST(sum(CAST(x3 AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS m3
+         | FROM f),
+         |cc AS (SELECT f.doc_id,
+         |  round(w2.w1 * (f.x1 - mm.m1), 6) AS c1,
+         |  round(w2.w2 * (f.x2 - mm.m2), 6) AS c2,
+         |  round(w2.w3 * (f.x3 - mm.m3), 6) AS c3,
+         |  round(w2.b + w2.w1 * f.x1 + w2.w2 * f.x2 + w2.w3 * f.x3, 6) AS logit
+         | FROM f CROSS JOIN w2 CROSS JOIN mm)
+         |SELECT doc_id,
+         | CASE WHEN abs(c1) >= abs(c2) AND abs(c1) >= abs(c3)
+         |   THEN 'mean_token_len'
+         |  WHEN abs(c2) >= abs(c3) THEN 'punct_ratio'
+         |  ELSE 'stopword_ratio' END AS top_feature,
+         | CASE WHEN abs(c1) >= abs(c2) AND abs(c1) >= abs(c3) THEN c1
+         |  WHEN abs(c2) >= abs(c3) THEN c2 ELSE c3 END AS contribution,
+         | logit
+         |FROM cc""".stripMargin,
 
     // EditDistance.sortedNeighborhoodPairs replay: lexicographic distinct
     // ranks, band join within 3, DuckDB's verified-identical JW kernel,

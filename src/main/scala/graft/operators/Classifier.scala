@@ -121,6 +121,99 @@ object Classifier {
         sum(col("__nneg")).cast("long").as("n_neg"))
   }
 
+  /** Split-conformal prediction threshold + holdout coverage — the
+    * distribution-free uncertainty wrapper for ANY scored classifier
+    * (Vovk; the modern deployment answer to "how confident is this
+    * filter"): on a calibration split, take the
+    * `ceil((n+1)(1-alpha))`-th smallest nonconformity score
+    * (`s = |y - p|`, the probability mass on the wrong side); on a
+    * disjoint eval split, measure how often `s <= threshold` — the
+    * conformal guarantee says ~`1-alpha` regardless of the model being
+    * right. One row: `(n_cal, threshold, n_eval, coverage)`.
+    *
+    * Determinism: probabilities arrive 6-dp-rounded, nonconformity lifts
+    * to micro-units, the quantile is EXACT integer rank selection under
+    * `(s, id)` (`ceil((n+1)*(1-aNum/aDen))` in pure integers, clamped to
+    * n), and coverage is one division.
+    *
+    * Scale shape: one rank window over the calibration split, a 1-row
+    * threshold broadcast into the eval aggregate.
+    */
+  def conformalThreshold(scored: DataFrame, idCol: String, probCol: String,
+                         labelCol: String, calCol: Column,
+                         aNum: Int = 1, aDen: Int = 10): DataFrame = {
+    require(aNum > 0 && aDen > aNum, "need 0 < alpha = aNum/aDen < 1")
+    import org.apache.spark.sql.expressions.Window
+    val s = round(abs(col(labelCol).cast("double") - col(probCol)) * 1e6, 0)
+      .cast("long")
+    val base = scored
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), s.as("__s"), calCol.as("__cal"))
+    val cal = base.filter(col("__cal"))
+    val w = Window.orderBy(col("__s"), col("__id"))
+    val ranked = cal
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    // rank = min(n, ceil((n+1) * (aDen-aNum) / aDen)) in pure integers
+    val rank = least(col("__n"),
+      (((col("__n") + 1) * (aDen - aNum) + (aDen - 1)) / aDen).cast("long"))
+    val thr = ranked.filter(col("__rn") === rank)
+      .select(col("__n").as("n_cal"), col("__s").as("__thr"))
+    val eval0 = base.filter(!col("__cal"))
+    eval0.crossJoin(broadcast(thr))
+      .agg(first(col("n_cal")).as("n_cal"),
+        round(first(col("__thr")).cast("double") / 1e6, 6).as("threshold"),
+        count(lit(1)).as("n_eval"),
+        round(sum((col("__s") <= col("__thr")).cast("long")).cast("double") /
+          count(lit(1)), 6).as("coverage"))
+  }
+
+  /** Per-row feature attribution for the linear classifier: each
+    * feature's logit contribution `w_j * (x_j - mean_j)` against the
+    * corpus-mean baseline — the "WHY was this document scored down"
+    * explanation a curation reviewer needs before trusting a filter
+    * (exact SHAP for a linear model under feature independence). One row
+    * per input row: `(id, top_feature, contribution, logit)` — the
+    * largest-|contribution| feature (ties by feature name), with the
+    * full logit for context.
+    *
+    * Determinism: weights and features are 6-dp by the training
+    * contract; means are DECIMAL-exact then rounded; every contribution
+    * is rounded BEFORE the argmax comparison so the winner is decided on
+    * the emitted values.
+    */
+  def featureAttribution(df: DataFrame, idCol: String,
+                         featureCols: Seq[String], weights: Array[Double],
+                         roundDp: Int = 6): DataFrame = {
+    require(weights.length == featureCols.length + 1,
+      s"weights (${weights.length}) must be features+bias (${featureCols.length + 1})")
+    val means = df.agg(
+      featureCols.map(c => round(
+        sum(col(c).cast("decimal(24,6)")).cast("double") / count(lit(1)),
+        roundDp).as(s"__m_$c")).head,
+      featureCols.map(c => round(
+        sum(col(c).cast("decimal(24,6)")).cast("double") / count(lit(1)),
+        roundDp).as(s"__m_$c")).tail: _*)
+    val withM = df.crossJoin(broadcast(means))
+    val contribs = featureCols.zipWithIndex.map { case (c, j) =>
+      struct(
+        round(lit(weights(j + 1)) * (col(c) - col(s"__m_$c")), roundDp)
+          .as("c"),
+        lit(c).as("f"))
+    }
+    val best = array_sort(array(contribs: _*),
+      (a, b) => when(abs(a("c")) > abs(b("c")), -1)
+        .when(abs(a("c")) < abs(b("c")), 1)
+        .when(a("f") < b("f"), -1).when(a("f") > b("f"), 1)
+        .otherwise(0))
+    withM.select(col(idCol),
+      element_at(best, 1).getField("f").as("top_feature"),
+      element_at(best, 1).getField("c").as("contribution"),
+      round(z(weights, featureCols.map(col)), roundDp).as("logit"))
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the
     * categorical-feature transform tabular models actually train on
     * (naive per-category target means leak the row's own label; LOO

@@ -187,4 +187,37 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
       Classifier.targetEncodeLoo(df, "id", "cat", "y", m = 0)
     }
   }
+
+  test("conformalThreshold: exact rank quantile and holdout coverage") {
+    // calibration scores (cal=true): s = |y-p| over 9 rows with p chosen
+    // so s = 0.1, 0.2, ..., 0.9; rank = min(9, ceil(10*0.9)) = 9 -> 0.9.
+    val rows = (1 to 9).map(i => (i.toLong, i / 10.0, 0.0, true)) ++
+      Seq((100L, 0.05, 0.0, false), (101L, 0.95, 0.0, false))
+    val df = rows.toDF("id", "prob", "label", "cal")
+    val r = Classifier.conformalThreshold(df, "id", "prob", "label",
+      org.apache.spark.sql.functions.col("cal")).collect()(0)
+    // eval: s = 0.05 (covered), 0.95 (not, 0.95 > 0.9) -> coverage 0.5
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)) ==
+      ((9L, 0.9, 2L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Classifier.conformalThreshold(df, "id", "prob", "label",
+        org.apache.spark.sql.functions.col("cal"), aNum = 3, aDen = 2)
+    }
+  }
+
+  test("featureAttribution: argmax on rounded contributions, name ties") {
+    // weights: bias 0, w=(2, -1); means: x1: 1.0, x2: 2.0.
+    // row 1: x=(2,2): c1=2*(1)=2, c2=-1*0=0 -> top x1, logit 2*2-2=2
+    // row 2: x=(1,4): c1=0, c2=-2 -> top x2 (|c2| wins)
+    // row 3: x=(0,0): c1=-2, c2=2 -> tie on |c|: name order -> a
+    val df = Seq((1L, 2.0, 2.0), (2L, 1.0, 4.0), (3L, 0.0, 0.0))
+      .toDF("id", "a", "b")
+    val got = Classifier.featureAttribution(df, "id", Seq("a", "b"),
+      Array(0.0, 2.0, -1.0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == (("a", 2.0, 2.0)))
+    assert(got(2L) == (("b", -2.0, -2.0)))
+    assert(got(3L) == (("a", -2.0, 0.0)))
+  }
 }
