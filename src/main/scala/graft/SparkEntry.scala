@@ -1026,6 +1026,19 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "mutual_knn" -> ((s, dir) =>
+      // Mutual top-5 cosine pairs (Similarity.mutualKnnPairs scaladoc):
+      // the hubness-proof near-dup candidate filter.
+      Similarity.mutualKnnPairs(t(s, dir, "embeddings"), k = 5)),
+
+    "decay_scores" -> ((s, dir) =>
+      // Recency-decayed per-user activity, 7-day half-life
+      // (EventAnalytics.decayedActivity scaladoc): sorted left-to-right
+      // pow-of-2 folds.
+      EventAnalytics.decayedActivity(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "ts")),
+
     "conformal_threshold" -> ((s, dir) => {
       // Split-conformal wrapper on the quality classifier
       // (Classifier.conformalThreshold scaladoc): exact rank-selected
@@ -4337,6 +4350,42 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Similarity.mutualKnnPairs replay: 6-dp cosines, per-side rank
+    // windows, mutual join with id_a < id_b.
+    "mutual_knn" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         | SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |  round(${cosOf("a.embedding", "b.embedding")}, 6) AS c
+         | FROM corpus a, corpus b WHERE a.vec_id <> b.vec_id),
+         |ranked AS (SELECT qa, qb, c,
+         |  row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rk
+         | FROM scored),
+         |topk AS (SELECT * FROM ranked WHERE rk <= 5),
+         |fwd AS (SELECT qa AS id_a, qb AS id_b, c AS cos,
+         |  CAST(rk AS BIGINT) AS rank_ab FROM topk WHERE qa < qb),
+         |bwd AS (SELECT qb AS id_a, qa AS id_b,
+         |  CAST(rk AS BIGINT) AS rank_ba FROM topk WHERE qa > qb)
+         |SELECT f.id_a, f.id_b, f.cos, f.rank_ab, b.rank_ba
+         |FROM fwd f JOIN bwd b USING (id_a, id_b)""".stripMargin,
+
+    // EventAnalytics.decayedActivity replay: sorted list_reduce fold of
+    // identical pow-of-2 terms, 7-day half-life.
+    "decay_scores" ->
+      """WITH base AS (
+        | SELECT user_id AS u, epoch_us(ts) AS tsu FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |tm AS (SELECT max(tsu) AS tmax FROM base),
+        |g AS (SELECT u AS user, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(tsu) AS last_ts, list(tsu ORDER BY tsu) AS tss
+        | FROM base GROUP BY u)
+        |SELECT g.user, g.n_events, g.last_ts,
+        | round(list_reduce(
+        |   list_transform(g.tss,
+        |     t -> pow(2.0, -(CAST(tm.tmax - t AS DOUBLE) / 604800000000.0))),
+        |   (a, b) -> a + b), 6) AS score
+        |FROM g CROSS JOIN tm""".stripMargin,
 
     // Classifier.conformalThreshold replay over the trained-scored CTEs:
     // micro nonconformity, integer rank ceil((n+1)*9/10) clamped, holdout

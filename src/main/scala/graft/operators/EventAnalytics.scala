@@ -79,6 +79,39 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Recency-decayed activity score per user:
+    * `score = sum over events of 2^(-(T - t) / halflife)` with `T` the
+    * corpus-wide latest timestamp — the engagement feature a ranking /
+    * re-crawl scheduler consumes (a visit today counts 1, a visit one
+    * half-life ago counts 0.5; plain counts can't tell a lapsed heavy
+    * user from an active one). One row per user:
+    * `(user, n_events, last_ts, score)`.
+    *
+    * Determinism: per-user timestamps fold in SORTED ascending order
+    * (collect + array_sort, event multisets are per-user-bounded), each
+    * term the identical pow-of-2 shape, summed left-to-right — the
+    * DuckDB `list_reduce` op sequence exactly (0-seeded vs first-seeded
+    * folds agree because 0.0 + x is exact). Rounded only at output.
+    */
+  def decayedActivity(events: DataFrame, userCol: String, tsCol: String,
+                      halflifeDays: Int = 7): DataFrame = {
+    require(halflifeDays >= 1, s"halflifeDays must be >= 1, got $halflifeDays")
+    val hl = (halflifeDays * EventTime.DayMicros).toDouble
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"), col(tsCol).cast("long").as("__ts"))
+    val tMax = base.agg(max(col("__ts")).as("__tmax"))
+    base.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__ts")).as("last_ts"),
+        array_sort(collect_list(col("__ts"))).as("__tss"))
+      .crossJoin(broadcast(tMax))
+      .select(col("user"), col("n_events"), col("last_ts"),
+        round(aggregate(col("__tss"), lit(0.0), (acc, t) =>
+          acc + pow(lit(2.0),
+            -((col("__tmax") - t).cast("double") / hl))), 6).as("score"))
+  }
+
   /** Funnel latency between two stages: per user, the gap from the FIRST
     * `stageA` event to the first `stageB` event AT OR AFTER it — then the
     * conversion rate and the latency distribution's lower median and p90

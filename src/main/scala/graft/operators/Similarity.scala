@@ -446,6 +446,46 @@ object Similarity {
       .select(col("qid"), col("id"), col("hamming"), col("rank"))
   }
 
+  /** Mutual k-nearest-neighbor pairs: `(a, b)` where each is in the
+    * OTHER's top-k by cosine — the high-precision near-dup candidate
+    * filter (one-sided kNN pairs a hub vector with half the corpus;
+    * mutuality kills hubness, the same asymmetry [[marginBitext]] fixes
+    * with margins, here fixed set-wise). Returns
+    * `(id_a, id_b, cos, rank_ab, rank_ba)` with `id_a < id_b`.
+    *
+    * Exact regime (all-pairs ranking, oracle-checkable); at scale ranks
+    * come from [[blockedTopKPerQuery]] in both directions and the mutual
+    * join on top is unchanged. Ties rank by candidate id.
+    */
+  def mutualKnnPairs(corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .select(col(idCol).as("__a"), col(vecCol).as("__va"))
+      .crossJoin(corpus.select(col(idCol).as("__b"), col(vecCol).as("__vb")))
+      .filter(col("__a") =!= col("__b"))
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__va"), col("__vb")),
+          roundDp))
+      .select(col("__a"), col("__b"), col("__cos"))
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__cos").desc, col("__b"))
+    val ranked = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val fwd = ranked.filter(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        col("__cos").as("cos"), col("__rk").cast("long").as("rank_ab"))
+    val bwd = ranked.filter(col("__a") > col("__b"))
+      .select(col("__b").as("id_a"), col("__a").as("id_b"),
+        col("__rk").cast("long").as("rank_ba"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"), col("rank_ab"),
+        col("rank_ba"))
+  }
+
   /** End-to-end audit of the binarize-then-rerank recipe: per query, take
     * a `shortlist`-sized Hamming candidate set over the 1-bit codes,
     * re-rank it by exact cosine, and measure recall@k against the exact

@@ -246,4 +246,19 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
       r.getLong(4)) == ((3L, 2L, 0.666667, 20L, 40L)))
   }
+
+  test("decayedActivity: half-life halves each step; last event scores 1") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val hl = 7L * graft.operators.EventTime.DayMicros
+    val T = 100L * graft.operators.EventTime.DayMicros
+    val ev = Seq((1L, T), (1L, T - hl), (2L, T - 2 * hl))
+      .toDF("user_id", "tsu")
+    val got = graft.operators.EventAnalytics
+      .decayedActivity(ev, "user_id", "tsu")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, T, 1.5)))   // 1 + 2^-1
+    assert(got(2L) == ((1L, T - 2 * hl, 0.25))) // 2^-2, global T anchor
+  }
 }

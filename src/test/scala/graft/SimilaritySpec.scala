@@ -275,4 +275,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.hammingRerankRecall(corpus, corpus, shortlist = 2, k = 3)
     }
   }
+
+  test("mutualKnnPairs: hubness-proof — only mutual top-1 pairs survive") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0.1f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnPairs(corpus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    // NN(1)=2 and NN(2)=1 (mutual); NN(3)=2 but NN(2)=1, NN(4)=3 but
+    // NN(3)=2 -> the one-sided links die.
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnPairs(corpus, k = 0)
+    }
+  }
 }
