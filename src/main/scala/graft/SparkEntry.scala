@@ -1028,8 +1028,11 @@ object SparkEntry {
 
     "mutual_knn" -> ((s, dir) =>
       // Mutual top-5 cosine pairs (Similarity.mutualKnnPairs scaladoc):
-      // the hubness-proof near-dup candidate filter.
-      Similarity.mutualKnnPairs(t(s, dir, "embeddings"), k = 5)),
+      // the hubness-proof near-dup candidate filter. vec_id < 2500 fences
+      // the exact-regime all-pairs cost at driver SF bumps (the
+      // ssjoin_prefix discipline).
+      Similarity.mutualKnnPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1250), k = 5)),
 
     "decay_scores" -> ((s, dir) =>
       // Recency-decayed per-user activity, 7-day half-life
@@ -4354,7 +4357,8 @@ object SparkEntry {
     // Similarity.mutualKnnPairs replay: 6-dp cosines, per-side rank
     // windows, mutual join with id_a < id_b.
     "mutual_knn" ->
-      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         | WHERE vec_id < 1250),
          |scored AS (
          | SELECT a.vec_id AS qa, b.vec_id AS qb,
          |  round(${cosOf("a.embedding", "b.embedding")}, 6) AS c
