@@ -528,4 +528,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
         s"$g: no map-side combine")
     }
   }
+
+  test("cdc_apply / trend_theilsen / funnel_latency / decay_scores: keyed shapes") {
+    for (g <- Seq("cdc_apply", "trend_theilsen", "decay_scores")) {
+      val p = plan(g)
+      assert(!p.contains("CartesianProduct"), s"$g grew a cartesian")
+      assert(p.contains("Window") || p.contains("partial_"),
+        s"$g lost its keyed aggregate/window")
+    }
+    // funnel_latency's rank windows run over the converted-USER table
+    val p = plan("funnel_latency")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "funnel_latency: only 1-row scalar joins may be unkeyed")
+  }
+
+  test("target_encoding / novelty_rate / chisq / correlations: broadcast stats") {
+    for (g <- Seq("target_encoding", "novelty_rate", "chisq_independence",
+        "group_correlation", "signal_corr", "spearman_corr")) {
+      val p = plan(g)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$g: no map-side combine")
+      assert(!p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$g: only scalar broadcasts may be unkeyed")
+    }
+  }
+
+  test("sorted_neighborhood / symspell_match: linkage joins stay keyed or banded") {
+    for (g <- Seq("sorted_neighborhood", "symspell_match")) {
+      val p = plan(g)
+      assert(p.contains("Join"), s"$g lost its join")
+    }
+  }
 }

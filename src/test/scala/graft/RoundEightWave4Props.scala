@@ -176,4 +176,75 @@ object RoundEightWave4Props extends Properties("RoundEightWave4") {
       val coverage = rows.head._2
       monotone && (d2s.isEmpty || coverage <= d2s.last + 1e-9)
     }
+
+  // --- wave 13-19 additions ---------------------------------------------
+
+  private val logGen: Gen[List[(Long, Long, Long, Double, Boolean)]] = for {
+    n <- Gen.choose(1, 30)
+    ops <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 5L); ts <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0, 100); del <- Gen.oneOf(true, false)
+    } yield (k, ts, 0L, v / 10.0, del))
+  } yield ops.zipWithIndex.map { case ((k, ts, _, v, d), i) =>
+    (k, ts, i.toLong, v, d) }
+
+  property("cdcApply: surviving keys = keys whose LAST op is an upsert") =
+    forAll(logGen) { ops =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val got = graft.operators.StateStore.cdcApply(
+        ops.toDF("k", "tsu", "id", "value", "del"),
+        "k", "tsu", "id", "value", col("del"))
+        .collect().map(_.getLong(0)).toSet
+      val want = ops.groupBy(_._1).collect {
+        case (k, os) if !os.maxBy(o => (o._2, o._3))._5 => k
+      }.toSet
+      got == want
+    }
+
+  private val xyGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    ps <- Gen.listOfN(n, for {
+      x <- Gen.choose(-50L, 50L); y <- Gen.choose(-50L, 50L)
+    } yield (x, y))
+  } yield ps
+
+  property("pearsonByGroup pooled r is within [-1, 1] or null") =
+    forAll(xyGen) { ps =>
+      import spark.implicits._
+      val rows = ps.map { case (x, y) => ("g", x, y) }
+      val got = graft.operators.Profile
+        .pearsonByGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().filter(_.getString(0) == "<pooled>")
+      got.forall(r => r.isNullAt(2) ||
+        (r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    }
+
+  private val valsGen: Gen[List[Long]] =
+    Gen.choose(9, 60).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 1000L)))
+
+  property("quantileDiff deciles are monotone within each side") =
+    forAll(valsGen, valsGen) { (a, b) =>
+      import spark.implicits._
+      val da = a.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val db = b.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = graft.operators.Profile.quantileDiff(
+        da.toDF("id", "v"), db.toDF("id", "v"), "v", "id")
+        .orderBy(col("q")).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      got.sliding(2).forall(w => w.length < 2 ||
+        (w(0)._1 <= w(1)._1 && w(0)._2 <= w(1)._2))
+    }
+
+  property("targetEncodeLoo stays within the target's [min, max] range") =
+    forAll(xyGen) { ps =>
+      import spark.implicits._
+      val rows = ps.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, s"c${x % 3}", y.max(0L)) }
+      val ys = rows.map(_._3)
+      val got = graft.operators.Classifier
+        .targetEncodeLoo(rows.toDF("id", "cat", "y"), "id", "cat", "y", m = 3)
+        .collect().map(_.getDouble(3))
+      got.forall(e => e >= ys.min - 1e-6 && e <= ys.max + 1e-6)
+    }
 }
