@@ -1026,6 +1026,33 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "robots_check" -> ((s, dir) => {
+      // Longest-prefix robots.txt evaluation over the planted crawl URLs
+      // (CurationRules.robotsCheck scaladoc). Host identity is
+      // base % 20 (host = f(base%10, base%4)); rulesets: '/' allow
+      // everywhere, '/path/' deny on h%3==0 hosts, '/path/1' re-allow on
+      // h%6==0 hosts — exercising longest-match and the allow tie-break.
+      val d = t(s, dir, "documents")
+      val base = col("doc_id") % 100
+      val urls = d.select(col("doc_id"), plantedHost.as("host"),
+        concat(lit("/path/"), base.cast("string")).as("path"))
+      val hs = d.select((base % 20).as("h")).distinct()
+      def hostOfH = concat(lit("www.site"), (col("h") % 10).cast("string"),
+        lit(".example."),
+        element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
+          (col("h") % 4 + 1).cast("int")))
+      val rules = hs.select(hostOfH.as("rhost"), lit("/").as("rule"),
+          lit(true).as("allow"))
+        .unionByName(hs.filter(col("h") % 3 === 0)
+          .select(hostOfH.as("rhost"), lit("/path/").as("rule"),
+            lit(false).as("allow")))
+        .unionByName(hs.filter(col("h") % 6 === 0)
+          .select(hostOfH.as("rhost"), lit("/path/1").as("rule"),
+            lit(true).as("allow")))
+      CurationRules.robotsCheck(urls, "host", "path", "doc_id",
+        rules, "rhost", "rule", "allow")
+    }),
+
     "mutual_knn" -> ((s, dir) =>
       // Mutual top-5 cosine pairs (Similarity.mutualKnnPairs scaladoc):
       // the hubness-proof near-dup candidate filter. vec_id < 2500 fences
@@ -4353,6 +4380,36 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // CurationRules.robotsCheck replay: same host/rule plants, prefix
+    // match via starts_with, longest-match window with allow tie-break.
+    "robots_check" ->
+      """WITH urls AS (
+        | SELECT doc_id,
+        |  'www.site' || CAST(doc_id % 100 % 10 AS VARCHAR) || '.example.' ||
+        |   (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 100 % 4 + 1 AS INT)] AS host,
+        |  '/path/' || CAST(doc_id % 100 AS VARCHAR) AS path
+        | FROM documents),
+        |hs AS (SELECT DISTINCT doc_id % 100 % 20 AS h FROM documents),
+        |hh AS (SELECT h,
+        |  'www.site' || CAST(h % 10 AS VARCHAR) || '.example.' ||
+        |   (['com', 'co.uk', 'org', 'com.au'])[CAST(h % 4 + 1 AS INT)] AS rhost
+        | FROM hs),
+        |rules AS (
+        | SELECT rhost, '/' AS rule, true AS allow FROM hh
+        | UNION ALL SELECT rhost, '/path/', false FROM hh WHERE h % 3 = 0
+        | UNION ALL SELECT rhost, '/path/1', true FROM hh WHERE h % 6 = 0),
+        |matched AS (
+        | SELECT u.doc_id, u.host, u.path, r.rule, r.allow,
+        |  row_number() OVER (PARTITION BY u.doc_id
+        |    ORDER BY len(r.rule) DESC, r.allow DESC, r.rule) AS rn
+        | FROM urls u JOIN rules r
+        |  ON u.host = r.rhost AND starts_with(u.path, r.rule)),
+        |best AS (SELECT doc_id, rule AS matched_rule, allow AS allowed
+        | FROM matched WHERE rn = 1)
+        |SELECT u.doc_id, u.host, u.path, b.matched_rule,
+        | coalesce(b.allowed, true) AS allowed
+        |FROM urls u LEFT JOIN best b USING (doc_id)""".stripMargin,
 
     // Similarity.mutualKnnPairs replay: 6-dp cosines, per-side rank
     // windows, mutual join with id_a < id_b.

@@ -234,6 +234,43 @@ object CurationRules {
         (col("n_sensitive") >= l).as("l_diverse"): _*)
   }
 
+  /** robots.txt evaluation — the crawl-governance gate every fetch MUST
+    * clear: for each URL, the longest-prefix-matching rule of its host's
+    * ruleset decides (the modern robots semantics: longest match wins;
+    * on an exact length tie, allow beats disallow — Google's published
+    * tie-break). URLs on hosts with NO matching rule are allowed (absent
+    * robots means crawlable). One row per input row:
+    * `(host, path, matched_rule, allowed)` — `matched_rule` null for the
+    * no-rule default.
+    *
+    * Scale shape: one host-keyed join (rulesets are tiny per host and
+    * broadcast when they fit), a prefix filter, one longest-match window
+    * per (host, path, row id). No regex — rule matching is
+    * `startswith`, codegen'd.
+    */
+  def robotsCheck(urls: DataFrame, hostCol: String, pathCol: String,
+                  idCol: String, rules: DataFrame, ruleHostCol: String,
+                  rulePathCol: String, allowCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = urls.select(col(idCol).as("__id"), col(hostCol).as("host"),
+      col(pathCol).as("path"))
+    val r = rules.select(col(ruleHostCol).as("host"),
+      col(rulePathCol).as("__rule"), col(allowCol).cast("boolean").as("__allow"))
+    val matched = u.join(r, Seq("host"))
+      .filter(col("path").startsWith(col("__rule")))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(length(col("__rule")).desc, col("__allow").desc,
+        col("__rule"))
+    val best = matched.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__rule").as("matched_rule"),
+        col("__allow").as("allowed"))
+    u.join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("host"), col("path"),
+        col("matched_rule"),
+        coalesce(col("allowed"), lit(true)).as("allowed"))
+  }
+
   /** t-closeness audit — the third rung of the release ladder after
     * [[kAnonymity]] and [[lDiversity]]: a group can be k-anonymous AND
     * l-diverse yet still leak (skewness attack — 3 distinct diseases, but

@@ -195,4 +195,25 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.CurationRules.tCloseness(df, Seq("grp"), "disease", 1.5)
     }
   }
+
+  test("robotsCheck: longest match wins, allow tie-break, no-rule default") {
+    val urls = Seq((1L, "a.com", "/path/13"), (2L, "a.com", "/other"),
+      (3L, "b.com", "/path/9"), (4L, "c.com", "/anything"),
+      (5L, "a.com", "/dup")).toDF("id", "host", "path")
+    val rules = Seq(
+      ("a.com", "/", true), ("a.com", "/path/", false),
+      ("a.com", "/path/1", true),           // longest match re-allows
+      ("a.com", "/dup", true), ("a.com", "/dup", false), // tie -> allow
+      ("b.com", "/path/", false)).toDF("rhost", "rule", "allow")
+    val got = graft.operators.CurationRules
+      .robotsCheck(urls, "host", "path", "id", rules, "rhost", "rule",
+        "allow")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((Some("/path/1"), true)))  // 7-char beats 6-char deny
+    assert(got(2L) == ((Some("/"), true)))
+    assert(got(3L) == ((Some("/path/"), false)))
+    assert(got(4L) == ((None, true)))             // no ruleset -> crawlable
+    assert(got(5L) == ((Some("/dup"), true)))     // equal length: allow wins
+  }
 }
