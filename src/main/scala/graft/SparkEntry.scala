@@ -1026,6 +1026,34 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "threshold_opt" -> ((s, dir) => {
+      // Exact best-F1 cutoff for the quality classifier
+      // (Classifier.bestF1Threshold scaladoc): suffix-sum sweep over the
+      // distinct-score table, conservative tie-break.
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      Classifier.bestF1Threshold(
+        Classifier.fitScoreLogistic(feats,
+          Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+          iterations = 2, lr = 1.0),
+        "prob", "label")
+    }),
+
+    "stored_queries" -> ((s, dir) =>
+      // Percolation / reverse search (Search.percolate scaladoc): a
+      // broadcast registry of conjunctive saved searches counted against
+      // every document's token set.
+      Search.percolate(t(s, dir, "documents"), "text", "doc_id", Seq(
+        ("q_join_perf", Seq("join", "fast")),
+        ("q_scan_table", Seq("scan", "table")),
+        ("q_spark_window", Seq("spark", "window")),
+        ("q_sort_merge", Seq("sort", "merge")),
+        ("q_hash_key_value", Seq("hash", "key", "value"))))),
+
     "robots_check" -> ((s, dir) => {
       // Longest-prefix robots.txt evaluation over the planted crawl URLs
       // (CurationRules.robotsCheck scaladoc). Host identity is
@@ -4380,6 +4408,50 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Classifier.bestF1Threshold replay over the trained-scored CTEs:
+    // distinct-score suffix sums, exact-integer F1, conservative ties.
+    "threshold_opt" ->
+      s"""WITH $classifierScoredSqlCtes,
+         |dist AS (SELECT prob AS p,
+         |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS np,
+         |  CAST(sum(1 - CAST(y AS BIGINT)) AS BIGINT) AS nn
+         | FROM scored GROUP BY prob),
+         |sw AS (SELECT p,
+         |  CAST(sum(np) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         |  CAST(sum(nn) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+         |  CAST(sum(np) OVER () AS BIGINT) AS pos
+         | FROM dist),
+         |fs AS (SELECT p, tp, fp, pos - tp AS fn, pos,
+         |  CASE WHEN 2 * tp + fp + (pos - tp) > 0
+         |   THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (pos - tp)), 6)
+         |   ELSE 0.0 END AS f1
+         | FROM sw),
+         |pick AS (SELECT *, row_number() OVER (ORDER BY f1 DESC, p DESC) AS rn
+         | FROM fs)
+         |SELECT p AS threshold, tp, fp, fn,
+         | CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+         |  ELSE 0.0 END AS precision,
+         | CASE WHEN pos > 0 THEN round(CAST(tp AS DOUBLE) / pos, 6)
+         |  ELSE 0.0 END AS recall, f1
+         |FROM pick WHERE rn = 1""".stripMargin,
+
+    // Search.percolate replay: list_has_all == the forall verify.
+    "stored_queries" ->
+      s"""WITH docs AS (SELECT doc_id, list_distinct($toksSql) AS s
+         | FROM documents),
+         |reg AS (
+         | SELECT 'q_join_perf' AS query_id, ['join', 'fast'] AS terms,
+         |  'join fast' AS query_terms
+         | UNION ALL SELECT 'q_scan_table', ['scan', 'table'], 'scan table'
+         | UNION ALL SELECT 'q_spark_window', ['spark', 'window'], 'spark window'
+         | UNION ALL SELECT 'q_sort_merge', ['sort', 'merge'], 'sort merge'
+         | UNION ALL SELECT 'q_hash_key_value', ['hash', 'key', 'value'],
+         |  'hash key value')
+         |SELECT r.query_id, r.query_terms,
+         | CAST(sum(CASE WHEN list_has_all(d.s, r.terms) THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+         |FROM docs d CROSS JOIN reg r
+         |GROUP BY r.query_id, r.query_terms""".stripMargin,
 
     // CurationRules.robotsCheck replay: same host/rule plants, prefix
     // match via starts_with, longest-match window with allow tie-break.

@@ -121,6 +121,56 @@ object Classifier {
         sum(col("__nneg")).cast("long").as("n_neg"))
   }
 
+  /** Exact best-F1 decision threshold — the last step of the classifier
+    * operational loop (train -> score -> AUC -> calibrate -> conformal ->
+    * PICK THE CUTOFF): sweep every distinct score as a candidate
+    * threshold (predict positive at `p >= t`), compute the exact
+    * confusion counts by suffix sums over the per-distinct-score
+    * distribution, and return the F1-maximizing cutoff (ties -> the
+    * HIGHER threshold, the conservative choice). One row:
+    * `(threshold, tp, fp, fn, precision, recall, f1)`.
+    *
+    * All counts are exact integers (`F1 = 2tp / (2tp + fp + fn)` — one
+    * division), so the argmax is decided on exact values; the sweep table
+    * is bounded by distinct scores (~1e6 worst case at 6 dp), the
+    * [[aucFrame]] regime — never row-level.
+    */
+  def bestF1Threshold(scored: DataFrame, probCol: String,
+                      labelCol: String, roundDp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = scored
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(probCol).as("__p"))
+      .agg(sum(col(labelCol).cast("long")).as("__np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__nn"))
+    val wSuffix = Window.orderBy(col("__p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val swept = dist
+      .withColumn("__tp", sum(col("__np")).over(wSuffix).cast("long"))
+      .withColumn("__fp", sum(col("__nn")).over(wSuffix).cast("long"))
+      .withColumn("__pos", sum(col("__np")).over(wAll).cast("long"))
+      .withColumn("__fn", col("__pos") - col("__tp"))
+      .withColumn("__f1",
+        when(lit(2L) * col("__tp") + col("__fp") + col("__fn") > 0,
+          round((lit(2L) * col("__tp")).cast("double") /
+            (lit(2L) * col("__tp") + col("__fp") + col("__fn")), roundDp))
+          .otherwise(lit(0.0)))
+    val pick = Window.orderBy(col("__f1").desc, col("__p").desc)
+    swept.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("__p").as("threshold"), col("__tp").as("tp"),
+        col("__fp").as("fp"), col("__fn").as("fn"),
+        when(col("__tp") + col("__fp") > 0,
+          round(col("__tp").cast("double") / (col("__tp") + col("__fp")),
+            roundDp)).otherwise(lit(0.0)).as("precision"),
+        when(col("__pos") > 0,
+          round(col("__tp").cast("double") / col("__pos"), roundDp))
+          .otherwise(lit(0.0)).as("recall"),
+        col("__f1").as("f1"))
+  }
+
   /** Split-conformal prediction threshold + holdout coverage — the
     * distribution-free uncertainty wrapper for ANY scored classifier
     * (Vovk; the modern deployment answer to "how confident is this

@@ -282,6 +282,36 @@ object Search {
       count(lit(1)).as("total_questions"))
   }
 
+  /** Percolation / reverse search: match a registry of STORED conjunctive
+    * term queries against every document — the alerting/routing primitive
+    * (saved searches, compliance watchlists, topic routers) where the
+    * queries are the stable side and documents stream past. A document
+    * matches a query when it contains EVERY query term. One row per
+    * stored query: `(query_id, query_terms, n_matches)`.
+    *
+    * Scale shape: the registry broadcasts (it is tiny by definition);
+    * matching is a codegen'd `forall` over each document's distinct-token
+    * set — one narrow pass, one map-side-combined count. At true scale
+    * the standard refinement is an inverted-index prefilter on each
+    * query's rarest term; the final verify is this same forall.
+    */
+  def percolate(df: DataFrame, textCol: String, idCol: String,
+                queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one stored query, each with at least one term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reg = queries.map { case (qid, ts) => (qid, ts, ts.mkString(" ")) }
+      .toDF("query_id", "__terms", "query_terms")
+    val docs = df.select(col(idCol),
+      array_distinct(TextAnalysis.toks(col(textCol))).as("__set"))
+    docs.crossJoin(broadcast(reg))
+      .withColumn("__hit",
+        forall(col("__terms"), t => array_contains(col("__set"), t)))
+      .groupBy(col("query_id"), col("query_terms"))
+      .agg(sum(col("__hit").cast("long")).as("n_matches"))
+  }
+
   /** Rank-biased overlap (Webber et al., TOIS 2010) truncated at depth `k`
     * between two rankings of the same candidate universe — the
     * ranker-comparison metric of a retrieval stack migration ("how much

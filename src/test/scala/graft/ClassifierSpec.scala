@@ -220,4 +220,21 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == (("b", -2.0, -2.0)))
     assert(got(3L) == (("a", -2.0, 0.0)))
   }
+
+  test("bestF1Threshold: exact sweep and conservative tie-break") {
+    // scores: 0.9 (pos), 0.8 (neg), 0.7 (pos), 0.6 (neg x2).
+    // t=0.9: tp1 fp0 fn1 -> F1 2/3; t=0.7: tp2 fp1 fn0 -> F1 0.8;
+    // t=0.8: tp1 fp1 fn1 -> 0.5; t=0.6: tp2 fp3 -> 4/7. Best: 0.7.
+    val df = Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.6, 0.0),
+      (0.6, 0.0)).toDF("prob", "label")
+    val r = Classifier.bestF1Threshold(df, "prob", "label").collect()(0)
+    assert((r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0.7, 2L, 1L, 0L)))
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 0.8)
+    // perfect separation: tie between nothing; all-one-class guard
+    val onec = Seq((0.9, 1.0), (0.1, 1.0)).toDF("prob", "label")
+    val r1 = Classifier.bestF1Threshold(onec, "prob", "label").collect()(0)
+    assert(r1.getDouble(0) == 0.1 && r1.getDouble(6) == 1.0)
+  }
 }

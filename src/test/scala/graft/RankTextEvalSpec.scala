@@ -73,4 +73,18 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 &&
       r.getDouble(6) == 0.0)
   }
+
+  test("percolate: conjunctive matching against the registry") {
+    val df = Seq((1L, "fast join on key"), (2L, "join slow"),
+      (3L, "fast fast join"), (4L, "other words"))
+      .toDF("doc_id", "text")
+    val got = Search.percolate(df, "text", "doc_id",
+      Seq(("q1", Seq("join", "fast")), ("q2", Seq("key")),
+        ("q3", Seq("absent", "join"))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("q1" -> 2L, "q2" -> 1L, "q3" -> 0L))
+    intercept[IllegalArgumentException] {
+      Search.percolate(df, "text", "doc_id", Seq(("bad", Seq.empty)))
+    }
+  }
 }
