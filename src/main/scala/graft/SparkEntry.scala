@@ -1026,6 +1026,19 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "zorder_index" -> ((s, dir) => {
+      // Morton/Z-order layout keys over (user, day)
+      // (Partitioning.zorder scaladoc): the multi-dimensional clustering
+      // key a lakehouse sorts files by so zone maps prune on either
+      // filter dimension.
+      val e = EventTime.readMicros(s, s"$dir/events.parquet")
+      e.filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"),
+          (col("user_id") % 65536).as("x"),
+          floor(col("ts") / EventTime.DayMicros).cast("long").as("y"))
+        .withColumn("zvalue", Partitioning.zorder(col("x"), col("y")))
+    }),
+
     "threshold_opt" -> ((s, dir) => {
       // Exact best-F1 cutoff for the quality classifier
       // (Classifier.bestF1Threshold scaladoc): suffix-sum sweep over the
@@ -4408,6 +4421,19 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Partitioning.zorder replay: identical bit-extraction/shift fold.
+    "zorder_index" ->
+      """WITH base AS (
+        | SELECT event_id, user_id % 65536 AS x,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS y
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT event_id, x, y,
+        | CAST(list_sum(list_transform(range(0, 16), i ->
+        |   (CAST(floor(x / pow(2, i)) AS BIGINT) % 2) * CAST(pow(2, 2 * i) AS BIGINT) +
+        |   (CAST(floor(y / pow(2, i)) AS BIGINT) % 2) * CAST(pow(2, 2 * i + 1) AS BIGINT)
+        |  )) AS BIGINT) AS zvalue
+        |FROM base""".stripMargin,
 
     // Classifier.bestF1Threshold replay over the trained-scored CTEs:
     // distinct-score suffix sums, exact-integer F1, conservative ties.

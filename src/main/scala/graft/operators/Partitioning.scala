@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Partition-count hygiene for compute-bound operators.
   *
@@ -76,5 +77,38 @@ object Partitioning {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Morton / Z-order value of two non-negative dimension columns — the
+    * multi-dimensional data-layout key behind Delta/Iceberg `ZORDER BY`:
+    * sorting by the interleaved bits keeps rows close in EITHER dimension
+    * close on disk, so min/max zone maps prune scans filtered on x OR y
+    * (a plain sort key only prunes its leading column). Writing is just
+    * `repartitionByRange(zorder).sortWithinPartitions(zorder)`; this
+    * computes the key.
+    *
+    * `bits` low-order bits of each dimension interleave (x in the even
+    * positions, y in the odd): pure integer HOF arithmetic
+    * (`floor-div/mod` bit extraction, power-of-two shifts as exact
+    * doubles below 2^52), identical on any engine; dimensions must
+    * already be non-negative and fit `bits` bits — out-of-range inputs
+    * fail loudly rather than silently aliasing distant rows together.
+    */
+  def zorder(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 26, s"bits must be in [1, 26], got $bits")
+    val bound = math.pow(2, bits).toLong
+    val guard = when(x < 0 || y < 0 || x >= bound || y >= bound,
+      raise_error(concat(lit(s"graft.zorder: dimension out of [0, $bound): x="),
+        x.cast("string"), lit(" y="), y.cast("string"))))
+      .otherwise(lit(true))
+    val interleaved = aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => acc +
+        (floor(x / pow(lit(2.0), i)).cast("long") % 2) *
+          pow(lit(2.0), i * 2).cast("long") +
+        (floor(y / pow(lit(2.0), i)).cast("long") % 2) *
+          pow(lit(2.0), i * 2 + 1).cast("long"))
+    when(guard, interleaved)
   }
 }

