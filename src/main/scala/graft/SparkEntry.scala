@@ -1026,6 +1026,17 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "bm25_merged_stats" -> ((s, dir) => {
+      // Incremental-indexing law (Bm25.scoreMergedShards scaladoc):
+      // three doc-disjoint shards' tf tables + stat partials merge into
+      // scores IDENTICAL to the one-shot index — shares bm25_rank's
+      // oracle as the proof.
+      val d = t(s, dir, "documents")
+      Bm25.scoreMergedShards(
+        (0 to 2).map(r => d.filter(col("doc_id") % 3 === r)),
+        "text", "doc_id", Seq("spark", "join", "window"))
+    }),
+
     "zorder_index" -> ((s, dir) => {
       // Morton/Z-order layout keys over (user, day)
       // (Partitioning.zorder scaladoc): the multi-dimensional clustering
@@ -6823,6 +6834,13 @@ object SparkEntry {
          |FROM bins""".stripMargin,
 
     "bm25_rank" ->
+      s"""WITH $bm25Ctes
+         |$bm25Select""".stripMargin,
+
+    // Same oracle as bm25_rank ON PURPOSE: the merged-shard path must be
+    // row-identical to the one-shot index — that equality IS the
+    // incremental-indexing claim.
+    "bm25_merged_stats" ->
       s"""WITH $bm25Ctes
          |$bm25Select""".stripMargin,
 

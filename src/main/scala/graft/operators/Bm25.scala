@@ -57,6 +57,17 @@ object Bm25 {
     // garbage-collected, so a long-running app issuing many queries no
     // longer accumulates one cached table per query (r7 advice fix).
     val tf = tfFrame(df, textCol, idCol, q).localCheckpoint()
+    scoreTail(tf, stats, idCol, k1, b)
+  }
+
+  /** The scoring tail shared by [[score]] and [[scoreMergedShards]]:
+    * doc-frequency aggregate over the (already materialized) tf table,
+    * Lucene idf/saturation, per-doc sum. Identical arithmetic regardless
+    * of where tf/stats came from — which is exactly the mergeability
+    * claim the incremental gate checks.
+    */
+  private def scoreTail(tf: DataFrame, stats: DataFrame, idCol: String,
+                        k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -68,6 +79,38 @@ object Bm25 {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("__w")), 6).as("bm25"))
+  }
+
+  /** BM25 over PRE-SHARDED corpora via mergeable statistics — the
+    * incremental-indexing path: each shard contributes its query-bounded
+    * tf table plus two integers (doc count, total doc length); the union
+    * of tf tables and the SUM of the stat partials reconstruct the
+    * global index state exactly, so scores are IDENTICAL to a one-shot
+    * [[score]] over the concatenated corpus (the gate shares
+    * `bm25_rank`'s oracle to prove it). This is why a production index
+    * ingests deltas instead of rebuilding: tf rows append, (N, sum_dl,
+    * df) add — nothing global recomputes.
+    *
+    * Shards must be doc-disjoint (the same contract as any index
+    * ingest); overlapping ids would double-count silently.
+    */
+  def scoreMergedShards(shards: Seq[DataFrame], textCol: String,
+                        idCol: String, queryTerms: Seq[String],
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val partials = shards.map(s => s.agg(
+        count(lit(1)).as("__n"),
+        coalesce(sum(coalesce(size(TextAnalysis.toks(col(textCol))), lit(0))
+          .cast("long")), lit(0L)).as("__sdl")))
+      .reduce(_ unionByName _)
+    val stats = partials.agg(
+      sum(col("__n")).as("__n_docs"),
+      (sum(col("__sdl")).cast("double") / sum(col("__n"))).as("__avgdl"))
+    val tf = shards.map(s => tfFrame(s, textCol, idCol, q))
+      .reduce(_ unionByName _).localCheckpoint()
+    scoreTail(tf, stats, idCol, k1, b)
   }
 
   /** The (id, doc length, term, tf) table for `q`, BEFORE materialization —

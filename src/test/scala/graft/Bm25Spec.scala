@@ -197,4 +197,23 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       Bm25.dirichletScore(docs, "text", "doc_id", Seq("a"), mu = 0.0)
     }
   }
+
+  test("scoreMergedShards == one-shot score, row for row") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val docs = Seq((1L, "spark join fast"), (2L, "join join window"),
+      (3L, "other words here"), (4L, "spark window"), (5L, ""),
+      (6L, "window")).toDF("doc_id", "text")
+    val q = Seq("spark", "join", "window")
+    val one = graft.operators.Bm25.score(docs, "text", "doc_id", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = graft.operators.Bm25.scoreMergedShards(
+      Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)),
+      "text", "doc_id", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged == one && one.nonEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Bm25.scoreMergedShards(Seq.empty, "text", "doc_id", q)
+    }
+  }
 }
