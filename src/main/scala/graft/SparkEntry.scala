@@ -1026,6 +1026,27 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "autocomplete_index" -> ((s, dir) =>
+      // Prefix autocomplete table (Search.autocompleteIndex scaladoc):
+      // vocabulary-bounded fan-out, top-3 per prefix.
+      Search.autocompleteIndex(t(s, dir, "documents"), "text")),
+
+    "spell_correct" -> ((s, dir) => {
+      // Noisy-channel spell correction (EditDistance.spellCorrect
+      // scaladoc): queries = every vocab word with its 2nd char dropped,
+      // plus one exact hit and one no-suggestion control; candidates via
+      // deletion variants, unigram-frequency prior.
+      val d = t(s, dir, "documents")
+      val vocab = d.select(explode(TextAnalysis.toks(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val queries = vocab.select(
+          concat(col("w").substr(lit(1), lit(1)),
+            col("w").substr(lit(3), lit(100))).as("q"))
+        .unionByName(vocab.select(lit("spark").as("q")).limit(1))
+        .unionByName(vocab.select(lit("qqqq").as("q")).limit(1))
+      EditDistance.spellCorrect(queries, "q", vocab, "w", "n")
+    }),
+
     "bm25_merged_stats" -> ((s, dir) => {
       // Incremental-indexing law (Bm25.scoreMergedShards scaladoc):
       // three doc-disjoint shards' tf tables + stat partials merge into
@@ -4432,6 +4453,50 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Search.autocompleteIndex replay: vocabulary counts, prefix fan-out,
+    // (n DESC, token) rank windows.
+    "autocomplete_index" ->
+      s"""WITH counts AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT unnest($toksSql) AS t FROM documents) q GROUP BY t),
+         |pf AS (SELECT token, n,
+         |  unnest(list_transform(range(1, least(len(token), 4) + 1),
+         |    i -> token[1:i])) AS prefix
+         | FROM counts),
+         |rk AS (SELECT prefix, token, n,
+         |  row_number() OVER (PARTITION BY prefix ORDER BY n DESC, token) AS r
+         | FROM pf)
+         |SELECT prefix, token, n, CAST(r AS BIGINT) AS rank
+         |FROM rk WHERE r <= 3""".stripMargin,
+
+    // EditDistance.spellCorrect replay: identical deletion-variant
+    // generation on both sides, (dist, freq DESC, word) ranking,
+    // left-join null for no suggestion.
+    "spell_correct" ->
+      s"""WITH vocab AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT unnest($toksSql) AS t FROM documents) q GROUP BY t),
+         |qs AS (
+         | SELECT DISTINCT substr(w, 1, 1) || substr(w, 3, 100) AS query
+         | FROM vocab
+         | UNION SELECT 'spark' UNION SELECT 'qqqq'),
+         |qv AS (SELECT query, unnest(list_distinct(list_prepend(query,
+         |   list_transform(range(1, len(query) + 1),
+         |     i -> query[1:i-1] || query[i+1:100])))) AS v
+         | FROM qs),
+         |vv AS (SELECT w, n, unnest(list_distinct(list_prepend(w,
+         |   list_transform(range(1, len(w) + 1),
+         |     i -> w[1:i-1] || w[i+1:100])))) AS v
+         | FROM vocab),
+         |cands AS (
+         | SELECT DISTINCT qv.query, vv.w, vv.n FROM qv JOIN vv USING (v)),
+         |vd AS (SELECT query, w, n,
+         |  CAST(levenshtein(query, w) AS BIGINT) AS d
+         | FROM cands WHERE levenshtein(query, w) <= 1),
+         |best AS (SELECT query, w AS correction, n AS freq, d AS dist FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query
+         |   ORDER BY d, n DESC, w) AS rn FROM vd) z WHERE rn = 1)
+         |SELECT q.query, b.correction, b.freq, b.dist
+         |FROM qs q LEFT JOIN best b USING (query)""".stripMargin,
 
     // Partitioning.zorder replay: identical bit-extraction/shift fold.
     "zorder_index" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,6 +230,49 @@ object EditDistance {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__na").as("name_a"),
         col("__nb").as("name_b"), col("jw"))
+  }
+
+  /** Noisy-channel spell correction against a corpus vocabulary: for each
+    * query string, the distance-<=1 vocabulary word with the highest
+    * corpus frequency (the unigram prior — the channel model is uniform
+    * over single edits, Norvig's classic recipe). Candidates come from
+    * the SymSpell deletion-variant join ([[symspellPairs]]'s generation,
+    * so first-char edits are found), verified by exact levenshtein.
+    * One row per query: `(query, correction, freq, dist)` — null
+    * correction when nothing is within distance 1 (the honest "no
+    * suggestion"); exact vocabulary hits return themselves at dist 0.
+    *
+    * Scale shape: variant fan-out is |query|+1 and |vocab word|+1 rows
+    * per string; the candidate join is keyed on the variant; ranking is
+    * one window per query over its (small) candidate set.
+    */
+  def spellCorrect(queries: DataFrame, queryCol: String,
+                   vocab: DataFrame, wordCol: String,
+                   freqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def variants(c: Column): Column = array_distinct(concat(array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(100))))))
+    val qv = queries.filter(col(queryCol).isNotNull)
+      .select(lower(col(queryCol)).as("query"))
+      .distinct()
+      .select(col("query"), explode(variants(col("query"))).as("__v"))
+    val vv = vocab.filter(col(wordCol).isNotNull)
+      .select(lower(col(wordCol)).as("__w"), col(freqCol).as("__f"))
+      .select(col("__w"), col("__f"), explode(variants(col("__w"))).as("__v"))
+    val cands = qv.join(vv, Seq("__v"))
+      .select(col("query"), col("__w"), col("__f")).distinct()
+      .withColumn("__d", levenshtein(col("query"), col("__w")).cast("long"))
+      .filter(col("__d") <= 1)
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("__d"), col("__f").desc, col("__w"))
+    val best = cands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query"), col("__w").as("correction"),
+        col("__f").cast("long").as("freq"), col("__d").as("dist"))
+    queries.filter(col(queryCol).isNotNull)
+      .select(lower(col(queryCol)).as("query")).distinct()
+      .join(best, Seq("query"), "left")
   }
 
   def symspellPairs(df: DataFrame, idCol: String,

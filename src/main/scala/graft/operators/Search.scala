@@ -282,6 +282,34 @@ object Search {
       count(lit(1)).as("total_questions"))
   }
 
+  /** Prefix autocomplete index: for every token prefix up to
+    * `maxPrefixLen` chars, the top-`k` completions by corpus frequency —
+    * the materialized table behind search-box suggestions (and behind
+    * query-log analysis of what users were *about* to type). One row per
+    * (prefix, suggestion): `(prefix, token, n, rank)`.
+    *
+    * Scale shape: token counts collapse first (vocabulary-sized), prefix
+    * fan-out runs over the VOCABULARY (x maxPrefixLen), one rank window
+    * per prefix — never corpus rows.
+    */
+  def autocompleteIndex(df: DataFrame, textCol: String, k: Int = 3,
+                        maxPrefixLen: Int = 4): DataFrame = {
+    require(k >= 1 && maxPrefixLen >= 1, "need k >= 1, maxPrefixLen >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(TextAnalysis.toks(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val prefixes = counts.select(col("token"), col("n"),
+      explode(transform(
+        sequence(lit(1), least(length(col("token")), lit(maxPrefixLen))),
+        i => col("token").substr(lit(1), i))).as("prefix"))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("n").desc, col("token"))
+    prefixes.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("token"), col("n"), col("rank"))
+  }
+
   /** Percolation / reverse search: match a registry of STORED conjunctive
     * term queries against every document — the alerting/routing primitive
     * (saved searches, compliance watchlists, topic routers) where the

@@ -158,4 +158,18 @@ class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
       EditDistance.sortedNeighborhoodPairs(df, "id", "name", window = 0)
     }
   }
+
+  test("spellCorrect: exact hit at dist 0, frequency prior, no-suggestion null") {
+    val vocab = Seq(("spark", 50L), ("spare", 80L), ("stark", 10L))
+      .toDF("w", "n")
+    val queries = Seq("spark", "sparc", "zzzz").map(Tuple1(_)).toDF("q")
+    val got = EditDistance.spellCorrect(queries, "q", vocab, "w", "n")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got("spark") == ((Some("spark"), Some(0L)))) // exact beats spare
+    // "sparc": dist-1 candidates spark(50) and spare(80) -> prior wins
+    assert(got("sparc") == ((Some("spare"), Some(1L))))
+    assert(got("zzzz") == ((None, None)))
+  }
 }

@@ -87,4 +87,17 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
       Search.percolate(df, "text", "doc_id", Seq(("bad", Seq.empty)))
     }
   }
+
+  test("autocompleteIndex: per-prefix top-k by frequency, tie by token") {
+    val df = Seq(Tuple1("scan scan scan sort sort s key"))
+      .toDF("text")
+    val got = Search.autocompleteIndex(df, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(("s", 1L)) == (("scan", 3L)))
+    assert(got(("s", 2L)) == (("sort", 2L)))   // "s" itself (1) cut at k=2
+    assert(got(("sc", 1L)) == (("scan", 3L)))
+    assert(got(("k", 1L)) == (("key", 1L)))
+    assert(!got.contains(("s", 3L)))
+  }
 }
