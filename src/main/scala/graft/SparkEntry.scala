@@ -1026,6 +1026,20 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "cluster_exemplars" -> ((s, dir) => {
+      // Per-cluster exemplars: the 3 vectors closest to each k-means
+      // centroid — the interpretability view of the SemDeDup blocks
+      // ("what IS cluster 7?"); one rank window over the assignment.
+      val assigned = KMeans.fitAssign(t(s, dir, "embeddings"), "embedding",
+        "vec_id", k = 10, iterations = 2)
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("dist2"), col("vec_id"))
+      assigned.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
+          col("dist2"), col("rank"))
+    }),
+
     "autocomplete_index" -> ((s, dir) =>
       // Prefix autocomplete table (Search.autocompleteIndex scaladoc):
       // vocabulary-bounded fan-out, top-3 per prefix.
@@ -4453,6 +4467,22 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Per-cluster top-3 by distance over the shared k-means CTEs.
+    "cluster_exemplars" ->
+      s"""WITH ${kmeansCtes(10, 2, 64)},
+         |asg AS (SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+         |  SELECT e.vec_id, c.cluster, ${kmeansD2("e", "c", 64)} AS d2,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmeansD2("e", "c", 64)} ASC, c.cluster ASC) AS rn
+         |  FROM e CROSS JOIN c2 c) q WHERE rn = 1),
+         |rk AS (SELECT cluster, vec_id, dist2,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY dist2, vec_id) AS r
+         | FROM asg)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, vec_id, dist2,
+         | CAST(r AS BIGINT) AS rank
+         |FROM rk WHERE r <= 3""".stripMargin,
 
     // Search.autocompleteIndex replay: vocabulary counts, prefix fan-out,
     // (n DESC, token) rank windows.
