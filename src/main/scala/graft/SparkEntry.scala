@@ -1026,6 +1026,14 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "rolling_active_users" -> ((s, dir) =>
+      // Exact DAU / trailing-7-day WAU / stickiness
+      // (EventAnalytics.rollingActiveUsers scaladoc): bounded window
+      // fan-out instead of a distinct sketch.
+      EventAnalytics.rollingActiveUsers(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "ts")),
+
     "cluster_exemplars" -> ((s, dir) => {
       // Per-cluster exemplars: the 3 vectors closest to each k-means
       // centroid — the interpretability view of the SemDeDup blocks
@@ -4467,6 +4475,24 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // EventAnalytics.rollingActiveUsers replay: distinct (user, day),
+    // 7-window membership fan-out, distinct count per window, one
+    // division. Only days with DAU emit (inner join).
+    "rolling_active_users" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id AS u,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        | FROM ud GROUP BY day),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+        | SELECT DISTINCT * FROM (
+        |  SELECT u, unnest(range(day, day + 7)) AS day FROM ud) z) q
+        | GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        | round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     // Per-cluster top-3 by distance over the shared k-means CTEs.
     "cluster_exemplars" ->

@@ -79,6 +79,40 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** EXACT rolling active users — DAU, trailing-7-day WAU, and their
+    * ratio (stickiness, the canonical engagement health number): a user
+    * counts toward WAU(d) iff active anywhere in `[d-6, d]`. Exact
+    * distinct-over-a-window is the query approximate sketches usually
+    * replace; the exact distributed form is a bounded 7x fan-out — each
+    * (user, active day) pair contributes membership to the 7 windows it
+    * covers, then one distinct + count per window. One row per day WITH
+    * ACTIVITY: `(day, dau, wau, stickiness)`.
+    *
+    * Scale shape: distinct (user, day) first (user-keyed,
+    * map-side-combined), a 7-row HOF fan-out, a second distinct + count
+    * keyed on (window, user) — never event-row state, never a sketch.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(col(tsCol).cast("long") / EventTime.DayMicros).cast("long")
+          .as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("__u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Recency-decayed activity score per user:
     * `score = sum over events of 2^(-(T - t) / halflife)` with `T` the
     * corpus-wide latest timestamp — the engagement feature a ranking /

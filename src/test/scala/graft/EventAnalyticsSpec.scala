@@ -261,4 +261,26 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == ((2L, T, 1.5)))   // 1 + 2^-1
     assert(got(2L) == ((1L, T - 2 * hl, 0.25))) // 2^-2, global T anchor
   }
+
+  test("rollingActiveUsers: WAU window membership, stickiness, day gaps") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val day = graft.operators.EventTime.DayMicros
+    // u1 active day 0; u2 active days 0 and 8. WAU(0)={u1,u2}=2;
+    // day 8: DAU={u2}; WAU(8) counts u2 only (u1's day-0 activity aged
+    // out after day 6). Days 1..6 have no DAU rows (inner join).
+    val ev = Seq((1L, 0L), (2L, 5L), (2L, 8 * day)).toDF("user_id", "tsu")
+    val got = graft.operators.EventAnalytics
+      .rollingActiveUsers(ev, "user_id", "tsu")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 2L, 1.0), (8L, 1L, 1L, 1.0)))
+    // a user active on TWO days of one window still counts once in WAU
+    val ev2 = Seq((1L, 0L), (1L, day), (2L, 2 * day)).toDF("user_id", "tsu")
+    val g2 = graft.operators.EventAnalytics
+      .rollingActiveUsers(ev2, "user_id", "tsu")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g2.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 2L)))
+  }
 }
