@@ -1026,6 +1026,34 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "pivot_daily" -> ((s, dir) =>
+      // The relational pivot surface: day x event-type count matrix via
+      // Dataset.pivot with EXPLICIT values (the scale rule — an implicit
+      // pivot runs a distinct-values job first and caps at
+      // spark.sql.pivotMaxValues; explicit values make one pass).
+      EventTime.readMicros(s, s"$dir/events.parquet")
+        .filter(col("ts").isNotNull)
+        .withColumn("day",
+          floor(col("ts") / EventTime.DayMicros).cast("long"))
+        .groupBy(col("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+
+    "sql_surface" -> ((s, dir) => {
+      // The spark.sql entry path: the same engine drives from SQL text
+      // over registered views — a user of the reference's YAML/SQL-ish
+      // surface can hand the engine a query string.
+      t(s, dir, "documents").createOrReplaceTempView("docs_view")
+      s.sql("""
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+        FROM docs_view
+        GROUP BY lang, source""")
+    }),
+
     "rolling_active_users" -> ((s, dir) =>
       // Exact DAU / trailing-7-day WAU / stickiness
       // (EventAnalytics.rollingActiveUsers scaladoc): bounded window
@@ -4475,6 +4503,24 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Dataset.pivot == conditional aggregation (the portable form).
+    "pivot_daily" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // The spark.sql gate's text, near-verbatim.
+    "sql_surface" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
 
     // EventAnalytics.rollingActiveUsers replay: distinct (user, day),
     // 7-window membership fan-out, distinct count per window, one
