@@ -1026,6 +1026,19 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "graph_health" -> ((s, dir) => {
+      // Reciprocity + degree assortativity over the shared planted link
+      // graph (Graph.healthStats scaladoc).
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = ids.filter(col("doc_id") % 7 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = ids.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+      val edges = e1.union(e2)
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      Graph.healthStats(edges, "src", "dst")
+    }),
+
     "pivot_daily" -> ((s, dir) =>
       // The relational pivot surface: day x event-type count matrix via
       // Dataset.pivot with EXPLICIT values (the scale rule — an implicit
@@ -4503,6 +4516,38 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Graph.healthStats replay over the same planted edges: reversed
+    // semi-join reciprocity, total-degree moments, the fixed Pearson
+    // combination shape.
+    "graph_health" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS s, doc_id + 1 AS d FROM ids WHERE doc_id % 7 < 3
+        | UNION ALL
+        | SELECT doc_id, doc_id + 3 FROM ids WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT s, d FROM e0
+        | WHERE d IN (SELECT doc_id FROM ids)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        | SELECT s AS v FROM e UNION SELECT d FROM e) q),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        | SELECT s AS v FROM e UNION ALL SELECT d FROM e) q GROUP BY v),
+        |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+        | FROM e WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  sum(dx.deg) AS sx, sum(dy.deg) AS sy,
+        |  sum(dx.deg * dy.deg) AS sxy, sum(dx.deg * dx.deg) AS sxx,
+        |  sum(dy.deg * dy.deg) AS syy
+        | FROM e JOIN deg dx ON dx.v = e.s JOIN deg dy ON dy.v = e.d)
+        |SELECT nn.n_nodes, m.n_edges, rc.n_reciprocal,
+        | round(CAST(rc.n_reciprocal AS DOUBLE) / m.n_edges, 6) AS reciprocity,
+        | CASE WHEN CAST(m.n_edges AS DOUBLE) * m.sxx - CAST(m.sx AS DOUBLE) * m.sx > 0
+        |   AND CAST(m.n_edges AS DOUBLE) * m.syy - CAST(m.sy AS DOUBLE) * m.sy > 0
+        |  THEN round((CAST(m.n_edges AS DOUBLE) * m.sxy - CAST(m.sx AS DOUBLE) * m.sy) /
+        |   (sqrt(CAST(m.n_edges AS DOUBLE) * m.sxx - CAST(m.sx AS DOUBLE) * m.sx) *
+        |    sqrt(CAST(m.n_edges AS DOUBLE) * m.syy - CAST(m.sy AS DOUBLE) * m.sy)), 6)
+        |  ELSE NULL END AS assortativity
+        |FROM m CROSS JOIN nn CROSS JOIN rc""".stripMargin,
 
     // Dataset.pivot == conditional aggregation (the portable form).
     "pivot_daily" ->

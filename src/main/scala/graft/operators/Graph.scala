@@ -197,4 +197,53 @@ object Graph {
           round(col("__closed") / col("__wedges").cast("double"), 6))
           .otherwise(lit(0.0)).as("global_clustering"))
   }
+
+  /** One-row directed-graph health report: node/edge counts, reciprocity
+    * (fraction of edges whose reverse also exists — near 0 for a crawl's
+    * citation structure, near 1 for a social graph; a sudden shift means
+    * the extractor or the corpus changed character), and degree
+    * assortativity (Pearson of endpoint TOTAL degrees over edges —
+    * negative means hubs link to leaves, the usual web shape).
+    *
+    * Exact arithmetic: counts and degree moment sums are BIGINTs; the
+    * assortativity combination runs the fixed double shape of
+    * [[Profile.pearsonByGroup]]; degenerate degree variance yields null.
+    *
+    * Scale shape: distinct edges, a degree aggregate (node-bounded), one
+    * self-semi-join on the reversed edge (keyed), two degree joins, one
+    * 1-row contraction. Self-loops count as reciprocal by definition.
+    */
+  def healthStats(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("s"), col(dstCol).as("d")).distinct()
+    val nodes = e.select(col("s").as("v"))
+      .unionByName(e.select(col("d").as("v"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val deg = e.select(col("s").as("v"))
+      .unionByName(e.select(col("d").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val rev = e.select(col("d").as("s"), col("s").as("d"))
+    val recip = e.join(rev, Seq("s", "d"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val m = e
+      .join(deg.select(col("v").as("s"), col("deg").as("__x")), Seq("s"))
+      .join(deg.select(col("v").as("d"), col("deg").as("__y")), Seq("d"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val vx = col("n_edges").cast("double") * col("__sxx") -
+      col("__sx").cast("double") * col("__sx")
+    val vy = col("n_edges").cast("double") * col("__syy") -
+      col("__sy").cast("double") * col("__sy")
+    val cov = col("n_edges").cast("double") * col("__sxy") -
+      col("__sx").cast("double") * col("__sy")
+    m.crossJoin(broadcast(nodes)).crossJoin(broadcast(recip))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"),
+        when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
+          .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
 }

@@ -137,4 +137,23 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == 1L)
     assert(r.getAs[Double]("global_clustering") == 0.6)
   }
+
+  test("healthStats: reciprocity and assortativity on a hand graph") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // edges: 1->2, 2->1 (reciprocal pair), 1->3. degrees (total): 1:3,
+    // 2:2, 3:1. reciprocity = 2/3.
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 2L)).toDF("src", "dst")
+    val r = graft.operators.Graph.healthStats(e, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.666667)
+    // assortativity: edge endpoint degrees (3,2),(2,3),(3,1) — computable
+    // and finite; just pin the sign (hub links to leaf -> negative)
+    assert(!r.isNullAt(4) && r.getDouble(4) < 0)
+    // star graph: all sources degree 1... constant x -> null
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r2 = graft.operators.Graph.healthStats(star, "src", "dst")
+      .collect()(0)
+    assert(r2.isNullAt(4) && r2.getDouble(3) == 0.0)
+  }
 }
