@@ -1026,6 +1026,14 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "dwell_time" -> ((s, dir) =>
+      // Per-type dwell time to the user's next event
+      // (EventAnalytics.dwellTime scaladoc): exact rank-selected median
+      // and p90 per event type.
+      EventAnalytics.dwellTime(
+        EventTime.readMicros(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts", "event_id")),
+
     "graph_health" -> ((s, dir) => {
       // Reciprocity + degree assortativity over the shared planted link
       // graph (Graph.healthStats scaladoc).
@@ -4516,6 +4524,29 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // EventAnalytics.dwellTime replay: per-user lead gaps, per-type rank
+    // selection.
+    "dwell_time" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        | FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND ts IS NOT NULL),
+        |g AS (SELECT event_type,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu
+        |   AS gg, event_id
+        | FROM ev),
+        |gaps AS (SELECT event_type, gg, event_id FROM g WHERE gg IS NOT NULL),
+        |r AS (SELECT event_type, gg,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY gg, event_id) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        | FROM gaps),
+        |med AS (SELECT event_type, n AS n_gaps, gg AS median_us FROM r
+        | WHERE rn = (n + 1) // 2),
+        |p90 AS (SELECT event_type, gg AS p90_us FROM r
+        | WHERE rn = (n * 9 + 9) // 10)
+        |SELECT med.event_type, med.n_gaps, med.median_us, p90.p90_us
+        |FROM med JOIN p90 USING (event_type)""".stripMargin,
 
     // Graph.healthStats replay over the same planted edges: reversed
     // semi-join reciprocity, total-degree moments, the fixed Pearson

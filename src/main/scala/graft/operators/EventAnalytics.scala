@@ -79,6 +79,47 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Dwell time after each event type: the gap from an event to the SAME
+    * user's next event (any type), summarized per type by exact
+    * rank-selected lower median and p90 — "how long do users sit on X
+    * before doing anything else", the engagement-depth read that mean
+    * gaps (skewed by overnight idles) get wrong. One row per type:
+    * `(event_type, n_gaps, median_us, p90_us)`; a user's last event has
+    * no successor and contributes nothing.
+    *
+    * Scale shape: one lead window per user, then per-type rank windows
+    * over the gap table (the [[funnelLatency]] selection discipline —
+    * integer rank arithmetic, no interpolation).
+    */
+  def dwellTime(events: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .withColumn("__next", lead(col(tsCol).cast("long"), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("event_type"),
+        (col("__next") - col(tsCol).cast("long")).as("__g"),
+        col(idCol).as("__id"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("__g"), col("__id"))
+    val ranked = gaps
+      .withColumn("__rn", row_number().over(byType))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val med = ranked
+      .filter(col("__rn") === ((col("__n") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("__n").as("n_gaps"),
+        col("__g").as("median_us"))
+    val p90 = ranked
+      .filter(col("__rn") === ((col("__n") * 9 + 9) / 10).cast("long"))
+      .select(col("event_type"), col("__g").as("p90_us"))
+    med.join(p90, Seq("event_type"))
+  }
+
   /** EXACT rolling active users — DAU, trailing-7-day WAU, and their
     * ratio (stickiness, the canonical engagement health number): a user
     * counts toward WAU(d) iff active anywhere in `[d-6, d]`. Exact

@@ -283,4 +283,21 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(g2.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 2L)))
   }
+
+  test("dwellTime: per-type gap percentiles; last events contribute nothing") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // u1: A@0 -> B@10 -> A@40 (gaps: A->10, B->30; final A no successor)
+    // u2: A@0 -> C@20 (gap A->20)
+    val ev = Seq((1L, "A", 0L, 1L), (1L, "B", 10L, 2L), (1L, "A", 40L, 3L),
+      (2L, "A", 0L, 4L), (2L, "C", 20L, 5L)).toDF("u", "t", "tsu", "eid")
+    val got = graft.operators.EventAnalytics
+      .dwellTime(ev, "u", "t", "tsu", "eid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A gaps [10, 20]: lower median 10, p90 rank ceil(1.8)=2 -> 20
+    assert(got("A") == ((2L, 10L, 20L)))
+    assert(got("B") == ((1L, 30L, 30L)))
+    assert(!got.contains("C")) // terminal events only
+  }
 }
