@@ -1026,6 +1026,43 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "rendezvous_shards" -> ((s, dir) =>
+      // Highest-random-weight placement over 8 shards
+      // (Partitioning.rendezvousShard scaladoc): the minimal-disruption
+      // resharding scheme; per-doc placement + per-shard load.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Partitioning.rendezvousShard(col("doc_id"),
+            (0 to 7).map(i => s"shard$i")).as("shard"))),
+
+    "quality_residuals" -> ((s, dir) => {
+      // Length-residualized quality: the exact least-squares line of
+      // quality on n_chars (micro-lifted moments, fixed double
+      // combination) subtracted per doc — which documents are better
+      // than their length predicts?
+      val q = TextAnalysis.qualityFrame(t(s, dir, "documents"), "text",
+        "doc_id")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("quality") * 1e6, 0).cast("long").as("__qu"))
+      val m = q.agg(count(lit(1)).as("__n"), sum(col("n_chars")).as("__sx"),
+        sum(col("__qu")).as("__sy"),
+        sum(col("n_chars") * col("__qu")).as("__sxy"),
+        sum(col("n_chars") * col("n_chars")).as("__sxx"))
+      val vx = col("__n").cast("double") * col("__sxx") -
+        col("__sx").cast("double") * col("__sx")
+      val cov = col("__n").cast("double") * col("__sxy") -
+        col("__sx").cast("double") * col("__sy")
+      val b = round(cov / vx / 1e6, 9)
+      val a = round((col("__sy").cast("double") / col("__n") / 1e6) -
+        (cov / vx / 1e6) * (col("__sx").cast("double") / col("__n")), 9)
+      q.crossJoin(broadcast(m.select(b.as("__b"), a.as("__a"))))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("__qu").cast("double") / 1e6, 6).as("quality"),
+          (round(col("__qu").cast("double") / 1e6 -
+            (col("__a") + col("__b") * col("n_chars")), 6) + lit(0.0))
+            .as("residual"))
+    }),
+
     "dwell_time" -> ((s, dir) =>
       // Per-type dwell time to the user's next event
       // (EventAnalytics.dwellTime scaladoc): exact rank-selected median
@@ -4524,6 +4561,44 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Partitioning.rendezvousShard replay: per-shard md5 scores, argmax
+    // by (hash, shard).
+    "rendezvous_shards" ->
+      """WITH sc AS (
+        | SELECT d.doc_id, sh.s,
+        |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || sh.s), 1, 8)) AS BIGINT) AS h
+        | FROM documents d CROSS JOIN (
+        |  SELECT 'shard' || CAST(i AS VARCHAR) AS s
+        |  FROM generate_series(0, 7) t(i)) sh),
+        |rk AS (SELECT doc_id, s,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        | FROM sc)
+        |SELECT doc_id, s AS shard FROM rk WHERE rn = 1""".stripMargin,
+
+    // Exact least-squares residuals over the shared quality CTEs:
+    // micro-lifted moments, 9-dp slope/intercept, 6-dp outputs.
+    "quality_residuals" ->
+      s"""WITH $qualitySqlCtes,
+         |qq AS (SELECT q.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+         |  CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qu
+         | FROM qscore q JOIN documents d USING (doc_id)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(n_chars) AS sx,
+         |  sum(qu) AS sy, sum(n_chars * qu) AS sxy,
+         |  sum(n_chars * n_chars) AS sxx FROM qq),
+         |ab AS (SELECT
+         |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1000000.0, 9) AS b,
+         |  round((CAST(sy AS DOUBLE) / n / 1000000.0) -
+         |    ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |     (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1000000.0) *
+         |    (CAST(sx AS DOUBLE) / n), 9) AS a
+         | FROM m)
+         |SELECT qq.doc_id, qq.n_chars,
+         | round(CAST(qq.qu AS DOUBLE) / 1000000.0, 6) AS quality,
+         | round(CAST(qq.qu AS DOUBLE) / 1000000.0 -
+         |   (ab.a + ab.b * qq.n_chars), 6) + 0.0 AS residual
+         |FROM qq CROSS JOIN ab""".stripMargin,
 
     // EventAnalytics.dwellTime replay: per-user lead gaps, per-type rank
     // selection.

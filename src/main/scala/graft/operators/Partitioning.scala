@@ -94,6 +94,28 @@ object Partitioning {
     * already be non-negative and fit `bits` bits — out-of-range inputs
     * fail loudly rather than silently aliasing distant rows together.
     */
+  /** Rendezvous (highest-random-weight) shard placement: each key lands
+    * on the shard maximizing `hash(key, shard)` — the consistent-placement
+    * scheme whose MINIMAL-DISRUPTION law (removing a shard moves ONLY
+    * that shard's keys; every other key's argmax is untouched) is what a
+    * resharding embedding store / document cache needs, with none of
+    * ring-hashing's virtual-node bookkeeping. Ties (engine-neutral md5
+    * hashes, ~2^-32) break by shard name.
+    *
+    * One narrow codegen'd expression per row — placement never shuffles.
+    */
+  def rendezvousShard(key: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      "need a non-empty set of distinct shard names")
+    val scored = shards.map { sh =>
+      struct(
+        conv(substring(md5(concat(key.cast("string"), lit("|"), lit(sh))),
+          1, 8), 16, 10).cast("long").as("h"),
+        lit(sh).as("s"))
+    }
+    array_max(array(scored: _*)).getField("s")
+  }
+
   def zorder(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 26, s"bits must be in [1, 26], got $bits")
     val bound = math.pow(2, bits).toLong

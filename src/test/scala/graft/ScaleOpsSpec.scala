@@ -172,4 +172,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("graft.zorder")))
   }
+
+  test("rendezvousShard: deterministic placement, minimal-disruption law") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = (1L to 200L).toDF("k")
+    val all = (0 to 7).map(i => s"s$i")
+    def place(shards: Seq[String]) =
+      keys.select(col("k"),
+        graft.operators.Partitioning.rendezvousShard(col("k"), shards)
+          .as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = place(all)
+    assert(full.values.toSet.size > 1) // spreads
+    // remove s3: ONLY s3's keys move; everyone else stays put
+    val without = place(all.filterNot(_ == "s3"))
+    full.foreach { case (k, s) =>
+      if (s != "s3") assert(without(k) == s, s"key $k moved without cause")
+      else assert(without(k) != "s3")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Partitioning.rendezvousShard(col("k"), Seq("a", "a"))
+    }
+  }
 }
