@@ -1026,6 +1026,15 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "fightin_words" -> ((s, dir) => {
+      // Monroe et al. distinctive terms: en docs vs the rest
+      // (Drift.fightinWords scaladoc) — Dirichlet-smoothed log-odds
+      // z-scores over the vocabulary tables.
+      val d = t(s, dir, "documents")
+      Drift.fightinWords(d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "text")
+    }),
+
     "rendezvous_shards" -> ((s, dir) =>
       // Highest-random-weight placement over 8 shards
       // (Partitioning.rendezvousShard scaladoc): the minimal-disruption
@@ -4561,6 +4570,32 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Drift.fightinWords replay: vocabulary count tables, identical
+    // prior/log-odds/variance shapes.
+    "fightin_words" ->
+      s"""WITH ca AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS ya
+         | FROM (SELECT unnest($toksSql) AS t FROM documents
+         |        WHERE lang = 'en') q GROUP BY t),
+         |cb AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS yb
+         | FROM (SELECT unnest($toksSql) AS t FROM documents
+         |        WHERE lang <> 'en') q GROUP BY t),
+         |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+         |  coalesce(ya, 0) AS n_a, coalesce(yb, 0) AS n_b
+         | FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |tot AS (SELECT sum(n_a) AS na, sum(n_b) AS nb,
+         |  sum(n_a) + sum(n_b) AS np FROM j),
+         |sc AS (SELECT term, n_a, n_b,
+         |  100.0 * CAST(n_a + n_b AS DOUBLE) / tot.np AS aw,
+         |  tot.na AS na, tot.nb AS nb
+         | FROM j CROSS JOIN tot)
+         |SELECT term, n_a, n_b,
+         | round(ln((n_a + aw) / (na + 100.0 - n_a - aw)) -
+         |   ln((n_b + aw) / (nb + 100.0 - n_b - aw)), 6) AS delta,
+         | round((ln((n_a + aw) / (na + 100.0 - n_a - aw)) -
+         |   ln((n_b + aw) / (nb + 100.0 - n_b - aw))) /
+         |  sqrt(1.0 / (n_a + aw) + 1.0 / (n_b + aw)), 6) AS z
+         |FROM sc""".stripMargin,
 
     // Partitioning.rendezvousShard replay: per-shard md5 scores, argmax
     // by (hash, shard).

@@ -165,6 +165,47 @@ object Drift {
         col("__n").cast("long").as("n_points"))
   }
 
+  /** Distinctive terms between two corpora by Dirichlet-smoothed log-odds
+    * z-scores (Monroe/Colaresi/Quinn "Fightin' Words") — THE method for
+    * "which words characterize corpus A vs corpus B": raw frequency
+    * differences surface stopwords, PMI-style ratios surface hapaxes;
+    * the informative prior (the pooled corpus) damps both, and the
+    * variance estimate turns the gap into a comparable z-score. One row
+    * per term: `(term, n_a, n_b, delta, z)` — positive z leans A.
+    *
+    * Formula (prior scale `alpha0` tokens distributed by pooled
+    * frequency): `delta = ln((y_a+a_w)/(n_a+a0-y_a-a_w)) - ln(same for
+    * B)`, `var = 1/(y_a+a_w) + 1/(y_b+a_w)`, `z = delta/sqrt(var)` — all
+    * inputs exact integer counts plus one pooled ratio, fixed double
+    * shapes, rounded at output.
+    *
+    * Scale shape: two vocabulary-sized count tables full-outer-joined,
+    * 1-row totals broadcast. Nothing corpus-sized moves after the
+    * token-count aggregates.
+    */
+  def fightinWords(a: DataFrame, b: DataFrame, textCol: String,
+                   alpha0: Double = 100.0, roundDp: Int = 6): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be positive, got $alpha0")
+    val ca = tokenCounts(a, textCol, "__ya")
+    val cb = tokenCounts(b, textCol, "__yb")
+    val j = ca.join(cb, Seq("__t"), "full_outer")
+      .select(col("__t").as("term"),
+        coalesce(col("__ya"), lit(0L)).as("n_a"),
+        coalesce(col("__yb"), lit(0L)).as("n_b"))
+    val tot = j.agg(sum(col("n_a")).as("__na"), sum(col("n_b")).as("__nb"),
+      (sum(col("n_a")) + sum(col("n_b"))).as("__np"))
+    val aw = lit(alpha0) * (col("n_a") + col("n_b")).cast("double") / col("__np")
+    val da = log((col("n_a") + aw) /
+      (col("__na") + alpha0 - col("n_a") - aw))
+    val db = log((col("n_b") + aw) /
+      (col("__nb") + alpha0 - col("n_b") - aw))
+    val variance = lit(1.0) / (col("n_a") + aw) + lit(1.0) / (col("n_b") + aw)
+    j.crossJoin(broadcast(tot))
+      .select(col("term"), col("n_a"), col("n_b"),
+        round(da - db, roundDp).as("delta"),
+        round((da - db) / sqrt(variance), roundDp).as("z"))
+  }
+
   /** Embedding-space drift between two corpora: cosine between the MEAN
     * vectors plus the mean-norm ratio — the two cheapest honest answers to
     * "did the new crawl's embedding distribution move?" (a centroid

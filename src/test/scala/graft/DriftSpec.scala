@@ -173,4 +173,23 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     val r3 = Drift.embeddingDrift(a, z, "embedding").collect()(0)
     assert(r3.isNullAt(2) && r3.isNullAt(3))
   }
+
+  test("fightinWords: the over-represented term gets the positive z") {
+    val a = Seq.fill(20)(Tuple1("alpha beta")).toDF("text")
+    val b = (Seq.fill(20)(Tuple1("gamma beta"))).toDF("text")
+    val got = Drift.fightinWords(a, b, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got("alpha")._3 > 0 && got("gamma")._3 < 0)
+    // shared term with identical counts scores exactly symmetric-zero
+    assert(got("beta")._1 == got("beta")._2 && math.abs(got("beta")._3) < 1e-9)
+    // sign antisymmetry under corpus swap
+    val swapped = Drift.fightinWords(b, a, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    got.foreach { case (t, (_, _, z)) =>
+      assert(math.abs(swapped(t) + z) < 1e-9, s"$t not antisymmetric") }
+    intercept[IllegalArgumentException] {
+      Drift.fightinWords(a, b, "text", alpha0 = 0.0)
+    }
+  }
 }
