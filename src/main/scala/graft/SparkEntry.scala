@@ -1026,6 +1026,23 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "set_cover_docs" -> ((s, dir) => {
+      // Greedy max-coverage eval-set selection over BIGRAM vocabulary
+      // (Sampling.greedySetCover scaladoc) — the unigram vocabulary is
+      // tiny enough that one doc covers it; bigrams make coverage a real
+      // 5-round selection problem. 5 driver rounds, each one distributed
+      // argmax of uncovered-gain.
+      val d = t(s, dir, "documents")
+      val tk = TextAnalysis.toks(col("text"))
+      val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat_ws("_", slice(tk, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val bigramText = d.select(col("doc_id"),
+        array_join(bigrams, " ").as("text"))
+      Sampling.greedySetCover(bigramText, "text", "doc_id", k = 5)
+    }),
+
     "fightin_words" -> ((s, dir) => {
       // Monroe et al. distinctive terms: en docs vs the rest
       // (Drift.fightinWords scaladoc) — Dirichlet-smoothed log-odds
@@ -3178,6 +3195,41 @@ object SparkEntry {
       |       THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS words
       | FROM embeddings""".stripMargin
 
+  /** Unrolled greedy set-cover rounds mirroring `Sampling.greedySetCover`
+    * (k rounds; round r picks argmax uncovered-gain with id ties, folds
+    * the pick's tokens into the covered list). Materialized per round —
+    * the k-center/Viterbi CTE discipline.
+    */
+  private def setCoverSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""g$r AS (SELECT st.id, st.s,
+         |  len(list_filter(st.s, x -> NOT list_contains(p${r - 1}.cov, x))) AS gain
+         | FROM sets st CROSS JOIN p${r - 1}),
+         |p$r AS MATERIALIZED (
+         | SELECT q.id, list_distinct(list_concat(pp.cov, q.s)) AS cov, q.gain
+         | FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, id) AS rn
+         |       FROM g$r WHERE gain > 0) q
+         |  CROSS JOIN p${r - 1} pp
+         | WHERE q.rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(r =>
+      s"SELECT $r AS rank, id, gain AS n_new_terms, len(cov) AS n_covered_total FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, list_distinct(list_transform(
+       |   range(1, greatest(len(toks), 1)),
+       |   i -> toks[i] || '_' || toks[i + 1])) AS s
+       | FROM tk),
+       |sets AS MATERIALIZED (
+       | SELECT doc_id AS id, s FROM bg WHERE len(s) > 0),
+       |p0 AS (SELECT CAST([] AS VARCHAR[]) AS cov),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, CAST(id AS BIGINT) AS id,
+       | CAST(n_new_terms AS BIGINT) AS n_new_terms,
+       | CAST(n_covered_total AS BIGINT) AS n_covered_total
+       |FROM ($sel) z""".stripMargin
+  }
+
   /** RAKE's fixed stoplist as a SQL IN-list — one source of truth
     * ([[graft.operators.Rake.Stopwords]]) for both engines.
     */
@@ -4570,6 +4622,9 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Sampling.greedySetCover replay: unrolled materialized rounds.
+    "set_cover_docs" -> setCoverSql(5),
 
     // Drift.fightinWords replay: vocabulary count tables, identical
     // prior/log-odds/variance shapes.

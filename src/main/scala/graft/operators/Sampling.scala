@@ -20,6 +20,61 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Greedy maximum-coverage document selection: `k` rounds, each picking
+    * the document covering the most NOT-YET-COVERED vocabulary (ties by
+    * id) — the classic (1 - 1/e)-approximation, and the standard recipe
+    * for building a small eval/annotation set that still exercises the
+    * corpus's whole vocabulary. One row per selection, in order:
+    * `(rank, id, n_new_terms, n_covered_total)`.
+    *
+    * Scale shape: `k` bounded driver rounds (the k-center/BPE
+    * discipline); each round is one distributed argmax
+    * (TakeOrderedAndProject) over per-doc counts of uncovered DISTINCT
+    * tokens, with the covered set carried as a broadcast literal —
+    * bounded by the vocabulary, never rows.
+    */
+  def greedySetCover(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    // One exploded (id, term) table, cached; each round is a broadcast
+    // anti-join against the (small, vocabulary-bounded) covered set plus
+    // one TakeOrdered argmax. A growing literal-array alternative paid a
+    // full codegen compile per round (measured 6.4 s for 5 rounds at
+    // sf0.1; this shape runs in ~1 s).
+    val terms = df.select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(TextAnalysis.toks(col(textCol)))).as("__t"))
+      .filter(col("__id").isNotNull)
+      .persist()
+    try {
+      var covered = Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var r = 1
+      while (r <= k) {
+        val coveredDf = broadcast(covered.toSeq.sorted.toDF("__t"))
+        // ONE job per round: the TakeOrdered argmax row carries its own
+        // uncovered-term list (bounded by a single document's vocabulary).
+        val top = terms.join(coveredDf, Seq("__t"), "left_anti")
+          .groupBy(col("__id"))
+          .agg(count(lit(1)).as("__gain"), collect_list(col("__t")).as("__ts"))
+          .orderBy(col("__gain").desc, col("__id"))
+          .limit(1).collect()
+        if (top.isEmpty) r = k + 1
+        else {
+          val id = top(0).getLong(0)
+          val newTerms = top(0).getSeq[String](2).toSet -- covered
+          covered = covered ++ newTerms
+          picked += ((r.toLong, id, newTerms.size.toLong,
+            covered.size.toLong))
+          r += 1
+        }
+      }
+      picked.toSeq.toDF("rank", "id", "n_new_terms", "n_covered_total")
+    } finally terms.unpersist()
+  }
+
   val HexDigits = 4
 
   /** Hex threshold string for `fraction`: rows with hash prefix < threshold

@@ -269,4 +269,24 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getAs[Int]("bucket")).toSet
     assert(few.subsetOf(Set(0, 3, 6)))
   }
+
+  test("greedySetCover: greedy argmax with id ties, early stop when covered") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // round 1: doc 1 {a b c} gain 3. round 2: doc 4 {d e} gain 2 beats
+    // doc 2 {c d f} gain 2? no — doc 2 gains {d f} = 2, TIE with doc 4's
+    // {d e} = 2 -> lower id wins: doc 2. round 3: doc 4 gains {e} = 1.
+    // doc 3 {a b} never gains; k=4's round 4 finds no gain (early stop).
+    val df = Seq((1L, "a b c a"), (2L, "c d f"), (3L, "a b"), (4L, "d e"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Sampling
+      .greedySetCover(df, "text", "doc_id", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 3L, 3L), (2L, 2L, 2L, 5L),
+      (3L, 4L, 1L, 6L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.greedySetCover(df, "text", "doc_id", k = 0)
+    }
+  }
 }
