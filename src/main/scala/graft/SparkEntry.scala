@@ -1026,6 +1026,48 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "gains_curve" -> ((s, dir) => {
+      // Cumulative gains / lift by score decile — the campaign-targeting
+      // read of the quality classifier ("scoring the top 20% catches
+      // what fraction of positives?"): rank by (prob DESC, doc_id),
+      // decile = integer rank bucketing, cumulative sums over 10 rows.
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
+          col("stopword_ratio"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+      val scored = Classifier.fitScoreLogistic(feats,
+        Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
+        iterations = 2, lr = 1.0)
+      val w = Window.orderBy(col("prob").desc, col("doc_id"))
+      val ranked = scored
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        // decile d = ceil(10 * rn / n) in pure integers
+        .withColumn("decile",
+          (((col("__rn") * 10 + col("__n") - 1) / col("__n")).cast("long")))
+      val dec0 = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label").cast("long")).as("n_pos"))
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      dec0
+        .withColumn("__cp", sum(col("n_pos")).over(cum).cast("long"))
+        .withColumn("__cn", sum(col("n")).over(cum).cast("long"))
+        .withColumn("__tp", sum(col("n_pos")).over(tot).cast("long"))
+        .withColumn("__tn", sum(col("n")).over(tot).cast("long"))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("__cp").cast("double") / col("__tp"), 6)
+            .as("cum_pos_share"),
+          round((col("__cp").cast("double") * col("__tn")) /
+            (col("__cn").cast("double") * col("__tp")), 6).as("lift"))
+    }),
+
     "set_cover_docs" -> ((s, dir) => {
       // Greedy max-coverage eval-set selection over BIGRAM vocabulary
       // (Sampling.greedySetCover scaladoc) — the unigram vocabulary is
@@ -4622,6 +4664,31 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Gains/lift replay over the trained-scored CTEs: identical integer
+    // decile bucketing and cumulative sums.
+    "gains_curve" ->
+      s"""WITH $classifierScoredSqlCtes,
+         |rk AS (SELECT y,
+         |  row_number() OVER (ORDER BY prob DESC, doc_id) AS rn,
+         |  CAST(count(*) OVER () AS BIGINT) AS n FROM scored),
+         |dec AS (SELECT (rn * 10 + n - 1) // n AS decile,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+         | FROM rk GROUP BY 1),
+         |cum AS (SELECT decile, n, n_pos,
+         |  CAST(sum(n_pos) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         |  CAST(sum(n) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |  CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+         |  CAST(sum(n) OVER () AS BIGINT) AS tn
+         | FROM dec)
+         |SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+         | round(CAST(cp AS DOUBLE) / tp, 6) AS cum_pos_share,
+         | round((CAST(cp AS DOUBLE) * tn) / (CAST(cn AS DOUBLE) * tp), 6)
+         |  AS lift
+         |FROM cum""".stripMargin,
 
     // Sampling.greedySetCover replay: unrolled materialized rounds.
     "set_cover_docs" -> setCoverSql(5),
