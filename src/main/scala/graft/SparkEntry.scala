@@ -1026,6 +1026,79 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "ab_test_z" -> ((s, dir) => {
+      // Two-proportion z-test between the even/odd user cohorts'
+      // purchase conversion — the experiment-readout primitive: pooled
+      // proportion, one fixed-shape z. Exact integer counts in.
+      val e = t(s, dir, "events")
+      val users = e.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") > 480)
+          .cast("long")).as("__conv"))
+        .withColumn("__grp",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val g = users.groupBy(col("__grp"))
+        .agg(count(lit(1)).as("n"), sum(col("__conv")).as("conv"))
+      val a = g.filter(col("__grp") === "A")
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+      val b = g.filter(col("__grp") === "B")
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      a.crossJoin(b).select(
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        when(pp > 0 && pp < 1,
+          round((pa - pb) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+    }),
+
+    "stump_split" -> ((s, dir) => {
+      // Best decision-stump split of the quality label on mean token
+      // length by exact information gain: sweep every distinct feature
+      // value (predict left at x <= t), suffix/prefix sums give exact
+      // counts, entropy in fixed double shapes, argmax by (gain, t).
+      val docs = t(s, dir, "documents")
+      val pts = TextAnalysis.qualityFrame(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_token_len").as("x"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
+      val dist = pts.groupBy(col("x"))
+        .agg(count(lit(1)).as("__n"), sum(col("y")).as("__p"))
+      val cum = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      def h(p: Column, n: Column): Column =
+        when(p > 0 && p < n,
+          -(p.cast("double") / n) * log(p.cast("double") / n) -
+            ((n - p).cast("double") / n) * log((n - p).cast("double") / n))
+          .otherwise(lit(0.0))
+      val swept = dist
+        .withColumn("__nl", sum(col("__n")).over(cum).cast("long"))
+        .withColumn("__pl", sum(col("__p")).over(cum).cast("long"))
+        .withColumn("__nt", sum(col("__n")).over(tot).cast("long"))
+        .withColumn("__pt", sum(col("__p")).over(tot).cast("long"))
+        .filter(col("__nl") < col("__nt")) // a split must have a right side
+        .withColumn("__gain", round(
+          h(col("__pt"), col("__nt")) -
+            (col("__nl").cast("double") / col("__nt")) *
+              h(col("__pl"), col("__nl")) -
+            ((col("__nt") - col("__nl")).cast("double") / col("__nt")) *
+              h(col("__pt") - col("__pl"), col("__nt") - col("__nl")), 6))
+      val pick = Window.orderBy(col("__gain").desc, col("x"))
+      swept.withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col("x").as("split_at"), col("__nl").as("n_left"),
+          (col("__nt") - col("__nl")).as("n_right"),
+          col("__pl").as("pos_left"),
+          (col("__pt") - col("__pl")).as("pos_right"), col("__gain").as("gain"))
+    }),
+
     "gains_curve" -> ((s, dir) => {
       // Cumulative gains / lift by score decile — the campaign-targeting
       // read of the quality classifier ("scoring the top 20% catches
@@ -4664,6 +4737,70 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Two-proportion z replay: per-user conversion, pooled proportion,
+    // identical shape.
+    "ab_test_z" ->
+      """WITH users AS (
+        | SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'purchase' AND value > 480
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+        |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+        | FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(conv) AS BIGINT) AS conv FROM users GROUP BY grp),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE grp = 'A'),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE grp = 'B')
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        | round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        | CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0
+        |    AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1
+        |  THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+        |   sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |    (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |    (1.0 / n_a + 1.0 / n_b)), 6)
+        |  ELSE NULL END AS z
+        |FROM a CROSS JOIN b""".stripMargin,
+
+    // Stump replay over the shared quality features: distinct-value
+    // sweep, suffix/prefix sums, identical entropy shapes.
+    "stump_split" ->
+      s"""WITH $qualitySqlCtes,
+         |pts AS (SELECT q.doc_id, round(qr.mean_tok_len, 6) AS x,
+         |  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         | FROM qr JOIN documents d USING (doc_id)
+         |  JOIN qscore q ON q.doc_id = qr.doc_id),
+         |dist AS (SELECT x, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS p FROM pts GROUP BY x),
+         |sw AS (SELECT x,
+         |  CAST(sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         |  CAST(sum(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+         |  CAST(sum(n) OVER () AS BIGINT) AS nt,
+         |  CAST(sum(p) OVER () AS BIGINT) AS pt
+         | FROM dist),
+         |gains AS (SELECT x, nl, pl, nt, pt,
+         |  round(
+         |   (CASE WHEN pt > 0 AND pt < nt
+         |     THEN -(CAST(pt AS DOUBLE)/nt)*ln(CAST(pt AS DOUBLE)/nt)
+         |          -(CAST(nt-pt AS DOUBLE)/nt)*ln(CAST(nt-pt AS DOUBLE)/nt)
+         |     ELSE 0.0 END)
+         |   - (CAST(nl AS DOUBLE)/nt) *
+         |    (CASE WHEN pl > 0 AND pl < nl
+         |      THEN -(CAST(pl AS DOUBLE)/nl)*ln(CAST(pl AS DOUBLE)/nl)
+         |           -(CAST(nl-pl AS DOUBLE)/nl)*ln(CAST(nl-pl AS DOUBLE)/nl)
+         |      ELSE 0.0 END)
+         |   - (CAST(nt-nl AS DOUBLE)/nt) *
+         |    (CASE WHEN pt-pl > 0 AND pt-pl < nt-nl
+         |      THEN -(CAST(pt-pl AS DOUBLE)/(nt-nl))*ln(CAST(pt-pl AS DOUBLE)/(nt-nl))
+         |           -(CAST((nt-nl)-(pt-pl) AS DOUBLE)/(nt-nl))*ln(CAST((nt-nl)-(pt-pl) AS DOUBLE)/(nt-nl))
+         |      ELSE 0.0 END), 6) AS gain
+         | FROM sw WHERE nl < nt),
+         |pick AS (SELECT *, row_number() OVER (ORDER BY gain DESC, x) AS rn
+         | FROM gains)
+         |SELECT x AS split_at, nl AS n_left, nt - nl AS n_right,
+         | pl AS pos_left, pt - pl AS pos_right, gain
+         |FROM pick WHERE rn = 1""".stripMargin,
 
     // Gains/lift replay over the trained-scored CTEs: identical integer
     // decile bucketing and cumulative sums.
