@@ -1026,6 +1026,40 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "mannwhitney_u" -> ((s, dir) => {
+      // Mann-Whitney U between the even/odd event-id halves' values —
+      // the nonparametric A/B companion to ab_test_z (rank-based, so a
+      // heavy tail can't fake significance). Average ranks for ties are
+      // exact 0.5-multiples (minrank + (t-1)/2), the rank sum is exact,
+      // and z uses the tie-corrected variance in one fixed shape.
+      val e = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("__v"),
+          (col("event_id") % 2 === 0).as("__a"))
+      val byVal = e.groupBy(col("__v"))
+        .agg(count(lit(1)).as("__t"), sum(col("__a").cast("long")).as("__ta"))
+      val cum = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byVal
+        .withColumn("__below", coalesce(sum(col("__t")).over(cum), lit(0L)))
+        .withColumn("__avgrank",
+          (col("__below") + 1).cast("double") + (col("__t") - 1) / lit(2.0))
+      val agg = ranked.agg(
+        sum(col("__ta")).cast("long").as("n_a"),
+        (sum(col("__t")) - sum(col("__ta"))).cast("long").as("n_b"),
+        sum(col("__ta") * col("__avgrank")).as("__ra"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+      val nn = na + nb
+      val u = col("__ra") - na * (na + 1) / 2
+      val sigma2 = na * nb / 12 *
+        ((nn + 1) - col("__ties").cast("double") / (nn * (nn - 1)))
+      agg.select(col("n_a"), col("n_b"),
+        round(u, 6).as("u_a"),
+        when(sigma2 > 0,
+          round((u - na * nb / 2) / sqrt(sigma2), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+    }),
+
     "ab_test_z" -> ((s, dir) => {
       // Two-proportion z-test between the even/odd user cohorts'
       // purchase conversion — the experiment-readout primitive: pooled
@@ -4737,6 +4771,41 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Mann-Whitney replay: distinct-value rank table, exact average
+    // ranks, tie-corrected variance in the identical shape.
+    "mannwhitney_u" ->
+      """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |  (event_id % 2 = 0) AS a
+        | FROM events WHERE value IS NOT NULL),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        | FROM e GROUP BY v),
+        |rk AS (SELECT v, t, ta,
+        |  CAST(coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS below
+        | FROM bv),
+        |ag AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+        |  CAST(sum(t) - sum(ta) AS BIGINT) AS n_b,
+        |  sum(ta * (CAST(below + 1 AS DOUBLE) + (t - 1) / 2.0)) AS ra,
+        |  CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        | FROM rk)
+        |SELECT n_a, n_b,
+        | round(ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2, 6)
+        |  AS u_a,
+        | CASE WHEN CAST(n_a AS DOUBLE) * n_b / 12 *
+        |   ((CAST(n_a AS DOUBLE) + n_b + 1) -
+        |    CAST(ties AS DOUBLE) / ((CAST(n_a AS DOUBLE) + n_b) *
+        |     (CAST(n_a AS DOUBLE) + n_b - 1))) > 0
+        |  THEN round((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+        |    - CAST(n_a AS DOUBLE) * n_b / 2) /
+        |   sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
+        |    ((CAST(n_a AS DOUBLE) + n_b + 1) -
+        |     CAST(ties AS DOUBLE) / ((CAST(n_a AS DOUBLE) + n_b) *
+        |      (CAST(n_a AS DOUBLE) + n_b - 1)))), 6)
+        |  ELSE NULL END AS z
+        |FROM ag""".stripMargin,
 
     // Two-proportion z replay: per-user conversion, pooled proportion,
     // identical shape.
