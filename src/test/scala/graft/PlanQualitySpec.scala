@@ -561,4 +561,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       assert(p.contains("Join"), s"$g lost its join")
     }
   }
+
+  test("late-wave gates: map-side combines, no unkeyed blowups") {
+    for (g <- Seq("rolling_active_users", "pivot_daily", "sql_surface",
+        "graph_health", "dwell_time", "autocomplete_index", "spell_correct",
+        "mannwhitney_u", "ab_test_z", "gains_curve", "stump_split",
+        "quality_residuals", "fightin_words", "robots_check",
+        "json_props_stats", "bm25_merged_stats")) {
+      val p = plan(g)
+      assert(p.contains("partial_") || p.contains("TakeOrdered") ||
+        p.contains("Window"), s"$g: no aggregate/window shape found")
+      assert(!p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$g: only scalar/registry broadcasts may be unkeyed")
+    }
+    // rendezvous/zorder are the IDEAL shape: one narrow projection, no
+    // exchange at all.
+    for (g <- Seq("rendezvous_shards", "zorder_index")) {
+      val p = plan(g)
+      assert(!p.contains("Exchange"), s"$g grew a shuffle:\n${p.take(400)}")
+    }
+  }
 }
