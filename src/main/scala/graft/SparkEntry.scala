@@ -1026,6 +1026,28 @@ object SparkEntry {
         EventTime.readMicros(s, s"$dir/events.parquet"),
         "event_type", "ts", "value", "event_id", bucketSize = 100)),
 
+    "series_corr" -> ((s, dir) => {
+      // Correlation matrix between event types' daily-count series —
+      // "which metrics move together" (errors tracking clicks = load
+      // problem; purchases decoupling from views = funnel break). Daily
+      // counts are exact integers; Profile.pearsonByGroup supplies the
+      // fixed moment chain per unordered type pair.
+      val e = EventTime.readMicros(s, s"$dir/events.parquet")
+      val daily = e.filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          floor(col("ts") / EventTime.DayMicros).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select(col("event_type").as("ta"), col("day"),
+        col("n").as("na"))
+      val b = daily.select(col("event_type").as("tb"), col("day"),
+        col("n").as("nb"))
+      val paired = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+        .select(concat_ws("~", col("ta"), col("tb")).as("pair"),
+          col("na"), col("nb"))
+      Profile.pearsonByGroup(paired, "pair", "na", "nb")
+        .filter(col("group") =!= "<pooled>")
+    }),
+
     "mannwhitney_u" -> ((s, dir) => {
       // Mann-Whitney U between the even/odd event-id halves' values —
       // the nonparametric A/B companion to ab_test_z (rank-based, so a
@@ -4771,6 +4793,33 @@ object SparkEntry {
         |WHERE (reason = 'first' AND rn = lo)
         |   OR (reason = 'last' AND rn = hi)
         |   OR (reason = 'lttb' AND pick = 1)""".stripMargin,
+
+    // Daily-series Pearson per unordered type pair: same day-inner-join
+    // and moment chain.
+    "series_corr" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1, 2),
+        |paired AS (
+        | SELECT a.event_type || '~' || b.event_type AS grp,
+        |  a.n AS x, b.n AS y
+        | FROM daily a JOIN daily b
+        |  ON a.day = b.day AND a.event_type < b.event_type),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |  sum(y * y) AS syy
+        | FROM paired GROUP BY grp)
+        |SELECT grp AS "group", n,
+        | CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  ELSE NULL END AS r
+        |FROM m""".stripMargin,
 
     // Mann-Whitney replay: distinct-value rank table, exact average
     // ranks, tie-corrected variance in the identical shape.
