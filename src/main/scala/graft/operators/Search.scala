@@ -128,15 +128,55 @@ object Search {
   def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
                 lambda: Double = 0.7,
                 qidCol: String = "qid", qvecCol: String = "qv",
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
     require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    val scored = queries.crossJoin(corpus)
+    val scored = queries
+      .crossJoin(Similarity.guardExactRegime(corpus, "mmrRerank", maxExactRows))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("__rel", round(
         graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
       .filter(col("__rel").isNotNull)
+    mmrFromScored(scored, n, k, lambda, qidCol, idCol, vecCol)
+  }
+
+  /** The SCALE regime of [[mmrRerank]]: the relevance candidates come from
+    * [[Similarity.bandedCandidatePairs]] (hyperplane-LSH band agreement)
+    * instead of the query x corpus cross join; the top-n cut, candidate
+    * pair similarities, and the greedy selection UDF are the identical
+    * tail. Approximate only in candidate RECALL — the greedy selection
+    * over whatever candidates survive is the same deterministic
+    * arithmetic. Work scales with band collisions plus n² per query.
+    */
+  def mmrRerankBlocked(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+                       lambda: Double = 0.7,
+                       qidCol: String = "qid", qvecCol: String = "qv",
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       numPlanes: Int = 16, bandBits: Int = 2,
+                       seed: Int = 42): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val q = queries.select(col(qidCol), col(qvecCol))
+    val c = corpus.select(col(idCol), col(vecCol))
+    val cand = Similarity.bandedCandidatePairs(q, c, qidCol, qvecCol,
+        idCol, vecCol, numPlanes, bandBits, seed)
+      .filter(col(idCol) =!= col(qidCol))
+    val scored = cand.join(q, qidCol).join(c, idCol)
+      .withColumn("__rel", round(
+        graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
+      .filter(col("__rel").isNotNull)
+    mmrFromScored(scored, n, k, lambda, qidCol, idCol, vecCol)
+  }
+
+  /** Top-n cut + pairwise-sim + greedy-selection tail shared by the exact
+    * and blocked MMR regimes: `scored` is one row per (query, candidate)
+    * with 6-dp `__rel`.
+    */
+  private def mmrFromScored(scored: DataFrame, n: Int, k: Int, lambda: Double,
+                            qidCol: String, idCol: String,
+                            vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qidCol)).orderBy(col("__rel").desc, col(idCol))
     val cand = scored
       .withColumn("__rn", row_number().over(w))

@@ -238,6 +238,21 @@ object Similarity {
   // Hyperplane-LSH blocked batch retrieval (scale path for eval/search)
   // -------------------------------------------------------------------------
 
+  /** Component sign (+1/-1) of pseudo-random hyperplane `p` at dimension
+    * `j` under `seed` — fmix64 of the packed coordinates, low bit picks the
+    * sign. A PURE compile-time function of (seed, p, j): the whole sign
+    * matrix for a fixed dimensionality is a constant, which is what lets a
+    * SQL oracle replay the banded search value-for-value (the sign matrix
+    * is inlined as a literal plane table; the dot products then use the
+    * same left-to-right double accumulation both engines share).
+    */
+  private[graft] def hyperplaneSign(seed: Int, p: Int, j: Int): Double = {
+    var h = (seed.toLong << 32) ^ (p.toLong * 0x9E3779B97F4A7C15L) ^
+      (j.toLong * 0xC2B2AE3D27D4EB4FL)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
   /** Deterministic Rademacher (±1) hyperplane signature: bit p of the
     * result is the sign of the dot product with pseudo-random hyperplane p
     * (components derived from fmix64(seed, plane, dim) — no RNG state, so
@@ -250,10 +265,7 @@ object Similarity {
       var dot = 0.0
       var j = 0
       while (j < vec.length) {
-        var h = (seed.toLong << 32) ^ (p.toLong * 0x9E3779B97F4A7C15L) ^
-          (j.toLong * 0xC2B2AE3D27D4EB4FL)
-        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-        dot += (if ((h & 1L) == 0L) 1.0 else -1.0) * vec(j)
+        dot += hyperplaneSign(seed, p, j) * vec(j)
         j += 1
       }
       if (dot >= 0) sig |= (1L << p)
@@ -261,6 +273,59 @@ object Similarity {
     }
     sig
   })
+
+  /** Distinct banded candidate pairs `(leftId, rightId)`: every pair whose
+    * hyperplane signatures agree on at least one band — the shared
+    * candidate-generation stage of the whole blocked neighbor family
+    * ([[blockedTopKPerQuery]], [[mutualKnnPairsBlocked]],
+    * [[kthNeighborDistanceBlocked]], [[marginBitextBlocked]],
+    * [[Search.mmrRerankBlocked]]). The shuffle key is (band index, band
+    * value); work scales with collisions, not |L| x |R|. Column names must
+    * not collide between the two sides (callers alias).
+    */
+  private[graft] def bandedCandidatePairs(left: DataFrame, right: DataFrame,
+      leftId: String, leftVec: String, rightId: String, rightVec: String,
+      numPlanes: Int, bandBits: Int, seed: Int): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    val nBands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, vc: String): DataFrame = {
+      val sig = hyperplaneSigUdf(col(vc), lit(numPlanes), lit(seed))
+      val bandVals = array((0 until nBands).map(b =>
+        shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
+      df.select(col(id), sig.as("__sig"))
+        .select(col(id), posexplode(bandVals).as(Seq("__band", "__bits")))
+    }
+    banded(left, leftId, leftVec)
+      .join(banded(right, rightId, rightVec), Seq("__band", "__bits"))
+      .select(col(leftId), col(rightId)).distinct()
+  }
+
+  /** Hard default ceiling for the exact all-pairs regime: inputs above
+    * this row count fail loudly instead of silently planning an O(n²)
+    * cross join (20k rows is already 4e8 candidate pairs). The same
+    * defaults-ON posture as [[Dedup.DefaultMaxBucketSize]]; the blocked
+    * variants are the intended path past it.
+    */
+  val DefaultMaxExactRows: Long = 20000L
+
+  /** Lazy input-size guard for the exact (all-pairs) regime: a map-side
+    * combined 1-row count broadcast back over the rows, raising in-flight
+    * when the input exceeds `maxRows` — no driver job, no single-partition
+    * pileup, and the cross join never multiplies anything first.
+    */
+  private[graft] def guardExactRegime(df: DataFrame, op: String,
+                                      maxRows: Long): DataFrame = {
+    val n = df.groupBy().agg(count(lit(1)).as("__n_exact"))
+    df.crossJoin(broadcast(n))
+      .filter(when(col("__n_exact") > maxRows,
+        raise_error(concat(
+          lit(s"graft.$op: exact all-pairs regime over "), col("__n_exact"),
+          lit(s" rows > maxExactRows=$maxRows; use the blocked variant " +
+            "(bandedCandidatePairs composition) or raise maxExactRows"))))
+        .otherwise(lit(true)))
+      .drop("__n_exact")
+  }
 
   /** Batch top-k per query WITHOUT the cross join: queries and corpus are
     * blocked by hyperplane-LSH signature bands (cosine-similar vectors
@@ -277,21 +342,11 @@ object Similarity {
                           qidCol: String = "qid", qvecCol: String = "qvec",
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           numPlanes: Int = 16, bandBits: Int = 2,
-                          seed: Int = 42): DataFrame = {
-    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
-    val nBands = numPlanes / bandBits
-    val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, id: String, vc: String): DataFrame = {
-      val sig = hyperplaneSigUdf(col(vc), lit(numPlanes), lit(seed))
-      val bandVals = array((0 until nBands).map(b =>
-        shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
-      df.select(col(id), sig.as("__sig"))
-        .select(col(id), posexplode(bandVals).as(Seq("__band", "__bits")))
-    }
-    val qb = banded(queries, qidCol, qvecCol)
-    val cb = banded(corpus, idCol, vecCol)
-    val candidates = qb.join(cb, Seq("__band", "__bits"))
-      .select(col(qidCol), col(idCol)).distinct()
+                          seed: Int = 42, excludeSelf: Boolean = false): DataFrame = {
+    val cand0 = bandedCandidatePairs(queries, corpus, qidCol, qvecCol,
+      idCol, vecCol, numPlanes, bandBits, seed)
+    val candidates =
+      if (excludeSelf) cand0.filter(col(qidCol) =!= col(idCol)) else cand0
     val scored = candidates
       .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
       .join(corpus.select(col(idCol), col(vecCol)), idCol)
@@ -460,10 +515,11 @@ object Similarity {
   def mutualKnnPairs(corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     roundDp: Int = 6): DataFrame = {
+                     roundDp: Int = 6,
+                     maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val scored = corpus
+    val guarded = guardExactRegime(corpus, "mutualKnnPairs", maxExactRows)
+    val scored = guarded
       .select(col(idCol).as("__a"), col(vecCol).as("__va"))
       .crossJoin(corpus.select(col(idCol).as("__b"), col(vecCol).as("__vb")))
       .filter(col("__a") =!= col("__b"))
@@ -471,6 +527,16 @@ object Similarity {
         round(graft.plans.CosineSimilarityExpr.cosine(col("__va"), col("__vb")),
           roundDp))
       .select(col("__a"), col("__b"), col("__cos"))
+    mutualFromScored(scored, k)
+  }
+
+  /** The rank + mutual-join tail shared by the exact and blocked mutual-kNN
+    * regimes: `scored` is one row per DIRECTED candidate `(__a, __b,
+    * __cos)` (both orders present, self excluded); ranks per `__a`, keeps
+    * top-k, and pairs each forward pick with its backward rank.
+    */
+  private def mutualFromScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__a"))
       .orderBy(col("__cos").desc, col("__b"))
     val ranked = scored.withColumn("__rk", row_number().over(w))
@@ -484,6 +550,34 @@ object Similarity {
     fwd.join(bwd, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("cos"), col("rank_ab"),
         col("rank_ba"))
+  }
+
+  /** The SCALE regime of [[mutualKnnPairs]]: candidate pairs come from
+    * [[bandedCandidatePairs]] (hyperplane-LSH band agreement) instead of
+    * the all-pairs cross join, then the identical rounded-cosine ranking
+    * and mutual join run over the candidate frame. Approximate: a true
+    * neighbor missed by every band is absent, and ranks are positions
+    * WITHIN the candidate set — recall tuned by numPlanes/bandBits. Work
+    * scales with band collisions, not |corpus|²; no guard needed because
+    * nothing here is quadratic in the corpus.
+    */
+  def mutualKnnPairsBlocked(corpus: DataFrame, k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            numPlanes: Int = 16, bandBits: Int = 2,
+                            seed: Int = 42, roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = corpus.select(col(idCol).as("__a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("__b"), col(vecCol).as("__vb"))
+    val cand = bandedCandidatePairs(a, b, "__a", "__va", "__b", "__vb",
+        numPlanes, bandBits, seed)
+      .filter(col("__a") =!= col("__b"))
+    val scored = cand.join(a, "__a").join(b, "__b")
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__va"), col("__vb")),
+          roundDp))
+      .select(col("__a"), col("__b"), col("__cos"))
+    mutualFromScored(scored, k)
   }
 
   /** End-to-end audit of the binarize-then-rerank recipe: per query, take
@@ -589,16 +683,28 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           threshold: Double = 0.75,
-                          roundDp: Int = 6): DataFrame = {
+                          roundDp: Int = 6,
+                          maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val scored = queries
+    val gq = guardExactRegime(queries, "kthNeighborDistance.queries", maxExactRows)
+    val gc = guardExactRegime(corpus, "kthNeighborDistance.corpus", maxExactRows)
+    val scored = gq
       .select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-      .crossJoin(corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
+      .crossJoin(gc.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
       .filter(col("__cid") =!= col("__qid"))
       .withColumn("__d", round(lit(1.0) -
         graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
         roundDp))
+    kthFromScored(scored, k, idCol, threshold)
+  }
+
+  /** Rank tail shared by the exact and blocked k-th-neighbor regimes:
+    * `scored` is one row per (query, candidate) with rounded distance
+    * `__d`; picks the k-th closest per query (ties by candidate id).
+    */
+  private def kthFromScored(scored: DataFrame, k: Int, idCol: String,
+                            threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("__d"), col("__cid"))
     scored.withColumn("__rn", row_number().over(w))
@@ -607,20 +713,90 @@ object Similarity {
         (col("__d") >= threshold).as("is_outlier"))
   }
 
+  /** The SCALE regime of [[kthNeighborDistance]]: candidates from
+    * [[bandedCandidatePairs]] instead of the all-pairs cross join, then
+    * the identical distance + k-th-rank selection over the candidate
+    * frame. Approximate: `kth_dist` is the k-th distance WITHIN the
+    * candidate set (an upper-biased estimate — banding can only drop
+    * neighbors, never invent closer ones), and a query with fewer than k
+    * candidates emits no row. Work scales with band collisions.
+    */
+  def kthNeighborDistanceBlocked(queries: DataFrame, corpus: DataFrame,
+                                 k: Int, idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 threshold: Double = 0.75,
+                                 numPlanes: Int = 16, bandBits: Int = 2,
+                                 seed: Int = 42,
+                                 roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val cand = bandedCandidatePairs(q, c, "__qid", "__qv", "__cid", "__cv",
+        numPlanes, bandBits, seed)
+      .filter(col("__cid") =!= col("__qid"))
+    val scored = cand.join(q, "__qid").join(c, "__cid")
+      .withColumn("__d", round(lit(1.0) -
+        graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+        roundDp))
+    kthFromScored(scored, k, idCol, threshold)
+  }
+
   def marginBitext(src: DataFrame, tgt: DataFrame, knn: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   roundDp: Int = 6): DataFrame = {
+                   roundDp: Int = 6,
+                   maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(knn >= 1, s"knn must be >= 1, got $knn")
-    import org.apache.spark.sql.expressions.Window
-    val scored = src
+    val scored = guardExactRegime(src, "marginBitext.src", maxExactRows)
       .select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
-      .crossJoin(tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv")))
+      .crossJoin(guardExactRegime(tgt, "marginBitext.tgt", maxExactRows)
+        .select(col(idCol).as("tgt_id"), col(vecCol).as("__tv")))
       .withColumn("__cos",
         round(graft.plans.CosineSimilarityExpr.cosine(col("__sv"), col("__tv")),
           roundDp))
       .withColumn("__cu",
         round(col("__cos") * math.pow(10, roundDp), 0).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("__cu"))
+    marginFromScored(scored, knn, roundDp)
+  }
+
+  /** The SCALE regime of [[marginBitext]]: candidate pairs and BOTH
+    * neighborhood tables come from [[bandedCandidatePairs]] (one banded
+    * join — the pair set is symmetric, so the src→tgt and tgt→src
+    * neighborhoods are its two window views), then the identical integer
+    * margin algebra, best-per-source cut, and mutual flag run over the
+    * candidate frame. Approximate: neighborhood means average the ≤knn
+    * best CANDIDATE cosines, and a source with no band collisions emits
+    * no row. Work scales with band collisions, never |src| x |tgt|.
+    */
+  def marginBitextBlocked(src: DataFrame, tgt: DataFrame, knn: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          numPlanes: Int = 16, bandBits: Int = 2,
+                          seed: Int = 42, roundDp: Int = 6): DataFrame = {
+    require(knn >= 1, s"knn must be >= 1, got $knn")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+    val tg = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+    val cand = bandedCandidatePairs(s, tg, "src_id", "__sv", "tgt_id", "__tv",
+      numPlanes, bandBits, seed)
+    val scored = cand.join(s, "src_id").join(tg, "tgt_id")
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__sv"), col("__tv")),
+          roundDp))
+      .withColumn("__cu",
+        round(col("__cos") * math.pow(10, roundDp), 0).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("__cu"))
+    marginFromScored(scored, knn, roundDp)
+  }
+
+  /** Margin algebra + best/mutual tail shared by the exact and blocked
+    * bitext regimes: `scored` is one row per candidate `(src_id, tgt_id,
+    * __cu)` in integer micro-units; neighborhood sums, the single-division
+    * margin, best target per source, and the mutual flag all run on the
+    * candidate-sized frame.
+    */
+  private def marginFromScored(scored: DataFrame, knn: Int,
+                               roundDp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("src_id"))
       .orderBy(col("__cu").desc, col("tgt_id"))
     val byTgt = Window.partitionBy(col("tgt_id"))

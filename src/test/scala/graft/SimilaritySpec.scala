@@ -291,4 +291,92 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.mutualKnnPairs(corpus, k = 0)
     }
   }
+
+  private def guardMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e => e.getMessage +: guardMessages(e.getCause))
+
+  private def assertGuardTrips(op: String)(body: => Unit): Unit = {
+    val ex = intercept[Exception](body)
+    assert(guardMessages(ex).exists(m => m != null && m.contains(s"graft.$op")
+        && m.contains("maxExactRows")),
+      guardMessages(ex).mkString(" | "))
+  }
+
+  test("exact-regime guards trip loudly on oversized input (defaults ON)") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val big = (1L to 30L).map(i => (i, Seq(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    assertGuardTrips("mutualKnnPairs") {
+      Similarity.mutualKnnPairs(big, k = 1, maxExactRows = 10).collect()
+    }
+    assertGuardTrips("kthNeighborDistance.corpus") {
+      Similarity.kthNeighborDistance(big.filter($"vec_id" < 3), big, k = 1,
+        maxExactRows = 10).collect()
+    }
+    assertGuardTrips("kthNeighborDistance.queries") {
+      Similarity.kthNeighborDistance(big, big.filter($"vec_id" < 3), k = 1,
+        maxExactRows = 10).collect()
+    }
+    assertGuardTrips("marginBitext.tgt") {
+      Similarity.marginBitext(big.filter($"vec_id" < 3), big, knn = 1,
+        maxExactRows = 10).collect()
+    }
+    assertGuardTrips("mmrRerank") {
+      Search.mmrRerank(
+        big.filter($"vec_id" === 1L).select($"vec_id".as("qid"),
+          $"embedding".as("qv")),
+        big, n = 5, k = 2, maxExactRows = 10).collect()
+    }
+    // under the ceiling the same shapes pass untouched
+    assert(Similarity.mutualKnnPairs(big, k = 1, maxExactRows = 30)
+      .count() >= 1)
+  }
+
+  test("blocked variants: identical vectors share every band -> found with exact values") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // 100/101 are identical (cos 1.0, same hyperplane signature -> banded
+    // candidates by construction); 3 is orthogonal filler.
+    val corpus = Seq((100L, Seq(1f, 0.2f)), (101L, Seq(1f, 0.2f)),
+      (3L, Seq(-0.2f, 1f))).toDF("vec_id", "embedding")
+    val mutual = Similarity.mutualKnnPairsBlocked(corpus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(mutual.contains((100L, 101L, 1.0, 1L, 1L)), mutual.toString)
+    val kth = Similarity.kthNeighborDistanceBlocked(
+        corpus.filter($"vec_id" === 100L), corpus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(kth.toSeq == Seq((100L, 0.0, false)))
+    // bitext: src s0; tgt = twin t1 + orthogonal t3. The twin's margin is
+    // positive, the orthogonal's cosine (hence margin) is ~0 -> best = twin,
+    // and the twin's best source back is s0 -> mutual.
+    val bt = Similarity.marginBitextBlocked(
+        Seq((0L, Seq(1f, 0.2f))).toDF("vec_id", "embedding"),
+        Seq((1L, Seq(1f, 0.2f)), (3L, Seq(-0.2f, 1f)))
+          .toDF("vec_id", "embedding"), knn = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(bt.toSeq == Seq((0L, 1L, true)), bt.toSeq.toString)
+    val mmr = Search.mmrRerankBlocked(
+        Seq((100L, Seq(1f, 0.2f))).toDF("qid", "qv"), corpus,
+        n = 5, k = 2)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // rank 1 is the identical twin at rel 1.0 (101 shares every band)
+    assert(mmr.headOption.contains((101L, 1, 1.0)), mmr.toSeq.toString)
+  }
+
+  test("blocked regimes agree with exact on fixture embeddings for band-found pairs") {
+    val corpus = embeddings.filter(col("vec_id") < 60)
+    val exact = Similarity.mutualKnnPairs(corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1-bit bands (16 of them): a pair is missed only when ALL 16 sign bits
+    // differ, so near-neighbor recall is effectively 1 here; every blocked
+    // pair that IS mutual under exact ranks must carry the same cosine.
+    val blocked = Similarity.mutualKnnPairsBlocked(corpus, k = 3, bandBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = exact.keySet.intersect(blocked.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(exact(k) == blocked(k)))
+  }
 }
