@@ -1860,8 +1860,10 @@ object SparkEntry {
 
     "eval_hitrate_blocked" -> ((s, dir) => {
       // Scale path of eval_hitrate: LSH-banded candidate generation instead
-      // of the |Q| x |N| cross join; approximate (no oracle) — recall is
-      // pinned by SimilaritySpec, the aggregate shape by eval_hitrate.
+      // of the |Q| x |N| cross join. FULL oracle since r9: the hyperplane
+      // sign matrix is a compile-time constant, so the oracle replays the
+      // banding itself (planesSql scaladoc) — the gate is checked in its
+      // real approximate regime, not a proxy.
       val d = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val corpus = d.join(e, d("doc_id") === e("vec_id"))
@@ -1875,6 +1877,83 @@ object SparkEntry {
         .join(corpus.select(col("vec_id"), col("source")), "vec_id")
         .join(queries.select(col("qid"), col("expected_source")), "qid")
       Search.hitRate(topk, "qid", "source", "expected_source")
+    }),
+
+    "eval_mrr_blocked" -> ((s, dir) => {
+      // Scale path of eval_mrr: banded candidates (self excluded BEFORE
+      // ranking so 1/rank means rank among real results), identical MRR
+      // aggregate. Full oracle via the sign-matrix replay.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("source").as("expected_source"))
+      val topk = Similarity.blockedTopKPerQuery(queries, corpus, 5,
+          qidCol = "qid", qvecCol = "qv", excludeSelf = true)
+        .join(corpus.select(col("vec_id"), col("source")), "vec_id")
+        .join(queries.select(col("qid"), col("expected_source")), "qid")
+      Search.mrr(topk, "qid", "source", "expected_source", rankCol = "rank")
+    }),
+
+    "eval_ndcg_blocked" -> ((s, dir) => {
+      // Scale path of eval_ndcg: banded candidates, honest per-query ideal
+      // from the corpus-wide relevant count (same totals join as the exact
+      // gate). Full oracle via the sign-matrix replay.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("source").as("expected_source"))
+      val topk = Similarity.blockedTopKPerQuery(queries, corpus, 5,
+          qidCol = "qid", qvecCol = "qv", excludeSelf = true)
+        .join(corpus.select(col("vec_id"), col("source")), "vec_id")
+        .join(queries.select(col("qid"), col("expected_source")), "qid")
+      val bySource = corpus.groupBy(col("source").as("rel_source")).count()
+      val totals = queries.join(broadcast(bySource),
+          col("expected_source") === col("rel_source"))
+        .select(col("qid"), (col("count") - 1).as("n_relevant"))
+      Search.ndcg(topk, "qid", "source", "expected_source", rankCol = "rank",
+        k = 5, relevantTotals = totals)
+    }),
+
+    "mutual_knn_blocked" -> ((s, dir) =>
+      // Scale regime of mutual_knn (Similarity.mutualKnnPairsBlocked
+      // scaladoc): banded candidates, identical rank + mutual join — and
+      // NO corpus fence, because nothing here is quadratic. Full oracle
+      // via the sign-matrix replay.
+      Similarity.mutualKnnPairsBlocked(t(s, dir, "embeddings"), k = 5)),
+
+    "outlier_knn_blocked" -> ((s, dir) => {
+      // Scale regime of outlier_knn: k-th distance WITHIN the banded
+      // candidate set (upper-biased — banding can only drop neighbors).
+      // Full oracle via the sign-matrix replay.
+      val e = t(s, dir, "embeddings")
+      Similarity.kthNeighborDistanceBlocked(
+        e.filter(col("vec_id") < 50), e, k = 5)
+    }),
+
+    "bitext_margin_blocked" -> ((s, dir) => {
+      // Scale regime of bitext_margin: ONE banded join supplies the
+      // candidate pairs and both neighborhood views; identical integer
+      // margin algebra. Full oracle via the sign-matrix replay.
+      val e = t(s, dir, "embeddings")
+      Similarity.marginBitextBlocked(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), knn = 4)
+    }),
+
+    "mmr_rerank_blocked" -> ((s, dir) => {
+      // Scale regime of mmr_rerank: banded candidate generation, identical
+      // top-10 cut, pairwise sims, and greedy selection. Full oracle via
+      // the sign-matrix replay + the same unrolled greedy steps.
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Search.mmrRerankBlocked(qs, e, n = 10, k = 5, lambda = 0.7)
     }),
 
     // -----------------------------------------------------------------------
@@ -2234,6 +2313,22 @@ object SparkEntry {
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       val (indexed, centroids) = Similarity.ivfIndex(e, nCells = 8)
       Similarity.ivfTopK(indexed, centroids, q, 10, nProbe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    "similarity_lsh_exact" -> ((s, dir) => {
+      // The banded hyperplane-LSH search pinned VALUE-FOR-VALUE: the sign
+      // matrix is a compile-time constant of (seed, plane, dim), so the
+      // oracle replays the exact banding, candidate join, and ranking —
+      // strictly stronger than a full-probe parameterization, because the
+      // machinery is checked in its real approximate regime (the MLlib
+      // `similarity_lsh` gate stays †: its bucketing is internal to
+      // Spark). Self included: the query vector ranks first at ~1.0, the
+      // same convention as similarity_ivf_exact.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.blockedTopKPerQuery(q, e, 10, qidCol = "qid", qvecCol = "qv")
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -3271,6 +3366,38 @@ object SparkEntry {
 
   private def cosOf(a: String, b: String): String =
     cosSql.replace("%A", a).replace("%B", b)
+
+  /** The hyperplane-LSH sign matrix (seed=42, 16 planes, 64 dims) as a
+    * DuckDB literal plane table — a PURE compile-time constant
+    * ([[Similarity.hyperplaneSign]]), which is what lets the oracle replay
+    * the blocked gates' banded candidate generation value-for-value: the
+    * per-plane dot is ±1 times the (exactly-representable) float
+    * components, accumulated left-to-right by both engines'
+    * list_dot_product/while-loop, so the >= 0 sign bits — and hence bands,
+    * candidates, and ranks — are bit-identical. Yields CTE `planes(p, s)`.
+    */
+  private lazy val planesSql: String = {
+    val rows = (0 until 16).map { p =>
+      val signs = (0 until 64)
+        .map(j => if (Similarity.hyperplaneSign(42, p, j) > 0) "1" else "-1")
+        .mkString(",")
+      s"($p, [$signs]::DOUBLE[])"
+    }.mkString(",\n ")
+    s"planes(p, s) AS (SELECT * FROM (VALUES $rows) v(p, s))"
+  }
+
+  /** Banded-signature CTE over `src` for the blocked-gate oracles: one row
+    * per (id, band) with the 2-bit band value (bits packed LSB-first, the
+    * `(sig >>> 2b) & 3` layout of Similarity.bandedCandidatePairs).
+    * Requires [[planesSql]] in scope.
+    */
+  private def bandsSql(name: String, src: String, id: String,
+                       vec: String): String =
+    s"""$name AS (
+       | SELECT t.$id AS id, CAST(p.p // 2 AS INT) AS band,
+       |  sum(CASE WHEN list_dot_product(t.$vec::DOUBLE[], p.s) >= 0
+       |      THEN 1 ELSE 0 END * (1 << (p.p % 2))) AS bits
+       | FROM $src t, planes p GROUP BY 1, 2)""".stripMargin
 
   /** Exact RBO suffix coefficients (k=10, p=9/10) — the SAME table the
     * `eval_rbo` Spark gate uses, so the oracle replays identical integer
@@ -4408,6 +4535,227 @@ object SparkEntry {
          | FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid)
          |SELECT round(avg(ndcg), 6) AS ndcg, count(*) AS total_questions
          |FROM perq""".stripMargin,
+
+    // Sign-matrix replay of the banded search (planesSql scaladoc): bands,
+    // candidate join, and the unrounded-cosine rank are recomputed exactly,
+    // so the gate is checked in its REAL approximate regime. Self rides
+    // through the rank (Spark filters it after the top-5 cut) — replayed.
+    "eval_hitrate_blocked" ->
+      s"""WITH $planesSql,
+         |corpus AS (
+         | SELECT e.vec_id, e.embedding, d.source
+         | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, source AS expected_source
+         | FROM corpus WHERE vec_id < 20),
+         |${bandsSql("qb", "qs", "qid", "qv")},
+         |${bandsSql("cb", "corpus", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits)),
+         |scored AS (
+         | SELECT c.qid, c.cid, ${cosOf("co.embedding", "qs.qv")} AS s
+         | FROM cand c JOIN qs ON qs.qid = c.qid
+         |  JOIN corpus co ON co.vec_id = c.cid),
+         |topk AS (SELECT * FROM (
+         | SELECT qid, cid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+         | FROM scored) WHERE rn <= 5),
+         |fil AS (
+         | SELECT t.qid, co.source, qs.expected_source
+         | FROM topk t JOIN corpus co ON co.vec_id = t.cid
+         |  JOIN qs ON qs.qid = t.qid
+         | WHERE t.cid <> t.qid),
+         |hits AS (
+         | SELECT qid, max(CASE WHEN source = expected_source THEN 1 ELSE 0 END) AS hit
+         | FROM fil GROUP BY qid)
+         |SELECT round(CAST(sum(hit) AS DOUBLE) * 100.0 / count(*), 6) AS hit_rate,
+         | count(*) AS total_questions, CAST(sum(hit) AS BIGINT) AS hits
+         |FROM hits""".stripMargin,
+
+    // Same replay, self excluded BEFORE the rank (excludeSelf = true on the
+    // Spark side) so 1/rank counts real results only.
+    "eval_mrr_blocked" ->
+      s"""WITH $planesSql,
+         |corpus AS (
+         | SELECT e.vec_id, e.embedding, d.source
+         | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, source AS expected_source
+         | FROM corpus WHERE vec_id < 20),
+         |${bandsSql("qb", "qs", "qid", "qv")},
+         |${bandsSql("cb", "corpus", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits) WHERE qb.id <> cb.id),
+         |scored AS (
+         | SELECT c.qid, c.cid, qs.expected_source, co.source,
+         |  ${cosOf("co.embedding", "qs.qv")} AS s
+         | FROM cand c JOIN qs ON qs.qid = c.qid
+         |  JOIN corpus co ON co.vec_id = c.cid),
+         |topk AS (SELECT * FROM (
+         | SELECT *,
+         |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+         | FROM scored) WHERE rn <= 5),
+         |firsts AS (
+         | SELECT qid, min(CASE WHEN source = expected_source THEN rn END) AS first_hit
+         | FROM topk GROUP BY qid)
+         |SELECT round(avg(CASE WHEN first_hit IS NOT NULL
+         |   THEN 1.0 / first_hit ELSE 0.0 END), 6) AS mrr,
+         | count(*) AS total_questions,
+         | CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS answered
+         |FROM firsts""".stripMargin,
+
+    // Same replay as eval_mrr_blocked; ideal DCG from the corpus-wide
+    // per-source counts exactly as eval_ndcg.
+    "eval_ndcg_blocked" ->
+      s"""WITH $planesSql,
+         |corpus AS (
+         | SELECT e.vec_id, e.embedding, d.source
+         | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, source AS expected_source
+         | FROM corpus WHERE vec_id < 20),
+         |${bandsSql("qb", "qs", "qid", "qv")},
+         |${bandsSql("cb", "corpus", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits) WHERE qb.id <> cb.id),
+         |scored AS (
+         | SELECT c.qid, c.cid, qs.expected_source, co.source,
+         |  ${cosOf("co.embedding", "qs.qv")} AS s
+         | FROM cand c JOIN qs ON qs.qid = c.qid
+         |  JOIN corpus co ON co.vec_id = c.cid),
+         |topk AS (SELECT * FROM (
+         | SELECT *,
+         |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+         | FROM scored) WHERE rn <= 5),
+         |dcg AS (
+         | SELECT qid, sum(CASE WHEN source = expected_source
+         |   THEN 1.0 / log2(rn + 1) ELSE 0.0 END) AS dcg
+         | FROM topk GROUP BY qid),
+         |rel AS (
+         | SELECT qs.qid, least(5, cnt.n - 1) AS m
+         | FROM qs JOIN (SELECT source, count(*) AS n FROM corpus GROUP BY source) cnt
+         |  ON cnt.source = qs.expected_source),
+         |series AS (SELECT i FROM generate_series(1, 5) t(i)),
+         |idcg AS (
+         | SELECT r.qid, sum(1.0 / log2(s.i + 1)) AS idcg
+         | FROM rel r JOIN series s ON s.i <= r.m GROUP BY r.qid),
+         |perq AS (
+         | SELECT d.qid, CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6)
+         |   ELSE 0.0 END AS ndcg
+         | FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid)
+         |SELECT round(avg(ndcg), 6) AS ndcg, count(*) AS total_questions
+         |FROM perq""".stripMargin,
+
+    // Sign-matrix replay of mutualKnnPairsBlocked: banded candidates (both
+    // directions fall out of the symmetric join), rounded-cosine rank,
+    // mutual join — the exact mutual_knn oracle with its all-pairs CTE
+    // swapped for the banding.
+    "mutual_knn_blocked" ->
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |${bandsSql("eb", "e", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT a.id AS qa, b.id AS qb
+         | FROM eb a JOIN eb b USING (band, bits) WHERE a.id <> b.id),
+         |scored AS (
+         | SELECT c.qa, c.qb,
+         |  round(${cosOf("ea.embedding", "eb2.embedding")}, 6) AS c
+         | FROM cand c JOIN e ea ON ea.vec_id = c.qa
+         |  JOIN e eb2 ON eb2.vec_id = c.qb),
+         |ranked AS (SELECT qa, qb, c,
+         |  row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rk
+         | FROM scored),
+         |topk AS (SELECT * FROM ranked WHERE rk <= 5),
+         |fwd AS (SELECT qa AS id_a, qb AS id_b, c AS cos,
+         |  CAST(rk AS BIGINT) AS rank_ab FROM topk WHERE qa < qb),
+         |bwd AS (SELECT qb AS id_a, qa AS id_b,
+         |  CAST(rk AS BIGINT) AS rank_ba FROM topk WHERE qa > qb)
+         |SELECT f.id_a, f.id_b, f.cos, f.rank_ab, b.rank_ba
+         |FROM fwd f JOIN bwd b USING (id_a, id_b)""".stripMargin,
+
+    // Sign-matrix replay of kthNeighborDistanceBlocked: the k-th distance
+    // within the banded candidate set (queries with < k candidates emit no
+    // row, mirrored by the rn = 5 filter).
+    "outlier_knn_blocked" ->
+      s"""WITH $planesSql,
+         |corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         | FROM corpus WHERE vec_id < 50),
+         |${bandsSql("qb", "qs", "qid", "qv")},
+         |${bandsSql("cb", "corpus", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits) WHERE qb.id <> cb.id),
+         |scored AS (
+         | SELECT c.qid, c.cid,
+         |  round(1.0 - (${cosOf("co.embedding", "qs.qv")}), 6) AS d
+         | FROM cand c JOIN qs ON qs.qid = c.qid
+         |  JOIN corpus co ON co.vec_id = c.cid),
+         |ranked AS (SELECT qid, d,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+         | FROM scored)
+         |SELECT qid AS vec_id, d AS kth_dist, (d >= 0.75) AS is_outlier
+         |FROM ranked WHERE rn = 5""".stripMargin,
+
+    // Sign-matrix replay of marginBitextBlocked: one banded join supplies
+    // the candidate pairs; the integer margin algebra, best-per-source cut,
+    // and mutual flag are the exact bitext_margin oracle verbatim.
+    "bitext_margin_blocked" ->
+      s"""WITH $planesSql,
+         |src AS (SELECT vec_id AS src_id, embedding AS sv
+         | FROM embeddings WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT vec_id AS tgt_id, embedding AS tv
+         | FROM embeddings WHERE vec_id % 2 = 1),
+         |${bandsSql("sb", "src", "src_id", "sv")},
+         |${bandsSql("tb", "tgt", "tgt_id", "tv")},
+         |cand AS (SELECT DISTINCT sb.id AS src_id, tb.id AS tgt_id
+         | FROM sb JOIN tb USING (band, bits)),
+         |scored AS (
+         | SELECT c.src_id, c.tgt_id,
+         |  CAST(round(round(${cosOf("s.sv", "t.tv")}, 6) * 1000000, 0) AS BIGINT) AS cu
+         | FROM cand c JOIN src s ON s.src_id = c.src_id
+         |  JOIN tgt t ON t.tgt_id = c.tgt_id),
+         |asrc AS (
+         | SELECT src_id, sum(cu) AS ssum, CAST(count(*) AS BIGINT) AS sn FROM (
+         |  SELECT src_id, cu,
+         |   row_number() OVER (PARTITION BY src_id ORDER BY cu DESC, tgt_id) AS rn
+         |  FROM scored) WHERE rn <= 4 GROUP BY src_id),
+         |atgt AS (
+         | SELECT tgt_id, sum(cu) AS tsum, CAST(count(*) AS BIGINT) AS tn FROM (
+         |  SELECT tgt_id, cu,
+         |   row_number() OVER (PARTITION BY tgt_id ORDER BY cu DESC, src_id) AS rn
+         |  FROM scored) WHERE rn <= 4 GROUP BY tgt_id),
+         |m AS (
+         | SELECT s.src_id, s.tgt_id,
+         |  round(CAST(2 * s.cu * asrc.sn * atgt.tn AS DOUBLE) /
+         |   (asrc.ssum * atgt.tn + atgt.tsum * asrc.sn), 6) AS margin
+         | FROM scored s JOIN asrc USING (src_id) JOIN atgt USING (tgt_id)),
+         |bs AS (SELECT src_id, tgt_id, margin FROM (
+         | SELECT *, row_number() OVER (PARTITION BY src_id
+         |   ORDER BY margin DESC, tgt_id) AS rn FROM m) WHERE rn = 1),
+         |bt AS (SELECT src_id AS bsrc, tgt_id AS btgt FROM (
+         | SELECT *, row_number() OVER (PARTITION BY tgt_id
+         |   ORDER BY margin DESC, src_id) AS rn FROM m) WHERE rn = 1)
+         |SELECT bs.src_id, bs.tgt_id, bs.margin,
+         | (bt.bsrc IS NOT NULL) AS mutual
+         |FROM bs LEFT JOIN bt
+         | ON bs.src_id = bt.bsrc AND bs.tgt_id = bt.btgt""".stripMargin,
+
+    // Sign-matrix replay of the banded single-query search: the gate that
+    // pins the hyperplane-LSH machinery value-for-value in its real
+    // approximate regime (comment on the Spark side).
+    "similarity_lsh_exact" ->
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         | FROM embeddings WHERE vec_id = 0),
+         |${bandsSql("qb", "q", "qid", "qv")},
+         |${bandsSql("cb", "e", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits))
+         |SELECT c.cid AS vec_id,
+         | round(${cosOf("co.embedding", "q.qv")}, 6) AS score
+         |FROM cand c JOIN q ON q.qid = c.qid
+         | JOIN e co ON co.vec_id = c.cid
+         |ORDER BY ${cosOf("co.embedding", "q.qv")} DESC, c.cid LIMIT 10""".stripMargin,
 
     // Search.rbo's exact-rational suffix-coefficient replay: each item
     // contributes suffix(max(rank_cos, rank_dot)); coefficients and the
@@ -6029,6 +6377,59 @@ object SparkEntry {
          | SELECT qs.qid, e.vec_id, e.embedding,
          |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS rel
          | FROM qs, embeddings e WHERE e.vec_id <> qs.qid),
+         |cand AS MATERIALIZED (
+         | SELECT qid, vec_id, embedding, rel, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+         |  FROM scored WHERE rel IS NOT NULL) WHERE rn <= 10),
+         |pairs AS (
+         | SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b,
+         |  round(${cosOf("c1.embedding", "c2.embedding")}, 6) AS sim
+         | FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.vec_id < c2.vec_id),
+         |sym AS MATERIALIZED (
+         | SELECT qid, a, b, sim FROM pairs
+         | UNION ALL SELECT qid, b AS a, a AS b, sim FROM pairs),
+         |sel1 AS (
+         | SELECT qid, vec_id, rel, round($lam * rel, 7) + 0.0 AS mmr, 1 AS mmr_rank
+         | FROM cand WHERE rn = 1),
+         |picked1 AS (SELECT * FROM sel1),
+         |$steps
+         |SELECT qid, vec_id, mmr_rank, rel, mmr FROM picked5""".stripMargin
+    },
+
+    // Sign-matrix replay of mmrRerankBlocked: the exact mmr_rerank oracle
+    // with its query x corpus scored CTE swapped for the banded candidate
+    // set; the top-10 cut, pairwise sims, and unrolled greedy steps are
+    // verbatim (pair sims are n-per-query, computed AFTER the cut, so they
+    // are complete in both regimes).
+    "mmr_rerank_blocked" -> {
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val oml = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+      val steps = (2 to 5).map { i =>
+        s"""val$i AS (
+           | SELECT c.qid, c.vec_id, c.rel,
+           |  round($lam * c.rel - $oml * max(s.sim), 7) + 0.0 AS v
+           | FROM cand c JOIN sym s ON s.qid = c.qid AND s.a = c.vec_id
+           | WHERE s.b IN (SELECT p.vec_id FROM picked${i - 1} p WHERE p.qid = c.qid)
+           |  AND c.vec_id NOT IN (SELECT p.vec_id FROM picked${i - 1} p WHERE p.qid = c.qid)
+           | GROUP BY c.qid, c.vec_id, c.rel),
+           |sel$i AS (
+           | SELECT qid, vec_id, rel, v AS mmr, $i AS mmr_rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY v DESC, vec_id) AS rn
+           |  FROM val$i) WHERE rn = 1),
+           |picked$i AS MATERIALIZED (SELECT * FROM picked${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $planesSql,
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |${bandsSql("qb", "qs", "qid", "qv")},
+         |${bandsSql("cb", "embeddings", "vec_id", "embedding")},
+         |bcand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits) WHERE qb.id <> cb.id),
+         |scored AS (
+         | SELECT b.qid, e.vec_id, e.embedding,
+         |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS rel
+         | FROM bcand b JOIN qs ON qs.qid = b.qid
+         |  JOIN embeddings e ON e.vec_id = b.cid),
          |cand AS MATERIALIZED (
          | SELECT qid, vec_id, embedding, rel, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
