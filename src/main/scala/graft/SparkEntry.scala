@@ -5494,11 +5494,11 @@ object SparkEntry {
          | UNION SELECT 'spark' UNION SELECT 'qqqq'),
          |qv AS (SELECT query, unnest(list_distinct(list_prepend(query,
          |   list_transform(range(1, len(query) + 1),
-         |     i -> query[1:i-1] || query[i+1:100])))) AS v
+         |     i -> query[1:i-1] || query[i+1:len(query)])))) AS v
          | FROM qs),
          |vv AS (SELECT w, n, unnest(list_distinct(list_prepend(w,
          |   list_transform(range(1, len(w) + 1),
-         |     i -> w[1:i-1] || w[i+1:100])))) AS v
+         |     i -> w[1:i-1] || w[i+1:len(w)])))) AS v
          | FROM vocab),
          |cands AS (
          | SELECT DISTINCT qv.query, vv.w, vv.n FROM qv JOIN vv USING (v)),
@@ -6305,12 +6305,16 @@ object SparkEntry {
 
     // CurationRules.tCloseness replay: exact-BIGINT TVD numerator
     // (in-group |n_gv*N - nv*n_g| terms plus the absent-value mass), one
-    // division, flag compared on the rounded value.
+    // division, flag compared on the rounded value. The sensitive column
+    // folds nulls into the same sentinel level as the Scala side so null
+    // rows count in the distance (no-op on this null-free fixture).
     "t_closeness" ->
-      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_gv
-        | FROM documents GROUP BY source, lang),
-        |gd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv
-        | FROM documents GROUP BY lang),
+      """WITH cells AS (SELECT source, coalesce(lang, chr(0) || '<null>') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_gv
+        | FROM documents GROUP BY 1, 2),
+        |gd AS (SELECT coalesce(lang, chr(0) || '<null>') AS lang,
+        |  CAST(count(*) AS BIGINT) AS nv
+        | FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |g AS (SELECT source, sum(n_gv) AS n_g FROM cells GROUP BY source),
         |agg AS (

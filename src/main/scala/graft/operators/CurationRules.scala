@@ -302,9 +302,17 @@ object CurationRules {
       "sensitive column cannot also be a quasi-identifier")
     require(t >= 0.0 && t <= 1.0, "t must be in [0, 1]")
     val quasi = quasiCols.map(col)
-    val cells = df.groupBy(quasi :+ col(sensitiveCol).as("__v"): _*)
+    // Null sensitive values must survive the global-distribution JOIN
+    // below (equi-joins drop null keys even though groupBy keeps them), or
+    // groups containing nulls get undercounted n_rows/__sum_nv_in while
+    // __n_total still includes those rows — a silently wrong TVD. Fold
+    // nulls into a sentinel level up front (the Profile.mutualInformation
+    // pitfall); the sentinel only feeds the distance arithmetic and is
+    // never emitted.
+    val sens = coalesce(col(sensitiveCol).cast("string"), lit("\u0000<null>"))
+    val cells = df.groupBy(quasi :+ sens.as("__v"): _*)
       .agg(count(lit(1)).as("__n_gv"))
-    val global = df.groupBy(col(sensitiveCol).as("__v"))
+    val global = df.groupBy(sens.as("__v"))
       .agg(count(lit(1)).as("__nv"))
     val total = df.agg(count(lit(1)).as("__n_total"))
     val tvd = (col("__sum_abs") +

@@ -250,9 +250,12 @@ object EditDistance {
                    vocab: DataFrame, wordCol: String,
                    freqCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Tail bound is the string's own length (not a fixed cap): a fixed cap
+    // silently truncates long strings' variants and breaks the
+    // zero-false-negative guarantee past the cap.
     def variants(c: Column): Column = array_distinct(concat(array(c),
       transform(sequence(lit(1), length(c)),
-        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(100))))))
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
     val qv = queries.filter(col(queryCol).isNotNull)
       .select(lower(col(queryCol)).as("query"))
       .distinct()
@@ -286,10 +289,13 @@ object EditDistance {
     // distinct; measured 4x on the fixture corpus. Work is
     // O(|distinct names| * len) + verified name pairs; only the final
     // id expansion touches row counts, and that is output-sized.
+    // Tail bound = the name's own length — a fixed cap would truncate
+    // variants of long names and could miss a shared deletion variant,
+    // contradicting the documented zero-false-negative guarantee.
     val deletions = transform(
       sequence(lit(1), length(col("__name"))),
       i => concat(col("__name").substr(lit(1), i - 1),
-        col("__name").substr(i + 1, lit(100))))
+        col("__name").substr(i + 1, length(col("__name")))))
     val variants = named.select(col("__name")).distinct()
       .select(col("__name"),
         explode(array_distinct(concat(array(col("__name")), deletions)))

@@ -193,8 +193,10 @@ object EventAnalytics {
     * (exact order statistics by rank selection over (delta, user) — no
     * float interpolation, so both engines pick the identical element).
     * The time-to-convert companion to [[funnel]]'s who-converts counts.
-    * One row: `(n_a, n_converted, conv_rate, median_us, p90_us)`;
-    * `p90` rank = ceil(0.9 * n) in pure integers.
+    * One row ALWAYS: `(n_a, n_converted, conv_rate, median_us, p90_us)`;
+    * `p90` rank = ceil(0.9 * n) in pure integers. Zero converted users
+    * yields `(n_a, 0, 0.0, null, null)` — distinguishable from no data
+    * (`n_a = 0`), never an empty frame.
     *
     * Scale shape: two user-keyed min-aggregates + one join on the user
     * key; rank selection windows run over the CONVERTED-USER table
@@ -227,10 +229,18 @@ object EventAnalytics {
     val p90 = ranked
       .filter(col("__rn") === ((col("__nc") * 9 + 9) / 10).cast("long"))
       .select(col("__d").as("p90_us"))
-    nA.crossJoin(med).crossJoin(p90)
-      .select(col("n_a"), col("n_converted"),
-        round(col("n_converted").cast("double") / col("n_a"), 6)
-          .as("conv_rate"),
+    // LEFT joins, not crossJoins: with zero converted users the median/p90
+    // frames are EMPTY and a cross join would annihilate the n_a row —
+    // callers could not tell "no conversions" from "no data". The answer
+    // to zero conversions is one row: n_converted = 0, conv_rate = 0.0,
+    // null latencies.
+    nA.join(med, lit(true), "left").join(p90, lit(true), "left")
+      .select(col("n_a"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        when(col("n_a") > 0,
+          round(coalesce(col("n_converted"), lit(0L)).cast("double") /
+            col("n_a"), 6))
+          .otherwise(lit(0.0)).as("conv_rate"),
         col("median_us"), col("p90_us"))
   }
 

@@ -130,13 +130,18 @@ object Graph {
         // peel frontier is small (only nodes whose neighbors just
         // vanished can newly fall below k), so the broadcast side shrinks
         // every round — cheaper than semi-joining against the large
-        // surviving set.
+        // surviving set. Round 1 is the exception: on a sparse graph the
+        // initial sub-k set can be a large fraction of ALL nodes, so the
+        // hint is deferred to later rounds and AQE picks round 1's
+        // strategy from the measured size.
         val bad = deg.filter(col("degree") < k).select(col("id"))
+        def side(name: String): DataFrame = {
+          val b = bad.withColumnRenamed("id", name)
+          if (i == 0) b else broadcast(b)
+        }
         e = e
-          .join(broadcast(bad.withColumnRenamed("id", "u")), Seq("u"),
-            "left_anti")
-          .join(broadcast(bad.withColumnRenamed("id", "v")), Seq("v"),
-            "left_anti")
+          .join(side("u"), Seq("u"), "left_anti")
+          .join(side("v"), Seq("v"), "left_anti")
           // The per-round EAGER checkpoint is load-bearing, not an
           // optimization: each round's plan references the previous
           // round's edges THREE times (both degree branches + the filter

@@ -164,7 +164,14 @@ object KMeans {
     */
   def silhouetteFrame(df: DataFrame, vecCol: String, idCol: String, k: Int,
                       iterations: Int, roundDp: Int = 6): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got k=$k")
     val cs = fit(df, vecCol, idCol, k, iterations, roundDp)
+    // With one EFFECTIVE centroid (degenerate fit on tiny input) there is
+    // no "nearest other cluster": secondD would stay at Double.MaxValue and
+    // every point would report a crisp ~1.0 silhouette — fail loudly
+    // instead of emitting a confident nonsense audit.
+    require(cs.length >= 2,
+      s"silhouette undefined: k-means fit collapsed to ${cs.length} centroid(s)")
     // one scan over the k centroids yields (argmin, d1, second-best d2)
     val bothUdf = udf((v: Seq[Double]) => {
       val arr = v.toArray

@@ -183,6 +183,25 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
     assert(got("g2") == ((6L, 0.133333, true)))
   }
 
+  test("tCloseness: null sensitive values count as a real level (r9 advice)") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // Global: a x3, null x2 (N=5). g1 (n=4): a x2, null x2:
+    //   TVD = 0.5*(|2/4-3/5| + |2/4-2/5|) = 0.1
+    // g2 (n=1): a x1 — null absent:
+    //   TVD = 0.5*(|1-3/5| + |0-2/5|) = 0.4
+    // The old inner-join-on-__v shape dropped null-keyed cells: g1 would
+    // have reported n_rows=2 and a TVD computed against N=5 — wrong both.
+    val df = Seq(("g1", Some("a")), ("g1", Some("a")), ("g1", None),
+      ("g1", None), ("g2", Some("a"))).toDF("grp", "disease")
+    val got = graft.operators.CurationRules
+      .tCloseness(df, Seq("grp"), "disease", t = 0.15)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got("g1") == ((4L, 0.1, true)))
+    assert(got("g2") == ((1L, 0.4, false)))
+  }
+
   test("tCloseness guards: empty quasi, sensitive-in-quasi, t range") {
     val df = Seq(("a", "x")).toDF("grp", "disease")
     intercept[IllegalArgumentException] {

@@ -113,6 +113,19 @@ class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("graft.jaroPairs"))
   }
 
+  test("symspellPairs: >100-char strings keep their full deletion tails (r9 advice)") {
+    // s2 = s1 with the first char deleted; the shared variant's TAIL is 150
+    // chars, past the old fixed substr cap that silently truncated it and
+    // missed the pair.
+    val long1 = "x" + "b" + ("c" * 150)
+    val long2 = "b" + ("c" * 150)
+    val df = Seq((1L, long1), (2L, long2)).toDF("id", "name")
+    val got = EditDistance.symspellPairs(df, "id", "name")
+      .filter($"id_a" < $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("symspellPairs: finds all distance-<=1 pairs incl. first-char edits") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd"), (4L, "ab"),
       (5L, "xabc"), (6L, "azz")).toDF("id", "name")

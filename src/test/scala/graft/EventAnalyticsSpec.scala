@@ -247,6 +247,22 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       r.getLong(4)) == ((3L, 2L, 0.666667, 20L, 40L)))
   }
 
+  test("funnelLatency: zero conversions still emit the one-row answer (r9 advice)") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // Two users reach A, nobody reaches B afterward: the old crossJoin
+    // against the empty median/p90 frames annihilated the n_a row.
+    val ev = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 5L))
+      .toDF("u", "t", "tsu")
+    val rows = graft.operators.EventAnalytics
+      .funnelLatency(ev.filter($"u" < 3L), "u", "t", "tsu", "A", "B")
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 0L, 0.0)))
+    assert(r.isNullAt(3) && r.isNullAt(4)) // no latencies to report
+  }
+
   test("decayedActivity: half-life halves each step; last event scores 1") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._

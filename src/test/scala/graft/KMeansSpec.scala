@@ -117,6 +117,20 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("silhouetteFrame: k < 2 is rejected — one cluster has no 'nearest other'") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      KMeans.silhouetteFrame(df, "vec", "id", k = 1, iterations = 0)
+    }
+    // degenerate fit: k=2 requested but only one distinct seed available
+    intercept[IllegalArgumentException] {
+      KMeans.silhouetteFrame(df.filter($"id" === 1L), "vec", "id", k = 2,
+        iterations = 0)
+    }
+  }
+
   test("silhouetteFrame: hand-checked a/b/s on pinned seed centroids") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
