@@ -266,6 +266,41 @@ object SparkEntry {
           element_at(col("metadata"), "lang").as("meta_lang"))
     }),
 
+    "warc_parse" -> ((s, dir) => {
+      // WARC source: serialize each document as a real ISO-28500 response
+      // record (HTTP envelope, HTML body with a script block and an
+      // entity, preceded by a request record the parser must SKIP), then
+      // parse back through Warc.parseCaptures — the load path minus file
+      // enumeration (WarcSpec covers gzip members, chunked bodies,
+      // truncation). The oracle reconstructs the expected text directly,
+      // so envelope skip, mime parse, tag strip, and entity decode must
+      // all be character-faithful to hash-match. Fixture texts are
+      // single-line ASCII, so Content-Length = char length is exact.
+      import s.implicits._
+      val id = col("doc_id").cast("string")
+      val body = concat(
+        lit("<html><head><script>var x = 1;</script></head><body><h1>Doc "),
+        id, lit("</h1><p>"), col("text"),
+        lit("</p><p>&amp; fin</p></body></html>"))
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        body)
+      val req = "GET / HTTP/1.1\r\n\r\n"
+      val record = concat(
+        lit("WARC/1.0\r\nWARC-Type: request\r\nContent-Length: " +
+          req.length + "\r\n\r\n" + req + "\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        id,
+        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        length(payload).cast("string"), lit("\r\n\r\n"), payload,
+        lit("\r\n\r\n"))
+      t(s, dir, "documents").select(record.as("rec")).as[String]
+        .flatMap(rec => graft.sources.Warc
+          .parseCaptures(rec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(c => (c.url, c.captureTime, c.mime, c.text)))
+        .toDF("url", "capture_time", "mime", "content")
+    }),
+
     "change_detection" -> ((s, dir) => {
       // T1: anti-join against a simulated state table. Docs with
       // doc_id%6==0 are unchanged (state fp matches), doc_id%6==3 changed
@@ -3921,6 +3956,17 @@ object SparkEntry {
       """SELECT 'mem#' || CAST(doc_id AS VARCHAR) AS source, text AS content,
         | sha256(text) AS fingerprint, lang AS meta_lang
         |FROM documents WHERE len(trim(text)) > 0""".stripMargin,
+
+    // Identity reconstruction of the WARC round trip: skipping the request
+    // record, parsing the HTTP envelope, stripping the script block +
+    // tags, and decoding &amp; must all be faithful for the content
+    // column to match.
+    "warc_parse" ->
+      """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        | '2024-01-01T00:00:00Z' AS capture_time,
+        | 'text/html' AS mime,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10) || '& fin' AS content
+        |FROM documents""".stripMargin,
 
     "change_detection" ->
       """WITH state AS (
