@@ -2890,10 +2890,17 @@ object SparkEntry {
     // by ScalaTest goldens instead, per the driver contract)
     // -----------------------------------------------------------------------
     "chunk_recursive" -> ((s, dir) =>
+      // FULL oracle since r9: on this single-line, single-spaced fixture
+      // the separator cascade resolves to the word level, where the
+      // splitter is a greedy prefix-sum merge with a 30-char back-off
+      // window — recursiveChunkSql replays it as an unrolled per-chunk
+      // CTE chain (the kcenterSql pattern), chunk text recovered as a
+      // trimmed substring of the original document.
       Chunkers.recursive(
           t(s, dir, "documents").filter(TextFunctions.nonBlank(col("text"))),
           "text", chunkSize = 150, chunkOverlap = 30)
-        .select(col("doc_id"), col("chunk_index"), col("chunk"))),
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk"))),
 
     "chunk_sentences" -> ((s, dir) =>
       // Sentence-window chunking (Chunkers.sentences scaladoc). Full oracle
@@ -3419,6 +3426,61 @@ object SparkEntry {
       s"($p, [$signs]::DOUBLE[])"
     }.mkString(",\n ")
     s"planes(p, s) AS (SELECT * FROM (VALUES $rows) v(p, s))"
+  }
+
+  /** Unrolled replay of the recursive character splitter (chunkSize=150,
+    * overlap=30) in the regime this fixture exercises: single-line,
+    * single-spaced text resolves the separator cascade to the word level,
+    * where the splitter is EXACTLY a greedy prefix-sum merge — chunk k
+    * spans fragments [si..je] with `je = max j : P(j) - P(si-1) <= 150`,
+    * and the next window starts at
+    * `max(si, 1 + min m : P(m) >= P(je) - 30)` (the 30-char back-off; the
+    * fixed point of mergeSplits' drop-head loop for fragments < 120
+    * chars — fixture words are <= 8). Chunk text is a trimmed substring
+    * of the original document, so the replay is character-faithful. The
+    * kcenterSql unroll pattern; `rounds` bounds chunks per doc (max text
+    * 577 chars -> <= 6 chunks; 8 gives headroom). Leaves CTE
+    * `rec(doc_id, chunk_index, chunk)`.
+    */
+  private def recursiveChunkSql(filterSql: String, rounds: Int = 8): String = {
+    // Per-doc prefix-sum LIST + lambda filters: after `base`, every round
+    // is pure scalar list arithmetic on one row per live doc — no joins in
+    // the iteration (an inequality-join formulation measured 40-190 s at
+    // sf0.1; this one is sub-second).
+    val steps = (1 to rounds).map { r =>
+      s"""s$r AS (
+         | SELECT *, len(list_filter(pl, x -> x <= ps + 150)) AS je
+         | FROM (SELECT *, CASE WHEN si = 1 THEN CAST(0 AS BIGINT)
+         |    ELSE pl[CAST(si - 1 AS INT)] END AS ps FROM c$r)),
+         |em$r AS (
+         | SELECT doc_id, ci AS chunk_index,
+         |  trim(substr(text, CAST(ps + 1 AS INT),
+         |    CAST(pl[CAST(je AS INT)] - ps AS INT))) AS chunk
+         | FROM s$r),
+         |c${r + 1} AS (
+         | SELECT doc_id, text, pl, ci + 1 AS ci,
+         |  greatest(si, CAST(len(list_filter(pl,
+         |    x -> x < pl[CAST(je AS INT)] - 30)) + 2 AS BIGINT)) AS si
+         | FROM s$r WHERE je < len(pl))""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       | SELECT doc_id, text, string_split(text, ' ') AS ws
+       | FROM documents WHERE $filterSql),
+       |frags AS (
+       | SELECT doc_id, i,
+       |  CASE WHEN i = 1 THEN len(ws[i]) ELSE len(ws[i]) + 1 END AS l
+       | FROM words, unnest(range(1, len(ws) + 1)) AS u(i)),
+       |pls AS MATERIALIZED (
+       | SELECT doc_id, list(CAST(p AS BIGINT) ORDER BY i) AS pl FROM (
+       |  SELECT doc_id, i, sum(l) OVER (PARTITION BY doc_id ORDER BY i) AS p
+       |  FROM frags) GROUP BY doc_id),
+       |c1 AS (
+       | SELECT w.doc_id, w.text, p.pl, 1 AS ci, CAST(1 AS BIGINT) AS si
+       | FROM words w JOIN pls p USING (doc_id)),
+       |$steps,
+       |rec AS (${(1 to rounds)
+           .map(r => s"SELECT doc_id, chunk_index, chunk FROM em$r")
+           .mkString(" UNION ALL ")})""".stripMargin
   }
 
   /** Banded-signature CTE over `src` for the blocked-gate oracles: one row
@@ -8283,6 +8345,39 @@ object SparkEntry {
         | least(frame_index * greatest(1, nb // 4), nb)
         |   < least((frame_index + 1) * greatest(1, nb // 4), nb) AS frame_nonzero
         |FROM f""".stripMargin,
+
+    // recursiveChunkSql replay (see its scaladoc): greedy prefix-sum merge
+    // with the 30-char back-off window, chunk text a trimmed substring of
+    // the document — character-faithful, promoted from golden-pinned to a
+    // full oracle in r9.
+    "chunk_recursive" ->
+      s"""WITH ${recursiveChunkSql("len(trim(text)) > 0")}
+         |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk
+         |FROM rec""".stripMargin,
+
+    // Adaptive = markdown path for the planted %5=0 docs (their header
+    // skeleton is fixed, so those four chunks are closed-form) + the
+    // recursiveChunkSql replay for the rest; headers null off the
+    // markdown path exactly as Chunkers.adaptive emits.
+    "chunk_adaptive" ->
+      s"""WITH ${recursiveChunkSql("doc_id % 5 <> 0 AND len(trim(text)) > 0")},
+         |md AS (
+         | SELECT doc_id, u.ci AS chunk_index, u.c AS chunk, u.h1 AS header1
+         | FROM documents,
+         |  unnest([
+         |   {'ci': 1, 'c': 'intro', 'h1': CAST(NULL AS VARCHAR)},
+         |   {'ci': 2, 'c': '# A' || chr(10) || text, 'h1': 'A'},
+         |   {'ci': 3, 'c': '# B' || chr(10) || 'tail', 'h1': 'B'},
+         |   {'ci': 4, 'c': '# C' || chr(10) || 'end', 'h1': 'C'}]) AS t(u)
+         | WHERE doc_id % 5 = 0)
+         |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk,
+         | CAST(NULL AS VARCHAR) AS header1, CAST(NULL AS VARCHAR) AS header2,
+         | CAST(NULL AS VARCHAR) AS header3
+         |FROM rec
+         |UNION ALL
+         |SELECT doc_id, CAST(chunk_index AS BIGINT), chunk, header1,
+         | CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |FROM md""".stripMargin,
 
     // Replays Chunkers.sentences exactly: the Java lookbehind split
     // `(?<=[.!?])\s+` == RE2-safe `regexp_replace('([.!?])\s+' -> '\1<SEP>')`
