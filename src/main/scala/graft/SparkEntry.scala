@@ -1882,6 +1882,18 @@ object SparkEntry {
       Search.hardNegatives(qs, e, 5, qGroupCol = "qlabel")
     }),
 
+    "hard_negatives_blocked" -> ((s, dir) => {
+      // Scale regime of hard_negatives: banded candidates; the margin
+      // baseline is the best positive AMONG CANDIDATES (the production
+      // behavior — see Search.hardNegativesBlocked scaladoc). Full oracle
+      // via the sign-matrix replay.
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Search.hardNegativesBlocked(qs, e, 5, qGroupCol = "qlabel")
+    }),
+
     "mmr_rerank" -> ((s, dir) => {
       // Diversity-aware re-ranking (Search.mmrRerank scaladoc): top-10
       // cosine candidates per query greedily cut to 5 by MMR at
@@ -6449,6 +6461,34 @@ object SparkEntry {
          | SELECT qs.qid, qs.qlabel, e.vec_id, e.label,
          |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS score
          | FROM qs, embeddings e WHERE e.vec_id <> qs.qid),
+         |withpos AS (
+         | SELECT *, max(CASE WHEN label = qlabel THEN score END)
+         |   OVER (PARTITION BY qid) AS best_pos
+         | FROM scored)
+         |SELECT qid, vec_id, rank, score, round(score - best_pos, 6) AS margin
+         |FROM (
+         | SELECT qid, vec_id, score, best_pos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         | FROM withpos WHERE label <> qlabel)
+         |WHERE rank <= 5""".stripMargin,
+
+    // Sign-matrix replay of hardNegativesBlocked: banded candidates, then
+    // the identical best-positive window + negative rank (best_pos is
+    // band-local by design — the production margin baseline).
+    "hard_negatives_blocked" ->
+      s"""WITH $planesSql,
+         |qs AS (
+         | SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         | FROM embeddings WHERE vec_id % 50 = 0),
+         |${bandsSql("qb", "qs", "qid", "qv")},
+         |${bandsSql("cb", "embeddings", "vec_id", "embedding")},
+         |bcand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits) WHERE qb.id <> cb.id),
+         |scored AS (
+         | SELECT b.qid, qs.qlabel, e.vec_id, e.label,
+         |  round(${cosOf("e.embedding", "qs.qv")}, 6) AS score
+         | FROM bcand b JOIN qs ON qs.qid = b.qid
+         |  JOIN embeddings e ON e.vec_id = b.cid),
          |withpos AS (
          | SELECT *, max(CASE WHEN label = qlabel THEN score END)
          |   OVER (PARTITION BY qid) AS best_pos

@@ -83,12 +83,50 @@ object Search {
                     qidCol: String = "qid", qvecCol: String = "qvec",
                     qGroupCol: String = "qgroup", idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    groupCol: String = "label"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = queries.crossJoin(corpus)
+                    groupCol: String = "label",
+                    maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
+    val scored = queries
+      .crossJoin(Similarity.guardExactRegime(corpus, "hardNegatives", maxExactRows))
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("score", round(
         graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
+    hardNegativesFromScored(scored, k, qidCol, qGroupCol, idCol, groupCol)
+  }
+
+  /** The SCALE regime of [[hardNegatives]]: candidates from
+    * [[Similarity.bandedCandidatePairs]] instead of the cross join, then
+    * the identical best-positive window + negative rank. Approximate in
+    * candidate recall only — and note the margin baseline itself is
+    * band-local: `__best_pos` is the best positive AMONG CANDIDATES, which
+    * is the production behavior (a positive the index would never surface
+    * is not a meaningful contrast baseline).
+    */
+  def hardNegativesBlocked(queries: DataFrame, corpus: DataFrame, k: Int,
+                           qidCol: String = "qid", qvecCol: String = "qvec",
+                           qGroupCol: String = "qgroup", idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           groupCol: String = "label",
+                           numPlanes: Int = 16, bandBits: Int = 2,
+                           seed: Int = 42): DataFrame = {
+    val q = queries.select(col(qidCol), col(qvecCol), col(qGroupCol))
+    val c = corpus.select(col(idCol), col(vecCol), col(groupCol))
+    val cand = Similarity.bandedCandidatePairs(q, c, qidCol, qvecCol,
+        idCol, vecCol, numPlanes, bandBits, seed)
+      .filter(col(qidCol) =!= col(idCol))
+    val scored = cand.join(q, qidCol).join(c, idCol)
+      .withColumn("score", round(
+        graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
+    hardNegativesFromScored(scored, k, qidCol, qGroupCol, idCol, groupCol)
+  }
+
+  /** Best-positive window + negative-rank tail shared by the exact and
+    * blocked hard-negative regimes.
+    */
+  private def hardNegativesFromScored(scored: DataFrame, k: Int,
+                                      qidCol: String, qGroupCol: String,
+                                      idCol: String,
+                                      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byQuery = Window.partitionBy(col(qidCol))
     val isPos = col(qGroupCol) === col(groupCol)
     scored

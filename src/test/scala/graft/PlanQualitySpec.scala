@@ -582,4 +582,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       assert(!p.contains("Exchange"), s"$g grew a shuffle:\n${p.take(400)}")
     }
   }
+
+  test("blocked neighbor family: no all-pairs operator anywhere in the plan") {
+    // The whole point of the blocked regimes (r8 verdict lead item): the
+    // production scale path of every neighbor op must plan as banded
+    // equi-joins — never a CartesianProduct and never a Cross
+    // BroadcastNestedLoopJoin. (The exact-regime twins keep their cross
+    // joins as oracle baselines, now behind guardExactRegime, whose 1-row
+    // count broadcast is the only BNLJ those plans may carry.)
+    for (g <- Seq("mutual_knn_blocked", "outlier_knn_blocked",
+        "bitext_margin_blocked", "mmr_rerank_blocked", "eval_mrr_blocked",
+        "eval_ndcg_blocked", "eval_hitrate_blocked", "hard_negatives_blocked",
+        "similarity_lsh_exact")) {
+      val p = plan(g)
+      assert(!p.contains("CartesianProduct"), s"$g: ${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$g: ${p.take(600)}")
+    }
+  }
 }

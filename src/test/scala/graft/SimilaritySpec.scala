@@ -328,6 +328,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
           $"embedding".as("qv")),
         big, n = 5, k = 2, maxExactRows = 10).collect()
     }
+    assertGuardTrips("hardNegatives") {
+      Search.hardNegatives(
+        big.filter($"vec_id" === 1L).select($"vec_id".as("qid"),
+          $"embedding".as("qvec"), lit(0).as("qgroup")),
+        big.withColumn("label", lit(1)), k = 2, maxExactRows = 10).collect()
+    }
     // under the ceiling the same shapes pass untouched
     assert(Similarity.mutualKnnPairs(big, k = 1, maxExactRows = 30)
       .count() >= 1)
@@ -364,6 +370,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
     // rank 1 is the identical twin at rel 1.0 (101 shares every band)
     assert(mmr.headOption.contains((101L, 1, 1.0)), mmr.toSeq.toString)
+    // hard negatives: query group 9, only doc 3 positive -> the identical
+    // twin 101 (group 1) is the rank-1 negative at score 1.0
+    val hn = Search.hardNegativesBlocked(
+        Seq((100L, Seq(1f, 0.2f), 9)).toDF("qid", "qvec", "qgroup"),
+        corpus.withColumn("label",
+          when($"vec_id" === 3L, 9).otherwise(1)), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(hn.headOption.contains((100L, 101L, 1, 1.0)), hn.toSeq.toString)
   }
 
   test("blocked regimes agree with exact on fixture embeddings for band-found pairs") {
