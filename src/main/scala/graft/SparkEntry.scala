@@ -2285,6 +2285,15 @@ object SparkEntry {
       // 0.8 Jaccard target. Closed-form probabilities -> full oracle.
       Dedup.lshPlan(s, numPerms = 128, targetJaccard = 0.8)),
 
+    "hyperplane_plan" -> ((s, dir) =>
+      // Banding planner for the cosine/hyperplane family — the minhash_plan
+      // analogue for bandedCandidatePairs (Similarity.hyperplanePlan
+      // scaladoc): per band split of the 16-plane signature, recall
+      // S-curves at cos 0.5/0.7/0.8/0.9 plus the isotropic candidate
+      // fraction; recommends the most selective split keeping recall at
+      // cos 0.8 >= 0.95. Closed form -> full oracle.
+      Similarity.hyperplanePlan(s, numPlanes = 16, minRecall = 0.95)),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates over a corpus with planted
       // near-duplicates (original + token-appended copy). Full oracle (r7):
@@ -6599,6 +6608,35 @@ object SparkEntry {
          |picked1 AS (SELECT * FROM sel1),
          |$steps
          |SELECT qid, vec_id, mmr_rank, rel, mmr FROM picked5""".stripMargin
+    },
+
+    // Same closed-form S-curve arithmetic as Similarity.hyperplanePlan:
+    // agreement probability p = round(1 - acos(c)/pi, 6) FIRST (the round
+    // collapses any libm acos ulp difference before pow sees it), then the
+    // banding S-curve over identical doubles; recommended = most selective
+    // (largest band_bits) split with recall at cos 0.8 >= 0.95.
+    "hyperplane_plan" -> {
+      def curve(p: String) =
+        s"round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - pow($p, band_bits), n_bands), 6) + 0.0"
+      def pa(c: String) = s"round(CAST(1.0 AS DOUBLE) - acos(CAST($c AS DOUBLE)) / pi(), 6)"
+      s"""WITH d AS (
+         | SELECT CAST(i AS BIGINT) AS band_bits, CAST(16 // i AS BIGINT) AS n_bands
+         | FROM generate_series(1, 16) t(i) WHERE 16 % i = 0),
+         |s AS (
+         | SELECT band_bits, n_bands,
+         |  ${curve(pa("0.5"))} AS p_at_05,
+         |  ${curve(pa("0.7"))} AS p_at_07,
+         |  ${curve(pa("0.8"))} AS p_at_08,
+         |  ${curve(pa("0.9"))} AS p_at_09,
+         |  ${curve("CAST(0.5 AS DOUBLE)")} AS rand_frac
+         | FROM d),
+         |r AS (
+         | SELECT *, row_number() OVER (
+         |   ORDER BY (p_at_08 >= 0.95) DESC, band_bits DESC) AS rn
+         | FROM s)
+         |SELECT band_bits, n_bands, p_at_05, p_at_07, p_at_08, p_at_09,
+         | rand_frac, (rn = 1 AND p_at_08 >= 0.95) AS recommended
+         |FROM r""".stripMargin
     },
 
     // Same closed-form S-curve arithmetic as Dedup.lshPlan: double pow over

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -299,6 +299,55 @@ object Similarity {
     banded(left, leftId, leftVec)
       .join(banded(right, rightId, rightVec), Seq("__band", "__bits"))
       .select(col(leftId), col(rightId)).distinct()
+  }
+
+  /** Banding planner for the hyperplane-LSH family
+    * ([[bandedCandidatePairs]]) — the [[Dedup]] `lshPlan` analogue for
+    * cosine space: for every divisor `bandBits` of `numPlanes`, the
+    * S-curve `P(candidate | cos) = 1 - (1 - p^bandBits)^(numPlanes/bandBits)`
+    * with `p = 1 - acos(cos)/pi` (the hyperplane sign-agreement
+    * probability, Goemans-Williamson), plus `rand_frac` — the expected
+    * candidate fraction on isotropic data (p = 1/2), i.e. the fraction of
+    * the |L| x |R| cross join the banding actually materializes. The
+    * `recommended` row is the MOST selective config (largest bandBits =
+    * smallest rand_frac) whose recall at cos 0.8 still clears
+    * `minRecall` — the number that decides whether a blocked run is a
+    * near-dup filter or a full-recall retrieval index. Closed-form
+    * doubles, 6-dp rounded (+0.0 folds), fully oracle-checkable; the
+    * fixture default (bandBits=2: rand_frac ~0.90) is deliberately
+    * recall-heavy — at corpus scale this planner is how a caller picks
+    * the selective regime instead.
+    */
+  def hyperplanePlan(spark: SparkSession, numPlanes: Int = 16,
+                     minRecall: Double = 0.95): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes must be in [1, 62], got $numPlanes")
+    require(minRecall > 0.0 && minRecall <= 1.0,
+      s"minRecall must be in (0, 1], got $minRecall")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = (1 to numPlanes).filter(numPlanes % _ == 0)
+      .map(b => (b.toLong, (numPlanes / b).toLong))
+      .toDF("band_bits", "n_bands")
+    def sCurveOf(p: Column): Column =
+      round(lit(1.0) - pow(lit(1.0) - pow(p, col("band_bits")),
+        col("n_bands")), 6) + lit(0.0)
+    def sCurve(c: Double): Column =
+      sCurveOf(round(lit(1.0) - acos(lit(c)) / lit(math.Pi), 6))
+    val scored = base
+      .withColumn("p_at_05", sCurve(0.5))
+      .withColumn("p_at_07", sCurve(0.7))
+      .withColumn("p_at_08", sCurve(0.8))
+      .withColumn("p_at_09", sCurve(0.9))
+      .withColumn("rand_frac", sCurveOf(lit(0.5)))
+    // numPlanes has few divisors — the unpartitioned rank window is over
+    // <= ~6 rows, never data.
+    scored.withColumn("__rn",
+        row_number().over(Window.orderBy(
+          (col("p_at_08") >= minRecall).desc, col("band_bits").desc)))
+      .withColumn("recommended",
+        col("__rn") === 1 && col("p_at_08") >= minRecall)
+      .drop("__rn")
   }
 
   /** Hard default ceiling for the exact all-pairs regime: inputs above

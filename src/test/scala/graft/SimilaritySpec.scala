@@ -381,6 +381,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(hn.headOption.contains((100L, 101L, 1, 1.0)), hn.toSeq.toString)
   }
 
+  test("hyperplanePlan: S-curves monotone, recommends the selective >=0.95-recall split") {
+    val rows = Similarity.hyperplanePlan(spark, numPlanes = 16, minRecall = 0.95)
+      .orderBy("band_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(6),
+        r.getBoolean(7)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    // selectivity (rand_frac) strictly improves with band_bits; recall at
+    // cos 0.8 strictly degrades
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) > p(1)))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) > p(1)))
+    // the recommended split is the LARGEST band_bits still clearing 0.95
+    // recall at cos 0.8 — band_bits=2 for 16 planes (bandBits=4 recalls
+    // only ~0.87), matching bandedCandidatePairs' default
+    assert(rows.filter(_._5).map(r => (r._1, r._2)).toSeq == Seq((2L, 8L)))
+    intercept[IllegalArgumentException] {
+      Similarity.hyperplanePlan(spark, numPlanes = 63)
+    }
+  }
+
   test("blocked regimes agree with exact on fixture embeddings for band-found pairs") {
     val corpus = embeddings.filter(col("vec_id") < 60)
     val exact = Similarity.mutualKnnPairs(corpus, k = 3)
