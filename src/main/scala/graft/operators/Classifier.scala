@@ -212,7 +212,11 @@ object Classifier {
     val thr = ranked.filter(col("__rn") === rank)
       .select(col("__n").as("n_cal"), col("__s").as("__thr"))
     val eval0 = base.filter(!col("__cal"))
-    eval0.crossJoin(broadcast(thr))
+    // LEFT join, not crossJoin (the funnelLatency annihilation class): an
+    // EMPTY calibration split must yield one row with null
+    // n_cal/threshold/coverage and the real n_eval — not an empty frame a
+    // caller cannot distinguish from "no data at all".
+    eval0.join(broadcast(thr), lit(true), "left")
       .agg(first(col("n_cal")).as("n_cal"),
         round(first(col("__thr")).cast("double") / 1e6, 6).as("threshold"),
         count(lit(1)).as("n_eval"),

@@ -85,7 +85,12 @@ object CorpusMix {
     val kept = hist.withColumn("__cum", sum(col("__bucket_tokens")).over(w))
       .filter(col("__cum") <= budgetPerGroup)
       .groupBy(groupCol).agg(min(col("__bucket")).as("__threshold_bucket"))
-    in.join(broadcast(kept), Seq(groupCol), "inner")
+    // Null-SAFE join key: a null group is a real group (the histogram and
+    // window above both kept it), but a plain equi-join would silently
+    // drop every null-group row here — the tCloseness null-key class.
+    val keptR = kept.withColumnRenamed(groupCol, "__kept_g")
+    in.join(broadcast(keptR), col(groupCol) <=> col("__kept_g"), "inner")
+      .drop("__kept_g")
       .filter(floor(col(qualityCol) * buckets).cast("int") >= col("__threshold_bucket"))
       .drop("__threshold_bucket")
   }
@@ -129,8 +134,13 @@ object CorpusMix {
           floor(round(pow(col("__n"), alpha) / col("__z") * budget, 6))
             .cast("long")).as("target"))
     val w = Window.partitionBy(groupCol).orderBy(orderBy: _*)
+    // Null-safe join for the same reason as [[packToBudgetHistogram]]: the
+    // sizes aggregate counted the null group, so its quota must reach its
+    // rows instead of being dropped by a null-hostile equi-join.
+    val targetsR = targets.withColumnRenamed(groupCol, "__tgt_g")
     df.withColumn("rank", row_number().over(w).cast("long"))
-      .join(broadcast(targets), Seq(groupCol))
+      .join(broadcast(targetsR), col(groupCol) <=> col("__tgt_g"))
+      .drop("__tgt_g")
       .filter(col("rank") <= col("target"))
   }
 }

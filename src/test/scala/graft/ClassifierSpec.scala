@@ -203,6 +203,15 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
       Classifier.conformalThreshold(df, "id", "prob", "label",
         org.apache.spark.sql.functions.col("cal"), aNum = 3, aDen = 2)
     }
+    // EMPTY calibration split (r9: the funnelLatency annihilation class):
+    // still one row — real n_eval, null threshold/coverage, not an empty
+    // frame.
+    val noCal = Classifier.conformalThreshold(
+      df.filter(!org.apache.spark.sql.functions.col("cal")), "id", "prob",
+      "label", org.apache.spark.sql.functions.col("cal")).collect()
+    assert(noCal.length == 1)
+    assert(noCal(0).isNullAt(0) && noCal(0).isNullAt(1) &&
+      noCal(0).getLong(2) == 2L && noCal(0).isNullAt(3))
   }
 
   test("featureAttribution: argmax on rounded contributions, name ties") {

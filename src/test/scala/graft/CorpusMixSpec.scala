@@ -129,4 +129,23 @@ class CorpusMixSpec extends AnyFunSuite with SparkTestBase {
         alpha = 0.5, budget = 1000000, orderBy = Seq(col("id")))
     assert(capped.count() == 5)
   }
+
+  test("null group is a real group: histogram pack and temperature mix keep it (r9)") {
+    // The sizes/histogram aggregates count the null group, so a plain
+    // equi-join back would silently drop its rows — null-safe joins keep
+    // the quota reaching them.
+    val docs = Seq((1L, Some("en"), 100L, 0.9), (2L, None, 100L, 0.8),
+      (3L, None, 100L, 0.7))
+      .toDF("doc_id", "lang", "bpe_tokens", "quality")
+    val hist = CorpusMix.packToBudgetHistogram(docs, "lang", "bpe_tokens",
+      "quality", budgetPerGroup = 100, buckets = 100)
+      .select("doc_id").as[Long].collect().toSet
+    // en keeps its one row; the NULL group keeps its best bucket (0.8)
+    assert(hist == Set(1L, 2L), hist.toString)
+    val temp = CorpusMix.temperatureSample(docs, "lang", alpha = 1.0,
+        budget = 3, orderBy = Seq(col("quality").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    // proportional at full budget: every row, including the null group's
+    assert(temp == Set(1L, 2L, 3L), temp.toString)
+  }
 }
