@@ -28,7 +28,9 @@ object HashingEmbedder {
 
   def tokenize(text: String): Seq[String] =
     if (text == null) Seq.empty
-    else tokenPattern.findAllIn(text.toLowerCase).toSeq
+    // Locale.ROOT: executor default locales must not change tokenization
+    // (Turkish dotted/dotless I would split the vocabulary by machine).
+    else tokenPattern.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
 
   /** Embed one text into a unit-length float vector of dimension `dim`. */
   def embed(text: String, dim: Int = DefaultDim, seed: Int = DefaultSeed): Array[Float] = {

@@ -244,7 +244,9 @@ object Bm25 {
   def phraseMatches(df: DataFrame, textCol: String, idCol: String,
                     phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
-    val terms = phrase.map(_.toLowerCase)
+    // Locale.ROOT: a default-locale lowercase diverges from Spark's
+    // locale-independent lower() under e.g. the Turkish dotted/dotless I.
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     // Cheap necessary pre-filter: a token equals `w` only if `w` occurs as
     // a substring of the lowercased text (toks is a space-split), so docs
     // missing any term skip tokenization entirely. On a 100 TB corpus the

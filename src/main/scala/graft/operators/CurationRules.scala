@@ -122,7 +122,8 @@ object CurationRules {
   def blocklistFlags(df: DataFrame, textCol: String, idCol: String,
                      terms: Seq[String], maxFlagged: Long = 0L): DataFrame = {
     require(terms.nonEmpty, "blocklist must not be empty")
-    val listLit = lit(terms.map(_.toLowerCase).distinct.toArray)
+    val listLit =
+      lit(terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray)
     // coalesce against the null-text row so both paths (and a SQL LEFT JOIN
     // mirror) agree on (0, "", false) instead of propagating nulls.
     val toks = coalesce(
