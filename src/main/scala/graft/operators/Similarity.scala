@@ -285,7 +285,8 @@ object Similarity {
     */
   private[graft] def bandedCandidatePairs(left: DataFrame, right: DataFrame,
       leftId: String, leftVec: String, rightId: String, rightVec: String,
-      numPlanes: Int, bandBits: Int, seed: Int): DataFrame = {
+      numPlanes: Int, bandBits: Int, seed: Int,
+      orderedOnly: Boolean = false): DataFrame = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     val nBands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
@@ -296,9 +297,15 @@ object Similarity {
       df.select(col(id), sig.as("__sig"))
         .select(col(id), posexplode(bandVals).as(Seq("__band", "__bits")))
     }
-    banded(left, leftId, leftVec)
+    val joined = banded(left, leftId, leftVec)
       .join(banded(right, rightId, rightVec), Seq("__band", "__bits"))
-      .select(col(leftId), col(rightId)).distinct()
+    // Self-join callers ([[mutualKnnPairsBlocked]]) set orderedOnly: bands
+    // are symmetric, so generating only id-ordered pairs and mirroring
+    // after the distinct halves the heaviest stage (join output +
+    // distinct input) with an IDENTICAL candidate set.
+    val pairs =
+      if (orderedOnly) joined.filter(col(leftId) < col(rightId)) else joined
+    pairs.select(col(leftId), col(rightId)).distinct()
   }
 
   /** Banding planner for the hyperplane-LSH family
@@ -618,9 +625,10 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val a = corpus.select(col(idCol).as("__a"), col(vecCol).as("__va"))
     val b = corpus.select(col(idCol).as("__b"), col(vecCol).as("__vb"))
-    val cand = bandedCandidatePairs(a, b, "__a", "__va", "__b", "__vb",
-        numPlanes, bandBits, seed)
-      .filter(col("__a") =!= col("__b"))
+    val half = bandedCandidatePairs(a, b, "__a", "__va", "__b", "__vb",
+      numPlanes, bandBits, seed, orderedOnly = true)
+    val cand = half.unionByName(
+      half.select(col("__b").as("__a"), col("__a").as("__b")))
     val scored = cand.join(a, "__a").join(b, "__b")
       .withColumn("__cos",
         round(graft.plans.CosineSimilarityExpr.cosine(col("__va"), col("__vb")),
