@@ -239,26 +239,23 @@ object Similarity {
   // -------------------------------------------------------------------------
 
   /** Component sign (+1/-1) of pseudo-random hyperplane `p` at dimension
-    * `j` under `seed` — fmix64 of the packed coordinates, low bit picks the
-    * sign. A PURE compile-time function of (seed, p, j): the whole sign
-    * matrix for a fixed dimensionality is a constant, which is what lets a
-    * SQL oracle replay the banded search value-for-value (the sign matrix
-    * is inlined as a literal plane table; the dot products then use the
-    * same left-to-right double accumulation both engines share).
+    * `j` under `seed` — delegates to the single source of truth on the
+    * codegen'd expression ([[graft.plans.HyperplaneSigExpr.sign]]): a PURE
+    * compile-time function of (seed, p, j), which is what lets a SQL
+    * oracle replay the banded search value-for-value (the sign matrix is
+    * inlined as a literal plane table; the dot products then use the same
+    * left-to-right double accumulation both engines share).
     */
-  private[graft] def hyperplaneSign(seed: Int, p: Int, j: Int): Double = {
-    var h = (seed.toLong << 32) ^ (p.toLong * 0x9E3779B97F4A7C15L) ^
-      (j.toLong * 0xC2B2AE3D27D4EB4FL)
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-    if ((h & 1L) == 0L) 1.0 else -1.0
-  }
+  private[graft] def hyperplaneSign(seed: Int, p: Int, j: Int): Double =
+    graft.plans.HyperplaneSigExpr.sign(seed, p, j)
 
-  /** Deterministic Rademacher (±1) hyperplane signature: bit p of the
-    * result is the sign of the dot product with pseudo-random hyperplane p
-    * (components derived from fmix64(seed, plane, dim) — no RNG state, so
-    * signatures are reproducible across executors and runs).
+  /** Deterministic Rademacher (±1) hyperplane signature — REFERENCE
+    * implementation kept for spec cross-validation; the production banding
+    * runs through the codegen'd [[graft.plans.HyperplaneSigExpr]] (no
+    * per-row sign-matrix recomputation, no Seq[Float] boxing), which
+    * `ScaleOpsSpec` pins bit-identical to this UDF.
     */
-  private[operators] val hyperplaneSigUdf = udf((vec: Seq[Float], numPlanes: Int, seed: Int) => {
+  private[graft] val hyperplaneSigUdf = udf((vec: Seq[Float], numPlanes: Int, seed: Int) => {
     var sig = 0L
     var p = 0
     while (p < numPlanes) {
@@ -291,7 +288,7 @@ object Similarity {
     val nBands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, id: String, vc: String): DataFrame = {
-      val sig = hyperplaneSigUdf(col(vc), lit(numPlanes), lit(seed))
+      val sig = graft.plans.HyperplaneSigExpr.sig(col(vc), numPlanes, seed)
       val bandVals = array((0 until nBands).map(b =>
         shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
       df.select(col(id), sig.as("__sig"))

@@ -115,6 +115,39 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(blocked.size == exact.size)
   }
 
+  test("codegen'd hyperplane signature is bit-identical to the reference UDF (r9)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // interpreted + codegen paths of the expression vs the reference UDF,
+    // over every fixture vector and two (planes, seed) configs — the sign
+    // matrix cache and the >= 0 threshold must not drift by an ulp.
+    for ((planes, seed) <- Seq((16, 42), (8, 7))) {
+      val both = emb.select(col("vec_id"),
+          graft.plans.HyperplaneSigExpr.sig(col("embedding"), planes, seed)
+            .as("expr_sig"),
+          Similarity.hyperplaneSigUdf(col("embedding"), lit(planes), lit(seed))
+            .as("udf_sig"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)} planes=$planes seed=$seed"))
+    }
+    // the codegen fallback past CachedDims agrees with the UDF too
+    import spark.implicits._
+    val wide = Seq((1L, Seq.tabulate(graft.plans.HyperplaneSigExpr.CachedDims + 3)(
+        i => (if (i % 3 == 0) -1f else 1f) * (i % 7 + 1) / 7f)))
+      .toDF("vec_id", "embedding")
+    val r = wide.select(
+        graft.plans.HyperplaneSigExpr.sig(col("embedding"), 16, 42).as("e"),
+        Similarity.hyperplaneSigUdf(col("embedding"), lit(16), lit(42)).as("u"))
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    // null input -> null signature (the expression is null-safe on its own)
+    val nullRow = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("embedding")
+      .select(graft.plans.HyperplaneSigExpr.sig(col("embedding"), 16, 42).as("e"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("hardNegatives: group exclusion, rank order, margin vs best positive") {
     // 2-d unit-ish vectors: query q (group A) at 0 deg; positives at 10 deg
     // (best) and 60 deg; negatives at 5, 30 and 90 deg.
