@@ -2388,6 +2388,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    "similarity_multiprobe" -> ((s, dir) => {
+      // Multi-probe banded search at the SELECTIVE split (bandBits=4 —
+      // 23% isotropic candidate fraction per hyperplane_plan, vs 90% at
+      // the recall-heavy default): 1-bit-flip probes on the query side
+      // recover the recall the coarse split gives up (Lv et al. 2007).
+      // Full oracle — the sign-matrix replay plus the probe xor.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.blockedTopKPerQuery(q, e, 10, qidCol = "qid", qvecCol = "qv",
+          bandBits = 4, multiprobe = true)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // -----------------------------------------------------------------------
     // Text-analysis extensions
     // -----------------------------------------------------------------------
@@ -3510,11 +3524,17 @@ object SparkEntry {
     * Requires [[planesSql]] in scope.
     */
   private def bandsSql(name: String, src: String, id: String,
-                       vec: String): String =
+                       vec: String): String = bandsSqlAt(name, src, id, vec, 2)
+
+  /** [[bandsSql]] at an arbitrary band width (the multiprobe gate uses the
+    * selective bandBits=4 split).
+    */
+  private def bandsSqlAt(name: String, src: String, id: String, vec: String,
+                         bandBits: Int): String =
     s"""$name AS (
-       | SELECT t.$id AS id, CAST(p.p // 2 AS INT) AS band,
+       | SELECT t.$id AS id, CAST(p.p // $bandBits AS INT) AS band,
        |  sum(CASE WHEN list_dot_product(t.$vec::DOUBLE[], p.s) >= 0
-       |      THEN 1 ELSE 0 END * (1 << (p.p % 2))) AS bits
+       |      THEN 1 ELSE 0 END * (1 << (p.p % $bandBits))) AS bits
        | FROM $src t, planes p GROUP BY 1, 2)""".stripMargin
 
   /** Exact RBO suffix coefficients (k=10, p=9/10) — the SAME table the
@@ -4878,6 +4898,26 @@ object SparkEntry {
          | FROM embeddings WHERE vec_id = 0),
          |${bandsSql("qb", "q", "qid", "qv")},
          |${bandsSql("cb", "e", "vec_id", "embedding")},
+         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+         | FROM qb JOIN cb USING (band, bits))
+         |SELECT c.cid AS vec_id,
+         | round(${cosOf("co.embedding", "q.qv")}, 6) AS score
+         |FROM cand c JOIN q ON q.qid = c.qid
+         | JOIN e co ON co.vec_id = c.cid
+         |ORDER BY ${cosOf("co.embedding", "q.qv")} DESC, c.cid LIMIT 10""".stripMargin,
+
+    // Sign-matrix replay of the multiprobe banded search: the bandBits=4
+    // band table plus the query-side 1-bit-flip probe xor, then the same
+    // unrounded-cosine rank.
+    "similarity_multiprobe" ->
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         | FROM embeddings WHERE vec_id = 0),
+         |${bandsSqlAt("qb0", "q", "qid", "qv", 4)},
+         |qb AS (SELECT id, band, xor(bits, f.flip) AS bits
+         | FROM qb0, unnest([0, 1, 2, 4, 8]) AS f(flip)),
+         |${bandsSqlAt("cb", "e", "vec_id", "embedding", 4)},
          |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
          | FROM qb JOIN cb USING (band, bits))
          |SELECT c.cid AS vec_id,

@@ -283,19 +283,38 @@ object Similarity {
   private[graft] def bandedCandidatePairs(left: DataFrame, right: DataFrame,
       leftId: String, leftVec: String, rightId: String, rightVec: String,
       numPlanes: Int, bandBits: Int, seed: Int,
-      orderedOnly: Boolean = false): DataFrame = {
+      orderedOnly: Boolean = false, multiprobe: Boolean = false): DataFrame = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    require(!(orderedOnly && multiprobe),
+      "orderedOnly assumes a symmetric candidate relation; multiprobe is one-sided")
     val nBands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, id: String, vc: String): DataFrame = {
+    def banded(df: DataFrame, id: String, vc: String,
+               probe: Boolean): DataFrame = {
       val sig = graft.plans.HyperplaneSigExpr.sig(col(vc), numPlanes, seed)
       val bandVals = array((0 until nBands).map(b =>
         shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
-      df.select(col(id), sig.as("__sig"))
+      val base = df.select(col(id), sig.as("__sig"))
         .select(col(id), posexplode(bandVals).as(Seq("__band", "__bits")))
+      if (!probe) base
+      else
+        // Multi-probe (Lv et al., VLDB 2007): beside the true band value,
+        // probe every single-bit flip — the bit most likely to differ for
+        // a near neighbor is ONE marginal hyperplane, so 1-flip probes
+        // recover most of the recall a selective bandBits gives up, at
+        // (bandBits+1)x the probe rows instead of 2^bandBits x the
+        // collisions of a coarser split. Query-side only; the corpus
+        // index is untouched.
+        base.select(col(id), col("__band"),
+          explode(array(lit(0L) +: (0 until bandBits).map(k =>
+            lit(1L << k)): _*)).as("__flip"),
+          col("__bits"))
+          .select(col(id), col("__band"),
+            col("__bits").bitwiseXOR(col("__flip")).as("__bits"))
     }
-    val joined = banded(left, leftId, leftVec)
-      .join(banded(right, rightId, rightVec), Seq("__band", "__bits"))
+    val joined = banded(left, leftId, leftVec, multiprobe)
+      .join(banded(right, rightId, rightVec, probe = false),
+        Seq("__band", "__bits"))
     // Self-join callers ([[mutualKnnPairsBlocked]]) set orderedOnly: bands
     // are symmetric, so generating only id-ordered pairs and mirroring
     // after the distinct halves the heaviest stage (join output +
@@ -395,9 +414,10 @@ object Similarity {
                           qidCol: String = "qid", qvecCol: String = "qvec",
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           numPlanes: Int = 16, bandBits: Int = 2,
-                          seed: Int = 42, excludeSelf: Boolean = false): DataFrame = {
+                          seed: Int = 42, excludeSelf: Boolean = false,
+                          multiprobe: Boolean = false): DataFrame = {
     val cand0 = bandedCandidatePairs(queries, corpus, qidCol, qvecCol,
-      idCol, vecCol, numPlanes, bandBits, seed)
+      idCol, vecCol, numPlanes, bandBits, seed, multiprobe = multiprobe)
     val candidates =
       if (excludeSelf) cand0.filter(col(qidCol) =!= col(idCol)) else cand0
     val scored = candidates

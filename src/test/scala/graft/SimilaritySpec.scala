@@ -400,6 +400,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multiprobe recovers candidates a selective split drops (query side only)") {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val q = embeddings.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def candidates(probe: Boolean): Set[Long] =
+      Similarity.blockedTopKPerQuery(q, corpus, 100000,
+          qidCol = "qid", qvecCol = "qv", bandBits = 4, multiprobe = probe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val plain = candidates(probe = false)
+    val probed = candidates(probe = true)
+    // probing flip-values only ADDS candidates, and on this isotropic
+    // corpus the bandBits=4 split is selective enough that 1-bit probes
+    // find strictly more
+    assert(plain.subsetOf(probed))
+    assert(probed.size > plain.size, s"${plain.size} vs ${probed.size}")
+    intercept[IllegalArgumentException] {
+      Similarity.bandedCandidatePairs(
+        q, corpus, "qid", "qv", "vec_id", "embedding", 16, 4, 42,
+        orderedOnly = true, multiprobe = true)
+    }
+  }
+
   test("blocked regimes agree with exact on fixture embeddings for band-found pairs") {
     val corpus = embeddings.filter(col("vec_id") < 60)
     val exact = Similarity.mutualKnnPairs(corpus, k = 3)
