@@ -6659,6 +6659,10 @@ object SparkEntry {
       def curve(p: String) =
         s"round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - pow($p, band_bits), n_bands), 6) + 0.0"
       def pa(c: String) = s"round(CAST(1.0 AS DOUBLE) - acos(CAST($c AS DOUBLE)) / pi(), 6)"
+      def curveMp(p: String) =
+        s"""round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) -
+           | (pow($p, band_bits) + band_bits * pow($p, band_bits - 1) *
+           |  (CAST(1.0 AS DOUBLE) - $p)), n_bands), 6) + 0.0""".stripMargin
       s"""WITH d AS (
          | SELECT CAST(i AS BIGINT) AS band_bits, CAST(16 // i AS BIGINT) AS n_bands
          | FROM generate_series(1, 16) t(i) WHERE 16 % i = 0),
@@ -6668,14 +6672,17 @@ object SparkEntry {
          |  ${curve(pa("0.7"))} AS p_at_07,
          |  ${curve(pa("0.8"))} AS p_at_08,
          |  ${curve(pa("0.9"))} AS p_at_09,
-         |  ${curve("CAST(0.5 AS DOUBLE)")} AS rand_frac
+         |  ${curve("CAST(0.5 AS DOUBLE)")} AS rand_frac,
+         |  ${curveMp(pa("0.8"))} AS p_at_08_mp,
+         |  ${curveMp("CAST(0.5 AS DOUBLE)")} AS rand_frac_mp
          | FROM d),
          |r AS (
          | SELECT *, row_number() OVER (
          |   ORDER BY (p_at_08 >= 0.95) DESC, band_bits DESC) AS rn
          | FROM s)
          |SELECT band_bits, n_bands, p_at_05, p_at_07, p_at_08, p_at_09,
-         | rand_frac, (rn = 1 AND p_at_08 >= 0.95) AS recommended
+         | rand_frac, p_at_08_mp, rand_frac_mp,
+         | (rn = 1 AND p_at_08 >= 0.95) AS recommended
          |FROM r""".stripMargin
     },
 

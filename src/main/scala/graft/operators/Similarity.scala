@@ -357,12 +357,24 @@ object Similarity {
         col("n_bands")), 6) + lit(0.0)
     def sCurve(c: Double): Column =
       sCurveOf(round(lit(1.0) - acos(lit(c)) / lit(math.Pi), 6))
+    // 1-bit-flip multiprobe band match: exact value OR exactly one bit off
+    // -> p^B + B * p^(B-1) * (1-p). At B=1 this is 1.0 (both values
+    // probed), correctly.
+    def sCurveMpOf(p: Column): Column =
+      round(lit(1.0) - pow(lit(1.0) -
+        (pow(p, col("band_bits")) + col("band_bits") *
+          pow(p, col("band_bits") - 1) * (lit(1.0) - p)),
+        col("n_bands")), 6) + lit(0.0)
+    def sCurveMp(c: Double): Column =
+      sCurveMpOf(round(lit(1.0) - acos(lit(c)) / lit(math.Pi), 6))
     val scored = base
       .withColumn("p_at_05", sCurve(0.5))
       .withColumn("p_at_07", sCurve(0.7))
       .withColumn("p_at_08", sCurve(0.8))
       .withColumn("p_at_09", sCurve(0.9))
       .withColumn("rand_frac", sCurveOf(lit(0.5)))
+      .withColumn("p_at_08_mp", sCurveMp(0.8))
+      .withColumn("rand_frac_mp", sCurveMpOf(lit(0.5)))
     // numPlanes has few divisors — the unpartitioned rank window is over
     // <= ~6 rows, never data.
     scored.withColumn("__rn",

@@ -384,8 +384,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("hyperplanePlan: S-curves monotone, recommends the selective >=0.95-recall split") {
     val rows = Similarity.hyperplanePlan(spark, numPlanes = 16, minRecall = 0.95)
       .orderBy("band_bits").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(6),
-        r.getBoolean(7)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("p_at_08"),
+        r.getAs[Double]("rand_frac"), r.getAs[Boolean]("recommended"),
+        r.getAs[Double]("p_at_08_mp")))
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
     // selectivity (rand_frac) strictly improves with band_bits; recall at
     // cos 0.8 strictly degrades
@@ -395,6 +396,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // recall at cos 0.8 — band_bits=2 for 16 planes (bandBits=4 recalls
     // only ~0.87), matching bandedCandidatePairs' default
     assert(rows.filter(_._5).map(r => (r._1, r._2)).toSeq == Seq((2L, 8L)))
+    // multiprobe lifts every split's recall (B=1 trivially to 1.0), and at
+    // the selective B=4 split it clears the 0.95 floor the plain split
+    // misses — the quantified case for similarity_multiprobe's config
+    rows.foreach(r => assert(r._6 >= r._3, r.toString))
+    val b4 = rows.find(_._1 == 4L).get
+    assert(b4._3 < 0.95 && b4._6 >= 0.95, b4.toString)
     intercept[IllegalArgumentException] {
       Similarity.hyperplanePlan(spark, numPlanes = 63)
     }
