@@ -2388,6 +2388,21 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    "similarity_prebanded" -> ((s, dir) => {
+      // Incremental band-index path (Similarity.bandedSignatures scaladoc):
+      // the corpus band table is built once and PERSISTED; the query batch
+      // only computes its own signatures and joins the index. Shares
+      // similarity_lsh_exact's oracle — row-identity IS the incremental
+      // claim (the bm25_merged_stats discipline).
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val index = Similarity.bandedSignatures(e, "vec_id", "embedding")
+      Similarity.blockedTopKPerQueryPrebanded(q, index, e, 10,
+          qidCol = "qid", qvecCol = "qv")
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     "similarity_multiprobe" -> ((s, dir) => {
       // Multi-probe banded search at the SELECTIVE split (bandBits=4 —
       // 23% isotropic candidate fraction per hyperplane_plan, vs 90% at
@@ -3536,6 +3551,25 @@ object SparkEntry {
        |  sum(CASE WHEN list_dot_product(t.$vec::DOUBLE[], p.s) >= 0
        |      THEN 1 ELSE 0 END * (1 << (p.p % $bandBits))) AS bits
        | FROM $src t, planes p GROUP BY 1, 2)""".stripMargin
+
+  /** Sign-matrix replay of the banded single-query search — shared by the
+    * `similarity_lsh_exact` gate and its row-identical pre-banded-index
+    * twin `similarity_prebanded`.
+    */
+  private lazy val similarityLshExactSql: String =
+    s"""WITH $planesSql,
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv
+       | FROM embeddings WHERE vec_id = 0),
+       |${bandsSql("qb", "q", "qid", "qv")},
+       |${bandsSql("cb", "e", "vec_id", "embedding")},
+       |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
+       | FROM qb JOIN cb USING (band, bits))
+       |SELECT c.cid AS vec_id,
+       | round(${cosOf("co.embedding", "q.qv")}, 6) AS score
+       |FROM cand c JOIN q ON q.qid = c.qid
+       | JOIN e co ON co.vec_id = c.cid
+       |ORDER BY ${cosOf("co.embedding", "q.qv")} DESC, c.cid LIMIT 10""".stripMargin
 
   /** Exact RBO suffix coefficients (k=10, p=9/10) — the SAME table the
     * `eval_rbo` Spark gate uses, so the oracle replays identical integer
@@ -4891,20 +4925,13 @@ object SparkEntry {
     // Sign-matrix replay of the banded single-query search: the gate that
     // pins the hyperplane-LSH machinery value-for-value in its real
     // approximate regime (comment on the Spark side).
-    "similarity_lsh_exact" ->
-      s"""WITH $planesSql,
-         |e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qv
-         | FROM embeddings WHERE vec_id = 0),
-         |${bandsSql("qb", "q", "qid", "qv")},
-         |${bandsSql("cb", "e", "vec_id", "embedding")},
-         |cand AS (SELECT DISTINCT qb.id AS qid, cb.id AS cid
-         | FROM qb JOIN cb USING (band, bits))
-         |SELECT c.cid AS vec_id,
-         | round(${cosOf("co.embedding", "q.qv")}, 6) AS score
-         |FROM cand c JOIN q ON q.qid = c.qid
-         | JOIN e co ON co.vec_id = c.cid
-         |ORDER BY ${cosOf("co.embedding", "q.qv")} DESC, c.cid LIMIT 10""".stripMargin,
+    "similarity_lsh_exact" -> similarityLshExactSql,
+
+    // The pre-banded index path is row-identical to the direct banded
+    // search BY CONSTRUCTION (same signatures, same candidate join, same
+    // rank) — sharing the oracle verbatim is the claim under test, the
+    // bm25_merged_stats discipline.
+    "similarity_prebanded" -> similarityLshExactSql,
 
     // Sign-matrix replay of the multiprobe banded search: the bandBits=4
     // band table plus the query-side 1-bit-flip probe xor, then the same

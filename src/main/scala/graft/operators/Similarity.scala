@@ -280,6 +280,48 @@ object Similarity {
     * value); work scales with collisions, not |L| x |R|. Column names must
     * not collide between the two sides (callers alias).
     */
+  /** The persisted BAND INDEX of a corpus: one row per (id, band index,
+    * band value) from the hyperplane signature — the table an incremental
+    * deployment builds ONCE per corpus snapshot and keeps (written
+    * bucketed/partitioned by `(__band, __bits)` so candidate joins prune at
+    * scan time), so a daily query/ingest batch only computes signatures for
+    * ITS OWN rows and joins this index ([[blockedTopKPerQueryPrebanded]] —
+    * the `minhashLshIncrementalPairs` discipline for the cosine family).
+    * Columns: `(idCol, __band int, __bits long)`.
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
+                       numPlanes: Int = 16, bandBits: Int = 2,
+                       seed: Int = 42): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    val nBands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    val sig = graft.plans.HyperplaneSigExpr.sig(col(vecCol), numPlanes, seed)
+    val bandVals = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    df.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol), posexplode(bandVals).as(Seq("__band", "__bits")))
+  }
+
+  /** [[blockedTopKPerQuery]] against a PRE-BANDED corpus index
+    * ([[bandedSignatures]]): only the query batch computes signatures; the
+    * corpus side is the persisted table. Row-identical to the direct path
+    * by construction — the gate shares its oracle (the bm25_merged_stats
+    * row-identity discipline).
+    */
+  def blockedTopKPerQueryPrebanded(queries: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, k: Int,
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numPlanes: Int = 16, bandBits: Int = 2, seed: Int = 42,
+      excludeSelf: Boolean = false): DataFrame = {
+    val qb = bandedSignatures(queries, qidCol, qvecCol, numPlanes, bandBits, seed)
+    val cand0 = qb.join(corpusBands, Seq("__band", "__bits"))
+      .select(col(qidCol), col(idCol)).distinct()
+    val candidates =
+      if (excludeSelf) cand0.filter(col(qidCol) =!= col(idCol)) else cand0
+    rankCandidates(candidates, queries, corpus, k, qidCol, qvecCol, idCol, vecCol)
+  }
+
   private[graft] def bandedCandidatePairs(left: DataFrame, right: DataFrame,
       leftId: String, leftVec: String, rightId: String, rightVec: String,
       numPlanes: Int, bandBits: Int, seed: Int,
@@ -287,15 +329,9 @@ object Similarity {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     require(!(orderedOnly && multiprobe),
       "orderedOnly assumes a symmetric candidate relation; multiprobe is one-sided")
-    val nBands = numPlanes / bandBits
-    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, id: String, vc: String,
                probe: Boolean): DataFrame = {
-      val sig = graft.plans.HyperplaneSigExpr.sig(col(vc), numPlanes, seed)
-      val bandVals = array((0 until nBands).map(b =>
-        shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
-      val base = df.select(col(id), sig.as("__sig"))
-        .select(col(id), posexplode(bandVals).as(Seq("__band", "__bits")))
+      val base = bandedSignatures(df, id, vc, numPlanes, bandBits, seed)
       if (!probe) base
       else
         // Multi-probe (Lv et al., VLDB 2007): beside the true band value,
@@ -432,6 +468,15 @@ object Similarity {
       idCol, vecCol, numPlanes, bandBits, seed, multiprobe = multiprobe)
     val candidates =
       if (excludeSelf) cand0.filter(col(qidCol) =!= col(idCol)) else cand0
+    rankCandidates(candidates, queries, corpus, k, qidCol, qvecCol, idCol, vecCol)
+  }
+
+  /** Vector re-join + cosine + per-query rank tail shared by the direct
+    * and pre-banded blocked search paths.
+    */
+  private def rankCandidates(candidates: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, qidCol: String, qvecCol: String,
+      idCol: String, vecCol: String): DataFrame = {
     val scored = candidates
       .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
       .join(corpus.select(col(idCol), col(vecCol)), idCol)

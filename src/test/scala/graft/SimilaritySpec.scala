@@ -407,6 +407,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pre-banded index path is row-identical to the direct banded search") {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val q = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val direct = Similarity.blockedTopKPerQuery(q, corpus, 7,
+        qidCol = "qid", qvecCol = "qv")
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val index = Similarity.bandedSignatures(corpus, "vec_id", "embedding")
+    val pre = Similarity.blockedTopKPerQueryPrebanded(q, index, corpus, 7,
+        qidCol = "qid", qvecCol = "qv")
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(direct == pre)
+    assert(direct.nonEmpty)
+  }
+
   test("multiprobe recovers candidates a selective split drops (query side only)") {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
     val q = embeddings.filter(col("vec_id") === 0)
