@@ -157,11 +157,17 @@ object Bench {
     // digest index from it would silently drop every other query's digest
     // (the per-query .txt files only overwrite the queries that ran, so
     // they stay).
+    // JSON round artifacts write through Files.write, which THROWS on IO
+    // failure — a PrintWriter only sets an internal error flag, and a
+    // silently stale "self-contained round record" is exactly the failure
+    // mode these files exist to prevent.
+    def writeArtifact(name: String, content: String): Unit =
+      java.nio.file.Files.write(new java.io.File(plansDir, name).toPath,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (only.isEmpty) {
-      val plansJson = planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
-        .mkString("{", ",", "}")
-      val pw = new java.io.PrintWriter(new java.io.File(plansDir, "digests.json"), "UTF-8")
-      try pw.write(plansJson) finally pw.close()
+      writeArtifact("digests.json",
+        planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
+          .mkString("{", ",", "}"))
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
@@ -190,10 +196,9 @@ object Bench {
       // Failed queries appear explicitly as null — same key set as the
       // queries that were attempted, so timings.json and digests.json can
       // be joined without guessing which absences mean "failed".
-      val tw = new java.io.PrintWriter(new java.io.File(plansDir, "timings.json"), "UTF-8")
-      try tw.write(results.map { case (k, v) =>
-          s"\"$k\":${v.map(r3).getOrElse("null")}" }
-        .mkString("{", ",", "}")) finally tw.close()
+      writeArtifact("timings.json",
+        results.map { case (k, v) => s"\"$k\":${v.map(r3).getOrElse("null")}" }
+          .mkString("{", ",", "}"))
     }
     val candidates = Seq(
       lineAt(r3, extras = true), lineAt(r2, extras = false),
@@ -203,11 +208,7 @@ object Bench {
     // printed line. The COMPLETE, un-degraded JSON line is persisted here
     // so the round record in-repo is self-contained (the r8 verdict item):
     // same shape the driver would have parsed, full 3dp map, all keys.
-    if (only.isEmpty) {
-      val fw = new java.io.PrintWriter(
-        new java.io.File(plansDir, "bench_full.json"), "UTF-8")
-      try fw.write(candidates.head) finally fw.close()
-    }
+    if (only.isEmpty) writeArtifact("bench_full.json", candidates.head)
     val line = candidates.find(_.length <= 1880).getOrElse {
       // Even 1dp over the full suite outgrew the window: keep the SLOWEST
       // queries (the ones perf grading cares about) up to the budget and

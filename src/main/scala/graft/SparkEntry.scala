@@ -274,8 +274,9 @@ object SparkEntry {
       // enumeration (WarcSpec covers gzip members, chunked bodies,
       // truncation). The oracle reconstructs the expected text directly,
       // so envelope skip, mime parse, tag strip, and entity decode must
-      // all be character-faithful to hash-match. Fixture texts are
-      // single-line ASCII, so Content-Length = char length is exact.
+      // all be character-faithful to hash-match. Content-Length is the
+      // BYTE length (octet_length) — the parser consumes UTF-8 bytes, so
+      // a char count would truncate any non-ASCII payload mid-body.
       import s.implicits._
       val id = col("doc_id").cast("string")
       val body = concat(
@@ -292,7 +293,7 @@ object SparkEntry {
         lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
         id,
         lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
-        length(payload).cast("string"), lit("\r\n\r\n"), payload,
+        octet_length(payload).cast("string"), lit("\r\n\r\n"), payload,
         lit("\r\n\r\n"))
       t(s, dir, "documents").select(record.as("rec")).as[String]
         .flatMap(rec => graft.sources.Warc

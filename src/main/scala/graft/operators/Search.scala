@@ -85,8 +85,10 @@ object Search {
                     vecCol: String = "embedding",
                     groupCol: String = "label",
                     maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
-    val scored = queries
-      .crossJoin(Similarity.guardExactRegime(corpus, "hardNegatives", maxExactRows))
+    val scored = Similarity
+      .guardExactRegime(queries, "hardNegatives.queries", maxExactRows)
+      .crossJoin(Similarity.guardExactRegime(corpus, "hardNegatives.corpus",
+        maxExactRows))
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("score", round(
         graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
@@ -170,8 +172,8 @@ object Search {
                 maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
     require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    val scored = queries
-      .crossJoin(Similarity.guardExactRegime(corpus, "mmrRerank", maxExactRows))
+    val scored = Similarity.guardExactRegime(queries, "mmrRerank.queries", maxExactRows)
+      .crossJoin(Similarity.guardExactRegime(corpus, "mmrRerank.corpus", maxExactRows))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("__rel", round(
         graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))

@@ -298,8 +298,18 @@ object Similarity {
     val sig = graft.plans.HyperplaneSigExpr.sig(col(vecCol), numPlanes, seed)
     val bandVals = array((0 until nBands).map(b =>
       shiftrightunsigned(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    // The banding CONFIG rides in the column metadata (parquet round-trips
+    // it), so a query batch joining a persisted index under different
+    // parameters fails loudly instead of silently collapsing the candidate
+    // set to garbage — see [[blockedTopKPerQueryPrebanded]].
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.numPlanes", numPlanes.toLong)
+      .putLong("graft.bandBits", bandBits.toLong)
+      .putLong("graft.seed", seed.toLong)
+      .build()
     df.select(col(idCol), sig.as("__sig"))
       .select(col(idCol), posexplode(bandVals).as(Seq("__band", "__bits")))
+      .withColumn("__band", col("__band").as("__band", meta))
   }
 
   /** [[blockedTopKPerQuery]] against a PRE-BANDED corpus index
@@ -314,6 +324,25 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numPlanes: Int = 16, bandBits: Int = 2, seed: Int = 42,
       excludeSelf: Boolean = false): DataFrame = {
+    // The query-side banding parameters MUST match the ones the index was
+    // built with — a mismatch would equi-join incompatible band layouts
+    // and silently return a near-empty candidate set. bandedSignatures
+    // stamps its config into the __band column metadata (parquet
+    // round-trips it); refuse to run against an unstamped or mismatched
+    // index.
+    val m = corpusBands.schema.find(_.name == "__band")
+      .map(_.metadata)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft.blockedTopKPerQueryPrebanded: corpusBands has no __band column"))
+    def cfg(key: String): Option[Long] =
+      if (m.contains(key)) Some(m.getLong(key)) else None
+    val stamped = (cfg("graft.numPlanes"), cfg("graft.bandBits"), cfg("graft.seed"))
+    require(stamped == ((Some(numPlanes.toLong), Some(bandBits.toLong),
+        Some(seed.toLong))),
+      s"graft.blockedTopKPerQueryPrebanded: band index built with " +
+        s"(numPlanes, bandBits, seed) = $stamped but query side uses " +
+        s"($numPlanes, $bandBits, $seed); rebuild the index with " +
+        "Similarity.bandedSignatures at the query parameters")
     val qb = bandedSignatures(queries, qidCol, qvecCol, numPlanes, bandBits, seed)
     val cand0 = qb.join(corpusBands, Seq("__band", "__bits"))
       .select(col(qidCol), col(idCol)).distinct()

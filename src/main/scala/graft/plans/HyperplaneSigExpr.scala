@@ -42,6 +42,12 @@ case class HyperplaneSigExpr(child: Expression, numPlanes: Int, seed: Int)
 
   override def dataType: DataType = LongType
 
+  // Null on a null child OR on an array containing a null element — a
+  // hole in the vector has no sign contribution, and silently treating it
+  // as 0.0 would let the expression and the DuckDB replay (whose DOUBLE[]
+  // cast nulls the whole dot) diverge.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_hyperplane_sig"
 
   @transient private lazy val signs: Array[Array[Double]] =
@@ -51,6 +57,11 @@ case class HyperplaneSigExpr(child: Expression, numPlanes: Int, seed: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    var j0 = 0
+    while (j0 < n) {
+      if (v.isNullAt(j0)) return null
+      j0 += 1
+    }
     var sig = 0L
     var p = 0
     while (p < numPlanes) {
@@ -78,21 +89,30 @@ case class HyperplaneSigExpr(child: Expression, numPlanes: Int, seed: Int)
       val dot = ctx.freshName("dot")
       val row = ctx.freshName("row")
       val s = ctx.freshName("s")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |final int $n = $v.numElements();
-         |long $sig = 0L;
-         |for (int $p = 0; $p < $numPlanes; $p++) {
-         |  final double[] $row = $signsRef[$p];
-         |  double $dot = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    final double $s = $j < $row.length
-         |      ? $row[$j]
-         |      : graft.plans.HyperplaneSigExpr.sign($seed, $p, $j);
-         |    $dot += $s * (double) $v.getFloat($j);
-         |  }
-         |  if ($dot >= 0) $sig |= (1L << $p);
+         |boolean $hasNull = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($v.isNullAt($j)) { $hasNull = true; break; }
          |}
-         |${ev.value} = $sig;
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    final double[] $row = $signsRef[$p];
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      final double $s = $j < $row.length
+         |        ? $row[$j]
+         |        : graft.plans.HyperplaneSigExpr.sign($seed, $p, $j);
+         |      $dot += $s * (double) $v.getFloat($j);
+         |    }
+         |    if ($dot >= 0) $sig |= (1L << $p);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
        """.stripMargin
     })
 

@@ -146,6 +146,13 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(graft.plans.HyperplaneSigExpr.sig(col("embedding"), 16, 42).as("e"))
       .collect()(0)
     assert(nullRow.isNullAt(0))
+    // an array CONTAINING a null element also yields null, never a
+    // signature computed from a silently-zeroed hole
+    val holed = Seq(Tuple1(Seq[java.lang.Float](1f, null, 2f)))
+      .toDF("embedding")
+      .select(graft.plans.HyperplaneSigExpr.sig(col("embedding"), 16, 42).as("e"))
+      .collect()(0)
+    assert(holed.isNullAt(0))
   }
 
   test("hardNegatives: group exclusion, rank order, margin vs best positive") {

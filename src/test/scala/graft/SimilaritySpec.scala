@@ -422,6 +422,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(direct == pre)
     assert(direct.nonEmpty)
+    // config mismatch against the stamped index fails loudly instead of
+    // silently joining incompatible band layouts
+    intercept[IllegalArgumentException] {
+      Similarity.blockedTopKPerQueryPrebanded(q, index, corpus, 7,
+        qidCol = "qid", qvecCol = "qv", bandBits = 4)
+    }
+    // an UNSTAMPED table (hand-built) is refused too
+    intercept[IllegalArgumentException] {
+      Similarity.blockedTopKPerQueryPrebanded(q,
+        index.select(col("vec_id"), (col("__band") + 0).as("__band"),
+          col("__bits")),
+        corpus, 7, qidCol = "qid", qvecCol = "qv")
+    }
   }
 
   test("multiprobe recovers candidates a selective split drops (query side only)") {
