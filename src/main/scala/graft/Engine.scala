@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.PipelineConfig
-import graft.operators.Search
+import graft.operators.{Search, Similarity}
 
 /** The read path (SURVEY §2.6/§2.7; reference `yamlpipe/core/evaluation.py`
   * and `app.py:29-61`): vector top-k search and retrieval evaluation over a
@@ -32,13 +32,22 @@ object Engine {
     * set-oriented plan (the reference loops questions on the driver,
     * `evaluation.py:83-95`). Dataset: JSONL of
     * `{question, expected_source}` (`eval_dataset.jsonl` shape).
+    *
+    * Routing (SCALE.md "evaluator routing"): corpora at or under
+    * `maxExactRows` run the EXACT all-pairs kernel
+    * ([[Search.topKPerQuery]], already guarded); larger corpora route
+    * through [[Similarity.blockedTopKPerQuery]] — hyperplane-LSH banded
+    * candidates with multiprobe ON for recall, identical re-rank tail —
+    * so the evaluator never plans O(|Q|·|N|) at corpus scale. The route
+    * decision costs one columnar count over the sink table.
     */
   final case class Evaluator(config: PipelineConfig) {
     private val embedder = Factory.embedder(config.embedder)
     private val sink = Factory.sink(config.sink)
 
     /** Returns a 1-row frame (hit_rate, total_questions, hits). */
-    def evaluate(spark: SparkSession, datasetPath: String, k: Int = 5): DataFrame = {
+    def evaluate(spark: SparkSession, datasetPath: String, k: Int = 5,
+                 maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
       val questions = spark.read.json(datasetPath)
         .select(col("question"), col("expected_source"))
         .withColumn("qid", monotonically_increasing_id())
@@ -46,8 +55,17 @@ object Engine {
         .select(col("qid"), col("expected_source"), col("embedding").as("qvec"))
       val corpus = sink.read(spark)
         .select(col("id"), col("source"), col("vector").as("embedding"))
-      val topk = Search.topKPerQuery(embedded, corpus, k,
-        qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding")
+      val topk =
+        if (corpus.count() <= maxExactRows)
+          Search.topKPerQuery(embedded, corpus, k,
+            qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding",
+            maxExactRows = maxExactRows)
+        else
+          Similarity.blockedTopKPerQuery(embedded, corpus, k,
+              qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding",
+              multiprobe = true)
+            .join(corpus.select(col("id"), col("source")), "id")
+            .join(embedded.select(col("qid"), col("expected_source")), "qid")
       Search.hitRate(topk, "qid", "source", "expected_source")
     }
   }

@@ -44,15 +44,24 @@ object Search {
     * queries on the driver, `evaluation.py:83-95`).
     *
     * `queries` must carry (`qidCol`, `qvecCol`); `corpus` carries
-    * (`idCol`, `vecCol`). For large corpora pair this with a blocking
-    * key (e.g. LSH bucket) instead of the cross join.
+    * (`idCol`, `vecCol`). This is the EXACT all-pairs baseline: both inputs
+    * are guarded by [[Similarity.guardExactRegime]] (defaults ON at
+    * [[Similarity.DefaultMaxExactRows]]) so a 100 TB corpus fails loudly
+    * instead of silently planning O(|Q|·|N|). Past the cap, use
+    * [[Similarity.blockedTopKPerQuery]] (LSH-banded candidates, same
+    * re-rank tail). Note the guard evaluates each input twice (1-row count
+    * + row stream) — cache/checkpoint expensive upstream lineage first.
     */
   def topKPerQuery(queries: DataFrame, corpus: DataFrame, k: Int,
                    qidCol: String = "qid", qvecCol: String = "qvec",
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   excludeSelf: Boolean = false): DataFrame = {
+                   excludeSelf: Boolean = false,
+                   maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = queries.crossJoin(corpus)
+    val joined = Similarity
+      .guardExactRegime(queries, "topKPerQuery.queries", maxExactRows)
+      .crossJoin(Similarity.guardExactRegime(corpus, "topKPerQuery.corpus",
+        maxExactRows))
     val scored0 = joined.withColumn("score",
       graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)))
     val scored = if (excludeSelf) scored0.filter(col(qidCol) =!= col(idCol)) else scored0

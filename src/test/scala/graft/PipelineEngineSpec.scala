@@ -103,6 +103,30 @@ class PipelineEngineSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(row.getAs[Double]("hit_rate") - 200.0 / 3).abs < 0.01)
   }
 
+  test("evaluator routes blocked above the exact cap with identical hit-rate") {
+    val (root, data, cfg) = setup()
+    Pipeline.run(spark, cfg)
+    val ds = root.resolve("eval_routing.jsonl")
+    val sparkSrc = "file:" + data.resolve("spark.txt").toString
+    val cookSrc = "file:" + data.resolve("cooking.txt").toString
+    Files.writeString(ds,
+      s"""{"question": "distributed analytics engine spark", "expected_source": "$sparkSrc"}
+         |{"question": "tomato sauce garlic basil", "expected_source": "$cookSrc"}
+         |{"question": "quantum chromodynamics lattice", "expected_source": "file:/nowhere.txt"}
+         |""".stripMargin)
+    val ev = Engine.Evaluator(cfg)
+    // Default cap -> exact route (fixture corpus is tiny).
+    val exact = ev.evaluate(spark, ds.toString, k = 3).collect()(0)
+    // Cap 0 -> every corpus is "over the cap" -> blocked route.
+    val blocked = ev.evaluate(spark, ds.toString, k = 3, maxExactRows = 0)
+      .collect()(0)
+    assert(exact.getAs[Long]("total_questions") == 3
+      && blocked.getAs[Long]("total_questions") == 3)
+    assert(exact.getAs[Long]("hits") == 2)
+    assert(blocked.getAs[Long]("hits") == exact.getAs[Long]("hits"))
+    assert(blocked.getAs[Double]("hit_rate") == exact.getAs[Double]("hit_rate"))
+  }
+
   test("mrr scores 1/rank of the first relevant result, 0 when absent") {
     import spark.implicits._
     // q1 hits at rank 2, q2 at rank 1, q3 never.

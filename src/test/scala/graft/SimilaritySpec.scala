@@ -334,9 +334,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
           $"embedding".as("qvec"), lit(0).as("qgroup")),
         big.withColumn("label", lit(1)), k = 2, maxExactRows = 10).collect()
     }
+    assertGuardTrips("topKPerQuery.corpus") {
+      Search.topKPerQuery(
+        big.filter($"vec_id" < 3).select($"vec_id".as("qid"),
+          $"embedding".as("qvec")),
+        big, k = 2, maxExactRows = 10).collect()
+    }
+    assertGuardTrips("topKPerQuery.queries") {
+      Search.topKPerQuery(
+        big.select($"vec_id".as("qid"), $"embedding".as("qvec")),
+        big.filter($"vec_id" < 3), k = 2, maxExactRows = 10).collect()
+    }
     // under the ceiling the same shapes pass untouched
     assert(Similarity.mutualKnnPairs(big, k = 1, maxExactRows = 30)
       .count() >= 1)
+    assert(Search.topKPerQuery(
+      big.select($"vec_id".as("qid"), $"embedding".as("qvec")),
+      big, k = 1, maxExactRows = 30).count() >= 1)
   }
 
   test("blocked variants: identical vectors share every band -> found with exact values") {
