@@ -295,7 +295,11 @@ object SparkEntry {
         lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
         octet_length(payload).cast("string"), lit("\r\n\r\n"), payload,
         lit("\r\n\r\n"))
-      t(s, dir, "documents").select(record.as("rec")).as[String]
+      // A null text would null the whole concat and NPE in getBytes —
+      // filter first (fixtures carry none; the guard is for robustness,
+      // and the oracle applies the same predicate).
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(record.as("rec")).as[String]
         .flatMap(rec => graft.sources.Warc
           .parseCaptures(rec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map(c => (c.url, c.captureTime, c.mime, c.text)))
@@ -3531,7 +3535,12 @@ object SparkEntry {
        |$steps,
        |rec AS (${(1 to rounds)
            .map(r => s"SELECT doc_id, chunk_index, chunk FROM em$r")
-           .mkString(" UNION ALL ")})""".stripMargin
+           .mkString(" UNION ALL ")}
+       | UNION ALL
+       | SELECT doc_id, ci AS chunk_index,
+       |  error(concat('recursiveChunkSql: unroll exhausted after $rounds rounds, doc ',
+       |    CAST(doc_id AS VARCHAR), ' still live')) AS chunk
+       | FROM c${rounds + 1})""".stripMargin
   }
 
   /** Banded-signature CTE over `src` for the blocked-gate oracles: one row
@@ -4104,7 +4113,7 @@ object SparkEntry {
         | '2024-01-01T00:00:00Z' AS capture_time,
         | 'text/html' AS mime,
         | 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10) || '& fin' AS content
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "change_detection" ->
       """WITH state AS (

@@ -462,6 +462,13 @@ object Similarity {
     * combined 1-row count broadcast back over the rows, raising in-flight
     * when the input exceeds `maxRows` — no driver job, no single-partition
     * pileup, and the cross join never multiplies anything first.
+    *
+    * COST NOTE: `df` is referenced twice (the count aggregate AND the row
+    * stream), so expensive upstream lineage evaluates twice per action and
+    * must be deterministic for the count to describe the streamed rows —
+    * callers should cache/checkpoint pricey inputs before any exact-regime
+    * op. The exact regime is by definition small (≤ `maxRows`), so the
+    * second evaluation is bounded; the blocked variants don't pay it.
     */
   private[graft] def guardExactRegime(df: DataFrame, op: String,
                                       maxRows: Long): DataFrame = {

@@ -123,9 +123,13 @@ case class HyperplaneSigExpr(child: Expression, numPlanes: Int, seed: Int)
 object HyperplaneSigExpr {
 
   /** Dims with a precomputed sign column; beyond this the per-(plane, dim)
-    * pure function runs inline (no real embedding corpus exceeds it).
+    * pure function runs inline with IDENTICAL arithmetic. 1024 covers
+    * every common embedding width (384/768/1024) at ~8 KB/plane — the
+    * tabulation rides every task binary as a codegen reference object, so
+    * it is sized for the typical case, not the maximum (wider vectors just
+    * pay the inline fmix64 for the tail dims).
     */
-  val CachedDims: Int = 4096
+  val CachedDims: Int = 1024
 
   /** Component sign (+1/-1) of pseudo-random hyperplane `p` at dimension
     * `j` under `seed` — fmix64 of the packed coordinates, low bit picks
