@@ -2346,6 +2346,12 @@ object SparkEntry {
     // Similarity-search extensions (scale tiers of Q1)
     // -----------------------------------------------------------------------
     "similarity_lsh" -> ((s, dir) => {
+      // Bucketed random-projection LSH (E2LSH scheme) on the in-house
+      // replayable Rademacher directions (lshTopK scaladoc): FULL oracle
+      // since r10 — the projection matrix is the same compile-time
+      // hyperplaneSign family the banded gates inline, so the oracle
+      // replays bucketing, candidate filter, and the exact L2 re-rank in
+      // the gate's real approximate regime (was †-MLlib before).
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
@@ -2382,9 +2388,9 @@ object SparkEntry {
       // matrix is a compile-time constant of (seed, plane, dim), so the
       // oracle replays the exact banding, candidate join, and ranking —
       // strictly stronger than a full-probe parameterization, because the
-      // machinery is checked in its real approximate regime (the MLlib
-      // `similarity_lsh` gate stays †: its bucketing is internal to
-      // Spark). Self included: the query vector ranks first at ~1.0, the
+      // machinery is checked in its real approximate regime (the
+      // `similarity_lsh` euclidean tier replays the same way since r10).
+      // Self included: the query vector ranks first at ~1.0, the
       // same convention as similarity_ivf_exact.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -4932,6 +4938,31 @@ object SparkEntry {
          |FROM bs LEFT JOIN bt
          | ON bs.src_id = bt.bsrc AND bs.tgt_id = bt.btgt""".stripMargin,
 
+    // Projection-matrix replay of the euclidean bucketed-LSH search
+    // (Similarity.lshTopK scaladoc): the ±1 directions are the first 4
+    // rows of the same inlined plane table, bucket = floor(dot / 2.0),
+    // candidate = any-table bucket match, then the exact L2 re-rank —
+    // the squared-diff list dotted with itself replays the zip_with
+    // left-to-right accumulation bit-for-bit. Promoted from † in r10.
+    "similarity_lsh" ->
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT p.p AS t,
+         |  CAST(floor(list_dot_product(qv, p.s) / 2.0) AS BIGINT) AS b
+         | FROM q CROSS JOIN planes p WHERE p.p < 4),
+         |cb AS (SELECT vec_id, p.p AS t,
+         |  CAST(floor(list_dot_product(v, p.s) / 2.0) AS BIGINT) AS b
+         | FROM e CROSS JOIN planes p WHERE p.p < 4),
+         |cand AS (SELECT DISTINCT vec_id FROM cb JOIN qb USING (t, b)),
+         |d AS (SELECT e.vec_id,
+         |  sqrt(list_dot_product(
+         |    list_transform(range(1, len(v) + 1), i -> v[i] - qv[i]),
+         |    list_transform(range(1, len(v) + 1), i -> v[i] - qv[i]))) AS dist
+         | FROM cand JOIN e USING (vec_id) CROSS JOIN q)
+         |SELECT vec_id, round(dist, 6) AS dist
+         |FROM d ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
     // Sign-matrix replay of the banded single-query search: the gate that
     // pins the hyperplane-LSH machinery value-for-value in its real
     // approximate regime (comment on the Spark side).
@@ -7262,6 +7293,38 @@ object SparkEntry {
     // Bloom prefilter + exact verify must be row-identical to the exact
     // broadcast-join formulation — one oracle covers both paths.
     "decontamination_bloom" -> decontaminationSql,
+
+    // Full bit-vote replay of the SimhashExpr kernel (its scaladoc): the
+    // per-token hash is the first 16 hex chars of md5, so the oracle
+    // recomputes every ±1 vote, fingerprint bit, quarter band, and hamming
+    // distance from scratch — brute force over all pairs (the 4x16-bit
+    // banding only DROPS pairs with no exact-quarter match, which is
+    // exactly the `min(qd) = 0` predicate here). Promoted from rows-only
+    // in r10.
+    "dedup_simhash" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
+         |th AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         |  CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2 FROM tk),
+         |votes AS (SELECT doc_id, j,
+         |  sum(CASE WHEN (CASE WHEN j < 32 THEN h2 >> j ELSE h1 >> (j - 32) END) & 1 = 1
+         |      THEN 1 ELSE -1 END) AS v
+         | FROM th CROSS JOIN range(0, 64) r(j) GROUP BY 1, 2),
+         |bits AS MATERIALIZED (
+         | SELECT c.doc_id, r.j AS j, CAST(r.j // 16 AS INT) AS q,
+         |  CASE WHEN coalesce(v.v, 0) > 0 THEN 1 ELSE 0 END AS bit
+         | FROM corpus c CROSS JOIN range(0, 64) r(j)
+         | LEFT JOIN votes v ON v.doc_id = c.doc_id AND v.j = r.j),
+         |pq AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.q, sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS qd
+         | FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2, 3)
+         |SELECT id_a, id_b, CAST(sum(qd) AS INTEGER) AS hamming
+         |FROM pq GROUP BY 1, 2
+         |HAVING min(qd) = 0 AND sum(qd) <= 12""".stripMargin,
 
     "neardup_cosine" ->
       s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -737,29 +737,15 @@ object Dedup {
   // SimHash (64-bit fingerprint; hamming-near docs are near-dups)
   // -------------------------------------------------------------------------
 
-  private val simhashUdf = udf((toks: Seq[String]) => {
-    val votes = new Array[Long](64)
-    toks.foreach { t =>
-      // xxhash-style 64-bit mix of the token (stable scala murmur x2)
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xffffffffL
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL
-      val h = (h1 << 32) | h2
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  })
-
-  /** Add a 64-bit `simhash` column from space-tokenized content. */
+  /** Add a 64-bit `simhash` column from space-tokenized content. The
+    * kernel is the codegen'd [[graft.plans.SimhashExpr]] (md5-derived
+    * per-token hash — engine-neutral, so the near-dup gate carries a FULL
+    * SQL oracle replaying the bit votes; see its scaladoc).
+    */
   def simhash(df: DataFrame, textCol: String): DataFrame =
     Partitioning.ensureParallelism(df).withColumn("simhash",
-      simhashUdf(filter(split(lower(col(textCol)), " "), t => length(t) > 0)))
+      graft.plans.SimhashExpr.sig(
+        filter(split(lower(col(textCol)), " "), t => length(t) > 0)))
 
   /** Hamming distance between two simhash columns (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,26 +21,56 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def toMl = udf((arr: Seq[Float]) =>
-    Vectors.dense(arr.map(_.toDouble).toArray))
-
   // -------------------------------------------------------------------------
   // LSH tier
   // -------------------------------------------------------------------------
 
-  /** Top-k via BucketedRandomProjectionLSH (MLlib). Deterministic under the
-    * seed. Returns the corpus rows + `dist` (euclidean), nearest first.
+  /** Top-k via bucketed random projections (the E2LSH / Datar et al. 2004
+    * scheme MLlib's BucketedRandomProjectionLSH implements), built in-house
+    * on the REPLAYABLE Rademacher projection family: hash table `t` buckets
+    * a vector at `floor(dot(v, r_t) / bucketLength)` where `r_t` is the ±1
+    * direction [[hyperplaneSign]](seed, t, ·) — a pure compile-time
+    * function, so a SQL oracle inlines the directions and replays the
+    * bucketing, candidate filter, and exact re-rank value-for-value (the
+    * `planesSql` trick; this is what promoted the gate off the † list —
+    * MLlib's internal Gaussian directions were unreplayable). A row is a
+    * candidate when it shares the query's bucket in ANY table; candidates
+    * are ranked by exact L2 (`dist`), nearest first, ties by `idCol`.
+    *
+    * Scale shape: the bucket predicate is a narrow codegen'd filter —
+    * no shuffle, no fit() pass over the corpus (MLlib's fit was a no-op
+    * model anyway); a deployment stores `bucket_t` as partition columns
+    * and the same predicate prunes at the file level. The final top-k is
+    * `TakeOrderedAndProject` over the surviving candidates.
     */
   def lshTopK(corpus: DataFrame, queryVec: Array[Float], k: Int,
-              vecCol: String = "embedding", bucketLength: Double = 2.0,
-              numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val withMl = corpus.withColumn("__ml_vec", toMl(col(vecCol)))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("__ml_vec").setOutputCol("__hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(withMl)
-    model.approxNearestNeighbors(withMl, Vectors.dense(queryVec.map(_.toDouble)), k, "dist")
-      .drop("__ml_vec", "__hashes")
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              bucketLength: Double = 2.0,
+              numHashTables: Int = 4, seed: Int = 42): DataFrame = {
+    require(numHashTables >= 1 && bucketLength > 0,
+      s"need numHashTables >= 1 and bucketLength > 0, " +
+        s"got $numHashTables / $bucketLength")
+    val dim = queryVec.length
+    def direction(t: Int): Array[Double] =
+      Array.tabulate(dim)(j => hyperplaneSign(seed, t, j))
+    def qBucket(t: Int): Long = {
+      val r = direction(t)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += r(j) * queryVec(j); j += 1 }
+      math.floor(dot / bucketLength).toLong
+    }
+    val anyBucketMatches = (0 until numHashTables).map { t =>
+      floor(graft.functions.VectorFunctions
+        .dotProduct(col(vecCol), lit(direction(t))) / bucketLength)
+        .cast("long") === lit(qBucket(t))
+    }.reduce(_ || _)
+    corpus
+      .filter(anyBucketMatches)
+      .withColumn("dist", graft.functions.VectorFunctions
+        .l2Distance(col(vecCol), lit(queryVec.map(_.toDouble))))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
   }
 
   /** Matryoshka-style truncation audit: how much of the FULL-dimension
