@@ -203,12 +203,22 @@ object Bench {
     val candidates = Seq(
       lineAt(r3, extras = true), lineAt(r2, extras = false),
       lineAt(r1, extras = false))
-    // The driver's artifact can only carry the ~2000-char stdout tail, so
-    // with a 260+-gate suite the full per-query map can never ride the
-    // printed line. The COMPLETE, un-degraded JSON line is persisted here
-    // so the round record in-repo is self-contained (the r8 verdict item):
-    // same shape the driver would have parsed, full 3dp map, all keys.
-    if (only.isEmpty) writeArtifact("bench_full.json", candidates.head)
+    // The driver's artifact can only carry a FIXED 2000-char stdout tail
+    // (measured across BENCH_r01..r09: len(tail) == 2000 every round), so
+    // with a 260+-gate suite the full per-query map can physically never
+    // ride the printed line. The COMPLETE, un-degraded JSON line is the
+    // canonical round artifact, persisted (and committed) here: same shape
+    // the driver would have parsed, full 3dp map, all keys, `failed`
+    // inline. The printed line carries `n_queries` plus the sha256 of this
+    // file so the driver's round record is verifiably pinned to the exact
+    // committed full map — no stale-artifact ambiguity.
+    val fullSha =
+      if (only.isEmpty) {
+        writeArtifact("bench_full.json", candidates.head)
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(candidates.head.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+      } else "subset-run"
     val line = candidates.find(_.length <= 1880).getOrElse {
       // Even 1dp over the full suite outgrew the window: keep the SLOWEST
       // queries (the ones perf grading cares about) up to the budget and
@@ -216,15 +226,15 @@ object Bench {
       // are in bench_plans/timings.json either way.
       val byCost = ran.toSeq.sortBy(-_._2)
       val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      var len = 220 // fixed keys + slack
+      var len = 300 // fixed keys + slack
       byCost.foreach { case (k, v) =>
         val entryLen = k.length + 9
         if (len + entryLen <= 1800) { keep += ((k, v)); len += entryLen }
       }
       val qs = keep.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
-      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${ran.size}; full 3dp map in bench_plans/timings.json")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size},"queries_full":"bench_plans/timings.json","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${ran.size}; full 3dp map in bench_plans/bench_full.json (sha256/8 $fullSha)")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size},"n_queries":${ran.size},"queries_full":"bench_plans/bench_full.json","full_sha256":"$fullSha","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     }
     if (line != candidates.head)
       System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")
