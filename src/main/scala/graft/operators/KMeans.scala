@@ -251,9 +251,13 @@ object KMeans {
     *
     * Scale shape: `k` bounded driver rounds (the [[fit]] / BPE
     * discipline), each ONE distributed `TakeOrderedAndProject` argmax over
-    * a narrow codegen'd pass; the running min-distance column folds `least`
-    * per round, so round `r` costs O(n) work and collects ONE row. The
-    * input projection is persisted once; nothing else is corpus-sized.
+    * a narrow codegen'd pass. The running min-distance frame is EAGERLY
+    * `localCheckpoint`ed every round (the Components/Graph/BPE posture):
+    * without it the stacked `least` projections recompute every earlier
+    * round's distance pass — O(k²·n·dim) total work plus a growing codegen
+    * compile per round — where the checkpointed shape is flat O(k·n·dim)
+    * and each round's plan starts from `Scan ExistingRDD`. Superseded
+    * round frames are unpersisted as soon as the next one materializes.
     */
   def kCenter(df: DataFrame, vecCol: String, idCol: String, k: Int,
               roundDp: Int = 6): DataFrame = {
@@ -276,16 +280,23 @@ object KMeans {
         graft.functions.VectorFunctions.l2DistanceSq(col("__v"), lit(c)),
         roundDp)
       var frame = cur.withColumn("__dm", d2To(vecOf(seedRow(0))))
+        .localCheckpoint() // eager: each round folds ONE least() over the
+                           // previous round's materialized rows, never the
+                           // whole selection history
       var r = 2
       while (r <= k) {
         val top = frame.orderBy(col("__dm").desc, col("__id")).limit(1)
           .collect()(0)
         selected += ((r.toLong, top.getLong(0), top.getDouble(2)))
-        frame = frame.withColumn("__dm",
+        val next = frame.withColumn("__dm",
           least(col("__dm"), d2To(vecOf(top))))
+          .localCheckpoint()
+        frame.unpersist() // superseded round's blocks, not needed by `next`
+        frame = next
         r += 1
       }
       val coverage = frame.agg(max(col("__dm"))).collect()(0).getDouble(0)
+      frame.unpersist() // release the final round's checkpoint blocks
       selected.toSeq.toDF("rank", "id", "d2")
         .withColumn("coverage_d2", lit(coverage))
     } finally cur.unpersist()

@@ -179,4 +179,44 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.KMeans.kCenter(df, "embedding", "vec_id", k = 0)
     }
   }
+
+  test("kCenter rounds scan the checkpoint, not stacked least() lineage") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // The Components/Graph/BPE eager-checkpoint posture: every round's
+    // argmax must start from `Scan ExistingRDD` (the previous round's
+    // materialized frame) instead of re-deriving the whole selection
+    // history's distance folds from the cached input — the lazy-lineage
+    // class behind the r7 dsir_weights swing.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark2.listenerManager.register(listener)
+    try {
+      val df = (1L to 40L).map(i => (i, Seq(i.toFloat, (i % 7).toFloat)))
+        .toDF("vec_id", "embedding")
+      graft.operators.KMeans.kCenter(df, "embedding", "vec_id", k = 5).collect()
+      // listener delivery is async — poll for the 4 argmax rounds
+      import scala.jdk.CollectionConverters._
+      def argmaxPlans = plans.asScala.toSeq.filter(p =>
+        p.contains("TakeOrderedAndProject") && p.contains("__dm"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (argmaxPlans.size < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val rounds = argmaxPlans
+      assert(rounds.size >= 4, s"captured ${rounds.size} argmax plans")
+      rounds.foreach { p =>
+        assert(p.contains("ExistingRDD"), p.take(400))
+        assert(!p.contains("least("), // distance folds live in the
+          p.take(400))                // checkpoint materialization, never
+                                      // re-stacked under the argmax
+      }
+    } finally spark2.listenerManager.unregister(listener)
+  }
 }

@@ -289,4 +289,39 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.Sampling.greedySetCover(df, "text", "doc_id", k = 0)
     }
   }
+
+  test("greedySetCover rounds scan the persisted terms table (flat lineage)") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // The driver-round discipline pin (r9 verdict #6): set-cover keeps its
+    // covered set ON THE DRIVER, so unlike the checkpoint-per-round
+    // families there is no growing lineage to truncate — each round's
+    // argmax must read the ONE persisted exploded-terms cache
+    // (InMemoryTableScan), never re-derive the explode from the source.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark2.listenerManager.register(listener)
+    try {
+      val df = Seq((1L, "a b c"), (2L, "c d"), (3L, "e f g h"), (4L, "h i"))
+        .toDF("doc_id", "text")
+      graft.operators.Sampling.greedySetCover(df, "text", "doc_id", k = 3)
+        .collect()
+      import scala.jdk.CollectionConverters._
+      def argmaxPlans = plans.asScala.toSeq.filter(p =>
+        p.contains("TakeOrderedAndProject") && p.contains("__gain"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (argmaxPlans.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val rounds = argmaxPlans
+      assert(rounds.size >= 3, s"captured ${rounds.size} argmax plans")
+      rounds.foreach(p => assert(p.contains("InMemoryTableScan"), p.take(400)))
+    } finally spark2.listenerManager.unregister(listener)
+  }
 }
