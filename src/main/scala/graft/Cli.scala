@@ -91,8 +91,7 @@ object Cli {
         val spark = session()
         try {
           val state = Factory.stateManager(cfg.stateManager).load(spark)
-          val items = state.filter(col("item_id") =!= StateStore.WatermarkKey)
-            .select("item_id").orderBy("item_id").collect().map(_.getString(0))
+          val items = statusItems(state).collect().map(_.getString(0))
           if (items.isEmpty) println("no processed items")
           else { println(s"${items.length} processed item(s):"); items.foreach(i => println(s"  $i")) }
         } finally spark.stop()
@@ -153,6 +152,15 @@ object Cli {
         println(s"unknown command: $other"); println(usage); sys.exit(1)
     }
   }
+
+  /** The `status` verb's projection over a loaded state table: processed
+    * item ids, watermark row excluded, sorted — shared by the verb and the
+    * `cli_status` correctness gate (which drives it through a real JSON
+    * backend save→load round trip).
+    */
+  def statusItems(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    state.filter(col("item_id") =!= StateStore.WatermarkKey)
+      .select("item_id").orderBy("item_id")
 
   private def usage: String =
     """usage: graft <run|init|status|list-components|test-connection|clean|eval|search> [options]

@@ -388,6 +388,30 @@ object SparkEntry {
       // K3: delete-scope computation (sinks.py:66-72)
       Sink.distinctSources(t(s, dir, "documents"))),
 
+    "cli_status" -> ((s, dir) => {
+      // F6 end-to-end (cli.py status): state built from the documents
+      // table, persisted and RELOADED through the real JSON state backend
+      // (the reference's default, state_manager.py:38-71), then the status
+      // verb's exact projection — watermark row excluded, sorted item ids.
+      // The oracle replays the ids directly, so the gate pins the whole
+      // save -> load -> filter -> sort loop, closing the last §2 row with
+      // no driver-oracle coverage.
+      val docs = t(s, dir, "documents")
+      val state = docs.select(
+          concat(lit("doc-"), col("doc_id").cast("string")).as("item_id"),
+          sha2(col("text"), 256).as("fingerprint"),
+          lit(null).cast("timestamp").as("updated_at"))
+        .unionByName(s.range(1).select(
+          lit(graft.operators.StateStore.WatermarkKey).as("item_id"),
+          lit(null).cast("string").as("fingerprint"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("updated_at")))
+      val path = java.nio.file.Files.createTempFile("graft_cli_status", ".json")
+      java.nio.file.Files.deleteIfExists(path) // manager owns the file
+      val mgr = graft.state.JsonStateManager(path.toString)
+      mgr.save(state)
+      Cli.statusItems(mgr.load(s))
+    }),
+
     "skew_join" -> ((s, dir) => {
       // Salted equi-join (hot-key mitigation): result identical to the
       // plain join, so the oracle is the unsalted SQL join.
@@ -4182,6 +4206,12 @@ object SparkEntry {
 
     "distinct_sources" ->
       "SELECT DISTINCT source FROM documents",
+
+    // The status verb's id list survives the JSON backend round trip
+    // verbatim; the watermark row is filtered before display.
+    "cli_status" ->
+      """SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS item_id
+        |FROM documents ORDER BY 1""".stripMargin,
 
     "skew_join" ->
       """SELECT s.s_name,
