@@ -2383,6 +2383,10 @@ object SparkEntry {
     }),
 
     "similarity_ivf" -> ((s, dir) => {
+      // FULL oracle since r10 (was the last †): ivfIndex trains in
+      // integer micro-units (its scaladoc), so the ivfSql oracle replays
+      // the whole k-means training + assignment + 2-cell probe in the
+      // gate's real approximate regime.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
@@ -3611,6 +3615,110 @@ object SparkEntry {
        | JOIN e co ON co.vec_id = c.cid
        |ORDER BY ${cosOf("co.embedding", "q.qv")} DESC, c.cid LIMIT 10""".stripMargin
 
+  /** Full engine-neutral replay of `Similarity.ivfIndex` + `ivfTopK`
+    * (the r10 † closure): unit vectors quantize to integer micro-units
+    * (`floor(x * (1/sqrt(dot)) * 1e6 + 0.5)`), so the training sample
+    * order (md5 of quantized components + id + seed), the farthest-point
+    * init, every Lloyd assignment (EXACT integer distances — no float
+    * accumulation order anywhere), the per-cluster integer component
+    * sums, and the fixed-dimension-order mean/renormalize/requantize all
+    * replay value-for-value. The probe-cell ranking and the final cosine
+    * re-rank then use the same left-to-right double arithmetic as every
+    * other gate. All iterative CTEs are MATERIALIZED (DuckDB otherwise
+    * inlines the chain exponentially).
+    */
+  private def ivfSql(nCells: Int, maxIter: Int, nProbe: Int, k: Int,
+                     dim: Int, seed: Long): String = {
+    val dims = dim + 1
+    def d2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, $dims), " +
+        s"j -> ($a[CAST(j AS INT)] - $b[CAST(j AS INT)]) * " +
+        s"($a[CAST(j AS INT)] - $b[CAST(j AS INT)]))) AS DOUBLE)"
+    val kcRounds = (2 to nCells).map { r =>
+      s"""kc$r AS MATERIALIZED (SELECT q AS cq FROM kd${r - 1}
+         | ORDER BY dm DESC, pos LIMIT 1),
+         |kd$r AS MATERIALIZED (SELECT d.pos, d.q,
+         |  least(d.dm, ${d2("d.q", "c.cq")}) AS dm
+         | FROM kd${r - 1} d CROSS JOIN kc$r c)""".stripMargin
+    }.mkString(",\n")
+    val cents0 = (1 to nCells)
+      .map(r => s"SELECT ${r - 1} AS cell, cq FROM kc$r")
+      .mkString(" UNION ALL ")
+    val lloyd = (1 to maxIter).map { t =>
+      s"""la$t AS MATERIALIZED (
+         | SELECT pos, q, cell FROM (
+         |  SELECT s.pos, s.q, c.cell,
+         |   row_number() OVER (PARTITION BY s.pos
+         |     ORDER BY ${d2("s.q", "c.cq")}, c.cell) AS rn
+         |  FROM smp s CROSS JOIN cents${t - 1} c) WHERE rn = 1),
+         |lm$t AS MATERIALIZED (
+         | SELECT cell, list(m ORDER BY j) AS ml FROM (
+         |  SELECT cell, j, CAST(sum(q[CAST(j AS INT)]) AS DOUBLE) / count(*) AS m
+         |  FROM la$t CROSS JOIN range(1, $dims) r(j) GROUP BY cell, j)
+         | GROUP BY cell),
+         |ln$t AS (
+         | SELECT cell, list_transform(range(1, $dims), j ->
+         |   CAST(floor(ml[CAST(j AS INT)] * (1.0 / sqrt(list_dot_product(ml, ml)))
+         |     * 1000000.0 + 0.5) AS BIGINT)) AS cq
+         | FROM lm$t WHERE list_dot_product(ml, ml) > 0),
+         |cents$t AS MATERIALIZED (
+         | SELECT p.cell, coalesce(n.cq, p.cq) AS cq
+         | FROM cents${t - 1} p LEFT JOIN ln$t n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS dv
+       |  FROM embeddings),
+       |qv AS MATERIALIZED (
+       | SELECT vec_id, list_transform(dv, x ->
+       |   CAST(floor(x * (1.0 / sqrt(list_dot_product(dv, dv)))
+       |     * 1000000.0 + 0.5) AS BIGINT)) AS q
+       | FROM e
+       | WHERE vec_id IS NOT NULL AND len(dv) > 0
+       |   AND list_dot_product(dv, dv) > 0),
+       |smp AS MATERIALIZED (
+       | SELECT q, pos FROM (
+       |  SELECT q, row_number() OVER (ORDER BY
+       |    md5(array_to_string(q, ',') || ':' || CAST(vec_id AS VARCHAR)
+       |      || ':$seed')) AS pos
+       |  FROM qv) WHERE pos <= 20000),
+       |kc1 AS MATERIALIZED (SELECT q AS cq FROM smp WHERE pos = 1),
+       |kd1 AS MATERIALIZED (SELECT s.pos, s.q, ${d2("s.q", "c.cq")} AS dm
+       | FROM smp s CROSS JOIN kc1 c),
+       |$kcRounds,
+       |cents0 AS MATERIALIZED ($cents0),
+       |$lloyd,
+       |assign AS MATERIALIZED (
+       | SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |   row_number() OVER (PARTITION BY v.vec_id
+       |     ORDER BY ${d2("v.q", "c.cq")}, c.cell) AS rn
+       |  FROM qv v CROSS JOIN cents$maxIter c) WHERE rn = 1
+       | UNION ALL
+       | SELECT vec_id, 0 AS cell FROM e
+       | WHERE embedding IS NOT NULL
+       |   AND coalesce(list_dot_product(dv, dv), 0) = 0),
+       |uq AS (SELECT list_transform(dv, x ->
+       |   x / sqrt(list_dot_product(dv, dv))) AS u
+       | FROM e WHERE vec_id = 0),
+       |cd AS (SELECT cell,
+       |  list_transform(cq, x -> CAST(x AS DOUBLE) / 1000000.0) AS c
+       | FROM cents$maxIter),
+       |probe AS (SELECT cell FROM (
+       | SELECT cd.cell, list_dot_product(
+       |   list_transform(range(1, $dims), j ->
+       |     cd.c[CAST(j AS INT)] - uq.u[CAST(j AS INT)]),
+       |   list_transform(range(1, $dims), j ->
+       |     cd.c[CAST(j AS INT)] - uq.u[CAST(j AS INT)])) AS d
+       | FROM cd CROSS JOIN uq) ORDER BY d, cell LIMIT $nProbe),
+       |qlit AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT em.vec_id, round(${cosOf("em.embedding", "q.qe")}, 6) AS score
+       |FROM embeddings em
+       | JOIN assign a ON a.vec_id = em.vec_id
+       | JOIN probe p ON p.cell = a.cell
+       | CROSS JOIN qlit q
+       |ORDER BY ${cosOf("em.embedding", "q.qe")} DESC, em.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** Exact RBO suffix coefficients (k=10, p=9/10) — the SAME table the
     * `eval_rbo` Spark gate uses, so the oracle replays identical integer
     * arithmetic.
@@ -4680,6 +4788,14 @@ object SparkEntry {
          |SELECT vec_id, round(${cosOf("embedding", "qv")}, 6) AS score
          |FROM embeddings, q
          |ORDER BY ${cosOf("embedding", "qv")} DESC, vec_id LIMIT 10""".stripMargin,
+
+    // FULL training-regime replay (ivfSql scaladoc): micro-unit quantized
+    // spherical k-means — sample order, farthest-point init, 5 Lloyd
+    // iterations, corpus assignment, probe-cell ranking, cosine re-rank,
+    // all value-for-value. Promoted from † in r10: zero no-oracle gates
+    // remain.
+    "similarity_ivf" -> ivfSql(nCells = 8, maxIter = 5, nProbe = 2,
+      k = 10, dim = 64, seed = 42L),
 
     "eval_hitrate" ->
       s"""WITH corpus AS (

@@ -148,52 +148,75 @@ object Similarity {
     * planned as TakeOrderedAndProject (per-partition top-K, one driver
     * merge, ONE corpus pass, no count job) — so partition and file order
     * never influence which vectors train the quantizer.
+    *
+    * ENGINE-NEUTRAL training arithmetic (r10, what promoted the
+    * `similarity_ivf` gate off the † list): unit vectors are quantized to
+    * integer micro-units (`floor(u * 1e6 + 0.5)` per component), so every
+    * pairwise distance and every per-cluster component sum is EXACT
+    * integer arithmetic — no float accumulation order anywhere a SQL
+    * engine could disagree with; the only float steps (mean, renormalize)
+    * run in fixed dimension order over exact integer inputs. The content
+    * hash is md5 over the quantized components (integer-to-string
+    * formatting is engine-identical, float formatting is not), so a
+    * DuckDB oracle replays the sample order, the farthest-point init, and
+    * every Lloyd iteration value-for-value. Quantization costs < 1e-6
+    * per component on unit vectors — noise for a coarse quantizer whose
+    * job is picking ~dozens of cells.
     */
   def ivfIndex(corpus: DataFrame, vecCol: String = "embedding",
                nCells: Int = 16, seed: Long = 42L,
-               maxIter: Int = 5, trainCap: Int = 20000): (DataFrame, Array[Array[Double]]) = {
-    val vecs = corpus.select(col(vecCol))
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-    // The trainCap lowest-content-hash rows: orderBy+limit plans as
+               maxIter: Int = 5, trainCap: Int = 20000,
+               idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
+    val micros = quantizedUnit(col(vecCol))
+    // The trainCap lowest-hash rows: orderBy+limit plans as
     // TakeOrderedAndProject (per-partition top-K, one merge on the driver)
     // — ONE corpus pass, no count job, and the same unbiased deterministic
     // sample as the former count+Bernoulli-thin+local-sort (partition and
     // file order still never influence which vectors train the quantizer;
     // the r7 count+filter pair cost a second full scan per index build).
-    val thinned = vecs.withColumn("__h", xxhash64(col(vecCol), lit(seed)))
+    // The key hashes (quantized content, id): id keeps duplicate-direction
+    // rows distinct (a quantized-content-only key would take all trainCap
+    // rows from ONE repeated direction), and integer/id-string md5 is the
+    // engine-neutral form the oracle replays (raw float bits are not).
+    val thinned = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0
+        && col(idCol).isNotNull)
+      .select(micros.as("__q"), col(idCol).cast("string").as("__id"))
+      .filter(col("__q").isNotNull)
+      .withColumn("__h", md5(concat(concat_ws(",",
+        transform(col("__q"), x => x.cast("string"))),
+        lit(":"), col("__id"), lit(s":$seed"))))
+      .select(col("__q"), col("__h"))
       .orderBy(col("__h")).limit(trainCap)
-    def unit(v: Array[Double]): Array[Double] = {
-      var n = 0.0; var j = 0
-      while (j < v.length) { n += v(j) * v(j); j += 1 }
-      if (n > 0) { val inv = 1.0 / math.sqrt(n); j = 0
-        while (j < v.length) { v(j) *= inv; j += 1 } }
-      v
-    }
-    val sample: Array[Array[Double]] = thinned.collect()
-      .sortBy(_.getLong(1))
-      .iterator.take(trainCap)
-      .map(r => unit(r.getSeq[Float](0).iterator.map(_.toDouble).toArray))
-      .filter(v => v.exists(_ != 0.0))
+    val sample: Array[Array[Long]] = thinned.collect()
+      .map(r => (r.getString(1), r.getSeq[Long](0).toArray))
+      .sortBy(_._1)
+      .iterator.take(trainCap).map(_._2)
       .toArray
     require(sample.nonEmpty, "ivfIndex: corpus has no non-empty vectors")
     val k = math.min(nCells, sample.length)
     val dim = sample(0).length
+    // Exact integer squared distance over the shared prefix (micro-units).
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      val n = math.min(math.min(a.length, b.length), dim)
+      while (j < n) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
     // Deterministic farthest-point (k-center) init over the hash-ordered
     // sample: seed 0 is the lowest-hash vector, each next seed maximizes
-    // its min distance to the seeds so far (ties -> lowest index). No RNG,
-    // well-separated cells, and a pure function of the sample content.
-    val centroids: Array[Array[Double]] = {
-      val chosen = new Array[Array[Double]](k)
+    // its min distance to the seeds so far (ties -> first in hash order).
+    // No RNG, well-separated cells, a pure function of the sample content
+    // — and with integer distances, bit-free of accumulation order.
+    val centroids: Array[Array[Long]] = {
+      val chosen = new Array[Array[Long]](k)
       chosen(0) = sample(0).clone()
-      val minD = Array.fill(sample.length)(Double.MaxValue)
+      val minD = Array.fill(sample.length)(Long.MaxValue)
       var c = 1
       while (c < k) {
-        var i = 0; var bestI = 0; var bestD = -1.0
+        var i = 0; var bestI = 0; var bestD = -1L
         while (i < sample.length) {
-          var d = 0.0; var j = 0
-          val last = chosen(c - 1); val v = sample(i)
-          val n = math.min(dim, math.min(v.length, last.length))
-          while (j < n) { val t = v(j) - last(j); d += t * t; j += 1 }
+          val d = d2(sample(i), chosen(c - 1))
           if (d < minD(i)) minD(i) = d
           if (minD(i) > bestD) { bestD = minD(i); bestI = i }
           i += 1
@@ -203,63 +226,96 @@ object Similarity {
       }
       chosen
     }
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
+    def nearest(v: Array[Long], cs: Array[Array[Long]]): Int = {
+      var best = 0; var bestD = Long.MaxValue; var c = 0
       while (c < cs.length) {
-        var d = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < dim) { val t = v(j) - cv(j); d += t * t; j += 1 }
+        val d = d2(v, cs(c))
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
       best
     }
-    // Lloyd's iterations, driver-local: O(maxIter * |sample| * k * dim)
+    // Lloyd's iterations, driver-local: O(maxIter * |sample| * k * dim).
+    // Component sums are exact integers (order-free); the mean +
+    // spherical renormalize + requantize runs in fixed dimension order —
+    // the exact sequence the SQL oracle replays.
     var iter = 0
     while (iter < maxIter) {
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Long](k)
       sample.foreach { v =>
         val c = nearest(v, centroids)
         counts(c) += 1
         var j = 0
-        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        val n = math.min(v.length, dim)
+        while (j < n) { sums(c)(j) += v(j); j += 1 }
       }
       var c = 0
       while (c < k) {
         if (counts(c) > 0) {
-          var j = 0
-          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
-          unit(centroids(c)) // spherical step: project back to the sphere
+          val m = new Array[Double](dim)
+          var j = 0; var n2 = 0.0
+          while (j < dim) {
+            m(j) = sums(c)(j).toDouble / counts(c)
+            n2 += m(j) * m(j); j += 1
+          }
+          if (n2 > 0) {
+            val inv = 1.0 / math.sqrt(n2)
+            j = 0
+            while (j < dim) {
+              centroids(c)(j) = math.floor(m(j) * inv * 1000000.0 + 0.5).toLong
+              j += 1
+            }
+          }
         }
         c += 1
       }
       iter += 1
     }
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val centroidsMicro = centroids
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroidsMicro)
     val assignUdf = udf((vec: Seq[Float]) => {
       val cs = bc.value
-      val v = new Array[Double](cs(0).length)
-      val n = math.min(vec.length, v.length)
+      val dimC = cs(0).length
+      val n = math.min(vec.length, dimC)
       var j = 0; var norm = 0.0
+      val v = new Array[Double](dimC)
       while (j < n) { v(j) = vec(j).toDouble; norm += v(j) * v(j); j += 1 }
       if (norm == 0.0) 0 // zero-norm: direction undefined, pinned to cell 0
       else {
         val inv = 1.0 / math.sqrt(norm)
+        val q = new Array[Long](dimC)
         j = 0
-        while (j < n) { v(j) *= inv; j += 1 }
-        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (j < dimC) {
+          q(j) = math.floor(v(j) * inv * 1000000.0 + 0.5).toLong; j += 1
+        }
+        var best = 0; var bestD = Long.MaxValue; var c = 0
         while (c < cs.length) {
-          var d = 0.0; var i = 0
+          var d = 0L; var i = 0
           val cv = cs(c)
-          while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          while (i < dimC) { val t = q(i) - cv(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         best
       }
     })
-    (corpus.withColumn("cell", assignUdf(col(vecCol))), centroids)
+    val centroidsOut = centroidsMicro.map(_.map(_.toDouble / 1000000.0))
+    (corpus.withColumn("cell", assignUdf(col(vecCol))), centroidsOut)
+  }
+
+  /** Quantized-unit-vector column: L2-normalize (x * (1/sqrt(dot))), then
+    * `floor(u * 1e6 + 0.5)` per component as BIGINT — the engine-neutral
+    * representation [[ivfIndex]] trains on (null for zero-norm vectors).
+    * Pure codegen'd HOF expressions; the SQL replay is the literal same
+    * arithmetic.
+    */
+  private[graft] def quantizedUnit(vec: Column): Column = {
+    val dv = transform(vec, _.cast("double"))
+    val n = graft.functions.VectorFunctions.dotProduct(dv, dv)
+    when(n > 0.0, transform(dv, x =>
+      floor(x * (lit(1.0) / sqrt(n)) * lit(1000000.0) + lit(0.5)).cast("long")))
+      .otherwise(lit(null))
   }
 
   // -------------------------------------------------------------------------
@@ -600,7 +656,8 @@ object Similarity {
                  idCol: String = "vec_id", nCells: Int = 16, m: Int = 4,
                  kCodes: Int = 8, pqIterations: Int = 2, seed: Long = 42L)
       : (DataFrame, Array[Array[Double]], Pq.Codebooks) = {
-    val (indexed, centroids) = ivfIndex(corpus, vecCol, nCells, seed)
+    val (indexed, centroids) = ivfIndex(corpus, vecCol, nCells, seed,
+      idCol = idCol)
     val unit = graft.functions.VectorFunctions.l2Normalize(col(vecCol))
     val unitized = indexed.filter(col(vecCol).isNotNull)
       .withColumn("__unit", unit)
