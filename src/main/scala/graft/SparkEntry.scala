@@ -3001,6 +3001,26 @@ object SparkEntry {
           "text", sentencesPerChunk = 3, overlapSentences = 1)
         .select(col("doc_id"), col("chunk_index"), col("chunk"))),
 
+    "chunk_texttiling" -> ((s, dir) => {
+      // Lexical-cohesion topic chunking (Chunkers.textTiling scaladoc).
+      // Corpus text has no sentence punctuation, so the gate synthesizes
+      // sentences: every 8 words become one period-terminated sentence
+      // (the chunk_markdown skeleton trick); the chunker then breaks at
+      // every gap whose adjacent-sentence token-set Jaccard < 1/4 —
+      // exact integer cross-multiplication, fully replayed by the oracle
+      // (sentence split, token sets, boundary flags, chunk assembly).
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val ng = floor((size(toks) + 7) / lit(8)).cast("int")
+      val syn = concat(array_join(
+        transform(sequence(lit(0), ng - 1),
+          g => array_join(slice(toks, g * 8 + 1, lit(8)), " ")), ". "), lit("."))
+      val docs = t(s, dir, "documents")
+        .filter(size(filter(split(col("text"), " "), t => length(t) > 0)) > 0)
+        .select(col("doc_id"), syn.as("text"))
+      Chunkers.textTiling(docs, "text", cohesionNum = 1, cohesionDen = 4)
+        .select(col("doc_id"), col("chunk_index"), col("chunk"))
+    }),
+
     "chunk_markdown" -> ((s, dir) => {
       // Corpus text has no headers; wrap it in a deterministic md skeleton.
       // The headers map is projected to scalar header1..3 columns (the
@@ -8754,6 +8774,51 @@ object SparkEntry {
     // `(?<=[.!?])\s+` == RE2-safe `regexp_replace('([.!?])\s+' -> '\1<SEP>')`
     // + split on <SEP>; window starts slide by per-overlap=2 and a start
     // s > 1 is emitted only when s < len(sents) (the r7 subset-chunk rule).
+    // Full replay of the TextTiling chunker: synthesized 8-word sentences,
+    // RE2-safe sentence split, distinct-token-set Jaccard boundary flags
+    // (exact integer cross-multiplication inter*4 < union), start-list
+    // chunk assembly — every step a list lambda (the chunk_sentences /
+    // recursiveChunkSql discipline).
+    "chunk_texttiling" ->
+      s"""WITH w AS (
+         | SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         | FROM documents
+         | WHERE len(list_filter(string_split(text, ' '), t -> len(t) > 0)) > 0),
+         |syn AS (
+         | SELECT doc_id, array_to_string(list_transform(
+         |   range(0, CAST(floor((len(toks) + 7) / 8) AS INT)),
+         |   g -> array_to_string(toks[CAST(g * 8 + 1 AS INT) : CAST(g * 8 + 8 AS INT)], ' ')),
+         |  '. ') || '.' AS text
+         | FROM w),
+         |sp AS (SELECT doc_id, list_filter(list_transform(
+         |   string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+         |   x -> trim(x)), x -> len(x) > 0) AS sents
+         | FROM syn),
+         |ts AS (SELECT doc_id, sents, list_transform(sents,
+         |   s -> list_distinct(list_filter(string_split(lower(s), ' '), t -> len(t) > 0))) AS tsets
+         | FROM sp WHERE len(sents) > 0),
+         |bd AS (SELECT doc_id, sents,
+         |  CASE WHEN len(sents) > 1 THEN list_transform(range(1, len(sents)), g ->
+         |    (len(list_filter(tsets[CAST(g AS INT)],
+         |       x -> list_contains(tsets[CAST(g + 1 AS INT)], x))) * 4
+         |     < 1 * (len(tsets[CAST(g AS INT)]) + len(tsets[CAST(g + 1 AS INT)])
+         |        - len(list_filter(tsets[CAST(g AS INT)],
+         |            x -> list_contains(tsets[CAST(g + 1 AS INT)], x))))))
+         |   ELSE []::BOOLEAN[] END AS bounds
+         | FROM ts),
+         |st AS (SELECT doc_id, sents,
+         |  list_filter(range(1, len(sents) + 1),
+         |    j -> j = 1 OR bounds[CAST(j - 1 AS INT)]) AS starts
+         | FROM bd),
+         |ch AS (SELECT doc_id, list_transform(range(1, len(starts) + 1), k ->
+         |   array_to_string(sents[CAST(starts[CAST(k AS INT)] AS INT) :
+         |     CAST(CASE WHEN k < len(starts) THEN starts[CAST(k + 1 AS INT)] - 1
+         |          ELSE len(sents) END AS INT)], ' ')) AS chunks
+         | FROM st)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_index,
+         | chunks[CAST(i AS INT)] AS chunk
+         |FROM ch, UNNEST(range(1, len(chunks) + 1)) AS u(i)""".stripMargin,
+
     "chunk_sentences" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
          |sp AS (SELECT doc_id,

@@ -115,6 +115,72 @@ object Chunkers {
       .drop("__graft_pos")
   }
 
+  /** Lexical-cohesion topic chunking (TextTiling, Hearst CL 1997 — the
+    * deterministic core of "semantic chunking": modern pipelines swap the
+    * cohesion signal for embedding cosine, the boundary rule is the same):
+    * segment at sentence boundaries, then start a NEW chunk at every gap
+    * whose adjacent-sentence lexical cohesion falls below
+    * `cohesionNum / cohesionDen` — cohesion is the Jaccard similarity of
+    * the two sentences' distinct lowercase token sets, and the threshold
+    * compare is exact integer cross-multiplication
+    * (`inter * den < num * union`), so no float-ceil boundary can disagree
+    * across engines. A topic shift (low word overlap) breaks the chunk;
+    * cohesive runs stay together regardless of length.
+    *
+    * Pure codegen'd HOF expressions end to end (the CDC chunker's
+    * discipline): sentence split is the RE2-safe
+    * `replace "([.!?])\s+" -> "\1<SEP>"` + split (the exact equivalence
+    * the chunk_sentences oracle already relies on), boundaries and chunk
+    * assembly are array lambdas — no UDF, no shuffle, fully SQL-replayable
+    * (gate `chunk_texttiling`). Empty/whitespace docs produce no chunks;
+    * `chunk_index` is 1-based and dense.
+    */
+  def textTiling(df: DataFrame, textCol: String,
+                 cohesionNum: Long = 1, cohesionDen: Long = 4): DataFrame = {
+    require(cohesionNum >= 0 && cohesionDen > 0,
+      s"cohesion threshold must be a non-negative rational, " +
+        s"got $cohesionNum/$cohesionDen")
+    requireNoCollision(df, Seq("chunk", "chunk_index"))
+    val sep = ""
+    val sents = filter(
+      transform(split(regexp_replace(col(textCol), "([.!?])\\s+", "$1" + sep),
+        java.util.regex.Pattern.quote(sep)), s => trim(s)),
+      s => length(s) > 0)
+    val chunksOf = {
+      val tsets = transform(col("__sents"),
+        s => array_distinct(filter(split(lower(s), " "), t => length(t) > 0)))
+      val n = size(col("__sents"))
+      // boundary flag per gap g (1..n-1): Jaccard(T_g, T_{g+1}) < num/den,
+      // cross-multiplied in exact integers.
+      val bounds = when(n > 1, transform(sequence(lit(1), n - 1), g => {
+        val a = element_at(col("__tsets"), g)
+        val b = element_at(col("__tsets"), g + 1)
+        val inter = size(array_intersect(a, b)).cast("long")
+        val uni = size(a).cast("long") + size(b).cast("long") - inter
+        inter * lit(cohesionDen) < lit(cohesionNum) * uni
+      })).otherwise(array().cast("array<boolean>"))
+      val starts = filter(sequence(lit(1), n),
+        j => (j === 1) || element_at(col("__bounds"), j - 1))
+      val chunks = transform(sequence(lit(1), size(col("__starts"))), k => {
+        val s = element_at(col("__starts"), k)
+        val e = when(k < size(col("__starts")),
+          element_at(col("__starts"), k + 1) - 1).otherwise(n)
+        array_join(slice(col("__sents"), s, e - s + 1), " ")
+      })
+      (tsets, bounds, starts, chunks)
+    }
+    Partitioning.ensureParallelism(df)
+      .withColumn("__sents", sents)
+      .filter(size(col("__sents")) > 0)
+      .withColumn("__tsets", chunksOf._1)
+      .withColumn("__bounds", chunksOf._2)
+      .withColumn("__starts", chunksOf._3)
+      .select(col("*"),
+        posexplode(chunksOf._4).as(Seq("__graft_pos", "chunk")))
+      .withColumn("chunk_index", (col("__graft_pos") + 1).cast("long"))
+      .drop("__graft_pos", "__sents", "__tsets", "__bounds", "__starts")
+  }
+
   /** Adaptive chunking: per-row dispatch between markdown and recursive based
     * on the reference heuristic; single pass, no branching plans.
     */

@@ -108,6 +108,36 @@ class TextSplittersSpec extends AnyFunSuite {
     }
   }
 
+  test("textTiling chunker: cohesion boundary, single sentence, blank doc") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // s1/s2 share {apple, banana} -> J = 2/4 >= 1/4, cohesive;
+    // s2/s3 share nothing -> J = 0 < 1/4, boundary.
+    val docs = Seq(
+      (1L, "apple banana cherry. apple banana dog. red green blue."),
+      (2L, "only one sentence here."),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = graft.operators.Chunkers
+      .textTiling(docs, "text", cohesionNum = 1, cohesionDen = 4)
+      .orderBy(col("doc_id"), col("chunk_index"))
+      .select("doc_id", "chunk_index", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, "apple banana cherry. apple banana dog."),
+      (1L, 2L, "red green blue."),
+      (2L, 1L, "only one sentence here.")))
+    // threshold 1/1: EVERY gap with J < 1 breaks -> one chunk per sentence
+    val perSentence = graft.operators.Chunkers
+      .textTiling(docs.filter(col("doc_id") === 1), "text",
+        cohesionNum = 1, cohesionDen = 1)
+      .count()
+    assert(perSentence == 3L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Chunkers.textTiling(docs, "text", 1, 0)
+    }
+  }
+
   test("sentence-window chunker: golden windows, overlap slide, edge inputs") {
     import org.apache.spark.sql.functions.col
     val spark2 = SparkTestBase.spark
