@@ -453,6 +453,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), "blocking degenerated to all-pairs")
   }
 
+  test("similarity_lsh: bucket predicate is a narrow filter — no shuffle, no fit pass") {
+    // The in-house E2LSH path (r10): candidate generation must be a plain
+    // codegen'd filter over the scan (at scale the same predicate prunes
+    // bucket-partitioned files) and the re-rank a TakeOrderedAndProject —
+    // never an Exchange, never an MLlib fit job.
+    val p = plan("similarity_lsh")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("Exchange"), "LSH top-k must not shuffle:\n" + p.take(800))
+    assert(p.contains("Filter"), p.take(500))
+  }
+
+  test("chunk_texttiling: pure narrow expressions — no UDF, no key shuffle") {
+    // The only allowed Exchange is ensureParallelism's round-robin fan-out
+    // (work spreading, not data movement on a key); boundary detection and
+    // chunk assembly must never hash/range-shuffle or leave codegen for a
+    // UDF.
+    val p = plan("chunk_texttiling")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      "chunker must not shuffle on a key:\n" + p.take(800))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      p.take(500))
+  }
+
   test("coreset_kcenter: argmax rounds plan as TakeOrderedAndProject") {
     val d = SparkEntry.queries("coreset_kcenter")(spark, dir)
     // the driver already ran the rounds to build the result; re-derive one
