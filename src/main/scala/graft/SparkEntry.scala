@@ -2359,6 +2359,33 @@ object SparkEntry {
       Dedup.simhashPairs(docs.unionByName(planted), "text", "doc_id", maxHamming = 12)
     }),
 
+    "dedup_simhash_eval" -> ((s, dir) => {
+      // Banding-honesty audit (the minhash_lsh_eval discipline): truth =
+      // exact brute-force hamming <= 12 over the fingerprints, found =
+      // what the 4x16 quarter banding surfaces. Pigeonhole guarantees the
+      // <= 3 regime; this MEASURES the probabilistic tail's recall. Full
+      // oracle via the same packed-quarters replay as dedup_simhash.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val docs = base.unionByName(planted)
+      val h = Dedup.simhash(docs, "text").select(col("doc_id"), col("simhash"))
+      val truth = h.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+        .join(h.select(col("doc_id").as("id_b"), col("simhash").as("hb")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 12)
+      val found = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 12)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("__f")), lit(0L)).cast("long").as("n_found"),
+          (count(lit(1)) - coalesce(sum(col("__f")), lit(0L)))
+            .cast("long").as("n_missed"),
+          round(coalesce(sum(col("__f")), lit(0L)).cast("double") /
+            count(lit(1)), 6).as("recall"))
+    }),
+
     "neardup_cosine" -> ((s, dir) =>
       // Embedding-cosine near-dup, blocked on `label` to bound the join.
       Dedup.cosinePairs(
@@ -3983,6 +4010,39 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+
+  /** CTE chain replaying [[graft.plans.SimhashExpr]] over the planted
+    * simhash corpus, ending in `quarters(doc_id, q0..q3)` — the four
+    * PACKED 16-bit fingerprint quarters (exact integer bit votes from the
+    * md5-derived token hash). Shared by the `dedup_simhash` pair oracle
+    * and the `dedup_simhash_eval` recall audit; the packed form keeps the
+    * all-pairs scan at two BIGINT ops per pair, sf0.1-replayable in
+    * sub-second time where a per-bit join is ~64x the volume.
+    */
+  private lazy val simhashQuartersSql: String =
+    s"""corpus AS (SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
+       |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
+       |th AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+       |  CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2 FROM tk),
+       |votes AS (SELECT doc_id, j,
+       |  sum(CASE WHEN (CASE WHEN j < 32 THEN h2 >> j ELSE h1 >> (j - 32) END) & 1 = 1
+       |      THEN 1 ELSE -1 END) AS v
+       | FROM th CROSS JOIN range(0, 64) r(j) GROUP BY 1, 2),
+       |bits AS (
+       | SELECT c.doc_id, r.j AS j,
+       |  CASE WHEN coalesce(v.v, 0) > 0 THEN 1 ELSE 0 END AS bit
+       | FROM corpus c CROSS JOIN range(0, 64) r(j)
+       | LEFT JOIN votes v ON v.doc_id = c.doc_id AND v.j = r.j),
+       |quarters AS MATERIALIZED (
+       | SELECT doc_id,
+       |  CAST(sum(CASE WHEN j < 16 THEN bit << j ELSE 0 END) AS BIGINT) AS q0,
+       |  CAST(sum(CASE WHEN j >= 16 AND j < 32 THEN bit << (j - 16) ELSE 0 END) AS BIGINT) AS q1,
+       |  CAST(sum(CASE WHEN j >= 32 AND j < 48 THEN bit << (j - 32) ELSE 0 END) AS BIGINT) AS q2,
+       |  CAST(sum(CASE WHEN j >= 48 THEN bit << (j - 48) ELSE 0 END) AS BIGINT) AS q3
+       | FROM bits GROUP BY doc_id)""".stripMargin
 
   /** CTE chain computing the TextAnalysis.qualityScore formula, ending in
     * `qscore(doc_id, quality)` — shared by the corpus-mix oracles so the
@@ -7464,33 +7524,39 @@ object SparkEntry {
     // per-token hash is the first 16 hex chars of md5, so the oracle
     // recomputes every ±1 vote, fingerprint bit, quarter band, and hamming
     // distance from scratch — brute force over all pairs (the 4x16-bit
-    // banding only DROPS pairs with no exact-quarter match, which is
-    // exactly the `min(qd) = 0` predicate here). Promoted from rows-only
-    // in r10.
+    // banding only DROPS pairs with no exact-quarter match, which is the
+    // `any quarter equal` predicate here). Promoted from rows-only in r10.
+    // The pair scan runs over PACKED 16-bit quarter values (bit_count of
+    // xor), not per-bit rows — the per-bit formulation is ~64x the join
+    // volume and breaks the sub-minute full sf0.1 oracle replay.
     "dedup_simhash" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         | UNION ALL
-         | SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 7 = 0),
-         |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
-         |th AS (SELECT doc_id,
-         |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
-         |  CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2 FROM tk),
-         |votes AS (SELECT doc_id, j,
-         |  sum(CASE WHEN (CASE WHEN j < 32 THEN h2 >> j ELSE h1 >> (j - 32) END) & 1 = 1
-         |      THEN 1 ELSE -1 END) AS v
-         | FROM th CROSS JOIN range(0, 64) r(j) GROUP BY 1, 2),
-         |bits AS MATERIALIZED (
-         | SELECT c.doc_id, r.j AS j, CAST(r.j // 16 AS INT) AS q,
-         |  CASE WHEN coalesce(v.v, 0) > 0 THEN 1 ELSE 0 END AS bit
-         | FROM corpus c CROSS JOIN range(0, 64) r(j)
-         | LEFT JOIN votes v ON v.doc_id = c.doc_id AND v.j = r.j),
-         |pq AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  a.q, sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS qd
-         | FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
-         | GROUP BY 1, 2, 3)
-         |SELECT id_a, id_b, CAST(sum(qd) AS INTEGER) AS hamming
-         |FROM pq GROUP BY 1, 2
-         |HAVING min(qd) = 0 AND sum(qd) <= 12""".stripMargin,
+      s"""WITH $simhashQuartersSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+         |  + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) AS INTEGER) AS hamming
+         |FROM quarters a JOIN quarters b ON a.doc_id < b.doc_id
+         |WHERE (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3)
+         | AND bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+         |  + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) <= 12""".stripMargin,
+
+    // Banding-honesty audit for simhash (the minhash_lsh_eval discipline):
+    // truth = ALL pairs at hamming <= 12 (exact brute force over the
+    // packed quarters), found = pairs the 4x16 banding surfaces (any
+    // quarter equal). Pigeonhole guarantees recall 1.0 up to hamming 3;
+    // this gate REPORTS the measured recall of the probabilistic tail
+    // instead of hand-waving it.
+    "dedup_simhash_eval" ->
+      s"""WITH $simhashQuartersSql,
+         |truth AS (
+         | SELECT (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3) AS found
+         | FROM quarters a JOIN quarters b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+         |  + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) <= 12)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         | CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         | CAST(sum(CASE WHEN found THEN 0 ELSE 1 END) AS BIGINT) AS n_missed,
+         | round(CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth""".stripMargin,
 
     "neardup_cosine" ->
       s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
