@@ -2422,6 +2422,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    "ivf_incremental" -> ((s, dir) => {
+      // Incremental index maintenance (Similarity.ivfAssign scaladoc):
+      // train the quantizer on the BASE corpus (vec_id % 10 != 3), then
+      // cell-assign base + the simulated new crawl batch against the SAME
+      // centroids — the daily-crawl path that never retrains. The output
+      // cell histogram (n_base, n_new) is the drift report a retrain
+      // trigger reads. Full oracle: the shared ivfCtes replay with the
+      // training filter, tail = the histogram.
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 3)
+      val (_, centroids) = Similarity.ivfIndex(base, nCells = 8)
+      val assigned = Similarity.ivfAssign(
+        e.withColumn("is_new", col("vec_id") % 10 === 3), centroids)
+      assigned.groupBy(col("cell"))
+        .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    }),
+
     "similarity_ivf_exact" -> ((s, dir) => {
       // The SAME IVF code path in its exactness regime: probing every
       // cell (nProbe = nCells) makes the approximate search brute force,
@@ -3677,6 +3695,43 @@ object SparkEntry {
   private def ivfSql(nCells: Int, maxIter: Int, nProbe: Int, k: Int,
                      dim: Int, seed: Long): String = {
     val dims = dim + 1
+    // NB: ivfCtes is already margin-stripped and contains `||` — it must
+    // be CONCATENATED, never interpolated into another stripMargin string
+    // (stripMargin would eat the first pipe of a line-leading `||`).
+    s"WITH ${ivfCtes(nCells, maxIter, dim, seed)},\n" +
+    s"""uq AS (SELECT list_transform(dv, x ->
+       |   x / sqrt(list_dot_product(dv, dv))) AS u
+       | FROM e WHERE vec_id = 0),
+       |cd AS (SELECT cell,
+       |  list_transform(cq, x -> CAST(x AS DOUBLE) / 1000000.0) AS c
+       | FROM cents$maxIter),
+       |probe AS (SELECT cell FROM (
+       | SELECT cd.cell, list_dot_product(
+       |   list_transform(range(1, $dims), j ->
+       |     cd.c[CAST(j AS INT)] - uq.u[CAST(j AS INT)]),
+       |   list_transform(range(1, $dims), j ->
+       |     cd.c[CAST(j AS INT)] - uq.u[CAST(j AS INT)])) AS d
+       | FROM cd CROSS JOIN uq) ORDER BY d, cell LIMIT $nProbe),
+       |qlit AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT em.vec_id, round(${cosOf("em.embedding", "q.qe")}, 6) AS score
+       |FROM embeddings em
+       | JOIN assign a ON a.vec_id = em.vec_id
+       | JOIN probe p ON p.cell = a.cell
+       | CROSS JOIN qlit q
+       |ORDER BY ${cosOf("em.embedding", "q.qe")} DESC, em.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** The shared IVF replay CTE chain (see [[ivfSql]]'s scaladoc above):
+    * quantized unit vectors `qv`, the hash-ordered training sample `smp`
+    * restricted to `trainFilter`, farthest-point init, `maxIter` Lloyd
+    * iterations ending at `cents{maxIter}`, and the full-corpus `assign`.
+    * Tails compose on top (top-k probe for `similarity_ivf`, cell
+    * histogram for `ivf_incremental`).
+    */
+  private def ivfCtes(nCells: Int, maxIter: Int, dim: Int, seed: Long,
+                      trainFilter: String = "TRUE"): String = {
+    val dims = dim + 1
     def d2(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, $dims), " +
         s"j -> ($a[CAST(j AS INT)] - $b[CAST(j AS INT)]) * " +
@@ -3712,7 +3767,7 @@ object SparkEntry {
          | SELECT p.cell, coalesce(n.cq, p.cq) AS cq
          | FROM cents${t - 1} p LEFT JOIN ln$t n USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS dv
+    s"""e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS dv
        |  FROM embeddings),
        |qv AS MATERIALIZED (
        | SELECT vec_id, list_transform(dv, x ->
@@ -3726,7 +3781,7 @@ object SparkEntry {
        |  SELECT q, row_number() OVER (ORDER BY
        |    md5(array_to_string(q, ',') || ':' || CAST(vec_id AS VARCHAR)
        |      || ':$seed')) AS pos
-       |  FROM qv) WHERE pos <= 20000),
+       |  FROM qv WHERE $trainFilter) WHERE pos <= 20000),
        |kc1 AS MATERIALIZED (SELECT q AS cq FROM smp WHERE pos = 1),
        |kd1 AS MATERIALIZED (SELECT s.pos, s.q, ${d2("s.q", "c.cq")} AS dm
        | FROM smp s CROSS JOIN kc1 c),
@@ -3742,28 +3797,7 @@ object SparkEntry {
        | UNION ALL
        | SELECT vec_id, 0 AS cell FROM e
        | WHERE embedding IS NOT NULL
-       |   AND coalesce(list_dot_product(dv, dv), 0) = 0),
-       |uq AS (SELECT list_transform(dv, x ->
-       |   x / sqrt(list_dot_product(dv, dv))) AS u
-       | FROM e WHERE vec_id = 0),
-       |cd AS (SELECT cell,
-       |  list_transform(cq, x -> CAST(x AS DOUBLE) / 1000000.0) AS c
-       | FROM cents$maxIter),
-       |probe AS (SELECT cell FROM (
-       | SELECT cd.cell, list_dot_product(
-       |   list_transform(range(1, $dims), j ->
-       |     cd.c[CAST(j AS INT)] - uq.u[CAST(j AS INT)]),
-       |   list_transform(range(1, $dims), j ->
-       |     cd.c[CAST(j AS INT)] - uq.u[CAST(j AS INT)])) AS d
-       | FROM cd CROSS JOIN uq) ORDER BY d, cell LIMIT $nProbe),
-       |qlit AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-       |SELECT em.vec_id, round(${cosOf("em.embedding", "q.qe")}, 6) AS score
-       |FROM embeddings em
-       | JOIN assign a ON a.vec_id = em.vec_id
-       | JOIN probe p ON p.cell = a.cell
-       | CROSS JOIN qlit q
-       |ORDER BY ${cosOf("em.embedding", "q.qe")} DESC, em.vec_id
-       |LIMIT $k""".stripMargin
+       |   AND coalesce(list_dot_product(dv, dv), 0) = 0)""".stripMargin
   }
 
   /** Exact RBO suffix coefficients (k=10, p=9/10) — the SAME table the
@@ -4876,6 +4910,17 @@ object SparkEntry {
     // remain.
     "similarity_ivf" -> ivfSql(nCells = 8, maxIter = 5, nProbe = 2,
       k = 10, dim = 64, seed = 42L),
+
+    // Same ivfCtes replay with the base-corpus training filter; the tail
+    // is the per-cell base/new histogram the drift trigger reads.
+    // (Concatenated, not interpolated under stripMargin — ivfSql's note.)
+    "ivf_incremental" ->
+      (s"WITH ${ivfCtes(nCells = 8, maxIter = 5, dim = 64, seed = 42L,
+           trainFilter = "vec_id % 10 <> 3")}\n" +
+        """SELECT a.cell,
+          | CAST(sum(CASE WHEN a.vec_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+          | CAST(sum(CASE WHEN a.vec_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          |FROM assign a GROUP BY a.cell""".stripMargin),
 
     "eval_hitrate" ->
       s"""WITH corpus AS (

@@ -272,8 +272,33 @@ object Similarity {
       }
       iter += 1
     }
-    val centroidsMicro = centroids
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroidsMicro)
+    val centroidsOut = centroids.map(_.map(_.toDouble / 1000000.0))
+    (assignCells(corpus, centroids, vecCol), centroidsOut)
+  }
+
+  /** Assign every row to its nearest trained centroid — the INCREMENTAL
+    * index-maintenance path: a daily crawl batch is cell-assigned against
+    * the existing quantizer with one narrow pass (no retraining, no
+    * shuffle); retrain only when the cell histogram drifts (gate
+    * `ivf_incremental` reports exactly that histogram). Same quantize +
+    * exact-integer argmin as training, so assignments replay in SQL.
+    */
+  def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
+                vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign: need at least one centroid")
+    // Recover the training-time micro-unit integers exactly: each stored
+    // component is micro/1e6, so floor(c*1e6 + 0.5) is the original Long.
+    val micro = centroids.map(_.map(c => math.floor(c * 1000000.0 + 0.5).toLong))
+    assignCells(df, micro, vecCol)
+  }
+
+  /** Shared assignment kernel over micro-unit centroids: quantize the
+    * row's unit vector to integer micro-units, exact integer d2 argmin
+    * (ties -> lowest cell), zero-norm rows pinned to cell 0.
+    */
+  private def assignCells(df: DataFrame, centroidsMicro: Array[Array[Long]],
+                          vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroidsMicro)
     val assignUdf = udf((vec: Seq[Float]) => {
       val cs = bc.value
       val dimC = cs(0).length
@@ -300,8 +325,7 @@ object Similarity {
         best
       }
     })
-    val centroidsOut = centroidsMicro.map(_.map(_.toDouble / 1000000.0))
-    (corpus.withColumn("cell", assignUdf(col(vecCol))), centroidsOut)
+    df.withColumn("cell", assignUdf(col(vecCol)))
   }
 
   /** Quantized-unit-vector column: L2-normalize (x * (1/sqrt(dot))), then
