@@ -122,6 +122,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "centroids must be a pure function of (content, seed), not layout")
   }
 
+  test("ivfAssign: new batch lands in trained cells, consistent with indexing") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val cluster = i % 3
+      val base = Array.fill(8)(0f)
+      base(cluster) = 5f + (i % 40) * 0.01f
+      (i.toLong, base.toSeq)
+    }
+    val all = rows.toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" % 10 =!= 3)
+    val (_, centroids) = Similarity.ivfIndex(base, nCells = 3)
+    // assignment of the TRAINING corpus via ivfAssign must equal the cells
+    // ivfIndex itself attached (the shared kernel claim)
+    val viaIndex = Similarity.ivfIndex(base, nCells = 3)._1
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaAssign = Similarity.ivfAssign(base, centroids)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaIndex == viaAssign)
+    // a NEW batch (unseen rows) from cluster c lands in the same cell as
+    // the trained rows of cluster c — no retrain needed
+    val batch = all.filter($"vec_id" % 10 === 3)
+    val batchCells = Similarity.ivfAssign(batch, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0) % 3, r.getInt(1))).distinct
+    assert(batchCells.length == 3) // one cell per cluster
+    assert(batchCells.map(_._2).distinct.length == 3)
+    // zero-norm vectors pin to cell 0
+    val zero = Seq((999L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfAssign(zero, centroids)
+      .select("cell").collect()(0).getInt(0) == 0)
+  }
+
   test("IVF cell filter prunes the scan (cells are a partitionable key)") {
     val corpus = embeddings.filter(col("vec_id") =!= 0)
     val (indexed, centroids) = Similarity.ivfIndex(corpus, nCells = 4)
