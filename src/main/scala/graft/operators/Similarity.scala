@@ -167,7 +167,6 @@ object Similarity {
                nCells: Int = 16, seed: Long = 42L,
                maxIter: Int = 5, trainCap: Int = 20000,
                idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
-    val micros = quantizedUnit(col(vecCol))
     // The trainCap lowest-hash rows: orderBy+limit plans as
     // TakeOrderedAndProject (per-partition top-K, one merge on the driver)
     // — ONE corpus pass, no count job, and the same unbiased deterministic
@@ -178,11 +177,21 @@ object Similarity {
     // rows distinct (a quantized-content-only key would take all trainCap
     // rows from ONE repeated direction), and integer/id-string md5 is the
     // engine-neutral form the oracle replays (raw float bits are not).
+    // The norm is STAGED as a scalar column before the quantize transform:
+    // referencing the dot-product aggregate inside the per-element lambda
+    // re-evaluates it once per element — a measured ~60x blowup
+    // (0.4 ms/row) on 64-dim vectors.
     val thinned = corpus
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0
         && col(idCol).isNotNull)
-      .select(micros.as("__q"), col(idCol).cast("string").as("__id"))
-      .filter(col("__q").isNotNull)
+      .withColumn("__dv", transform(col(vecCol), _.cast("double")))
+      .withColumn("__n", graft.functions.VectorFunctions
+        .dotProduct(col("__dv"), col("__dv")))
+      .filter(col("__n") > 0.0)
+      .select(transform(col("__dv"), x =>
+          floor(x * (lit(1.0) / sqrt(col("__n"))) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("__q"),
+        col(idCol).cast("string").as("__id"))
       .withColumn("__h", md5(concat(concat_ws(",",
         transform(col("__q"), x => x.cast("string"))),
         lit(":"), col("__id"), lit(s":$seed"))))
@@ -328,19 +337,6 @@ object Similarity {
     df.withColumn("cell", assignUdf(col(vecCol)))
   }
 
-  /** Quantized-unit-vector column: L2-normalize (x * (1/sqrt(dot))), then
-    * `floor(u * 1e6 + 0.5)` per component as BIGINT — the engine-neutral
-    * representation [[ivfIndex]] trains on (null for zero-norm vectors).
-    * Pure codegen'd HOF expressions; the SQL replay is the literal same
-    * arithmetic.
-    */
-  private[graft] def quantizedUnit(vec: Column): Column = {
-    val dv = transform(vec, _.cast("double"))
-    val n = graft.functions.VectorFunctions.dotProduct(dv, dv)
-    when(n > 0.0, transform(dv, x =>
-      floor(x * (lit(1.0) / sqrt(n)) * lit(1000000.0) + lit(0.5)).cast("long")))
-      .otherwise(lit(null))
-  }
 
   // -------------------------------------------------------------------------
   // Hyperplane-LSH blocked batch retrieval (scale path for eval/search)
