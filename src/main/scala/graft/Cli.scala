@@ -148,6 +148,20 @@ object Cli {
         try Engine.Searcher(cfg).search(spark, query, k).show(k, truncate = 80)
         finally spark.stop()
 
+      case "dashboard" =>
+        // F11 (reference `streamlit run app.py`): the interactive
+        // run-and-search dashboard, served by the zero-dep JDK HttpServer
+        // (Dashboard.scala). Blocks until killed.
+        val port = arg(args, "-p").map(_.toInt).getOrElse(8501)
+        val workDir = Paths.get(
+          args.drop(1).headOption.filterNot(_.startsWith("-"))
+            .getOrElse("temp_ui"))
+        val spark = session()
+        val d = Dashboard.serve(spark, workDir, port)
+        println(s"dashboard listening on http://127.0.0.1:${d.boundPort} " +
+          s"(workdir $workDir); Ctrl-C to stop")
+        Thread.currentThread().join()
+
       case other =>
         println(s"unknown command: $other"); println(usage); sys.exit(1)
     }
@@ -163,8 +177,9 @@ object Cli {
       .select("item_id").orderBy("item_id")
 
   private def usage: String =
-    """usage: graft <run|init|status|list-components|test-connection|clean|eval|search> [options]
+    """usage: graft <run|init|status|list-components|test-connection|clean|eval|search|dashboard> [options]
       |  -c/--config <path>   pipeline YAML (default: pipeline.yaml)
       |  -k <n>               top-k for eval/search
+      |  -p <port>            dashboard port (default 8501)
       |  --yes                confirm clean""".stripMargin
 }
