@@ -43,7 +43,16 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
   /** Ephemeral-port accessor for tests (`port = 0`). */
   def boundPort: Int = server.getAddress.getPort
 
-  def start(): Unit = { registerRoutes(); server.start() }
+  def start(): Unit = {
+    registerRoutes()
+    // Without an executor the JDK server dispatches on ONE thread, so a
+    // minutes-long /run would block the UI page and /search (review
+    // finding); a cached pool keeps the control plane responsive. Spark
+    // itself serializes concurrent runs safely.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "graft-dashboard"); t.setDaemon(true); t }))
+    server.start()
+  }
 
   def stop(): Unit = server.stop(0)
 
@@ -75,11 +84,18 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
         val sourceYaml = form.getOrElse("source_type", "local_files") match {
           case "web" =>
             val url = form.getOrElse("url",
-              return400(ex, "web source needs url="))
+              return400("web source needs url="))
+            // The value lands inside a double-quoted YAML scalar: control
+            // chars would break the scalar and quotes/backslashes would
+            // inject YAML structure (review finding) — refuse the former,
+            // escape the latter.
+            if (url.exists(_ < ' '))
+              return400("url must not contain control characters")
+            val q = url.replace("\\", "\\\\").replace("\"", "\\\"")
             s"""source:
                |  type: web
                |  config:
-               |    url: "$url"""".stripMargin
+               |    url: "$q"""".stripMargin
           case _ =>
             s"""source:
                |  type: local_files
@@ -88,11 +104,12 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
                |    glob: "*"""".stripMargin
         }
         val cfgPath = writeTempConfig(sourceYaml)
-        val report = Pipeline.run(spark, {
-          val cfg = Configs.load(cfgPath.toString)
-          session = Some(cfg) // the app.py:155-157 session handle
-          cfg
-        })
+        val cfg = Configs.load(cfgPath.toString)
+        val report = Pipeline.run(spark, cfg)
+        // Session handle set ONLY after a successful run (app.py:152-157:
+        // session_state is assigned inside the success path) — a failed
+        // run must leave /search refusing, not 500ing on a stale sink.
+        session = Some(cfg)
         (200, "application/json",
           s"""{"config": ${jstr(cfgPath.toString)},
              | "documents_loaded": ${report.documentsLoaded},
@@ -110,7 +127,11 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
           val q = param(ex, "q").getOrElse("")
           if (q.isEmpty) (400, "text/plain", "search needs q=")
           else {
-            val k = param(ex, "k").map(_.toInt).getOrElse(3) // app.py:53 k=3
+            val k = param(ex, "k") match { // app.py:53 default k=3
+              case None => 3
+              case Some(s) => s.toIntOption.filter(_ >= 1)
+                .getOrElse(return400("k must be a positive integer"))
+            }
             val rows = Engine.Searcher(cfg).search(spark, q, k).collect()
             val items = rows.zipWithIndex.map { case (r, i) =>
               s"""{"rank": ${i + 1}, "source": ${jstr(r.getAs[String]("source"))},
@@ -177,8 +198,7 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
   private final case class Return400(msg: String)
     extends RuntimeException(msg)
 
-  private def return400(ex: HttpExchange, msg: String): Nothing =
-    throw Return400(msg)
+  private def return400(msg: String): Nothing = throw Return400(msg)
 
   private def param(ex: HttpExchange, key: String): Option[String] =
     parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse("")).get(key)

@@ -55,17 +55,30 @@ object Engine {
         .select(col("qid"), col("expected_source"), col("embedding").as("qvec"))
       val corpus = sink.read(spark)
         .select(col("id"), col("source"), col("vector").as("embedding"))
+      // Route blocked when EITHER side exceeds the cap: the exact kernel
+      // guards both inputs, so a 25k-question set over a 1k-row corpus
+      // must route blocked rather than trip the queries-side guard
+      // mid-flight. Both counts are cheap columnar aggregates.
       val topk =
-        if (corpus.count() <= maxExactRows)
+        if (corpus.count() <= maxExactRows && embedded.count() <= maxExactRows)
           Search.topKPerQuery(embedded, corpus, k,
             qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding",
             maxExactRows = maxExactRows)
-        else
-          Similarity.blockedTopKPerQuery(embedded, corpus, k,
+        else {
+          // LEFT join from the question side: a question whose banded
+          // signature collides with no corpus row must still count in
+          // hit-rate's denominator as a MISS (its source stays null →
+          // hit 0), exactly as the exact route's cross join sees every
+          // question. Dropping it would inflate hit_rate precisely when
+          // recall fails — the moment the metric matters.
+          val cand = Similarity.blockedTopKPerQuery(embedded, corpus, k,
               qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding",
               multiprobe = true)
             .join(corpus.select(col("id"), col("source")), "id")
-            .join(embedded.select(col("qid"), col("expected_source")), "qid")
+            .select(col("qid"), col("id"), col("source"))
+          embedded.select(col("qid"), col("expected_source"))
+            .join(cand, Seq("qid"), "left")
+        }
       Search.hitRate(topk, "qid", "source", "expected_source")
     }
   }

@@ -407,6 +407,7 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("updated_at")))
       val path = java.nio.file.Files.createTempFile("graft_cli_status", ".json")
       java.nio.file.Files.deleteIfExists(path) // manager owns the file
+      path.toFile.deleteOnExit() // bench/verify runs must not litter /tmp
       val mgr = graft.state.JsonStateManager(path.toString)
       mgr.save(state)
       Cli.statusItems(mgr.load(s))
@@ -1947,11 +1948,17 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("source").as("expected_source"))
-      val topk = Similarity.blockedTopKPerQuery(queries, corpus, 5,
+      // LEFT join from the question side (r10 review fix): a question the
+      // banding surfaces NO candidates for must still count in the
+      // denominator as a miss, or hit_rate inflates exactly when recall
+      // fails.
+      val cand = Similarity.blockedTopKPerQuery(queries, corpus, 5,
           qidCol = "qid", qvecCol = "qv")
         .filter(col("vec_id") =!= col("qid"))
         .join(corpus.select(col("vec_id"), col("source")), "vec_id")
-        .join(queries.select(col("qid"), col("expected_source")), "qid")
+        .select(col("qid"), col("vec_id"), col("source"))
+      val topk = queries.select(col("qid"), col("expected_source"))
+        .join(cand, Seq("qid"), "left")
       Search.hitRate(topk, "qid", "source", "expected_source")
     }),
 
@@ -1966,10 +1973,14 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("source").as("expected_source"))
-      val topk = Similarity.blockedTopKPerQuery(queries, corpus, 5,
+      // Candidate-less questions stay in the denominator (left join from
+      // the question side — the r10 review fix, as eval_hitrate_blocked).
+      val cand = Similarity.blockedTopKPerQuery(queries, corpus, 5,
           qidCol = "qid", qvecCol = "qv", excludeSelf = true)
         .join(corpus.select(col("vec_id"), col("source")), "vec_id")
-        .join(queries.select(col("qid"), col("expected_source")), "qid")
+        .select(col("qid"), col("vec_id"), col("source"), col("rank"))
+      val topk = queries.select(col("qid"), col("expected_source"))
+        .join(cand, Seq("qid"), "left")
       Search.mrr(topk, "qid", "source", "expected_source", rankCol = "rank")
     }),
 
@@ -1984,10 +1995,15 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("source").as("expected_source"))
-      val topk = Similarity.blockedTopKPerQuery(queries, corpus, 5,
+      // Same left-join-from-questions shape as the other blocked eval
+      // gates (r10 review fix): zero-candidate questions score 0, not
+      // absent.
+      val cand = Similarity.blockedTopKPerQuery(queries, corpus, 5,
           qidCol = "qid", qvecCol = "qv", excludeSelf = true)
         .join(corpus.select(col("vec_id"), col("source")), "vec_id")
-        .join(queries.select(col("qid"), col("expected_source")), "qid")
+        .select(col("qid"), col("vec_id"), col("source"), col("rank"))
+      val topk = queries.select(col("qid"), col("expected_source"))
+        .join(cand, Seq("qid"), "left")
       val bySource = corpus.groupBy(col("source").as("rel_source")).count()
       val totals = queries.join(broadcast(bySource),
           col("expected_source") === col("rel_source"))
@@ -5031,13 +5047,13 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
          | FROM scored) WHERE rn <= 5),
          |fil AS (
-         | SELECT t.qid, co.source, qs.expected_source
+         | SELECT t.qid, co.source
          | FROM topk t JOIN corpus co ON co.vec_id = t.cid
-         |  JOIN qs ON qs.qid = t.qid
          | WHERE t.cid <> t.qid),
          |hits AS (
-         | SELECT qid, max(CASE WHEN source = expected_source THEN 1 ELSE 0 END) AS hit
-         | FROM fil GROUP BY qid)
+         | SELECT qs.qid, max(CASE WHEN f.source = qs.expected_source
+         |   THEN 1 ELSE 0 END) AS hit
+         | FROM qs LEFT JOIN fil f ON f.qid = qs.qid GROUP BY qs.qid)
          |SELECT round(CAST(sum(hit) AS DOUBLE) * 100.0 / count(*), 6) AS hit_rate,
          | count(*) AS total_questions, CAST(sum(hit) AS BIGINT) AS hits
          |FROM hits""".stripMargin,
@@ -5066,8 +5082,9 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
          | FROM scored) WHERE rn <= 5),
          |firsts AS (
-         | SELECT qid, min(CASE WHEN source = expected_source THEN rn END) AS first_hit
-         | FROM topk GROUP BY qid)
+         | SELECT qs.qid, min(CASE WHEN t.source = qs.expected_source
+         |   THEN t.rn END) AS first_hit
+         | FROM qs LEFT JOIN topk t ON t.qid = qs.qid GROUP BY qs.qid)
          |SELECT round(avg(CASE WHEN first_hit IS NOT NULL
          |   THEN 1.0 / first_hit ELSE 0.0 END), 6) AS mrr,
          | count(*) AS total_questions,
@@ -5098,9 +5115,9 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
          | FROM scored) WHERE rn <= 5),
          |dcg AS (
-         | SELECT qid, sum(CASE WHEN source = expected_source
-         |   THEN 1.0 / log2(rn + 1) ELSE 0.0 END) AS dcg
-         | FROM topk GROUP BY qid),
+         | SELECT qs.qid, sum(CASE WHEN t.source = qs.expected_source
+         |   THEN 1.0 / log2(t.rn + 1) ELSE 0.0 END) AS dcg
+         | FROM qs LEFT JOIN topk t ON t.qid = qs.qid GROUP BY qs.qid),
          |rel AS (
          | SELECT qs.qid, least(5, cnt.n - 1) AS m
          | FROM qs JOIN (SELECT source, count(*) AS n FROM corpus GROUP BY source) cnt
@@ -5229,10 +5246,10 @@ object SparkEntry {
          |d AS (SELECT e.vec_id,
          |  sqrt(list_dot_product(
          |    list_transform(range(1, len(v) + 1), i -> v[i] - qv[i]),
-         |    list_transform(range(1, len(v) + 1), i -> v[i] - qv[i]))) AS dist
+         |    list_transform(range(1, len(v) + 1), i -> v[i] - qv[i]))) AS d0
          | FROM cand JOIN e USING (vec_id) CROSS JOIN q)
-         |SELECT vec_id, round(dist, 6) AS dist
-         |FROM d ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+         |SELECT vec_id, round(d0, 6) AS dist
+         |FROM d ORDER BY d0, vec_id LIMIT 10""".stripMargin,
 
     // Sign-matrix replay of the banded single-query search: the gate that
     // pins the hyperplane-LSH machinery value-for-value in its real

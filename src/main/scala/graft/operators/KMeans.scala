@@ -257,7 +257,12 @@ object KMeans {
     * round's distance pass — O(k²·n·dim) total work plus a growing codegen
     * compile per round — where the checkpointed shape is flat O(k·n·dim)
     * and each round's plan starts from `Scan ExistingRDD`. Superseded
-    * round frames are unpersisted as soon as the next one materializes.
+    * round frames become unreferenced as soon as the next one
+    * materializes and their blocks are released by the ContextCleaner
+    * (the same lifecycle as the BPE/Components round frames —
+    * `Dataset.unpersist` does not reach localCheckpoint blocks, so GC is
+    * the release mechanism; peak usage is bounded by the cleaner's lag,
+    * not by k).
     */
   def kCenter(df: DataFrame, vecCol: String, idCol: String, k: Int,
               roundDp: Int = 6): DataFrame = {
@@ -288,15 +293,16 @@ object KMeans {
         val top = frame.orderBy(col("__dm").desc, col("__id")).limit(1)
           .collect()(0)
         selected += ((r.toLong, top.getLong(0), top.getDouble(2)))
-        val next = frame.withColumn("__dm",
+        // The superseded frame's checkpoint blocks are ContextCleaner-
+        // released once this reference drops (Dataset.unpersist cannot
+        // reach localCheckpoint blocks — it only uncaches persist()ed
+        // plans).
+        frame = frame.withColumn("__dm",
           least(col("__dm"), d2To(vecOf(top))))
           .localCheckpoint()
-        frame.unpersist() // superseded round's blocks, not needed by `next`
-        frame = next
         r += 1
       }
       val coverage = frame.agg(max(col("__dm"))).collect()(0).getDouble(0)
-      frame.unpersist() // release the final round's checkpoint blocks
       selected.toSeq.toDF("rank", "id", "d2")
         .withColumn("coverage_d2", lit(coverage))
     } finally cur.unpersist()

@@ -303,38 +303,43 @@ object Similarity {
 
   /** Shared assignment kernel over micro-unit centroids: quantize the
     * row's unit vector to integer micro-units, exact integer d2 argmin
-    * (ties -> lowest cell), zero-norm rows pinned to cell 0.
+    * (ties -> lowest cell), zero-norm rows pinned to cell 0, NULL vectors
+    * to a NULL cell (never an NPE — the r10 review's null-guard class).
     */
   private def assignCells(df: DataFrame, centroidsMicro: Array[Array[Long]],
                           vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(centroidsMicro)
     val assignUdf = udf((vec: Seq[Float]) => {
-      val cs = bc.value
-      val dimC = cs(0).length
-      val n = math.min(vec.length, dimC)
-      var j = 0; var norm = 0.0
-      val v = new Array[Double](dimC)
-      while (j < n) { v(j) = vec(j).toDouble; norm += v(j) * v(j); j += 1 }
-      if (norm == 0.0) 0 // zero-norm: direction undefined, pinned to cell 0
-      else {
-        val inv = 1.0 / math.sqrt(norm)
-        val q = new Array[Long](dimC)
-        j = 0
-        while (j < dimC) {
-          q(j) = math.floor(v(j) * inv * 1000000.0 + 0.5).toLong; j += 1
-        }
-        var best = 0; var bestD = Long.MaxValue; var c = 0
-        while (c < cs.length) {
-          var d = 0L; var i = 0
-          val cv = cs(c)
-          while (i < dimC) { val t = q(i) - cv(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
+      if (vec == null) null.asInstanceOf[java.lang.Integer]
+      else Int.box(assignOne(vec, bc.value))
     })
     df.withColumn("cell", assignUdf(col(vecCol)))
+  }
+
+  private def assignOne(vec: Seq[Float], cs: Array[Array[Long]]): Int = {
+    val dimC = cs(0).length
+    val n = math.min(vec.length, dimC)
+    var j = 0; var norm = 0.0
+    val v = new Array[Double](dimC)
+    while (j < n) { v(j) = vec(j).toDouble; norm += v(j) * v(j); j += 1 }
+    if (norm == 0.0) 0 // zero-norm: direction undefined, pinned to cell 0
+    else {
+      val inv = 1.0 / math.sqrt(norm)
+      val q = new Array[Long](dimC)
+      j = 0
+      while (j < dimC) {
+        q(j) = math.floor(v(j) * inv * 1000000.0 + 0.5).toLong; j += 1
+      }
+      var best = 0; var bestD = Long.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0L; var i = 0
+        val cv = cs(c)
+        while (i < dimC) { val t = q(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
   }
 
 

@@ -45,6 +45,18 @@ class DashboardSpec extends AnyFunSuite with SparkTestBase {
       assert(request(s"$base/upload?name=..%2Fevil.txt", "POST",
         Some("x"))._1 == 400)
 
+      // a FAILED run must not arm the session: unreachable web source ->
+      // 500, and /search still refuses with 409 (review fix: session is
+      // set only after a successful run)
+      assert(request(s"$base/run", "POST",
+        Some("source_type=web&url=http%3A%2F%2F127.0.0.1%3A9%2Fnope"))._1 == 500)
+      assert(request(s"$base/search?q=x")._1 == 409)
+      // YAML-breaking url content is a 400, not config injection
+      assert(request(s"$base/run", "POST",
+        Some("source_type=web&url=x%22%0Asink%3A%20evil"))._1 == 400)
+      // malformed k is a client error
+      // (checked after the successful run below arms the session)
+
       // upload two docs (app.py:119-124 uploads dir)
       assert(request(s"$base/upload?name=spark.txt", "POST", Some(
         "Apache Spark is a distributed analytics engine for large scale " +
@@ -71,6 +83,8 @@ class DashboardSpec extends AnyFunSuite with SparkTestBase {
       // web-source run without a url is a client error, not a 500
       assert(request(s"$base/run", "POST",
         Some("source_type=web"))._1 == 400)
+      // malformed k on an armed session is a 400, not a 500
+      assert(request(s"$base/search?q=x&k=abc")._1 == 400)
     } finally dash.stop()
   }
 }
