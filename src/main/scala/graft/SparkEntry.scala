@@ -388,6 +388,13 @@ object SparkEntry {
       // K3: delete-scope computation (sinks.py:66-72)
       Sink.distinctSources(t(s, dir, "documents"))),
 
+    "fim_transform" -> ((s, dir) =>
+      // Character-level fill-in-the-middle training transform
+      // (operators/Fim.scala scaladoc): md5-derived doc draw, PSM/SPM mix,
+      // md5-derived split points — every output character replays in SQL.
+      Fim.transform(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("fim_mode"), col("fim_text"))),
+
     "cli_status" -> ((s, dir) => {
       // F6 end-to-end (cli.py status): state built from the documents
       // table, persisted and RELOADED through the real JSON state backend
@@ -4444,6 +4451,32 @@ object SparkEntry {
 
     "distinct_sources" ->
       "SELECT DISTINCT source FROM documents",
+
+    // Exact character replay of the FIM transform: same md5 windows for
+    // the doc/mode draws (hex-prefix fractions, thresholds from
+    // Sampling.hexThreshold(0.5) = '8000') and the two mod-(len+1) split
+    // points, same sentinel concatenation.
+    "fim_transform" ->
+      """WITH h AS (SELECT doc_id, text, len(text) AS n,
+        |  md5(CAST(doc_id AS VARCHAR) || 'graft-fim') AS hx FROM documents),
+        |p AS (SELECT *,
+        |  CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % (n + 1) AS INT) AS p1,
+        |  CAST(CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) % (n + 1) AS INT) AS p2
+        | FROM h),
+        |q AS (SELECT doc_id, text, n, hx,
+        |  least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM p)
+        |SELECT doc_id,
+        | CASE WHEN NOT (substr(hx, 17, 4) < '8000') THEN 'none'
+        |      WHEN substr(hx, 21, 4) < '8000' THEN 'spm' ELSE 'psm' END AS fim_mode,
+        | CASE WHEN NOT (substr(hx, 17, 4) < '8000') THEN text
+        |      WHEN substr(hx, 21, 4) < '8000' THEN
+        |        '<SUF>' || substr(text, hi + 1, n - hi) || '<PRE>' ||
+        |        substr(text, 1, lo) || '<MID>' || substr(text, lo + 1, hi - lo)
+        |      ELSE
+        |        '<PRE>' || substr(text, 1, lo) || '<SUF>' ||
+        |        substr(text, hi + 1, n - hi) || '<MID>' || substr(text, lo + 1, hi - lo)
+        | END AS fim_text
+        |FROM q""".stripMargin,
 
     // The status verb's id list survives the JSON backend round trip
     // verbatim; the watermark row is filtered before display.
