@@ -250,6 +250,29 @@ object SparkEntry {
         .select(col("doc_id"), col("chat_text"), col("n_turns"), col("roles"))
     }),
 
+    "chat_loss_mask" -> ((s, dir) => {
+      // SFT loss masking (ChatTemplate.assistantSpans scaladoc): the same
+      // 3-turn conversation as chat_template, but the output is the
+      // 1-based char span of the ASSISTANT content inside chat_text — the
+      // region a supervised loss keeps. Oracle computes the span
+      // arithmetic directly from the halves.
+      val docs = t(s, dir, "documents")
+      val parts = split(col("text"), " ", -1)
+      val n = size(parts)
+      val k = ((n + 1) / 2).cast("int")
+      val userHalf = concat_ws(" ", slice(parts, lit(1), k))
+      val asstHalf = concat_ws(" ", slice(parts, k + 1, n - k))
+      val msgs = array(
+        struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"), userHalf.as("content")),
+        struct(lit("assistant").as("role"), asstHalf.as("content")))
+      val parsed = ChatTemplate.parseMessages(
+        docs.select(col("doc_id"), to_json(msgs).as("raw")), "raw")
+      ChatTemplate.assistantSpans(parsed)
+        .select(col("doc_id"), col("turn"), col("span_start"), col("span_len"))
+    }),
+
     "csv_parse" -> ((s, dir) => {
       // CSV corpus source: serialize each document row to a CSV line with
       // to_csv (real quoting), parse back through CsvSource's positional
@@ -4371,6 +4394,23 @@ object SparkEntry {
         | CAST(3 AS BIGINT) AS n_turns,
         | 'system,user,assistant' AS roles
         |FROM d""".stripMargin,
+
+    // Span arithmetic from the conversation halves: turn overhead is 24
+    // chars (sentinels + newlines), content starts 13 + len(role) + 1
+    // chars into its turn. before(assistant) = 58 (system turn) +
+    // 28 + len(user half); start = before + 23.
+    "chat_loss_mask" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |d AS (SELECT doc_id, parts, len(parts) AS n,
+        |  CAST(floor((len(parts) + 1) / 2.0) AS INT) AS k FROM p),
+        |h AS (SELECT doc_id,
+        |  len(array_to_string(parts[1:k], ' ')) AS lu,
+        |  len(array_to_string(parts[k+1:n], ' ')) AS la
+        | FROM d)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS turn,
+        | CAST(58 + 28 + lu + 23 AS BIGINT) AS span_start,
+        | CAST(la AS BIGINT) AS span_len
+        |FROM h""".stripMargin,
 
     // Identity oracle like jsonl_parse: the engine must round-trip every
     // character through real CSV quoting (to_csv -> from_csv) to match.

@@ -51,4 +51,46 @@ object ChatTemplate {
       .withColumn("roles",
         when(m.isNotNull, array_join(transform(m, _.getField("role")), ",")))
   }
+
+  // Template overhead per turn: "<|im_start|>" (12) + "\n" (1) +
+  // "<|im_end|>\n" (11) = 24 chars beyond role + content.
+  private val TurnOverhead = 24
+  private val HeaderOverhead = 13 // "<|im_start|>" + "\n"
+
+  /** Loss-mask spans for SFT: the 1-based character span of every
+    * ASSISTANT turn's content inside [[render]]'s `chat_text` — the
+    * regions a supervised-fine-tuning loss keeps while prompt/system
+    * turns are masked out (the standard ChatML recipe). One row per
+    * assistant turn: `(…, turn, span_start, span_len)` with the identity
+    * `substr(chat_text, span_start, span_len) == content` (pinned by
+    * `ChatTemplateSpec`); conversations with null messages produce no
+    * rows.
+    *
+    * Pure arithmetic over the message array (per-turn rendered lengths +
+    * an O(turns²) prefix sum inside one codegen'd HOF — turns are tens,
+    * never corpus-sized), so the whole operator is narrow, shuffle-free,
+    * and SQL-replayable.
+    */
+  def assistantSpans(df: DataFrame, messagesCol: String = "messages"): DataFrame = {
+    val m = col(messagesCol)
+    val lens = transform(m, t => lit(TurnOverhead)
+      + length(t.getField("role")) + length(t.getField("content")))
+    val spans = transform(sequence(lit(1), size(m)), i => {
+      val before = aggregate(slice(col("__lens"), lit(1), i - 1),
+        lit(0), (a, x) => a + x)
+      val t = element_at(m, i)
+      struct(i.as("turn"), t.getField("role").as("role"),
+        (before + lit(HeaderOverhead) + length(t.getField("role")) + 1)
+          .as("span_start"),
+        length(t.getField("content")).as("span_len"))
+    })
+    df.filter(m.isNotNull)
+      .withColumn("__lens", lens)
+      .select(col("*"), explode(spans).as("__s"))
+      .filter(col("__s.role") === "assistant")
+      .withColumn("turn", col("__s.turn").cast("long"))
+      .withColumn("span_start", col("__s.span_start").cast("long"))
+      .withColumn("span_len", col("__s.span_len").cast("long"))
+      .drop("__s", "__lens")
+  }
 }

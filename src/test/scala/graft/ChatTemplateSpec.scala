@@ -52,6 +52,34 @@ class ChatTemplateSpec extends AnyFunSuite with SparkTestBase {
     assert(got == s"<|im_start|>user\n$content<|im_end|>\n")
   }
 
+  test("assistantSpans: substr(chat_text, start, len) == assistant content") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, """[{"role":"system","content":"be brief"},
+             |{"role":"user","content":"What is Spark?"},
+             |{"role":"assistant","content":"A distributed engine."},
+             |{"role":"user","content":"More?"},
+             |{"role":"assistant","content":"Yes — much more."}]"""
+        .stripMargin.replace("\n", "")),
+      (2L, """[{"role":"user","content":"no assistant turn"}]"""),
+      (3L, "not json at all")).toDF("id", "raw")
+    val parsed = ChatTemplate.parseMessages(raw, "raw")
+    val rendered = ChatTemplate.render(parsed)
+    val spans = ChatTemplate.assistantSpans(parsed)
+      .join(rendered.select(col("id"), col("chat_text")), "id")
+      .collect()
+    // conv 1 has exactly two assistant turns (3 and 5); convs 2/3 none
+    assert(spans.map(r => (r.getAs[Long]("id"), r.getAs[Long]("turn"))).toSet
+      == Set((1L, 3L), (1L, 5L)))
+    // the span identity: the masked-in region IS the assistant content
+    val contents = spans.map { r =>
+      val text = r.getAs[String]("chat_text")
+      text.substring(r.getAs[Long]("span_start").toInt - 1,
+        r.getAs[Long]("span_start").toInt - 1 + r.getAs[Long]("span_len").toInt)
+    }.toSet
+    assert(contents == Set("A distributed engine.", "Yes — much more."))
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
