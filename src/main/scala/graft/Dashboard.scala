@@ -37,6 +37,11 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
 
   @volatile private var session: Option[PipelineConfig] = None
 
+  // /run serializes: concurrent runs share workDir/temp_pipeline.yaml (and
+  // the sink/state paths), so an interleaved write->load could run the
+  // OTHER request's config. Searches stay concurrent — only runs queue.
+  private val runLock = new Object
+
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -103,19 +108,21 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
                |    directory: ${workDir.resolve("uploads")}
                |    glob: "*"""".stripMargin
         }
-        val cfgPath = writeTempConfig(sourceYaml)
-        val cfg = Configs.load(cfgPath.toString)
-        val report = Pipeline.run(spark, cfg)
-        // Session handle set ONLY after a successful run (app.py:152-157:
-        // session_state is assigned inside the success path) — a failed
-        // run must leave /search refusing, not 500ing on a stale sink.
-        session = Some(cfg)
-        (200, "application/json",
-          s"""{"config": ${jstr(cfgPath.toString)},
-             | "documents_loaded": ${report.documentsLoaded},
-             | "documents_changed": ${report.documentsChanged},
-             | "chunks_written": ${report.chunksWritten},
-             | "sources_processed": ${report.sourcesProcessed}}""".stripMargin)
+        runLock.synchronized {
+          val cfgPath = writeTempConfig(sourceYaml)
+          val cfg = Configs.load(cfgPath.toString)
+          val report = Pipeline.run(spark, cfg)
+          // Session handle set ONLY after a successful run (app.py:152-157:
+          // session_state is assigned inside the success path) — a failed
+          // run must leave /search refusing, not 500ing on a stale sink.
+          session = Some(cfg)
+          (200, "application/json",
+            s"""{"config": ${jstr(cfgPath.toString)},
+               | "documents_loaded": ${report.documentsLoaded},
+               | "documents_changed": ${report.documentsChanged},
+               | "chunks_written": ${report.chunksWritten},
+               | "sources_processed": ${report.sourcesProcessed}}""".stripMargin)
+        }
       }
     })
     server.createContext("/search", handler { ex =>
@@ -134,9 +141,13 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
             }
             val rows = Engine.Searcher(cfg).search(spark, q, k).collect()
             val items = rows.zipWithIndex.map { case (r, i) =>
+              // score is NULL for zero-norm vectors (cosine contract) —
+              // emit JSON null, never NPE on the unbox.
+              val score = Option(r.getAs[java.lang.Double]("score"))
+                .map(_.toString).getOrElse("null")
               s"""{"rank": ${i + 1}, "source": ${jstr(r.getAs[String]("source"))},
                  | "text": ${jstr(r.getAs[String]("text"))},
-                 | "score": ${r.getAs[Double]("score")}}""".stripMargin
+                 | "score": $score}""".stripMargin
             }
             (200, "application/json", items.mkString("[", ",\n", "]"))
           }
@@ -212,15 +223,7 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
       }.toMap
 
   private def jstr(s: String): String =
-    "\"" + Option(s).getOrElse("").flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    "\"" + graft.functions.RemoteEmbedder.jsonEscape(Option(s).getOrElse("")) + "\""
 
   /** The single-page UI: the three `app.py` sections as plain fetch()
     * calls against the routes above.

@@ -58,9 +58,12 @@ object Engine {
       // Route blocked when EITHER side exceeds the cap: the exact kernel
       // guards both inputs, so a 25k-question set over a 1k-row corpus
       // must route blocked rather than trip the queries-side guard
-      // mid-flight. Both counts are cheap columnar aggregates.
+      // mid-flight. The question count comes from the PRE-embedding frame:
+      // counting `embedded` would run the whole embedder (a remote HTTP
+      // batch client in the openai binding) once for the count and again
+      // in the eval plan.
       val topk =
-        if (corpus.count() <= maxExactRows && embedded.count() <= maxExactRows)
+        if (corpus.count() <= maxExactRows && questions.count() <= maxExactRows)
           Search.topKPerQuery(embedded, corpus, k,
             qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding",
             maxExactRows = maxExactRows)

@@ -256,7 +256,10 @@ object SparkEntry {
       // 1-based char span of the ASSISTANT content inside chat_text — the
       // region a supervised loss keeps. Oracle computes the span
       // arithmetic directly from the halves.
-      val docs = t(s, dir, "documents")
+      // Null-text docs are filtered on BOTH sides (the warc_parse
+      // posture): a null half would make the conversation malformed and
+      // assistantSpans drops those by contract.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
       val parts = split(col("text"), " ", -1)
       val n = size(parts)
       val k = ((n + 1) / 2).cast("int")
@@ -4400,7 +4403,8 @@ object SparkEntry {
     // chars into its turn. before(assistant) = 58 (system turn) +
     // 28 + len(user half); start = before + 23.
     "chat_loss_mask" ->
-      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, parts, len(parts) AS n,
         |  CAST(floor((len(parts) + 1) / 2.0) AS INT) AS k FROM p),
         |h AS (SELECT doc_id,
@@ -4506,9 +4510,9 @@ object SparkEntry {
         |q AS (SELECT doc_id, text, n, hx,
         |  least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM p)
         |SELECT doc_id,
-        | CASE WHEN NOT (substr(hx, 17, 4) < '8000') THEN 'none'
+        | CASE WHEN text IS NULL OR NOT (substr(hx, 17, 4) < '8000') THEN 'none'
         |      WHEN substr(hx, 21, 4) < '8000' THEN 'spm' ELSE 'psm' END AS fim_mode,
-        | CASE WHEN NOT (substr(hx, 17, 4) < '8000') THEN text
+        | CASE WHEN text IS NULL OR NOT (substr(hx, 17, 4) < '8000') THEN text
         |      WHEN substr(hx, 21, 4) < '8000' THEN
         |        '<SUF>' || substr(text, hi + 1, n - hi) || '<PRE>' ||
         |        substr(text, 1, lo) || '<MID>' || substr(text, lo + 1, hi - lo)

@@ -70,6 +70,13 @@ object ChatTemplate {
     * an O(turns²) prefix sum inside one codegen'd HOF — turns are tens,
     * never corpus-sized), so the whole operator is narrow, shuffle-free,
     * and SQL-replayable.
+    *
+    * Malformed conversations produce NO rows, same lenient posture as
+    * [[render]]: null/empty message arrays, and — crucially — any turn
+    * with a null role or content (a null-rendered turn is SKIPPED by
+    * `array_join` in the rendered text, so offsets computed over it would
+    * silently misalign the loss mask; dropping the conversation is the
+    * only honest answer).
     */
   def assistantSpans(df: DataFrame, messagesCol: String = "messages"): DataFrame = {
     val m = col(messagesCol)
@@ -84,7 +91,9 @@ object ChatTemplate {
           .as("span_start"),
         length(t.getField("content")).as("span_len"))
     })
-    df.filter(m.isNotNull)
+    df.filter(m.isNotNull && size(m) > 0 // sequence(1, 0) would step -1
+        && !exists(m, t =>
+          t.getField("role").isNull || t.getField("content").isNull))
       .withColumn("__lens", lens)
       .select(col("*"), explode(spans).as("__s"))
       .filter(col("__s.role") === "assistant")

@@ -62,7 +62,10 @@ class ChatTemplateSpec extends AnyFunSuite with SparkTestBase {
              |{"role":"assistant","content":"Yes — much more."}]"""
         .stripMargin.replace("\n", "")),
       (2L, """[{"role":"user","content":"no assistant turn"}]"""),
-      (3L, "not json at all")).toDF("id", "raw")
+      (3L, "not json at all"),
+      (4L, "[]"), // empty conversation: no rows, no sequence(1,0) blowup
+      (5L, """[{"role":"user"},{"role":"assistant","content":"hi"}]"""))
+      .toDF("id", "raw") // 5: null content -> malformed -> dropped whole
     val parsed = ChatTemplate.parseMessages(raw, "raw")
     val rendered = ChatTemplate.render(parsed)
     val spans = ChatTemplate.assistantSpans(parsed)
