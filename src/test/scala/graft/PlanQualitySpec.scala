@@ -476,6 +476,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       p.take(500))
   }
 
+  test("fim_transform / chat_loss_mask: narrow projections, no Exchange") {
+    // Training-example transforms must stay one codegen'd pass over the
+    // corpus: FIM is a pure projection; the loss-mask spans add only a
+    // Generate (explode) — neither may shuffle at any corpus size.
+    for (g <- Seq("fim_transform", "chat_loss_mask")) {
+      val p = plan(g)
+      assert(!p.contains("Exchange"), s"$g must not shuffle:\n" + p.take(600))
+      assert(!p.contains("ScalaUDF"), s"$g must stay codegen'd:\n" + p.take(600))
+    }
+  }
+
   test("coreset_kcenter: argmax rounds plan as TakeOrderedAndProject") {
     val d = SparkEntry.queries("coreset_kcenter")(spark, dir)
     // the driver already ran the rounds to build the result; re-derive one
