@@ -2458,6 +2458,28 @@ object SparkEntry {
       Similarity.lshTopK(e, q, 10).select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    "jl_distortion" -> ((s, dir) => {
+      // JL random-projection audit (Similarity.jlProject scaladoc): for
+      // every pair among the first 12 vectors, squared distance in the
+      // original 64-dim space vs the projected 16-dim space, plus the
+      // distortion ratio — the measured number behind "reduce 4x before
+      // the ANN index". Full oracle via the shared inline plane table.
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 12)
+      val p = Similarity.jlProject(e, "embedding", inDim = 64, outDim = 16)
+      val a = p.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("embedding_jl").as("pa"))
+      val b = p.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("embedding_jl").as("pb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorFunctions.l2DistanceSq(col("va"), col("vb")), 6)
+            .as("d2_orig"),
+          round(VectorFunctions.l2DistanceSq(col("pa"), col("pb")), 6)
+            .as("d2_proj"))
+        .withColumn("ratio",
+          when(col("d2_orig") > 0, round(col("d2_proj") / col("d2_orig"), 6)))
+    }),
+
     "similarity_ivf" -> ((s, dir) => {
       // FULL oracle since r10 (was the last †): ivfIndex trains in
       // integer micro-units (its scaladoc), so the ivfSql oracle replays
@@ -5003,6 +5025,35 @@ object SparkEntry {
     // remain.
     "similarity_ivf" -> ivfSql(nCells = 8, maxIter = 5, nProbe = 2,
       k = 10, dim = 64, seed = 42L),
+
+    // JL projection replay: the 16 Rademacher directions are the first 16
+    // rows of the shared inline plane table; projections are 6-dp rounded
+    // before the pairwise d2, and the ratio divides the two exact 1e-6
+    // multiples.
+    "jl_distortion" ->
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
+         | WHERE vec_id < 12),
+         |pj AS (SELECT e.vec_id, p.p AS j,
+         |  round(list_dot_product(e.dv, p.s) * (1.0 / sqrt(16.0)), 6) AS y
+         | FROM e CROSS JOIN planes p WHERE p.p < 16),
+         |pv AS (SELECT vec_id, list(y ORDER BY j) AS pvv FROM pj GROUP BY vec_id),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  a.dv AS va, b.dv AS vb, pa.pvv AS pa, pb.pvv AS pb
+         | FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  JOIN pv pa ON pa.vec_id = a.vec_id
+         |  JOIN pv pb ON pb.vec_id = b.vec_id),
+         |d AS (SELECT id_a, id_b,
+         |  round(list_dot_product(
+         |    list_transform(range(1, 65), i -> va[CAST(i AS INT)] - vb[CAST(i AS INT)]),
+         |    list_transform(range(1, 65), i -> va[CAST(i AS INT)] - vb[CAST(i AS INT)])), 6) AS d2_orig,
+         |  round(list_dot_product(
+         |    list_transform(range(1, 17), i -> pa[CAST(i AS INT)] - pb[CAST(i AS INT)]),
+         |    list_transform(range(1, 17), i -> pa[CAST(i AS INT)] - pb[CAST(i AS INT)])), 6) AS d2_proj
+         | FROM pr)
+         |SELECT id_a, id_b, d2_orig, d2_proj,
+         | CASE WHEN d2_orig > 0 THEN round(d2_proj / d2_orig, 6) END AS ratio
+         |FROM d""".stripMargin,
 
     // Same ivfCtes replay with the base-corpus training filter; the tail
     // is the per-cell base/new histogram the drift trigger reads.

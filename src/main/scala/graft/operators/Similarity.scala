@@ -285,6 +285,38 @@ object Similarity {
     (assignCells(corpus, centroids, vecCol), centroidsOut)
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    * database-friendly ±1 variant): reduce `array<float>` vectors to
+    * `outDim` dimensions via `y_j = dot(v, r_j) / sqrt(outDim)`, where
+    * `r_j` is the Rademacher direction [[hyperplaneSign]](seed, j, ·) —
+    * the same compile-time projection family the banded search and the
+    * E2LSH tier use, so the output (6-dp rounded) is fully SQL-replayable.
+    * The JL lemma bounds pairwise-distance distortion by
+    * `~sqrt(ln n / outDim)`; the `jl_distortion` gate MEASURES it (the
+    * `hyperplane_plan` discipline: a scale tradeoff is a number, not
+    * folklore).
+    *
+    * Scale shape: one narrow codegen'd pass, no shuffle — 64→16 dims cuts
+    * ANN index memory and every downstream dot product 4x; compose as
+    * `jlProject → bandedCandidatePairs / lshTopK` for the
+    * reduced-dimension search stack.
+    */
+  def jlProject(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+                seed: Int = 42, outCol: String = "embedding_jl",
+                roundDp: Int = 6): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, "need inDim, outDim >= 1")
+    require(outDim <= 62, s"outDim <= 62 (plane family bound), got $outDim")
+    val m: Seq[Seq[Double]] = (0 until outDim).map(j =>
+      (0 until inDim).map(i => hyperplaneSign(seed, j, i)))
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val dv = transform(col(vecCol), _.cast("double"))
+    df.withColumn(outCol,
+      transform(sequence(lit(1), lit(outDim)), j =>
+        round(aggregate(
+          zip_with(dv, element_at(typedLit(m), j), (x, s) => x * s),
+          lit(0.0), (a, x) => a + x) * lit(inv), roundDp)))
+  }
+
   /** Assign every row to its nearest trained centroid — the INCREMENTAL
     * index-maintenance path: a daily crawl batch is cell-assigned against
     * the existing quantizer with one narrow pass (no retraining, no

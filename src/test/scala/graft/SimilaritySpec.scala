@@ -154,6 +154,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("cell").collect()(0).getInt(0) == 0)
   }
 
+  test("jlProject: shape, determinism, duplicate collapse, sane distortion") {
+    import spark.implicits._
+    val vs = (1L to 20L).map(i =>
+      (i, Seq.tabulate(16)(j =>
+        if (j == 0) i.toFloat / 4 // distinct head: (i*7)%11 has period 11
+        else ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(vs, "embedding", inDim = 16, outDim = 4)
+      .select("vec_id", "embedding_jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p.values.forall(_.length == 4))
+    // identical inputs -> identical projections (pure function of content)
+    val dup = Similarity.jlProject(vs, "embedding", 16, 4)
+      .select("vec_id", "embedding_jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p == dup)
+    // JL sanity: the average pairwise distortion ratio is near 1 (the
+    // lemma's concentration), every ratio strictly positive for distinct
+    // vectors
+    val pairs = for (a <- 1L to 20L; b <- (a + 1) to 20L) yield (a, b)
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val orig = vs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val ratios = pairs.map { case (a, b) =>
+      d2(p(a), p(b)) / d2(orig(a), orig(b)) }
+    assert(ratios.forall(_ > 0))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.4 && mean < 2.5, s"mean distortion $mean")
+  }
+
   test("IVF cell filter prunes the scan (cells are a partitionable key)") {
     val corpus = embeddings.filter(col("vec_id") =!= 0)
     val (indexed, centroids) = Similarity.ivfIndex(corpus, nCells = 4)
