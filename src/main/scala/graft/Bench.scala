@@ -174,7 +174,8 @@ object Bench {
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (ran.nonEmpty) ran.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def lineAt(fmt: Double => String, extras: Boolean): String = {
+    def lineAt(fmt: Double => String, extras: Boolean,
+               pin: String = ""): String = {
       val qs = ran.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // `failed` is a load-bearing signal only when non-empty and is shed
@@ -182,7 +183,7 @@ object Bench {
       // median-of-N claim verifiable from the artifact alone, so it rides
       // EVERY tier (r6 verdict #8: the degraded line had dropped it).
       val failedPart = if (extras || failed.nonEmpty) s""","failed":$failedJson""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedPart,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedPart$pin,"reps":$reps,"sf":"$sfDir"}"""
     }
     // The driver parses the tail of stdout; an oversized line can start
     // mid-window and parse as nothing. Degrade stepwise — ms precision,
@@ -200,25 +201,31 @@ object Bench {
         results.map { case (k, v) => s"\"$k\":${v.map(r3).getOrElse("null")}" }
           .mkString("{", ",", "}"))
     }
-    val candidates = Seq(
-      lineAt(r3, extras = true), lineAt(r2, extras = false),
-      lineAt(r1, extras = false))
     // The driver's artifact can only carry a FIXED 2000-char stdout tail
     // (measured across BENCH_r01..r09: len(tail) == 2000 every round), so
     // with a 260+-gate suite the full per-query map can physically never
     // ride the printed line. The COMPLETE, un-degraded JSON line is the
     // canonical round artifact, persisted (and committed) here: same shape
     // the driver would have parsed, full 3dp map, all keys, `failed`
-    // inline. The printed line carries `n_queries` plus the sha256 of this
-    // file so the driver's round record is verifiably pinned to the exact
-    // committed full map — no stale-artifact ambiguity.
-    val fullSha =
+    // inline. EVERY printed tier that fits carries `n_queries` plus the
+    // sha256 of this file (the r10 advice: the pin previously rode only
+    // the fallback tier), so the driver's round record is verifiably
+    // pinned to the exact committed full map. The sha is computed over
+    // the pin-free full line — it cannot contain itself. Subset runs
+    // never write bench_full.json, so they carry no pointer or sha at
+    // all rather than a dangling one.
+    val fullLine = lineAt(r3, extras = true)
+    val pin =
       if (only.isEmpty) {
-        writeArtifact("bench_full.json", candidates.head)
-        java.security.MessageDigest.getInstance("SHA-256")
-          .digest(candidates.head.getBytes("UTF-8"))
+        writeArtifact("bench_full.json", fullLine)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(fullLine.getBytes("UTF-8"))
           .take(8).map("%02x".format(_)).mkString
-      } else "subset-run"
+        s""","n_queries":${ran.size},"queries_full":"bench_plans/bench_full.json","full_sha256":"$sha""""
+      } else s""","n_queries":${ran.size},"subset_run":true"""
+    val candidates = Seq(
+      lineAt(r3, extras = true, pin), lineAt(r2, extras = false, pin),
+      lineAt(r1, extras = false, pin))
     val line = candidates.find(_.length <= 1880).getOrElse {
       // Even 1dp over the full suite outgrew the window: keep the SLOWEST
       // queries (the ones perf grading cares about) up to the budget and
@@ -233,8 +240,8 @@ object Bench {
       }
       val qs = keep.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
-      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${ran.size}; full 3dp map in bench_plans/bench_full.json (sha256/8 $fullSha)")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size},"n_queries":${ran.size},"queries_full":"bench_plans/bench_full.json","full_sha256":"$fullSha","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${ran.size}; full 3dp map in bench_plans/bench_full.json")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size}$pin,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     }
     if (line != candidates.head)
       System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")

@@ -70,7 +70,8 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
     })
     server.createContext("/upload", handler { ex =>
       val name = param(ex, "name").getOrElse("")
-      if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
+      if (foreignOrigin(ex)) ForeignOriginResponse
+      else if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else if (name.isEmpty || name.contains('/') || name.contains('\\')
         || name.contains("..")) (400, "text/plain", "bad file name")
       else {
@@ -81,7 +82,8 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
       }
     })
     server.createContext("/run", handler { ex =>
-      if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
+      if (foreignOrigin(ex)) ForeignOriginResponse
+      else if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val form = parseQuery(body) ++ parseQuery(
@@ -187,6 +189,40 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
   }
 
   // ----------------------------- plumbing ----------------------------- //
+
+  /** CSRF / DNS-rebinding guard for the state-changing routes: binding
+    * 127.0.0.1 does not stop a malicious page in the OPERATOR'S browser
+    * from firing simple cross-origin POSTs at the loopback port (writing
+    * attacker files into uploads/, triggering runs that fetch
+    * attacker-chosen URLs — drive-by SSRF). Browsers attach `Origin` to
+    * every cross-origin POST and `Host` to every request, so rejecting a
+    * non-loopback value of either closes both vectors; non-browser
+    * clients (curl, the e2e spec) send no Origin and a loopback Host and
+    * pass untouched.
+    */
+  private def foreignOrigin(ex: HttpExchange): Boolean = {
+    def isLoopback(h: String): Boolean =
+      h == "localhost" || h == "127.0.0.1" || h == "::1"
+    def hostOf(hostPort: String): String = {
+      val s = hostPort.trim
+      if (s.startsWith("[")) s.drop(1).takeWhile(_ != ']')
+      else s.takeWhile(_ != ':')
+    }
+    val hostOk = Option(ex.getRequestHeaders.getFirst("Host"))
+      .forall(h => isLoopback(hostOf(h)))
+    val originOk = Option(ex.getRequestHeaders.getFirst("Origin")).forall {
+      o =>
+        try {
+          val h = java.net.URI.create(o.trim).getHost
+          h != null && isLoopback(h)
+        } catch { case _: IllegalArgumentException => false }
+    }
+    !(hostOk && originOk)
+  }
+
+  private val ForeignOriginResponse: (Int, String, String) =
+    (403, "application/json",
+      """{"error": "cross-origin request rejected: dashboard accepts state-changing requests from localhost pages only"}""")
 
   private def handler(f: HttpExchange => (Int, String, String)) =
     new com.sun.net.httpserver.HttpHandler {

@@ -1881,6 +1881,28 @@ object SparkEntry {
       Similarity.hammingTopK(codes.filter(col("id") < 20), codes, k = 5)
     }),
 
+    "hamming_topk_blocked" -> ((s, dir) => {
+      // The SCALE regime of hamming_topk (Similarity.hammingTopKBlocked
+      // scaladoc): pigeonhole bands over the packed code words,
+      // (band, bits) hash-join candidates, exact XOR/popcount re-rank —
+      // no cross join anywhere. Full self-search at 8-bit bands (the
+      // fixture's planted near-dup embeddings collide; 16-bit bands
+      // yield a vacuous 0-candidate run for ids < 20). The band replay
+      // is pure integer arithmetic, so the oracle is full.
+      val codes = Similarity.binarize(t(s, dir, "embeddings"))
+      Similarity.hammingTopKBlocked(codes, codes, k = 5, bandBits = 8)
+    }),
+
+    "hamming_banded_recall" -> ((s, dir) => {
+      // Measured recall@5 of the banded Hamming regime vs the exact scan
+      // (Similarity.hammingBandedRecall scaladoc) — the number that says
+      // whether 8-bit bands are safe at this k, in the
+      // dedup_simhash_eval posture.
+      val codes = Similarity.binarize(t(s, dir, "embeddings"))
+      Similarity.hammingBandedRecall(codes.filter(col("id") < 20), codes,
+        k = 5, bandBits = 8)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -4532,9 +4554,11 @@ object SparkEntry {
         |q AS (SELECT doc_id, text, n, hx,
         |  least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM p)
         |SELECT doc_id,
-        | CASE WHEN text IS NULL OR NOT (substr(hx, 17, 4) < '8000') THEN 'none'
+        | CASE WHEN text IS NULL OR hx IS NULL
+        |        OR NOT (substr(hx, 17, 4) < '8000') THEN 'none'
         |      WHEN substr(hx, 21, 4) < '8000' THEN 'spm' ELSE 'psm' END AS fim_mode,
-        | CASE WHEN text IS NULL OR NOT (substr(hx, 17, 4) < '8000') THEN text
+        | CASE WHEN text IS NULL OR hx IS NULL
+        |        OR NOT (substr(hx, 17, 4) < '8000') THEN text
         |      WHEN substr(hx, 21, 4) < '8000' THEN
         |        '<SUF>' || substr(text, hi + 1, n - hi) || '<PRE>' ||
         |        substr(text, 1, lo) || '<MID>' || substr(text, lo + 1, hi - lo)
@@ -6870,6 +6894,71 @@ object SparkEntry {
          | FROM scored)
          |SELECT qid, id, hamming, CAST(rn AS BIGINT) AS rank
          |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // Similarity.hammingTopKBlocked replay: 8-bit bands per 32-bit word
+    // (band b -> word b//4, shift (b%4)*8), candidates = any-band
+    // agreement, exact XOR-popcount re-rank — integer arithmetic end to
+    // end.
+    "hamming_topk_blocked" ->
+      s"""WITH codes AS ($binarizeSqlSelect),
+         |bands AS (
+         | SELECT vec_id, unnest(list_transform(range(0, 4 * len(words)),
+         |   b -> {'band': b,
+         |     'bits': (words[CAST(b // 4 + 1 AS INT)]
+         |       >> CAST((b % 4) * 8 AS INT)) & 255})) AS u
+         | FROM codes),
+         |bb AS (SELECT vec_id, u.band AS band, u.bits AS bits FROM bands),
+         |cand AS (
+         | SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+         | FROM bb q JOIN bb c ON q.band = c.band AND q.bits = c.bits
+         | WHERE c.vec_id <> q.vec_id),
+         |scored AS (
+         | SELECT cand.qid, cand.id,
+         |  CAST(list_sum(list_transform(range(1, len(qc.words) + 1),
+         |    j -> bit_count(xor(qc.words[j], cc.words[j])))) AS BIGINT) AS hamming
+         | FROM cand JOIN codes qc ON qc.vec_id = cand.qid
+         |  JOIN codes cc ON cc.vec_id = cand.id),
+         |ranked AS (SELECT qid, id, hamming,
+         |  row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS rn
+         | FROM scored)
+         |SELECT qid, id, hamming, CAST(rn AS BIGINT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // Similarity.hammingBandedRecall replay: exact Hamming top-5 LEFT
+    // JOIN the banded top-5, per-query hit count, one exact division.
+    "hamming_banded_recall" ->
+      s"""WITH codes AS ($binarizeSqlSelect),
+         |qs AS (SELECT vec_id AS qid, words AS qw FROM codes WHERE vec_id < 20),
+         |exact AS (SELECT qid, id FROM (
+         | SELECT qs.qid, c.vec_id AS id,
+         |  row_number() OVER (PARTITION BY qs.qid ORDER BY
+         |   CAST(list_sum(list_transform(range(1, len(qs.qw) + 1),
+         |     j -> bit_count(xor(qs.qw[j], c.words[j])))) AS BIGINT), c.vec_id) AS rn
+         | FROM qs, codes c WHERE c.vec_id <> qs.qid) q WHERE rn <= 5),
+         |bands AS (
+         | SELECT vec_id, unnest(list_transform(range(0, 4 * len(words)),
+         |   b -> {'band': b,
+         |     'bits': (words[CAST(b // 4 + 1 AS INT)]
+         |       >> CAST((b % 4) * 8 AS INT)) & 255})) AS u
+         | FROM codes),
+         |bb AS (SELECT vec_id, u.band AS band, u.bits AS bits FROM bands),
+         |cand AS (
+         | SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+         | FROM bb q JOIN bb c ON q.band = c.band AND q.bits = c.bits
+         | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |approx AS (SELECT qid, id FROM (
+         | SELECT cand.qid, cand.id,
+         |  row_number() OVER (PARTITION BY cand.qid ORDER BY
+         |   CAST(list_sum(list_transform(range(1, len(qc.words) + 1),
+         |     j -> bit_count(xor(qc.words[j], cc.words[j])))) AS BIGINT),
+         |   cand.id) AS rn
+         | FROM cand JOIN codes qc ON qc.vec_id = cand.qid
+         |  JOIN codes cc ON cc.vec_id = cand.id) q WHERE rn <= 5)
+         |SELECT e.qid,
+         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+         |GROUP BY e.qid""".stripMargin,
 
     // EventAnalytics.transitionMatrix replay: lead over (ts, id) per user,
     // |types|^2 counts, one exact division.

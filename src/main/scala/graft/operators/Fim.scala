@@ -55,7 +55,11 @@ object Fim {
     // psm/spm draw 21-24 — all windows disjoint from the position hashes.
     def draw(from: Int, rate: Double): Column =
       substring(h, from, Sampling.HexDigits) < lit(Sampling.hexThreshold(rate))
-    val isFim = draw(17, fimRate) && text.isNotNull
+    // A null id nulls the md5 draw; coalesce pins it to false so the row
+    // passes through as mode `none` instead of falling through every
+    // when() branch to a null-text psm (the document would silently
+    // vanish from the training mix).
+    val isFim = coalesce(draw(17, fimRate), lit(false)) && text.isNotNull
     val isSpm = draw(21, spmRate)
     val psm = concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
     val spm = concat(lit(sufTok), suffix, lit(preTok), prefix, lit(midTok), middle)

@@ -289,6 +289,7 @@ object KMeans {
                            // previous round's materialized rows, never the
                            // whole selection history
       var r = 2
+      var sinceCkpt = 0
       while (r <= k) {
         val top = frame.orderBy(col("__dm").desc, col("__id")).limit(1)
           .collect()(0)
@@ -296,10 +297,21 @@ object KMeans {
         // The superseded frame's checkpoint blocks are ContextCleaner-
         // released once this reference drops (Dataset.unpersist cannot
         // reach localCheckpoint blocks — it only uncaches persist()ed
-        // plans).
+        // plans). Checkpointing every OTHER round halves the live block
+        // sets the cleaner must chase under GC lag (r10 advice) at the
+        // cost of one extra narrow least() in the off-round argmax;
+        // lineage depth stays <= 2, never the selection history.
         frame = frame.withColumn("__dm",
           least(col("__dm"), d2To(vecOf(top))))
-          .localCheckpoint()
+        sinceCkpt += 1
+        if (sinceCkpt >= 2) {
+          frame = frame.localCheckpoint()
+          sinceCkpt = 0
+        }
+        // Large k outruns a lazy driver GC: superseded checkpoint blocks
+        // free only when their RDD reference is COLLECTED, so nudge the
+        // collector periodically to bound the cleaner's backlog.
+        if (r % 64 == 0) System.gc()
         r += 1
       }
       val coverage = frame.agg(max(col("__dm"))).collect()(0).getDouble(0)

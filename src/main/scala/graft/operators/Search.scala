@@ -406,16 +406,27 @@ object Search {
     * matches a query when it contains EVERY query term. One row per
     * stored query: `(query_id, query_terms, n_matches)`.
     *
-    * Scale shape: the registry broadcasts (it is tiny by definition);
-    * matching is a codegen'd `forall` over each document's distinct-token
-    * set — one narrow pass, one map-side-combined count. At true scale
-    * the standard refinement is an inverted-index prefilter on each
-    * query's rarest term; the final verify is this same forall.
+    * Scale shape: the registry broadcasts (it is tiny by definition, and
+    * `maxRegistry` makes the bound LOUD — the registry is
+    * driver-materialized and rides a BroadcastNestedLoopJoin, so a
+    * registry that outgrows broadcast size must move to the
+    * inverted-index formulation, not limp through this one); matching is
+    * a codegen'd `forall` over each document's distinct-token set — one
+    * narrow pass, one map-side-combined count. At true scale the standard
+    * refinement is an inverted-index prefilter on each query's rarest
+    * term (explode each query's single rarest term, hash-join against a
+    * token-posting table, then this same forall as the verify); the
+    * per-document work and the result contract are unchanged.
     */
   def percolate(df: DataFrame, textCol: String, idCol: String,
-                queries: Seq[(String, Seq[String])]): DataFrame = {
+                queries: Seq[(String, Seq[String])],
+                maxRegistry: Int = 100000): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one stored query, each with at least one term")
+    require(queries.size <= maxRegistry,
+      s"graft.percolate: ${queries.size} stored queries > " +
+        s"maxRegistry=$maxRegistry — the registry is driver-held and " +
+        "broadcast; use an inverted-index prefilter at this scale")
     val spark = df.sparkSession
     import spark.implicits._
     val reg = queries.map { case (qid, ts) => (qid, ts, ts.mkString(" ")) }

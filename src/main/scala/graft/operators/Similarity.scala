@@ -310,11 +310,20 @@ object Similarity {
       (0 until inDim).map(i => hyperplaneSign(seed, j, i)))
     val inv = 1.0 / math.sqrt(outDim.toDouble)
     val dv = transform(col(vecCol), _.cast("double"))
+    // Dimension check is IN-FLIGHT and loud: a vector whose length is not
+    // inDim would zip_with-pad against the plane rows and silently poison
+    // the dot product to null — raise instead (null vectors pass through
+    // as null, the established null-guard class).
     df.withColumn(outCol,
-      transform(sequence(lit(1), lit(outDim)), j =>
-        round(aggregate(
-          zip_with(dv, element_at(typedLit(m), j), (x, s) => x * s),
-          lit(0.0), (a, x) => a + x) * lit(inv), roundDp)))
+      when(col(vecCol).isNull, lit(null))
+        .when(size(col(vecCol)) === inDim,
+          transform(sequence(lit(1), lit(outDim)), j =>
+            round(aggregate(
+              zip_with(dv, element_at(typedLit(m), j), (x, s) => x * s),
+              lit(0.0), (a, x) => a + x) * lit(inv), roundDp)))
+        .otherwise(raise_error(concat(
+          lit("graft.jlProject: vector length "), size(col(vecCol)),
+          lit(s" != inDim=$inDim")))))
   }
 
   /** Assign every row to its nearest trained centroid — the INCREMENTAL
@@ -789,24 +798,134 @@ object Similarity {
     * corpus id). Pure integer XOR/popcount — at scale this is the
     * shortlist stage, scanning 2 longs per 64-dim vector instead of 64
     * floats. Returns `(qid, id, hamming, rank)`.
+    *
+    * EXACT REGIME: the scan is O(|Q|·|N|) — a Hamming pair is ~32x
+    * cheaper than a float cosine but still a cross join, so both inputs
+    * are [[guardExactRegime]]-guarded. Above the ceiling use
+    * [[hammingTopKBlocked]] (pigeonhole band join, same re-rank tail) or
+    * the [[hammingSearch]] router.
     */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                   idCol: String = "id",
-                  wordsCol: String = "words"): DataFrame = {
+                  wordsCol: String = "words",
+                  maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val scored =
+      guardExactRegime(queries, "hammingTopK.queries", maxExactRows)
+        .select(col(idCol).as("qid"), col(wordsCol).as("__qw"))
+        .crossJoin(guardExactRegime(corpus, "hammingTopK.corpus", maxExactRows)
+          .select(col(idCol).as("id"), col(wordsCol).as("__cw")))
+        .filter(col("id") =!= col("qid"))
+    hammingRankTail(scored, k)
+  }
+
+  /** The XOR/popcount distance + per-query rank tail shared by the exact
+    * and banded Hamming regimes: `candidates` carries one row per
+    * `(qid, __qw, id, __cw)` candidate (self already excluded).
+    */
+  private def hammingRankTail(candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = queries
-      .select(col(idCol).as("qid"), col(wordsCol).as("__qw"))
-      .crossJoin(corpus.select(col(idCol).as("id"), col(wordsCol).as("__cw")))
-      .filter(col("id") =!= col("qid"))
-      .withColumn("hamming", aggregate(
-        zip_with(col("__qw"), col("__cw"), (a, b) => bit_count(a.bitwiseXOR(b))),
-        lit(0L), (acc, v) => acc + v))
+    val scored = candidates.withColumn("hamming", aggregate(
+      zip_with(col("__qw"), col("__cw"), (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0L), (acc, v) => acc + v))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("hamming"), col("id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("hamming"), col("rank"))
+  }
+
+  /** The SCALE regime of [[hammingTopK]]: pigeonhole banding over the
+    * packed code words instead of the all-pairs scan. Each 32-bit word is
+    * split into `32 / bandBits` sub-bands; a corpus code is a candidate
+    * for a query iff they agree EXACTLY on at least one band — by
+    * pigeonhole, any pair within Hamming radius `r < numBands` (numBands =
+    * `ceil(dim/32) * 32/bandBits`) leaves one band untouched and MUST
+    * collide, so close neighbors are guaranteed and farther ones are
+    * caught probabilistically (their diffs must spread across every
+    * band). Candidates are re-ranked with the exact 64-bit XOR/popcount
+    * distance — same tail as the exact regime, so agreeing candidate sets
+    * produce identical rows.
+    *
+    * Physical shape: one hash shuffle on the `(band index, band value)`
+    * key, a distinct over the candidate (qid, id) pairs, two hash joins
+    * to re-attach the code words, and the per-query window — work scales
+    * with band collisions, never |Q|·|N|, so no guard is needed. The
+    * default 16-bit bands give 4 bands at 64 dims (radius-3 guarantee),
+    * the simhash-paper table scheme ([[Dedup.simhashPairs]] uses the same
+    * quarters over its 64-bit fingerprints). Recall at the search k is
+    * measured by [[hammingBandedRecall]].
+    */
+  def hammingTopKBlocked(queries: DataFrame, corpus: DataFrame, k: Int,
+                         idCol: String = "id",
+                         wordsCol: String = "words",
+                         bandBits: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bandBits >= 1 && bandBits <= 32 && 32 % bandBits == 0,
+      s"bandBits must divide 32, got $bandBits")
+    val nSub = 32 / bandBits
+    val mask = if (bandBits == 32) 0xffffffffL else (1L << bandBits) - 1L
+    // Band b of a code = bits [b*bandBits, (b+1)*bandBits) of word
+    // b/nSub — flatten keeps word order, so band indices are global.
+    def bands(words: Column): Column = flatten(transform(words, w =>
+      array((0 until nSub).map(s =>
+        shiftrightunsigned(w, s * bandBits).bitwiseAND(lit(mask))): _*)))
+    def banded(df: DataFrame, outId: String): DataFrame = df
+      .select(col(idCol).as(outId), bands(col(wordsCol)).as("__bands"))
+      .select(col(outId), posexplode(col("__bands")).as(Seq("__band", "__bits")))
+    // Arrays never ride through the band explode: distinct (qid, id)
+    // first, words joined back — the minhash verification-join shape.
+    val cand = banded(queries, "qid")
+      .join(banded(corpus, "id"), Seq("__band", "__bits"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+      .join(queries.select(col(idCol).as("qid"), col(wordsCol).as("__qw")), "qid")
+      .join(corpus.select(col(idCol).as("id"), col(wordsCol).as("__cw")), "id")
+    hammingRankTail(cand, k)
+  }
+
+  /** Evaluator-style regime router for the 1-bit stack: exact
+    * [[hammingTopK]] while BOTH sides fit under `maxExactRows`, banded
+    * [[hammingTopKBlocked]] above it — so a caller never plans O(|Q|·|N|)
+    * at corpus scale and never pays banding recall on a corpus the exact
+    * scan covers. The decision costs one columnar count per side, the
+    * same contract as [[graft.Engine.Evaluator]].
+    */
+  def hammingSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "id",
+                    wordsCol: String = "words",
+                    bandBits: Int = 16,
+                    maxExactRows: Long = DefaultMaxExactRows): DataFrame =
+    if (queries.count() <= maxExactRows && corpus.count() <= maxExactRows)
+      hammingTopK(queries, corpus, k, idCol, wordsCol, maxExactRows)
+    else
+      hammingTopKBlocked(queries, corpus, k, idCol, wordsCol, bandBits)
+
+  /** Recall audit of the banded Hamming regime: per query, how much of
+    * the EXACT Hamming top-k survives in [[hammingTopKBlocked]]'s top-k —
+    * the number that decides whether `bandBits` is safe at the search k
+    * (the [[Dedup]] `dedup_simhash_eval` posture, here for search).
+    * Exact regime on the audit side (guarded); returns one row per query
+    * `(qid, n_hit, recall)` with recall one exact integer division.
+    */
+  def hammingBandedRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                          idCol: String = "id",
+                          wordsCol: String = "words",
+                          bandBits: Int = 16,
+                          roundDp: Int = 6,
+                          maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    val exact = hammingTopK(queries, corpus, k, idCol, wordsCol, maxExactRows)
+      .select(col("qid"), col("id").as("__eid"))
+    val approx = hammingTopKBlocked(queries, corpus, k, idCol, wordsCol, bandBits)
+      .select(col("qid"), col("id"))
+    exact
+      .join(approx.withColumn("__hit", lit(1L)),
+        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+        "left")
+      .groupBy(exact("qid"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
   }
 
   /** Mutual k-nearest-neighbor pairs: `(a, b)` where each is in the
@@ -905,13 +1024,15 @@ object Similarity {
                           shortlist: Int, k: Int,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          roundDp: Int = 6): DataFrame = {
+                          roundDp: Int = 6,
+                          maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(shortlist >= k && k >= 1,
       s"need shortlist >= k >= 1, got ($shortlist, $k)")
     import org.apache.spark.sql.expressions.Window
     val codesQ = binarize(queries, vecCol, idCol)
     val codesC = binarize(corpus, vecCol, idCol)
-    val short = hammingTopK(codesQ, codesC, shortlist)
+    val short = hammingTopK(codesQ, codesC, shortlist,
+        maxExactRows = maxExactRows)
       .select(col("qid"), col("id"))
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
@@ -924,7 +1045,10 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id"))
-    val exact = qv.crossJoin(cv)
+    val exact = guardExactRegime(qv, "hammingRerankRecall.queries",
+        maxExactRows)
+      .crossJoin(guardExactRegime(cv, "hammingRerankRecall.corpus",
+        maxExactRows))
       .filter(col("id") =!= col("qid"))
       .withColumn("__cos",
         round(graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),

@@ -27,6 +27,24 @@ class DashboardSpec extends AnyFunSuite with SparkTestBase {
     (code, text)
   }
 
+  /** Raw-socket POST: HttpURLConnection strips the restricted Origin/Host
+    * headers, and the CSRF guard is exactly about those.
+    */
+  private def rawPost(port: Int, path: String, body: String,
+                      origin: Option[String] = None,
+                      host: String = "127.0.0.1"): String = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    try {
+      val originLine = origin.map(o => s"Origin: $o\r\n").getOrElse("")
+      val req = s"POST $path HTTP/1.1\r\nHost: $host\r\n$originLine" +
+        s"Content-Length: ${body.getBytes(UTF_8).length}\r\n" +
+        "Connection: close\r\n\r\n" + body
+      s.getOutputStream.write(req.getBytes(UTF_8))
+      s.getOutputStream.flush()
+      new String(s.getInputStream.readAllBytes(), UTF_8)
+    } finally s.close()
+  }
+
   test("upload -> run -> search round trip; guards on bad input") {
     val work = tempDir("graft-dash")
     val dash = new Dashboard(spark, work, port = 0)
@@ -44,6 +62,29 @@ class DashboardSpec extends AnyFunSuite with SparkTestBase {
       // path traversal in upload names is rejected
       assert(request(s"$base/upload?name=..%2Fevil.txt", "POST",
         Some("x"))._1 == 400)
+
+      // CSRF guard: a cross-origin browser POST at the loopback port is
+      // refused on both state-changing routes (drive-by upload / SSRF);
+      // a localhost Origin — what the dashboard's own page sends — and
+      // the headerless non-browser client both pass. Raw sockets because
+      // HttpURLConnection silently strips the restricted Origin header.
+      val xresp = rawPost(dash.boundPort, "/upload?name=x.txt", "x",
+        origin = Some("http://evil.example"))
+      assert(xresp.startsWith("HTTP/1.1 403") && xresp.contains("cross-origin"),
+        xresp.take(200))
+      assert(rawPost(dash.boundPort, "/run", "source_type=local_files",
+        origin = Some("http://evil.example")).startsWith("HTTP/1.1 403"))
+      // sandboxed-iframe "null" origin is foreign too
+      assert(rawPost(dash.boundPort, "/upload?name=x.txt", "x",
+        origin = Some("null")).startsWith("HTTP/1.1 403"))
+      // a non-loopback Host (DNS rebinding) is refused even with no Origin
+      assert(rawPost(dash.boundPort, "/upload?name=x.txt", "x",
+        host = "attacker.example").startsWith("HTTP/1.1 403"))
+      // same-origin browser post passes the guard
+      assert(rawPost(dash.boundPort, "/upload?name=ok-origin.txt", "x",
+        origin = Some(s"http://127.0.0.1:${dash.boundPort}"))
+        .startsWith("HTTP/1.1 200"))
+      java.nio.file.Files.delete(work.resolve("uploads/ok-origin.txt"))
 
       // a FAILED run must not arm the session: unreachable web source ->
       // 500, and /search still refuses with 409 (review fix: session is

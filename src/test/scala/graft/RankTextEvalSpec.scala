@@ -86,6 +86,14 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Search.percolate(df, "text", "doc_id", Seq(("bad", Seq.empty)))
     }
+    // the registry is driver-held and broadcast: outgrowing maxRegistry
+    // trips loudly instead of limping through a giant BNLJ
+    val ex = intercept[IllegalArgumentException] {
+      Search.percolate(df, "text", "doc_id",
+        Seq(("q1", Seq("a")), ("q2", Seq("b")), ("q3", Seq("c"))),
+        maxRegistry = 2)
+    }
+    assert(ex.getMessage.contains("maxRegistry"), ex.getMessage)
   }
 
   test("autocompleteIndex: per-prefix top-k by frequency, tie by token") {

@@ -322,6 +322,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hammingTopKBlocked + hammingSearch: band-found near codes match " +
+      "the exact scan; guards trip on oversize") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // 64-dim codes (two words). 1<->2 differ in ONE bit (word 0 bit 0),
+    // 1<->3 in two bits spread over both words — both within the
+    // radius-3 pigeonhole guarantee of 16-bit bands, so the banded
+    // candidate set contains the exact top-2 and the two regimes must
+    // return IDENTICAL rows. 9 is far from everything (every band
+    // flipped) yet still k-ranked by the exact scan.
+    val codes = Seq(
+      (1L, Seq(0x00010001L, 0x00010001L)),
+      (2L, Seq(0x00010000L, 0x00010001L)),
+      (3L, Seq(0x00000001L, 0x00000001L)),
+      (9L, Seq(0xFFFEFFFEL, 0xFFFEFFFEL))).toDF("id", "words")
+    val q = codes.filter($"id" === 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = rows(Similarity.hammingTopK(q, codes, k = 2))
+    val banded = rows(Similarity.hammingTopKBlocked(q, codes, k = 2))
+    assert(exact == Seq((2L, 1L, 1L), (3L, 2L, 2L)))
+    assert(banded == exact)
+    // the router picks the exact regime under the ceiling ...
+    assert(rows(Similarity.hammingSearch(q, codes, k = 2)) == exact)
+    // ... and the banded regime above it (same rows on this fixture)
+    assert(rows(Similarity.hammingSearch(q, codes, k = 2,
+      maxExactRows = 2)) == exact)
+    // recall audit: bands catch the full exact top-2 here
+    val rec = Similarity.hammingBandedRecall(q, codes, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.toSeq == Seq((1L, 2L, 1.0)))
+    // far-but-banded: 9's only neighbors never share a band -> absent
+    // from the banded regime, present in the exact one (the documented
+    // recall tradeoff)
+    assert(rows(Similarity.hammingTopKBlocked(codes.filter($"id" === 9L),
+      codes, k = 1)).isEmpty)
+    assert(rows(Similarity.hammingTopK(codes.filter($"id" === 9L),
+      codes, k = 1)).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopKBlocked(q, codes, k = 2, bandBits = 7)
+    }
+    // planted-oversize guards (r10 verdict #1: the last two unguarded
+    // cross joins)
+    assertGuardTrips("hammingTopK.corpus") {
+      Similarity.hammingTopK(q, codes, k = 1, maxExactRows = 2).collect()
+    }
+    assertGuardTrips("hammingTopK.queries") {
+      Similarity.hammingTopK(codes, q, k = 1, maxExactRows = 2).collect()
+    }
+  }
+
   test("hammingRerankRecall: full shortlist reranks to exact -> recall 1") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
