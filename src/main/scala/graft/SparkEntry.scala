@@ -1502,6 +1502,23 @@ object SparkEntry {
         ("q_sort_merge", Seq("sort", "merge")),
         ("q_hash_key_value", Seq("hash", "key", "value"))))),
 
+    "stored_queries_indexed" -> ((s, dir) => {
+      // The SCALE regime of stored_queries (Search.percolateIndexed
+      // scaladoc): DataFrame registry, rarest-term inverted-index
+      // prefilter, same forall verify. Deliberately shares
+      // stored_queries' oracle — row-identity with the broadcast regime
+      // IS the claim (the bm25_merged_stats posture).
+      import s.implicits._
+      val reg = Seq(
+        ("q_join_perf", Seq("join", "fast")),
+        ("q_scan_table", Seq("scan", "table")),
+        ("q_spark_window", Seq("spark", "window")),
+        ("q_sort_merge", Seq("sort", "merge")),
+        ("q_hash_key_value", Seq("hash", "key", "value")))
+        .toDF("query_id", "terms")
+      Search.percolateIndexed(t(s, dir, "documents"), "text", "doc_id", reg)
+    }),
+
     "robots_check" -> ((s, dir) => {
       // Longest-prefix robots.txt evaluation over the planted crawl URLs
       // (CurationRules.robotsCheck scaladoc). Host identity is
@@ -6230,6 +6247,25 @@ object SparkEntry {
 
     // Search.percolate replay: list_has_all == the forall verify.
     "stored_queries" ->
+      s"""WITH docs AS (SELECT doc_id, list_distinct($toksSql) AS s
+         | FROM documents),
+         |reg AS (
+         | SELECT 'q_join_perf' AS query_id, ['join', 'fast'] AS terms,
+         |  'join fast' AS query_terms
+         | UNION ALL SELECT 'q_scan_table', ['scan', 'table'], 'scan table'
+         | UNION ALL SELECT 'q_spark_window', ['spark', 'window'], 'spark window'
+         | UNION ALL SELECT 'q_sort_merge', ['sort', 'merge'], 'sort merge'
+         | UNION ALL SELECT 'q_hash_key_value', ['hash', 'key', 'value'],
+         |  'hash key value')
+         |SELECT r.query_id, r.query_terms,
+         | CAST(sum(CASE WHEN list_has_all(d.s, r.terms) THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+         |FROM docs d CROSS JOIN reg r
+         |GROUP BY r.query_id, r.query_terms""".stripMargin,
+
+    // Search.percolateIndexed must be ROW-IDENTICAL to the broadcast
+    // regime — the rarest-term prefilter loses nothing for conjunctive
+    // queries — so it replays the same conjunctive count.
+    "stored_queries_indexed" ->
       s"""WITH docs AS (SELECT doc_id, list_distinct($toksSql) AS s
          | FROM documents),
          |reg AS (

@@ -412,11 +412,10 @@ object Search {
     * registry that outgrows broadcast size must move to the
     * inverted-index formulation, not limp through this one); matching is
     * a codegen'd `forall` over each document's distinct-token set — one
-    * narrow pass, one map-side-combined count. At true scale the standard
-    * refinement is an inverted-index prefilter on each query's rarest
-    * term (explode each query's single rarest term, hash-join against a
-    * token-posting table, then this same forall as the verify); the
-    * per-document work and the result contract are unchanged.
+    * narrow pass, one map-side-combined count. At true scale use
+    * [[percolateIndexed]]: a DataFrame registry with an inverted-index
+    * prefilter on each query's rarest term and this same forall as the
+    * verify — identical result contract.
     */
   def percolate(df: DataFrame, textCol: String, idCol: String,
                 queries: Seq[(String, Seq[String])],
@@ -438,6 +437,61 @@ object Search {
         forall(col("__terms"), t => array_contains(col("__set"), t)))
       .groupBy(col("query_id"), col("query_terms"))
       .agg(sum(col("__hit").cast("long")).as("n_matches"))
+  }
+
+  /** The SCALE regime of [[percolate]]: the registry is a DATAFRAME (no
+    * driver materialization, no broadcast bound — millions of stored
+    * queries shard like any other table) and matching runs through the
+    * classic inverted-index prefilter: candidates for a query are the
+    * postings of its RAREST term only (by measured document frequency,
+    * ties by token), then the same every-term containment verify as the
+    * broadcast regime. A conjunctive match must contain every term, so
+    * filtering on any one term loses nothing — picking the rarest
+    * minimizes candidate volume (the standard percolator/set-containment
+    * recipe). Identical result contract: one row per stored query
+    * `(query_id, query_terms, n_matches)`, zero-match queries included.
+    *
+    * Physical shape: one posting explode + token-count aggregate, hash
+    * joins on token and query id, one per-query argmin window over the
+    * (registry x terms)-sized frame — every edge keyed, no cross join,
+    * no broadcast. Work scales with `sum over queries of df(rarest
+    * term)`, not |docs| x |registry|. A term absent from the corpus has
+    * df 0, wins the argmin, and correctly yields zero candidates. Stored
+    * queries with null/empty term lists raise in-flight (the broadcast
+    * regime's same refusal, without a driver-side count).
+    */
+  def percolateIndexed(df: DataFrame, textCol: String, idCol: String,
+                       queries: DataFrame,
+                       qidCol: String = "query_id",
+                       termsCol: String = "terms"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reg = queries
+      .select(col(qidCol).as("__qid"), col(termsCol).as("__terms"),
+        array_join(col(termsCol), " ").as("query_terms"))
+      .filter(when(col("__terms").isNull || size(col("__terms")) === 0,
+        raise_error(concat(lit("graft.percolateIndexed: stored query "),
+          col("__qid"), lit(" has no terms"))))
+        .otherwise(lit(true)))
+    val docs = df.select(col(idCol).as("__doc"),
+      array_distinct(TextAnalysis.toks(col(textCol))).as("__set"))
+    val postings = docs.select(col("__doc"), explode(col("__set")).as("__tok"))
+    val dfreq = postings.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val rarest = reg.select(col("__qid"), explode(col("__terms")).as("__tok"))
+      .join(dfreq, Seq("__tok"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__df"), col("__tok"))))
+      .filter(col("__rn") === 1)
+      .select(col("__qid"), col("__tok"))
+    val matched = rarest.join(postings, Seq("__tok"))
+      .select(col("__qid"), col("__doc"))
+      .join(reg.select(col("__qid"), col("__terms")), "__qid")
+      .join(docs, "__doc")
+      .filter(forall(col("__terms"), t => array_contains(col("__set"), t)))
+      .groupBy(col("__qid")).agg(count(lit(1)).as("__n"))
+    reg.join(matched, Seq("__qid"), "left")
+      .select(col("__qid").as("query_id"), col("query_terms"),
+        coalesce(col("__n"), lit(0L)).as("n_matches"))
   }
 
   /** Rank-biased overlap (Webber et al., TOIS 2010) truncated at depth `k`

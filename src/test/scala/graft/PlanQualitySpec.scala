@@ -628,7 +628,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
         "bitext_margin_blocked", "mmr_rerank_blocked", "eval_mrr_blocked",
         "eval_ndcg_blocked", "eval_hitrate_blocked", "hard_negatives_blocked",
         "similarity_lsh_exact", "similarity_multiprobe",
-        "similarity_prebanded", "hamming_topk_blocked")) {
+        "similarity_prebanded", "hamming_topk_blocked",
+        "stored_queries_indexed")) {
       val p = plan(g)
       assert(!p.contains("CartesianProduct"), s"$g: ${p.take(600)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$g: ${p.take(600)}")

@@ -96,6 +96,35 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("maxRegistry"), ex.getMessage)
   }
 
+  test("percolateIndexed: rarest-term prefilter matches the broadcast regime") {
+    val df = Seq((1L, "fast join on key"), (2L, "join slow"),
+      (3L, "fast fast join"), (4L, "other words"))
+      .toDF("doc_id", "text")
+    val registry = Seq(("q1", Seq("join", "fast")), ("q2", Seq("key")),
+      ("q3", Seq("absent", "join")))
+    val broadcastRows = Search.percolate(df, "text", "doc_id", registry)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val indexedRows = Search
+      .percolateIndexed(df, "text", "doc_id", registry.toDF("query_id", "terms"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // row identity with the broadcast regime — including q3's zero (its
+    // rarest term "absent" has df 0 -> zero candidates, still reported)
+    assert(indexedRows == broadcastRows, indexedRows.toString)
+    assert(indexedRows.exists(r => r._1 == "q3" && r._3 == 0L))
+    // a stored query with no terms raises in-flight, the broadcast
+    // regime's same refusal
+    val ex2 = intercept[Exception] {
+      Search.percolateIndexed(df, "text", "doc_id",
+        Seq(("ok", Seq("join")), ("bad", Seq.empty[String]))
+          .toDF("query_id", "terms")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex2).exists(_.contains("has no terms")), msgs(ex2).mkString("|"))
+  }
+
   test("autocompleteIndex: per-prefix top-k by frequency, tie by token") {
     val df = Seq(Tuple1("scan scan scan sort sort s key"))
       .toDF("text")
