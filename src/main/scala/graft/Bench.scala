@@ -70,7 +70,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the target runtime (local[32], shuffle.partitions=32
+    // — the brief's setting and this box's core count). The old default of
+    // 4 silently benched a 4-thread cluster whenever the env var was unset
+    // — including every DRIVER bench run — and flipped every Exchange's
+    // partition count (hence every plan digest) between driver and local
+    // close runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Local-iteration filter: comma-separated query names. Unset (driver
     // runs) = full suite.

@@ -213,9 +213,11 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
       assert(rounds.size >= 4, s"captured ${rounds.size} argmax plans")
       rounds.foreach { p =>
         assert(p.contains("ExistingRDD"), p.take(400))
-        assert(!p.contains("least("), // distance folds live in the
-          p.take(400))                // checkpoint materialization, never
-                                      // re-stacked under the argmax
+        // checkpoints land every OTHER round (r10 advice: halve the live
+        // block sets), so an argmax may see at most ONE pending least()
+        // fold above the checkpoint scan — never the re-stacked
+        // selection history the eager-checkpoint rework removed
+        assert("least\\(".r.findAllMatchIn(p).size <= 1, p.take(400))
       }
     } finally spark2.listenerManager.unregister(listener)
   }

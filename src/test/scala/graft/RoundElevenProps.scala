@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{ChatTemplate, Fim}
+import graft.operators.{ChatTemplate, Fim, Similarity}
 
 /** Invariants of the round-10 determinism kernels under generated inputs
   * (r10 verdict #5): FIM spans reassemble losslessly for EVERY md5-drawn
@@ -106,6 +106,39 @@ object RoundElevenProps extends Properties("RoundEleven") {
         val (chat, start, len) = got(k)
         chat.substring(start.toInt - 1, start.toInt - 1 + len.toInt) == content
       }
+    }
+
+  // --- banded Hamming search --------------------------------------------------
+
+  private val wordsGen: Gen[(Int, List[List[Long]])] = for {
+    nWords <- Gen.choose(1, 3)
+    n <- Gen.choose(2, 12)
+    rows <- Gen.listOfN(n, Gen.listOfN(nWords, Gen.choose(0L, 0xFFFFFFFFL)))
+  } yield (nWords, rows)
+
+  private def popXor(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+
+  property("hammingTopKBlocked: subset of exact at true distances; " +
+      "pigeonhole radius always found") =
+    forAll(wordsGen, Gen.oneOf(8, 16)) { case ((nWords, rows), bandBits) =>
+      import spark.implicits._
+      val ids = rows.indices.map(_.toLong)
+      val df = ids.zip(rows).toDF("id", "words")
+      val k = rows.size // full ranking: blocked returns EVERY candidate
+      val blocked = Similarity.hammingTopKBlocked(df, df, k,
+          bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val numBands = nWords * (32 / bandBits)
+      val allPairs = for {
+        q <- ids; c <- ids if q != c
+      } yield (q, c) -> popXor(rows(q.toInt), rows(c.toInt))
+      // every blocked row carries the TRUE distance, and every pair
+      // within the pigeonhole radius (h < numBands) is present
+      blocked.forall { case (pair, h) => allPairs.toMap.apply(pair) == h } &&
+        allPairs.forall { case (pair, h) =>
+          h >= numBands || blocked.contains(pair) }
     }
 
   property("assistantSpans drops conversations with null role or content") =
