@@ -1920,6 +1920,16 @@ object SparkEntry {
         k = 5, bandBits = 8)
     }),
 
+    "truncation_recall" -> ((s, dir) => {
+      // Matryoshka prefix-truncation audit (Similarity.truncationRecall
+      // scaladoc): recall@5 of the 16-dim-prefix top-k vs the full
+      // 64-dim top-k — the zero-preprocessing 4x compression axis,
+      // completing the jl_distortion / hamming_rerank_recall family.
+      val e = t(s, dir, "embeddings")
+      Similarity.truncationRecall(e.filter(col("vec_id") < 20), e,
+        k = 5, dim = 16)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -6820,6 +6830,26 @@ object SparkEntry {
          |exact AS (SELECT qid, id FROM (
          | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
          |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
+         |SELECT e.qid,
+         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+         |GROUP BY e.qid""".stripMargin,
+
+    // Similarity.truncationRecall replay: 16-dim-prefix cosine top-5 vs
+    // the full top-5, per-query hit count, one exact division.
+    "truncation_recall" ->
+      s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+         | WHERE vec_id < 20),
+         |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |exact AS (SELECT qid, id FROM (
+         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5),
+         |approx AS (SELECT qid, id FROM (
+         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+         |   round(${cosOf("(qv.v[1:16])", "(cv.v[1:16])")}, 6) DESC, cv.id) AS rn
          | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
          |SELECT e.qid,
          | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,

@@ -1066,6 +1066,59 @@ object Similarity {
         round(col("n_hit").cast("double") / k, roundDp).as("recall"))
   }
 
+  /** Dimension-truncation audit (the Matryoshka-representation serving
+    * trick: store one vector, run candidate generation over just its
+    * PREFIX): recall@k of the top-k computed over only the first `dim`
+    * components vs the full-precision top-k — the number that says
+    * whether a prefix truncation is safe at this k, completing the
+    * compression-audit family ([[jlProject]]'s `jl_distortion` measures
+    * the random-projection axis, [[hammingRerankRecall]] the 1-bit axis).
+    * Unlike JL, truncation needs no projection pass at all — the prefix
+    * IS the stored data, so a safe `dim` cuts every downstream dot
+    * product with zero preprocessing.
+    *
+    * Exact regime on both arms (guarded — audit ops run on fenced
+    * strata); ties by id; recall is one exact integer division. Returns
+    * one row per query: `(qid, n_hit, recall)`.
+    */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                       dim: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding", roundDp: Int = 6,
+                       maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    import org.apache.spark.sql.expressions.Window
+    val qv = guardExactRegime(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")),
+      "truncationRecall.queries", maxExactRows)
+    val cv = guardExactRegime(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("__cv")),
+      "truncationRecall.corpus", maxExactRows)
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("id"))
+    def topIds(score: Column, outId: String): DataFrame = qv.crossJoin(cv)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__cos", round(score, roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id").as(outId))
+    val exact = topIds(
+      graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+      "__eid")
+    val approx = topIds(
+      graft.plans.CosineSimilarityExpr.cosine(
+        slice(col("__qv"), 1, dim), slice(col("__cv"), 1, dim)),
+      "id")
+    exact
+      .join(approx.withColumn("__hit", lit(1L)),
+        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+        "left")
+      .groupBy(exact("qid"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+  }
+
   // -------------------------------------------------------------------------
   // Bitext mining
   // -------------------------------------------------------------------------

@@ -391,6 +391,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("truncationRecall: full-width prefix is the identity; prefix that " +
+      "flips the ranking is measured, not assumed") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // full cosine ranks 2 over 3 for query 1; the 1-dim prefix ranks 3
+    // over 2 (both project to (1) vs query (1), tie -> id) — so recall@1
+    // measures the flip
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(1f, 0.1f, 0f)),
+      (3L, Seq(1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val full = Similarity.truncationRecall(q, corpus, k = 1, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.toSeq == Seq((1L, 1L, 1.0)))
+    val trunc = Similarity.truncationRecall(q, corpus, k = 1, dim = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // prefix top-1 = 2 (cos tie at 1.0, id break) = full top-1 -> still 1;
+    // use k=2 to see the real set: full {2,3}, prefix {2,3} -> 1.0, so
+    // check the k=1 flip via a corpus where the prefix prefers 3
+    assert(trunc.toSeq == Seq((1L, 1L, 1.0)))
+    val skewed = Seq(
+      (1L, Seq(0.1f, 1f, 0f)),
+      (2L, Seq(1f, -1f, 0f)), // 1-dim-prefix winner (cos tie 1.0, id break)
+      (3L, Seq(0.1f, 0.9f, 0.1f))) // full winner
+      .toDF("vec_id", "embedding")
+    val flipped = Similarity.truncationRecall(
+      skewed.filter($"vec_id" === 1L), skewed, k = 1, dim = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flipped.toSeq == Seq((1L, 0L, 0.0)), flipped.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.truncationRecall(corpus, corpus, k = 0, dim = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.truncationRecall(corpus, corpus, k = 1, dim = 0)
+    }
+    assertGuardTrips("truncationRecall.corpus") {
+      Similarity.truncationRecall(q, corpus, k = 1, dim = 1,
+        maxExactRows = 2).collect()
+    }
+  }
+
   test("mutualKnnPairs: hubness-proof — only mutual top-1 pairs survive") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
