@@ -308,10 +308,13 @@ object KMeans {
           frame = frame.localCheckpoint()
           sinceCkpt = 0
         }
-        // Large k outruns a lazy driver GC: superseded checkpoint blocks
-        // free only when their RDD reference is COLLECTED, so nudge the
-        // collector periodically to bound the cleaner's backlog.
-        if (r % 64 == 0) System.gc()
+        // Large k can still outrun a lazy driver GC (superseded
+        // checkpoint blocks free only when their RDD reference is
+        // COLLECTED); the supported bound is Spark's own periodic-GC
+        // cleaner nudge — set spark.cleaner.periodicGC.interval (default
+        // 30min) low in sessions running very large k, rather than a
+        // hand-rolled System.gc() here (a JVM-wide stop-the-world pause,
+        // and a silent no-op under -XX:+DisableExplicitGC).
         r += 1
       }
       val coverage = frame.agg(max(col("__dm"))).collect()(0).getDouble(0)

@@ -458,12 +458,25 @@ object Search {
     * term)`, not |docs| x |registry|. A term absent from the corpus has
     * df 0, wins the argmin, and correctly yields zero candidates. Stored
     * queries with null/empty term lists raise in-flight (the broadcast
-    * regime's same refusal, without a driver-side count).
+    * regime's same refusal, without a driver-side count). Duplicate doc
+    * ids count once per ROW, exactly as the broadcast regime does (the
+    * candidate set is distinct-ed per (query, id) before the row-level
+    * verify join, so id multiplicity lands only in the verify).
+    *
+    * CACHING: the tokenized doc frame feeds BOTH the posting/df pass and
+    * the verify join; `persistDocs = Some(true)` persists it
+    * MEMORY_AND_DISK so the corpus tokenizes once (clear with
+    * `spark.catalog.clearCache()` between corpora), `Some(false)` trades
+    * a second tokenization scan for zero cache footprint, and the
+    * default (`None`) persists when the input size estimate exceeds
+    * `graft.dedup.persistThresholdBytes` (256 MB) — the [[Dedup]]
+    * intermediates convention.
     */
   def percolateIndexed(df: DataFrame, textCol: String, idCol: String,
                        queries: DataFrame,
                        qidCol: String = "query_id",
-                       termsCol: String = "terms"): DataFrame = {
+                       termsCol: String = "terms",
+                       persistDocs: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val reg = queries
       .select(col(qidCol).as("__qid"), col(termsCol).as("__terms"),
@@ -472,8 +485,18 @@ object Search {
         raise_error(concat(lit("graft.percolateIndexed: stored query "),
           col("__qid"), lit(" has no terms"))))
         .otherwise(lit(true)))
-    val docs = df.select(col(idCol).as("__doc"),
+    val docs0 = df.select(col(idCol).as("__doc"),
       array_distinct(TextAnalysis.toks(col(textCol))).as("__set"))
+    val persist = persistDocs.getOrElse {
+      val threshold = df.sparkSession.conf
+        .getOption("graft.dedup.persistThresholdBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+    }
+    val docs =
+      if (persist)
+        docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs0
     val postings = docs.select(col("__doc"), explode(col("__set")).as("__tok"))
     val dfreq = postings.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val rarest = reg.select(col("__qid"), explode(col("__terms")).as("__tok"))
@@ -483,8 +506,13 @@ object Search {
         Window.partitionBy(col("__qid")).orderBy(col("__df"), col("__tok"))))
       .filter(col("__rn") === 1)
       .select(col("__qid"), col("__tok"))
+    // Distinct per (query, id) BEFORE the verify join: with duplicate doc
+    // ids the token join yields one candidate per matching ROW, and
+    // re-joining each against every same-id row would count matches
+    // quadratically; distinct-then-join counts each row exactly once,
+    // row-identical to the broadcast regime.
     val matched = rarest.join(postings, Seq("__tok"))
-      .select(col("__qid"), col("__doc"))
+      .select(col("__qid"), col("__doc")).distinct()
       .join(reg.select(col("__qid"), col("__terms")), "__qid")
       .join(docs, "__doc")
       .filter(forall(col("__terms"), t => array_contains(col("__set"), t)))

@@ -810,12 +810,23 @@ object Similarity {
                   wordsCol: String = "words",
                   maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val scored =
-      guardExactRegime(queries, "hammingTopK.queries", maxExactRows)
-        .select(col(idCol).as("qid"), col(wordsCol).as("__qw"))
-        .crossJoin(guardExactRegime(corpus, "hammingTopK.corpus", maxExactRows)
-          .select(col(idCol).as("id"), col(wordsCol).as("__cw")))
-        .filter(col("id") =!= col("qid"))
+    hammingTopKUnguarded(
+      guardExactRegime(queries, "hammingTopK.queries", maxExactRows),
+      guardExactRegime(corpus, "hammingTopK.corpus", maxExactRows),
+      k, idCol, wordsCol)
+  }
+
+  /** The guard-free exact kernel, for callers that have ALREADY proven
+    * the bound ([[hammingSearch]]'s routing counts) — re-guarding would
+    * re-count both sides per action.
+    */
+  private def hammingTopKUnguarded(queries: DataFrame, corpus: DataFrame,
+                                   k: Int, idCol: String,
+                                   wordsCol: String): DataFrame = {
+    val scored = queries
+      .select(col(idCol).as("qid"), col(wordsCol).as("__qw"))
+      .crossJoin(corpus.select(col(idCol).as("id"), col(wordsCol).as("__cw")))
+      .filter(col("id") =!= col("qid"))
     hammingRankTail(scored, k)
   }
 
@@ -896,9 +907,12 @@ object Similarity {
                     wordsCol: String = "words",
                     bandBits: Int = 16,
                     maxExactRows: Long = DefaultMaxExactRows): DataFrame =
-    if (queries.count() <= maxExactRows && corpus.count() <= maxExactRows)
-      hammingTopK(queries, corpus, k, idCol, wordsCol, maxExactRows)
-    else
+    if (queries.count() <= maxExactRows && corpus.count() <= maxExactRows) {
+      require(k >= 1, s"k must be >= 1, got $k")
+      // the routing counts just proved the bound — the unguarded kernel
+      // skips guardExactRegime's per-side re-count and per-row filter
+      hammingTopKUnguarded(queries, corpus, k, idCol, wordsCol)
+    } else
       hammingTopKBlocked(queries, corpus, k, idCol, wordsCol, bandBits)
 
   /** Recall audit of the banded Hamming regime: per query, how much of
@@ -1088,12 +1102,21 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(dim >= 1, s"dim must be >= 1, got $dim")
     import org.apache.spark.sql.expressions.Window
-    val qv = guardExactRegime(
+    // A dim past the vector length would slice() to the FULL vector and
+    // certify a truncation that was never measured (recall vacuously 1) —
+    // raise in-flight instead, the jlProject dim-guard class. Null
+    // vectors pass through (cosine yields null, ranks last).
+    def dimGuarded(df: DataFrame, c: String): DataFrame = df.filter(
+      when(col(c).isNull || size(col(c)) >= dim, lit(true))
+        .otherwise(raise_error(concat(
+          lit("graft.truncationRecall: vector length "), size(col(c)),
+          lit(s" < dim=$dim — the prefix would silently be the full vector")))))
+    val qv = dimGuarded(guardExactRegime(
       queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")),
-      "truncationRecall.queries", maxExactRows)
-    val cv = guardExactRegime(
+      "truncationRecall.queries", maxExactRows), "__qv")
+    val cv = dimGuarded(guardExactRegime(
       corpus.select(col(idCol).as("id"), col(vecCol).as("__cv")),
-      "truncationRecall.corpus", maxExactRows)
+      "truncationRecall.corpus", maxExactRows), "__cv")
     val byCos = Window.partitionBy(col("qid"))
       .orderBy(col("__cos").desc, col("id"))
     def topIds(score: Column, outId: String): DataFrame = qv.crossJoin(cv)

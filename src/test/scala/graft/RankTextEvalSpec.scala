@@ -123,6 +123,14 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex2).exists(_.contains("has no terms")), msgs(ex2).mkString("|"))
+    // duplicate doc ids: each ROW counts once (the quadratic verify-join
+    // overcount class) — id 7 has two matching rows and one miss
+    val dup = Seq((7L, "fast join a"), (7L, "fast join b"), (7L, "join only"),
+      (8L, "fast join c")).toDF("doc_id", "text")
+    val dupGot = Search.percolateIndexed(dup, "text", "doc_id",
+        Seq(("q", Seq("fast", "join"))).toDF("query_id", "terms"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(dupGot == Seq(("q", 3L)), dupGot.toString)
   }
 
   test("autocompleteIndex: per-prefix top-k by frequency, tie by token") {

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{ChatTemplate, Fim, Similarity}
+import graft.operators.{ChatTemplate, Fim, Search, Similarity}
 
 /** Invariants of the round-10 determinism kernels under generated inputs
   * (r10 verdict #5): FIM spans reassemble losslessly for EVERY md5-drawn
@@ -139,6 +139,41 @@ object RoundElevenProps extends Properties("RoundEleven") {
       blocked.forall { case (pair, h) => allPairs.toMap.apply(pair) == h } &&
         allPairs.forall { case (pair, h) =>
           h >= numBands || blocked.contains(pair) }
+    }
+
+  // --- percolation regimes ----------------------------------------------------
+
+  private val percGen: Gen[(List[(Long, String)], List[(String, Seq[String])])] =
+    for {
+      vocabN <- Gen.choose(3, 8)
+      nd <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(nd, for {
+        len <- Gen.choose(0, 12)
+        toks <- Gen.listOfN(len, Gen.choose(0, vocabN - 1))
+      } yield toks.map(i => s"tok$i").mkString(" "))
+      nq <- Gen.choose(1, 6)
+      qs <- Gen.listOfN(nq, for {
+        nt <- Gen.choose(1, 3)
+        // vocabN itself never occurs in any doc: exercises the
+        // rarest-term-absent (df 0 -> zero candidates) path
+        ts <- Gen.listOfN(nt, Gen.choose(0, vocabN))
+      } yield ts.map(i => s"tok$i").distinct)
+      // duplicate doc ids must count once per ROW in both regimes (the
+      // review-found quadratic verify-join overcount)
+      dupIds <- Gen.oneOf(true, false)
+    } yield (docs.zipWithIndex.map { case (t, i) =>
+        ((if (dupIds) i / 2 else i).toLong, t) },
+      qs.zipWithIndex.map { case (ts, i) => (s"q$i", ts.toSeq) })
+
+  property("percolateIndexed is row-identical to the broadcast regime") =
+    forAll(percGen) { case (docs, registry) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      rows(Search.percolate(df, "text", "doc_id", registry)) ==
+        rows(Search.percolateIndexed(df, "text", "doc_id",
+          registry.toDF("query_id", "terms")))
     }
 
   property("assistantSpans drops conversations with null role or content") =

@@ -427,6 +427,13 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.truncationRecall(corpus, corpus, k = 1, dim = 0)
     }
+    // dim past the vector length would slice() to the full vector and
+    // certify recall 1.0 for a truncation that never happened — raises
+    val exDim = intercept[Exception] {
+      Similarity.truncationRecall(q, corpus, k = 1, dim = 4).collect()
+    }
+    assert(guardMessages(exDim).exists(m =>
+      m != null && m.contains("graft.truncationRecall")), guardMessages(exDim))
     assertGuardTrips("truncationRecall.corpus") {
       Similarity.truncationRecall(q, corpus, k = 1, dim = 1,
         maxExactRows = 2).collect()
