@@ -1930,6 +1930,15 @@ object SparkEntry {
         k = 5, dim = 16)
     }),
 
+    "sq8_recall" -> ((s, dir) => {
+      // Int8 symmetric scalar quantization audit (Similarity.sq8Recall
+      // scaladoc): recall@5 of the quantized-cosine top-k vs the full
+      // top-k — the vector-DB-default 4x memory cut, measured against
+      // the other three compression axes.
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8Recall(e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -6851,6 +6860,43 @@ object SparkEntry {
          | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
          |   round(${cosOf("(qv.v[1:16])", "(cv.v[1:16])")}, 6) DESC, cv.id) AS rn
          | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
+         |SELECT e.qid,
+         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+         |GROUP BY e.qid""".stripMargin,
+
+    // Similarity.sq8Recall replay: per-vector max-abs int8 quantization,
+    // INTEGER dot products, one division + 6dp round per pair.
+    "sq8_recall" ->
+      s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+         | WHERE vec_id < 20),
+         |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |mq AS (SELECT qid, v,
+         |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         | FROM qv),
+         |mc AS (SELECT id, v,
+         |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         | FROM cv),
+         |cq AS (SELECT qid, CASE WHEN mx > 0 THEN
+         |   list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
+         |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c FROM mq),
+         |cc AS (SELECT id, CASE WHEN mx > 0 THEN
+         |   list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
+         |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c FROM mc),
+         |exact AS (SELECT qid, id FROM (
+         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5),
+         |approx AS (SELECT qid, id FROM (
+         | SELECT cq.qid, cc.id, row_number() OVER (PARTITION BY cq.qid ORDER BY
+         |   round(CASE WHEN list_dot_product(cq.c, cq.c) > 0
+         |      AND list_dot_product(cc.c, cc.c) > 0 THEN
+         |     CAST(list_dot_product(cq.c, cc.c) AS DOUBLE) /
+         |      (sqrt(CAST(list_dot_product(cq.c, cq.c) AS DOUBLE)) *
+         |       sqrt(CAST(list_dot_product(cc.c, cc.c) AS DOUBLE))) END, 6)
+         |    DESC, cc.id) AS rn
+         | FROM cq, cc WHERE cc.id <> cq.qid) q WHERE rn <= 5)
          |SELECT e.qid,
          | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
          | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall

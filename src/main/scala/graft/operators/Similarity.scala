@@ -1142,6 +1142,86 @@ object Similarity {
         round(col("n_hit").cast("double") / k, roundDp).as("recall"))
   }
 
+  /** Int8 symmetric scalar quantization (SQ8 — the vector-database
+    * default for 4x memory cuts): each vector is scaled by
+    * `127 / max(|x_i|)` and each component rounded to an int in
+    * [-127, 127].
+    * Per-vector scaling cancels in cosine, so quantized similarity is a
+    * pure INTEGER dot product over int8 codes with one final division —
+    * engine-exact, hence fully oracle-replayable. Returns
+    * `(id, codes array<int>)`; an all-zero vector quantizes to all-zero
+    * codes (its cosine stays NULL downstream, the zero-norm contract).
+    * One narrow codegen'd pass, no shuffle.
+    */
+  def sq8(df: DataFrame, vecCol: String = "embedding",
+          idCol: String = "vec_id"): DataFrame = {
+    val dv = transform(col(vecCol), _.cast("double"))
+    val mx = array_max(transform(dv, x => abs(x)))
+    df.select(col(idCol).as("id"),
+      transform(dv, x =>
+        when(mx > 0, round(x * lit(127.0) / mx).cast("int"))
+          .otherwise(lit(0))).as("codes"))
+  }
+
+  /** Quantized-cosine recall audit for [[sq8]]: recall@k of the top-k
+    * ranked by int8-code cosine vs the full-precision top-k — the fourth
+    * measured compression axis next to JL (`jl_distortion`), 1-bit codes
+    * (`hamming_rerank_recall`), and prefix truncation
+    * (`truncation_recall`). Exact regime on both arms (guarded); ties by
+    * id; recall one exact integer division. Returns `(qid, n_hit,
+    * recall)`.
+    */
+  def sq8Recall(queries: DataFrame, corpus: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                roundDp: Int = 6,
+                maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def intCos(a: Column, b: Column): Column = {
+      def dot(x: Column, y: Column): Column = aggregate(
+        zip_with(x, y, (p, q) => (p * q).cast("long")), lit(0L),
+        (s, v) => s + v)
+      val (na, nb) = (dot(a, a), dot(b, b))
+      when(na > 0 && nb > 0,
+        dot(a, b).cast("double") /
+          (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+    }
+    val qv = guardExactRegime(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")),
+      "sq8Recall.queries", maxExactRows)
+    val cv = guardExactRegime(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("__cv")),
+      "sq8Recall.corpus", maxExactRows)
+    val codesQ = sq8(qv, "__qv", "qid").select(col("id").as("qid"),
+      col("codes").as("__qc"))
+    val codesC = sq8(cv, "__cv", "id")
+      .select(col("id"), col("codes").as("__cc"))
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("id"))
+    val exact = qv.crossJoin(cv)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__cos", round(
+        graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+        roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id").as("__eid"))
+    val approx = codesQ.crossJoin(codesC)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__cos", round(intCos(col("__qc"), col("__cc")), roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id"))
+    exact
+      .join(approx.withColumn("__hit", lit(1L)),
+        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+        "left")
+      .groupBy(exact("qid"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+  }
+
   // -------------------------------------------------------------------------
   // Bitext mining
   // -------------------------------------------------------------------------

@@ -440,6 +440,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sq8: hand-checked int8 codes; sq8Recall identity on clean ranks") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // max|x| = 2 -> scale 63.5: 1 -> round(63.5) = 64 (HALF_UP), -2 -> -127
+    val df = Seq((1L, Seq(1f, -2f, 0f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.sq8(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == Seq(64, -127, 0))
+    assert(codes(2L) == Seq(0, 0, 0)) // zero-norm: all-zero codes
+    // well-separated corpus: int8 rounding cannot flip the ranking
+    val corpus = Seq((1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rec = Similarity.sq8Recall(corpus.filter($"vec_id" === 1L), corpus,
+        k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.toSeq == Seq((1L, 2L, 1.0)), rec.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Recall(corpus, corpus, k = 0)
+    }
+    assertGuardTrips("sq8Recall.corpus") {
+      Similarity.sq8Recall(corpus.filter($"vec_id" === 1L), corpus, k = 1,
+        maxExactRows = 2).collect()
+    }
+  }
+
   test("mutualKnnPairs: hubness-proof — only mutual top-1 pairs survive") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
