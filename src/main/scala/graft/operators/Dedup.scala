@@ -39,7 +39,7 @@ object Dedup {
     * `persistIntermediates` parameter) overrides the heuristic in either
     * direction.
     */
-  private def shouldPersist(df: DataFrame, choice: Option[Boolean]): Boolean =
+  private[graft] def shouldPersist(df: DataFrame, choice: Option[Boolean]): Boolean =
     choice.getOrElse {
       val threshold = df.sparkSession.conf
         .getOption("graft.dedup.persistThresholdBytes")

@@ -487,14 +487,8 @@ object Search {
         .otherwise(lit(true)))
     val docs0 = df.select(col(idCol).as("__doc"),
       array_distinct(TextAnalysis.toks(col(textCol))).as("__set"))
-    val persist = persistDocs.getOrElse {
-      val threshold = df.sparkSession.conf
-        .getOption("graft.dedup.persistThresholdBytes")
-        .map(_.toLong).getOrElse(256L << 20)
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > threshold
-    }
     val docs =
-      if (persist)
+      if (Dedup.shouldPersist(df, persistDocs))
         docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docs0
     val postings = docs.select(col("__doc"), explode(col("__set")).as("__tok"))

@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * garbage-collected (i.e. once the returned frame and its lineage are
   * unreferenced and a GC runs). Between corpora in one long session, drop
   * all references to the previous output and its inputs; under real memory
-  * pressure `System.gc()` forces the cleaner's hand. At extreme scale the
-  * same two passes would run against a staged table instead of the
-  * block-manager cache.
+  * pressure the supported bound is Spark's own periodic cleaner nudge —
+  * set `spark.cleaner.periodicGC.interval` (default 30min) low (a
+  * hand-rolled `System.gc()` is a JVM-wide stall and a silent no-op under
+  * `-XX:+DisableExplicitGC`). At extreme scale the same two passes would
+  * run against a staged table instead of the block-manager cache.
   */
 object SequencePack {
 

@@ -901,6 +901,13 @@ object Similarity {
     * at corpus scale and never pays banding recall on a corpus the exact
     * scan covers. The decision costs one columnar count per side, the
     * same contract as [[graft.Engine.Evaluator]].
+    *
+    * SNAPSHOT SEMANTICS: the routing counts run HERE, not inside the
+    * returned plan — the exact branch uses the guard-free kernel, so an
+    * input whose source grows between this call and the action (a live
+    * directory view, nondeterministic lineage) is not re-checked
+    * in-flight. For such sources call the guarded [[hammingTopK]]
+    * directly, or route blocked.
     */
   def hammingSearch(queries: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "id",
