@@ -141,6 +141,33 @@ object RoundElevenProps extends Properties("RoundEleven") {
           h >= numBands || blocked.contains(pair) }
     }
 
+  // --- SQ8 quantization ---------------------------------------------------------
+
+  private val vecGen: Gen[List[List[Float]]] = for {
+    n <- Gen.choose(1, 8)
+    d <- Gen.choose(1, 12)
+    rows <- Gen.listOfN(n, Gen.listOfN(d,
+      Gen.choose(-100.0, 100.0).map(_.toFloat)))
+  } yield rows
+
+  property("sq8 codes: bounded, sign-preserving, max-abs component at ±127") =
+    forAll(vecGen) { rows =>
+      import spark.implicits._
+      val df = rows.indices.map(_.toLong).zip(rows).toDF("vec_id", "embedding")
+      val got = Similarity.sq8(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      rows.indices.forall { i =>
+        val (v, c) = (rows(i), got(i.toLong))
+        val mx = v.map(x => math.abs(x.toDouble)).max
+        c.length == v.length &&
+          c.forall(q => q >= -127 && q <= 127) &&
+          v.zip(c).forall { case (x, q) =>
+            q == 0 || (q > 0) == (x > 0) } && // sign-preserving
+          (mx == 0.0 || v.zip(c).exists { case (x, q) =>
+            math.abs(x.toDouble) == mx && math.abs(q) == 127 })
+      }
+    }
+
   // --- percolation regimes ----------------------------------------------------
 
   private val percGen: Gen[(List[(Long, String)], List[(String, Seq[String])])] =
