@@ -1939,6 +1939,17 @@ object SparkEntry {
       Similarity.sq8Recall(e.filter(col("vec_id") < 20), e, k = 5)
     }),
 
+    "ivf_pq_recall" -> ((s, dir) => {
+      // Recall audit for the COMPOSED IVF-PQ path (Similarity.ivfPqRecall
+      // scaladoc): recall@5 of the deployed index shape — 8 coarse cells,
+      // nProbe=2, 4x8 PQ codebooks over unit vectors, ADC ranking — vs
+      // the exact cosine top-5. The last ANN family whose composition had
+      // no measured recall number (components are gated individually by
+      // similarity_ivf* / pq_*).
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqRecall(e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -4122,14 +4133,17 @@ object SparkEntry {
     kmeansCtesOver("", "embedding::DOUBLE[]", k, iters, dim)
 
   /** [[kmeansCtes]] generalized to a PREFIXED name space over an arbitrary
-    * vector expression (e.g. a subspace slice for the PQ oracles). Leaves
+    * vector expression (e.g. a subspace slice for the PQ oracles) and an
+    * arbitrary source relation (`from` — a prior CTE for the unit-vector
+    * PQ oracles; it must expose `vec_id` and `embedding`). Leaves
     * `<p>e` (non-null double vectors) and `<p>c<iters>` (final centroids)
     * in scope.
     */
   private def kmeansCtesOver(p: String, vExpr: String, k: Int, iters: Int,
-                             dim: Int): String = {
+                             dim: Int,
+                             from: String = "embeddings"): String = {
     val head =
-      s"""${p}e AS (SELECT vec_id, $vExpr AS v FROM embeddings
+      s"""${p}e AS (SELECT vec_id, $vExpr AS v FROM $from
          |  WHERE embedding IS NOT NULL),
          |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
          |  FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -4170,6 +4184,85 @@ object SparkEntry {
     (0 until 4).map(j =>
       s"SELECT vec_id, CAST($j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code FROM cd$j")
       .mkString("\nUNION ALL\n")
+
+  /** Full replay of [[graft.operators.Similarity.ivfPqRecall]] — the
+    * COMPOSED IVF-PQ search path: [[ivfCtes]]'s micro-unit IVF training +
+    * `assign`, per-subspace round-6 k-means codebooks over the EXACT
+    * unit-normalized vectors ([[kmeansCtesOver]] with `from = unitv`, the
+    * `Pq.train(__unit)` arm of `ivfPqIndex`), per-query probe-cell
+    * ranking, left-to-right ADC sums over code lookups, and the recall
+    * join against the exact cosine top-k (self excluded both arms).
+    * Returns pre-stripped SQL — concatenate, never re-stripMargin (the
+    * `||` hazard).
+    */
+  private def ivfPqRecallSql(nQueries: Int, k: Int, nProbe: Int): String = {
+    val maxIter = 5
+    val unit =
+      """unitv AS MATERIALIZED (SELECT vec_id, embedding,
+        | list_transform(embedding::DOUBLE[], x ->
+        |   x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+        | FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+    val books = (0 until 4).map(j =>
+      kmeansCtesOver(s"u${j}_", s"u[${j * 16 + 1}:${(j + 1) * 16}]",
+        8, 2, 16, from = "unitv")).mkString(",\n")
+    val cds = (0 until 4).map(j =>
+      s"""ucd$j AS (SELECT vec_id, cluster AS code FROM (
+         |  SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${kmeansD2("e", "c", 16)} ASC, c.cluster ASC) AS rn
+         |  FROM u${j}_e e CROSS JOIN u${j}_c2 c) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val adcs = (0 until 4).map { j =>
+      val off = j * 16
+      val diff = s"list_transform(range(1, 17), i -> " +
+        s"q.u[CAST(i AS INT) + $off] - c.v[CAST(i AS INT)])"
+      s"""adc$j AS (SELECT q.qid, c.cluster AS code,
+         |  list_dot_product($diff, $diff) AS d
+         | FROM qsv q CROSS JOIN u${j}_c2 c)""".stripMargin
+    }.mkString(",\n")
+    val probeDiff = "list_transform(range(1, 65), j -> " +
+      "cdt.c[CAST(j AS INT)] - q.u[CAST(j AS INT)])"
+    val qsv =
+      s"qsv AS (SELECT vec_id AS qid, u FROM unitv WHERE vec_id < $nQueries)"
+    val tail =
+      s"""codes AS (SELECT c0.vec_id, c0.code AS k0, c1.code AS k1,
+         |  c2.code AS k2, c3.code AS k3
+         | FROM ucd0 c0 JOIN ucd1 c1 USING (vec_id)
+         |  JOIN ucd2 c2 USING (vec_id) JOIN ucd3 c3 USING (vec_id)),
+         |cdt AS (SELECT cell,
+         |  list_transform(cq, x -> CAST(x AS DOUBLE) / 1000000.0) AS c
+         | FROM cents$maxIter),
+         |probe AS (SELECT qid, cell FROM (
+         | SELECT q.qid, cdt.cell, row_number() OVER (PARTITION BY q.qid
+         |   ORDER BY list_dot_product($probeDiff, $probeDiff), cdt.cell) AS rn
+         | FROM cdt CROSS JOIN qsv q) WHERE rn <= $nProbe),
+         |scored AS (SELECT p.qid, kk.vec_id,
+         |  round(a0.d + a1.d + a2.d + a3.d, 6) AS adc
+         | FROM codes kk JOIN assign a ON a.vec_id = kk.vec_id
+         |  JOIN probe p ON p.cell = a.cell
+         |  JOIN adc0 a0 ON a0.qid = p.qid AND a0.code = kk.k0
+         |  JOIN adc1 a1 ON a1.qid = p.qid AND a1.code = kk.k1
+         |  JOIN adc2 a2 ON a2.qid = p.qid AND a2.code = kk.k2
+         |  JOIN adc3 a3 ON a3.qid = p.qid AND a3.code = kk.k3
+         | WHERE kk.vec_id <> p.qid),
+         |apx AS (SELECT qid, vec_id AS id FROM (
+         | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |   ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= $k),
+         |eqv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+         | WHERE vec_id < $nQueries AND embedding IS NOT NULL),
+         |ecv AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         | WHERE embedding IS NOT NULL),
+         |exct AS (SELECT qid, id FROM (
+         | SELECT eqv.qid, ecv.id, row_number() OVER (PARTITION BY eqv.qid
+         |   ORDER BY round(${cosOf("eqv.v", "ecv.v")}, 6) DESC, ecv.id) AS rn
+         | FROM eqv, ecv WHERE ecv.id <> eqv.qid) q WHERE rn <= $k)
+         |SELECT e.qid,
+         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / $k, 6) AS recall
+         |FROM exct e LEFT JOIN apx a ON a.qid = e.qid AND a.id = e.id
+         |GROUP BY e.qid""".stripMargin
+    s"WITH ${ivfCtes(8, maxIter, 64, 42L)},\n" + unit + ",\n" + books +
+      ",\n" + cds + ",\n" + qsv + ",\n" + adcs + ",\n" + tail
+  }
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
@@ -6902,6 +6995,12 @@ object SparkEntry {
          | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
          |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
          |GROUP BY e.qid""".stripMargin,
+
+    // Similarity.ivfPqRecall replay (ivfPqRecallSql scaladoc): micro-unit
+    // IVF training + assignment, unit-vector PQ codebooks per subspace,
+    // per-query probe ranking + left-to-right ADC sums, recall vs the
+    // exact cosine top-5.
+    "ivf_pq_recall" -> ivfPqRecallSql(nQueries = 20, k = 5, nProbe = 2),
 
     // EventAnalytics.rollingDaily replay: RANGE-framed day window,
     // integer-cent sums, identical division shapes.

@@ -1229,6 +1229,89 @@ object Similarity {
         round(col("n_hit").cast("double") / k, roundDp).as("recall"))
   }
 
+  /** Recall audit for the COMPOSED [[ivfPqTopK]] path — the index shape a
+    * real deployment runs (coarse cells + PQ codes + ADC), which until
+    * this audit was the one ANN family whose components were each gated
+    * (`similarity_ivf*`, `pq_*`) but whose composition had no measured
+    * recall number. Recall@k of the IVF-PQ top-k (nProbe cells, ADC
+    * ranking over codes) vs the exact cosine top-k, per query, self
+    * excluded from both arms (the `hamming_rerank_recall` /
+    * `truncation_recall` / `sq8_recall` convention — self exclusion
+    * composes as a pre-filter on the encoded frame, so the kernel under
+    * audit is [[ivfPqTopK]] verbatim).
+    *
+    * Driver shape: queries are a BOUNDED audit panel (each query's probe
+    * cells and ADC table are driver-side literals by [[ivfPqTopK]]'s
+    * contract), capped at [[MaxRecallPanel]] — raising beyond that is the
+    * all-pairs-regime mistake, not an audit. The corpus side is guarded by
+    * [[guardExactRegime]] on the exact arm only; the approximate arm is
+    * the linear ADC scan that DOES scale.
+    *
+    * Determinism: every stage replays in SQL — IVF training is the
+    * micro-unit integer k-means (`similarity_ivf`'s oracle), PQ codebooks
+    * are round-6 [[KMeans.fit]] per unit-vector subspace (`pq_encode`'s
+    * machinery over `l2Normalize`d slices), ADC sums run left-to-right,
+    * and both arms rank on 6-dp-rounded scores with id tie-breaks.
+    * Returns one row per query: `(qid, n_hit, recall)`.
+    */
+  def ivfPqRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nCells: Int = 8, m: Int = 4, kCodes: Int = 8,
+                  pqIterations: Int = 2, nProbe: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  roundDp: Int = 6,
+                  maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val panel = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(panel.length <= MaxRecallPanel,
+      s"graft.ivfPqRecall: ${panel.length} queries > MaxRecallPanel=" +
+        s"$MaxRecallPanel — recall audits run on a bounded panel, not a " +
+        "corpus; sample the queries first")
+    require(panel.nonEmpty, "graft.ivfPqRecall: empty query panel")
+    val (encoded, centroids, cb) =
+      ivfPqIndex(corpus, vecCol, idCol, nCells, m, kCodes, pqIterations)
+    val approx = panel.map { case (qid, qv) =>
+      ivfPqTopK(encoded.filter(col(idCol) =!= qid), centroids, cb, qv, k,
+          nProbe, idCol)
+        .select(lit(qid).as("qid"), col(idCol).as("id"))
+    }.reduce(_.union(_))
+    val qvf = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("__qv"))
+    val cvf = guardExactRegime(
+      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("__cv")),
+      "ivfPqRecall.corpus", maxExactRows)
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("id"))
+    val exact = qvf.crossJoin(cvf)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__cos",
+        round(graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+          roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id").as("__eid"))
+    exact
+      .join(approx.withColumn("__hit", lit(1L)),
+        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+        "left")
+      .groupBy(exact("qid"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+  }
+
+  /** Upper bound on a recall-audit query panel (see [[ivfPqRecall]]): the
+    * panel is collected to the driver and each query becomes its own plan
+    * branch, so it must stay audit-sized by construction.
+    */
+  val MaxRecallPanel: Int = 1000
+
   // -------------------------------------------------------------------------
   // Bitext mining
   // -------------------------------------------------------------------------

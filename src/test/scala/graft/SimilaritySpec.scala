@@ -467,6 +467,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfPqRecall: exactness regime (full probe + covering codebook) " +
+      "-> recall 1; guards and panel bounds trip") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    // 12 real fixture vectors; kCodes = corpus size makes every unit
+    // subvector its own (round-6) centroid, so ADC distance = the true
+    // unit-sphere d2 up to a ~1e-6 perturbation far below the fixture's
+    // cosine gaps, and nProbe = nCells removes cell loss: the composed
+    // path must reproduce the exact cosine top-k.
+    val corpus = embeddings.filter(col("vec_id") < 12)
+    val got = Similarity.ivfPqRecall(corpus.filter(col("vec_id") < 3),
+        corpus, k = 3, nCells = 2, m = 4, kCodes = 12, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3, got.toSeq.toString)
+    assert(got.forall(r => r._2 == 3L && r._3 == 1.0), got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRecall(corpus, corpus, k = 0)
+    }
+    intercept[IllegalArgumentException] { // empty panel
+      Similarity.ivfPqRecall(corpus.filter(col("vec_id") < 0), corpus, k = 1)
+    }
+    assertGuardTrips("ivfPqRecall.corpus") {
+      Similarity.ivfPqRecall(corpus.filter(col("vec_id") < 1), corpus,
+        k = 1, nCells = 2, m = 4, kCodes = 4, maxExactRows = 2).collect()
+    }
+  }
+
   test("mutualKnnPairs: hubness-proof — only mutual top-1 pairs survive") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
