@@ -1950,6 +1950,25 @@ object SparkEntry {
       Similarity.ivfPqRecall(e.filter(col("vec_id") < 20), e, k = 5)
     }),
 
+    "jl_recall" -> ((s, dir) => {
+      // Recall formulation of the JL random-projection axis
+      // (Similarity.jlRecall scaladoc): recall@5 of the 64->16 projected
+      // cosine top-k vs the full top-k — jl_distortion bounds pairwise
+      // distances, this measures what a search stack actually loses.
+      val e = t(s, dir, "embeddings")
+      Similarity.jlRecall(e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
+    "compression_tradeoff" -> ((s, dir) => {
+      // The compression DECISION TABLE (Similarity.compressionTradeoff
+      // scaladoc): one row per measured axis (sq8 / jl / truncation /
+      // 1-bit+rerank / ivf-pq) with byte-aligned memory ratio and mean
+      // recall@5 — the dataset-card artifact the five audits feed, and
+      // the proof they compose in one plan.
+      val e = t(s, dir, "embeddings")
+      Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -4184,6 +4203,148 @@ object SparkEntry {
     (0 until 4).map(j =>
       s"SELECT vec_id, CAST($j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code FROM cd$j")
       .mkString("\nUNION ALL\n")
+
+
+  // ---------------------------------------------------------------------
+  // Shared recall-audit oracle bodies: referenced by their own gates AND
+  // wrapped as subqueries by the compression_tradeoff decision table.
+  // ---------------------------------------------------------------------
+
+  private lazy val hammingRerankRecallSqlStr: String =
+    s"""WITH codes AS ($binarizeSqlSelect),
+       |qs AS (SELECT vec_id AS qid, words AS qw FROM codes WHERE vec_id < 20),
+       |hshort AS (SELECT qid, id FROM (
+       | SELECT qs.qid, c.vec_id AS id,
+       |  row_number() OVER (PARTITION BY qs.qid ORDER BY
+       |   CAST(list_sum(list_transform(range(1, len(qs.qw) + 1),
+       |     j -> bit_count(xor(qs.qw[j], c.words[j])))) AS BIGINT), c.vec_id) AS rn
+       | FROM qs, codes c WHERE c.vec_id <> qs.qid) q WHERE rn <= 20),
+       |qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+       | WHERE vec_id < 20),
+       |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |approx AS (SELECT qid, id FROM (
+       | SELECT h.qid, h.id, row_number() OVER (PARTITION BY h.qid ORDER BY
+       |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, h.id) AS rn
+       | FROM hshort h JOIN qv ON qv.qid = h.qid JOIN cv ON cv.id = h.id) q
+       | WHERE rn <= 5),
+       |exact AS (SELECT qid, id FROM (
+       | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+       |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+       | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
+       |SELECT e.qid,
+       | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+       |GROUP BY e.qid""".stripMargin
+
+  private lazy val truncationRecallSqlStr: String =
+    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+       | WHERE vec_id < 20),
+       |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |exact AS (SELECT qid, id FROM (
+       | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+       |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+       | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5),
+       |approx AS (SELECT qid, id FROM (
+       | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+       |   round(${cosOf("(qv.v[1:16])", "(cv.v[1:16])")}, 6) DESC, cv.id) AS rn
+       | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
+       |SELECT e.qid,
+       | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+       |GROUP BY e.qid""".stripMargin
+
+  /** [[graft.operators.Similarity.jlRecall]] replay: the jl_distortion
+    * projection CTEs (16 Rademacher planes, 6-dp-rounded projections),
+    * then the standard recall tail — projected-cosine top-5 vs the full
+    * top-5.
+    */
+  private lazy val jlRecallSqlStr: String =
+    s"""WITH $planesSql,
+       |qe AS (SELECT vec_id AS qid, embedding AS v, embedding::DOUBLE[] AS dv
+       | FROM embeddings WHERE vec_id < 20),
+       |ce AS (SELECT vec_id AS id, embedding AS v, embedding::DOUBLE[] AS dv
+       | FROM embeddings),
+       |qpv AS (SELECT qid, list(y ORDER BY j) AS pv FROM (
+       | SELECT qe.qid, p.p AS j,
+       |  round(list_dot_product(qe.dv, p.s) * (1.0 / sqrt(16.0)), 6) AS y
+       | FROM qe CROSS JOIN planes p WHERE p.p < 16) GROUP BY qid),
+       |cpv AS (SELECT id, list(y ORDER BY j) AS pv FROM (
+       | SELECT ce.id, p.p AS j,
+       |  round(list_dot_product(ce.dv, p.s) * (1.0 / sqrt(16.0)), 6) AS y
+       | FROM ce CROSS JOIN planes p WHERE p.p < 16) GROUP BY id),
+       |exact AS (SELECT qid, id FROM (
+       | SELECT qe.qid, ce.id, row_number() OVER (PARTITION BY qe.qid ORDER BY
+       |   round(${cosOf("qe.v", "ce.v")}, 6) DESC, ce.id) AS rn
+       | FROM qe, ce WHERE ce.id <> qe.qid) q WHERE rn <= 5),
+       |approx AS (SELECT qid, id FROM (
+       | SELECT qp.qid, cp.id, row_number() OVER (PARTITION BY qp.qid ORDER BY
+       |   round(${cosOf("qp.pv", "cp.pv")}, 6) DESC, cp.id) AS rn
+       | FROM qpv qp, cpv cp WHERE cp.id <> qp.qid) q WHERE rn <= 5)
+       |SELECT e.qid,
+       | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+       |GROUP BY e.qid""".stripMargin
+
+  private lazy val ivfPqRecallSqlStr: String =
+    ivfPqRecallSql(nQueries = 20, k = 5, nProbe = 2)
+
+  /** [[graft.operators.Similarity.compressionTradeoff]] replay: each
+    * per-axis recall oracle wrapped as a subquery, aggregated to one
+    * `(axis, memory_ratio, n_queries, mean_recall)` row — full oracle by
+    * construction since every arm IS its gate's oracle body.
+    */
+  private lazy val compressionTradeoffSql: String = {
+    def arm(axis: String, ratio: String, body: String): String =
+      s"SELECT '$axis' AS axis, $ratio AS memory_ratio,\n" +
+        " CAST(count(*) AS BIGINT) AS n_queries,\n" +
+        " round(CAST(coalesce(sum(n_hit), 0) AS DOUBLE) / (count(*) * 5), 6)" +
+        " AS mean_recall\nFROM (\n" + body + "\n) t"
+    Seq(
+      arm("sq8", "4.0", sq8RecallSqlStr),
+      arm("jl_16", "4.0", jlRecallSqlStr),
+      arm("truncate_16", "4.0", truncationRecallSqlStr),
+      arm("binary_rerank", "32.0", hammingRerankRecallSqlStr),
+      arm("ivf_pq_m4", "64.0", ivfPqRecallSqlStr)
+    ).mkString("\nUNION ALL\n")
+  }
+
+  private lazy val sq8RecallSqlStr: String =
+    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+       | WHERE vec_id < 20),
+       |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |mq AS (SELECT qid, v,
+       |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       | FROM qv),
+       |mc AS (SELECT id, v,
+       |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       | FROM cv),
+       |cq AS (SELECT qid, CASE WHEN mx > 0 THEN
+       |   list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
+       |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c FROM mq),
+       |cc AS (SELECT id, CASE WHEN mx > 0 THEN
+       |   list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
+       |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c FROM mc),
+       |exact AS (SELECT qid, id FROM (
+       | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
+       |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
+       | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5),
+       |approx AS (SELECT qid, id FROM (
+       | SELECT cq.qid, cc.id, row_number() OVER (PARTITION BY cq.qid ORDER BY
+       |   round(CASE WHEN list_dot_product(cq.c, cq.c) > 0
+       |      AND list_dot_product(cc.c, cc.c) > 0 THEN
+       |     CAST(list_dot_product(cq.c, cc.c) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(cq.c, cq.c) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(cc.c, cc.c) AS DOUBLE))) END, 6)
+       |    DESC, cc.id) AS rn
+       | FROM cq, cc WHERE cc.id <> cq.qid) q WHERE rn <= 5)
+       |SELECT e.qid,
+       | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+       |GROUP BY e.qid""".stripMargin
 
   /** Full replay of [[graft.operators.Similarity.ivfPqRecall]] — the
     * COMPOSED IVF-PQ search path: [[ivfCtes]]'s micro-unit IVF training +
@@ -6912,95 +7073,29 @@ object SparkEntry {
 
     // Similarity.hammingRerankRecall replay: Hamming shortlist over the
     // binarize CTE, exact-cosine rerank, recall vs the exact top-5.
-    "hamming_rerank_recall" ->
-      s"""WITH codes AS ($binarizeSqlSelect),
-         |qs AS (SELECT vec_id AS qid, words AS qw FROM codes WHERE vec_id < 20),
-         |hshort AS (SELECT qid, id FROM (
-         | SELECT qs.qid, c.vec_id AS id,
-         |  row_number() OVER (PARTITION BY qs.qid ORDER BY
-         |   CAST(list_sum(list_transform(range(1, len(qs.qw) + 1),
-         |     j -> bit_count(xor(qs.qw[j], c.words[j])))) AS BIGINT), c.vec_id) AS rn
-         | FROM qs, codes c WHERE c.vec_id <> qs.qid) q WHERE rn <= 20),
-         |qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
-         | WHERE vec_id < 20),
-         |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         |approx AS (SELECT qid, id FROM (
-         | SELECT h.qid, h.id, row_number() OVER (PARTITION BY h.qid ORDER BY
-         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, h.id) AS rn
-         | FROM hshort h JOIN qv ON qv.qid = h.qid JOIN cv ON cv.id = h.id) q
-         | WHERE rn <= 5),
-         |exact AS (SELECT qid, id FROM (
-         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
-         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
-         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
-         |SELECT e.qid,
-         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
-         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
-         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
-         |GROUP BY e.qid""".stripMargin,
+    "hamming_rerank_recall" -> hammingRerankRecallSqlStr,
 
     // Similarity.truncationRecall replay: 16-dim-prefix cosine top-5 vs
     // the full top-5, per-query hit count, one exact division.
-    "truncation_recall" ->
-      s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
-         | WHERE vec_id < 20),
-         |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         |exact AS (SELECT qid, id FROM (
-         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
-         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
-         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5),
-         |approx AS (SELECT qid, id FROM (
-         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
-         |   round(${cosOf("(qv.v[1:16])", "(cv.v[1:16])")}, 6) DESC, cv.id) AS rn
-         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5)
-         |SELECT e.qid,
-         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
-         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
-         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
-         |GROUP BY e.qid""".stripMargin,
+    "truncation_recall" -> truncationRecallSqlStr,
 
     // Similarity.sq8Recall replay: per-vector max-abs int8 quantization,
     // INTEGER dot products, one division + 6dp round per pair.
-    "sq8_recall" ->
-      s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
-         | WHERE vec_id < 20),
-         |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         |mq AS (SELECT qid, v,
-         |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
-         | FROM qv),
-         |mc AS (SELECT id, v,
-         |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
-         | FROM cv),
-         |cq AS (SELECT qid, CASE WHEN mx > 0 THEN
-         |   list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
-         |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c FROM mq),
-         |cc AS (SELECT id, CASE WHEN mx > 0 THEN
-         |   list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
-         |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c FROM mc),
-         |exact AS (SELECT qid, id FROM (
-         | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
-         |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
-         | FROM qv, cv WHERE cv.id <> qv.qid) q WHERE rn <= 5),
-         |approx AS (SELECT qid, id FROM (
-         | SELECT cq.qid, cc.id, row_number() OVER (PARTITION BY cq.qid ORDER BY
-         |   round(CASE WHEN list_dot_product(cq.c, cq.c) > 0
-         |      AND list_dot_product(cc.c, cc.c) > 0 THEN
-         |     CAST(list_dot_product(cq.c, cc.c) AS DOUBLE) /
-         |      (sqrt(CAST(list_dot_product(cq.c, cq.c) AS DOUBLE)) *
-         |       sqrt(CAST(list_dot_product(cc.c, cc.c) AS DOUBLE))) END, 6)
-         |    DESC, cc.id) AS rn
-         | FROM cq, cc WHERE cc.id <> cq.qid) q WHERE rn <= 5)
-         |SELECT e.qid,
-         | CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
-         | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 5, 6) AS recall
-         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
-         |GROUP BY e.qid""".stripMargin,
+    "sq8_recall" -> sq8RecallSqlStr,
 
     // Similarity.ivfPqRecall replay (ivfPqRecallSql scaladoc): micro-unit
     // IVF training + assignment, unit-vector PQ codebooks per subspace,
     // per-query probe ranking + left-to-right ADC sums, recall vs the
     // exact cosine top-5.
-    "ivf_pq_recall" -> ivfPqRecallSql(nQueries = 20, k = 5, nProbe = 2),
+    "ivf_pq_recall" -> ivfPqRecallSqlStr,
+
+    // Similarity.jlRecall replay (jlRecallSqlStr scaladoc): the recall
+    // formulation of the random-projection axis.
+    "jl_recall" -> jlRecallSqlStr,
+
+    // Similarity.compressionTradeoff replay: the five per-axis recall
+    // oracles wrapped + aggregated (compressionTradeoffSql scaladoc).
+    "compression_tradeoff" -> compressionTradeoffSql,
 
     // EventAnalytics.rollingDaily replay: RANGE-framed day window,
     // integer-cent sums, identical division shapes.

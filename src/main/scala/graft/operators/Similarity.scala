@@ -1312,6 +1312,104 @@ object Similarity {
     */
   val MaxRecallPanel: Int = 1000
 
+  /** JL-projection recall audit — the RECALL formulation of the
+    * random-projection compression axis (`jl_distortion` measures
+    * pairwise-distance distortion; this measures what a search stack
+    * actually loses): recall@k of the top-k ranked by cosine over
+    * [[jlProject]]ed `outDim`-dim vectors vs the full-precision top-k.
+    * Same shape as [[truncationRecall]] (exact regime both arms, guarded,
+    * 6-dp ranks, id ties); the projection itself is the replayable
+    * compile-time Rademacher family. Returns `(qid, n_hit, recall)`.
+    */
+  def jlRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+               inDim: Int = 64, outDim: Int = 16, seed: Int = 42,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               roundDp: Int = 6,
+               maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qv = jlProject(guardExactRegime(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")),
+      "jlRecall.queries", maxExactRows), "__qv", inDim, outDim, seed, "__qp",
+      roundDp)
+    val cv = jlProject(guardExactRegime(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("__cv")),
+      "jlRecall.corpus", maxExactRows), "__cv", inDim, outDim, seed, "__cp",
+      roundDp)
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("id"))
+    def topIds(score: Column, outId: String): DataFrame = qv.crossJoin(cv)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__cos", round(score, roundDp))
+      .withColumn("__rn", row_number().over(byCos))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id").as(outId))
+    val exact = topIds(
+      graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
+      "__eid")
+    // Projected vectors are array<double> (jlProject's 6-dp rounds), so
+    // the approx arm uses the expression-form cosine (same dot/(sqrt*sqrt)
+    // left-to-right shape the oracle's cosOf replays) rather than the
+    // float-only codegen'd Expression.
+    val approx = topIds(
+      graft.functions.VectorFunctions.cosineSimilarity(col("__qp"), col("__cp")),
+      "id")
+    exact
+      .join(approx.withColumn("__hit", lit(1L)),
+        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+        "left")
+      .groupBy(exact("qid"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+  }
+
+  /** The compression DECISION TABLE — the dataset-card artifact the five
+    * per-axis audits exist to feed, and the proof that the five kernels
+    * compose in one plan: one row per compression axis with its practical
+    * byte-aligned memory ratio vs 64-dim float32 and its fixture-measured
+    * mean recall@k. Axes: int8 scalar quantization ([[sq8Recall]], 4×),
+    * JL random projection to 16 dims ([[jlRecall]], 4×), Matryoshka
+    * prefix truncation to 16 dims ([[truncationRecall]], 4×), 1-bit sign
+    * codes WITH exact rerank ([[hammingRerankRecall]], 32×), and the
+    * composed IVF-PQ index at byte-aligned m=4 codes ([[ivfPqRecall]],
+    * 64×). Mean recall is exact integer arithmetic until one final
+    * division: `sum(n_hit) / (n_queries * k)`.
+    *
+    * Returns `(axis, memory_ratio, n_queries, mean_recall)` — five rows.
+    */
+  def compressionTradeoff(queries: DataFrame, corpus: DataFrame, k: Int,
+                          shortlist: Int = 20, truncDim: Int = 16,
+                          jlDim: Int = 16,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          roundDp: Int = 6,
+                          maxExactRows: Long = DefaultMaxExactRows)
+      : DataFrame = {
+    def summarize(axis: String, ratio: Double, rec: DataFrame): DataFrame =
+      rec.groupBy()
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(col("n_hit")), lit(0L)).as("__hits"))
+        .select(lit(axis).as("axis"), lit(ratio).as("memory_ratio"),
+          col("n_queries"),
+          round(col("__hits").cast("double") /
+            (col("n_queries") * k), roundDp).as("mean_recall"))
+    summarize("sq8", 4.0,
+        sq8Recall(queries, corpus, k, idCol, vecCol, roundDp, maxExactRows))
+      .union(summarize(s"jl_$jlDim", 4.0,
+        jlRecall(queries, corpus, k, outDim = jlDim, idCol = idCol,
+          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)))
+      .union(summarize(s"truncate_$truncDim", 4.0,
+        truncationRecall(queries, corpus, k, truncDim, idCol, vecCol,
+          roundDp, maxExactRows)))
+      .union(summarize("binary_rerank", 32.0,
+        hammingRerankRecall(queries, corpus, shortlist, k, idCol, vecCol,
+          roundDp, maxExactRows)))
+      .union(summarize("ivf_pq_m4", 64.0,
+        ivfPqRecall(queries, corpus, k, idCol = idCol, vecCol = vecCol,
+          roundDp = roundDp, maxExactRows = maxExactRows)))
+  }
+
   // -------------------------------------------------------------------------
   // Bitext mining
   // -------------------------------------------------------------------------
