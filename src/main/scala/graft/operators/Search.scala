@@ -93,11 +93,20 @@ object Search {
                     qGroupCol: String = "qgroup", idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     groupCol: String = "label",
-                    maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
-    val scored = Similarity
-      .guardExactRegime(queries, "hardNegatives.queries", maxExactRows)
-      .crossJoin(Similarity.guardExactRegime(corpus, "hardNegatives.corpus",
-        maxExactRows))
+                    maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame =
+    hardNegativesUnguarded(
+      Similarity.guardExactRegime(queries, "hardNegatives.queries", maxExactRows),
+      Similarity.guardExactRegime(corpus, "hardNegatives.corpus", maxExactRows),
+      k, qidCol, qvecCol, qGroupCol, idCol, vecCol, groupCol)
+
+  /** Guard-free exact hard-negatives kernel (router discipline — see
+    * [[Similarity.fitsExactRegime]]).
+    */
+  private def hardNegativesUnguarded(queries: DataFrame, corpus: DataFrame,
+      k: Int, qidCol: String, qvecCol: String, qGroupCol: String,
+      idCol: String, vecCol: String, groupCol: String): DataFrame = {
+    val scored = queries
+      .crossJoin(corpus)
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("score", round(
         graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
@@ -181,8 +190,20 @@ object Search {
                 maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
     require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    val scored = Similarity.guardExactRegime(queries, "mmrRerank.queries", maxExactRows)
-      .crossJoin(Similarity.guardExactRegime(corpus, "mmrRerank.corpus", maxExactRows))
+    mmrRerankUnguarded(
+      Similarity.guardExactRegime(queries, "mmrRerank.queries", maxExactRows),
+      Similarity.guardExactRegime(corpus, "mmrRerank.corpus", maxExactRows),
+      n, k, lambda, qidCol, qvecCol, idCol, vecCol)
+  }
+
+  /** Guard-free exact MMR kernel (router discipline — see
+    * [[Similarity.fitsExactRegime]]).
+    */
+  private def mmrRerankUnguarded(queries: DataFrame, corpus: DataFrame,
+      n: Int, k: Int, lambda: Double, qidCol: String, qvecCol: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val scored = queries
+      .crossJoin(corpus)
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("__rel", round(
         graft.plans.CosineSimilarityExpr.cosine(col(vecCol), col(qvecCol)), 6))
@@ -251,6 +272,48 @@ object Search {
       .select(col(qidCol), col("__s._1").as(idCol),
         col("__s._2").as("mmr_rank"), col("__s._3").as("rel"),
         col("__s._4").as("mmr"))
+  }
+
+  /** Regime router for [[hardNegatives]]/[[hardNegativesBlocked]]: exact
+    * all-pairs while both sides fit under `maxExactRows`, banded
+    * candidates above it. Snapshot semantics per
+    * [[Similarity.fitsExactRegime]] — counts run at call time, the exact
+    * branch is guard-free.
+    */
+  def hardNegativesRouted(queries: DataFrame, corpus: DataFrame, k: Int,
+                          qidCol: String = "qid", qvecCol: String = "qvec",
+                          qGroupCol: String = "qgroup",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          groupCol: String = "label",
+                          numPlanes: Int = 16, bandBits: Int = 2,
+                          seed: Int = 42,
+                          maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame =
+    if (Similarity.fitsExactRegime(maxExactRows, queries, corpus))
+      hardNegativesUnguarded(queries, corpus, k, qidCol, qvecCol, qGroupCol,
+        idCol, vecCol, groupCol)
+    else
+      hardNegativesBlocked(queries, corpus, k, qidCol, qvecCol, qGroupCol,
+        idCol, vecCol, groupCol, numPlanes, bandBits, seed)
+
+  /** Regime router for [[mmrRerank]]/[[mmrRerankBlocked]]. Snapshot
+    * semantics per [[Similarity.fitsExactRegime]].
+    */
+  def mmrRerankRouted(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+                      lambda: Double = 0.7,
+                      qidCol: String = "qid", qvecCol: String = "qv",
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      numPlanes: Int = 16, bandBits: Int = 2,
+                      seed: Int = 42,
+                      maxExactRows: Long = Similarity.DefaultMaxExactRows): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    if (Similarity.fitsExactRegime(maxExactRows, queries, corpus))
+      mmrRerankUnguarded(queries, corpus, n, k, lambda, qidCol, qvecCol,
+        idCol, vecCol)
+    else
+      mmrRerankBlocked(queries, corpus, n, k, lambda, qidCol, qvecCol,
+        idCol, vecCol, numPlanes, bandBits, seed)
   }
 
   /** 7-dp HALF_UP round over the shortest decimal repr (BigDecimal.valueOf,

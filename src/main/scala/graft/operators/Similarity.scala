@@ -966,10 +966,23 @@ object Similarity {
                      roundDp: Int = 6,
                      maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val guarded = guardExactRegime(corpus, "mutualKnnPairs", maxExactRows)
-    val scored = guarded
+    mutualKnnPairsUnguarded(
+      guardExactRegime(corpus, "mutualKnnPairs", maxExactRows), corpus,
+      k, idCol, vecCol, roundDp)
+  }
+
+  /** Guard-free exact mutual-kNN kernel: `left` is the (possibly guarded)
+    * frame driving the cross join, `right` the plain corpus. Routers that
+    * have ALREADY proven the row bound call this directly so the exact
+    * branch doesn't re-count per action (the [[hammingSearch]]
+    * double-count discipline).
+    */
+  private def mutualKnnPairsUnguarded(left: DataFrame, right: DataFrame,
+                                      k: Int, idCol: String, vecCol: String,
+                                      roundDp: Int): DataFrame = {
+    val scored = left
       .select(col(idCol).as("__a"), col(vecCol).as("__va"))
-      .crossJoin(corpus.select(col(idCol).as("__b"), col(vecCol).as("__vb")))
+      .crossJoin(right.select(col(idCol).as("__b"), col(vecCol).as("__vb")))
       .filter(col("__a") =!= col("__b"))
       .withColumn("__cos",
         round(graft.plans.CosineSimilarityExpr.cosine(col("__va"), col("__vb")),
@@ -1463,11 +1476,21 @@ object Similarity {
                           roundDp: Int = 6,
                           maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val gq = guardExactRegime(queries, "kthNeighborDistance.queries", maxExactRows)
-    val gc = guardExactRegime(corpus, "kthNeighborDistance.corpus", maxExactRows)
-    val scored = gq
+    kthNeighborDistanceUnguarded(
+      guardExactRegime(queries, "kthNeighborDistance.queries", maxExactRows),
+      guardExactRegime(corpus, "kthNeighborDistance.corpus", maxExactRows),
+      k, idCol, vecCol, threshold, roundDp)
+  }
+
+  /** Guard-free exact k-th-neighbor kernel (router discipline — see
+    * [[mutualKnnPairsUnguarded]]).
+    */
+  private def kthNeighborDistanceUnguarded(queries: DataFrame,
+      corpus: DataFrame, k: Int, idCol: String, vecCol: String,
+      threshold: Double, roundDp: Int): DataFrame = {
+    val scored = queries
       .select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-      .crossJoin(gc.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
+      .crossJoin(corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
       .filter(col("__cid") =!= col("__qid"))
       .withColumn("__d", round(lit(1.0) -
         graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
@@ -1523,10 +1546,20 @@ object Similarity {
                    roundDp: Int = 6,
                    maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
     require(knn >= 1, s"knn must be >= 1, got $knn")
-    val scored = guardExactRegime(src, "marginBitext.src", maxExactRows)
+    marginBitextUnguarded(
+      guardExactRegime(src, "marginBitext.src", maxExactRows),
+      guardExactRegime(tgt, "marginBitext.tgt", maxExactRows),
+      knn, idCol, vecCol, roundDp)
+  }
+
+  /** Guard-free exact bitext kernel (router discipline — see
+    * [[mutualKnnPairsUnguarded]]).
+    */
+  private def marginBitextUnguarded(src: DataFrame, tgt: DataFrame,
+      knn: Int, idCol: String, vecCol: String, roundDp: Int): DataFrame = {
+    val scored = src
       .select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
-      .crossJoin(guardExactRegime(tgt, "marginBitext.tgt", maxExactRows)
-        .select(col(idCol).as("tgt_id"), col(vecCol).as("__tv")))
+      .crossJoin(tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv")))
       .withColumn("__cos",
         round(graft.plans.CosineSimilarityExpr.cosine(col("__sv"), col("__tv")),
           roundDp))
@@ -1608,5 +1641,83 @@ object Similarity {
         "left")
       .select(col("src_id"), col("tgt_id"), col("margin"),
         col("__bs").isNotNull.as("mutual"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Regime routers for the exact/blocked twin families
+  // -------------------------------------------------------------------------
+
+  /** Shared count-based regime decision for the exact/blocked twin
+    * families ([[hammingSearch]] generalized): true when EVERY side fits
+    * under `maxExactRows`, in which case the exact all-pairs kernel is
+    * both affordable and strictly better (no banding recall loss).
+    *
+    * SNAPSHOT SEMANTICS (applies to every `*Routed` entry point): the
+    * routing counts run HERE, at call time, and the exact branch then
+    * uses the guard-FREE kernel — so an input whose source grows between
+    * the routing decision and the action (a live directory view,
+    * nondeterministic lineage) is not re-checked in-flight. For such
+    * sources call the guarded exact kernel directly, or route blocked.
+    * One columnar count per side is the entire routing cost.
+    */
+  private[graft] def fitsExactRegime(maxExactRows: Long,
+                                     sides: DataFrame*): Boolean =
+    sides.forall(_.count() <= maxExactRows)
+
+  /** Regime router for [[mutualKnnPairs]]/[[mutualKnnPairsBlocked]]:
+    * exact all-pairs while the corpus fits under `maxExactRows`, banded
+    * candidates above it — the caller never plans O(n²) at corpus scale
+    * and never pays banding recall on a corpus the exact scan covers.
+    * Snapshot semantics per [[fitsExactRegime]].
+    */
+  def mutualKnnPairsRouted(corpus: DataFrame, k: Int,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           numPlanes: Int = 16, bandBits: Int = 2,
+                           seed: Int = 42, roundDp: Int = 6,
+                           maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    if (fitsExactRegime(maxExactRows, corpus))
+      mutualKnnPairsUnguarded(corpus, corpus, k, idCol, vecCol, roundDp)
+    else
+      mutualKnnPairsBlocked(corpus, k, idCol, vecCol, numPlanes, bandBits,
+        seed, roundDp)
+  }
+
+  /** Regime router for
+    * [[kthNeighborDistance]]/[[kthNeighborDistanceBlocked]]. Snapshot
+    * semantics per [[fitsExactRegime]].
+    */
+  def kthNeighborDistanceRouted(queries: DataFrame, corpus: DataFrame,
+                                k: Int, idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                threshold: Double = 0.75,
+                                numPlanes: Int = 16, bandBits: Int = 2,
+                                seed: Int = 42, roundDp: Int = 6,
+                                maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    if (fitsExactRegime(maxExactRows, queries, corpus))
+      kthNeighborDistanceUnguarded(queries, corpus, k, idCol, vecCol,
+        threshold, roundDp)
+    else
+      kthNeighborDistanceBlocked(queries, corpus, k, idCol, vecCol,
+        threshold, numPlanes, bandBits, seed, roundDp)
+  }
+
+  /** Regime router for [[marginBitext]]/[[marginBitextBlocked]]. Snapshot
+    * semantics per [[fitsExactRegime]].
+    */
+  def marginBitextRouted(src: DataFrame, tgt: DataFrame, knn: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         numPlanes: Int = 16, bandBits: Int = 2,
+                         seed: Int = 42, roundDp: Int = 6,
+                         maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(knn >= 1, s"knn must be >= 1, got $knn")
+    if (fitsExactRegime(maxExactRows, src, tgt))
+      marginBitextUnguarded(src, tgt, knn, idCol, vecCol, roundDp)
+    else
+      marginBitextBlocked(src, tgt, knn, idCol, vecCol, numPlanes, bandBits,
+        seed, roundDp)
   }
 }
