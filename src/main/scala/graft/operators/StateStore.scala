@@ -137,6 +137,114 @@ object StateStore {
     fs.rename(tmp, dst)
   }
 
+  // -------------------------------------------------------------------------
+  // Bucketed merge-on-read state (the 10^9-item regime)
+  // -------------------------------------------------------------------------
+
+  /** Deterministic bucket of an item id: `pmod(murmur3(id), numBuckets)`.
+    * A table constant — every writer of one state table must use the same
+    * `numBuckets` or merges will duplicate ids across buckets.
+    */
+  def stateBucket(id: Column, numBuckets: Int): Column =
+    pmod(hash(id.cast("string")), lit(numBuckets))
+
+  /** Bootstrap (or fully rewrite) a BUCKETED state table: the same rows as
+    * [[save]], hash-partitioned into `numBuckets` directories on a derived
+    * `bucket` column. This is the scale posture for [[upsert]]'s
+    * full-rewrite problem: [[save]] rewrites the whole table every run
+    * (fine at the reference's whole-file-JSON scale, quadratic-ish total
+    * I/O at a 10^9-item state), while a bucketed table lets
+    * [[upsertBucketed]] rewrite ONLY the buckets an update batch touches —
+    * per-run write cost scales with the BATCH, not the accumulated state.
+    */
+  def saveBucketed(state: DataFrame, path: String,
+                   numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    state
+      .withColumn("bucket", stateBucket(col("item_id"), numBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Load a [[saveBucketed]] table back to the public state schema (the
+    * partition column is an internal layout detail). Missing/unreadable
+    * -> empty state, the [[load]] contract.
+    */
+  def loadBucketed(spark: SparkSession, path: String): DataFrame =
+    try {
+      spark.read.parquet(path).select("item_id", "fingerprint", "updated_at")
+    } catch {
+      case _: Throwable =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** MERGE an update batch into a bucketed state table, rewriting only the
+    * touched buckets (dynamic partition overwrite — Spark replaces exactly
+    * the partition directories present in the written frame, untouched
+    * buckets' files stay byte-identical). Semantics are [[upsert]]'s:
+    * newest fingerprint wins per id.
+    *
+    * Write cost per run: O(|batch| + |state rows sharing a bucket with the
+    * batch|) = |batch| * (1 + |state| / numBuckets) in expectation — size
+    * `numBuckets` so a bucket is a few files, and the per-run rewrite
+    * scales with the batch while lookups stay partition-prunable.
+    * Tradeoff vs [[save]]'s rename: replacement is atomic per PARTITION
+    * directory, not across the table — a failure mid-write can leave some
+    * buckets new and some old; the state contract tolerates that (state
+    * rows are idempotent fingerprints, and the reference's own JSON save
+    * has the same torn-window, `state_manager.py:63-67`).
+    */
+  def upsertBucketed(spark: SparkSession, path: String, updates: DataFrame,
+                     numBuckets: Int = 64,
+                     idCol: String = "item_id",
+                     fpCol: String = "fingerprint"): Unit =
+    Sink.lockFor(path).synchronized {
+      require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+      val newRows = updates.select(
+          col(idCol).cast("string").as("item_id"),
+          col(fpCol).cast("string").as("fingerprint"),
+          current_timestamp().as("updated_at"))
+        .withColumn("bucket", stateBucket(col("item_id"), numBuckets))
+      // Touched buckets: bounded by numBuckets, so the collect is
+      // driver-safe by construction.
+      val touched = newRows.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        // Surviving rows of the touched buckets are STAGED to a scratch
+        // dir and re-read before the overwrite — Spark (rightly) refuses
+        // to overwrite a path it is still reading from, and the staging
+        // round trip is bounded by the touched buckets, not the table
+        // (the Sink.upsertBySource discipline).
+        val survivors =
+          try {
+            Some(spark.read.parquet(path)
+              .filter(col("bucket").isin(touched: _*))
+              .join(newRows.select("item_id"), Seq("item_id"), "left_anti")
+              .select(col("item_id"), col("fingerprint"), col("updated_at"),
+                col("bucket")))
+          } catch { case _: Throwable => None }
+        val (out, staging) = survivors match {
+          case Some(s) if !s.isEmpty =>
+            val tmp = path + ".survivors-" +
+              java.util.UUID.randomUUID().toString
+            s.write.mode("overwrite").parquet(tmp)
+            (newRows.unionByName(spark.read.parquet(tmp)), Some(tmp))
+          case _ => (newRows, None)
+        }
+        try {
+          out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(path)
+        } finally {
+          staging.foreach { tmp =>
+            val fs = new org.apache.hadoop.fs.Path(tmp)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          }
+        }
+      }
+    }
+
   /** Apply a snapshot to an SCD-type-2 fingerprint history (Kimball slowly-
     * changing dimension): where [[corpusDiff]] reports WHAT changed between
     * two snapshots, this keeps WHEN — every fingerprint a document ever had,

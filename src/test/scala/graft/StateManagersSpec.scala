@@ -37,6 +37,54 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
     assert(mgr.load(spark).count() == 0) // corrupt -> fresh (state_manager.py:59-61)
   }
 
+  test("bucketed state: upsert rewrites ONLY the touched buckets and " +
+      "keeps upsert's merge semantics") {
+    import spark.implicits._
+    val dir = tempDir("graft-bucketed-state").resolve("state").toString
+    val base = (1 to 40)
+      .map(i => (s"doc$i", s"fp$i", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("item_id", "fingerprint", "updated_at")
+    StateStore.saveBucketed(base, dir, numBuckets = 8)
+    assert(itemMap(StateStore.loadBucketed(spark, dir)) ==
+      (1 to 40).map(i => s"doc$i" -> s"fp$i").toMap)
+    // Byte-level fingerprint of every bucket directory's parquet files.
+    def fileHashes(): Map[String, Seq[(String, Int)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+            .map(f => f.getName -> java.util.Arrays.hashCode(
+              java.nio.file.Files.readAllBytes(f.toPath))).toSeq
+        }.toMap
+    }
+    val before = fileHashes()
+    assert(before.size > 2, s"fixture too small to prove pruning: $before")
+    val updates = Seq(("doc3", "fp3-new"), ("doc999", "fp999"))
+      .toDF("item_id", "fingerprint")
+    StateStore.upsertBucketed(spark, dir, updates, numBuckets = 8)
+    val after = fileHashes()
+    val touched = updates
+      .select(StateStore.stateBucket($"item_id", 8).as("b"))
+      .distinct().collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    // Merge semantics identical to upsert(): newest fingerprint wins,
+    // unseen ids append, everything else survives.
+    val m = itemMap(StateStore.loadBucketed(spark, dir))
+    assert(m("doc3") == "fp3-new")
+    assert(m("doc999") == "fp999")
+    assert(m("doc1") == "fp1")
+    assert(m.size == 41)
+    // Untouched buckets: byte-identical files (merge-on-read claim).
+    before.foreach { case (b, files) =>
+      if (!touched.contains(b))
+        assert(after(b) == files, s"untouched bucket $b was rewritten")
+    }
+    // Touched buckets really were replaced.
+    assert(touched.exists(b => before.get(b) != after.get(b)),
+      s"no touched bucket changed: $touched")
+  }
+
   test("json backend refuses state past the driver-materialization cap") {
     // r6 verdict #7: the factory default backend is json (reference
     // fidelity) and collects the whole state per save — a scale-up user
