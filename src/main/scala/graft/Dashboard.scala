@@ -217,7 +217,17 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
           h != null && isLoopback(h)
         } catch { case _: IllegalArgumentException => false }
     }
-    !(hostOk && originOk)
+    // Belt-and-suspenders (r11 advice): the header checks above rest on
+    // the browser invariant that Host/Origin are attached; the SOCKET
+    // peer address is the server's own ground truth and costs nothing.
+    // The server binds loopback, so a non-loopback peer is either a
+    // misconfiguration (rebound to 0.0.0.0) or a forwarded request —
+    // reject state changes either way. Null-safe: a missing address
+    // (exotic transports) falls back to the header-only decision.
+    val peerOk = Option(ex.getRemoteAddress)
+      .flatMap(a => Option(a.getAddress))
+      .forall(_.isLoopbackAddress)
+    !(hostOk && originOk && peerOk)
   }
 
   private val ForeignOriginResponse: (Int, String, String) =

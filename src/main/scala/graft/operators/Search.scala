@@ -548,6 +548,20 @@ object Search {
         raise_error(concat(lit("graft.percolateIndexed: stored query "),
           col("__qid"), lit(" has no terms"))))
         .otherwise(lit(true)))
+      // Query ids must be UNIQUE: the rarest-term argmin partitions by
+      // id, so a duplicated id would pick ONE token across the UNION of
+      // both rows' term lists — a lossy prefilter for whichever query
+      // doesn't contain it — and the output would merge distinct term
+      // lists under one id (r11 advice). Detected in-flight with a
+      // registry-sized count window, the empty-terms guard's posture.
+      .withColumn("__qn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__qid"))))
+      .filter(when(col("__qn") > 1,
+        raise_error(concat(lit("graft.percolateIndexed: duplicate stored "),
+          lit("query id "), col("__qid"),
+          lit(" — ids must be unique (merge or re-key the registry)"))))
+        .otherwise(lit(true)))
+      .drop("__qn")
     val docs0 = df.select(col(idCol).as("__doc"),
       array_distinct(TextAnalysis.toks(col(textCol))).as("__set"))
     val docs =

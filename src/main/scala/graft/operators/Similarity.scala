@@ -1114,6 +1114,13 @@ object Similarity {
     * Exact regime on both arms (guarded — audit ops run on fenced
     * strata); ties by id; recall is one exact integer division. Returns
     * one row per query: `(qid, n_hit, recall)`.
+    *
+    * BOUNDARY NOTE (r11 advice): `dim` STRICTLY GREATER than the vector
+    * length raises (the silent-full-vector trap), but `dim` EQUAL to the
+    * stored width passes and measures the identity — recall 1.0 by
+    * construction, a machinery sanity anchor (spec-pinned), NOT a
+    * compression audit. A compression decision needs `dim <` the stored
+    * width; `compression_tradeoff` uses 16 of 64.
     */
   def truncationRecall(queries: DataFrame, corpus: DataFrame, k: Int,
                        dim: Int, idCol: String = "vec_id",

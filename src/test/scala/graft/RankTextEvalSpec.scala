@@ -131,6 +131,16 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
         Seq(("q", Seq("fast", "join"))).toDF("query_id", "terms"))
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
     assert(dupGot == Seq(("q", 3L)), dupGot.toString)
+    // duplicate QUERY ids raise in-flight: the rarest-term argmin would
+    // pick one token across the union of both term lists (lossy for the
+    // query that doesn't contain it) — r11 advice
+    val exDup = intercept[Exception] {
+      Search.percolateIndexed(df, "text", "doc_id",
+        Seq(("q1", Seq("join")), ("q1", Seq("key")))
+          .toDF("query_id", "terms")).collect()
+    }
+    assert(msgs(exDup).exists(_.contains("duplicate stored")),
+      msgs(exDup).mkString("|"))
   }
 
   test("autocompleteIndex: per-prefix top-k by frequency, tie by token") {
