@@ -1950,6 +1950,16 @@ object SparkEntry {
       Similarity.ivfPqRecall(e.filter(col("vec_id") < 20), e, k = 5)
     }),
 
+    "ivf_pq_rerank_recall" -> ((s, dir) => {
+      // The IVF-PQ DEPLOYMENT RECIPE (Similarity.ivfPqRerankRecall
+      // scaladoc): ADC shortlist-20 per query (compressed scan), exact
+      // cosine rerank to 5 — what shortlist depth buys back from the raw
+      // ADC ranking measured by ivf_pq_recall.
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqRerankRecall(e.filter(col("vec_id") < 20), e,
+        shortlist = 20, k = 5)
+    }),
+
     "jl_recall" -> ((s, dir) => {
       // Recall formulation of the JL random-projection axis
       // (Similarity.jlRecall scaladoc): recall@5 of the 64->16 projected
@@ -4291,6 +4301,10 @@ object SparkEntry {
   private lazy val ivfPqRecallSqlStr: String =
     ivfPqRecallSql(nQueries = 20, k = 5, nProbe = 2)
 
+  private lazy val ivfPqRerankRecallSqlStr: String =
+    ivfPqRecallSql(nQueries = 20, k = 5, nProbe = 2,
+      rerankShortlist = Some(20))
+
   /** [[graft.operators.Similarity.compressionTradeoff]] replay: each
     * per-axis recall oracle wrapped as a subquery, aggregated to one
     * `(axis, memory_ratio, n_queries, mean_recall)` row — full oracle by
@@ -4307,7 +4321,8 @@ object SparkEntry {
       arm("jl_16", "4.0", jlRecallSqlStr),
       arm("truncate_16", "4.0", truncationRecallSqlStr),
       arm("binary_rerank", "32.0", hammingRerankRecallSqlStr),
-      arm("ivf_pq_m4", "64.0", ivfPqRecallSqlStr)
+      arm("ivf_pq_m4", "64.0", ivfPqRecallSqlStr),
+      arm("ivf_pq_m4_rerank", "64.0", ivfPqRerankRecallSqlStr)
     ).mkString("\nUNION ALL\n")
   }
 
@@ -4356,7 +4371,8 @@ object SparkEntry {
     * Returns pre-stripped SQL — concatenate, never re-stripMargin (the
     * `||` hazard).
     */
-  private def ivfPqRecallSql(nQueries: Int, k: Int, nProbe: Int): String = {
+  private def ivfPqRecallSql(nQueries: Int, k: Int, nProbe: Int,
+                             rerankShortlist: Option[Int] = None): String = {
     val maxIter = 5
     val unit =
       """unitv AS MATERIALIZED (SELECT vec_id, embedding,
@@ -4405,9 +4421,26 @@ object SparkEntry {
          |  JOIN adc2 a2 ON a2.qid = p.qid AND a2.code = kk.k2
          |  JOIN adc3 a3 ON a3.qid = p.qid AND a3.code = kk.k3
          | WHERE kk.vec_id <> p.qid),
-         |apx AS (SELECT qid, vec_id AS id FROM (
-         | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-         |   ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= $k),
+         |${rerankShortlist match {
+           case None =>
+             s"""apx AS (SELECT qid, vec_id AS id FROM (
+                | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                |   ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= $k)"""
+               .stripMargin
+           case Some(s) =>
+             // ADC shortlist of `s`, then exact-cosine rerank to k — the
+             // ivfPqRerankRecall deployment recipe.
+             s"""shortl AS (SELECT qid, vec_id AS id FROM (
+                | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                |   ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= $s),
+                |apx AS (SELECT qid, id FROM (
+                | SELECT sl.qid, sl.id, row_number() OVER (PARTITION BY sl.qid
+                |   ORDER BY round(${cosOf("qe.embedding", "ce.embedding")}, 6)
+                |    DESC, sl.id) AS rn
+                | FROM shortl sl JOIN embeddings qe ON qe.vec_id = sl.qid
+                |  JOIN embeddings ce ON ce.vec_id = sl.id) q WHERE rn <= $k)"""
+               .stripMargin
+         }},
          |eqv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
          | WHERE vec_id < $nQueries AND embedding IS NOT NULL),
          |ecv AS (SELECT vec_id AS id, embedding AS v FROM embeddings
@@ -7088,6 +7121,10 @@ object SparkEntry {
     // per-query probe ranking + left-to-right ADC sums, recall vs the
     // exact cosine top-5.
     "ivf_pq_recall" -> ivfPqRecallSqlStr,
+
+    // Similarity.ivfPqRerankRecall replay: same CTE chain with the
+    // shortlist + exact-cosine rerank arm.
+    "ivf_pq_rerank_recall" -> ivfPqRerankRecallSqlStr,
 
     // Similarity.jlRecall replay (jlRecallSqlStr scaladoc): the recall
     // formulation of the random-projection axis.

@@ -1279,7 +1279,38 @@ object Similarity {
                   pqIterations: Int = 2, nProbe: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   roundDp: Int = 6,
-                  maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+                  maxExactRows: Long = DefaultMaxExactRows): DataFrame =
+    ivfPqRecallCore(queries, corpus, k, None, nCells, m, kCodes,
+      pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows)
+
+  /** Recall audit of the IVF-PQ DEPLOYMENT RECIPE: ADC produces a
+    * `shortlist`-sized candidate set per query (compressed scan — no
+    * float vector read), exact cosine re-ranks just the shortlist, and
+    * recall@k is measured against the exact top-k — the
+    * [[hammingRerankRecall]] recipe on the IVF-PQ index, and the number
+    * that says what shortlist depth buys back from [[ivfPqRecall]]'s raw
+    * ADC ranking. Same panel/guard/replay contract as [[ivfPqRecall]].
+    */
+  def ivfPqRerankRecall(queries: DataFrame, corpus: DataFrame,
+                        shortlist: Int, k: Int,
+                        nCells: Int = 8, m: Int = 4, kCodes: Int = 8,
+                        pqIterations: Int = 2, nProbe: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        roundDp: Int = 6,
+                        maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    require(shortlist >= k,
+      s"need shortlist >= k, got ($shortlist, $k)")
+    ivfPqRecallCore(queries, corpus, k, Some(shortlist), nCells, m, kCodes,
+      pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows)
+  }
+
+  private def ivfPqRecallCore(queries: DataFrame, corpus: DataFrame, k: Int,
+                              rerankShortlist: Option[Int],
+                              nCells: Int, m: Int, kCodes: Int,
+                              pqIterations: Int, nProbe: Int,
+                              idCol: String, vecCol: String,
+                              roundDp: Int, maxExactRows: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val panel = queries
@@ -1295,11 +1326,31 @@ object Similarity {
     require(panel.nonEmpty, "graft.ivfPqRecall: empty query panel")
     val (encoded, centroids, cb) =
       ivfPqIndex(corpus, vecCol, idCol, nCells, m, kCodes, pqIterations)
-    val approx = panel.map { case (qid, qv) =>
-      ivfPqTopK(encoded.filter(col(idCol) =!= qid), centroids, cb, qv, k,
+    val adcK = rerankShortlist.getOrElse(k)
+    val short = panel.map { case (qid, qv) =>
+      ivfPqTopK(encoded.filter(col(idCol) =!= qid), centroids, cb, qv, adcK,
           nProbe, idCol)
         .select(lit(qid).as("qid"), col(idCol).as("id"))
     }.reduce(_.union(_))
+    val approx = rerankShortlist match {
+      case None => short
+      case Some(_) =>
+        // Exact-cosine rerank of the ADC shortlist: the float vectors are
+        // read for shortlist-many rows per query only.
+        val qv2 = queries.select(col(idCol).cast("long").as("qid"),
+          col(vecCol).as("__rqv"))
+        val cv2 = corpus.select(col(idCol).cast("long").as("id"),
+          col(vecCol).as("__rcv"))
+        val byCos2 = Window.partitionBy(col("qid"))
+          .orderBy(col("__rcos").desc, col("id"))
+        short.join(qv2, "qid").join(cv2, "id")
+          .withColumn("__rcos", round(
+            graft.plans.CosineSimilarityExpr.cosine(col("__rqv"), col("__rcv")),
+            roundDp))
+          .withColumn("__rrn", row_number().over(byCos2))
+          .filter(col("__rrn") <= k)
+          .select(col("qid"), col("id"))
+    }
     val qvf = queries
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("__qv"))
@@ -1391,12 +1442,13 @@ object Similarity {
     * mean recall@k. Axes: int8 scalar quantization ([[sq8Recall]], 4×),
     * JL random projection to 16 dims ([[jlRecall]], 4×), Matryoshka
     * prefix truncation to 16 dims ([[truncationRecall]], 4×), 1-bit sign
-    * codes WITH exact rerank ([[hammingRerankRecall]], 32×), and the
+    * codes WITH exact rerank ([[hammingRerankRecall]], 32×), the
     * composed IVF-PQ index at byte-aligned m=4 codes ([[ivfPqRecall]],
-    * 64×). Mean recall is exact integer arithmetic until one final
-    * division: `sum(n_hit) / (n_queries * k)`.
+    * 64×), and the IVF-PQ deployment recipe (ADC shortlist + exact
+    * rerank, [[ivfPqRerankRecall]], 64×). Mean recall is exact integer
+    * arithmetic until one final division: `sum(n_hit) / (n_queries * k)`.
     *
-    * Returns `(axis, memory_ratio, n_queries, mean_recall)` — five rows.
+    * Returns `(axis, memory_ratio, n_queries, mean_recall)` — six rows.
     */
   def compressionTradeoff(queries: DataFrame, corpus: DataFrame, k: Int,
                           shortlist: Int = 20, truncDim: Int = 16,
@@ -1428,6 +1480,9 @@ object Similarity {
       .union(summarize("ivf_pq_m4", 64.0,
         ivfPqRecall(queries, corpus, k, idCol = idCol, vecCol = vecCol,
           roundDp = roundDp, maxExactRows = maxExactRows)))
+      .union(summarize("ivf_pq_m4_rerank", 64.0,
+        ivfPqRerankRecall(queries, corpus, shortlist, k, idCol = idCol,
+          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)))
   }
 
   // -------------------------------------------------------------------------

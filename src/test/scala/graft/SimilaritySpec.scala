@@ -502,13 +502,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
         r.getDouble(3)))
     assert(rows.map(_._1).sorted.toSeq ==
-      Seq("binary_rerank", "ivf_pq_m4", "jl_16", "sq8", "truncate_16"),
+      Seq("binary_rerank", "ivf_pq_m4", "ivf_pq_m4_rerank", "jl_16", "sq8",
+        "truncate_16"),
       rows.toSeq.toString)
     assert(rows.forall(_._3 == 3L), rows.toSeq.toString) // 3 queries each
     assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
     assert(rows.map(r => r._1 -> r._2).toMap ==
       Map("sq8" -> 4.0, "jl_16" -> 4.0, "truncate_16" -> 4.0,
-        "binary_rerank" -> 32.0, "ivf_pq_m4" -> 64.0))
+        "binary_rerank" -> 32.0, "ivf_pq_m4" -> 64.0,
+        "ivf_pq_m4_rerank" -> 64.0))
     assertGuardTrips("jlRecall.corpus") {
       Similarity.jlRecall(queries, corpus, k = 1, maxExactRows = 2).collect()
     }
