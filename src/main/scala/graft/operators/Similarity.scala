@@ -1310,7 +1310,10 @@ object Similarity {
                               nCells: Int, m: Int, kCodes: Int,
                               pqIterations: Int, nProbe: Int,
                               idCol: String, vecCol: String,
-                              roundDp: Int, maxExactRows: Long): DataFrame = {
+                              roundDp: Int, maxExactRows: Long,
+                              prebuilt: Option[(DataFrame,
+                                Array[Array[Double]], Pq.Codebooks)] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val panel = queries
@@ -1324,8 +1327,13 @@ object Similarity {
         s"$MaxRecallPanel — recall audits run on a bounded panel, not a " +
         "corpus; sample the queries first")
     require(panel.nonEmpty, "graft.ivfPqRecall: empty query panel")
-    val (encoded, centroids, cb) =
-      ivfPqIndex(corpus, vecCol, idCol, nCells, m, kCodes, pqIterations)
+    // Duplicate panel ids would duplicate their union branch AND their
+    // exact-arm rows, double-counting hits in the recall join (recall > 1
+    // — the r11 bug class (h)); the panel is driver-side, so check loudly.
+    require(panel.map(_._1).distinct.length == panel.length,
+      "graft.ivfPqRecall: duplicate query ids in the panel")
+    val (encoded, centroids, cb) = prebuilt.getOrElse(
+      ivfPqIndex(corpus, vecCol, idCol, nCells, m, kCodes, pqIterations))
     val adcK = rerankShortlist.getOrElse(k)
     val short = panel.map { case (qid, qv) =>
       ivfPqTopK(encoded.filter(col(idCol) =!= qid), centroids, cb, qv, adcK,
@@ -1477,12 +1485,19 @@ object Similarity {
       .union(summarize("binary_rerank", 32.0,
         hammingRerankRecall(queries, corpus, shortlist, k, idCol, vecCol,
           roundDp, maxExactRows)))
-      .union(summarize("ivf_pq_m4", 64.0,
-        ivfPqRecall(queries, corpus, k, idCol = idCol, vecCol = vecCol,
-          roundDp = roundDp, maxExactRows = maxExactRows)))
-      .union(summarize("ivf_pq_m4_rerank", 64.0,
-        ivfPqRerankRecall(queries, corpus, shortlist, k, idCol = idCol,
-          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)))
+      .union {
+        // The two IVF-PQ arms share ONE trained index — the training
+        // (driver-round k-means jobs) is the dominant cost, and both
+        // audits query the same deployed structure by definition.
+        val index = ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = 4,
+          kCodes = 8, pqIterations = 2)
+        summarize("ivf_pq_m4", 64.0,
+          ivfPqRecallCore(queries, corpus, k, None, 8, 4, 8, 2, 2,
+            idCol, vecCol, roundDp, maxExactRows, Some(index)))
+          .union(summarize("ivf_pq_m4_rerank", 64.0,
+            ivfPqRecallCore(queries, corpus, k, Some(shortlist), 8, 4, 8, 2,
+              2, idCol, vecCol, roundDp, maxExactRows, Some(index))))
+      }
   }
 
   // -------------------------------------------------------------------------

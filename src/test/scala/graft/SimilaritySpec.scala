@@ -488,6 +488,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { // empty panel
       Similarity.ivfPqRecall(corpus.filter(col("vec_id") < 0), corpus, k = 1)
     }
+    intercept[IllegalArgumentException] { // duplicate panel ids double-count hits
+      Similarity.ivfPqRecall(
+        corpus.filter(col("vec_id") < 1)
+          .union(corpus.filter(col("vec_id") < 1)), corpus, k = 1)
+    }
     assertGuardTrips("ivfPqRecall.corpus") {
       Similarity.ivfPqRecall(corpus.filter(col("vec_id") < 1), corpus,
         k = 1, nCells = 2, m = 4, kCodes = 4, maxExactRows = 2).collect()
