@@ -215,14 +215,24 @@ object StateStore {
         // to overwrite a path it is still reading from, and the staging
         // round trip is bounded by the touched buckets, not the table
         // (the Sink.upsertBySource discipline).
+        //
+        // Bootstrap is decided by an EXPLICIT existence check, not a
+        // broad catch: a transient read failure on an existing table must
+        // propagate loudly — swallowing it would dynamic-overwrite the
+        // touched buckets with the batch alone and silently discard
+        // their surviving rows (a write-path data loss the read-path
+        // corrupt->fresh contract does not license).
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val exists = fsPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(fsPath)
         val survivors =
-          try {
-            Some(spark.read.parquet(path)
-              .filter(col("bucket").isin(touched: _*))
-              .join(newRows.select("item_id"), Seq("item_id"), "left_anti")
-              .select(col("item_id"), col("fingerprint"), col("updated_at"),
-                col("bucket")))
-          } catch { case _: Throwable => None }
+          if (!exists) None
+          else Some(spark.read.parquet(path)
+            .filter(col("bucket").isin(touched: _*))
+            .join(newRows.select("item_id"), Seq("item_id"), "left_anti")
+            .select(col("item_id"), col("fingerprint"), col("updated_at"),
+              col("bucket")))
         val (out, staging) = survivors match {
           case Some(s) if !s.isEmpty =>
             val tmp = path + ".survivors-" +
