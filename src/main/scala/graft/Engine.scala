@@ -63,7 +63,7 @@ object Engine {
       // batch client in the openai binding) once for the count and again
       // in the eval plan.
       val topk =
-        if (corpus.count() <= maxExactRows && questions.count() <= maxExactRows)
+        if (Similarity.fitsExactRegime(maxExactRows, corpus, questions))
           Search.topKPerQuery(embedded, corpus, k,
             qidCol = "qid", qvecCol = "qvec", idCol = "id", vecCol = "embedding",
             maxExactRows = maxExactRows)

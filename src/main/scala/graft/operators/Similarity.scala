@@ -914,7 +914,7 @@ object Similarity {
                     wordsCol: String = "words",
                     bandBits: Int = 16,
                     maxExactRows: Long = DefaultMaxExactRows): DataFrame =
-    if (queries.count() <= maxExactRows && corpus.count() <= maxExactRows) {
+    if (fitsExactRegime(maxExactRows, queries, corpus)) {
       require(k >= 1, s"k must be >= 1, got $k")
       // the routing counts just proved the bound — the unguarded kernel
       // skips guardExactRegime's per-side re-count and per-row filter
