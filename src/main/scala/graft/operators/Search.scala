@@ -548,12 +548,16 @@ object Search {
         raise_error(concat(lit("graft.percolateIndexed: stored query "),
           col("__qid"), lit(" has no terms"))))
         .otherwise(lit(true)))
-      // Query ids must be UNIQUE: the rarest-term argmin partitions by
-      // id, so a duplicated id would pick ONE token across the UNION of
-      // both rows' term lists — a lossy prefilter for whichever query
-      // doesn't contain it — and the output would merge distinct term
-      // lists under one id (r11 advice). Detected in-flight with a
-      // registry-sized count window, the empty-terms guard's posture.
+    // Query ids must be UNIQUE: the rarest-term argmin partitions by id,
+    // so a duplicated id would pick ONE token across the UNION of both
+    // rows' term lists — a lossy prefilter for whichever query doesn't
+    // contain it — and the output would merge distinct term lists under
+    // one id (r11 advice). Detected in-flight with a registry-sized count
+    // window, applied ONLY on the rarest-term branch: `reg` feeds three
+    // plan branches and the rarest branch is always evaluated, so the
+    // guard fires exactly once per action instead of re-shuffling the
+    // registry once per reference.
+    val regChecked = reg
       .withColumn("__qn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__qid"))))
       .filter(when(col("__qn") > 1,
@@ -570,7 +574,8 @@ object Search {
       else docs0
     val postings = docs.select(col("__doc"), explode(col("__set")).as("__tok"))
     val dfreq = postings.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
-    val rarest = reg.select(col("__qid"), explode(col("__terms")).as("__tok"))
+    val rarest = regChecked
+      .select(col("__qid"), explode(col("__terms")).as("__tok"))
       .join(dfreq, Seq("__tok"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__rn", row_number().over(

@@ -1316,24 +1316,35 @@ object Similarity {
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    // limit(bound + 1) BEFORE the collect: the panel bound must protect
+    // the driver, so it has to cut the transfer itself — collecting a
+    // corpus-sized frame and then checking its length would OOM before
+    // the require could fire.
     val panel = queries
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long"), col(vecCol))
+      .limit(MaxRecallPanel + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     require(panel.length <= MaxRecallPanel,
-      s"graft.ivfPqRecall: ${panel.length} queries > MaxRecallPanel=" +
-        s"$MaxRecallPanel — recall audits run on a bounded panel, not a " +
-        "corpus; sample the queries first")
+      s"graft.ivfPqRecall: more than MaxRecallPanel=$MaxRecallPanel " +
+        "queries — recall audits run on a bounded panel, not a corpus; " +
+        "sample the queries first")
     require(panel.nonEmpty, "graft.ivfPqRecall: empty query panel")
     // Duplicate panel ids would duplicate their union branch AND their
     // exact-arm rows, double-counting hits in the recall join (recall > 1
     // — the r11 bug class (h)); the panel is driver-side, so check loudly.
     require(panel.map(_._1).distinct.length == panel.length,
       "graft.ivfPqRecall: duplicate query ids in the panel")
-    val (encoded, centroids, cb) = prebuilt.getOrElse(
+    val (encoded0, centroids, cb) = prebuilt.getOrElse(
       ivfPqIndex(corpus, vecCol, idCol, nCells, m, kCodes, pqIterations))
+    // The encoded frame is referenced once per panel branch — persist it
+    // so the corpus is normalized + PQ-encoded once per action instead of
+    // once per query (the UDF re-scan would otherwise dwarf the shared
+    // training).
+    val encoded = encoded0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adcK = rerankShortlist.getOrElse(k)
     val short = panel.map { case (qid, qv) =>
       ivfPqTopK(encoded.filter(col(idCol) =!= qid), centroids, cb, qv, adcK,
@@ -1466,6 +1477,18 @@ object Similarity {
                           roundDp: Int = 6,
                           maxExactRows: Long = DefaultMaxExactRows)
       : DataFrame = {
+    // ONE panel for all six arms: the IVF-PQ core drops null/empty query
+    // vectors by construction, so the same filter is applied up front —
+    // otherwise the table's n_queries (and hence the means) would be
+    // computed over DIFFERENT panels per axis and the comparison column
+    // would be invalid.
+    val qs = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    // Memory ratios are DERIVED from the measured corpus width, not
+    // hardcoded: jl/truncation keep float32 components (ratio dim/outDim),
+    // sq8 is fp32->int8 (4x), 1-bit is fp32->1 bit (32x), IVF-PQ stores
+    // m byte codes per vector (dim*4 bytes -> m bytes).
+    val dim = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).head().getInt(0)
     def summarize(axis: String, ratio: Double, rec: DataFrame): DataFrame =
       rec.groupBy()
         .agg(count(lit(1)).as("n_queries"),
@@ -1474,28 +1497,31 @@ object Similarity {
           col("n_queries"),
           round(col("__hits").cast("double") /
             (col("n_queries") * k), roundDp).as("mean_recall"))
+    val pqM = 4
     summarize("sq8", 4.0,
-        sq8Recall(queries, corpus, k, idCol, vecCol, roundDp, maxExactRows))
-      .union(summarize(s"jl_$jlDim", 4.0,
-        jlRecall(queries, corpus, k, outDim = jlDim, idCol = idCol,
+        sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows))
+      .union(summarize(s"jl_$jlDim", dim.toDouble / jlDim,
+        jlRecall(qs, corpus, k, inDim = dim, outDim = jlDim, idCol = idCol,
           vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)))
-      .union(summarize(s"truncate_$truncDim", 4.0,
-        truncationRecall(queries, corpus, k, truncDim, idCol, vecCol,
+      .union(summarize(s"truncate_$truncDim", dim.toDouble / truncDim,
+        truncationRecall(qs, corpus, k, truncDim, idCol, vecCol,
           roundDp, maxExactRows)))
       .union(summarize("binary_rerank", 32.0,
-        hammingRerankRecall(queries, corpus, shortlist, k, idCol, vecCol,
+        hammingRerankRecall(qs, corpus, shortlist, k, idCol, vecCol,
           roundDp, maxExactRows)))
       .union {
         // The two IVF-PQ arms share ONE trained index — the training
-        // (driver-round k-means jobs) is the dominant cost, and both
-        // audits query the same deployed structure by definition.
-        val index = ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = 4,
+        // (driver-round k-means jobs) plus the persisted encode pass are
+        // the dominant costs, and both audits query the same deployed
+        // structure by definition.
+        val index = ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = pqM,
           kCodes = 8, pqIterations = 2)
-        summarize("ivf_pq_m4", 64.0,
-          ivfPqRecallCore(queries, corpus, k, None, 8, 4, 8, 2, 2,
+        val pqRatio = dim.toDouble * 4 / pqM
+        summarize(s"ivf_pq_m$pqM", pqRatio,
+          ivfPqRecallCore(qs, corpus, k, None, 8, pqM, 8, 2, 2,
             idCol, vecCol, roundDp, maxExactRows, Some(index)))
-          .union(summarize("ivf_pq_m4_rerank", 64.0,
-            ivfPqRecallCore(queries, corpus, k, Some(shortlist), 8, 4, 8, 2,
+          .union(summarize(s"ivf_pq_m${pqM}_rerank", pqRatio,
+            ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, pqM, 8, 2,
               2, idCol, vecCol, roundDp, maxExactRows, Some(index))))
       }
   }

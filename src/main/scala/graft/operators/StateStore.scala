@@ -171,7 +171,12 @@ object StateStore {
     */
   def loadBucketed(spark: SparkSession, path: String): DataFrame =
     try {
-      spark.read.parquet(path).select("item_id", "fingerprint", "updated_at")
+      // Explicit schema so an EMPTY bootstrapped table (no partition
+      // dirs to infer from) loads as empty state rather than throwing
+      // into the catch.
+      spark.read.schema(schema.add(StructField("bucket", IntegerType)))
+        .parquet(path)
+        .select("item_id", "fingerprint", "updated_at")
     } catch {
       case _: Throwable =>
         spark.createDataFrame(
@@ -200,11 +205,20 @@ object StateStore {
                      fpCol: String = "fingerprint"): Unit =
     Sink.lockFor(path).synchronized {
       require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+      // The batch is PINNED (eager localCheckpoint) before anything else:
+      // the touched-bucket collect and the final write are separate
+      // actions, and a nondeterministic updates lineage (a sample, a live
+      // view) re-evaluated between them could emit a bucket the survivor
+      // fetch never saw — dynamic overwrite would then replace that
+      // bucket with the batch rows alone, deleting its surviving state.
+      // Checkpointing makes both actions read the same materialized batch
+      // (also why current_timestamp here is consistent across actions).
       val newRows = updates.select(
           col(idCol).cast("string").as("item_id"),
           col(fpCol).cast("string").as("fingerprint"),
           current_timestamp().as("updated_at"))
         .withColumn("bucket", stateBucket(col("item_id"), numBuckets))
+        .localCheckpoint(true)
       // Touched buckets: bounded by numBuckets, so the collect is
       // driver-safe by construction.
       val touched = newRows.select("bucket").distinct()
@@ -226,9 +240,15 @@ object StateStore {
         val exists = fsPath
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(fsPath)
+        // Explicit schema (public schema + the bucket partition column):
+        // a legitimately EMPTY bootstrapped table (_SUCCESS only, no
+        // partition dirs) has nothing to infer from and would otherwise
+        // throw on every subsequent upsert — the load() discipline.
         val survivors =
           if (!exists) None
-          else Some(spark.read.parquet(path)
+          else Some(spark.read
+            .schema(schema.add(StructField("bucket", IntegerType)))
+            .parquet(path)
             .filter(col("bucket").isin(touched: _*))
             .join(newRows.select("item_id"), Seq("item_id"), "left_anti")
             .select(col("item_id"), col("fingerprint"), col("updated_at"),

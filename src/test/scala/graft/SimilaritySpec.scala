@@ -516,7 +516,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Map("sq8" -> 4.0, "jl_16" -> 4.0, "truncate_16" -> 4.0,
         "binary_rerank" -> 32.0, "ivf_pq_m4" -> 64.0,
         "ivf_pq_m4_rerank" -> 64.0))
-    assertGuardTrips("jlRecall.corpus") {
+    // Both sides exceed the bound and AQE materializes their guard
+    // stages in parallel — whichever trips first wins, so assert the
+    // family, not a specific side.
+    assertGuardTrips("jlRecall") {
       Similarity.jlRecall(queries, corpus, k = 1, maxExactRows = 2).collect()
     }
   }
