@@ -939,14 +939,7 @@ object Similarity {
       .select(col("qid"), col("id").as("__eid"))
     val approx = hammingTopKBlocked(queries, corpus, k, idCol, wordsCol, bandBits)
       .select(col("qid"), col("id"))
-    exact
-      .join(approx.withColumn("__hit", lit(1L)),
-        exact("qid") === approx("qid") && col("__eid") === approx("id"),
-        "left")
-      .groupBy(exact("qid"))
-      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+    recallJoin(exact, approx, k, roundDp)
   }
 
   /** Mutual k-nearest-neighbor pairs: `(a, b)` where each is in the
@@ -1090,14 +1083,7 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id").as("__eid"))
-    exact
-      .join(approx.withColumn("__hit", lit(1L)),
-        exact("qid") === approx("qid") && col("__eid") === approx("id"),
-        "left")
-      .groupBy(exact("qid"))
-      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+    recallJoin(exact, approx, k, roundDp)
   }
 
   /** Dimension-truncation audit (the Matryoshka-representation serving
@@ -1159,14 +1145,7 @@ object Similarity {
       graft.plans.CosineSimilarityExpr.cosine(
         slice(col("__qv"), 1, dim), slice(col("__cv"), 1, dim)),
       "id")
-    exact
-      .join(approx.withColumn("__hit", lit(1L)),
-        exact("qid") === approx("qid") && col("__eid") === approx("id"),
-        "left")
-      .groupBy(exact("qid"))
-      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+    recallJoin(exact, approx, k, roundDp)
   }
 
   /** Int8 symmetric scalar quantization (SQ8 — the vector-database
@@ -1239,14 +1218,7 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id"))
-    exact
-      .join(approx.withColumn("__hit", lit(1L)),
-        exact("qid") === approx("qid") && col("__eid") === approx("id"),
-        "left")
-      .groupBy(exact("qid"))
-      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+    recallJoin(exact, approx, k, roundDp)
   }
 
   /** Recall audit for the COMPOSED [[ivfPqTopK]] path — the index shape a
@@ -1386,6 +1358,19 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id").as("__eid"))
+    recallJoin(exact, approx, k, roundDp)
+  }
+
+  /** The shared recall-audit tail: exact top-k rows `(qid, __eid)` LEFT
+    * joined against approximate picks `(qid, id)` (left join so a query
+    * with zero approximate hits still reports recall 0), per-query hit
+    * count, and one exact integer division rounded at `roundDp`. Every
+    * recall audit (`hamming_rerank_recall` / `truncation_recall` /
+    * `sq8_recall` / `jl_recall` / `ivf_pq_*` / `hamming_banded_recall`)
+    * ends here, so the contract is stated once.
+    */
+  private def recallJoin(exact: DataFrame, approx: DataFrame, k: Int,
+                         roundDp: Int): DataFrame =
     exact
       .join(approx.withColumn("__hit", lit(1L)),
         exact("qid") === approx("qid") && col("__eid") === approx("id"),
@@ -1394,7 +1379,6 @@ object Similarity {
       .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .select(col("qid"), col("n_hit"),
         round(col("n_hit").cast("double") / k, roundDp).as("recall"))
-  }
 
   /** Upper bound on a recall-audit query panel (see [[ivfPqRecall]]): the
     * panel is collected to the driver and each query becomes its own plan
@@ -1444,14 +1428,7 @@ object Similarity {
     val approx = topIds(
       graft.functions.VectorFunctions.cosineSimilarity(col("__qp"), col("__cp")),
       "id")
-    exact
-      .join(approx.withColumn("__hit", lit(1L)),
-        exact("qid") === approx("qid") && col("__eid") === approx("id"),
-        "left")
-      .groupBy(exact("qid"))
-      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+    recallJoin(exact, approx, k, roundDp)
   }
 
   /** The compression DECISION TABLE — the dataset-card artifact the five
