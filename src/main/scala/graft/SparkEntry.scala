@@ -3405,6 +3405,21 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash_hi"), col("dhash_lo"))
     }),
 
+    "image_resize" -> ((s, dir) => {
+      // Real pixel-level resize through the real decode path
+      // (Multimodal.imageResizeFrame scaladoc): the 9x8 synthetic BMPs
+      // resample to a 4x4 luminance grid via the dHash center-sample
+      // nearest-neighbor mapping — the oracle recomputes every output
+      // pixel analytically from the BMP pixel formula, so the gate fails
+      // if decode, mapping, clamping, or the luminance integerization
+      // drifts.
+      val mk = udf((id: Long) => Multimodal.syntheticBmp(id, 9, 8))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.imageResizeFrame(media, outW = 4, outH = 4)
+        .select(col("media_id").as("doc_id"), col("x"), col("y"), col("lum"))
+    }),
+
     "audio_fingerprint" -> ((s, dir) => {
       // The audio twin of image_dhash: a REAL 16-bit PCM WAV generated per
       // doc (2080 samples = 65 windows x 32), decoded by real
@@ -9389,6 +9404,20 @@ object SparkEntry {
         | CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
         | CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // Analytic replay of the 9x8 -> 4x4 nearest-neighbor resize: source
+    // pixel sx = floor((2*gx+1)*9/8) clamped to 8, sy = 2*gy+1; gray
+    // pixels make the Rec.601 luminance the pixel value itself.
+    "image_resize" ->
+      """WITH g AS (SELECT doc_id, y, x
+        | FROM documents, range(0, 4) t1(y), range(0, 4) t2(x)),
+        |px AS (SELECT doc_id, x, y,
+        |  LEAST(((2 * x + 1) * 9) // 8, 8) AS sx,
+        |  LEAST(((2 * y + 1) * 8) // 8, 7) AS sy
+        | FROM g)
+        |SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        | CAST((doc_id * 7 + sx * 13 + sy * 31) % 256 AS BIGINT) AS lum
+        |FROM px""".stripMargin,
 
     // Integer replay of the WAV probe: bit k compares window k's and
     // k+1's integer sums of a(i)^2, a(i) = (doc_id*7 + i*13) % 2001 - 1000

@@ -435,6 +435,46 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL pixel-level image resize — the mandate's `resize` verb on the
+    * real decode path (where [[resizeFeatures]] resizes a stub-decoded
+    * feature grid, this decodes actual image bytes via javax.imageio and
+    * resamples actual pixels): center-sample nearest-neighbor to an
+    * `outW x outH` grid with exactly [[dHashBits]]'s mapping
+    * (`sx = floor((gx + 0.5) * w / outW)`, clamped) and its integer
+    * Rec.601 luminance, emitted EXPLODED to one row per output pixel
+    * `(media_id, x, y, lum)` — the scalar shape a tiling model or
+    * downstream feature join reads, and the shape the analytic oracle
+    * replays on the synthetic BMP pattern. Undecodable payloads drop
+    * (the [[imageDHashFrame]] convention). Narrow map + posexplode — at
+    * 100 TB this is a scan; output is `outW*outH` rows per image.
+    */
+  def imageResizeFrame(media: DataFrame, outW: Int = 4,
+                       outH: Int = 4): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"need outW, outH >= 1, got ($outW, $outH)")
+    val u = udf((payload: Array[Byte]) =>
+      decodeImage(payload).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        (0 until outH).flatMap { gy =>
+          (0 until outW).map { gx =>
+            val sx = math.min(w - 1, ((gx + 0.5) * w / outW).toInt)
+            val sy = math.min(h - 1, ((gy + 0.5) * h / outH).toInt)
+            val rgb = img.getRGB(sx, sy)
+            (30 * ((rgb >> 16) & 0xff) + 59 * ((rgb >> 8) & 0xff) +
+              11 * (rgb & 0xff)) / 100
+          }
+        }
+      })
+    Partitioning.ensureParallelism(media)
+      .select(col("media_id"), u(col("payload")).as("__px"))
+      .filter(col("__px").isNotNull)
+      .select(col("media_id"), posexplode(col("__px")).as(Seq("__i", "lum")))
+      .select(col("media_id"),
+        (col("__i") % outW).cast("long").as("x"),
+        (col("__i") / outW).cast("long").as("y"),
+        col("lum").cast("long").as("lum"))
+  }
+
   /** Resize shape for image-like payloads: downsample a decoded feature
     * grid to `outDim` cells by box-averaging — the per-row transform a real
     * `resize(w, h)` uses (decode -> pixel grid -> interpolate), with the

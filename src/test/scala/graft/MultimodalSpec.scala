@@ -157,6 +157,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert((hi, lo) == ((expHi, expLo)))
   }
 
+  test("imageResizeFrame: identity at native size; 9x8 -> 4x4 matches the " +
+      "center-sample analytic grid; undecodable drops") {
+    import spark.implicits._
+    val seed = 3L
+    def v(x: Int, y: Int): Long = (seed * 7 + x * 13 + y * 31) % 256
+    val media = Seq(
+      (1L, Multimodal.syntheticBmp(seed, 9, 8)),
+      (2L, Multimodal.syntheticBmp(seed, 4, 4)),
+      (3L, Array[Byte](1, 2, 3))) // not an image -> dropped
+      .toDF("media_id", "payload")
+    val got = Multimodal.imageResizeFrame(media, 4, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got.size == 32, got.toString) // 2 decodable images x 16 pixels
+    // Identity: a 4x4 source samples its own pixels (sx = gx, sy = gy).
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(got((2L, x.toLong, y.toLong)) == v(x, y), s"identity ($x,$y)")
+    // 9x8 -> 4x4: sx = floor((gx + 0.5) * 9 / 4) = {1,3,5,7},
+    // sy = 2*gy + 1 — the dHash center-sample mapping.
+    val sxs = Seq(1, 3, 5, 7)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(got((1L, x.toLong, y.toLong)) == v(sxs(x), 2 * y + 1),
+        s"resample ($x,$y)")
+  }
+
   test("dHash is invariant under 2x pixel-replication upscaling") {
     // An 18x16 image that replicates each 9x8 pattern pixel 2x2 samples
     // back to the identical grid -> identical hash (the scale-robustness
