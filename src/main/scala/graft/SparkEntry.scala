@@ -3434,6 +3434,18 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("afp_hi"), col("afp_lo"))
     }),
 
+    "audio_resample" -> ((s, dir) => {
+      // Real audio downsample through the real decode path
+      // (Multimodal.audioResampleFrame scaladoc): the 2080-sample WAVs
+      // box-average 32:1 to 65 integer levels — the oracle replays every
+      // level as an exact integer window sum with floor division.
+      val mk = udf((id: Long) => Multimodal.syntheticWav(id, 2080))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.audioResampleFrame(media, factor = 32)
+        .select(col("media_id").as("doc_id"), col("j"), col("level"))
+    }),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"),
@@ -9435,6 +9447,16 @@ object SparkEntry {
         | CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
         | CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS afp_lo
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // Integer replay of the 32:1 box downsample: level(j) = floor-div of
+    // the window's raw-sample sum, a(i) = (doc_id*7 + i*13) % 2001 - 1000.
+    "audio_resample" ->
+      """WITH s AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  (doc_id * 7 + i * 13) % 2001 - 1000 AS a
+        | FROM documents, range(0, 2080) t(i))
+        |SELECT doc_id, i // 32 AS j,
+        | CAST(floor(sum(a) / 32.0) AS BIGINT) AS level
+        |FROM s GROUP BY doc_id, i // 32""".stripMargin,
 
     "multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,

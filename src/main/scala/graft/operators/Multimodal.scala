@@ -355,6 +355,44 @@ object Multimodal {
     b.array()
   }
 
+  /** REAL audio downsample — the `resize` verb for sound on the real
+    * javax.sound decode path: box-average every `factor` consecutive
+    * decoded samples into one output level, i.e. an integer-rate
+    * decimation WITH the crude box low-pass (a production resampler uses
+    * windowed-sinc polyphase; the box mean is the deterministic,
+    * oracle-replayable stand-in with the same contract — rate cut,
+    * window alignment, bounded levels). Arithmetic is exact end to end:
+    * 16-bit PCM decodes to `s / 32768` dyadic floats, so
+    * `round(v * 32768)` recovers the integer sample and each output is
+    * `floorDiv(window sum, factor)` — pure integer. Emits one row per
+    * output sample `(media_id, j, level)`; trailing samples past the
+    * last full window drop (the [[audioEnvelopeBits]] convention);
+    * undecodable payloads drop. Narrow map + posexplode.
+    */
+  def audioResampleFrame(media: DataFrame, factor: Int = 32): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val u = udf((payload: Array[Byte]) =>
+      decodeAudio(payload).map { case (samples, _) =>
+        val n = samples.length / factor
+        (0 until n).map { j =>
+          var acc = 0L
+          var i = j * factor
+          val until = i + factor
+          while (i < until) {
+            acc += math.round(samples(i) * 32768.0)
+            i += 1
+          }
+          Math.floorDiv(acc, factor.toLong)
+        }
+      })
+    Partitioning.ensureParallelism(media)
+      .select(col("media_id"), u(col("payload")).as("__lv"))
+      .filter(col("__lv").isNotNull)
+      .select(col("media_id"), posexplode(col("__lv")).as(Seq("__j", "level")))
+      .select(col("media_id"), col("__j").cast("long").as("j"),
+        col("level"))
+  }
+
   /** Sample-derived features for decoded audio: `dim`-window RMS energy
     * envelope, L2-normalized — real samples in, not a byte-stub.
     */

@@ -183,6 +183,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
         s"resample ($x,$y)")
   }
 
+  test("audioResampleFrame: real WAV decode, exact integer box levels, " +
+      "floor division on negative windows, trailing tail drops") {
+    import spark.implicits._
+    val seed = 2L
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(seed, 70)), // 70 samples, factor 32 -> 2 windows, 6-sample tail drops
+      (2L, Array[Byte](1, 2, 3))) // not audio -> dropped
+      .toDF("media_id", "payload")
+    val got = Multimodal.audioResampleFrame(media, factor = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 2, got.toString)
+    def a(i: Int): Long = (seed * 7 + i * 13) % 2001 - 1000
+    for (j <- 0 until 2) {
+      val sum = (j * 32 until j * 32 + 32).map(a).sum
+      assert(got((1L, j.toLong)) == Math.floorDiv(sum, 32L), s"window $j")
+    }
+  }
+
   test("dHash is invariant under 2x pixel-replication upscaling") {
     // An 18x16 image that replicates each 9x8 pattern pixel 2x2 samples
     // back to the identical grid -> identical hash (the scale-robustness
