@@ -88,6 +88,35 @@ object Streaming {
     (if (continuous) writer else writer.trigger(Trigger.AvailableNow())).start()
   }
 
+  /** Streaming maintenance of the BUCKETED fingerprint state table
+    * ([[graft.operators.StateStore.upsertBucketed]]): every micro-batch
+    * merges its `(item_id, fingerprint)` rows into the state at `statePath`,
+    * rewriting only the touched bucket directories — the incremental-state
+    * write path composed with the real streaming engine. Checkpointing
+    * gives each batch at-least-once delivery; the upsert is idempotent
+    * (newest fingerprint per id), so replays after a checkpoint reset
+    * converge to the same state, the [[ingestUpsert]] argument.
+    *
+    * `stream` must expose `idCol` and `fpCol`. Scale shape: per batch the
+    * write cost is O(|batch| · (1 + |state|/numBuckets)) — the state table
+    * never fully rewrites, so a long-running ingest over a 10⁹-item state
+    * pays for its batches, not its history.
+    */
+  def stateUpsertSink(stream: DataFrame, statePath: String,
+                      checkpointDir: String,
+                      idCol: String = "item_id",
+                      fpCol: String = "fingerprint",
+                      numBuckets: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.StateStore.upsertBucketed(
+            batch.sparkSession, statePath, batch, numBuckets, idCol, fpCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked sliding/tumbling-window aggregation over an event stream
     * (`events` table shape: ts, event_type, value). Late events beyond
     * `watermarkDelay` are dropped; state is bounded.

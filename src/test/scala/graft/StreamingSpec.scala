@@ -77,6 +77,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"stale chunks for a.txt: ${aTexts.mkString("; ")}")
   }
 
+  test("stateUpsertSink: streaming batches maintain the bucketed state " +
+      "table incrementally; a second run merges, not rewrites") {
+    val root = tempDir("graft-stream-state")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val statePath = root.resolve("state").toString
+    def stream() = spark.readStream
+      .format("text").option("wholetext", "true").load(in.toString)
+      .select(org.apache.spark.sql.functions.input_file_name().as("item_id"),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("value"), 256).as("fingerprint"))
+    Files.writeString(in.resolve("a.txt"), "doc a v1")
+    Files.writeString(in.resolve("b.txt"), "doc b v1")
+    val q1 = Streaming.stateUpsertSink(stream(), statePath,
+      root.resolve("ckpt1").toString, numBuckets = 8)
+    q1.awaitTermination()
+    val s1 = graft.operators.StateStore.loadBucketed(spark, statePath)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s1.size == 2 && s1.keys.forall(_.nonEmpty))
+    // Second run from a fresh checkpoint with one changed + one new file:
+    // changed id's fingerprint is replaced, unchanged id survives, new id
+    // appends — upsert semantics through the streaming engine.
+    Files.writeString(in.resolve("a.txt"), "doc a v2")
+    Files.writeString(in.resolve("c.txt"), "doc c v1")
+    val q2 = Streaming.stateUpsertSink(stream(), statePath,
+      root.resolve("ckpt2").toString, numBuckets = 8)
+    q2.awaitTermination()
+    val s2 = graft.operators.StateStore.loadBucketed(spark, statePath)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s2.size == 3, s2.keys.toString)
+    val aKey = s2.keys.find(_.endsWith("a.txt")).get
+    val bKey = s2.keys.find(_.endsWith("b.txt")).get
+    assert(s2(aKey) != s1(aKey), "changed file must get a new fingerprint")
+    assert(s2(bKey) == s1(bKey), "unchanged file's fingerprint survives")
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
