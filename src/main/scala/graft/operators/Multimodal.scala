@@ -371,6 +371,7 @@ object Multimodal {
     */
   def audioResampleFrame(media: DataFrame, factor: Int = 32): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // Optimizer fence against decode duplication — see [[imageResizeFrame]].
     val u = udf((payload: Array[Byte]) =>
       decodeAudio(payload).map { case (samples, _) =>
         val n = samples.length / factor
@@ -384,7 +385,7 @@ object Multimodal {
           }
           Math.floorDiv(acc, factor.toLong)
         }
-      })
+      }).asNondeterministic()
     Partitioning.ensureParallelism(media)
       .select(col("media_id"), u(col("payload")).as("__lv"))
       .filter(col("__lv").isNotNull)
@@ -489,6 +490,11 @@ object Multimodal {
   def imageResizeFrame(media: DataFrame, outW: Int = 4,
                        outH: Int = 4): DataFrame = {
     require(outW >= 1 && outH >= 1, s"need outW, outH >= 1, got ($outW, $outH)")
+    // asNondeterministic is an OPTIMIZER FENCE, not a semantics claim:
+    // without it, project collapse plus the null filter duplicate the
+    // decode UDF 2-3x per row and push one copy below the repartition
+    // (measured in the committed bench plans) — the fence pins exactly
+    // one decode per row, after ensureParallelism.
     val u = udf((payload: Array[Byte]) =>
       decodeImage(payload).map { img =>
         val w = img.getWidth
@@ -502,7 +508,7 @@ object Multimodal {
               11 * (rgb & 0xff)) / 100
           }
         }
-      })
+      }).asNondeterministic()
     Partitioning.ensureParallelism(media)
       .select(col("media_id"), u(col("payload")).as("__px"))
       .filter(col("__px").isNotNull)

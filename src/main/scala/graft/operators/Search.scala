@@ -553,10 +553,12 @@ object Search {
     // rows' term lists — a lossy prefilter for whichever query doesn't
     // contain it — and the output would merge distinct term lists under
     // one id (r11 advice). Detected in-flight with a registry-sized count
-    // window, applied ONLY on the rarest-term branch: `reg` feeds three
-    // plan branches and the rarest branch is always evaluated, so the
-    // guard fires exactly once per action instead of re-shuffling the
-    // registry once per reference.
+    // window, applied ONLY on the FINAL left-join reference: `reg` feeds
+    // three plan branches, and this is the one branch no optimization can
+    // skip — it is the preserved (left) side of the output join, one row
+    // per stored query, whereas the rarest/verify branches can be pruned
+    // entirely by AQE empty-relation propagation when the corpus or its
+    // postings are empty. One guard evaluation per action, guaranteed.
     val regChecked = reg
       .withColumn("__qn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__qid"))))
@@ -574,8 +576,7 @@ object Search {
       else docs0
     val postings = docs.select(col("__doc"), explode(col("__set")).as("__tok"))
     val dfreq = postings.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
-    val rarest = regChecked
-      .select(col("__qid"), explode(col("__terms")).as("__tok"))
+    val rarest = reg.select(col("__qid"), explode(col("__terms")).as("__tok"))
       .join(dfreq, Seq("__tok"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__rn", row_number().over(
@@ -593,7 +594,7 @@ object Search {
       .join(docs, "__doc")
       .filter(forall(col("__terms"), t => array_contains(col("__set"), t)))
       .groupBy(col("__qid")).agg(count(lit(1)).as("__n"))
-    reg.join(matched, Seq("__qid"), "left")
+    regChecked.join(matched, Seq("__qid"), "left")
       .select(col("__qid").as("query_id"), col("query_terms"),
         coalesce(col("__n"), lit(0L)).as("n_matches"))
   }

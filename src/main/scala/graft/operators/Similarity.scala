@@ -1314,7 +1314,11 @@ object Similarity {
     // The encoded frame is referenced once per panel branch — persist it
     // so the corpus is normalized + PQ-encoded once per action instead of
     // once per query (the UDF re-scan would otherwise dwarf the shared
-    // training).
+    // training). CACHE LIFETIME: the block outlives this call (the lazy
+    // result still references it) — repeated audits in a long-lived
+    // session should `spark.catalog.clearCache()` between corpora, the
+    // percolateIndexed persistDocs contract. Idempotent when `prebuilt`
+    // is shared across arms (second persist is a no-op).
     val encoded = encoded0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adcK = rerankShortlist.getOrElse(k)
@@ -1465,7 +1469,11 @@ object Similarity {
     // sq8 is fp32->int8 (4x), 1-bit is fp32->1 bit (32x), IVF-PQ stores
     // m byte codes per vector (dim*4 bytes -> m bytes).
     val dim = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(size(col(vecCol))).head().getInt(0)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft.compressionTradeoff: corpus has no non-empty vectors to " +
+          "derive the memory ratios from"))
     def summarize(axis: String, ratio: Double, rec: DataFrame): DataFrame =
       rec.groupBy()
         .agg(count(lit(1)).as("n_queries"),

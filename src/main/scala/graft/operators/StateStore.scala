@@ -171,12 +171,15 @@ object StateStore {
     */
   def loadBucketed(spark: SparkSession, path: String): DataFrame =
     try {
-      // Explicit schema so an EMPTY bootstrapped table (no partition
-      // dirs to infer from) loads as empty state rather than throwing
-      // into the catch.
-      spark.read.schema(schema.add(StructField("bucket", IntegerType)))
-        .parquet(path)
-        .select("item_id", "fingerprint", "updated_at")
+      // Schema INFERENCE on purpose (unlike [[upsertBucketed]]'s
+      // explicit-schema survivors read): inference reads footers eagerly
+      // inside this try, so missing, EMPTY-bootstrapped, and corrupt
+      // tables all land in the catch and load as fresh empty state — the
+      // read-path corrupt->fresh contract. An explicit schema would defer
+      // corruption to first action, crashing the pipeline instead of
+      // recovering. The write path wants the opposite (fail loudly, never
+      // silently drop survivors), which is why upsertBucketed differs.
+      spark.read.parquet(path).select("item_id", "fingerprint", "updated_at")
     } catch {
       case _: Throwable =>
         spark.createDataFrame(

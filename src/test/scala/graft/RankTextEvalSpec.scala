@@ -141,6 +141,18 @@ class RankTextEvalSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(msgs(exDup).exists(_.contains("duplicate stored")),
       msgs(exDup).mkString("|"))
+    // ... and the guard must fire even when the CORPUS is empty: AQE's
+    // empty-relation propagation prunes the postings/verify branches
+    // entirely, so the check lives on the preserved side of the output
+    // join, the one branch that always evaluates.
+    val exDupEmpty = intercept[Exception] {
+      Search.percolateIndexed(
+        df.filter(org.apache.spark.sql.functions.lit(false)), "text", "doc_id",
+        Seq(("q1", Seq("join")), ("q1", Seq("key")))
+          .toDF("query_id", "terms")).collect()
+    }
+    assert(msgs(exDupEmpty).exists(_.contains("duplicate stored")),
+      msgs(exDupEmpty).mkString("|"))
   }
 
   test("autocompleteIndex: per-prefix top-k by frequency, tie by token") {
