@@ -2676,6 +2676,13 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langIdFrame(t(s, dir, "documents"), "text", "doc_id")),
 
+    "dataset_card" -> ((s, dir) =>
+      // The publishable corpus summary (Profile.datasetCard scaladoc):
+      // size/emptiness/volume counts, exact-text dup rate, language
+      // shares, mean quality — one (metric, value) row each, every value
+      // composed from oracle-proven kernels.
+      Profile.datasetCard(t(s, dir, "documents"))),
+
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFrame(t(s, dir, "documents"), "text", "doc_id")),
 
@@ -8231,6 +8238,64 @@ object SparkEntry {
          |  $caseArms
          |  ELSE 'unknown' END AS predicted_lang
          |FROM h""".stripMargin
+    },
+
+    // Profile.datasetCard replay: the quality CTEs (shared with
+    // quality_score), the lang_id pick chain under lt/lh names, exact
+    // count aggregates, DECIMAL-summed quality mean, and the fixed
+    // language-share rows.
+    "dataset_card" -> {
+      val markers = TextAnalysis.LangMarkers
+      val hitCols = markers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($list))) AS hits_$lang"
+      }.mkString(",\n  ")
+      val langs = markers.map(_._1)
+      val greatestExpr = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+      val caseArms = langs.map(l => s"WHEN hits_$l = $greatestExpr THEN '$l'")
+        .mkString("\n  ")
+      val langVals = (langs :+ "unknown").map(l => s"('$l')").mkString(", ")
+      s"""WITH $qualitySqlCtes,
+         |lt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |lh AS (SELECT doc_id,
+         |  $hitCols
+         | FROM lt),
+         |pick AS (SELECT doc_id, CASE WHEN $greatestExpr = 0 THEN 'unknown'
+         |  $caseArms
+         |  ELSE 'unknown' END AS predicted_lang FROM lh),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
+         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL
+         |    THEN len($toksSql) ELSE 0 END), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL
+         |    THEN len(text) ELSE 0 END), 0) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_nonnull
+         | FROM documents),
+         |qagg AS (SELECT
+         |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS qsum,
+         |  CAST(count(quality) AS BIGINT) AS qn FROM qscore),
+         |lc AS (SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n
+         | FROM pick GROUP BY 1)
+         |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+         |UNION ALL SELECT 'n_empty_docs', CAST(n_empty AS DOUBLE) FROM base
+         |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+         |UNION ALL SELECT 'mean_doc_tokens', CASE WHEN n_docs > 0
+         |  THEN round(CAST(n_tokens AS DOUBLE) / n_docs, 6) END FROM base
+         |UNION ALL SELECT 'mean_doc_chars', CASE WHEN n_docs > 0
+         |  THEN round(CAST(n_chars AS DOUBLE) / n_docs, 6) END FROM base
+         |UNION ALL SELECT 'exact_text_dup_rate', CASE WHEN n_nonnull > 0
+         |  THEN round(CAST(n_nonnull - n_distinct AS DOUBLE) / n_nonnull, 6)
+         |  END FROM base
+         |UNION ALL SELECT 'mean_quality', CASE WHEN qn > 0
+         |  THEN round(qsum / qn, 6) END FROM base CROSS JOIN qagg
+         |UNION ALL SELECT 'lang_share_' || l.l,
+         |  CASE WHEN b.n_docs > 0
+         |   THEN round(CAST(coalesce(c.n, 0) AS DOUBLE) / b.n_docs, 6) END
+         | FROM (VALUES $langVals) l(l)
+         |  LEFT JOIN lc c ON c.predicted_lang = l.l CROSS JOIN base b""".stripMargin
     },
 
     "quality_score" -> {

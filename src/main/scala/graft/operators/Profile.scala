@@ -759,4 +759,78 @@ object Profile {
           col("expected"), roundDp))
       .select(col("digit"), col("n"), col("expected"), col("chi2_term"))
   }
+
+  /** DATASET CARD — the publishable corpus summary (Datasheets for
+    * Datasets, Gebru et al. 2021) a training-data release ships with,
+    * composed entirely from this library's oracle-proven kernels: size
+    * and emptiness counts, token/char volume, the exact-text duplication
+    * rate, language shares over [[TextAnalysis.langIdFrame]]'s fixed
+    * marker set (one row per language plus `unknown`, so the row COUNT is
+    * deterministic), and the mean [[TextAnalysis.qualityScore]]. One row
+    * per metric: `(metric, value)`.
+    *
+    * Determinism: counts are exact longs; every mean divides exact
+    * integers once; the quality mean DECIMAL-sums the per-doc 6-dp scores
+    * before one double division (order-free — the `negative_sampling`
+    * normalizer discipline). Degenerate corpora stay honest: ratios over
+    * an empty corpus are null, never NaN.
+    *
+    * Scale shape: two single-pass global aggregates (corpus scan +
+    * quality scan), one language groupBy whose key cardinality is the
+    * fixed marker-set size, and a 6-row static join — nothing here grows
+    * with the corpus except the scans.
+    */
+  def datasetCard(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", roundDp: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = col(textCol)
+    val isBlank = t.isNull || length(trim(t)) === 0
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(isBlank, 1L).otherwise(0L)), lit(0L)).as("n_empty"),
+      coalesce(sum(when(t.isNotNull,
+        size(TextAnalysis.toks(t)).cast("long")).otherwise(0L)), lit(0L))
+        .as("n_tokens"),
+      coalesce(sum(when(t.isNotNull, length(t).cast("long")).otherwise(0L)),
+        lit(0L)).as("n_chars"),
+      count_distinct(t).as("n_distinct"),
+      coalesce(sum(when(t.isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_nonnull"))
+    val qagg = TextAnalysis.qualityFrame(docs, textCol, idCol)
+      .agg(sum(col("quality").cast("decimal(18,6)")).cast("double")
+          .as("__qsum"),
+        count(col("quality")).as("__qn"))
+    val langCounts = TextAnalysis.langIdFrame(docs, textCol, idCol)
+      .groupBy(col("predicted_lang")).agg(count(lit(1)).as("__n"))
+    val langNames = TextAnalysis.LangMarkers.map(_._1) :+ "unknown"
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, roundDp))
+    val langRows = langNames.toDF("predicted_lang")
+      .join(langCounts, Seq("predicted_lang"), "left")
+      .crossJoin(broadcast(base.select(col("n_docs").as("__nd"))))
+      .select(concat(lit("lang_share_"), col("predicted_lang")).as("metric"),
+        ratio(coalesce(col("__n"), lit(0L)), col("__nd")).as("value"))
+    val scalars = base.crossJoin(qagg)
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"),
+          col("n_docs").cast("double").as("value")),
+        struct(lit("n_empty_docs").as("metric"),
+          col("n_empty").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"),
+          col("n_tokens").cast("double").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          ratio(col("n_tokens"), col("n_docs")).as("value")),
+        struct(lit("mean_doc_chars").as("metric"),
+          ratio(col("n_chars"), col("n_docs")).as("value")),
+        struct(lit("exact_text_dup_rate").as("metric"),
+          ratio(col("n_nonnull") - col("n_distinct"),
+            col("n_nonnull")).as("value")),
+        struct(lit("mean_quality").as("metric"),
+          when(col("__qn") > 0,
+            round(col("__qsum") / col("__qn"), roundDp)).as("value"))
+      )).as("__m"))
+      .select(col("__m.metric").as("metric"), col("__m.value").as("value"))
+    scalars.unionByName(langRows)
+  }
 }

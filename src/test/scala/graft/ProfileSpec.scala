@@ -339,6 +339,39 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       ("org.example.c", 3L) -> 1L))
   }
 
+  test("datasetCard: exact counts, dup rate over non-null texts, fixed " +
+      "language rows, null-safe degenerate ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog"),      // en
+      (2L, "the cat and the dog"),      // exact dup of 1
+      (3L, "der hund und die katze"),   // de
+      (4L, "   "),                      // blank (counted, tokens 0)
+      (5L, null.asInstanceOf[String]))  // null text
+      .toDF("doc_id", "text")
+    val card = Profile.datasetCard(docs)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(card.size == 13, card.keys.toString) // 7 scalars + 6 languages
+    assert(card("n_docs") == Some(5.0))
+    assert(card("n_empty_docs") == Some(2.0)) // blank + null
+    assert(card("n_tokens") == Some(5 + 5 + 5 + 0.0))
+    assert(card("exact_text_dup_rate") == Some(0.25)) // 4 non-null, 3 distinct
+    assert(card("lang_share_en") == Some(0.4))
+    assert(card("lang_share_de") == Some(0.2))
+    assert(card("lang_share_unknown") == Some(0.4)) // blank + null
+    assert(card("lang_share_zh") == Some(0.0))
+    // Empty corpus: counts 0, every ratio NULL (never NaN).
+    val empty = Profile.datasetCard(docs.filter($"doc_id" < 0))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(empty("n_docs") == Some(0.0))
+    assert(empty("mean_doc_tokens").isEmpty)
+    assert(empty("exact_text_dup_rate").isEmpty)
+    assert(empty("mean_quality").isEmpty)
+    assert(empty("lang_share_en").isEmpty)
+  }
+
   test("chiSquareIndependence: hand 2x2 table, totals, dof") {
     // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; N=80.
     // row x=40, col p=40 -> e=20 everywhere; term=(10)^2/20=5 -> chi2=20.
