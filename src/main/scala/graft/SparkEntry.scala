@@ -4576,6 +4576,32 @@ object SparkEntry {
        | FROM tf JOIN rawc USING (f) LEFT JOIN tgtc USING (f) CROSS JOIN tot
        | GROUP BY 1)""".stripMargin
 
+  /** Shared language-pick replay (TextAnalysis.langId): CTEs
+    * `<p>lt(doc_id, toks)`, `<p>lh(doc_id, hits_*)`, and
+    * `<p>pick(doc_id, predicted_lang)` — used by BOTH the lang_id and
+    * dataset_card oracles, so the marker list / tie-break / unknown
+    * handling is edited in exactly one place (the qualitySqlCtes
+    * precedent).
+    */
+  private def langPickCtes(p: String): String = {
+    val markers = TextAnalysis.LangMarkers
+    val hitCols = markers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($list))) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val greatestExpr = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN hits_$l = $greatestExpr THEN '$l'")
+      .mkString("\n  ")
+    s"""${p}lt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |${p}lh AS (SELECT doc_id,
+       |  $hitCols
+       | FROM ${p}lt),
+       |${p}pick AS (SELECT doc_id, CASE WHEN $greatestExpr = 0 THEN 'unknown'
+       |  $caseArms
+       |  ELSE 'unknown' END AS predicted_lang FROM ${p}lh)""".stripMargin
+  }
+
   private val qualitySqlCtes = {
     val stop = graft.operators.TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")
     s"""qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -8221,23 +8247,11 @@ object SparkEntry {
          |WHERE round(${cosOf("a.embedding", "b.embedding")}, 6) >= 0.2""".stripMargin,
 
     "lang_id" -> {
-      val markers = TextAnalysis.LangMarkers
-      val hitCols = markers.map { case (lang, ms) =>
-        val list = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(toks, x -> x IN ($list))) AS hits_$lang"
-      }.mkString(",\n  ")
-      val langs = markers.map(_._1)
-      val greatestExpr = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
-      val caseArms = langs.map(l => s"WHEN hits_$l = $greatestExpr THEN '$l'").mkString("\n  ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |h AS (SELECT doc_id,
-         |  $hitCols
-         | FROM t)
-         |SELECT doc_id, ${langs.map("hits_" + _).mkString(", ")},
-         | CASE WHEN $greatestExpr = 0 THEN 'unknown'
-         |  $caseArms
-         |  ELSE 'unknown' END AS predicted_lang
-         |FROM h""".stripMargin
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      s"""WITH ${langPickCtes("")}
+         |SELECT h.doc_id, ${langs.map("h.hits_" + _).mkString(", ")},
+         | p.predicted_lang
+         |FROM lh h JOIN pick p USING (doc_id)""".stripMargin
     },
 
     // Profile.datasetCard replay: the quality CTEs (shared with
@@ -8245,24 +8259,10 @@ object SparkEntry {
     // count aggregates, DECIMAL-summed quality mean, and the fixed
     // language-share rows.
     "dataset_card" -> {
-      val markers = TextAnalysis.LangMarkers
-      val hitCols = markers.map { case (lang, ms) =>
-        val list = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(toks, x -> x IN ($list))) AS hits_$lang"
-      }.mkString(",\n  ")
-      val langs = markers.map(_._1)
-      val greatestExpr = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
-      val caseArms = langs.map(l => s"WHEN hits_$l = $greatestExpr THEN '$l'")
-        .mkString("\n  ")
-      val langVals = (langs :+ "unknown").map(l => s"('$l')").mkString(", ")
+      val langVals = (TextAnalysis.LangMarkers.map(_._1) :+ "unknown")
+        .map(l => s"('$l')").mkString(", ")
       s"""WITH $qualitySqlCtes,
-         |lt AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |lh AS (SELECT doc_id,
-         |  $hitCols
-         | FROM lt),
-         |pick AS (SELECT doc_id, CASE WHEN $greatestExpr = 0 THEN 'unknown'
-         |  $caseArms
-         |  ELSE 'unknown' END AS predicted_lang FROM lh),
+         |${langPickCtes("")},
          |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(coalesce(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
          |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
@@ -8275,8 +8275,9 @@ object SparkEntry {
          |    0) AS BIGINT) AS n_nonnull
          | FROM documents),
          |qagg AS (SELECT
-         |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS qsum,
-         |  CAST(count(quality) AS BIGINT) AS qn FROM qscore),
+         |  CAST(sum(CAST(s.quality AS DECIMAL(18,6))) AS DOUBLE) AS qsum,
+         |  CAST(count(s.quality) AS BIGINT) AS qn
+         | FROM qscore s JOIN qt USING (doc_id) WHERE qt.text IS NOT NULL),
          |lc AS (SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n
          | FROM pick GROUP BY 1)
          |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base

@@ -794,10 +794,17 @@ object Profile {
         .as("n_tokens"),
       coalesce(sum(when(t.isNotNull, length(t).cast("long")).otherwise(0L)),
         lit(0L)).as("n_chars"),
-      count_distinct(t).as("n_distinct"),
+      countDistinct(t).as("n_distinct"),
       coalesce(sum(when(t.isNotNull, 1L).otherwise(0L)), lit(0L))
         .as("n_nonnull"))
-    val qagg = TextAnalysis.qualityFrame(docs, textCol, idCol)
+    // Quality mean over NON-NULL texts only: a NULL-text doc would score
+    // 0.6 (Spark's least() ignores nulls, granting the full length credit
+    // to contentless rows) and inflate the headline number above real
+    // short documents — while the card's own n_tokens/n_chars treat the
+    // same rows as zero content. Empty STRINGS stay in: they are real
+    // (bad) content and legitimately score low.
+    val qagg = TextAnalysis.qualityFrame(docs.filter(t.isNotNull),
+        textCol, idCol)
       .agg(sum(col("quality").cast("decimal(18,6)")).cast("double")
           .as("__qsum"),
         count(col("quality")).as("__qn"))

@@ -361,6 +361,15 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(card("lang_share_de") == Some(0.2))
     assert(card("lang_share_unknown") == Some(0.4)) // blank + null
     assert(card("lang_share_zh") == Some(0.0))
+    // mean_quality describes CONTENT: null-text docs are excluded (they
+    // would otherwise score 0.6 via least()'s null-skipping and inflate
+    // the headline above real short docs), so the mean is invariant to
+    // adding null rows.
+    val cardNoNull = Profile.datasetCard(docs.filter($"text".isNotNull))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(card("mean_quality") == cardNoNull("mean_quality"),
+      s"${card("mean_quality")} vs ${cardNoNull("mean_quality")}")
     // Empty corpus: counts 0, every ratio NULL (never NaN).
     val empty = Profile.datasetCard(docs.filter($"doc_id" < 0))
       .collect().map(r => r.getString(0) ->
