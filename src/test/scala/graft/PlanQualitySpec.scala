@@ -54,6 +54,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       "q5 dims fell to sort-merge: a shuffle of lineitem per join at scale")
   }
 
+  test("dataset_card: report plan stays bounded — no cross product, " +
+      "partial aggregation before every exchange") {
+    val p = plan("dataset_card")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // The only per-row shuffles are the global aggregates' 1-row merges
+    // and the fixed-cardinality language groupBy — every HashAggregate
+    // must have its map-side partial half.
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "no map-side partial aggregation in the card plan")
+  }
+
   test("q4: EXISTS plans as a left-semi join") {
     val p = plan("q4_order_priority")
     assert(p.contains("LeftSemi"), p.take(800))
