@@ -200,7 +200,7 @@ final class Dashboard(spark: SparkSession, workDir: Path, port: Int = 0) {
     * clients (curl, the e2e spec) send no Origin and a loopback Host and
     * pass untouched.
     */
-  private def foreignOrigin(ex: HttpExchange): Boolean = {
+  private[graft] def foreignOrigin(ex: HttpExchange): Boolean = {
     def isLoopback(h: String): Boolean =
       h == "localhost" || h == "127.0.0.1" || h == "::1"
     def hostOf(hostPort: String): String = {

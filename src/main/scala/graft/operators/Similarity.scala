@@ -1480,8 +1480,12 @@ object Similarity {
           coalesce(sum(col("n_hit")), lit(0L)).as("__hits"))
         .select(lit(axis).as("axis"), lit(ratio).as("memory_ratio"),
           col("n_queries"),
-          round(col("__hits").cast("double") /
-            (col("n_queries") * k), roundDp).as("mean_recall"))
+          // Zero guard (r12 advice): an arm whose recall frame came back
+          // empty (every query filtered) reports NULL, never NaN — the
+          // repo's ratios-null-never-NaN discipline.
+          when(col("n_queries") > 0,
+            round(col("__hits").cast("double") /
+              (col("n_queries") * k), roundDp)).as("mean_recall"))
     val pqM = 4
     summarize("sq8", 4.0,
         sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows))

@@ -41,7 +41,11 @@ object StateStore {
       val df = spark.read.schema(schema).parquet(path)
       df.select("item_id", "fingerprint", "updated_at")
     } catch {
-      case _: Throwable =>
+      // NonFatal only (r12 advice): the corrupt->fresh contract covers
+      // analysis-time failures on a missing/garbled table; fatal errors
+      // (OOM, interrupts) must propagate — a caller that "recovered" from
+      // one would rebuild empty state and overwrite a healthy table.
+      case scala.util.control.NonFatal(_) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
@@ -91,17 +95,35 @@ object StateStore {
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
 
-  /** Merge new fingerprints into the state, keeping the newest per item. */
+  /** Merge new fingerprints into the state, keeping the newest per item.
+    * Duplicate ids WITHIN the batch (one crawl visiting a URL twice) are
+    * collapsed to one row first — a batch carries no intra-batch order, so
+    * the pick is the deterministic `max(fingerprint)` rather than
+    * whichever partition happened to write last.
+    */
   def upsert(state: DataFrame, updates: DataFrame,
              idCol: String = "item_id", fpCol: String = "fingerprint"): DataFrame = {
-    val newRows = updates.select(
-      col(idCol).cast("string").as("item_id"),
-      col(fpCol).cast("string").as("fingerprint"),
-      current_timestamp().as("updated_at"))
+    val newRows = dedupBatch(updates, idCol, fpCol)
     // Prefer the update side on id collision: old rows are anti-joined away.
     val kept = state.join(newRows.select("item_id"), Seq("item_id"), "left_anti")
     kept.unionByName(newRows)
   }
+
+  /** One state row per batch id: duplicate `idCol`s collapse to the
+    * deterministic `max(fingerprint)` (a batch has no intra-batch order to
+    * define "newest" by — r12 advice: without this, [[upsert]] /
+    * [[upsertBucketed]] wrote duplicate-id batches twice, breaking the
+    * one-row-per-id state invariant). Batch-sized shuffle.
+    */
+  private def dedupBatch(updates: DataFrame, idCol: String,
+                         fpCol: String): DataFrame =
+    updates
+      .select(col(idCol).cast("string").as("item_id"),
+        col(fpCol).cast("string").as("fingerprint"))
+      .groupBy("item_id")
+      .agg(max(col("fingerprint")).as("fingerprint"))
+      .select(col("item_id"), col("fingerprint"),
+        current_timestamp().as("updated_at"))
 
   /** Read the run watermark (the reference's `last_run_timestamp`,
     * `state_manager.py:198-202`); None when never set.
@@ -181,7 +203,10 @@ object StateStore {
       // silently drop survivors), which is why upsertBucketed differs.
       spark.read.parquet(path).select("item_id", "fingerprint", "updated_at")
     } catch {
-      case _: Throwable =>
+      // NonFatal only (r12 advice): see [[load]] — fresh-state recovery is
+      // licensed for analysis failures, never for fatal/transient JVM
+      // errors a save-after-load would turn into silent state loss.
+      case scala.util.control.NonFatal(_) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -201,6 +226,15 @@ object StateStore {
     * buckets new and some old; the state contract tolerates that (state
     * rows are idempotent fingerprints, and the reference's own JSON save
     * has the same torn-window, `state_manager.py:63-67`).
+    *
+    * HARD CONTRACT — single writer per table: `Sink.lockFor` serializes
+    * writers within THIS JVM only. Two processes upserting the same path
+    * concurrently can interleave one writer's survivor read with the
+    * other's dynamic partition overwrite and drop surviving rows. Cross-
+    * process coordination (a scheduler, a filesystem lease) is the
+    * caller's responsibility — same contract as the reference's JSON
+    * state file, which has no cross-process lock either
+    * (`state_manager.py:63-67`).
     */
   def upsertBucketed(spark: SparkSession, path: String, updates: DataFrame,
                      numBuckets: Int = 64,
@@ -216,10 +250,9 @@ object StateStore {
       // bucket with the batch rows alone, deleting its surviving state.
       // Checkpointing makes both actions read the same materialized batch
       // (also why current_timestamp here is consistent across actions).
-      val newRows = updates.select(
-          col(idCol).cast("string").as("item_id"),
-          col(fpCol).cast("string").as("fingerprint"),
-          current_timestamp().as("updated_at"))
+      // Intra-batch duplicate ids collapse BEFORE the write ([[dedupBatch]])
+      // — the scaladoc's one-row-per-id promise.
+      val newRows = dedupBatch(updates, idCol, fpCol)
         .withColumn("bucket", stateBucket(col("item_id"), numBuckets))
         .localCheckpoint(true)
       // Touched buckets: bounded by numBuckets, so the collect is

@@ -128,4 +128,68 @@ class DashboardSpec extends AnyFunSuite with SparkTestBase {
       assert(request(s"$base/search?q=x&k=abc")._1 == 400)
     } finally dash.stop()
   }
+
+  /** Stub exchange for the [[Dashboard.foreignOrigin]] decision table: a
+    * loopback-bound e2e connection can never PRODUCE a non-loopback peer
+    * address, so the socket-peer leg of the guard is exercised directly.
+    */
+  private def stubExchange(headers: Map[String, String],
+                           peer: java.net.InetSocketAddress)
+      : com.sun.net.httpserver.HttpExchange =
+    new com.sun.net.httpserver.HttpExchange {
+      private val h = new com.sun.net.httpserver.Headers
+      headers.foreach { case (k, v) => h.set(k, v) }
+      override def getRequestHeaders: com.sun.net.httpserver.Headers = h
+      override def getResponseHeaders: com.sun.net.httpserver.Headers =
+        new com.sun.net.httpserver.Headers
+      override def getRequestURI: URI = URI.create("/run")
+      override def getRequestMethod: String = "POST"
+      override def getHttpContext: com.sun.net.httpserver.HttpContext = null
+      override def close(): Unit = ()
+      override def getRequestBody: java.io.InputStream =
+        java.io.InputStream.nullInputStream()
+      override def getResponseBody: java.io.OutputStream =
+        java.io.OutputStream.nullOutputStream()
+      override def sendResponseHeaders(rCode: Int, len: Long): Unit = ()
+      override def getRemoteAddress: java.net.InetSocketAddress = peer
+      override def getResponseCode: Int = 0
+      override def getLocalAddress: java.net.InetSocketAddress =
+        new java.net.InetSocketAddress("127.0.0.1", 80)
+      override def getProtocol: String = "HTTP/1.1"
+      override def getAttribute(name: String): AnyRef = null
+      override def setAttribute(name: String, value: AnyRef): Unit = ()
+      override def setStreams(i: java.io.InputStream,
+                              o: java.io.OutputStream): Unit = ()
+      override def getPrincipal: com.sun.net.httpserver.HttpPrincipal = null
+    }
+
+  test("foreignOrigin: socket peer address is checked on state-changing " +
+      "routes — non-loopback peer rejected even with no Host/Origin") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dash-peer")
+    val dash = new Dashboard(spark, work, port = 0)
+    try {
+      val loop = new java.net.InetSocketAddress("127.0.0.1", 55555)
+      val remote = new java.net.InetSocketAddress(
+        java.net.InetAddress.getByAddress(
+          Array[Byte](10, 1, 2, 3)), 55555)
+      // The r12-verdict fail-open corner: both headers absent used to
+      // leave only browser invariants; the peer check closes it.
+      assert(dash.foreignOrigin(stubExchange(Map.empty, remote)),
+        "non-loopback peer with no headers must be foreign")
+      assert(!dash.foreignOrigin(stubExchange(Map.empty, loop)),
+        "loopback peer with no headers is the curl/e2e path")
+      // Loopback-looking headers do not launder a forwarded request.
+      assert(dash.foreignOrigin(stubExchange(
+        Map("Host" -> "127.0.0.1:80", "Origin" -> "http://localhost"),
+        remote)))
+      // Unresolved peer (exotic transport) falls back to headers only.
+      val unresolved =
+        java.net.InetSocketAddress.createUnresolved("somewhere", 1)
+      assert(!dash.foreignOrigin(stubExchange(
+        Map("Host" -> "localhost"), unresolved)))
+      assert(dash.foreignOrigin(stubExchange(
+        Map("Host" -> "evil.example"), loop)),
+        "rebound Host stays rejected regardless of peer")
+    } finally dash.stop()
+  }
 }

@@ -61,7 +61,9 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     // The only per-row shuffles are the global aggregates' 1-row merges
     // and the fixed-cardinality language groupBy — every HashAggregate
     // must have its map-side partial half.
-    assert(p.contains("partial_count") || p.contains("partial"),
+    // Strict pattern (r12 advice): a bare "partial" disjunct matched
+    // almost any plan string; the card's aggregates are counts and sums.
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
       "no map-side partial aggregation in the card plan")
   }
 
