@@ -38,6 +38,21 @@ object Bench {
       // some operators embed in expressions) would make the dump read as a
       // binary file to grep — print the replacement char instead.
       .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "�")
+      // TRUNCATED scan-filter lists flapped digests with no plan change:
+      // Spark clips the field at a fixed RAW character count, and the raw
+      // width of expression ids (ts#123 vs ts#1234) varies run to run, so
+      // the visible prefix ends a character or two earlier or later. The
+      // clipped content is redundant with the Filter node above the scan —
+      // collapse it. ([^\]]* keeps the match inside one untruncated list.)
+      .replaceAll("(DataFilters|PartitionFilters|PushedFilters): \\[[^\\]]*\\.\\.\\., ",
+        "$1: [truncated...], ")
+      // Long integer-list literals (8+ elements) flap when they carry
+      // runtime-measured values — e.g. the distributed prefix sum's
+      // per-partition base offsets (curriculum_order), which depend on the
+      // row distribution of a localCheckpoint across threads. The list's
+      // SHAPE is the plan signal; its values are data, gated by the value
+      // oracle, not the digest.
+      .replaceAll("\\[-?\\d+(?:,-?\\d+){7,}\\]", "[ints]")
     // Collapse cached-relation subtrees: InMemoryRelation re-prints its
     // entire child plan (at every reference), turning a digest into
     // thousands of lines without adding shape information — the cache
@@ -66,6 +81,95 @@ object Bench {
   private def digest(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  /** PLACEMENT-INVARIANT canonical form for the second digest
+    * (`digests_canonical.json`): AQE re-decides exchange-reuse sites,
+    * build sides, and local/coalesced shuffle reads from runtime sizes
+    * and stage-completion ORDER, so identical code can swap which of two
+    * equal exchanges prints in full and which prints as `ReusedExchange`
+    * — moving whole subtrees between parents (and changing how many
+    * REUSE MARKERS vs full copies the text holds) and flapping the
+    * primary digest ~16-18 times a round with zero semantic change (the
+    * documented class). Canonicalization: de-indent every line (subtree
+    * position no longer matters), erase the reuse/build-side/read-mode
+    * markers, and digest the sorted SET of distinct lines — reuse-site
+    * swaps only move or re-count identical line content, never change
+    * which distinct lines exist. Deliberately coarser than the primary
+    * digest (it forgets tree placement and subtree multiplicity); it
+    * exists to FILTER the flap class — a canonical change is a real plan
+    * change, a primary-only change is AQE placement noise.
+    */
+  private[graft] def canonicalizePlan(normalized: String): String =
+    normalized.linesIterator.map { line =>
+      val deIndented = {
+        val t = line.dropWhile(c => " :+-".contains(c))
+        if (t.startsWith("*(N) ")) t.drop(5) else t
+      }
+      if (deIndented.contains("LogicalQueryStage"))
+        // AQE's mid-flight logical wrapper (subquery dumps only): its
+        // nesting depth and embedded physical sketch vary with stage-
+        // completion timing; the surrounding physical lines carry the
+        // shape.
+        "LogicalQueryStage X"
+      else if (deIndented.startsWith("Expand "))
+        // The distinct-aggregate rewrite's null-projection groups are
+        // ordered by expression id (run-varying); the aggregate lines
+        // around the Expand carry the semantic content.
+        "Expand [X]"
+      else {
+        val dropped = deIndented
+          // A reuse marker is pure placement: drop the marker (its
+          // referenced exchange prints in full at some other site), so a
+          // run that reuses one fewer exchange still canonicalizes equal.
+          .replaceAll("ReusedExchange \\[[^\\]]*\\], ", "")
+          .replaceAll("\\bBuild(Left|Right)\\b", "BuildX")
+          .replaceAll("AQEShuffleRead \\S+", "AQEShuffleRead X")
+          // The distinct-aggregate rewrite numbers its grouping-set ids in
+          // expression-id order (run-varying); which COLUMN carries which
+          // gid is placement, the filtered aggregate itself is the signal.
+          .replaceAll("\\(gid#N = \\d+\\)", "(gid#N = G)")
+        // Aggregate key/function/output lists and hash-partitioning args
+        // are SETS whose print order follows expression ids (the distinct-
+        // aggregate rewrite reorders them run to run): sort the top-level
+        // comma segments.
+        Seq("keys=[", "functions=[", "output=[", "hashpartitioning(")
+          .foldLeft(dropped)(sortListSegment)
+      }
+    }.toSeq.distinct.sorted.mkString("\n")
+
+  /** Sort the top-level comma-separated tokens of every `marker`-prefixed
+    * bracket group in `line` (bracket-matched across nested `[({`), e.g.
+    * `keys=[b, a(x, y)]` -> `keys=[a(x, y), b]`.
+    */
+  private def sortListSegment(line: String, marker: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val at = line.indexOf(marker, i)
+      if (at < 0) { sb.append(line.substring(i)); i = line.length }
+      else {
+        sb.append(line.substring(i, at + marker.length))
+        var depth = 1
+        var j = at + marker.length
+        val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+        var tok = new StringBuilder
+        while (j < line.length && depth > 0) {
+          val c = line.charAt(j)
+          if ("[({".contains(c)) depth += 1
+          else if ("])}".contains(c)) depth -= 1
+          if (depth == 0) ()
+          else if (c == ',' && depth == 1) { tokens += tok.toString; tok = new StringBuilder }
+          else tok.append(c)
+          j += 1
+        }
+        tokens += tok.toString
+        sb.append(tokens.map(_.trim).sorted.mkString(", "))
+        if (depth == 0) sb.append(line.charAt(j - 1)) // the closing bracket
+        i = j
+      }
+    }
+    sb.toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +204,7 @@ object Bench {
     plansDir.mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val planDigests = scala.collection.mutable.LinkedHashMap[String, String]()
+    val planCanonical = scala.collection.mutable.LinkedHashMap[String, String]()
     val benched = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -124,6 +229,7 @@ object Bench {
             df.collect()
             val normalized = normalizePlan(df.queryExecution.executedPlan.toString)
             planDigests(name) = digest(normalized)
+            planCanonical(name) = digest(canonicalizePlan(normalized))
             val w = new java.io.PrintWriter(new java.io.File(plansDir, s"$name.txt"), "UTF-8")
             try w.write(normalized) finally w.close()
           }
@@ -137,6 +243,7 @@ object Bench {
               // this round's plan for a query that failed to produce one.
               new java.io.File(plansDir, s"$name.txt").delete()
               planDigests.remove(name)
+              planCanonical.remove(name)
             }
             None
         }
@@ -173,6 +280,12 @@ object Bench {
     if (only.isEmpty) {
       writeArtifact("digests.json",
         planDigests.map { case (k, v) => s"\"$k\":\"$v\"" }
+          .mkString("{", ",", "}"))
+      // Second, placement-invariant digest (see [[canonicalizePlan]]):
+      // diff THIS file round-over-round to separate real plan changes
+      // from AQE reuse-site/build-side placement noise.
+      writeArtifact("digests_canonical.json",
+        planCanonical.map { case (k, v) => s"\"$k\":\"$v\"" }
           .mkString("{", ",", "}"))
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
