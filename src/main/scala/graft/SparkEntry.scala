@@ -1979,6 +1979,17 @@ object SparkEntry {
       Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
     }),
 
+    "compression_tradeoff_clustered" -> ((s, dir) => {
+      // The decision table on the CLUSTERED fixture
+      // (Similarity.clusteredFixture scaladoc): the base embeddings table
+      // is isotropic random — the worst case for JL/truncation/PQ — so
+      // the card's six recall numbers are re-measured on a deterministic
+      // anisotropic variant (75% pull toward 8 sign centroids) to show
+      // which rankings are fixture artifacts and which are structural.
+      val e = Similarity.clusteredFixture(t(s, dir, "embeddings"))
+      Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -3933,7 +3944,8 @@ object SparkEntry {
     * histogram for `ivf_incremental`).
     */
   private def ivfCtes(nCells: Int, maxIter: Int, dim: Int, seed: Long,
-                      trainFilter: String = "TRUE"): String = {
+                      trainFilter: String = "TRUE",
+                      src: String = "embeddings"): String = {
     val dims = dim + 1
     def d2(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, $dims), " +
@@ -3971,7 +3983,7 @@ object SparkEntry {
          | FROM cents${t - 1} p LEFT JOIN ln$t n USING (cell))""".stripMargin
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS dv
-       |  FROM embeddings),
+       |  FROM $src),
        |qv AS MATERIALIZED (
        | SELECT vec_id, list_transform(dv, x ->
        |   CAST(floor(x * (1.0 / sqrt(list_dot_product(dv, dv)))
@@ -4088,14 +4100,16 @@ object SparkEntry {
     * body shared by the `embed_binarize` / `hamming_topk` oracles,
     * mirroring `Similarity.binarize`'s word/bit layout exactly.
     */
-  private val binarizeSqlSelect: String =
-    """SELECT vec_id,
-      |  list_transform(range(0, CAST(floor((len(embedding) - 1) / 32) AS INT) + 1),
-      |   w -> CAST(list_sum(list_transform(range(0, 32),
-      |     i -> CASE WHEN w * 32 + i < len(embedding)
-      |        AND embedding[CAST(w * 32 + i + 1 AS INT)] > 0
-      |       THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS words
-      | FROM embeddings""".stripMargin
+  private def binarizeSelectOver(src: String): String =
+    s"""SELECT vec_id,
+       |  list_transform(range(0, CAST(floor((len(embedding) - 1) / 32) AS INT) + 1),
+       |   w -> CAST(list_sum(list_transform(range(0, 32),
+       |     i -> CASE WHEN w * 32 + i < len(embedding)
+       |        AND embedding[CAST(w * 32 + i + 1 AS INT)] > 0
+       |       THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS words
+       | FROM $src""".stripMargin
+
+  private val binarizeSqlSelect: String = binarizeSelectOver("embeddings")
 
   /** Unrolled greedy set-cover rounds mirroring `Sampling.greedySetCover`
     * (k rounds; round r picks argmax uncovered-gain with id ties, folds
@@ -4255,7 +4269,10 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   private lazy val hammingRerankRecallSqlStr: String =
-    s"""WITH codes AS ($binarizeSqlSelect),
+    hammingRerankRecallSql("embeddings")
+
+  private def hammingRerankRecallSql(src: String): String =
+    s"""WITH codes AS (${binarizeSelectOver(src)}),
        |qs AS (SELECT vec_id AS qid, words AS qw FROM codes WHERE vec_id < 20),
        |hshort AS (SELECT qid, id FROM (
        | SELECT qs.qid, c.vec_id AS id,
@@ -4263,9 +4280,9 @@ object SparkEntry {
        |   CAST(list_sum(list_transform(range(1, len(qs.qw) + 1),
        |     j -> bit_count(xor(qs.qw[j], c.words[j])))) AS BIGINT), c.vec_id) AS rn
        | FROM qs, codes c WHERE c.vec_id <> qs.qid) q WHERE rn <= 20),
-       |qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+       |qv AS (SELECT vec_id AS qid, embedding AS v FROM $src
        | WHERE vec_id < 20),
-       |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |cv AS (SELECT vec_id AS id, embedding AS v FROM $src),
        |approx AS (SELECT qid, id FROM (
        | SELECT h.qid, h.id, row_number() OVER (PARTITION BY h.qid ORDER BY
        |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, h.id) AS rn
@@ -4282,9 +4299,12 @@ object SparkEntry {
        |GROUP BY e.qid""".stripMargin
 
   private lazy val truncationRecallSqlStr: String =
-    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+    truncationRecallSql("embeddings")
+
+  private def truncationRecallSql(src: String): String =
+    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM $src
        | WHERE vec_id < 20),
-       |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |cv AS (SELECT vec_id AS id, embedding AS v FROM $src),
        |exact AS (SELECT qid, id FROM (
        | SELECT qv.qid, cv.id, row_number() OVER (PARTITION BY qv.qid ORDER BY
        |   round(${cosOf("qv.v", "cv.v")}, 6) DESC, cv.id) AS rn
@@ -4304,12 +4324,14 @@ object SparkEntry {
     * then the standard recall tail — projected-cosine top-5 vs the full
     * top-5.
     */
-  private lazy val jlRecallSqlStr: String =
+  private lazy val jlRecallSqlStr: String = jlRecallSql("embeddings")
+
+  private def jlRecallSql(src: String): String =
     s"""WITH $planesSql,
        |qe AS (SELECT vec_id AS qid, embedding AS v, embedding::DOUBLE[] AS dv
-       | FROM embeddings WHERE vec_id < 20),
+       | FROM $src WHERE vec_id < 20),
        |ce AS (SELECT vec_id AS id, embedding AS v, embedding::DOUBLE[] AS dv
-       | FROM embeddings),
+       | FROM $src),
        |qpv AS (SELECT qid, list(y ORDER BY j) AS pv FROM (
        | SELECT qe.qid, p.p AS j,
        |  round(list_dot_product(qe.dv, p.s) * (1.0 / sqrt(16.0)), 6) AS y
@@ -4344,26 +4366,64 @@ object SparkEntry {
     * `(axis, memory_ratio, n_queries, mean_recall)` row — full oracle by
     * construction since every arm IS its gate's oracle body.
     */
-  private lazy val compressionTradeoffSql: String = {
+  private lazy val compressionTradeoffSql: String =
+    compressionTradeoffSqlOver("embeddings")
+
+  private def compressionTradeoffSqlOver(src: String): String = {
     def arm(axis: String, ratio: String, body: String): String =
       s"SELECT '$axis' AS axis, $ratio AS memory_ratio,\n" +
         " CAST(count(*) AS BIGINT) AS n_queries,\n" +
         " round(CAST(coalesce(sum(n_hit), 0) AS DOUBLE) / (count(*) * 5), 6)" +
         " AS mean_recall\nFROM (\n" + body + "\n) t"
     Seq(
-      arm("sq8", "4.0", sq8RecallSqlStr),
-      arm("jl_16", "4.0", jlRecallSqlStr),
-      arm("truncate_16", "4.0", truncationRecallSqlStr),
-      arm("binary_rerank", "32.0", hammingRerankRecallSqlStr),
-      arm("ivf_pq_m4", "64.0", ivfPqRecallSqlStr),
-      arm("ivf_pq_m4_rerank", "64.0", ivfPqRerankRecallSqlStr)
+      arm("sq8", "4.0", sq8RecallSql(src)),
+      arm("jl_16", "4.0", jlRecallSql(src)),
+      arm("truncate_16", "4.0", truncationRecallSql(src)),
+      arm("binary_rerank", "32.0", hammingRerankRecallSql(src)),
+      arm("ivf_pq_m4", "64.0", ivfPqRecallSql(20, 5, 2, src = src)),
+      arm("ivf_pq_m4_rerank", "64.0",
+        ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), src = src))
     ).mkString("\nUNION ALL\n")
   }
 
-  private lazy val sq8RecallSqlStr: String =
-    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+  /** The [[graft.operators.Similarity.clusteredFixture]] transform as
+    * outer CTEs ending at `cemb(vec_id, embedding)`: the 8x64 ±1 sign
+    * centroids (seed 777) inlined as a literal table (the planesSql
+    * discipline), then `float32(round(0.75*s + 0.25*x, 6))` per component
+    * — both weights exactly representable, so the float arrays are
+    * bit-identical across engines and every downstream per-axis replay
+    * holds unchanged over the clustered column.
+    */
+  private lazy val clusteredEmbSqlCtes: String = {
+    val rows = (0 until 8).map { g =>
+      val signs = (0 until 64)
+        .map(j => if (Similarity.hyperplaneSign(777, g, j) > 0) "1" else "-1")
+        .mkString(",")
+      s"($g, [$signs]::DOUBLE[])"
+    }.mkString(",\n ")
+    s"""csigns(g, s) AS (SELECT * FROM (VALUES $rows) v(g, s)),
+       |cemb AS MATERIALIZED (SELECT e.vec_id,
+       |  CASE WHEN e.embedding IS NULL THEN NULL ELSE
+       |   list_transform(range(1, 65), i ->
+       |    CAST(round(0.75::DOUBLE * cl.s[CAST(i AS INT)] +
+       |      0.25::DOUBLE * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE), 6)
+       |     AS FLOAT)) END AS embedding
+       | FROM embeddings e JOIN csigns cl ON cl.g = e.vec_id % 8)""".stripMargin
+  }
+
+  /** `compression_tradeoff_clustered` replay: the same six arm bodies,
+    * rebased from the raw isotropic `embeddings` onto the clustered `cemb`
+    * CTE — full oracle by construction, like the base table.
+    */
+  private lazy val compressionTradeoffClusteredSql: String =
+    s"WITH $clusteredEmbSqlCtes\n" + compressionTradeoffSqlOver("cemb")
+
+  private lazy val sq8RecallSqlStr: String = sq8RecallSql("embeddings")
+
+  private def sq8RecallSql(src: String): String =
+    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS v FROM $src
        | WHERE vec_id < 20),
-       |cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |cv AS (SELECT vec_id AS id, embedding AS v FROM $src),
        |mq AS (SELECT qid, v,
        |  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS mx
        | FROM qv),
@@ -4406,13 +4466,14 @@ object SparkEntry {
     * `||` hazard).
     */
   private def ivfPqRecallSql(nQueries: Int, k: Int, nProbe: Int,
-                             rerankShortlist: Option[Int] = None): String = {
+                             rerankShortlist: Option[Int] = None,
+                             src: String = "embeddings"): String = {
     val maxIter = 5
     val unit =
-      """unitv AS MATERIALIZED (SELECT vec_id, embedding,
-        | list_transform(embedding::DOUBLE[], x ->
-        |   x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
-        | FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+      s"""unitv AS MATERIALIZED (SELECT vec_id, embedding,
+         | list_transform(embedding::DOUBLE[], x ->
+         |   x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+         | FROM $src WHERE embedding IS NOT NULL)""".stripMargin
     val books = (0 until 4).map(j =>
       kmeansCtesOver(s"u${j}_", s"u[${j * 16 + 1}:${(j + 1) * 16}]",
         8, 2, 16, from = "unitv")).mkString(",\n")
@@ -4471,13 +4532,13 @@ object SparkEntry {
                 | SELECT sl.qid, sl.id, row_number() OVER (PARTITION BY sl.qid
                 |   ORDER BY round(${cosOf("qe.embedding", "ce.embedding")}, 6)
                 |    DESC, sl.id) AS rn
-                | FROM shortl sl JOIN embeddings qe ON qe.vec_id = sl.qid
-                |  JOIN embeddings ce ON ce.vec_id = sl.id) q WHERE rn <= $k)"""
+                | FROM shortl sl JOIN $src qe ON qe.vec_id = sl.qid
+                |  JOIN $src ce ON ce.vec_id = sl.id) q WHERE rn <= $k)"""
                .stripMargin
          }},
-         |eqv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+         |eqv AS (SELECT vec_id AS qid, embedding AS v FROM $src
          | WHERE vec_id < $nQueries AND embedding IS NOT NULL),
-         |ecv AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |ecv AS (SELECT vec_id AS id, embedding AS v FROM $src
          | WHERE embedding IS NOT NULL),
          |exct AS (SELECT qid, id FROM (
          | SELECT eqv.qid, ecv.id, row_number() OVER (PARTITION BY eqv.qid
@@ -4488,8 +4549,8 @@ object SparkEntry {
          | round(CAST(coalesce(sum(CASE WHEN a.id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / $k, 6) AS recall
          |FROM exct e LEFT JOIN apx a ON a.qid = e.qid AND a.id = e.id
          |GROUP BY e.qid""".stripMargin
-    s"WITH ${ivfCtes(8, maxIter, 64, 42L)},\n" + unit + ",\n" + books +
-      ",\n" + cds + ",\n" + qsv + ",\n" + adcs + ",\n" + tail
+    s"WITH ${ivfCtes(8, maxIter, 64, 42L, src = src)},\n" + unit + ",\n" +
+      books + ",\n" + cds + ",\n" + qsv + ",\n" + adcs + ",\n" + tail
   }
 
   private val toksSql =
@@ -7193,6 +7254,7 @@ object SparkEntry {
     // Similarity.compressionTradeoff replay: the five per-axis recall
     // oracles wrapped + aggregated (compressionTradeoffSql scaladoc).
     "compression_tradeoff" -> compressionTradeoffSql,
+    "compression_tradeoff_clustered" -> compressionTradeoffClusteredSql,
 
     // EventAnalytics.rollingDaily replay: RANGE-framed day window,
     // integer-cent sums, identical division shapes.

@@ -1435,6 +1435,43 @@ object Similarity {
     recallJoin(exact, approx, k, roundDp)
   }
 
+  /** Deterministic CLUSTERED (anisotropic) variant of an embedding corpus
+    * — the representativeness fixture for the compression decision table.
+    * The base `embeddings` fixture is isotropic random, the WORST case for
+    * JL / truncation / PQ (no low-dimensional structure to preserve), so a
+    * card measured only there may rank axes by a fixture artifact; real
+    * text-embedding corpora are clustered and anisotropic. Each row is
+    * pulled 75% of the way toward one of `nClusters` fixed ±1 sign
+    * centroids (cluster = `id % nClusters`, centroid component =
+    * [[hyperplaneSign]]`(seed, cluster, dim)` — near-orthogonal directions
+    * in 64-dim), rounded to `roundDp` and cast back to float32:
+    * `c'[d] = float(round(0.75 * s(g,d) + 0.25 * c[d], 6))`.
+    *
+    * Every constant is a pure function of (seed, cluster, dim) and both
+    * weights are exactly representable, so a SQL oracle replays the
+    * transform bit-for-bit (the sign-matrix-inlining discipline) and the
+    * downstream per-axis replays hold unchanged over the new column.
+    * Narrow codegen'd pass, no shuffle, no UDF.
+    */
+  def clusteredFixture(df: DataFrame, nClusters: Int = 8, seed: Int = 777,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       dim: Int = 64, roundDp: Int = 6): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val m: Seq[Seq[Double]] = (0 until nClusters).map(g =>
+      (0 until dim).map(d => hyperplaneSign(seed, g, d)))
+    df.withColumn(vecCol,
+      when(col(vecCol).isNull, lit(null))
+        .when(size(col(vecCol)) === dim,
+          zip_with(transform(col(vecCol), _.cast("double")),
+            element_at(typedLit(m),
+              (col(idCol) % nClusters + 1).cast("int")),
+            (x, s) => round(lit(0.75) * s + lit(0.25) * x, roundDp)
+              .cast("float")))
+        .otherwise(raise_error(concat(
+          lit("graft.clusteredFixture: vector length "), size(col(vecCol)),
+          lit(s" != dim=$dim")))))
+  }
+
   /** The compression DECISION TABLE — the dataset-card artifact the five
     * per-axis audits exist to feed, and the proof that the five kernels
     * compose in one plan: one row per compression axis with its practical

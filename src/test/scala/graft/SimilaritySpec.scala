@@ -734,4 +734,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(shared.nonEmpty)
     shared.foreach(k => assert(exact(k) == blocked(k)))
   }
+
+  test("clusteredFixture: deterministic float32, actually clustered, " +
+      "loud on dim mismatch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 64L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val c1 = Similarity.clusteredFixture(base)
+    val c2 = Similarity.clusteredFixture(base)
+    // Schema stays array<float>; transform is a pure function of (id, vec).
+    assert(c1.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))
+    val r1 = c1.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    val r2 = c2.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    assert(r1.zip(r2).forall { case (a, b) => a == b })
+    // Anisotropy is real: same-cluster (id % 8 equal) cosine beats
+    // cross-cluster cosine on average — the property the fixture exists
+    // to inject.
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val vecs = r1.zipWithIndex
+    val (same, cross) = (for {
+      (a, i) <- vecs; (b, j) <- vecs if i < j
+    } yield (i % 8 == j % 8, cos(a, b))).partition(_._1)
+    val sameAvg = same.map(_._2).sum / same.size
+    val crossAvg = cross.map(_._2).sum / cross.size
+    assert(sameAvg > 0.5 && sameAvg > crossAvg + 0.3,
+      s"fixture not clustered: within=$sameAvg across=$crossAvg")
+    // Null vectors ride through; a wrong-width vector raises in-flight.
+    val withNull = Seq((0L, null: Array[Float]), (1L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.clusteredFixture(withNull).collect()
+      .exists(_.isNullAt(1)))
+    val bad = Seq((0L, Array.fill(16)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.clusteredFixture(bad).collect()
+    }
+    assert(e.getMessage.contains("clusteredFixture"))
+  }
 }
