@@ -311,6 +311,40 @@ object StateStore {
       }
     }
 
+  /** Re-bucket a [[saveBucketed]] table to a new bucket count — the GROWTH
+    * escape hatch for [[upsertBucketed]]'s static `numBuckets`: when the
+    * accumulated state outgrows the layout (rule of thumb from the
+    * measured `tools.StateBench` table: keep a bucket under ~10M rows /
+    * a few hundred MB so a touched-bucket rewrite stays file-sized),
+    * rewrite once at a larger count instead of paying oversized survivor
+    * rewrites on every run. Full-table rewrite BY DESIGN (it is the
+    * one-off compaction, not the steady state), staged to a scratch dir
+    * and renamed over the old table so readers never see a half-written
+    * layout — the [[save]] discipline. Same single-writer contract as
+    * [[upsertBucketed]].
+    */
+  def rebucket(spark: SparkSession, path: String,
+               newNumBuckets: Int): Unit =
+    Sink.lockFor(path).synchronized {
+      require(newNumBuckets >= 1,
+        s"newNumBuckets must be >= 1, got $newNumBuckets")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".rebucket-" + java.util.UUID.randomUUID().toString)
+      // Explicit schema (the upsertBucketed discipline): an empty
+      // bootstrapped table re-buckets to an empty table, it does not throw.
+      spark.read
+        .schema(schema.add(StructField("bucket", IntegerType)))
+        .parquet(path)
+        .select("item_id", "fingerprint", "updated_at")
+        .withColumn("bucket", stateBucket(col("item_id"), newNumBuckets))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(tmp, dst)
+    }
+
   /** Apply a snapshot to an SCD-type-2 fingerprint history (Kimball slowly-
     * changing dimension): where [[corpusDiff]] reports WHAT changed between
     * two snapshots, this keeps WHEN — every fingerprint a document ever had,
