@@ -837,6 +837,31 @@ object SparkEntry {
           round(VectorFunctions.l2Norm(col("embedding")), 6).as("vector_norm"))
     }),
 
+    "pipeline_e2e" -> ((s, dir) => {
+      // The flagship WRITE PATH as ONE lineage (r12 verdict #4 — the
+      // composition the per-stage gates prove piecewise, mirroring
+      // Pipeline.run / yamlpipe/core/pipeline.py:51-98): scan + non-blank
+      // + document fingerprint (source_scan), adaptive chunking
+      // (chunk_adaptive's recursive regime — plain single-line docs carry
+      // no markdown skeleton), hashing embed attach (embed_hashing), and
+      // the text+vector sink projection (sink_projection's scalar vector
+      // digests). One narrow stage end to end: scan -> chunk generate ->
+      // embed map -> project, no shuffle, no driver hop (pinned in
+      // PlanQualitySpec).
+      val scanned = t(s, dir, "documents")
+        .filter(TextFunctions.nonBlank(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          sha2(col("text"), 256).as("fingerprint"))
+      val chunks = Chunkers.adaptive(scanned, "text",
+        chunkSize = 150, chunkOverlap = 30)
+      Embed.hashing(chunks, "chunk", dim = 64)
+        .select(col("chunk").as("text"), col("source"), col("lang"),
+          col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("fingerprint"),
+          size(col("embedding")).cast("long").as("vector_dim"),
+          (VectorFunctions.normSq(col("embedding")) > 0).as("has_embedding"))
+    }),
+
     // -----------------------------------------------------------------------
     // Query / eval path (SURVEY §2.6, §2.7)
     // -----------------------------------------------------------------------
@@ -5490,6 +5515,19 @@ object SparkEntry {
         | CAST(len(e.embedding) AS BIGINT) AS vector_dim,
         | round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS vector_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    // Composed write-path replay: the recursive-chunk CTE over non-blank
+    // docs (the adaptive chunker's regime on this single-line fixture),
+    // joined back to the document row for the scan stage's fingerprint
+    // and pass-through metadata, with embed_hashing's scalar digests.
+    "pipeline_e2e" ->
+      s"""WITH ${recursiveChunkSql("len(trim(text)) > 0")}
+         |SELECT r.chunk AS text, d.source, d.lang, d.doc_id,
+         | CAST(r.chunk_index AS BIGINT) AS chunk_index,
+         | sha256(d.text) AS fingerprint,
+         | CAST(64 AS BIGINT) AS vector_dim,
+         | regexp_matches(r.chunk, '[\\p{L}\\p{N}]') AS has_embedding
+         |FROM rec r JOIN documents d USING (doc_id)""".stripMargin,
 
     "topk_search" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -67,6 +67,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       "no map-side partial aggregation in the card plan")
   }
 
+  test("pipeline_e2e: the composed write path is one narrow stage — " +
+      "no keyed shuffle, no join back to the corpus") {
+    val p = plan("pipeline_e2e")
+    // scan -> chunk generate -> embed map -> project: metadata and the
+    // document fingerprint ride the lineage, so nothing re-joins the
+    // corpus and nothing shuffles on a key.
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q4: EXISTS plans as a left-semi join") {
     val p = plan("q4_order_priority")
     assert(p.contains("LeftSemi"), p.take(800))
