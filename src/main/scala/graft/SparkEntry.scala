@@ -522,6 +522,17 @@ object SparkEntry {
       hist.unionByName(singles)
     }),
 
+    "streaming_state_detect" -> ((s, dir) =>
+      // Incremental ingest composed end to end THROUGH the streaming
+      // engine over the BUCKETED state table (r12 verdict #7;
+      // Streaming.runStateDetectAvailableNow scaladoc): per micro-batch
+      // change-detect against planted prior state, emit only new-or-
+      // changed rows, merge exactly those via upsertBucketed. The
+      // detected set and post-merge fingerprints are closed-form, so one
+      // oracle covers detection AND merge through the engine.
+      graft.streaming.Streaming.runStateDetectAvailableNow(
+        s, s"$dir/documents.parquet")),
+
     "streaming_neardup" -> ((s, dir) =>
       // Stream-static near-dup flags through the REAL streaming engine
       // (stateless band join against a planted reference; Streaming
@@ -5083,6 +5094,14 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Closed-form oracle for the streaming change-detect + bucketed-merge
+    // composition: the plant makes every %5 doc stale in prior state and
+    // every %7 doc absent, so detected = exactly that union with the
+    // CURRENT sha256 both at emit time and in the post-merge state.
+    "streaming_state_detect" ->
+      """SELECT doc_id, sha256(text) AS fingerprint, sha256(text) AS fp_after
+        |FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0""".stripMargin,
 
     // Batch-parity oracle for the streaming near-dup path: the stream's
     // verified flags equal the brute-force docs-x-reference cross join at

@@ -117,6 +117,87 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The INCREMENTAL-INGEST composition run end to end through the real
+    * streaming engine (r12 verdict #7): change-detect each micro-batch
+    * against the BUCKETED fingerprint state, emit only the new-or-changed
+    * rows, and merge exactly those back into the state via
+    * [[graft.operators.StateStore.upsertBucketed]] — detect → emit →
+    * merge, the reference's incremental pipeline
+    * (`yamlpipe/utils/state_manager.py:155-196`) over the 10⁹-item state
+    * layout. Prior state is planted deterministically from the corpus
+    * itself (every `doc_id % 5 == 0` carries a STALE fingerprint → must
+    * be detected changed; every `doc_id % 7 == 0` is absent → detected
+    * new; everything else is current → must NOT be emitted), so the
+    * detected set AND the post-merge fingerprints are closed-form — one
+    * value oracle covers detection and merge through the engine,
+    * regardless of how AvailableNow splits the input (ids are unique in
+    * the stream, so per-row decisions never interact).
+    *
+    * Returns a LOCAL frame `(doc_id, fingerprint, fp_after)` — detected
+    * rows joined to the final state — and cleans up its temp dirs (the
+    * [[runToLocalFrame]] discipline). Scale shape per micro-batch: one
+    * broadcast anti-join against the state + a touched-buckets-only
+    * merge; nothing rewrites the full table.
+    */
+  def runStateDetectAvailableNow(spark: SparkSession, docsPath: String,
+                                 numBuckets: Int = 8): DataFrame = {
+    import graft.operators.StateStore
+    val confKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-detect")
+    try {
+      val statePath = root.resolve("state").toString
+      val outPath = root.resolve("detected").toString
+      val docs = spark.read.parquet(docsPath)
+      val prior = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").cast("string").as("item_id"),
+          when(col("doc_id") % 5 === 0,
+            sha2(concat(col("text"), lit(" stale")), 256))
+            .otherwise(sha2(col("text"), 256)).as("fingerprint"),
+          lit(null).cast("timestamp").as("updated_at"))
+      StateStore.saveBucketed(prior, statePath, numBuckets)
+      val p = new org.apache.hadoop.fs.Path(docsPath)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
+        .select(col("doc_id").cast("string").as("item_id"),
+          sha2(col("text"), 256).as("fingerprint"))
+      val q = stream.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sp = batch.sparkSession
+            val st = StateStore.loadBucketed(sp, statePath)
+            // Pinned: the detected set feeds TWO actions (emit + merge);
+            // an unpinned lineage could re-evaluate between them.
+            val changed = StateStore.changed(batch, st).localCheckpoint(true)
+            if (!changed.isEmpty) {
+              changed.write.mode("append").parquet(outPath)
+              StateStore.upsertBucketed(sp, statePath, changed, numBuckets)
+            }
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fin = StateStore.loadBucketed(spark, statePath)
+        .select(col("item_id"), col("fingerprint").as("fp_after"))
+      val out = spark.read.parquet(outPath)
+        .select(col("item_id"), col("fingerprint"))
+        .join(fin, Seq("item_id"))
+        .select(col("item_id").cast("long").as("doc_id"),
+          col("fingerprint"), col("fp_after"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(root.toFile)
+    }
+  }
+
   /** Watermarked sliding/tumbling-window aggregation over an event stream
     * (`events` table shape: ts, event_type, value). Late events beyond
     * `watermarkDelay` are dropped; state is bounded.
