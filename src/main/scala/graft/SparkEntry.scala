@@ -2744,6 +2744,18 @@ object SparkEntry {
       // composed from oracle-proven kernels.
       Profile.datasetCard(t(s, dir, "documents"))),
 
+    "dataset_card_storage" -> ((s, dir) => {
+      // The card extended with its STORAGE section (r12 verdict #8): the
+      // measured compression decision table reshaped into (metric, value)
+      // rows — the single release report covering content stats AND the
+      // serving-compression menu. The base card stays its own cheap gate;
+      // this one pays the decision table's training-audit cost.
+      val e = t(s, dir, "embeddings")
+      val tr = Similarity.compressionTradeoff(
+        e.filter(col("vec_id") < 20), e, k = 5)
+      Profile.datasetCard(t(s, dir, "documents"), storage = Some(tr))
+    }),
+
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFrame(t(s, dir, "documents"), "text", "doc_id")),
 
@@ -4467,6 +4479,52 @@ object SparkEntry {
     */
   private lazy val compressionTradeoffClusteredSql: String =
     s"WITH $clusteredEmbSqlCtes\n" + compressionTradeoffSqlOver("cemb")
+
+  /** Profile.datasetCard replay: the quality CTEs (shared with
+    * quality_score), the lang_id pick chain, exact count aggregates,
+    * DECIMAL-summed quality mean, and the fixed language-share rows —
+    * factored out so `dataset_card_storage` can wrap the same body.
+    */
+  private lazy val datasetCardSqlStr: String = {
+    val langVals = (TextAnalysis.LangMarkers.map(_._1) :+ "unknown")
+      .map(l => s"('$l')").mkString(", ")
+    s"""WITH $qualitySqlCtes,
+       |${langPickCtes("")},
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
+       |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL
+       |    THEN len($toksSql) ELSE 0 END), 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL
+       |    THEN len(text) ELSE 0 END), 0) AS BIGINT) AS n_chars,
+       |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_nonnull
+       | FROM documents),
+       |qagg AS (SELECT
+       |  CAST(sum(CAST(s.quality AS DECIMAL(18,6))) AS DOUBLE) AS qsum,
+       |  CAST(count(s.quality) AS BIGINT) AS qn
+       | FROM qscore s JOIN qt USING (doc_id) WHERE qt.text IS NOT NULL),
+       |lc AS (SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n
+       | FROM pick GROUP BY 1)
+       |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+       |UNION ALL SELECT 'n_empty_docs', CAST(n_empty AS DOUBLE) FROM base
+       |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+       |UNION ALL SELECT 'mean_doc_tokens', CASE WHEN n_docs > 0
+       |  THEN round(CAST(n_tokens AS DOUBLE) / n_docs, 6) END FROM base
+       |UNION ALL SELECT 'mean_doc_chars', CASE WHEN n_docs > 0
+       |  THEN round(CAST(n_chars AS DOUBLE) / n_docs, 6) END FROM base
+       |UNION ALL SELECT 'exact_text_dup_rate', CASE WHEN n_nonnull > 0
+       |  THEN round(CAST(n_nonnull - n_distinct AS DOUBLE) / n_nonnull, 6)
+       |  END FROM base
+       |UNION ALL SELECT 'mean_quality', CASE WHEN qn > 0
+       |  THEN round(qsum / qn, 6) END FROM base CROSS JOIN qagg
+       |UNION ALL SELECT 'lang_share_' || l.l,
+       |  CASE WHEN b.n_docs > 0
+       |   THEN round(CAST(coalesce(c.n, 0) AS DOUBLE) / b.n_docs, 6) END
+       | FROM (VALUES $langVals) l(l)
+       |  LEFT JOIN lc c ON c.predicted_lang = l.l CROSS JOIN base b""".stripMargin
+  }
 
   private lazy val sq8RecallSqlStr: String = sq8RecallSql("embeddings")
 
@@ -8400,46 +8458,20 @@ object SparkEntry {
     // quality_score), the lang_id pick chain under lt/lh names, exact
     // count aggregates, DECIMAL-summed quality mean, and the fixed
     // language-share rows.
-    "dataset_card" -> {
-      val langVals = (TextAnalysis.LangMarkers.map(_._1) :+ "unknown")
-        .map(l => s"('$l')").mkString(", ")
-      s"""WITH $qualitySqlCtes,
-         |${langPickCtes("")},
-         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(coalesce(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
-         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
-         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL
-         |    THEN len($toksSql) ELSE 0 END), 0) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL
-         |    THEN len(text) ELSE 0 END), 0) AS BIGINT) AS n_chars,
-         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
-         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END),
-         |    0) AS BIGINT) AS n_nonnull
-         | FROM documents),
-         |qagg AS (SELECT
-         |  CAST(sum(CAST(s.quality AS DECIMAL(18,6))) AS DOUBLE) AS qsum,
-         |  CAST(count(s.quality) AS BIGINT) AS qn
-         | FROM qscore s JOIN qt USING (doc_id) WHERE qt.text IS NOT NULL),
-         |lc AS (SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n
-         | FROM pick GROUP BY 1)
-         |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
-         |UNION ALL SELECT 'n_empty_docs', CAST(n_empty AS DOUBLE) FROM base
-         |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
-         |UNION ALL SELECT 'mean_doc_tokens', CASE WHEN n_docs > 0
-         |  THEN round(CAST(n_tokens AS DOUBLE) / n_docs, 6) END FROM base
-         |UNION ALL SELECT 'mean_doc_chars', CASE WHEN n_docs > 0
-         |  THEN round(CAST(n_chars AS DOUBLE) / n_docs, 6) END FROM base
-         |UNION ALL SELECT 'exact_text_dup_rate', CASE WHEN n_nonnull > 0
-         |  THEN round(CAST(n_nonnull - n_distinct AS DOUBLE) / n_nonnull, 6)
-         |  END FROM base
-         |UNION ALL SELECT 'mean_quality', CASE WHEN qn > 0
-         |  THEN round(qsum / qn, 6) END FROM base CROSS JOIN qagg
-         |UNION ALL SELECT 'lang_share_' || l.l,
-         |  CASE WHEN b.n_docs > 0
-         |   THEN round(CAST(coalesce(c.n, 0) AS DOUBLE) / b.n_docs, 6) END
-         | FROM (VALUES $langVals) l(l)
-         |  LEFT JOIN lc c ON c.predicted_lang = l.l CROSS JOIN base b""".stripMargin
-    },
+    "dataset_card" -> datasetCardSqlStr,
+
+    // Card + storage section: the card body plus the decision table
+    // reshaped to (metric, value), the table computed ONCE in a
+    // materialized CTE. Concatenated (NOT re-stripMargined) because both
+    // parts are pre-stripped SQL containing `||`.
+    "dataset_card_storage" ->
+      ("WITH stor AS MATERIALIZED (\n" + compressionTradeoffSql + "\n)\n" +
+        "SELECT * FROM (\n" + datasetCardSqlStr + "\n) c\n" +
+        "UNION ALL\nSELECT 'storage_memory_ratio_' || axis AS metric, " +
+        "memory_ratio AS value FROM stor\n" +
+        "UNION ALL\nSELECT 'storage_mean_recall_' || axis AS metric, " +
+        "CAST(mean_recall AS DOUBLE) AS value FROM stor"),
+
 
     "quality_score" -> {
       val stop = TextAnalysis.QualityStopwords.map(w => s"'$w'").mkString(", ")

@@ -781,7 +781,8 @@ object Profile {
     * with the corpus except the scans.
     */
   def datasetCard(docs: DataFrame, textCol: String = "text",
-                  idCol: String = "doc_id", roundDp: Int = 6): DataFrame = {
+                  idCol: String = "doc_id", roundDp: Int = 6,
+                  storage: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = col(textCol)
@@ -838,6 +839,26 @@ object Profile {
             round(col("__qsum") / col("__qn"), roundDp)).as("value"))
       )).as("__m"))
       .select(col("__m.metric").as("metric"), col("__m.value").as("value"))
-    scalars.unionByName(langRows)
+    val card = scalars.unionByName(langRows)
+    // Optional STORAGE section (r12 verdict #8): the compression decision
+    // table ([[graft.operators.Similarity.compressionTradeoff]] output —
+    // `(axis, memory_ratio, n_queries, mean_recall)`) reshaped into the
+    // card's (metric, value) rows, two per axis, making the card the
+    // single release report: content stats AND the measured serving-
+    // compression menu. Row count stays deterministic (fixed axis set).
+    storage match {
+      case None => card
+      case Some(tr) =>
+        val sRows = tr.select(explode(array(
+            struct(concat(lit("storage_memory_ratio_"), col("axis"))
+              .as("metric"),
+              col("memory_ratio").cast("double").as("value")),
+            struct(concat(lit("storage_mean_recall_"), col("axis"))
+              .as("metric"),
+              col("mean_recall").cast("double").as("value"))
+          )).as("__m"))
+          .select(col("__m.metric").as("metric"), col("__m.value").as("value"))
+        card.unionByName(sRows)
+    }
   }
 }
