@@ -2036,7 +2036,11 @@ object SparkEntry {
       // the card's six recall numbers are re-measured on a deterministic
       // anisotropic variant (75% pull toward 8 sign centroids) to show
       // which rankings are fixture artifacts and which are structural.
+      // The fixture is PINNED (eager localCheckpoint, 500 rows): the six
+      // arms reference it ~18 times, and without the pin each reference
+      // re-runs the parquet scan + transform.
       val e = Similarity.clusteredFixture(t(s, dir, "embeddings"))
+        .localCheckpoint(true)
       Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
     }),
 
@@ -3848,15 +3852,22 @@ object SparkEntry {
     * list_dot_product/while-loop, so the >= 0 sign bits — and hence bands,
     * candidates, and ranks — are bit-identical. Yields CTE `planes(p, s)`.
     */
-  private lazy val planesSql: String = {
-    val rows = (0 until 16).map { p =>
-      val signs = (0 until 64)
-        .map(j => if (Similarity.hyperplaneSign(42, p, j) > 0) "1" else "-1")
+  private lazy val planesSql: String =
+    s"planes(p, s) AS (SELECT * FROM (VALUES ${signsSqlRows(42, 16, 64)}) v(p, s))"
+
+  /** ±1 sign-matrix rows `(i, [±1,...]::DOUBLE[])` as a DuckDB VALUES
+    * literal — the ONE sign-inlining builder (r13 review: it existed
+    * twice), bit-matched to [[Similarity.hyperplaneSign]]'s `> 0`
+    * convention. Serves the hyperplane plane table (seed 42) and the
+    * clustered-fixture centroid table (seed 777).
+    */
+  private def signsSqlRows(seed: Int, nRows: Int, dim: Int): String =
+    (0 until nRows).map { p =>
+      val signs = (0 until dim)
+        .map(j => if (Similarity.hyperplaneSign(seed, p, j) > 0) "1" else "-1")
         .mkString(",")
       s"($p, [$signs]::DOUBLE[])"
     }.mkString(",\n ")
-    s"planes(p, s) AS (SELECT * FROM (VALUES $rows) v(p, s))"
-  }
 
   /** Unrolled replay of the recursive character splitter (chunkSize=150,
     * overlap=30) in the regime this fixture exercises: single-line,
@@ -4457,12 +4468,7 @@ object SparkEntry {
     * holds unchanged over the clustered column.
     */
   private lazy val clusteredEmbSqlCtes: String = {
-    val rows = (0 until 8).map { g =>
-      val signs = (0 until 64)
-        .map(j => if (Similarity.hyperplaneSign(777, g, j) > 0) "1" else "-1")
-        .mkString(",")
-      s"($g, [$signs]::DOUBLE[])"
-    }.mkString(",\n ")
+    val rows = signsSqlRows(777, 8, 64)
     s"""csigns(g, s) AS (SELECT * FROM (VALUES $rows) v(g, s)),
        |cemb AS MATERIALIZED (SELECT e.vec_id,
        |  CASE WHEN e.embedding IS NULL THEN NULL ELSE

@@ -155,8 +155,20 @@ object StateStore {
     val dst = new org.apache.hadoop.fs.Path(path)
     // State tables are tiny: coalesce(1) keeps them a single file.
     state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    // Rename-aside swap (r13 review, the [[rebucket]] discipline): a
+    // complete copy exists on disk at every step, so a crash mid-swap
+    // never silently loses the table to the corrupt->fresh read path.
+    val old = new org.apache.hadoop.fs.Path(
+      path + ".old-" + java.util.UUID.randomUUID().toString)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, old))
+      throw new java.io.IOException(
+        s"graft.StateStore.save: could not move $dst aside to $old")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"graft.StateStore.save: could not install $tmp at $dst" +
+          (if (hadOld) s"; previous state preserved at $old" else ""))
+    if (hadOld) fs.delete(old, true)
   }
 
   // -------------------------------------------------------------------------
@@ -319,9 +331,15 @@ object StateStore {
     * rewrite once at a larger count instead of paying oversized survivor
     * rewrites on every run. Full-table rewrite BY DESIGN (it is the
     * one-off compaction, not the steady state), staged to a scratch dir
-    * and renamed over the old table so readers never see a half-written
-    * layout — the [[save]] discipline. Same single-writer contract as
-    * [[upsertBucketed]].
+    * and swapped in via rename-aside (never delete-then-rename): at every
+    * point of the swap a complete copy of the state exists on disk, so a
+    * crash mid-swap is recoverable — the old table survives at
+    * `<path>.old-<uuid>` until the new layout is in place. (A reader
+    * racing the two renames can still observe a missing path for an
+    * instant — the read-path corrupt->fresh contract turns that into
+    * empty state, which is why the single-writer contract below should
+    * extend to "no concurrent readers during a rebucket".) Same
+    * single-writer contract as [[upsertBucketed]].
     */
   def rebucket(spark: SparkSession, path: String,
                newNumBuckets: Int): Unit =
@@ -331,8 +349,8 @@ object StateStore {
       val conf = spark.sparkContext.hadoopConfiguration
       val dst = new org.apache.hadoop.fs.Path(path)
       val fs = dst.getFileSystem(conf)
-      val tmp = new org.apache.hadoop.fs.Path(
-        path + ".rebucket-" + java.util.UUID.randomUUID().toString)
+      val uuid = java.util.UUID.randomUUID().toString
+      val tmp = new org.apache.hadoop.fs.Path(path + ".rebucket-" + uuid)
       // Explicit schema (the upsertBucketed discipline): an empty
       // bootstrapped table re-buckets to an empty table, it does not throw.
       spark.read
@@ -341,8 +359,22 @@ object StateStore {
         .select("item_id", "fingerprint", "updated_at")
         .withColumn("bucket", stateBucket(col("item_id"), newNumBuckets))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(tmp, dst)
+      // Rename-aside swap (r13 review): delete-then-rename had a window
+      // where NO copy of the state existed — a crash there lost the table
+      // silently (corrupt->fresh would bootstrap empty). Here the old
+      // layout survives until the new one is in place.
+      val old = new org.apache.hadoop.fs.Path(path + ".old-" + uuid)
+      val hadOld = fs.exists(dst)
+      if (hadOld) {
+        if (!fs.rename(dst, old))
+          throw new java.io.IOException(
+            s"graft.rebucket: could not move $dst aside to $old")
+      }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"graft.rebucket: could not install $tmp at $dst" +
+            (if (hadOld) s"; previous layout preserved at $old" else ""))
+      if (hadOld) fs.delete(old, true)
     }
 
   /** Apply a snapshot to an SCD-type-2 fingerprint history (Kimball slowly-

@@ -181,7 +181,20 @@ object Streaming {
       q.awaitTermination()
       val fin = StateStore.loadBucketed(spark, statePath)
         .select(col("item_id"), col("fingerprint").as("fp_after"))
-      val out = spark.read.parquet(outPath)
+      // outPath exists only if some batch emitted changed rows (r13
+      // review): a corpus with nothing new or changed must return an
+      // empty frame, not a PATH_NOT_FOUND crash.
+      val detSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fingerprint",
+          org.apache.spark.sql.types.StringType)))
+      val detected =
+        if (new java.io.File(outPath).exists())
+          spark.read.schema(detSchema).parquet(outPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], detSchema)
+      val out = detected
         .select(col("item_id"), col("fingerprint"))
         .join(fin, Seq("item_id"))
         .select(col("item_id").cast("long").as("doc_id"),

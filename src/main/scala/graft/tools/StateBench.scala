@@ -74,9 +74,13 @@ object StateBench {
         StateStore.upsertBucketed(spark, dir, sparse, numBuckets)
       }
       // Dense: existing ids striding the whole range -> every bucket.
+      // `% n` keeps every id inside the existing state even when
+      // n < batch (r13 review: an out-of-range id would be an INSERT,
+      // breaking the update-only row-count assertion below); wrapped
+      // duplicates collapse via the upsert's per-id dedup.
       val stride = math.max(n / batch, 1L)
       val dense = spark.range(batch.toLong)
-        .select(itemId(col("id") * stride).as("item_id"))
+        .select(itemId((col("id") * stride) % n).as("item_id"))
         .withColumn("fingerprint", lit("dense-v3"))
       time(n, s"upsert dense $numBuckets/$numBuckets") {
         StateStore.upsertBucketed(spark, dir, dense, numBuckets)

@@ -8,12 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchDigestSpec extends AnyFunSuite {
 
-  test("normalizePlan: truncated scan-filter lists clip to a stable token") {
+  test("normalizePlan: truncated scan-filter lists clip to a stable prefix") {
     // Spark truncates the field at a RAW char budget; raw expression-id
     // widths (ts#123 vs ts#1234) shift the visible cut by a char or two.
-    val a = "+- FileScan parquet [x#N] DataFilters: [isnotnull(cast(ts#N as ..., Format: Parquet, PushedFilters: [IsNotNull(ts)]"
-    val b = "+- FileScan parquet [x#N] DataFilters: [isnotnull(cast(ts#N a..., Format: Parquet, PushedFilters: [IsNotNull(ts)]"
-    assert(Bench.normalizePlan(a) == Bench.normalizePlan(b))
+    // The clip keeps a fixed normalized prefix (pushdown evidence stays
+    // legible in the committed plan) and cuts the run-varying tail.
+    val head = "isnotnull(a#N), isnotnull(b#N), (a#N >= 12345), (b#N < 99)"
+    val a = s"+- FileScan parquet [x#N] DataFilters: [$head AND (cast(ts#N as ..., Format: Parquet, PushedFilters: [IsNotNull(ts)]"
+    val b = s"+- FileScan parquet [x#N] DataFilters: [$head AND (cast(ts#N a..., Format: Parquet, PushedFilters: [IsNotNull(ts)]"
+    val na = Bench.normalizePlan(a)
+    assert(na == Bench.normalizePlan(b))
+    assert(na.contains("DataFilters: [isnotnull(a#N), isnotnull(b#N),"),
+      s"pushdown evidence prefix lost: $na")
     // An UNtruncated list is left alone — it is a real plan signal.
     val c = "DataFilters: [isnotnull(ts#N)], Format: Parquet"
     assert(Bench.normalizePlan(c).contains("[isnotnull(ts#N)]"))

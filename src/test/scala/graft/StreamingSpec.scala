@@ -112,6 +112,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(s2(bKey) == s1(bKey), "unchanged file's fingerprint survives")
   }
 
+  test("runStateDetectAvailableNow: a corpus with nothing new or changed " +
+      "returns an empty frame, not a missing-path crash") {
+    import spark.implicits._
+    val dir = tempDir("graft-stream-detect-empty")
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text") // no id divisible by 5 or 7 -> plant detects nothing
+    val path = dir.resolve("documents.parquet").toString
+    docs.coalesce(1).write.parquet(path)
+    val out = graft.streaming.Streaming.runStateDetectAvailableNow(spark, path)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("doc_id", "fingerprint", "fp_after"))
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
