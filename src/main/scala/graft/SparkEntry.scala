@@ -2753,10 +2753,14 @@ object SparkEntry {
       // measured compression decision table reshaped into (metric, value)
       // rows — the single release report covering content stats AND the
       // serving-compression menu. The base card stays its own cheap gate;
-      // this one pays the decision table's training-audit cost.
+      // this one pays the decision table's training-audit cost, INCLUDING
+      // the opt-in production IVF-PQ arm (m=8/kCodes=64 rerank) — the
+      // release report must show the deployable recipe, not just the
+      // oracle-toy budget.
       val e = t(s, dir, "embeddings")
       val tr = Similarity.compressionTradeoff(
-        e.filter(col("vec_id") < 20), e, k = 5)
+        e.filter(col("vec_id") < 20), e, k = 5,
+        includeProductionIvfPq = true)
       Profile.datasetCard(t(s, dir, "documents"), storage = Some(tr))
     }),
 
@@ -4442,13 +4446,14 @@ object SparkEntry {
   private lazy val compressionTradeoffSql: String =
     compressionTradeoffSqlOver("embeddings")
 
-  private def compressionTradeoffSqlOver(src: String): String = {
+  private def compressionTradeoffSqlOver(
+      src: String, includeProduction: Boolean = false): String = {
     def arm(axis: String, ratio: String, body: String): String =
       s"SELECT '$axis' AS axis, $ratio AS memory_ratio,\n" +
         " CAST(count(*) AS BIGINT) AS n_queries,\n" +
         " round(CAST(coalesce(sum(n_hit), 0) AS DOUBLE) / (count(*) * 5), 6)" +
         " AS mean_recall\nFROM (\n" + body + "\n) t"
-    Seq(
+    (Seq(
       arm("sq8", "4.0", sq8RecallSql(src)),
       arm("jl_16", "4.0", jlRecallSql(src)),
       arm("truncate_16", "4.0", truncationRecallSql(src)),
@@ -4456,6 +4461,10 @@ object SparkEntry {
       arm("ivf_pq_m4", "64.0", ivfPqRecallSql(20, 5, 2, src = src)),
       arm("ivf_pq_m4_rerank", "64.0",
         ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), src = src))
+    ) ++ (if (!includeProduction) Nil else Seq(
+      arm("ivf_pq_m8_rerank", "32.0",
+        ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), src = src,
+          m = 8, kCodes = 64))))
     ).mkString("\nUNION ALL\n")
   }
 
@@ -8471,7 +8480,9 @@ object SparkEntry {
     // materialized CTE. Concatenated (NOT re-stripMargined) because both
     // parts are pre-stripped SQL containing `||`.
     "dataset_card_storage" ->
-      ("WITH stor AS MATERIALIZED (\n" + compressionTradeoffSql + "\n)\n" +
+      ("WITH stor AS MATERIALIZED (\n" +
+        compressionTradeoffSqlOver("embeddings", includeProduction = true) +
+        "\n)\n" +
         "SELECT * FROM (\n" + datasetCardSqlStr + "\n) c\n" +
         "UNION ALL\nSELECT 'storage_memory_ratio_' || axis AS metric, " +
         "memory_ratio AS value FROM stor\n" +

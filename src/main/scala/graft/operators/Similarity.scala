@@ -720,10 +720,15 @@ object Similarity {
     */
   def ivfPqIndex(corpus: DataFrame, vecCol: String = "embedding",
                  idCol: String = "vec_id", nCells: Int = 16, m: Int = 4,
-                 kCodes: Int = 8, pqIterations: Int = 2, seed: Long = 42L)
+                 kCodes: Int = 8, pqIterations: Int = 2, seed: Long = 42L,
+                 coarse: Option[(DataFrame, Array[Array[Double]])] = None)
       : (DataFrame, Array[Array[Double]], Pq.Codebooks) = {
-    val (indexed, centroids) = ivfIndex(corpus, vecCol, nCells, seed,
-      idCol = idCol)
+    // `coarse` shares ONE trained IVF quantizer across several PQ budgets
+    // (the decision table's m=4 and m=8 arms): the coarse training is
+    // driver-round k-means, the dominant shared cost, and the cell
+    // structure is independent of the PQ codebook size by construction.
+    val (indexed, centroids) = coarse.getOrElse(
+      ivfIndex(corpus, vecCol, nCells, seed, idCol = idCol))
     val unit = graft.functions.VectorFunctions.l2Normalize(col(vecCol))
     val unitized = indexed.filter(col(vecCol).isNotNull)
       .withColumn("__unit", unit)
@@ -1485,7 +1490,10 @@ object Similarity {
     * rerank, [[ivfPqRerankRecall]], 64×). Mean recall is exact integer
     * arithmetic until one final division: `sum(n_hit) / (n_queries * k)`.
     *
-    * Returns `(axis, memory_ratio, n_queries, mean_recall)` — six rows.
+    * Returns `(axis, memory_ratio, n_queries, mean_recall)` — six rows,
+    * seven with `includeProductionIvfPq` (the m=8/kCodes=64 rerank
+    * recipe, the deployable budget — trains its own index, so it is
+    * opt-in for the release-report gate rather than every table).
     */
   def compressionTradeoff(queries: DataFrame, corpus: DataFrame, k: Int,
                           shortlist: Int = 20, truncDim: Int = 16,
@@ -1493,7 +1501,8 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           roundDp: Int = 6,
-                          maxExactRows: Long = DefaultMaxExactRows)
+                          maxExactRows: Long = DefaultMaxExactRows,
+                          includeProductionIvfPq: Boolean = false)
       : DataFrame = {
     // ONE panel for all six arms: the IVF-PQ core drops null/empty query
     // vectors by construction, so the same filter is applied up front —
@@ -1524,7 +1533,13 @@ object Similarity {
             round(col("__hits").cast("double") /
               (col("n_queries") * k), roundDp)).as("mean_recall"))
     val pqM = 4
-    summarize("sq8", 4.0,
+    // ONE coarse IVF quantizer for every PQ arm (including the optional
+    // production arm): the cell structure does not depend on the PQ
+    // budget, and the coarse training's driver-round k-means is the
+    // dominant shared cost.
+    val sharedCoarse = Some(
+      ivfIndex(corpus, vecCol, nCells = 8, seed = 42L, idCol = idCol))
+    val sixArms = summarize("sq8", 4.0,
         sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows))
       .union(summarize(s"jl_$jlDim", dim.toDouble / jlDim,
         jlRecall(qs, corpus, k, inDim = dim, outDim = jlDim, idCol = idCol,
@@ -1541,7 +1556,7 @@ object Similarity {
         // the dominant costs, and both audits query the same deployed
         // structure by definition.
         val index = ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = pqM,
-          kCodes = 8, pqIterations = 2)
+          kCodes = 8, pqIterations = 2, coarse = sharedCoarse)
         val pqRatio = dim.toDouble * 4 / pqM
         summarize(s"ivf_pq_m$pqM", pqRatio,
           ivfPqRecallCore(qs, corpus, k, None, 8, pqM, 8, 2, 2,
@@ -1550,6 +1565,21 @@ object Similarity {
             ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, pqM, 8, 2,
               2, idCol, vecCol, roundDp, maxExactRows, Some(index))))
       }
+    // OPT-IN seventh arm: the PRODUCTION code budget (m=8 byte subspaces,
+    // kCodes=64, rerank — the `ivf_pq_production_recall` configuration).
+    // Off by default because it trains its own (larger) PQ codebooks —
+    // the card gate pays it so the release report shows the recipe a
+    // user would actually deploy, not just the oracle-toy budget. The
+    // COARSE quantizer is shared with the m=4 arms (cell structure is
+    // PQ-budget-independent). No empty-union placeholder: the default
+    // table's plan carries exactly six arms.
+    if (!includeProductionIvfPq) sixArms
+    else sixArms.union(
+      summarize("ivf_pq_m8_rerank", dim.toDouble * 4 / 8,
+        ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, 8, 64, 2,
+          2, idCol, vecCol, roundDp, maxExactRows,
+          Some(ivfPqIndex(corpus, vecCol, idCol, 8, 8, 64, 2,
+            coarse = sharedCoarse)))))
   }
 
   // -------------------------------------------------------------------------

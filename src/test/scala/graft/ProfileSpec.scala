@@ -381,6 +381,29 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(empty("lang_share_en").isEmpty)
   }
 
+  test("datasetCard storage section: decision-table rows reshape to two " +
+      "(metric, value) rows per axis, appended after the content card") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat and the dog")).toDF("doc_id", "text")
+    val tradeoff = Seq(
+      ("sq8", 4.0, 20L, Some(0.99)),
+      ("jl_16", 4.0, 20L, Some(0.12)),
+      ("empty_arm", 32.0, 0L, None)) // NULL mean_recall rides through
+      .toDF("axis", "memory_ratio", "n_queries", "mean_recall")
+    val card = Profile.datasetCard(docs, storage = Some(tradeoff))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(card.size == 13 + 6, card.keys.toString)
+    assert(card("storage_memory_ratio_sq8") == Some(4.0))
+    assert(card("storage_mean_recall_sq8") == Some(0.99))
+    assert(card("storage_mean_recall_jl_16") == Some(0.12))
+    assert(card("storage_memory_ratio_empty_arm") == Some(32.0))
+    assert(card("storage_mean_recall_empty_arm").isEmpty,
+      "an empty arm's NULL recall must stay NULL in the card")
+    // The plain card is unchanged by the optional section.
+    assert(Profile.datasetCard(docs).count() == 13)
+  }
+
   test("chiSquareIndependence: hand 2x2 table, totals, dof") {
     // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; N=80.
     // row x=40, col p=40 -> e=20 everywhere; term=(10)^2/20=5 -> chi2=20.
