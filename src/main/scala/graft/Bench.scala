@@ -130,6 +130,16 @@ object Bench {
           .replaceAll("ReusedExchange \\[[^\\]]*\\], ", "")
           .replaceAll("\\bBuild(Left|Right)\\b", "BuildX")
           .replaceAll("AQEShuffleRead \\S+", "AQEShuffleRead X")
+          // A broadcast mode's key ORDINAL is side-specific (input[0] on
+          // the compact side vs input[2] on the wide one), so a build-side
+          // flip rewrites it with no semantic change; the type/nullability
+          // stay and still distinguish genuinely different keys.
+          .replaceAll("input\\[\\d+, ", "input[N, ")
+          // Whether a window group-limit gets a map-side Partial pass
+          // depends on where AQE cut the stage, not on the query: the
+          // Final pass always exists, so in the line SET the Partial
+          // twin's presence is pure stage-boundary placement.
+          .replaceAll("(WindowGroupLimit .*), (?:Partial|Final)$", "$1, X")
           // The distinct-aggregate rewrite numbers its grouping-set ids in
           // expression-id order (run-varying); which COLUMN carries which
           // gid is placement, the filtered aggregate itself is the signal.
@@ -289,8 +299,11 @@ object Bench {
       // Second, placement-invariant digest (see [[canonicalizePlan]]):
       // diff THIS file round-over-round to separate real plan changes
       // from AQE reuse-site/build-side placement noise.
+      // Sorted by name so the file is byte-comparable with
+      // tools.CanonicalDigests regenerations.
       writeArtifact("digests_canonical.json",
-        planCanonical.map { case (k, v) => s"\"$k\":\"$v\"" }
+        planCanonical.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"$k\":\"$v\"" }
           .mkString("{", ",", "}"))
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -33,21 +33,26 @@ class BenchDigestSpec extends AnyFunSuite {
   }
 
   test("canonicalizePlan: exchange reuse-site swaps and build sides are placement") {
-    // Version A: site 1 prints the full exchange subtree, site 2 reuses it.
+    // Version A: site 1 prints the full exchange subtree, site 2 reuses
+    // it; the broadcast key ordinal (input[0] vs input[2]) follows the
+    // build side (the r13 span_dedup_clean flap).
     val a =
       """Join Inner, BuildLeft
-        |:- BroadcastExchange Mode(x), [plan_id=N]
+        |:- BroadcastExchange HashedRelationBroadcastMode(List(input[0, string, true]),false), [plan_id=N]
         |:  +- Project [a#N]
         |:     +- FileScan parquet [a#N]
-        |+- ReusedExchange [b#N], BroadcastExchange Mode(x), [plan_id=N]""".stripMargin
+        |+- ReusedExchange [b#N], BroadcastExchange HashedRelationBroadcastMode(List(input[0, string, true]),false), [plan_id=N]""".stripMargin
     // Version B: the reuse flipped sites (and the build side flipped).
     val b =
       """Join Inner, BuildRight
-        |:- ReusedExchange [a#N], BroadcastExchange Mode(x), [plan_id=N]
-        |+- BroadcastExchange Mode(x), [plan_id=N]
+        |:- ReusedExchange [a#N], BroadcastExchange HashedRelationBroadcastMode(List(input[2, string, true]),false), [plan_id=N]
+        |+- BroadcastExchange HashedRelationBroadcastMode(List(input[2, string, true]),false), [plan_id=N]
         |   +- Project [a#N]
         |      +- FileScan parquet [a#N]""".stripMargin
     assert(Bench.canonicalizePlan(a) == Bench.canonicalizePlan(b))
+    // A different broadcast-key TYPE is a real change, ordinal or not.
+    val bLong = b.replace("input[2, string, true]", "input[2, bigint, true]")
+    assert(Bench.canonicalizePlan(b) != Bench.canonicalizePlan(bLong))
     // A REAL node change must still flip the canonical form.
     val c = b.replace("FileScan parquet [a#N]", "FileScan parquet [a#N,c#N]")
     assert(Bench.canonicalizePlan(b) != Bench.canonicalizePlan(c))
