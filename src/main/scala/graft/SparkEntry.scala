@@ -522,6 +522,34 @@ object SparkEntry {
       hist.unionByName(singles)
     }),
 
+    "change_detection_bucketed" -> ((s, dir) => {
+      // The 10⁹-item-regime READ path (StateStore.changedBucketed
+      // scaladoc): change detection against a planted bucketed state
+      // table where the state scan is PARTITION-PRUNED to the batch's
+      // touched buckets and the anti-join is left to AQE instead of a
+      // forced broadcast (which cannot fit at that state size). Same
+      // closed-form plant as streaming_state_detect: %5 docs carry stale
+      // prior fingerprints, %7 docs are absent. Lazy return so the
+      // committed bench plan SHOWS the bucket PartitionFilters.
+      val root = java.nio.file.Files.createTempDirectory("graft-cdb")
+      val statePath = root.resolve("state").toString
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").cast("string").as("item_id"),
+          when(col("doc_id") % 5 === 0,
+            sha2(concat(col("text"), lit(" stale")), 256))
+            .otherwise(sha2(col("text"), 256)).as("fingerprint"),
+          lit(null).cast("timestamp").as("updated_at"))
+      graft.operators.StateStore.saveBucketed(prior, statePath,
+        numBuckets = 8)
+      val incoming = docs.select(col("doc_id").cast("string").as("item_id"),
+        sha2(col("text"), 256).as("fingerprint"))
+      graft.operators.StateStore
+        .changedBucketed(s, statePath, incoming, numBuckets = 8)
+        .select(col("item_id").cast("long").as("doc_id"),
+          col("fingerprint"))
+    }),
+
     "streaming_state_detect" -> ((s, dir) =>
       // Incremental ingest composed end to end THROUGH the streaming
       // engine over the BUCKETED state table (r12 verdict #7;
@@ -5174,6 +5202,12 @@ object SparkEntry {
     // CURRENT sha256 both at emit time and in the post-merge state.
     "streaming_state_detect" ->
       """SELECT doc_id, sha256(text) AS fingerprint, sha256(text) AS fp_after
+        |FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0""".stripMargin,
+
+    // Same plant, detection only (no merge column): the pruned batch
+    // read path must find exactly the stale and absent ids.
+    "change_detection_bucketed" ->
+      """SELECT doc_id, sha256(text) AS fingerprint
         |FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0""".stripMargin,
 
     // Batch-parity oracle for the streaming near-dup path: the stream's

@@ -52,7 +52,10 @@ object StateStore {
   /** Rows of `incoming` that are new or changed w.r.t. the state: anti-join
     * on (item_id, fingerprint). Null fingerprints are treated as unchanged.
     * The state side is broadcast (it is orders of magnitude smaller than the
-    * incoming corpus).
+    * incoming corpus). At the 10⁹-item state regime the broadcast no longer
+    * fits — use [[changedBucketed]] against a [[saveBucketed]] table
+    * instead: it reads ONLY the bucket directories the batch touches and
+    * lets AQE pick the join strategy.
     */
   def changed(incoming: DataFrame, state: DataFrame,
               idCol: String = "item_id", fpCol: String = "fingerprint"): DataFrame = {
@@ -62,6 +65,55 @@ object StateStore {
     incoming
       .filter(col(fpCol).isNotNull)
       .join(st, col(idCol) === col("__st_id") && col(fpCol) === col("__st_fp"), "left_anti")
+  }
+
+  /** [[changed]] for the BUCKETED 10⁹-item state regime: the read side is
+    * PARTITION-PRUNED to the bucket directories the batch actually
+    * touches (`pmod(murmur3(id), numBuckets)` is the same function the
+    * table was written with, so pruning is exact), and the anti-join is
+    * NOT force-broadcast — the pruned slice is
+    * |state| · touched/numBuckets rows, and AQE picks broadcast vs
+    * shuffle from its runtime size. Per-batch read cost therefore scales
+    * with the batch's bucket footprint, never the accumulated state —
+    * the read-path twin of [[upsertBucketed]]'s write-cost contract.
+    *
+    * The batch is PINNED (eager localCheckpoint) for the same reason as
+    * [[upsertBucketed]]: the touched-bucket collect and the returned
+    * join read the batch in separate actions, and a nondeterministic
+    * lineage re-evaluated between them could emit rows in buckets the
+    * state read never loaded — those rows would surface as (wrongly)
+    * "changed". Missing table -> everything with a non-null fingerprint
+    * is new, the fresh-state contract.
+    */
+  def changedBucketed(spark: SparkSession, path: String, incoming: DataFrame,
+                      numBuckets: Int = 64,
+                      idCol: String = "item_id",
+                      fpCol: String = "fingerprint"): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val inc = incoming.filter(col(fpCol).isNotNull).localCheckpoint(true)
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val exists = fsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fsPath)
+    if (!exists) inc
+    else {
+      // Bounded by numBuckets, driver-safe by construction.
+      val touched = inc
+        .select(stateBucket(col(idCol), numBuckets).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) inc // empty batch: nothing to compare
+      else {
+        val st = spark.read
+          .schema(schema.add(StructField("bucket", IntegerType)))
+          .parquet(path)
+          .filter(col("bucket").isin(touched: _*))
+          .filter(col("item_id") =!= WatermarkKey)
+          .select(col("item_id").as("__st_id"),
+            col("fingerprint").as("__st_fp"))
+        inc.join(st,
+          col(idCol) === col("__st_id") && col(fpCol) === col("__st_fp"),
+          "left_anti")
+      }
+    }
   }
 
   /** Full snapshot diff between two corpus versions — the dataset-iteration

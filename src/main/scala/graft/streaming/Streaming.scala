@@ -167,10 +167,14 @@ object Streaming {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
             val sp = batch.sparkSession
-            val st = StateStore.loadBucketed(sp, statePath)
-            // Pinned: the detected set feeds TWO actions (emit + merge);
-            // an unpinned lineage could re-evaluate between them.
-            val changed = StateStore.changed(batch, st).localCheckpoint(true)
+            // Bucket-pruned detection (r13): reads only the bucket dirs
+            // this micro-batch touches — the read-path twin of the merge
+            // below. Pinned: the detected set feeds TWO actions
+            // (emit + merge); an unpinned lineage could re-evaluate
+            // between them.
+            val changed = StateStore
+              .changedBucketed(sp, statePath, batch, numBuckets)
+              .localCheckpoint(true)
             if (!changed.isEmpty) {
               changed.write.mode("append").parquet(outPath)
               StateStore.upsertBucketed(sp, statePath, changed, numBuckets)

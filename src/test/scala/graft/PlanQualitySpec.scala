@@ -94,6 +94,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(800))
   }
 
+  test("change_detection_bucketed: the state scan is partition-pruned to " +
+      "the batch's buckets; no forced broadcast of the state") {
+    val p = plan("change_detection_bucketed")
+    assert(p.contains("PartitionFilters: [") && p.contains("bucket"),
+      "state scan not bucket-pruned: " + p.take(800))
+    assert(p.contains("LeftAnti") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("chunkers: chunking is a narrow stage (no shuffle)") {
     for (q <- Seq("chunk_recursive", "chunk_markdown", "chunk_adaptive")) {
       val p = plan(q)

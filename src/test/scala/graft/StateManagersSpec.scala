@@ -121,6 +121,43 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
     assert(itemMap(plain)("doc1") == "fpZ")
   }
 
+  test("changedBucketed: row-identical to changed() on the same state, " +
+      "partition-pruned scan, fresh-state and empty-batch contracts") {
+    import spark.implicits._
+    val dir = tempDir("graft-changed-bucketed").resolve("state").toString
+    val state = (1 to 40)
+      .map(i => (s"doc$i", s"fp$i", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("item_id", "fingerprint", "updated_at")
+    StateStore.saveBucketed(state, dir, numBuckets = 8)
+    val incoming = Seq(
+      ("doc3", "fp3"),       // unchanged -> not emitted
+      ("doc4", "fp4-new"),   // changed
+      ("doc99", "fp99"),     // new id
+      ("doc5", null))        // null fingerprint -> treated unchanged
+      .toDF("item_id", "fingerprint")
+    val viaBucketed = StateStore
+      .changedBucketed(spark, dir, incoming, numBuckets = 8)
+    val viaBroadcast = StateStore
+      .changed(incoming, StateStore.loadBucketed(spark, dir))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("item_id", "fingerprint").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys(viaBucketed) == Set("doc4" -> "fp4-new", "doc99" -> "fp99"))
+    assert(keys(viaBucketed) == keys(viaBroadcast))
+    // The state scan is partition-pruned to the batch's buckets — the
+    // read-path scale contract (never a full-table read).
+    val plan = viaBucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      plan.take(800))
+    // Missing table: everything with a non-null fingerprint is new.
+    assert(keys(StateStore.changedBucketed(spark, dir + "-missing",
+      incoming, 8)) ==
+      Set("doc3" -> "fp3", "doc4" -> "fp4-new", "doc99" -> "fp99"))
+    // Empty batch: no touched buckets, no crash, empty result.
+    assert(StateStore.changedBucketed(spark, dir,
+      incoming.filter($"item_id" === "nope"), 8).count() == 0)
+  }
+
   test("json backend refuses state past the driver-materialization cap") {
     // r6 verdict #7: the factory default backend is json (reference
     // fidelity) and collects the whole state per save — a scale-up user
