@@ -85,6 +85,26 @@ object StateBench {
       time(n, s"upsert dense $numBuckets/$numBuckets") {
         StateStore.upsertBucketed(spark, dir, dense, numBuckets)
       }
+      // READ path: change detection for a sparse batch — the bucket-
+      // pruned scan vs the full-load broadcast twin. Both are timed to
+      // a count() of the detected set (same 10k-row batch, all ids
+      // existing with a new fingerprint -> everything detected).
+      val probe = spark.range(n)
+        .select(itemId(col("id")).as("item_id"))
+        .filter(StateStore.stateBucket(col("item_id"), numBuckets) < 2)
+        .limit(batch)
+        .withColumn("fingerprint", lit("probe-v9"))
+        .localCheckpoint(true)
+      time(n, s"detect pruned 2/$numBuckets") {
+        val d = StateStore.changedBucketed(spark, dir, probe, numBuckets)
+          .count()
+        require(d == probe.count(), s"pruned detect missed rows: $d")
+      }
+      time(n, "detect broadcast full") {
+        val d = StateStore
+          .changed(probe, StateStore.loadBucketed(spark, dir)).count()
+        require(d == probe.count(), s"broadcast detect missed rows: $d")
+      }
       val rows = StateStore.loadBucketed(spark, dir).count()
       require(rows == n,
         s"merge lost or duplicated rows: expected $n, got $rows")
