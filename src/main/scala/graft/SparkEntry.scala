@@ -5200,15 +5200,21 @@ object SparkEntry {
     // composition: the plant makes every %5 doc stale in prior state and
     // every %7 doc absent, so detected = exactly that union with the
     // CURRENT sha256 both at emit time and in the post-merge state.
+    // `text IS NOT NULL` encodes the hash-failure-is-unchanged contract
+    // (changedBucketed drops null fingerprints) rather than relying on
+    // the fixture having no null-text %5/%7 docs (r13 advice).
     "streaming_state_detect" ->
       """SELECT doc_id, sha256(text) AS fingerprint, sha256(text) AS fp_after
-        |FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0""".stripMargin,
+        |FROM documents
+        |WHERE (doc_id % 5 = 0 OR doc_id % 7 = 0) AND text IS NOT NULL""".stripMargin,
 
     // Same plant, detection only (no merge column): the pruned batch
-    // read path must find exactly the stale and absent ids.
+    // read path must find exactly the stale and absent ids. Null-text
+    // guard as in streaming_state_detect.
     "change_detection_bucketed" ->
       """SELECT doc_id, sha256(text) AS fingerprint
-        |FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0""".stripMargin,
+        |FROM documents
+        |WHERE (doc_id % 5 = 0 OR doc_id % 7 = 0) AND text IS NOT NULL""".stripMargin,
 
     // Batch-parity oracle for the streaming near-dup path: the stream's
     // verified flags equal the brute-force docs-x-reference cross join at

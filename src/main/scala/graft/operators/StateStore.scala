@@ -96,6 +96,12 @@ object StateStore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fsPath)
     if (!exists) inc
     else {
+      // Layout check (r13 advice): a flat save() table here would read
+      // bucket = NULL everywhere and silently mark the whole batch
+      // changed — fail loudly instead.
+      requireBucketedLayout(
+        fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        fsPath, "changedBucketed")
       // Bounded by numBuckets, driver-safe by construction.
       val touched = inc
         .select(stateBucket(col(idCol), numBuckets).as("__bucket"))
@@ -198,6 +204,14 @@ object StateStore {
   /** Atomically persist state: write to a temp dir then rename over the old
     * table (the reference overwrites its JSON file in place,
     * `state_manager.py:63-67`; a rename avoids the torn-write window).
+    *
+    * Reader-race caveat (the [[rebucket]] contract, r13 advice): between
+    * the two renames the table is briefly ABSENT at `path` — a reader
+    * racing the swap bootstraps fresh-empty via the corrupt->fresh read
+    * contract, and a crash mid-swap leaves the preserved
+    * `<path>.old-<uuid>` copy needing manual recovery. The single-writer
+    * contract therefore extends to "no concurrent readers during the
+    * swap".
     */
   def save(state: DataFrame, path: String): Unit = {
     val spark = state.sparkSession
@@ -233,6 +247,34 @@ object StateStore {
     */
   def stateBucket(id: Column, numBuckets: Int): Column =
     pmod(hash(id.cast("string")), lit(numBuckets))
+
+  /** Fail LOUDLY when an existing table at `path` is not a
+    * [[saveBucketed]] layout (r13 advice): pointed at a flat [[save]]
+    * table, the explicit-schema bucketed read yields `bucket = NULL` for
+    * every row, `isin(touched)` prunes ALL state away, and
+    * [[changedBucketed]] silently reports the whole batch as new/changed
+    * (and [[upsertBucketed]] would splice partition dirs into a flat
+    * table). A legitimately EMPTY bootstrapped table (metadata files
+    * only, no partition dirs yet) passes — it really is empty state.
+    * Bounded: one directory listing.
+    */
+  private def requireBucketedLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, caller: String): Unit = {
+    val entries = fs.listStatus(path)
+    val offenders = entries.filter { st =>
+      val n = st.getPath.getName
+      val meta = n.startsWith("_") || n.startsWith(".")
+      if (st.isDirectory) !meta && !n.startsWith("bucket=")
+      else !meta
+    }
+    if (offenders.nonEmpty)
+      throw new IllegalStateException(
+        s"graft.StateStore.$caller: $path is not a bucketed state table " +
+          s"(found non-bucket entries like '${offenders.head.getPath.getName}'" +
+          s"; expected only 'bucket=N' directories). Flat tables written by " +
+          s"save() must be migrated once via saveBucketed()/rebucket().")
+  }
 
   /** Bootstrap (or fully rewrite) a BUCKETED state table: the same rows as
     * [[save]], hash-partitioned into `numBuckets` directories on a derived
@@ -344,6 +386,12 @@ object StateStore {
         // a legitimately EMPTY bootstrapped table (_SUCCESS only, no
         // partition dirs) has nothing to infer from and would otherwise
         // throw on every subsequent upsert — the load() discipline.
+        // Same layout check as changedBucketed: survivors read against a
+        // flat table would prune to nothing and the dynamic overwrite
+        // would splice bucket dirs into it — a corrupted mixed layout.
+        if (exists) requireBucketedLayout(
+          fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          fsPath, "upsertBucketed")
         val survivors =
           if (!exists) None
           else Some(spark.read

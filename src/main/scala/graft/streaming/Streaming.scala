@@ -193,11 +193,17 @@ object Streaming {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("fingerprint",
           org.apache.spark.sql.types.StringType)))
+      // dropDuplicates on read (r13 advice): the foreachBatch append of
+      // detected rows is non-transactional, so an at-least-once retry
+      // after a partial append would duplicate rows for the retried
+      // batch's ids. Ids are unique in the stream, so deduping on item_id
+      // is exact (a retry re-emits the same (item_id, fingerprint)).
       val detected =
-        if (new java.io.File(outPath).exists())
+        (if (new java.io.File(outPath).exists())
           spark.read.schema(detSchema).parquet(outPath)
         else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], detSchema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], detSchema))
+          .dropDuplicates("item_id")
       val out = detected
         .select(col("item_id"), col("fingerprint"))
         .join(fin, Seq("item_id"))

@@ -13,8 +13,21 @@ package graft.tools
 object CanonicalDigests {
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse("bench_plans"))
-    val plans = dir.listFiles()
-      .filter(f => f.getName.endsWith(".txt"))
+    val listed = dir.listFiles()
+    require(listed != null,
+      s"[canonical-digests] not a readable directory: ${dir.getAbsolutePath}")
+    // Only gates that still exist in the registry (r13 advice): a stale
+    // plan file left behind by a removed/renamed gate must not make the
+    // regenerated artifact diverge from Bench's output, which covers
+    // exactly the benched queries.
+    val live = graft.SparkEntry.queries.keySet
+    val stale = listed.filter(f => f.getName.endsWith(".txt") &&
+      !live.contains(f.getName.stripSuffix(".txt")))
+    stale.sortBy(_.getName).foreach(f => println(
+      s"[canonical-digests] skipping stale plan (no such gate): ${f.getName}"))
+    val plans = listed
+      .filter(f => f.getName.endsWith(".txt") &&
+        live.contains(f.getName.stripSuffix(".txt")))
       .sortBy(_.getName)
     def digest(s: String): String = {
       val md = java.security.MessageDigest.getInstance("SHA-256")

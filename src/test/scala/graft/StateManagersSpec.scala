@@ -158,6 +158,39 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
       incoming.filter($"item_id" === "nope"), 8).count() == 0)
   }
 
+  test("bucketed paths fail loudly on a flat save() table; an empty " +
+      "bootstrapped bucketed table still reads as fresh state") {
+    import spark.implicits._
+    val root = tempDir("graft-layout-guard")
+    val flat = root.resolve("flat-state").toString
+    val state = Seq(("doc1", "fp1", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("item_id", "fingerprint", "updated_at")
+    StateStore.save(state, flat)
+    val incoming = Seq(("doc1", "fp1-new")).toDF("item_id", "fingerprint")
+    // r13 advice: a flat table read through the bucketed path prunes ALL
+    // state away and silently reports everything changed — must throw.
+    val e1 = intercept[IllegalStateException] {
+      StateStore.changedBucketed(spark, flat, incoming, numBuckets = 8)
+    }
+    assert(e1.getMessage.contains("not a bucketed state table"))
+    val e2 = intercept[IllegalStateException] {
+      StateStore.upsertBucketed(spark, flat, incoming, numBuckets = 8)
+    }
+    assert(e2.getMessage.contains("not a bucketed state table"))
+    // Flat table is untouched by the refused upsert.
+    assert(itemMap(StateStore.load(spark, flat)) == Map("doc1" -> "fp1"))
+    // An EMPTY bootstrapped bucketed table (metadata only, no bucket
+    // dirs) is legitimate: everything incoming is new.
+    val empty = root.resolve("empty-state").toString
+    StateStore.saveBucketed(state.limit(0), empty, numBuckets = 8)
+    val out = StateStore.changedBucketed(spark, empty, incoming, 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set("doc1" -> "fp1-new"))
+    StateStore.upsertBucketed(spark, empty, incoming, numBuckets = 8)
+    assert(itemMap(StateStore.loadBucketed(spark, empty)) ==
+      Map("doc1" -> "fp1-new"))
+  }
+
   test("json backend refuses state past the driver-materialization cap") {
     // r6 verdict #7: the factory default backend is json (reference
     // fidelity) and collects the whole state per save — a scale-up user
