@@ -28,6 +28,45 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM stored-artifact registry for trained IVF-PQ indexes (r13
+    * verdict #1, train-once / audit-many): the FIRST gate that needs a
+    * (corpus variant, PQ budget) family trains it and SAVES it via
+    * [[Similarity.saveIvfPqIndex]]; every later gate LOADS the stored
+    * artifact — the audits certify the artifact a serving tier would
+    * read, and the suite stops paying the same coarse-k-means + codebook
+    * training once per gate. Artifacts live under one temp root per JVM
+    * (a model registry scoped to this session's corpus versions); the
+    * coarse centroids are additionally memoized so a second BUDGET over
+    * the same corpus re-assigns cells in one narrow pass instead of
+    * re-running the coarse k-means (cell structure is PQ-budget-
+    * independent, the compressionTradeoff sharedCoarse argument).
+    */
+  private lazy val ivfPqArtifactRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-ivfpq-artifacts")
+  private val ivfPqCoarse =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
+  private val ivfPqLock = new Object
+
+  private def ivfPqArtifact(s: SparkSession, dir: String, variant: String,
+                            corpus: => DataFrame, m: Int, kCodes: Int)
+      : (DataFrame, Array[Array[Double]], Pq.Codebooks) =
+    ivfPqLock.synchronized {
+      val slug = (s"$variant-$dir").replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = ivfPqArtifactRoot.resolve(s"$slug-m${m}_k$kCodes").toString
+      if (!Similarity.ivfPqIndexExists(s, path)) {
+        val c = corpus
+        val coarseKey = s"$variant|$dir"
+        val coarse = Option(ivfPqCoarse.get(coarseKey))
+          .map(cents => (Similarity.ivfAssign(c, cents), cents))
+        val (enc, cents, cb) = Similarity.ivfPqIndex(c, "embedding",
+          "vec_id", nCells = 8, m = m, kCodes = kCodes, pqIterations = 2,
+          coarse = coarse)
+        ivfPqCoarse.putIfAbsent(coarseKey, cents)
+        Similarity.saveIvfPqIndex(path, enc, cents, cb)
+      }
+      Similarity.loadIvfPqIndex(s, path)
+    }
+
   /** Cosine in double with the exact arithmetic mirrored in the oracle SQL
     * (dot/(sqrt*sqrt), left-to-right accumulation) — the native codegen'd
     * Catalyst expression, bit-identical to the UDF/HOF forms but with no
@@ -2009,19 +2048,23 @@ object SparkEntry {
       // nProbe=2, 4x8 PQ codebooks over unit vectors, ADC ranking — vs
       // the exact cosine top-5. The last ANN family whose composition had
       // no measured recall number (components are gated individually by
-      // similarity_ivf* / pq_*).
+      // similarity_ivf* / pq_*). The index comes from the per-session
+      // STORED artifact (ivfPqArtifact): train once, audit many.
       val e = t(s, dir, "embeddings")
-      Similarity.ivfPqRecall(e.filter(col("vec_id") < 20), e, k = 5)
+      Similarity.ivfPqRecall(e.filter(col("vec_id") < 20), e, k = 5,
+        prebuilt = Some(ivfPqArtifact(s, dir, "base", e, m = 4, kCodes = 8)))
     }),
 
     "ivf_pq_rerank_recall" -> ((s, dir) => {
       // The IVF-PQ DEPLOYMENT RECIPE (Similarity.ivfPqRerankRecall
       // scaladoc): ADC shortlist-20 per query (compressed scan), exact
       // cosine rerank to 5 — what shortlist depth buys back from the raw
-      // ADC ranking measured by ivf_pq_recall.
+      // ADC ranking measured by ivf_pq_recall. Reads the SAME stored
+      // artifact as ivf_pq_recall — two audits of one deployed index.
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqRerankRecall(e.filter(col("vec_id") < 20), e,
-        shortlist = 20, k = 5)
+        shortlist = 20, k = 5,
+        prebuilt = Some(ivfPqArtifact(s, dir, "base", e, m = 4, kCodes = 8)))
     }),
 
     "ivf_pq_production_recall" -> ((s, dir) => {
@@ -2033,9 +2076,12 @@ object SparkEntry {
       // deployment budget — m=8 byte-aligned subspace codes, kCodes=64
       // (6 bits used of each byte), ADC shortlist 20, exact rerank to 5 —
       // with the SAME full training replay (8 codebooks x 64 codes).
+      // The production-budget index is a stored artifact too (shared
+      // with dataset_card_storage's seventh arm).
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqRerankRecall(e.filter(col("vec_id") < 20), e,
-        shortlist = 20, k = 5, m = 8, kCodes = 64)
+        shortlist = 20, k = 5, m = 8, kCodes = 64,
+        prebuilt = Some(ivfPqArtifact(s, dir, "base", e, m = 8, kCodes = 64)))
     }),
 
     "jl_recall" -> ((s, dir) => {
@@ -2052,9 +2098,11 @@ object SparkEntry {
       // scaladoc): one row per measured axis (sq8 / jl / truncation /
       // 1-bit+rerank / ivf-pq) with byte-aligned memory ratio and mean
       // recall@5 — the dataset-card artifact the five audits feed, and
-      // the proof they compose in one plan.
+      // the proof they compose in one plan. The IVF-PQ arms read the
+      // session's stored m=4 artifact instead of retraining in-lineage.
       val e = t(s, dir, "embeddings")
-      Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
+      Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5,
+        prebuiltIvfPq = Some(ivfPqArtifact(s, dir, "base", e, 4, 8)))
     }),
 
     "compression_tradeoff_clustered" -> ((s, dir) => {
@@ -2066,10 +2114,13 @@ object SparkEntry {
       // which rankings are fixture artifacts and which are structural.
       // The fixture is PINNED (eager localCheckpoint, 500 rows): the six
       // arms reference it ~18 times, and without the pin each reference
-      // re-runs the parquet scan + transform.
+      // re-runs the parquet scan + transform. Its IVF-PQ index is its own
+      // stored artifact (variant "clustered" — a different corpus version
+      // is a different registry key).
       val e = Similarity.clusteredFixture(t(s, dir, "embeddings"))
         .localCheckpoint(true)
-      Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
+      Similarity.compressionTradeoff(e.filter(col("vec_id") < 20), e, k = 5,
+        prebuiltIvfPq = Some(ivfPqArtifact(s, dir, "clustered", e, 4, 8)))
     }),
 
     "event_transitions" -> ((s, dir) =>
@@ -2785,10 +2836,16 @@ object SparkEntry {
       // the opt-in production IVF-PQ arm (m=8/kCodes=64 rerank) — the
       // release report must show the deployable recipe, not just the
       // oracle-toy budget.
+      // Both IVF-PQ budgets read the session's stored artifacts (r13
+      // verdict #1): the release report audits the deployed indexes, it
+      // does not retrain them.
       val e = t(s, dir, "embeddings")
       val tr = Similarity.compressionTradeoff(
         e.filter(col("vec_id") < 20), e, k = 5,
-        includeProductionIvfPq = true)
+        includeProductionIvfPq = true,
+        prebuiltIvfPq = Some(ivfPqArtifact(s, dir, "base", e, 4, 8)),
+        prebuiltProductionIvfPq =
+          Some(ivfPqArtifact(s, dir, "base", e, 8, 64)))
       Profile.datasetCard(t(s, dir, "documents"), storage = Some(tr))
     }),
 

@@ -220,6 +220,68 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(r => r._2 >= 0.0 && r._2 < 1.0), s"got ${got.toSeq}")
   }
 
+  test("IVF-PQ artifact: save/load round-trips the quantizer and codes " +
+      "exactly; trainOrLoad loads without retraining; malformed fails loudly") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val cluster = i % 3
+      val base = Array.fill(8)(0.01f * (i % 7))
+      base(cluster) = 0.1f + (i % 50) * 2f
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (enc, cents, cb) = Similarity.ivfPqIndex(df, nCells = 3, m = 2,
+      kCodes = 8, pqIterations = 3)
+    val path = tempDir("graft-ivfpq-artifact").resolve("idx").toString
+    Similarity.saveIvfPqIndex(path, enc, cents, cb)
+    assert(Similarity.ivfPqIndexExists(spark, path))
+    val (enc2, cents2, cb2) = Similarity.loadIvfPqIndex(spark, path)
+    // Quantizer halves are VALUE-IDENTICAL (doubles round-trip parquet
+    // exactly) — the training-replay oracles hold over a load.
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(cb2.m == cb.m && cb2.subDim == cb.subDim && cb2.k == cb.k)
+    assert(cb2.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    def codeSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet
+    assert(codeSet(enc2) == codeSet(enc))
+    // trainOrLoad on an existing artifact LOADS — a corpus that could not
+    // train (empty) proves no retraining happened.
+    val (enc3, cents3, _) = Similarity.trainOrLoadIvfPqIndex(spark, path,
+      df.filter($"vec_id" < 0), nCells = 3, m = 2, kCodes = 8)
+    assert(cents3.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(codeSet(enc3) == codeSet(enc))
+    // ... and on a missing path it trains + saves + returns the LOADED form.
+    val path2 = tempDir("graft-ivfpq-artifact2").resolve("idx").toString
+    val (enc4, cents4, cb4) = Similarity.trainOrLoadIvfPqIndex(spark, path2,
+      df, nCells = 3, m = 2, kCodes = 8, pqIterations = 3)
+    assert(Similarity.ivfPqIndexExists(spark, path2))
+    assert(cents4.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(cb4.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codeSet(enc4) == codeSet(enc))
+    // Audit parity through the stored artifact: the deployment-recipe
+    // recall is IDENTICAL with a loaded index vs in-lineage training.
+    val qs = df.filter($"vec_id" < 3)
+    def recallRows(pre: Option[(org.apache.spark.sql.DataFrame,
+        Array[Array[Double]], graft.operators.Pq.Codebooks)]) =
+      Similarity.ivfPqRerankRecall(qs, df, shortlist = 6, k = 3,
+          nCells = 3, m = 2, kCodes = 8, pqIterations = 3, prebuilt = pre)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recallRows(Some((enc2, cents2, cb2))) == recallRows(None))
+    // Malformed artifact (quantizer missing a subspace) fails loudly.
+    val bad = tempDir("graft-ivfpq-bad").resolve("idx").toString
+    enc.write.parquet(s"$bad/codes")
+    Seq(("coarse", 0, 0, Seq(1.0, 0.0)), ("pq", 1, 0, Seq(1.0, 0.0)))
+      .toDF("section", "i", "j", "vec")
+      .write.parquet(s"$bad/quantizer")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.loadIvfPqIndex(spark, bad)
+    }
+    assert(err.getMessage.contains("loadIvfPqIndex"))
+  }
+
   test("truncationAudit: planted prefix-aligned vs tail-aligned vectors") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
