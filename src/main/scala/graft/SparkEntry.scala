@@ -2084,6 +2084,25 @@ object SparkEntry {
         prebuilt = Some(ivfPqArtifact(s, dir, "base", e, m = 8, kCodes = 64)))
     }),
 
+    "ivf_pq_nprobe_sweep" -> ((s, dir) => {
+      // Multi-probe settlement of IVF-PQ vs the 1-bit tier at equal
+      // memory (r13 verdict #5): recall@5 of the PRODUCTION-budget rerank
+      // recipe (m=8/kCodes=64, shortlist 20) at nProbe = 2 and 4 over the
+      // SAME stored artifact. nProbe is a query-time knob — the sweep
+      // audits one deployed index twice, it never retrains — so the
+      // marginal cost of each probe point is one more ADC panel, which is
+      // exactly the economics a serving tier tunes nProbe under.
+      val e = t(s, dir, "embeddings")
+      val art = ivfPqArtifact(s, dir, "base", e, m = 8, kCodes = 64)
+      Seq(2, 4).map { np =>
+        Similarity.ivfPqRerankRecall(e.filter(col("vec_id") < 20), e,
+            shortlist = 20, k = 5, m = 8, kCodes = 64, nProbe = np,
+            prebuilt = Some(art))
+          .select(lit(np).as("n_probe"), col("qid"), col("n_hit"),
+            col("recall"))
+      }.reduce(_.unionByName(_))
+    }),
+
     "jl_recall" -> ((s, dir) => {
       // Recall formulation of the JL random-projection axis
       // (Similarity.jlRecall scaladoc): recall@5 of the 64->16 projected
@@ -7505,6 +7524,18 @@ object SparkEntry {
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),
+
+    // Similarity.ivfPqRerankRecall replay at the production budget for
+    // nProbe in {2, 4} — two full training replays differing only in the
+    // probe-cell cut. Concatenated, never re-stripMargin'd (the inner SQL
+    // carries `||`).
+    "ivf_pq_nprobe_sweep" ->
+      ("SELECT 2 AS n_probe, q.* FROM (" +
+        ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
+          kCodes = 64) +
+        ") q UNION ALL SELECT 4 AS n_probe, q.* FROM (" +
+        ivfPqRecallSql(20, 5, 4, rerankShortlist = Some(20), m = 8,
+          kCodes = 64) + ") q"),
 
     // EventAnalytics.rollingDaily replay: RANGE-framed day window,
     // integer-cent sums, identical division shapes.
