@@ -28,6 +28,40 @@ object StateStore {
 
   val WatermarkKey = "__last_run__"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(StateStore.getClass)
+
+  /** Fraction of buckets a batch may touch before the bucketed paths emit
+    * a LOUD advisory (r13 verdict #4): `tools.StateBench` measured that a
+    * batch striding all buckets makes [[upsertBucketed]]'s survivor
+    * rewrite cost ≈ a full [[saveBucketed]] rewrite (and
+    * [[changedBucketed]]'s pruned read ≈ a full read) — the merge-on-read
+    * layout silently degrades to the thing it exists to avoid. Dense
+    * batches are sometimes legitimate (a bootstrap, a full recrawl); the
+    * advisory prices them instead of forbidding them.
+    */
+  val DenseBatchAdvisoryFraction = 0.5
+
+  /** Last density advisory emitted (None when the last bucketed call was
+    * sparse) — exposed so specs and ops probes can assert the advisory
+    * fires without scraping logs.
+    */
+  private[graft] val lastDensityAdvisory =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  private def adviseDensity(caller: String, path: String, touched: Int,
+                            numBuckets: Int): Unit = {
+    val msg =
+      if (numBuckets > 1 && touched > numBuckets * DenseBatchAdvisoryFraction)
+        Some(s"graft.StateStore.$caller: batch touches $touched/$numBuckets " +
+          s"buckets at $path - a dense batch pays ~full-table cost (measured: " +
+          s"tools.StateBench, SCALE.md sizing table). If every run looks like " +
+          s"this, the layout is undersized: rebucket() to a larger numBuckets " +
+          s"(keep a bucket under ~10M rows) or accept save()'s rewrite cost.")
+      else None
+    lastDensityAdvisory.set(msg)
+    msg.foreach(log.warn(_))
+  }
+
   def schema: StructType = StructType(Seq(
     StructField("item_id", StringType),
     StructField("fingerprint", StringType),
@@ -106,6 +140,7 @@ object StateStore {
       val touched = inc
         .select(stateBucket(col(idCol), numBuckets).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
+      adviseDensity("changedBucketed", path, touched.length, numBuckets)
       if (touched.isEmpty) inc // empty batch: nothing to compare
       else {
         val st = spark.read
@@ -365,6 +400,7 @@ object StateStore {
       // driver-safe by construction.
       val touched = newRows.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
+      adviseDensity("upsertBucketed", path, touched.length, numBuckets)
       if (touched.nonEmpty) {
         // Surviving rows of the touched buckets are STAGED to a scratch
         // dir and re-read before the overwrite — Spark (rightly) refuses

@@ -191,6 +191,37 @@ class StateManagersSpec extends AnyFunSuite with SparkTestBase {
       Map("doc1" -> "fp1-new"))
   }
 
+  test("dense-batch advisory fires on a bucket-striding batch and stays " +
+      "silent on a sparse one (r13 verdict #4)") {
+    import spark.implicits._
+    val dir = tempDir("graft-density").resolve("state").toString
+    val base = (1 to 64)
+      .map(i => (s"doc$i", s"fp$i", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("item_id", "fingerprint", "updated_at")
+    StateStore.saveBucketed(base, dir, numBuckets = 8)
+    // Dense: 64 ids stride all 8 buckets -> advisory, naming rebucket.
+    StateStore.upsertBucketed(spark, dir,
+      (1 to 64).map(i => (s"doc$i", s"fp$i-v2")).toDF("item_id", "fingerprint"),
+      numBuckets = 8)
+    val dense = StateStore.lastDensityAdvisory.get()
+    assert(dense.exists(m => m.contains("upsertBucketed") &&
+      m.contains("8/8") && m.contains("rebucket")), dense.toString)
+    // Sparse: one id -> no advisory (the steady-state incremental batch).
+    StateStore.upsertBucketed(spark, dir,
+      Seq(("doc1", "fp1-v3")).toDF("item_id", "fingerprint"), numBuckets = 8)
+    assert(StateStore.lastDensityAdvisory.get().isEmpty)
+    // The read path prices density the same way.
+    StateStore.changedBucketed(spark, dir,
+      (1 to 64).map(i => (s"doc$i", s"fpX$i")).toDF("item_id", "fingerprint"),
+      numBuckets = 8).count()
+    assert(StateStore.lastDensityAdvisory.get()
+      .exists(_.contains("changedBucketed")))
+    StateStore.changedBucketed(spark, dir,
+      Seq(("doc1", "fpY")).toDF("item_id", "fingerprint"),
+      numBuckets = 8).count()
+    assert(StateStore.lastDensityAdvisory.get().isEmpty)
+  }
+
   test("json backend refuses state past the driver-materialization cap") {
     // r6 verdict #7: the factory default backend is json (reference
     // fidelity) and collects the whole state per save — a scale-up user
