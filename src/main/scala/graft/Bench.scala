@@ -382,7 +382,14 @@ object Bench {
     }
     if (line != candidates.head)
       System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")
+    // The JSON must be the LAST thing any logger writes (r13 verdict #6):
+    // the driver parses a fixed-size output tail, and teardown log noise
+    // after the line can push it out of the window. Logs off, flush, then
+    // stop — every diagnostic above already printed before this point.
+    spark.sparkContext.setLogLevel("OFF")
+    System.err.flush()
     println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -1492,15 +1492,24 @@ object Similarity {
     * ends here, so the contract is stated once.
     */
   private def recallJoin(exact: DataFrame, approx: DataFrame, k: Int,
-                         roundDp: Int): DataFrame =
+                         roundDp: Int): DataFrame = {
+    // The approx side is RENAMED before the join: both frames usually
+    // descend from one query panel, so `exact("qid") === approx("qid")`
+    // constructs an equals over the SAME attribute reference — correct
+    // after Dataset self-join disambiguation, but Column logs a
+    // "trivially true … use aliases" warning per audit arm (the r13
+    // bench-stderr fragment). Distinct names build an unambiguous
+    // condition and the identical plan, warning-free.
+    val a = approx.select(col("qid").as("__aqid"), col("id").as("__aid"),
+      lit(1L).as("__hit"))
     exact
-      .join(approx.withColumn("__hit", lit(1L)),
-        exact("qid") === approx("qid") && col("__eid") === approx("id"),
+      .join(a, col("qid") === col("__aqid") && col("__eid") === col("__aid"),
         "left")
-      .groupBy(exact("qid"))
+      .groupBy(col("qid"))
       .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .select(col("qid"), col("n_hit"),
         round(col("n_hit").cast("double") / k, roundDp).as("recall"))
+  }
 
   /** Upper bound on a recall-audit query panel (see [[ivfPqRecall]]): the
     * panel is collected to the driver and each query becomes its own plan
