@@ -3638,6 +3638,26 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("j"), col("level"))
     }),
 
+    "video_frames" -> ((s, dir) => {
+      // Real end-to-end VIDEO pipeline with a FULL oracle (r13 verdict
+      // #2 — the last multimodal stub made real): a deterministic
+      // DIB-in-AVI clip is generated per doc (2 + doc_id % 3 frames of
+      // the 8x6 gray pattern), container-walked and per-frame-decoded by
+      // Multimodal.decodeAviFrames (RIFF chunk walk + real ImageIO), and
+      // reported as exact integer per-frame luminance sums the oracle
+      // recomputes analytically. Every %5 doc instead carries a
+      // RIFF/WAVE payload — RIFF but NOT an AVI — pinning the
+      // undecodable-container null contract in the same gate.
+      val mk = udf((id: Long) =>
+        if (id % 5 == 0) Multimodal.syntheticWav(id, 64)
+        else Multimodal.syntheticAvi(id, (2 + id % 3).toInt, 8, 6))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.videoFrameLuminanceFrame(media)
+        .select(col("media_id").as("doc_id"), col("frame_index"),
+          col("width"), col("height"), col("lum_sum"))
+    }),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.fromText(t(s, dir, "documents"), "text", "doc_id"),
@@ -9842,6 +9862,25 @@ object SparkEntry {
         |SELECT doc_id, i // 32 AS j,
         | CAST(floor(sum(a) / 32.0) AS BIGINT) AS level
         |FROM s GROUP BY doc_id, i // 32""".stripMargin,
+
+    // Analytic replay of the DIB-in-AVI decode: frame f of doc d holds
+    // the 8x6 gray pattern v = (d*7 + 13x + 31y + 97f) % 256, whose
+    // integer Rec.601 luminance is v itself, so lum_sum = sum(v). %5 docs
+    // carry a RIFF/WAVE (not AVI) payload -> one all-null row each.
+    "video_frames" ->
+      """WITH fr AS (SELECT doc_id, f.f AS f
+        | FROM documents, range(0, 4) f(f)
+        | WHERE doc_id % 5 <> 0 AND f.f < 2 + doc_id % 3),
+        |px AS (SELECT x.x AS x, y.y AS y
+        | FROM range(0, 8) x(x), range(0, 6) y(y))
+        |SELECT fr.doc_id, CAST(fr.f AS BIGINT) AS frame_index,
+        | CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        | CAST(sum((fr.doc_id * 7 + 13 * px.x + 31 * px.y + 97 * fr.f) % 256)
+        |   AS BIGINT) AS lum_sum
+        |FROM fr, px GROUP BY 1, 2
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL FROM documents
+        |WHERE doc_id % 5 = 0""".stripMargin,
 
     "multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,

@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * and emits pixel-derived luminance-histogram features plus width/height).
   * AUDIO decode is REAL (javax.sound.sampled — also JDK built-in — handles
   * WAV/AIFF/AU PCM and emits an RMS energy envelope over the mixed-down
-  * samples). Video codecs are not in this container, so those payloads fall
-  * back to [[stubDecode]], a clearly-marked deterministic fake over the raw
-  * bytes; swapping in a real codec changes only the [[decode]] dispatch.
+  * samples). VIDEO frame decode is REAL for AVI containers
+  * ([[decodeAviFrames]]: RIFF chunk walk + per-frame ImageIO over MJPEG
+  * and DIB streams); MP4/H.264-class payloads have no JDK codec, so only
+  * THOSE fall back to [[stubDecode]], a clearly-marked deterministic fake
+  * over the raw bytes — swapping in a real codec changes only the
+  * [[decode]] dispatch.
   */
 object Multimodal {
 
@@ -517,6 +520,217 @@ object Multimodal {
         (col("__i") % outW).cast("long").as("x"),
         (col("__i") / outW).cast("long").as("y"),
         col("lum").cast("long").as("lum"))
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video frame extraction: AVI (RIFF) container walk + per-frame
+  // ImageIO decode — DIB (uncompressed BMP) and MJPEG (JPEG-per-frame)
+  // streams, the two AVI layouts the JDK can decode without native codecs.
+  // ---------------------------------------------------------------------
+
+  /** Shared AVI writer: a REAL RIFF/AVI byte stream — `hdrl` (avih + one
+    * `vids` strl with the given handler/strf) + `movi` with one chunk per
+    * frame. [[syntheticAvi]] emits DIB frames, [[mjpegAvi]] wraps
+    * already-encoded JPEGs.
+    */
+  private def buildAvi(handler: String, biCompression: Int,
+                       frames: Seq[Array[Byte]], width: Int, height: Int,
+                       frameChunkId: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII")); b.write(le32(data.length))
+      b.write(data); if (data.length % 2 == 1) b.write(0)
+      b.toByteArray
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25).putInt(0).putInt(frames.length)
+      .putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      .array()
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(biCompression).putInt(maxFrame).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0).array()
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk(frameChunkId, f)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Deterministic DIB-in-AVI test video: `nFrames` uncompressed bottom-up
+    * 24-bit frames of the [[syntheticBmp]] gray family extended per frame —
+    * pixel `v(x, y, f) = (seed * 7 + x * 13 + y * 31 + f * 97) % 256` — in
+    * a REAL AVI container ('vids'/'DIB ', BI_RGB strf, '00db' chunks). The
+    * video probe for the end-to-end decode gates/specs: DIB frames are
+    * lossless, so an oracle recomputes every decoded pixel analytically
+    * (the [[syntheticWav]]/[[syntheticBmp]] discipline lifted to video).
+    */
+  def syntheticAvi(seed: Long, nFrames: Int, width: Int,
+                   height: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val rowPadded = (rowBytes + 3) / 4 * 4
+    val frames = (0 until nFrames).map { f =>
+      val b = java.nio.ByteBuffer.allocate(rowPadded * height)
+      var y = height - 1 // DIB rows store bottom-up, like BMP
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = ((seed * 7 + x * 13 + y * 31 + f * 97) % 256).toByte
+          b.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = rowBytes
+        while (p < rowPadded) { b.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      b.array()
+    }
+    buildAvi("DIB ", 0, frames, width, height, "00db")
+  }
+
+  /** Wrap already-encoded JPEG frames as an MJPEG AVI ('vids'/'MJPG',
+    * '00dc' chunks) — the classic motion-JPEG layout where every frame is
+    * a self-contained JPEG the per-frame ImageIO decode reads directly.
+    */
+  def mjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int,
+               height: Int): Array[Byte] =
+    buildAvi("MJPG", 0x47504A4D /* 'MJPG' LE */, jpegFrames, width, height,
+      "00dc")
+
+  /** REAL video frame decode — the RIFF/AVI chunk walk (the OLE2/WARC
+    * container discipline) + per-frame ImageIO decode, closing the last
+    * multimodal stub for the codecs the JDK actually has:
+    *  - MJPEG streams: each '##dc' chunk is a self-contained JPEG
+    *    (SOI-sniffed), handed to ImageIO as-is;
+    *  - DIB/BI_RGB streams: each '##db'/'##dc' chunk is a raw bottom-up
+    *    bitmap; the stream's `strf` BITMAPINFOHEADER (from the first
+    *    'vids' strl) is re-attached under a 14-byte BITMAPFILEHEADER and
+    *    decoded by ImageIO's BMP reader — a real decode of the real frame
+    *    bytes, not a byte-stub.
+    * Frames land in 'movi' (and nested 'rec ' lists); chunk sizes pad to
+    * even per RIFF. Returns None for anything that is not a walkable AVI
+    * with at least one decodable video frame (the undecodable-container
+    * null contract — MP4/H.264-class payloads still have no JDK codec and
+    * correctly land here); an individual frame ImageIO rejects is skipped.
+    * `maxFrames` bounds per-row work and output by construction (a decode
+    * UDF at corpus scale must have a bounded explode factor).
+    */
+  def decodeAviFrames(payload: Array[Byte], maxFrames: Int = 64)
+      : Option[Seq[java.awt.image.BufferedImage]] = {
+    if (payload == null || payload.length < 24) return None
+    def fourcc(off: Int): String =
+      if (off + 4 <= payload.length) new String(payload, off, 4, "US-ASCII")
+      else ""
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    try {
+      val frames = scala.collection.mutable.ArrayBuffer
+        .empty[java.awt.image.BufferedImage]
+      var vidsStrf: Array[Byte] = null
+      var pendingVids = false
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      def decodeDib(dataOff: Int, sz: Int): Unit = {
+        val bmp = java.nio.ByteBuffer.allocate(14 + vidsStrf.length + sz)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bmp.put('B'.toByte).put('M'.toByte)
+          .putInt(14 + vidsStrf.length + sz).putInt(0)
+          .putInt(14 + vidsStrf.length)
+          .put(vidsStrf).put(payload, dataOff, sz)
+        decodeImage(bmp.array()).foreach(frames += _)
+      }
+      def walk(from: Int, until: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= until && frames.length < maxFrames) {
+          val id = fourcc(off)
+          val sz = u32(off + 4).toInt
+          val data = off + 8
+          if (sz < 0 || data + sz > until) return // truncated: stop walking
+          if (id == "LIST" && sz >= 4) {
+            val lt = fourcc(data)
+            walk(data + 4, data + sz,
+              inMovi || lt == "movi" || lt == "rec ", lt == "strl")
+          } else if (inStrl && id == "strh" && sz >= 8) {
+            pendingVids = fourcc(data) == "vids"
+          } else if (inStrl && id == "strf" && pendingVids && vidsStrf == null) {
+            vidsStrf = java.util.Arrays.copyOfRange(payload, data, data + sz)
+            pendingVids = false
+          } else if (inMovi && sz > 2 && id.length == 4 &&
+              id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("db") || id.endsWith("dc"))) {
+            if (payload(data) == 0xFF.toByte && payload(data + 1) == 0xD8.toByte)
+              decodeImage(java.util.Arrays.copyOfRange(payload, data, data + sz))
+                .foreach(frames += _) // MJPEG: the chunk IS a JPEG
+            else if (vidsStrf != null && vidsStrf.length >= 40)
+              decodeDib(data, sz)
+          }
+          off = data + sz + (sz & 1) // RIFF chunks pad to even
+        }
+      }
+      walk(12, payload.length, inMovi = false, inStrl = false)
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-frame luminance report over a VIDEO media table — the real-decode
+    * feature pass for AVI payloads: one row per decoded frame
+    * `(media_id, frame_index, width, height, lum_sum)` where `lum_sum` is
+    * the EXACT integer Rec.601 sum `Σ (30r + 59g + 11b) / 100` over the
+    * frame's pixels (equal to `Σ v` on gray frames — what makes the
+    * [[syntheticAvi]] oracle analytic). Undecodable payloads emit ONE row
+    * with null frame columns (posexplode_outer) — the null contract stays
+    * visible per id instead of silently dropping rows. Narrow map +
+    * explode, bounded by `maxFrames`; at 100 TB this is a scan.
+    */
+  def videoFrameLuminanceFrame(media: DataFrame,
+                               maxFrames: Int = 64): DataFrame = {
+    // asNondeterministic: optimizer fence against decode duplication —
+    // see [[imageResizeFrame]].
+    val u = udf((payload: Array[Byte]) =>
+      decodeAviFrames(payload, maxFrames).map(_.map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (30 * ((rgb >> 16) & 0xff) + 59 * ((rgb >> 8) & 0xff) +
+              11 * (rgb & 0xff)) / 100
+            x += 1
+          }
+          y += 1
+        }
+        (w.toLong, h.toLong, sum)
+      })).asNondeterministic()
+    Partitioning.ensureParallelism(media)
+      .select(col("media_id"), u(col("payload")).as("__f"))
+      .select(col("media_id"),
+        posexplode_outer(col("__f")).as(Seq("__i", "__t")))
+      .select(col("media_id"), col("__i").cast("long").as("frame_index"),
+        col("__t._1").as("width"), col("__t._2").as("height"),
+        col("__t._3").as("lum_sum"))
   }
 
   /** Resize shape for image-like payloads: downsample a decoded feature

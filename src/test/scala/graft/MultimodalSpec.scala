@@ -238,6 +238,83 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.audioEnvelopeBits(samples))
   }
 
+  test("AVI decode: DIB frames round-trip the analytic pattern pixel-exact") {
+    val seed = 4L
+    val frames = Multimodal.decodeAviFrames(
+      Multimodal.syntheticAvi(seed, 3, 8, 6)).get
+    assert(frames.length == 3)
+    for (f <- 0 until 3) {
+      val img = frames(f)
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val v = ((seed * 7 + x * 13 + y * 31 + f * 97) % 256).toInt
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == v && ((rgb >> 8) & 0xff) == v &&
+          (rgb & 0xff) == v, s"frame $f pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("AVI decode: MJPEG frames decode via per-frame ImageIO, identical " +
+      "to decoding the same JPEG bytes directly") {
+    // Build two real JPEGs with ImageIO, wrap them in an MJPG AVI, and
+    // require the container walk to surface EXACTLY what direct ImageIO
+    // decode of the same bytes yields — lossy codec, but same bytes +
+    // same decoder = same pixels.
+    val jpegs = (0 until 2).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, ((x * 16 + y * 7 + f * 40) % 256) * 0x010101)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    val frames = Multimodal.decodeAviFrames(
+      Multimodal.mjpegAvi(jpegs, 16, 12)).get
+    assert(frames.length == 2)
+    for (f <- 0 until 2) {
+      val direct = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpegs(f)))
+      assert(frames(f).getWidth == 16 && frames(f).getHeight == 12)
+      for (y <- 0 until 12; x <- 0 until 16)
+        assert(frames(f).getRGB(x, y) == direct.getRGB(x, y),
+          s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("AVI decode: undecodable-container null contract (WAV, truncated, " +
+      "garbage, null, frame cap)") {
+    assert(Multimodal.decodeAviFrames(Multimodal.syntheticWav(1L, 64)).isEmpty)
+    assert(Multimodal.decodeAviFrames(null).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array[Byte](1, 2, 3)).isEmpty)
+    val avi = Multimodal.syntheticAvi(2L, 2, 8, 6)
+    // Truncation mid-movi: the walk stops at the broken chunk; whatever
+    // decoded before it survives, a fully-headerless prefix yields None.
+    assert(Multimodal.decodeAviFrames(avi.take(20).toArray).isEmpty)
+    // maxFrames caps the explode factor by construction.
+    assert(Multimodal.decodeAviFrames(
+      Multimodal.syntheticAvi(3L, 5, 8, 6), maxFrames = 2).get.length == 2)
+  }
+
+  test("video luminance frame: exact integer sums per frame, one null row " +
+      "per undecodable payload") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticAvi(1L, 2, 8, 6)),
+      (2L, Multimodal.syntheticWav(2L, 64))) // RIFF but not AVI
+      .toDF("media_id", "payload")
+    val rows = Multimodal.videoFrameLuminanceFrame(media).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    def lumSum(seed: Long, f: Int): Long =
+      (for (y <- 0 until 6; x <- 0 until 8)
+        yield (seed * 7 + x * 13 + y * 31 + f * 97) % 256).sum
+    assert(rows == Set((1L, 0L, lumSum(1L, 0)), (1L, 1L, lumSum(1L, 1)),
+      (2L, -1L, -1L)))
+  }
+
   test("dHash frame: per-media hashes, null for undecodable payloads") {
     import spark.implicits._
     val media = Seq(
