@@ -647,6 +647,19 @@ object DocumentExtract {
     */
   private[functions] def ole2BestEffort(ext: String, bytes: Array[Byte]): String = {
     val streams = ole2Streams(bytes)
+    // Real Word 97 walk first ([MS-DOC]): FIB -> Clx in the 0Table/1Table
+    // stream -> PlcPcd piece table -> per-piece cp1252/UTF-16LE decode.
+    // Falls back to the printable-run scrape when the FIB is absent or
+    // malformed (pre-97 files, encrypted docs, truncated containers).
+    val word97 =
+      if (ext != "doc") None
+      else streams.find(_._1 == "WordDocument").map(_._2).flatMap { wd =>
+        val tableName =
+          if (wd.length > 0x0B && (u16At(wd, 0x0A) & 0x0200) != 0) "1Table"
+          else "0Table"
+        word97Text(wd, streams.find(_._1 == tableName).map(_._2))
+      }
+    if (word97.isDefined) return word97.get
     val preferred = ext match {
       case "doc" => streams.filter(_._1 == "WordDocument")
       case "ppt" => streams.filter(_._1 == "PowerPoint Document")
@@ -659,6 +672,76 @@ object DocumentExtract {
       if (preferred.nonEmpty) preferred
       else streams.filter(s => s._1.nonEmpty && s._1.charAt(0) >= ' ')
     picked.flatMap(s => printableRuns(s._2)).mkString("\n")
+  }
+
+  /** Real Word 97 text extraction ([MS-DOC]): walk the variable-length FIB
+    * in the WordDocument stream to FibRgFcLcb97's fcClx/lcbClx (pair 33),
+    * read the Clx from the table stream (skipping any leading Prc grpprl
+    * entries), then replay the Pcdt's PlcPcd piece table — each Pcd's
+    * FcCompressed selects cp1252 bytes at fc/2 (bit 30 set) or UTF-16LE at
+    * fc (clear), with piece lengths from consecutive CPs. The reference
+    * gets the same walk from `unstructured.partition`
+    * (`yamlpipe/components/sources.py:92-93`). Returns None on ANY
+    * structural problem (pre-97 FIB, encrypted/truncated file,
+    * out-of-bounds offsets) so the caller degrades to the printable-run
+    * scrape instead of throwing — the fuzz contract (string or
+    * IllegalArgumentException, never anything else) holds by construction.
+    */
+  private[functions] def word97Text(
+      wd: Array[Byte], tableOpt: Option[Array[Byte]]): Option[String] = {
+    if (wd.length < 0x22 || u16At(wd, 0) != 0xA5EC) return None
+    // Variable FIB: base(32 B) | csw, FibRgW | cslw, FibRgLw | cbRgFcLcb,
+    // FibRgFcLcbBlob.
+    var o = 0x20
+    o += 2 + u16At(wd, o) * 2
+    if (o + 2 > wd.length) return None
+    o += 2 + u16At(wd, o) * 4
+    if (o + 2 > wd.length) return None
+    val cbRgFcLcb = u16At(wd, o)
+    o += 2
+    if (cbRgFcLcb < 34 || o + 34 * 8 > wd.length) return None
+    val fcClx = i32At(wd, o + 33 * 8)
+    val lcbClx = i32At(wd, o + 33 * 8 + 4)
+    val tbl = tableOpt.getOrElse(return None)
+    if (fcClx < 0 || lcbClx <= 0 || fcClx.toLong + lcbClx > tbl.length)
+      return None
+    // Clx: zero or more Prc (clxt=0x01, cb: u16, grpprl bytes), then the
+    // Pcdt (clxt=0x02, lcb: u32, PlcPcd).
+    var p = fcClx
+    val end = fcClx + lcbClx
+    while (p < end && (tbl(p) & 0xFF) == 0x01) {
+      if (p + 3 > end) return None
+      p += 3 + u16At(tbl, p + 1)
+    }
+    if (p + 5 > end || (tbl(p) & 0xFF) != 0x02) return None
+    val lcbPlc = i32At(tbl, p + 1)
+    val plc = p + 5
+    // PlcPcd: n+1 CPs (4 B each) then n Pcds (8 B each) -> lcb = 4 + 12n.
+    if (lcbPlc < 16 || (lcbPlc - 4) % 12 != 0 || plc.toLong + lcbPlc > end)
+      return None
+    val n = (lcbPlc - 4) / 12
+    val pcd0 = plc + (n + 1) * 4
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val len = i32At(tbl, plc + (i + 1) * 4) - i32At(tbl, plc + i * 4)
+      val fcRaw = i32At(tbl, pcd0 + i * 8 + 2)
+      val fc = fcRaw & 0x3FFFFFFF
+      if (len < 0 || sb.length.toLong + len > MaxInflatedBytes) return None
+      if ((fcRaw & 0x40000000) != 0) { // fCompressed: cp1252 bytes at fc/2
+        val off = fc / 2
+        if (off.toLong + len > wd.length) return None
+        var j = 0
+        while (j < len) { sb.append(cp1252Char(wd(off + j) & 0xFF)); j += 1 }
+      } else {
+        if (fc.toLong + len * 2L > wd.length) return None
+        sb.append(new String(wd, fc, len * 2, StandardCharsets.UTF_16LE))
+      }
+      i += 1
+    }
+    // Word stores paragraph marks as CR and table cell/row marks as 0x07.
+    val text = sb.toString.replace('\r', '\n').replace('\u0007', '\n').trim
+    if (text.nonEmpty) Some(text) else None
   }
 
   private def u16At(b: Array[Byte], o: Int): Int =

@@ -284,6 +284,34 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       s"text duplicated across encoding scans: $got")
   }
 
+  test("Word 97 .doc piece table: multi-piece ANSI + UTF-16 decode in CP order") {
+    val pieces = Seq(
+      ("First piece in cp1252 — naïve café.\r", true),
+      ("Second piece in UTF-16 with “smart quotes”.\r", false),
+      ("Third piece back in cp1252.", true))
+    val got = DocumentExtract.extract("doc", "w97.doc",
+      DocumentExtractSpec.word97Fixture(pieces, prcPrefix = true))
+    val expected = "First piece in cp1252 — naïve café.\n" +
+      "Second piece in UTF-16 with “smart quotes”.\n" +
+      "Third piece back in cp1252."
+    assert(got == expected, got)
+  }
+
+  test("Word 97 .doc with a corrupt piece table degrades to the scrape") {
+    val good = DocumentExtractSpec.word97Fixture(
+      Seq(("Recoverable body text content.", true)))
+    val b = good.clone()
+    // lcbClx lives at FIB offset 422; the WordDocument stream is the first
+    // data stream -> container sector 2 -> byte offset (2+1)*512. Point it
+    // past the table stream: word97Text must return None (not throw) and
+    // the printable-run scrape still recovers the body.
+    val o = 3 * 512 + 422
+    b(o) = 0xFF.toByte; b(o + 1) = 0xFF.toByte
+    b(o + 2) = 0xFF.toByte; b(o + 3) = 0x7F.toByte
+    val got = DocumentExtract.extract("doc", "w97bad.doc", b)
+    assert(got.contains("Recoverable body text content"), got)
+  }
+
   test("OLE2 self-referencing DIFAT chain fails loudly instead of OOMing") {
     // Point the header's DIFAT chain at data sector 4 and make that
     // sector's trailing next-pointer reference itself: without the cycle
@@ -378,6 +406,78 @@ object DocumentExtractSpec {
 
   def cfbFixture(streamName: String, text: String): Array[Byte] =
     cfbFixtureRaw(streamName, text.getBytes(StandardCharsets.ISO_8859_1))
+
+  /** Multi-stream variant of [[cfbFixtureRaw]]: sectors [0]=FAT, [1]=dir,
+    * then each stream's data in turn, every stream padded to >= the 4096
+    * mini cutoff so all take the FAT path. One dir sector -> <= 3 streams.
+    */
+  def cfbFixtureStreams(streams: (String, Array[Byte])*): Array[Byte] = {
+    require(streams.size <= 3, "one dir sector holds at most 3 stream entries")
+    val fat = new Array[Byte](512)
+    putI32(fat, 0, FATSECT); putI32(fat, 4, END) // dir chain: just sector 1
+    val dir = new Array[Byte](512)
+    dirEntry(dir, 0, "Root Entry", 5, child = 1, start = END, size = 0)
+    var next = 2
+    val data = streams.zipWithIndex.map { case ((name, content), i) =>
+      val padded = java.util.Arrays.copyOf(content,
+        math.max(4096, ((content.length + 511) / 512) * 512))
+      val nSec = padded.length / 512
+      for (s <- next until next + nSec - 1) putI32(fat, s * 4, s + 1)
+      putI32(fat, (next + nSec - 1) * 4, END)
+      dirEntry(dir, i + 1, name, 2, child = FREE, start = next,
+        size = padded.length)
+      next += nSec
+      padded
+    }
+    for (s <- next until 128) putI32(fat, s * 4, FREE)
+    header(1, 1, END, 0) ++ fat ++ dir ++ data.toArray.flatten
+  }
+
+  /** Build a REAL Word 97 .doc ([MS-DOC]): the WordDocument stream is a
+    * 1024 B FIB block followed by the text pieces; the 1Table stream holds
+    * the Clx (optional Prc prefix, then the Pcdt's PlcPcd). Each piece is
+    * (text, compressed): compressed pieces store cp1252 bytes addressed at
+    * fc/2 (FcCompressed bit 30 set), uncompressed pieces UTF-16LE at fc.
+    */
+  def word97Fixture(pieces: Seq[(String, Boolean)],
+                    prcPrefix: Boolean = false): Array[Byte] = {
+    val textBuf = new java.io.ByteArrayOutputStream()
+    val fcs = pieces.map { case (text, compressed) =>
+      val off = 1024 + textBuf.size
+      textBuf.write(
+        if (compressed) text.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        else text.getBytes(StandardCharsets.UTF_16LE))
+      if (compressed) (off * 2) | 0x40000000 else off
+    }
+    val wd = new Array[Byte](1024 + textBuf.size)
+    putU16(wd, 0, 0xA5EC)   // wIdent
+    putU16(wd, 2, 0x00C1)   // nFib: Word 97
+    putU16(wd, 0x0A, 0x0200) // fWhichTblStm -> 1Table
+    putU16(wd, 32, 0x000E)  // csw  -> FibRgW is 28 B, cslw lands at 62
+    putU16(wd, 62, 0x0016)  // cslw -> FibRgLw is 88 B, cbRgFcLcb at 152
+    putU16(wd, 152, 0x005D) // cbRgFcLcb -> blob at 154, fcClx pair 33 at 418
+    System.arraycopy(textBuf.toByteArray, 0, wd, 1024, textBuf.size)
+    val n = pieces.size
+    val prc =
+      if (prcPrefix) Array[Byte](0x01, 0x02, 0x00, 0x2A, 0x2A)
+      else Array.emptyByteArray
+    val plcLen = 4 * (n + 1) + 8 * n
+    val clx = new Array[Byte](prc.length + 5 + plcLen)
+    System.arraycopy(prc, 0, clx, 0, prc.length)
+    clx(prc.length) = 0x02
+    putI32(clx, prc.length + 1, plcLen)
+    var cp = 0
+    pieces.zipWithIndex.foreach { case ((text, _), i) =>
+      putI32(clx, prc.length + 5 + i * 4, cp); cp += text.length
+    }
+    putI32(clx, prc.length + 5 + n * 4, cp)
+    fcs.zipWithIndex.foreach { case (fc, i) =>
+      putI32(clx, prc.length + 5 + (n + 1) * 4 + i * 8 + 2, fc)
+    }
+    putI32(wd, 418, 0)          // fcClx: Clx starts the table stream
+    putI32(wd, 422, clx.length) // lcbClx
+    cfbFixtureStreams("WordDocument" -> wd, "1Table" -> clx)
+  }
 
   /** Stream bytes in the MINI stream: sectors [0]=FAT, [1]=dir,
     * [2]=mini-FAT, [3]=mini-stream container (the root's own chain).
