@@ -634,16 +634,17 @@ object DocumentExtract {
 
   // ------------------------------------------------------------- OLE2 / CFB
 
-  /** Best-effort text scrape of legacy binary Office formats (.doc/.ppt/
-    * .xls) — OLE2 Compound File Binary containers ([MS-CFB]). The
-    * reference parses these via `unstructured.partition`
-    * (`yamlpipe/components/sources.py:92-93`); a full Word 97 piece-table /
-    * BIFF8 / PPT-record interpreter is out of scope offline, so this walks
-    * the REAL CFB structure (FAT, mini-FAT, directory) to isolate the main
-    * document stream, then extracts printable cp1252 and UTF-16LE runs
-    * from it — old crawls carry OLE2 files, and a best-effort scrape beats
-    * the former loud failure for corpus building. Noise floor: style and
-    * font names survive the scrape; the dominant payload is body text.
+  /** Legacy binary Office text extraction (.doc/.ppt/.xls) — OLE2 Compound
+    * File Binary containers ([MS-CFB]). The reference parses these via
+    * `unstructured.partition` (`yamlpipe/components/sources.py:92-93`);
+    * here the REAL format walk runs first for each family — Word 97
+    * piece table ([[word97Text]]), PowerPoint record tree ([[pptText]]),
+    * BIFF8 SST/LabelSst ([[biff8Text]]) — and a printable-run scrape of
+    * the main document stream remains as the fallback for pre-97,
+    * encrypted, or damaged files (old crawls carry those, and a
+    * best-effort scrape beats a loud failure for corpus building; style
+    * and font names survive the scrape, the dominant payload is body
+    * text).
     */
   private[functions] def ole2BestEffort(ext: String, bytes: Array[Byte]): String = {
     val streams = ole2Streams(bytes)
@@ -651,15 +652,22 @@ object DocumentExtract {
     // stream -> PlcPcd piece table -> per-piece cp1252/UTF-16LE decode.
     // Falls back to the printable-run scrape when the FIB is absent or
     // malformed (pre-97 files, encrypted docs, truncated containers).
-    val word97 =
-      if (ext != "doc") None
-      else streams.find(_._1 == "WordDocument").map(_._2).flatMap { wd =>
-        val tableName =
-          if (wd.length > 0x0B && (u16At(wd, 0x0A) & 0x0200) != 0) "1Table"
-          else "0Table"
-        word97Text(wd, streams.find(_._1 == tableName).map(_._2))
-      }
-    if (word97.isDefined) return word97.get
+    val real = ext match {
+      case "doc" =>
+        streams.find(_._1 == "WordDocument").map(_._2).flatMap { wd =>
+          val tableName =
+            if (wd.length > 0x0B && (u16At(wd, 0x0A) & 0x0200) != 0) "1Table"
+            else "0Table"
+          word97Text(wd, streams.find(_._1 == tableName).map(_._2))
+        }
+      case "ppt" =>
+        streams.find(_._1 == "PowerPoint Document").map(_._2).flatMap(pptText)
+      case "xls" =>
+        streams.find(s => s._1 == "Workbook" || s._1 == "Book").map(_._2)
+          .flatMap(biff8Text)
+      case _ => None
+    }
+    if (real.isDefined) return real.get
     val preferred = ext match {
       case "doc" => streams.filter(_._1 == "WordDocument")
       case "ppt" => streams.filter(_._1 == "PowerPoint Document")
@@ -742,6 +750,163 @@ object DocumentExtract {
     // Word stores paragraph marks as CR and table cell/row marks as 0x07.
     val text = sb.toString.replace('\r', '\n').replace('\u0007', '\n').trim
     if (text.nonEmpty) Some(text) else None
+  }
+
+  /** Real PowerPoint 97 text extraction ([MS-PPT]): the PowerPoint Document
+    * stream is a tree of records — 8-byte headers (recVerAndInstance u16,
+    * recType u16, recLen u32) where recVer == 0xF marks a container whose
+    * payload is nested records. Slide/shape text lives in TextCharsAtom
+    * (0x0FA0, UTF-16LE) and TextBytesAtom (0x0FA8, cp1252) leaves; the walk
+    * collects them in stream order. PPT uses CR for paragraph marks and VT
+    * (0x0B) for soft line breaks — both normalize to '\n'. Returns None
+    * when the record tree is malformed (records must tile their container
+    * exactly) or carries no text atom, degrading to the printable-run
+    * scrape — the fuzz contract holds by construction.
+    */
+  private[functions] def pptText(data: Array[Byte]): Option[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    def walk(start: Int, limit: Int, depth: Int): Boolean = {
+      if (depth > 32) return false
+      var p = start
+      while (p + 8 <= limit) {
+        val verInst = u16At(data, p)
+        val recType = u16At(data, p + 2)
+        val len = i32At(data, p + 4)
+        val body = p + 8
+        if (len < 0 || body.toLong + len > limit) return false
+        if ((verInst & 0xF) == 0xF) {
+          if (!walk(body, body + len, depth + 1)) return false
+        } else if (recType == 0x0FA0) { // TextCharsAtom: UTF-16LE
+          if (len % 2 != 0) return false
+          out += new String(data, body, len, StandardCharsets.UTF_16LE)
+        } else if (recType == 0x0FA8) { // TextBytesAtom: cp1252
+          val sb = new java.lang.StringBuilder(len)
+          var j = 0
+          while (j < len) { sb.append(cp1252Char(data(body + j) & 0xFF)); j += 1 }
+          out += sb.toString
+        }
+        p = body + len
+      }
+      p == limit
+    }
+    if (!walk(0, data.length, 0) || out.isEmpty) return None
+    val text = out.map(_.replace('\r', '\n').replace('\u000B', '\n').trim)
+      .filter(_.nonEmpty).mkString("\n\n")
+    if (text.nonEmpty) Some(text) else None
+  }
+
+  /** Real BIFF8 .xls text extraction ([MS-XLS]): the Workbook stream is a
+    * flat sequence of records (type u16, size u16, payload). Cell text
+    * lives in the SST (0x00FC) — cstTotal, cstUnique, then cstUnique
+    * XLUnicodeRichExtendedStrings, possibly split across Continue (0x003C)
+    * records; when CHARACTER data spans a Continue boundary a fresh flags
+    * byte (fHighByte may change mid-string) opens the continuation, while
+    * fixed-size fields and rich/ext payloads never re-insert one. LabelSst
+    * cells (0x00FD) then reference SST entries by index — when present,
+    * text is emitted in CELL order (duplicates preserved); an SST with no
+    * LabelSst cells dumps its unique strings in table order. Returns None
+    * on any structural problem or when no text record exists, degrading to
+    * the printable-run scrape.
+    */
+  private[functions] def biff8Text(data: Array[Byte]): Option[String] = {
+    // Record index: (type, payloadStart, payloadLen) in stream order.
+    val recs = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var p = 0
+    while (p + 4 <= data.length) {
+      val t = u16At(data, p); val len = u16At(data, p + 2)
+      if (p + 4 + len > data.length) return None
+      recs += ((t, p + 4, len))
+      p += 4 + len
+    }
+    if (p != data.length || recs.isEmpty) return None
+    val sstAt = recs.indexWhere(_._1 == 0x00FC)
+    if (sstAt < 0) return None
+    // Logical reader over the SST record + its trailing Continue records.
+    val parts = (recs(sstAt) +: recs.drop(sstAt + 1).takeWhile(_._1 == 0x003C))
+      .map { case (_, s, l) => (s, l) }.toIndexedSeq
+    var part = 0; var off = 0
+    def remainingInPart: Int = parts(part)._2 - off
+    def atEnd: Boolean = part >= parts.length ||
+      (part == parts.length - 1 && remainingInPart == 0)
+    // Fixed-size fields never span a Continue boundary ([MS-XLS] 2.1.4).
+    def fixed(nBytes: Int): Int = {
+      while (part < parts.length && remainingInPart == 0) { part += 1; off = 0 }
+      if (part >= parts.length || remainingInPart < nBytes)
+        return -1
+      val at = parts(part)._1 + off
+      off += nBytes
+      nBytes match {
+        case 1 => data(at) & 0xFF
+        case 2 => u16At(data, at)
+        case 4 => i32At(data, at)
+      }
+    }
+    // Skip n bytes of non-character payload (rich runs / ext data): spans
+    // Continue boundaries WITHOUT a re-inserted flags byte.
+    def skip(n: Int): Boolean = {
+      var left = n
+      while (left > 0) {
+        while (part < parts.length && remainingInPart == 0) { part += 1; off = 0 }
+        if (part >= parts.length) return false
+        val take = math.min(left, remainingInPart)
+        off += take; left -= take
+      }
+      true
+    }
+    def readString(): String = {
+      val cch = fixed(2); if (cch < 0) return null
+      var flags = fixed(1); if (flags < 0) return null
+      val cRun = if ((flags & 0x08) != 0) fixed(2) else 0
+      val cbExt = if ((flags & 0x04) != 0) fixed(4) else 0
+      if (cRun < 0 || cbExt < 0) return null
+      val sb = new java.lang.StringBuilder(cch)
+      var left = cch
+      while (left > 0) {
+        if (remainingInPart == 0) {
+          // A continuation opened MID-CHARACTER-DATA restates the flags
+          // byte (the writer may switch compression per segment). An
+          // empty Continue here has nowhere to put it -> malformed.
+          part += 1; off = 0
+          if (part >= parts.length || parts(part)._2 < 1) return null
+          flags = data(parts(part)._1) & 0xFF; off = 1
+        }
+        val wide = (flags & 0x01) != 0
+        val width = if (wide) 2 else 1
+        val avail = remainingInPart / width
+        if (avail == 0) return null // split UTF-16 code unit
+        val take = math.min(left, avail)
+        val at = parts(part)._1 + off
+        var j = 0
+        while (j < take) {
+          if (wide) sb.append(u16At(data, at + 2 * j).toChar)
+          else sb.append(cp1252Char(data(at + j) & 0xFF))
+          j += 1
+        }
+        off += take * width; left -= take
+        if (left > 0 && remainingInPart > 0) return null // short read mid-part
+      }
+      if (!skip(4 * cRun) || !skip(cbExt)) return null
+      sb.toString
+    }
+    val cstTotal = fixed(4) // informational (repeat count incl. duplicates)
+    val cstUnique = fixed(4)
+    if (cstTotal < 0 || cstUnique < 0 || cstUnique > data.length) return None
+    val sst = new Array[String](cstUnique)
+    var i = 0
+    while (i < cstUnique) {
+      val s = readString(); if (s == null) return None
+      sst(i) = s; i += 1
+    }
+    if (!atEnd) return None // SST must consume its records exactly
+    // Cell order when LabelSst records exist; SST table order otherwise.
+    val cells = recs.collect {
+      case (0x00FD, s, l) if l >= 10 => i32At(data, s + 6)
+    }
+    if (cells.exists(ix => ix < 0 || ix >= cstUnique)) return None
+    val texts =
+      (if (cells.nonEmpty) cells.map(sst) else sst.toSeq)
+        .map(_.replace('\r', '\n').trim).filter(_.nonEmpty)
+    if (texts.isEmpty) None else Some(texts.mkString("\n"))
   }
 
   private def u16At(b: Array[Byte], o: Int): Int =

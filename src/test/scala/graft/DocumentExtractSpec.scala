@@ -312,6 +312,59 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains("Recoverable body text content"), got)
   }
 
+  test("PPT 97 record walk: TextChars/TextBytes atoms in stream order") {
+    val got = DocumentExtract.extract("ppt", "deck.ppt",
+      DocumentExtractSpec.ppt97Fixture(Seq(
+        ("Slide title — UTF-16 naïve", true),
+        ("Body bullet in cp1252\rSecond paragraph", false))))
+    assert(got == "Slide title — UTF-16 naïve\n\n" +
+      "Body bullet in cp1252\nSecond paragraph", got)
+  }
+
+  test("PPT 97 malformed record tree degrades to the scrape") {
+    val b = DocumentExtractSpec.ppt97Fixture(
+      Seq(("Recoverable deck body text.", false))).clone()
+    // Corrupt the first record's length inside the PowerPoint Document
+    // stream (first data stream -> container sector 2 -> offset 3*512):
+    // records no longer tile the stream, pptText must return None and the
+    // printable-run scrape still recovers the body.
+    val o = 3 * 512 + 4
+    b(o) = 0xFF.toByte; b(o + 1) = 0xFF.toByte
+    b(o + 2) = 0xFF.toByte; b(o + 3) = 0x7F.toByte
+    val got = DocumentExtract.extract("ppt", "bad.ppt", b)
+    assert(got.contains("Recoverable deck body text"), got)
+  }
+
+  test("BIFF8 .xls SST walk: cell order, duplicates, wide strings") {
+    val got = DocumentExtract.extract("xls", "book.xls",
+      DocumentExtractSpec.biff8Fixture(
+        sst = Seq(("Revenue by region", false), ("naïve — café", true)),
+        cells = Seq(0, 1, 0)))
+    assert(got == "Revenue by region\nnaïve — café\nRevenue by region", got)
+  }
+
+  test("BIFF8 .xls SST string split across a Continue record decodes whole") {
+    // One long compressed string whose character data continues into a
+    // Continue record that switches to WIDE encoding — the re-inserted
+    // flags byte at the Continue boundary is the notorious BIFF8 case.
+    val head = "first segment stays eight-bit then "
+    val tail = "continuation flips to UTF-16 — dash"
+    val got = DocumentExtract.extract("xls", "cont.xls",
+      DocumentExtractSpec.biff8ContinueFixture(head, tail))
+    assert(got == head + tail, got)
+  }
+
+  test("BIFF8 .xls with no SST degrades to the scrape") {
+    // Valid record tiling (BOF/EOF only) but no text record: biff8Text
+    // returns None and the scrape has nothing >= minRun to say — the
+    // stream then yields the synthetic sheet-name noise floor only.
+    val content = DocumentExtractSpec.biffRecords(
+      Seq((0x0809, new Array[Byte](16)), (0x000A, Array.emptyByteArray)))
+    val got = DocumentExtract.extract("xls", "empty.xls",
+      DocumentExtractSpec.cfbFixtureRaw("Workbook", content))
+    assert(!got.contains("Revenue"), got)
+  }
+
   test("OLE2 self-referencing DIFAT chain fails loudly instead of OOMing") {
     // Point the header's DIFAT chain at data sector 4 and make that
     // sector's trailing next-pointer reference itself: without the cycle
@@ -477,6 +530,108 @@ object DocumentExtractSpec {
     putI32(wd, 418, 0)          // fcClx: Clx starts the table stream
     putI32(wd, 422, clx.length) // lcbClx
     cfbFixtureStreams("WordDocument" -> wd, "1Table" -> clx)
+  }
+
+  // ---------------------------------------------------------- PPT fixtures
+
+  private def pptRecord(verInst: Int, recType: Int,
+                        payload: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](8 + payload.length)
+    putU16(b, 0, verInst); putU16(b, 2, recType)
+    putI32(b, 4, payload.length)
+    System.arraycopy(payload, 0, b, 8, payload.length)
+    b
+  }
+
+  /** Build a REAL PowerPoint 97 record stream ([MS-PPT]): an unknown
+    * leading atom (must be skipped), a container (recVer 0xF) wrapping one
+    * TextCharsAtom (UTF-16LE) or TextBytesAtom (cp1252) per text, and a
+    * filler atom sizing the stream to a multiple of 8 so the zero padding
+    * added by the CFB builder parses as benign empty records.
+    */
+  def ppt97Fixture(texts: Seq[(String, Boolean)]): Array[Byte] = {
+    val atoms = texts.toArray.flatMap { case (t, wide) =>
+      if (wide) pptRecord(0x0000, 0x0FA0, t.getBytes(StandardCharsets.UTF_16LE))
+      else pptRecord(0x0000, 0x0FA8,
+        t.getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    }
+    val body = pptRecord(0x0000, 0x2AFB, Array[Byte](1, 2, 3)) ++
+      pptRecord(0x000F, 0x03EE, atoms)
+    val pad = (8 - (body.length % 8)) % 8
+    val content = body ++ pptRecord(0x0000, 0x2AFC, new Array[Byte](pad))
+    cfbFixtureStreams("PowerPoint Document" -> content)
+  }
+
+  // -------------------------------------------------------- BIFF8 fixtures
+
+  /** Concatenate BIFF records: (type u16, size u16, payload) each. */
+  def biffRecords(rs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    rs.foreach { case (t, payload) =>
+      val h = new Array[Byte](4)
+      putU16(h, 0, t); putU16(h, 2, payload.length)
+      out.write(h); out.write(payload)
+    }
+    out.toByteArray
+  }
+
+  private def xlString(text: String, wide: Boolean): Array[Byte] = {
+    val chars =
+      if (wide) text.getBytes(StandardCharsets.UTF_16LE)
+      else text.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val b = new Array[Byte](3 + chars.length)
+    putU16(b, 0, text.length); b(2) = if (wide) 1 else 0
+    System.arraycopy(chars, 0, b, 3, chars.length)
+    b
+  }
+
+  /** Build a REAL BIFF8 Workbook stream ([MS-XLS]): BOF, an SST with the
+    * given (text, wide) strings, one LabelSst cell per index in `cells`,
+    * EOF. Zero padding from the CFB builder parses as benign empty
+    * records (4-byte steps).
+    */
+  def biff8Fixture(sst: Seq[(String, Boolean)], cells: Seq[Int]): Array[Byte] = {
+    val head = new Array[Byte](8)
+    putI32(head, 0, math.max(cells.length, sst.length)) // cstTotal
+    putI32(head, 4, sst.length)                         // cstUnique
+    val sstPayload = head ++ sst.toArray.flatMap { case (t, w) => xlString(t, w) }
+    val labels = cells.zipWithIndex.map { case (isst, i) =>
+      val c = new Array[Byte](10)
+      putU16(c, 0, i); putU16(c, 2, 0); putU16(c, 4, 0)
+      putI32(c, 6, isst)
+      (0x00FD, c)
+    }
+    val content = biffRecords(
+      Seq((0x0809, new Array[Byte](16)), (0x00FC, sstPayload)) ++ labels :+
+        ((0x000A, Array.emptyByteArray)))
+    cfbFixtureStreams("Workbook" -> biffAligned(content))
+  }
+
+  /** Append a filler record so the stream length is a multiple of 4 — the
+    * CFB builder's zero padding then parses as benign empty records.
+    */
+  private def biffAligned(content: Array[Byte]): Array[Byte] =
+    content ++ biffRecords(Seq(
+      (0x2222, new Array[Byte]((4 - content.length % 4) % 4))))
+
+  /** One SST string whose character data SPANS a Continue record and flips
+    * compressed -> wide at the boundary (the re-inserted flags byte case).
+    */
+  def biff8ContinueFixture(head8bit: String, tailWide: String): Array[Byte] = {
+    val sstPayload = new Array[Byte](8 + 3 + head8bit.length)
+    putI32(sstPayload, 0, 1); putI32(sstPayload, 4, 1)
+    putU16(sstPayload, 8, head8bit.length + tailWide.length)
+    sstPayload(10) = 0 // compressed segment first
+    System.arraycopy(head8bit.getBytes(StandardCharsets.ISO_8859_1), 0,
+      sstPayload, 11, head8bit.length)
+    val contPayload =
+      Array[Byte](1) ++ tailWide.getBytes(StandardCharsets.UTF_16LE)
+    val content = biffRecords(Seq(
+      (0x0809, new Array[Byte](16)),
+      (0x00FC, sstPayload),
+      (0x003C, contPayload),
+      (0x000A, Array.emptyByteArray)))
+    cfbFixtureStreams("Workbook" -> biffAligned(content))
   }
 
   /** Stream bytes in the MINI stream: sectors [0]=FAT, [1]=dir,
