@@ -2142,6 +2142,21 @@ object SparkEntry {
         prebuiltIvfPq = Some(ivfPqArtifact(s, dir, "clustered", e, 4, 8)))
     }),
 
+    "pq_rotation_tradeoff" -> ((s, dir) => {
+      // Rotation-before-PQ ablation (Similarity.pqRotationTradeoff
+      // scaladoc) on the AXIS-CONCENTRATED spectrum fixture — the
+      // decaying-eigenvalue regime real text embeddings live in, where an
+      // m=4 split wastes three codebooks on near-zero variance. The
+      // orthonormal pre-rotation (zero memory cost) is measured against
+      // the plain index at the same budget: 0.09 -> 0.35 recall@5 at
+      // sf0.01. The fixture is PINNED (eager localCheckpoint) like the
+      // clustered twin — both arms reference it across panel branches and
+      // training rounds.
+      val e = Similarity.spectrumFixture(t(s, dir, "embeddings"))
+        .localCheckpoint(true)
+      Similarity.pqRotationTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     "event_transitions" -> ((s, dir) =>
       // First-order Markov transition matrix over user event streams
       // (EventAnalytics.transitionMatrix scaladoc): consecutive-pair
@@ -4618,6 +4633,63 @@ object SparkEntry {
     */
   private lazy val compressionTradeoffClusteredSql: String =
     s"WITH $clusteredEmbSqlCtes\n" + compressionTradeoffSqlOver("cemb")
+
+  /** The [[graft.operators.Similarity.spectrumFixture]] transform as a CTE
+    * ending at `semb(vec_id, embedding)`: the per-dimension decay weights
+    * `exp(-d/8)` inlined as one DOUBLE[] literal (StrictMath on the Scala
+    * side, so the text round-trips to the identical doubles), then
+    * `float32(round(x * w, 6))` per component — the clusteredEmb
+    * discipline over a multiplicative weight instead of a centroid pull.
+    */
+  private lazy val spectrumEmbSqlCtes: String = {
+    val w = (0 until 64).map(d => StrictMath.exp(-d.toDouble / 8.0))
+      .mkString(",")
+    s"""swt(w) AS (SELECT [$w]::DOUBLE[]),
+       |semb AS MATERIALIZED (SELECT e.vec_id,
+       |  CASE WHEN e.embedding IS NULL THEN NULL ELSE
+       |   list_transform(range(1, 65), i ->
+       |    CAST(round(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) *
+       |      s.w[CAST(i AS INT)], 6) AS FLOAT)) END AS embedding
+       | FROM embeddings e CROSS JOIN swt s)""".stripMargin
+  }
+
+  /** The [[graft.functions.VectorFunctions.rotationMatrix]](64, 1234)
+    * rotation as CTEs over `semb`, ending at `remb(vec_id, embedding)`:
+    * the orthonormal rows inlined as a VALUES table (the sign-inlining
+    * discipline at full double precision — `Double.toString` text
+    * round-trips exactly), each rotated coordinate one sequential
+    * `list_dot_product` (= the engine UDF's left-to-right accumulation),
+    * rounded to 6dp and cast to float32.
+    */
+  private lazy val rotatedEmbSqlCtes: String = {
+    val mat = graft.functions.VectorFunctions.rotationMatrix(64, 1234L)
+    val rows = (0 until 64).map(r => s"($r, [${mat(r).mkString(",")}]::DOUBLE[])")
+      .mkString(",\n ")
+    s"""rmat(r, w) AS (SELECT * FROM (VALUES $rows) v(r, w)),
+       |remb AS MATERIALIZED (SELECT e.vec_id,
+       |  list(CAST(round(list_dot_product(m.w, e.v), 6) AS FLOAT)
+       |    ORDER BY m.r) AS embedding
+       | FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM semb WHERE embedding IS NOT NULL) e
+       | CROSS JOIN rmat m GROUP BY e.vec_id)""".stripMargin
+  }
+
+  /** `pq_rotation_tradeoff` replay: the composed IVF-PQ recall body over
+    * the spectrum fixture as-is (`semb`) and over its rotated twin
+    * (`remb`), each aggregated to one decision-table row — full oracle by
+    * construction (the arm bodies ARE the ivf_pq_recall oracle).
+    */
+  private lazy val pqRotationTradeoffSql: String = {
+    def arm(axis: String, body: String): String =
+      s"SELECT '$axis' AS axis, 64.0 AS memory_ratio,\n" +
+        " CAST(count(*) AS BIGINT) AS n_queries,\n" +
+        " round(CAST(coalesce(sum(n_hit), 0) AS DOUBLE) / (count(*) * 5), 6)" +
+        " AS mean_recall\nFROM (\n" + body + "\n) t"
+    s"WITH $spectrumEmbSqlCtes,\n$rotatedEmbSqlCtes\n" +
+      arm("ivf_pq_m4", ivfPqRecallSql(20, 5, 2, src = "semb")) +
+      "\nUNION ALL\n" +
+      arm("ivf_pq_m4_rotated", ivfPqRecallSql(20, 5, 2, src = "remb"))
+  }
 
   /** Profile.datasetCard replay: the quality CTEs (shared with
     * quality_score), the lang_id pick chain, exact count aggregates,
@@ -7541,6 +7613,8 @@ object SparkEntry {
     // oracles wrapped + aggregated (compressionTradeoffSql scaladoc).
     "compression_tradeoff" -> compressionTradeoffSql,
     "compression_tradeoff_clustered" -> compressionTradeoffClusteredSql,
+
+    "pq_rotation_tradeoff" -> pqRotationTradeoffSql,
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),

@@ -157,4 +157,87 @@ object VectorFunctions {
     }
     terms.reduceLeft(_ + _) / math.sqrt(signs.length.toDouble)
   }
+
+  // --------------------------------------------------------------------
+  // Deterministic random rotation (the FAISS RandomRotationMatrix / OPQ
+  // pre-transform): an orthonormal change of basis applied before product
+  // quantization spreads anisotropic variance evenly across PQ subspaces
+  // at ZERO memory cost — the rotation is dim x dim literals applied at
+  // encode/query time, never stored per vector.
+  // --------------------------------------------------------------------
+
+  /** Deterministic random ROTATION matrix (`dim x dim`, orthonormal, rows
+    * are the output basis): modified Gram–Schmidt over standard Gaussians
+    * derived per (seed, j, i) from the [[signMatrix]] fmix64 finalizer via
+    * Box–Muller — StrictMath throughout so every platform generates the
+    * IDENTICAL matrix. Pure function of (dim, seed): the Spark expression
+    * and an external oracle embed the SAME literals, so rotations are
+    * engine-exact (the sign-matrix-inlining discipline).
+    */
+  def rotationMatrix(dim: Int, seed: Long = 1234L): Array[Array[Double]] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    def uniform(j: Int, i: Int): Double = {
+      var h = seed ^ (j.toLong * 0x9E3779B97F4A7C15L +
+        i.toLong * 0xC2B2AE3D27D4EB4FL)
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      // 53 high bits -> (0, 1): the +0.5 keeps log() off exact zero.
+      ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    }
+    val q = Array.tabulate(dim, dim) { (j, i) =>
+      StrictMath.sqrt(-2.0 * StrictMath.log(uniform(j, 2 * i))) *
+        StrictMath.cos(2.0 * StrictMath.PI * uniform(j, 2 * i + 1))
+    }
+    var r = 0
+    while (r < dim) { // modified Gram–Schmidt, rows in index order
+      var p = 0
+      while (p < r) {
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += q(r)(i) * q(p)(i); i += 1 }
+        i = 0
+        while (i < dim) { q(r)(i) -= dot * q(p)(i); i += 1 }
+        p += 1
+      }
+      var n = 0.0; var i = 0
+      while (i < dim) { n += q(r)(i) * q(r)(i); i += 1 }
+      val inv = 1.0 / StrictMath.sqrt(n)
+      i = 0
+      while (i < dim) { q(r)(i) *= inv; i += 1 }
+      r += 1
+    }
+    q
+  }
+
+  /** Rotate an `array<float>` embedding by a literal rotation matrix:
+    * out(j) = round(sum_i v(i) * m(j)(i), roundDp) cast back to float32.
+    * A UDF, deliberately — the expression-chain form is `dim^2` Catalyst
+    * nodes and Janino spends MINUTES compiling it (the
+    * [[cosineSimilarityFast]] / `Pq.encodeColumn` tradeoff), while the
+    * arithmetic contract stays engine-exact: left-to-right double
+    * accumulation (SQL mirrors it with `list_dot_product` against the
+    * same literal row) and Spark-`round` semantics via
+    * `BigDecimal.HALF_UP` (= DuckDB's round-half-away-from-zero). Null
+    * vectors stay null; a wrong-width vector fails loudly (the
+    * clusteredFixture contract).
+    */
+  def rotatedVector(a: Column, matrix: Array[Array[Double]],
+                    roundDp: Int = 6): Column = {
+    val dim = matrix.length
+    val rotate = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        require(v.length == dim,
+          s"graft.rotatedVector: vector length ${v.length} != dim=$dim")
+        Array.tabulate(dim) { j =>
+          val row = matrix(j)
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i).toDouble * row(i); i += 1 }
+          java.math.BigDecimal.valueOf(s)
+            .setScale(roundDp, java.math.RoundingMode.HALF_UP)
+            .doubleValue.toFloat
+        }
+      }
+    })
+    rotate(a)
+  }
 }

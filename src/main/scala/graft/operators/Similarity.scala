@@ -1599,6 +1599,36 @@ object Similarity {
           lit(s" != dim=$dim")))))
   }
 
+  /** Deterministic AXIS-CONCENTRATED (decaying-spectrum) variant of an
+    * embedding corpus — the third representativeness fixture, alongside
+    * the isotropic base and the [[clusteredFixture]]: real text-embedding
+    * corpora have fast-decaying PCA spectra, so variance concentrates in
+    * the leading dimensions. Component `d` (0-based) is scaled by
+    * `w(d) = exp(-d / decay)`: `c'[d] = float(round(c[d] * w(d), 6))`.
+    * With `decay = 8` on 64 dims, the first PQ subspace of an m=4 split
+    * carries almost all the variance and the trailing codebooks quantize
+    * noise — exactly the regime a pre-rotation exists to fix. Every
+    * weight is a pure StrictMath function of (d, decay), inlined as
+    * literals, so a SQL oracle replays the transform bit-for-bit. Narrow
+    * codegen'd pass, no shuffle, no UDF.
+    */
+  def spectrumFixture(df: DataFrame, decay: Double = 8.0,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      dim: Int = 64, roundDp: Int = 6): DataFrame = {
+    require(decay > 0, s"decay must be positive, got $decay")
+    val w: Seq[Double] =
+      (0 until dim).map(d => StrictMath.exp(-d.toDouble / decay))
+    df.withColumn(vecCol,
+      when(col(vecCol).isNull, lit(null))
+        .when(size(col(vecCol)) === dim,
+          zip_with(transform(col(vecCol), _.cast("double")),
+            typedLit(w),
+            (x, sc) => round(x * sc, roundDp).cast("float")))
+        .otherwise(raise_error(concat(
+          lit("graft.spectrumFixture: vector length "), size(col(vecCol)),
+          lit(s" != dim=$dim")))))
+  }
+
   /** The compression DECISION TABLE — the dataset-card artifact the five
     * per-axis audits exist to feed, and the proof that the five kernels
     * compose in one plan: one row per compression axis with its practical
@@ -1718,6 +1748,71 @@ object Similarity {
           Some(prebuiltProductionIvfPq.getOrElse(
             ivfPqIndex(corpus, vecCol, idCol, 8, 8, 64, 2,
               coarse = sharedCoarse))))))
+  }
+
+  /** Rotation-before-PQ ablation — the FAISS RandomRotation / OPQ-lite
+    * pre-transform question the clustered card row raises: on anisotropic
+    * corpora PQ subspaces inherit UNBALANCED variance (a few directions
+    * dominate whole subspaces) and ADC recall drops; an orthonormal
+    * rotation ([[graft.functions.VectorFunctions.rotationMatrix]]) spreads
+    * that variance across subspaces at ZERO memory cost — the rotation is
+    * `dim x dim` literals applied at encode and query time, never stored
+    * per vector. Two rows, same budget, same panel, same composed
+    * [[ivfPqRecall]] machinery: the corpus as-is vs rotated. Returns
+    * `(axis, memory_ratio, n_queries, mean_recall)`.
+    *
+    * Scale shape: the rotation is one narrow codegen'd pass fused into
+    * each arm's scan (no shuffle, no UDF); everything downstream is the
+    * audited IVF-PQ path. At 100 TB the rotated corpus is never
+    * materialized — the expression rides the encode lineage.
+    */
+  def pqRotationTradeoff(queries: DataFrame, corpus: DataFrame, k: Int,
+                         nCells: Int = 8, m: Int = 4, kCodes: Int = 8,
+                         pqIterations: Int = 2, nProbe: Int = 2,
+                         rotationSeed: Long = 1234L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         roundDp: Int = 6,
+                         maxExactRows: Long = DefaultMaxExactRows)
+      : DataFrame = {
+    val qs = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val dim = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft.pqRotationTradeoff: corpus has no non-empty vectors"))
+    val rmat = graft.functions.VectorFunctions.rotationMatrix(dim, rotationSeed)
+    // The rotated frames are PINNED (eager localCheckpoint): the rotation
+    // is a dim x dim-term expression tree and the audit references its
+    // output across the panel branches, coarse/PQ training rounds, and the
+    // exact arm — re-planning that tree per reference is what OOMs, not
+    // the data. Bounded by construction: the audit corpus is
+    // guardExactRegime-fenced (<= maxExactRows) and the panel is
+    // MaxRecallPanel-capped. PRODUCTION encode does NOT pin — there the
+    // rotation rides the single encode pass's lineage.
+    def rot(df: DataFrame): DataFrame = df.withColumn(vecCol,
+      graft.functions.VectorFunctions.rotatedVector(col(vecCol), rmat, roundDp))
+      .localCheckpoint(true)
+    def summarize(axis: String, rec: DataFrame): DataFrame =
+      rec.groupBy()
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(col("n_hit")), lit(0L)).as("__hits"))
+        .select(lit(axis).as("axis"),
+          lit(dim.toDouble * 4 / m).as("memory_ratio"), col("n_queries"),
+          when(col("n_queries") > 0,
+            round(col("__hits").cast("double") /
+              (col("n_queries") * k), roundDp)).as("mean_recall"))
+    // The guard wraps the corpus BEFORE the eager rotation pin so an
+    // over-sized corpus fails loudly during the checkpoint write instead
+    // of materializing first and throwing later in the exact arm.
+    val corpusRotated = rot(guardExactRegime(corpus,
+      "pqRotationTradeoff.rotate", maxExactRows))
+    summarize(s"ivf_pq_m$m",
+        ivfPqRecall(qs, corpus, k, nCells, m, kCodes, pqIterations, nProbe,
+          idCol, vecCol, roundDp, maxExactRows))
+      .union(summarize(s"ivf_pq_m${m}_rotated",
+        ivfPqRecall(rot(qs), corpusRotated, k, nCells, m, kCodes,
+          pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows)))
   }
 
   // -------------------------------------------------------------------------

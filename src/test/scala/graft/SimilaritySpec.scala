@@ -839,4 +839,89 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("clusteredFixture"))
   }
+
+  test("rotationMatrix: orthonormal, deterministic, seed-sensitive") {
+    val q = graft.functions.VectorFunctions.rotationMatrix(32, 1234L)
+    var maxOff = 0.0
+    for (a <- 0 until 32; b <- 0 until 32) {
+      val dot = (0 until 32).map(i => q(a)(i) * q(b)(i)).sum
+      maxOff = math.max(maxOff, math.abs(dot - (if (a == b) 1.0 else 0.0)))
+    }
+    assert(maxOff < 1e-9, s"not orthonormal: $maxOff")
+    val q2 = graft.functions.VectorFunctions.rotationMatrix(32, 1234L)
+    assert(q.zip(q2).forall { case (r1, r2) => r1.sameElements(r2) })
+    val q3 = graft.functions.VectorFunctions.rotationMatrix(32, 99L)
+    assert(!q(0).sameElements(q3(0)))
+  }
+
+  test("rotatedVector: isometric up to rounding, null-safe, loud on width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 8L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val mat = graft.functions.VectorFunctions.rotationMatrix(64, 1234L)
+    val rot = base.withColumn("rv",
+      graft.functions.VectorFunctions.rotatedVector(col("embedding"), mat))
+    val rows = rot.orderBy("vec_id").collect()
+      .map(r => (r.getSeq[Float](1), r.getSeq[Float](2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // A rotation preserves pairwise geometry: cosine between rotated pairs
+    // matches the original within the 6dp-rounding noise floor.
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val before = cos(rows(i)._1, rows(j)._1)
+      val after = cos(rows(i)._2, rows(j)._2)
+      assert(math.abs(before - after) < 1e-4, s"pair ($i,$j): $before vs $after")
+    }
+    val withNull = Seq((0L, null: Array[Float]), (1L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(withNull.select(graft.functions.VectorFunctions
+        .rotatedVector(col("embedding"), mat)).collect().exists(_.isNullAt(0)))
+    val bad = Seq((0L, Array.fill(16)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions
+        .rotatedVector(col("embedding"), mat)).collect()
+    }
+    assert(e.getMessage.contains("rotatedVector"))
+  }
+
+  test("spectrumFixture: golden decay weights, null-safe, loud on width") {
+    import spark.implicits._
+    val base = Seq((0L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.spectrumFixture(base).collect()(0).getSeq[Float](1)
+    (0 until 64).foreach { d =>
+      val want = java.math.BigDecimal.valueOf(StrictMath.exp(-d.toDouble / 8.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue.toFloat
+      assert(got(d) == want, s"dim $d: ${got(d)} != $want")
+    }
+    val withNull = Seq((0L, null: Array[Float])).toDF("vec_id", "embedding")
+    assert(Similarity.spectrumFixture(withNull).collect()(0).isNullAt(1))
+    val bad = Seq((0L, Array.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.spectrumFixture(bad).collect()
+    }
+    assert(e.getMessage.contains("spectrumFixture"))
+  }
+
+  test("pqRotationTradeoff: rotation recovers PQ recall on an " +
+      "axis-concentrated spectrum (the card's measured headline)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val spec = Similarity.spectrumFixture(base).localCheckpoint(true)
+    val rowsOut = Similarity.pqRotationTradeoff(
+        spec.filter(col("vec_id") < 10), spec, k = 5)
+      .orderBy("axis").collect()
+    assert(rowsOut.length == 2)
+    val plain = rowsOut.find(_.getString(0) == "ivf_pq_m4").get
+    val rotated = rowsOut.find(_.getString(0) == "ivf_pq_m4_rotated").get
+    assert(plain.getLong(2) == rotated.getLong(2), "panels must match")
+    assert(rotated.getDouble(3) > plain.getDouble(3),
+      s"rotation should help on a decayed spectrum: " +
+        s"plain=${plain.getDouble(3)} rotated=${rotated.getDouble(3)}")
+  }
 }
