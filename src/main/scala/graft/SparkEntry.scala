@@ -2154,7 +2154,13 @@ object SparkEntry {
       // training rounds.
       val e = Similarity.spectrumFixture(t(s, dir, "embeddings"))
         .localCheckpoint(true)
-      Similarity.pqRotationTradeoff(e.filter(col("vec_id") < 20), e, k = 5)
+      // Both arms read per-session stored indexes (the train-once /
+      // audit-many lifecycle): "spectrum" and its rotated twin are
+      // distinct corpus variants in the artifact registry.
+      Similarity.pqRotationTradeoff(e.filter(col("vec_id") < 20), e, k = 5,
+        prebuilt = Some(ivfPqArtifact(s, dir, "spectrum", e, 4, 8)),
+        prebuiltRotated = Some(ivfPqArtifact(s, dir, "spectrum_rotated",
+          Similarity.rotatedTwin(e), 4, 8)))
     }),
 
     "event_transitions" -> ((s, dir) =>

@@ -1773,7 +1773,11 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          roundDp: Int = 6,
-                         maxExactRows: Long = DefaultMaxExactRows)
+                         maxExactRows: Long = DefaultMaxExactRows,
+                         prebuilt: Option[(DataFrame, Array[Array[Double]],
+                           Pq.Codebooks)] = None,
+                         prebuiltRotated: Option[(DataFrame,
+                           Array[Array[Double]], Pq.Codebooks)] = None)
       : DataFrame = {
     val qs = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val dim = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
@@ -1781,18 +1785,6 @@ object Similarity {
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         "graft.pqRotationTradeoff: corpus has no non-empty vectors"))
-    val rmat = graft.functions.VectorFunctions.rotationMatrix(dim, rotationSeed)
-    // The rotated frames are PINNED (eager localCheckpoint): the rotation
-    // is a dim x dim-term expression tree and the audit references its
-    // output across the panel branches, coarse/PQ training rounds, and the
-    // exact arm — re-planning that tree per reference is what OOMs, not
-    // the data. Bounded by construction: the audit corpus is
-    // guardExactRegime-fenced (<= maxExactRows) and the panel is
-    // MaxRecallPanel-capped. PRODUCTION encode does NOT pin — there the
-    // rotation rides the single encode pass's lineage.
-    def rot(df: DataFrame): DataFrame = df.withColumn(vecCol,
-      graft.functions.VectorFunctions.rotatedVector(col(vecCol), rmat, roundDp))
-      .localCheckpoint(true)
     def summarize(axis: String, rec: DataFrame): DataFrame =
       rec.groupBy()
         .agg(count(lit(1)).as("n_queries"),
@@ -1802,17 +1794,46 @@ object Similarity {
           when(col("n_queries") > 0,
             round(col("__hits").cast("double") /
               (col("n_queries") * k), roundDp)).as("mean_recall"))
-    // The guard wraps the corpus BEFORE the eager rotation pin so an
-    // over-sized corpus fails loudly during the checkpoint write instead
-    // of materializing first and throwing later in the exact arm.
-    val corpusRotated = rot(guardExactRegime(corpus,
-      "pqRotationTradeoff.rotate", maxExactRows))
+    // `prebuiltRotated` (the train-once / audit-many lifecycle) must have
+    // been trained on [[rotatedTwin]] of THIS corpus at the SAME seed —
+    // the audit still builds the rotated frames itself (one cheap narrow
+    // pass over a guard-fenced corpus) for the exact arm and the panel.
+    val corpusRotated = rotatedTwin(corpus, rotationSeed, vecCol, roundDp,
+      maxExactRows)
+    val qsRotated = rotatedTwin(qs, rotationSeed, vecCol, roundDp,
+      maxExactRows)
     summarize(s"ivf_pq_m$m",
         ivfPqRecall(qs, corpus, k, nCells, m, kCodes, pqIterations, nProbe,
-          idCol, vecCol, roundDp, maxExactRows))
+          idCol, vecCol, roundDp, maxExactRows, prebuilt))
       .union(summarize(s"ivf_pq_m${m}_rotated",
-        ivfPqRecall(rot(qs), corpusRotated, k, nCells, m, kCodes,
-          pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows)))
+        ivfPqRecall(qsRotated, corpusRotated, k, nCells, m, kCodes,
+          pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows,
+          prebuiltRotated)))
+  }
+
+  /** The rotated twin of an audit corpus: [[graft.functions
+    * .VectorFunctions.rotatedVector]] applied and PINNED (eager
+    * localCheckpoint) — the recall machinery references the rotated
+    * column across panel branches, training rounds, and the exact arm,
+    * and re-evaluating the rotation per reference is pure waste. Bounded
+    * by construction: the guard wraps the input BEFORE the pin, so an
+    * over-sized corpus fails loudly during the checkpoint write instead
+    * of materializing first. PRODUCTION encode does NOT pin — there the
+    * rotation rides the single encode pass's lineage.
+    */
+  def rotatedTwin(df: DataFrame, rotationSeed: Long = 1234L,
+                  vecCol: String = "embedding", roundDp: Int = 6,
+                  maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    val dim = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft.rotatedTwin: no non-empty vectors"))
+    val rmat = graft.functions.VectorFunctions.rotationMatrix(dim, rotationSeed)
+    guardExactRegime(df, "rotatedTwin", maxExactRows)
+      .withColumn(vecCol,
+        graft.functions.VectorFunctions.rotatedVector(col(vecCol), rmat, roundDp))
+      .localCheckpoint(true)
   }
 
   // -------------------------------------------------------------------------
