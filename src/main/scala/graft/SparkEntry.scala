@@ -249,6 +249,29 @@ object SparkEntry {
           sha2(col("text"), 256).as("fingerprint"))
     }),
 
+    "legacy_office_roundtrip" -> ((s, dir) => {
+      // Round-trip corpus text through REAL legacy-Office binaries
+      // IN-PLAN (LegacyOfficeFixtures scaladoc; the jsonl_parse
+      // identity-reconstruction discipline): build a two-piece Word 97
+      // .doc (mixed cp1252/UTF-16 pieces), a PPT 97 record tree, and a
+      // BIFF8 .xls around each document's text, then extract back through
+      // the real FIB->PlcPcd, record-tree, and SST walks. The oracle is
+      // the identity, so the gate only hash-matches if writer AND parser
+      // are faithful for every character. Payload pre-normalizes the
+      // chars the extractors canonicalize (CR, cell mark, VT -> \n) and
+      // brackets the text so trim is a no-op.
+      val payload = concat(lit("["),
+        translate(col("text"), "\r\u0007\u000B", "\n\n\n"), lit("]"))
+      def roundtrip(ext: String, build: String => Array[Byte]) =
+        udf((p: String) => graft.functions.DocumentExtract.extract(ext, s"rt.$ext", build(p)))
+      val viaDoc = roundtrip("doc", graft.functions.LegacyOfficeFixtures.word97Doc)
+      val viaPpt = roundtrip("ppt", graft.functions.LegacyOfficeFixtures.ppt97)
+      val viaXls = roundtrip("xls", graft.functions.LegacyOfficeFixtures.biff8Xls)
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), viaDoc(payload).as("doc_text"),
+          viaPpt(payload).as("ppt_text"), viaXls(payload).as("xls_text"))
+    }),
+
     "jsonl_parse" -> ((s, dir) => {
       // JSONL corpus source: serialize each document row to a JSON line
       // with to_json, parse back through JsonlSource's line parser (the
@@ -7621,6 +7644,18 @@ object SparkEntry {
     "compression_tradeoff_clustered" -> compressionTradeoffClusteredSql,
 
     "pq_rotation_tradeoff" -> pqRotationTradeoffSql,
+
+    // The identity: the engine only matches if the legacy-Office writers
+    // AND the real binary walks (Word 97 piece table, PPT record tree,
+    // BIFF8 SST) round-trip every character. The payload pre-normalizes
+    // CR / cell-mark / VT to \n (what the extractors canonicalize) and
+    // brackets the text so trim is a no-op.
+    "legacy_office_roundtrip" -> {
+      val p = "'[' || replace(replace(replace(text, chr(13), chr(10)), " +
+        "chr(7), chr(10)), chr(11), chr(10)) || ']'"
+      s"""SELECT doc_id, $p AS doc_text, $p AS ppt_text, $p AS xls_text
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),

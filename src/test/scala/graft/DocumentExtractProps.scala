@@ -7,7 +7,7 @@ import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.DocumentExtract
+import graft.functions.{DocumentExtract, LegacyOfficeFixtures}
 
 /** ScalaCheck properties for the offline document extractors: round-trip
   * provenance (author a container from random paragraphs, extract, get the
@@ -103,6 +103,21 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
   // what this exercises.
   private val magic =
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+
+  private val legacyTextGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    "plain ascii", "naïve café — dash", "中文段落", "é combining",
+    "🙂🚀 astral", "tabs\tand\nlines", "[brackets]", "")).map(_.mkString(" "))
+
+  property("legacy office writers round-trip text through the real walks") =
+    forAll(legacyTextGen) { t0 =>
+      val t = "[" + t0 + "]" // trim-proof; generator avoids CR/BEL/VT
+      DocumentExtract.extract("doc", "p.doc",
+        LegacyOfficeFixtures.word97Doc(t)) == t &&
+      DocumentExtract.extract("ppt", "p.ppt",
+        LegacyOfficeFixtures.ppt97(t)) == t &&
+      DocumentExtract.extract("xls", "p.xls",
+        LegacyOfficeFixtures.biff8Xls(t)) == t
+    }
 
   property("ole2 fuzz: random bytes after the magic never escape the contract") =
     forAll(Gen.choose(0, 2048).flatMap(n =>
