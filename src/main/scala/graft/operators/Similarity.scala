@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column — the scale
@@ -1809,6 +1811,49 @@ object Similarity {
         ivfPqRecall(qsRotated, corpusRotated, k, nCells, m, kCodes,
           pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows,
           prebuiltRotated)))
+  }
+
+  /** Eigen-allocation rotation — the PARAMETRIC OPQ variant (Ge et al.,
+    * CVPR 2013, "Optimized Product Quantization": the closed-form
+    * recipe FAISS ships as OPQ's initialization): fit PCA on the corpus
+    * ([[Pca.fit]] — one distributed moment pass, driver-side d x d
+    * Jacobi), then GREEDY-BALANCE the principal axes across the `m` PQ
+    * subspaces — axes in descending eigenvalue order, each assigned to
+    * the subspace with the smallest current log-variance product that
+    * still has free capacity — so every subspace quantizes a comparable
+    * share of the corpus variance instead of subspace 0 hoarding it.
+    * Returns the `dim x dim` orthonormal rotation (rows = reordered
+    * eigenvectors, m-contiguous slots), directly consumable by
+    * [[graft.functions.VectorFunctions.rotatedVector]] and [[Pq.train]].
+    *
+    * Honesty note: PCA's eigendecomposition is driver-side iterative
+    * math a SQL oracle cannot replay, so this variant is SPEC-measured
+    * (recall vs plain PQ on the spectrum fixture, `SimilaritySpec`)
+    * rather than oracle-gated like the seed-deterministic
+    * [[graft.functions.VectorFunctions.rotationMatrix]] arm. Measured
+    * placement on that fixture (SCALE.md): plain 0.09 < allocation 0.13
+    * < random rotation 0.35 — allocation balances variance ACROSS
+    * subspaces but each still carries one dominant axis WITHIN, which
+    * few codes quantize poorly; full OPQ fixes that with an alternating
+    * learned rotation (out of scope — needs per-iteration SVD and buys
+    * less than the free random rotation on axis-aligned spectra).
+    */
+  def opqRotation(corpus: DataFrame, m: Int,
+                  vecCol: String = "embedding",
+                  dim: Int = 64): Array[Array[Double]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val model = Pca.fit(corpus, vecCol, dim)
+    val logVar = Array.fill(m)(0.0)
+    val counts = Array.fill(m)(0)
+    val slots = Array.fill(m)(mutable.ArrayBuffer.empty[Int])
+    (0 until dim).foreach { j => // eigenvalues already descending
+      val tgt = (0 until m).filter(counts(_) < subDim).minBy(logVar(_))
+      slots(tgt) += j
+      logVar(tgt) += math.log(math.max(model.eigenvalues(j), 1e-12))
+      counts(tgt) += 1
+    }
+    slots.flatMap(_.map(model.components(_))).toArray
   }
 
   /** The rotated twin of an audit corpus: [[graft.functions

@@ -906,6 +906,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("spectrumFixture"))
   }
 
+  test("opqRotation: eigen-allocation is orthonormal and beats plain PQ " +
+      "on the axis-concentrated spectrum (spec-measured OPQ variant)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val spec = Similarity.spectrumFixture(base).localCheckpoint(true)
+    val rot = Similarity.opqRotation(spec, m = 4)
+    // Rows are reordered PCA eigenvectors -> still an orthonormal basis
+    // (Jacobi tolerance), and a permutation of ALL 64 axes.
+    var maxOff = 0.0
+    for (a <- 0 until 64; b <- 0 until 64) {
+      val dot = (0 until 64).map(i => rot(a)(i) * rot(b)(i)).sum
+      maxOff = math.max(maxOff, math.abs(dot - (if (a == b) 1.0 else 0.0)))
+    }
+    assert(maxOff < 1e-6, s"not orthonormal: $maxOff")
+    def meanRecall(corpus: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfPqRecall(corpus.filter(col("vec_id") < 10), corpus, k = 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val rotated = spec.withColumn("embedding",
+        graft.functions.VectorFunctions.rotatedVector(col("embedding"), rot))
+      .localCheckpoint(true)
+    val plain = meanRecall(spec)
+    val opq = meanRecall(rotated)
+    assert(opq > plain,
+      s"eigen-allocation should fix the unbalanced subspaces: " +
+        s"plain=$plain opq=$opq")
+  }
+
   test("pqRotationTradeoff: rotation recovers PQ recall on an " +
       "axis-concentrated spectrum (the card's measured headline)") {
     import spark.implicits._
