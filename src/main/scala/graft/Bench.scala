@@ -45,6 +45,11 @@ object Bench {
       // SHAPE is the plan signal; its values are data, gated by the value
       // oracle, not the digest.
       .replaceAll("\\[-?\\d+(?:,-?\\d+){7,}\\]", "[ints]")
+      // Per-run temp fixture dirs (Files.createTempDirectory("graft-…"))
+      // leak a random suffix into FileScan Location fields — a path is
+      // provenance, not plan shape (r14: change_detection_bucketed
+      // flapped on exactly this).
+      .replaceAll("/tmp/graft-[0-9a-zA-Z]+", "/tmp/graft-X")
     // TRUNCATED scan-filter lists flapped digests with no plan change:
     // Spark clips the field at a fixed RAW character count, and the raw
     // width of expression ids (ts#123 vs ts#1234) varies run to run, so
