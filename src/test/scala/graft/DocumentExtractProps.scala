@@ -121,22 +121,46 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
 
   property("ole2 fuzz: random bytes after the magic never escape the contract") =
     forAll(Gen.choose(0, 2048).flatMap(n =>
-        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))) { tail =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))),
+        Gen.oneOf("doc", "ppt", "xls")) { (tail, ext) =>
       val bytes = magic ++ tail.toArray
-      try { DocumentExtract.extract("doc", "f.doc", bytes); true }
+      try { DocumentExtract.extract(ext, s"f.$ext", bytes); true }
       catch { case _: IllegalArgumentException => true }
     }
 
   property("ole2 fuzz: bit flips over a valid container never escape the contract") =
-    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 16)) { (seed, flips) =>
-      val base = DocumentExtractSpec.cfbFixture("WordDocument", "fuzz target body text")
+    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 16),
+        Gen.oneOf(("doc", "WordDocument"), ("ppt", "PowerPoint Document"),
+          ("xls", "Workbook"))) { (seed, flips, extStream) =>
+      val (ext, stream) = extStream
+      val base = DocumentExtractSpec.cfbFixture(stream, "fuzz target body text")
       val rnd = new scala.util.Random(seed)
       val mutated = base.clone()
       (1 to flips).foreach { _ =>
         val i = rnd.nextInt(mutated.length)
         mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
       }
-      try { DocumentExtract.extract("doc", "m.doc", mutated); true }
+      try { DocumentExtract.extract(ext, s"m.$ext", mutated); true }
+      catch { case _: IllegalArgumentException => true }
+    }
+
+  property("ole2 fuzz: bit flips over REAL word97/ppt97/biff8 containers " +
+      "never escape the contract") =
+    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 16),
+        Gen.choose(0, 2)) { (seed, flips, which) =>
+      val body = "real container fuzz body — naïve text"
+      val (ext, base) = which match {
+        case 0 => ("doc", LegacyOfficeFixtures.word97Doc(body))
+        case 1 => ("ppt", LegacyOfficeFixtures.ppt97(body))
+        case _ => ("xls", LegacyOfficeFixtures.biff8Xls(body))
+      }
+      val rnd = new scala.util.Random(seed)
+      val mutated = base.clone()
+      (1 to flips).foreach { _ =>
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { DocumentExtract.extract(ext, s"m.$ext", mutated); true }
       catch { case _: IllegalArgumentException => true }
     }
 }
