@@ -17,11 +17,13 @@ import scala.collection.mutable
   *  - rtf: single-pass control-word walker (destinations skipped,
   *    `\par`/`\line`/`\tab`/`\'hh`/`\uN` handled);
   *  - pdf: content-stream text operators (`Tj`/`'`/`"`/`TJ`) with
-  *    FlateDecode inflation. Covers machine-generated PDFs with standard
-  *    encodings; PDFs using subset fonts with custom CMaps extract
-  *    incompletely (a full CMap interpreter is out of scope offline) —
-  *    mirroring the reference's behavior on scanned PDFs, an empty result
-  *    is dropped by the empty-document skip (`sources.py:94-96`).
+  *    FlateDecode inflation, PLUS a ToUnicode CMap interpreter
+  *    ([[pdfFontCmaps]]/[[parseCmap]]): subset fonts (Identity-H two-byte
+  *    glyph codes — most modern machine-generated PDFs) decode exactly
+  *    through their font's own bfchar/bfrange tables, tracked per `Tf`.
+  *    Scanned (image-only) PDFs still extract nothing — mirroring the
+  *    reference's behavior, the empty result is dropped by the
+  *    empty-document skip (`sources.py:94-96`).
   *
   * Paragraph-level elements are joined with `"\n\n"` exactly as the
   * reference joins partition elements (`sources.py:92-93`).
@@ -511,12 +513,16 @@ object DocumentExtract {
     } finally inf.end()
   }
 
-  /** PDF: walk `stream…endstream` segments, FlateDecode-inflate where the
-    * preceding dict says so, and run a text-operator scan over streams that
-    * contain `BT`: literal `(…)` and hex `<…>` strings are buffered and
-    * emitted on `Tj`/`'`/`"`/`TJ`; `Td`/`TD`/`T*`/`ET` emit line breaks.
+  /** PDF: parse the ToUnicode CMaps first ([[pdfFontCmaps]]), then walk
+    * `stream…endstream` segments, FlateDecode-inflate where the preceding
+    * dict says so, and run a text-operator scan over streams that contain
+    * `BT`: literal `(…)` and hex `<…>` strings are buffered and emitted
+    * on `Tj`/`'`/`"`/`TJ` — decoded through the CURRENT font's CMap when
+    * one exists (`/Name size Tf` tracks the font), raw cp-per-byte
+    * otherwise; `Td`/`TD`/`T*`/`ET` emit line breaks.
     */
   private[functions] def pdf(bytes: Array[Byte]): String = {
+    val cmaps = pdfFontCmaps(bytes)
     val out = new StringBuilder
     var i = 0
     var more = true
@@ -538,7 +544,7 @@ object DocumentExtract {
           }
           val content = new String(data, StandardCharsets.ISO_8859_1)
           if (content.contains("BT")) {
-            val text = pdfTextOps(content)
+            val text = pdfTextOps(content, cmaps)
             if (text.nonEmpty) {
               if (out.nonEmpty) out.append('\n')
               out.append(text)
@@ -551,11 +557,162 @@ object DocumentExtract {
     out.toString.trim
   }
 
-  /** Scan a decoded content stream for text-showing operators. */
-  private[functions] def pdfTextOps(cs: String): String = {
+  /** One parsed ToUnicode CMap: source-code width in BYTES plus
+    * code → text (a code may map to several chars — ligatures).
+    */
+  private[functions] final case class PdfCmap(codeBytes: Int, map: Map[Int, String])
+
+  /** Build font-resource-name → ToUnicode CMap for a whole PDF: scan the
+    * `N 0 obj … endobj` table, collect `/Font << /Fx N 0 R … >>` resource
+    * entries (direct or one indirect hop), follow each font's
+    * `/ToUnicode N 0 R` to its (usually FlateDecode) CMap stream, and
+    * parse it ([[parseCmap]]). Subset fonts (Identity-H two-byte codes)
+    * are what this exists for — without the CMap their glyph ids decode
+    * to garbage, WITH it the extraction is exact. Resource names are
+    * collected globally (machine-generated PDFs name fonts consistently;
+    * a per-page name collision would need full page-tree resolution —
+    * documented best-effort). Any structural failure yields an empty map
+    * and the raw byte-per-char behavior.
+    */
+  private[functions] def pdfFontCmaps(bytes: Array[Byte]): Map[String, PdfCmap] =
+    try {
+      val full = new String(bytes, StandardCharsets.ISO_8859_1)
+      val objRe = """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
+      val objs: Map[Int, String] = objRe.findAllMatchIn(full)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+      def objStream(body: String): Option[String] = {
+        val s = body.indexOf("stream")
+        if (s < 0) None
+        else {
+          var ds = s + "stream".length
+          if (ds < body.length && body.charAt(ds) == '\r') ds += 1
+          if (ds < body.length && body.charAt(ds) == '\n') ds += 1
+          val e = body.indexOf("endstream", ds)
+          if (e < 0) None
+          else {
+            val raw = body.substring(ds, e)
+            if (body.take(s).contains("/FlateDecode"))
+              Some(new String(
+                inflate(raw.getBytes(StandardCharsets.ISO_8859_1)),
+                StandardCharsets.ISO_8859_1))
+            else Some(raw)
+          }
+        }
+      }
+      val entryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+      val fontDictRe = """(?s)/Font\s*<<(.*?)>>""".r
+      val fontRefRe = """/Font\s+(\d+)\s+\d+\s+R""".r
+      val entries =
+        fontDictRe.findAllMatchIn(full).flatMap(m =>
+          entryRe.findAllMatchIn(m.group(1))) ++
+        fontRefRe.findAllMatchIn(full).flatMap(m =>
+          objs.get(m.group(1).toInt).iterator
+            .flatMap(entryRe.findAllMatchIn(_)))
+      val toUniRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+      entries.flatMap { e =>
+        for {
+          fontBody <- objs.get(e.group(2).toInt)
+          uni <- toUniRe.findFirstMatchIn(fontBody)
+          cmapBody <- objs.get(uni.group(1).toInt)
+          cmapText <- objStream(cmapBody)
+          cmap <- parseCmap(cmapText)
+        } yield e.group(1) -> cmap
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Parse a ToUnicode CMap (ISO 32000 §9.10.3 / Adobe CMap syntax):
+    * `begincodespacerange` fixes the code width, `beginbfchar` lists
+    * `<src> <dst>` pairs, `beginbfrange` lists `<lo> <hi> <dstStart>`
+    * runs (last code unit increments) or `<lo> <hi> [<dst>…]` arrays.
+    * Destinations are UTF-16BE. None when nothing parses (an empty map
+    * would silently drop all text — worse than the byte fallback).
+    */
+  private[functions] def parseCmap(text: String): Option[PdfCmap] = {
+    def hexStr(h: String): String =
+      new String(h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray,
+        StandardCharsets.UTF_16BE)
+    val m = mutable.HashMap.empty[Int, String]
+    val hexRe = """<([0-9A-Fa-f]+)>""".r
+    var codeBytes = 0
+    for (blk <- """(?s)begincodespacerange(.*?)endcodespacerange""".r
+        .findAllMatchIn(text); h <- hexRe.findAllMatchIn(blk.group(1)).take(1))
+      codeBytes = h.group(1).length / 2
+    for (blk <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)) {
+      val hs = hexRe.findAllMatchIn(blk.group(1)).map(_.group(1)).toSeq
+      hs.grouped(2).foreach {
+        case Seq(src, dst) =>
+          if (codeBytes == 0) codeBytes = src.length / 2
+          m(Integer.parseInt(src, 16)) = hexStr(dst)
+        case _ => ()
+      }
+    }
+    for (blk <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text)) {
+      // Tokens in order: either <lo> <hi> <dst> or <lo> <hi> [ <d> … ].
+      val tokRe = """<([0-9A-Fa-f]+)>|(\[)|(\])""".r
+      val toks = tokRe.findAllMatchIn(blk.group(1)).toSeq
+      var i = 0
+      while (i + 1 < toks.length) {
+        (Option(toks(i).group(1)), Option(toks(i + 1).group(1))) match {
+          case (Some(lo), Some(hi)) =>
+            val loI = Integer.parseInt(lo, 16)
+            val hiI = math.min(Integer.parseInt(hi, 16), loI + 65535)
+            if (codeBytes == 0) codeBytes = lo.length / 2
+            if (i + 2 < toks.length && toks(i + 2).group(2) != null) {
+              // array form: one dst per code until the closing bracket
+              var j = i + 3
+              var code = loI
+              while (j < toks.length && toks(j).group(1) != null) {
+                if (code <= hiI) { m(code) = hexStr(toks(j).group(1)); code += 1 }
+                j += 1
+              }
+              i = if (j < toks.length) j + 1 else j // skip the ']'
+            } else if (i + 2 < toks.length && toks(i + 2).group(1) != null) {
+              // run form: increment the LAST UTF-16 code unit of dstStart
+              val dst = hexStr(toks(i + 2).group(1))
+              var code = loI
+              while (code <= hiI) {
+                m(code) =
+                  if (dst.isEmpty) ""
+                  else dst.dropRight(1) +
+                    (dst.last + (code - loI)).toChar
+                code += 1
+              }
+              i += 3
+            } else i += 3
+          case _ => i += 1
+        }
+      }
+    }
+    if (m.isEmpty || codeBytes <= 0) None else Some(PdfCmap(codeBytes, m.toMap))
+  }
+
+  /** Scan a decoded content stream for text-showing operators; `/Name …
+    * Tf` switches the active CMap when the font has one.
+    */
+  private[functions] def pdfTextOps(
+      cs: String, cmaps: Map[String, PdfCmap] = Map.empty): String = {
     val out = new StringBuilder
     val pending = mutable.ArrayBuffer.empty[String]
-    def flushPending(): Unit = { pending.foreach(out ++= _); pending.clear() }
+    var lastName: String = null
+    var cur: Option[PdfCmap] = None
+    def decode(raw: String): String = cur match {
+      case None => raw
+      case Some(cm) =>
+        // Each char of `raw` is one BYTE (ISO-8859-1-preserved); group
+        // into codeBytes-wide big-endian codes. Unmapped codes drop —
+        // the CMap is the font's own statement of its text semantics.
+        val sb = new StringBuilder
+        var i = 0
+        while (i + cm.codeBytes <= raw.length) {
+          var code = 0
+          var j = 0
+          while (j < cm.codeBytes) { code = (code << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
+          cm.map.get(code).foreach(sb ++= _)
+          i += cm.codeBytes
+        }
+        sb.toString
+    }
+    def flushPending(): Unit = { pending.foreach(p => out ++= decode(p)); pending.clear() }
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out += '\n'
     var i = 0
@@ -565,6 +722,11 @@ object DocumentExtract {
         case '(' =>
           val (str, ni) = pdfLiteralString(cs, i)
           pending += str; i = ni
+        case '/' =>
+          var j = i + 1
+          while (j < n && !" \t\r\n/<>[]()%".contains(cs.charAt(j))) j += 1
+          lastName = cs.substring(i + 1, j)
+          i = j
         case '<' if i + 1 < n && cs.charAt(i + 1) != '<' =>
           val end = cs.indexOf('>', i + 1)
           if (end < 0) i = n
@@ -581,6 +743,9 @@ object DocumentExtract {
             case "Tj" | "TJ"      => flushPending()
             case "'" | "\""       => newline(); flushPending()
             case "Td" | "TD" | "T*" | "ET" => pending.clear(); newline()
+            case "Tf"             =>
+              pending.clear()
+              cur = Option(lastName).flatMap(cmaps.get)
             case _                => pending.clear()
           }
           i = j

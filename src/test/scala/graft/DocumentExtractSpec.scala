@@ -212,6 +212,56 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(DocumentExtract.extract("pdf", "t.pdf", bytes) == "alpha\nbetaHELLO")
   }
 
+  test("pdf: subset font decodes through its ToUnicode CMap (Identity-H)") {
+    // A Type0 subset font whose 2-byte glyph codes mean nothing without
+    // the CMap: bfchar maps 0001->H 0002->i, an array bfrange maps
+    // 0010..0011 -> [space, !], a run bfrange maps 0020..0022 -> A..C,
+    // and one mapping is a multi-char ligature (0003 -> ffi as 3 chars).
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |3 beginbfchar
+        |<0001> <0048>
+        |<0002> <0069>
+        |<0003> <006600660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0011> [<0020> <0021>]
+        |<0020> <0022> <0041>
+        |endbfrange
+        |endcmap""".stripMargin
+    val content = "BT /F7 12 Tf <0001 0002 0003 0010 0020 0021 0022 0011> Tj ET"
+    val plain = "BT /F1 10 Tf (plain latin) Tj ET"
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val pdf = "%PDF-1.4\n" +
+      obj(1, "<< /Type /Page /Resources << /Font << /F7 2 0 R >> >> >>") +
+      obj(2, "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Sub " +
+        "/Encoding /Identity-H /ToUnicode 3 0 R >>") +
+      obj(3, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream") +
+      obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream") +
+      obj(5, s"<< /Length ${plain.length} >>\nstream\n$plain\nendstream")
+    val got = DocumentExtract.extract("pdf", "sub.pdf",
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got == "Hiffi ABC!\nplain latin", got)
+  }
+
+  test("pdf: indirect /Font resource dict and unmapped codes drop") {
+    val cmap = "begincmap\n1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "1 beginbfchar <41> <005A> endbfchar\nendcmap" // 1-byte codes: A -> Z
+    val content = "BT /G1 9 Tf (AB) Tj ET" // B (0x42) is unmapped -> drops
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val pdf = "%PDF-1.4\n" +
+      obj(1, "<< /Type /Page /Resources << /Font 6 0 R >> >>") +
+      obj(6, "<< /G1 2 0 R >>") +
+      obj(2, "<< /Type /Font /ToUnicode 3 0 R >>") +
+      obj(3, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream") +
+      obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val got = DocumentExtract.extract("pdf", "ind.pdf",
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got == "Z", got)
+  }
+
   // ------------------------------------------------ errors + source wiring
 
   test("decompression bomb guard fails loudly instead of OOMing the task") {
