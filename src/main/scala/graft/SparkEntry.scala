@@ -272,6 +272,21 @@ object SparkEntry {
           viaPpt(payload).as("ppt_text"), viaXls(payload).as("xls_text"))
     }),
 
+    "pdf_cmap_roundtrip" -> ((s, dir) => {
+      // Subset-font PDF round trip IN-PLAN (LegacyOfficeFixtures.subsetPdf
+      // scaladoc): each document's text becomes a Type0 font with a
+      // GENERATED ToUnicode CMap and a 2-byte-code content stream; the raw
+      // byte fallback would yield garbage, so the identity oracle passes
+      // ONLY through the CMap interpreter (pdfFontCmaps/parseCmap). The
+      // bracket keeps the extractor's trim a no-op; the pdf path performs
+      // no other normalization, so the oracle is the verbatim text.
+      val payload = concat(lit("["), col("text"), lit("]"))
+      val via = udf((p: String) => graft.functions.DocumentExtract.extract("pdf", "rt.pdf",
+        graft.functions.LegacyOfficeFixtures.subsetPdf(p)))
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), via(payload).as("pdf_text"))
+    }),
+
     "jsonl_parse" -> ((s, dir) => {
       // JSONL corpus source: serialize each document row to a JSON line
       // with to_json, parse back through JsonlSource's line parser (the
@@ -7656,6 +7671,12 @@ object SparkEntry {
       s"""SELECT doc_id, $p AS doc_text, $p AS ppt_text, $p AS xls_text
          |FROM documents WHERE text IS NOT NULL""".stripMargin
     },
+
+    // Verbatim identity: the subset-font content stream is 2-byte glyph
+    // codes, so the engine only matches through the ToUnicode CMap walk.
+    "pdf_cmap_roundtrip" ->
+      """SELECT doc_id, '[' || text || ']' AS pdf_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),

@@ -628,9 +628,20 @@ object DocumentExtract {
     * would silently drop all text — worse than the byte fallback).
     */
   private[functions] def parseCmap(text: String): Option[PdfCmap] = {
-    def hexStr(h: String): String =
-      new String(h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray,
-        StandardCharsets.UTF_16BE)
+    // Manual UTF-16BE unit decode: a CharsetDecoder would replace LONE
+    // surrogate halves with U+FFFD, but per-unit CMap targets are
+    // legitimately lone halves that reassemble into astral chars when
+    // consecutive codes concatenate at show time.
+    def hexStr(h: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      if (i < h.length) sb.append(Integer.parseInt(h.substring(i), 16).toChar)
+      sb.toString
+    }
     val m = mutable.HashMap.empty[Int, String]
     val hexRe = """<([0-9A-Fa-f]+)>""".r
     var codeBytes = 0

@@ -148,6 +148,39 @@ object LegacyOfficeFixtures {
       (body ++ pptRecord(0x0000, 0x2AFC, new Array[Byte](pad))))
   }
 
+  /** A REAL subset-font PDF: a Type0 font whose 2-byte glyph codes are
+    * meaningless without its generated ToUnicode CMap — code k+1 maps to
+    * the k-th distinct UTF-16 unit of `text`, and the content stream
+    * shows `text` as one hex string of those codes. Extraction is exact
+    * ONLY through the CMap interpreter (the raw byte fallback yields
+    * garbage), so a round-trip gate pins the subset-font path the way
+    * `word97Doc` pins the piece table.
+    */
+  def subsetPdf(text: String): Array[Byte] = {
+    val distinct = text.distinct
+    require(distinct.length <= 0xFFFE,
+      "graft.LegacyOfficeFixtures: subsetPdf caps at 65534 distinct units")
+    val bfchars = distinct.zipWithIndex.map { case (c, k) =>
+      f"<${k + 1}%04X> <${c.toInt}%04X>"
+    }
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      bfchars.grouped(100).map(g =>
+        s"${g.size} beginbfchar\n${g.mkString("\n")}\nendbfchar")
+        .mkString("\n") +
+      "\nendcmap"
+    val codes = text.map(c => f"${distinct.indexOf(c) + 1}%04X").mkString
+    val content = s"BT /F1 12 Tf <$codes> Tj ET"
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Page /Resources << /Font << /F1 2 0 R >> >> >>") +
+      obj(2, "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Gen " +
+        "/Encoding /Identity-H /ToUnicode 3 0 R >>") +
+      obj(3, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream") +
+      obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream"))
+      .getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   /** A REAL BIFF8 .xls: BOF, an SST with ONE wide string holding `text`,
     * one LabelSst cell referencing it, EOF, and a 4-byte-alignment filler
     * record. Text caps at the single-record SST limit (u16 payload).

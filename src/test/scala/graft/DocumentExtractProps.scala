@@ -116,7 +116,9 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
       DocumentExtract.extract("ppt", "p.ppt",
         LegacyOfficeFixtures.ppt97(t)) == t &&
       DocumentExtract.extract("xls", "p.xls",
-        LegacyOfficeFixtures.biff8Xls(t)) == t
+        LegacyOfficeFixtures.biff8Xls(t)) == t &&
+      DocumentExtract.extract("pdf", "p.pdf",
+        LegacyOfficeFixtures.subsetPdf(t)) == t
     }
 
   property("ole2 fuzz: random bytes after the magic never escape the contract") =
