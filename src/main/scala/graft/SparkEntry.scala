@@ -1588,7 +1588,8 @@ object SparkEntry {
             col("w").substr(lit(3), lit(100))).as("q"))
         .unionByName(vocab.select(lit("spark").as("q")).limit(1))
         .unionByName(vocab.select(lit("qqqq").as("q")).limit(1))
-      EditDistance.spellCorrect(queries, "q", vocab, "w", "n")
+      EditDistance.spellCorrect(queries, "q", vocab, "w", "n",
+        broadcastBest = true) // fixture-small query set: pin the plan (r14 flap)
     }),
 
     "bm25_merged_stats" -> ((s, dir) => {

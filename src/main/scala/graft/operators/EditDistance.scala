@@ -246,9 +246,17 @@ object EditDistance {
     * per string; the candidate join is keyed on the variant; ranking is
     * one window per query over its (small) candidate set.
     */
+  /** `broadcastBest = true` pins the final attach-join to a broadcast of
+    * the one-row-per-query `best` side — set it when the QUERY SET is
+    * known driver-small (a UI's misspelling panel, a fixture). The
+    * default leaves the choice to AQE's runtime size estimate, which is
+    * correct at both regimes but sits near the broadcast threshold on
+    * small fixtures and flips strategy run-to-run (the r14 canonical-
+    * digest flap) — a stability knob, not a semantics change.
+    */
   def spellCorrect(queries: DataFrame, queryCol: String,
                    vocab: DataFrame, wordCol: String,
-                   freqCol: String): DataFrame = {
+                   freqCol: String, broadcastBest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Tail bound is the string's own length (not a fixed cap): a fixed cap
     // silently truncates long strings' variants and breaks the
@@ -275,7 +283,7 @@ object EditDistance {
         col("__f").cast("long").as("freq"), col("__d").as("dist"))
     queries.filter(col(queryCol).isNotNull)
       .select(lower(col(queryCol)).as("query")).distinct()
-      .join(best, Seq("query"), "left")
+      .join(if (broadcastBest) broadcast(best) else best, Seq("query"), "left")
   }
 
   def symspellPairs(df: DataFrame, idCol: String,
