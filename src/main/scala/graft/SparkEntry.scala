@@ -259,7 +259,11 @@ object SparkEntry {
       // the identity, so the gate only hash-matches if writer AND parser
       // are faithful for every character. Payload pre-normalizes the
       // chars the extractors canonicalize (CR, cell mark, VT -> \n) and
-      // brackets the text so trim is a no-op.
+      // brackets the text so trim is a no-op. The length guard (10k code
+      // points, mirrored in the oracle WHERE) keeps every row safely under
+      // the fixture writers' require() caps (BIFF8 single-record SST,
+      // single-FAT-sector CFB): an oversized future testdata doc drops
+      // from the gate instead of aborting the whole job.
       val payload = concat(lit("["),
         translate(col("text"), "\r\u0007\u000B", "\n\n\n"), lit("]"))
       def roundtrip(ext: String, build: String => Array[Byte]) =
@@ -267,7 +271,8 @@ object SparkEntry {
       val viaDoc = roundtrip("doc", graft.functions.LegacyOfficeFixtures.word97Doc)
       val viaPpt = roundtrip("ppt", graft.functions.LegacyOfficeFixtures.ppt97)
       val viaXls = roundtrip("xls", graft.functions.LegacyOfficeFixtures.biff8Xls)
-      t(s, dir, "documents").filter(col("text").isNotNull)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
         .select(col("doc_id"), viaDoc(payload).as("doc_text"),
           viaPpt(payload).as("ppt_text"), viaXls(payload).as("xls_text"))
     }),
@@ -278,13 +283,24 @@ object SparkEntry {
       // GENERATED ToUnicode CMap and a 2-byte-code content stream; the raw
       // byte fallback would yield garbage, so the identity oracle passes
       // ONLY through the CMap interpreter (pdfFontCmaps/parseCmap). The
-      // bracket keeps the extractor's trim a no-op; the pdf path performs
-      // no other normalization, so the oracle is the verbatim text.
+      // second column re-packs the SAME document the way a modern
+      // (PDF >= 1.5) generator writes it (subsetPdfObjStm scaladoc): font
+      // + page dicts inside a compressed /Type /ObjStm, xref as a /XRef
+      // stream, the CMap behind an [/ASCII85Decode /FlateDecode] chain and
+      // the content behind /LZWDecode — so the identity also pins ObjStm
+      // splicing and all three stream filters. The bracket keeps the
+      // extractor's trim a no-op; the pdf path performs no other
+      // normalization, so the oracle is the verbatim text. Length guard:
+      // see legacy_office_roundtrip.
       val payload = concat(lit("["), col("text"), lit("]"))
       val via = udf((p: String) => graft.functions.DocumentExtract.extract("pdf", "rt.pdf",
         graft.functions.LegacyOfficeFixtures.subsetPdf(p)))
-      t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), via(payload).as("pdf_text"))
+      val viaObjStm = udf((p: String) => graft.functions.DocumentExtract.extract("pdf",
+        "rt15.pdf", graft.functions.LegacyOfficeFixtures.subsetPdfObjStm(p)))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"), via(payload).as("pdf_text"),
+          viaObjStm(payload).as("pdf_objstm_text"))
     }),
 
     "jsonl_parse" -> ((s, dir) => {
@@ -7670,14 +7686,17 @@ object SparkEntry {
       val p = "'[' || replace(replace(replace(text, chr(13), chr(10)), " +
         "chr(7), chr(10)), chr(11), chr(10)) || ']'"
       s"""SELECT doc_id, $p AS doc_text, $p AS ppt_text, $p AS xls_text
-         |FROM documents WHERE text IS NOT NULL""".stripMargin
+         |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin
     },
 
-    // Verbatim identity: the subset-font content stream is 2-byte glyph
-    // codes, so the engine only matches through the ToUnicode CMap walk.
+    // Verbatim identity, twice: the classic subset-font layout AND the
+    // modern ObjStm/xref-stream/filter-chain re-pack of the same document
+    // — the engine only matches through the ToUnicode CMap walk plus (for
+    // the second column) ObjStm splicing and the Flate/LZW/A85 filters.
     "pdf_cmap_roundtrip" ->
-      """SELECT doc_id, '[' || text || ']' AS pdf_text
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      """SELECT doc_id, '[' || text || ']' AS pdf_text,
+        |  '[' || text || ']' AS pdf_objstm_text
+        |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),

@@ -513,13 +513,171 @@ object DocumentExtract {
     } finally inf.end()
   }
 
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars in `!`..`u` → 4 bytes
+    * base-85 big-endian; `z` = four zero bytes; whitespace skipped;
+    * `~` ends the data (the optional `<~` prologue is consumed). A
+    * partial final group of n chars decodes to n-1 bytes (pad with `u`).
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, data.length * 4 / 5))
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) {
+          var v = 0L; var j = 0
+          while (j < 5) { v = v * 85 + grp(j); j += 1 }
+          out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+          n = 0
+        }
+      } // anything else (whitespace, stray bytes) is skipped
+      i += 1
+    }
+    if (n >= 2) {
+      var v = 0L; var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) grp(j) else 84); j += 1 }
+      val bs = Array[Byte](((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      out.write(bs, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000 §7.4.4, the TIFF variant): MSB-first variable
+    * width codes starting at 9 bits, 256 = clear-table, 257 = EOD, width
+    * grows to 12 with EarlyChange=1 (the default — the width bump happens
+    * one code BEFORE the table boundary because the decoder's table lags
+    * the encoder's by one entry). The table freezes at 4095 entries until
+    * a clear code arrives. [[LegacyOfficeFixtures.lzwEncode]] is the
+    * symmetric writer that round-trip gates pin this against.
+    */
+  /** EarlyChange=1 code width for an LZW table of `size` entries: the
+    * width bumps one entry BEFORE the table reaches 2^w - 1 because the
+    * writer has already assigned the code the reader is about to learn.
+    * Shared (via symmetric re-implementation) with
+    * `LegacyOfficeFixtures.lzwEncode`, which simulates the DECODER's
+    * table size — that is what keeps the width of the final code and the
+    * EOD marker in sync (the decoder grows its table one code later than
+    * the encoder, so near a boundary the trailing codes differ in width
+    * between the two tables' views).
+    */
+  private def lzwWidthFor(size: Int): Int = {
+    var w = 9
+    while (w < 12 && math.min(4095, size) + 2 > (1 << w) - 1) w += 1
+    w
+  }
+
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    var dict = mutable.ArrayBuffer.empty[Array[Byte]]
+    def resetDict(): Unit = {
+      dict = mutable.ArrayBuffer.tabulate(256)(i => Array(i.toByte))
+      dict += null; dict += null // 256 = clear, 257 = EOD placeholders
+    }
+    resetDict()
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    var eod = false
+    while (!eod) {
+      val width = lzwWidthFor(dict.length) // EarlyChange=1, resets on clear
+      while (bitCnt < width && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xFF); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) eod = true // ran out of bits: implicit EOD
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { resetDict(); prev = null }
+        else if (code == 257) eod = true
+        else {
+          val entry =
+            if (code < dict.length && dict(code) != null) dict(code)
+            else if (code == dict.length && prev != null) prev :+ prev(0)
+            else throw new IllegalArgumentException(
+              "graft.DocumentExtract: corrupt LZW stream (code out of table)")
+          if (out.size() + entry.length > MaxInflatedBytes)
+            throw new IllegalArgumentException(
+              s"graft.DocumentExtract: LZW stream inflates past $MaxInflatedBytes bytes")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dict.length < 4095) dict += (prev :+ entry(0))
+          prev = entry
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Parse the `/Filter` entry of the dict text preceding a stream: a
+    * single name or an array of names applied in order. The window is
+    * first scoped to the LAST `N G obj` header it contains so a previous
+    * object's dict can't leak its filter in. Fallback: a window that cut
+    * the `/Filter` key but still shows `/FlateDecode` keeps the historic
+    * contains() behavior.
+    */
+  /** Scope a lookback window to the LAST `N G obj` header it contains, so
+    * a previous object's dict (its `/Filter`, its `/Type /ObjStm`) can't
+    * leak into decisions about the current stream.
+    */
+  private def scopeToLastObj(dict: String): String = {
+    val objHdr = """\d+\s+\d+\s+obj\b""".r
+    objHdr.findAllMatchIn(dict).toSeq.lastOption
+      .map(m => dict.substring(m.end)).getOrElse(dict)
+  }
+
+  private[graft] def pdfFilters(dict: String): Seq[String] = {
+    val scoped = scopeToLastObj(dict)
+    val fi = scoped.lastIndexOf("/Filter")
+    val named: Seq[String] =
+      if (fi < 0) Nil
+      else {
+        var i = fi + "/Filter".length
+        while (i < scoped.length && scoped.charAt(i).isWhitespace) i += 1
+        val nameRe = """/([A-Za-z0-9]+)""".r
+        if (i < scoped.length && scoped.charAt(i) == '[') {
+          val end = scoped.indexOf(']', i)
+          val seg = if (end < 0) scoped.substring(i) else scoped.substring(i, end)
+          nameRe.findAllMatchIn(seg).map(_.group(1)).toSeq
+        } else if (i < scoped.length && scoped.charAt(i) == '/')
+          nameRe.findFirstMatchIn(scoped.substring(i)).map(_.group(1)).toSeq
+        else Nil // indirect-ref /Filter value: not resolvable from the window
+      }
+    if (named.isEmpty && scoped.contains("/FlateDecode")) Seq("FlateDecode") else named
+  }
+
+  /** Apply a stream's declared filter chain in order. Unknown filters
+    * (DCTDecode, JBIG2Decode, …) pass the data through untouched — they
+    * are image codecs, never text-bearing.
+    */
+  private[functions] def decodePdfStream(dict: String, data: Array[Byte]): Array[Byte] =
+    pdfFilters(dict).foldLeft(data) { (d, f) =>
+      f match {
+        case "FlateDecode" | "Fl"    => inflate(d)
+        case "ASCII85Decode" | "A85" => ascii85Decode(d)
+        case "LZWDecode" | "LZW"     => lzwDecode(d)
+        case _                       => d
+      }
+    }
+
   /** PDF: parse the ToUnicode CMaps first ([[pdfFontCmaps]]), then walk
-    * `stream…endstream` segments, FlateDecode-inflate where the preceding
-    * dict says so, and run a text-operator scan over streams that contain
+    * `stream…endstream` segments, decode each through its declared filter
+    * chain ([[decodePdfStream]]: Flate, LZW, ASCII85 — chained filters in
+    * order), and run a text-operator scan over streams that contain
     * `BT`: literal `(…)` and hex `<…>` strings are buffered and emitted
     * on `Tj`/`'`/`"`/`TJ` — decoded through the CURRENT font's CMap when
     * one exists (`/Name size Tf` tracks the font), raw cp-per-byte
-    * otherwise; `Td`/`TD`/`T*`/`ET` emit line breaks.
+    * otherwise; `Td`/`TD`/`T*`/`ET` emit line breaks. Structural streams
+    * (`/ObjStm` object streams, `/XRef` cross-reference streams) are
+    * skipped here — their decoded bytes are table data that could contain
+    * `BT` by coincidence; [[pdfFontCmaps]] reads the object streams.
     */
   private[functions] def pdf(bytes: Array[Byte]): String = {
     val cmaps = pdfFontCmaps(bytes)
@@ -537,11 +695,13 @@ object DocumentExtract {
         if (e < 0) more = false
         else {
           val winStart = math.max(0, s - 800)
-          val dict = new String(bytes, winStart, s - winStart, StandardCharsets.ISO_8859_1)
-          var data = bytes.slice(ds, e)
-          if (dict.contains("/FlateDecode")) {
-            data = try inflate(data) catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
-          }
+          val dict = scopeToLastObj(
+            new String(bytes, winStart, s - winStart, StandardCharsets.ISO_8859_1))
+          val structural = dict.contains("/ObjStm") || dict.contains("/XRef")
+          val data =
+            if (structural) Array.emptyByteArray
+            else try decodePdfStream(dict, bytes.slice(ds, e))
+            catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
           val content = new String(data, StandardCharsets.ISO_8859_1)
           if (content.contains("BT")) {
             val text = pdfTextOps(content, cmaps)
@@ -557,28 +717,76 @@ object DocumentExtract {
     out.toString.trim
   }
 
-  /** One parsed ToUnicode CMap: source-code width in BYTES plus
-    * code → text (a code may map to several chars — ligatures).
+  /** One parsed ToUnicode CMap: the declared codespace ranges — each
+    * `(widthBytes, lo, hi)` — plus `(widthBytes, code) → text` (a code may
+    * map to several chars — ligatures). Mixed-width CMaps (a 1-byte and a
+    * 2-byte range in one ToUnicode — legal per ISO 32000 §9.7.6.2) decode
+    * correctly: [[decode]] matches each position against the ranges,
+    * shortest declared width first, so codes of either width group
+    * independently instead of one global width mis-slicing the other's.
     */
-  private[functions] final case class PdfCmap(codeBytes: Int, map: Map[Int, String])
+  private[graft] final case class PdfCmap(
+      ranges: Seq[(Int, Int, Int)], map: Map[(Int, Int), String]) {
+    private val widths: Seq[Int] = ranges.map(_._1).distinct.sorted
+
+    /** Decode a raw string (each char = one BYTE, ISO-8859-1-preserved)
+      * through the codespace ranges. Out-of-codespace bytes consume the
+      * smallest declared width and drop; unmapped in-codespace codes drop
+      * — the CMap is the font's own statement of its text semantics.
+      */
+    def decode(raw: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      val n = raw.length
+      while (i < n) {
+        var w = 0
+        var code = 0
+        val it = widths.iterator
+        while (w == 0 && it.hasNext) {
+          val cand = it.next()
+          if (i + cand <= n) {
+            var c = 0
+            var j = 0
+            while (j < cand) { c = (c << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
+            if (ranges.exists(r => r._1 == cand && c >= r._2 && c <= r._3)) {
+              w = cand; code = c
+            }
+          }
+        }
+        if (w == 0) i += math.min(n - i, widths.headOption.getOrElse(1))
+        else {
+          map.get((w, code)).foreach(sb ++= _)
+          i += w
+        }
+      }
+      sb.toString
+    }
+  }
 
   /** Build font-resource-name → ToUnicode CMap for a whole PDF: scan the
-    * `N 0 obj … endobj` table, collect `/Font << /Fx N 0 R … >>` resource
-    * entries (direct or one indirect hop), follow each font's
-    * `/ToUnicode N 0 R` to its (usually FlateDecode) CMap stream, and
-    * parse it ([[parseCmap]]). Subset fonts (Identity-H two-byte codes)
-    * are what this exists for — without the CMap their glyph ids decode
-    * to garbage, WITH it the extraction is exact. Resource names are
-    * collected globally (machine-generated PDFs name fonts consistently;
-    * a per-page name collision would need full page-tree resolution —
-    * documented best-effort). Any structural failure yields an empty map
-    * and the raw byte-per-char behavior.
+    * `N 0 obj … endobj` table, splice in objects packed inside
+    * `/Type /ObjStm` object streams (PDF ≥ 1.5 generators put font and
+    * resource dicts there, where the raw scan can't see them — decode the
+    * stream, read the `/First`-byte header of `num offset` pairs, slice
+    * each contained object out), collect `/Font << /Fx N 0 R … >>`
+    * resource entries (direct or one indirect hop), follow each font's
+    * `/ToUnicode N 0 R` to its CMap stream (decoded through the full
+    * declared filter chain — Flate, LZW, ASCII85), and parse it
+    * ([[parseCmap]]). Subset fonts (Identity-H two-byte codes) are what
+    * this exists for — without the CMap their glyph ids decode to
+    * garbage, WITH it the extraction is exact. Xref-stream-only files
+    * need no extra work: the object scan never reads the xref table.
+    * Resource names are collected globally (machine-generated PDFs name
+    * fonts consistently; a per-page name collision would need full
+    * page-tree resolution — documented best-effort). Failures are
+    * isolated per object stream and per font: one corrupt font or ObjStm
+    * falls back alone while the rest keep their CMaps.
     */
-  private[functions] def pdfFontCmaps(bytes: Array[Byte]): Map[String, PdfCmap] =
+  private[graft] def pdfFontCmaps(bytes: Array[Byte]): Map[String, PdfCmap] =
     try {
       val full = new String(bytes, StandardCharsets.ISO_8859_1)
       val objRe = """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
-      val objs: Map[Int, String] = objRe.findAllMatchIn(full)
+      val topObjs: Map[Int, String] = objRe.findAllMatchIn(full)
         .map(m => m.group(1).toInt -> m.group(2)).toMap
       def objStream(body: String): Option[String] = {
         val s = body.indexOf("stream")
@@ -591,43 +799,80 @@ object DocumentExtract {
           if (e < 0) None
           else {
             val raw = body.substring(ds, e)
-            if (body.take(s).contains("/FlateDecode"))
-              Some(new String(
-                inflate(raw.getBytes(StandardCharsets.ISO_8859_1)),
-                StandardCharsets.ISO_8859_1))
-            else Some(raw)
+            Some(new String(
+              decodePdfStream(body.take(s), raw.getBytes(StandardCharsets.ISO_8859_1)),
+              StandardCharsets.ISO_8859_1))
           }
         }
       }
+      val spliced: Map[Int, String] = topObjs.valuesIterator
+        .filter(_.contains("/ObjStm")).flatMap { body =>
+          try {
+            objStream(body).iterator.flatMap { dec =>
+              val first = """/First\s+(\d+)""".r.findFirstMatchIn(body)
+                .map(_.group(1).toInt).getOrElse(0)
+              if (first <= 0 || first > dec.length) Iterator.empty
+              else {
+                val nums = dec.substring(0, first).trim.split("""\s+""")
+                  .iterator.filter(_.nonEmpty)
+                  .flatMap(s => scala.util.Try(s.toInt).toOption).toArray
+                val pairs = nums.grouped(2)
+                  .collect { case Array(a, b) => (a, b) }.toArray
+                pairs.indices.iterator.flatMap { k =>
+                  val (num, off) = pairs(k)
+                  val start = first + off
+                  val end =
+                    if (k + 1 < pairs.length) first + pairs(k + 1)._2
+                    else dec.length
+                  if (start >= 0 && start <= end && end <= dec.length)
+                    Iterator.single(num -> dec.substring(start, end))
+                  else Iterator.empty
+                }
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }.toMap
+      val objs = spliced ++ topObjs // a top-level definition wins on collision
+      val scanText =
+        if (spliced.isEmpty) full
+        else full + "\n" + spliced.valuesIterator.mkString("\n")
       val entryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
       val fontDictRe = """(?s)/Font\s*<<(.*?)>>""".r
       val fontRefRe = """/Font\s+(\d+)\s+\d+\s+R""".r
       val entries =
-        fontDictRe.findAllMatchIn(full).flatMap(m =>
+        fontDictRe.findAllMatchIn(scanText).flatMap(m =>
           entryRe.findAllMatchIn(m.group(1))) ++
-        fontRefRe.findAllMatchIn(full).flatMap(m =>
+        fontRefRe.findAllMatchIn(scanText).flatMap(m =>
           objs.get(m.group(1).toInt).iterator
             .flatMap(entryRe.findAllMatchIn(_)))
       val toUniRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
       entries.flatMap { e =>
-        for {
-          fontBody <- objs.get(e.group(2).toInt)
-          uni <- toUniRe.findFirstMatchIn(fontBody)
-          cmapBody <- objs.get(uni.group(1).toInt)
-          cmapText <- objStream(cmapBody)
-          cmap <- parseCmap(cmapText)
-        } yield e.group(1) -> cmap
+        try {
+          for {
+            fontBody <- objs.get(e.group(2).toInt)
+            uni <- toUniRe.findFirstMatchIn(fontBody)
+            cmapBody <- objs.get(uni.group(1).toInt)
+            cmapText <- objStream(cmapBody)
+            cmap <- parseCmap(cmapText)
+          } yield e.group(1) -> cmap
+        } catch { case scala.util.control.NonFatal(_) => None }
       }.toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Parse a ToUnicode CMap (ISO 32000 §9.10.3 / Adobe CMap syntax):
-    * `begincodespacerange` fixes the code width, `beginbfchar` lists
-    * `<src> <dst>` pairs, `beginbfrange` lists `<lo> <hi> <dstStart>`
-    * runs (last code unit increments) or `<lo> <hi> [<dst>…]` arrays.
+    * `begincodespacerange` declares the code widths — EVERY `<lo> <hi>`
+    * pair becomes a `(widthBytes, lo, hi)` range, so mixed-width CMaps
+    * keep both widths — `beginbfchar` lists `<src> <dst>` pairs,
+    * `beginbfrange` lists `<lo> <hi> <dstStart>` runs (last code unit
+    * increments) or `<lo> <hi> [<dst>…]` arrays; each mapping is keyed by
+    * its OWN source width (the hex digit count), so a 1-byte `<41>` and a
+    * 2-byte `<0041>` stay distinct codes. A width seen in a mapping but
+    * missing from the declared codespace gets a synthesized full-coverage
+    * range (real-world CMaps sometimes omit the declaration).
     * Destinations are UTF-16BE. None when nothing parses (an empty map
     * would silently drop all text — worse than the byte fallback).
     */
-  private[functions] def parseCmap(text: String): Option[PdfCmap] = {
+  private[graft] def parseCmap(text: String): Option[PdfCmap] = {
     // Manual UTF-16BE unit decode: a CharsetDecoder would replace LONE
     // surrogate halves with U+FFFD, but per-unit CMap targets are
     // legitimately lone halves that reassemble into astral chars when
@@ -642,18 +887,24 @@ object DocumentExtract {
       if (i < h.length) sb.append(Integer.parseInt(h.substring(i), 16).toChar)
       sb.toString
     }
-    val m = mutable.HashMap.empty[Int, String]
+    val m = mutable.HashMap.empty[(Int, Int), String]
+    val ranges = mutable.ArrayBuffer.empty[(Int, Int, Int)]
     val hexRe = """<([0-9A-Fa-f]+)>""".r
-    var codeBytes = 0
     for (blk <- """(?s)begincodespacerange(.*?)endcodespacerange""".r
-        .findAllMatchIn(text); h <- hexRe.findAllMatchIn(blk.group(1)).take(1))
-      codeBytes = h.group(1).length / 2
+        .findAllMatchIn(text)) {
+      val hs = hexRe.findAllMatchIn(blk.group(1)).map(_.group(1)).toSeq
+      hs.grouped(2).foreach {
+        case Seq(lo, hi) if lo.length == hi.length && lo.length >= 2 =>
+          ranges += ((lo.length / 2,
+            Integer.parseInt(lo, 16), Integer.parseInt(hi, 16)))
+        case _ => ()
+      }
+    }
     for (blk <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)) {
       val hs = hexRe.findAllMatchIn(blk.group(1)).map(_.group(1)).toSeq
       hs.grouped(2).foreach {
         case Seq(src, dst) =>
-          if (codeBytes == 0) codeBytes = src.length / 2
-          m(Integer.parseInt(src, 16)) = hexStr(dst)
+          m((src.length / 2, Integer.parseInt(src, 16))) = hexStr(dst)
         case _ => ()
       }
     }
@@ -667,13 +918,13 @@ object DocumentExtract {
           case (Some(lo), Some(hi)) =>
             val loI = Integer.parseInt(lo, 16)
             val hiI = math.min(Integer.parseInt(hi, 16), loI + 65535)
-            if (codeBytes == 0) codeBytes = lo.length / 2
+            val w = lo.length / 2
             if (i + 2 < toks.length && toks(i + 2).group(2) != null) {
               // array form: one dst per code until the closing bracket
               var j = i + 3
               var code = loI
               while (j < toks.length && toks(j).group(1) != null) {
-                if (code <= hiI) { m(code) = hexStr(toks(j).group(1)); code += 1 }
+                if (code <= hiI) { m((w, code)) = hexStr(toks(j).group(1)); code += 1 }
                 j += 1
               }
               i = if (j < toks.length) j + 1 else j // skip the ']'
@@ -682,7 +933,7 @@ object DocumentExtract {
               val dst = hexStr(toks(i + 2).group(1))
               var code = loI
               while (code <= hiI) {
-                m(code) =
+                m((w, code)) =
                   if (dst.isEmpty) ""
                   else dst.dropRight(1) +
                     (dst.last + (code - loI)).toChar
@@ -694,7 +945,11 @@ object DocumentExtract {
         }
       }
     }
-    if (m.isEmpty || codeBytes <= 0) None else Some(PdfCmap(codeBytes, m.toMap))
+    val declared = ranges.map(_._1).toSet
+    for (w <- m.keysIterator.map(_._1).toSet -- declared if w >= 1 && w <= 4)
+      ranges += ((w, 0, (1 << math.min(30, 8 * w)) - 1))
+    if (m.isEmpty || ranges.isEmpty) None
+    else Some(PdfCmap(ranges.toSeq, m.toMap))
   }
 
   /** Scan a decoded content stream for text-showing operators; `/Name …
@@ -707,21 +962,8 @@ object DocumentExtract {
     var lastName: String = null
     var cur: Option[PdfCmap] = None
     def decode(raw: String): String = cur match {
-      case None => raw
-      case Some(cm) =>
-        // Each char of `raw` is one BYTE (ISO-8859-1-preserved); group
-        // into codeBytes-wide big-endian codes. Unmapped codes drop —
-        // the CMap is the font's own statement of its text semantics.
-        val sb = new StringBuilder
-        var i = 0
-        while (i + cm.codeBytes <= raw.length) {
-          var code = 0
-          var j = 0
-          while (j < cm.codeBytes) { code = (code << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
-          cm.map.get(code).foreach(sb ++= _)
-          i += cm.codeBytes
-        }
-        sb.toString
+      case None     => raw
+      case Some(cm) => cm.decode(raw) // codespace-range grouping, per-width
     }
     def flushPending(): Unit = { pending.foreach(p => out ++= decode(p)); pending.clear() }
     def newline(): Unit =

@@ -2,6 +2,8 @@ package graft.functions
 
 import java.nio.charset.StandardCharsets
 
+import scala.collection.mutable
+
 /** Deterministic legacy-Office container WRITERS — the `syntheticBmp` /
   * `syntheticWav` probe-generator discipline applied to the OLE2 family:
   * build REAL [MS-CFB] containers carrying a REAL Word 97 piece table
@@ -29,9 +31,15 @@ object LegacyOfficeFixtures {
 
   /** Minimal [MS-CFB] v3 writer: sectors [0]=FAT, [1]=directory, then each
     * stream's data padded to >= the 4096 mini cutoff (so every stream takes
-    * the FAT path the reader exercises). One directory sector -> <= 3
-    * streams; streams capped at 120 sectors total (far above any text
-    * payload this builder carries).
+    * the FAT path the reader exercises; the directory records the PADDED
+    * size for the same reason — a true sub-cutoff size would route a
+    * tree-walking reader to the mini-FAT, which this fixture does not
+    * carry). One directory sector -> <= 3 streams; streams capped at 120
+    * sectors total (far above any text payload this builder carries).
+    * Directory tree: the root's child points at the first stream entry
+    * and streams chain through RIGHT-sibling pointers (child = NOSTREAM
+    * on every stream entry), so a conformant tree-walking reader sees all
+    * streams — a degenerate but valid [MS-CFB] §2.6.4 tree.
     */
   def cfb(streams: (String, Array[Byte])*): Array[Byte] = {
     require(streams.size <= 3, "one dir sector holds at most 3 streams")
@@ -39,17 +47,18 @@ object LegacyOfficeFixtures {
     putI32(fat, 0, FATSECT); putI32(fat, 4, END) // dir chain: just sector 1
     val dir = new Array[Byte](512)
     def dirEntry(idx: Int, name: String, objType: Int, start: Int,
-                 size: Int): Unit = {
+                 size: Int, right: Int, child: Int): Unit = {
       val o = idx * 128
       val nm = name.getBytes(StandardCharsets.UTF_16LE)
       System.arraycopy(nm, 0, dir, o, nm.length)
       putU16(dir, o + 64, nm.length + 2)
       dir(o + 66) = objType.toByte; dir(o + 67) = 1
-      putI32(dir, o + 68, FREE); putI32(dir, o + 72, FREE)
-      putI32(dir, o + 76, 1)
+      putI32(dir, o + 68, FREE); putI32(dir, o + 72, right)
+      putI32(dir, o + 76, child)
       putI32(dir, o + 116, start); putI32(dir, o + 120, size)
     }
-    dirEntry(0, "Root Entry", 5, END, 0)
+    dirEntry(0, "Root Entry", 5, END, 0, FREE,
+      if (streams.nonEmpty) 1 else FREE)
     var next = 2
     val data = streams.zipWithIndex.map { case ((name, content), i) =>
       val padded = java.util.Arrays.copyOf(content,
@@ -57,7 +66,8 @@ object LegacyOfficeFixtures {
       val nSec = padded.length / 512
       for (s <- next until next + nSec - 1) putI32(fat, s * 4, s + 1)
       putI32(fat, (next + nSec - 1) * 4, END)
-      dirEntry(i + 1, name, 2, next, padded.length)
+      dirEntry(i + 1, name, 2, next, padded.length,
+        right = if (i + 1 < streams.size) i + 2 else FREE, child = FREE)
       next += nSec
       padded
     }
@@ -179,6 +189,161 @@ object LegacyOfficeFixtures {
       obj(3, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream") +
       obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream"))
       .getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** ASCII85 encoder (ISO 32000 §7.4.3) — the writer side of
+    * `DocumentExtract.ascii85Decode`: 4 bytes → 5 chars `!`..`u`, all-zero
+    * groups as `z`, partial final group of n bytes → n+1 chars, `~>`
+    * terminator.
+    */
+  private[graft] def ascii85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 4)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < n) data(i + j) & 0xFF else 0); j += 1 }
+      if (n == 4 && v == 0) sb += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        var t = 0
+        while (t <= n) { sb += cs(t); t += 1 }
+      }
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  /** LZW encoder (ISO 32000 §7.4.4, EarlyChange=1) — the writer side of
+    * `DocumentExtract.lzwDecode`: leading clear code, 9→12-bit MSB-first
+    * codes with the width bump one entry before each power-of-two
+    * boundary, table frozen at 4095 entries, trailing EOD. Kept exactly
+    * symmetric with the decoder so round-trip gates pin the pair.
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val dict = mutable.HashMap.empty[String, Int]
+    for (i <- 0 until 256) dict(String.valueOf(i.toChar)) = i
+    var next = 258
+    // The code width follows the DECODER's table size, which lags the
+    // encoder's by one entry (the decoder learns each new code only on
+    // the NEXT read) — tracking it directly keeps the width of the final
+    // data code and the EOD marker in sync across a bump boundary.
+    var emitted = 0
+    def width: Int = {
+      val decSize = math.min(4095, 258 + math.max(0, emitted - 1))
+      var w = 9
+      while (w < 12 && decSize + 2 > (1 << w) - 1) w += 1
+      w
+    }
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(code: Int): Unit = {
+      val wd = width
+      bitBuf = (bitBuf << wd) | code; bitCnt += wd
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+    }
+    emit(256)
+    var w = ""
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xFF).toChar
+      if (dict.contains(w + c)) w += c
+      else {
+        emit(dict(w)); emitted += 1
+        if (next < 4095) { dict(w + c) = next; next += 1 }
+        w = String.valueOf(c)
+      }
+      i += 1
+    }
+    if (w.nonEmpty) { emit(dict(w)); emitted += 1 }
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** The [[subsetPdf]] document re-packed the way a MODERN (PDF ≥ 1.5)
+    * generator writes it: the page and font dicts live inside a
+    * FlateDecode'd `/Type /ObjStm` object stream (invisible to a raw
+    * `N 0 obj` scan until the ObjStm is inflated and spliced), the
+    * ToUnicode CMap stream is filtered through the
+    * `[/ASCII85Decode /FlateDecode]` CHAIN, the content stream through
+    * `/LZWDecode`, and the cross-reference table is a `/Type /XRef`
+    * stream (no classic `xref` section at all). One fixture therefore
+    * exercises ObjStm splicing, all three filter decoders, filter
+    * chaining, and xref-stream-only layout — extraction is exact ONLY if
+    * every one of them works.
+    */
+  def subsetPdfObjStm(text: String): Array[Byte] = {
+    val distinct = text.distinct
+    require(distinct.length <= 0xFFFE,
+      "graft.LegacyOfficeFixtures: subsetPdfObjStm caps at 65534 distinct units")
+    val bfchars = distinct.zipWithIndex.map { case (c, k) =>
+      f"<${k + 1}%04X> <${c.toInt}%04X>"
+    }
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      bfchars.grouped(100).map(g =>
+        s"${g.size} beginbfchar\n${g.mkString("\n")}\nendbfchar")
+        .mkString("\n") +
+      "\nendcmap"
+    val codes = text.map(c => f"${distinct.indexOf(c) + 1}%04X").mkString
+    val content = s"BT /F1 12 Tf <$codes> Tj ET"
+    val inner1 = "<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> >>"
+    val inner5 = "<< /Type /Font /Subtype /Type0 /BaseFont /BBBBBB+Gen " +
+      "/Encoding /Identity-H /ToUnicode 3 0 R >>"
+    val hdr = s"1 0 5 ${inner1.length + 1} "
+    val stm = deflate((hdr + inner1 + "\n" + inner5)
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val cmapData = ascii85Encode(
+      deflate(cmap.getBytes(StandardCharsets.ISO_8859_1)))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val lzwContent = lzwEncode(content.getBytes(StandardCharsets.ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off2 = out.size
+    w(s"2 0 obj\n<< /Type /ObjStm /N 2 /First ${hdr.length} " +
+      s"/Length ${stm.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stm); w("\nendstream\nendobj\n")
+    val off3 = out.size
+    w(s"3 0 obj\n<< /Length ${cmapData.length} " +
+      "/Filter [ /ASCII85Decode /FlateDecode ] >>\nstream\n")
+    out.write(cmapData); w("\nendstream\nendobj\n")
+    val off4 = out.size
+    w(s"4 0 obj\n<< /Length ${lzwContent.length} /Filter /LZWDecode >>\nstream\n")
+    out.write(lzwContent); w("\nendstream\nendobj\n")
+    // Cross-reference STREAM (/W [1 4 1]: type, 4-byte offset-or-objstm,
+    // 1-byte gen-or-index): type 2 entries point objects 1 and 5 into
+    // ObjStm 2 at indices 0 and 1.
+    val xrefOff = out.size
+    def entry(t: Int, f2: Int, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 24) & 0xFF).toByte, ((f2 >> 16) & 0xFF).toByte,
+      ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    val xrefData = deflate(Array(
+      entry(0, 0, 255), entry(2, 2, 0), entry(1, off2, 0),
+      entry(1, off3, 0), entry(1, off4, 0), entry(2, 2, 1),
+      entry(1, xrefOff, 0)).flatten)
+    w(s"6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 4 1 ] /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(xrefData); w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
   }
 
   /** A REAL BIFF8 .xls: BOF, an SST with ONE wide string holding `text`,

@@ -118,7 +118,9 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
       DocumentExtract.extract("xls", "p.xls",
         LegacyOfficeFixtures.biff8Xls(t)) == t &&
       DocumentExtract.extract("pdf", "p.pdf",
-        LegacyOfficeFixtures.subsetPdf(t)) == t
+        LegacyOfficeFixtures.subsetPdf(t)) == t &&
+      DocumentExtract.extract("pdf", "p.pdf",
+        LegacyOfficeFixtures.subsetPdfObjStm(t)) == t
     }
 
   property("ole2 fuzz: random bytes after the magic never escape the contract") =

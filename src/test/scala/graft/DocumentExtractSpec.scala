@@ -7,7 +7,7 @@ import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.DocumentExtract
+import graft.functions.{DocumentExtract, LegacyOfficeFixtures}
 import graft.sources.LocalFileSource
 
 /** Offline document extraction (reference `sources.py:92-93` — the
@@ -258,6 +258,136 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       obj(3, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream") +
       obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
     val got = DocumentExtract.extract("pdf", "ind.pdf",
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got == "Z", got)
+  }
+
+  // ----------------------------------------- pdf filters + object streams
+
+  test("ascii85: Leviathan golden, z shorthand, partial group, whitespace") {
+    assert(LegacyOfficeFixtures.ascii85Encode(
+      "Man ".getBytes(StandardCharsets.ISO_8859_1)) == "9jqo^~>")
+    def dec(s: String): Seq[Byte] =
+      DocumentExtract.ascii85Decode(s.getBytes(StandardCharsets.ISO_8859_1)).toSeq
+    assert(dec("9jqo^~>") == "Man ".getBytes(StandardCharsets.ISO_8859_1).toSeq)
+    assert(dec("z~>") == Seq[Byte](0, 0, 0, 0))
+    assert(dec("<~ 9jq\no^ ~>") == "Man ".getBytes(StandardCharsets.ISO_8859_1).toSeq)
+    // partial groups: n in {1,2,3} trailing bytes survive the round trip
+    for (n <- 1 to 3) {
+      val bs = Array.tabulate[Byte](4 + n)(i => (i * 37 + 11).toByte)
+      assert(dec(LegacyOfficeFixtures.ascii85Encode(bs)) == bs.toSeq, s"n=$n")
+    }
+  }
+
+  test("lzw: round-trips across all code widths and the frozen-table tail") {
+    // Seeded pseudo-random hex text long enough to push the table past
+    // every width bump (511/1023/2047) and into the 4095-entry freeze.
+    val rnd = new scala.util.Random(42)
+    val text = Array.fill(60000)("0123456789abcdef".charAt(rnd.nextInt(16)))
+      .mkString
+    val enc = LegacyOfficeFixtures.lzwEncode(
+      text.getBytes(StandardCharsets.ISO_8859_1))
+    assert(enc.length < text.length) // it actually compresses
+    assert(new String(DocumentExtract.lzwDecode(enc),
+      StandardCharsets.ISO_8859_1) == text)
+    // KwKwK self-referencing case (aaa...) and the empty input
+    val aaa = "a" * 100
+    assert(new String(DocumentExtract.lzwDecode(
+      LegacyOfficeFixtures.lzwEncode(aaa.getBytes(StandardCharsets.ISO_8859_1))),
+      StandardCharsets.ISO_8859_1) == aaa)
+  }
+
+  test("lzw: every end-of-stream table size round-trips (width-bump sync)") {
+    // Regression: a stream that ENDS exactly where the decoder's
+    // final-entry add crosses a width boundary used to desync the EOD
+    // code's width. Sweep prefixes so the stream end lands on every
+    // table size across the first two bumps.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4000)("0123456789ABCDEF <>/TjBFE"
+      .charAt(rnd.nextInt(25))).mkString
+    var n = 1
+    while (n <= base.length) {
+      val s = base.substring(0, n)
+      val got = new String(DocumentExtract.lzwDecode(
+        LegacyOfficeFixtures.lzwEncode(s.getBytes(StandardCharsets.ISO_8859_1))),
+        StandardCharsets.ISO_8859_1)
+      assert(got == s, s"prefix length $n")
+      n += 1
+    }
+  }
+
+  test("pdf filters: chain order, scoping to the current object") {
+    assert(DocumentExtract.pdfFilters(
+      "<< /Filter [ /ASCII85Decode /FlateDecode ] /Length 3 >>") ==
+      Seq("ASCII85Decode", "FlateDecode"))
+    assert(DocumentExtract.pdfFilters("<< /Filter /LZWDecode >>") ==
+      Seq("LZWDecode"))
+    // a previous object's /Filter inside the lookback window must NOT leak
+    assert(DocumentExtract.pdfFilters(
+      "<< /Filter /LZWDecode >> data endobj 4 0 obj << /Length 9 >>").isEmpty)
+    // indirect-ref value: unresolvable from the window, so no filter
+    assert(DocumentExtract.pdfFilters("<< /Filter 7 0 R >>").isEmpty)
+  }
+
+  test("pdf: mixed-width ToUnicode CMap decodes 1-byte and 2-byte codes") {
+    // Legal per ISO 32000 §9.7.6.2: one CMap declaring BOTH a 1-byte and
+    // a 2-byte codespace range; codes group per-range, not one global
+    // width (r14 advice #4).
+    val cmap =
+      """begincmap
+        |2 begincodespacerange
+        |<00> <80>
+        |<8140> <FFFC>
+        |endcodespacerange
+        |3 beginbfchar
+        |<41> <0041>
+        |<42> <0062>
+        |<8140> <3042>
+        |endbfchar
+        |endcmap""".stripMargin
+    val cm = DocumentExtract.parseCmap(cmap).get
+    assert(cm.ranges.toSet == Set((1, 0x00, 0x80), (2, 0x8140, 0xFFFC)))
+    // bytes: 41 | 81 40 | 42 -> A, HIRAGANA A, b
+    assert(cm.decode("A@B") == "Aあb")
+    // in-codespace but unmapped 2-byte code (0x9042) drops both bytes
+    assert(cm.decode("AB") == "A")
+    // 0xFE41 is ALSO an in-codespace 2-byte code (<= FFFC): consumed, dropped
+    assert(cm.decode("AþA") == "A")
+    // a trailing byte that cannot complete any range skips, no loop
+    assert(cm.decode("Aþ") == "A")
+    // a byte pair out of BOTH ranges (0x8100) skips one byte, resyncs
+    assert(cm.decode("\u0081\u0000A") == "A")
+  }
+
+  test("pdf: ObjStm-packed font dict + LZW content + A85/Flate CMap chain") {
+    // The modern-generator layout: font + page dicts hidden inside a
+    // compressed /Type /ObjStm, xref as a /Type /XRef stream, the CMap
+    // behind a two-filter chain, the content behind LZWDecode. Extraction
+    // is exact only if ObjStm splicing AND all three filters work.
+    val text = "Subset é世界 😀 text!"
+    val got = DocumentExtract.extract("pdf", "objstm.pdf",
+      LegacyOfficeFixtures.subsetPdfObjStm(text))
+    assert(got == text, got)
+    // the classic layout still round-trips identically
+    assert(DocumentExtract.extract("pdf", "classic.pdf",
+      LegacyOfficeFixtures.subsetPdf(text)) == text)
+  }
+
+  test("pdf: one corrupt font's CMap degrades alone (per-font isolation)") {
+    // Font F1's ToUnicode points at a stream whose Flate data is garbage;
+    // font F2's parses fine. F2 must keep its CMap (r14 advice #3).
+    val cmap = "begincmap\n1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "1 beginbfchar <41> <005A> endbfchar\nendcmap"
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = "BT /F2 9 Tf (A) Tj ET"
+    val pdf = "%PDF-1.4\n" +
+      obj(1, "<< /Type /Page /Resources << /Font << /F1 2 0 R /F2 5 0 R >> >> >>") +
+      obj(2, "<< /Type /Font /ToUnicode 3 0 R >>") +
+      obj(3, "<< /Length 4 /Filter /FlateDecode >>\nstream\nÞ­¾ï\nendstream") +
+      obj(5, "<< /Type /Font /ToUnicode 6 0 R >>") +
+      obj(6, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream") +
+      obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val got = DocumentExtract.extract("pdf", "iso.pdf",
       pdf.getBytes(StandardCharsets.ISO_8859_1))
     assert(got == "Z", got)
   }
