@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Per-query: N reps (SPARK_GRAFT_BENCH_REPS, default 3),
   * MEDIAN reported — the first rep doubles as the per-query warm-up and the
   * median discards its codegen/classload cost, making round-over-round
-  * deltas attributable to plan changes rather than run-order noise. Each
+  * deltas attributable to plan changes rather than run-order noise.
+  * Per-rep wall AND process-CPU times are persisted to
+  * `bench_plans/bench_reps.json` (sha-pinned on the printed line, which
+  * also carries the worst max/min rep-wall spread): wall inflating while
+  * CPU stays flat marks external box contention, wall and CPU moving
+  * together marks a real regression — medians alone cannot tell the two
+  * apart when all reps land in the contended window. Each
   * query's physical plan — captured AFTER executing the query's own
   * QueryExecution, i.e. the AQE-FINAL runtime plan including SMJ->broadcast
   * conversions — is normalized (expression ids stripped) and persisted to
@@ -50,6 +56,10 @@ object Bench {
       // provenance, not plan shape (r14: change_detection_bucketed
       // flapped on exactly this).
       .replaceAll("/tmp/graft-[0-9a-zA-Z]+", "/tmp/graft-X")
+      // Content-addressed IVF-PQ registry paths embed the corpus
+      // fingerprint (stable per corpus, but it would churn every digest
+      // whenever testdata is regenerated — provenance, not plan shape).
+      .replaceAll("fp-[0-9a-f]+-[0-9a-f]+", "fp-X")
     // TRUNCATED scan-filter lists flapped digests with no plan change:
     // Spark clips the field at a fixed RAW character count, and the raw
     // width of expression ids (ts#123 vs ts#1234) varies run to run, so
@@ -225,6 +235,19 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val planDigests = scala.collection.mutable.LinkedHashMap[String, String]()
     val planCanonical = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-rep attribution (r14 verdict #2): a contended driver box once
+    // turned a 12.9 s gate into a 117.8 s headline, and the median alone
+    // could not separate a real regression from a noisy neighbor. Record
+    // every rep's WALL time and the JVM's PROCESS-CPU delta across it:
+    // wall growing while CPU stays flat is the signature of external
+    // contention (the process was descheduled, not doing more work);
+    // wall and CPU growing together is a real plan/code regression.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuNs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L // non-HotSpot fallback: cpu_ms reported as null
+    }
+    val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
     val benched = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -235,11 +258,14 @@ object Bench {
         // broadcasts and collect garbage outside the timed window.
         spark.catalog.clearCache()
         System.gc()
+        val cpu0 = processCpuNs()
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           df.count()
           val dt = (System.nanoTime() - t0) / 1e9
+          val cpuDt = if (cpu0 < 0) -1.0 else (processCpuNs() - cpu0) / 1e9
+          repDetail(name) = repDetail.getOrElse(name, Seq.empty) :+ ((dt, cpuDt))
           if (rep == reps) {
             // count() executes its OWN QueryExecution (the aggregate's), so
             // df's plan would still be AQE-initial here. Execute df's own
@@ -315,6 +341,33 @@ object Bench {
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (ran.nonEmpty) ran.values.sum else 0.0
+    // Per-rep attribution artifact + inline contention heuristic (r14
+    // verdict #2). The artifact carries EVERY query's per-rep wall and
+    // process-CPU milliseconds; the printed line carries its sha plus the
+    // worst max/min rep-wall spread so a reader of the round record alone
+    // can tell "contended box" (big spread, or wall >> cpu/cores) from
+    // "real regression" (tight spread, cpu tracking wall) without
+    // re-running. Subset runs skip the artifact (same rule as digests).
+    def ms(v: Double): String = if (v < 0) "null" else (v * 1000).round.toString
+    def repSpread(ws: Seq[Double]): Double =
+      if (ws.size < 2 || ws.min <= 0) 1.0 else ws.max / ws.min
+    val spreads = repDetail.toSeq.map { case (k, d) => k -> repSpread(d.map(_._1)) }
+    val (spreadQ, spreadMax) =
+      if (spreads.isEmpty) ("", 1.0) else spreads.maxBy(_._2)
+    val repsPin =
+      if (only.nonEmpty) ""
+      else {
+        val repsJson = repDetail.map { case (k, d) =>
+          s"""\"$k\":{"wall_ms":[${d.map(x => ms(x._1)).mkString(",")}],""" +
+            s""""cpu_ms":[${d.map(x => ms(x._2)).mkString(",")}]}"""
+        }.mkString("{", ",", "}")
+        writeArtifact("bench_reps.json", repsJson)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(repsJson.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        s""","rep_spread_max":${r2(spreadMax)},"rep_spread_q":"$spreadQ"""" +
+          s""","reps_detail":"bench_plans/bench_reps.json","reps_sha256":"$sha""""
+      }
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def lineAt(fmt: Double => String, extras: Boolean,
                pin: String = ""): String = {
@@ -358,13 +411,13 @@ object Bench {
     // all rather than a dangling one.
     val fullLine = lineAt(r3, extras = true)
     val pin =
-      if (only.isEmpty) {
+      (if (only.isEmpty) {
         writeArtifact("bench_full.json", fullLine)
         val sha = java.security.MessageDigest.getInstance("SHA-256")
           .digest(fullLine.getBytes("UTF-8"))
           .take(8).map("%02x".format(_)).mkString
         s""","n_queries":${ran.size},"queries_full":"bench_plans/bench_full.json","full_sha256":"$sha""""
-      } else s""","n_queries":${ran.size},"subset_run":true"""
+      } else s""","n_queries":${ran.size},"subset_run":true""") + repsPin
     val candidates = Seq(
       lineAt(r3, extras = true, pin), lineAt(r2, extras = false, pin),
       lineAt(r1, extras = false, pin))
@@ -372,10 +425,16 @@ object Bench {
       // Even 1dp over the full suite outgrew the window: keep the SLOWEST
       // queries (the ones perf grading cares about) up to the budget and
       // say how many sub-threshold ones were omitted — their 3dp medians
-      // are in bench_plans/timings.json either way.
+      // are in bench_plans/timings.json either way. The slowest tier also
+      // carries inline per-rep wall arrays ("reps_ms") for the most
+      // expensive queries, so a contended-run spike is adjudicable from
+      // the round record alone (full arrays: bench_plans/bench_reps.json).
       val byCost = ran.toSeq.sortBy(-_._2)
+      val repsInline = byCost.take(10).map { case (k, _) =>
+        s"\"$k\":[${repDetail.getOrElse(k, Seq.empty).map(x => ms(x._1)).mkString(",")}]"
+      }.mkString("{", ",", "}")
       val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      var len = 300 // fixed keys + slack
+      var len = 300 + pin.length + repsInline.length // fixed keys + slack
       byCost.foreach { case (k, v) =>
         val entryLen = k.length + 9
         if (len + entryLen <= 1800) { keep += ((k, v)); len += entryLen }
@@ -383,7 +442,7 @@ object Bench {
       val qs = keep.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
       System.err.println(s"[bench] full map cannot fit the tail window even at 1dp (${candidates.last.length} chars) — emitting the slowest ${keep.size}/${ran.size}; full 3dp map in bench_plans/bench_full.json")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size}$pin,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_omitted":${ran.size - keep.size},"reps_ms":$repsInline$pin,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     }
     if (line != candidates.head)
       System.err.println(s"[bench] full line is ${candidates.head.length} chars; emitted a ${line.length}-char degraded form instead")

@@ -28,34 +28,51 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Per-JVM stored-artifact registry for trained IVF-PQ indexes (r13
-    * verdict #1, train-once / audit-many): the FIRST gate that needs a
-    * (corpus variant, PQ budget) family trains it and SAVES it via
-    * [[Similarity.saveIvfPqIndex]]; every later gate LOADS the stored
-    * artifact — the audits certify the artifact a serving tier would
-    * read, and the suite stops paying the same coarse-k-means + codebook
-    * training once per gate. Artifacts live under one temp root per JVM
-    * (a model registry scoped to this session's corpus versions); the
-    * coarse centroids are additionally memoized so a second BUDGET over
-    * the same corpus re-assigns cells in one narrow pass instead of
-    * re-running the coarse k-means (cell structure is PQ-budget-
-    * independent, the compressionTradeoff sharedCoarse argument).
+  /** CROSS-SESSION stored-artifact registry for trained IVF-PQ indexes
+    * (r13 verdict #1 train-once / audit-many; r14 verdict #3 across
+    * sessions): the FIRST gate that needs a (corpus variant, PQ budget)
+    * family trains it and SAVES it via [[Similarity.saveIvfPqIndex]];
+    * every later gate — in THIS session or any later one on the same box
+    * — LOADS the stored artifact: the audits certify the artifact a
+    * serving tier would read, and a second session (second JVM) skips
+    * coarse-k-means + codebook training entirely. The registry root is
+    * stable across JVMs (`GRAFT_IVFPQ_REGISTRY` env override for tests /
+    * relocation; versioned dir name so a trainer change orphans old
+    * artifacts instead of loading them), and each artifact is
+    * content-addressed by [[Similarity.corpusFingerprint]] — fingerprint
+    * keying is the staleness rule (see [[Similarity.registryPath]]): a
+    * drifted corpus (what the `ivf_incremental` gate's [[Similarity
+    * .ivfAssign]] histogram report detects batch-wise) moves the key and
+    * can never load the stale index. Within a JVM, coarse centroids and
+    * fingerprints are memoized: a second BUDGET over the same corpus
+    * re-assigns cells in one narrow pass instead of re-running the coarse
+    * k-means (cell structure is PQ-budget-independent, the
+    * compressionTradeoff sharedCoarse argument), and the fingerprint agg
+    * runs once per (variant, corpus dir).
     */
-  private lazy val ivfPqArtifactRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-ivfpq-artifacts")
+  private lazy val ivfPqArtifactRoot: String = {
+    val root = sys.env.getOrElse("GRAFT_IVFPQ_REGISTRY",
+      sys.props("java.io.tmpdir") + "/graft-ivfpq-registry-v1")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    root
+  }
   private val ivfPqCoarse =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
+  private val ivfPqFingerprint =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
   private val ivfPqLock = new Object
 
   private def ivfPqArtifact(s: SparkSession, dir: String, variant: String,
                             corpus: => DataFrame, m: Int, kCodes: Int)
       : (DataFrame, Array[Array[Double]], Pq.Codebooks) =
     ivfPqLock.synchronized {
-      val slug = (s"$variant-$dir").replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = ivfPqArtifactRoot.resolve(s"$slug-m${m}_k$kCodes").toString
+      val coarseKey = s"$variant|$dir"
+      val fp = ivfPqFingerprint.computeIfAbsent(coarseKey,
+        _ => Similarity.corpusFingerprint(corpus, "embedding", "vec_id"))
+      val name = s"$variant-${new java.io.File(dir).getName}"
+      val path = Similarity.registryPath(ivfPqArtifactRoot, name, m, kCodes, fp)
       if (!Similarity.ivfPqIndexExists(s, path)) {
         val c = corpus
-        val coarseKey = s"$variant|$dir"
         val coarse = Option(ivfPqCoarse.get(coarseKey))
           .map(cents => (Similarity.ivfAssign(c, cents), cents))
         val (enc, cents, cb) = Similarity.ivfPqIndex(c, "embedding",
@@ -64,7 +81,42 @@ object SparkEntry {
         ivfPqCoarse.putIfAbsent(coarseKey, cents)
         Similarity.saveIvfPqIndex(path, enc, cents, cb)
       }
-      Similarity.loadIvfPqIndex(s, path)
+      val loaded = Similarity.loadIvfPqIndex(s, path)
+      // A later budget over the same corpus reuses the stored artifact's
+      // coarse cells even when the TRAINING session is long gone.
+      ivfPqCoarse.putIfAbsent(coarseKey, loaded._2)
+      loaded
+    }
+
+  /** Registry entry for the LEARNED OPQ rotation over a corpus variant
+    * (same lifecycle as [[ivfPqArtifact]]): the alternation
+    * ([[Similarity.opqRefinedRotation]] — `iterations + 1` distributed PQ
+    * trainings plus driver-side d x d SVDs) runs once per corpus version;
+    * every later session loads the stored matrix (doubles round-trip
+    * parquet exactly, so the rotated corpus, its fingerprint, and its
+    * stored index are all stable across sessions).
+    */
+  private def opqRotationArtifact(s: SparkSession, dir: String,
+                                  variant: String, corpus: => DataFrame,
+                                  m: Int, kCodes: Int)
+      : Array[Array[Double]] =
+    ivfPqLock.synchronized {
+      val fp = ivfPqFingerprint.computeIfAbsent(s"$variant|$dir",
+        _ => Similarity.corpusFingerprint(corpus, "embedding", "vec_id"))
+      // OPQ-NP configuration (measured sweep, SCALE.md r15): init = the
+      // seed-1234 random rotation (the arm it must beat), 8 alternations —
+      // recall@5 0.26 (PCA init, 3 it) -> 0.40, distortion 0.0451 ->
+      // 0.0220 on the sf0.01 spectrum fixture. The name carries the
+      // recipe so a config change can never load a stale rotation.
+      val name = s"opqrot-np8-$variant-${new java.io.File(dir).getName}"
+      val path = Similarity.registryPath(ivfPqArtifactRoot, name, m, kCodes, fp)
+      if (!Similarity.rotationExists(s, path)) {
+        val (rot, _) = Similarity.opqRefinedRotation(corpus, m = m,
+          kCodes = kCodes, iterations = 8,
+          init = Some(graft.functions.VectorFunctions.rotationMatrix(64, 1234L)))
+        Similarity.saveRotation(s, path, rot)
+      }
+      Similarity.loadRotation(s, path)
     }
 
   /** Cosine in double with the exact arithmetic mirrored in the oracle SQL
@@ -275,6 +327,27 @@ object SparkEntry {
         .filter(col("text").isNotNull && length(col("text")) <= 10000)
         .select(col("doc_id"), viaDoc(payload).as("doc_text"),
           viaPpt(payload).as("ppt_text"), viaXls(payload).as("xls_text"))
+    }),
+
+    "word95_roundtrip" -> ((s, dir) => {
+      // Pre-97 Word (6.0/95) round trip IN-PLAN (word6Text scaladoc): the
+      // non-complex contiguous cp1252 text run, the class r14 listed as
+      // scrape-only. Word 95 is a single-byte format, so the gate filters
+      // to ASCII-printable documents (plus tab/newline/CR) — a row either
+      // passes the class check in BOTH engines or drops in both, which is
+      // mismatch-proof (unlike a per-char projection, where Java and RE2
+      // disagree on astral-char replacement counts). Same payload
+      // normalization and length guard as legacy_office_roundtrip (only
+      // CR needs mapping here: the ASCII row filter already excludes the
+      // BEL/VT cell-mark class).
+      val payload = concat(lit("["),
+        translate(col("text"), "\r", "\n"), lit("]"))
+      val via = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "doc", "rt95.doc", graft.functions.LegacyOfficeFixtures.word95Doc(p)))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000 &&
+          !col("text").rlike("[^\\x20-\\x7E\\n\\t\\r]"))
+        .select(col("doc_id"), via(payload).as("w95_text"))
     }),
 
     "pdf_cmap_roundtrip" -> ((s, dir) => {
@@ -2216,6 +2289,30 @@ object SparkEntry {
         prebuilt = Some(ivfPqArtifact(s, dir, "spectrum", e, 4, 8)),
         prebuiltRotated = Some(ivfPqArtifact(s, dir, "spectrum_rotated",
           Similarity.rotatedTwin(e), 4, 8)))
+    }),
+
+    "pq_opq_refined" -> ((s, dir) => {
+      // FULL OPQ — the Ge et al. rotation<->codebook ALTERNATION
+      // (Similarity.opqRefinedRotation scaladoc; the parametric
+      // eigen-allocation as init) measured at the SAME budget, panel, and
+      // fixture as pq_rotation_tradeoff's arms, so its row unions into
+      // the same decision table (axis ivf_pq_m4_opq). Both the learned
+      // rotation and the index over the rotated corpus are cross-session
+      // registry artifacts: the alternation trains once per corpus
+      // version, every later session loads. The per-round Procrustes SVD
+      // is driver-side iterative math no SQL engine replays (the
+      // opqRotation honesty class), so this gate carries the driver
+      // contract's rows-only check — its recall BODY is the same
+      // machinery the fully-oracled sibling arms certify value-for-value.
+      val e = Similarity.spectrumFixture(t(s, dir, "embeddings"))
+        .localCheckpoint(true)
+      val rot = opqRotationArtifact(s, dir, "spectrum", e, 4, 8)
+      val eOpq = e.withColumn("embedding",
+        graft.functions.VectorFunctions.rotatedVector(col("embedding"), rot))
+        .localCheckpoint(true)
+      Similarity.pqDecisionRow("ivf_pq_m4_opq", 64.0, k = 5,
+        Similarity.ivfPqRecall(eOpq.filter(col("vec_id") < 20), eOpq, k = 5,
+          prebuilt = Some(ivfPqArtifact(s, dir, "spectrum_opq", eOpq, 4, 8))))
     }),
 
     "event_transitions" -> ((s, dir) =>
@@ -7688,6 +7785,15 @@ object SparkEntry {
       s"""SELECT doc_id, $p AS doc_text, $p AS ppt_text, $p AS xls_text
          |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin
     },
+
+    // The pre-97 Word walk's identity, over the ASCII-printable slice
+    // (Word 95 is a single-byte format — the row-level class filter is
+    // mismatch-proof across engines, see the gate comment).
+    "word95_roundtrip" ->
+      ("SELECT doc_id, '[' || replace(text, chr(13), chr(10)) || ']' " +
+        "AS w95_text FROM documents WHERE text IS NOT NULL " +
+        "AND length(text) <= 10000 AND NOT regexp_matches(text, " +
+        "'[^ -~' || chr(10) || chr(9) || chr(13) || ']')"),
 
     // Verbatim identity, twice: the classic subset-font layout AND the
     // modern ObjStm/xref-stream/filter-chain re-pack of the same document

@@ -1077,6 +1077,7 @@ object DocumentExtract {
             if (wd.length > 0x0B && (u16At(wd, 0x0A) & 0x0200) != 0) "1Table"
             else "0Table"
           word97Text(wd, streams.find(_._1 == tableName).map(_._2))
+            .orElse(word6Text(wd)) // pre-97 (Word 6.0/95) contiguous text
         }
       case "ppt" =>
         streams.find(_._1 == "PowerPoint Document").map(_._2).flatMap(pptText)
@@ -1166,6 +1167,34 @@ object DocumentExtract {
       i += 1
     }
     // Word stores paragraph marks as CR and table cell/row marks as 0x07.
+    val text = sb.toString.replace('\r', '\n').replace('\u0007', '\n').trim
+    if (text.nonEmpty) Some(text) else None
+  }
+
+  /** Real Word 6.0/95 text extraction (wIdent 0xA5DC, nFib 100..0x00C0 —
+    * the pre-97 class the r14 verdict listed as scrape-only): in a
+    * NON-complex (not fast-saved) document the body text is one
+    * contiguous cp1252 byte run in the WordDocument stream from the
+    * FIB's fcMin (offset 24) to fcMac (offset 28) — no piece table to
+    * walk. Complex (fFlags bit 0x0004, fast-saved — the piece table lives
+    * in the same stream with a different FIB layout) and encrypted (bit
+    * 0x0100) files return None and keep the documented printable-run
+    * scrape; so do DBCS East-Asian saves implicitly (their byte runs
+    * survive the scrape, a wrong single-byte decode would be worse).
+    * Same paragraph-mark canonicalization as [[word97Text]].
+    */
+  private[functions] def word6Text(wd: Array[Byte]): Option[String] = {
+    if (wd.length < 0x20 || u16At(wd, 0) != 0xA5DC) return None
+    val nFib = u16At(wd, 2)
+    if (nFib < 100 || nFib >= 0x00C1) return None
+    val flags = u16At(wd, 0x0A)
+    if ((flags & 0x0004) != 0 || (flags & 0x0100) != 0) return None
+    val fcMin = i32At(wd, 24)
+    val fcMac = i32At(wd, 28)
+    if (fcMin < 0 || fcMac < fcMin || fcMac > wd.length) return None
+    val sb = new java.lang.StringBuilder(fcMac - fcMin)
+    var j = fcMin
+    while (j < fcMac) { sb.append(cp1252Char(wd(j) & 0xFF)); j += 1 }
     val text = sb.toString.replace('\r', '\n').replace('\u0007', '\n').trim
     if (text.nonEmpty) Some(text) else None
   }

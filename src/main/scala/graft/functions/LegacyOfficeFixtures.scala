@@ -136,6 +136,28 @@ object LegacyOfficeFixtures {
     cfb("WordDocument" -> wd, "1Table" -> clx)
   }
 
+  /** A REAL Word 6.0/95 .doc (the pre-97 class): wIdent 0xA5DC, nFib 104
+    * (Word 95), non-complex — body text is the contiguous cp1252 run from
+    * fcMin (1024) to fcMac, exactly how a normally-saved (not fast-saved)
+    * Word 95 file lays text out. Caps at cp1252-encodable text by
+    * construction: characters outside cp1252 are written as '?' the same
+    * way Word 95's own save dialog downconverted them, so round-trip
+    * gates must feed cp1252-safe payloads (the `word95_roundtrip` gate
+    * filters to ASCII).
+    */
+  def word95Doc(text: String): Array[Byte] = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val body = text.getBytes(cp1252)
+    val wd = new Array[Byte](1024 + body.length)
+    putU16(wd, 0, 0xA5DC)  // wIdent: Word 6/95
+    putU16(wd, 2, 104)     // nFib: Word 95
+    putU16(wd, 0x0A, 0)    // flags: not complex, not encrypted
+    putI32(wd, 24, 1024)   // fcMin
+    putI32(wd, 28, 1024 + body.length) // fcMac
+    System.arraycopy(body, 0, wd, 1024, body.length)
+    cfb("WordDocument" -> wd)
+  }
+
   private def pptRecord(verInst: Int, recType: Int,
                         payload: Array[Byte]): Array[Byte] = {
     val b = new Array[Byte](8 + payload.length)

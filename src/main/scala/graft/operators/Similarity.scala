@@ -846,6 +846,80 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Persist a learned rotation matrix as a registry artifact — rows
+    * `(i, vec)`, one per basis row; doubles round-trip parquet exactly, so
+    * a loaded rotation is value-identical and everything derived from it
+    * (rotated corpora, their fingerprints, their stored indexes) stays
+    * stable across sessions. The OPQ alternation is the expensive
+    * trainer this exists for: train the rotation once, audit it forever.
+    */
+  def saveRotation(spark: SparkSession, path: String,
+                   rot: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    rot.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("i", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveRotation]] artifact; fails loudly on gaps or raggedness
+    * (a silently truncated rotation would mis-map every vector).
+    */
+  def loadRotation(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("i"), col("vec").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).toSeq == rows.indices &&
+      rows.forall(_._2.length == rows.length),
+      s"graft.loadRotation: malformed rotation artifact at $path")
+    rows.map(_._2)
+  }
+
+  /** True when a complete [[saveRotation]] artifact exists at `path`. */
+  def rotationExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Order-independent corpus-version fingerprint for registry keying
+    * (r14 verdict #3): `(row count, wrapped sum of per-row
+    * xxhash64(id, vec))` rendered as hex. Any added, dropped, or edited
+    * vector moves it; partitioning and row order do not. One narrow
+    * aggregate pass — at gate scale it is the cheap way to key a stored
+    * index by corpus VERSION; at 100 TB a release pipeline keys by the
+    * manifest's `corpus_checksum` stamp instead of recomputing per
+    * session (same quantity, computed once at release time).
+    */
+  def corpusFingerprint(corpus: DataFrame, vecCol: String = "embedding",
+                        idCol: String = "vec_id"): String = {
+    val r = corpus
+      .agg(count(lit(1)).as("n"),
+        // decimal(38,0) sum: 2^63-scale hashes over corpus-scale counts
+        // stay exact and never trip ANSI long-sum overflow
+        sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)")).as("h"))
+      .collect()(0)
+    val n = r.getLong(0)
+    val h = Option(r.getDecimal(1)).map(_.toBigInteger)
+      .getOrElse(java.math.BigInteger.ZERO)
+    val hHex = h.mod(java.math.BigInteger.ONE.shiftLeft(64)).toString(16)
+    s"${n.toHexString}-$hHex"
+  }
+
+  /** Registry path for a stored IVF-PQ index: content-addressed by the
+    * corpus fingerprint under a stable cross-session root. Fingerprint
+    * keying IS the staleness rule: the corpus change a batch-wise
+    * [[ivfAssign]] drift report detects moves the key, so a new session
+    * over a drifted corpus can never load the stale artifact — it trains
+    * a fresh version beside the old one (kept for rollback/audit, the
+    * feature-store materialization discipline).
+    */
+  def registryPath(root: String, name: String, m: Int, kCodes: Int,
+                   fingerprint: String): String = {
+    val slug = name.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$root/$slug-m${m}_k$kCodes/fp-$fingerprint"
+  }
+
   /** Train-once / audit-many entry point: load the stored index at `path`
     * if present, else train via [[ivfPqIndex]], persist, and return the
     * LOADED artifact — every caller reads through the stored form, so an
@@ -1788,14 +1862,7 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException(
         "graft.pqRotationTradeoff: corpus has no non-empty vectors"))
     def summarize(axis: String, rec: DataFrame): DataFrame =
-      rec.groupBy()
-        .agg(count(lit(1)).as("n_queries"),
-          coalesce(sum(col("n_hit")), lit(0L)).as("__hits"))
-        .select(lit(axis).as("axis"),
-          lit(dim.toDouble * 4 / m).as("memory_ratio"), col("n_queries"),
-          when(col("n_queries") > 0,
-            round(col("__hits").cast("double") /
-              (col("n_queries") * k), roundDp)).as("mean_recall"))
+      pqDecisionRow(axis, dim.toDouble * 4 / m, k, rec, roundDp)
     // `prebuiltRotated` (the train-once / audit-many lifecycle) must have
     // been trained on [[rotatedTwin]] of THIS corpus at the SAME seed —
     // the audit still builds the rotated frames itself (one cheap narrow
@@ -1834,9 +1901,9 @@ object Similarity {
     * placement on that fixture (SCALE.md): plain 0.09 < allocation 0.13
     * < random rotation 0.35 — allocation balances variance ACROSS
     * subspaces but each still carries one dominant axis WITHIN, which
-    * few codes quantize poorly; full OPQ fixes that with an alternating
-    * learned rotation (out of scope — needs per-iteration SVD and buys
-    * less than the free random rotation on axis-aligned spectra).
+    * few codes quantize poorly; [[opqRefinedRotation]] (the full Ge et
+    * al. alternation, this recipe as its init) fixes exactly that by
+    * learning the within-subspace mixing too.
     */
   def opqRotation(corpus: DataFrame, m: Int,
                   vecCol: String = "embedding",
@@ -1854,6 +1921,259 @@ object Similarity {
       counts(tgt) += 1
     }
     slots.flatMap(_.map(model.components(_))).toArray
+  }
+
+  /** One decision-table row — `(axis, memory_ratio, n_queries,
+    * mean_recall)` — over an [[ivfPqRecall]]-shaped frame (one row per
+    * query carrying `n_hit`): the aggregation [[pqRotationTradeoff]]
+    * emits per arm, public so sibling arms (the OPQ-refined gate) produce
+    * rows that union into the same decision table. Exact integer
+    * arithmetic until the one final division.
+    */
+  def pqDecisionRow(axis: String, memoryRatio: Double, k: Int,
+                    rec: DataFrame, roundDp: Int = 6): DataFrame =
+    rec.groupBy()
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(col("n_hit")), lit(0L)).as("__hits"))
+      .select(lit(axis).as("axis"),
+        lit(memoryRatio).as("memory_ratio"), col("n_queries"),
+        when(col("n_queries") > 0,
+          round(col("__hits").cast("double") /
+            (col("n_queries") * k), roundDp)).as("mean_recall"))
+
+  /** FULL OPQ — the Ge et al. (CVPR 2013) NON-PARAMETRIC alternation the
+    * parametric [[opqRotation]] only initializes: repeat `iterations`
+    * times { (1) rotate the corpus by the current `R` (one narrow pass),
+    * (2) train PQ codebooks on the rotated vectors ([[Pq.train]],
+    * distributed), (3) fixing the codes, solve the orthogonal Procrustes
+    * problem `min_R ||X R^T - Q||_F` — `M = X^T Q = Σ x_i q_i^T` is a
+    * distributed `d x d` treeAggregate, the SVD `M = U S V^T` runs
+    * driver-side via [[Pca.jacobiEigen]] on `M^T M` (d is an embedding
+    * width, so this is microseconds), and `R = V U^T` }. Each alternation
+    * weakly decreases the quantization objective (the codebook step is
+    * k-means on the fixed rotation; the rotation step is the exact
+    * Procrustes optimum for fixed codes), which is precisely what the
+    * parametric eigen-allocation lacks: allocation balances variance
+    * ACROSS subspaces but leaves one dominant axis WITHIN each, which few
+    * codes quantize poorly — the learned rotation mixes within subspaces
+    * too.
+    *
+    * Returns `(rotation, distortions)`: the final `dim x dim` orthonormal
+    * matrix (rows = output basis, [[graft.functions.VectorFunctions
+    * .rotatedVector]]-ready) and the mean per-vector quantization
+    * distortion after each alternation (index 0 = under the PCA init) —
+    * the convergence trace the spec asserts on.
+    *
+    * Honesty note (same class as [[opqRotation]]): the SVD is driver-side
+    * iterative math a SQL oracle cannot replay, so OPQ-refined arms are
+    * measured through the SAME oracled [[ivfPqRecall]] machinery but
+    * carry the driver contract's rows-only check rather than a full
+    * training-replay oracle. Scale shape: per round, one narrow rotate
+    * pass + the distributed PQ trainer + one `d x d` aggregate — nothing
+    * driver-side ever sees a row.
+    */
+  def opqRefinedRotation(corpus: DataFrame, m: Int,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id", dim: Int = 64,
+                         kCodes: Int = 8, iterations: Int = 3,
+                         pqIterations: Int = 2, roundDp: Int = 6,
+                         init: Option[Array[Array[Double]]] = None,
+                         maxExactRows: Long = DefaultMaxExactRows)
+      : (Array[Array[Double]], Seq[Double]) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // Referenced once per alternation: fence, narrow, pin (the
+    // multiply-referenced-audit-fixture discipline).
+    val fenced = guardExactRegime(corpus, "opqRefinedRotation", maxExactRows)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    val sc = fenced.sparkSession.sparkContext
+    // Default init = the parametric eigen-allocation (Ge et al. §4's
+    // OPQ-P); pass the seed-deterministic random rotation to start the
+    // alternation from the other published convention (OPQ-NP).
+    var rot = init.getOrElse(opqRotation(fenced, m, vecCol, dim))
+    val distortions = mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it <= iterations) {
+      val rotated = fenced.withColumn("__ry",
+        graft.functions.VectorFunctions.rotatedVector(col(vecCol), rot, roundDp))
+      val cb = Pq.train(rotated, "__ry", idCol, m, kCodes, pqIterations)
+      val bcCb = sc.broadcast(cb.centroids)
+      val subDim = dim / m
+      // One pass: M = Σ x q^T (the Procrustes cross-matrix) and the
+      // mean ||y - q(y)||^2 distortion, accumulated together.
+      val (mFlat, distSum, nRows) = rotated.select(col(vecCol), col("__ry"))
+        .rdd.treeAggregate((new Array[Double](dim * dim), 0.0, 0L))(
+          seqOp = { case ((acc, d2, n), row) =>
+            val x = row.getSeq[Float](0)
+            val y = row.getSeq[Float](1)
+            val q = new Array[Double](dim)
+            var dist = 0.0
+            var j = 0
+            while (j < m) {
+              val books = bcCb.value(j)
+              var best = 0
+              var bestD = Double.MaxValue
+              var c = 0
+              while (c < books.length) {
+                var d = 0.0
+                var i = 0
+                while (i < subDim) {
+                  val diff = y(j * subDim + i).toDouble - books(c)(i)
+                  d += diff * diff; i += 1
+                }
+                if (d < bestD) { bestD = d; best = c } // ties -> lowest code
+                c += 1
+              }
+              dist += bestD
+              var i = 0
+              while (i < subDim) { q(j * subDim + i) = books(best)(i); i += 1 }
+              j += 1
+            }
+            var i = 0
+            while (i < dim) {
+              val xi = x(i).toDouble
+              var k = 0
+              while (k < dim) { acc(i * dim + k) += xi * q(k); k += 1 }
+              i += 1
+            }
+            (acc, d2 + dist, n + 1L)
+          },
+          combOp = { case ((a, d1, n1), (b, d2, n2)) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            (a, d1 + d2, n1 + n2)
+          })
+      require(nRows > 0, "graft.opqRefinedRotation: empty corpus")
+      distortions += distSum / nRows
+      if (it < iterations)
+        rot = procrustesRotation(mFlat, dim)
+      it += 1
+    }
+    (rot, distortions.toSeq)
+  }
+
+  /** Solve `min_R ||X R^T - Q||_F` over orthonormal `R` given the
+    * cross-matrix `M = X^T Q` (flattened row-major): `M = U S V^T` via
+    * [[Pca.jacobiEigen]] on the symmetric `M^T M` (V, S^2) with
+    * `u_j = M v_j / s_j`, then `R = V U^T`. Near-null singular directions
+    * (rank-deficient M) get U columns completed by modified Gram-Schmidt
+    * over the canonical basis — deterministic; a final MGS polish keeps R
+    * orthonormal to machine precision.
+    */
+  private def procrustesRotation(mFlat: Array[Double], dim: Int)
+      : Array[Array[Double]] = {
+    val mtm = Array.tabulate(dim, dim) { (a, b) =>
+      var s = 0.0
+      var r = 0
+      while (r < dim) { s += mFlat(r * dim + a) * mFlat(r * dim + b); r += 1 }
+      s
+    }
+    val (ev, vRows) = Pca.jacobiEigen(mtm) // eigenvectors as ROWS, descending
+    val scale = math.max(ev.headOption.getOrElse(0.0), 1e-300)
+    val uCols = Array.ofDim[Double](dim, dim) // u_j as uCols(j)
+    val live = Array.fill(dim)(false)
+    // Subtract the already-accepted U directions from `vec`; returns the
+    // residual norm. Progressive MGS is what keeps U orthonormal when
+    // M is rank-deficient or its tail eigenvalues are CLUSTERED near zero
+    // (the decaying-spectrum regime this exists for): there
+    // `u_j = M v_j / s_j` loses orthogonality numerically, and a
+    // non-orthonormal U makes `V U^T` degenerate.
+    def orthogonalize(vec: Array[Double]): Double = {
+      var p = 0
+      while (p < dim) {
+        if (live(p)) {
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += vec(i) * uCols(p)(i); i += 1 }
+          i = 0
+          while (i < dim) { vec(i) -= dot * uCols(p)(i); i += 1 }
+        }
+        p += 1
+      }
+      var n = 0.0
+      var i = 0
+      while (i < dim) { n += vec(i) * vec(i); i += 1 }
+      math.sqrt(n)
+    }
+    var j = 0
+    while (j < dim) {
+      val s2 = ev(j)
+      if (s2 > scale * 1e-12) { // numerically trustworthy directions only
+        val s = math.sqrt(s2)
+        val u = new Array[Double](dim)
+        var r = 0
+        while (r < dim) {
+          var acc = 0.0
+          var c = 0
+          while (c < dim) { acc += mFlat(r * dim + c) * vRows(j)(c); c += 1 }
+          u(r) = acc / s
+          r += 1
+        }
+        val n = orthogonalize(u)
+        if (n > 1e-6) { // a collapsed column joins the completion set instead
+          var i = 0
+          while (i < dim) { uCols(j)(i) = u(i) / n; i += 1 }
+          live(j) = true
+        }
+      }
+      j += 1
+    }
+    // Complete the remaining U columns against the canonical basis (MGS):
+    // in the Procrustes optimum the null-space directions are arbitrary,
+    // any deterministic orthonormal completion is optimal.
+    var fill = 0
+    j = 0
+    while (j < dim) {
+      if (!live(j)) {
+        var done = false
+        while (!done && fill < dim) {
+          val cand = new Array[Double](dim)
+          cand(fill) = 1.0
+          fill += 1
+          val n = orthogonalize(cand)
+          if (n > 1e-6) {
+            var i = 0
+            while (i < dim) { uCols(j)(i) = cand(i) / n; i += 1 }
+            live(j) = true
+            done = true
+          }
+        }
+        require(done, "graft.procrustesRotation: U completion failed")
+      }
+      j += 1
+    }
+    // R = V U^T: R(r)(c) = sum_j V(r, j) U(c, j) = sum_j vRows(j)(r) * uCols(j)(c)
+    val rot = Array.tabulate(dim, dim) { (r, c) =>
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += vRows(k)(r) * uCols(k)(c); k += 1 }
+      s
+    }
+    // MGS polish: keeps the product orthonormal to machine precision so
+    // repeated alternations cannot drift.
+    var r = 0
+    while (r < dim) {
+      var p = 0
+      while (p < r) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += rot(r)(i) * rot(p)(i); i += 1 }
+        i = 0
+        while (i < dim) { rot(r)(i) -= dot * rot(p)(i); i += 1 }
+        p += 1
+      }
+      var n = 0.0
+      var i = 0
+      while (i < dim) { n += rot(r)(i) * rot(r)(i); i += 1 }
+      require(n > 1e-12, "graft.procrustesRotation: degenerate rotation row")
+      val inv = 1.0 / math.sqrt(n)
+      i = 0
+      while (i < dim) { rot(r)(i) *= inv; i += 1 }
+      r += 1
+    }
+    rot
   }
 
   /** The rotated twin of an audit corpus: [[graft.functions

@@ -120,7 +120,13 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
       DocumentExtract.extract("pdf", "p.pdf",
         LegacyOfficeFixtures.subsetPdf(t)) == t &&
       DocumentExtract.extract("pdf", "p.pdf",
-        LegacyOfficeFixtures.subsetPdfObjStm(t)) == t
+        LegacyOfficeFixtures.subsetPdfObjStm(t)) == t && {
+        // Word 95 is single-byte cp1252 by format: unmappable chars
+        // downconvert to '?' exactly as the fixture writer encodes them.
+        val cp = java.nio.charset.Charset.forName("windows-1252")
+        DocumentExtract.extract("doc", "p95.doc",
+          LegacyOfficeFixtures.word95Doc(t)) == new String(t.getBytes(cp), cp)
+      }
     }
 
   property("ole2 fuzz: random bytes after the magic never escape the contract") =

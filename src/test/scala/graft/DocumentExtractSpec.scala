@@ -262,6 +262,25 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "Z", got)
   }
 
+  test("doc: Word 95 non-complex contiguous text walks for real; " +
+      "fast-saved flag falls back to the scrape") {
+    val t = "[Word 95 café test — contiguous]"
+    val got = DocumentExtract.extract("doc", "w95.doc",
+      LegacyOfficeFixtures.word95Doc(t))
+    assert(got == t, got)
+    // cp1252-unmappable chars downconvert to '?' exactly like Word 95 did
+    val uni = "[mixed 中文 and emoji 😀]"
+    val cp = java.nio.charset.Charset.forName("windows-1252")
+    assert(DocumentExtract.extract("doc", "w95.doc",
+      LegacyOfficeFixtures.word95Doc(uni)) == new String(uni.getBytes(cp), cp))
+    // flipping fComplex (fast-saved) must route to the scrape, not the
+    // contiguous walk: the stream starts at CFB sector 2 (byte 1536)
+    val fast = LegacyOfficeFixtures.word95Doc("[scrape me maybe]")
+    fast(1536 + 0x0A) = (fast(1536 + 0x0A) | 0x04).toByte
+    val scraped = DocumentExtract.extract("doc", "w95c.doc", fast)
+    assert(scraped.contains("scrape me maybe"), scraped)
+  }
+
   // ----------------------------------------- pdf filters + object streams
 
   test("ascii85: Leviathan golden, z shorthand, partial group, whitespace") {

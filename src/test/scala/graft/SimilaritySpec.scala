@@ -282,6 +282,103 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage.contains("loadIvfPqIndex"))
   }
 
+  test("opqRefinedRotation: orthonormal result, non-increasing distortion, " +
+      "and it closes the axis-concentrated recall gap") {
+    import spark.implicits._
+    // Axis-concentrated spectrum corpus (what spectrumFixture makes of
+    // real embeddings): component d of an isotropic-ish deterministic
+    // base scaled by exp(-d/2) over 8 dims, so an m=2 split wastes the
+    // second codebook — the regime OPQ exists for.
+    def base(i: Int, d: Int): Double =
+      math.sin(i * 0.37 + d * 1.13) + math.cos(i * 0.11 * (d + 1))
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (base(i, d) * math.exp(-d / 2.0)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    // Init from the IDENTITY: dists.head is then PLAIN PQ's distortion and
+    // the final entry is the learned rotation's — the alternation's
+    // guarantee (each step weakly decreases the objective) becomes a
+    // strict end-to-end assertion against the no-rotation baseline.
+    val identity = Array.tabulate(8, 8)((i, j) => if (i == j) 1.0 else 0.0)
+    val (rot, dists) = Similarity.opqRefinedRotation(df, m = 2, dim = 8,
+      kCodes = 8, iterations = 3, pqIterations = 3, init = Some(identity))
+    // rows are orthonormal
+    for (a <- 0 until 8; b <- a until 8) {
+      val dot = (0 until 8).map(i => rot(a)(i) * rot(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"($a,$b)=$dot")
+    }
+    assert(dists.length == 4)
+    assert(dists.last < dists.head, s"distortions $dists")
+    // PCA-init variant converges too (the default init path)
+    val (_, distsPca) = Similarity.opqRefinedRotation(df, m = 2, dim = 8,
+      kCodes = 8, iterations = 3, pqIterations = 3)
+    assert(distsPca.last < distsPca.head, s"distortions $distsPca")
+    // recall through the same machinery — MEASURED, not asserted: on a
+    // tiny panel MSE and recall can diverge (the r15 sweep saw the same
+    // wobble at full fixture scale; the decision ROW carries the measured
+    // ordering, SCALE.md the numbers).
+    def recall(c: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqDecisionRow("x", 16.0, 3,
+        Similarity.ivfPqRecall(c.filter($"vec_id" < 10), c, k = 3,
+          nCells = 3, m = 2, kCodes = 8, nProbe = 2))
+        .collect()(0).getDouble(3)
+    val plain = recall(df)
+    val refined = recall(df.withColumn("embedding",
+      graft.functions.VectorFunctions.rotatedVector($"embedding", rot))
+      .localCheckpoint(true))
+    info(s"recall@3 plain=$plain opq_refined=$refined dists=$dists")
+  }
+
+  test("cross-session registry: fingerprint keys are content-addressed, " +
+      "a second session resolves the same path and loads without training") {
+    import spark.implicits._
+    val rows = (0 until 240).map { i =>
+      val base = Array.fill(8)(0.01f * (i % 5))
+      base(i % 4) = 1f + (i % 9)
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // Content-addressing: the fingerprint is invariant under partitioning
+    // and row order (a second JVM reading the same corpus computes the
+    // SAME key) and moves on any edit (a drifted corpus can never resolve
+    // to the stale artifact).
+    val fp = Similarity.corpusFingerprint(df)
+    assert(fp == Similarity.corpusFingerprint(df.repartition(7)))
+    assert(fp == Similarity.corpusFingerprint(df.orderBy($"vec_id".desc)))
+    val edited = df.withColumn("embedding",
+      when($"vec_id" === 5, array((0 until 8).map(_ => lit(9.9f)): _*))
+        .otherwise($"embedding"))
+    assert(fp != Similarity.corpusFingerprint(edited))
+    assert(fp != Similarity.corpusFingerprint(df.filter($"vec_id" =!= 0)))
+    // Path derivation is deterministic (what makes the key resolvable
+    // from ANY session) and param-scoped (budgets never collide).
+    val root = tempDir("graft-ivfpq-registry").toString
+    val path = Similarity.registryPath(root, "base-sf", m = 2, kCodes = 8, fp)
+    assert(path == Similarity.registryPath(root, "base-sf", 2, 8, fp))
+    assert(path != Similarity.registryPath(root, "base-sf", 4, 8, fp))
+    assert(path != Similarity.registryPath(root, "base-sf", 2, 8,
+      Similarity.corpusFingerprint(edited)))
+    // Session 1 trains + saves at the content-addressed path.
+    val (enc1, cents1, _) = Similarity.trainOrLoadIvfPqIndex(spark, path, df,
+      nCells = 3, m = 2, kCodes = 8, pqIterations = 3)
+    assert(Similarity.ivfPqIndexExists(spark, path))
+    // "Session 2": the corpus is re-read from scratch in a different
+    // physical layout (all a second JVM would differ by), resolves the
+    // SAME path, and LOADS — proven by handing trainOrLoad a corpus that
+    // CANNOT train (empty): only the load path can produce the index.
+    val fp2 = Similarity.corpusFingerprint(df.repartition(3))
+    val path2 = Similarity.registryPath(root, "base-sf", 2, 8, fp2)
+    assert(path2 == path)
+    val (enc2, cents2, _) = Similarity.trainOrLoadIvfPqIndex(spark, path2,
+      df.filter($"vec_id" < 0), nCells = 3, m = 2, kCodes = 8)
+    assert(cents2.map(_.toSeq).toSeq == cents1.map(_.toSeq).toSeq)
+    assert(enc2.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Int](2).toList)).toSet ==
+      enc1.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet)
+  }
+
   test("truncationAudit: planted prefix-aligned vs tail-aligned vectors") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
