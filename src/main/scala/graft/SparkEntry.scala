@@ -2945,6 +2945,30 @@ object SparkEntry {
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
     }),
 
+    "ivf_registry_staleness" -> ((s, dir) => {
+      // Registry staleness probe — the ivfAssign drift report pointed at
+      // a STORED artifact: load the registry index, re-assign the live
+      // corpus against its loaded centroids (one narrow pass, the
+      // daily-batch path), and join the stored codes' per-cell histogram
+      // with the fresh one. Equal columns certify the artifact fresh for
+      // this corpus; a drifted corpus shows n_fresh moving off n_stored —
+      // the retrain trigger a production registry runs on a sampled
+      // basis. Under content-addressed fingerprint keying this is
+      // defense-in-depth: a drifted corpus cannot even RESOLVE the stale
+      // path. Full oracle: the ivfCtes training replay's assign histogram
+      // feeds both columns, so the gate only matches if the stored
+      // artifact's cells equal a from-scratch training's.
+      val e = t(s, dir, "embeddings")
+      val (enc, cents, _) = ivfPqArtifact(s, dir, "base", e, 4, 8)
+      val stored = enc.groupBy(col("cell")).agg(count(lit(1)).as("n_stored"))
+      val fresh = Similarity.ivfAssign(e, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_fresh"))
+      stored.join(fresh, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_stored"), lit(0L)).as("n_stored"),
+          coalesce(col("n_fresh"), lit(0L)).as("n_fresh"))
+    }),
+
     "similarity_ivf_exact" -> ((s, dir) => {
       // The SAME IVF code path in its exactness regime: probing every
       // cell (nProbe = nCells) makes the approximate search brute force,
@@ -6048,6 +6072,16 @@ object SparkEntry {
         """SELECT a.cell,
           | CAST(sum(CASE WHEN a.vec_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
           | CAST(sum(CASE WHEN a.vec_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          |FROM assign a GROUP BY a.cell""".stripMargin),
+
+    // The stored registry artifact's per-cell histogram vs a fresh
+    // re-assignment: both columns replay from the SAME from-scratch
+    // training, so the gate only matches if the stored artifact's cell
+    // structure equals a clean retrain's (the staleness-probe law).
+    "ivf_registry_staleness" ->
+      (s"WITH ${ivfCtes(nCells = 8, maxIter = 5, dim = 64, seed = 42L)}\n" +
+        """SELECT a.cell, CAST(count(*) AS BIGINT) AS n_stored,
+          | CAST(count(*) AS BIGINT) AS n_fresh
           |FROM assign a GROUP BY a.cell""".stripMargin),
 
     "eval_hitrate" ->
