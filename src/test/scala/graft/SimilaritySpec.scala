@@ -379,6 +379,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         r.getSeq[Int](2).toList)).toSet)
   }
 
+  test("registry staleness probe: fresh corpus reproduces the stored " +
+      "histogram; a drifted corpus diverges (the retrain trigger)") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val base = Array.fill(8)(0.01f * (i % 7))
+      base(i % 3) = 1f + (i % 40)
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (enc, cents, _) = Similarity.ivfPqIndex(df, nCells = 3, m = 2,
+      kCodes = 8, pqIterations = 3)
+    def hist(d: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      d.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val stored = hist(enc)
+    // same corpus re-assigned against the stored quantizer: identical
+    assert(hist(Similarity.ivfAssign(df, cents)) == stored)
+    // drifted corpus (every vector pulled to cluster direction 0): the
+    // fresh histogram moves off the stored one — the retrain signal
+    val drifted = df.withColumn("embedding",
+      array((0 until 8).map(d => lit(if (d == 0) 9f else 0.1f)): _*))
+    assert(hist(Similarity.ivfAssign(drifted, cents)) != stored)
+    // and under content-addressed keying the drifted corpus cannot even
+    // resolve the stored artifact's path
+    assert(Similarity.corpusFingerprint(drifted) !=
+      Similarity.corpusFingerprint(df))
+  }
+
   test("truncationAudit: planted prefix-aligned vs tail-aligned vectors") {
     val spark2 = SparkTestBase.spark
     import spark2.implicits._
