@@ -157,12 +157,13 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
   property("ole2 fuzz: bit flips over REAL word97/ppt97/biff8 containers " +
       "never escape the contract") =
     forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 16),
-        Gen.choose(0, 2)) { (seed, flips, which) =>
+        Gen.choose(0, 3)) { (seed, flips, which) =>
       val body = "real container fuzz body — naïve text"
       val (ext, base) = which match {
         case 0 => ("doc", LegacyOfficeFixtures.word97Doc(body))
         case 1 => ("ppt", LegacyOfficeFixtures.ppt97(body))
-        case _ => ("xls", LegacyOfficeFixtures.biff8Xls(body))
+        case 2 => ("xls", LegacyOfficeFixtures.biff8Xls(body))
+        case _ => ("doc", LegacyOfficeFixtures.word95Doc(body))
       }
       val rnd = new scala.util.Random(seed)
       val mutated = base.clone()
