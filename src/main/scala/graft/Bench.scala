@@ -349,8 +349,15 @@ object Bench {
     // "real regression" (tight spread, cpu tracking wall) without
     // re-running. Subset runs skip the artifact (same rule as digests).
     def ms(v: Double): String = if (v < 0) "null" else (v * 1000).round.toString
-    def repSpread(ws: Seq[Double]): Double =
-      if (ws.size < 2 || ws.min <= 0) 1.0 else ws.max / ws.min
+    // Spread over the STEADY-STATE reps only: rep 1 is the documented
+    // warm-up (codegen/classload, cold-registry training) and carries a
+    // deterministic 2-30x wall premium — including it would flag every
+    // normal run as "contended" and defeat the heuristic. With the full
+    // arrays in the artifact a reader can still inspect rep 1.
+    def repSpread(ws: Seq[Double]): Double = {
+      val steady = if (ws.size >= 3) ws.drop(1) else ws
+      if (steady.size < 2 || steady.min <= 0) 1.0 else steady.max / steady.min
+    }
     val spreads = repDetail.toSeq.map { case (k, d) => k -> repSpread(d.map(_._1)) }
     val (spreadQ, spreadMax) =
       if (spreads.isEmpty) ("", 1.0) else spreads.maxBy(_._2)

@@ -51,10 +51,37 @@ object SparkEntry {
     * runs once per (variant, corpus dir).
     */
   private lazy val ivfPqArtifactRoot: String = {
+    // Trust boundary: the registry is as trustworthy as this directory's
+    // permissions — a production deployment points GRAFT_IVFPQ_REGISTRY
+    // at an access-controlled store (the loaders deliberately never
+    // revalidate an artifact against the corpus; that is the whole
+    // train-once economics). The tmpdir default is for the single-user
+    // bench/verify box.
     val root = sys.env.getOrElse("GRAFT_IVFPQ_REGISTRY",
       sys.props("java.io.tmpdir") + "/graft-ivfpq-registry-v1")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     root
+  }
+
+  /** Publish a freshly-trained artifact staged at `staging` to its final
+    * registry `path` with one atomic directory rename, so a concurrent
+    * session can never observe (or co-write) a half-written artifact: the
+    * loser of the rename race discards its staging copy and reads the
+    * winner's — both trained the same content-addressed inputs.
+    */
+  private def commitStaged(staging: String, path: String): Unit = {
+    val src = java.nio.file.Paths.get(staging)
+    val dst = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    try
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException => // lost the race: clean up
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
   private val ivfPqCoarse =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
@@ -79,7 +106,9 @@ object SparkEntry {
           "vec_id", nCells = 8, m = m, kCodes = kCodes, pqIterations = 2,
           coarse = coarse)
         ivfPqCoarse.putIfAbsent(coarseKey, cents)
-        Similarity.saveIvfPqIndex(path, enc, cents, cb)
+        val staging = s"$path.staging-${java.util.UUID.randomUUID().toString.take(8)}"
+        Similarity.saveIvfPqIndex(staging, enc, cents, cb)
+        commitStaged(staging, path)
       }
       val loaded = Similarity.loadIvfPqIndex(s, path)
       // A later budget over the same corpus reuses the stored artifact's
@@ -104,17 +133,26 @@ object SparkEntry {
       val fp = ivfPqFingerprint.computeIfAbsent(s"$variant|$dir",
         _ => Similarity.corpusFingerprint(corpus, "embedding", "vec_id"))
       // OPQ-NP configuration (measured sweep, SCALE.md r15): init = the
-      // seed-1234 random rotation (the arm it must beat), 8 alternations —
-      // recall@5 0.26 (PCA init, 3 it) -> 0.40, distortion 0.0451 ->
-      // 0.0220 on the sf0.01 spectrum fixture. The name carries the
-      // recipe so a config change can never load a stale rotation.
-      val name = s"opqrot-np8-$variant-${new java.io.File(dir).getName}"
+      // seed-1234 random rotation (the arm it must beat), 8 alternations,
+      // pqIterations = 2 — recall@5 0.26 (PCA init, 3 it) -> 0.40,
+      // distortion 0.0451 -> 0.0220 on the sf0.01 spectrum fixture. The
+      // name carries the FULL recipe (iterations, init seed, pq
+      // iterations, dim) so changing any training knob can never load a
+      // rotation trained under the old one.
+      val iterations = 8
+      val initSeed = 1234L
+      val pqIterations = 2
+      val dim = 64
+      val name = s"opqrot-np$iterations-r$initSeed-pq$pqIterations-d$dim-" +
+        s"$variant-${new java.io.File(dir).getName}"
       val path = Similarity.registryPath(ivfPqArtifactRoot, name, m, kCodes, fp)
       if (!Similarity.rotationExists(s, path)) {
-        val (rot, _) = Similarity.opqRefinedRotation(corpus, m = m,
-          kCodes = kCodes, iterations = 8,
-          init = Some(graft.functions.VectorFunctions.rotationMatrix(64, 1234L)))
-        Similarity.saveRotation(s, path, rot)
+        val (rot, _) = Similarity.opqRefinedRotation(corpus, m = m, dim = dim,
+          kCodes = kCodes, iterations = iterations, pqIterations = pqIterations,
+          init = Some(graft.functions.VectorFunctions.rotationMatrix(dim, initSeed)))
+        val staging = s"$path.staging-${java.util.UUID.randomUUID().toString.take(8)}"
+        Similarity.saveRotation(s, staging, rot)
+        commitStaged(staging, path)
       }
       Similarity.loadRotation(s, path)
     }

@@ -522,7 +522,13 @@ object DocumentExtract {
     val out = new java.io.ByteArrayOutputStream(math.max(16, data.length * 4 / 5))
     val grp = new Array[Int](5)
     var n = 0
-    var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+    // The optional `<~` prologue may sit behind leading whitespace (a
+    // writer that puts it on its own line) — skip that first, or the `<`
+    // would be consumed as a data char and `~` would terminate the stream.
+    var i = 0
+    while (i < data.length &&
+        " \t\r\n\f".indexOf((data(i) & 0xFF).toChar) >= 0) i += 1
+    if (i + 1 < data.length && data(i) == '<' && data(i + 1) == '~') i += 2
     var done = false
     while (i < data.length && !done) {
       val c = data(i) & 0xFF
@@ -697,7 +703,11 @@ object DocumentExtract {
           val winStart = math.max(0, s - 800)
           val dict = scopeToLastObj(
             new String(bytes, winStart, s - winStart, StandardCharsets.ISO_8859_1))
-          val structural = dict.contains("/ObjStm") || dict.contains("/XRef")
+          // Anchored to the /Type key so phantom "/ObjStm" text inside an
+          // unscoped window (a >800-byte dict) can't misclassify a
+          // content stream as structural.
+          val structural =
+            """/Type\s*/(ObjStm|XRef)\b""".r.findFirstIn(dict).isDefined
           val data =
             if (structural) Array.emptyByteArray
             else try decodePdfStream(dict, bytes.slice(ds, e))
@@ -805,8 +815,9 @@ object DocumentExtract {
           }
         }
       }
+      val objStmTypeRe = """/Type\s*/ObjStm\b""".r
       val spliced: Map[Int, String] = topObjs.valuesIterator
-        .filter(_.contains("/ObjStm")).flatMap { body =>
+        .filter(b => objStmTypeRe.findFirstIn(b).isDefined).flatMap { body =>
           try {
             objStream(body).iterator.flatMap { dec =>
               val first = """/First\s+(\d+)""".r.findFirstMatchIn(body)
@@ -946,10 +957,25 @@ object DocumentExtract {
       }
     }
     val declared = ranges.map(_._1).toSet
-    for (w <- m.keysIterator.map(_._1).toSet -- declared if w >= 1 && w <= 4)
-      ranges += ((w, 0, (1 << math.min(30, 8 * w)) - 1))
-    if (m.isEmpty || ranges.isEmpty) None
-    else Some(PdfCmap(ranges.toSeq, m.toMap))
+    val keyed: Map[(Int, Int), String] =
+      if (ranges.isEmpty) {
+        // No codespacerange declared at all: synthesize full coverage per
+        // seen mapping width (real-world CMaps sometimes omit the block).
+        for (w <- m.keysIterator.map(_._1).toSet if w >= 1 && w <= 4)
+          ranges += ((w, 0, (1 << math.min(30, 8 * w)) - 1))
+        m.toMap
+      } else if (declared.size == 1) {
+        // ONE declared width W: re-key sloppy undeclared-width mappings
+        // (a `<41>` bfchar under a <0000> <FFFF> codespace — common
+        // generator output) to W, the historic single-width decoder's
+        // behavior. Synthesizing a 1-byte range instead would SHADOW the
+        // declared wider range (shortest-width-first matching) and make
+        // every declared-width mapping unreachable.
+        val w = declared.head
+        m.map { case ((_, code), v) => (w, code) -> v }.toMap
+      } else m.toMap // genuine mixed-width: trust the declaration as-is
+    if (keyed.isEmpty || ranges.isEmpty) None
+    else Some(PdfCmap(ranges.toSeq, keyed))
   }
 
   /** Scan a decoded content stream for text-showing operators; `/Name …
@@ -1179,14 +1205,19 @@ object DocumentExtract {
     * walk. Complex (fFlags bit 0x0004, fast-saved — the piece table lives
     * in the same stream with a different FIB layout) and encrypted (bit
     * 0x0100) files return None and keep the documented printable-run
-    * scrape; so do DBCS East-Asian saves implicitly (their byte runs
-    * survive the scrape, a wrong single-byte decode would be worse).
+    * scrape; so do DBCS East-Asian saves, EXPLICITLY: the FIB's `lid`
+    * language id (offset 6) with a zh/ja/ko primary language marks a
+    * double-byte code page, where a cp1252 per-byte decode would emit
+    * mojibake — worse than the scrape those files got before this walk.
     * Same paragraph-mark canonicalization as [[word97Text]].
     */
   private[functions] def word6Text(wd: Array[Byte]): Option[String] = {
     if (wd.length < 0x20 || u16At(wd, 0) != 0xA5DC) return None
     val nFib = u16At(wd, 2)
     if (nFib < 100 || nFib >= 0x00C1) return None
+    val primaryLang = u16At(wd, 6) & 0x3FF
+    if (primaryLang == 0x04 || primaryLang == 0x11 || primaryLang == 0x12)
+      return None // zh / ja / ko: DBCS code page, not cp1252
     val flags = u16At(wd, 0x0A)
     if ((flags & 0x0004) != 0 || (flags & 0x0100) != 0) return None
     val fcMin = i32At(wd, 24)

@@ -291,6 +291,9 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(dec("9jqo^~>") == "Man ".getBytes(StandardCharsets.ISO_8859_1).toSeq)
     assert(dec("z~>") == Seq[Byte](0, 0, 0, 0))
     assert(dec("<~ 9jq\no^ ~>") == "Man ".getBytes(StandardCharsets.ISO_8859_1).toSeq)
+    // the prologue may sit behind leading whitespace (writer on its own
+    // line) — the `<` must not be eaten as a data char
+    assert(dec("\n  <~9jqo^~>") == "Man ".getBytes(StandardCharsets.ISO_8859_1).toSeq)
     // partial groups: n in {1,2,3} trailing bytes survive the round trip
     for (n <- 1 to 3) {
       val bs = Array.tabulate[Byte](4 + n)(i => (i * 37 + 11).toByte)
@@ -376,6 +379,27 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(cm.decode("Aþ") == "A")
     // a byte pair out of BOTH ranges (0x8100) skips one byte, resyncs
     assert(cm.decode("\u0081\u0000A") == "A")
+  }
+
+  test("pdf: sloppy undeclared-width bfchar re-keys to the ONE declared " +
+      "width instead of shadowing it") {
+    // Common generator output: a 2-byte <0000> <FFFF> codespace with a
+    // bfchar written as <41> instead of <0041>. The entry must decode as
+    // the 2-byte code 0x0041 (the historic single-width behavior) - a
+    // synthesized 1-byte range would shadow the declared range and make
+    // every properly-declared mapping unreachable.
+    val cmap =
+      """begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<41> <005A>
+        |<0042> <0059>
+        |endbfchar
+        |endcmap""".stripMargin
+    val cm = DocumentExtract.parseCmap(cmap).get
+    assert(cm.ranges == Seq((2, 0x0000, 0xFFFF)))
+    // bytes 00 41 00 42 -> Z Y (both reachable as 2-byte codes)
+    assert(cm.decode("\u0000A\u0000B") == "ZY")
   }
 
   test("pdf: ObjStm-packed font dict + LZW content + A85/Flate CMap chain") {
