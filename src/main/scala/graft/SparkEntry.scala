@@ -56,10 +56,32 @@ object SparkEntry {
     // at an access-controlled store (the loaders deliberately never
     // revalidate an artifact against the corpus; that is the whole
     // train-once economics). The tmpdir default is for the single-user
-    // bench/verify box.
-    val root = sys.env.getOrElse("GRAFT_IVFPQ_REGISTRY",
+    // bench/verify box, so it is created owner-only and REFUSED if some
+    // other user owns it (a world-writable shared tmpdir is exactly
+    // where a pre-planted artifact could otherwise be certified).
+    // Trainer-recipe identity lives in Similarity.registryPath's version
+    // segment (TrainerRecipeVersion), not in this directory name.
+    val explicit = sys.env.get("GRAFT_IVFPQ_REGISTRY")
+    val root = explicit.getOrElse(
       sys.props("java.io.tmpdir") + "/graft-ivfpq-registry-v1")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val p = java.nio.file.Paths.get(root)
+    try {
+      val attrs = java.nio.file.attribute.PosixFilePermissions
+        .asFileAttribute(java.nio.file.attribute.PosixFilePermissions
+          .fromString("rwx------"))
+      java.nio.file.Files.createDirectories(p, attrs)
+    } catch { // non-POSIX filesystem: plain create, ownership still checked
+      case _: UnsupportedOperationException =>
+        java.nio.file.Files.createDirectories(p)
+    }
+    if (explicit.isEmpty) {
+      val owner = java.nio.file.Files.getOwner(p).getName
+      val me = sys.props("user.name")
+      require(owner == me,
+        s"graft.SparkEntry: default registry root $root is owned by " +
+          s"'$owner', not '$me' — refusing to trust it; point " +
+          "GRAFT_IVFPQ_REGISTRY at a directory you control")
+    }
     root
   }
 
@@ -67,7 +89,12 @@ object SparkEntry {
     * registry `path` with one atomic directory rename, so a concurrent
     * session can never observe (or co-write) a half-written artifact: the
     * loser of the rename race discards its staging copy and reads the
-    * winner's — both trained the same content-addressed inputs.
+    * winner's — both trained the same content-addressed inputs. A move
+    * failure is only treated as a lost race when the destination
+    * actually exists; any other cause (permissions, a filesystem that
+    * rejects ATOMIC_MOVE on directories) rethrows with the staging copy
+    * intact, instead of deleting the fresh artifact and leaving the
+    * loader to fail with a misleading path-not-found.
     */
   private def commitStaged(staging: String, path: String): Unit = {
     val src = java.nio.file.Paths.get(staging)
@@ -77,10 +104,12 @@ object SparkEntry {
       java.nio.file.Files.move(src, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileSystemException => // lost the race: clean up
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      case e: java.nio.file.FileSystemException =>
+        if (java.nio.file.Files.exists(dst)) { // lost the race: clean up
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } else throw e // a real failure, not a race — keep staging, surface it
     }
   }
   private val ivfPqCoarse =

@@ -559,24 +559,28 @@ object DocumentExtract {
   /** LZWDecode (ISO 32000 §7.4.4, the TIFF variant): MSB-first variable
     * width codes starting at 9 bits, 256 = clear-table, 257 = EOD, width
     * grows to 12 with EarlyChange=1 (the default — the width bump happens
-    * one code BEFORE the table boundary because the decoder's table lags
-    * the encoder's by one entry). The table freezes at 4095 entries until
-    * a clear code arrives. [[LegacyOfficeFixtures.lzwEncode]] is the
-    * symmetric writer that round-trip gates pin this against.
+    * one code BEFORE the table boundary because the writer has already
+    * assigned the code the reader is about to learn). The table grows to
+    * the full 4096 entries and freezes until a clear code arrives.
+    * [[LegacyOfficeFixtures.lzwEncode]] is the symmetric writer that
+    * round-trip gates pin this against; `DocumentExtractSpec`'s
+    * pdf.js-convention reference decoder pins BOTH against the ecosystem
+    * convention (bump at next-code 511/1023/2047).
     */
-  /** EarlyChange=1 code width for an LZW table of `size` entries: the
-    * width bumps one entry BEFORE the table reaches 2^w - 1 because the
-    * writer has already assigned the code the reader is about to learn.
-    * Shared (via symmetric re-implementation) with
-    * `LegacyOfficeFixtures.lzwEncode`, which simulates the DECODER's
-    * table size — that is what keeps the width of the final code and the
-    * EOD marker in sync (the decoder grows its table one code later than
-    * the encoder, so near a boundary the trailing codes differ in width
-    * between the two tables' views).
+  /** EarlyChange=1 code width for an LZW table of `size` entries: bump
+    * when the NEXT code to be assigned (`size`, plus the one-early
+    * EarlyChange allowance) no longer fits w bits — i.e. reads go 9→10
+    * bits once the table holds 511 entries, 10→11 at 1023, 11→12 at
+    * 2047 (the pdf.js / libtiff convention). Shared (via symmetric
+    * re-implementation) with `LegacyOfficeFixtures.lzwEncode`, which
+    * simulates the DECODER's table size — that is what keeps the width
+    * of the final code and the EOD marker in sync (the decoder grows its
+    * table one code later than the encoder, so near a boundary the
+    * trailing codes differ in width between the two tables' views).
     */
   private def lzwWidthFor(size: Int): Int = {
     var w = 9
-    while (w < 12 && math.min(4095, size) + 2 > (1 << w) - 1) w += 1
+    while (w < 12 && size + 1 > (1 << w) - 1) w += 1
     w
   }
 
@@ -614,7 +618,7 @@ object DocumentExtract {
             throw new IllegalArgumentException(
               s"graft.DocumentExtract: LZW stream inflates past $MaxInflatedBytes bytes")
           out.write(entry, 0, entry.length)
-          if (prev != null && dict.length < 4095) dict += (prev :+ entry(0))
+          if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
           prev = entry
         }
       }
@@ -970,9 +974,16 @@ object DocumentExtract {
         // generator output) to W, the historic single-width decoder's
         // behavior. Synthesizing a 1-byte range instead would SHADOW the
         // declared wider range (shortest-width-first matching) and make
-        // every declared-width mapping unreachable.
+        // every declared-width mapping unreachable. Declared-width
+        // mappings always win a re-key collision: a sloppy `<41>` must
+        // never overwrite a genuine `<0041>` for the same code point.
         val w = declared.head
-        m.map { case ((_, code), v) => (w, code) -> v }.toMap
+        val exact = m.iterator.filter(_._1._1 == w).toMap
+        val rekeyed = m.iterator.collect {
+          case ((pw, code), v) if pw != w && !exact.contains((w, code)) =>
+            ((w, code), v)
+        }.toMap
+        exact ++ rekeyed
       } else m.toMap // genuine mixed-width: trust the declaration as-is
     if (keyed.isEmpty || ranges.isEmpty) None
     else Some(PdfCmap(ranges.toSeq, keyed))

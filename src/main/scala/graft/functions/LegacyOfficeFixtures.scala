@@ -252,22 +252,28 @@ object LegacyOfficeFixtures {
   /** LZW encoder (ISO 32000 §7.4.4, EarlyChange=1) — the writer side of
     * `DocumentExtract.lzwDecode`: leading clear code, 9→12-bit MSB-first
     * codes with the width bump one entry before each power-of-two
-    * boundary, table frozen at 4095 entries, trailing EOD. Kept exactly
-    * symmetric with the decoder so round-trip gates pin the pair.
+    * boundary (at decoder next-code 511/1023/2047, the pdf.js / libtiff
+    * convention), table growing to the full 4096 entries then frozen,
+    * trailing EOD. Kept exactly symmetric with the decoder so
+    * round-trip gates pin the pair, and pinned against an independent
+    * pdf.js-convention decoder in `DocumentExtractSpec`.
     */
   private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
     val dict = mutable.HashMap.empty[String, Int]
     for (i <- 0 until 256) dict(String.valueOf(i.toChar)) = i
     var next = 258
     // The code width follows the DECODER's table size, which lags the
-    // encoder's by one entry (the decoder learns each new code only on
-    // the NEXT read) — tracking it directly keeps the width of the final
-    // data code and the EOD marker in sync across a bump boundary.
+    // encoder's by one entry mid-stream and — because the decoder also
+    // assigns an entry for the FINAL data code while the encoder does
+    // not — by a different amount at the stream tail. Simulating the
+    // decoder's table directly (rather than tracking the encoder's own
+    // next code) is what keeps the width of the final data code and the
+    // EOD marker in sync across a bump boundary.
     var emitted = 0
     def width: Int = {
-      val decSize = math.min(4095, 258 + math.max(0, emitted - 1))
+      val decSize = math.min(4096, 258 + math.max(0, emitted - 1))
       var w = 9
-      while (w < 12 && decSize + 2 > (1 << w) - 1) w += 1
+      while (w < 12 && decSize + 1 > (1 << w) - 1) w += 1
       w
     }
     val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
@@ -288,7 +294,7 @@ object LegacyOfficeFixtures {
       if (dict.contains(w + c)) w += c
       else {
         emit(dict(w)); emitted += 1
-        if (next < 4095) { dict(w + c) = next; next += 1 }
+        if (next < 4096) { dict(w + c) = next; next += 1 }
         w = String.valueOf(c)
       }
       i += 1

@@ -906,18 +906,71 @@ object Similarity {
     s"${n.toHexString}-$hHex"
   }
 
+  /** Trainer recipe version, folded into every [[registryPath]]. Bump
+    * this alongside any behavior change to [[ivfPqIndex]] / [[Pq]] /
+    * [[opqRefinedRotation]] training code so a new trainer can never
+    * load an artifact a DIFFERENT trainer produced — the registry's
+    * loaders deliberately never revalidate, so the path must carry the
+    * recipe identity the way the OPQ rotation name already carries its
+    * knobs. (Replaces the earlier convention of hand-bumping the root
+    * directory's `-v1` suffix.)
+    */
+  val TrainerRecipeVersion: Int = 1
+
   /** Registry path for a stored IVF-PQ index: content-addressed by the
-    * corpus fingerprint under a stable cross-session root. Fingerprint
+    * corpus fingerprint under a stable cross-session root, with
+    * [[TrainerRecipeVersion]] in the version segment. Fingerprint
     * keying IS the staleness rule: the corpus change a batch-wise
     * [[ivfAssign]] drift report detects moves the key, so a new session
     * over a drifted corpus can never load the stale artifact — it trains
     * a fresh version beside the old one (kept for rollback/audit, the
-    * feature-store materialization discipline).
+    * feature-store materialization discipline; [[pruneRegistry]] is the
+    * retention verb).
     */
   def registryPath(root: String, name: String, m: Int, kCodes: Int,
                    fingerprint: String): String = {
     val slug = name.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$root/$slug-m${m}_k$kCodes/fp-$fingerprint"
+    s"$root/$slug-m${m}_k$kCodes/r$TrainerRecipeVersion-fp-$fingerprint"
+  }
+
+  /** Retention verb for a [[registryPath]] registry root: within each
+    * `<slug>-m<m>_k<k>` family, keep the `keepLatestN` newest version
+    * directories by modification time plus EVERY version a live
+    * fingerprint still resolves to (pass the fingerprints your current
+    * corpora report via [[corpusFingerprint]] — a resolvable artifact
+    * must never be pruned out from under a serving tier), delete the
+    * rest. Staging leftovers (`*.staging-*`, a crashed publisher) are
+    * always removed. Local-filesystem registry roots only — the same
+    * constraint [[SparkEntry]]'s atomic-rename publisher already
+    * imposes. Returns the deleted version-directory paths.
+    */
+  def pruneRegistry(root: String, keepLatestN: Int,
+                    liveFingerprints: Set[String] = Set.empty): Seq[String] = {
+    require(keepLatestN >= 0, "graft.pruneRegistry: keepLatestN must be >= 0")
+    import scala.jdk.CollectionConverters._
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
+    def deleteTree(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+    def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val removed = Seq.newBuilder[String]
+    for (family <- children(rootPath) if java.nio.file.Files.isDirectory(family)) {
+      val (staging, versions) = children(family)
+        .filter(java.nio.file.Files.isDirectory(_))
+        .partition(_.getFileName.toString.contains(".staging-"))
+      staging.foreach { p => deleteTree(p); removed += p.toString }
+      val live = versions.filter(v =>
+        liveFingerprints.exists(fp => v.getFileName.toString.endsWith(s"-fp-$fp")))
+      val byAge = versions.sortBy(p =>
+        -java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      val keep = (byAge.take(keepLatestN) ++ live).toSet
+      byAge.filterNot(keep).foreach { p => deleteTree(p); removed += p.toString }
+    }
+    removed.result()
   }
 
   /** Train-once / audit-many entry point: load the stored index at `path`

@@ -301,9 +301,64 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Independent reference LZW decoder implementing the ecosystem
+    * convention (pdf.js `LZWStream` / libtiff, EarlyChange=1): the code
+    * width bumps exactly when the decoder's next free code + 1 crosses a
+    * power of two — reads go 10-bit once the table holds 511 entries,
+    * 11-bit at 1023, 12-bit at 2047 — and the table grows to the full
+    * 4096 entries. Written from the published algorithm, deliberately
+    * NOT from graft's decoder, so it cross-checks graft's encoder AND
+    * decoder against the convention rather than against each other.
+    * Returns the decoded bytes plus the largest table-reference code
+    * seen (to prove a stream actually exercised the deep table).
+    */
+  private def referenceLzwDecode(data: Array[Byte]): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var table = new Array[Array[Byte]](4096)
+    def reset(): Int = {
+      table = new Array[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      258
+    }
+    var nextCode = reset()
+    var bits = 9
+    var prev: Array[Byte] = null
+    var maxCode = 0
+    var acc = 0L; var nAcc = 0; var pos = 0; var done = false
+    while (!done) {
+      while (nAcc < bits && pos < data.length) {
+        acc = (acc << 8) | (data(pos) & 0xFF); nAcc += 8; pos += 1
+      }
+      if (nAcc < bits) done = true
+      else {
+        val code = ((acc >> (nAcc - bits)) & ((1L << bits) - 1)).toInt
+        nAcc -= bits
+        if (code == 256) { nextCode = reset(); bits = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          maxCode = math.max(maxCode, code)
+          val seq =
+            if (code < nextCode && table(code) != null) table(code)
+            else if (code == nextCode && prev != null) prev :+ prev(0)
+            else fail(s"reference decoder: code $code out of table $nextCode")
+          out.write(seq, 0, seq.length)
+          if (prev != null && nextCode < 4096) {
+            table(nextCode) = prev :+ seq(0)
+            nextCode += 1
+            // pdf.js bump rule: width grows when nextCode+1 hits 2^w
+            if (bits < 12 && ((nextCode + 1) & nextCode) == 0) bits += 1
+          }
+          prev = seq
+        }
+      }
+    }
+    (out.toByteArray, maxCode)
+  }
+
   test("lzw: round-trips across all code widths and the frozen-table tail") {
     // Seeded pseudo-random hex text long enough to push the table past
-    // every width bump (511/1023/2047) and into the 4095-entry freeze.
+    // every width bump (511/1023/2047) and into the 4096-entry freeze.
     val rnd = new scala.util.Random(42)
     val text = Array.fill(60000)("0123456789abcdef".charAt(rnd.nextInt(16)))
       .mkString
@@ -312,6 +367,40 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(enc.length < text.length) // it actually compresses
     assert(new String(DocumentExtract.lzwDecode(enc),
       StandardCharsets.ISO_8859_1) == text)
+    // Conformance: an INDEPENDENT pdf.js-convention decoder reads the
+    // same stream to the same bytes (regression for the EarlyChange
+    // bump happening one code early, which desynced external readers
+    // past ~253 data codes).
+    val (ref, _) = referenceLzwDecode(enc)
+    assert(new String(ref, StandardCharsets.ISO_8859_1) == text)
+    // Deep-table probe: force a stream that EMITS the final table slot
+    // 4095 (the full-4096 table, not a 4095-entry freeze). Cut the hex
+    // text exactly where the encoder's next free code is 4094, then
+    // append "zzzzz": 'z' never appeared, so the z-run assigns slot
+    // 4094 (w+z), then slot 4095 = "zz", then emits code 4095 twice.
+    val cut = {
+      val dict = scala.collection.mutable.HashSet.empty[String]
+      for (i <- 0 until 256) dict += String.valueOf(i.toChar)
+      var next = 258; var w = ""; var i = 0; var at = -1
+      while (i < text.length && at < 0) {
+        val c = text.charAt(i)
+        if (dict.contains(w + c)) w += c
+        else {
+          if (next == 4094) at = i
+          else { dict += (w + c); next += 1; w = String.valueOf(c) }
+        }
+        i += 1
+      }
+      assert(at > 0, "hex text too short to fill the LZW table"); at
+    }
+    val deep = text.substring(0, cut) + "zzzzz"
+    val deepEnc = LegacyOfficeFixtures.lzwEncode(
+      deep.getBytes(StandardCharsets.ISO_8859_1))
+    assert(new String(DocumentExtract.lzwDecode(deepEnc),
+      StandardCharsets.ISO_8859_1) == deep)
+    val (deepRef, maxCode) = referenceLzwDecode(deepEnc)
+    assert(new String(deepRef, StandardCharsets.ISO_8859_1) == deep)
+    assert(maxCode == 4095, s"deep-table probe saw max code $maxCode")
     // KwKwK self-referencing case (aaa...) and the empty input
     val aaa = "a" * 100
     assert(new String(DocumentExtract.lzwDecode(
@@ -319,21 +408,53 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       StandardCharsets.ISO_8859_1) == aaa)
   }
 
+  test("lzw: graft decodes a conformant externally-authored stream") {
+    // Golden check in the OTHER direction: a stream laid out by hand to
+    // the pdf.js convention (clear, 'a', 'b', code 258 = "ab", EOD),
+    // decoded by graft and by the reference decoder, and byte-identical
+    // to graft's own encoder output — so any graft drift from the
+    // convention breaks here even if encoder and decoder drift together.
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = { // (code, width)
+      var acc = 0L; var n = 0
+      val out = new java.io.ByteArrayOutputStream()
+      codes.foreach { case (c, w) =>
+        acc = (acc << w) | c; n += w
+        while (n >= 8) { out.write(((acc >> (n - 8)) & 0xFF).toInt); n -= 8 }
+      }
+      if (n > 0) out.write(((acc << (8 - n)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    // "abab": emits a(97), b(98) [table 258=ab], then code 258, EOD —
+    // all 9-bit this early in the table.
+    val hand = pack(Seq((256, 9), (97, 9), (98, 9), (258, 9), (257, 9)))
+    assert(new String(DocumentExtract.lzwDecode(hand),
+      StandardCharsets.ISO_8859_1) == "abab")
+    assert(new String(referenceLzwDecode(hand)._1,
+      StandardCharsets.ISO_8859_1) == "abab")
+    assert(LegacyOfficeFixtures.lzwEncode(
+      "abab".getBytes(StandardCharsets.ISO_8859_1)).toSeq == hand.toSeq)
+  }
+
   test("lzw: every end-of-stream table size round-trips (width-bump sync)") {
     // Regression: a stream that ENDS exactly where the decoder's
     // final-entry add crosses a width boundary used to desync the EOD
     // code's width. Sweep prefixes so the stream end lands on every
-    // table size across the first two bumps.
+    // table size across the first two bumps; the independent reference
+    // decoder must agree at every prefix too.
     val rnd = new scala.util.Random(7)
     val base = Array.fill(4000)("0123456789ABCDEF <>/TjBFE"
       .charAt(rnd.nextInt(25))).mkString
     var n = 1
     while (n <= base.length) {
       val s = base.substring(0, n)
-      val got = new String(DocumentExtract.lzwDecode(
-        LegacyOfficeFixtures.lzwEncode(s.getBytes(StandardCharsets.ISO_8859_1))),
+      val enc = LegacyOfficeFixtures.lzwEncode(
+        s.getBytes(StandardCharsets.ISO_8859_1))
+      val got = new String(DocumentExtract.lzwDecode(enc),
         StandardCharsets.ISO_8859_1)
       assert(got == s, s"prefix length $n")
+      val ref = new String(referenceLzwDecode(enc)._1,
+        StandardCharsets.ISO_8859_1)
+      assert(ref == s, s"reference decoder, prefix length $n")
       n += 1
     }
   }
@@ -400,6 +521,28 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(cm.ranges == Seq((2, 0x0000, 0xFFFF)))
     // bytes 00 41 00 42 -> Z Y (both reachable as 2-byte codes)
     assert(cm.decode("\u0000A\u0000B") == "ZY")
+  }
+
+  test("pdf: a re-keyed sloppy bfchar never overwrites a declared-width " +
+      "mapping for the same code point") {
+    // Both a sloppy 1-byte <41> (-> X) and a genuine 2-byte <0041>
+    // (-> A) exist under one declared 2-byte codespace. Re-keying the
+    // sloppy entry to width 2 collides with the declared mapping -- the
+    // declared one must win regardless of map-merge order, in BOTH
+    // listing orders.
+    for ((first, second) <- Seq(("<41> <0058>", "<0041> <0041>"),
+                                ("<0041> <0041>", "<41> <0058>"))) {
+      val cmap =
+        s"""begincmap
+           |1 begincodespacerange <0000> <FFFF> endcodespacerange
+           |2 beginbfchar
+           |$first
+           |$second
+           |endbfchar
+           |endcmap""".stripMargin
+      val cm = DocumentExtract.parseCmap(cmap).get
+      assert(cm.decode("\u0000A") == "A", s"order: $first then $second")
+    }
   }
 
   test("pdf: ObjStm-packed font dict + LZW content + A85/Flate CMap chain") {

@@ -379,6 +379,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         r.getSeq[Int](2).toList)).toSet)
   }
 
+  test("registry retention: prune keeps the newest N and every live " +
+      "fingerprint, removes stale versions and crashed staging dirs") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = tempDir("graft-registry-prune").toString
+    // Three versions of one artifact family, mtime-ordered A < B < C,
+    // plus a crashed publisher's staging leftover and a second family.
+    def mkVersion(name: String, fp: String, ageMin: Long): String = {
+      val p = Similarity.registryPath(root, name, m = 2, kCodes = 8, fp)
+      Files.createDirectories(Paths.get(p, "quantizer"))
+      Files.write(Paths.get(p, "quantizer", "_SUCCESS"), Array.empty[Byte])
+      Files.setLastModifiedTime(Paths.get(p),
+        FileTime.fromMillis(1700000000000L - ageMin * 60000))
+      p
+    }
+    val oldLive  = mkVersion("base", "aaa-1", ageMin = 30) // oldest, but LIVE
+    val stale    = mkVersion("base", "bbb-2", ageMin = 20)
+    val newest   = mkVersion("base", "ccc-3", ageMin = 10)
+    val otherFam = mkVersion("other", "ddd-4", ageMin = 40)
+    val staging = s"$newest.staging-deadbeef"
+    Files.createDirectories(Paths.get(staging))
+    val removed = Similarity.pruneRegistry(root, keepLatestN = 1,
+      liveFingerprints = Set("aaa-1"))
+    // The resolvable (live-fingerprint) artifact SURVIVES despite being
+    // oldest; the stale middle version is gone; newest kept by count;
+    // the other family keeps its single newest; staging always removed.
+    assert(Files.isDirectory(Paths.get(oldLive)), "live artifact pruned!")
+    assert(!Files.exists(Paths.get(stale)))
+    assert(Files.isDirectory(Paths.get(newest)))
+    assert(Files.isDirectory(Paths.get(otherFam)))
+    assert(!Files.exists(Paths.get(staging)))
+    assert(removed.toSet == Set(staging, stale))
+    // Idempotent; and a missing root is a no-op, not an error.
+    assert(Similarity.pruneRegistry(root, 1, Set("aaa-1")).isEmpty)
+    assert(Similarity.pruneRegistry(root + "/nope", 3).isEmpty)
+  }
+
   test("registry staleness probe: fresh corpus reproduces the stored " +
       "histogram; a drifted corpus diverges (the retrain trigger)") {
     import spark.implicits._
