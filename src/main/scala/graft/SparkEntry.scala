@@ -183,8 +183,22 @@ object SparkEntry {
         Similarity.saveRotation(s, staging, rot)
         commitStaged(staging, path)
       }
-      Similarity.loadRotation(s, path)
+      val loaded = Similarity.loadRotation(s, path)
+      // Stash the loaded matrix so oracleSql can inline it as literal
+      // CTEs (Verify dumps oracle_sql.json AFTER all queries ran, so the
+      // dump always sees the rotation the gate actually used).
+      lastOpqRotation.set(loaded)
+      loaded
     }
+
+  /** The most recently loaded OPQ rotation artifact — the deterministic
+    * stored d x d matrix [[opqRefinedOracle]] inlines into the
+    * `pq_opq_refined` oracle. Only the Procrustes SVD TRAINING is
+    * driver-side math no SQL engine replays; its output is a stored,
+    * content-addressed artifact and therefore an oracle INPUT.
+    */
+  private val lastOpqRotation =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
   /** Cosine in double with the exact arithmetic mirrored in the oracle SQL
     * (dot/(sqrt*sqrt), left-to-right accumulation) — the native codegen'd
@@ -2367,10 +2381,11 @@ object SparkEntry {
       // rotation and the index over the rotated corpus are cross-session
       // registry artifacts: the alternation trains once per corpus
       // version, every later session loads. The per-round Procrustes SVD
-      // is driver-side iterative math no SQL engine replays (the
-      // opqRotation honesty class), so this gate carries the driver
-      // contract's rows-only check — its recall BODY is the same
-      // machinery the fully-oracled sibling arms certify value-for-value.
+      // is driver-side iterative math no SQL engine replays — but its
+      // OUTPUT is a deterministic stored artifact, so opqRefinedOracle
+      // inlines the loaded d x d matrix as literal CTEs and DuckDB
+      // replays the entire rotated-corpus recall body value-for-value
+      // (full oracle; only the training itself stays driver-side).
       val e = Similarity.spectrumFixture(t(s, dir, "embeddings"))
         .localCheckpoint(true)
       val rot = opqRotationArtifact(s, dir, "spectrum", e, 4, 8)
@@ -4928,17 +4943,50 @@ object SparkEntry {
     * (`remb`), each aggregated to one decision-table row — full oracle by
     * construction (the arm bodies ARE the ivf_pq_recall oracle).
     */
-  private lazy val pqRotationTradeoffSql: String = {
-    def arm(axis: String, body: String): String =
-      s"SELECT '$axis' AS axis, 64.0 AS memory_ratio,\n" +
-        " CAST(count(*) AS BIGINT) AS n_queries,\n" +
-        " round(CAST(coalesce(sum(n_hit), 0) AS DOUBLE) / (count(*) * 5), 6)" +
-        " AS mean_recall\nFROM (\n" + body + "\n) t"
+  /** One [[graft.operators.Similarity.pqDecisionRow]] as SQL over a
+    * recall body — shared by `pq_rotation_tradeoff`'s two arms and
+    * `pq_opq_refined`.
+    */
+  private def pqDecisionArmSql(axis: String, body: String): String =
+    s"SELECT '$axis' AS axis, 64.0 AS memory_ratio,\n" +
+      " CAST(count(*) AS BIGINT) AS n_queries,\n" +
+      " round(CAST(coalesce(sum(n_hit), 0) AS DOUBLE) / (count(*) * 5), 6)" +
+      " AS mean_recall\nFROM (\n" + body + "\n) t"
+
+  private lazy val pqRotationTradeoffSql: String =
     s"WITH $spectrumEmbSqlCtes,\n$rotatedEmbSqlCtes\n" +
-      arm("ivf_pq_m4", ivfPqRecallSql(20, 5, 2, src = "semb")) +
+      pqDecisionArmSql("ivf_pq_m4", ivfPqRecallSql(20, 5, 2, src = "semb")) +
       "\nUNION ALL\n" +
-      arm("ivf_pq_m4_rotated", ivfPqRecallSql(20, 5, 2, src = "remb"))
-  }
+      pqDecisionArmSql("ivf_pq_m4_rotated", ivfPqRecallSql(20, 5, 2, src = "remb"))
+
+  /** `pq_opq_refined` oracle, available once the gate has run in this
+    * process: the LEARNED OPQ rotation is a deterministic,
+    * content-addressed stored artifact, so its d x d values inline as a
+    * literal VALUES table (the [[rotatedEmbSqlCtes]] discipline —
+    * `Double.toString` round-trips exactly) and DuckDB replays the
+    * entire rotated-corpus IVF-PQ recall body value-for-value. Until
+    * the gate runs the key is omitted (the driver contract's rows-only
+    * fallback); [[Verify]] and `tools.VerifyOne` both dump
+    * oracle_sql.json AFTER running the queries, so the driver's compare
+    * always sees the full oracle.
+    */
+  private def opqRefinedOracle: Map[String, String] =
+    Option(lastOpqRotation.get).map { mat =>
+      val rows = mat.indices.map(r =>
+        s"($r, [${mat(r).mkString(",")}]::DOUBLE[])").mkString(",\n ")
+      val ctes =
+        s"""omat(r, w) AS (SELECT * FROM (VALUES $rows) v(r, w)),
+           |oemb AS MATERIALIZED (SELECT e.vec_id,
+           |  list(CAST(round(list_dot_product(m.w, e.v), 6) AS FLOAT)
+           |    ORDER BY m.r) AS embedding
+           | FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |       FROM semb WHERE embedding IS NOT NULL) e
+           | CROSS JOIN omat m GROUP BY e.vec_id)""".stripMargin
+      "pq_opq_refined" ->
+        (s"WITH $spectrumEmbSqlCtes,\n$ctes\n" +
+          pqDecisionArmSql("ivf_pq_m4_opq",
+            ivfPqRecallSql(20, 5, 2, src = "oemb")))
+    }.toMap
 
   /** Profile.datasetCard replay: the quality CTEs (shared with
     * quality_score), the lang_id pick chain, exact count aggregates,
@@ -10631,7 +10679,7 @@ object SparkEntry {
          |JOIN sz sb ON sb.doc_id = p.id_b
          |WHERE round(CAST(p.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
          |  >= 0.4""".stripMargin
-  )
+  ) ++ opqRefinedOracle
 
   /** Min-reachable-id closure over the planted pair graph — ONE oracle for
     * the from-scratch closure (`dedup_components`) and the star-compressed
