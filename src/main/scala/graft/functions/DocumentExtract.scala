@@ -1138,6 +1138,96 @@ object DocumentExtract {
     picked.flatMap(s => printableRuns(s._2)).mkString("\n")
   }
 
+  /** BIFF8 FilePass probe (record 0x002F in the Workbook globals
+    * substream, [MS-XLS] 2.4.117): present iff the workbook's records
+    * are encrypted. Stops at the first EOF record (0x000A) — FilePass
+    * sits in the globals right after BOF; later substreams can't carry
+    * one. Tolerant of a truncated tail (the caller decides "damaged").
+    */
+  private def biff8HasFilePass(data: Array[Byte]): Boolean = {
+    var p = 0
+    while (p + 4 <= data.length) {
+      val t = u16At(data, p); val len = u16At(data, p + 2)
+      if (t == 0x002F) return true
+      if (t == 0x000A) return false
+      if (p + 4 + len > data.length) return false
+      p += 4 + len
+    }
+    false
+  }
+
+  /** Per-file fallback-reason contract for the legacy OLE2 formats: when
+    * the REAL format walk cannot run and [[ole2BestEffort]] degrades to
+    * the printable-run scrape, name WHY — so a crawl operator can route
+    * encrypted files to a decryption step instead of lumping them with
+    * plain old or broken ones. Returns null when the real walk succeeds
+    * (and for non-OLE2 extensions); throws the same named error as
+    * [[extract]] on a corrupt container (the note shares the
+    * extraction's failure contract). Reasons:
+    *
+    *  - `"encrypted"` — an `EncryptionInfo` stream in the container
+    *    (Office CryptoAPI / standard / agile encryption, [MS-OFFCRYPTO]
+    *    2.3), the Word FIB's fEncrypted bit 0x0100, or a BIFF8 FilePass
+    *    record.
+    *  - `"pre-97"` — a Word 6.0/95 FIB (wIdent 0xA5DC) the contiguous
+    *    walk declined BY DESIGN: fast-saved (complex bit 0x0004) or a
+    *    DBCS East-Asian code page.
+    *  - `"damaged"` — the main stream is missing or structurally
+    *    unreadable for any other reason.
+    */
+  def extractNote(ext: String, path: String, bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    if (ext != "doc" && ext != "ppt" && ext != "xls") return null
+    try {
+      val streams = ole2Streams(bytes)
+      def stream(n: String) = streams.find(_._1 == n).map(_._2)
+      if (streams.exists(_._1 == "EncryptionInfo")) return "encrypted"
+      ext match {
+        case "doc" =>
+          stream("WordDocument") match {
+            case None => "damaged"
+            case Some(wd) if wd.length < 0x20 => "damaged"
+            case Some(wd) =>
+              val ident = u16At(wd, 0)
+              val flags = u16At(wd, 0x0A)
+              if ((flags & 0x0100) != 0) "encrypted"
+              else if (ident == 0xA5EC) {
+                val tbl = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+                if (word97Text(wd, stream(tbl)).isDefined) null else "damaged"
+              } else if (ident == 0xA5DC) {
+                if (word6Text(wd).isDefined) null
+                else {
+                  val lang = u16At(wd, 6) & 0x3FF
+                  val declinedByDesign = (flags & 0x0004) != 0 ||
+                    lang == 0x04 || lang == 0x11 || lang == 0x12
+                  if (declinedByDesign) "pre-97" else "damaged"
+                }
+              } else "damaged"
+          }
+        case "ppt" =>
+          stream("PowerPoint Document") match {
+            case None    => "damaged"
+            case Some(d) => if (pptText(d).isDefined) null else "damaged"
+          }
+        case _ => // xls
+          streams.find(x => x._1 == "Workbook" || x._1 == "Book").map(_._2) match {
+            case None => "damaged"
+            case Some(d) =>
+              if (biff8HasFilePass(d)) "encrypted"
+              else if (biff8Text(d).isDefined) null
+              else "damaged"
+          }
+      }
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.startsWith("graft.DocumentExtract") => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"graft.DocumentExtract: failed to probe '$ext' container $path: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
   /** Real Word 97 text extraction ([MS-DOC]): walk the variable-length FIB
     * in the WordDocument stream to FibRgFcLcb97's fcClx/lcbClx (pair 33),
     * read the Clx from the table stream (skipping any leading Prc grpprl
@@ -1154,6 +1244,10 @@ object DocumentExtract {
   private[functions] def word97Text(
       wd: Array[Byte], tableOpt: Option[Array[Byte]]): Option[String] = {
     if (wd.length < 0x22 || u16At(wd, 0) != 0xA5EC) return None
+    // fEncrypted (FIB flag 0x0100): everything past the FIB base is RC4/
+    // CryptoAPI ciphertext — fcClx would point into it and the walk could
+    // "succeed" on garbage. Bail to the scrape; extractNote names the file.
+    if ((u16At(wd, 0x0A) & 0x0100) != 0) return None
     // Variable FIB: base(32 B) | csw, FibRgW | cslw, FibRgLw | cbRgFcLcb,
     // FibRgFcLcbBlob.
     var o = 0x20

@@ -108,6 +108,21 @@ object TextExtractors {
         TextFunctions.normalizeLines(TextFunctions.stripHtml(text)))
       .otherwise(text)
   }
+
+  /** Per-file extraction note (null = clean): the legacy-OLE2
+    * fallback-reason contract ([[graft.functions.DocumentExtract
+    * .extractNote]] — "encrypted" / "pre-97" / "damaged") as a Column,
+    * so S1 can report scraped-not-walked files by CLASS. Non-legacy
+    * extensions never invoke the UDF (the `when` guard keeps the probe
+    * off every other file's path).
+    */
+  private[sources] def extractNoteColumn(pathCol: org.apache.spark.sql.Column,
+                                         bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ext = lower(regexp_extract(pathCol, "\\.([A-Za-z0-9]+)$", 1))
+    val note = udf(graft.functions.DocumentExtract.extractNote _)
+    when(ext.isin("doc", "ppt", "xls"), note(ext, pathCol, bytesCol))
+      .otherwise(lit(null).cast("string"))
+  }
 }
 
 /** S1 — local directory scan (`sources.py:52-115`): glob files, extract
@@ -135,7 +150,14 @@ final case class LocalFileSource(directory: String, glob: String = "*") extends 
       // round-trippable UTF-8, and well-defined (no lossy decode) for
       // binary document containers.
       sha2(col("content"), 256).as("fingerprint"),
-      GraftSource.emptyMeta.as("metadata")))
+      // Legacy-OLE2 fallback reason surfaces per file: an encrypted or
+      // pre-97 .doc that degraded to the printable-run scrape carries
+      // metadata["extract_note"] = "encrypted" / "pre-97" / "damaged",
+      // so a crawl can count (and re-route) those classes separately.
+      map_filter(
+        map(lit("extract_note"),
+          TextExtractors.extractNoteColumn(col("path"), col("content"))),
+        (_, v) => v.isNotNull).cast("map<string,string>").as("metadata")))
   }
 
   override def testConnection(spark: SparkSession): Unit = {

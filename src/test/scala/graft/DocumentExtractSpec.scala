@@ -281,6 +281,52 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(scraped.contains("scrape me maybe"), scraped)
   }
 
+  test("ole2: extractNote names encrypted vs pre-97 vs damaged; clean " +
+      "walks carry no note") {
+    import LegacyOfficeFixtures.cfb
+    def wdBytes(ident: Int, nFib: Int, flags: Int, lid: Int = 0x0409)
+        : Array[Byte] = {
+      val b = new Array[Byte](1024)
+      def u16(o: Int, v: Int): Unit = {
+        b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      u16(0, ident); u16(2, nFib); u16(6, lid); u16(0x0A, flags)
+      b
+    }
+    def note(ext: String, bytes: Array[Byte]): String =
+      DocumentExtract.extractNote(ext, s"f.$ext", bytes)
+    // clean containers: every real walk succeeds, note is null
+    assert(note("doc", LegacyOfficeFixtures.word97Doc("Hello walk")) == null)
+    assert(note("doc", LegacyOfficeFixtures.word95Doc("Hello 95")) == null)
+    assert(note("ppt", LegacyOfficeFixtures.ppt97("Slide text")) == null)
+    assert(note("xls", LegacyOfficeFixtures.biff8Xls("Cell text")) == null)
+    assert(note("pdf", Array[Byte](1, 2)) == null) // non-OLE2: no probe
+    // encrypted Word 97 (FIB fEncrypted 0x0100): named, and the walk
+    // must NOT decode ciphertext — extract degrades to the scrape
+    val enc97 = cfb("WordDocument" -> wdBytes(0xA5EC, 0x00C1, 0x0200 | 0x0100))
+    assert(note("doc", enc97) == "encrypted")
+    DocumentExtract.extract("doc", "enc.doc", enc97) // scrape, no throw
+    // encrypted Word 95 carries the same FIB bit
+    assert(note("doc",
+      cfb("WordDocument" -> wdBytes(0xA5DC, 104, 0x0100))) == "encrypted")
+    // an EncryptionInfo stream (CryptoAPI/standard/agile) names ANY ext
+    assert(note("ppt", cfb("PowerPoint Document" -> Array[Byte](1, 2, 3),
+      "EncryptionInfo" -> Array[Byte](4, 0, 2, 0))) == "encrypted")
+    // BIFF8 FilePass record in the Workbook globals
+    val filePass = Array[Byte](0x2F, 0, 4, 0, 0, 0, 0, 0, 0x0A, 0, 0, 0)
+    assert(note("xls", cfb("Workbook" -> filePass)) == "encrypted")
+    // pre-97 by-design declines: fast-saved, and DBCS East-Asian lid
+    assert(note("doc",
+      cfb("WordDocument" -> wdBytes(0xA5DC, 104, 0x0004))) == "pre-97")
+    assert(note("doc",
+      cfb("WordDocument" -> wdBytes(0xA5DC, 104, 0, lid = 0x0411))) == "pre-97")
+    // damaged: Word 97 ident with a garbage FIB, and a missing main stream
+    assert(note("doc",
+      cfb("WordDocument" -> wdBytes(0xA5EC, 0x00C1, 0))) == "damaged")
+    assert(note("doc", cfb("NotWord" -> Array[Byte](9))) == "damaged")
+    assert(note("xls", cfb("Workbook" -> Array[Byte](1))) == "damaged")
+  }
+
   // ----------------------------------------- pdf filters + object streams
 
   test("ascii85: Leviathan golden, z shorthand, partial group, whitespace") {

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -24,6 +25,35 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(byName.find(_._1.endsWith("a.txt")).get._2 == "hello world")
     assert(byName.find(_._1.endsWith("b.html")).get._2 == "first\nsecond")
     assert(out.forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("S1 local_files: encrypted legacy .doc surfaces extract_note = " +
+      "encrypted; clean files carry no note") {
+    val dir = tempDir("graft-local-enc")
+    // An RC4/CryptoAPI-encrypted Word 97 container: FIB fEncrypted bit
+    // 0x0100 set, body past the FIB is ciphertext — planted printable
+    // bytes stand in for the runs real ciphertext happens to contain
+    // (a fully opaque file scrapes to empty and drops under the
+    // reference's empty-skip contract, like any other empty doc).
+    val wd = new Array[Byte](1024)
+    def u16(o: Int, v: Int): Unit = {
+      wd(o) = (v & 0xFF).toByte; wd(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    u16(0, 0xA5EC); u16(2, 0x00C1); u16(0x0A, 0x0200 | 0x0100)
+    val junk = "ciphertext-looking run".getBytes(StandardCharsets.ISO_8859_1)
+    System.arraycopy(junk, 0, wd, 512, junk.length)
+    Files.write(dir.resolve("enc.doc"),
+      graft.functions.LegacyOfficeFixtures.cfb("WordDocument" -> wd))
+    Files.write(dir.resolve("clean.doc"),
+      graft.functions.LegacyOfficeFixtures.word97Doc("Walked text."))
+    Files.writeString(dir.resolve("plain.txt"), "plain text")
+    val out = LocalFileSource(dir.toString).load(spark).collect()
+    val metaOf = out.map(r => (r.getAs[String]("source"),
+      r.getAs[Map[String, String]]("metadata"))).toMap
+    assert(metaOf.find(_._1.endsWith("enc.doc")).get._2
+      .get("extract_note").contains("encrypted"))
+    assert(metaOf.find(_._1.endsWith("clean.doc")).get._2.isEmpty)
+    assert(metaOf.find(_._1.endsWith("plain.txt")).get._2.isEmpty)
   }
 
   test("jsonl: one doc per line, id/meta fields, blank+malformed lines skipped") {
