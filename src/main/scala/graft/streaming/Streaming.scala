@@ -140,11 +140,8 @@ object Streaming {
     * merge; nothing rewrites the full table.
     */
   def runStateDetectAvailableNow(spark: SparkSession, docsPath: String,
-                                 numBuckets: Int = 8): DataFrame = {
+                                 numBuckets: Int = 8): DataFrame = withHarnessConf(spark) {
     import graft.operators.StateStore
-    val confKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "false")
     val root = java.nio.file.Files.createTempDirectory("graft-stream-detect")
     try {
       val statePath = root.resolve("state").toString
@@ -213,10 +210,6 @@ object Streaming {
         new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
         out.schema)
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
-      }
       org.apache.spark.network.util.JavaUtils.deleteRecursively(root.toFile)
     }
   }
@@ -263,30 +256,57 @@ object Streaming {
     * driver, so the collect adds no new driver pressure (these runners are
     * the finite-input harness, not the 100 TB path — see each caller).
     */
-  private def runToLocalFrame(spark: SparkSession, prefix: String)
-                             (build: (String, String) => StreamingQuery): DataFrame = {
-    val confKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
-    val prev = spark.conf.getOption(confKey)
-    // Local-mode: keep the checksum manager's background pool from starving
-    // the task slots (see object scaladoc).
-    spark.conf.set(confKey, "false")
-    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    try {
-      build(name, ckpt.toString).awaitTermination()
-      val sunk = spark.table(name)
-      spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(sunk.collect(): _*)),
-        sunk.schema)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
-      }
-      spark.catalog.dropTempView(name)
-      org.apache.spark.network.util.JavaUtils.deleteRecursively(ckpt.toFile)
+  /** State-store fan-out for the run-to-completion local harness: a
+    * stateful query instantiates ONE state store per shuffle partition at
+    * query start, and each HDFS-backed instance pays a delta file +
+    * snapshot + commit per micro-batch. At the finite gate scale that
+    * per-instance overhead dominates (measured sf0.1: session-window
+    * 4.0 s → 2.5 s, first-seen dedup 2.2 s → 1.4 s going 32 → 8), while
+    * results are partition-count independent — exact aggregations,
+    * per-key state, and the heavy-hitters sketch in its exact regime.
+    * Production deployments call the streaming operators directly with
+    * cluster-sized `spark.sql.shuffle.partitions`; this override lives
+    * ONLY inside the harness and is restored on exit.
+    */
+  private val HarnessStateParts = "8"
+
+  /** Harness-scoped conf overrides (checksum-pool fix from the object
+    * scaladoc + [[HarnessStateParts]]), restored on exit. Disabling the
+    * trailing no-data micro-batch was MEASURED here and reverted: the
+    * isolated probe suggested ~30% per stateful gate, but family-level
+    * bench runs came out slower with it off (the AvailableNow
+    * termination path waits longer without the no-data cycle), and
+    * append-with-watermark queries would silently lose their tail
+    * windows — not worth it.
+    */
+  private def withHarnessConf[T](spark: SparkSession)(body: => T): T = {
+    val overrides = Seq(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> HarnessStateParts)
+    val prevs = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  private def runToLocalFrame(spark: SparkSession, prefix: String)
+                             (build: (String, String) => StreamingQuery): DataFrame =
+    withHarnessConf(spark) {
+      val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+      try {
+        build(name, ckpt.toString).awaitTermination()
+        val sunk = spark.table(name)
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(sunk.collect(): _*)),
+          sunk.schema)
+      } finally {
+        spark.catalog.dropTempView(name)
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(ckpt.toFile)
+      }
+    }
 
   /** Stream the events table with `ts` normalized to epoch micros — the
     * streaming twin of [[graft.operators.EventTime.readMicros]], shared by
