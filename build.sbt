@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB box: the audit-panel gates' working set
+  // grazes an 8g heap under load (one driver-run rep of
+  // dataset_card_storage burned 634 s of GC-dominated CPU vs 86 s in its
+  // sibling reps; quiet-box GC is ~0.3 s/rep, so the excursion class is
+  // heap-pressure-only) and literal-heavy replanning has OOMed 8g before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
