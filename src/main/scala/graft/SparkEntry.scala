@@ -3001,10 +3001,19 @@ object SparkEntry {
       // integer micro-units (its scaladoc), so the ivfSql oracle replays
       // the whole k-means training + assignment + 2-cell probe in the
       // gate's real approximate regime.
+      // r16: the coarse quantizer warm-loads from the registry's "base"
+      // artifact (the ivfPqArtifact family ivf_registry_staleness
+      // certifies cell-for-cell equal to a from-scratch training — same
+      // corpus, nCells=8, seed 42, and centroids round-trip parquet
+      // exactly in micro-units) instead of re-running the 5-round
+      // driver k-means per rep; re-assignment is one narrow pass. The
+      // oracle still replays the TRAINING from scratch, so a stale or
+      // drifted artifact would hash-mismatch here, not pass silently.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      val (indexed, centroids) = Similarity.ivfIndex(e, nCells = 8)
+      val (_, centroids, _) = ivfPqArtifact(s, dir, "base", e, 4, 8)
+      val indexed = Similarity.ivfAssign(e, centroids)
       Similarity.ivfTopK(indexed, centroids, q, 10, nProbe = 2)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
