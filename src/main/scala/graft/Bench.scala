@@ -57,9 +57,11 @@ object Bench {
       // flapped on exactly this).
       .replaceAll("/tmp/graft-[0-9a-zA-Z]+", "/tmp/graft-X")
       // Content-addressed IVF-PQ registry paths embed the corpus
-      // fingerprint (stable per corpus, but it would churn every digest
-      // whenever testdata is regenerated — provenance, not plan shape).
-      .replaceAll("fp-[0-9a-f]+-[0-9a-f]+", "fp-X")
+      // fingerprint and (since r16) the trainer-recipe version segment
+      // (stable per corpus/trainer, but they would churn every digest
+      // whenever testdata is regenerated or the recipe bumps —
+      // provenance, not plan shape).
+      .replaceAll("(r\\d+-)?fp-[0-9a-f]+-[0-9a-f]+", "fp-X")
     // TRUNCATED scan-filter lists flapped digests with no plan change:
     // Spark clips the field at a fixed RAW character count, and the raw
     // width of expression ids (ts#123 vs ts#1234) varies run to run, so

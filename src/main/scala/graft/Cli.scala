@@ -18,6 +18,8 @@ import graft.operators.StateStore
   * list-components                       print the component registries
   * test-connection -c <config.yaml>      probe source + sink
   * clean -c <config.yaml> --yes          delete state + sink table
+  * clean --registry <root> [--keep N] [--live fp,..] --yes
+  *                                       prune index-artifact registry
   * eval <dataset.jsonl> -c <cfg> [-k N]  retrieval hit-rate
   * search <query> -c <cfg> [-k N]        top-k search (app.py:53-61)
   * }}}
@@ -112,20 +114,42 @@ object Cli {
         } finally spark.stop()
 
       case "clean" =>
-        val cfg = Configs.load(configPath(args))
-        if (!args.contains("--yes")) {
-          println("refusing to delete state + sink without --yes"); sys.exit(1)
-        }
-        cfg.stateManager.str("path").foreach { p =>
-          Files.deleteIfExists(Paths.get(p)); println(s"deleted state: $p")
-        }
-        cfg.sink.str("uri").orElse(cfg.sink.str("path")).foreach { p =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          val f = new java.io.File(p)
-          if (f.exists()) { rm(f); println(s"deleted sink: $p") }
+        // `clean --registry <root> [--keep N] [--live fp1,fp2] --yes`
+        // prunes the cross-session index-artifact registry instead of the
+        // pipeline state/sink: keep the N newest versions per artifact
+        // family plus every live fingerprint, drop the rest (the
+        // Similarity.pruneRegistry retention verb). No config needed.
+        arg(args, "--registry") match {
+          case Some(root) =>
+            if (!args.contains("--yes")) {
+              println("refusing to prune the registry without --yes"); sys.exit(1)
+            }
+            val keep = arg(args, "--keep").map(_.toInt).getOrElse(2)
+            val live = arg(args, "--live")
+              .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+              .getOrElse(Set.empty[String])
+            val removed =
+              graft.operators.Similarity.pruneRegistry(root, keep, live)
+            removed.foreach(p => println(s"pruned: $p"))
+            println(s"registry clean: removed ${removed.size} version(s) " +
+              s"under $root (kept newest $keep per family + " +
+              s"${live.size} live fingerprint(s))")
+          case None =>
+            val cfg = Configs.load(configPath(args))
+            if (!args.contains("--yes")) {
+              println("refusing to delete state + sink without --yes"); sys.exit(1)
+            }
+            cfg.stateManager.str("path").foreach { p =>
+              Files.deleteIfExists(Paths.get(p)); println(s"deleted state: $p")
+            }
+            cfg.sink.str("uri").orElse(cfg.sink.str("path")).foreach { p =>
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete()
+              }
+              val f = new java.io.File(p)
+              if (f.exists()) { rm(f); println(s"deleted sink: $p") }
+            }
         }
 
       case "eval" =>
@@ -181,5 +205,8 @@ object Cli {
       |  -c/--config <path>   pipeline YAML (default: pipeline.yaml)
       |  -k <n>               top-k for eval/search
       |  -p <port>            dashboard port (default 8501)
-      |  --yes                confirm clean""".stripMargin
+      |  --yes                confirm clean
+      |  --registry <root>    clean: prune the index-artifact registry
+      |  --keep <n>           registry versions to keep per family (default 2)
+      |  --live <fp,..>       registry fingerprints that must survive""".stripMargin
 }

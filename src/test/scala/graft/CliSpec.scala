@@ -50,6 +50,25 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(!Files.exists(sinkPath))
   }
 
+  test("clean --registry prunes stale artifact versions, keeps live ones") {
+    val root = tempDir("cli-registry")
+    def mk(fp: String, ageMin: Long): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(graft.operators.Similarity
+        .registryPath(root.toString, "base", 4, 8, fp))
+      Files.createDirectories(p)
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L - ageMin * 60000))
+      p
+    }
+    val live = mk("aa-1", 30)
+    val stale = mk("bb-2", 20)
+    val newest = mk("cc-3", 10)
+    Cli.main(Array("clean", "--registry", root.toString,
+      "--keep", "1", "--live", "aa-1", "--yes"))
+    assert(Files.isDirectory(live) && Files.isDirectory(newest))
+    assert(!Files.exists(stale))
+  }
+
   test("list-components prints every registry") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {
