@@ -75,12 +75,17 @@ object SparkEntry {
         java.nio.file.Files.createDirectories(p)
     }
     if (explicit.isEmpty) {
-      val owner = java.nio.file.Files.getOwner(p).getName
-      val me = sys.props("user.name")
-      require(owner == me,
-        s"graft.SparkEntry: default registry root $root is owned by " +
-          s"'$owner', not '$me' — refusing to trust it; point " +
-          "GRAFT_IVFPQ_REGISTRY at a directory you control")
+      // Ownership probe is best-effort: a filesystem without owner
+      // attributes can't be checked (and can't be pre-planted by another
+      // local user the same way either) — don't brick the registry on it.
+      val owner = scala.util.Try(java.nio.file.Files.getOwner(p).getName)
+      owner.foreach { o =>
+        val me = sys.props("user.name")
+        require(o == me,
+          s"graft.SparkEntry: default registry root $root is owned by " +
+            s"'$o', not '$me' — refusing to trust it; point " +
+            "GRAFT_IVFPQ_REGISTRY at a directory you control")
+      }
     }
     root
   }
