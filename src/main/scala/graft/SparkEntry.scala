@@ -451,15 +451,24 @@ object SparkEntry {
       // extractor's trim a no-op; the pdf path performs no other
       // normalization, so the oracle is the verbatim text. Length guard:
       // see legacy_office_roundtrip.
+      // r16 third column: the SAME document in the pdfTeX-class predictor
+      // layout (subsetPdfObjStmPredictor scaladoc) — PNG-Up-predicted
+      // ObjStm (/DecodeParms /Predictor 12), /RunLengthDecode content,
+      // array-form DecodeParms with null holes on the CMap chain — so the
+      // identity also pins predictor undo, the RunLength decoder, and
+      // parms/filter index alignment.
       val payload = concat(lit("["), col("text"), lit("]"))
       val via = udf((p: String) => graft.functions.DocumentExtract.extract("pdf", "rt.pdf",
         graft.functions.LegacyOfficeFixtures.subsetPdf(p)))
       val viaObjStm = udf((p: String) => graft.functions.DocumentExtract.extract("pdf",
         "rt15.pdf", graft.functions.LegacyOfficeFixtures.subsetPdfObjStm(p)))
+      val viaPredictor = udf((p: String) => graft.functions.DocumentExtract.extract("pdf",
+        "rt15p.pdf", graft.functions.LegacyOfficeFixtures.subsetPdfObjStmPredictor(p)))
       t(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) <= 10000)
         .select(col("doc_id"), via(payload).as("pdf_text"),
-          viaObjStm(payload).as("pdf_objstm_text"))
+          viaObjStm(payload).as("pdf_objstm_text"),
+          viaPredictor(payload).as("pdf_predictor_text"))
     }),
 
     "jsonl_parse" -> ((s, dir) => {
@@ -7964,7 +7973,8 @@ object SparkEntry {
     // the second column) ObjStm splicing and the Flate/LZW/A85 filters.
     "pdf_cmap_roundtrip" ->
       """SELECT doc_id, '[' || text || ']' AS pdf_text,
-        |  '[' || text || ']' AS pdf_objstm_text
+        |  '[' || text || ']' AS pdf_objstm_text,
+        |  '[' || text || ']' AS pdf_predictor_text
         |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,

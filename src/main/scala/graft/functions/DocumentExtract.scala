@@ -663,19 +663,182 @@ object DocumentExtract {
     if (named.isEmpty && scoped.contains("/FlateDecode")) Seq("FlateDecode") else named
   }
 
-  /** Apply a stream's declared filter chain in order. Unknown filters
-    * (DCTDecode, JBIG2Decode, …) pass the data through untouched — they
-    * are image codecs, never text-bearing.
+  /** RunLengthDecode (ISO 32000 §7.4.5): a length byte 0–127 copies the
+    * next length+1 bytes literally, 129–255 repeats the next byte
+    * 257−length times, 128 is EOD. Truncated runs fail loudly (the
+    * corrupt-container contract), and output is bomb-guarded like the
+    * other decoders.
     */
-  private[functions] def decodePdfStream(dict: String, data: Array[Byte]): Array[Byte] =
-    pdfFilters(dict).foldLeft(data) { (d, f) =>
-      f match {
-        case "FlateDecode" | "Fl"    => inflate(d)
-        case "ASCII85Decode" | "A85" => ascii85Decode(d)
-        case "LZWDecode" | "LZW"     => lzwDecode(d)
-        case _                       => d
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var eod = false
+    while (!eod && i < data.length) {
+      val l = data(i) & 0xFF; i += 1
+      if (l == 128) eod = true
+      else if (l < 128) {
+        if (i + l + 1 > data.length) throw new IllegalArgumentException(
+          "graft.DocumentExtract: truncated RunLength literal run")
+        out.write(data, i, l + 1); i += l + 1
+      } else {
+        if (i >= data.length) throw new IllegalArgumentException(
+          "graft.DocumentExtract: truncated RunLength repeat run")
+        val b = data(i) & 0xFF; i += 1
+        var n = 257 - l
+        while (n > 0) { out.write(b); n -= 1 }
+      }
+      if (out.size > MaxInflatedBytes) throw new IllegalArgumentException(
+        s"graft.DocumentExtract: RunLength stream inflates past $MaxInflatedBytes bytes")
+    }
+    out.toByteArray
+  }
+
+  /** Undo PNG row prediction (ISO 32000 §7.4.4.4, Predictor ≥ 10; the
+    * layout real xref/object streams use): each encoded row is one
+    * filter-tag byte (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth)
+    * followed by `ceil(colors·bpc·columns/8)` predicted bytes, each
+    * reconstructed against the previous byte-per-pixel within the row
+    * and the decoded previous row. A short final row decodes as far as
+    * the data goes (writers pad or end exactly).
+    */
+  private[graft] def pngUnpredict(data: Array[Byte], colors: Int, bpc: Int,
+                                  columns: Int): Array[Byte] = {
+    require(colors >= 1 && bpc >= 1 && columns >= 1,
+      "graft.DocumentExtract: bad PNG predictor parameters")
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowLen = (colors * bpc * columns + 7) / 8
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val prev = new Array[Byte](rowLen)
+    var i = 0
+    while (i < data.length) {
+      val ft = data(i) & 0xFF; i += 1
+      val n = math.min(rowLen, data.length - i)
+      val row = new Array[Byte](n)
+      System.arraycopy(data, i, row, 0, n); i += n
+      var j = 0
+      while (j < n) {
+        val a = if (j >= bpp) row(j - bpp) & 0xFF else 0
+        val b = prev(j) & 0xFF
+        val c = if (j >= bpp) prev(j - bpp) & 0xFF else 0
+        val x = row(j) & 0xFF
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => throw new IllegalArgumentException(
+            s"graft.DocumentExtract: unknown PNG predictor row filter $other")
+        }
+        row(j) = (v & 0xFF).toByte
+        j += 1
+      }
+      out.write(row, 0, n)
+      if (n == rowLen) System.arraycopy(row, 0, prev, 0, rowLen)
+    }
+    out.toByteArray
+  }
+
+  /** Undo TIFF horizontal differencing (Predictor 2) at 8 bits per
+    * component: within each row, every byte adds its same-component
+    * predecessor. Other bit depths fail loudly rather than emit garbage.
+    */
+  private[graft] def tiffUnpredict(data: Array[Byte], colors: Int, bpc: Int,
+                                   columns: Int): Array[Byte] = {
+    require(bpc == 8, "graft.DocumentExtract: TIFF predictor supported at " +
+      "8 bits per component only")
+    val rowLen = colors * columns
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      val end = math.min(out.length, r + rowLen)
+      var j = r + colors
+      while (j < end) {
+        out(j) = ((out(j) + out(j - colors)) & 0xFF).toByte; j += 1
+      }
+      r += rowLen
+    }
+    out
+  }
+
+  /** Parse `/DecodeParms` (or its `/DP` abbreviation) from the dict text
+    * into per-filter `(Predictor, Colors, BitsPerComponent, Columns)`
+    * tuples aligned with [[pdfFilters]]' positions — a single dict pairs
+    * with a single filter, the array form pairs by index with `null`
+    * holes. Indirect-ref values are unresolvable from the window and
+    * read as absent (same rule as `/Filter`).
+    */
+  private[graft] def pdfDecodeParms(dict: String)
+      : Seq[Option[(Int, Int, Int, Int)]] = {
+    val scoped = scopeToLastObj(dict)
+    val key = """/(?:DecodeParms|DP)(?![A-Za-z])""".r
+    val at = key.findAllMatchIn(scoped).toSeq.lastOption match {
+      case Some(m) => m.end
+      case None    => return Seq.empty
+    }
+    var i = at
+    while (i < scoped.length && scoped.charAt(i).isWhitespace) i += 1
+    def parseDict(from: Int): (Option[(Int, Int, Int, Int)], Int) = {
+      val end = scoped.indexOf(">>", from)
+      if (end < 0) (None, scoped.length)
+      else {
+        val seg = scoped.substring(from, end)
+        def num(k: String, d: Int): Int =
+          s"/$k\\s+(\\d+)".r.findFirstMatchIn(seg)
+            .map(_.group(1).toInt).getOrElse(d)
+        (Some((num("Predictor", 1), num("Colors", 1),
+          num("BitsPerComponent", 8), num("Columns", 1))), end + 2)
       }
     }
+    if (i < scoped.length && scoped.charAt(i) == '[') {
+      val close = scoped.indexOf(']', i)
+      val limit = if (close < 0) scoped.length else close
+      val items = mutable.ArrayBuffer.empty[Option[(Int, Int, Int, Int)]]
+      var j = i + 1
+      while (j < limit) {
+        if (scoped.startsWith("null", j)) { items += None; j += 4 }
+        else if (scoped.startsWith("<<", j)) {
+          val (p, nj) = parseDict(j); items += p; j = nj
+        } else j += 1
+      }
+      items.toSeq
+    } else if (scoped.startsWith("<<", i)) Seq(parseDict(i)._1)
+    else Seq.empty
+  }
+
+  /** Apply a stream's declared filter chain in order (Flate, LZW,
+    * ASCII85, RunLength), each followed by its `/DecodeParms` predictor
+    * when declared — PNG row predictors (10–15) and TIFF horizontal
+    * differencing (2), the layouts real xref/object streams carry.
+    * Unknown filters (DCTDecode, JBIG2Decode, …) pass the data through
+    * untouched — they are image codecs, never text-bearing.
+    */
+  private[functions] def decodePdfStream(dict: String, data: Array[Byte]): Array[Byte] = {
+    val filters = pdfFilters(dict)
+    val parms = pdfDecodeParms(dict)
+    filters.zipWithIndex.foldLeft(data) { case (d, (f, idx)) =>
+      val decoded = f match {
+        case "FlateDecode" | "Fl"     => inflate(d)
+        case "ASCII85Decode" | "A85"  => ascii85Decode(d)
+        case "LZWDecode" | "LZW"      => lzwDecode(d)
+        case "RunLengthDecode" | "RL" => runLengthDecode(d)
+        case _                        => d
+      }
+      val compressed = f == "FlateDecode" || f == "Fl" ||
+        f == "LZWDecode" || f == "LZW"
+      parms.lift(idx).flatten match {
+        case Some((p, colors, bpc, cols)) if compressed && p >= 10 =>
+          pngUnpredict(decoded, colors, bpc, cols)
+        case Some((2, colors, bpc, cols)) if compressed =>
+          tiffUnpredict(decoded, colors, bpc, cols)
+        case _ => decoded
+      }
+    }
+  }
 
   /** PDF: parse the ToUnicode CMaps first ([[pdfFontCmaps]]), then walk
     * `stream…endstream` segments, decode each through its declared filter

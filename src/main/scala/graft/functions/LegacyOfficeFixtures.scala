@@ -374,6 +374,132 @@ object LegacyOfficeFixtures {
     out.toByteArray
   }
 
+  /** RunLengthEncode (ISO 32000 §7.4.5 writer): repeat runs of ≥ 3 equal
+    * bytes become `(257−n, byte)` pairs (n ≤ 128), everything else
+    * accumulates into literal runs of ≤ 128, EOD byte 128 trails. The
+    * writer side of `DocumentExtract.runLengthDecode`.
+    */
+  private[graft] def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, data.length / 2))
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128)
+        run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i) & 0xFF); i += run
+      } else {
+        // literal run: scan forward until a ≥3 repeat starts or 128 cap
+        var j = i + 1
+        var lastRun = 1
+        while (j < data.length && j - i < 128 && lastRun < 3) {
+          if (data(j) == data(j - 1)) lastRun += 1 else lastRun = 1
+          j += 1
+        }
+        val end = if (lastRun >= 3) j - lastRun else j
+        val len = math.max(1, end - i)
+        out.write(len - 1); out.write(data, i, len); i += len
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** PNG Up-filter predictor (type 2) over fixed-width rows — the writer
+    * side of `DocumentExtract.pngUnpredict` for `/Predictor 12` streams:
+    * each output row is the tag byte 2 followed by `cur − prevRow` per
+    * byte; the final row may be short.
+    */
+  private[graft] def pngPredictUp(data: Array[Byte], columns: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / columns + 2)
+    val prev = new Array[Byte](columns)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(columns, data.length - i)
+      out.write(2)
+      var j = 0
+      while (j < n) {
+        out.write((data(i + j) - prev(j)) & 0xFF); j += 1
+      }
+      if (n == columns) System.arraycopy(data, i, prev, 0, columns)
+      i += n
+    }
+    out.toByteArray
+  }
+
+  /** The [[subsetPdfObjStm]] document re-packed the way a pdfTeX-class
+    * generator writes it: the ObjStm is PNG-Up-predicted
+    * (`/DecodeParms << /Predictor 12 /Columns 16 >>`) before Flate — the
+    * predictor layout real xref/object streams carry — the content
+    * stream uses `/RunLengthDecode`, and the CMap keeps its
+    * `[/ASCII85Decode /FlateDecode]` chain with an array-form
+    * `/DecodeParms [ null null ]`. Extraction is exact ONLY if the
+    * predictor undo, the RunLength decoder, AND the parms/filter index
+    * alignment all work.
+    */
+  def subsetPdfObjStmPredictor(text: String): Array[Byte] = {
+    val distinct = text.distinct
+    require(distinct.length <= 0xFFFE,
+      "graft.LegacyOfficeFixtures: subsetPdfObjStmPredictor caps at 65534 distinct units")
+    val bfchars = distinct.zipWithIndex.map { case (c, k) =>
+      f"<${k + 1}%04X> <${c.toInt}%04X>"
+    }
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      bfchars.grouped(100).map(g =>
+        s"${g.size} beginbfchar\n${g.mkString("\n")}\nendbfchar")
+        .mkString("\n") +
+      "\nendcmap"
+    val codes = text.map(c => f"${distinct.indexOf(c) + 1}%04X").mkString
+    val content = s"BT /F1 12 Tf <$codes> Tj ET"
+    val inner1 = "<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> >>"
+    val inner5 = "<< /Type /Font /Subtype /Type0 /BaseFont /BBBBBB+Gen " +
+      "/Encoding /Identity-H /ToUnicode 3 0 R >>"
+    val hdr = s"1 0 5 ${inner1.length + 1} "
+    val stm = deflate(pngPredictUp((hdr + inner1 + "\n" + inner5)
+      .getBytes(StandardCharsets.ISO_8859_1), columns = 16))
+    val cmapData = ascii85Encode(
+      deflate(cmap.getBytes(StandardCharsets.ISO_8859_1)))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val rleContent = rleEncode(content.getBytes(StandardCharsets.ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off2 = out.size
+    w(s"2 0 obj\n<< /Type /ObjStm /N 2 /First ${hdr.length} " +
+      s"/Length ${stm.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Colors 1 /BitsPerComponent 8 " +
+      "/Columns 16 >> >>\nstream\n")
+    out.write(stm); w("\nendstream\nendobj\n")
+    val off3 = out.size
+    w(s"3 0 obj\n<< /Length ${cmapData.length} " +
+      "/Filter [ /ASCII85Decode /FlateDecode ] " +
+      "/DecodeParms [ null null ] >>\nstream\n")
+    out.write(cmapData); w("\nendstream\nendobj\n")
+    val off4 = out.size
+    w(s"4 0 obj\n<< /Length ${rleContent.length} " +
+      "/Filter /RunLengthDecode >>\nstream\n")
+    out.write(rleContent); w("\nendstream\nendobj\n")
+    val xrefOff = out.size
+    def entry(t: Int, f2: Int, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 24) & 0xFF).toByte, ((f2 >> 16) & 0xFF).toByte,
+      ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    // Xref stream with the REAL-WORLD layout: PNG-Up-predicted rows
+    // before Flate (what pdfTeX/Acrobat emit; graft's object scan never
+    // reads it, but a conformant external reader must be able to).
+    val xrefRaw = Array(
+      entry(0, 0, 255), entry(2, 2, 0), entry(1, off2, 0),
+      entry(1, off3, 0), entry(1, off4, 0), entry(2, 2, 1),
+      entry(1, xrefOff, 0)).flatten
+    val xrefData = deflate(pngPredictUp(xrefRaw, columns = 6))
+    w(s"6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 4 1 ] /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 6 >> >>\nstream\n")
+    out.write(xrefData); w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
   /** A REAL BIFF8 .xls: BOF, an SST with ONE wide string holding `text`,
     * one LabelSst cell referencing it, EOF, and a 4-byte-alignment filler
     * record. Text caps at the single-record SST limit (u16 payload).

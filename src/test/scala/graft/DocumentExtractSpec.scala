@@ -505,6 +505,84 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("runlength: golden decode, repeat/literal boundaries, round trip") {
+    def dec(bs: Int*): Seq[Byte] =
+      DocumentExtract.runLengthDecode(bs.map(_.toByte).toArray).toSeq
+    // literal run of 3, repeat run of 4 'z', EOD
+    assert(dec(2, 'a', 'b', 'c', 253, 'z', 128) ==
+      "abczzzz".getBytes(StandardCharsets.ISO_8859_1).toSeq)
+    // data after EOD is ignored
+    assert(dec(0, 'x', 128, 0, 'y') == Seq('x'.toByte))
+    // truncated runs fail loudly
+    intercept[IllegalArgumentException](dec(5, 'a'))
+    intercept[IllegalArgumentException](dec(200))
+    // round trip through the fixture encoder, incl. >128 literal and
+    // >128 repeat stretches and the aab boundary case
+    val rnd = new scala.util.Random(3)
+    for (s <- Seq("", "a", "aa", "aabbbc", "ab" * 200, "q" * 500,
+        Array.fill(400)(('a' + rnd.nextInt(4)).toChar).mkString)) {
+      val bytes = s.getBytes(StandardCharsets.ISO_8859_1)
+      assert(DocumentExtract.runLengthDecode(
+        LegacyOfficeFixtures.rleEncode(bytes)).toSeq == bytes.toSeq, s.take(20))
+    }
+  }
+
+  test("png predictor: all five row filters decode; Up round-trips; " +
+      "tiff differencing undoes") {
+    // Hand-built rows, columns=3 bpp=1: None, Sub, Up, Average, Paeth
+    val enc = Array[Int](
+      0, 10, 20, 30, // None  -> 10 20 30
+      1, 5, 5, 5, // Sub   -> 5 10 15
+      2, 1, 2, 3, // Up    -> 6 12 18
+      3, 10, 10, 10, // Avg: x + (left+up)/2 -> 13 22 30
+      4, 1, 1, 1 // Paeth: x + nearest of (left, up, up-left)
+    ).map(_.toByte)
+    val got = DocumentExtract.pngUnpredict(enc, colors = 1, bpc = 8, columns = 3)
+    assert(got.slice(0, 3).toSeq == Seq[Byte](10, 20, 30))
+    assert(got.slice(3, 6).toSeq == Seq[Byte](5, 10, 15))
+    assert(got.slice(6, 9).toSeq == Seq[Byte](6, 12, 18))
+    assert(got.slice(9, 12).toSeq == Seq[Byte](13, 22, 30))
+    assert(got.slice(12, 15).toSeq == Seq[Byte](14, 23, 31))
+    // Up-filter round trip over arbitrary data with a short final row
+    val rnd = new scala.util.Random(11)
+    val data = Array.fill(101)(rnd.nextInt(256).toByte)
+    assert(DocumentExtract.pngUnpredict(
+      LegacyOfficeFixtures.pngPredictUp(data, 16), 1, 8, 16).toSeq == data.toSeq)
+    // unknown row filter fails loudly
+    intercept[IllegalArgumentException](
+      DocumentExtract.pngUnpredict(Array[Byte](9, 0, 0, 0), 1, 8, 3))
+    // TIFF horizontal differencing (Predictor 2), colors=2: per-component
+    // cumulative sums within each row
+    val tiff = DocumentExtract.tiffUnpredict(
+      Array[Byte](1, 2, 3, 4, 5, 6), colors = 2, bpc = 8, columns = 3)
+    assert(tiff.toSeq == Seq[Byte](1, 2, 4, 6, 9, 12))
+    intercept[IllegalArgumentException](
+      DocumentExtract.tiffUnpredict(Array[Byte](1), 1, 4, 1))
+  }
+
+  test("pdf DecodeParms: single dict, array with null holes, /DP form") {
+    assert(DocumentExtract.pdfDecodeParms(
+      "<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 6 >> >>") ==
+      Seq(Some((12, 1, 8, 6))))
+    assert(DocumentExtract.pdfDecodeParms(
+      "<< /Filter [ /ASCII85Decode /FlateDecode ] " +
+        "/DecodeParms [ null << /Predictor 2 /Colors 3 /Columns 4 >> ] >>") ==
+      Seq(None, Some((2, 3, 8, 4))))
+    assert(DocumentExtract.pdfDecodeParms(
+      "<< /Fl /DP << /Predictor 10 >> >>") == Seq(Some((10, 1, 8, 1))))
+    assert(DocumentExtract.pdfDecodeParms("<< /Filter /FlateDecode >>").isEmpty)
+    // a PREVIOUS object's DecodeParms must not leak into this window
+    assert(DocumentExtract.pdfDecodeParms(
+      "<< /DecodeParms << /Predictor 12 >> >> endobj 9 0 obj << /Length 3 >>").isEmpty)
+  }
+
+  test("pdf: predictor-layout generator (PNG-Up ObjStm + RunLength " +
+      "content + array DecodeParms) extracts exactly") {
+    val text = "Predictor é世界 😀 layout!"
+    assert(DocumentExtract.extract("pdf", "pred.pdf",
+      LegacyOfficeFixtures.subsetPdfObjStmPredictor(text)) == text)
+  }
+
   test("pdf filters: chain order, scoping to the current object") {
     assert(DocumentExtract.pdfFilters(
       "<< /Filter [ /ASCII85Decode /FlateDecode ] /Length 3 >>") ==
