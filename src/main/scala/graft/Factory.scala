@@ -6,7 +6,7 @@ import graft.config.{ComponentConfig, GraftConfigException}
 import graft.functions.HashingEmbedder
 import graft.operators.{Chunkers, Embed}
 import graft.sinks.{ChromaRestSink, CollectionSink, GraftSink, JsonlExportSink, VectorTableSink}
-import graft.sources.{ColumnarSource, CsvSource, GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
+import graft.sources.{ArchiveSource, ColumnarSource, CsvSource, GraftSource, JdbcSource, JsonlSource, LocalFileSource, ObjectStoreSource, WarcSource, WebSource}
 import graft.state.{JsonStateManager, MemoryStateManager, RedisStateManager, StateManager, TableStateManager}
 
 /** Component registries + factory (SURVEY §2.8; reference
@@ -110,6 +110,17 @@ object Factory {
           s"warc: max_record_mb must be positive, got $mb")
       WarcSource(c.require("directory"), c.strOr("glob", "*.warc*"),
         maxRecordBytes = math.min(mb.toLong * 1024 * 1024, Int.MaxValue.toLong).toInt)
+    },
+    // Scale-path extension: archive-of-documents corpora — .tar/.tar.gz/
+    // .tgz/.zip/.gz expand inside the distributed scan, one document per
+    // leaf entry, entries dispatched by their own extension.
+    "archive" -> { c =>
+      val depth = c.int("max_depth", 3)
+      if (depth < 1)
+        throw new config.GraftConfigException(
+          s"archive: max_depth must be >= 1, got $depth")
+      ArchiveSource(c.require("directory"),
+        c.strOr("glob", ArchiveSource.DefaultGlob), maxDepth = depth)
     },
     // Scale-path extension: JSONL corpora (one JSON document per line).
     "jsonl" -> { c =>

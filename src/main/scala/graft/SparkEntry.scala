@@ -471,6 +471,65 @@ object SparkEntry {
           viaPredictor(payload).as("pdf_predictor_text"))
     }),
 
+    "archive_expand" -> ((s, dir) => {
+      // S1 archive-of-documents ingestion round trip IN-PLAN
+      // (ArchiveExpand scaladoc): each document's text packs into a
+      // tar.ZST (the modern crawl-dump codec) with four leaves — a plain
+      // entry, a long-path entry forcing the ustar prefix split (the
+      // 128-byte path below), a NESTED zip member, and a nested
+      // single-member .bz2 — then expands back through the real
+      // ustar/zstd/zip/bzip2 walkers with `outer!inner` naming. The
+      // identity oracle passes only if header checksums, octal sizes,
+      // prefix join, multi-codec inflation, and nested recursion are all
+      // faithful; entry NAMES are pinned as literals on both sides.
+      // Length guard: see legacy_office_roundtrip.
+      val longPath = "corpus/" + ("d" * 110) + "/part2.txt"
+      val via = udf((p: String) => {
+        val payload = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val arc = graft.sources.ArchiveFixtures.zstd(graft.sources.ArchiveFixtures.tar(Seq(
+          "part1.txt" -> payload,
+          longPath -> payload,
+          "inner.zip" -> graft.sources.ArchiveFixtures.zip(Seq("part3.txt" -> payload)),
+          "part4.txt.bz2" -> graft.sources.ArchiveFixtures.bzip2(payload))))
+        graft.sources.ArchiveExpand.expand("docs.tar.zst", arc).map {
+          case (n, b) => (n, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      })
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"),
+          explode(via(concat(lit("["), col("text"), lit("]")))).as("e"))
+        .select(col("doc_id"), col("e._1").as("entry"), col("e._2").as("entry_text"))
+    }),
+
+    "mbox_parse" -> ((s, dir) => {
+      // S1 mbox mail-archive round trip IN-PLAN (DocumentExtract.mbox
+      // scaladoc): each document becomes a TWO-message mboxrd file —
+      // message 1 plain UTF-8, message 2 the same text quoted-printable
+      // encoded (ArchiveFixtures.qpEncode) — then extracts back through
+      // the envelope splitter + mboxrd unquoting + the full eml MIME
+      // stack. The oracle replays subject/body framing verbatim, so the
+      // gate only hash-matches if From-line escaping and the QP decode
+      // are the identity for every character. CR pre-normalizes to LF
+      // (eml canonicalizes CRLF; same discipline as
+      // legacy_office_roundtrip); length guard likewise.
+      val via = udf((id: String, p: String) => {
+        val m1 = s"Subject: s1-$id\nContent-Type: text/plain; charset=utf-8\n\n$p"
+        val m2 = s"Subject: s2-$id\nContent-Type: text/plain; charset=utf-8\n" +
+          "Content-Transfer-Encoding: quoted-printable\n\n" +
+          graft.sources.ArchiveFixtures.qpEncode(p)
+        graft.functions.DocumentExtract.extract("mbox", "rt.mbox",
+          graft.sources.ArchiveFixtures.mboxrd(Seq(m1, m2))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"),
+          via(col("doc_id").cast("string"),
+            concat(lit("["), translate(col("text"), "\r", "\n"), lit("]")))
+            .as("mbox_text"))
+    }),
+
     "jsonl_parse" -> ((s, dir) => {
       // JSONL corpus source: serialize each document row to a JSON line
       // with to_json, parse back through JsonlSource's line parser (the
@@ -7976,6 +8035,26 @@ object SparkEntry {
         |  '[' || text || ']' AS pdf_objstm_text,
         |  '[' || text || ']' AS pdf_predictor_text
         |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
+
+    // Identity through the tar.zst/zip/bz2 expansion: the four leaf names
+    // are pinned as literals (including the ustar-prefix-split long path
+    // and the nested `!` members), the payload verbatim.
+    "archive_expand" ->
+      ("SELECT d.doc_id, e.entry, '[' || d.text || ']' AS entry_text " +
+        "FROM documents d CROSS JOIN (VALUES ('part1.txt'), " +
+        s"('corpus/${"d" * 110}/part2.txt'), ('inner.zip!part3.txt'), " +
+        "('part4.txt.bz2!part4.txt')) " +
+        "AS e(entry) WHERE d.text IS NOT NULL AND length(d.text) <= 10000"),
+
+    // Identity through the two-message mboxrd framing: subject + blank +
+    // body per message, messages joined by a blank line — exactly what
+    // mbox()/eml() emit when splitting and MIME decode are faithful.
+    "mbox_parse" ->
+      ("SELECT doc_id, 's1-' || doc_id || chr(10) || chr(10) || p || " +
+        "chr(10) || chr(10) || 's2-' || doc_id || chr(10) || chr(10) || p " +
+        "AS mbox_text FROM (SELECT doc_id, " +
+        "'[' || replace(text, chr(13), chr(10)) || ']' AS p FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) <= 10000)"),
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),

@@ -51,6 +51,7 @@ object DocumentExtract {
         case "rtf"           => rtf(new String(bytes, StandardCharsets.ISO_8859_1))
         case "pdf"           => pdf(bytes)
         case "eml"           => eml(new String(bytes, StandardCharsets.ISO_8859_1))
+        case "mbox"          => mbox(new String(bytes, StandardCharsets.ISO_8859_1))
         case "doc" | "ppt" | "xls" => ole2BestEffort(ext, bytes)
         case other =>
           throw new IllegalArgumentException(s"no extractor registered for '$other'")
@@ -371,6 +372,39 @@ object DocumentExtract {
     * preserves raw bytes so charset decode is exact), not a full MIME
     * stack.
     */
+  /** mbox (RFC 4155) mail archive: split on `From ` envelope lines,
+    * reverse the mboxrd body quoting (`^>+From ` loses one `>` — the
+    * convention qmail/mutt write, which also round-trips mboxo input),
+    * parse each message through the full [[eml]] stack. Input with no
+    * envelope line at all is treated as ONE bare message (the de-facto
+    * behavior of mail tools on a single exported message).
+    */
+  private[functions] def mbox(raw: String): String =
+    mboxMessages(raw).map(eml).filter(_.nonEmpty).mkString("\n\n")
+
+  /** Split an mbox byte-per-char string into its messages (envelope lines
+    * dropped, mboxrd quoting reversed). Boundary detection is exact in
+    * ISO-8859-1 space: `From ` is pure ASCII and UTF-8 continuation bytes
+    * can never alias it.
+    */
+  private[graft] def mboxMessages(raw: String): Seq[String] = {
+    val lines = raw.replace("\r\n", "\n").split("\n", -1)
+    val msgs = mutable.ArrayBuffer.empty[StringBuilder]
+    def quotedFrom(l: String): Boolean = {
+      var i = 0
+      while (i < l.length && l.charAt(i) == '>') i += 1
+      i > 0 && l.startsWith("From ", i)
+    }
+    lines.foreach { line =>
+      if (line.startsWith("From ")) msgs += new StringBuilder
+      else if (msgs.nonEmpty) {
+        val un = if (quotedFrom(line)) line.substring(1) else line
+        msgs.last.append(un).append('\n')
+      }
+    }
+    if (msgs.isEmpty) Seq(raw) else msgs.map(_.toString).toSeq
+  }
+
   private[functions] def eml(raw: String): String = {
     val (headers, body) = splitHeaders(raw)
     val subject = headers.get("subject").map(decodeEncodedWords).getOrElse("")

@@ -82,7 +82,7 @@ object TextExtractors {
     "html" -> Html, "htm" -> Html,
     "pdf" -> Document, "docx" -> Document, "pptx" -> Document,
     "xlsx" -> Document, "epub" -> Document, "rtf" -> Document,
-    "odt" -> Document, "eml" -> Document,
+    "odt" -> Document, "eml" -> Document, "mbox" -> Document,
     "doc" -> Document, "ppt" -> Document, "xls" -> Document)
 
   private[sources] def extsOf(h: Handling): Seq[String] =

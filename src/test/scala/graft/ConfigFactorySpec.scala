@@ -102,6 +102,18 @@ class ConfigFactorySpec extends AnyFunSuite {
     // scale-path extension formats
     assert(l("sources").contains("jsonl") && l("sources").contains("csv") &&
       l("sources").contains("parquet") && l("sources").contains("warc"))
+    assert(l("sources").contains("archive"))
     assert(l("sinks").contains("jsonl"))
+  }
+
+  test("archive source builds from config; bad max_depth raises") {
+    val src = Factory.source(ComponentConfig("archive",
+      Map("directory" -> "/tmp/arch", "max_depth" -> 2)))
+    assert(src.isInstanceOf[graft.sources.ArchiveSource])
+    assert(src.asInstanceOf[graft.sources.ArchiveSource].maxDepth == 2)
+    val e = intercept[graft.config.GraftConfigException](
+      Factory.source(ComponentConfig("archive",
+        Map("directory" -> "/tmp/arch", "max_depth" -> 0))))
+    assert(e.getMessage.contains("max_depth"))
   }
 }
