@@ -436,6 +436,31 @@ object SparkEntry {
         .select(col("doc_id"), via(payload).as("w95_text"))
     }),
 
+    "biff5_roundtrip" -> ((s, dir) => {
+      // Pre-97 Excel (BIFF5) round trip IN-PLAN (biff5Xls scaladoc): each
+      // document's text becomes one inline-string LABEL cell per LINE in
+      // a real "Book"-stream workbook — the pre-97 layout with no SST —
+      // and extracts back through the biff5Text record walk. The reader
+      // normalizes per CELL (trim, drop empties, join with newline), so
+      // the oracle replays exactly that line algebra in SQL rather than a
+      // raw identity. Row filters (mirrored verbatim in the oracle) keep
+      // the gate on BIFF5's native class: ASCII-printable (cp1252 is a
+      // single-byte format — same mismatch-proof stance as
+      // word95_roundtrip), every line within the 255-char LABEL cap, and
+      // at least one non-whitespace char (an all-blank workbook falls
+      // back to the scrape BY DESIGN and would diverge).
+      val via = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "xls", "rt5.xls",
+        graft.functions.LegacyOfficeFixtures.biff5Xls(p.split("\n", -1).toSeq)))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000 &&
+          !col("text").rlike("[^\\x20-\\x7E\\n\\t\\r]") &&
+          !col("text").rlike("[^\\n]{254}") &&
+          col("text").rlike("[^ \\t\\n\\r]"))
+        .select(col("doc_id"),
+          via(translate(col("text"), "\r", "\n")).as("xls5_text"))
+    }),
+
     "pdf_cmap_roundtrip" -> ((s, dir) => {
       // Subset-font PDF round trip IN-PLAN (LegacyOfficeFixtures.subsetPdf
       // scaladoc): each document's text becomes a Type0 font with a
@@ -469,6 +494,30 @@ object SparkEntry {
         .select(col("doc_id"), via(payload).as("pdf_text"),
           viaObjStm(payload).as("pdf_objstm_text"),
           viaPredictor(payload).as("pdf_predictor_text"))
+    }),
+
+    "odf_roundtrip" -> ((s, dir) => {
+      // OpenDocument round trip IN-PLAN (OdfFixtures scaladoc): each
+      // document's text becomes a real odt, a one-cell ods, and a
+      // one-page odp — entity-escaped, tab/newline as <text:tab/> /
+      // <text:line-break/> — then extracts back through the shared
+      // text:p walk (plus the ods table/row/cell and odp draw:page
+      // framings). The identity oracle passes only if escaping, element
+      // decode, and the structural walks are faithful for every
+      // character. Brackets keep the per-paragraph trim a no-op; CR
+      // passes through XML content verbatim so no pre-normalization is
+      // needed. Length guard: see legacy_office_roundtrip.
+      val payload = concat(lit("["), col("text"), lit("]"))
+      val viaOdt = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "odt", "rt.odt", graft.functions.OdfFixtures.odt(p)))
+      val viaOds = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "ods", "rt.ods", graft.functions.OdfFixtures.ods(Seq(Seq(p)))))
+      val viaOdp = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "odp", "rt.odp", graft.functions.OdfFixtures.odp(Seq(Seq(p)))))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"), viaOdt(payload).as("odt_text"),
+          viaOds(payload).as("ods_text"), viaOdp(payload).as("odp_text"))
     }),
 
     "archive_expand" -> ((s, dir) => {
@@ -816,6 +865,16 @@ object SparkEntry {
       // (segment, event_type). The batch SQL join is the oracle.
       graft.streaming.Streaming.runEnrichAvailableNow(s,
         s"$dir/events.parquet", s"$dir/customer.parquet")),
+
+    "streaming_interval_join" -> ((s, dir) =>
+      // STREAM-STREAM interval join through the streaming engine
+      // (Streaming.runIntervalJoinAvailableNow scaladoc): each event
+      // matched to every later same-user event within 30 minutes, both
+      // sides real streaming readers with watermark-driven join-state
+      // eviction. Inner joins emit eagerly, so the batch self-join is
+      // the oracle value-for-value.
+      graft.streaming.Streaming.runIntervalJoinAvailableNow(
+        s, s"$dir/events.parquet")),
 
     "dedup_cluster_histogram" -> ((s, dir) => {
       // Dedup QA report #2: duplicate-cluster size distribution over the
@@ -5736,6 +5795,16 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // The interval self-join replayed in plain SQL: inner stream-stream
+    // joins emit exactly the batch-join rows (watermarks only bound
+    // state), so this is value-for-value.
+    "streaming_interval_join" ->
+      """SELECT a.user_id, epoch_us(a.ts) AS a_ts_us, epoch_us(b.ts) AS b_ts_us,
+        |  a.event_type AS a_type, b.event_type AS b_type
+        |FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""".stripMargin,
+
     "streaming_windowed" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
         | event_type,
@@ -8026,6 +8095,19 @@ object SparkEntry {
         "AND length(text) <= 10000 AND NOT regexp_matches(text, " +
         "'[^ -~' || chr(10) || chr(9) || chr(13) || ']')"),
 
+    // The BIFF5 walk's per-cell line algebra (one LABEL per line; the
+    // reader trims each cell, drops empties, joins with newline), over
+    // the ASCII-printable / line-capped / non-blank slice — filters
+    // mirror the gate verbatim so a row passes or drops in BOTH engines.
+    "biff5_roundtrip" ->
+      ("SELECT doc_id, array_to_string(list_filter(list_transform(" +
+        "string_split(replace(text, chr(13), chr(10)), chr(10)), " +
+        "x -> trim(x, ' ' || chr(9))), x -> x <> ''), chr(10)) AS xls5_text " +
+        "FROM documents WHERE text IS NOT NULL AND length(text) <= 10000 " +
+        "AND NOT regexp_matches(text, '[^ -~' || chr(10) || chr(9) || chr(13) || ']') " +
+        "AND NOT regexp_matches(text, '[^' || chr(10) || ']{254}') " +
+        "AND regexp_matches(text, '[^ ' || chr(9) || chr(10) || chr(13) || ']')"),
+
     // Verbatim identity, twice: the classic subset-font layout AND the
     // modern ObjStm/xref-stream/filter-chain re-pack of the same document
     // — the engine only matches through the ToUnicode CMap walk plus (for
@@ -8034,6 +8116,14 @@ object SparkEntry {
       """SELECT doc_id, '[' || text || ']' AS pdf_text,
         |  '[' || text || ']' AS pdf_objstm_text,
         |  '[' || text || ']' AS pdf_predictor_text
+        |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
+
+    // Verbatim identity through the ODF writers + extractors, three
+    // container shapes at once.
+    "odf_roundtrip" ->
+      """SELECT doc_id, '[' || text || ']' AS odt_text,
+        |  '[' || text || ']' AS ods_text,
+        |  '[' || text || ']' AS odp_text
         |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
 
     // Identity through the tar.zst/zip/bz2 expansion: the four leaf names

@@ -47,6 +47,8 @@ object DocumentExtract {
         case "pptx"          => pptx(bytes)
         case "xlsx"          => xlsx(bytes)
         case "odt"           => odt(bytes)
+        case "ods"           => ods(bytes)
+        case "odp"           => odp(bytes)
         case "epub"          => epub(bytes)
         case "rtf"           => rtf(new String(bytes, StandardCharsets.ISO_8859_1))
         case "pdf"           => pdf(bytes)
@@ -249,15 +251,62 @@ object DocumentExtract {
   /** OpenDocument text: paragraphs `<text:p>` and headings `<text:h>` in
     * `content.xml`; nested spans tag-stripped.
     */
-  private[functions] def odt(bytes: Array[Byte]): String = {
+  private[functions] def odt(bytes: Array[Byte]): String =
+    odfParagraphs(zipEntry(bytes, "content.xml")).mkString("\n\n")
+
+  /** ODF spreadsheet (.ods): content.xml table walk — cell text (text:p
+    * paragraphs newline-joined) tab-joined per row, honoring
+    * `table:number-columns-repeated` for column positions (capped — real
+    * writers pad trailing empties by the thousand) with trailing empty
+    * cells trimmed; rows newline-joined, tables `"\n\n"`-joined (the xlsx
+    * conventions). Merged-cell placeholders (`covered-table-cell`) hold
+    * their positions.
+    */
+  private[functions] def ods(bytes: Array[Byte]): String = {
     val xml = zipEntry(bytes, "content.xml")
+    val tableRe = "(?s)<table:table(?:\\s[^>]*)?>(.*?)</table:table>".r
+    val rowRe = "(?s)<table:table-row(?:\\s[^>]*)?>(.*?)</table:table-row>".r
+    val cellRe = ("(?s)<table:(?:covered-)?table-cell((?:\\s[^>]*?)?)" +
+      "(?:/>|>(.*?)</table:(?:covered-)?table-cell>)").r
+    val repRe = "table:number-columns-repeated=\"(\\d+)\"".r
+    tableRe.findAllMatchIn(xml).map { tm =>
+      rowRe.findAllMatchIn(tm.group(1)).map { rm =>
+        val cells = mutable.ArrayBuffer.empty[String]
+        cellRe.findAllMatchIn(rm.group(1)).foreach { cm =>
+          val attrs = Option(cm.group(1)).getOrElse("")
+          val body = Option(cm.group(2)).getOrElse("")
+          val rep = repRe.findFirstMatchIn(attrs).map(_.group(1).toInt).getOrElse(1)
+          val text = odfParagraphs(body).mkString("\n")
+          var i = 0
+          while (i < math.min(rep, 1000)) { cells += text; i += 1 }
+        }
+        while (cells.nonEmpty && cells.last.isEmpty) cells.remove(cells.length - 1)
+        cells.mkString("\t")
+      }.filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  /** ODF presentation (.odp): per draw:page paragraphs newline-joined,
+    * pages `"\n\n"`-joined (the pptx conventions).
+    */
+  private[functions] def odp(bytes: Array[Byte]): String = {
+    val xml = zipEntry(bytes, "content.xml")
+    "(?s)<draw:page(?:\\s[^>]*)?>(.*?)</draw:page>".r.findAllMatchIn(xml)
+      .map(pg => odfParagraphs(pg.group(1)).mkString("\n"))
+      .filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  /** text:p / text:h contents with ODF tab/line-break elements mapped
+    * back to characters, tag-stripped, trimmed, empties dropped — the
+    * shared paragraph walk of the odt/ods/odp extractors.
+    */
+  private def odfParagraphs(xml: String): Seq[String] =
     "(?s)<text:(?:p|h)(?:\\s[^>]*)?>(.*?)</text:(?:p|h)>".r
       .findAllMatchIn(xml)
       .map(m => stripTags(
         m.group(1).replaceAll("<text:tab\\s*/?>", "\t")
                   .replaceAll("<text:line-break\\s*/?>", "\n")))
-      .map(_.trim).filter(_.nonEmpty).mkString("\n\n")
-  }
+      .map(_.trim).filter(_.nonEmpty).toSeq
 
   // ------------------------------------------------------------------ epub
 
@@ -1317,7 +1366,7 @@ object DocumentExtract {
         streams.find(_._1 == "PowerPoint Document").map(_._2).flatMap(pptText)
       case "xls" =>
         streams.find(s => s._1 == "Workbook" || s._1 == "Book").map(_._2)
-          .flatMap(biff8Text)
+          .flatMap(d => biff8Text(d).orElse(biff5Text(d))) // pre-97 inline strings
       case _ => None
     }
     if (real.isDefined) return real.get
@@ -1403,7 +1452,10 @@ object DocumentExtract {
           }
         case "ppt" =>
           stream("PowerPoint Document") match {
-            case None    => "damaged"
+            // PowerPoint 4.0/95 stores its deck in a "PP40" stream (no
+            // public record spec — stays on the scrape, named pre-97)
+            case None =>
+              if (streams.exists(_._1 == "PP40")) "pre-97" else "damaged"
             case Some(d) => if (pptText(d).isDefined) null else "damaged"
           }
         case _ => // xls
@@ -1411,7 +1463,10 @@ object DocumentExtract {
             case None => "damaged"
             case Some(d) =>
               if (biff8HasFilePass(d)) "encrypted"
-              else if (biff8Text(d).isDefined) null
+              else if (biff8Text(d).isDefined || biff5Text(d).isDefined) null
+              else if (d.length >= 4 &&
+                  Seq(0x0009, 0x0209, 0x0409).contains(u16At(d, 0)))
+                "pre-97" // BIFF2/3/4 per-sheet files (Excel 2-4)
               else "damaged"
           }
       }
@@ -1687,6 +1742,45 @@ object DocumentExtract {
       (if (cells.nonEmpty) cells.map(sst) else sst.toSeq)
         .map(_.replace('\r', '\n').trim).filter(_.nonEmpty)
     if (texts.isEmpty) None else Some(texts.mkString("\n"))
+  }
+
+  /** Excel 5.0/95 (BIFF5) text: the pre-97 workbook layout keeps cell
+    * strings INLINE — there is no SST — so text is the LABEL (0x0204) and
+    * RSTRING (0x00D6) records' cp1252 payloads in stream order, with the
+    * same per-cell normalization and join as [[biff8Text]]. Runs only
+    * when the leading BOF declares vers 0x0500 ([MS-XLS] 2.4.21 BIFF5);
+    * a FilePass record (0x002F) bails to the scrape so extractNote can
+    * name the file "encrypted" rather than decode ciphertext.
+    */
+  private[functions] def biff5Text(data: Array[Byte]): Option[String] = {
+    val recs = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var p = 0
+    while (p + 4 <= data.length) {
+      val t = u16At(data, p); val len = u16At(data, p + 2)
+      if (p + 4 + len > data.length) return None
+      recs += ((t, p + 4, len))
+      p += 4 + len
+    }
+    if (p != data.length || recs.isEmpty) return None
+    val (t0, s0, l0) = recs.head
+    if (t0 != 0x0809 || l0 < 2 || u16At(data, s0) != 0x0500) return None
+    if (recs.exists(_._1 == 0x002F)) return None // FilePass: encrypted
+    val texts = mutable.ArrayBuffer.empty[String]
+    recs.foreach {
+      case (0x0204 | 0x00D6, s, l) =>
+        // rw(2) col(2) ixfe(2) cch(2) then cch cp1252 bytes; RSTRING
+        // carries formatting runs AFTER the chars — ignored for text
+        if (l < 8) return None
+        val cch = u16At(data, s + 6)
+        if (8 + cch > l) return None
+        val sb = new java.lang.StringBuilder(cch)
+        var j = 0
+        while (j < cch) { sb.append(cp1252Char(data(s + 8 + j) & 0xFF)); j += 1 }
+        texts += sb.toString
+      case _ => ()
+    }
+    val cleaned = texts.map(_.replace('\r', '\n').trim).filter(_.nonEmpty)
+    if (cleaned.isEmpty) None else Some(cleaned.mkString("\n"))
   }
 
   private def u16At(b: Array[Byte], o: Int): Int =

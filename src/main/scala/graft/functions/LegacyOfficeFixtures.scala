@@ -526,4 +526,42 @@ object LegacyOfficeFixtures {
     rec(0x2222, new Array[Byte]((4 - out.size % 4) % 4))
     cfb("Workbook" -> out.toByteArray)
   }
+
+  /** A REAL Excel 5.0/95 (BIFF5) workbook: BOF declaring vers 0x0500,
+    * then one inline-string LABEL (0x0204) cell per line (cp1252, the
+    * pre-97 layout — no SST), then EOF, in the era's "Book" CFB stream.
+    * Caps at BIFF5's 255-char cell limit and cp1252-encodable text by
+    * construction (non-encodable chars become '?', same stance as
+    * [[word95Doc]]) — gates feed ASCII-printable payloads.
+    */
+  def biff5Xls(lines: Seq[String]): Array[Byte] = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(t: Int, payload: Array[Byte]): Unit = {
+      val h = new Array[Byte](4)
+      putU16(h, 0, t); putU16(h, 2, payload.length)
+      out.write(h); out.write(payload)
+    }
+    val bof = new Array[Byte](8)
+    putU16(bof, 0, 0x0500) // vers: BIFF5
+    putU16(bof, 2, 0x0005) // dt: workbook globals
+    rec(0x0809, bof)
+    lines.zipWithIndex.foreach { case (line, i) =>
+      val b = line.getBytes(cp1252)
+      require(b.length <= 255,
+        "graft.LegacyOfficeFixtures: BIFF5 LABEL caps at 255 chars")
+      val p = new Array[Byte](8 + b.length)
+      putU16(p, 0, i & 0xFFFF) // rw
+      putU16(p, 2, 0)          // col
+      putU16(p, 4, 0)          // ixfe
+      putU16(p, 6, b.length)
+      System.arraycopy(b, 0, p, 8, b.length)
+      rec(0x0204, p)
+    }
+    rec(0x000A, Array.emptyByteArray)
+    // align to 4 so the cfb fixture's sector zero-padding tiles as empty
+    // records (the biff8Xls convention)
+    rec(0x2222, new Array[Byte]((4 - out.size % 4) % 4))
+    cfb("Book" -> out.toByteArray)
+  }
 }

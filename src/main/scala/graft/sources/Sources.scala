@@ -82,8 +82,15 @@ object TextExtractors {
     "html" -> Html, "htm" -> Html,
     "pdf" -> Document, "docx" -> Document, "pptx" -> Document,
     "xlsx" -> Document, "epub" -> Document, "rtf" -> Document,
-    "odt" -> Document, "eml" -> Document, "mbox" -> Document,
-    "doc" -> Document, "ppt" -> Document, "xls" -> Document)
+    "odt" -> Document, "ods" -> Document, "odp" -> Document,
+    "eml" -> Document, "mbox" -> Document,
+    "doc" -> Document, "ppt" -> Document, "xls" -> Document,
+    // Containers-of-documents fail LOUDLY here instead of mis-decoding
+    // their bytes as UTF-8: route them through [[ArchiveSource]] (the
+    // named error says so). 7z/rar have no offline decoder at all.
+    "zip" -> Unsupported, "tar" -> Unsupported, "gz" -> Unsupported,
+    "tgz" -> Unsupported, "bz2" -> Unsupported, "xz" -> Unsupported,
+    "zst" -> Unsupported, "7z" -> Unsupported, "rar" -> Unsupported)
 
   private[sources] def extsOf(h: Handling): Seq[String] =
     registry.collect { case (ext, `h`) => ext }.toSeq
@@ -102,7 +109,8 @@ object TextExtractors {
         raise_error(concat(
           lit("graft.TextExtractors: no offline text extractor for format '"), ext,
           lit("' ("), pathCol,
-          lit("); add a TextExtractors entry or ingest via Multimodal.readBinaryDir"))))
+          lit("); route archives through the 'archive' source, binaries " +
+            "through Multimodal.readBinaryDir, or add a TextExtractors entry"))))
       .when(ext.isin(extsOf(Document): _*), extractDoc(ext, pathCol, bytesCol))
       .when(ext.isin(extsOf(Html): _*),
         TextFunctions.normalizeLines(TextFunctions.stripHtml(text)))

@@ -371,6 +371,44 @@ object Streaming {
     }
   }
 
+  /** STREAM-STREAM interval join — the two-live-streams pattern
+    * (click→conversion attribution, request→response matching): each
+    * event matched to every LATER event of the same user within `within`,
+    * both sides REAL streaming readers over the events table. Inner
+    * stream-stream joins emit rows eagerly on match (no watermark
+    * withholding — that applies to outer joins only), so append-mode +
+    * AvailableNow is deterministic; the watermarks exist to let the
+    * engine EVICT join state older than the interval bound — the
+    * 100 TB-scale property, since unbounded join state is the classic
+    * stream-join failure. The time-range predicate is what makes
+    * eviction possible: Spark derives state watermarks from
+    * `b_ets ∈ (a_ets, a_ets + within]` ([SS guide], inner join with time
+    * range). The plain SQL self-join is the oracle.
+    */
+  def runIntervalJoinAvailableNow(spark: SparkSession, eventsPath: String,
+                                  within: String = "30 minutes"): DataFrame = {
+    runToLocalFrame(spark, "ssj_") { (name, ckpt) =>
+      def side(p: String) = streamEventsMicros(spark, eventsPath)
+        .select(col("user_id").as(s"${p}_user"),
+          timestamp_micros(col("ts")).as(s"${p}_ets"),
+          col("event_type").as(s"${p}_type"))
+        .withWatermark(s"${p}_ets", "2 hours")
+      side("a").join(side("b"),
+          col("a_user") === col("b_user") &&
+          col("b_ets") > col("a_ets") &&
+          col("b_ets") <= col("a_ets") + expr(s"INTERVAL $within"))
+        .select(col("a_user").as("user_id"),
+          unix_micros(col("a_ets")).as("a_ts_us"),
+          unix_micros(col("b_ets")).as("b_ts_us"),
+          col("a_type"), col("b_type"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Stream-static enrichment — the dimension-join pattern every event
     * pipeline runs: a streaming fact (events) inner-joined to a broadcast
     * static dimension (customer), then aggregated per (segment, type).

@@ -193,6 +193,16 @@ class ArchiveExpandSpec extends AnyFunSuite with SparkTestBase {
     assert(g.getMessage.contains("corrupt gzip"))
   }
 
+  test("S1 local_files refuses archives loudly and names the archive source") {
+    import graft.sources.LocalFileSource
+    val dir = tempDir("graft-arcrefuse")
+    Files.write(dir.resolve("bundle.zip"), ArchiveFixtures.zip(Seq("a.txt" -> b("x"))))
+    val e = intercept[Exception](LocalFileSource(dir.toString).load(spark).collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("archive"), msg)
+  }
+
   test("S1 ArchiveSource: expands in-scan, per-entry dispatch and fingerprints") {
     val dir = tempDir("graft-arcsrc")
     val arc = ArchiveFixtures.tarGz(Seq(

