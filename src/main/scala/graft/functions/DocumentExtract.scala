@@ -43,12 +43,15 @@ object DocumentExtract {
     if (bytes == null) return null
     try {
       ext match {
-        case "docx"          => docx(bytes)
-        case "pptx"          => pptx(bytes)
-        case "xlsx"          => xlsx(bytes)
-        case "odt"           => odt(bytes)
-        case "ods"           => ods(bytes)
-        case "odp"           => odp(bytes)
+        // macro-enabled (m) and template (t) OOXML variants are the SAME
+        // zip layout — only the content-types part differs
+        case "docx" | "docm" | "dotx" | "dotm" => docx(bytes)
+        case "pptx" | "pptm" | "potx" | "potm" => pptx(bytes)
+        case "xlsx" | "xlsm" | "xltx" | "xltm" => xlsx(bytes)
+        // ODF templates (ott/ots/otp) and drawings share content.xml
+        case "odt" | "ott"   => odt(bytes)
+        case "ods" | "ots"   => ods(bytes)
+        case "odp" | "otp" | "odg" => odp(bytes)
         case "epub"          => epub(bytes)
         case "rtf"           => rtf(new String(bytes, StandardCharsets.ISO_8859_1))
         case "pdf"           => pdf(bytes)

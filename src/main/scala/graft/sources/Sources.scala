@@ -82,7 +82,13 @@ object TextExtractors {
     "html" -> Html, "htm" -> Html,
     "pdf" -> Document, "docx" -> Document, "pptx" -> Document,
     "xlsx" -> Document, "epub" -> Document, "rtf" -> Document,
+    // macro-enabled (m) / template (t) OOXML: same zip layout
+    "docm" -> Document, "dotx" -> Document, "dotm" -> Document,
+    "pptm" -> Document, "potx" -> Document, "potm" -> Document,
+    "xlsm" -> Document, "xltx" -> Document, "xltm" -> Document,
     "odt" -> Document, "ods" -> Document, "odp" -> Document,
+    "ott" -> Document, "ots" -> Document, "otp" -> Document,
+    "odg" -> Document,
     "eml" -> Document, "mbox" -> Document,
     "doc" -> Document, "ppt" -> Document, "xls" -> Document,
     // Containers-of-documents fail LOUDLY here instead of mis-decoding

@@ -139,6 +139,22 @@ class DocumentExtractSpec extends AnyFunSuite with SparkTestBase {
       "Title\nbullet one\n\nsecond\tslide")
   }
 
+  test("macro-enabled and template extensions dispatch to the same parsers") {
+    import graft.functions.OdfFixtures
+    val docXml = "<w:document><w:body><w:p><w:r><w:t>macro doc</w:t></w:r></w:p></w:body></w:document>"
+    for (ext <- Seq("docm", "dotx", "dotm"))
+      assert(DocumentExtract.extract(ext, s"t.$ext",
+        zip("word/document.xml" -> docXml)) == "macro doc", ext)
+    for (ext <- Seq("ott"))
+      assert(DocumentExtract.extract(ext, s"t.$ext", OdfFixtures.odt("tpl")) == "tpl")
+    for (ext <- Seq("ots"))
+      assert(DocumentExtract.extract(ext, s"t.$ext",
+        OdfFixtures.ods(Seq(Seq("a", "b")))) == "a\tb")
+    for (ext <- Seq("otp", "odg"))
+      assert(DocumentExtract.extract(ext, s"t.$ext",
+        OdfFixtures.odp(Seq(Seq("page")))) == "page", ext)
+  }
+
   test("odf fixtures: writers round-trip specials through ods/odp/odt") {
     import graft.functions.OdfFixtures
     val tricky = "a&b <c> \"d\" 'e'\ttab\nline"
