@@ -579,6 +579,72 @@ object SparkEntry {
             .as("mbox_text"))
     }),
 
+    "notebook_roundtrip" -> ((s, dir) => {
+      // Jupyter nbformat round trip IN-PLAN (TextualFormats.ipynb
+      // scaladoc): each document's text becomes a REAL nbformat-4 notebook
+      // (markdown source in the spec's list-of-newline-terminated-lines
+      // shape, a code cell with stream + execute_result outputs, a raw
+      // tail) and its nbformat-3 twin (worksheets, `input`, inline pyout
+      // text, a heading cell), then extracts back through the Jackson
+      // cell walk. The oracle replays the segment framing verbatim, so
+      // the gate only matches if JSON escaping, the list-of-lines join,
+      // and both version walks are faithful for every character. Length
+      // guard: see legacy_office_roundtrip.
+      val payload = concat(lit("["), col("text"), lit("]"))
+      val via4 = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "ipynb", "rt4.ipynb", graft.functions.TextualFixtures.ipynb4(p)))
+      val via3 = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "ipynb", "rt3.ipynb", graft.functions.TextualFixtures.ipynb3(p)))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"), via4(payload).as("nb4_text"),
+          via3(payload).as("nb3_text"))
+    }),
+
+    "subtitle_roundtrip" -> ((s, dir) => {
+      // Subtitle round trip IN-PLAN (TextualFormats.srt/vtt scaladoc):
+      // each document's lines become CRLF SubRip and WebVTT files — a
+      // constant markup-laden lead cue, then one cue per line (blank
+      // lines as empty cues), VTT adding identifier lines, NOTE/STYLE
+      // blocks, and cue settings — then extract back through the real
+      // cue walks. Cue markup strips in ONE regex pass over the joined
+      // text, the exact pass the oracle replays with regexp_replace(...,
+      // 'g'), so payloads containing partial `<`/`>` runs stay
+      // hash-faithful. CR pre-normalizes to LF (payload lines are the
+      // cue structure; same discipline as mbox_parse); length guard: see
+      // legacy_office_roundtrip.
+      val payload = concat(lit("["), translate(col("text"), "\r", "\n"), lit("]"))
+      val viaSrt = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "srt", "rt.srt", graft.functions.TextualFixtures.srt(p.split("\n", -1).toSeq)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val viaVtt = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "vtt", "rt.vtt", graft.functions.TextualFixtures.vtt(p.split("\n", -1).toSeq)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"), viaSrt(payload).as("srt_text"),
+          viaVtt(payload).as("vtt_text"))
+    }),
+
+    "latex_roundtrip" -> ((s, dir) => {
+      // LaTeX round trip IN-PLAN (TextualFormats.tex scaladoc): each
+      // document's text escapes through the full symbol map
+      // (\textbackslash{} and friends) into a real article skeleton —
+      // comment line, preamble, starred section, \item coda — then
+      // extracts back through the detex-style walk. The identity oracle
+      // passes only if comment stripping respects \%, the escape map
+      // inverts exactly, braces/math drop while their content stays, and
+      // body isolation finds \begin{document}. Length guard: see
+      // legacy_office_roundtrip.
+      val via = udf((p: String) => graft.functions.DocumentExtract.extract(
+        "tex", "rt.tex", graft.functions.TextualFixtures.tex(p)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"),
+          via(concat(lit("["), col("text"), lit("]"))).as("tex_text"))
+    }),
+
     "jsonl_parse" -> ((s, dir) => {
       // JSONL corpus source: serialize each document row to a JSON line
       // with to_json, parse back through JsonlSource's line parser (the
@@ -8145,6 +8211,37 @@ object SparkEntry {
         "AS mbox_text FROM (SELECT doc_id, " +
         "'[' || replace(text, chr(13), chr(10)) || ']' AS p FROM documents " +
         "WHERE text IS NOT NULL AND length(text) <= 10000)"),
+
+    // Identity through both nbformat walks: segment framing (source, code,
+    // stream text, result text, tail cell) replayed as literals.
+    "notebook_roundtrip" ->
+      ("SELECT doc_id, " +
+        "p || b || 'print(1 + 1)' || b || '2' || chr(10) || 'done' || b || " +
+        "'42' || b || 'rawtail' AS nb4_text, " +
+        "p || b || 'print(1 + 1)' || b || '2' || chr(10) || 'legacy' || b || " +
+        "'7' || b || '## Legacy heading' AS nb3_text " +
+        "FROM (SELECT doc_id, '[' || text || ']' AS p, " +
+        "chr(10) || chr(10) AS b FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) <= 10000)"),
+
+    // Identity through the cue walks: the lead cue's stripped text, then
+    // the payload through the SAME one-pass markup strip the extractor
+    // applies to the joined transcript ('g' = global, matching Spark).
+    "subtitle_roundtrip" ->
+      ("SELECT doc_id, s AS srt_text, s AS vtt_text FROM (" +
+        "SELECT doc_id, 'opening credits' || chr(10) || " +
+        "regexp_replace(regexp_replace(" +
+        "'[' || replace(text, chr(13), chr(10)) || ']', " +
+        "'\\{\\\\an[0-9]+\\}', '', 'g'), '<[^>]*>', '', 'g') AS s " +
+        "FROM documents WHERE text IS NOT NULL AND length(text) <= 10000)"),
+
+    // Identity through the LaTeX escape map + detex walk: section header,
+    // payload, \item coda.
+    "latex_roundtrip" ->
+      """SELECT doc_id, 'Header' || chr(10) || '[' || text || ']' ||
+        |  chr(10) || 'last item' AS tex_text
+        |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
+
     "ivf_pq_production_recall" ->
       ivfPqRecallSql(20, 5, 2, rerankShortlist = Some(20), m = 8,
         kCodes = 64),

@@ -57,6 +57,10 @@ object DocumentExtract {
         case "pdf"           => pdf(bytes)
         case "eml"           => eml(new String(bytes, StandardCharsets.ISO_8859_1))
         case "mbox"          => mbox(new String(bytes, StandardCharsets.ISO_8859_1))
+        case "ipynb"         => TextualFormats.ipynb(bytes)
+        case "srt"           => TextualFormats.srt(new String(bytes, StandardCharsets.UTF_8))
+        case "vtt"           => TextualFormats.vtt(new String(bytes, StandardCharsets.UTF_8))
+        case "tex" | "latex" => TextualFormats.tex(new String(bytes, StandardCharsets.UTF_8))
         case "doc" | "ppt" | "xls" => ole2BestEffort(ext, bytes)
         case other =>
           throw new IllegalArgumentException(s"no extractor registered for '$other'")

@@ -28,4 +28,11 @@ object Json {
     * String / Boolean / null.
     */
   def parse(body: String): Any = mapper.readValue(body, classOf[Object])
+
+  /** Serialize a java.util.Map / java.util.List / scalar tree to JSON
+    * (insertion order preserved for LinkedHashMap). Fixture writers use
+    * this so any payload character gets REAL JSON escaping rather than
+    * hand-rolled string splicing.
+    */
+  def write(value: Any): String = mapper.writeValueAsString(value)
 }

@@ -90,6 +90,8 @@ object TextExtractors {
     "ott" -> Document, "ots" -> Document, "otp" -> Document,
     "odg" -> Document,
     "eml" -> Document, "mbox" -> Document,
+    "ipynb" -> Document, "srt" -> Document, "vtt" -> Document,
+    "tex" -> Document, "latex" -> Document,
     "doc" -> Document, "ppt" -> Document, "xls" -> Document,
     // Containers-of-documents fail LOUDLY here instead of mis-decoding
     // their bytes as UTF-8: route them through [[ArchiveSource]] (the
