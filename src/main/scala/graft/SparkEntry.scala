@@ -3712,6 +3712,22 @@ object SparkEntry {
       // per-rule metrics + combined pass flag, paper-default thresholds.
       CurationRules.gopherFlags(t(s, dir, "documents"), "text", "doc_id")),
 
+    "code_quality" -> ((s, dir) =>
+      // The Stack / StarCoder source-file filters (stackCodeFlags
+      // scaladoc): line geometry, alnum fraction, autogen banners, data
+      // blobs — planted structure: every 7th doc gains a 150-char data
+      // blob line, every 13th an autogen banner, so both detectors and
+      // the keep flag flip on real rows.
+      CurationRules.stackCodeFlags(
+        t(s, dir, "documents").filter(col("text").isNotNull && length(col("text")) > 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0,
+              concat(lit("// This file is auto-generated. Do not edit.\n"), col("text")))
+              .when(col("doc_id") % 7 === 0,
+                concat(col("text"), lit("\ndata = \""), rpad(lit("QUJD"), 150, "="), lit("\"")))
+              .otherwise(col("text"))),
+        "text", "doc_id")),
+
     "c4_clean" -> ((s, dir) =>
       // C4 §2.2 line-level cleaning over a corpus with planted structure:
       // every 3rd doc gains a bulleted/short-line block, every 11th a
@@ -10076,6 +10092,35 @@ object SparkEntry {
          |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
          |FROM f""".stripMargin
     },
+
+    // stackCodeFlags replay: same planted blob/banner rows, same line
+    // geometry over string_split, same regexes (RE2 and Java agree on
+    // these ASCII classes), same round(.,6) emission.
+    "code_quality" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN '// This file is auto-generated. Do not edit.' || chr(10) || text
+        |   WHEN doc_id % 7 = 0
+        |    THEN text || chr(10) || 'data = "' || rpad('QUJD', 150, '=') || '"'
+        |   ELSE text END AS text
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |m AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d),
+        |g AS (SELECT doc_id, text,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
+        |  CAST(list_reduce(list_prepend(0, list_transform(ls, x -> length(x))), (a, b) -> a + b) AS DOUBLE) AS total_chars,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+        |  CAST(len(list_filter(ls, x -> length(x) > 120)) AS BIGINT) AS n_long_lines,
+        |  regexp_matches(text, '(?i)(auto[- ]generated|automatically generated|do not edit)') AS has_autogen,
+        |  regexp_matches(text, '[A-Za-z0-9+/=]{64,}') AS has_data_blob
+        | FROM m)
+        |SELECT doc_id, n_lines, max_line_len,
+        | round(total_chars / n_lines, 6) AS mean_line_len,
+        | round(alnum / length(text), 6) AS alnum_frac,
+        | n_long_lines, has_autogen, has_data_blob,
+        | (max_line_len <= 1000 AND total_chars / n_lines <= 100.0
+        |  AND alnum / length(text) >= 0.25 AND NOT has_autogen) AS keep
+        |FROM g""".stripMargin,
 
     "c4_clean" ->
       """WITH docs AS (SELECT doc_id,

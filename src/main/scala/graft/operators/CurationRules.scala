@@ -332,4 +332,44 @@ object CurationRules {
       .select(quasi :+ col("n_rows") :+ col("tvd") :+
         (col("tvd") <= t).as("t_close"): _*)
   }
+
+  /** The Stack / StarCoder-style source-file quality filters (Kocetkov et
+    * al. 2022 "The Stack", Li et al. 2023 "StarCoder" §preprocessing):
+    * line-geometry bounds (max / mean line length), ASCII-alphanumeric
+    * character fraction, auto-generated-file banners, and embedded
+    * encoded-data blobs (a base64-alphabet run of `dataRunLen`+ chars).
+    * Pure codegen'd Column expressions — linear per document, no shuffle,
+    * no UDF — so the filter runs at scan speed over a 100 TB code corpus.
+    * Every metric is emitted beside the combined `keep` flag so thresholds
+    * can be re-gated per language without recomputing.
+    */
+  def stackCodeFlags(df: DataFrame, textCol: String, idCol: String,
+                     maxLineLen: Int = 1000, maxMeanLineLen: Double = 100.0,
+                     minAlnumFrac: Double = 0.25, longLineLen: Int = 120,
+                     dataRunLen: Int = 64): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val lens = transform(lines, l => length(l))
+    val nLines = size(lines).cast("long") // split never yields 0 elements
+    val maxLen = array_max(lens).cast("long")
+    val total = aggregate(lens, lit(0L), (a, v) => a + v)
+    val meanLen = total.cast("double") / nLines.cast("double")
+    val alnum = length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast("double")
+    val alnumFrac = alnum / length(t).cast("double") // caller filters len > 0
+    val longLines = size(filter(lines, l => length(l) > longLineLen)).cast("long")
+    val autogen =
+      t.rlike("(?i)(auto[- ]generated|automatically generated|do not edit)")
+    val dataBlob = t.rlike(s"[A-Za-z0-9+/=]{$dataRunLen,}")
+    val keep = maxLen <= maxLineLen && meanLen <= maxMeanLineLen &&
+      alnumFrac >= minAlnumFrac && !autogen
+    df.select(col(idCol),
+      nLines.as("n_lines"),
+      maxLen.as("max_line_len"),
+      round(meanLen, 6).as("mean_line_len"),
+      round(alnumFrac, 6).as("alnum_frac"),
+      longLines.as("n_long_lines"),
+      autogen.as("has_autogen"),
+      dataBlob.as("has_data_blob"),
+      keep.as("keep"))
+  }
 }

@@ -235,4 +235,38 @@ class CurationRulesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((None, true)))             // no ruleset -> crawlable
     assert(got(5L) == ((Some("/dup"), true)))     // equal length: allow wins
   }
+
+  test("stack code flags: each filter flips keep independently") {
+    val clean = "def add(a, b):\n    return a + b\n\nprint(add(1, 2))"
+    val docs = Seq(
+      (1L, clean),                                    // keeps
+      (2L, clean + "\n" + ("x" * 1200)),              // max line length
+      (3L, Seq.fill(4)(("y " * 75).trim).mkString("\n")), // mean line length
+      (4L, "()[]{};;;\n<<>>!!||&&\n--++==~~^^"),      // alnum fraction
+      (5L, "# This file is AUTO-GENERATED, do not edit\n" + clean),
+      (6L, clean + "\nblob = \"" + ("Zm9v" * 20) + "\"") // data blob, still kept
+    ).toDF("doc_id", "text")
+    val got = CurationRules.stackCodeFlags(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[Boolean]("has_autogen"),
+          r.getAs[Boolean]("has_data_blob")))).toMap
+    assert(got(1L) == ((true, false, false)))
+    assert(got(2L) == ((false, false, true))) // a 1200-char run IS a data blob
+    assert(got(3L) == ((false, false, false)))
+    assert(got(4L) == ((false, false, false)))
+    assert(got(5L) == ((false, true, false)))
+    assert(got(6L) == ((true, false, true)))
+  }
+
+  test("stack code flags: metric values on a hand-computed document") {
+    val text = "ab\n\nabcd1"                 // lines 2, 0, 5; alnum 7 of 9
+    val r = CurationRules.stackCodeFlags(Seq((1L, text)).toDF("doc_id", "text"),
+      "text", "doc_id").collect().head
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Long]("max_line_len") == 5L)
+    assert(math.abs(r.getAs[Double]("mean_line_len") - 7.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("alnum_frac") - 7.0 / 9) < 1e-6)
+    assert(r.getAs[Long]("n_long_lines") == 0L)
+    assert(r.getAs[Boolean]("keep"))
+  }
 }
