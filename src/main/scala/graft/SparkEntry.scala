@@ -1362,6 +1362,31 @@ object SparkEntry {
         .select(col("vec_id"), col("score"))
     }),
 
+    "maxsim_rerank" -> ((s, dir) => {
+      // ColBERT-style late-interaction rerank (MaxSim scaladoc): each
+      // label group of the embeddings table plays a "document" whose
+      // first 8 vectors (by vec_id) are its token matrix; queries are the
+      // first 2 vectors of labels ≡ 0 (mod 4). Score = Σ over query
+      // tokens of the best cosine over doc tokens — nested codegen'd HOF
+      // arithmetic over a broadcast query side, per-query top-3. FULL
+      // oracle: list_dot_product replays the token cosines
+      // value-for-value, both engines summing in vec_id order.
+      val emb = t(s, dir, "embeddings")
+      def tokMat(df: DataFrame, n: Int) = df
+        .groupBy(col("label"))
+        .agg(slice(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          1, n).as("__t"))
+        .select(col("label"), transform(col("__t"), x => x("embedding")).as("toks"))
+      val docs = tokMat(emb, 8)
+        .select(col("label").as("doc_label"), col("toks").as("d_tokens"))
+      val queries = tokMat(emb.filter(col("label") % 4 === 0), 2)
+        .select(col("label").as("q_label"), col("toks").as("q_tokens"))
+      MaxSim.rerank(queries, "q_label", "q_tokens",
+          docs, "doc_label", "d_tokens", k = 3)
+        .select(col("q_label"), col("doc_label"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+    }),
+
     "hybrid_search_rrf" -> ((s, dir) => {
       // Hybrid retrieval: reciprocal-rank fusion of the vector top-k list
       // (query = vec 0's embedding, as in `topk_search`) with the BM25
@@ -10359,6 +10384,33 @@ object SparkEntry {
          |FROM tfq JOIN cf USING (term) JOIN dl USING (doc_id)
          |CROSS JOIN ctoks CROSS JOIN nq
          |GROUP BY tfq.doc_id""".stripMargin,
+
+    // MaxSim.rerank replay: token matrices as ordered list-of-list slices,
+    // the same Σ-max cosine arithmetic left-to-right (list_reduce over
+    // list_transform), same rank tie-break.
+    "maxsim_rerank" ->
+      s"""WITH d AS (
+         | SELECT label AS doc_label,
+         |  list_slice(list(embedding ORDER BY vec_id), 1, 8) AS d_toks
+         | FROM embeddings GROUP BY label),
+         |q AS (
+         | SELECT label AS q_label,
+         |  list_slice(list(embedding ORDER BY vec_id), 1, 2) AS q_toks
+         | FROM embeddings WHERE label % 4 = 0 GROUP BY label),
+         |s AS (
+         | SELECT q.q_label, d.doc_label,
+         |  list_reduce(list_prepend(0.0, list_transform(q.q_toks, qt ->
+         |    list_reduce(list_prepend(CAST('-infinity' AS DOUBLE),
+         |      list_transform(d.d_toks, dt -> ${cosOf("qt", "dt")})),
+         |     (a, b) -> greatest(a, b)))),
+         |   (a, b) -> a + b) AS score
+         | FROM q CROSS JOIN d),
+         |r AS (SELECT q_label, doc_label, score,
+         |  row_number() OVER (PARTITION BY q_label
+         |    ORDER BY score DESC, doc_label) AS rank FROM s)
+         |SELECT q_label, doc_label, round(score, 6) AS score,
+         | CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
 
     "hybrid_search_rrf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

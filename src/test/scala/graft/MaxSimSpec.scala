@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MaxSim
+
+class MaxSimSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val q = Seq(
+    (10L, Seq(Seq(1f, 0f), Seq(0f, 1f)))).toDF("qid", "q_tokens")
+
+  test("maxsim: per-query-token best match sums; top-k and ties by id") {
+    val docs = Seq(
+      (1L, Seq(Seq(1f, 0f))),               // 1 + 0 = 1
+      (2L, Seq(Seq(0f, 2f), Seq(3f, 0f))),  // 1 + 1 = 2 (cosine ignores scale)
+      (3L, Seq(Seq(-1f, 0f))),              // -1 + 0 = -1
+      (4L, Seq(Seq(0f, 1f), Seq(1f, 0f)))   // 2 — ties doc 2, id breaks
+    ).toDF("did", "d_tokens")
+    val got = MaxSim.rerank(q, "qid", "q_tokens", docs, "did", "d_tokens", k = 3)
+      .collect().map(r => (r.getAs[Long]("did"), r.getAs[Double]("score"),
+        r.getAs[Int]("rank"))).toList
+    assert(got == List((2L, 2.0, 1), (4L, 2.0, 2), (1L, 1.0, 3)))
+  }
+
+  test("maxsim: zero-norm doc tokens null-skip; all-zero doc nulls the score") {
+    val docs = Seq(
+      (1L, Seq(Seq(0f, 0f), Seq(1f, 0f))), // null cosine skipped by array_max
+      (2L, Seq(Seq(0f, 0f)))               // every token null -> null score
+    ).toDF("did", "d_tokens")
+    val got = MaxSim.rerank(q, "qid", "q_tokens", docs, "did", "d_tokens", k = 2)
+      .collect().map(r => r.getAs[Long]("did") ->
+        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble)).toMap
+    assert(got(1L).contains(1.0)) // 1 (best vs [1,0]) + 0 (vs [1,0])
+    assert(got(2L).isEmpty)
+  }
+}
