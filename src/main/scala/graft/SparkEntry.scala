@@ -1387,6 +1387,42 @@ object SparkEntry {
           round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
     }),
 
+    "maxsim_two_stage" -> ((s, dir) => {
+      // PLAID/ColBERTv2 deployment shape (MaxSim.rerankPairs scaladoc):
+      // stage 1 — single-vector recall on MEAN-POOLED token matrices
+      // (cosine rounded to 6dp before ranking, engine-stable) keeps the
+      // top-5 candidates per query; stage 2 — exact MaxSim on the
+      // surviving pairs only, top-3, with the stage-1 rank riding along
+      // so the output shows both orderings. FULL oracle: the pool
+      // arithmetic and both rank stages replay value-for-value.
+      val emb = t(s, dir, "embeddings")
+      def tokMat(df: DataFrame, n: Int) = df
+        .groupBy(col("label"))
+        .agg(slice(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          1, n).as("__t"))
+        .select(col("label"), transform(col("__t"), x => x("embedding")).as("toks"))
+      val docs = tokMat(emb, 8)
+        .select(col("label").as("doc_label"), col("toks").as("d_tokens"),
+          MaxSim.meanPool(col("toks")).as("d_pool"))
+      val queries = tokMat(emb.filter(col("label") % 4 === 0), 2)
+        .select(col("label").as("q_label"), col("toks").as("q_tokens"),
+          MaxSim.meanPool(col("toks")).as("q_pool"))
+      val stage1 = docs.crossJoin(broadcast(queries))
+        .withColumn("s1", round( // pools are array<double> — HOF cosine, not the float-specialized graft_cosine
+          graft.functions.VectorFunctions.cosineSimilarity(col("q_pool"), col("d_pool")), 6))
+        .withColumn("stage1_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_label"))
+            .orderBy(col("s1").desc, col("doc_label").asc)))
+        .filter(col("stage1_rank") <= 5)
+      MaxSim.rerankPairs(stage1, "q_label", "q_tokens",
+          "doc_label", "d_tokens", k = 3)
+        .join(stage1.select(col("q_label"), col("doc_label"), col("stage1_rank")),
+          Seq("q_label", "doc_label"))
+        .select(col("q_label"), col("doc_label"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"),
+          col("stage1_rank").cast("long").as("stage1_rank"))
+    }),
+
     "hybrid_search_rrf" -> ((s, dir) => {
       // Hybrid retrieval: reciprocal-rank fusion of the vector top-k list
       // (query = vec 0's embedding, as in `topk_search`) with the BM25
@@ -10411,6 +10447,48 @@ object SparkEntry {
          |SELECT q_label, doc_label, round(score, 6) AS score,
          | CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // MaxSim two-stage replay: mean-pool arithmetic (per-dimension
+    // left-to-right sum / n), rounded stage-1 cosine rank, candidate cut,
+    // then the Σ-max rerank over survivors only.
+    "maxsim_two_stage" ->
+      s"""WITH d AS (
+         | SELECT label AS doc_label,
+         |  list_slice(list(embedding ORDER BY vec_id), 1, 8) AS d_toks
+         | FROM embeddings GROUP BY label),
+         |q AS (
+         | SELECT label AS q_label,
+         |  list_slice(list(embedding ORDER BY vec_id), 1, 2) AS q_toks
+         | FROM embeddings WHERE label % 4 = 0 GROUP BY label),
+         |dp AS (SELECT doc_label, d_toks,
+         |  list_transform(range(1, len(d_toks[1]) + 1), i ->
+         |   list_reduce(list_prepend(0.0, list_transform(d_toks,
+         |     t -> CAST(t[i] AS DOUBLE))), (a, b) -> a + b)
+         |   / len(d_toks)) AS d_pool FROM d),
+         |qp AS (SELECT q_label, q_toks,
+         |  list_transform(range(1, len(q_toks[1]) + 1), i ->
+         |   list_reduce(list_prepend(0.0, list_transform(q_toks,
+         |     t -> CAST(t[i] AS DOUBLE))), (a, b) -> a + b)
+         |   / len(q_toks)) AS q_pool FROM q),
+         |s1 AS (SELECT q_label, doc_label, q_toks, d_toks,
+         |  round(${cosOf("q_pool", "d_pool")}, 6) AS s1
+         | FROM qp CROSS JOIN dp),
+         |r1 AS (SELECT *, row_number() OVER (PARTITION BY q_label
+         |   ORDER BY s1 DESC, doc_label) AS stage1_rank FROM s1),
+         |c AS (SELECT * FROM r1 WHERE stage1_rank <= 5),
+         |s2 AS (SELECT q_label, doc_label, stage1_rank,
+         |  list_reduce(list_prepend(0.0, list_transform(q_toks, qt ->
+         |    list_reduce(list_prepend(CAST('-infinity' AS DOUBLE),
+         |      list_transform(d_toks, dt -> ${cosOf("qt", "dt")})),
+         |     (a, b) -> greatest(a, b)))),
+         |   (a, b) -> a + b) AS score
+         | FROM c),
+         |r2 AS (SELECT q_label, doc_label, stage1_rank, score,
+         |  row_number() OVER (PARTITION BY q_label
+         |    ORDER BY score DESC, doc_label) AS rank FROM s2)
+         |SELECT q_label, doc_label, round(score, 6) AS score,
+         | CAST(rank AS BIGINT) AS rank, CAST(stage1_rank AS BIGINT) AS stage1_rank
+         |FROM r2 WHERE rank <= 3""".stripMargin,
 
     "hybrid_search_rrf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

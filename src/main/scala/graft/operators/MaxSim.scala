@@ -59,4 +59,40 @@ object MaxSim {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Score an ALREADY-PAIRED candidate table — the deployment shape: a
+    * first-stage retriever (single-vector ANN, BM25, IVF) emits
+    * `(query, candidate)` pairs with both token matrices attached, and
+    * MaxSim only pays for those pairs instead of the full cross product
+    * (the PLAID/ColBERTv2 two-stage recipe). Same score arithmetic, same
+    * per-query top-k and tie-break as [[rerank]].
+    */
+  def rerankPairs(pairs: DataFrame, qIdCol: String, qTokCol: String,
+                  dIdCol: String, dTokCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val score = aggregate(
+      col(qTokCol), lit(0.0),
+      (acc, qt) => acc + array_max(
+        transform(col(dTokCol), dt => VectorFunctions.cosineSimilarity(qt, dt))))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(dIdCol).asc)
+    pairs
+      .select(col(qIdCol), col(dIdCol), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Mean-pool a token matrix into one vector (the single-vector proxy a
+    * first-stage retriever indexes): dimension-wise mean over the tokens,
+    * left-to-right double accumulation — deterministic and
+    * oracle-replayable. Null/empty matrices yield null.
+    */
+  def meanPool(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = size(tokens)
+    when(tokens.isNull || n === 0, lit(null))
+      .otherwise(transform(
+        sequence(lit(1), size(element_at(tokens, 1))),
+        i => aggregate(tokens, lit(0.0),
+          (acc, t) => acc + element_at(t, i).cast("double")) / n.cast("double")))
+  }
 }

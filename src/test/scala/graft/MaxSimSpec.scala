@@ -35,4 +35,28 @@ class MaxSimSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L).contains(1.0)) // 1 (best vs [1,0]) + 0 (vs [1,0])
     assert(got(2L).isEmpty)
   }
+
+  test("meanPool: dimension-wise mean; empty matrix nulls") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq(Seq(1f, 3f), Seq(3f, 5f))),
+      (2L, Seq.empty[Seq[Float]])
+    ).toDF("id", "toks").select(col("id"), MaxSim.meanPool(col("toks")).as("p"))
+    val got = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains(Seq(2.0, 4.0)))
+    assert(got(2L).isEmpty)
+  }
+
+  test("rerankPairs scores only the supplied candidate pairs") {
+    val pairs = Seq(
+      // query 10 paired with docs 1 and 3 only — doc 2 (the best full-corpus
+      // match) is absent, so it must not appear
+      (10L, Seq(Seq(1f, 0f), Seq(0f, 1f)), 1L, Seq(Seq(1f, 0f))),
+      (10L, Seq(Seq(1f, 0f), Seq(0f, 1f)), 3L, Seq(Seq(-1f, 0f)))
+    ).toDF("qid", "q_tokens", "did", "d_tokens")
+    val got = MaxSim.rerankPairs(pairs, "qid", "q_tokens", "did", "d_tokens", k = 2)
+      .collect().map(r => (r.getAs[Long]("did"), r.getAs[Double]("score"),
+        r.getAs[Int]("rank"))).toList
+    assert(got == List((1L, 1.0, 1), (3L, -1.0, 2)))
+  }
 }
