@@ -942,6 +942,18 @@ object SparkEntry {
       graft.streaming.Streaming.runIntervalJoinAvailableNow(
         s, s"$dir/events.parquet")),
 
+    "streaming_interval_join_outer" -> ((s, dir) =>
+      // LEFT OUTER stream-stream interval join
+      // (Streaming.runIntervalJoinOuterAvailableNow scaladoc): clicks
+      // with no conversion inside the interval surface as null-extended
+      // rows ONCE the watermark passes their window; rows whose window
+      // the terminal watermark (max ts - 2 h) never passes stay
+      // withheld. The oracle replays the matched self-join plus exactly
+      // that "unmatched AND window closed" cutoff — probed emitted-set
+      // identical at sf0.001 and sf0.01.
+      graft.streaming.Streaming.runIntervalJoinOuterAvailableNow(
+        s, s"$dir/events.parquet")),
+
     "dedup_cluster_histogram" -> ((s, dir) => {
       // Dedup QA report #2: duplicate-cluster size distribution over the
       // planted graph — the "how duplicated is this corpus" histogram
@@ -5947,6 +5959,25 @@ object SparkEntry {
         |FROM events a JOIN events b
         |ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""".stripMargin,
+
+    // Outer twin: the matched pairs PLUS null-extended left rows whose
+    // join window closed under the terminal watermark max(ts) - 2 h
+    // (strict <, the engine's eviction boundary — probe-verified).
+    "streaming_interval_join_outer" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+        |SELECT a.user_id, epoch_us(a.ts) AS a_ts_us, epoch_us(b.ts) AS b_ts_us,
+        |  a.event_type AS a_type, b.event_type AS b_type
+        |FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+        |UNION ALL
+        |SELECT a.user_id, epoch_us(a.ts), CAST(NULL AS BIGINT),
+        |  a.event_type, CAST(NULL AS VARCHAR)
+        |FROM events a, mx
+        |WHERE NOT EXISTS (SELECT 1 FROM events b
+        |   WHERE b.user_id = a.user_id AND b.ts > a.ts
+        |    AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000)
+        | AND epoch_us(a.ts) + 1800000000 < mx.m - 7200000000""".stripMargin,
 
     "streaming_windowed" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,

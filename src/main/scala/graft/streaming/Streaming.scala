@@ -386,7 +386,28 @@ object Streaming {
     * range). The plain SQL self-join is the oracle.
     */
   def runIntervalJoinAvailableNow(spark: SparkSession, eventsPath: String,
-                                  within: String = "30 minutes"): DataFrame = {
+                                  within: String = "30 minutes"): DataFrame =
+    intervalJoinFrame(spark, eventsPath, within, "inner")
+
+  /** LEFT OUTER stream-stream interval join — the attribution-completeness
+    * twin of [[runIntervalJoinAvailableNow]]: a click with NO conversion in
+    * its interval surfaces as a null-extended row. Outer results cannot
+    * emit eagerly — an unmatched left row only becomes PROVABLY unmatched
+    * once the watermark passes its join window (`a_ets + within`), at
+    * which point the engine emits the null row and evicts the state in the
+    * same move. Left rows whose window the terminal watermark never passes
+    * stay withheld (their match set is still open — emitting them would be
+    * a wrong answer, not a late one). Deterministic under AvailableNow:
+    * the no-data micro-batch advances the watermark to its terminal value
+    * `max(event_time) - delay`, so the emitted set is exactly
+    * "unmatched AND window closed" — the cutoff the oracle replays.
+    */
+  def runIntervalJoinOuterAvailableNow(spark: SparkSession, eventsPath: String,
+                                       within: String = "30 minutes"): DataFrame =
+    intervalJoinFrame(spark, eventsPath, within, "leftOuter")
+
+  private def intervalJoinFrame(spark: SparkSession, eventsPath: String,
+                                within: String, joinType: String): DataFrame = {
     runToLocalFrame(spark, "ssj_") { (name, ckpt) =>
       def side(p: String) = streamEventsMicros(spark, eventsPath)
         .select(col("user_id").as(s"${p}_user"),
@@ -396,7 +417,8 @@ object Streaming {
       side("a").join(side("b"),
           col("a_user") === col("b_user") &&
           col("b_ets") > col("a_ets") &&
-          col("b_ets") <= col("a_ets") + expr(s"INTERVAL $within"))
+          col("b_ets") <= col("a_ets") + expr(s"INTERVAL $within"),
+          joinType)
         .select(col("a_user").as("user_id"),
           unix_micros(col("a_ets")).as("a_ts_us"),
           unix_micros(col("b_ets")).as("b_ts_us"),

@@ -200,6 +200,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("outer interval join adds exactly the closed-window unmatched rows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runIntervalJoinOuterAvailableNow(
+        spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.operators.EventTime.readMicros(spark, s"$dir/events.parquet")
+    val maxTs = ev.agg(org.apache.spark.sql.functions.max(col("ts")))
+      .head.getLong(0)
+    def side(p: String) = ev.select(col("user_id").as(s"${p}_user"),
+      col("ts").as(s"${p}_us"), col("event_type").as(s"${p}_type"))
+    val inner = side("a").join(side("b"),
+        col("a_user") === col("b_user") &&
+        col("b_us") > col("a_us") &&
+        col("b_us") <= col("a_us") + org.apache.spark.sql.functions.lit(1800000000L))
+      .select(col("a_user"), col("a_us"), col("b_us"), col("a_type"), col("b_type"))
+      .collect().map(_.toSeq).toSet
+    // null-extended rows: unmatched left AND window closed under the
+    // terminal watermark (strict <) — the engine's eviction boundary
+    val unmatched = streamed.filter(_(2) == null)
+    assert(unmatched.nonEmpty, "fixture must exercise the null-extension path")
+    assert(streamed.filter(_(2) != null) === inner,
+      "matched rows must equal the eager inner join")
+    val wm = maxTs - 7200000000L
+    assert(unmatched.forall(r =>
+      r(1).asInstanceOf[Long] + 1800000000L < wm),
+      "every emitted null row's window must be closed")
+    val matchedA = inner.map(r => (r(0), r(1)))
+    assert(unmatched.forall(r => !matchedA.contains((r(0), r(1)))),
+      "null rows must be genuinely unmatched")
+  }
+
   test("one-shot runners clean up after themselves (conf, memory table, result survives)") {
     // r7 ADVICE fix: the AvailableNow gate runners used to leave the
     // checksum conf mutated session-wide and leak one memory-sink temp
