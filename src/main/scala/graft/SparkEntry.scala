@@ -1250,6 +1250,26 @@ object SparkEntry {
       graft.streaming.Streaming.runSessionWindowAvailableNow(
         s, s"$dir/events.parquet")),
 
+    "front_matter" -> ((s, dir) => {
+      // Jekyll/Hugo front matter (TextFunctions.frontMatterField scaladoc):
+      // each doc gains a fenced metadata block — double-quoted title,
+      // bare lang, a list-ish tags line — and the pure-regex operator
+      // must split metadata from body. The oracle reconstructs every
+      // field independently from the source columns (no regex replay),
+      // so quote stripping, key anchoring, and the anchored single-strip
+      // body rule all have to be exact.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val fenced = concat(
+        lit("---\ntitle: \"T"), col("doc_id"), lit("\"\nlang: "), col("lang"),
+        lit("\ntags: corpus, r16\n---\n"), col("text"))
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.frontMatterField(fenced, "title").as("fm_title"),
+        graft.functions.TextFunctions.frontMatterField(fenced, "lang").as("fm_lang"),
+        graft.functions.TextFunctions.frontMatterField(fenced, "tags").as("fm_tags"),
+        graft.functions.TextFunctions.frontMatterField(fenced, "absent").as("fm_absent"),
+        graft.functions.TextFunctions.frontMatterBody(fenced).as("body"))
+    }),
+
     "html_main_content" -> ((s, dir) => {
       // Boilerplate removal: the corpus text embedded in a page skeleton
       // with a nav bar (short -> dropped), a link farm (link-dense ->
@@ -2100,6 +2120,43 @@ object SparkEntry {
         ("q_hash_key_value", Seq("hash", "key", "value")))
         .toDF("query_id", "terms")
       Search.percolateIndexed(t(s, dir, "documents"), "text", "doc_id", reg)
+    }),
+
+    "sitemap_parse" -> ((s, dir) => {
+      // Sitemap-protocol parse (Sitemap scaladoc): each source group's
+      // docs become ONE real <urlset> — locs whose query strings need the
+      // &amp; entity, lastmod/priority derived per doc — and a
+      // namespace-PREFIXED <sm:sitemapindex> pointer rides through the
+      // same parser, pinning local-name matching, entity decode, and the
+      // urlset/index split. The oracle reconstructs every field directly
+      // from the documents table.
+      val docs = t(s, dir, "documents")
+      val entryXml = concat(
+        lit("<url><loc>https://ex.org/d?id="), col("doc_id"),
+        lit("&amp;s="), col("source"),
+        lit("</loc><lastmod>2024-01-"),
+        lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+        lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (col("doc_id") % 10).cast("string"),
+        lit("</priority></url>"))
+      val grouped = docs.groupBy(col("source"))
+        .agg(concat_ws("", collect_list(entryXml)).as("body"))
+      val parse = udf((src: String, body: String) => {
+        val urlset = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          body + "</urlset>"
+        val index = "<?xml version=\"1.0\"?>" +
+          "<sm:sitemapindex xmlns:sm=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          s"<sm:sitemap><sm:loc>https://ex.org/sm/$src.xml</sm:loc>" +
+          "<sm:lastmod>2024-02-01</sm:lastmod></sm:sitemap></sm:sitemapindex>"
+        (graft.sources.Sitemap.parse(urlset) ++ graft.sources.Sitemap.parse(index))
+          .map(e => (e.loc, e.lastmod, e.changefreq, e.priority, e.fromIndex))
+      })
+      grouped
+        .select(col("source"), explode(parse(col("source"), col("body"))).as("e"))
+        .select(col("source"), col("e._1").as("loc"), col("e._2").as("lastmod"),
+          col("e._3").as("changefreq"), col("e._4").as("priority"),
+          col("e._5").as("from_index"))
     }),
 
     "robots_check" -> ((s, dir) => {
@@ -6339,6 +6396,14 @@ object SparkEntry {
     "session_window_events" -> sessionWindowSql,
     "streaming_session_window" -> sessionWindowSql,
 
+    // frontMatterField/Body replay by independent reconstruction: the
+    // planted fenced block's fields from the source columns directly.
+    "front_matter" ->
+      """SELECT doc_id, 'T' || doc_id AS fm_title, lang AS fm_lang,
+        | 'corpus, r16' AS fm_tags, CAST(NULL AS VARCHAR) AS fm_absent,
+        | text AS body
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
     "html_main_content" -> {
       def stripSql(in: String): String =
         s"""replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace($in, '(?is)<script[^>]*>.*?</script>', '', 'g'), '(?is)<style[^>]*>.*?</style>', '', 'g'), '<[^>]*>', '', 'g'), '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39))"""
@@ -7700,6 +7765,21 @@ object SparkEntry {
 
     // CurationRules.robotsCheck replay: same host/rule plants, prefix
     // match via starts_with, longest-match window with allow tie-break.
+    // Sitemap.parse replay: every urlset field reconstructed from the
+    // documents row that produced it, plus one index pointer per source.
+    "sitemap_parse" ->
+      """SELECT source,
+        | 'https://ex.org/d?id=' || doc_id || '&s=' || source AS loc,
+        | '2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') AS lastmod,
+        | 'daily' AS changefreq,
+        | '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+        | false AS from_index
+        |FROM documents
+        |UNION ALL
+        |SELECT DISTINCT source, 'https://ex.org/sm/' || source || '.xml',
+        | '2024-02-01', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), true
+        |FROM documents""".stripMargin,
+
     "robots_check" ->
       """WITH urls AS (
         | SELECT doc_id,

@@ -157,4 +157,32 @@ object TextFunctions {
       lit(0), (acc, x) => acc + x)
     (n >= 12) && (total % 10 === 0)
   }
+
+  /** Jekyll/Hugo-style markdown front matter — the metadata convention a
+    * documentation/blog corpus carries: a `---`-fenced block of
+    * `key: value` lines opening at character 0. Pure codegen'd regex (no
+    * UDF, no YAML engine) covering the scalar-string subset real corpora
+    * use; list/nested values come through as their raw line text.
+    */
+  private val FrontMatterBlock = "(?s)\\A---\\n(.*?\\n)---\\n"
+
+  /** The value of `key` inside the front-matter block, surrounding single
+    * or double quotes stripped; null when the document has no front matter
+    * or the key is absent/empty. `key` must be a plain identifier.
+    */
+  def frontMatterField(t: Column, key: String): Column = {
+    require(key.matches("[A-Za-z0-9_-]+"), s"front-matter key must be plain, got '$key'")
+    val block = regexp_extract(t, FrontMatterBlock, 1)
+    val raw = regexp_extract(block, "(?m)^" + key + ":[ \\t]*(.*)$", 1)
+    val unq = regexp_replace(
+      regexp_replace(raw, "^\"(.*)\"$", "$1"), "^'(.*)'$", "$1")
+    when(raw === "", lit(null).cast("string")).otherwise(unq)
+  }
+
+  /** The document with its front-matter block removed (the block is
+    * anchored to the start, so at most one strip happens); documents
+    * without front matter pass through unchanged.
+    */
+  def frontMatterBody(t: Column): Column =
+    regexp_replace(t, FrontMatterBlock, "")
 }

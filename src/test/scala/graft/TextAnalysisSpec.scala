@@ -263,4 +263,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.TextAnalysis.kwic(df, "text", "doc_id", "", 2)
     }
   }
+
+  test("front matter: quoted values strip, missing keys null, body splits") {
+    import org.apache.spark.sql.functions.col
+    val fenced = "---\ntitle: \"Quoted: Title\"\nauthor: 'single'\n" +
+      "tags: a, b\nempty:\n---\nbody line\n---\nnot a fence"
+    val plain = "no front matter\n---\nstray fence"
+    val df = Seq((1L, fenced), (2L, plain)).toDF("id", "text")
+    val got = df.select(col("id"),
+      graft.functions.TextFunctions.frontMatterField(col("text"), "title").as("t"),
+      graft.functions.TextFunctions.frontMatterField(col("text"), "author").as("a"),
+      graft.functions.TextFunctions.frontMatterField(col("text"), "tags").as("g"),
+      graft.functions.TextFunctions.frontMatterField(col("text"), "empty").as("e"),
+      graft.functions.TextFunctions.frontMatterField(col("text"), "absent").as("x"),
+      graft.functions.TextFunctions.frontMatterBody(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "Quoted: Title")
+    assert(got(1L).getString(2) == "single")
+    assert(got(1L).getString(3) == "a, b")
+    assert(got(1L).isNullAt(4) && got(1L).isNullAt(5))
+    assert(got(1L).getString(6) == "body line\n---\nnot a fence")
+    // no front matter: fields null, body untouched (stray fence survives)
+    assert(got(2L).isNullAt(1) && got(2L).getString(6) == plain)
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.frontMatterField(col("text"), "bad key")
+    }
+  }
 }
