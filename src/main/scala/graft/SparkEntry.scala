@@ -2159,6 +2159,49 @@ object SparkEntry {
           col("e._5").as("from_index"))
     }),
 
+    "crawl_frontier" -> ((s, dir) => {
+      // COMPOSED crawl-frontier build in ONE lineage — the real web-source
+      // preparation pipeline: sitemap XML (per source group, entities +
+      // uppercase authority + :443 + tracking params + fragments) → real
+      // Sitemap.parse → canonicalizeUrl (each URL also appears as its
+      // pre-canonicalized twin, so the distinct() provably collapses the
+      // tracking variants) → longest-prefix robots gate over planted
+      // per-host rulesets ('/'‑allow everywhere, '/sec1/' deny on h%3==0
+      // hosts, '/sec1/p' re-allow on h%6==0 — longest match + allow
+      // tie-break live). The oracle reconstructs every row closed-form.
+      val docs = t(s, dir, "documents")
+      val entryXml = concat(
+        lit("<url><loc>HTTPS://WWW.SITE"), col("doc_id") % 10,
+        lit(".EXAMPLE.COM:443/sec"), col("doc_id") % 3,
+        lit("/p"), col("doc_id"),
+        lit("/?utm_source=mail&amp;id="), col("doc_id"), lit("#frag</loc></url>"),
+        lit("<url><loc>https://www.site"), col("doc_id") % 10,
+        lit(".example.com/sec"), col("doc_id") % 3, lit("/p"), col("doc_id"),
+        lit("?id="), col("doc_id"), lit("</loc></url>"))
+      val grouped = docs.groupBy(col("source"))
+        .agg(concat_ws("", collect_list(entryXml)).as("body"))
+      val parseLocs = udf((body: String) =>
+        graft.sources.Sitemap.parse(
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            body + "</urlset>").map(_.loc))
+      val urls = grouped
+        .select(explode(parseLocs(col("body"))).as("loc"))
+        .select(graft.functions.UrlFunctions.canonicalizeUrl(col("loc")).as("canonical"))
+        .distinct()
+        .select(col("canonical"),
+          graft.functions.UrlFunctions.urlHost(col("canonical")).as("host"),
+          regexp_replace(col("canonical"), "^https://[^/]+", "").as("path"))
+      import s.implicits._
+      val rules = (0 to 9).flatMap { h =>
+        val host = s"www.site$h.example.com"
+        Seq((host, "/", true)) ++
+          (if (h % 3 == 0) Seq((host, "/sec1/", false)) else Nil) ++
+          (if (h % 6 == 0) Seq((host, "/sec1/p", true)) else Nil)
+      }.toDF("host", "rule", "allow")
+      CurationRules.robotsCheck(urls, "host", "path", "canonical",
+        rules, "host", "rule", "allow")
+    }),
+
     "robots_check" -> ((s, dir) => {
       // Longest-prefix robots.txt evaluation over the planted crawl URLs
       // (CurationRules.robotsCheck scaladoc). Host identity is
@@ -7779,6 +7822,22 @@ object SparkEntry {
         |SELECT DISTINCT source, 'https://ex.org/sm/' || source || '.xml',
         | '2024-02-01', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), true
         |FROM documents""".stripMargin,
+
+    // crawl_frontier replay, closed-form: the canonical URL (scheme/host
+    // lowered, :443 and tracking and fragment gone, /? collapsed), its
+    // host/path split, and the longest-match robots verdict.
+    "crawl_frontier" ->
+      """WITH u AS (
+        | SELECT 'www.site' || (doc_id % 10) || '.example.com' AS host,
+        |  '/sec' || (doc_id % 3) || '/p' || doc_id || '?id=' || doc_id AS path,
+        |  (doc_id % 10) AS h, (doc_id % 3) AS s
+        | FROM documents)
+        |SELECT 'https://' || host || path AS canonical, host, path,
+        | CASE WHEN s = 1 AND h % 3 = 0 THEN
+        |   CASE WHEN h % 6 = 0 THEN '/sec1/p' ELSE '/sec1/' END
+        |  ELSE '/' END AS matched_rule,
+        | NOT (s = 1 AND h % 3 = 0 AND h % 6 <> 0) AS allowed
+        |FROM u""".stripMargin,
 
     "robots_check" ->
       """WITH urls AS (
