@@ -539,7 +539,10 @@ object SparkEntry {
           "part1.txt" -> payload,
           longPath -> payload,
           "inner.zip" -> graft.sources.ArchiveFixtures.zip(Seq("part3.txt" -> payload)),
-          "part4.txt.bz2" -> graft.sources.ArchiveFixtures.bzip2(payload))))
+          "part4.txt.bz2" -> graft.sources.ArchiveFixtures.bzip2(payload),
+          // r16: the Hadoop-ecosystem framed block codecs ride the same walk
+          "part5.txt.lz4" -> graft.sources.ArchiveFixtures.lz4(payload),
+          "part6.txt.sz" -> graft.sources.ArchiveFixtures.snappy(payload))))
         graft.sources.ArchiveExpand.expand("docs.tar.zst", arc).map {
           case (n, b) => (n, new String(b, java.nio.charset.StandardCharsets.UTF_8))
         }
@@ -8446,7 +8449,8 @@ object SparkEntry {
       ("SELECT d.doc_id, e.entry, '[' || d.text || ']' AS entry_text " +
         "FROM documents d CROSS JOIN (VALUES ('part1.txt'), " +
         s"('corpus/${"d" * 110}/part2.txt'), ('inner.zip!part3.txt'), " +
-        "('part4.txt.bz2!part4.txt')) " +
+        "('part4.txt.bz2!part4.txt'), ('part5.txt.lz4!part5.txt'), " +
+        "('part6.txt.sz!part6.txt')) " +
         "AS e(entry) WHERE d.text IS NOT NULL AND length(d.text) <= 10000"),
 
     // Identity through the two-message mboxrd framing: subject + blank +

@@ -67,7 +67,10 @@ object ArchiveExpand {
     * `.tar.xz`, modern crawl corpora `.zst`.
     */
   private val Codecs: Seq[(String, String)] = Seq(
-    ".gz" -> "gzip", ".bz2" -> "bzip2", ".xz" -> "xz", ".zst" -> "zstd")
+    ".gz" -> "gzip", ".bz2" -> "bzip2", ".xz" -> "xz", ".zst" -> "zstd",
+    // the Hadoop-ecosystem block codecs, FRAMED container flavors
+    // (`.lz4` = lz4frame CLI output, `.sz`/`.snappy` = framed snappy)
+    ".lz4" -> "lz4", ".sz" -> "snappy", ".snappy" -> "snappy")
   private val TarShorthand: Map[String, String] = Map(
     ".tgz" -> "gzip", ".tbz2" -> "bzip2", ".tbz" -> "bzip2",
     ".txz" -> "xz", ".tzst" -> "zstd")
@@ -155,6 +158,10 @@ object ArchiveExpand {
           new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(base, true)
         case "zstd" =>
           new org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream(base)
+        case "lz4" =>
+          new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(base, true)
+        case "snappy" =>
+          new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream(base)
         case other =>
           throw new IllegalArgumentException(s"graft.ArchiveExpand: unknown codec '$other'")
       }
@@ -388,5 +395,5 @@ final case class ArchiveSource(directory: String,
 
 object ArchiveSource {
   val DefaultGlob: String =
-    "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tbz,tar.xz,txz,tar.zst,tzst,zip,gz,bz2,xz,zst}"
+    "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tbz,tar.xz,txz,tar.zst,tzst,zip,gz,bz2,xz,zst,lz4,sz,snappy,tar.lz4,tar.sz}"
 }

@@ -136,6 +136,20 @@ object ArchiveFixtures {
     out.toByteArray
   }
 
+  def lz4(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val c = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(out)
+    c.write(bytes); c.close()
+    out.toByteArray
+  }
+
+  def snappy(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val c = new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorOutputStream(out)
+    c.write(bytes); c.close()
+    out.toByteArray
+  }
+
   // ------------------------------------------------------- mbox (RFC 4155)
   // The mail world's archive format — writers live here with the other
   // container fixtures so the mbox_parse gate can round-trip IN-PLAN.

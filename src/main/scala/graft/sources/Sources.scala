@@ -98,7 +98,8 @@ object TextExtractors {
     // named error says so). 7z/rar have no offline decoder at all.
     "zip" -> Unsupported, "tar" -> Unsupported, "gz" -> Unsupported,
     "tgz" -> Unsupported, "bz2" -> Unsupported, "xz" -> Unsupported,
-    "zst" -> Unsupported, "7z" -> Unsupported, "rar" -> Unsupported)
+    "zst" -> Unsupported, "lz4" -> Unsupported, "sz" -> Unsupported,
+    "snappy" -> Unsupported, "7z" -> Unsupported, "rar" -> Unsupported)
 
   private[sources] def extsOf(h: Handling): Seq[String] =
     registry.collect { case (ext, `h`) => ext }.toSeq

@@ -125,6 +125,24 @@ class ArchiveExpandSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("corrupt zstd"))
   }
 
+  test("lz4 / snappy framed codecs: tar and single-member forms; corrupt is loud") {
+    val es = Seq("a.txt" -> b("alpha"), "dir/b.txt" -> b("beta"))
+    val raw = ArchiveFixtures.tar(es)
+    assert(text(ArchiveExpand.expand("t.tar.lz4", ArchiveFixtures.lz4(raw))) ==
+      Map("a.txt" -> "alpha", "dir/b.txt" -> "beta"))
+    assert(text(ArchiveExpand.expand("t.tar.sz", ArchiveFixtures.snappy(raw))) ==
+      Map("a.txt" -> "alpha", "dir/b.txt" -> "beta"))
+    assert(text(ArchiveExpand.expand("n.txt.lz4", ArchiveFixtures.lz4(b("l4")))) ==
+      Map("n.txt" -> "l4"))
+    assert(text(ArchiveExpand.expand("n.txt.sz", ArchiveFixtures.snappy(b("sn")))) ==
+      Map("n.txt" -> "sn"))
+    assert(text(ArchiveExpand.expand("n.txt.snappy", ArchiveFixtures.snappy(b("sp")))) ==
+      Map("n.txt" -> "sp"))
+    val bad = ArchiveFixtures.lz4(b("payload")); bad(6) = (bad(6) ^ 0x7F).toByte
+    val e = intercept[IllegalArgumentException](ArchiveExpand.expand("x.txt.lz4", bad))
+    assert(e.getMessage.contains("corrupt lz4"))
+  }
+
   test("INDEPENDENT: commons-compress TarArchiveOutputStream (POSIX + GNU " +
       "long names) parses identically; our tar parses under commons-compress") {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
