@@ -688,6 +688,29 @@ object SparkEntry {
         .select(col("doc_id"), col("chat_text"), col("n_turns"), col("roles"))
     }),
 
+    "chat_template_llama" -> ((s, dir) => {
+      // The Llama-2 wire format over the SAME 3-turn conversation build
+      // as chat_template (renderLlama2 scaladoc): the system turn folds
+      // into the first [INST] inside <<SYS>> markers, the (user,
+      // assistant) pair renders as one <s>…</s> block. The oracle
+      // reconstructs the rendered string from the halves closed-form.
+      val docs = t(s, dir, "documents")
+      val parts = split(col("text"), " ", -1)
+      val n = size(parts)
+      val k = ((n + 1) / 2).cast("int")
+      val userHalf = concat_ws(" ", slice(parts, lit(1), k))
+      val asstHalf = concat_ws(" ", slice(parts, k + 1, n - k))
+      val msgs = array(
+        struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"), userHalf.as("content")),
+        struct(lit("assistant").as("role"), asstHalf.as("content")))
+      val parsed = ChatTemplate.parseMessages(
+        docs.select(col("doc_id"), to_json(msgs).as("raw")), "raw")
+      ChatTemplate.renderLlama2(parsed)
+        .select(col("doc_id"), col("chat_text"), col("n_pairs"), col("has_system"))
+    }),
+
     "chat_loss_mask" -> ((s, dir) => {
       // SFT loss masking (ChatTemplate.assistantSpans scaladoc): the same
       // 3-turn conversation as chat_template, but the output is the
@@ -5905,6 +5928,19 @@ object SparkEntry {
         |  || '<|im_end|>' || chr(10) AS chat_text,
         | CAST(3 AS BIGINT) AS n_turns,
         | 'system,user,assistant' AS roles
+        |FROM d""".stripMargin,
+
+    // renderLlama2 replay: the single <s>…</s> block with the system fold.
+    "chat_template_llama" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |d AS (SELECT doc_id, parts, len(parts) AS n,
+        |  CAST(floor((len(parts) + 1) / 2.0) AS INT) AS k FROM p)
+        |SELECT doc_id,
+        | '<s>[INST] <<SYS>>' || chr(10) || 'You are a helpful assistant.'
+        |  || chr(10) || '<</SYS>>' || chr(10) || chr(10)
+        |  || array_to_string(parts[1:k], ' ') || ' [/INST] '
+        |  || array_to_string(parts[k+1:n], ' ') || ' </s>' AS chat_text,
+        | CAST(1 AS BIGINT) AS n_pairs, true AS has_system
         |FROM d""".stripMargin,
 
     // Span arithmetic from the conversation halves: turn overhead is 24

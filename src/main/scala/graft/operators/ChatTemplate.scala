@@ -52,6 +52,38 @@ object ChatTemplate {
         when(m.isNotNull, array_join(transform(m, _.getField("role")), ",")))
   }
 
+  /** Render through the Llama-2 chat template (Touvron et al. 2023 §A.4.4
+    * wire format, shared by most Mistral-instruct checkpoints): an
+    * optional leading system turn folds into the FIRST user turn inside
+    * `<<SYS>>` markers, then each (user, assistant) pair becomes
+    * `<s>[INST] {user} [/INST] {assistant} </s>`. Only complete pairs
+    * render — a trailing unpaired user turn is a generation prompt, not
+    * training text; `n_pairs` exposes the pair count for audits and
+    * `has_system` whether the fold happened. Null messages or zero pairs
+    * render a null `chat_text`. Pure codegen'd HOF expressions
+    * (filter/transform/sequence), shuffle-free, linear.
+    */
+  def renderLlama2(df: DataFrame, messagesCol: String = "messages"): DataFrame = {
+    val m = col(messagesCol)
+    val sys = filter(m, x => x.getField("role") === "system")
+    val sysContent = when(size(sys) > 0, element_at(sys, 1).getField("content"))
+    val users = filter(m, x => x.getField("role") === "user")
+    val assts = filter(m, x => x.getField("role") === "assistant")
+    val nPairs = least(size(users), size(assts))
+    val blocks = transform(sequence(lit(1), nPairs), i => {
+      val u = element_at(users, i).getField("content")
+      val a = element_at(assts, i).getField("content")
+      val head = when(i === 1 && sysContent.isNotNull,
+        concat(lit("<<SYS>>\n"), sysContent, lit("\n<</SYS>>\n\n")))
+        .otherwise(lit(""))
+      concat(lit("<s>[INST] "), head, u, lit(" [/INST] "), a, lit(" </s>"))
+    })
+    df.withColumn("chat_text",
+        when(m.isNotNull && nPairs > 0, array_join(blocks, "")))
+      .withColumn("n_pairs", when(m.isNotNull, nPairs.cast("long")))
+      .withColumn("has_system", when(m.isNotNull, sysContent.isNotNull))
+  }
+
   // Template overhead per turn: "<|im_start|>" (12) + "\n" (1) +
   // "<|im_end|>\n" (11) = 24 chars beyond role + content.
   private val TurnOverhead = 24

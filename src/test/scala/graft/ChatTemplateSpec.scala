@@ -43,6 +43,32 @@ class ChatTemplateSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("chat_text").isNull).count() == 2)
   }
 
+  test("renderLlama2: system fold, multi-pair blocks, unpaired prompt dropped") {
+    val raw = Seq(
+      (1L, """[{"role":"system","content":"be brief"},{"role":"user","content":"q1"},{"role":"assistant","content":"a1"},{"role":"user","content":"q2"},{"role":"assistant","content":"a2"}]"""),
+      (2L, """[{"role":"user","content":"q"},{"role":"assistant","content":"a"},{"role":"user","content":"dangling"}]"""),
+      (3L, """[{"role":"user","content":"only a prompt"}]"""),
+      (4L, "not json")
+    ).toDF("id", "raw")
+    val out = ChatTemplate.renderLlama2(ChatTemplate.parseMessages(raw, "raw"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("chat_text") ==
+      "<s>[INST] <<SYS>>\nbe brief\n<</SYS>>\n\nq1 [/INST] a1 </s>" +
+        "<s>[INST] q2 [/INST] a2 </s>")
+    assert(out(1L).getAs[Long]("n_pairs") == 2L &&
+      out(1L).getAs[Boolean]("has_system"))
+    // no system: no SYS fold; the dangling user turn does not render
+    assert(out(2L).getAs[String]("chat_text") == "<s>[INST] q [/INST] a </s>")
+    assert(out(2L).getAs[Long]("n_pairs") == 1L &&
+      !out(2L).getAs[Boolean]("has_system"))
+    // prompt-only conversation: zero pairs -> null text, count preserved
+    assert(out(3L).isNullAt(out(3L).fieldIndex("chat_text")))
+    assert(out(3L).getAs[Long]("n_pairs") == 0L)
+    // malformed -> all null
+    assert(out(4L).isNullAt(out(4L).fieldIndex("chat_text")) &&
+      out(4L).isNullAt(out(4L).fieldIndex("n_pairs")))
+  }
+
   test("special characters survive the JSON round trip into the template") {
     val content = "line1\nline2 \"quoted\" back\\slash café —"
     val raw = Seq((1L, s"""[{"role":"user","content":${jsonStr(content)}}]"""))
