@@ -2225,7 +2225,7 @@ object SparkEntry {
           (if (h % 6 == 0) Seq((host, "/sec1/p", true)) else Nil)
       }.toDF("host", "rule", "allow")
       CurationRules.robotsCheck(urls, "host", "path", "canonical",
-        rules, "host", "rule", "allow")
+        broadcast(rules), "host", "rule", "allow")
     }),
 
     "robots_check" -> ((s, dir) => {

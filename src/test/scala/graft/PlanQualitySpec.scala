@@ -668,4 +668,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$g: ${p.take(600)}")
     }
   }
+
+  test("code_quality / front_matter: scan-speed narrow transforms (no shuffle, no UDF)") {
+    Seq("code_quality", "front_matter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles: ${p.take(400)}")
+      assert(!p.contains("BatchEvalPython") && !"\\bUDF\\b".r.findFirstIn(p).isDefined,
+        s"$q fell out of codegen: ${p.take(400)}")
+    }
+  }
+
+  test("maxsim_rerank: broadcast query side, top-k pruned before the only shuffle") {
+    val p = plan("maxsim_rerank")
+    // the candidate stream must NOT shuffle for scoring — the query side
+    // broadcasts through a nested-loop join (intended here: the scored
+    // relation is (tiny queries) × docs with a non-equi score expression)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // rank pruning must run partial (per-partition) before the window's
+    // exchange, so the shuffle carries <= k rows per query per partition
+    assert(p.contains("WindowGroupLimit"), p.take(900))
+    val scoringShuffles = "Exchange hashpartitioning\\(q_label"
+      .r.findAllIn(p).size
+    assert(scoringShuffles <= 1, s"extra scoring shuffles: ${p.take(900)}")
+  }
+
+  test("crawl_frontier: the robots ruleset joins broadcast, never shuffling URLs by host") {
+    val p = plan("crawl_frontier")
+    // the HOST-grain rules join must broadcast the tiny ruleset; the
+    // operator's own URL-grain verdict join-back (__id) may sort-merge —
+    // that key is already the dedup partitioning, not a new URL shuffle
+    assert(p.contains("BroadcastHashJoin [host"), p.take(900))
+    assert(!p.contains("SortMergeJoin [host"),
+      s"rules join shuffled the URL stream by host: ${p.take(900)}")
+  }
 }
