@@ -496,6 +496,36 @@ object SparkEntry {
           viaPredictor(payload).as("pdf_predictor_text"))
     }),
 
+    "format_sniff" -> ((s, dir) => {
+      // Mislabeled-file robustness (DocumentExtract.sniff scaladoc):
+      // every container is handed to extractAuto under the WRONG
+      // extension — ODF text as .docx (zip `mimetype` sniff), subset PDF
+      // as .docx (%PDF magic), Word 97 as .ppt and BIFF8 as .doc (OLE2
+      // directory flavor), WebVTT as .srt (text signature) — and must
+      // still extract the payload because content wins over the label.
+      // Payload pre-normalization + length guard as
+      // legacy_office_roundtrip.
+      val payload = concat(lit("["),
+        translate(col("text"), "\r\u0007\u000B", "\n\n\n"), lit("]"))
+      def mislabeled(declared: String, build: String => Array[Byte]) =
+        udf((p: String) => graft.functions.DocumentExtract.extractAuto(
+          declared, s"wrong.$declared", build(p)))
+      val odtAsDocx = mislabeled("docx", p => graft.functions.OdfFixtures.odt(p))
+      val pdfAsDocx = mislabeled("docx", graft.functions.LegacyOfficeFixtures.subsetPdf)
+      val docAsPpt = mislabeled("ppt", graft.functions.LegacyOfficeFixtures.word97Doc)
+      val xlsAsDoc = mislabeled("doc", graft.functions.LegacyOfficeFixtures.biff8Xls)
+      val vttAsSrt = mislabeled("srt", p => graft.functions.TextualFixtures
+        .vtt(p.split("\n", -1).toSeq).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+        .select(col("doc_id"),
+          odtAsDocx(payload).as("odt_as_docx"),
+          pdfAsDocx(payload).as("pdf_as_docx"),
+          docAsPpt(payload).as("doc_as_ppt"),
+          xlsAsDoc(payload).as("xls_as_doc"),
+          vttAsSrt(payload).as("vtt_as_srt"))
+    }),
+
     "odf_roundtrip" -> ((s, dir) => {
       // OpenDocument round trip IN-PLAN (OdfFixtures scaladoc): each
       // document's text becomes a real odt, a one-cell ods, and a
@@ -8469,6 +8499,19 @@ object SparkEntry {
         |  '[' || text || ']' AS pdf_objstm_text,
         |  '[' || text || ']' AS pdf_predictor_text
         |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin,
+
+    // Content-over-label identity: four container columns are the plain
+    // payload; the vtt column additionally rides the subtitle markup
+    // strip (same replay as subtitle_roundtrip).
+    "format_sniff" -> {
+      val p = "'[' || replace(replace(replace(text, chr(13), chr(10)), " +
+        "chr(7), chr(10)), chr(11), chr(10)) || ']'"
+      s"""SELECT doc_id, $p AS odt_as_docx, $p AS pdf_as_docx,
+         | $p AS doc_as_ppt, $p AS xls_as_doc,
+         | 'opening credits' || chr(10) || regexp_replace(regexp_replace(
+         |   $p, '\\{\\\\an[0-9]+\\}', '', 'g'), '<[^>]*>', '', 'g') AS vtt_as_srt
+         |FROM documents WHERE text IS NOT NULL AND length(text) <= 10000""".stripMargin
+    },
 
     // Verbatim identity through the ODF writers + extractors, three
     // container shapes at once.

@@ -73,6 +73,87 @@ object DocumentExtract {
     }
   }
 
+  /** Magic-byte + container sniffing for MISLABELED files — crawl dumps
+    * systematically serve one format under another's extension (a `.pdf`
+    * link returning docx bytes, an exported `.doc` that is really RTF).
+    * Returns the extension-name of the DETECTED format, or None when the
+    * content carries no recognizable signature (plain text). Zip and OLE2
+    * containers sniff one level deep (entry names / directory streams) to
+    * name the concrete Office flavor.
+    */
+  def sniff(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    def sig(s: Int*) = s.indices.forall(i => bytes(i) == s(i).toByte)
+    lazy val head = new String(bytes, 0, math.min(bytes.length, 512),
+      StandardCharsets.ISO_8859_1)
+    if (sig(0x25, 0x50, 0x44, 0x46)) Some("pdf") // %PDF
+    else if (bytes.length >= 8 &&
+      sig(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)) sniffOle2(bytes)
+    else if (sig(0x50, 0x4B, 0x03, 0x04)) sniffZip(bytes)
+    else if (sig(0x1F, 0x8B)) Some("gz") // loud downstream: route to archives
+    else if (head.startsWith("{\\rtf")) Some("rtf")
+    else if (head.startsWith("WARC/")) Some("warc")
+    else if (head.startsWith("From ")) Some("mbox")
+    // UTF-8 BOM reads as EF BB BF under the ISO_8859_1 head decode
+    else if (head.startsWith("WEBVTT") ||
+      head.startsWith("\u00ef\u00bb\u00bfWEBVTT")) Some("vtt")
+    else if (head.dropWhile(_.isWhitespace).startsWith("{") &&
+      (head.contains("\"cells\"") || head.contains("\"worksheets\""))) Some("ipynb")
+    else None
+  }
+
+  /** Zip flavor by entry names / the `mimetype` member (epub + ODF store
+    * their MIME first and uncompressed).
+    */
+  private def sniffZip(bytes: Array[Byte]): Option[String] = {
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var mime: String = null
+    val z = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      var e = z.getNextEntry
+      var n = 0
+      while (e != null && n < 64) {
+        names += e.getName
+        if (e.getName == "mimetype" && mime == null) {
+          val buf = new Array[Byte](128)
+          val m = z.read(buf)
+          if (m > 0) mime = new String(buf, 0, m, StandardCharsets.ISO_8859_1).trim
+        }
+        n += 1
+        e = z.getNextEntry
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // truncated: use what we saw
+    finally z.close()
+    val m = Option(mime).getOrElse("")
+    if (m.contains("epub")) Some("epub")
+    else if (m.contains("opendocument.text")) Some("odt")
+    else if (m.contains("opendocument.spreadsheet")) Some("ods")
+    else if (m.contains("opendocument.presentation")) Some("odp")
+    else if (names.exists(_.startsWith("word/"))) Some("docx")
+    else if (names.exists(_.startsWith("ppt/"))) Some("pptx")
+    else if (names.exists(_.startsWith("xl/"))) Some("xlsx")
+    else if (names.contains("META-INF/container.xml")) Some("epub")
+    else if (names.contains("content.xml")) Some("odt")
+    else None // generic zip: the archive source's business, not ours
+  }
+
+  /** OLE2 flavor by directory stream names. */
+  private def sniffOle2(bytes: Array[Byte]): Option[String] =
+    try {
+      val names = ole2Streams(bytes).map(_._1).toSet
+      if (names.contains("WordDocument")) Some("doc")
+      else if (names.contains("PowerPoint Document")) Some("ppt")
+      else if (names.contains("Workbook") || names.contains("Book")) Some("xls")
+      else Some("doc") // unknown flavor: the scrape fallback still applies
+    } catch { case scala.util.control.NonFatal(_) => Some("doc") }
+
+  /** Extract honoring CONTENT over a mislabeled extension: when the sniff
+    * names a concrete format, it wins over `declaredExt`; signature-less
+    * content (plain text and friends) falls back to the declared dispatch.
+    */
+  def extractAuto(declaredExt: String, path: String, bytes: Array[Byte]): String =
+    extract(sniff(bytes).getOrElse(declaredExt), path, bytes)
+
   // ---------------------------------------------------------------- zip/XML
 
   /** Decompression bomb guard: a crafted container (zip bomb, deflate bomb)

@@ -10,6 +10,18 @@ class TextualFormatsSpec extends AnyFunSuite {
 
   private def utf8(s: String) = s.getBytes(StandardCharsets.UTF_8)
 
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    for ((name, content) <- entries) {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ Jupyter
 
   test("ipynb v4 fixture round-trips payload through markdown/code/outputs/raw") {
@@ -111,6 +123,30 @@ class TextualFormatsSpec extends AnyFunSuite {
     assert(TextualFormats.tex(full) == "body")
     val fragment = "no preamble \\emph{here}"
     assert(TextualFormats.tex(fragment) == "no preamble here")
+  }
+
+  test("sniff names containers by content; extractAuto overrides mislabels") {
+    import graft.functions.{DocumentExtract, LegacyOfficeFixtures, OdfFixtures}
+    assert(DocumentExtract.sniff(LegacyOfficeFixtures.subsetPdf("x")) == Some("pdf"))
+    assert(DocumentExtract.sniff(LegacyOfficeFixtures.word97Doc("x")) == Some("doc"))
+    assert(DocumentExtract.sniff(LegacyOfficeFixtures.ppt97("x")) == Some("ppt"))
+    assert(DocumentExtract.sniff(LegacyOfficeFixtures.biff8Xls("x")) == Some("xls"))
+    assert(DocumentExtract.sniff(OdfFixtures.odt("x")) == Some("odt"))
+    assert(DocumentExtract.sniff(OdfFixtures.ods(Seq(Seq("x")))) == Some("ods"))
+    assert(DocumentExtract.sniff(OdfFixtures.odp(Seq(Seq("x")))) == Some("odp"))
+    assert(DocumentExtract.sniff(utf8("{\\rtf1 hi}")) == Some("rtf"))
+    assert(DocumentExtract.sniff(utf8("WEBVTT\n")) == Some("vtt"))
+    assert(DocumentExtract.sniff(
+      utf8("""{"nbformat":4,"cells":[]}""")) == Some("ipynb"))
+    // plain text: no signature -> declared extension stays in charge
+    assert(DocumentExtract.sniff(utf8("just words")) == None)
+    // docx zip (no mimetype member) sniffs by entry prefix
+    val docXml = "<w:document><w:body><w:p><w:r><w:t>mislabeled</w:t></w:r></w:p></w:body></w:document>"
+    val docxBytes = zip("word/document.xml" -> docXml)
+    assert(DocumentExtract.sniff(docxBytes) == Some("docx"))
+    assert(DocumentExtract.extractAuto("pdf", "wrong.pdf", docxBytes) == "mislabeled")
+    // correctly-labeled content is unchanged by the auto path
+    assert(DocumentExtract.extractAuto("odt", "right.odt", OdfFixtures.odt("ok")) == "ok")
   }
 
   test("dispatch routes ipynb/srt/vtt/tex through DocumentExtract") {
