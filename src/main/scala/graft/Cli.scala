@@ -143,12 +143,11 @@ object Cli {
               Files.deleteIfExists(Paths.get(p)); println(s"deleted state: $p")
             }
             cfg.sink.str("uri").orElse(cfg.sink.str("path")).foreach { p =>
-              def rm(f: java.io.File): Unit = {
-                if (f.isDirectory) f.listFiles().foreach(rm)
-                f.delete()
-              }
               val f = new java.io.File(p)
-              if (f.exists()) { rm(f); println(s"deleted sink: $p") }
+              if (f.exists()) {
+                org.apache.spark.network.util.JavaUtils.deleteRecursively(f)
+                println(s"deleted sink: $p")
+              }
             }
         }
 

@@ -110,11 +110,9 @@ object SparkEntry {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       case e: java.nio.file.FileSystemException =>
-        if (java.nio.file.Files.exists(dst)) { // lost the race: clean up
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } else throw e // a real failure, not a race — keep staging, surface it
+        if (java.nio.file.Files.exists(dst)) // lost the race: clean up
+          org.apache.spark.network.util.JavaUtils.deleteRecursively(src.toFile)
+        else throw e // a real failure, not a race — keep staging, surface it
     }
   }
   private val ivfPqCoarse =
@@ -1460,15 +1458,11 @@ object SparkEntry {
       // oracle: list_dot_product replays the token cosines
       // value-for-value, both engines summing in vec_id order.
       val emb = t(s, dir, "embeddings")
-      def tokMat(df: DataFrame, n: Int) = df
-        .groupBy(col("label"))
-        .agg(slice(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
-          1, n).as("__t"))
-        .select(col("label"), transform(col("__t"), x => x("embedding")).as("toks"))
-      val docs = tokMat(emb, 8)
-        .select(col("label").as("doc_label"), col("toks").as("d_tokens"))
-      val queries = tokMat(emb.filter(col("label") % 4 === 0), 2)
-        .select(col("label").as("q_label"), col("toks").as("q_tokens"))
+      val docs = MaxSim.tokenMatrix(emb, col("label"), "vec_id", "embedding", 8)
+        .select(col("id").as("doc_label"), col("toks").as("d_tokens"))
+      val queries = MaxSim.tokenMatrix(emb.filter(col("label") % 4 === 0),
+          col("label"), "vec_id", "embedding", 2)
+        .select(col("id").as("q_label"), col("toks").as("q_tokens"))
       MaxSim.rerank(queries, "q_label", "q_tokens",
           docs, "doc_label", "d_tokens", k = 3)
         .select(col("q_label"), col("doc_label"),
@@ -1484,16 +1478,12 @@ object SparkEntry {
       // so the output shows both orderings. FULL oracle: the pool
       // arithmetic and both rank stages replay value-for-value.
       val emb = t(s, dir, "embeddings")
-      def tokMat(df: DataFrame, n: Int) = df
-        .groupBy(col("label"))
-        .agg(slice(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
-          1, n).as("__t"))
-        .select(col("label"), transform(col("__t"), x => x("embedding")).as("toks"))
-      val docs = tokMat(emb, 8)
-        .select(col("label").as("doc_label"), col("toks").as("d_tokens"),
+      val docs = MaxSim.tokenMatrix(emb, col("label"), "vec_id", "embedding", 8)
+        .select(col("id").as("doc_label"), col("toks").as("d_tokens"),
           MaxSim.meanPool(col("toks")).as("d_pool"))
-      val queries = tokMat(emb.filter(col("label") % 4 === 0), 2)
-        .select(col("label").as("q_label"), col("toks").as("q_tokens"),
+      val queries = MaxSim.tokenMatrix(emb.filter(col("label") % 4 === 0),
+          col("label"), "vec_id", "embedding", 2)
+        .select(col("id").as("q_label"), col("toks").as("q_tokens"),
           MaxSim.meanPool(col("toks")).as("q_pool"))
       val stage1 = docs.crossJoin(broadcast(queries))
         .withColumn("s1", round( // pools are array<double> — HOF cosine, not the float-specialized graft_cosine

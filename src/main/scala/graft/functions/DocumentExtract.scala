@@ -93,7 +93,11 @@ object DocumentExtract {
     else if (sig(0x1F, 0x8B)) Some("gz") // loud downstream: route to archives
     else if (head.startsWith("{\\rtf")) Some("rtf")
     else if (head.startsWith("WARC/")) Some("warc")
-    else if (head.startsWith("From ")) Some("mbox")
+    // "From " alone is prose, not a signature — require the RFC 4155
+    // envelope shape (sender token + an asctime-style hh:mm:ss) before
+    // overriding a declared extension
+    else if (head.startsWith("From ") && head.takeWhile(_ != '\n')
+      .matches("From \\S+ .*\\d{2}:\\d{2}:\\d{2}.*")) Some("mbox")
     // UTF-8 BOM reads as EF BB BF under the ISO_8859_1 head decode
     else if (head.startsWith("WEBVTT") ||
       head.startsWith("\u00ef\u00bb\u00bfWEBVTT")) Some("vtt")

@@ -164,7 +164,9 @@ object TextFunctions {
     * UDF, no YAML engine) covering the scalar-string subset real corpora
     * use; list/nested values come through as their raw line text.
     */
-  private val FrontMatterBlock = "(?s)\\A---\\n(.*?\\n)---\\n"
+  // \r?\n throughout: Windows-authored markdown fences CRLF and must
+  // still split (the capture keeps per-line \r; the field regex strips it)
+  private val FrontMatterBlock = "(?s)\\A---\\r?\\n(.*?\\r?\\n)---\\r?\\n"
 
   /** The value of `key` inside the front-matter block, surrounding single
     * or double quotes stripped; null when the document has no front matter
@@ -173,7 +175,7 @@ object TextFunctions {
   def frontMatterField(t: Column, key: String): Column = {
     require(key.matches("[A-Za-z0-9_-]+"), s"front-matter key must be plain, got '$key'")
     val block = regexp_extract(t, FrontMatterBlock, 1)
-    val raw = regexp_extract(block, "(?m)^" + key + ":[ \\t]*(.*)$", 1)
+    val raw = regexp_extract(block, "(?m)^" + key + ":[ \\t]*(.*?)\\r?$", 1)
     val unq = regexp_replace(
       regexp_replace(raw, "^\"(.*)\"$", "$1"), "^'(.*)'$", "$1")
     when(raw === "", lit(null).cast("string")).otherwise(unq)

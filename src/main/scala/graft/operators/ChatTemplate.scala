@@ -67,13 +67,20 @@ object ChatTemplate {
     val m = col(messagesCol)
     val sys = filter(m, x => x.getField("role") === "system")
     val sysContent = when(size(sys) > 0, element_at(sys, 1).getField("content"))
-    val users = filter(m, x => x.getField("role") === "user")
-    val assts = filter(m, x => x.getField("role") === "assistant")
-    val nPairs = least(size(users), size(assts))
-    val blocks = transform(sequence(lit(1), nPairs), i => {
-      val u = element_at(users, i).getField("content")
-      val a = element_at(assts, i).getField("content")
-      val head = when(i === 1 && sysContent.isNotNull,
+    // Pair by ADJACENCY (a user turn immediately answered by an assistant
+    // turn), not by zipping the role-filtered arrays positionally — a
+    // user double-send would otherwise attach the reply to the WRONG
+    // prompt and silently drop a turn. Unanswered user turns don't render.
+    val pairIdx = when(size(m) >= 2,
+      filter(sequence(lit(1), size(m) - 1), i =>
+        element_at(m, i).getField("role") === "user" &&
+          element_at(m, i + 1).getField("role") === "assistant"))
+      .otherwise(array().cast("array<int>"))
+    val nPairs = size(pairIdx)
+    val blocks = transform(pairIdx, (i, pos) => {
+      val u = element_at(m, i).getField("content")
+      val a = element_at(m, i + 1).getField("content")
+      val head = when(pos === 0 && sysContent.isNotNull,
         concat(lit("<<SYS>>\n"), sysContent, lit("\n<</SYS>>\n\n")))
         .otherwise(lit(""))
       concat(lit("<s>[INST] "), head, u, lit(" [/INST] "), a, lit(" </s>"))

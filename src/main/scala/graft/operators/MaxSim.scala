@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,30 +34,49 @@ import graft.functions.VectorFunctions
   */
 object MaxSim {
 
+  /** The Σ-max score expression. Per query token, `array_max` skips null
+    * cosines (zero-norm doc tokens), so a doc with SOME healthy tokens
+    * still scores on those; but when a query token has NO non-null match
+    * (empty doc matrix, or every doc token zero-norm) the best-match is
+    * null and `acc + null` nulls the WHOLE pair score — the honest
+    * outcome, since a partial sum would silently rank the pair as if that
+    * query token contributed 0. [[topK]] then EXCLUDES null-scored pairs
+    * from the ranking instead of letting them occupy rank slots.
+    */
+  private def maxSimScore(qTokCol: String, dTokCol: String): Column =
+    aggregate(
+      col(qTokCol), lit(0.0),
+      (acc, qt) => acc + array_max(
+        transform(col(dTokCol), dt => VectorFunctions.cosineSimilarity(qt, dt))))
+
+  /** Per-query top-k over scored pairs: null scores drop (see
+    * [[maxSimScore]]), rank 1-based, ties broken by candidate id
+    * ascending.
+    */
+  private def topK(scored: DataFrame, qIdCol: String, dIdCol: String,
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(dIdCol).asc)
+    scored
+      .filter(col("score").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Score every (query, candidate) pair and keep the top `k` candidates
-    * per query: `(qIdCol, dIdCol, score, rank)`, rank 1-based, ties broken
-    * by candidate id ascending. Zero-norm tokens follow
-    * [[VectorFunctions.cosineSimilarity]]'s null discipline: a null best
-    * match drops out of the sum via `array_max`'s null-skipping only when
-    * other tokens matched; an all-null row nulls the score (surfacing the
-    * broken input instead of faking a 0).
+    * per query: `(qIdCol, dIdCol, score, rank)`. Score nulling and rank
+    * semantics per [[maxSimScore]]/[[topK]] — a candidate with a
+    * zero-norm or empty token matrix never appears in anyone's top-k.
     */
   def rerank(queries: DataFrame, qIdCol: String, qTokCol: String,
              docs: DataFrame, dIdCol: String, dTokCol: String,
              k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val score = aggregate(
-      col(qTokCol), lit(0.0),
-      (acc, qt) => acc + array_max(
-        transform(col(dTokCol), dt => VectorFunctions.cosineSimilarity(qt, dt))))
     val scored = docs
       .crossJoin(broadcast(queries.select(col(qIdCol), col(qTokCol))))
-      .select(col(qIdCol), col(dIdCol), score.as("score"))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(dIdCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(dIdCol),
+        maxSimScore(qTokCol, dTokCol).as("score"))
+    topK(scored, qIdCol, dIdCol, k)
   }
 
   /** Score an ALREADY-PAIRED candidate table — the deployment shape: a
@@ -70,16 +89,8 @@ object MaxSim {
   def rerankPairs(pairs: DataFrame, qIdCol: String, qTokCol: String,
                   dIdCol: String, dTokCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val score = aggregate(
-      col(qTokCol), lit(0.0),
-      (acc, qt) => acc + array_max(
-        transform(col(dTokCol), dt => VectorFunctions.cosineSimilarity(qt, dt))))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(dIdCol).asc)
-    pairs
-      .select(col(qIdCol), col(dIdCol), score.as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(pairs.select(col(qIdCol), col(dIdCol),
+      maxSimScore(qTokCol, dTokCol).as("score")), qIdCol, dIdCol, k)
   }
 
   /** Mean-pool a token matrix into one vector (the single-vector proxy a
@@ -87,12 +98,26 @@ object MaxSim {
     * left-to-right double accumulation — deterministic and
     * oracle-replayable. Null/empty matrices yield null.
     */
-  def meanPool(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def meanPool(tokens: Column): Column = {
     val n = size(tokens)
     when(tokens.isNull || n === 0, lit(null))
       .otherwise(transform(
         sequence(lit(1), size(element_at(tokens, 1))),
         i => aggregate(tokens, lit(0.0),
           (acc, t) => acc + element_at(t, i).cast("double")) / n.cast("double")))
+  }
+
+  /** Group per-vector rows into a token MATRIX per `idCol` group: the
+    * first `n` vectors in `orderCol` order. The builder behind the gate
+    * fixtures and [[graft.tools.MaxSimBench]] — one ObjectHashAggregate,
+    * deterministic order via the sort inside the collected struct.
+    */
+  def tokenMatrix(df: DataFrame, idCol: Column, orderCol: String,
+                  vecCol: String, n: Int): DataFrame = {
+    require(n > 0, s"token count must be positive, got $n")
+    df.groupBy(idCol.as("id"))
+      .agg(slice(array_sort(collect_list(struct(col(orderCol), col(vecCol)))),
+        1, n).as("__t"))
+      .select(col("id"), transform(col("__t"), x => x(vecCol)).as("toks"))
   }
 }

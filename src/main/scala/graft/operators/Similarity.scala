@@ -951,8 +951,7 @@ object Similarity {
     val rootPath = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(rootPath)) return Seq.empty
     def deleteTree(p: java.nio.file.Path): Unit =
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(p.toFile)
     def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val s = java.nio.file.Files.list(p)
       try s.iterator().asScala.toSeq finally s.close()

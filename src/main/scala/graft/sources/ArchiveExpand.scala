@@ -126,7 +126,11 @@ object ArchiveExpand {
       case (suf, codec) if n.endsWith(suf) => (suf, codec)
     }
     if (compressedTar.isDefined)
-      nested(tarEntries(decompress(compressedTar.get, bytes, budget, name), budget, name))
+      // decompress() already charged every produced byte — charging each
+      // entry again in tarEntries would double-bill the budget per
+      // compression layer (a legit ~130 MB .tar.gz tripping the 256 MB cap)
+      nested(tarEntries(decompress(compressedTar.get, bytes, budget, name),
+        budget, name, chargeData = false))
     else if (n.endsWith(".tar")) nested(tarEntries(bytes, budget, name))
     else if (n.endsWith(".zip")) nested(zipEntriesBytes(bytes, budget, name))
     else if (singleMember.isDefined) {
@@ -197,7 +201,8 @@ object ArchiveExpand {
     * all-zero nor checksum-valid fails loudly — tar has no magic strong
     * enough to resynchronize on.
     */
-  private[graft] def tarEntries(bytes: Array[Byte], budget: Budget, at: String): Seq[(String, Array[Byte])] = {
+  private[graft] def tarEntries(bytes: Array[Byte], budget: Budget, at: String,
+                                chargeData: Boolean = true): Seq[(String, Array[Byte])] = {
     val out = mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var off = 0
     var pendingLongName: String = null
@@ -224,7 +229,7 @@ object ArchiveExpand {
         val typeflag = hdr(156).toChar
         val dataEnd = off + Block + size.toInt
         def data(): Array[Byte] = {
-          budget.charge(size, at)
+          if (chargeData) budget.charge(size, at)
           java.util.Arrays.copyOfRange(bytes, off + Block, dataEnd)
         }
         typeflag match {
@@ -375,6 +380,14 @@ final case class ArchiveSource(directory: String,
     val entries = raw
       .select(col("path"), explode(expandU(col("path"), col("content"))).as("e"))
       .select(col("path"), col("e._1").as("entry"), col("e._2").as("bytes"))
+      // A leaf that is ITSELF an unexpandable container (nested past
+      // max_depth, or a format with no offline decoder — 7z/rar) must
+      // SKIP, not abort: extractColumn's loud raise_error is right for a
+      // standalone mislabeled file, but here it would fail the whole
+      // corpus ingest over one stray member. Dropped members re-ingest
+      // by re-running with a higher max_depth.
+      .filter(!lower(regexp_extract(col("entry"), "\\.([A-Za-z0-9]+)$", 1))
+        .isin(TextExtractors.unsupportedExts: _*))
     GraftSource.canonical(entries.select(
       TextExtractors.extractColumn(col("entry"), col("bytes")).as("content"),
       concat(col("path"), lit("!"), col("entry")).as("source"),

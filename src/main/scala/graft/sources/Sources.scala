@@ -104,6 +104,12 @@ object TextExtractors {
   private[sources] def extsOf(h: Handling): Seq[String] =
     registry.collect { case (ext, `h`) => ext }.toSeq
 
+  /** The no-offline-decoder extension list, for sources that need to SKIP
+    * such members rather than hit [[extractColumn]]'s loud error (the
+    * archive source's nested-member case).
+    */
+  private[sources] val unsupportedExts: Seq[String] = extsOf(Unsupported)
+
   /** The registry as one dispatching Column over (path, raw bytes) — shared
     * by every file-shaped source so local dirs and object stores extract
     * identically. One [[graft.functions.DocumentExtract]] UDF call per FILE

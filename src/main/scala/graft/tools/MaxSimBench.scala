@@ -36,16 +36,15 @@ object MaxSimBench {
     import spark.implicits._
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    def tokMat(df: DataFrame, n: Int) = df
-      .groupBy((col("vec_id") / tokensPerDoc).cast("long").as("gid"))
-      .agg(slice(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
-        1, n).as("__t"))
-      .select(col("gid"), transform(col("__t"), x => x("embedding")).as("toks"))
-    val docs = tokMat(emb, tokensPerDoc)
-      .select(col("gid").as("doc_id"), col("toks").as("d_tokens"),
+    val gid = (col("vec_id") / tokensPerDoc).cast("long")
+    val docs = MaxSim.tokenMatrix(emb, gid, "vec_id", "embedding", tokensPerDoc)
+      .select(col("id").as("doc_id"), col("toks").as("d_tokens"),
         MaxSim.meanPool(col("toks")).as("d_pool")).cache()
-    val queries = tokMat(emb.filter((col("vec_id") / tokensPerDoc) % 10 === 0), 2)
-      .select(col("gid").as("q_id"), col("toks").as("q_tokens"),
+    // integer group id BEFORE the modulo — the double form (vec_id/10 % 10)
+    // only kept vec_id % 100 == 0 rows, shrinking queries to one token
+    val queries = MaxSim.tokenMatrix(emb.filter(gid % 10 === 0),
+        gid, "vec_id", "embedding", 2)
+      .select(col("id").as("q_id"), col("toks").as("q_tokens"),
         MaxSim.meanPool(col("toks")).as("q_pool")).cache()
     val nDocs = docs.count(); val nQ = queries.count()
     println(s"[maxsim-bench] docs=$nDocs queries=$nQ tokensPerDoc=$tokensPerDoc")

@@ -211,6 +211,26 @@ class ArchiveExpandSpec extends AnyFunSuite with SparkTestBase {
     assert(g.getMessage.contains("corrupt gzip"))
   }
 
+  test("bomb budget charges a compressed tar's bytes ONCE, not per layer") {
+    // 40 data bytes in a .tar.gz with a 64-byte budget: a double charge
+    // (decompress + per-entry) would bill ~512+40+40 and trip; the single
+    // charge bills the decompressed stream only
+    val prev = ArchiveExpand.MaxExpandedBytes
+    try {
+      val payload = b("y" * 40)
+      val targz = ArchiveFixtures.gzip(ArchiveFixtures.tar(Seq("y.txt" -> payload)))
+      // decompressed tar stream = 512 hdr + 512 data-block + 1024 trailer
+      ArchiveExpand.MaxExpandedBytes = 3000
+      val got = ArchiveExpand.expand("o.tar.gz", targz)
+      assert(got.map(e => e._1 -> new String(e._2, "UTF-8")) == Seq("y.txt" -> "y" * 40))
+      // and the guard still fires when the stream itself is over budget
+      ArchiveExpand.MaxExpandedBytes = 1000
+      val e = intercept[IllegalArgumentException](
+        ArchiveExpand.expand("o.tar.gz", targz))
+      assert(e.getMessage.contains("decompression bomb"))
+    } finally ArchiveExpand.MaxExpandedBytes = prev
+  }
+
   test("S1 local_files refuses archives loudly and names the archive source") {
     import graft.sources.LocalFileSource
     val dir = tempDir("graft-arcrefuse")
@@ -240,5 +260,19 @@ class ArchiveExpandSpec extends AnyFunSuite with SparkTestBase {
     // fingerprint = sha256 of the ENTRY bytes, not the archive's
     val fps = out.map(_.getAs[String]("fingerprint"))
     assert(fps.forall(_.length == 64) && fps.distinct.length == fps.length)
+  }
+
+  test("S1 ArchiveSource: an unexpandable member skips, never aborting the ingest") {
+    val dir = tempDir("graft-arcskip")
+    // one good member, one .rar (no offline decoder), and a zip nested
+    // past max_depth=1 — the latter two must drop, the job must survive
+    val arc = ArchiveFixtures.tarGz(Seq(
+      "keep.txt" -> b("kept"),
+      "backup.rar" -> b("Rar!rest-of-rar"),
+      "deep.zip" -> ArchiveFixtures.zip(Seq("d.txt" -> b("buried")))))
+    Files.write(dir.resolve("mixed.tar.gz"), arc)
+    val out = ArchiveSource(dir.toString, maxDepth = 1).load(spark).collect()
+    val srcs = out.map(_.getAs[String]("source"))
+    assert(srcs.length == 1 && srcs.head.endsWith("mixed.tar.gz!keep.txt"))
   }
 }

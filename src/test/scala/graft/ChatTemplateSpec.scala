@@ -69,6 +69,23 @@ class ChatTemplateSpec extends AnyFunSuite with SparkTestBase {
       out(4L).isNullAt(out(4L).fieldIndex("n_pairs")))
   }
 
+  test("renderLlama2 pairs by adjacency: a double-send never misattributes the reply") {
+    val raw = Seq(
+      // user1 went unanswered; assistant1 answered user2 — the rendered
+      // pair must be (user2, assistant1), not (user1, assistant1)
+      (1L, """[{"role":"system","content":"s"},{"role":"user","content":"u1"},{"role":"user","content":"u2"},{"role":"assistant","content":"a1"}]"""),
+      // assistant double-reply: only the adjacent one pairs
+      (2L, """[{"role":"user","content":"u"},{"role":"assistant","content":"a"},{"role":"assistant","content":"followup"}]""")
+    ).toDF("id", "raw")
+    val out = ChatTemplate.renderLlama2(ChatTemplate.parseMessages(raw, "raw"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("chat_text") ==
+      "<s>[INST] <<SYS>>\ns\n<</SYS>>\n\nu2 [/INST] a1 </s>")
+    assert(out(1L).getAs[Long]("n_pairs") == 1L)
+    assert(out(2L).getAs[String]("chat_text") == "<s>[INST] u [/INST] a </s>")
+    assert(out(2L).getAs[Long]("n_pairs") == 1L)
+  }
+
   test("special characters survive the JSON round trip into the template") {
     val content = "line1\nline2 \"quoted\" back\\slash café —"
     val raw = Seq((1L, s"""[{"role":"user","content":${jsonStr(content)}}]"""))

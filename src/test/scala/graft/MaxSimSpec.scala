@@ -24,16 +24,17 @@ class MaxSimSpec extends AnyFunSuite with SparkTestBase {
     assert(got == List((2L, 2.0, 1), (4L, 2.0, 2), (1L, 1.0, 3)))
   }
 
-  test("maxsim: zero-norm doc tokens null-skip; all-zero doc nulls the score") {
+  test("maxsim: zero-norm tokens null-skip per query token; null pairs leave the ranking") {
     val docs = Seq(
-      (1L, Seq(Seq(0f, 0f), Seq(1f, 0f))), // null cosine skipped by array_max
-      (2L, Seq(Seq(0f, 0f)))               // every token null -> null score
+      (1L, Seq(Seq(0f, 0f), Seq(1f, 0f))), // zero-norm token skipped: 1 + 0
+      (2L, Seq(Seq(1f, 1f))),              // sqrt(2)/2 twice = 1.41421...
+      (3L, Seq.empty[Seq[Float]]),         // empty matrix -> null score
+      (4L, Seq(Seq(0f, 0f)))               // ALL tokens zero-norm -> null score
     ).toDF("did", "d_tokens")
-    val got = MaxSim.rerank(q, "qid", "q_tokens", docs, "did", "d_tokens", k = 2)
-      .collect().map(r => r.getAs[Long]("did") ->
-        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble)).toMap
-    assert(got(1L).contains(1.0)) // 1 (best vs [1,0]) + 0 (vs [1,0])
-    assert(got(2L).isEmpty)
+    val got = MaxSim.rerank(q, "qid", "q_tokens", docs, "did", "d_tokens", k = 4)
+      .collect().map(r => (r.getAs[Long]("did"), r.getAs[Int]("rank"))).toList
+    // docs 3 and 4 are EXCLUDED (null score never occupies a rank slot)
+    assert(got == List((2L, 1), (1L, 2)))
   }
 
   test("meanPool: dimension-wise mean; empty matrix nulls") {

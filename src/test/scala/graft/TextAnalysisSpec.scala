@@ -285,6 +285,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L).getString(6) == "body line\n---\nnot a fence")
     // no front matter: fields null, body untouched (stray fence survives)
     assert(got(2L).isNullAt(1) && got(2L).getString(6) == plain)
+    // CRLF (Windows-authored) fences split too, values CR-stripped
+    val crlf = "---\r\ntitle: Win\r\n---\r\nbody"
+    val winRow = Seq((3L, crlf)).toDF("id", "text").select(
+      graft.functions.TextFunctions.frontMatterField(col("text"), "title").as("t"),
+      graft.functions.TextFunctions.frontMatterBody(col("text")).as("b"))
+      .collect().head
+    assert(winRow.getString(0) == "Win" && winRow.getString(1) == "body")
     intercept[IllegalArgumentException] {
       graft.functions.TextFunctions.frontMatterField(col("text"), "bad key")
     }

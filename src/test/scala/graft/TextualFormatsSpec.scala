@@ -140,6 +140,11 @@ class TextualFormatsSpec extends AnyFunSuite {
       utf8("""{"nbformat":4,"cells":[]}""")) == Some("ipynb"))
     // plain text: no signature -> declared extension stays in charge
     assert(DocumentExtract.sniff(utf8("just words")) == None)
+    // "From " as prose is NOT an mbox; the RFC 4155 envelope shape is
+    assert(DocumentExtract.sniff(
+      utf8("From the archives of 1999, a story.")) == None)
+    assert(DocumentExtract.sniff(utf8(
+      graft.sources.ArchiveFixtures.mboxrd(Seq("Subject: s\n\nbody")))) == Some("mbox"))
     // docx zip (no mimetype member) sniffs by entry prefix
     val docXml = "<w:document><w:body><w:p><w:r><w:t>mislabeled</w:t></w:r></w:p></w:body></w:document>"
     val docxBytes = zip("word/document.xml" -> docXml)
