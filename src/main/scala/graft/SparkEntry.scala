@@ -28,6 +28,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Parallelism spreader for gates whose PER-ROW compute dominates (guide
+    * §2.5 "input skew — one unsplittable file"): every sf test table is a
+    * single-row-group parquet file, so its scan is exactly ONE task and a
+    * compute-heavy narrow pipeline serializes on 1 of N cores (measured
+    * r16: `archive_expand` spent 16.1 s in one task on a 32-core session).
+    * One round-robin exchange of the few input MBs buys N-way parallelism
+    * for the downstream codec/HOF/cross-join work. Scale-adaptive by
+    * construction ([[Partitioning.ensureParallelism]] targets
+    * defaultParallelism and is a NO-OP once the scan already splits — at
+    * 100 TB real inputs split at row-group boundaries and this never
+    * fires). Applied ONLY to gates where a profiled serial stage
+    * dominated; per-row outputs are partitioning-independent, and the
+    * touched gates' aggregates keep the repo's exact-arithmetic
+    * discipline, so results are unchanged (oracle-verified).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    Partitioning.ensureParallelism(df)
+
   /** CROSS-SESSION stored-artifact registry for trained IVF-PQ indexes
     * (r13 verdict #1 train-once / audit-many; r14 verdict #3 across
     * sessions): the FIRST gate that needs a (corpus variant, PQ budget)
@@ -575,8 +593,8 @@ object SparkEntry {
           case (n, b) => (n, new String(b, java.nio.charset.StandardCharsets.UTF_8))
         }
       })
-      t(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) <= 10000)
+      spread(t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) <= 10000))
         .select(col("doc_id"),
           explode(via(concat(lit("["), col("text"), lit("]")))).as("e"))
         .select(col("doc_id"), col("e._1").as("entry"), col("e._2").as("entry_text"))
@@ -1623,8 +1641,8 @@ object SparkEntry {
       // over knn=4 neighborhoods, best target per source + mutual flag.
       val e = t(s, dir, "embeddings")
       Similarity.marginBitext(
-        e.filter(col("vec_id") % 2 === 0),
-        e.filter(col("vec_id") % 2 === 1), knn = 4)
+        spread(e.filter(col("vec_id") % 2 === 0)),
+        spread(e.filter(col("vec_id") % 2 === 1)), knn = 4)
     }),
 
     "label_agreement" -> ((s, dir) => {
@@ -1713,7 +1731,7 @@ object SparkEntry {
       // (SketchAudit.countMinAudit scaladoc): engine-neutral md5 bucket
       // hashes, depth 3 x width 128, top-20 keys, never-undercounts law.
       SketchAudit.countMinAudit(
-        t(s, dir, "documents")
+        spread(t(s, dir, "documents"))
           .select(explode(TextAnalysis.toks(col("text"))).as("term")),
         "term")),
 
@@ -1955,7 +1973,10 @@ object SparkEntry {
         transform(sequence(lit(1), size(tk) - 1),
           i => concat_ws("_", slice(tk, i, lit(2)))))
         .otherwise(array().cast("array<string>"))
-      val bigramText = d.select(col("doc_id"),
+      // spread BEFORE the bigram projection: the heavy transform/slice/
+      // array_join runs below greedySetCover's own exchange otherwise
+      // (profiled 3.0 s single-task at sf0.1, guide §2.5).
+      val bigramText = spread(d).select(col("doc_id"),
         array_join(bigrams, " ").as("text"))
       Sampling.greedySetCover(bigramText, "text", "doc_id", k = 5)
     }),
@@ -2281,7 +2302,7 @@ object SparkEntry {
       // the exact-regime all-pairs cost at driver SF bumps (the
       // ssjoin_prefix discipline).
       Similarity.mutualKnnPairs(
-        t(s, dir, "embeddings").filter(col("vec_id") < 1250), k = 5)),
+        spread(t(s, dir, "embeddings").filter(col("vec_id") < 1250)), k = 5)),
 
     "decay_scores" -> ((s, dir) =>
       // Recency-decayed per-user activity, 7-day half-life
@@ -3719,7 +3740,7 @@ object SparkEntry {
       // Quoted-query adjacency search (Bm25.phraseMatches scaladoc) for
       // "hash join": ~27 fixture docs contain the bigram, one twice —
       // match count and 1-based first position both exercised.
-      Bm25.phraseMatches(t(s, dir, "documents"), "text", "doc_id",
+      Bm25.phraseMatches(spread(t(s, dir, "documents")), "text", "doc_id",
         Seq("hash", "join"))),
 
     "prf_expansion" -> ((s, dir) =>

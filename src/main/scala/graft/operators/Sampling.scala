@@ -43,11 +43,19 @@ object Sampling {
     // anti-join against the (small, vocabulary-bounded) covered set plus
     // one TakeOrdered argmax. A growing literal-array alternative paid a
     // full codegen compile per round (measured 6.4 s for 5 rounds at
-    // sf0.1; this shape runs in ~1 s).
-    val terms = df.select(col(idCol).cast("long").as("__id"),
+    // sf0.1; this shape runs in ~1 s). r16: ensureParallelism before the
+    // tokenize+explode (an unsplittable single-file input serialized the
+    // cache-building pass on one task — 3.2 s of the gate's 5.1 s, guide
+    // §2.5), then measuredCoPartition on the id so the per-round argmax
+    // aggregates WITHOUT an exchange at a width sized to the measured
+    // working set — a k-round loop over a tiny table must not pay
+    // session-width scheduling per round (Partitioning.iterationWidth),
+    // while a cluster-scale corpus keeps full width.
+    val exploded = Partitioning.ensureParallelism(df)
+      .select(col(idCol).cast("long").as("__id"),
         explode(array_distinct(TextAnalysis.toks(col(textCol)))).as("__t"))
       .filter(col("__id").isNotNull)
-      .persist()
+    val (terms, _) = Partitioning.measuredCoPartition(exploded, col("__id"))
     try {
       var covered = Set.empty[String]
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]

@@ -2434,9 +2434,20 @@ object Similarity {
     * margin, best target per source, and the mutual flag all run on the
     * candidate-sized frame.
     */
-  private def marginFromScored(scored: DataFrame, knn: Int,
+  private def marginFromScored(scoredRaw: DataFrame, knn: Int,
                                roundDp: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The scored candidate frame feeds THREE independent consumers (both
+    // neighborhood aggregates and the margin join) — without a
+    // materialization each one re-evaluates the upstream pair scoring
+    // (the exact regime's full cross-join cosine pass; profiled r16: 3x
+    // the pair work, the dominant cost of the bitext gates).
+    // localCheckpoint, not persist: the three narrow integer columns
+    // materialize once as local RDD blocks and the lineage is cut (guide
+    // §5 — the cheaper way to stop recomputation when fault tolerance of
+    // the intermediate doesn't matter); candidate-sized, never
+    // |src| x |tgt| in the blocked regime.
+    val scored = scoredRaw.localCheckpoint()
     val bySrc = Window.partitionBy(col("src_id"))
       .orderBy(col("__cu").desc, col("tgt_id"))
     val byTgt = Window.partitionBy(col("tgt_id"))
@@ -2456,6 +2467,8 @@ object Similarity {
           (col("__ssum") * col("__tn") + col("__tsum") * col("__sn")),
           roundDp))
       .select(col("src_id"), col("tgt_id"), col("margin"))
+      // consumed by BOTH best-per-side windows — same reuse argument.
+      .localCheckpoint()
     val marginBySrc = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id"))
     val marginByTgt = Window.partitionBy(col("tgt_id"))
