@@ -3585,12 +3585,19 @@ object SparkEntry {
       // verdict #1): the release report audits the deployed indexes, it
       // does not retrain them.
       val e = t(s, dir, "embeddings")
+      // materializeArms (r16): the seven audit arms are independent but
+      // unioned into one tree they executed as a ~140-stage mostly-
+      // sequential chain — the gate's wall tracked stage count
+      // (~85 ms/stage), not task work. The flag runs each arm as its own
+      // overlapped job and unions the materialized one-row summaries
+      // (guide §2.6 + §3.3); per-arm plans and values are unchanged.
       val tr = Similarity.compressionTradeoff(
         e.filter(col("vec_id") < 20), e, k = 5,
         includeProductionIvfPq = true,
         prebuiltIvfPq = Some(ivfPqArtifact(s, dir, "base", e, 4, 8)),
         prebuiltProductionIvfPq =
-          Some(ivfPqArtifact(s, dir, "base", e, 8, 64)))
+          Some(ivfPqArtifact(s, dir, "base", e, 8, 64)),
+        materializeArms = true)
       Profile.datasetCard(t(s, dir, "documents"), storage = Some(tr))
     }),
 

@@ -1786,13 +1786,17 @@ object Similarity {
                           prebuiltIvfPq: Option[(DataFrame,
                             Array[Array[Double]], Pq.Codebooks)] = None,
                           prebuiltProductionIvfPq: Option[(DataFrame,
-                            Array[Array[Double]], Pq.Codebooks)] = None)
+                            Array[Array[Double]], Pq.Codebooks)] = None,
+                          materializeArms: Boolean = false)
       : DataFrame = {
     // ONE panel for all six arms: the IVF-PQ core drops null/empty query
     // vectors by construction, so the same filter is applied up front —
     // otherwise the table's n_queries (and hence the means) would be
     // computed over DIFFERENT panels per axis and the comparison column
-    // would be invalid.
+    // would be invalid. (r16 note: ensureParallelism on this 20-row panel
+    // was tried and REVERTED — the gate's wall is AQE-stage-latency
+    // bound, and 32-way spreading a 20-row frame added a stage per arm
+    // for a measured net loss: compression_tradeoff 2.6 -> 3.7 s.)
     val qs = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     // Memory ratios are DERIVED from the measured corpus width, not
     // hardcoded: jl/truncation keep float32 components (ratio dim/outDim),
@@ -1832,35 +1836,17 @@ object Similarity {
         case None => Some(ivfIndex(corpus, vecCol, nCells = 8, seed = 42L,
           idCol = idCol))
       }
-    val sixArms = summarize("sq8", 4.0,
-        sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows))
-      .union(summarize(s"jl_$jlDim", dim.toDouble / jlDim,
-        jlRecall(qs, corpus, k, inDim = dim, outDim = jlDim, idCol = idCol,
-          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)))
-      .union(summarize(s"truncate_$truncDim", dim.toDouble / truncDim,
-        truncationRecall(qs, corpus, k, truncDim, idCol, vecCol,
-          roundDp, maxExactRows)))
-      .union(summarize("binary_rerank", 32.0,
-        hammingRerankRecall(qs, corpus, shortlist, k, idCol, vecCol,
-          roundDp, maxExactRows)))
-      .union {
-        // The two IVF-PQ arms share ONE trained index — the training
-        // (driver-round k-means jobs) plus the persisted encode pass are
-        // the dominant costs, and both audits query the same deployed
-        // structure by definition. A stored artifact (prebuiltIvfPq)
-        // replaces the training entirely.
-        val index = prebuiltIvfPq.getOrElse(
-          ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = pqM,
-            kCodes = 8, pqIterations = 2, coarse = sharedCoarse))
-        val pqRatio = dim.toDouble * 4 / pqM
-        summarize(s"ivf_pq_m$pqM", pqRatio,
-          ivfPqRecallCore(qs, corpus, k, None, 8, pqM, 8, 2, 2,
-            idCol, vecCol, roundDp, maxExactRows, Some(index)))
-          .union(summarize(s"ivf_pq_m${pqM}_rerank", pqRatio,
-            ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, pqM, 8, 2,
-              2, idCol, vecCol, roundDp, maxExactRows, Some(index))))
-      }
-    // OPT-IN seventh arm: the PRODUCTION code budget (m=8 byte subspaces,
+    // The two IVF-PQ arms share ONE trained index — the training
+    // (driver-round k-means jobs) plus the persisted encode pass are
+    // the dominant costs, and both audits query the same deployed
+    // structure by definition. A stored artifact (prebuiltIvfPq)
+    // replaces the training entirely. Lazy: only forced with the arms.
+    lazy val index = prebuiltIvfPq.getOrElse(
+      ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = pqM,
+        kCodes = 8, pqIterations = 2, coarse = sharedCoarse))
+    val pqRatio = dim.toDouble * 4 / pqM
+    // One thunk per audit arm, in the table's row order. The OPT-IN
+    // seventh arm is the PRODUCTION code budget (m=8 byte subspaces,
     // kCodes=64, rerank — the `ivf_pq_production_recall` configuration).
     // Off by default because it trains its own (larger) PQ codebooks —
     // the card gate pays it so the release report shows the recipe a
@@ -1868,14 +1854,53 @@ object Similarity {
     // COARSE quantizer is shared with the m=4 arms (cell structure is
     // PQ-budget-independent). No empty-union placeholder: the default
     // table's plan carries exactly six arms.
-    if (!includeProductionIvfPq) sixArms
-    else sixArms.union(
-      summarize("ivf_pq_m8_rerank", dim.toDouble * 4 / 8,
+    val arms: Seq[() => DataFrame] = Seq(
+      () => summarize("sq8", 4.0,
+        sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows)),
+      () => summarize(s"jl_$jlDim", dim.toDouble / jlDim,
+        jlRecall(qs, corpus, k, inDim = dim, outDim = jlDim, idCol = idCol,
+          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)),
+      () => summarize(s"truncate_$truncDim", dim.toDouble / truncDim,
+        truncationRecall(qs, corpus, k, truncDim, idCol, vecCol,
+          roundDp, maxExactRows)),
+      () => summarize("binary_rerank", 32.0,
+        hammingRerankRecall(qs, corpus, shortlist, k, idCol, vecCol,
+          roundDp, maxExactRows)),
+      () => summarize(s"ivf_pq_m$pqM", pqRatio,
+        ivfPqRecallCore(qs, corpus, k, None, 8, pqM, 8, 2, 2,
+          idCol, vecCol, roundDp, maxExactRows, Some(index))),
+      () => summarize(s"ivf_pq_m${pqM}_rerank", pqRatio,
+        ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, pqM, 8, 2,
+          2, idCol, vecCol, roundDp, maxExactRows, Some(index)))) ++
+      (if (!includeProductionIvfPq) Seq.empty[() => DataFrame]
+       else Seq(() => summarize("ivf_pq_m8_rerank", dim.toDouble * 4 / 8,
         ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, 8, 64, 2,
           2, idCol, vecCol, roundDp, maxExactRows,
           Some(prebuiltProductionIvfPq.getOrElse(
             ivfPqIndex(corpus, vecCol, idCol, 8, 8, 64, 2,
-              coarse = sharedCoarse))))))
+              coarse = sharedCoarse)))))))
+    if (!materializeArms) arms.map(_.apply()).reduce(_.union(_))
+    else {
+      // MATERIALIZED mode (the release-report gate): the seven arms are
+      // INDEPENDENT audit pipelines, but unioned into one tree their
+      // ~200 exchanges execute as one long mostly-sequential stage chain
+      // — wall tracked stage count (~85 ms/stage measured r16), not task
+      // work. Run each arm as its own job from a small thread pool
+      // (guide §2.6 "overlap independent jobs") and localCheckpoint its
+      // one-row summary; the union of materialized rows is then plan-
+      // free. Same per-arm plans, same rows — only the job overlap and
+      // the plan truncation change.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(arms.size)
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val done = arms.map(a => Future(a().localCheckpoint()))
+        Await.result(Future.sequence(done), Duration.Inf)
+          .reduce(_.union(_))
+      } finally pool.shutdown()
+    }
   }
 
   /** Rotation-before-PQ ablation — the FAISS RandomRotation / OPQ-lite

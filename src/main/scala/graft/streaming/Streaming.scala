@@ -279,10 +279,12 @@ object Streaming {
     * append-with-watermark queries would silently lose their tail
     * windows — not worth it.
     */
-  private def withHarnessConf[T](spark: SparkSession)(body: => T): T = {
+  private def withHarnessConf[T](spark: SparkSession,
+                                 stateParts: String = HarnessStateParts)
+                                (body: => T): T = {
     val overrides = Seq(
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> HarnessStateParts)
+      "spark.sql.shuffle.partitions" -> stateParts)
     val prevs = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally prevs.foreach {
@@ -291,9 +293,10 @@ object Streaming {
     }
   }
 
-  private def runToLocalFrame(spark: SparkSession, prefix: String)
+  private def runToLocalFrame(spark: SparkSession, prefix: String,
+                              stateParts: Option[String] = None)
                              (build: (String, String) => StreamingQuery): DataFrame =
-    withHarnessConf(spark) {
+    withHarnessConf(spark, stateParts.getOrElse(HarnessStateParts)) {
       val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       try {
@@ -408,6 +411,11 @@ object Streaming {
 
   private def intervalJoinFrame(spark: SparkSession, eventsPath: String,
                                 within: String, joinType: String): DataFrame = {
+    // r16 width probe, REVERTED: running this family at the session's 32
+    // shuffle partitions (8 tasks -> 32) inflated task time 8.9 s -> 240 s
+    // and wall 4.2 s -> 11.1 s — the stream-stream join instantiates FOUR
+    // state stores per partition and the per-instance checkpoint I/O
+    // swamps the extra parallelism. HarnessStateParts=8 stands.
     runToLocalFrame(spark, "ssj_") { (name, ckpt) =>
       def side(p: String) = streamEventsMicros(spark, eventsPath)
         .select(col("user_id").as(s"${p}_user"),
