@@ -2741,6 +2741,11 @@ object SparkEntry {
       // exactly the economics a serving tier tunes nProbe under.
       val e = t(s, dir, "embeddings")
       val art = ivfPqArtifact(s, dir, "base", e, m = 8, kCodes = 64)
+      // One union plan, deliberately NOT unionOverlapped (r16 probe,
+      // reverted): the probe points share the exact arm and the encoded
+      // scan, which AQE computes once via ReusedExchange in the single
+      // plan; overlapped jobs recomputed the shared subtrees and measured
+      // SLOWER (2.4 -> 4.9 s at sf0.1).
       Seq(2, 4).map { np =>
         Similarity.ivfPqRerankRecall(e.filter(col("vec_id") < 20), e,
             shortlist = 20, k = 5, m = 8, kCodes = 64, nProbe = np,

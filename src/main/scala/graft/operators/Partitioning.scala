@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Partitioning {
 
+  /** Evaluate independent result ARMS as overlapped jobs and union their
+    * materialized outputs. A union of k independent audit pipelines
+    * executes as one mostly sequential stage chain, and on small inputs
+    * wall tracks STAGE COUNT (~85 ms per AQE stage cycle measured r16 on
+    * local[32]) rather than task work; running each arm as its own job
+    * from a small thread pool overlaps those chains (the optimization
+    * guide's "overlap independent jobs" pattern) and the localCheckpoint
+    * truncates the union's plan (its "materialize an intermediate"
+    * pattern for planning-bound trees). Arms must be independent and
+    * their results small (they are collected onto executor block storage
+    * whole); per-arm plans and values are exactly the lazy union's.
+    */
+  def unionOverlapped(arms: Seq[() => DataFrame]): DataFrame = {
+    require(arms.nonEmpty, "unionOverlapped: need at least one arm")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(arms.size)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val done = arms.map(a => Future(a().localCheckpoint()))
+      Await.result(Future.sequence(done), Duration.Inf).reduce(_.union(_))
+    } finally pool.shutdown()
+  }
+
   /** Repartition `df` up to the cluster's default parallelism iff its
     * current plan yields fewer partitions; never coalesces.
     */

@@ -1879,28 +1879,13 @@ object Similarity {
           Some(prebuiltProductionIvfPq.getOrElse(
             ivfPqIndex(corpus, vecCol, idCol, 8, 8, 64, 2,
               coarse = sharedCoarse)))))))
+    // MATERIALIZED mode (the release-report gate): the seven arms are
+    // INDEPENDENT audit pipelines, but unioned into one tree their ~200
+    // exchanges execute as one long mostly-sequential stage chain — see
+    // [[Partitioning.unionOverlapped]]. Same per-arm plans, same rows —
+    // only the job overlap and the plan truncation change.
     if (!materializeArms) arms.map(_.apply()).reduce(_.union(_))
-    else {
-      // MATERIALIZED mode (the release-report gate): the seven arms are
-      // INDEPENDENT audit pipelines, but unioned into one tree their
-      // ~200 exchanges execute as one long mostly-sequential stage chain
-      // — wall tracked stage count (~85 ms/stage measured r16), not task
-      // work. Run each arm as its own job from a small thread pool
-      // (guide §2.6 "overlap independent jobs") and localCheckpoint its
-      // one-row summary; the union of materialized rows is then plan-
-      // free. Same per-arm plans, same rows — only the job overlap and
-      // the plan truncation change.
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(arms.size)
-      try {
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutorService(pool)
-        val done = arms.map(a => Future(a().localCheckpoint()))
-        Await.result(Future.sequence(done), Duration.Inf)
-          .reduce(_.union(_))
-      } finally pool.shutdown()
-    }
+    else Partitioning.unionOverlapped(arms)
   }
 
   /** Rotation-before-PQ ablation — the FAISS RandomRotation / OPQ-lite
@@ -1930,7 +1915,8 @@ object Similarity {
                          prebuilt: Option[(DataFrame, Array[Array[Double]],
                            Pq.Codebooks)] = None,
                          prebuiltRotated: Option[(DataFrame,
-                           Array[Array[Double]], Pq.Codebooks)] = None)
+                           Array[Array[Double]], Pq.Codebooks)] = None,
+                         materializeArms: Boolean = false)
       : DataFrame = {
     val qs = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val dim = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
@@ -1948,13 +1934,17 @@ object Similarity {
       maxExactRows)
     val qsRotated = rotatedTwin(qs, rotationSeed, vecCol, roundDp,
       maxExactRows)
-    summarize(s"ivf_pq_m$m",
+    val arms: Seq[() => DataFrame] = Seq(
+      () => summarize(s"ivf_pq_m$m",
         ivfPqRecall(qs, corpus, k, nCells, m, kCodes, pqIterations, nProbe,
-          idCol, vecCol, roundDp, maxExactRows, prebuilt))
-      .union(summarize(s"ivf_pq_m${m}_rotated",
+          idCol, vecCol, roundDp, maxExactRows, prebuilt)),
+      () => summarize(s"ivf_pq_m${m}_rotated",
         ivfPqRecall(qsRotated, corpusRotated, k, nCells, m, kCodes,
           pqIterations, nProbe, idCol, vecCol, roundDp, maxExactRows,
           prebuiltRotated)))
+    // Two independent audits — see [[Partitioning.unionOverlapped]] (r16).
+    if (!materializeArms) arms.map(_.apply()).reduce(_.union(_))
+    else Partitioning.unionOverlapped(arms)
   }
 
   /** Eigen-allocation rotation — the PARAMETRIC OPQ variant (Ge et al.,
