@@ -2335,11 +2335,15 @@ object SparkEntry {
       // (Classifier.featureAttribution scaladoc): which signal drove the
       // score, decided on the emitted rounded values.
       val docs = t(s, dir, "documents")
+      // localCheckpoint: the fit's gradient cache AND the attribution pass
+      // both consume this regex-heavy frame (the fitScoreLogistic r16
+      // pattern) — materialize it once, bit-identical rows.
       val feats = TextAnalysis.qualityFrame(docs, "text", "doc_id")
         .select(col("doc_id"), col("mean_token_len"), col("punct_ratio"),
           col("stopword_ratio"))
         .join(docs.select(col("doc_id"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("label")), "doc_id")
+        .localCheckpoint()
       val w = Classifier.fitLogistic(feats,
         Seq("mean_token_len", "punct_ratio", "stopword_ratio"), "label",
         iterations = 2, lr = 1.0)

@@ -83,12 +83,21 @@ object Classifier {
       .withColumn("predicted", p >= 0.5)
   }
 
-  /** Fit + score in one call (the gate entry point). */
+  /** Fit + score in one call (the gate entry point). The feature frame is
+    * localCheckpoint'ed first (r16): callers feed a regex-heavy derived
+    * frame (quality signals + label join), and without the checkpoint the
+    * fit's gradient cache-build AND the scoring pass each re-evaluated
+    * that lineage from the scan. One materialization, bit-identical rows
+    * (same partitioning, same order — the per-iteration double sums are
+    * unchanged), one fewer full evaluation per gate.
+    */
   def fitScoreLogistic(df: DataFrame, featureCols: Seq[String],
                        labelCol: String, iterations: Int = 2,
-                       lr: Double = 1.0): DataFrame =
-    scoreLogistic(df, featureCols,
-      fitLogistic(df, featureCols, labelCol, iterations, lr))
+                       lr: Double = 1.0): DataFrame = {
+    val snap = df.localCheckpoint()
+    scoreLogistic(snap, featureCols,
+      fitLogistic(snap, featureCols, labelCol, iterations, lr))
+  }
 
   /** ROC-AUC of a scored frame, one row `(auc, n_pos, n_neg)` — the
     * rank-sum (Mann-Whitney) formulation with exact tie handling:
