@@ -6603,20 +6603,21 @@ object SparkEntry {
         |   chr(10)), x -> trim(x)), x -> len(x) > 0), chr(10)) AS cleaned
         |FROM documents""".stripMargin,
 
-    // Mirrors Normalize.cleanText step for step: control strip, NFC
-    // (DuckDB nfc_normalize == java.text.Normalizer NFC), zero-width strip,
-    // typographic translate, ellipsis fold, whitespace collapse. Special
+    // Mirrors Normalize.cleanText step for step: control strip, zero-width
+    // strip, NFC (DuckDB nfc_normalize == java.text.Normalizer NFC),
+    // typographic translate, ellipsis fold, whitespace collapse. The
+    // zero-width strip moved BEFORE the normalizer in r16 (idempotence fix,
+    // Normalize scaladoc step 2) — mirrored here in the same move. Special
     // chars spelled chr() so the SQL stays ASCII.
     "text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(
         |  replace(
         |   translate(
-        |    regexp_replace(
-        |     nfc_normalize(regexp_replace(
+        |    nfc_normalize(regexp_replace(regexp_replace(
         |      'Caf' || chr(233) || ' ' || chr(8220) || 'qu' || chr(8230) || 'ote' || chr(8221) || ' ' || chr(8212) || chr(160)
         |        || text || ' e' || chr(769) || chr(8203) || ' end' || chr(7),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
-        |     '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']', '', 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |     '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']', '', 'g')),
         |    chr(8220) || chr(8221) || chr(8216) || chr(8217) || chr(8212) || chr(8211) || chr(160) || chr(8199) || chr(8239),
         |    '""' || chr(39) || chr(39) || '--   '),
         |   chr(8230), '...'),

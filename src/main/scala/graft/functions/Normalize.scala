@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *   1. strip C0/C1-adjacent control chars (TAB/LF/CR survive for the
   *      whitespace pass; U+000B/U+000C die here so Java's and RE2's `\s`
   *      classes agree downstream);
-  *   2. Unicode normalize — NFC by default (byte canonicalization only),
+  *   2. strip zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) — BEFORE the
+  *      normalizer, so a combining mark separated from its base by a
+  *      zero-width char still composes (r16 property-test find: with the
+  *      strip after NFC, "N"+ZWSP+U+0301 left a decomposed residue that a
+  *      SECOND pass composed — not idempotent, and exactly the byte
+  *      variant this operator exists to collapse);
+  *   3. Unicode normalize — NFC by default (byte canonicalization only),
   *      NFKC on request (also folds compatibility forms: ligatures,
   *      fullwidth ASCII, circled digits);
-  *   3. strip zero-width chars (ZWSP/ZWNJ/ZWJ/BOM);
   *   4. map typographic punctuation to ASCII: curly quotes, em/en dash,
   *      NBSP-family spaces;
   *   5. ellipsis to "...";
@@ -50,14 +55,14 @@ object Normalize {
   /** The full canonicalization chain; `form` is `"NFC"` or `"NFKC"`. */
   def cleanText(c: Column, form: String = "NFC"): Column = {
     val stripped = regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val zw = regexp_replace(stripped, "[\\u200B-\\u200D\\uFEFF]", "")
     val norm = form.toUpperCase match {
-      case "NFC"  => nfcUdf(stripped)
-      case "NFKC" => nfkcUdf(stripped)
+      case "NFC"  => nfcUdf(zw)
+      case "NFKC" => nfkcUdf(zw)
       case other  => throw new IllegalArgumentException(
         s"unknown normalization form '$other' (expected NFC or NFKC)")
     }
-    val zw = regexp_replace(norm, "[\\u200B-\\u200D\\uFEFF]", "")
-    val mapped = translate(zw, MapFrom, MapTo)
+    val mapped = translate(norm, MapFrom, MapTo)
     val ell = replace(mapped, lit("…"), lit("..."))
     trim(regexp_replace(ell, "\\s+", " "))
   }
