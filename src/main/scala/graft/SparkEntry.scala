@@ -1639,10 +1639,17 @@ object SparkEntry {
       // Margin-based bitext mining (Similarity.marginBitext scaladoc):
       // even/odd vec_id halves play source/target corpus; ratio margin
       // over knn=4 neighborhoods, best target per source + mutual flag.
+      // r17: the r16 gate-level spread() of both halves is REVERTED — the
+      // driver's ground truth measured 3.94 -> 4.90 s at 32 cores (0.80x)
+      // with the spreads, 1.58 s at 8: on an exchange-bound gate the two
+      // added round-robin exchanges cost more than the recompute they
+      // saved. The real r16 win (marginFromScored's localCheckpoints of
+      // the scored frame, proven by the blocked twin's 2.6x) is inside
+      // the operator and stays.
       val e = t(s, dir, "embeddings")
       Similarity.marginBitext(
-        spread(e.filter(col("vec_id") % 2 === 0)),
-        spread(e.filter(col("vec_id") % 2 === 1)), knn = 4)
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), knn = 4)
     }),
 
     "label_agreement" -> ((s, dir) => {

@@ -28,16 +28,31 @@ object Partitioning {
     * their results small (they are collected onto executor block storage
     * whole); per-arm plans and values are exactly the lazy union's.
     */
-  def unionOverlapped(arms: Seq[() => DataFrame]): DataFrame = {
+  /** CONTRACT (r17): arms must not mutate session state — in particular
+    * [[withShuffleWidth]]-style `spark.sql.shuffle.partitions` edits —
+    * because overlapped arms would race on the shared conf; an arm that
+    * needs a width override must set it per-plan (repartition(n, ...)),
+    * not per-session. In-flight arms are capped at `maxConcurrent`
+    * (guide §2.6: "2-3 jobs in flight is plenty — enough to fill the
+    * tail, not so many that they fight for executors"); queued arms run
+    * as slots free, preserving submission order. `timeout` bounds the
+    * whole batch so a wedged arm fails loudly instead of hanging the
+    * caller forever.
+    */
+  def unionOverlapped(arms: Seq[() => DataFrame],
+                      maxConcurrent: Int = 7,
+                      timeout: scala.concurrent.duration.Duration =
+                        scala.concurrent.duration.Duration(30, "min")): DataFrame = {
     require(arms.nonEmpty, "unionOverlapped: need at least one arm")
+    require(maxConcurrent >= 1, "unionOverlapped: maxConcurrent must be >= 1")
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(arms.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(arms.size, maxConcurrent))
     try {
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       val done = arms.map(a => Future(a().localCheckpoint()))
-      Await.result(Future.sequence(done), Duration.Inf).reduce(_.union(_))
+      Await.result(Future.sequence(done), timeout).reduce(_.union(_))
     } finally pool.shutdown()
   }
 

@@ -1294,7 +1294,8 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           roundDp: Int = 6,
-                          maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+                          maxExactRows: Long = DefaultMaxExactRows,
+                          precomputedExact: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k && k >= 1,
       s"need shortlist >= k >= 1, got ($shortlist, $k)")
     import org.apache.spark.sql.expressions.Window
@@ -1314,7 +1315,8 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id"))
-    val exact = guardExactRegime(qv, "hammingRerankRecall.queries",
+    val exact = precomputedExact.getOrElse(
+      guardExactRegime(qv, "hammingRerankRecall.queries",
         maxExactRows)
       .crossJoin(guardExactRegime(cv, "hammingRerankRecall.corpus",
         maxExactRows))
@@ -1324,7 +1326,7 @@ object Similarity {
           roundDp))
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
-      .select(col("qid"), col("id").as("__eid"))
+      .select(col("qid"), col("id").as("__eid")))
     recallJoin(exact, approx, k, roundDp)
   }
 
@@ -1353,7 +1355,8 @@ object Similarity {
   def truncationRecall(queries: DataFrame, corpus: DataFrame, k: Int,
                        dim: Int, idCol: String = "vec_id",
                        vecCol: String = "embedding", roundDp: Int = 6,
-                       maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+                       maxExactRows: Long = DefaultMaxExactRows,
+                       precomputedExact: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(dim >= 1, s"dim must be >= 1, got $dim")
     import org.apache.spark.sql.expressions.Window
@@ -1380,9 +1383,9 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id").as(outId))
-    val exact = topIds(
+    val exact = precomputedExact.getOrElse(topIds(
       graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
-      "__eid")
+      "__eid"))
     val approx = topIds(
       graft.plans.CosineSimilarityExpr.cosine(
         slice(col("__qv"), 1, dim), slice(col("__cv"), 1, dim)),
@@ -1422,7 +1425,8 @@ object Similarity {
   def sq8Recall(queries: DataFrame, corpus: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 roundDp: Int = 6,
-                maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+                maxExactRows: Long = DefaultMaxExactRows,
+                precomputedExact: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     def intCos(a: Column, b: Column): Column = {
@@ -1446,14 +1450,14 @@ object Similarity {
       .select(col("id"), col("codes").as("__cc"))
     val byCos = Window.partitionBy(col("qid"))
       .orderBy(col("__cos").desc, col("id"))
-    val exact = qv.crossJoin(cv)
+    val exact = precomputedExact.getOrElse(qv.crossJoin(cv)
       .filter(col("id") =!= col("qid"))
       .withColumn("__cos", round(
         graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
         roundDp))
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
-      .select(col("qid"), col("id").as("__eid"))
+      .select(col("qid"), col("id").as("__eid")))
     val approx = codesQ.crossJoin(codesC)
       .filter(col("id") =!= col("qid"))
       .withColumn("__cos", round(intCos(col("__qc"), col("__cc")), roundDp))
@@ -1530,7 +1534,8 @@ object Similarity {
                               idCol: String, vecCol: String,
                               roundDp: Int, maxExactRows: Long,
                               prebuilt: Option[(DataFrame,
-                                Array[Array[Double]], Pq.Codebooks)] = None)
+                                Array[Array[Double]], Pq.Codebooks)] = None,
+                              precomputedExact: Option[DataFrame] = None)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
@@ -1600,14 +1605,14 @@ object Similarity {
       "ivfPqRecall.corpus", maxExactRows)
     val byCos = Window.partitionBy(col("qid"))
       .orderBy(col("__cos").desc, col("id"))
-    val exact = qvf.crossJoin(cvf)
+    val exact = precomputedExact.getOrElse(qvf.crossJoin(cvf)
       .filter(col("id") =!= col("qid"))
       .withColumn("__cos",
         round(graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
           roundDp))
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
-      .select(col("qid"), col("id").as("__eid"))
+      .select(col("qid"), col("id").as("__eid")))
     recallJoin(exact, approx, k, roundDp)
   }
 
@@ -1658,7 +1663,8 @@ object Similarity {
                inDim: Int = 64, outDim: Int = 16, seed: Int = 42,
                idCol: String = "vec_id", vecCol: String = "embedding",
                roundDp: Int = 6,
-               maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+               maxExactRows: Long = DefaultMaxExactRows,
+               precomputedExact: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val qv = jlProject(guardExactRegime(
@@ -1677,9 +1683,9 @@ object Similarity {
       .withColumn("__rn", row_number().over(byCos))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id").as(outId))
-    val exact = topIds(
+    val exact = precomputedExact.getOrElse(topIds(
       graft.plans.CosineSimilarityExpr.cosine(col("__qv"), col("__cv")),
-      "__eid")
+      "__eid"))
     // Projected vectors are array<double> (jlProject's 6-dp rounds), so
     // the approx arm uses the expression-form cosine (same dot/(sqrt*sqrt)
     // left-to-right shape the oracle's cosOf replays) rather than the
@@ -1845,6 +1851,42 @@ object Similarity {
       ivfPqIndex(corpus, vecCol, idCol, nCells = 8, m = pqM,
         kCodes = 8, pqIterations = 2, coarse = sharedCoarse))
     val pqRatio = dim.toDouble * 4 / pqM
+    // r17: ONE exact-cosine top-k fence shared by the arms of a
+    // SINGLE-PLAN union (guide §2.4 — remove duplicate work outright):
+    // every arm's recall denominator is the identical exact top-k over
+    // the same panel / corpus / k / rounding / tie-break, but each audit
+    // re-derived it from its own crossJoin+window chain (6-7 copies per
+    // table), and the chains do NOT dedupe via ReusedExchange (each arm
+    // prunes/guards the subtree differently, so the copies are not
+    // canonically equal). Computed once, localCheckpoint'ed (panel x k
+    // rows), passed to every arm via `precomputedExact`. Same expression,
+    // same ordering, same rows — oracle-verified. In MATERIALIZED mode
+    // the fence is deliberately OFF: the overlapped arms hide their fence
+    // recomputes inside the job overlap, while a shared fence would run
+    // as a serial preamble before any arm starts (measured r17:
+    // dataset_card_storage 5.9 s without fence vs 6.7 s with, while the
+    // single-plan compression_tradeoff gates improved 2.75->2.05 and
+    // 2.79->2.21 in-suite-vs-probe with it).
+    val exactFence: Option[DataFrame] = if (materializeArms) None else {
+      import org.apache.spark.sql.expressions.Window
+      val qvF = guardExactRegime(
+        qs.select(col(idCol).as("qid"), col(vecCol).as("__qv")),
+        "compressionTradeoff.queries", maxExactRows)
+      val cvF = guardExactRegime(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("__cv")),
+        "compressionTradeoff.corpus", maxExactRows)
+      val byCosF = Window.partitionBy(col("qid"))
+        .orderBy(col("__cos").desc, col("id"))
+      Some(qvF.crossJoin(cvF)
+        .filter(col("id") =!= col("qid"))
+        .withColumn("__cos",
+          round(graft.plans.CosineSimilarityExpr.cosine(
+            col("__qv"), col("__cv")), roundDp))
+        .withColumn("__rn", row_number().over(byCosF))
+        .filter(col("__rn") <= k)
+        .select(col("qid"), col("id").as("__eid"))
+        .localCheckpoint())
+    }
     // One thunk per audit arm, in the table's row order. The OPT-IN
     // seventh arm is the PRODUCTION code budget (m=8 byte subspaces,
     // kCodes=64, rerank — the `ivf_pq_production_recall` configuration).
@@ -1856,29 +1898,32 @@ object Similarity {
     // table's plan carries exactly six arms.
     val arms: Seq[() => DataFrame] = Seq(
       () => summarize("sq8", 4.0,
-        sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows)),
+        sq8Recall(qs, corpus, k, idCol, vecCol, roundDp, maxExactRows,
+          exactFence)),
       () => summarize(s"jl_$jlDim", dim.toDouble / jlDim,
         jlRecall(qs, corpus, k, inDim = dim, outDim = jlDim, idCol = idCol,
-          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows)),
+          vecCol = vecCol, roundDp = roundDp, maxExactRows = maxExactRows,
+          precomputedExact = exactFence)),
       () => summarize(s"truncate_$truncDim", dim.toDouble / truncDim,
         truncationRecall(qs, corpus, k, truncDim, idCol, vecCol,
-          roundDp, maxExactRows)),
+          roundDp, maxExactRows, exactFence)),
       () => summarize("binary_rerank", 32.0,
         hammingRerankRecall(qs, corpus, shortlist, k, idCol, vecCol,
-          roundDp, maxExactRows)),
+          roundDp, maxExactRows, exactFence)),
       () => summarize(s"ivf_pq_m$pqM", pqRatio,
         ivfPqRecallCore(qs, corpus, k, None, 8, pqM, 8, 2, 2,
-          idCol, vecCol, roundDp, maxExactRows, Some(index))),
+          idCol, vecCol, roundDp, maxExactRows, Some(index), exactFence)),
       () => summarize(s"ivf_pq_m${pqM}_rerank", pqRatio,
         ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, pqM, 8, 2,
-          2, idCol, vecCol, roundDp, maxExactRows, Some(index)))) ++
+          2, idCol, vecCol, roundDp, maxExactRows, Some(index),
+          exactFence))) ++
       (if (!includeProductionIvfPq) Seq.empty[() => DataFrame]
        else Seq(() => summarize("ivf_pq_m8_rerank", dim.toDouble * 4 / 8,
         ivfPqRecallCore(qs, corpus, k, Some(shortlist), 8, 8, 64, 2,
           2, idCol, vecCol, roundDp, maxExactRows,
           Some(prebuiltProductionIvfPq.getOrElse(
             ivfPqIndex(corpus, vecCol, idCol, 8, 8, 64, 2,
-              coarse = sharedCoarse)))))))
+              coarse = sharedCoarse))), exactFence))))
     // MATERIALIZED mode (the release-report gate): the seven arms are
     // INDEPENDENT audit pipelines, but unioned into one tree their ~200
     // exchanges execute as one long mostly-sequential stage chain — see

@@ -16,8 +16,16 @@ object TextAnalysis {
 
   /** Space tokenizer shared by all operators (corpus text is space-joined;
     * a literal-space split keeps Spark and the SQL oracle bit-identical).
+    *
+    * r17: the empty-token strip is `array_remove(_, "")` rather than the
+    * equivalent `filter(_, length(t) > 0)` — ArrayRemove is a codegen'd
+    * expression while the `filter` higher-order function is a
+    * CodegenFallback that evaluates its WHOLE subtree (split + lower
+    * included) interpreted per row, in every one of the ~45 text gates'
+    * hot paths. `split` never yields null elements, so removing `""` is
+    * exactly the length>0 filter; token values are unchanged.
     */
-  def toks(c: Column): Column = filter(split(lower(c), " "), t => length(t) > 0)
+  def toks(c: Column): Column = array_remove(split(lower(c), " "), "")
 
   // -------------------------------------------------------------------------
   // Language identification (marker-word heuristic)

@@ -149,10 +149,36 @@ object ArchiveExpand {
     * loudly with the file and codec named. Constructors run inside the
     * guard — they read (and can reject) the member header.
     */
+  /** One reusable native decompression context per thread (guide §4.5 —
+    * the streaming zstd reader allocates a fresh native dctx + buffers per
+    * stream, which the per-row round-trip gates pay per ROW; task threads
+    * are pooled, so contexts are bounded by the thread count).
+    */
+  private val zstdDctx = new ThreadLocal[com.github.luben.zstd.ZstdDecompressCtx] {
+    override def initialValue(): com.github.luben.zstd.ZstdDecompressCtx =
+      new com.github.luben.zstd.ZstdDecompressCtx()
+  }
+
   private[graft] def decompress(codec: String, bytes: Array[Byte], budget: Budget,
                                 at: String): Array[Byte] = {
     var in: java.io.InputStream = null
     try {
+      if (codec == "zstd") {
+        // Single-frame fast path: when the input is exactly one frame with
+        // a declared content size, decompress through the reused per-thread
+        // context — one native call, no stream machinery. The budget is
+        // charged BEFORE allocating (a frame declaring a bomb-sized content
+        // fails in charge(), and a frame that LIES small fails inside
+        // ZSTD_decompress when the output exceeds the declared buffer).
+        // Multi-frame or unknown-content-size inputs take the streaming
+        // path below, which handles them member by member.
+        val content = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        if (content > 0 && content <= Int.MaxValue &&
+            com.github.luben.zstd.Zstd.findFrameCompressedSize(bytes) == bytes.length) {
+          budget.charge(content, at)
+          return zstdDctx.get().decompress(bytes, content.toInt)
+        }
+      }
       val base = new ByteArrayInputStream(bytes)
       in = codec match {
         case "gzip"  => new GZIPInputStream(base, 65536)

@@ -114,10 +114,20 @@ object ArchiveFixtures {
 
   def tarGz(entries: Seq[(String, Array[Byte])]): Array[Byte] = gzip(tar(entries))
 
-  /** bzip2/xz/zstd via the same commons-compress writers real tools use. */
+  /** bzip2/xz/zstd via the same commons-compress writers real tools use.
+    *
+    * Block size scales to the payload (r17, guide §4.5 "bound per-row
+    * allocation"): the writer's work arrays are sized from the block size
+    * (~1 MB per 100k block), so the default 900k block allocates ~9 MB
+    * per stream even for a 10 KB payload — and the READER allocates from
+    * the block size declared in the header, so a small block bounds both
+    * sides. Any bzip2 decoder accepts any block size; for payloads over
+    * 900k the default maximum applies.
+    */
   def bzip2(bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    val c = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(out)
+    val blockSize = math.max(1, math.min(9, (bytes.length + 99999) / 100000))
+    val c = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(out, blockSize)
     c.write(bytes); c.close()
     out.toByteArray
   }
@@ -129,16 +139,38 @@ object ArchiveFixtures {
     out.toByteArray
   }
 
-  def zstd(bytes: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    val c = new org.apache.commons.compress.compressors.zstandard.ZstdCompressorOutputStream(out)
-    c.write(bytes); c.close()
-    out.toByteArray
+  /** One reusable native compression context per thread (r17, guide §4.5
+    * "initialise heavyweight state once per task, not per row"): the
+    * streaming wrapper allocated a fresh native cctx plus ~128 KB of
+    * buffers per CALL, which under 32-way task concurrency turned the
+    * archive round-trip gates into allocator churn. Task threads are
+    * pooled and reused, so the contexts are bounded by the executor's
+    * thread count. Level 3 is the zstd default the streaming wrapper used;
+    * the one-shot frame additionally records the content size, which any
+    * zstd decoder (including the streaming reader) accepts.
+    */
+  private val zstdCctx = new ThreadLocal[com.github.luben.zstd.ZstdCompressCtx] {
+    override def initialValue(): com.github.luben.zstd.ZstdCompressCtx =
+      new com.github.luben.zstd.ZstdCompressCtx().setLevel(3)
   }
 
+  def zstd(bytes: Array[Byte]): Array[Byte] = zstdCctx.get().compress(bytes)
+
+  /** Frame block size scales to the payload (same §4.5 bound as [[bzip2]]):
+    * the framed-lz4 writer and reader both allocate the declared block
+    * size (default 4 MB) regardless of payload; any lz4-frame decoder
+    * accepts any of the four standard block sizes.
+    */
   def lz4(bytes: Array[Byte]): Array[Byte] = {
+    import org.apache.commons.compress.compressors.lz4.{BlockLZ4CompressorOutputStream => _, _}
+    val bs =
+      if (bytes.length <= 64 * 1024) FramedLZ4CompressorOutputStream.BlockSize.K64
+      else if (bytes.length <= 256 * 1024) FramedLZ4CompressorOutputStream.BlockSize.K256
+      else if (bytes.length <= 1024 * 1024) FramedLZ4CompressorOutputStream.BlockSize.M1
+      else FramedLZ4CompressorOutputStream.BlockSize.M4
     val out = new ByteArrayOutputStream()
-    val c = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(out)
+    val c = new FramedLZ4CompressorOutputStream(out,
+      new FramedLZ4CompressorOutputStream.Parameters(bs))
     c.write(bytes); c.close()
     out.toByteArray
   }

@@ -279,12 +279,10 @@ object Streaming {
     * append-with-watermark queries would silently lose their tail
     * windows — not worth it.
     */
-  private def withHarnessConf[T](spark: SparkSession,
-                                 stateParts: String = HarnessStateParts)
-                                (body: => T): T = {
+  private def withHarnessConf[T](spark: SparkSession)(body: => T): T = {
     val overrides = Seq(
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> stateParts)
+      "spark.sql.shuffle.partitions" -> HarnessStateParts)
     val prevs = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally prevs.foreach {
@@ -293,10 +291,9 @@ object Streaming {
     }
   }
 
-  private def runToLocalFrame(spark: SparkSession, prefix: String,
-                              stateParts: Option[String] = None)
+  private def runToLocalFrame(spark: SparkSession, prefix: String)
                              (build: (String, String) => StreamingQuery): DataFrame =
-    withHarnessConf(spark, stateParts.getOrElse(HarnessStateParts)) {
+    withHarnessConf(spark) {
       val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       try {

@@ -236,4 +236,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.Partitioning.rendezvousShard(col("k"), Seq("a", "a"))
     }
   }
+
+  test("unionOverlapped caps in-flight arms and unions all results (r17)") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val inFlight = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    val sess = spark
+    import sess.implicits._
+    val arms: Seq[() => org.apache.spark.sql.DataFrame] =
+      (1 to 6).map { i => () =>
+        val now = inFlight.incrementAndGet()
+        maxSeen.accumulateAndGet(now, math.max)
+        try {
+          Thread.sleep(50) // hold the slot long enough for overlap to show
+          Seq((i, s"arm$i")).toDF("arm_id", "label")
+        } finally inFlight.decrementAndGet()
+      }
+    val out = graft.operators.Partitioning
+      .unionOverlapped(arms, maxConcurrent = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == (1 to 6).map(i => (i, s"arm$i")))
+    assert(maxSeen.get() <= 2, s"cap violated: ${maxSeen.get()} arms in flight")
+    assert(maxSeen.get() >= 2, "arms never overlapped — pool not concurrent")
+  }
 }
