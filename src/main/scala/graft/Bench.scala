@@ -223,9 +223,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Small-input/heavy-compute queries: don't let AQE coalesce shuffle
-      // partitions below cluster parallelism (tiny bytes != tiny work).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+      // AQE coalescing floor (r17, guide §2.2 "fewer, larger reduce
+      // partitions" + the scaling block's finding that the suite ran
+      // FASTER at 8 cores than 32): the old "1b" floor disabled coalescing
+      // entirely so every tiny exchange ran `cpus` tasks, and with ~2-3 ms
+      // fixed cost per task launch the many metadata-sized stages paid
+      // ~85 ms each for microseconds of work. With parallelismFirst (the
+      // Spark default) the target partition size is
+      // max(totalBytes/parallelism, THIS floor), so a 64k floor only
+      // narrows exchanges carrying < ~64k*width bytes — the audit
+      // summaries, count fences, and iteration metadata — while anything
+      // data-sized (>= a few MB total) keeps full width. Heavy-compute
+      // stages over tiny bytes are NOT exposed: the operators' explicit
+      // `repartition(n)` spreads (ensureParallelism/iterationWidth) are
+      // user-specified and never coalesced by AQE. Env-overridable so the
+      // scaling behavior stays inspectable; results are partition-count
+      // independent by the repo's exact-arithmetic discipline (the same
+      // invariance the 8-core driver run already exercises).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen, shuffle machinery, parquet reader) so

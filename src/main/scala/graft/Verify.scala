@@ -14,7 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // Small-input/heavy-compute queries: don't let AQE coalesce shuffle
       // partitions below cluster parallelism (tiny bytes != tiny work).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")) // mirror Bench (r17)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -268,7 +268,8 @@ object Streaming {
     * cluster-sized `spark.sql.shuffle.partitions`; this override lives
     * ONLY inside the harness and is restored on exit.
     */
-  private val HarnessStateParts = "8"
+  private val HarnessStateParts =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8") // env-probe (r17); 8 = measured optimum
 
   /** Harness-scoped conf overrides (checksum-pool fix from the object
     * scaladoc + [[HarnessStateParts]]), restored on exit. Disabling the
